@@ -1,0 +1,679 @@
+"""Dataset facade: padawan's partitioned-dataset API re-expressed on Spark.
+
+The reference's ``Dataset`` is an ordered list of lazy partitions with
+index columns and per-partition null-first lexicographic bounds
+(``/root/reference/src/padawan/dataset.py:59-124``).  Here a Dataset is a
+thin metadata companion around a ``pyspark.sql.DataFrame``:
+
+- the DataFrame *is* the logical plan — slicing, joining, mapping, and
+  repartitioning are expressed declaratively so Catalyst/AQE perform the
+  pruning, pushdown, join-strategy selection, and partition coalescing
+  that the reference implements by hand in wrapper-class constructors
+  (survey §4 rows 1-13);
+- the metadata (index columns, per-partition sizes/bounds) is carried as
+  small driver-side lists, exactly like the reference's manifest, and is
+  *advisory*: correctness never depends on it (parquet footer stats and
+  AQE runtime stats are the real drivers at scale).
+
+Scale stance (100 TB): nothing here collects data to the driver except
+(a) per-partition stat rows (one row per partition — bounded by partition
+count, not data size) and (b) explicit ``collect()``.  All pruning
+predicates are Catalyst boolean trees that push into parquet scans.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import math
+import os
+import shutil
+from typing import Callable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from . import metadata as _meta
+from . import ordering as _ord
+
+
+class StatsUnknownError(Exception):
+    """Raised when an operation needs sizes/bounds that were never computed.
+
+    Parity with ``/root/reference/src/padawan/dataset.py:51-52``."""
+
+
+class AppendError(Exception):
+    """Raised on index-column mismatch when appending
+    (``/root/reference/src/padawan/dataset.py:364-381``)."""
+
+
+_INCLUSIVE = ("none", "lower", "upper", "both")
+
+
+def _require(cond: bool, exc: type[Exception], msg: str):
+    if not cond:
+        raise exc(msg)
+
+
+class Dataset:
+    """A Spark DataFrame plus partition-topology metadata.
+
+    Parameters
+    ----------
+    df : DataFrame
+        The logical plan.  For file-backed datasets pass ``files`` instead
+        and the scan is constructed (and re-constructed after pruning).
+    index_columns : tuple[str, ...]
+        Columns the dataset is ordered/sliced/joined on.
+    sizes, lower_bounds, upper_bounds
+        Optional per-partition stats (None = unknown), same tri-state as
+        the reference (``dataset.py:139-151``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        df: DataFrame | None = None,
+        *,
+        files: list[str] | None = None,
+        index_columns: Sequence[str] = (),
+        sizes: list[int] | None = None,
+        lower_bounds: list[tuple] | None = None,
+        upper_bounds: list[tuple] | None = None,
+        schema: StructType | None = None,
+    ):
+        self.spark = spark
+        self._files = list(files) if files is not None else None
+        if df is None:
+            _require(files is not None, ValueError, "need df or files")
+            if self._files:
+                df = spark.read.parquet(*self._files)
+            else:
+                _require(schema is not None, ValueError,
+                         "zero-partition dataset requires an explicit schema")
+                df = spark.createDataFrame([], schema)
+        self.df = df
+        self.index_columns = tuple(index_columns)
+        self._sizes = list(sizes) if sizes is not None else None
+        self._lower_bounds = list(lower_bounds) if lower_bounds is not None else None
+        self._upper_bounds = list(upper_bounds) if upper_bounds is not None else None
+
+    # ------------------------------------------------------------------
+    # Metadata properties (parity: dataset.py:126-226)
+    # ------------------------------------------------------------------
+
+    @property
+    def known_sizes(self) -> bool:
+        return self._sizes is not None
+
+    @property
+    def known_bounds(self) -> bool:
+        return self._lower_bounds is not None and self._upper_bounds is not None
+
+    @property
+    def known_schema(self) -> bool:
+        return True  # Spark schemas are always known after analysis
+
+    @property
+    def sizes(self) -> list[int]:
+        _require(self.known_sizes, StatsUnknownError,
+                 "sizes unknown; call reindex() first")
+        return list(self._sizes)
+
+    @property
+    def lower_bounds(self) -> list[tuple]:
+        _require(self.known_bounds, StatsUnknownError,
+                 "bounds unknown; call reindex() first")
+        return list(self._lower_bounds)
+
+    @property
+    def upper_bounds(self) -> list[tuple]:
+        _require(self.known_bounds, StatsUnknownError,
+                 "bounds unknown; call reindex() first")
+        return list(self._upper_bounds)
+
+    @property
+    def schema(self) -> StructType:
+        return self.df.schema
+
+    # ------------------------------------------------------------------
+    # Partition access (parity: dataset.py:267-294)
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        if self._files is not None:
+            return len(self._files)
+        if self.known_sizes:
+            return len(self._sizes)
+        return self.df.rdd.getNumPartitions()
+
+    def __getitem__(self, i: int) -> DataFrame:
+        n = len(self)
+        if i < 0:
+            i += n
+        _require(0 <= i < n, IndexError, f"partition {i} out of range ({n})")
+        if self._files is not None:
+            return self.spark.read.parquet(self._files[i])
+        return self.df.where(F.spark_partition_id() == F.lit(i))
+
+    def __iter__(self) -> Iterator[DataFrame]:
+        for i in range(len(self)):
+            yield self[i]
+
+    # ------------------------------------------------------------------
+    # reindex: stats collection (parity: reindexed_dataset.py:95-141)
+    # ------------------------------------------------------------------
+
+    def reindex(self, index_columns: Sequence[str] | None = None,
+                collect_stats: bool = True) -> "Dataset":
+        ix = self.index_columns if index_columns is None else tuple(index_columns)
+        # no-op shortcut (reindexed_dataset.py:129-132)
+        if ix == self.index_columns and self.known_sizes and (self.known_bounds or not ix):
+            return self
+        # prefix fast path: truncate bounds in metadata only, no data pass
+        # (reindexed_dataset.py:34-44)
+        if (collect_stats and self.known_sizes and self.known_bounds
+                and ix == self.index_columns[: len(ix)]):
+            k = len(ix)
+            return self._with_meta(
+                index_columns=ix,
+                lower_bounds=[b[:k] for b in self._lower_bounds],
+                upper_bounds=[b[:k] for b in self._upper_bounds],
+            )
+        if not collect_stats:
+            return self._with_meta(index_columns=ix, sizes=None,
+                                   lower_bounds=None, upper_bounds=None)
+        sizes, lbs, ubs, nonempty = self._stats_job(ix)
+        out = self
+        if self._files is not None and len(nonempty) < len(self._files):
+            # drop empty partitions (reindexed_dataset.py:59-67)
+            out = Dataset(self.spark, files=[self._files[i] for i in nonempty],
+                          index_columns=ix, schema=self.df.schema)
+        return out._with_meta(index_columns=ix, sizes=sizes,
+                              lower_bounds=lbs, upper_bounds=ubs)
+
+    def _stats_job(self, ix: tuple[str, ...]):
+        """One distributed pass: per-partition count + null-first lex min/max.
+
+        Returns (sizes, lower_bounds, upper_bounds, nonempty_partition_ids),
+        ordered by partition id.  Collects one row per partition — safe at
+        any data scale (bounded by partition count).
+        """
+        df = self.df
+        pid = F.spark_partition_id().alias("__pid")
+        if not ix:
+            rows = (df.select(pid).groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+                    .collect())
+            stats = {r["__pid"]: (r["__n"], (), ()) for r in rows}
+        else:
+            key = F.struct(*_ord.sort_key_cols(ix))
+            val = F.struct(*[F.col(c) for c in ix])
+            rows = (
+                df.select(pid, key.alias("__k"), val.alias("__v"))
+                .groupBy("__pid")
+                .agg(F.count(F.lit(1)).alias("__n"),
+                     F.min_by("__v", "__k").alias("__lb"),
+                     F.max_by("__v", "__k").alias("__ub"))
+                .collect()
+            )
+            stats = {
+                r["__pid"]: (r["__n"],
+                             tuple(r["__lb"][c] for c in ix),
+                             tuple(r["__ub"][c] for c in ix))
+                for r in rows
+            }
+        nonempty = sorted(stats)
+        sizes = [stats[i][0] for i in nonempty]
+        lbs = [stats[i][1] for i in nonempty]
+        ubs = [stats[i][2] for i in nonempty]
+        return sizes, lbs, ubs, nonempty
+
+    # ------------------------------------------------------------------
+    # map: per-partition escape hatch (parity: mapped_dataset.py:72-143)
+    # ------------------------------------------------------------------
+
+    def map(self, func: Callable, schema: StructType | str | None = None,
+            index_columns: Sequence[str] | None = None,
+            preserves: str = "none") -> "Dataset":
+        """Apply ``func(pandas.DataFrame) -> pandas.DataFrame`` per partition.
+
+        The reference applies a polars function per partition and lets the
+        caller declare what metadata survives (``preserves`` in
+        {'none','sizes','bounds','all'}, an unchecked contract —
+        ``mapped_dataset.py:126-129``).  Implemented with ``mapInPandas``
+        (Arrow-batched); prefer native column expressions where possible —
+        this is the slow path.
+        """
+        _require(preserves in ("none", "sizes", "bounds", "all"), ValueError,
+                 f"preserves must be one of none/sizes/bounds/all: {preserves}")
+        ix = self.index_columns if index_columns is None else tuple(index_columns)
+        out_schema = schema if schema is not None else self.df.schema
+
+        def apply(it):
+            import pandas as pd  # noqa: F401
+            for pdf in it:
+                res = func(pdf)
+                yield res
+
+        new_df = self.df.mapInPandas(apply, out_schema)
+        keep_sizes = preserves in ("sizes", "all")
+        # bounds survive only if the new index is a prefix of the old
+        # (mapped_dataset.py:24-27, :38-47)
+        keep_bounds = (preserves in ("bounds", "all")
+                       and ix == self.index_columns[: len(ix)])
+        k = len(ix)
+        return Dataset(
+            self.spark, new_df, index_columns=ix,
+            sizes=self._sizes if keep_sizes else None,
+            lower_bounds=[b[:k] for b in self._lower_bounds]
+            if keep_bounds and self.known_bounds else None,
+            upper_bounds=[b[:k] for b in self._upper_bounds]
+            if keep_bounds and self.known_bounds else None,
+        )
+
+    # ------------------------------------------------------------------
+    # rename (parity: renamed_dataset.py:40-51)
+    # ------------------------------------------------------------------
+
+    def rename(self, mapping: dict[str, str]) -> "Dataset":
+        new_df = self.df.withColumnsRenamed(mapping)
+        new_ix = tuple(mapping.get(c, c) for c in self.index_columns)
+        return Dataset(self.spark, new_df, index_columns=new_ix,
+                       sizes=self._sizes, lower_bounds=self._lower_bounds,
+                       upper_bounds=self._upper_bounds)
+
+    # ------------------------------------------------------------------
+    # slice: lexicographic range selection (parity: sliced_dataset.py:8-194)
+    # ------------------------------------------------------------------
+
+    def slice(self, lb: Sequence | None = None, ub: Sequence | None = None,
+              inclusive: str = "lower") -> "Dataset":
+        """Select rows with index tuple in the given lexicographic range.
+
+        ``lb``/``ub`` may be prefixes of the index columns.  ``inclusive``
+        ∈ {'none','lower','upper','both'}.  The reference prunes partitions
+        at plan time and attaches residual filters per partition
+        (``sliced_dataset.py:41-167``); here the residual predicate is a
+        single Catalyst filter (pushed into the scan → row-group skipping),
+        and file-level pruning is done on the manifest when bounds are
+        known — same effect, one expression.
+        """
+        _require(inclusive in _INCLUSIVE, ValueError,
+                 f"inclusive must be one of {_INCLUSIVE}: {inclusive}")
+        _require(self.index_columns != (), ValueError,
+                 "slice requires index columns")
+        ix = self.index_columns
+        lo_incl = inclusive in ("lower", "both")
+        hi_incl = inclusive in ("upper", "both")
+
+        cond = None
+        if lb is not None:
+            c = (_ord.columns_geq if lo_incl else _ord.columns_gt)(ix, lb)
+            cond = c if cond is None else (cond & c)
+        if ub is not None:
+            c = (_ord.columns_leq if hi_incl else _ord.columns_lt)(ix, ub)
+            cond = c if cond is None else (cond & c)
+
+        # --- metadata/file pruning when bounds are known -----------------
+        files = self._files
+        sizes, lbs, ubs = self._sizes, self._lower_bounds, self._upper_bounds
+        if self.known_bounds:
+            keep, new_sizes, new_lbs, new_ubs = [], [], [], []
+            n = len(self._lower_bounds)
+            for i in range(n):
+                plb, pub = self._lower_bounds[i], self._upper_bounds[i]
+                if not _overlaps(plb, pub, lb, ub, lo_incl, hi_incl):
+                    continue
+                keep.append(i)
+                inside = _contained(plb, pub, lb, ub, lo_incl, hi_incl)
+                new_sizes.append(self._sizes[i] if (self.known_sizes and inside) else None)
+                new_lbs.append(_clamp_lb(plb, lb, len(ix)))
+                new_ubs.append(_clamp_ub(pub, ub, len(ix)))
+            sizes = new_sizes if all(s is not None for s in new_sizes) else None
+            lbs, ubs = new_lbs, new_ubs
+            if files is not None:
+                files = [files[i] for i in keep]
+                if not files:
+                    return Dataset(self.spark, index_columns=ix, files=[],
+                                   schema=self.df.schema, sizes=[],
+                                   lower_bounds=[], upper_bounds=[])
+                base = self.spark.read.parquet(*files)
+                new_df = base.where(cond) if cond is not None else base
+                return Dataset(self.spark, new_df, files=files, index_columns=ix,
+                               sizes=sizes, lower_bounds=lbs, upper_bounds=ubs)
+        new_df = self.df.where(cond) if cond is not None else self.df
+        return Dataset(self.spark, new_df, index_columns=ix,
+                       sizes=sizes, lower_bounds=lbs, upper_bounds=ubs)
+
+    # ------------------------------------------------------------------
+    # join (parity: joined_dataset.py:7-85)
+    # ------------------------------------------------------------------
+
+    def join(self, other: "Dataset", how: str = "inner") -> "Dataset":
+        """Equi-join on the shared index columns.
+
+        The reference requires identical index columns on both sides and
+        supports inner/left/full only (``joined_dataset.py:22-28``); its
+        hand-built division-point merge join is exactly what Spark's
+        shuffle sort-merge join (or broadcast-hash under AQE, when one
+        side is small) does natively.
+        """
+        _require(self.index_columns == other.index_columns, ValueError,
+                 "both datasets must have the same index columns")
+        _require(len(self.index_columns) > 0, ValueError,
+                 "join requires index columns")
+        _require(how in ("inner", "left", "full"), ValueError,
+                 f"how must be inner/left/full: {how}")
+        ix = list(self.index_columns)
+        dup = (set(self.df.columns) & set(other.df.columns)) - set(ix)
+        _require(not dup, ValueError,
+                 f"duplicate non-index columns: {sorted(dup)}")
+        joined = self.df.join(other.df, on=ix, how=how)
+        return Dataset(self.spark, joined, index_columns=self.index_columns)
+
+    # ------------------------------------------------------------------
+    # repartition (parity: repartitioned_dataset.py:156-417)
+    # ------------------------------------------------------------------
+
+    def repartition(self, rows_per_partition: int,
+                    index_columns: Sequence[str] | None = None,
+                    exact: bool = False) -> "Dataset":
+        """Range-repartition so equal index values share a partition.
+
+        Default path: ``repartitionByRange`` — Spark's sampled range
+        partitioner is the built-in equivalent of the reference's
+        per-partition sampling + division points
+        (``repartitioned_dataset.py:91-153``).  ``exact=True`` reproduces
+        the reference's ``sample_fraction=1.0`` exact-size semantics via a
+        global ``row_number`` — deterministic but serializes one sort task,
+        so it is the *test* path, not the 100 TB path.
+        """
+        ix = self.index_columns if index_columns is None else tuple(index_columns)
+        total = sum(self._sizes) if self.known_sizes else self.df.count()
+        n = max(1, math.ceil(total / rows_per_partition))
+        if not ix:
+            new_df = self.df.repartition(n)
+            return Dataset(self.spark, new_df, index_columns=())
+        if exact:
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in ix])
+            tagged = self.df.withColumn("__rn", F.row_number().over(w))
+            tagged = tagged.withColumn(
+                "__part", F.floor((F.col("__rn") - 1) / F.lit(rows_per_partition)))
+            new_df = (tagged.repartitionByRange(n, "__part")
+                      .sortWithinPartitions("__part", *ix)
+                      .drop("__rn", "__part"))
+            return Dataset(self.spark, new_df, index_columns=ix)
+        new_df = (self.df
+                  .repartitionByRange(n, *[F.col(c).asc_nulls_first() for c in ix])
+                  .sortWithinPartitions(*[F.col(c).asc_nulls_first() for c in ix]))
+        return Dataset(self.spark, new_df, index_columns=ix)
+
+    # ------------------------------------------------------------------
+    # collate (parity: collated_dataset.py:7-92)
+    # ------------------------------------------------------------------
+
+    def collate(self, rows_per_partition: int) -> "Dataset":
+        """Merge (never split) adjacent partitions until each has at least
+        ``rows_per_partition`` rows.  ``coalesce`` has exactly this
+        merge-only, no-shuffle contract; AQE does the same to shuffle
+        outputs automatically."""
+        _require(self.known_sizes, StatsUnknownError,
+                 "collate requires known sizes; call reindex() first")
+        total = sum(self._sizes)
+        n = max(1, min(len(self._sizes) or 1, total // rows_per_partition or 1))
+        new_df = self.df.coalesce(n)
+        return Dataset(self.spark, new_df, index_columns=self.index_columns)
+
+    # ------------------------------------------------------------------
+    # disjointness (parity: dataset.py:228-265)
+    # ------------------------------------------------------------------
+
+    def is_disjoint(self) -> bool:
+        _require(self.known_bounds, StatsUnknownError,
+                 "is_disjoint requires known bounds; call reindex() first")
+        order = _ord.sort_partitions(self._lower_bounds, self._upper_bounds)
+        for a, b in zip(order, order[1:]):
+            if _ord.lex_cmp(self._upper_bounds[a], self._lower_bounds[b]) >= 0:
+                return False
+        return True
+
+    def assert_disjoint(self) -> None:
+        _require(self.is_disjoint(), AssertionError,
+                 "dataset partitions have overlapping index ranges")
+
+    # ------------------------------------------------------------------
+    # sinks / actions (parity: dataset.py:328-558)
+    # ------------------------------------------------------------------
+
+    def write_parquet(self, path: str, append: bool = False) -> "Dataset":
+        """Write one parquet file per partition plus the manifest.
+
+        ``append=False`` wipes the target (``dataset.py:349-363``);
+        ``append=True`` validates index-column equality against the
+        existing manifest (``AppendError``, ``dataset.py:364-381``) and
+        extends it.  Stats for the manifest are computed by a distributed
+        per-file aggregation job, never by collecting data.
+        """
+        old = None
+        if append:
+            _require(_meta.has_manifest(path), AppendError,
+                     f"cannot append: no manifest at {path}")
+            old = _meta.load_manifest(path)
+            _require(old.index_columns == self.index_columns, AppendError,
+                     f"index columns differ: {old.index_columns} vs "
+                     f"{self.index_columns}")
+            before = set(_list_parquet(path))
+            self.df.write.mode("append").parquet(path)
+            new_files = sorted(set(_list_parquet(path)) - before)
+        else:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            self.df.write.mode("overwrite").parquet(path)
+            new_files = sorted(_list_parquet(path))
+
+        sizes_by_file = _file_stats(self.spark, [os.path.join(path, f) for f in new_files],
+                                    self.index_columns)
+        # empty partitions: skipped in the manifest but schema still recorded
+        # (dataset.py:340-347)
+        kept = [f for f in new_files if f in sizes_by_file]
+        files = (old.files if old else []) + kept
+        sizes = ([*(old.sizes or [])] if old else []) + [sizes_by_file[f][0] for f in kept]
+        lbs = ([*(old.lower_bounds or [])] if old else []) + [sizes_by_file[f][1] for f in kept]
+        ubs = ([*(old.upper_bounds or [])] if old else []) + [sizes_by_file[f][2] for f in kept]
+        man = _meta.Manifest(
+            index_columns=self.index_columns, files=files, sizes=sizes,
+            lower_bounds=lbs if self.index_columns else None,
+            upper_bounds=ubs if self.index_columns else None,
+            max_partition_index=(old.max_partition_index if old else -1) + len(kept),
+            schema_json=self.df.schema.json(),
+        )
+        if not self.index_columns:
+            man.lower_bounds = [() for _ in files]
+            man.upper_bounds = [() for _ in files]
+        _meta.write_manifest(path, man)
+        return scan_parquet(self.spark, path)
+
+    def collect(self):
+        """Materialize as a single in-memory pandas DataFrame
+        (reference: one polars frame, ``dataset.py:531-558``)."""
+        return self.df.toPandas()
+
+    # ------------------------------------------------------------------
+
+    def _with_meta(self, **kw) -> "Dataset":
+        return Dataset(
+            self.spark, self.df, files=self._files,
+            index_columns=kw.get("index_columns", self.index_columns),
+            sizes=kw.get("sizes", self._sizes),
+            lower_bounds=kw.get("lower_bounds", self._lower_bounds),
+            upper_bounds=kw.get("upper_bounds", self._upper_bounds),
+        )
+
+
+# ---------------------------------------------------------------------------
+# slice-pruning helpers (driver-side tuple math on manifest bounds)
+# ---------------------------------------------------------------------------
+
+def _cmp_prefix(part_bound: tuple, slice_bound: Sequence) -> int:
+    """Compare a partition bound against a (possibly prefix) slice bound on
+    the slice bound's length only."""
+    k = len(slice_bound)
+    return _ord.lex_cmp(tuple(part_bound)[:k], tuple(slice_bound))
+
+
+def _overlaps(plb, pub, lb, ub, lo_incl, hi_incl) -> bool:
+    if lb is not None:
+        c = _cmp_prefix(pub, lb)
+        if c < 0 or (c == 0 and not lo_incl and len(pub) <= len(lb)):
+            return False
+    if ub is not None:
+        c = _cmp_prefix(plb, ub)
+        if c > 0 or (c == 0 and not hi_incl and len(plb) <= len(ub)):
+            return False
+    return True
+
+
+def _contained(plb, pub, lb, ub, lo_incl, hi_incl) -> bool:
+    """Partition provably entirely inside the slice → sizes survive
+    (sliced_dataset.py:85-112)."""
+    if lb is not None:
+        c = _cmp_prefix(plb, lb)
+        if c < 0 or (c == 0 and not (lo_incl and len(lb) >= len(plb))):
+            return False
+    if ub is not None:
+        c = _cmp_prefix(pub, ub)
+        if c > 0 or (c == 0 and not (hi_incl and len(ub) >= len(pub))):
+            return False
+    return True
+
+
+def _clamp_lb(plb, lb, k):
+    if lb is None:
+        return plb
+    return plb if _cmp_prefix(plb, lb) >= 0 else tuple(lb) + plb[len(lb):k]
+
+
+def _clamp_ub(pub, ub, k):
+    if ub is None:
+        return pub
+    return pub if _cmp_prefix(pub, ub) <= 0 else tuple(ub) + pub[len(ub):k]
+
+
+# ---------------------------------------------------------------------------
+# sources (parity: persisted_dataset.py / in_memory_dataset.py / concat /
+# write_metadata)
+# ---------------------------------------------------------------------------
+
+def _list_parquet(path: str) -> list[str]:
+    return sorted(os.path.basename(p)
+                  for p in _glob.glob(os.path.join(path, "*.parquet")))
+
+
+def _file_stats(spark: SparkSession, files: list[str], ix: tuple[str, ...]):
+    """Distributed per-file stats: {basename: (nrows, lb, ub)}.
+
+    Uses ``input_file_name()`` grouping so a file split across tasks is
+    still aggregated once; one output row per file."""
+    if not files:
+        return {}
+    df = spark.read.parquet(*files)
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+    if not ix:
+        rows = df.select(fname).groupBy("__f").agg(
+            F.count(F.lit(1)).alias("__n")).collect()
+        return {r["__f"]: (r["__n"], (), ()) for r in rows}
+    key = F.struct(*_ord.sort_key_cols(ix))
+    val = F.struct(*[F.col(c) for c in ix])
+    rows = (df.select(fname, key.alias("__k"), val.alias("__v"))
+            .groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.min_by("__v", "__k").alias("__lb"),
+                 F.max_by("__v", "__k").alias("__ub"))
+            .collect())
+    return {r["__f"]: (r["__n"],
+                       tuple(r["__lb"][c] for c in ix),
+                       tuple(r["__ub"][c] for c in ix))
+            for r in rows}
+
+
+def scan_parquet(spark: SparkSession, path: str) -> Dataset:
+    """Directory of parquet files → Dataset; loads the manifest when present,
+    else globs with unknown stats (``persisted_dataset.py:27-43``)."""
+    if _meta.has_manifest(path):
+        man = _meta.load_manifest(path)
+        files = [os.path.join(path, f) for f in man.files]
+        schema = (StructType.fromJson(__import__("json").loads(man.schema_json))
+                  if man.schema_json else None)
+        return Dataset(spark, files=files, index_columns=man.index_columns,
+                       sizes=man.sizes, lower_bounds=man.lower_bounds,
+                       upper_bounds=man.upper_bounds, schema=schema)
+    files = [os.path.join(path, f) for f in _list_parquet(path)]
+    return Dataset(spark, files=files)
+
+
+def from_pandas(spark: SparkSession, pdf, index_columns: Sequence[str] = ()) -> Dataset:
+    """Single in-memory frame → 1-partition dataset with eager stats
+    (``in_memory_dataset.py:37-52``)."""
+    df = spark.createDataFrame(pdf).coalesce(1)
+    ds = Dataset(spark, df, index_columns=index_columns)
+    return ds.reindex(index_columns)
+
+
+def concat(spark_or_datasets, datasets: list[Dataset] | None = None) -> Dataset:
+    """Union-all by partition-list concatenation — zero data movement, like
+    the reference (``concatenated_dataset.py:93-104``) and like Spark's own
+    union.  Requires identical index columns and order-sensitive identical
+    schemas (``concatenated_dataset.py:36-65``)."""
+    if datasets is None:
+        datasets = list(spark_or_datasets)
+        spark = datasets[0].spark if datasets else None
+    else:
+        spark = spark_or_datasets
+    _require(len(datasets) > 0 or spark is not None, ValueError,
+             "empty concat needs a SparkSession")
+    if not datasets:
+        raise ValueError("concat of zero datasets requires an explicit schema; "
+                         "use Dataset(spark, files=[], schema=...)")
+    first = datasets[0]
+    for d in datasets[1:]:
+        _require(d.index_columns == first.index_columns, ValueError,
+                 "concat: index columns differ")
+        _require([ (f.name, f.dataType) for f in d.schema.fields ]
+                 == [ (f.name, f.dataType) for f in first.schema.fields ],
+                 ValueError, "concat: schemas differ (order-sensitive)")
+    df = first.df
+    for d in datasets[1:]:
+        df = df.unionByName(d.df)
+    known = all(d.known_sizes for d in datasets)
+    knownb = all(d.known_bounds for d in datasets)
+    files = None
+    if all(d._files is not None for d in datasets):
+        files = [f for d in datasets for f in d._files]
+    return Dataset(
+        first.spark, df, files=files, index_columns=first.index_columns,
+        sizes=[s for d in datasets for s in d.sizes] if known else None,
+        lower_bounds=[b for d in datasets for b in d.lower_bounds] if knownb else None,
+        upper_bounds=[b for d in datasets for b in d.upper_bounds] if knownb else None,
+    )
+
+
+def write_metadata(spark: SparkSession, path: str,
+                   index_columns: Sequence[str]) -> None:
+    """Retro-fit a manifest onto a directory of foreign parquet files
+    (``write_metadata.py:22-79``): distributed stats job, empty files
+    dropped."""
+    names = _list_parquet(path)
+    stats = _file_stats(spark, [os.path.join(path, f) for f in names],
+                        tuple(index_columns))
+    kept = [f for f in names if f in stats]
+    man = _meta.Manifest(
+        index_columns=tuple(index_columns), files=kept,
+        sizes=[stats[f][0] for f in kept],
+        lower_bounds=[stats[f][1] for f in kept],
+        upper_bounds=[stats[f][2] for f in kept],
+        max_partition_index=len(kept) - 1,
+        schema_json=spark.read.parquet(path).schema.json() if kept else None,
+    )
+    _meta.write_manifest(path, man)

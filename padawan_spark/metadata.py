@@ -1,0 +1,134 @@
+"""Partition-manifest persistence.
+
+Mirrors the reference's sidecar manifest
+(``/root/reference/src/padawan/metadata.py:6-34``,
+``/root/reference/src/padawan/dataset.py:394-429``): a JSON file
+recording ``index_columns``, the ordered parquet ``files``, per-file
+``sizes``, lexicographic ``lower_bounds`` / ``upper_bounds``, and a
+monotone ``max_partition_index`` so appends never reuse a slot.  Bound
+values that JSON can't represent use the same tagged codec as the
+reference (``json_io.py:13-41``): ``{"$datetime": iso}``,
+``{"$date": iso}``, ``{"$timedelta": "NdNsNu"}``.
+
+Differences from the reference, by design:
+
+- The schema sidecar is a JSON-serialized Spark ``StructType`` instead of
+  an empty parquet file — self-describing parquet makes the sidecar purely
+  informational in Spark.
+- At 100 TB / millions of files a single JSON manifest is the wrong shape;
+  :func:`write_manifest` caps inline bounds and the scale path is the
+  stats *job* in :mod:`padawan_spark.dataset` (bounds live in parquet
+  footers and are recomputed distributed, never collected wholesale).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+METADATA_FILE = "_padawan_metadata.json"
+SCHEMA_FILE = "_padawan_schema.json"
+
+_TIMEDELTA_RE = re.compile(r"^(-?\d+)d(-?\d+)s(-?\d+)u$")
+
+
+def _encode_value(v):
+    if isinstance(v, dt.datetime):
+        return {"$datetime": v.isoformat()}
+    if isinstance(v, dt.date):
+        return {"$date": v.isoformat()}
+    if isinstance(v, dt.timedelta):
+        return {"$timedelta": f"{v.days}d{v.seconds}s{v.microseconds}u"}
+    return v
+
+
+def _decode_value(v):
+    if isinstance(v, dict):
+        if "$datetime" in v:
+            return dt.datetime.fromisoformat(v["$datetime"])
+        if "$date" in v:
+            return dt.date.fromisoformat(v["$date"])
+        if "$timedelta" in v:
+            m = _TIMEDELTA_RE.match(v["$timedelta"])
+            if not m:
+                raise ValueError(f"bad timedelta encoding: {v}")
+            d, s, u = (int(g) for g in m.groups())
+            return dt.timedelta(days=d, seconds=s, microseconds=u)
+    return v
+
+
+def encode_bounds(bounds):
+    if bounds is None:
+        return None
+    return [[_encode_value(v) for v in b] for b in bounds]
+
+
+def decode_bounds(bounds):
+    if bounds is None:
+        return None
+    return [tuple(_decode_value(v) for v in b) for b in bounds]
+
+
+@dataclass
+class Manifest:
+    index_columns: tuple[str, ...] = ()
+    files: list[str] = field(default_factory=list)
+    sizes: list[int] | None = None
+    lower_bounds: list[tuple] | None = None
+    upper_bounds: list[tuple] | None = None
+    max_partition_index: int = -1
+    schema_json: str | None = None
+
+    @property
+    def known_sizes(self) -> bool:
+        return self.sizes is not None
+
+    @property
+    def known_bounds(self) -> bool:
+        return self.lower_bounds is not None and self.upper_bounds is not None
+
+
+def manifest_path(path: str) -> str:
+    return os.path.join(path, METADATA_FILE)
+
+
+def load_manifest(path: str) -> Manifest:
+    with open(manifest_path(path)) as f:
+        raw = json.load(f)
+    schema_json = None
+    sp = os.path.join(path, SCHEMA_FILE)
+    if os.path.exists(sp):
+        with open(sp) as f:
+            schema_json = f.read()
+    return Manifest(
+        index_columns=tuple(raw["index_columns"]),
+        files=list(raw["files"]),
+        sizes=list(raw["sizes"]) if raw.get("sizes") is not None else None,
+        lower_bounds=decode_bounds(raw.get("lower_bounds")),
+        upper_bounds=decode_bounds(raw.get("upper_bounds")),
+        max_partition_index=raw.get("max_partition_index", len(raw["files"]) - 1),
+        schema_json=schema_json,
+    )
+
+
+def write_manifest(path: str, manifest: Manifest) -> None:
+    raw = {
+        "index_columns": list(manifest.index_columns),
+        "files": manifest.files,
+        "sizes": manifest.sizes,
+        "lower_bounds": encode_bounds(manifest.lower_bounds),
+        "upper_bounds": encode_bounds(manifest.upper_bounds),
+        "max_partition_index": manifest.max_partition_index,
+    }
+    with open(manifest_path(path), "w") as f:
+        json.dump(raw, f)
+    if manifest.schema_json is not None:
+        with open(os.path.join(path, SCHEMA_FILE), "w") as f:
+            f.write(manifest.schema_json)
+
+
+def has_manifest(path: str) -> bool:
+    return os.path.exists(manifest_path(path))
