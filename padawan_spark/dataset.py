@@ -184,14 +184,23 @@ class Dataset:
         if not collect_stats:
             return self._with_meta(index_columns=ix, sizes=None,
                                    lower_bounds=None, upper_bounds=None)
-        sizes, lbs, ubs, nonempty = self._stats_job(ix)
-        out = self
-        if self._files is not None and len(nonempty) < len(self._files):
-            # drop empty partitions (reindexed_dataset.py:59-67)
-            out = Dataset(self.spark, files=[self._files[i] for i in nonempty],
-                          index_columns=ix, schema=self.df.schema)
-        return out._with_meta(index_columns=ix, sizes=sizes,
-                              lower_bounds=lbs, upper_bounds=ubs)
+        if self._files is not None:
+            # file-backed: stats per FILE, in manifest order.  Runtime
+            # spark_partition_id order is NOT file order (Spark packs splits
+            # largest-first) — partition identity must come from the manifest
+            # (survey §7.4 trap 6).  Empty files are dropped
+            # (reindexed_dataset.py:59-67).
+            stats = _file_stats(self.spark, self._files, ix)
+            kept = [f for f in self._files if os.path.abspath(f) in stats]
+            st = [stats[os.path.abspath(f)] for f in kept]
+            return Dataset(self.spark, files=kept, index_columns=ix,
+                           schema=self.df.schema,
+                           sizes=[s[0] for s in st],
+                           lower_bounds=[s[1] for s in st],
+                           upper_bounds=[s[2] for s in st])
+        sizes, lbs, ubs, _ = self._stats_job(ix)
+        return self._with_meta(index_columns=ix, sizes=sizes,
+                               lower_bounds=lbs, upper_bounds=ubs)
 
     def _stats_job(self, ix: tuple[str, ...]):
         """One distributed pass: per-partition count + null-first lex min/max.
@@ -477,11 +486,13 @@ class Dataset:
                                     self.index_columns)
         # empty partitions: skipped in the manifest but schema still recorded
         # (dataset.py:340-347)
-        kept = [f for f in new_files if f in sizes_by_file]
+        def _k(f):
+            return os.path.abspath(os.path.join(path, f))
+        kept = [f for f in new_files if _k(f) in sizes_by_file]
         files = (old.files if old else []) + kept
-        sizes = ([*(old.sizes or [])] if old else []) + [sizes_by_file[f][0] for f in kept]
-        lbs = ([*(old.lower_bounds or [])] if old else []) + [sizes_by_file[f][1] for f in kept]
-        ubs = ([*(old.upper_bounds or [])] if old else []) + [sizes_by_file[f][2] for f in kept]
+        sizes = ([*(old.sizes or [])] if old else []) + [sizes_by_file[_k(f)][0] for f in kept]
+        lbs = ([*(old.lower_bounds or [])] if old else []) + [sizes_by_file[_k(f)][1] for f in kept]
+        ubs = ([*(old.upper_bounds or [])] if old else []) + [sizes_by_file[_k(f)][2] for f in kept]
         man = _meta.Manifest(
             index_columns=self.index_columns, files=files, sizes=sizes,
             lower_bounds=lbs if self.index_columns else None,
@@ -524,27 +535,33 @@ def _cmp_prefix(part_bound: tuple, slice_bound: Sequence) -> int:
 
 
 def _overlaps(plb, pub, lb, ub, lo_incl, hi_incl) -> bool:
+    """Can any row of a partition with bounds [plb, pub] satisfy the slice?
+
+    Slice predicates compare only the first k = len(bound) index columns:
+    r[:k] ≥/> lb and r[:k] ≤/< ub.  r ∈ [plb, pub] implies
+    plb[:k] ≤ r[:k] ≤ pub[:k], so the partition is excludable iff its
+    bound prefix falls strictly outside (or on a strict-open endpoint)."""
     if lb is not None:
         c = _cmp_prefix(pub, lb)
-        if c < 0 or (c == 0 and not lo_incl and len(pub) <= len(lb)):
+        if c < 0 or (c == 0 and not lo_incl):
             return False
     if ub is not None:
         c = _cmp_prefix(plb, ub)
-        if c > 0 or (c == 0 and not hi_incl and len(plb) <= len(ub)):
+        if c > 0 or (c == 0 and not hi_incl):
             return False
     return True
 
 
 def _contained(plb, pub, lb, ub, lo_incl, hi_incl) -> bool:
     """Partition provably entirely inside the slice → sizes survive
-    (sliced_dataset.py:85-112)."""
+    (sliced_dataset.py:85-112): plb[:k] ≥/> lb and pub[:k] ≤/< ub."""
     if lb is not None:
         c = _cmp_prefix(plb, lb)
-        if c < 0 or (c == 0 and not (lo_incl and len(lb) >= len(plb))):
+        if c < 0 or (c == 0 and not lo_incl):
             return False
     if ub is not None:
         c = _cmp_prefix(pub, ub)
-        if c > 0 or (c == 0 and not (hi_incl and len(ub) >= len(pub))):
+        if c > 0 or (c == 0 and not hi_incl):
             return False
     return True
 
@@ -571,19 +588,27 @@ def _list_parquet(path: str) -> list[str]:
                   for p in _glob.glob(os.path.join(path, "*.parquet")))
 
 
+def _norm_file_uri(uri: str) -> str:
+    """file:///x/y.parquet → /x/y.parquet (normalized absolute path)."""
+    if uri.startswith("file:"):
+        uri = uri[len("file:"):]
+    return os.path.abspath(uri)
+
+
 def _file_stats(spark: SparkSession, files: list[str], ix: tuple[str, ...]):
-    """Distributed per-file stats: {basename: (nrows, lb, ub)}.
+    """Distributed per-file stats: {abspath: (nrows, lb, ub)}.
 
     Uses ``input_file_name()`` grouping so a file split across tasks is
-    still aggregated once; one output row per file."""
+    still aggregated once; one output row per file (bounded by file count,
+    not data size — safe at 100 TB)."""
     if not files:
         return {}
     df = spark.read.parquet(*files)
-    fname = F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+    fname = F.input_file_name().alias("__f")
     if not ix:
         rows = df.select(fname).groupBy("__f").agg(
             F.count(F.lit(1)).alias("__n")).collect()
-        return {r["__f"]: (r["__n"], (), ()) for r in rows}
+        return {_norm_file_uri(r["__f"]): (r["__n"], (), ()) for r in rows}
     key = F.struct(*_ord.sort_key_cols(ix))
     val = F.struct(*[F.col(c) for c in ix])
     rows = (df.select(fname, key.alias("__k"), val.alias("__v"))
@@ -592,15 +617,18 @@ def _file_stats(spark: SparkSession, files: list[str], ix: tuple[str, ...]):
                  F.min_by("__v", "__k").alias("__lb"),
                  F.max_by("__v", "__k").alias("__ub"))
             .collect())
-    return {r["__f"]: (r["__n"],
-                       tuple(r["__lb"][c] for c in ix),
-                       tuple(r["__ub"][c] for c in ix))
+    return {_norm_file_uri(r["__f"]): (r["__n"],
+                                       tuple(r["__lb"][c] for c in ix),
+                                       tuple(r["__ub"][c] for c in ix))
             for r in rows}
 
 
 def scan_parquet(spark: SparkSession, path: str) -> Dataset:
-    """Directory of parquet files → Dataset; loads the manifest when present,
-    else globs with unknown stats (``persisted_dataset.py:27-43``)."""
+    """Directory of parquet files (or one file) → Dataset; loads the manifest
+    when present, else globs with unknown stats
+    (``persisted_dataset.py:27-43``)."""
+    if os.path.isfile(path):
+        return Dataset(spark, files=[path])
     if _meta.has_manifest(path):
         man = _meta.load_manifest(path)
         files = [os.path.join(path, f) for f in man.files]
@@ -667,12 +695,14 @@ def write_metadata(spark: SparkSession, path: str,
     names = _list_parquet(path)
     stats = _file_stats(spark, [os.path.join(path, f) for f in names],
                         tuple(index_columns))
-    kept = [f for f in names if f in stats]
+    def _k(f):
+        return os.path.abspath(os.path.join(path, f))
+    kept = [f for f in names if _k(f) in stats]
     man = _meta.Manifest(
         index_columns=tuple(index_columns), files=kept,
-        sizes=[stats[f][0] for f in kept],
-        lower_bounds=[stats[f][1] for f in kept],
-        upper_bounds=[stats[f][2] for f in kept],
+        sizes=[stats[_k(f)][0] for f in kept],
+        lower_bounds=[stats[_k(f)][1] for f in kept],
+        upper_bounds=[stats[_k(f)][2] for f in kept],
         max_partition_index=len(kept) - 1,
         schema_json=spark.read.parquet(path).schema.json() if kept else None,
     )

@@ -1,0 +1,239 @@
+"""Analytics suite: the compute surface padawan delegates to polars via
+``Dataset.map`` (SURVEY.md §2.3), expressed as native Catalyst-optimized
+DataFrame operations — window functions, rollup/cube, set operations,
+scalar functions, JSON extraction, top-k.
+
+Scale notes: every window here is partitioned by a high-cardinality key
+(custkey/suppkey/user) so state stays bounded per task; the one global
+ranking (ana_topk_global) uses orderBy+limit, which Spark executes as
+per-partition top-k + driver merge (TakeOrderedAndProject), not a global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import DEC, dsum, load, query, sql_dsum
+
+# -- window functions --------------------------------------------------------
+
+@query("ana_win_topn_per_group", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def ana_win_topn(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+@query("ana_win_lag_lead", oracle="""
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def ana_win_lag_lead(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"))
+
+
+@query("ana_win_running_sum", oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+  AS running_total
+FROM orders
+""")
+def ana_win_running_sum(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+        .alias("running_total"))
+
+
+@query("ana_win_rank", oracle="""
+SELECT s_suppkey, s_acctbal,
+       RANK() OVER (ORDER BY s_acctbal DESC) AS rnk,
+       DENSE_RANK() OVER (ORDER BY s_acctbal DESC) AS drnk
+FROM supplier
+""")
+def ana_win_rank(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"))
+    return s.select("s_suppkey", "s_acctbal",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"))
+
+
+# -- grouping sets ------------------------------------------------------------
+
+@query("ana_rollup", oracle=f"""
+SELECT n_name, o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders, customer, nation
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderstatus)
+""")
+def ana_rollup(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (j.rollup("n_name", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), "total")))
+
+
+@query("ana_cube", oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def ana_cube(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return (l.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+# -- set operations ------------------------------------------------------------
+
+@query("ana_set_intersect", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+  AND o_orderdate < TIMESTAMP '2000-01-01'
+""")
+def ana_set_intersect(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    y96 = o.where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+                  ).select("o_custkey")
+    y99 = o.where((F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+                  ).select("o_custkey")
+    return y96.intersect(y99)
+
+
+@query("ana_set_except", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+  AND o_orderdate < TIMESTAMP '2000-01-01'
+""")
+def ana_set_except(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    y96 = o.where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+                  ).select("o_custkey")
+    y99 = o.where((F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+                  ).select("o_custkey")
+    return y96.subtract(y99)
+
+
+@query("ana_distinct", oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+FROM lineitem GROUP BY l_returnflag
+""")
+def ana_distinct(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                 F.countDistinct("l_partkey").alias("n_part")))
+
+
+# -- scalar function bundle ------------------------------------------------------
+
+@query("ana_scalar_funcs", oracle="""
+SELECT c_custkey,
+  UPPER(c_name) AS name_upper,
+  SUBSTR(c_name, 1, 8) AS name_prefix,
+  CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+  c_name || '/' || c_mktsegment AS name_seg,
+  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+  ABS(c_acctbal - 5000.0) AS bal_dist,
+  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low'
+       ELSE 'high' END AS bal_class
+FROM customer WHERE c_custkey <= 200
+""")
+def ana_scalar_funcs(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        F.abs(F.col("c_acctbal") - 5000.0).alias("bal_dist"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high").alias("bal_class"))
+
+
+@query("ana_date_funcs", oracle="""
+SELECT o_orderkey,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_month,
+  CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS o_day,
+  date_trunc('quarter', o_orderdate) AS o_quarter,
+  o_orderdate + INTERVAL 30 DAY AS due_date
+FROM orders WHERE o_orderkey <= 1000
+""")
+def ana_date_funcs(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("quarter", "o_orderdate").alias("o_quarter"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"))
+
+
+# -- JSON extraction --------------------------------------------------------------
+
+@query("ana_json_extract", oracle="""
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+  COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def ana_json_extract(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.groupBy("event_type")
+            .agg(F.sum(k).cast("bigint").alias("k_sum"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# -- global top-k (TakeOrderedAndProject, not a full sort) -------------------------
+
+@query("ana_topk_global", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""")
+def ana_topk_global(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(15)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))

@@ -1,0 +1,325 @@
+"""Operator-parity queries: padawan's native surface (SURVEY.md §2.1)
+exercised through the :class:`padawan_spark.Dataset` facade, each with a
+DuckDB oracle.
+
+Mapping (reference citation → query here):
+- ``scan_parquet`` (persisted_dataset.py:66-84)       → op_scan_project
+- ``Dataset.slice`` (sliced_dataset.py:170-194)       → op_slice_range, op_slice_prefix
+- ``Dataset.join`` (joined_dataset.py:68-85)          → op_join_inner/left/full
+- ``concat`` (concatenated_dataset.py:93-104)         → op_concat_union
+- ``Dataset.rename`` (renamed_dataset.py:40-51)       → op_rename
+- ``Dataset.map`` (mapped_dataset.py:72-143)          → op_map_partitions
+- ``Dataset.reindex`` (reindexed_dataset.py:95-141)   → op_reindex_bounds
+- ``Dataset.repartition`` (repartitioned_dataset.py:356-417) → op_repartition_range
+- ``Dataset.collate`` (collated_dataset.py:73-92)     → op_collate
+- ``Dataset.write_parquet`` (dataset.py:431-529) + ``scan_parquet`` →
+  op_write_roundtrip (includes the manifest path)
+- ``Dataset.collect`` (dataset.py:531-558)            → op_collect
+- ``from_polars`` (in_memory_dataset.py:37-52)        → op_from_memory
+
+``is_disjoint`` / ``write_metadata`` / partition access are covered in
+``tests/`` (their outputs depend on partition layout, which an SQL oracle
+cannot see).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..dataset import Dataset, concat, from_pandas, scan_parquet
+from ..ordering import lex_cmp
+from .registry import dsum, load, query, sql_dsum
+
+_TS96 = dt.datetime(1996, 1, 1)
+_TS97 = dt.datetime(1997, 1, 1)
+
+
+def _lineitem_ds(spark, sf_dir, ix=("l_shipdate", "l_orderkey")):
+    return Dataset(spark, load(spark, sf_dir, "lineitem"), index_columns=ix)
+
+
+# -- scan + projection ------------------------------------------------------
+
+@query("op_scan_project", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49
+""")
+def op_scan_project(spark, sf_dir):
+    ds = scan_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return ds.df.where(F.col("l_quantity") >= 49).select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+
+
+# -- slice: lexicographic range on (l_shipdate, l_orderkey) -----------------
+
+@query("op_slice_range", oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+WHERE (l_shipdate > TIMESTAMP '1996-06-01'
+       OR (l_shipdate = TIMESTAMP '1996-06-01' AND l_orderkey >= 1000))
+  AND (l_shipdate < TIMESTAMP '1996-07-01'
+       OR (l_shipdate = TIMESTAMP '1996-07-01' AND l_orderkey < 5000))
+""")
+def op_slice_range(spark, sf_dir):
+    ds = _lineitem_ds(spark, sf_dir)
+    out = ds.slice((dt.datetime(1996, 6, 1), 1000),
+                   (dt.datetime(1996, 7, 1), 5000), inclusive="lower")
+    return out.df.select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@query("op_slice_prefix", oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate <= TIMESTAMP '1997-03-08'
+""")
+def op_slice_prefix(spark, sf_dir):
+    # ub is a 1-element prefix of the 2-column index, inclusive='both'
+    ds = _lineitem_ds(spark, sf_dir)
+    out = ds.slice((dt.datetime(1997, 3, 1),), (dt.datetime(1997, 3, 8),),
+                   inclusive="both")
+    return out.df.select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+# -- join on index columns ---------------------------------------------------
+
+@query("op_join_inner", oracle=f"""
+SELECT orderkey, o_orderpriority, {sql_dsum('l_extendedprice', 'lsum')},
+       COUNT(*) AS nline
+FROM (SELECT o_orderkey AS orderkey, o_orderpriority FROM orders
+      WHERE o_totalprice > 400000) o
+JOIN (SELECT l_orderkey AS orderkey, l_extendedprice FROM lineitem) l
+USING (orderkey)
+GROUP BY orderkey, o_orderpriority
+""")
+def op_join_inner(spark, sf_dir):
+    o = Dataset(spark,
+                load(spark, sf_dir, "orders")
+                .where(F.col("o_totalprice") > 400000)
+                .select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority"),
+                index_columns=("orderkey",))
+    l = Dataset(spark,
+                load(spark, sf_dir, "lineitem")
+                .select(F.col("l_orderkey").alias("orderkey"), "l_extendedprice"),
+                index_columns=("orderkey",))
+    j = o.join(l, how="inner")
+    return (j.df.groupBy("orderkey", "o_orderpriority")
+            .agg(dsum(F.col("l_extendedprice"), "lsum"),
+                 F.count(F.lit(1)).alias("nline")))
+
+
+@query("op_join_left", oracle="""
+SELECT custkey, c_acctbal, n_orders
+FROM (SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+LEFT JOIN (SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+           GROUP BY o_custkey) o
+USING (custkey)
+""")
+def op_join_left(spark, sf_dir):
+    c = Dataset(spark,
+                load(spark, sf_dir, "customer")
+                .where(F.col("c_acctbal") > 9000)
+                .select(F.col("c_custkey").alias("custkey"), "c_acctbal"),
+                index_columns=("custkey",))
+    o = Dataset(spark,
+                load(spark, sf_dir, "orders")
+                .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+                .groupBy(F.col("o_custkey").alias("custkey"))
+                .agg(F.count(F.lit(1)).alias("n_orders")),
+                index_columns=("custkey",))
+    return c.join(o, how="left").df
+
+
+@query("op_join_full", oracle="""
+SELECT custkey, h1, h2 FROM
+(SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS h1 FROM orders
+ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+ GROUP BY o_custkey) a
+FULL JOIN
+(SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS h2 FROM orders
+ WHERE o_orderdate >= TIMESTAMP '1996-03-01' AND o_orderdate < TIMESTAMP '1996-05-01'
+ GROUP BY o_custkey) b
+USING (custkey)
+""")
+def op_join_full(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    def half(lo, hi, name):
+        return Dataset(
+            spark,
+            o.where((F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit(hi).cast("timestamp")))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count(F.lit(1)).alias(name)),
+            index_columns=("custkey",))
+    a = half("1996-01-01", "1996-03-01", "h1")
+    b = half("1996-03-01", "1996-05-01", "h2")
+    return a.join(b, how="full").df
+
+
+# -- concat (union-all by partition concatenation) ---------------------------
+
+@query("op_concat_union", oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_quantity', 'qty')}
+FROM (
+  SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+)
+GROUP BY l_returnflag
+""")
+def op_concat_union(spark, sf_dir):
+    ds = _lineitem_ds(spark, sf_dir, ix=("l_shipdate",))
+    lo = ds.slice(None, (_TS97,), inclusive="none")
+    hi = ds.slice((dt.datetime(1999, 1, 1),), None, inclusive="lower")
+    u = concat([lo, hi])
+    return (u.df.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "qty")))
+
+
+# -- rename -------------------------------------------------------------------
+
+@query("op_rename", oracle="""
+SELECT o_orderkey AS orderkey, o_orderdate AS odate, o_totalprice AS price
+FROM orders WHERE o_totalprice > 450000
+""")
+def op_rename(spark, sf_dir):
+    ds = Dataset(spark,
+                 load(spark, sf_dir, "orders")
+                 .where(F.col("o_totalprice") > 450000)
+                 .select("o_orderkey", "o_orderdate", "o_totalprice"),
+                 index_columns=("o_orderkey",))
+    out = ds.rename({"o_orderkey": "orderkey", "o_orderdate": "odate",
+                     "o_totalprice": "price"})
+    assert out.index_columns == ("orderkey",)
+    return out.df
+
+
+# -- map: per-partition pandas escape hatch ----------------------------------
+
+@query("op_map_partitions", oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem WHERE l_quantity >= 48
+""")
+def op_map_partitions(spark, sf_dir):
+    ds = _lineitem_ds(spark, sf_dir)
+
+    def per_partition(pdf):
+        pdf = pdf[pdf.l_quantity >= 48].copy()
+        pdf["charge"] = (pdf.l_extendedprice * (1 - pdf.l_discount)
+                         * (1 + pdf.l_tax))
+        return pdf[["l_orderkey", "l_linenumber", "charge"]]
+
+    out = ds.map(per_partition,
+                 schema="l_orderkey bigint, l_linenumber int, charge double",
+                 preserves="none")
+    return out.df
+
+
+# -- reindex: stats collection validated against SQL lex-min/max -------------
+
+@query("op_reindex_bounds", oracle="""
+SELECT * FROM (SELECT 'lb' AS kind, l_shipdate, l_orderkey FROM lineitem
+               ORDER BY l_shipdate ASC, l_orderkey ASC LIMIT 1)
+UNION ALL
+SELECT * FROM (SELECT 'ub' AS kind, l_shipdate, l_orderkey FROM lineitem
+               ORDER BY l_shipdate DESC, l_orderkey DESC LIMIT 1)
+""")
+def op_reindex_bounds(spark, sf_dir):
+    ds = _lineitem_ds(spark, sf_dir).reindex()
+    glb = min(ds.lower_bounds, key=lambda b: tuple(map(_K, b)))
+    gub = max(ds.upper_bounds, key=lambda b: tuple(map(_K, b)))
+    rows = [("lb", *glb), ("ub", *gub)]
+    return spark.createDataFrame(rows, "kind string, l_shipdate timestamp, l_orderkey bigint")
+
+
+class _K:
+    """null-first ordering key (driver side)."""
+    def __init__(self, v):
+        self.v = v
+    def __lt__(self, o):
+        if self.v is None:
+            return o.v is not None
+        if o.v is None:
+            return False
+        return self.v < o.v
+    def __eq__(self, o):
+        return self.v == o.v
+
+
+# -- repartition / collate: content invariance under re-layout ----------------
+
+@query("op_repartition_range", oracle=f"""
+SELECT date_trunc('month', l_shipdate) AS month, COUNT(*) AS n,
+       {sql_dsum('l_quantity', 'qty')}
+FROM lineitem GROUP BY date_trunc('month', l_shipdate)
+""")
+def op_repartition_range(spark, sf_dir):
+    ds = _lineitem_ds(spark, sf_dir, ix=("l_shipdate",))
+    rp = ds.repartition(5000)
+    return (rp.df.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+            .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "qty")))
+
+
+@query("op_collate", oracle=f"""
+SELECT l_linestatus, COUNT(*) AS n, {sql_dsum('l_extendedprice', 'total')}
+FROM lineitem GROUP BY l_linestatus
+""")
+def op_collate(spark, sf_dir):
+    ds = _lineitem_ds(spark, sf_dir, ix=("l_shipdate",))
+    rp = ds.repartition(2000).reindex()
+    co = rp.collate(10000)
+    return (co.df.groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_extendedprice"), "total")))
+
+
+# -- write_parquet + manifest + scan_parquet round trip ------------------------
+
+@query("op_write_roundtrip", oracle="""
+SELECT o_orderstatus, COUNT(*) AS n FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_orderstatus
+""")
+def op_write_roundtrip(spark, sf_dir):
+    ds = Dataset(spark,
+                 load(spark, sf_dir, "orders")
+                 .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")),
+                 index_columns=("o_orderdate",))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_rt_"), "orders_98")
+    back = ds.repartition(4000).write_parquet(target)
+    assert back.known_sizes and back.known_bounds
+    back.assert_disjoint()
+    return back.df.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# -- collect to driver memory --------------------------------------------------
+
+@query("op_collect", oracle="""
+SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 5000
+""")
+def op_collect(spark, sf_dir):
+    ds = Dataset(spark,
+                 load(spark, sf_dir, "supplier")
+                 .where(F.col("s_acctbal") > 5000)
+                 .select("s_suppkey", "s_name", "s_acctbal"),
+                 index_columns=("s_suppkey",))
+    pdf = ds.collect()  # pandas round trip, like padawan's polars collect
+    return spark.createDataFrame(pdf)
+
+
+# -- from in-memory frame -------------------------------------------------------
+
+@query("op_from_memory", oracle="""
+SELECT r_name, tag FROM region
+JOIN (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'), (4, 'epsilon'))
+  t(r_regionkey, tag) USING (r_regionkey)
+""")
+def op_from_memory(spark, sf_dir):
+    import pandas as pd
+    pdf = pd.DataFrame({"r_regionkey": [0, 1, 2, 3, 4],
+                        "tag": ["alpha", "beta", "gamma", "delta", "epsilon"]})
+    mem = from_pandas(spark, pdf, index_columns=("r_regionkey",))
+    assert mem.known_bounds and mem.sizes == [5]
+    r = Dataset(spark, load(spark, sf_dir, "region"),
+                index_columns=("r_regionkey",))
+    return r.join(mem, how="inner").df.select("r_name", "tag")

@@ -1,0 +1,81 @@
+"""Query registry: named (spark_fn, oracle_sql) pairs.
+
+This is the engine's user-facing query surface and the driver's
+correctness gate.  Every query is registered with a DuckDB-runnable
+ANSI-SQL oracle unless it is genuinely non-SQL-expressible (those are
+registered with ``oracle=None`` and get a weaker rows-only check).
+
+Cross-engine float determinism
+------------------------------
+The driver hash-compares values, so Spark and DuckDB must produce
+*bit-identical* numbers.  Per-row IEEE double arithmetic (+,-,*,/,sqrt)
+is deterministic across engines; **aggregation order is not**.  Policy:
+
+- per-row expressions: plain double math, identical on both sides;
+- SUM/AVG: cast the per-row value to an exact DECIMAL before summing
+  (decimal addition is associative → order-independent), cast the exact
+  result back to DOUBLE.  :func:`dsum` / :func:`davg` build the Spark
+  side; write the oracle as ``CAST(SUM(CAST(x AS DECIMAL(27,6))) AS
+  DOUBLE)`` / ``... / COUNT(*)``;
+- MIN/MAX/COUNT: natively order-independent, use as-is;
+- never put transcendentals (exp/log/pow) into hashed outputs without
+  coarse rounding — their libm implementations differ.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query.  ``oracle`` is DuckDB SQL over the pre-registered
+    table views; None → rows-only check (non-SQL-expressible)."""
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS): read as long (nanosAsLong) and truncate to
+        # microseconds, matching DuckDB's ns→µs truncation.
+        from pyspark.sql.types import LongType
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---- cross-engine-deterministic aggregate builders -----------------------
+
+DEC = "decimal(27,6)"
+
+
+def dsum(col, name: str):
+    """Order-independent SUM of a double expression (exact decimal inside)."""
+    return F.sum(col.cast(DEC)).cast("double").alias(name)
+
+
+def davg(col, name: str):
+    """SUM(decimal)/COUNT(*) — deterministic AVG over non-null doubles."""
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(name)
+
+
+def sql_dsum(expr: str, name: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) AS {name}"
+
+
+def sql_davg(expr: str, name: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS {name}"

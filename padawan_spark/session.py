@@ -37,6 +37,9 @@ _DEFAULT_CONF = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # the events table stores TIMESTAMP(NANOS) which the Spark parquet
+    # reader rejects; read as long and convert (see queries.registry.load)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
 }
 

@@ -1,0 +1,219 @@
+"""Dataset facade tests replicating the reference's fixture shapes and
+edge-case semantics (SURVEY.md §5, FIXTURES.md §A): null-containing index
+columns, empty partitions, append round trips, slice inclusivity,
+metadata assertions."""
+
+import datetime as dt
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from padawan_spark import (
+    AppendError, Dataset, StatsUnknownError, concat, from_pandas,
+    scan_parquet, write_metadata,
+)
+
+BASE = dt.datetime(2022, 1, 1)
+
+
+def _datetime_sample_pdf():
+    """FIXTURES.md A1: 98 hourly rows + 2 null-bearing rows.
+
+    `hour` is bigint microseconds (the interval-type variant is covered in
+    test_ordering); index (date, hour, t)."""
+    ts = [BASE + dt.timedelta(hours=i) for i in range(98)]
+    rows = [
+        {"t": None, "date": None, "hour": None, "a": -2},
+        {"t": None, "date": dt.date(2022, 1, 1), "hour": 0, "a": -1},
+    ] + [
+        {"t": t, "date": t.date(),
+         "hour": int((t - dt.datetime.combine(t.date(), dt.time())).total_seconds() * 1e6),
+         "a": i}
+        for i, t in enumerate(ts)
+    ]
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def sample_dir(spark, tmp_path_factory):
+    """Write the A1 sample as 4 data partitions interleaved with 4 empty
+    files (reference fixtures.py:48-52)."""
+    out = str(tmp_path_factory.mktemp("dt_sample"))
+    pdf = _datetime_sample_pdf()
+    schema = "t timestamp, date date, hour bigint, a bigint"
+    splits = [(0, 26), (26, 50), (50, 74), (74, 100)]
+    i = 0
+    for lo, hi in splits:
+        part = spark.createDataFrame(pdf.iloc[lo:hi], schema).coalesce(1)
+        part.write.parquet(os.path.join(out, f"f{i}"))
+        i += 1
+        empty = spark.createDataFrame([], schema).coalesce(1)
+        empty.write.parquet(os.path.join(out, f"f{i}"))
+        i += 1
+    # flatten: move part files up with stable names
+    files = []
+    for d in sorted(os.listdir(out)):
+        sub = os.path.join(out, d)
+        if not os.path.isdir(sub):
+            continue
+        for f in sorted(os.listdir(sub)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(out, f"part{len(files):010d}.parquet")
+                shutil.move(os.path.join(sub, f), dst)
+                files.append(dst)
+        shutil.rmtree(sub)
+    return out
+
+
+def test_scan_and_reindex_drops_empty(spark, sample_dir):
+    ds = scan_parquet(spark, sample_dir)
+    assert len(ds) == 8 and not ds.known_sizes
+    r = ds.reindex(("date", "hour", "t"))
+    # sizes in FILE order (splits 26/24/24/26); empty partitions dropped
+    assert r.sizes == [26, 24, 24, 26]
+    # null-first bounds: first partition lower bound has nulls
+    assert r.lower_bounds[0] == (None, None, None)
+    # last row: hour 97 → 2022-01-05 01:00
+    assert r.upper_bounds[-1] == (dt.date(2022, 1, 5),
+                                  int(dt.timedelta(hours=1).total_seconds() * 1e6),
+                                  BASE + dt.timedelta(hours=97))
+
+
+def test_reindex_prefix_fast_path(spark, sample_dir):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    p = r.reindex(("date",))
+    assert p.index_columns == ("date",)
+    assert p.sizes == r.sizes
+    assert p.lower_bounds == [b[:1] for b in r.lower_bounds]
+    # no-op shortcut returns self
+    assert r.reindex(("date", "hour", "t")) is r
+
+
+def test_slice_nulls_and_inclusivity(spark, sample_dir):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    # nulls sort first: slicing from (None,) includes everything
+    assert r.slice((None,), None).df.count() == 100
+    # strict lower bound above nulls excludes the null rows
+    d1 = dt.date(2022, 1, 1)
+    got = r.slice((d1,), None, inclusive="lower").df.count()
+    assert got == 98 + 1  # 98 dated rows + the (2022-01-01, 0h, null-t) row
+    # prefix ub slicing, both inclusive
+    s = r.slice((d1,), (dt.date(2022, 1, 2),), inclusive="both")
+    assert s.df.count() == 1 + 24 + 24
+    # flipped bounds -> empty, not an error (tests/test_slice.py:120-132)
+    assert r.slice((dt.date(2022, 1, 3),), (d1,)).df.count() == 0
+
+
+def test_slice_preserves_stats_when_uncut(spark, sample_dir):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    # slice covering everything: stats preserved (test_slice.py:135-148)
+    s = r.slice((None,), (dt.date(2023, 1, 1),), inclusive="both")
+    assert s.known_sizes and s.sizes == r.sizes
+
+
+def test_write_roundtrip_and_append(spark, sample_dir, tmp_path):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    out = str(tmp_path / "rt")
+    head = Dataset(r.spark, r.df.where(F.col("a") < 50),
+                   index_columns=r.index_columns)
+    tail = Dataset(r.spark, r.df.where(F.col("a") >= 50),
+                   index_columns=r.index_columns)
+    w = head.write_parquet(out)
+    assert sum(w.sizes) == 52
+    w2 = tail.write_parquet(out, append=True)
+    assert sum(w2.sizes) == 100
+    assert w2.index_columns == ("date", "hour", "t")
+    # appending with different index columns raises
+    with pytest.raises(AppendError):
+        Dataset(r.spark, r.df, index_columns=("a",)).write_parquet(out, append=True)
+    # round-tripped data identical
+    back = w2.collect().sort_values("a").reset_index(drop=True)
+    orig = r.collect().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["a", "hour"]], orig[["a", "hour"]])
+
+
+def test_empty_dataset_with_schema(spark):
+    from pyspark.sql.types import LongType, DoubleType, StructField, StructType
+    schema = StructType([StructField("a", LongType()), StructField("b", DoubleType())])
+    ds = Dataset(spark, files=[], schema=schema, index_columns=("a",),
+                 sizes=[], lower_bounds=[], upper_bounds=[])
+    pdf = ds.collect()
+    assert list(pdf.columns) == ["a", "b"] and len(pdf) == 0
+    with pytest.raises(ValueError):
+        Dataset(spark, files=[])  # zero partitions need explicit schema
+
+
+def test_concat_schema_and_metadata(spark, sample_dir):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    c = concat([r, r])
+    assert c.sizes == r.sizes * 2
+    assert c.lower_bounds == r.lower_bounds * 2
+    other = Dataset(spark, r.df.select("a", "t", "date", "hour"),
+                    index_columns=r.index_columns)
+    with pytest.raises(ValueError):
+        concat([r, other])  # order-sensitive schema equality
+    renamed = r.rename({"a": "z"})
+    with pytest.raises(ValueError):
+        concat([r, renamed])
+
+
+def test_rename_moves_index_and_keeps_stats(spark, sample_dir):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    m = r.rename({"date": "date_2", "hour": "hour_2", "a": "a_2"})
+    assert m.index_columns == ("date_2", "hour_2", "t")
+    assert m.sizes == r.sizes and m.lower_bounds == r.lower_bounds
+    assert set(m.df.columns) == {"t", "date_2", "hour_2", "a_2"}
+
+
+def test_repartition_disjoint_and_exact(spark, sample_dir):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    rp = r.repartition(24).reindex()
+    assert sum(rp.sizes) == 100
+    assert rp.is_disjoint()
+    ex = r.repartition(24, exact=True).reindex()
+    assert ex.sizes == [24, 24, 24, 24, 4]  # exact path: deterministic sizes
+    assert ex.is_disjoint()
+
+
+def test_collate_merges(spark, sample_dir):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    c = r.collate(50).reindex()
+    assert len(c.sizes) == 2 and sum(c.sizes) == 100
+    raw = scan_parquet(spark, sample_dir)
+    with pytest.raises(StatsUnknownError):
+        raw.collate(50)
+
+
+def test_map_preserves_contract(spark, sample_dir):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    m = r.map(lambda pdf: pdf.assign(a=pdf.a * 2), preserves="all")
+    assert m.sizes == r.sizes and m.lower_bounds == r.lower_bounds
+    assert m.df.agg(F.sum("a")).collect()[0][0] == (sum(range(98)) - 3) * 2
+    n = r.map(lambda pdf: pdf[pdf.a > 0], preserves="none")
+    assert not n.known_sizes
+
+
+def test_write_metadata_retrofit(spark, sample_dir, tmp_path):
+    out = str(tmp_path / "retro")
+    os.makedirs(out)
+    for f in os.listdir(sample_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sample_dir, f), out)
+    write_metadata(spark, out, ("date", "hour", "t"))
+    ds = scan_parquet(spark, out)
+    assert ds.sizes == [26, 24, 24, 26]
+    assert ds.index_columns == ("date", "hour", "t")
+    assert ds.lower_bounds[0] == (None, None, None)
+
+
+def test_partition_access(spark, sample_dir):
+    ds = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    assert len(ds) == 4
+    assert ds[0].count() == 26
+    assert ds[-1].count() == 26
+    assert sum(p.count() for p in ds) == 100
+    with pytest.raises(IndexError):
+        ds[4]
