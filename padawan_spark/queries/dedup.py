@@ -1,0 +1,269 @@
+"""Deduplication suite over ``documents`` / ``embeddings`` — the core
+operators of a web-scale training-data pipeline:
+
+- exact dedup by content digest (sha256 group-by);
+- MinHash + LSH banding for near-dup *candidate* generation (the
+  scalable path: band-key equi-join, never a cross join);
+- word-shingle Jaccard verification on candidates;
+- SimHash fingerprints + banded Hamming pairs;
+- embedding-cosine near-dup within label blocks (IVF-style blocking).
+
+Everything is expressed with JVM-side higher-order functions and joins;
+hashes are md5/sha256 so Spark and the DuckDB oracle compute
+bit-identical values (verified).  At 100 TB the shapes hold: digests and
+band keys shuffle-partition by hash; per-band bucket sizes are bounded
+by tuning (n_bands × rows_per_band), and the Jaccard verify join runs
+only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .registry import load, query
+
+_N_HASH = 8          # minhash signatures
+_N_BANDS = 4         # LSH bands (2 rows per band)
+_SIM_BITS = 24       # simhash width (64 at production scale)
+
+# portable word tokens / 3-shingles
+_SPARK_TOKS = "filter(split(text, ' '), x -> x != '')"
+_DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: digest group-by, min doc_id is canonical
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", oracle="""
+SELECT sha256(text) AS digest, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+""")
+def dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (d.groupBy(F.sha2("text", 256).alias("digest"))
+            .agg(F.min("doc_id").cast("bigint").alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def _shingles_spark(d: DataFrame) -> DataFrame:
+    """Distinct word 3-shingles per doc (1-based element_at)."""
+    return (d.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1), element_at(t, i + 2)))")).alias("s"))
+            .distinct())
+
+
+_DUCK_SHINGLES = f"""
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+       unnest(range(1, len(t) - 1)) AS u(i)
+"""
+
+
+def _minhash_spark(spark, sf_dir) -> DataFrame:
+    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+            for j in range(_N_HASH)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_DUCK_MINHASH = f"""
+  SELECT doc_id,
+    {", ".join(f"MIN(md5('{j}:' || s)) AS h{j}" for j in range(_N_HASH))}
+  FROM ({_DUCK_SHINGLES}) GROUP BY doc_id
+"""
+
+
+@query("dedup_minhash_signatures", oracle=f"""
+SELECT doc_id, {", ".join(f"h{j}" for j in range(_N_HASH))}
+FROM ({_DUCK_MINHASH})
+""")
+def dedup_minhash_signatures(spark, sf_dir):
+    return _minhash_spark(spark, sf_dir)
+
+
+@query("dedup_minhash_lsh", oracle=f"""
+WITH mh AS ({_DUCK_MINHASH}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM mh"
+      for b in range(_N_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    mh = _minhash_spark(spark, sf_dir)
+    bands = None
+    for b in range(_N_BANDS):
+        part = mh.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("key"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    return (a.join(bb, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard: exact similarity on shingle sets (the verify stage
+# after LSH; here run on all shared-shingle pairs, fine at test scale)
+# ---------------------------------------------------------------------------
+
+@query("dedup_ngram_jaccard", oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")))
+    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+            .where(jac >= 0.5)
+            .select("doc_a", "doc_b", jac.alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 24-bit fingerprint from token md5s; banded Hamming pairs
+# ---------------------------------------------------------------------------
+
+# portable: parse first 6 hex chars of md5(token) into a bigint
+_SPARK_TOKHASH = ("aggregate(transform(sequence(1, 6),"
+                  " i -> instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1),"
+                  " 0L, (h, c) -> h * 16 + c)")
+_DUCK_TOKHASH = ("list_reduce(list_transform(range(1, 7),"
+                 " i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1"
+                 " AS BIGINT)), (h, c) -> h * 16 + c)")
+
+_DUCK_SIMHASH = f"""
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+         AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id, k, SUM(((th >> k) & 1) * 2 - 1) AS s
+    FROM (
+      SELECT doc_id, {_DUCK_TOKHASH} AS th
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+    ), unnest(range(0, {_SIM_BITS})) AS u(k)
+    GROUP BY doc_id, k
+  ) GROUP BY doc_id
+"""
+
+
+def _simhash_spark(spark, sf_dir) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+    th = tok.select("doc_id", F.expr(_SPARK_TOKHASH).alias("th"))
+    bits = (th.select("doc_id", "th",
+                      F.explode(F.expr(f"sequence(0, {_SIM_BITS - 1})")).alias("k"))
+            .select("doc_id", "k",
+                    (F.expr("(th >> k) & 1") * 2 - 1).alias("v")))
+    votes = bits.groupBy("doc_id", "k").agg(F.sum("v").alias("s"))
+    return (votes.groupBy("doc_id")
+            .agg(F.sum(F.expr("CASE WHEN s >= 0 THEN shiftleft(1L, k) ELSE 0L END"))
+                 .alias("simhash")))
+
+
+@query("dedup_simhash", oracle=f"SELECT doc_id, simhash FROM ({_DUCK_SIMHASH})")
+def dedup_simhash(spark, sf_dir):
+    return _simhash_spark(spark, sf_dir)
+
+
+@query("dedup_simhash_pairs", oracle=f"""
+WITH sim AS ({_DUCK_SIMHASH}),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS key
+  FROM sim, unnest(range(0, 3)) AS u(b))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""")
+def dedup_simhash_pairs(spark, sf_dir):
+    sim = _simhash_spark(spark, sf_dir)
+    bands = (sim.select("doc_id", "simhash",
+                        F.explode(F.expr("sequence(0, 2)")).alias("b"))
+             .withColumn("key", F.expr("(simhash >> (b * 8)) & 255")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.b") == F.col("b.b"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .where(ham <= 2)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.alias("hamming"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup, blocked by label (IVF-style: candidates only
+# within a block — at scale the block is a coarse quantizer cell)
+# ---------------------------------------------------------------------------
+
+_DUCK_DOT = ("list_reduce(list_transform(range(1, 65),"
+             " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
+             " (x, y) -> x + y)")
+_DUCK_NORM = ("sqrt(list_reduce(list_transform(range(1, 65),"
+              " i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)),"
+              " (x, y) -> x + y))")
+
+
+@query("dedup_embedding_cosine", oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}) >= 0.4
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    norm = "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    withn = e.withColumn("nrm", F.expr(norm.format(v="emb")))
+    a = withn.alias("a")
+    b = withn.alias("b")
+    dot = F.expr("aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .where(cos >= 0.4)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    cos.alias("cosine")))

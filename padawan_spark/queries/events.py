@@ -1,0 +1,109 @@
+"""Event-stream operators over the ``events`` table, batch-mode.
+
+Covers the time-series surface a stream pipeline needs — tumbling and
+sliding windows, gap-based sessionization, and an event funnel (range
+join).  The same logic runs under Structured Streaming in
+:mod:`padawan_spark.streaming` (tumbling/session windows with
+watermarks); these batch variants are the oracle-checkable semantics.
+
+Scale notes: windows aggregate on (bucket, type) — high cardinality,
+shuffle-friendly; sessionization partitions by user_id (bounded state per
+key); the funnel is an equi-join on user_id with a range predicate
+residual, NOT a time-range cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import DEC, dsum, load, query, sql_dsum
+
+
+@query("ev_tumbling_window", oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+       event_type, COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+FROM events GROUP BY 1, 2, 3
+""")
+def ev_tumbling_window(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"), "event_type", "n",
+                    "total_value"))
+
+
+@query("ev_sliding_window", oracle=f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+  FROM events)
+SELECT w_start, w_start + INTERVAL '1 hour' AS w_end, COUNT(*) AS n,
+       {sql_dsum('value', 'total_value')}
+FROM assigned GROUP BY w_start
+""")
+def ev_sliding_window(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"), "n", "total_value"))
+
+
+@query("ev_sessionize", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - LAG(ts) OVER w > INTERVAL '4 hours' OR
+              LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts, event_id,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS session_id
+  FROM flagged)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""")
+def ev_sessionize(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 4 * 3600), 1).otherwise(0))
+    cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(cum).cast("bigint"))
+    return (sessions.groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@query("ev_funnel", oracle="""
+SELECT s.user_id, s.ts AS signup_ts, MIN(p.ts) AS first_purchase_ts,
+       COUNT(*) AS purchases_24h
+FROM events s JOIN events p
+  ON s.user_id = p.user_id AND s.event_type = 'signup'
+ AND p.event_type = 'purchase' AND p.ts > s.ts
+ AND p.ts <= s.ts + INTERVAL '24 hours'
+GROUP BY s.user_id, s.ts
+""")
+def ev_funnel(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    j = s.join(p, (F.col("s_user") == F.col("p_user"))
+               & (F.col("p_ts") > F.col("signup_ts"))
+               & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS")))
+    return (j.groupBy(F.col("s_user").alias("user_id"), "signup_ts")
+            .agg(F.min("p_ts").alias("first_purchase_ts"),
+                 F.count(F.lit(1)).alias("purchases_24h")))

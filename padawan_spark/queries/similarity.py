@@ -1,0 +1,162 @@
+"""Similarity-search suite over ``embeddings`` (64-dim float vectors).
+
+- brute-force cosine top-k (the exactness baseline; at scale this is the
+  per-shard verify stage, never the full-corpus plan);
+- sign-LSH (random-hyperplane style, here deterministic sign-bit buckets
+  on leading dimensions) — candidates share a bucket, so the join is a
+  bucket equi-join that scales like hash-partitioned shuffle, not a
+  cross join;
+- per-label centroids + member-to-centroid cosine (the IVF coarse
+  quantizer building block).
+
+Numeric policy: dot products / norms are left-to-right folds over the
+dimension order (``aggregate``/``list_reduce``) in double — bit-identical
+across engines; cross-row sums (centroid averages) go through exact
+DECIMAL(38,9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import load, query
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+_DUCK_DOT = ("list_reduce(list_transform(range(1, 65),"
+             " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+             " (x, y) -> x + y)")
+
+
+def _vecs(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.expr(
+        "sqrt(" + _DOT.format(a="emb", b="emb") + ")"))
+
+
+_DUCK_VECS = ("SELECT vec_id, label, embedding,"
+              f" sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm"
+              " FROM embeddings")
+
+
+# ---------------------------------------------------------------------------
+
+@query("sim_knn_bruteforce", oracle=f"""
+WITH v AS ({_DUCK_VECS}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_DUCK_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 5
+""")
+def sim_knn_bruteforce(spark, sf_dir):
+    v = _vecs(spark, sf_dir)
+    q = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"))
+    c = v.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("emb").alias("ce"), F.col("nrm").alias("cn"))
+    cos = (F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")))
+    scored = (F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5))
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH: bucket = sign bits of dims 1..4; candidates share the bucket.
+# ---------------------------------------------------------------------------
+
+_BUCKET = ("CAST({p}[1] >= 0 AS INT) * 8 + CAST({p}[2] >= 0 AS INT) * 4"
+           " + CAST({p}[3] >= 0 AS INT) * 2 + CAST({p}[4] >= 0 AS INT)")
+
+
+@query("sim_ann_signlsh", oracle=f"""
+WITH v AS (SELECT *, {_BUCKET.format(p='embedding')} AS bucket
+           FROM ({_DUCK_VECS})),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_DUCK_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def sim_ann_signlsh(spark, sf_dir):
+    v = _vecs(spark, sf_dir).withColumn(
+        "bucket", F.expr(
+            "cast(element_at(emb, 1) >= 0 as int) * 8"
+            " + cast(element_at(emb, 2) >= 0 as int) * 4"
+            " + cast(element_at(emb, 3) >= 0 as int) * 2"
+            " + cast(element_at(emb, 4) >= 0 as int)"))
+    q = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("bucket").alias("qb"))
+    c = v.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("emb").alias("ce"), F.col("nrm").alias("cn"),
+                 F.col("bucket").alias("cb"))
+    cos = (F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")))
+    scored = (q.join(c, (F.col("qb") == F.col("cb"))
+                     & (F.col("query_id") != F.col("neighbor_id")))
+              .select("query_id", "neighbor_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid + member-to-centroid cosine (IVF coarse quantizer)
+# ---------------------------------------------------------------------------
+
+@query("sim_label_centroids", oracle=f"""
+WITH comp AS (
+  SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+cent AS (
+  SELECT label, dim,
+    CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS cval
+  FROM comp GROUP BY label, dim),
+dots AS (
+  SELECT comp.vec_id, comp.label,
+    CAST(SUM(CAST(val * cval AS DECIMAL(38,9))) AS DOUBLE) AS dot,
+    sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,9))) AS DOUBLE)) AS vnrm,
+    sqrt(CAST(SUM(CAST(cval * cval AS DECIMAL(38,9))) AS DOUBLE)) AS cnrm
+  FROM comp JOIN cent ON comp.label = cent.label AND comp.dim = cent.dim
+  GROUP BY comp.vec_id, comp.label)
+SELECT label, COUNT(*) AS n_members,
+  CAST(SUM(CAST(dot / (vnrm * cnrm) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+    AS avg_cos_to_centroid
+FROM dots GROUP BY label
+""")
+def sim_label_centroids(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "val")).withColumn("dim", F.col("pos") + 1).drop("pos")
+    d9 = "decimal(38,9)"
+    cent = (comp.groupBy("label", "dim")
+            .agg((F.sum(F.col("val").cast(d9)).cast("double")
+                  / F.count(F.lit(1))).alias("cval")))
+    j = comp.join(cent, ["label", "dim"])
+    dots = (j.groupBy("vec_id", "label")
+            .agg(F.sum((F.col("val") * F.col("cval")).cast(d9)).cast("double")
+                 .alias("dot"),
+                 F.sqrt(F.sum((F.col("val") * F.col("val")).cast(d9))
+                        .cast("double")).alias("vnrm"),
+                 F.sqrt(F.sum((F.col("cval") * F.col("cval")).cast(d9))
+                        .cast("double")).alias("cnrm")))
+    return (dots.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 (F.sum((F.col("dot") / (F.col("vnrm") * F.col("cnrm")))
+                        .cast(d9)).cast("double") / F.count(F.lit(1)))
+                 .alias("avg_cos_to_centroid")))

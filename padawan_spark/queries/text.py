@@ -1,0 +1,156 @@
+"""Text-analysis suite over the ``documents`` table — the operators a
+large-scale training-data pipeline runs before dedup/filtering:
+token statistics, quality scoring, language identification (stopword
+heuristic), and document fingerprinting (rolling hash).
+
+All expressions are JVM-side Catalyst higher-order functions
+(``transform``/``filter``/``aggregate`` over split arrays) — no Python
+UDFs in the hot path, so whole-stage codegen applies and the same plan
+scales linearly over a 100 TB corpus (embarrassingly parallel per row,
+zero shuffle except final small aggregations).
+
+Cross-engine determinism: tokenization, stopword matching, and the
+polynomial rolling hash were verified to produce identical values in
+Spark and DuckDB (ascii/md5/sha256/fold parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+# portable token extraction: split on space, drop empties
+_SPARK_TOKS = "filter(split(text, ' '), x -> x != '')"
+_DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+_STOP_EN = "'the','a','of','and','to','is','in','it'"
+
+
+# ---------------------------------------------------------------------------
+
+@query("text_token_stats", oracle=f"""
+SELECT doc_id,
+  CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER) AS n_distinct,
+  CAST(length(text) AS INTEGER) AS n_chars_actual,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+    / len({_DUCK_TOKS}) AS avg_token_len
+FROM documents
+""")
+def text_token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"cast(size({_SPARK_TOKS}) as int)").alias("n_tokens"),
+        F.expr(f"cast(size(array_distinct({_SPARK_TOKS})) as int)").alias("n_distinct"),
+        F.expr("cast(length(text) as int)").alias("n_chars_actual"),
+        F.expr(f"cast(length(replace(text, ' ', '')) as double) / size({_SPARK_TOKS})")
+        .alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality score: length saturation + lexical diversity + stopword balance.
+# Pure per-row double arithmetic → bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+@query("text_quality_score", oracle=f"""
+SELECT doc_id, lang, score, CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
+FROM (
+  SELECT doc_id, lang,
+    0.4 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+    + 0.4 * (CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+             / len({_DUCK_TOKS}))
+    + 0.2 * least(4.0 * CAST(len(list_filter({_DUCK_TOKS},
+          x -> list_contains([{_STOP_EN}], x))) AS DOUBLE)
+          / len({_DUCK_TOKS}), 1.0) AS score
+  FROM documents
+)
+""")
+def text_quality_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = _SPARK_TOKS
+    score = (
+        f"0.4 * least(cast(length(text) as double) / 400.0, 1.0)"
+        f" + 0.4 * (cast(size(array_distinct({toks})) as double) / size({toks}))"
+        f" + 0.2 * least(4.0 * cast(size(filter({toks},"
+        f" x -> array_contains(array({_STOP_EN}), x))) as double)"
+        f" / size({toks}), 1.0)"
+    )
+    return (d.select("doc_id", "lang", F.expr(score).alias("score"))
+            .withColumn("keep", F.expr("case when score >= 0.5 then 1 else 0 end")))
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword votes per language, deterministic argmax.
+# (The synthetic corpus is English-flavored for every lang label; the
+# output is the confusion matrix of heuristic vs label.)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPS = {
+    "en": "'the','a','of','and','to','is'",
+    "es": "'el','la','de','los','y','que'",
+    "de": "'der','die','das','und','ist','ein'",
+    "fr": "'le','les','une','et','est','dans'",
+}
+
+
+def _votes(engine: str):
+    toks = _SPARK_TOKS if engine == "spark" else _DUCK_TOKS
+    contains = "array_contains(array({w}), x)" if engine == "spark" \
+        else "list_contains([{w}], x)"
+    fil = "size(filter({t}, x -> {c}))" if engine == "spark" \
+        else "len(list_filter({t}, x -> {c}))"
+    return {lang: fil.format(t=toks, c=contains.format(w=w))
+            for lang, w in _LANG_STOPS.items()}
+
+
+def _guess_case(v: dict) -> str:
+    # strict argmax with fixed precedence en > es > de > fr, else 'unknown'
+    return (f"CASE WHEN {v['en']} > 0 AND {v['en']} >= {v['es']} AND "
+            f"{v['en']} >= {v['de']} AND {v['en']} >= {v['fr']} THEN 'en' "
+            f"WHEN {v['es']} > 0 AND {v['es']} >= {v['de']} AND "
+            f"{v['es']} >= {v['fr']} THEN 'es' "
+            f"WHEN {v['de']} > 0 AND {v['de']} >= {v['fr']} THEN 'de' "
+            f"WHEN {v['fr']} > 0 THEN 'fr' ELSE 'unknown' END")
+
+
+@query("text_lang_id", oracle=f"""
+SELECT lang, guess, COUNT(*) AS n FROM (
+  SELECT lang, {_guess_case(_votes('duck'))} AS guess FROM documents
+) GROUP BY lang, guess
+""")
+def text_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    guess = _guess_case(_votes("spark"))
+    return (d.select("lang", F.expr(guess).alias("guess"))
+            .groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting: polynomial rolling hash (mod 1e9+7) over characters —
+# the primitive under shingle/winnowing fingerprints.  Verified
+# bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+@query("text_fingerprint", oracle="""
+SELECT doc_id,
+  list_reduce(list_transform(range(1, length(text) + 1),
+      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      (h, c) -> (h * 131 + c) % 1000000007) AS fp,
+  list_reduce(list_transform(range(1, least(length(text), 64) + 1),
+      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      (h, c) -> (h * 131 + c) % 1000000007) AS fp_prefix
+FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    roll = ("aggregate(transform(sequence(1, {n}),"
+            " i -> ascii(substr(text, i, 1))), 0L,"
+            " (h, c) -> (h * 131 + c) % 1000000007)")
+    return d.select(
+        "doc_id",
+        F.expr(roll.format(n="length(text)")).alias("fp"),
+        F.expr(roll.format(n="least(length(text), 64)")).alias("fp_prefix"),
+    )

@@ -1,0 +1,111 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only, single-node (``/root/reference/docs/
+index.rst:45-47``) — streaming is pure extension surface (SURVEY.md
+§2.9).  Implemented Spark-first:
+
+- ``readStream`` over the parquet directory with an explicit schema;
+- tumbling-window aggregation with a watermark;
+- ``session_window`` (gap-based) sessionization;
+- a custom stateful operator via ``applyInPandasWithState``
+  (running per-user counts) — the escape hatch for semantics windows
+  can't express.
+
+For the driver's oracle gate the streaming queries run with
+``trigger(availableNow=True)`` into an in-memory sink and return the
+final table: with the full input available the results equal the batch
+semantics, so the same DuckDB SQL oracles apply.  Output mode is
+``complete`` so watermark-withheld tail windows are still emitted
+(append mode would hold back the last window at end-of-stream).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming sources need a directory; select just the events file
+    raw = (spark.readStream.schema(EVENT_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(result: DataFrame, mode: str = "complete") -> str:
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (result.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return name
+
+
+def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count+sum per event_type, 30-min watermark."""
+    from ..queries.registry import DEC
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                .alias("total_value")))
+    name = _run_to_memory(agg)
+    return (spark.table(name)
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    "event_type", "n", "total_value"))
+
+
+def run_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via session_window (4h gap), per user."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (ev.groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+           .agg(F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events")))
+    name = _run_to_memory(agg)
+    return (spark.table(name)
+            .select("user_id", "session_start", "session_end", "n_events"))
+
+
+def running_count_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running event count via
+    applyInPandasWithState — arbitrary state the built-in windows can't
+    express.  Emits one row per user per micro-batch with the cumulative
+    count (final batch → final totals)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint"
+    state_schema = "n bigint"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    ev = read_events_stream(spark, sf_dir)
+    result = (ev.groupBy("user_id")
+              .applyInPandasWithState(update, out_schema, state_schema,
+                                      "update", GroupStateTimeout.NoTimeout))
+    name = _run_to_memory(result, mode="update")
+    # latest row per user = final running count
+    latest = spark.table(name)
+    return (latest.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events")))
