@@ -39,9 +39,16 @@ def main() -> None:
     spark = get_spark(app_name="padawan-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session on a trivial job so timings measure queries,
-    # not session start
-    spark.range(1000).count()
+    # Warm the JVM (classloading, codegen, AQE paths, parquet readers) with
+    # one pass of the same queries at the smallest SF, so the timed run
+    # measures query execution rather than one-time JIT cost.
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is not None:
+            try:
+                fn(spark, "/root/testdata/sf0.001").collect()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

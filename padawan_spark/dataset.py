@@ -244,26 +244,32 @@ class Dataset:
 
     def map(self, func: Callable, schema: StructType | str | None = None,
             index_columns: Sequence[str] | None = None,
-            preserves: str = "none") -> "Dataset":
-        """Apply ``func(pandas.DataFrame) -> pandas.DataFrame`` per partition.
+            preserves: str = "none", shared_args: dict | None = None) -> "Dataset":
+        """Apply ``func(pandas.DataFrame, **shared_args) -> pandas.DataFrame``
+        per partition.
 
         The reference applies a polars function per partition and lets the
         caller declare what metadata survives (``preserves`` in
         {'none','sizes','bounds','all'}, an unchecked contract —
-        ``mapped_dataset.py:126-129``).  Implemented with ``mapInPandas``
+        ``mapped_dataset.py:126-129``).  ``shared_args`` mirrors the
+        reference's broadcast closure args (``mapped_dataset.py:96-104``):
+        values are captured once in the task closure (Spark broadcasts the
+        serialized function to executors).  Implemented with ``mapInPandas``
         (Arrow-batched); prefer native column expressions where possible —
-        this is the slow path.
+        this is the slow path.  The reference's per-partition ``extra_args``
+        has no scalable analog (it indexes by partition position, which is
+        not stable across shuffles) — pass data through columns instead.
         """
         _require(preserves in ("none", "sizes", "bounds", "all"), ValueError,
                  f"preserves must be one of none/sizes/bounds/all: {preserves}")
         ix = self.index_columns if index_columns is None else tuple(index_columns)
         out_schema = schema if schema is not None else self.df.schema
+        kwargs = dict(shared_args or {})
 
         def apply(it):
             import pandas as pd  # noqa: F401
             for pdf in it:
-                res = func(pdf)
-                yield res
+                yield func(pdf, **kwargs)
 
         new_df = self.df.mapInPandas(apply, out_schema)
         keep_sizes = preserves in ("sizes", "all")

@@ -69,16 +69,25 @@ _DUCK_SHINGLES = f"""
 
 
 def _minhash_spark(spark, sf_dir) -> DataFrame:
+    # 8 independent 32-bit minhashes from TWO md5 calls per shingle:
+    # the 256 digest bits are sliced into 8 × 8-hex-char keys (md5 bits
+    # are i.i.d., so the slices act as independent hash functions at a
+    # quarter of the hashing cost — the dominant term at corpus scale).
     sh = _shingles_spark(load(spark, sf_dir, "documents"))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+    d = F.concat(F.md5(F.concat(F.lit("a:"), F.col("s"))),
+                 F.md5(F.concat(F.lit("b:"), F.col("s"))))
+    sh = sh.withColumn("d", d)
+    aggs = [F.min(F.substring("d", 1 + 8 * j, 8)).alias(f"h{j}")
             for j in range(_N_HASH)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 _DUCK_MINHASH = f"""
   SELECT doc_id,
-    {", ".join(f"MIN(md5('{j}:' || s)) AS h{j}" for j in range(_N_HASH))}
-  FROM ({_DUCK_SHINGLES}) GROUP BY doc_id
+    {", ".join(f"MIN(substr(d, {1 + 8 * j}, 8)) AS h{j}"
+               for j in range(_N_HASH))}
+  FROM (SELECT doc_id, md5('a:' || s) || md5('b:' || s) AS d
+        FROM ({_DUCK_SHINGLES})) GROUP BY doc_id
 """
 
 

@@ -379,19 +379,20 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """)
 def q18(spark, sf_dir):
+    # one aggregation over lineitem serves both the HAVING filter and the
+    # output sum (the per-orderkey sum IS the group sum after joining the
+    # 1:1 orders/customer dims) — lineitem is scanned and shuffled once.
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
-    big = (l.groupBy("l_orderkey")
+    qty = (l.groupBy("l_orderkey")
            .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("__s"))
-           .where(F.col("__s") > 120)
-           .select(F.col("l_orderkey").alias("big_orderkey")))
+           .where(F.col("__s") > 120))
     return (
-        l.join(big, l.l_orderkey == big.big_orderkey, "left_semi")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", F.col("__s").cast("double").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )

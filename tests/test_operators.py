@@ -1,0 +1,80 @@
+"""Unit tests for the advanced operators (asof join directions,
+salted join) and physical-plan shape guards for the scale-critical
+queries (pushdown reaches the scan, dims broadcast, top-k does not
+global-sort)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from padawan_spark.operators import asof_join, salted_join
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0),
+         ("B", 3, 20.0)],
+        "sym string, t int, px double")
+    trades = spark.createDataFrame(
+        [("A", 0), ("A", 5), ("A", 7), ("B", 2), ("B", 10), ("C", 4)],
+        "sym string, t int")
+    return quotes, trades
+
+
+def test_asof_backward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {(r["sym"], r["t"]): r["px_r"]
+           for r in asof_join(trades, quotes, on="t", by="sym",
+                              how="left").collect()}
+    assert got == {("A", 0): None, ("A", 5): 11.0, ("A", 7): 11.0,
+                   ("B", 2): None, ("B", 10): 20.0, ("C", 4): None}
+
+
+def test_asof_forward_and_inner(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {(r["sym"], r["t"]): r["px_r"]
+           for r in asof_join(trades, quotes, on="t", by="sym",
+                              direction="forward", how="inner").collect()}
+    assert got == {("A", 0): 10.0, ("A", 5): 11.0, ("A", 7): 12.0,
+                   ("B", 2): 20.0}
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = l.join(o, "l_orderkey").count()
+    salted = salted_join(l, o, "l_orderkey", n_salts=4).count()
+    assert plain == salted
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_pushdown(spark, sf_dir):
+    from padawan_spark.queries import QUERIES
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    from padawan_spark.queries import QUERIES
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global Sort
+
+
+def test_slice_prunes_files_and_pushes(spark, tmp_path, sf_dir):
+    from padawan_spark import Dataset, scan_parquet
+    src = Dataset(spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+                  index_columns=("l_shipdate",))
+    ds = src.repartition(2000).write_parquet(str(tmp_path / "li"))
+    n_before = len(ds._files)
+    s = ds.slice((dt.datetime(1997, 1, 1),), (dt.datetime(1997, 6, 1),))
+    assert len(s._files) < n_before  # manifest pruned the scan set
+    assert "PushedFilters: [" in _plan(s.df)
