@@ -29,6 +29,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "sim_knn_bruteforce",
+    "adv_asof_join",
+    "scale_bucketed_join",
 ]
 
 

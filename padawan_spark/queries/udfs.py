@@ -1,0 +1,113 @@
+"""UDF surface: vectorized (Arrow) pandas UDFs — scalar and grouped-
+aggregate — plus the SQL-text frontend and explicit GROUPING SETS.
+
+The reference's only UDF mechanism is per-partition ``map``
+(``/root/reference/src/padawan/mapped_dataset.py``); Spark adds
+row-vectorized scalar UDFs and grouped-agg UDAFs with Arrow transfer —
+demonstrated here with deterministic arithmetic so the DuckDB oracles
+hold.  (Python UDFs stay off the relational hot paths; these queries
+ARE the UDF feature demos.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .registry import dsum, load, query, sql_dsum
+
+
+# ---------------------------------------------------------------------------
+# scalar pandas UDF: per-row double arithmetic (IEEE → engine-identical)
+# ---------------------------------------------------------------------------
+
+def _charge_udf():
+    # built lazily: pandas_udf resolves its DDL return type against the
+    # active SparkSession, which doesn't exist at module import
+    @pandas_udf("double")
+    def charge(ep: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return ep * (1.0 - disc) * (1.0 + tax)
+    return charge
+
+
+@query("udf_pandas_scalar", oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem WHERE l_quantity >= 49
+""")
+def udf_pandas_scalar(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        _charge_udf()("l_extendedprice", "l_discount", "l_tax").alias("charge"))
+
+
+# ---------------------------------------------------------------------------
+# grouped-aggregate pandas UDF (UDAF): quantity-weighted mean price.
+# Cross-row float sums are order-dependent, so the UDAF applies the same
+# exact-decimal policy as the engine's dsum(): quantize each term to
+# 1e-6 (HALF_UP, matching SQL's CAST(x AS DECIMAL(_,6))), sum exactly,
+# divide as doubles — result is order-independent and oracle-identical.
+# ---------------------------------------------------------------------------
+
+def _weighted_price():
+    @pandas_udf("double")
+    def wavg(ep: pd.Series, qty: pd.Series) -> float:
+        from decimal import ROUND_HALF_UP, Decimal
+        q6 = Decimal("0.000001")
+        num = sum((Decimal(repr(e * q)).quantize(q6, ROUND_HALF_UP)
+                   for e, q in zip(ep, qty)), Decimal(0))
+        den = sum((Decimal(repr(q)).quantize(q6, ROUND_HALF_UP) for q in qty),
+                  Decimal(0))
+        return float(num) / float(den)
+    return wavg
+
+
+@query("udf_grouped_agg", oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+  / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def udf_grouped_agg(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(_weighted_price()("l_extendedprice", "l_quantity")
+                 .alias("wavg_price")))
+
+
+# ---------------------------------------------------------------------------
+# SQL-text frontend: the same engine drives spark.sql over temp views
+# ---------------------------------------------------------------------------
+
+@query("sql_frontend", oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+""")
+def sql_frontend(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+        FROM v_orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    """)
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS (beyond cube/rollup)
+# ---------------------------------------------------------------------------
+
+@query("ana_grouping_sets", oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity', 'qty')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def ana_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS qty
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)

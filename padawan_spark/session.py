@@ -22,6 +22,8 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULT_CONF = {
+    # per-process warehouse so bucketed saveAsTable runs never collide
+    "spark.sql.warehouse.dir": f"/tmp/padawan_warehouse_{os.getpid()}",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

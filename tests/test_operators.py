@@ -78,3 +78,19 @@ def test_slice_prunes_files_and_pushes(spark, tmp_path, sf_dir):
     s = ds.slice((dt.datetime(1997, 1, 1),), (dt.datetime(1997, 6, 1),))
     assert len(s._files) < n_before  # manifest pruned the scan set
     assert "PushedFilters: [" in _plan(s.df)
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    # run the query once to (re)create the bucketed tables, then force a
+    # merge join (at test scale Catalyst would rightly broadcast instead)
+    # and verify bucketing removed the shuffle: no Exchange in the plan.
+    from padawan_spark.queries import QUERIES
+    QUERIES["scale_bucketed_join"](spark, sf_dir).collect()
+    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    j = (bl.hint("merge")
+         .join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
+         .select("o_orderpriority"))
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan, plan[:800]
+    assert "Exchange" not in plan, plan[:800]
+    assert "Bucketed: true" in plan
