@@ -430,12 +430,48 @@ class Dataset:
     # ------------------------------------------------------------------
 
     def collate(self, rows_per_partition: int) -> "Dataset":
-        """Merge (never split) adjacent partitions until each has at least
-        ``rows_per_partition`` rows.  ``coalesce`` has exactly this
-        merge-only, no-shuffle contract; AQE does the same to shuffle
-        outputs automatically."""
+        """Merge (never split) adjacent partitions — ordered by bounds —
+        greedily until each batch reaches ``rows_per_partition`` rows
+        (parity: ``collated_dataset.py:43-70``).
+
+        File-backed datasets get the exact greedy semantics: groups are
+        computed from manifest sizes (driver-side metadata math, no data
+        read), each group becomes one output partition, and batch
+        sizes/bounds stay known (sums / min-max).  Other datasets fall
+        back to ``coalesce`` — Spark's own merge-only repacking, the same
+        contract without the per-batch guarantee (AQE applies it to
+        shuffle outputs automatically)."""
         _require(self.known_sizes, StatsUnknownError,
                  "collate requires known sizes; call reindex() first")
+        if self._files is not None and self.known_bounds and self._files:
+            order = _ord.sort_partitions(self._lower_bounds, self._upper_bounds)
+            groups: list[list[int]] = []
+            acc: list[int] = []
+            acc_rows = 0
+            for i in order:
+                acc.append(i)
+                acc_rows += self._sizes[i]
+                if acc_rows >= rows_per_partition:
+                    groups.append(acc)
+                    acc, acc_rows = [], 0
+            if acc:
+                if groups:
+                    groups[-1].extend(acc)  # tail merges into the last batch
+                else:
+                    groups = [acc]
+            df = None
+            for g in groups:
+                part = self.spark.read.parquet(
+                    *[self._files[i] for i in g]).coalesce(1)
+                df = part if df is None else df.unionByName(part)
+            return Dataset(
+                self.spark, df, index_columns=self.index_columns,
+                sizes=[sum(self._sizes[i] for i in g) for g in groups],
+                lower_bounds=[min((self._lower_bounds[i] for i in g),
+                                  key=_ord.lex_key) for g in groups],
+                upper_bounds=[max((self._upper_bounds[i] for i in g),
+                                  key=_ord.lex_key) for g in groups],
+            )
         total = sum(self._sizes)
         n = max(1, min(len(self._sizes) or 1, total // rows_per_partition or 1))
         new_df = self.df.coalesce(n)

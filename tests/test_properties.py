@@ -1,0 +1,67 @@
+"""Property-based tests: random lexicographic slice bounds against a
+pure-Python ground truth over a fixed null-bearing dataset."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from padawan_spark import Dataset
+from padawan_spark.ordering import lex_key
+
+ROWS = [
+    (None, None), (None, 2), (0, None), (0, 0), (0, 5), (1, 1),
+    (1, None), (2, 0), (2, 7), (3, 3), (3, 4), (5, 0),
+]
+
+val = st.one_of(st.none(), st.integers(min_value=-1, max_value=6))
+bound = st.one_of(st.none(), st.tuples(val), st.tuples(val, val))
+inclusive = st.sampled_from(["none", "lower", "upper", "both"])
+
+
+def expected(lb, ub, inc):
+    lo_incl = inc in ("lower", "both")
+    hi_incl = inc in ("upper", "both")
+    out = []
+    for r in ROWS:
+        ok = True
+        if lb is not None:
+            k, b = lex_key(r[:len(lb)]), lex_key(lb)
+            ok &= (k >= b) if lo_incl else (k > b)
+        if ub is not None:
+            k, b = lex_key(r[:len(ub)]), lex_key(ub)
+            ok &= (k <= b) if hi_incl else (k < b)
+        if ok:
+            out.append(r)
+    return sorted(out, key=lex_key)
+
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    df = spark.createDataFrame(ROWS, "x int, y int").coalesce(1).cache()
+    df.count()
+    return Dataset(spark, df, index_columns=("x", "y"))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(lb=bound, ub=bound, inc=inclusive)
+def test_slice_matches_python_ground_truth(ds, lb, ub, inc):
+    got = sorted(
+        (tuple(r) for r in ds.slice(lb, ub, inclusive=inc).df.collect()),
+        key=lex_key)
+    assert got == expected(lb, ub, inc), (lb, ub, inc)
+
+
+def test_collate_exact_greedy(spark, tmp_path):
+    import pandas as pd
+    from padawan_spark import from_pandas, scan_parquet
+    pdf = pd.DataFrame({"k": range(100), "v": range(100)})
+    ds = from_pandas(spark, pdf, index_columns=("k",))
+    w = ds.repartition(10, exact=True).write_parquet(str(tmp_path / "c"))
+    assert w.sizes == [10] * 10
+    c = w.collate(25)
+    # greedy over bound-sorted partitions: 30/30/30 + tail 10 merged -> 40
+    assert c.sizes == [30, 30, 40]
+    assert c.lower_bounds == [(0,), (30,), (60,)]
+    assert c.upper_bounds == [(29,), (59,), (99,)]
+    assert c.df.count() == 100
