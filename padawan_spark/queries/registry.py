@@ -47,7 +47,23 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Runtime-settable confs the queries depend on, applied defensively in
+    case the caller (e.g. the driver) built the session without our factory:
+    UTC session timezone (timestamp values must collect identically to the
+    DuckDB oracle), nanos-as-long (the events table stores TIMESTAMP(NANOS),
+    which the parquet reader otherwise rejects), and AQE."""
+    for k, v in (("spark.sql.session.timeZone", "UTC"),
+                 ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                 ("spark.sql.adaptive.enabled", "true")):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; keep going
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS): read as long (nanosAsLong) and truncate to

@@ -40,6 +40,8 @@ EVENT_SCHEMA = StructType([
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.registry import ensure_session_conf
+    ensure_session_conf(spark)  # nanosAsLong + UTC for driver-built sessions
     # streaming sources need a directory; select just the events file
     raw = (spark.readStream.schema(EVENT_SCHEMA)
            .option("pathGlobFilter", "events.parquet")
