@@ -53,7 +53,7 @@ def ana_win_lag_lead(spark, sf_dir):
 
 @query("ana_win_running_sum", oracle="""
 SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
   AS running_total

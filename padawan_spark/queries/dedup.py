@@ -99,6 +99,19 @@ def dedup_minhash_signatures(spark, sf_dir):
     return _minhash_spark(spark, sf_dir)
 
 
+def _bands_spark(spark, sf_dir) -> DataFrame:
+    """LSH band keys, one row per (doc, band), MATERIALIZED (cache):
+    the band table is referenced twice by the candidate self-join and
+    Catalyst does not dedupe common subplans — without materialization
+    the whole minhash pipeline would run once per reference.  At corpus
+    scale this is the persisted signature table of a real pipeline."""
+    mh = _minhash_spark(spark, sf_dir)
+    band_keys = F.array(*[
+        F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")) for b in range(_N_BANDS)])
+    return (mh.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+            .cache())
+
+
 @query("dedup_minhash_lsh", oracle=f"""
 WITH mh AS ({_DUCK_MINHASH}),
 bands AS (
@@ -111,13 +124,7 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """)
 def dedup_minhash_lsh(spark, sf_dir):
-    mh = _minhash_spark(spark, sf_dir)
-    bands = None
-    for b in range(_N_BANDS):
-        part = mh.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("key"))
-        bands = part if bands is None else bands.unionByName(part)
+    bands = _bands_spark(spark, sf_dir)
     a = bands.alias("a")
     bb = bands.alias("b")
     return (a.join(bb, (F.col("a.band") == F.col("b.band"))
@@ -227,7 +234,8 @@ def dedup_simhash_pairs(spark, sf_dir):
     sim = _simhash_spark(spark, sf_dir)
     bands = (sim.select("doc_id", "simhash",
                         F.explode(F.expr("sequence(0, 2)")).alias("b"))
-             .withColumn("key", F.expr("(simhash >> (b * 8)) & 255")))
+             .withColumn("key", F.expr("(simhash >> (b * 8)) & 255"))
+             .cache())  # referenced twice by the self-join
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -15,7 +15,7 @@ is deterministic across engines; **aggregation order is not**.  Policy:
 - SUM/AVG: cast the per-row value to an exact DECIMAL before summing
   (decimal addition is associative → order-independent), cast the exact
   result back to DOUBLE.  :func:`dsum` / :func:`davg` build the Spark
-  side; write the oracle as ``CAST(SUM(CAST(x AS DECIMAL(27,6))) AS
+  side; write the oracle as ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS
   DOUBLE)`` / ``... / COUNT(*)``;
 - MIN/MAX/COUNT: natively order-independent, use as-is;
 - never put transcendentals (exp/log/pow) into hashed outputs without
@@ -76,7 +76,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---- cross-engine-deterministic aggregate builders -----------------------
 
-DEC = "decimal(27,6)"
+DEC = "decimal(18,6)"
 
 
 def dsum(col, name: str):
@@ -90,8 +90,8 @@ def davg(col, name: str):
 
 
 def sql_dsum(expr: str, name: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) AS {name}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {name}"
 
 
 def sql_davg(expr: str, name: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS {name}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS {name}"

@@ -278,8 +278,8 @@ def q12(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query("q14_promo_revenue", oracle=f"""
-SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
-  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS promo_revenue
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
 FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
@@ -341,7 +341,7 @@ WITH part_avg AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT {sql_dsum('l_extendedprice', 'total_price_sum')},
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0 AS avg_yearly
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem, part, part_avg
 WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND pk = l_partkey
   AND l_quantity < 0.5 * avg_qty
@@ -372,7 +372,7 @@ SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
     SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 120)
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 120)
   AND c_custkey = o_custkey AND o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey
@@ -386,7 +386,7 @@ def q18(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
     qty = (l.groupBy("l_orderkey")
-           .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("__s"))
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__s"))
            .where(F.col("__s") > 120))
     return (
         qty.join(o, qty.l_orderkey == o.o_orderkey)
@@ -436,7 +436,7 @@ SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
   {sql_dsum('c_acctbal', 'totacctbal')}
 FROM customer
 WHERE c_acctbal > (
-    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
     FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01')

@@ -77,12 +77,8 @@ GROUP BY d.doc_id
 """)
 def scale_dedup_clusters(spark, sf_dir):
     # candidate edges from the same MinHash-LSH pipeline as dedup_minhash_lsh
-    mh = _minhash_spark(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        part = mh.select("doc_id", F.lit(b).alias("band"),
-                         F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("key"))
-        bands = part if bands is None else bands.unionByName(part)
+    from .dedup import _bands_spark
+    bands = _bands_spark(spark, sf_dir)
     a, bb = bands.alias("a"), bands.alias("b")
     pairs = (a.join(bb, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.key") == F.col("b.key"))

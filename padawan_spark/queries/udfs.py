@@ -66,8 +66,8 @@ def _weighted_price():
 
 @query("udf_grouped_agg", oracle="""
 SELECT l_returnflag,
-  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
-  / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS wavg_price
+  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS wavg_price
 FROM lineitem GROUP BY l_returnflag
 """)
 def udf_grouped_agg(spark, sf_dir):
@@ -89,7 +89,7 @@ def sql_frontend(spark, sf_dir):
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql("""
         SELECT o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         FROM v_orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
     """)
 
@@ -107,7 +107,7 @@ def ana_grouping_sets(spark, sf_dir):
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
     return spark.sql("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
         FROM v_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
