@@ -237,3 +237,38 @@ def ana_topk_global(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(15)
             .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+# -- pivot / unpivot ---------------------------------------------------------------
+
+@query("ana_pivot", oracle="""
+SELECT date_trunc('day', ts) AS day,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+""")
+def ana_pivot(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (e.groupBy(F.date_trunc("day", "ts").alias("day"))
+           .pivot("event_type", types).count())
+    # pivot yields nulls for absent combinations; oracle's SUM(CASE) yields 0
+    return out.select("day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint")
+                               .alias(t) for t in types])
+
+
+@query("ana_unpivot", oracle="""
+SELECT s_suppkey, metric, value FROM (
+  SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value FROM supplier
+  UNION ALL
+  SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+)
+""")
+def ana_unpivot(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"))
+    return s.unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "value")

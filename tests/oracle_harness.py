@@ -83,6 +83,10 @@ def run(sf_dir: str, only: set[str] | None = None) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"WARNING: unknown query names ignored: {sorted(unknown)}")
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
