@@ -107,3 +107,30 @@ def ev_funnel(spark, sf_dir):
     return (j.groupBy(F.col("s_user").alias("user_id"), "signup_ts")
             .agg(F.min("p_ts").alias("first_purchase_ts"),
                  F.count(F.lit(1)).alias("purchases_24h")))
+
+
+@query("ev_gapfill", oracle=f"""
+WITH buckets AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-30 23:00:00',
+                                INTERVAL '1 hour')) AS h),
+hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT b.h AS hour, CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n
+FROM buckets b LEFT JOIN hourly ON b.h = hourly.h
+""")
+def ev_gapfill(spark, sf_dir):
+    """Dense hourly series with zero-filled gaps — generate_series +
+    left join, the hypertable gap-fill pattern (scales as a broadcast of
+    the generated spine against the aggregated side)."""
+    e = load(spark, sf_dir, "events")
+    hourly = (e.where(F.col("event_type") == "purchase")
+              .groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    spine = spark.sql("""
+        SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-30 23:00:00',
+                                INTERVAL 1 HOUR)) AS hour""")
+    return (spine.join(hourly, spine.hour == hourly.h, "left")
+            .select("hour", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))

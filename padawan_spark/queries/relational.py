@@ -458,3 +458,313 @@ def q22(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numcust"),
              dsum(F.col("c_acctbal"), "totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q9: product-type profit by nation and year (part ⋈ lineitem ⋈ supplier ⋈
+# orders ⋈ nation; profit proxy = disc price − retail cost share).
+# ---------------------------------------------------------------------------
+
+@query("q9_product_profit", oracle=f"""
+SELECT nation, o_year, {sql_dsum('amount', 'sum_profit')}
+FROM (
+  SELECT n_name AS nation,
+    CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+    l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity
+      AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""")
+def q9(spark, sf_dir):
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+                amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount"), "sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2: minimum-cost supplier. The testdata has no partsupp table
+# (reference schema note: TESTDATA.md), so the supply relation is derived
+# from lineitem: per (part, supplier) the minimum observed unit price.
+# The correlated MIN subquery is decorrelated into a per-part min join —
+# at scale one shuffle on l_partkey instead of a subquery per row.
+# ---------------------------------------------------------------------------
+
+@query("q2_min_cost_supplier", oracle="""
+WITH supply AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2),
+m AS (SELECT pk AS mpk, MIN(cost) AS mincost FROM supply GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, cost AS supply_cost
+FROM supply, m, part, supplier, nation
+WHERE pk = mpk AND cost = mincost AND p_partkey = pk
+  AND p_type = 'PROMO' AND p_size <= 10
+  AND s_suppkey = sk AND s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def q2(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    supply = (l.groupBy(F.col("l_partkey").alias("pk"),
+                        F.col("l_suppkey").alias("sk"))
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("cost")))
+    m = supply.groupBy(F.col("pk").alias("mpk")).agg(F.min("cost").alias("mincost"))
+    return (supply.join(m, (supply.pk == m.mpk) & (supply.cost == m.mincost))
+            .join(broadcast(p), supply.pk == p.p_partkey)
+            .join(broadcast(s), supply.sk == s.s_suppkey)
+            .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    F.col("cost").alias("supply_cost"))
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# q8: national market share — a nation's share of regional revenue by year.
+# Ratio of two conditional exact-decimal sums (registry determinism policy).
+# ---------------------------------------------------------------------------
+
+@query("q8_market_share", oracle="""
+SELECT o_year,
+  CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END
+                AS DECIMAL(18,6))) AS DOUBLE)
+  / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+""")
+def q8(spark, sf_dir):
+    from .registry import DEC
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey"))
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (l.join(broadcast(p), l.l_partkey == p.p_partkey)
+         .join(o, l.l_orderkey == o.o_orderkey)
+         .join(broadcast(c), o.o_custkey == c.c_custkey)
+         .join(broadcast(n1), c.c_nationkey == F.col("n1_key"))
+         .join(broadcast(r), F.col("n1_rkey") == r.r_regionkey)
+         .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+         .join(broadcast(n2), s.s_nationkey == F.col("n2_key"))
+         .select(F.year("o_orderdate").alias("o_year"),
+                 volume.alias("volume"), "nation"))
+    national = F.when(F.col("nation") == "NATION_5",
+                      F.col("volume")).otherwise(F.lit(0.0))
+    return (j.groupBy("o_year")
+            .agg((F.sum(national.cast(DEC)).cast("double")
+                  / F.sum(F.col("volume").cast(DEC)).cast("double"))
+                 .alias("mkt_share")))
+
+
+# ---------------------------------------------------------------------------
+# q11: important stock — per-part supply value for one nation's suppliers,
+# kept where above a fraction of the national total. The global total rides
+# as a broadcast cross join (never collected to the driver).
+# ---------------------------------------------------------------------------
+
+@query("q11_important_stock", oracle="""
+WITH value_by_part AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY 1)
+SELECT p_partkey, CAST(val AS DOUBLE) AS value
+FROM value_by_part
+WHERE CAST(val AS DOUBLE) >
+      (SELECT 0.001 * CAST(SUM(val) AS DOUBLE) FROM value_by_part)
+""")
+def q11(spark, sf_dir):
+    from .registry import DEC
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    vbp = (l.join(broadcast(s.join(broadcast(n),
+                                   s.s_nationkey == n.n_nationkey)),
+                  l.l_suppkey == F.col("s_suppkey"))
+           .groupBy(F.col("l_partkey").alias("p_partkey"))
+           .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("val")))
+    tot = vbp.agg((F.lit(0.001) * F.sum("val").cast("double")).alias("__thr"))
+    return (vbp.crossJoin(broadcast(tot))
+            .where(F.col("val").cast("double") > F.col("__thr"))
+            .select("p_partkey", F.col("val").cast("double").alias("value")))
+
+
+# ---------------------------------------------------------------------------
+# q13: customer order-count distribution — left join keeps zero-order
+# customers, then a second aggregation over the counts.
+# ---------------------------------------------------------------------------
+
+@query("q13_order_distribution", oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""")
+def q13(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").cast("bigint").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("custdist")))
+
+
+# ---------------------------------------------------------------------------
+# q16: supplier relationship count — distinct suppliers per part class,
+# excluding deficit suppliers (NOT IN → broadcast anti join).
+# ---------------------------------------------------------------------------
+
+@query("q16_supplier_cnt", oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q16(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    bad = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0)
+    return (l.join(broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(broadcast(p), F.col("l_partkey") == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").cast("bigint")
+                 .alias("supplier_cnt")))
+
+
+# ---------------------------------------------------------------------------
+# q20: dominant part suppliers — suppliers providing >50% of a red
+# part's 1997 volume (window share over the part total), surfaced via a
+# left-semi join so each supplier appears once.
+# ---------------------------------------------------------------------------
+
+@query("q20_dominant_suppliers", oracle="""
+WITH qty AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+tot AS (SELECT pk AS tpk, SUM(sq) AS tq FROM qty GROUP BY 1)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT sk FROM qty, tot
+  WHERE pk = tpk AND CAST(sq AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE))
+""")
+def q20(spark, sf_dir):
+    from .registry import DEC
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    qty = (l.join(broadcast(p), l.l_partkey == p.p_partkey)
+           .groupBy(F.col("l_suppkey").alias("sk"),
+                    F.col("l_partkey").alias("pk"))
+           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq")))
+    tot = qty.groupBy(F.col("pk").alias("tpk")).agg(F.sum("sq").alias("tq"))
+    dominant = (qty.join(tot, qty.pk == tot.tpk)
+                .where(F.col("sq").cast("double")
+                       > 0.5 * F.col("tq").cast("double")))
+    return (s.join(dominant, s.s_suppkey == dominant.sk, "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal"))
+
+
+# ---------------------------------------------------------------------------
+# q21: suppliers who kept orders waiting. The testdata has no
+# commit/receipt dates, so "failed" = l_returnflag = 'R' on a finished
+# ('F') order. TPC-H's EXISTS / NOT EXISTS pair over lineitem self-joins
+# is decorrelated into ONE per-order aggregation: another supplier exists
+# ⇔ distinct suppliers ≥ 2; no other supplier failed ⇔ distinct failing
+# suppliers = 1 (l1 itself is failing). One shuffle of lineitem instead
+# of two self-joins — the 100 TB-safe plan.
+# ---------------------------------------------------------------------------
+
+@query("q21_waiting_suppliers", oracle="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""")
+def q21(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    stats = (l.groupBy(F.col("l_orderkey").alias("ok"))
+             .agg(F.count_distinct("l_suppkey").alias("nsupp"),
+                  F.count_distinct(
+                      F.when(F.col("l_returnflag") == "R",
+                             F.col("l_suppkey"))).alias("nfail")))
+    l1 = l.where(F.col("l_returnflag") == "R")
+    return (l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+            .join(stats, l1.l_orderkey == stats.ok)
+            .where((F.col("nsupp") >= 2) & (F.col("nfail") == 1))
+            .join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numwait")))
