@@ -120,3 +120,21 @@ def adv_json_roundtrip(spark, sf_dir):
     return (back.df.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum(F.col("o_totalprice"), "total")))
+
+
+@query("adv_orc_roundtrip", oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+GROUP BY o_orderstatus
+""")
+def adv_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round trip (self-describing columnar format, so
+    no re-read schema is needed; types survive exactly)."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_orc_"), "orders")
+    o.write.mode("overwrite").orc(target)
+    back = spark.read.orc(target)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("o_totalprice"), "total")))

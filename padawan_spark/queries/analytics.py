@@ -272,3 +272,47 @@ def ana_unpivot(spark, sf_dir):
         "s_suppkey", F.col("s_acctbal").alias("acctbal"),
         F.col("s_nationkey").cast("double").alias("nationkey"))
     return s.unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@query("ana_win_ntile", oracle="""
+SELECT c_custkey,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""")
+def ana_win_ntile(spark, sf_dir):
+    """ntile / percent_rank / cume_dist — rank-family windows; the
+    custkey tiebreaker makes every rank (hence every ratio) unique and
+    cross-engine deterministic."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+@query("ana_win_range_frame", oracle="""
+SELECT o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+       AS DOUBLE) AS trailing_7d
+FROM orders
+""")
+def ana_win_range_frame(spark, sf_dir):
+    """Time-range window frame (trailing 7-day revenue per customer).
+    Spark range frames need a numeric order key, so the timestamp is
+    cast to epoch seconds and the frame is [-7d, 0] in seconds — value
+    semantics identical to the oracle's RANGE BETWEEN INTERVAL."""
+    o = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+         .rangeBetween(-7 * 86400, 0))
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+        .alias("trailing_7d"))

@@ -160,3 +160,85 @@ def sim_label_centroids(spark, sf_dir):
                  (F.sum((F.col("dot") / (F.col("vnrm") * F.col("cnrm")))
                         .cast(d9)).cast("double") / F.count(F.lit(1)))
                  .alias("avg_cos_to_centroid")))
+
+
+# ---------------------------------------------------------------------------
+# IVF probe search: per-label centroids are the coarse quantizer; each
+# query probes its nprobe=2 nearest centroids and searches only those
+# clusters. At scale the candidate join is an equi-join on label
+# (hash-partitioned shuffle over ~1/nlist of the corpus per probe),
+# never a cross join; centroids are a broadcast-sized side.
+# ---------------------------------------------------------------------------
+
+@query("sim_ann_ivf", oracle=f"""
+WITH comp AS (
+  SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+cent AS (
+  SELECT label, dim,
+    CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS cval
+  FROM comp GROUP BY label, dim),
+qc AS (
+  SELECT comp.vec_id AS query_id, cent.label AS probe_label,
+    CAST(SUM(CAST(val * cval AS DECIMAL(38,9))) AS DOUBLE)
+      / (sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,9))) AS DOUBLE))
+         * sqrt(CAST(SUM(CAST(cval * cval AS DECIMAL(38,9))) AS DOUBLE)))
+      AS ccos
+  FROM comp JOIN cent ON comp.dim = cent.dim
+  WHERE comp.vec_id < 10
+  GROUP BY comp.vec_id, cent.label),
+probes AS (
+  SELECT query_id, probe_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ccos DESC, probe_label) AS prn
+    FROM qc) WHERE prn <= 2),
+v AS ({_DUCK_VECS}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_DUCK_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM v q
+  JOIN probes ON probes.query_id = q.vec_id
+  JOIN v c ON c.label = probes.probe_label AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def sim_ann_ivf(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    d9 = "decimal(38,9)"
+    comp = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "val")).withColumn("dim", F.col("pos") + 1).drop("pos")
+    cent = (comp.groupBy(F.col("label").alias("probe_label"),
+                         F.col("dim").alias("cdim"))
+            .agg((F.sum(F.col("val").cast(d9)).cast("double")
+                  / F.count(F.lit(1))).alias("cval")))
+    qcomp = comp.where(F.col("vec_id") < 10)
+    qc = (qcomp.join(F.broadcast(cent), qcomp.dim == cent.cdim)
+          .groupBy(F.col("vec_id").alias("query_id"), "probe_label")
+          .agg((F.sum((F.col("val") * F.col("cval")).cast(d9)).cast("double")
+                / (F.sqrt(F.sum((F.col("val") * F.col("val")).cast(d9))
+                          .cast("double"))
+                   * F.sqrt(F.sum((F.col("cval") * F.col("cval")).cast(d9))
+                            .cast("double")))).alias("ccos")))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "probe_label")
+    probes = (qc.withColumn("prn", F.row_number().over(wp))
+              .where(F.col("prn") <= 2).select("query_id", "probe_label"))
+    v = _vecs(spark, sf_dir)
+    q = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"))
+    c = v.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("emb").alias("ce"), F.col("nrm").alias("cn"),
+                 F.col("label").alias("clabel"))
+    cos = (F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")))
+    scored = (q.join(F.broadcast(probes), q.qid == probes.query_id)
+              .join(c, (F.col("clabel") == F.col("probe_label"))
+                    & (F.col("qid") != F.col("neighbor_id")))
+              .select("query_id", "neighbor_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3))
