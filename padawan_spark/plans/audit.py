@@ -36,6 +36,7 @@ class PlanAudit:
     partial_aggregates: int = 0     # map-side combine present
     scans: list[str] = field(default_factory=list)
     pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
     codegen_stages: int = 0
     take_ordered: bool = False      # top-k executed as TakeOrderedAndProject
 
@@ -76,6 +77,7 @@ def audit(df: DataFrame) -> PlanAudit:
     a.partial_aggregates = len(re.findall(r"\bpartial_\w+\(", plan))
     a.scans = re.findall(r"Scan (\w+) ", plan)
     a.pushed_filters = re.findall(r"PushedFilters: (\[[^\]]*\])", plan)
+    a.partition_filters = re.findall(r"PartitionFilters: (\[[^\]]*\])", plan)
     a.codegen_stages = len(set(re.findall(r"WholeStageCodegen \((\d+)\)",
                                           plan))
                            or set(re.findall(r"codegen id : (\d+)", plan)))

@@ -127,3 +127,26 @@ def scale_rollup_compose(spark, sf_dir):
     return (mat.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
             .agg(F.sum("n").alias("n"),
                  F.sum("total_dec").cast("double").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+
+@query("scale_partitioned_write", oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+GROUP BY o_orderstatus
+""")
+def scale_partitioned_write(spark, sf_dir):
+    """Hive-layout partitioned sink + partition-pruned source: orders
+    written partitionBy(year), read back filtered to two years — the
+    scan touches only those directories (PartitionFilters in the plan,
+    asserted by tests/test_plans.py). At 100 TB this layout is what
+    turns a full-table scan into a two-partition read."""
+    o = load(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_part_"), "orders")
+    o.write.partitionBy("o_year").mode("overwrite").parquet(target)
+    back = spark.read.parquet(target)
+    return (back.where(F.col("o_year").isin(1997, 1998))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("o_totalprice"), "total")))

@@ -51,3 +51,16 @@ SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
 """)
 def streaming_running_count(spark, sf_dir):
     return running_count_per_user(spark, sf_dir)
+
+
+@query("streaming_interval_join", oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       p.user_id, p.ts AS p_ts, v.ts AS v_ts
+FROM events p JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+""")
+def streaming_interval_join(spark, sf_dir):
+    from ..streaming import run_streaming_interval_join
+    return run_streaming_interval_join(spark, sf_dir)

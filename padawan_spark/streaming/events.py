@@ -111,3 +111,28 @@ def running_count_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = spark.table(name)
     return (latest.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events")))
+
+
+def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's views from the preceding hour.  Both sides carry watermarks
+    so the join state is bounded — Spark drops buffered view rows once
+    the purchase-side watermark passes v_ts + 1h (the state-retention
+    bound a 100 TB deployment needs).  Inner-join matches emit as they
+    are found, so append mode with availableNow equals the batch result.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    v = (ev.where(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+                 F.col("event_id").alias("view_id"))
+         .withWatermark("v_ts", "1 hour"))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("user_id"), F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("purchase_id"))
+         .withWatermark("p_ts", "1 hour"))
+    j = p.join(v, (F.col("user_id") == F.col("v_user"))
+               & (F.col("v_ts") <= F.col("p_ts"))
+               & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")))
+    name = _run_to_memory(j, mode="append")
+    return (spark.table(name)
+            .select("purchase_id", "view_id", "user_id", "p_ts", "v_ts"))

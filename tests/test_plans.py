@@ -101,3 +101,16 @@ def test_codegen_present_on_scan_agg(spark):
     a = audit(df)
     assert "isFinalPlan=true" in a.plan
     assert a.codegen_stages >= 1, a.plan
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    a = plan_of(spark, "scale_partitioned_write")
+    assert any("o_year" in p for p in a.partition_filters), (
+        a.partition_filters or a.plan)
+
+
+def test_bucketed_join_no_exchange(spark):
+    a = plan_of(spark, "scale_bucketed_join")
+    # bucketBy pre-shuffled both sides at write time: the join itself
+    # must not add a shuffle exchange
+    assert a.exchanges <= 1, a.plan  # ≤1: the final groupBy may exchange
