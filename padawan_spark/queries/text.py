@@ -154,3 +154,58 @@ def text_fingerprint(spark, sf_dir):
         F.expr(roll.format(n="length(text)")).alias("fp"),
         F.expr(roll.format(n="least(length(text), 64)")).alias("fp_prefix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish pre-tokenization: the GPT-2-style splitter approximated with
+# an ASCII-only regex (identical semantics in Java regex and RE2):
+# contraction suffixes | space?+letter-run | space?+digit-run |
+# space?+punct-run. Counting these is the standard pipeline proxy for
+# "how many BPE tokens will this doc cost".
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+# the leading contraction branch contains a single quote: escape it per
+# engine (doubled '' in DuckDB literals, double-quoted string in Spark SQL)
+_BPE_DUCK = _BPE_RE.replace("'", "''")
+
+
+@query("text_bpe_tokens", oracle=f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_DUCK}')) AS INTEGER) AS n_bpe,
+  CAST(len(list_filter(regexp_extract_all(text, '{_BPE_DUCK}'),
+                       t -> regexp_matches(t, '^ ?[0-9]+$'))) AS INTEGER)
+    AS n_numeric,
+  CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_whitespace
+FROM documents
+""")
+def text_bpe_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = f'regexp_extract_all(text, "{_BPE_RE}", 0)'
+    return d.select(
+        "doc_id",
+        F.expr(f"cast(size({toks}) as int)").alias("n_bpe"),
+        F.expr(f"cast(size(filter({toks},"
+               " t -> t rlike '^ ?[0-9]+$')) as int)").alias("n_numeric"),
+        F.expr(f"cast(size({_SPARK_TOKS}) as int)").alias("n_whitespace"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus word count — explode tokens, global frequency, top 20.
+# The shuffle is on the token (high cardinality, well distributed);
+# partial aggregation collapses each partition's counts first.
+# ---------------------------------------------------------------------------
+
+@query("text_wordcount", oracle=f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+GROUP BY token ORDER BY freq DESC, token LIMIT 20
+""")
+def text_wordcount(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.expr(_SPARK_TOKS)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+            .orderBy(F.desc("freq"), "token")
+            .limit(20))
