@@ -70,8 +70,12 @@ def audit(df: DataFrame) -> PlanAudit:
     a.cartesian_products = len(re.findall(r"\bCartesianProduct\b", plan))
     a.broadcast_nested_loop = len(re.findall(r"\bBroadcastNestedLoopJoin\b",
                                              plan))
-    a.exchanges = len(re.findall(r"\bExchange hashpartitioning|"
-                                 r"\bExchange rangepartitioning", plan))
+    # formatted mode prints each node twice (tree + details); count only
+    # the details-section headers "(N) Exchange". BroadcastExchange and
+    # ReusedExchange are different node names and are excluded — this
+    # counts shuffle exchanges (real data movement) only.
+    a.exchanges = len(re.findall(r"^\(\d+\) Exchange\s*$", plan,
+                                 re.MULTILINE))
     # HashAggregate nodes come in partial/final pairs; AQE prints the
     # keys= / functions= detail section with "partial_" prefixed fns.
     a.partial_aggregates = len(re.findall(r"\bpartial_\w+\(", plan))

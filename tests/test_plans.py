@@ -110,7 +110,16 @@ def test_partitioned_write_prunes_partitions(spark):
 
 
 def test_bucketed_join_no_exchange(spark):
-    a = plan_of(spark, "scale_bucketed_join")
+    # at test SF the tables are broadcast-sized, which would bypass the
+    # property under test — disable broadcast so the planner must pick
+    # the sort-merge path over the bucketed layout
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = plan_of(spark, "scale_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     # bucketBy pre-shuffled both sides at write time: the join itself
     # must not add a shuffle exchange
-    assert a.exchanges <= 1, a.plan  # ≤1: the final groupBy may exchange
+    assert a.shuffle_joins >= 1, a.plan
+    assert a.exchanges <= 1, a.plan  # ≤1: only the final groupBy moves data
