@@ -316,3 +316,33 @@ def ana_win_range_frame(spark, sf_dir):
         "o_orderkey",
         F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
         .alias("trailing_7d"))
+
+
+@query("ana_array_funcs", oracle="""
+SELECT vec_id,
+  CAST(len(emb) AS INTEGER) AS n_dims,
+  list_max(emb) AS vmax,
+  list_min(emb) AS vmin,
+  emb[1:3] AS head3,
+  list_sort(emb)[1:2] AS smallest2,
+  CAST(len(list_filter(emb, x -> x > 0)) AS INTEGER) AS n_pos,
+  CAST(list_contains(list_transform(emb, x -> x > 0.5), true) AS INTEGER)
+    AS any_large
+FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < 100)
+""")
+def ana_array_funcs(spark, sf_dir):
+    """Array higher-order and collection functions (the `array_*` family
+    padawan reaches only through polars `map`): element-wise transforms,
+    sort, slice, filter, existence — all JVM-side, codegen-friendly."""
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("int").alias("n_dims"),
+        F.array_max(emb).alias("vmax"),
+        F.array_min(emb).alias("vmin"),
+        F.slice(emb, 1, 3).alias("head3"),
+        F.slice(F.array_sort(emb), 1, 2).alias("smallest2"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.exists(emb, lambda x: x > 0.5).cast("int").alias("any_large"))
