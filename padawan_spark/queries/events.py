@@ -134,3 +134,38 @@ def ev_gapfill(spark, sf_dir):
                                 INTERVAL 1 HOUR)) AS hour""")
     return (spine.join(hourly, spine.hour == hourly.h, "left")
             .select("hour", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))
+
+
+@query("ev_retention", oracle="""
+WITH first AS (
+  SELECT user_id,
+    CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+      AS cohort
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id,
+    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+  FROM events)
+SELECT f.cohort,
+  CAST(EXTRACT(EPOCH FROM a.wk - f.cohort) / 604800 AS INTEGER)
+    AS week_offset,
+  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM first f JOIN activity a ON f.user_id = a.user_id
+GROUP BY 1, 2
+""")
+def ev_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    distinct per week offset. Two aggregations over events (cohort map,
+    distinct activity) then a join on user_id — each shuffle keyed on the
+    high-cardinality user, the 100 TB-safe shape; week offsets are exact
+    integers (UTC, no DST) so the output is hash-stable."""
+    e = load(spark, sf_dir, "events")
+    first = (e.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    activity = (e.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+                .distinct())
+    j = activity.join(first, "user_id")
+    offset = ((F.col("wk").cast("long") - F.col("cohort").cast("long"))
+              / 604800).cast("int")
+    return (j.groupBy("cohort", offset.alias("week_offset"))
+            .agg(F.countDistinct("user_id").cast("bigint").alias("n_users")))
