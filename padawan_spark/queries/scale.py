@@ -150,3 +150,66 @@ def scale_partitioned_write(spark, sf_dir):
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum(F.col("o_totalprice"), "total")))
+
+
+# ---------------------------------------------------------------------------
+
+@query("scale_hash_sample", oracle=f"""
+SELECT COUNT(*) AS n, {sql_dsum('l_extendedprice', 'total')}
+FROM lineitem
+WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                               CAST(l_linenumber AS VARCHAR)), 1, 8))
+           AS BIGINT) % 100 < 5
+""")
+def scale_hash_sample(spark, sf_dir):
+    """Reproducible 5% sample by key hash — the scale replacement for
+    seeded random sampling (padawan samples per partition with
+    deterministic seeds, repartitioned_dataset.py:104-105): hash of the
+    business key is stable across runs, partitionings, and engines, so
+    downstream jobs can re-derive the exact same sample without storing
+    it. md5 prefix parity Spark<->DuckDB is part of the determinism
+    policy."""
+    l = load(spark, sf_dir, "lineitem")
+    bucket = (F.conv(F.substring(F.md5(F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 100)
+    return (l.where(bucket < 5)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("l_extendedprice"), "total")))
+
+
+# ---------------------------------------------------------------------------
+
+@query("scale_zorder_layout", oracle="""
+WITH bits AS (
+  SELECT o_orderkey,
+    CAST(o_custkey % 65536 AS BIGINT) AS xk,
+    CAST(EXTRACT(EPOCH FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+      // 86400 % 65536 AS yk
+  FROM orders WHERE o_orderkey <= 2000)
+SELECT o_orderkey, xk, yk,
+  CAST((SELECT SUM(((xk >> i) & 1) * POWER(2, 2 * i)
+             + ((yk >> i) & 1) * POWER(2, 2 * i + 1))
+        FROM range(16) t(i)) AS BIGINT) AS zval
+FROM bits
+""")
+def scale_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) interleaving of customer key and order day —
+    the multi-dimensional clustering layout: writing sorted by zval
+    co-locates rows close in BOTH dimensions, so min/max row-group
+    stats prune 2-D range predicates (the Delta/Iceberg OPTIMIZE ZORDER
+    technique, expressed as plain bit arithmetic)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    xk = (F.col("o_custkey") % 65536).cast("bigint")
+    yk = ((F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
+          .cast("bigint") % 65536)
+    z = None
+    for i in range(16):
+        xbit = F.shiftleft(F.shiftright(F.col("xk"), i).bitwiseAND(1), 2 * i)
+        ybit = F.shiftleft(F.shiftright(F.col("yk"), i).bitwiseAND(1),
+                           2 * i + 1)
+        term = xbit + ybit
+        z = term if z is None else z + term
+    return (o.select("o_orderkey", xk.alias("xk"), yk.alias("yk"))
+            .withColumn("zval", z.cast("bigint")))
