@@ -346,3 +346,59 @@ def ana_array_funcs(spark, sf_dir):
         F.slice(F.array_sort(emb), 1, 2).alias("smallest2"),
         F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_pos"),
         F.exists(emb, lambda x: x > 0.5).cast("int").alias("any_large"))
+
+
+@query("ana_stats_moments", oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+             * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+             * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+             * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  sx / n AS mean_qty,
+  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+  (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+  ROUND((sxy - sx * sy / n)
+        / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 12)
+    AS corr_qty_price
+FROM m
+""")
+def ana_stats_moments(spark, sf_dir):
+    """Statistical aggregates (stddev / covariance / correlation) done
+    order-independently: the five moment sums go through exact DECIMAL
+    (associative), then the textbook formulas run per-group in double.
+    Spark's built-in corr()/stddev() stream in partition order and are
+    not bit-reproducible across partitionings — at scale, reproducible
+    stats come from exact moments, not from streaming estimators.
+    The final correlation is rounded to 12 decimals: the composed
+    divide/sqrt chain differs by 1 ulp across engines, orders of
+    magnitude below statistical meaning."""
+    l = load(spark, sf_dir, "lineitem")
+    # products are formed as exact decimal x decimal (the double->decimal
+    # cast of a full-precision product rounds differently across engines;
+    # casting each factor first is exact on both)
+    x, y = F.col("l_quantity").cast(DEC), F.col("l_extendedprice").cast(DEC)
+    m = (l.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).cast("double").alias("sx"),
+              F.sum(y).cast("double").alias("sy"),
+              F.sum(x * x).cast("double").alias("sxx"),
+              F.sum(y * y).cast("double").alias("syy"),
+              F.sum(x * y).cast("double").alias("sxy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag", "n",
+        (sx / n).alias("mean_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        F.round((sxy - sx * sy / n)
+                / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 12)
+        .alias("corr_qty_price"))
