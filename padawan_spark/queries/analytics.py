@@ -363,8 +363,8 @@ WITH m AS (
   FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, n,
   sx / n AS mean_qty,
-  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-  (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 10) AS stddev_qty,
+  ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price,
   ROUND((sxy - sx * sy / n)
         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 12)
     AS corr_qty_price
@@ -379,7 +379,11 @@ def ana_stats_moments(spark, sf_dir):
     stats come from exact moments, not from streaming estimators.
     The final correlation is rounded to 12 decimals: the composed
     divide/sqrt chain differs by 1 ulp across engines, orders of
-    magnitude below statistical meaning."""
+    magnitude below statistical meaning.  The covariance is rounded to
+    4 decimals and stddev to 10: ``sxy - sx*sy/n`` cancels ~6 leading
+    digits, so a 1-ulp engine difference in the e9-magnitude inputs
+    surfaces as ~1e-10 absolute in the result (observed at sf0.001) —
+    the rounding sits ~1e6x above that noise floor."""
     l = load(spark, sf_dir, "lineitem")
     # products are formed as exact decimal x decimal (the double->decimal
     # cast of a full-precision product rounds differently across engines;
@@ -397,8 +401,8 @@ def ana_stats_moments(spark, sf_dir):
     return m.select(
         "l_returnflag", "n",
         (sx / n).alias("mean_qty"),
-        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 10).alias("stddev_qty"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_qty_price"),
         F.round((sxy - sx * sy / n)
                 / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 12)
         .alias("corr_qty_price"))
