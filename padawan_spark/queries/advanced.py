@@ -138,3 +138,50 @@ def adv_orc_roundtrip(spark, sf_dir):
     return (back.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum(F.col("o_totalprice"), "total")))
+
+
+@query("adv_merge_upsert", oracle="""
+WITH delta AS (
+  SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice * 0.5 AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 1
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1
+  FROM orders WHERE o_orderkey % 100 = 0)
+SELECT COALESCE(t.o_orderkey, d.o_orderkey) AS o_orderkey,
+       COALESCE(d.o_custkey, t.o_custkey) AS o_custkey,
+       COALESCE(d.o_totalprice, t.o_totalprice) AS o_totalprice,
+       CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+            WHEN d.o_orderkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM orders t FULL JOIN delta d ON t.o_orderkey = d.o_orderkey
+""")
+def adv_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) semantics composed from a full outer join +
+    coalesce — the lakehouse write pattern (Delta/Iceberg MERGE) on
+    plain parquet: matched rows take the source's values, unmatched
+    source rows are inserts, unmatched target rows pass through.  At
+    scale the join shuffles both sides by the merge key once; with a
+    small delta batch AQE turns it into a broadcast join and the
+    target is effectively rewritten partition-local."""
+    t = load(spark, sf_dir, "orders").alias("t")
+    o = load(spark, sf_dir, "orders")
+    updates = (o.where(F.col("o_orderkey") % 100 == 0)
+               .select("o_orderkey", "o_custkey", "o_orderstatus",
+                       (F.col("o_totalprice") * 1.1).alias("o_totalprice")))
+    inserts = (o.where(F.col("o_orderkey") % 100 == 1)
+               .select((F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                       "o_custkey", F.lit("N").alias("o_orderstatus"),
+                       (F.col("o_totalprice") * 0.5).alias("o_totalprice")))
+    d = updates.unionByName(inserts).alias("d")
+    return (t.join(d, F.col("t.o_orderkey") == F.col("d.o_orderkey"), "full")
+            .select(
+                F.coalesce(F.col("t.o_orderkey"), F.col("d.o_orderkey"))
+                 .alias("o_orderkey"),
+                F.coalesce(F.col("d.o_custkey"), F.col("t.o_custkey"))
+                 .alias("o_custkey"),
+                F.coalesce(F.col("d.o_totalprice"), F.col("t.o_totalprice"))
+                 .alias("o_totalprice"),
+                F.when(F.col("t.o_orderkey").isNull(), "insert")
+                 .when(F.col("d.o_orderkey").isNull(), "keep")
+                 .otherwise("update").alias("action")))

@@ -406,3 +406,42 @@ def ana_stats_moments(spark, sf_dir):
         F.round((sxy - sx * sy / n)
                 / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 12)
         .alias("corr_qty_price"))
+
+
+@query("ana_histogram", oracle=f"""
+SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+       CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) * 5000.0 AS bucket_lo,
+       COUNT(*) AS n, {sql_dsum('l_extendedprice', 'total')}
+FROM lineitem GROUP BY 1, 2
+""")
+def ana_histogram(spark, sf_dir):
+    """Fixed-width histogram (the ``width_bucket`` pattern): bucket id is
+    floor(x / width) in plain double arithmetic, identical across engines.
+    At scale this is a single partial+final hash aggregation over ~21
+    buckets — no shuffle pressure regardless of input size; the profile
+    query behind data-quality dashboards."""
+    l = load(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint")
+    return (l.groupBy(bucket.alias("bucket"),
+                      (bucket * 5000.0).alias("bucket_lo"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("l_extendedprice"), "total")))
+
+
+@query("ana_posexplode", oracle="""
+SELECT vec_id, CAST(i - 1 AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+FROM embeddings, unnest(range(1, 5)) AS u(i)
+WHERE vec_id < 50
+""")
+def ana_posexplode(spark, sf_dir):
+    """Lateral-view/table-function surface: ``posexplode`` flattens an
+    array column into (position, value) rows — the UNNEST WITH ORDINALITY
+    of SQL engines.  float32->double widening is exact, so values
+    hash-match bit-for-bit.  Row expansion happens inside whole-stage
+    codegen (Generate node), no Python boundary."""
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    return (e.select("vec_id",
+                     F.posexplode(F.slice(F.col("embedding"), 1, 4))
+                      .alias("pos", "v"))
+            .select("vec_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("v").cast("double").alias("val")))

@@ -284,3 +284,41 @@ def dedup_embedding_cosine(spark, sf_dir):
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
                     cos.alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy dedup by edit distance, blocked to avoid the O(n^2) cross join
+# ---------------------------------------------------------------------------
+
+@query("dedup_levenshtein", oracle="""
+WITH p AS (SELECT p_partkey, p_name,
+                  string_split(p_name, ' ')[2] AS blk FROM part WHERE p_partkey <= 500)
+SELECT DISTINCT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM p a JOIN p b
+  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+""")
+def dedup_levenshtein(spark, sf_dir):
+    """Fuzzy entity matching by edit distance — the record-linkage
+    operator for catalog/metadata dedup.  The quadratic comparison is
+    tamed by BLOCKING (here: the noun token of the name); candidates are
+    generated by an equi-join on the block key so the shuffle
+    partitions by block and Levenshtein runs only within blocks —
+    never an unblocked cross join.  Edit distance is integer dynamic
+    programming: engine-exact."""
+    p = (load(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+         .select("p_partkey", "p_name",
+                 F.split(F.col("p_name"), " ").getItem(1).alias("blk")))
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+            .where(dist.between(1, 3))
+            .select(F.col("a.p_partkey").alias("key_a"),
+                    F.col("b.p_partkey").alias("key_b"),
+                    F.col("a.p_name").alias("name_a"),
+                    F.col("b.p_name").alias("name_b"),
+                    dist.cast("int").alias("dist"))
+            .distinct())

@@ -213,3 +213,61 @@ def scale_zorder_layout(spark, sf_dir):
         z = term if z is None else z + term
     return (o.select("o_orderkey", xk.alias("xk"), yk.alias("yk"))
             .withColumn("zval", z.cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
+
+@query("scale_stratified_sample", oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+           AS BIGINT) % 100
+      < CASE o_orderpriority WHEN '1-URGENT' THEN 50
+                             WHEN '2-HIGH' THEN 20 ELSE 5 END
+GROUP BY o_orderpriority
+""")
+def scale_stratified_sample(spark, sf_dir):
+    """Stratified sampling with per-stratum rates (the deterministic
+    ``sampleBy``): rare strata are kept at a higher rate than common
+    ones, the standard trick for building balanced training subsets
+    from skewed corpora.  The keep decision is a pure function of the
+    business key's md5 — stable across runs, partitionings, and
+    engines, so the sample is reproducible without persisting it.
+    One scan, one partial+final agg; no shuffle of the unsampled data."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                                 1, 8), 16, 10).cast("bigint") % 100)
+    rate = (F.when(F.col("o_orderpriority") == "1-URGENT", 50)
+            .when(F.col("o_orderpriority") == "2-HIGH", 20)
+            .otherwise(5))
+    return (o.where(bucket < rate)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("o_totalprice"), "total")))
+
+
+# ---------------------------------------------------------------------------
+
+@query("scale_incremental_rollup", oracle=f"""
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+       COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+FROM events GROUP BY 1, 2
+""")
+def scale_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance: the weekly rollup is
+    computed by MERGING daily partial aggregate states (count + exact
+    decimal sum), never by re-reading raw events.  Because the partial
+    states are associative, merging day partials equals the direct
+    weekly aggregate bit-for-bit — the pattern that keeps a 100 TB
+    metrics table incrementally updatable (each new day only touches
+    its own partial; the weekly view is a cheap re-merge of ~7 rows
+    per key).  The oracle computes the weekly aggregate directly,
+    proving partial-merge == full recompute."""
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.count(F.lit(1)).alias("pn"),
+                  F.sum(F.col("value").cast(DEC)).alias("ptotal")))
+    return (daily.groupBy(F.date_trunc("week", "day").alias("week"),
+                          "event_type")
+            .agg(F.sum("pn").alias("n"),
+                 F.sum("ptotal").cast("double").alias("total_value")))

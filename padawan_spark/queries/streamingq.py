@@ -64,3 +64,13 @@ FROM events p JOIN events v
 def streaming_interval_join(spark, sf_dir):
     from ..streaming import run_streaming_interval_join
     return run_streaming_interval_join(spark, sf_dir)
+
+
+@query("streaming_dedup_watermark", oracle="""
+SELECT DISTINCT user_id, event_type,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
+FROM events
+""")
+def streaming_dedup_watermark(spark, sf_dir):
+    from ..streaming import run_streaming_dedup
+    return run_streaming_dedup(spark, sf_dir)

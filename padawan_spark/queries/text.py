@@ -209,3 +209,46 @@ def text_wordcount(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
             .orderBy(F.desc("freq"), "token")
             .limit(20))
+
+
+@query("text_tfidf", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf, rn FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def text_tfidf(spark, sf_dir):
+    """TF-IDF keyword extraction: term frequency per doc x inverse
+    document frequency, top-3 terms per document.  The corpus-wide df
+    table is tiny (vocabulary-sized) and broadcast to the tf side, so
+    the only full shuffle is the per-doc tf aggregation — the shape
+    that holds when the corpus is 100 TB but the vocabulary is
+    millions.  ln() is transcendental, so the score is rounded to 6
+    decimals BEFORE ranking (determinism policy: libm results may
+    differ 1 ulp across engines); the row_number tie-break is
+    (rounded score, term) — total and engine-stable."""
+    from pyspark.sql.window import Window
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n").cast("double") / F.col("df")),
+                              6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3))

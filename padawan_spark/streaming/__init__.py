@@ -1,5 +1,6 @@
 from .events import (  # noqa: F401
     read_events_stream,
+    run_streaming_dedup,
     run_streaming_interval_join,
     run_streaming_sessionize,
     run_streaming_tumbling,

@@ -136,3 +136,23 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _run_to_memory(j, mode="append")
     return (spark.table(name)
             .select("purchase_id", "view_id", "user_id", "p_ts", "v_ts"))
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    drops later duplicates, while the watermark lets Spark evict key
+    state once event time moves past the tolerance — the ingestion
+    guard of an at-least-once event pipeline (exactly-once dedup with
+    finite memory).  Key = (user, event_type, hour bucket); only key
+    columns are emitted, so the batch equivalent is SELECT DISTINCT.
+    The trailing distinct() on the collected sink output makes the
+    result insensitive to re-emission across micro-batch boundaries
+    after state eviction."""
+    ev = read_events_stream(spark, sf_dir)
+    keyed = (ev.withColumn("hour", F.date_trunc("hour", "ts"))
+             .withWatermark("ts", "1 hour")
+             .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
+             .select("user_id", "event_type", "hour"))
+    name = _run_to_memory(keyed, mode="append")
+    return spark.table(name).distinct()
