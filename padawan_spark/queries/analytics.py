@@ -445,3 +445,52 @@ def ana_posexplode(spark, sf_dir):
                       .alias("pos", "v"))
             .select("vec_id", F.col("pos").cast("int").alias("pos"),
                     F.col("v").cast("double").alias("val")))
+
+
+@query("ana_string_agg", oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation GROUP BY n_regionkey
+""")
+def ana_string_agg(spark, sf_dir):
+    """LISTAGG / string_agg surface: collect group members into one
+    delimited string.  Spark's ``collect_list`` is order-nondeterministic
+    (arrival order of shuffle blocks), so the list is ``array_sort``-ed
+    before joining — the only way the operator is reproducible at all on
+    a distributed engine, and what makes it hash-match DuckDB's
+    ``ORDER BY`` variant.  Per-group state is the member list: bounded
+    here by group cardinality, the standard caveat for LISTAGG at scale."""
+    n = load(spark, sf_dir, "nation")
+    return (n.groupBy("n_regionkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                 .alias("nations"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@query("ana_filtered_agg", oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       {sql_dsum("CASE WHEN l_quantity > 25 THEN l_extendedprice END",
+                 'bulk_revenue')},
+       COUNT(DISTINCT CASE WHEN l_tax > 0.04 THEN l_suppkey END)
+         AS taxed_suppliers
+FROM lineitem GROUP BY l_returnflag
+""")
+def ana_filtered_agg(spark, sf_dir):
+    """Conditional / FILTERed aggregation — several differently-filtered
+    aggregates in ONE pass over the fact table (the dashboard-metrics
+    shape).  Each aggregate carries its own predicate as a CASE input,
+    so there is exactly one scan and one partial+final hash agg no
+    matter how many metrics are stacked; the naive alternative (one
+    subquery per metric, joined) would scan the 100 TB fact table once
+    per metric."""
+    l = load(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.count(F.when(F.col("l_discount") > 0.05, 1))
+                 .alias("n_discounted"),
+                 dsum(F.when(F.col("l_quantity") > 25,
+                             F.col("l_extendedprice")), "bulk_revenue"),
+                 F.countDistinct(
+                     F.when(F.col("l_tax") > 0.04, F.col("l_suppkey")))
+                 .alias("taxed_suppliers")))
