@@ -494,3 +494,49 @@ def ana_filtered_agg(spark, sf_dir):
                  F.countDistinct(
                      F.when(F.col("l_tax") > 0.04, F.col("l_suppkey")))
                  .alias("taxed_suppliers")))
+
+
+@query("ana_set_ops_all", oracle="""
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+""")
+def ana_set_ops_all(spark, sf_dir):
+    """Multiset (bag) set operations: INTERSECT ALL preserves duplicate
+    multiplicity — each side keeps min(count_left, count_right) copies
+    per value — unlike the distinct INTERSECT of ana_set_intersect.
+    Spark implements it as a single hash aggregation counting per-side
+    occurrences, then a generate of min(counts) rows: one shuffle on
+    the value, no join."""
+    l = load(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = l.where(F.col("l_quantity") > 45).select("l_suppkey")
+    return a.intersectAll(b)
+
+
+@query("ana_null_semantics", oracle="""
+WITH a AS (SELECT NULLIF(o_orderkey % 5, 0) AS grp, COUNT(*) AS n_a
+           FROM orders GROUP BY 1),
+     b AS (SELECT NULLIF(o_custkey % 5, 0) AS grp, COUNT(*) AS n_b
+           FROM orders GROUP BY 1)
+SELECT COALESCE(CAST(a.grp AS VARCHAR), 'null') AS grp_label, a.n_a, b.n_b
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+""")
+def ana_null_semantics(spark, sf_dir):
+    """NULL-semantics surface: NULLIF manufactures a null group, GROUP BY
+    treats null as a real key, and the join uses null-safe equality
+    (``<=>`` / IS NOT DISTINCT FROM) so the null groups match each other
+    — the semantics plain ``=`` silently drops.  Mirrors the reference's
+    null-first ordering stance (nulls are first-class values, never
+    discarded; SURVEY §1.2).  Null-safe equality still hash-partitions
+    both sides on the key (null hashes like any value), so the join
+    shuffles normally — no nested-loop penalty."""
+    o = load(spark, sf_dir, "orders")
+    a = (o.groupBy(F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("grp"))
+         .agg(F.count(F.lit(1)).alias("n_a")).alias("a"))
+    b = (o.groupBy(F.nullif(F.col("o_custkey") % 5, F.lit(0)).alias("grp"))
+         .agg(F.count(F.lit(1)).alias("n_b")).alias("b"))
+    return (a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp")))
+            .select(F.coalesce(F.col("a.grp").cast("string"), F.lit("null"))
+                    .alias("grp_label"),
+                    "n_a", "n_b"))
