@@ -540,3 +540,76 @@ def ana_null_semantics(spark, sf_dir):
             .select(F.coalesce(F.col("a.grp").cast("string"), F.lit("null"))
                     .alias("grp_label"),
                     "n_a", "n_b"))
+
+
+@query("ana_map_funcs", oracle="""
+SELECT user_id, event_type, CAST(cnt AS BIGINT) AS cnt FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events
+  WHERE user_id < 200 GROUP BY 1, 2)
+""")
+def ana_map_funcs(spark, sf_dir):
+    """MapType surface: per-user event counts are packed into a
+    ``map<string,bigint>`` via map_from_entries(collect_list(struct)),
+    then exploded back to rows.  The oracle is the plain group-by the
+    round trip must reproduce — proving map construction, storage, and
+    explosion are lossless.  Maps are the natural carrier for sparse
+    per-entity feature vectors at scale (one row per entity, not one
+    row per entity x feature); both hops stay JVM-side (Generate +
+    codegen, no Python)."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    per = (e.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    packed = (per.groupBy("user_id")
+              .agg(F.map_from_entries(
+                  F.collect_list(F.struct("event_type", "cnt")))
+                  .alias("m")))
+    return (packed.select("user_id", F.explode("m").alias("event_type", "cnt"))
+            .select("user_id", "event_type", F.col("cnt").cast("bigint")
+                    .alias("cnt")))
+
+
+@query("ana_win_first_last", oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def ana_win_first_last(spark, sf_dir):
+    """first/last/nth value navigation over an explicit unbounded frame.
+    The frame must be spelled out: the SQL default for LAST_VALUE
+    (UNBOUNDED PRECEDING .. CURRENT ROW) makes it a running value —
+    the classic window gotcha; the unbounded frame gives the per-group
+    constant both engines agree on.  Ordering key includes the unique
+    orderkey so the frame order is total and engine-stable."""
+    o = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"))
+
+
+@query("ana_bitwise_agg", oracle="""
+SELECT l_returnflag,
+       bit_or(l_suppkey) AS flags_or,
+       bit_and(l_suppkey) AS flags_and,
+       bit_xor(l_suppkey) AS flags_xor
+FROM lineitem GROUP BY l_returnflag
+""")
+def ana_bitwise_agg(spark, sf_dir):
+    """Bitwise aggregates (bit_or/bit_and/bit_xor) — the roll-up for
+    permission masks, bitmap-encoded tags, and feature flags.  Integer
+    lattice operations: associative, commutative, overflow-free —
+    bit-exact on any engine and any partitioning, with full map-side
+    partial aggregation."""
+    l = load(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.bit_or("l_suppkey").alias("flags_or"),
+                 F.bit_and("l_suppkey").alias("flags_and"),
+                 F.bit_xor("l_suppkey").alias("flags_xor")))
