@@ -74,3 +74,13 @@ FROM events
 def streaming_dedup_watermark(spark, sf_dir):
     from ..streaming import run_streaming_dedup
     return run_streaming_dedup(spark, sf_dir)
+
+
+@query("streaming_static_join", oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""")
+def streaming_static_join(spark, sf_dir):
+    from ..streaming import run_streaming_static_join
+    return run_streaming_static_join(spark, sf_dir)

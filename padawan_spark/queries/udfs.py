@@ -111,3 +111,39 @@ def ana_grouping_sets(spark, sf_dir):
         FROM v_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+# ---------------------------------------------------------------------------
+# grouped-map applyInPandas: whole-group pandas transform
+# ---------------------------------------------------------------------------
+
+@query("udf_grouped_map", oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS seq,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS group_n
+FROM orders
+""")
+def udf_grouped_map(spark, sf_dir):
+    """Grouped-map ``applyInPandas``: each group arrives as ONE pandas
+    DataFrame and the function returns a transformed frame — the
+    whole-group escape hatch (per-entity model scoring, trajectory
+    resampling) that scalar/agg UDFs can't express.  Spark shuffles by
+    the grouping key and Arrow-transfers each group once; the per-group
+    sequence numbering is integer and sort-total, so the window-function
+    oracle matches exactly.  Scale caveat encoded in the choice of key:
+    one GROUP must fit one task's memory — group by the high-cardinality
+    entity, never by a low-cardinality label."""
+    l = load(spark, sf_dir, "orders")
+
+    def number(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        pdf["seq"] = range(1, len(pdf) + 1)
+        pdf["group_n"] = len(pdf)
+        return pdf[["o_custkey", "o_orderkey", "seq", "group_n"]]
+
+    return (l.select("o_custkey", "o_orderkey", "o_orderdate")
+            .groupBy("o_custkey")
+            .applyInPandas(number,
+                           "o_custkey long, o_orderkey long, "
+                           "seq int, group_n long"))

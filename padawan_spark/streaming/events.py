@@ -156,3 +156,25 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("user_id", "event_type", "hour"))
     name = _run_to_memory(keyed, mode="append")
     return spark.table(name).distinct()
+
+
+def run_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer) read as an ordinary batch DataFrame.  The
+    static side is re-resolved per micro-batch and — being small — is
+    BROADCAST to the stream tasks, so enrichment adds no shuffle and no
+    state: the canonical pattern for attaching slowly-changing
+    dimensions to a 100 TB/day event firehose.  Aggregation after the
+    join (count + exact decimal sum per market segment) is the only
+    stateful stage."""
+    from pyspark.sql.functions import broadcast
+    ev = read_events_stream(spark, sf_dir)
+    cust = (spark.read.parquet(sf_dir + "/customer.parquet")
+            .select("c_custkey", "c_mktsegment"))
+    joined = ev.join(broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = (joined.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double").alias("total_value")))
+    name = _run_to_memory(agg, mode="complete")
+    return spark.table(name)
