@@ -185,3 +185,80 @@ def adv_merge_upsert(spark, sf_dir):
                 F.when(F.col("t.o_orderkey").isNull(), "insert")
                  .when(F.col("d.o_orderkey").isNull(), "keep")
                  .otherwise("update").alias("action")))
+
+
+@query("adv_union_evolved", oracle="""
+SELECT o_orderkey, o_totalprice, o_clerk FROM (
+  SELECT o_orderkey, o_totalprice, NULL AS o_clerk
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_totalprice, 'clerk_' || CAST(o_custkey % 10 AS VARCHAR)
+         AS o_clerk
+  FROM orders WHERE o_orderkey % 2 = 1)
+""")
+def adv_union_evolved(spark, sf_dir):
+    """Schema-evolution union: ``unionByName(allowMissingColumns=True)``
+    aligns by column NAME and null-fills columns absent on one side —
+    how an engine unions last year's files with this year's after a
+    column was added.  Positional UNION would silently misalign; the
+    by-name union stays a zero-shuffle partition concatenation exactly
+    like the reference's ``concat`` (SURVEY §2.1 row 3)."""
+    o = load(spark, sf_dir, "orders")
+    old = (o.where(F.col("o_orderkey") % 2 == 0)
+           .select("o_orderkey", "o_totalprice"))
+    new = (o.where(F.col("o_orderkey") % 2 == 1)
+           .select("o_orderkey", "o_totalprice",
+                   F.concat(F.lit("clerk_"),
+                            (F.col("o_custkey") % 10).cast("string"))
+                   .alias("o_clerk")))
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+@query("adv_profile_summary", oracle=f"""
+SELECT 'c_acctbal' AS col, COUNT(*) AS n_rows,
+       COUNT(c_acctbal) AS n_nonnull,
+       COUNT(DISTINCT c_acctbal) AS n_distinct,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_v,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_v,
+       {sql_dsum('c_acctbal', 'sum_v')}
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey),
+       COUNT(DISTINCT c_nationkey),
+       CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE),
+       {sql_dsum('c_nationkey', 'sum_v')}
+FROM customer
+""")
+def adv_profile_summary(spark, sf_dir):
+    """Column profiling (the ``describe`` / data-quality operator): one
+    row per profiled column with row/non-null/distinct counts, min,
+    max, and exact decimal sum.  All metrics for ALL columns come from
+    a single scan — each column's profile is one grouped projection of
+    the same pass — so profiling a 100 TB table costs one read, not one
+    per column."""
+    c = load(spark, sf_dir, "customer")
+
+    def metrics(col):
+        return [F.count(F.lit(1)).alias(f"{col}__n_rows"),
+                F.count(col).alias(f"{col}__n_nonnull"),
+                F.countDistinct(col).alias(f"{col}__n_distinct"),
+                F.min(col).cast("double").alias(f"{col}__min_v"),
+                F.max(col).cast("double").alias(f"{col}__max_v"),
+                dsum(F.col(col), f"{col}__sum_v")]
+
+    cols = ["c_acctbal", "c_nationkey"]
+    wide = c.agg(*[m for col in cols for m in metrics(col)])
+
+    def row(col):
+        return F.struct(
+            F.lit(col).alias("col"),
+            F.col(f"{col}__n_rows").alias("n_rows"),
+            F.col(f"{col}__n_nonnull").alias("n_nonnull"),
+            F.col(f"{col}__n_distinct").alias("n_distinct"),
+            F.col(f"{col}__min_v").alias("min_v"),
+            F.col(f"{col}__max_v").alias("max_v"),
+            F.col(f"{col}__sum_v").alias("sum_v"))
+
+    return (wide.select(F.explode(F.array(*[row(col) for col in cols]))
+                        .alias("p"))
+            .select("p.*"))
