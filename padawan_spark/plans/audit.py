@@ -79,7 +79,9 @@ def audit(df: DataFrame) -> PlanAudit:
     # HashAggregate nodes come in partial/final pairs; AQE prints the
     # keys= / functions= detail section with "partial_" prefixed fns.
     a.partial_aggregates = len(re.findall(r"\bpartial_\w+\(", plan))
-    a.scans = re.findall(r"Scan (\w+) ", plan)
+    # details-section headers only — the tree section prints every node a
+    # second time (same double-print trap as the Exchange count above)
+    a.scans = re.findall(r"^\(\d+\) Scan (\w+)", plan, re.MULTILINE)
     a.pushed_filters = re.findall(r"PushedFilters: (\[[^\]]*\])", plan)
     a.partition_filters = re.findall(r"PartitionFilters: (\[[^\]]*\])", plan)
     a.codegen_stages = len(set(re.findall(r"WholeStageCodegen \((\d+)\)",

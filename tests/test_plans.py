@@ -123,3 +123,34 @@ def test_bucketed_join_no_exchange(spark):
     # must not add a shuffle exchange
     assert a.shuffle_joins >= 1, a.plan
     assert a.exchanges <= 1, a.plan  # ≤1: only the final groupBy moves data
+
+
+def test_profile_summary_single_scan(spark):
+    a = plan_of(spark, "adv_profile_summary")
+    assert len(a.scans) == 1, a.scans      # all metrics from ONE pass
+    assert a.has_partial_agg, a.plan
+    assert not a.has_cartesian
+
+
+def test_union_evolved_no_shuffle(spark):
+    a = plan_of(spark, "adv_union_evolved")
+    assert a.exchanges == 0, a.plan        # by-name union is a partition concat
+    assert a.shuffle_joins == 0 and not a.has_cartesian
+
+
+def test_filtered_agg_one_scan_one_agg(spark):
+    a = plan_of(spark, "ana_filtered_agg")
+    assert len(a.scans) == 1, a.scans      # stacked metrics share the scan
+    assert a.has_partial_agg, a.plan
+
+
+def test_tfidf_broadcasts_df_side(spark):
+    a = plan_of(spark, "text_tfidf")
+    assert a.has_broadcast_join, a.plan    # vocabulary df table broadcast
+    assert not a.has_cartesian or a.broadcast_nested_loop >= 0
+
+
+def test_merge_upsert_joins_on_key(spark):
+    a = plan_of(spark, "adv_merge_upsert")
+    assert not a.has_cartesian, a.plan
+    assert a.broadcast_joins + a.shuffle_joins >= 1, a.plan
