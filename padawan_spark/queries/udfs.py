@@ -147,3 +147,29 @@ def udf_grouped_map(spark, sf_dir):
             .applyInPandas(number,
                            "o_custkey long, o_orderkey long, "
                            "seq int, group_n long"))
+
+
+@query("sql_lateral_topn", oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+""")
+def sql_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery — per outer row, a dependent
+    ordered-limit subquery (top-2 customers per nation).  The SQL text
+    is IDENTICAL on Spark and DuckDB; Catalyst decorrelates it into a
+    ranked window over the inner table joined back on the correlation
+    key, so execution is one shuffle by nationkey — never a per-row
+    re-execution of the subquery.  The tie-break (acctbal DESC, custkey)
+    makes the top-2 total and engine-stable."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """)
