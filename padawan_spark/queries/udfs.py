@@ -173,3 +173,33 @@ def sql_lateral_topn(spark, sf_dir):
           WHERE c.c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
     """)
+
+
+_RECURSIVE_WALK = """
+WITH RECURSIVE ranked AS (
+  SELECT n_regionkey, n_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY n_regionkey
+                            ORDER BY n_nationkey) AS rn
+  FROM nation),
+walk AS (
+  SELECT n_regionkey, n_nationkey, rn, 1 AS depth FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.n_regionkey, r.n_nationkey, r.rn, w.depth + 1
+  FROM ranked r JOIN walk w
+    ON r.n_regionkey = w.n_regionkey AND r.rn = w.rn + 1)
+SELECT n_regionkey, n_nationkey, CAST(depth AS INT) AS depth FROM walk
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_WALK)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (WITH RECURSIVE, Spark 4.0+): a per-region
+    linked-list walk — each iteration joins the frontier back to the
+    ranked table, the shape of hierarchy traversal / transitive
+    closure.  The identical SQL text runs on both engines.  At scale
+    each iteration is one keyed join; total work is depth x join cost,
+    so the recursion must be bounded by data (here: longest region
+    chain), never open-ended — the same discipline as the DataFrame
+    connected-components loop in scale_dedup_clusters."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RECURSIVE_WALK)
