@@ -262,3 +262,20 @@ def adv_profile_summary(spark, sf_dir):
     return (wide.select(F.explode(F.array(*[row(col) for col in cols]))
                         .alias("p"))
             .select("p.*"))
+
+
+@query("adv_approx_quantile", oracle=None)  # sketch: engine-specific values
+def adv_approx_quantile(spark, sf_dir):
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (``approx_percentile``) next to the exact values — the
+    mergeable-summary path for quantiles over 100 TB where an exact
+    percentile would need a full sort.  Sketch internals are
+    engine-specific, so this is a rows-only check (like
+    adv_approx_distinct); the exact columns bound the sketch error for
+    eyeball verification."""
+    l = load(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95),"
+                        " 10000)").alias("approx_p50_p95"),
+                 F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
+                 .alias("exact_p50_p95")))

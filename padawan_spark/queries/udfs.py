@@ -203,3 +203,29 @@ def sql_recursive_cte(spark, sf_dir):
     connected-components loop in scale_dedup_clusters."""
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_RECURSIVE_WALK)
+
+
+@query("ana_grouping_id", oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n, {sql_dsum('l_quantity', 'qty')}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def ana_grouping_id(spark, sf_dir):
+    """GROUPING() markers over ROLLUP: the bit that tells a subtotal row
+    apart from a data row whose key happens to be NULL — without it,
+    rollup output is ambiguous whenever the grouping key is nullable.
+    Same SQL surface both engines; one Expand + single partial+final
+    aggregation regardless of how many grouping levels are stacked."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        FROM v_lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """)
