@@ -252,3 +252,57 @@ def text_tfidf(spark, sf_dir):
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3))
+
+
+@query("text_pii_scrub", oracle=r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                   '@example.com or call 555-' || CAST(doc_id * 7 AS VARCHAR),
+      '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+    '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
+FROM documents
+""")
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction — the compliance pass every training corpus goes
+    through before the tokenizer: emails and phone-shaped spans are
+    rewritten to placeholder tags with chained regexp_replace.  The
+    testdata has no PII, so deterministic synthetic contact strings are
+    appended first and then scrubbed (proving the patterns fire on
+    every row).  Patterns stick to character classes shared by Java
+    regex and RE2 — no lookarounds — so both engines rewrite
+    identically; at scale this is pure narrow projection work inside
+    whole-stage codegen, no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or call 555-"),
+        (F.col("doc_id") * 7).cast("string"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(dirty, "[A-Za-z0-9_.]+@[A-Za-z0-9.]+",
+                             "<EMAIL>"),
+            "555-[0-9]+", "<PHONE>").alias("scrubbed"))
+
+
+@query("text_pseudonymize", oracle="""
+SELECT DISTINCT user_id,
+       sha256('corpus-salt-v1:' || CAST(user_id AS VARCHAR)) AS pseudo_id
+FROM events
+""")
+def text_pseudonymize(spark, sf_dir):
+    """Key pseudonymization: stable salted-hash surrogate ids so user
+    identity can be dropped from a training corpus while preserving
+    joinability and per-user grouping.  The same salt+key always maps
+    to the same pseudo id on any engine and any partitioning (sha256 is
+    bit-exact), and the mapping is irreversible without the salt.  At
+    scale this is a narrow projection + one distinct shuffle on the
+    already-compact key set."""
+    e = load(spark, sf_dir, "events")
+    return (e.select(
+        "user_id",
+        F.sha2(F.concat(F.lit("corpus-salt-v1:"),
+                        F.col("user_id").cast("string")), 256)
+        .alias("pseudo_id"))
+        .distinct())
