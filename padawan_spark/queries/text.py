@@ -306,3 +306,64 @@ def text_pseudonymize(spark, sf_dir):
                         F.col("user_id").cast("string")), 256)
         .alias("pseudo_id"))
         .distinct())
+
+
+@query("pipe_corpus_curation", oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+    0.4 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+    + 0.4 * (CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+             / len({_DUCK_TOKS}))
+    + 0.2 * least(4.0 * CAST(len(list_filter({_DUCK_TOKS},
+          x -> list_contains([{_STOP_EN}], x))) AS DOUBLE)
+          / len({_DUCK_TOKS}), 1.0) AS score
+  FROM documents),
+kept AS (SELECT * FROM scored WHERE score >= 0.4 AND lang IN ('en', 'de')),
+canon AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, source, score,
+           ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                              ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+sampled AS (
+  SELECT * FROM canon
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 < 80)
+SELECT lang, source, COUNT(*) AS n_docs,
+       ROUND(SUM(score), 6) AS total_score
+FROM sampled GROUP BY lang, source
+""")
+def pipe_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation in ONE DataFrame job — the pipeline a
+    training-data engineer actually ships, composed from this repo's
+    operators: quality scoring (per-row arithmetic), language filter,
+    exact near-dup removal keeping the lowest doc_id per sha256
+    (window, not self-join), and a reproducible 80% hash sample, ending
+    in per-(lang, source) corpus stats.  The whole thing is one scan +
+    one window shuffle on the digest + one final aggregation: filters
+    and scoring fuse into the scan stage, the hash-sample is a pure
+    row-local predicate, and nothing touches the driver.  score is a
+    bounded sum of exact ratios (same formula as text_quality_score) so
+    the rounded total matches DuckDB bit-for-bit."""
+    from pyspark.sql.window import Window
+    d = load(spark, sf_dir, "documents")
+    toks = _SPARK_TOKS
+    score = (
+        f"0.4 * least(cast(length(text) as double) / 400.0, 1.0)"
+        f" + 0.4 * (cast(size(array_distinct({toks})) as double) / size({toks}))"
+        f" + 0.2 * least(4.0 * cast(size(filter({toks},"
+        f" x -> array_contains(array({_STOP_EN}), x))) as double)"
+        f" / size({toks}), 1.0)"
+    )
+    kept = (d.select("doc_id", "lang", "source", "text",
+                     F.expr(score).alias("score"))
+            .where((F.col("score") >= 0.4) & F.col("lang").isin("en", "de")))
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    canon = (kept.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1))
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("bigint") % 100)
+    sampled = canon.where(bucket < 80)
+    return (sampled.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum("score"), 6).alias("total_score")))

@@ -154,3 +154,10 @@ def test_merge_upsert_joins_on_key(spark):
     a = plan_of(spark, "adv_merge_upsert")
     assert not a.has_cartesian, a.plan
     assert a.broadcast_joins + a.shuffle_joins >= 1, a.plan
+
+
+def test_corpus_curation_single_scan_pipeline(spark):
+    a = plan_of(spark, "pipe_corpus_curation")
+    assert len(a.scans) == 1, a.scans      # score/filter/sample fuse into scan
+    assert not a.has_cartesian, a.plan
+    assert a.has_partial_agg, a.plan
