@@ -613,3 +613,31 @@ def ana_bitwise_agg(spark, sf_dir):
             .agg(F.bit_or("l_suppkey").alias("flags_or"),
                  F.bit_and("l_suppkey").alias("flags_and"),
                  F.bit_xor("l_suppkey").alias("flags_xor")))
+
+
+@query("ana_percent_of_total", oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         {sql_dsum('o_totalprice', 'total')}
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, n, total,
+       ROUND(total / SUM(total) OVER (), 9) AS share
+FROM g
+""")
+def ana_percent_of_total(spark, sf_dir):
+    """Ratio-to-report: each group's share of the grand total via an
+    unpartitioned window over the AGGREGATED rows — the window runs
+    over group-count rows (tiny), never over the raw fact table, so the
+    'global' window is a one-partition pass over a handful of rows, not
+    a single-task sort of 100 TB.  Numerator and denominator are exact
+    decimal sums; the final transcendental-free ratio is rounded to 9
+    decimals on both engines (composed-divide 1-ulp policy)."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+    g = (o.groupBy("o_orderpriority")
+         .agg(F.count(F.lit(1)).alias("n"),
+              dsum(F.col("o_totalprice"), "total")))
+    return g.withColumn(
+        "share",
+        F.round(F.col("total") / F.sum("total").over(
+            Window.partitionBy()), 9))

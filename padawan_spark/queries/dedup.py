@@ -322,3 +322,26 @@ def dedup_levenshtein(spark, sf_dir):
                     F.col("b.p_name").alias("name_b"),
                     dist.cast("int").alias("dist"))
             .distinct())
+
+
+@query("dedup_latest_version", oracle="""
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""")
+def dedup_latest_version(spark, sf_dir):
+    """Keep-latest-per-key — the compaction every CDC/upsert ingestion
+    runs: among all versions of a (user, event_type) key, keep only the
+    most recent row.  One window shuffle on the key, rank-1 filter; the
+    (ts DESC, event_id DESC) tie-break makes the winner total and
+    engine-stable.  At scale this beats the groupBy-max + self-join
+    formulation (one shuffle instead of two) and AQE handles hot keys."""
+    from pyspark.sql.window import Window
+    e = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy(F.desc("ts"), F.desc("event_id")))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id", "ts", "value"))
