@@ -641,3 +641,61 @@ def ana_percent_of_total(spark, sf_dir):
         "share",
         F.round(F.col("total") / F.sum("total").over(
             Window.partitionBy()), 9))
+
+
+@query("ana_band_join", oracle=f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+         ('high', 150000.0, 1e18))
+SELECT band, COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+""")
+def ana_band_join(spark, sf_dir):
+    """Non-equi band join: each fact row lands in the price band whose
+    [lo, hi) interval contains it.  The band table is tiny and
+    BROADCAST, so the theta join is a broadcast-nested-loop over 3
+    in-memory rows per fact row — a per-row predicate scan, never a
+    shuffle or a materialized cartesian product.  The standard
+    dimension-banding shape (age brackets, size tiers, SLA buckets)."""
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+         ("high", 150000.0, 1e18)], "band string, lo double, hi double")
+    return (o.join(F.broadcast(bands),
+                   (F.col("o_totalprice") >= F.col("lo"))
+                   & (F.col("o_totalprice") < F.col("hi")))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("o_totalprice"), "total")))
+
+
+@query("ana_gaps_islands", oracle="""
+SELECT prev_key + 1 AS gap_start, o_orderkey - 1 AS gap_end,
+       o_orderkey - prev_key - 1 AS gap_len
+FROM (
+  SELECT o_orderkey,
+         LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key
+  FROM orders WHERE o_orderkey % 7 < 5)
+WHERE o_orderkey - prev_key > 1
+""")
+def ana_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: missing runs in a key sequence found with one
+    ordered LAG — the data-quality check for dropped ingestion batches.
+    The testdata's orderkeys are dense, so deterministic holes are
+    punched first (drop keys ≡ 5,6 mod 7) to give the detector real
+    gaps to find.  The unpartitioned window IS a global sort, which
+    Spark executes as a range-partitioned sort (sampled boundaries,
+    parallel) — fine for key-audit tables; for a 100 TB fact the same
+    query would first aggregate per ingestion partition and window over
+    partition ids."""
+    from pyspark.sql.window import Window
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 < 5)
+    w = Window.orderBy("o_orderkey")
+    return (o.select("o_orderkey",
+                     F.lag("o_orderkey").over(w).alias("prev_key"))
+            .where(F.col("o_orderkey") - F.col("prev_key") > 1)
+            .select((F.col("prev_key") + 1).alias("gap_start"),
+                    (F.col("o_orderkey") - 1).alias("gap_end"),
+                    (F.col("o_orderkey") - F.col("prev_key") - 1)
+                    .alias("gap_len")))
