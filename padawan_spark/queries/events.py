@@ -169,3 +169,34 @@ def ev_retention(spark, sf_dir):
               / 604800).cast("int")
     return (j.groupBy("cohort", offset.alias("week_offset"))
             .agg(F.countDistinct("user_id").cast("bigint").alias("n_users")))
+
+
+@query("ev_ohlc", oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       arg_min(value, ts) AS open_v,
+       CAST(MAX(value) AS DOUBLE) AS high_v,
+       CAST(MIN(value) AS DOUBLE) AS low_v,
+       arg_max(value, ts) AS close_v,
+       COUNT(*) AS n, {sql_dsum('value', 'volume')}
+FROM events GROUP BY 1, 2
+""")
+def ev_ohlc(spark, sf_dir):
+    """OHLC bars — the market-data / telemetry rollup: per (hour, type)
+    bucket, the first (open) and last (close) value by event time plus
+    the high/low/volume.  open/close use min/max over a (ts, event_id,
+    value) struct — Spark structs compare lexicographically, so this is
+    an argmin/argmax with a total tie-break that runs as an ordinary
+    partial+final hash aggregation (one shuffle on the bucket key, no
+    window sort at all); the DuckDB oracle's arg_min/arg_max agree
+    because event timestamps are unique per type.  The struct-min trick
+    is THE scale pattern for "value at extremum" — a windowed
+    row_number would sort every group; this never sorts."""
+    e = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id", "value")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.min(key).getField("value").alias("open_v"),
+                 F.max("value").alias("high_v"),
+                 F.min("value").alias("low_v"),
+                 F.max(key).getField("value").alias("close_v"),
+                 F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("value"), "volume")))
