@@ -323,3 +323,37 @@ def op_from_memory(spark, sf_dir):
     r = Dataset(spark, load(spark, sf_dir, "region"),
                 index_columns=("r_regionkey",))
     return r.join(mem, how="inner").df.select("r_name", "tag")
+
+
+@query("op_map_arrow", oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS discounted
+FROM lineitem WHERE l_quantity >= 48
+""")
+def op_map_arrow(spark, sf_dir):
+    """``mapInArrow`` — the zero-copy sibling of mapInPandas: each
+    partition arrives as pyarrow RecordBatches and is transformed with
+    Arrow compute kernels, skipping the pandas conversion entirely.
+    The direct analog of the reference's ``Dataset.map`` escape hatch
+    (/root/reference/src/padawan/mapped_dataset.py:72-143) at its
+    lowest overhead: for wide binary/tensor columns the pandas hop can
+    dominate UDF cost, so this is the preferred 100 TB form.  Per-row
+    double arithmetic in Arrow is IEEE-identical to the SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount")
+
+    def per_batch(batches):
+        for b in batches:
+            b = b.filter(pc.greater_equal(b.column("l_quantity"), 48))
+            disc = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), disc],
+                ["l_orderkey", "l_linenumber", "discounted"])
+
+    return l.mapInArrow(
+        per_batch, "l_orderkey bigint, l_linenumber int, discounted double")
