@@ -271,3 +271,40 @@ def scale_incremental_rollup(spark, sf_dir):
                           "event_type")
             .agg(F.sum("pn").alias("n"),
                  F.sum("ptotal").cast("double").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+
+@query("scale_sketch_rollup", oracle="""
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS sketch_consistent
+FROM events GROUP BY 1, 2
+""")
+def scale_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users
+    are UNIONED into weekly estimates without touching raw events again
+    — the pattern that makes distinct-count dashboards incrementally
+    maintainable over 100 TB (store tiny daily sketches, merge on
+    read; an exact distinct would re-shuffle all raw keys every
+    refresh).  HLL union is lossless at fixed precision, so the merged
+    weekly estimate equals the direct weekly sketch bit-for-bit —
+    asserted in-query (sketch_consistent).  Sketch internals are
+    engine-specific, so the oracle checks the exact distinct column
+    and the consistency bit rather than estimate values."""
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    weekly = (daily.groupBy(F.date_trunc("week", "day").alias("week"),
+                            "event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("merged_est")))
+    direct = (e.groupBy(F.date_trunc("week", "ts").alias("week"),
+                        "event_type")
+              .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+                   .alias("direct_est"),
+                   F.countDistinct("user_id").alias("exact_users")))
+    return (weekly.join(direct, ["week", "event_type"])
+            .select("week", "event_type", "exact_users",
+                    (F.col("merged_est") == F.col("direct_est"))
+                    .alias("sketch_consistent")))
