@@ -84,3 +84,13 @@ GROUP BY c_mktsegment
 def streaming_static_join(spark, sf_dir):
     from ..streaming import run_streaming_static_join
     return run_streaming_static_join(spark, sf_dir)
+
+
+@query("streaming_foreach_batch", oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+FROM events GROUP BY 1, 2
+""")
+def streaming_foreach_batch(spark, sf_dir):
+    from ..streaming import run_streaming_foreach_batch
+    return run_streaming_foreach_batch(spark, sf_dir)

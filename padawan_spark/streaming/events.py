@@ -178,3 +178,39 @@ def run_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double").alias("total_value")))
     name = _run_to_memory(agg, mode="complete")
     return spark.table(name)
+
+
+def run_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink path: ``foreachBatch`` hands each micro-batch
+    to ordinary batch code, which appends it to a parquet table — the
+    pattern behind exactly-once lakehouse sinks (batchId-keyed
+    idempotent writes, MERGE targets, multi-table fan-out) that the
+    built-in file sink can't express.  Here each batch of a daily
+    count+sum aggregation (update mode) lands in a parquet directory;
+    re-reading the directory and keeping the last emission per key
+    (update mode may re-emit a group as late rows arrive) reproduces
+    the batch aggregate exactly."""
+    import tempfile
+
+    from ..queries.registry import DEC
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                .alias("total_value")))
+    target = tempfile.mkdtemp(prefix="padawan_febatch_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(target))
+
+    q = (agg.writeStream.foreachBatch(sink).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    back = spark.read.parquet(target)
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("day", "event_type")
+         .orderBy(F.desc("batch_id"), F.desc("n")))
+    return (back.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("day", "event_type", "n", "total_value"))
