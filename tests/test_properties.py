@@ -65,3 +65,25 @@ def test_collate_exact_greedy(spark, tmp_path):
     assert c.lower_bounds == [(0,), (30,), (60,)]
     assert c.upper_bounds == [(29,), (59,), (99,)]
     assert c.df.count() == 100
+
+
+def test_decimal_sum_partition_invariant(spark):
+    """The exact-decimal aggregation policy's core property: the sum is
+    bit-identical no matter how the rows are partitioned or ordered
+    (plain double sums do NOT have this property — float addition is
+    not associative)."""
+    from pyspark.sql import functions as F
+
+    from padawan_spark.queries.registry import DEC, load
+
+    l = load(spark, "/root/testdata/sf0.001", "lineitem")
+
+    def total(df):
+        return (df.agg(F.sum(F.col("l_extendedprice").cast(DEC))
+                       .cast("double").alias("t")).collect()[0]["t"])
+
+    base = total(l)
+    for n in (1, 3, 17):
+        assert total(l.repartition(n)) == base
+    assert total(l.repartition(8, "l_suppkey")) == base
+    assert total(l.orderBy(F.desc("l_extendedprice"))) == base
