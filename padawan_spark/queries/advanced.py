@@ -279,3 +279,36 @@ def adv_approx_quantile(spark, sf_dir):
                         " 10000)").alias("approx_p50_p95"),
                  F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
                  .alias("exact_p50_p95")))
+
+
+@query("adv_salted_join", oracle=f"""
+WITH dim AS (SELECT DISTINCT l_returnflag,
+                    CASE l_returnflag WHEN 'R' THEN 0.9 ELSE 1.0 END AS factor
+             FROM lineitem)
+SELECT l_returnflag, COUNT(*) AS n,
+       {sql_dsum('l_extendedprice * factor', 'adj_total')}
+FROM lineitem JOIN dim USING (l_returnflag)
+GROUP BY l_returnflag
+""")
+def adv_salted_join(spark, sf_dir):
+    """Skew-salted JOIN (the join-side sibling of adv_salted_agg): the
+    fact's join key has only 3 values — the worst-case hot-key shuffle,
+    where a plain hash join lands a third of 100 TB on one task.
+    ``salted_join`` spreads each hot key over n_salts buckets by
+    salting the big side randomly and replicating the small side per
+    salt; the join RESULT is provably salt-invariant, so the random
+    salt never leaks into the output (verified by the oracle's plain
+    join).  Per-row factor arithmetic in double, cross-row sum through
+    exact decimal."""
+    from ..operators import salted_join
+    l = load(spark, sf_dir, "lineitem")
+    dim = (l.select("l_returnflag").distinct()
+           .withColumn("factor",
+                       F.when(F.col("l_returnflag") == "R", 0.9)
+                       .otherwise(1.0)))
+    j = salted_join(l.select("l_returnflag", "l_extendedprice"), dim,
+                    on="l_returnflag", n_salts=8)
+    return (j.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("l_extendedprice") * F.col("factor"),
+                      "adj_total")))
