@@ -312,3 +312,27 @@ def adv_salted_join(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum(F.col("l_extendedprice") * F.col("factor"),
                       "adj_total")))
+
+
+@query("adv_asof_forward", oracle="""
+SELECT p.event_id, p.user_id, p.ts, v.ts AS ts_r, v.event_id AS event_id_r
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts <= v.ts
+""")
+def adv_asof_forward(spark, sf_dir):
+    """Forward as-of LEFT join: each purchase is matched to the user's
+    NEXT view at-or-after it ("what did they do next"), keeping
+    unmatched purchases with null right columns — the other half of
+    the as-of surface (adv_asof_join is backward/inner).  Same
+    union-sort-carry implementation: one window shuffle on (user, ts),
+    no range cross join; per key the state carried is one row."""
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id")
+    from ..operators import asof_join
+    j = asof_join(p, v, on="ts", by="user_id", direction="forward",
+                  suffix="_r", how="left")
+    return j.select("event_id", "user_id", "ts", "ts_r", "event_id_r")
