@@ -699,3 +699,32 @@ def ana_gaps_islands(spark, sf_dir):
                     (F.col("o_orderkey") - 1).alias("gap_end"),
                     (F.col("o_orderkey") - F.col("prev_key") - 1)
                     .alias("gap_len")))
+
+
+@query("ana_try_functions", oracle="""
+SELECT o_orderkey,
+       o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_ratio,
+       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(o_orderkey AS VARCHAR)
+                     ELSE 'not-a-number' END AS BIGINT) AS parsed,
+       COALESCE(TRY_CAST('not-a-number' AS BIGINT), -1) AS fallback
+FROM orders WHERE o_orderkey <= 2000
+""")
+def ana_try_functions(spark, sf_dir):
+    """Error-safe expression surface: ``try_divide`` null-outs division
+    by zero and ``try_cast`` null-outs unparseable strings instead of
+    failing the job — at 100 TB one malformed row must never kill a
+    multi-hour pipeline, so ingest paths use try_* and quarantine the
+    resulting nulls.  DuckDB mirrors with x / NULLIF(y, 0) and
+    TRY_CAST; the surviving arithmetic is per-row IEEE double."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    noisy = (F.when(F.col("o_orderkey") % 2 == 0,
+                    F.col("o_orderkey").cast("string"))
+             .otherwise(F.lit("not-a-number")))
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"),
+                     (F.col("o_orderkey") % 3)).alias("safe_ratio"),
+        noisy.try_cast("bigint").alias("parsed"),
+        F.coalesce(F.lit("not-a-number").try_cast("bigint"),
+                   F.lit(-1)).alias("fallback"))
