@@ -728,3 +728,38 @@ def ana_try_functions(spark, sf_dir):
         noisy.try_cast("bigint").alias("parsed"),
         F.coalesce(F.lit("not-a-number").try_cast("bigint"),
                    F.lit(-1)).alias("fallback"))
+
+
+@query("ana_islands_runs", oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events),
+tagged AS (
+  SELECT user_id, day,
+         CAST(day - INTERVAL (ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY day)) DAY AS TIMESTAMP) AS grp
+  FROM days)
+SELECT user_id, MIN(day) AS run_start, MAX(day) AS run_end,
+       COUNT(*) AS run_days
+FROM tagged GROUP BY user_id, grp
+""")
+def ana_islands_runs(spark, sf_dir):
+    """Islands (consecutive runs) — the complement of ana_gaps_islands:
+    maximal streaks of consecutive active days per user via the
+    rownumber-difference trick (day minus its per-user rank is constant
+    within a run), the standard engagement-streak computation.  One
+    window shuffle on user_id then a hash agg on the derived group key;
+    all arithmetic is calendar-day integral, engine-exact."""
+    from pyspark.sql.window import Window
+    e = load(spark, sf_dir, "events")
+    days = (e.select("user_id", F.date_trunc("day", "ts").alias("day"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = days.withColumn(
+        "grp", F.col("day") - F.make_dt_interval(
+            days=F.row_number().over(w)))
+    return (tagged.groupBy("user_id", "grp")
+            .agg(F.min("day").alias("run_start"),
+                 F.max("day").alias("run_end"),
+                 F.count(F.lit(1)).alias("run_days"))
+            .drop("grp"))
