@@ -367,3 +367,31 @@ def pipe_corpus_curation(spark, sf_dir):
     return (sampled.groupBy("lang", "source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.sum("score"), 6).alias("total_score")))
+
+
+@query("text_ngram_freq", oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t)
+SELECT bigram, COUNT(*) AS freq FROM bi
+GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20
+""")
+def text_ngram_freq(spark, sf_dir):
+    """Corpus bigram frequencies — the n-gram statistic under language
+    models, collocation mining, and contamination checks.  Bigrams are
+    built inside codegen with a transform over an index sequence (no
+    Python), exploded, and counted; the top-20 uses the (freq, bigram)
+    total order so the limit is engine-stable, executed as per-partition
+    top-k + driver merge, never a global sort of the bigram table."""
+    d = load(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        f"transform(sequence(1, size({_SPARK_TOKS}) - 1),"
+        f" i -> concat(element_at({_SPARK_TOKS}, i), ' ',"
+        f" element_at({_SPARK_TOKS}, i + 1)))")
+    return (d.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "bigram")
+            .limit(20))
