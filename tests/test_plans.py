@@ -161,3 +161,23 @@ def test_corpus_curation_single_scan_pipeline(spark):
     assert len(a.scans) == 1, a.scans      # score/filter/sample fuse into scan
     assert not a.has_cartesian, a.plan
     assert a.has_partial_agg, a.plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join-strategy hints — the manual override when AQE's choice is
+    wrong at scale (e.g. forcing a shuffle-hash join for a medium dim
+    that broadcast would OOM on)."""
+    from pyspark.sql import functions as F
+
+    from padawan_spark.plans import audit as plan_audit
+    from padawan_spark.queries.registry import load
+
+    o = load(spark, SF, "orders")
+    c = load(spark, SF, "customer")
+    j_b = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    a = plan_audit(j_b.groupBy("c_mktsegment").agg(F.count(F.lit(1))))
+    assert a.has_broadcast_join and a.shuffle_joins == 0, a.plan
+
+    j_m = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    a2 = plan_audit(j_m.groupBy("c_mktsegment").agg(F.count(F.lit(1))))
+    assert a2.shuffle_joins >= 1 and not a2.has_broadcast_join, a2.plan
