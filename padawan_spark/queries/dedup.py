@@ -345,3 +345,44 @@ def dedup_latest_version(spark, sf_dir):
     return (e.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("user_id", "event_type", "event_id", "ts", "value"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check: held-out n-gram overlap
+# ---------------------------------------------------------------------------
+
+@query("dedup_contamination", oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 50),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_overlap
+  FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
+SELECT t.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap, t.n_shingles,
+       CASE WHEN COALESCE(h.n_overlap, 0) * 10 >= t.n_shingles
+            THEN 1 ELSE 0 END AS contaminated
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+""")
+def dedup_contamination(spark, sf_dir):
+    """Benchmark-contamination check: for every training document, the
+    fraction of its word 3-shingles that appear in a held-out benchmark
+    set (docs < 50 stand in for the eval suite) — the decontamination
+    gate run before any training corpus ships.  The benchmark shingle
+    set is distinct-compact and joined by shingle hash; at real scale
+    it's millions of shingles → a BROADCAST join against the corpus,
+    so the check costs one corpus scan.  Threshold (≥10% overlap →
+    contaminated) is integer arithmetic, engine-exact."""
+    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    bench = sh.where(F.col("doc_id") < 50).select("s").distinct()
+    corpus = sh.where(F.col("doc_id") >= 50)
+    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (corpus.join(F.broadcast(bench), "s")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (tot.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                    "n_shingles",
+                    F.when(F.coalesce("n_overlap", F.lit(0)) * 10
+                           >= F.col("n_shingles"), 1).otherwise(0)
+                    .alias("contaminated")))
