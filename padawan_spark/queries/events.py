@@ -200,3 +200,32 @@ def ev_ohlc(spark, sf_dir):
                  F.max(key).getField("value").alias("close_v"),
                  F.count(F.lit(1)).alias("n"),
                  dsum(F.col("value"), "volume")))
+
+
+@query("ev_rolling_actives", oracle="""
+WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   user_id FROM events),
+spine AS (SELECT DISTINCT d FROM ud)
+SELECT spine.d AS day, COUNT(DISTINCT ud.user_id) AS wau
+FROM spine JOIN ud
+  ON ud.d >= spine.d - INTERVAL 6 DAY AND ud.d <= spine.d
+GROUP BY spine.d
+""")
+def ev_rolling_actives(spark, sf_dir):
+    """Rolling 7-day active users (WAU) — the rolling-DISTINCT metric
+    window frames cannot express (distinct doesn't compose over sliding
+    frames).  Formulated as: compact (day, user) pairs → day spine
+    BROADCAST-range-joined to the pairs (each pair lands in ≤7 spine
+    days) → distinct count per day.  The expensive side stays one
+    distinct pass over raw events; the range join fans out only the
+    deduplicated day×user pairs, which is what keeps WAU/MAU tractable
+    on a 100 TB event log."""
+    e = load(spark, sf_dir, "events")
+    ud = (e.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+          .distinct())
+    spine = ud.select("d").distinct().withColumnRenamed("d", "day")
+    return (ud.join(F.broadcast(spine),
+                    (F.col("d") >= F.expr("day - INTERVAL 6 DAY"))
+                    & (F.col("d") <= F.col("day")))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias("wau")))
