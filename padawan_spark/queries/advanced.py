@@ -336,3 +336,38 @@ def adv_asof_forward(spark, sf_dir):
     j = asof_join(p, v, on="ts", by="user_id", direction="forward",
                   suffix="_r", how="left")
     return j.select("event_id", "user_id", "ts", "ts_r", "event_id_r")
+
+
+@query("adv_merge_schema_read", oracle="""
+SELECT o_orderkey, o_totalprice, o_clerk FROM (
+  SELECT o_orderkey, o_totalprice, NULL AS o_clerk
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_totalprice,
+         'clerk_' || CAST(o_custkey % 10 AS VARCHAR) AS o_clerk
+  FROM orders WHERE o_orderkey % 2 = 1)
+""")
+def adv_merge_schema_read(spark, sf_dir):
+    """Schema evolution at the SOURCE: two parquet generations — one
+    written before a column existed, one after — read back as one
+    table with ``mergeSchema=true``, which reconciles footers across
+    files and null-fills the missing column.  This is how a lakehouse
+    table survives ALTER TABLE ADD COLUMN without rewriting old files;
+    the sibling adv_union_evolved does the same union in-plan.  Old
+    files never pay for the new column (parquet is columnar: absent
+    means null, no storage)."""
+    import tempfile
+    o = load(spark, sf_dir, "orders")
+    target = tempfile.mkdtemp(prefix="padawan_msr_")
+    (o.where(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("overwrite").parquet(target + "/gen1"))
+    (o.where(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_totalprice",
+             F.concat(F.lit("clerk_"),
+                      (F.col("o_custkey") % 10).cast("string"))
+             .alias("o_clerk"))
+     .write.mode("overwrite").parquet(target + "/gen2"))
+    back = (spark.read.option("mergeSchema", "true")
+            .parquet(target + "/gen1", target + "/gen2"))
+    return back.select("o_orderkey", "o_totalprice", "o_clerk")
