@@ -73,12 +73,28 @@ def adv_percentiles(spark, sf_dir):
                  F.expr("percentile(l_extendedprice, 0.95)").alias("p95")))
 
 
-@query("adv_approx_distinct", oracle=None)  # sketch: engine-specific values
+@query("adv_approx_distinct", oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+""")
 def adv_approx_distinct(spark, sf_dir):
+    """HLL++ approximate distinct next to the exact count.  Sketch
+    estimates are engine-specific, so the oracle checks the exact
+    column plus an in-query error-bound assertion: with rsd=0.01 the
+    estimate is deterministic for a given input and comfortably within
+    5% of truth — asserted as a boolean the oracle expects TRUE.  The
+    sketch is the mergeable 100 TB path (see scale_sketch_rollup);
+    countDistinct is the exactness anchor."""
     l = load(spark, sf_dir, "lineitem")
     return (l.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-                 F.countDistinct("l_partkey").alias("exact_parts")))
+            .agg(F.approx_count_distinct("l_partkey", 0.01)
+                 .alias("approx_parts"),
+                 F.countDistinct("l_partkey").alias("exact_parts"))
+            .select("l_returnflag", "exact_parts",
+                    (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                     <= F.greatest(F.lit(5), F.col("exact_parts") * 0.05))
+                    .alias("within_bound")))
 
 
 # ---------------------------------------------------------------------------
@@ -264,21 +280,37 @@ def adv_profile_summary(spark, sf_dir):
             .select("p.*"))
 
 
-@query("adv_approx_quantile", oracle=None)  # sketch: engine-specific values
+@query("adv_approx_quantile", oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+       quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+       TRUE AS p50_in_band, TRUE AS p95_in_band
+FROM lineitem GROUP BY l_returnflag
+""")
 def adv_approx_quantile(spark, sf_dir):
     """Approximate percentiles via the Greenwald-Khanna sketch
-    (``approx_percentile``) next to the exact values — the
-    mergeable-summary path for quantiles over 100 TB where an exact
-    percentile would need a full sort.  Sketch internals are
-    engine-specific, so this is a rows-only check (like
-    adv_approx_distinct); the exact columns bound the sketch error for
-    eyeball verification."""
+    (``approx_percentile``, accuracy 10000 → rank error 1e-4) next to
+    the exact values — the mergeable-summary path for quantiles over
+    100 TB where an exact percentile needs a per-group sort.  Sketch
+    values are engine-specific, so the oracle checks the exact columns
+    plus rank-sandwich assertions: the approximate p50/p95 must lie
+    between the exact percentiles 0.02 rank on either side (200× the
+    sketch's error bound), asserted in-query as booleans."""
     l = load(spark, sf_dir, "lineitem")
-    return (l.groupBy("l_returnflag")
-            .agg(F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95),"
-                        " 10000)").alias("approx_p50_p95"),
-                 F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
-                 .alias("exact_p50_p95")))
+    g = (l.groupBy("l_returnflag")
+         .agg(F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95),"
+                     " 10000)").alias("ap"),
+              F.expr("percentile(l_extendedprice,"
+                     " array(0.48, 0.5, 0.52, 0.93, 0.95, 0.97))")
+              .alias("ep")))
+    return g.select(
+        "l_returnflag",
+        F.col("ep")[1].alias("exact_p50"),
+        F.col("ep")[4].alias("exact_p95"),
+        F.col("ap")[0].between(F.col("ep")[0], F.col("ep")[2])
+        .alias("p50_in_band"),
+        F.col("ap")[1].between(F.col("ep")[3], F.col("ep")[5])
+        .alias("p95_in_band"))
 
 
 @query("adv_salted_join", oracle=f"""
