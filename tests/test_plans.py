@@ -204,3 +204,35 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
          .groupBy("pri").agg(F.count(F.lit(1)).alias("n")))
     plan = physical_plan(j)
     assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Runtime Bloom-filter join pruning: a selective filter on one join
+    side injects a bloom_filter_agg that pre-filters the big side's
+    shuffle — at 100 TB the default size thresholds trigger this
+    automatically; here they are scaled down to the test data so the
+    optimizer path itself is exercised."""
+    from pyspark.sql import functions as F
+
+    from padawan_spark.plans.audit import physical_plan
+    from padawan_spark.queries.registry import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load(spark, SF, "lineitem")
+        o = (load(spark, SF, "orders")
+             .where(F.col("o_orderpriority") == "1-URGENT"))
+        j = (l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        assert "bloom_filter_agg" in physical_plan(j)
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
