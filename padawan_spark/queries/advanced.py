@@ -403,3 +403,26 @@ def adv_merge_schema_read(spark, sf_dir):
     back = (spark.read.option("mergeSchema", "true")
             .parquet(target + "/gen1", target + "/gen2"))
     return back.select("o_orderkey", "o_totalprice", "o_clerk")
+
+
+@query("adv_custom_source", oracle="""
+SELECT bucket, COUNT(*) AS n, CAST(SUM(square) AS BIGINT) AS sum_sq
+FROM (SELECT i AS id, i * i AS square, i % 7 AS bucket
+      FROM range(0, 10000) t(i))
+GROUP BY bucket
+""")
+def adv_custom_source(spark, sf_dir):
+    """Custom connector via the Python Data Source API (Spark 4): a
+    pure-Python source whose InputPartitions become Spark tasks, read
+    here with 8-way parallelism and aggregated.  This is the
+    extensibility story for sources the built-in readers can't reach
+    (REST APIs, bespoke binary formats); integer arithmetic keeps the
+    oracle exact.  sum(square) stays in BIGINT — max ~3e11·…  well
+    under 2^63 — so no decimal widening is needed."""
+    from ..sources import register_python_sources
+    register_python_sources(spark)
+    df = (spark.read.format("pyseq")
+          .option("n", "10000").option("parts", "8").load())
+    return (df.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("square").alias("sum_sq")))

@@ -4,3 +4,4 @@ from .readers import (  # noqa: F401
     write_csv,
     write_json,
 )
+from .pysource import SequenceSource, register_python_sources  # noqa: F401,E402
