@@ -56,8 +56,9 @@ def ev_sliding_window(spark, sf_dir):
 @query("ev_sessionize", oracle="""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
-    CASE WHEN ts - LAG(ts) OVER w > INTERVAL '4 hours' OR
-              LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+              - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 14400000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessions AS (
   SELECT user_id, ts, event_id,
@@ -72,10 +73,14 @@ FROM sessions GROUP BY user_id, session_id
 def ev_sessionize(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # gap in exact MICROSECONDS: a whole-second cast would truncate
+    # fractional seconds and merge sessions whose gap is 4h + <1s
+    # (surfaced by the sf0.1 sweep; both engines now compare epoch-us)
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag(F.col("ts")).over(w)))
     flagged = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 4 * 3600), 1).otherwise(0))
+        F.when(gap.isNull() | (gap > 4 * 3600 * 1_000_000), 1).otherwise(0))
     cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     sessions = flagged.withColumn(

@@ -278,7 +278,7 @@ def scale_incremental_rollup(spark, sf_dir):
 @query("scale_sketch_rollup", oracle="""
 SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
        COUNT(DISTINCT user_id) AS exact_users,
-       TRUE AS sketch_consistent
+       TRUE AS merged_in_bound, TRUE AS direct_in_bound
 FROM events GROUP BY 1, 2
 """)
 def scale_sketch_rollup(spark, sf_dir):
@@ -287,11 +287,12 @@ def scale_sketch_rollup(spark, sf_dir):
     — the pattern that makes distinct-count dashboards incrementally
     maintainable over 100 TB (store tiny daily sketches, merge on
     read; an exact distinct would re-shuffle all raw keys every
-    refresh).  HLL union is lossless at fixed precision, so the merged
-    weekly estimate equals the direct weekly sketch bit-for-bit —
-    asserted in-query (sketch_consistent).  Sketch internals are
-    engine-specific, so the oracle checks the exact distinct column
-    and the consistency bit rather than estimate values."""
+    refresh).  Sketch values are engine-specific AND the HIP estimator
+    is not merge-invariant (a merged sketch can estimate slightly
+    differently than a direct one once registers densify — surfaced by
+    the sf0.1 sweep), so the oracle checks the exact distinct column
+    plus in-query error-bound assertions: both the merged and the
+    direct estimate must land within 5% (or ±5) of the exact count."""
     e = load(spark, sf_dir, "events")
     daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
              .agg(F.hll_sketch_agg("user_id").alias("sk")))
@@ -304,7 +305,10 @@ def scale_sketch_rollup(spark, sf_dir):
               .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
                    .alias("direct_est"),
                    F.countDistinct("user_id").alias("exact_users")))
+    tol = F.greatest(F.lit(5.0), F.col("exact_users") * 0.05)
     return (weekly.join(direct, ["week", "event_type"])
             .select("week", "event_type", "exact_users",
-                    (F.col("merged_est") == F.col("direct_est"))
-                    .alias("sketch_consistent")))
+                    (F.abs(F.col("merged_est") - F.col("exact_users"))
+                     <= tol).alias("merged_in_bound"),
+                    (F.abs(F.col("direct_est") - F.col("exact_users"))
+                     <= tol).alias("direct_in_bound")))
