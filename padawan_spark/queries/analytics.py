@@ -763,3 +763,31 @@ def ana_islands_runs(spark, sf_dir):
                  F.max("day").alias("run_end"),
                  F.count(F.lit(1)).alias("run_days"))
             .drop("grp"))
+
+
+@query("ana_string_funcs_ext", oracle="""
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_id,
+       reverse(c_name) AS rev_name,
+       repeat('-', CAST(c_custkey % 5 AS INT)) AS dashes,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       split_part(c_name, '#', 2) AS name_num,
+       CAST(strpos(c_name, '#') AS INT) AS hash_pos
+FROM customer WHERE c_custkey <= 300
+""")
+def ana_string_funcs_ext(spark, sf_dir):
+    """Extended string-function surface: padding, reversal, repetition,
+    character translation, delimiter field extraction, and substring
+    position — the formatting/parsing toolbox of ingest jobs, all
+    JVM-side codegen expressions with DuckDB-identical semantics."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse("c_name").alias("rev_name"),
+        F.repeat(F.lit("-"), (F.col("c_custkey") % 5).cast("int"))
+        .alias("dashes"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou")
+        .alias("seg_lower_vowels"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"))
