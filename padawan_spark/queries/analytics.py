@@ -791,3 +791,32 @@ def ana_string_funcs_ext(spark, sf_dir):
         .alias("seg_lower_vowels"),
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
         F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"))
+
+
+@query("ana_date_funcs_ext", oracle="""
+SELECT o_orderkey,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS plus2m,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+            AS INT) AS days_to_y2k,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+FROM orders WHERE o_orderkey <= 1500
+""")
+def ana_date_funcs_ext(spark, sf_dir):
+    """Extended calendar functions: month-end snapping, month
+    arithmetic, day differences, day-of-week, ISO week — the calendar
+    toolbox of reporting rollups.  Day-of-week conventions differ
+    (Spark's dayofweek is Sunday=1, DuckDB's Sunday=0), so the Spark
+    side subtracts 1 — conventions, not values, are the cross-engine
+    trap here.  plus2m stays a DATE cast to timestamp on both sides."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 2).cast("timestamp").alias("plus2m"),
+        F.date_diff(F.lit("2000-01-01").cast("date"), d).cast("int")
+        .alias("days_to_y2k"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sun0"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"))
