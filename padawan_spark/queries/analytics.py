@@ -820,3 +820,32 @@ def ana_date_funcs_ext(spark, sf_dir):
         .alias("days_to_y2k"),
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sun0"),
         F.weekofyear("o_orderdate").cast("int").alias("iso_week"))
+
+
+@query("ana_math_funcs", oracle="""
+SELECT l_orderkey, l_linenumber,
+       sqrt(l_extendedprice) AS root_price,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+       l_quantity * l_quantity * l_quantity AS qty_cubed,
+       greatest(l_discount, l_tax) AS max_rate,
+       ROUND(ln(l_extendedprice), 9) AS log_price
+FROM lineitem WHERE l_orderkey <= 500
+""")
+def ana_math_funcs(spark, sf_dir):
+    """Math-function bundle under the determinism policy: sqrt is
+    IEEE-754 correctly-rounded (bit-identical everywhere, safe raw);
+    integer powers are written as explicit multiplies (pow() is libm);
+    ln IS libm, so it is ROUNDED to 9 decimals on both engines before
+    hashing — the transcendental rule that keeps every oracle exact."""
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 500)
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        F.sqrt("l_extendedprice").alias("root_price"),
+        F.signum(F.col("l_discount") - 0.05).cast("double")
+        .alias("disc_sign"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+        (F.col("l_quantity") * F.col("l_quantity") * F.col("l_quantity"))
+        .alias("qty_cubed"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("log_price"))
