@@ -849,3 +849,25 @@ def ana_math_funcs(spark, sf_dir):
         .alias("qty_cubed"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.round(F.log(F.col("l_extendedprice")), 9).alias("log_price"))
+
+
+@query("ana_xml_roundtrip", oracle="""
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey <= 2000
+""")
+def ana_xml_roundtrip(spark, sf_dir):
+    """XML surface (Spark 4 to_xml/from_xml): each row is serialized to
+    an XML fragment and parsed back with an explicit schema; the oracle
+    is the plain projection the round trip must reproduce — proving
+    XML serialization is lossless for the typed columns (double
+    formatting shortest-roundtrip included).  The semi-structured
+    escape hatch for feeds that still speak XML; per-row, codegen-side,
+    no shuffle."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    xml = o.select(F.to_xml(F.struct("o_orderkey", "o_totalprice",
+                                     "o_orderstatus")).alias("xml"))
+    return (xml.select(F.from_xml(
+        "xml",
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+        .alias("p"))
+        .select("p.*"))
