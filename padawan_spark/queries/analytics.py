@@ -871,3 +871,24 @@ def ana_xml_roundtrip(spark, sf_dir):
         "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
         .alias("p"))
         .select("p.*"))
+
+
+@query("ana_variant_extract", oracle=f"""
+SELECT event_type, CAST(props ->> '$.k' AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+FROM events GROUP BY 1, 2
+""")
+def ana_variant_extract(spark, sf_dir):
+    """VARIANT type (Spark 4): semi-structured JSON parsed once into the
+    binary variant encoding, then path-extracted with variant_get —
+    the open-lakehouse answer to schemaless columns (parse once, store
+    the variant, extract many times without re-tokenizing JSON; scans
+    of untouched paths stay cheap).  Extraction feeds an ordinary
+    grouped aggregate; DuckDB mirrors with its JSON path operator."""
+    e = load(spark, sf_dir, "events")
+    return (e.select("event_type", "value",
+                     F.variant_get(F.parse_json("props"), "$.k", "bigint")
+                     .alias("k"))
+            .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("value"), "total_value")))
