@@ -132,3 +132,76 @@ def write_manifest(path: str, manifest: Manifest) -> None:
 
 def has_manifest(path: str) -> bool:
     return os.path.exists(manifest_path(path))
+
+
+# ---------------------------------------------------------------------------
+# manifest-as-table: the exploding-file-count form (SURVEY §7.4 trap 7)
+# ---------------------------------------------------------------------------
+
+MANIFEST_TABLE_DIR = "_padawan_manifest"
+
+
+def manifest_table_path(path: str) -> str:
+    return os.path.join(path, MANIFEST_TABLE_DIR)
+
+
+def write_manifest_table(spark, path: str, manifest: Manifest) -> None:
+    """Persist the manifest as a parquet TABLE (one row per data file)
+    instead of one JSON document.  At 100 TB a table has millions of
+    files; a single JSON manifest must be parsed wholesale on the
+    driver, while the table form lets planning run as a DataFrame job:
+    pruning becomes a filter/join over (file, size, bounds) rows —
+    executed distributed, with only the surviving file names collected.
+    Bound tuples are stored with the same tagged JSON codec as the
+    sidecar so arbitrary index types round-trip.  The JSON sidecar is
+    still written by the facade for API parity; this is the scale form
+    (Iceberg/Delta keep their manifests as tables for the same
+    reason)."""
+    n = len(manifest.files)
+    lbs = manifest.lower_bounds or [None] * n
+    ubs = manifest.upper_bounds or [None] * n
+    sizes = manifest.sizes or [None] * n
+    rows = [
+        (i, manifest.files[i],
+         int(sizes[i]) if sizes[i] is not None else None,
+         json.dumps([_encode_value(v) for v in lbs[i]])
+         if lbs[i] is not None else None,
+         json.dumps([_encode_value(v) for v in ubs[i]])
+         if ubs[i] is not None else None)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "pos int, file string, size bigint, lb string, ub string")
+    df.write.mode("overwrite").parquet(manifest_table_path(path))
+    meta = {"index_columns": list(manifest.index_columns),
+            "max_partition_index": manifest.max_partition_index}
+    with open(os.path.join(path, MANIFEST_TABLE_DIR + "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_manifest_table(spark, path: str):
+    """The distributed form: a DataFrame of (pos, file, size, lb, ub)
+    rows — join/filter it to prune, never collect it wholesale."""
+    return spark.read.parquet(manifest_table_path(path))
+
+
+def manifest_from_table(spark, path: str) -> Manifest:
+    """Small-count convenience: collapse the table form back into an
+    in-memory :class:`Manifest` (ordered by pos)."""
+    with open(os.path.join(path, MANIFEST_TABLE_DIR + "_meta.json")) as f:
+        meta = json.load(f)
+    rows = load_manifest_table(spark, path).orderBy("pos").collect()
+    files = [r["file"] for r in rows]
+    sizes = [r["size"] for r in rows]
+    lbs = [tuple(_decode_value(v) for v in json.loads(r["lb"]))
+           if r["lb"] is not None else None for r in rows]
+    ubs = [tuple(_decode_value(v) for v in json.loads(r["ub"]))
+           if r["ub"] is not None else None for r in rows]
+    return Manifest(
+        index_columns=tuple(meta["index_columns"]),
+        files=files,
+        sizes=None if any(s is None for s in sizes) else sizes,
+        lower_bounds=None if any(b is None for b in lbs) else lbs,
+        upper_bounds=None if any(b is None for b in ubs) else ubs,
+        max_partition_index=meta["max_partition_index"],
+    )

@@ -217,3 +217,44 @@ def test_partition_access(spark, sample_dir):
     assert sum(p.count() for p in ds) == 100
     with pytest.raises(IndexError):
         ds[4]
+
+
+def test_manifest_table_roundtrip_and_distributed_prune(spark, tmp_path):
+    """SURVEY §7.4 trap 7: the manifest's scale form is a parquet TABLE.
+    Round-trips the JSON manifest exactly, and pruning runs as a
+    DataFrame filter over bounds rows — only surviving file names are
+    collected."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from padawan_spark.metadata import (
+        Manifest, load_manifest_table, manifest_from_table,
+        write_manifest_table,
+    )
+
+    target = str(tmp_path / "mtab")
+    import os
+    os.makedirs(target, exist_ok=True)
+    m = Manifest(
+        index_columns=("d", "k"),
+        files=[f"part{i:010d}.parquet" for i in range(4)],
+        sizes=[10, 20, 30, 40],
+        lower_bounds=[(dtm.date(2022, 1, 1 + i), i * 10) for i in range(4)],
+        upper_bounds=[(dtm.date(2022, 1, 2 + i), i * 10 + 9) for i in range(4)],
+        max_partition_index=3,
+    )
+    write_manifest_table(spark, target, m)
+    back = manifest_from_table(spark, target)
+    assert back == m
+
+    # distributed prune: files whose [lb, ub) date range may contain
+    # 2022-01-03 — a filter on the manifest TABLE, not a driver loop
+    t = load_manifest_table(spark, target)
+    probe = "2022-01-03"
+    surviving = (t.where(
+        (F.get_json_object("lb", "$[0].$date") <= probe)
+        & (F.get_json_object("ub", "$[0].$date") >= probe))
+        .select("file").orderBy("pos"))
+    files = [r["file"] for r in surviving.collect()]
+    assert files == ["part0000000001.parquet", "part0000000002.parquet"]
