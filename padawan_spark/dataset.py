@@ -498,7 +498,8 @@ class Dataset:
     # sinks / actions (parity: dataset.py:328-558)
     # ------------------------------------------------------------------
 
-    def write_parquet(self, path: str, append: bool = False) -> "Dataset":
+    def write_parquet(self, path: str, append: bool = False,
+                      manifest_table: bool = False) -> "Dataset":
         """Write one parquet file per partition plus the manifest.
 
         ``append=False`` wipes the target (``dataset.py:349-363``);
@@ -506,6 +507,12 @@ class Dataset:
         existing manifest (``AppendError``, ``dataset.py:364-381``) and
         extends it.  Stats for the manifest are computed by a distributed
         per-file aggregation job, never by collecting data.
+
+        ``manifest_table=True`` additionally persists the manifest in its
+        scale form — a parquet table of (file, size, bounds) rows that
+        planning can filter/join distributed instead of parsing one JSON
+        document on the driver (SURVEY §7.4 trap 7; the Iceberg/Delta
+        manifest shape for million-file tables).
         """
         old = None
         if append:
@@ -546,6 +553,8 @@ class Dataset:
             man.lower_bounds = [() for _ in files]
             man.upper_bounds = [() for _ in files]
         _meta.write_manifest(path, man)
+        if manifest_table:
+            _meta.write_manifest_table(self.spark, path, man)
         return scan_parquet(self.spark, path)
 
     def collect(self):

@@ -258,3 +258,23 @@ def test_manifest_table_roundtrip_and_distributed_prune(spark, tmp_path):
         .select("file").orderBy("pos"))
     files = [r["file"] for r in surviving.collect()]
     assert files == ["part0000000001.parquet", "part0000000002.parquet"]
+
+
+def test_write_parquet_manifest_table_form(spark, tmp_path, sf_dir):
+    """write_parquet(manifest_table=True) persists the table-form
+    manifest alongside the JSON sidecar, and both agree exactly."""
+    from padawan_spark import Dataset
+    from padawan_spark.metadata import load_manifest, manifest_from_table
+    from padawan_spark.queries.registry import load
+
+    target = str(tmp_path / "mt_orders")
+    o = (load(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_totalprice").limit(1000))
+    ds = Dataset(spark, o, index_columns=("o_orderkey",))
+    ds.repartition(4).write_parquet(target, manifest_table=True)
+    j = load_manifest(target)
+    t = manifest_from_table(spark, target)
+    assert t.files == j.files and t.sizes == j.sizes
+    assert t.lower_bounds == j.lower_bounds
+    assert t.upper_bounds == j.upper_bounds
+    assert t.index_columns == j.index_columns
