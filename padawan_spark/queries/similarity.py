@@ -242,3 +242,77 @@ def sim_ann_ivf(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH index vs exact top-k
+# ---------------------------------------------------------------------------
+
+@query("sim_recall_eval", oracle=f"""
+WITH v AS (SELECT *, {_BUCKET.format(p='embedding')} AS bucket
+           FROM ({_DUCK_VECS})),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+          / (q.nrm * c.nrm) DESC, c.vec_id) AS rn
+    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10) WHERE rn <= 3),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+          / (q.nrm * c.nrm) DESC, c.vec_id) AS rn
+    FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10) WHERE rn <= 3)
+SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3.0 AS recall_at_3
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""")
+def sim_recall_eval(spark, sf_dir):
+    """ANN quality evaluation — recall@3 of the sign-LSH index against
+    the exact top-3, per query: the metric that decides whether an
+    index's bucketing is good enough to replace brute force.  Both
+    rankings are computed with the engine-exact fold dot product, and
+    the recall itself is an integer set intersection divided once —
+    nothing transcendental, so the evaluation is bit-reproducible.  At
+    scale the exact side runs on a small held-out query sample (here:
+    10 queries) while the index side stays a bucket equi-join — the
+    standard recall-audit shape."""
+    v = _vecs(spark, sf_dir).withColumn(
+        "bucket", F.expr(
+            "cast(element_at(emb, 1) >= 0 as int) * 8"
+            " + cast(element_at(emb, 2) >= 0 as int) * 4"
+            " + cast(element_at(emb, 3) >= 0 as int) * 2"
+            " + cast(element_at(emb, 4) >= 0 as int)"))
+    q = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("bucket").alias("qb"))
+    c = v.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("emb").alias("ce"), F.col("nrm").alias("cn"),
+                 F.col("bucket").alias("cb"))
+    cos = (F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+
+    exact = (F.broadcast(q)
+             .join(c, F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", cos.alias("cosine"))
+             .withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= 3).select("query_id", "neighbor_id"))
+    approx = (q.join(c, (F.col("qb") == F.col("cb"))
+                     & (F.col("query_id") != F.col("neighbor_id")))
+              .select("query_id", "neighbor_id", cos.alias("cosine"))
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= 3)
+              .select(F.col("query_id").alias("aq"),
+                      F.col("neighbor_id").alias("an")))
+    return (exact.join(approx,
+                       (F.col("query_id") == F.col("aq"))
+                       & (F.col("neighbor_id") == F.col("an")), "left")
+            .groupBy("query_id")
+            .agg(F.count("an").alias("hits"),
+                 (F.count("an").cast("double") / 3.0).alias("recall_at_3")))
