@@ -395,3 +395,44 @@ def text_ngram_freq(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("freq"))
             .orderBy(F.desc("freq"), "bigram")
             .limit(20))
+
+
+@query("text_winnowing", oracle=f"""
+WITH sh AS (
+  SELECT doc_id, list_transform(range(1, len(t) - 1),
+           i -> CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' '
+                || t[i+2]), 1, 8)) AS BIGINT)) AS h
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)),
+win AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(h) - 2),
+           i -> list_min(h[i : i + 3]))) AS fps
+  FROM sh WHERE len(h) >= 4)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM win
+""")
+def text_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (the MOSS algorithm): hash every word
+    3-shingle, slide a window of 4 hashes, keep each window's minimum —
+    guaranteeing any shared substring of threshold length contributes a
+    common fingerprint, with far fewer fingerprints than all-shingles.
+    Shingle hashes come from md5 prefixes (engine-identical, same trick
+    as the MinHash family) and the whole pipeline is per-row
+    higher-order array code inside codegen — zero shuffle until the
+    fingerprint table is joined downstream for overlap detection."""
+    d = load(spark, sf_dir, "documents")
+    h = (f"transform(sequence(1, size({_SPARK_TOKS}) - 2),"
+         f" i -> cast(conv(substr(md5(concat_ws(' ',"
+         f" element_at({_SPARK_TOKS}, i),"
+         f" element_at({_SPARK_TOKS}, i + 1),"
+         f" element_at({_SPARK_TOKS}, i + 2))), 1, 8), 16, 10)"
+         f" as bigint))")
+    fps = (f"array_distinct(transform(sequence(1, size({h}) - 3),"
+           f" i -> array_min(slice({h}, i, 4))))")
+    return (d.where(F.expr(f"size({h}) >= 4"))
+            .select("doc_id",
+                    F.expr(f"cast(size({fps}) as bigint)").alias("n_fps"),
+                    F.expr(f"cast(array_min({fps}) as bigint)")
+                    .alias("min_fp"),
+                    F.expr(f"cast(array_max({fps}) as bigint)")
+                    .alias("max_fp")))
