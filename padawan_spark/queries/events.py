@@ -234,3 +234,49 @@ def ev_rolling_actives(spark, sf_dir):
                     & (F.col("d") <= F.col("day")))
             .groupBy("day")
             .agg(F.countDistinct("user_id").alias("wau")))
+
+
+@query("ev_funnel_steps", oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    list_min(list(ts) FILTER (WHERE event_type = 'view')) AS v,
+    list(ts) FILTER (WHERE event_type = 'click') AS clicks,
+    list(ts) FILTER (WHERE event_type = 'purchase') AS purchases
+  FROM events GROUP BY user_id),
+steps AS (
+  SELECT user_id, v,
+    list_min(list_filter(clicks, t -> t > v)) AS c,
+    list_min(list_filter(purchases,
+      t -> t > list_min(list_filter(clicks, x -> x > v)))) AS p
+  FROM per_user)
+SELECT CAST(COUNT(v) AS BIGINT) AS n_viewed,
+       CAST(COUNT(c) AS BIGINT) AS n_clicked_after,
+       CAST(COUNT(p) AS BIGINT) AS n_purchased_after
+FROM steps
+""")
+def ev_funnel_steps(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase): each stage must
+    strictly follow the user's previous stage.  Computed by collecting
+    per-user event-time arrays in ONE aggregation and resolving the
+    stage chain with array_min/filter — no N-way self-join, so the cost
+    is one shuffle on user_id regardless of funnel depth, and per-user
+    state is bounded by that user's event count (the standard product-
+    analytics funnel shape at event-log scale)."""
+    e = load(spark, sf_dir, "events")
+
+    def times(t):
+        return F.collect_list(F.when(F.col("event_type") == t,
+                                     F.col("ts")))
+
+    per_user = (e.groupBy("user_id")
+                .agg(F.array_min(times("view")).alias("v"),
+                     times("click").alias("clicks"),
+                     times("purchase").alias("purchases")))
+    c = F.array_min(F.filter("clicks",
+                             lambda t: t > F.col("v")))
+    steps = per_user.select(
+        "user_id", "v", c.alias("c"),
+        F.array_min(F.filter("purchases", lambda t: t > c)).alias("p"))
+    return steps.agg(F.count("v").alias("n_viewed"),
+                     F.count("c").alias("n_clicked_after"),
+                     F.count("p").alias("n_purchased_after"))
