@@ -426,3 +426,30 @@ def adv_custom_source(spark, sf_dir):
     return (df.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("square").alias("sum_sq")))
+
+
+@query("adv_percentile_disc", oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+       quantile_disc(l_extendedprice, 0.9) AS p90_disc,
+       median(l_extendedprice) AS med
+FROM lineitem GROUP BY l_returnflag
+""")
+def adv_percentile_disc(spark, sf_dir):
+    """Discrete percentiles (WITHIN GROUP ordered-set aggregates) and
+    MEDIAN: quantile_disc returns an ACTUAL data value (no
+    interpolation — required when the column is a code or a latency
+    bucket), median interpolates like quantile_cont.  Both are
+    value-exact cross-engine: disc picks the same element, and the
+    interpolated median is one IEEE midpoint expression.  Completes
+    the percentile family next to adv_percentiles (cont) and
+    adv_approx_quantile (sketch)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_pd")
+    return spark.sql("""
+        SELECT l_returnflag,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+            AS p50_disc,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+            AS p90_disc,
+          median(l_extendedprice) AS med
+        FROM v_li_pd GROUP BY l_returnflag""")
