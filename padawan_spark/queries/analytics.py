@@ -892,3 +892,25 @@ def ana_variant_extract(spark, sf_dir):
             .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum(F.col("value"), "total_value")))
+
+
+@query("ana_top_percent", oracle="""
+SELECT o_orderkey, o_totalprice, pr FROM (
+  SELECT o_orderkey, o_totalprice,
+         PERCENT_RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pr
+  FROM orders) WHERE pr <= 0.01
+""")
+def ana_top_percent(spark, sf_dir):
+    """Relative top-N%: the highest-value 1% of orders via a
+    percent_rank cutoff — unlike a fixed LIMIT k, the threshold scales
+    with the data (the 'platinum customers' / 'heaviest documents'
+    selector).  percent_rank is (rank-1)/(n-1): two integers and one
+    division, bit-identical across engines given the total (price DESC,
+    key) order.  The global window sorts via range partitioning; for a
+    100 TB fact the same cutoff would be approximated first with
+    approx_percentile to avoid the full sort, then exact-filtered."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.select("o_orderkey", "o_totalprice",
+                     F.percent_rank().over(w).alias("pr"))
+            .where(F.col("pr") <= 0.01))
