@@ -386,3 +386,46 @@ def dedup_contamination(spark, sf_dir):
                     F.when(F.coalesce("n_overlap", F.lit(0)) * 10
                            >= F.col("n_shingles"), 1).otherwise(0)
                     .alias("contaminated")))
+
+
+@query("dedup_blocking_stats", oracle=f"""
+WITH mh AS ({_DUCK_MINHASH}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM mh"
+      for b in range(_N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT n_docs, CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       n_docs * (n_docs - 1) // 2 AS n_possible,
+       ROUND(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+             / (n_docs * (n_docs - 1) / 2), 9) AS candidate_fraction
+FROM n
+""")
+def dedup_blocking_stats(spark, sf_dir):
+    """Blocking-efficiency observability: how many candidate pairs the
+    LSH banding actually generates versus the n(n-1)/2 a cross join
+    would — THE number that tells you whether a dedup run is tractable
+    before launching it (a blocking scheme emitting 10% of all pairs is
+    a disguised cross join).  Pure integer counting plus one rounded
+    ratio; composes the same band tables the candidate join uses."""
+    bands = _bands_spark(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    n_docs = load(spark, sf_dir, "documents").count()
+    n_cand = cand.count()
+    n_possible = n_docs * (n_docs - 1) // 2
+    return spark.createDataFrame(
+        [(n_docs, n_cand, n_possible,
+          round(n_cand / n_possible, 9))],
+        "n_docs bigint, n_candidates bigint, n_possible bigint, "
+        "candidate_fraction double")
