@@ -914,3 +914,87 @@ def ana_top_percent(spark, sf_dir):
     return (o.select("o_orderkey", "o_totalprice",
                      F.percent_rank().over(w).alias("pr"))
             .where(F.col("pr") <= 0.01))
+
+
+_CM_SUMS = """
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sqq,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+           * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS spp,
+  CAST(SUM(CAST(l_discount AS DECIMAL(28,6))
+           * CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sdd,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sqp,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sqd,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+           * CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS spd
+"""
+
+_CM_CORR = ("ROUND((s{ab} - s{a} * s{b} / n) / (sqrt(s{aa} - s{a} * s{a} / n)"
+            " * sqrt(s{bb} - s{b} * s{b} / n)), 12)")
+
+
+@query("ana_corr_matrix", oracle=f"""
+WITH m AS (SELECT {_CM_SUMS} FROM lineitem)
+SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+       {_CM_CORR.format(ab='qp', a='q', b='p', aa='qq', bb='pp')} AS corr
+FROM m
+UNION ALL
+SELECT 'quantity', 'discount',
+       {_CM_CORR.format(ab='qd', a='q', b='d', aa='qq', bb='dd')} FROM m
+UNION ALL
+SELECT 'extendedprice', 'discount',
+       {_CM_CORR.format(ab='pd', a='p', b='d', aa='pp', bb='dd')} FROM m
+""")
+def ana_corr_matrix(spark, sf_dir):
+    """Pairwise feature-correlation matrix in ONE pass — the training-
+    data feature audit (drop one of any near-perfectly-correlated
+    pair).  All 10 moments (3 sums, 3 squares, 3 cross products, n)
+    come from a single partial+final aggregation over one scan, in
+    exact decimal so the result is partitioning-invariant; the composed
+    divide/sqrt chain is rounded to 12 decimals on both engines (the
+    1-ulp policy).  Adding features grows the moment count
+    quadratically but the scan count stays ONE."""
+    l = load(spark, sf_dir, "lineitem")
+
+    def dsq(c):
+        return F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+
+    def dprod(a, b):
+        return F.sum(F.col(a).cast("decimal(28,6)")
+                     * F.col(b).cast("decimal(28,6)")).cast("double")
+
+    m = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsq("l_quantity").alias("sq"), dsq("l_extendedprice").alias("sp"),
+        dsq("l_discount").alias("sd"),
+        dprod("l_quantity", "l_quantity").alias("sqq"),
+        dprod("l_extendedprice", "l_extendedprice").alias("spp"),
+        dprod("l_discount", "l_discount").alias("sdd"),
+        dprod("l_quantity", "l_extendedprice").alias("sqp"),
+        dprod("l_quantity", "l_discount").alias("sqd"),
+        dprod("l_extendedprice", "l_discount").alias("spd"))
+
+    def corr(ab, a, b, aa, bb):
+        n = F.col("n")
+        num = F.col(ab) - F.col(a) * F.col(b) / n
+        den = (F.sqrt(F.col(aa) - F.col(a) * F.col(a) / n)
+               * F.sqrt(F.col(bb) - F.col(b) * F.col(b) / n))
+        return F.round(num / den, 12)
+
+    pairs = F.array(
+        F.struct(F.lit("quantity").alias("col_a"),
+                 F.lit("extendedprice").alias("col_b"),
+                 corr("sqp", "sq", "sp", "sqq", "spp").alias("corr")),
+        F.struct(F.lit("quantity").alias("col_a"),
+                 F.lit("discount").alias("col_b"),
+                 corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr")),
+        F.struct(F.lit("extendedprice").alias("col_a"),
+                 F.lit("discount").alias("col_b"),
+                 corr("spd", "sp", "sd", "spp", "sdd").alias("corr")))
+    return m.select(F.explode(pairs).alias("p")).select("p.*")
