@@ -229,3 +229,40 @@ def ana_grouping_id(spark, sf_dir):
         FROM v_lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """)
+
+
+# ---------------------------------------------------------------------------
+# batched "model inference" over embeddings: Arrow batch in, scores out
+# ---------------------------------------------------------------------------
+
+@query("udf_batch_score", oracle="""
+SELECT vec_id, label,
+  ROUND(list_reduce(list_transform(range(1, 65),
+      i -> CAST(embedding[i] AS DOUBLE) / CAST(i AS DOUBLE)),
+      (a, b) -> a + b), 6) AS score
+FROM embeddings
+""")
+def udf_batch_score(spark, sf_dir):
+    """Batch model-inference plumbing: a pandas UDF scores every
+    embedding with a (deterministic, stand-in) linear model — the exact
+    shape of real encoder/classifier scoring jobs: Arrow-batched
+    vectors in, one score column out, embarrassingly parallel, model
+    weights captured in the task closure (broadcast once per executor).
+    numpy's pairwise summation differs from a sequential fold in the
+    last ulp, so the score is ROUNDED to 6 decimals on both engines —
+    the transcendental rule applied to reduction-order variance."""
+    import numpy as np
+
+    def scorer():
+        w = (1.0 / np.arange(1, 65)).astype("float64")
+
+        @pandas_udf("double")
+        def score(emb: pd.Series) -> pd.Series:
+            mat = np.vstack(emb.to_numpy()).astype("float64")
+            return pd.Series(np.round(mat @ w, 6))
+        return score
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label",
+                    scorer()(F.col("embedding").cast("array<double>"))
+                    .alias("score"))
