@@ -280,3 +280,41 @@ def ev_funnel_steps(spark, sf_dir):
     return steps.agg(F.count("v").alias("n_viewed"),
                      F.count("c").alias("n_clicked_after"),
                      F.count("p").alias("n_purchased_after"))
+
+
+@query("ev_anomaly_mad", oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, med,
+         quantile_cont(abs(e.value - med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM events e JOIN mad m ON e.event_type = m.event_type
+GROUP BY e.event_type
+""")
+def ev_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: flag values beyond 3 robust sigmas
+    using the median absolute deviation (MAD x 1.4826 ≈ sigma for
+    normal data) — unlike mean/stddev, the median pair is immune to
+    the outliers it is hunting.  Two grouped exact percentiles (each a
+    shuffle on the small type key) then a broadcast of the per-type
+    thresholds back onto the events scan; the interpolated medians are
+    engine-exact, and both engines evaluate the identical threshold
+    expression, so the anomaly counts match bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    med = (e.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    mad = (e.join(F.broadcast(med), "event_type")
+           .groupBy("event_type", "med")
+           .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad")))
+    return (e.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.abs(F.col("value") - F.col("med"))
+                              > 3 * 1.4826 * F.col("mad"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_anomalies")))
