@@ -1,0 +1,30 @@
+"""Fast driver-contract sanity: the __spark_entry__ surface is shaped
+exactly as the driver expects, without spinning up Spark."""
+
+import importlib.util
+import os
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(_ROOT, "__spark_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_contract_shape():
+    m = _entry_module()
+    qs = m.queries()
+    os_ = m.oracle_sql()
+    assert len(qs) >= 160
+    assert callable(next(iter(qs.values())))
+    # every oracle key maps to a registered query and is non-empty SQL
+    for name, sql in os_.items():
+        assert name in qs, name
+        assert isinstance(sql, str) and sql.strip(), name
+    # rows-only queries are OMITTED from oracle_sql, never None-valued
+    assert all(v is not None for v in os_.values())
+    assert callable(m.entry)
