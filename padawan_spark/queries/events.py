@@ -318,3 +318,45 @@ def ev_anomaly_mad(spark, sf_dir):
                  F.sum(F.when(F.abs(F.col("value") - F.col("med"))
                               > 3 * 1.4826 * F.col("mad"), 1)
                        .otherwise(0)).cast("bigint").alias("n_anomalies")))
+
+
+@query("ev_journey_similarity", oracle="""
+WITH j AS (
+  SELECT user_id,
+    substr(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+           1, 20) AS journey
+  FROM events GROUP BY user_id),
+jb AS (SELECT user_id, journey, substr(journey, 1, 1) AS blk FROM j)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(levenshtein(a.journey, b.journey) AS INT) AS dist
+FROM jb a JOIN jb b ON a.blk = b.blk AND a.user_id < b.user_id
+WHERE levenshtein(a.journey, b.journey) <= 8
+""")
+def ev_journey_similarity(spark, sf_dir):
+    """Behavioral trajectory similarity: each user's session history is
+    collapsed into an ordered event-type string (the journey), and
+    near-identical journeys are found by edit distance — the sequence-
+    similarity search of trajectory papers, grounded to event logs.
+    Journeys are built with a deterministic ordered aggregation
+    (sort_array of (ts, event_id, char) structs, engine-equal to
+    DuckDB's ORDER BY string_agg) and truncated to a 20-step prefix
+    (bounding the DP cost per pair), and the quadratic comparison is
+    BLOCKED by the journey's first step so Levenshtein runs only
+    within plausible pairs — never an unblocked cross join."""
+    e = load(spark, sf_dir, "events")
+    j = (e.groupBy("user_id")
+         .agg(F.substring(F.array_join(
+             F.transform(
+                 F.sort_array(F.collect_list(F.struct(
+                     "ts", "event_id",
+                     F.substring("event_type", 1, 1).alias("c")))),
+                 lambda s: s["c"]), ""), 1, 20).alias("journey")))
+    jb = j.withColumn("blk", F.substring("journey", 1, 1))
+    a, b = jb.alias("a"), jb.alias("b")
+    dist = F.levenshtein(F.col("a.journey"), F.col("b.journey"))
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.user_id") < F.col("b.user_id")))
+            .where(dist <= 8)
+            .select(F.col("a.user_id").alias("user_a"),
+                    F.col("b.user_id").alias("user_b"),
+                    dist.cast("int").alias("dist")))
