@@ -266,3 +266,44 @@ def udf_batch_score(spark, sf_dir):
     return e.select("vec_id", "label",
                     scorer()(F.col("embedding").cast("array<double>"))
                     .alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# SQL-registered Python UDTF applied per input row via LATERAL
+# ---------------------------------------------------------------------------
+
+@query("udf_table_function", oracle="""
+SELECT o_orderkey, CAST(i AS INT) AS installment_no,
+       CASE WHEN i < 4 THEN cents // 4
+            ELSE cents - 3 * (cents // 4) END AS cents_due
+FROM (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 1000),
+     unnest(range(1, 5)) AS u(i)
+""")
+def udf_table_function(spark, sf_dir):
+    """Python UDTF (Spark 3.5+ ``@udtf``): a SQL-registered table
+    function expanded per input row with LATERAL — each order's price
+    becomes a 4-installment amortization schedule in exact integer
+    cents (remainder on the last installment, so the cents always sum
+    back to the total).  The UDTF is the row-generating escape hatch
+    SQL callers can reach without touching the DataFrame API; per-row
+    expansion parallelizes with the scan, no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="installment_no int, cents_due bigint")
+    class Installments:
+        def eval(self, cents: int, parts: int):
+            base = cents // parts
+            for i in range(1, parts + 1):
+                yield (i, base if i < parts
+                       else cents - (parts - 1) * base)
+
+    spark.udtf.register("installments", Installments)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_tf")
+    return spark.sql("""
+        SELECT o_orderkey, t.installment_no, t.cents_due
+        FROM (SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM v_orders_tf WHERE o_orderkey <= 1000) o,
+             LATERAL installments(cents, 4) t
+    """)
