@@ -357,3 +357,34 @@ def op_map_arrow(spark, sf_dir):
 
     return l.mapInArrow(
         per_batch, "l_orderkey bigint, l_linenumber int, discounted double")
+
+
+@query("op_observe_metrics", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(CASE WHEN o_totalprice > 400000 THEN 1 END) AS BIGINT)
+         AS n_large,
+       {sql_dsum('o_totalprice', 'total')}
+FROM orders
+""")
+def op_observe_metrics(spark, sf_dir):
+    """In-flight metrics via ``Observation``/``df.observe``: data-quality
+    counters (row count, predicate count, exact sum) are accumulated
+    DURING the pass that processes the data — no second scan, the ETL
+    observability primitive (Spark's named-observation API; metrics
+    ride the action's accumulators).  The observed metrics are then
+    surfaced as a one-row DataFrame the oracle checks against a plain
+    aggregate — proving the side channel reports exactly what a
+    dedicated aggregation pass would."""
+    from pyspark.sql import Observation
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("quality")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 400000, 1)).alias("n_large"),
+        dsum(F.col("o_totalprice"), "total"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], m["total"])],
+        "n_rows bigint, n_large bigint, total double")
