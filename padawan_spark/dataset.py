@@ -82,13 +82,28 @@ class Dataset:
         lower_bounds: list[tuple] | None = None,
         upper_bounds: list[tuple] | None = None,
         schema: StructType | None = None,
+        residual=None,
+        partition_ids: list[int] | None = None,
     ):
         self.spark = spark
         self._files = list(files) if files is not None else None
+        # Residual slice predicate (a Catalyst Column over unresolved
+        # F.col refs).  For file-backed datasets the per-partition view in
+        # __getitem__ re-reads the raw file, so the predicate must be
+        # re-applied there (reference applies the residual per partition,
+        # sliced_dataset.py:137-167).
+        self._residual = residual
+        # Physical spark_partition_id for each metadata slot.  reindex()
+        # drops empty partitions from sizes/bounds; without this mapping,
+        # ds[i] and sizes[i] would refer to different partitions whenever
+        # any partition is empty.  None = identity.
+        self._partition_ids = list(partition_ids) if partition_ids is not None else None
         if df is None:
             _require(files is not None, ValueError, "need df or files")
             if self._files:
                 df = spark.read.parquet(*self._files)
+                if residual is not None:
+                    df = df.where(residual)
             else:
                 _require(schema is not None, ValueError,
                          "zero-partition dataset requires an explicit schema")
@@ -154,8 +169,10 @@ class Dataset:
             i += n
         _require(0 <= i < n, IndexError, f"partition {i} out of range ({n})")
         if self._files is not None:
-            return self.spark.read.parquet(self._files[i])
-        return self.df.where(F.spark_partition_id() == F.lit(i))
+            part = self.spark.read.parquet(self._files[i])
+            return part.where(self._residual) if self._residual is not None else part
+        pid = self._partition_ids[i] if self._partition_ids is not None else i
+        return self.df.where(F.spark_partition_id() == F.lit(pid))
 
     def __iter__(self) -> Iterator[DataFrame]:
         for i in range(len(self)):
@@ -190,17 +207,20 @@ class Dataset:
             # largest-first) — partition identity must come from the manifest
             # (survey §7.4 trap 6).  Empty files are dropped
             # (reindexed_dataset.py:59-67).
-            stats = _file_stats(self.spark, self._files, ix)
+            stats = _file_stats(self.spark, self._files, ix,
+                                residual=self._residual)
             kept = [f for f in self._files if os.path.abspath(f) in stats]
             st = [stats[os.path.abspath(f)] for f in kept]
             return Dataset(self.spark, files=kept, index_columns=ix,
                            schema=self.df.schema,
                            sizes=[s[0] for s in st],
                            lower_bounds=[s[1] for s in st],
-                           upper_bounds=[s[2] for s in st])
-        sizes, lbs, ubs, _ = self._stats_job(ix)
+                           upper_bounds=[s[2] for s in st],
+                           residual=self._residual)
+        sizes, lbs, ubs, nonempty = self._stats_job(ix)
         return self._with_meta(index_columns=ix, sizes=sizes,
-                               lower_bounds=lbs, upper_bounds=ubs)
+                               lower_bounds=lbs, upper_bounds=ubs,
+                               partition_ids=nonempty)
 
     def _stats_job(self, ix: tuple[str, ...]):
         """One distributed pass: per-partition count + null-first lex min/max.
@@ -285,6 +305,7 @@ class Dataset:
             if keep_bounds and self.known_bounds else None,
             upper_bounds=[b[:k] for b in self._upper_bounds]
             if keep_bounds and self.known_bounds else None,
+            partition_ids=self._partition_ids,  # mapInPandas is 1:1 per partition
         )
 
     # ------------------------------------------------------------------
@@ -294,9 +315,12 @@ class Dataset:
     def rename(self, mapping: dict[str, str]) -> "Dataset":
         new_df = self.df.withColumnsRenamed(mapping)
         new_ix = tuple(mapping.get(c, c) for c in self.index_columns)
+        # residual is dropped: it references pre-rename column names and the
+        # result is no longer file-backed, so it is already baked into df
         return Dataset(self.spark, new_df, index_columns=new_ix,
                        sizes=self._sizes, lower_bounds=self._lower_bounds,
-                       upper_bounds=self._upper_bounds)
+                       upper_bounds=self._upper_bounds,
+                       partition_ids=self._partition_ids)
 
     # ------------------------------------------------------------------
     # slice: lexicographic range selection (parity: sliced_dataset.py:8-194)
@@ -329,13 +353,24 @@ class Dataset:
         if ub is not None:
             c = (_ord.columns_leq if hi_incl else _ord.columns_lt)(ix, ub)
             cond = c if cond is None else (cond & c)
+        # Compose with any prior residual: a file-backed re-slice rebuilds
+        # the scan from raw files, so ALL predicates applied so far must be
+        # carried, not just this call's.
+        residual = self._residual
+        if cond is not None:
+            residual = cond if residual is None else (residual & cond)
 
         # --- metadata/file pruning when bounds are known -----------------
         files = self._files
         sizes, lbs, ubs = self._sizes, self._lower_bounds, self._upper_bounds
+        pids = self._partition_ids
         if self.known_bounds:
             keep, new_sizes, new_lbs, new_ubs = [], [], [], []
             n = len(self._lower_bounds)
+            if pids is None and files is None:
+                # pruning metadata without repartitioning the DataFrame:
+                # record which physical partitions the kept slots map to
+                pids = list(range(n))
             for i in range(n):
                 plb, pub = self._lower_bounds[i], self._upper_bounds[i]
                 if not _overlaps(plb, pub, lb, ub, lo_incl, hi_incl):
@@ -343,23 +378,25 @@ class Dataset:
                 keep.append(i)
                 inside = _contained(plb, pub, lb, ub, lo_incl, hi_incl)
                 new_sizes.append(self._sizes[i] if (self.known_sizes and inside) else None)
-                new_lbs.append(_clamp_lb(plb, lb, len(ix)))
-                new_ubs.append(_clamp_ub(pub, ub, len(ix)))
+                new_lbs.append(_clamp_lb(plb, lb, len(ix), lo_incl))
+                new_ubs.append(_clamp_ub(pub, ub, len(ix), hi_incl))
             sizes = new_sizes if all(s is not None for s in new_sizes) else None
             lbs, ubs = new_lbs, new_ubs
+            if pids is not None:
+                pids = [pids[i] for i in keep]
             if files is not None:
                 files = [files[i] for i in keep]
                 if not files:
                     return Dataset(self.spark, index_columns=ix, files=[],
                                    schema=self.df.schema, sizes=[],
                                    lower_bounds=[], upper_bounds=[])
-                base = self.spark.read.parquet(*files)
-                new_df = base.where(cond) if cond is not None else base
-                return Dataset(self.spark, new_df, files=files, index_columns=ix,
-                               sizes=sizes, lower_bounds=lbs, upper_bounds=ubs)
+                return Dataset(self.spark, files=files, index_columns=ix,
+                               sizes=sizes, lower_bounds=lbs, upper_bounds=ubs,
+                               residual=residual)
         new_df = self.df.where(cond) if cond is not None else self.df
         return Dataset(self.spark, new_df, index_columns=ix,
-                       sizes=sizes, lower_bounds=lbs, upper_bounds=ubs)
+                       sizes=sizes, lower_bounds=lbs, upper_bounds=ubs,
+                       residual=residual, partition_ids=pids)
 
     # ------------------------------------------------------------------
     # join (parity: joined_dataset.py:7-85)
@@ -436,11 +473,16 @@ class Dataset:
 
         File-backed datasets get the exact greedy semantics: groups are
         computed from manifest sizes (driver-side metadata math, no data
-        read), each group becomes one output partition, and batch
-        sizes/bounds stay known (sums / min-max).  Other datasets fall
-        back to ``coalesce`` — Spark's own merge-only repacking, the same
-        contract without the per-batch guarantee (AQE applies it to
-        shuffle outputs automatically)."""
+        read), each group becomes exactly one output partition, and batch
+        sizes/bounds stay known (sums / min-max).  The physical plan is
+        ONE parquet scan for any group count — each row is tagged with its
+        file's group via a broadcast map join, then a single hash shuffle
+        lands every group in its own partition (labels are chosen so their
+        murmur3 slots form a perfect permutation — see
+        :func:`_perfect_hash_labels`).  Other datasets fall back to
+        ``coalesce`` — Spark's own merge-only repacking, the same contract
+        without the per-batch guarantee (AQE applies it to shuffle outputs
+        automatically)."""
         _require(self.known_sizes, StatsUnknownError,
                  "collate requires known sizes; call reindex() first")
         if self._files is not None and self.known_bounds and self._files:
@@ -459,13 +501,29 @@ class Dataset:
                     groups[-1].extend(acc)  # tail merges into the last batch
                 else:
                     groups = [acc]
-            df = None
-            for g in groups:
-                part = self.spark.read.parquet(
-                    *[self._files[i] for i in g]).coalesce(1)
-                df = part if df is None else df.unionByName(part)
+            k = len(groups)
+            labels = _perfect_hash_labels(k)
+            pairs = [(os.path.abspath(self._files[i]), labels[gi])
+                     for gi, g in enumerate(groups) for i in g]
+            map_df = self.spark.createDataFrame(
+                pairs, "__path string, __label int")
+            base = self.spark.read.parquet(
+                *[self._files[i] for g in groups for i in g])
+            if self._residual is not None:
+                base = base.where(self._residual)
+            tagged = (base
+                      # file:///x/y → /x/y, matching os.path.abspath keys
+                      .withColumn("__path",
+                                  F.regexp_replace(F.input_file_name(),
+                                                   "^file:/+", "/"))
+                      .join(F.broadcast(map_df), "__path")
+                      .drop("__path"))
+            out = tagged.repartition(k, "__label").drop("__label")
+            if self.index_columns:
+                out = out.sortWithinPartitions(
+                    *[F.col(c).asc_nulls_first() for c in self.index_columns])
             return Dataset(
-                self.spark, df, index_columns=self.index_columns,
+                self.spark, out, index_columns=self.index_columns,
                 sizes=[sum(self._sizes[i] for i in g) for g in groups],
                 lower_bounds=[min((self._lower_bounds[i] for i in g),
                                   key=_ord.lex_key) for g in groups],
@@ -571,6 +629,8 @@ class Dataset:
             sizes=kw.get("sizes", self._sizes),
             lower_bounds=kw.get("lower_bounds", self._lower_bounds),
             upper_bounds=kw.get("upper_bounds", self._upper_bounds),
+            residual=kw.get("residual", self._residual),
+            partition_ids=kw.get("partition_ids", self._partition_ids),
         )
 
 
@@ -617,16 +677,64 @@ def _contained(plb, pub, lb, ub, lo_incl, hi_incl) -> bool:
     return True
 
 
-def _clamp_lb(plb, lb, k):
-    if lb is None:
+def _clamp_lb(plb, lb, k, lo_incl=True):
+    """Tighten a partition lower bound against the slice lower bound.
+
+    Only valid when the slice bound is FULL-LENGTH and inclusive (matching
+    the reference, ``sliced_dataset.py:116-120``): a prefix bound ``(2,)``
+    admits surviving rows like ``(2, 3)`` that sort below any synthesized
+    full-length bound such as ``(2, 5)``, so prefix/strict bounds must keep
+    the original partition bound (conservative but correct)."""
+    if lb is None or len(lb) != k or not lo_incl:
         return plb
-    return plb if _cmp_prefix(plb, lb) >= 0 else tuple(lb) + plb[len(lb):k]
+    return plb if _cmp_prefix(plb, lb) >= 0 else tuple(lb)
 
 
-def _clamp_ub(pub, ub, k):
-    if ub is None:
+def _clamp_ub(pub, ub, k, hi_incl=True):
+    if ub is None or len(ub) != k or not hi_incl:
         return pub
-    return pub if _cmp_prefix(pub, ub) <= 0 else tuple(ub) + pub[len(ub):k]
+    return pub if _cmp_prefix(pub, ub) <= 0 else tuple(ub)
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of a single 32-bit int, matching Spark's
+    ``Murmur3Hash`` (seed 42) used by ``HashPartitioning`` for
+    IntegerType columns.  Driver-side math only — lets us predict which
+    partition ``repartition(k, col)`` sends a given label to."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    kk = x & 0xFFFFFFFF
+    kk = (kk * c1) & 0xFFFFFFFF
+    kk = ((kk << 15) | (kk >> 17)) & 0xFFFFFFFF
+    kk = (kk * c2) & 0xFFFFFFFF
+    h = (seed ^ kk) & 0xFFFFFFFF
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # input length in bytes
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    if h >= 1 << 31:  # to Java signed int
+        h -= 1 << 32
+    return h
+
+
+def _perfect_hash_labels(k: int) -> list[int]:
+    """k integer labels such that ``pmod(murmur3(label), k)`` is a perfect
+    permutation — labels[i] hashes to partition slot i.  Tagging collate
+    group i with labels[i] makes ``repartition(k, "__label")`` land group i
+    exactly in physical partition i (one group per partition, order
+    preserved), with one ordinary hash shuffle and a single scan node."""
+    labels: list[int | None] = [None] * k
+    found, x = 0, 0
+    while found < k:
+        slot = _murmur3_int32(x) % k  # Python % == Spark pmod for k > 0
+        if labels[slot] is None:
+            labels[slot] = x
+            found += 1
+        x += 1
+    return labels  # type: ignore[return-value]
 
 
 # ---------------------------------------------------------------------------
@@ -646,15 +754,20 @@ def _norm_file_uri(uri: str) -> str:
     return os.path.abspath(uri)
 
 
-def _file_stats(spark: SparkSession, files: list[str], ix: tuple[str, ...]):
+def _file_stats(spark: SparkSession, files: list[str], ix: tuple[str, ...],
+                residual=None):
     """Distributed per-file stats: {abspath: (nrows, lb, ub)}.
 
     Uses ``input_file_name()`` grouping so a file split across tasks is
     still aggregated once; one output row per file (bounded by file count,
-    not data size — safe at 100 TB)."""
+    not data size — safe at 100 TB).  ``residual`` restricts the stats to
+    rows surviving a slice predicate (files with no surviving rows drop
+    out, like empty files)."""
     if not files:
         return {}
     df = spark.read.parquet(*files)
+    if residual is not None:
+        df = df.where(residual)
     fname = F.input_file_name().alias("__f")
     if not ix:
         rows = df.select(fname).groupBy("__f").agg(
@@ -728,13 +841,29 @@ def concat(spark_or_datasets, datasets: list[Dataset] | None = None) -> Dataset:
     known = all(d.known_sizes for d in datasets)
     knownb = all(d.known_bounds for d in datasets)
     files = None
+    residual = None
+    # raw-file partition access is only valid when no input carries a
+    # residual slice predicate (it would be lost on re-read)
     if all(d._files is not None for d in datasets):
-        files = [f for d in datasets for f in d._files]
+        if all(d._residual is None for d in datasets):
+            files = [f for d in datasets for f in d._files]
+        else:
+            files = None
+    pids = None
+    if files is None and known and any(d._partition_ids is not None for d in datasets):
+        # union concatenates children's physical partitions in order;
+        # compose each child's slot→pid map with its running offset
+        pids, off = [], 0
+        for d in datasets:
+            child = d._partition_ids or list(range(len(d._sizes)))
+            pids.extend(p + off for p in child)
+            off += d.df.rdd.getNumPartitions()
     return Dataset(
         first.spark, df, files=files, index_columns=first.index_columns,
         sizes=[s for d in datasets for s in d.sizes] if known else None,
         lower_bounds=[b for d in datasets for b in d.lower_bounds] if knownb else None,
         upper_bounds=[b for d in datasets for b in d.upper_bounds] if knownb else None,
+        partition_ids=pids,
     )
 
 

@@ -55,6 +55,7 @@ def ensure_session_conf(spark: SparkSession) -> None:
     which the parquet reader otherwise rejects), and AQE."""
     for k, v in (("spark.sql.session.timeZone", "UTC"),
                  ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                 ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
                  ("spark.sql.adaptive.enabled", "true")):
         try:
             spark.conf.set(k, v)
@@ -66,11 +67,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS): read as long (nanosAsLong) and truncate to
-        # microseconds, matching DuckDB's ns→µs truncation.
-        from pyspark.sql.types import LongType
+        # ts type is generation-dependent: TIMESTAMP(NANOS) reads as long
+        # (nanosAsLong) and truncates to microseconds matching DuckDB's
+        # ns→µs truncation; plain micros with NTZ inference active reads as
+        # TIMESTAMP_NTZ and is cast to session-tz TIMESTAMP (UTC — identical
+        # wall-clock values, uniform downstream arithmetic).
+        from pyspark.sql.types import LongType, TimestampNTZType
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -39,9 +39,15 @@ _DEFAULT_CONF = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
-    # the events table stores TIMESTAMP(NANOS) which the Spark parquet
-    # reader rejects; read as long and convert (see queries.registry.load)
+    # the events table has stored TIMESTAMP(NANOS) in some generations,
+    # which the Spark parquet reader rejects; read as long and convert
+    # (see queries.registry.load)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # naive parquet timestamps (isAdjustedToUTC=false) read as session-tz
+    # TIMESTAMP, not TIMESTAMP_NTZ — keeps ts arithmetic (unix_micros,
+    # windows) uniform and matches DuckDB's naive-timestamp collection
+    # under the UTC session timezone pinned above
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
 }
 

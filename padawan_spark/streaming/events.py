@@ -27,11 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+    StructField("ts", TimestampType()),
     StructField("user_id", LongType()),
     StructField("event_type", StringType()),
     StructField("value", DoubleType()),
@@ -41,12 +42,14 @@ EVENT_SCHEMA = StructType([
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.registry import ensure_session_conf
-    ensure_session_conf(spark)  # nanosAsLong + UTC for driver-built sessions
-    # streaming sources need a directory; select just the events file
-    raw = (spark.readStream.schema(EVENT_SCHEMA)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ensure_session_conf(spark)  # UTC + parquet conf for driver-built sessions
+    # streaming sources need a directory; select just the events file.
+    # ts is declared TimestampType: the parquet micros column (naive,
+    # isAdjustedToUTC=false) reads as UTC wall-clock under the pinned
+    # session timezone — same values DuckDB sees.
+    return (spark.readStream.schema(EVENT_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir))
 
 
 def _run_to_memory(result: DataFrame, mode: str = "complete") -> str:
