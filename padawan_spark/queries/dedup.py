@@ -12,8 +12,8 @@ Everything is expressed with JVM-side higher-order functions and joins;
 hashes are md5/sha256 so Spark and the DuckDB oracle compute
 bit-identical values (verified).  At 100 TB the shapes hold: digests and
 band keys shuffle-partition by hash; per-band bucket sizes are bounded
-by tuning (n_bands × rows_per_band), and the Jaccard verify join runs
-only on LSH candidates.
+by tuning (n_bands × rows_per_band), and the Jaccard verify join is
+document-frequency capped so no shingle fans out more than _DF_CAP².
 """
 
 from __future__ import annotations
@@ -137,15 +137,28 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard: exact similarity on shingle sets (the verify stage
-# after LSH; here run on all shared-shingle pairs, fine at test scale)
+# after LSH).  The pair-generating self-join is DOCUMENT-FREQUENCY
+# CAPPED: shingles appearing in more than _DF_CAP documents (stop
+# phrases, boilerplate) are dropped before the join, so per-shingle
+# fan-out is bounded by _DF_CAP² instead of df² — a hot shingle can no
+# longer turn the verify stage into a disguised cross join at corpus
+# scale.  This is the standard df-capping practice; sizes and
+# intersections both use the capped set, so the Jaccard estimate stays
+# internally consistent (near-dup pairs share many RARE shingles, which
+# is exactly what survives the cap).
 # ---------------------------------------------------------------------------
+
+_DF_CAP = 64         # max docs a shingle may appear in and still join
+
 
 @query("dedup_ngram_jaccard", oracle=f"""
 WITH sh AS ({_DUCK_SHINGLES}),
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_DF_CAP}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b,
   CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
@@ -156,9 +169,13 @@ WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
     sh = _shingles_spark(load(spark, sf_dir, "documents"))
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= _DF_CAP).select("s"))
+    # both shuffles key on s; Catalyst reuses the exchange for the join
+    shc = sh.join(rare, "s")
+    cnt = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shc.alias("a")
+    b = shc.alias("b")
     inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),

@@ -54,13 +54,27 @@ def udf_pandas_scalar(spark, sf_dir):
 def _weighted_price():
     @pandas_udf("double")
     def wavg(ep: pd.Series, qty: pd.Series) -> float:
-        from decimal import ROUND_HALF_UP, Decimal
-        q6 = Decimal("0.000001")
-        num = sum((Decimal(repr(e * q)).quantize(q6, ROUND_HALF_UP)
-                   for e, q in zip(ep, qty)), Decimal(0))
-        den = sum((Decimal(repr(q)).quantize(q6, ROUND_HALF_UP) for q in qty),
-                  Decimal(0))
-        return float(num) / float(den)
+        # Exact-decimal policy, fully vectorized: scale each term to
+        # int64 micro-units (round-to-nearest at 6 dp) and sum integers
+        # — order-independent like decimal addition, no Python-level row
+        # loop.  ep*qty carries ≤2 decimal digits (price cents ×
+        # integral quantity), so the nearest-int round at 1e6 scaling is
+        # exact — identical to DECIMAL(18,6) quantization.  int64 sum
+        # headroom (9.2e12 currency units) exceeds DECIMAL(18,6)'s own
+        # 1e12 range, so the integer sum overflows no earlier than the
+        # declared decimal type would.
+        import numpy as np
+        from decimal import Decimal
+        e = ep.to_numpy(dtype="float64")
+        q = qty.to_numpy(dtype="float64")
+        num = np.round(e * q * 1e6).astype("int64").sum()
+        den = np.round(q * 1e6).astype("int64").sum()
+        # convert each exact micro-sum back to currency units BEFORE the
+        # double division (scaleb(-6) is an exact exponent shift; float()
+        # is one correctly-rounded conversion) — bit-identical to
+        # CAST(SUM(DECIMAL) AS DOUBLE) / CAST(SUM(DECIMAL) AS DOUBLE)
+        return (float(Decimal(int(num)).scaleb(-6))
+                / float(Decimal(int(den)).scaleb(-6)))
     return wavg
 
 
