@@ -264,9 +264,10 @@ class Dataset:
 
     def map(self, func: Callable, schema: StructType | str | None = None,
             index_columns: Sequence[str] | None = None,
-            preserves: str = "none", shared_args: dict | None = None) -> "Dataset":
-        """Apply ``func(pandas.DataFrame, **shared_args) -> pandas.DataFrame``
-        per partition.
+            preserves: str = "none", shared_args: dict | None = None,
+            extra_args: Sequence[tuple] | None = None) -> "Dataset":
+        """Apply ``func(pandas.DataFrame, *extra, **shared_args) ->
+        pandas.DataFrame`` per partition.
 
         The reference applies a polars function per partition and lets the
         caller declare what metadata survives (``preserves`` in
@@ -276,9 +277,18 @@ class Dataset:
         values are captured once in the task closure (Spark broadcasts the
         serialized function to executors).  Implemented with ``mapInPandas``
         (Arrow-batched); prefer native column expressions where possible —
-        this is the slow path.  The reference's per-partition ``extra_args``
-        has no scalable analog (it indexes by partition position, which is
-        not stable across shuffles) — pass data through columns instead.
+        this is the slow path.
+
+        ``extra_args`` is the reference's per-partition positional-args
+        list (``mapped_dataset.py:96-104``): one tuple per partition,
+        unpacked into the call for that partition.  Naive positional
+        indexing is not stable across shuffles, so partition identity is
+        resolved by KEY, not position: file path for file-backed datasets
+        (joined executor-side via ``input_file_name``), physical
+        ``spark_partition_id`` otherwise (mapped through the recorded
+        partition-id list when empty partitions were dropped).  Divergence
+        from the reference: partitions that produce no Arrow batches
+        (empty after a residual filter) never invoke ``func``.
         """
         _require(preserves in ("none", "sizes", "bounds", "all"), ValueError,
                  f"preserves must be one of none/sizes/bounds/all: {preserves}")
@@ -286,12 +296,42 @@ class Dataset:
         out_schema = schema if schema is not None else self.df.schema
         kwargs = dict(shared_args or {})
 
-        def apply(it):
-            import pandas as pd  # noqa: F401
-            for pdf in it:
-                yield func(pdf, **kwargs)
+        if extra_args is None:
+            def apply(it):
+                import pandas as pd  # noqa: F401
+                for pdf in it:
+                    yield func(pdf, **kwargs)
 
-        new_df = self.df.mapInPandas(apply, out_schema)
+            new_df = self.df.mapInPandas(apply, out_schema)
+        else:
+            n = len(self)  # raises StatsUnknownError when count unknown
+            _require(len(extra_args) == n, ValueError,
+                     f"extra_args has {len(extra_args)} entries for "
+                     f"{n} partitions")
+            args_list = [tuple(a) for a in extra_args]
+            key_col = "__padawan_slot__"
+            if self._files is not None:
+                slot_of = {os.path.abspath(f): i
+                           for i, f in enumerate(self._files)}
+                tagged = self.df.withColumn(
+                    key_col, F.regexp_replace(F.input_file_name(),
+                                              "^file:/+", "/"))
+            else:
+                pids = self._partition_ids or list(range(n))
+                slot_of = {pid: i for i, pid in enumerate(pids)}
+                tagged = self.df.withColumn(key_col, F.spark_partition_id())
+
+            def apply(it):
+                import pandas as pd  # noqa: F401
+                for pdf in it:
+                    # one task may carry several partitions' rows
+                    # (coalesced file splits) — dispatch per key
+                    for key, g in pdf.groupby(key_col, sort=False):
+                        slot = slot_of[key]
+                        yield func(g.drop(columns=[key_col]),
+                                   *args_list[slot], **kwargs)
+
+            new_df = tagged.mapInPandas(apply, out_schema)
         keep_sizes = preserves in ("sizes", "all")
         # bounds survive only if the new index is a prefix of the old
         # (mapped_dataset.py:24-27, :38-47)

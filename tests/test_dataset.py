@@ -278,3 +278,112 @@ def test_write_parquet_manifest_table_form(spark, tmp_path, sf_dir):
     assert t.lower_bounds == j.lower_bounds
     assert t.upper_bounds == j.upper_bounds
     assert t.index_columns == j.index_columns
+
+
+def test_map_extra_args_file_backed(spark, sample_dir):
+    """Parity with the reference's per-partition extra_args
+    (/root/reference/src/padawan/mapped_dataset.py:96-104,
+    tests/test_map.py): one tuple per partition, unpacked positionally
+    before shared kwargs.  Identity is keyed (file path), not
+    positional, so the dispatch survives task coalescing."""
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    assert len(r) == 4
+
+    def f(pdf, alpha, beta, gamma=1):
+        return pdf.assign(a=alpha * pdf.a + beta * gamma)
+
+    m = r.map(f, extra_args=[(10, 0), (20, 1), (30, 2), (40, 3)],
+              shared_args={"gamma": 100}, preserves="sizes")
+    assert m.sizes == r.sizes
+    rows = {row["a"] for row in m.df.collect()}
+    pdf = _datetime_sample_pdf()
+    expect = set()
+    for slot, (lo, hi) in enumerate([(0, 26), (26, 50), (50, 74), (74, 100)]):
+        alpha, beta = [(10, 0), (20, 1), (30, 2), (40, 3)][slot]
+        expect |= {alpha * a + beta * 100 for a in pdf.a.iloc[lo:hi]}
+    assert rows == expect
+
+
+def test_map_extra_args_length_mismatch(spark, sample_dir):
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    with pytest.raises(ValueError):
+        r.map(lambda pdf: pdf, extra_args=[(1,)])
+
+
+def test_map_extra_args_memory_backed(spark):
+    """Non-file-backed path: slots resolve through spark_partition_id
+    (mapped through recorded partition ids when empties are dropped)."""
+    pdf = pd.DataFrame({"k": list(range(8)), "v": [1] * 8})
+    ds = from_pandas(spark, pdf, index_columns=("k",))
+    r = ds.reindex()
+    n = len(r)
+    args = [(i * 1000,) for i in range(n)]
+
+    def f(p, off):
+        return p.assign(v=p.v + off)
+
+    m = r.map(f, extra_args=args, preserves="sizes")
+    got = m.df.agg(F.sum("v")).collect()[0][0]
+    # every partition got its own offset: sum(v) = 8 + sum(size_i*off_i)
+    expect = 8 + sum(s * a[0] for s, a in zip(r.sizes, args))
+    assert got == expect
+
+
+def test_slice_residual_partition_access(spark, sample_dir):
+    """ADVICE r1: per-partition access on a sliced file-backed dataset
+    must apply the residual predicate — ds[i] and ds.df agree."""
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    s = r.slice((dt.date(2022, 1, 2),), (dt.date(2022, 1, 4),))
+    total = s.df.count()
+    per_part = sum(p.count() for p in s)
+    assert per_part == total
+    # reindex on the sliced dataset reflects the slice, not raw files
+    s2 = s.reindex()
+    assert sum(s2.sizes) == total
+
+
+def test_reslice_prefix_bounds_no_row_loss(spark, sample_dir):
+    """ADVICE r1 (high): clamping partition bounds with a PREFIX slice
+    bound must not fabricate full-length bounds that a later slice
+    prunes incorrectly.  Slice to (2022-01-02,) prefix, then re-slice
+    with a tighter upper bound — rows must survive."""
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    s1 = r.slice((dt.date(2022, 1, 2),), None)
+    ground = [row for row in r.df.collect()
+              if row["date"] is not None and row["date"] >= dt.date(2022, 1, 2)
+              # default inclusivity: exclusive upper, lexicographic on
+              # the bound's prefix length
+              and (row["date"], row["hour"]) < (dt.date(2022, 1, 2),
+                                                int(4 * 3600 * 1e6))]
+    s2 = s1.slice(None, (dt.date(2022, 1, 2), int(4 * 3600 * 1e6)))
+    assert s2.df.count() == len(ground)
+    assert sum(p.count() for p in s2) == len(ground)
+
+
+def test_getitem_partition_id_mapping_with_empties(spark):
+    """ADVICE r1 (medium): after reindex drops empty partitions from the
+    stats, ds[i] must still address the partition sizes[i] describes."""
+    pdf = pd.DataFrame({"k": list(range(10)), "v": list(range(10))})
+    df = (spark.createDataFrame(pdf)
+          .repartition(6, "k"))  # hash-partitioning may leave empties
+    ds = Dataset(spark, df, index_columns=("k",)).reindex()
+    assert all(s > 0 for s in ds.sizes)
+    for i in range(len(ds)):
+        assert ds[i].count() == ds.sizes[i]
+
+
+def test_collate_single_scan_plan(spark, tmp_path):
+    """VERDICT r1 #5: collate's file-backed path must be ONE scan + one
+    shuffle for any group count — not a per-group read-union."""
+    pdf = pd.DataFrame({"k": range(100), "v": range(100)})
+    ds = from_pandas(spark, pdf, index_columns=("k",))
+    w = ds.repartition(10, exact=True).write_parquet(str(tmp_path / "cs"))
+    c = w.collate(25)
+    plan = c.df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert c.sizes == [30, 30, 40]
+    # one group per physical partition, in group order
+    import pyspark.sql.functions as F2
+    per = (c.df.groupBy(F2.spark_partition_id().alias("p"))
+           .count().orderBy("p").collect())
+    assert [row["count"] for row in per] == [30, 30, 40]
