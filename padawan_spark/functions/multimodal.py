@@ -84,11 +84,23 @@ def fake_decode_image(df: DataFrame, payload_col: str = "payload",
 
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload") -> DataFrame:
-    """Stub resize: requires PIL; preserved schema (payload replaced)."""
+    """Resize via PIL (raises NotImplementedError when PIL is absent);
+    schema preserved, payload re-encoded as PNG."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _require_lib("PIL.Image")
-        yield from it  # pragma: no cover (unreachable without PIL)
+        import io
+
+        from PIL import Image
+        for pdf in it:  # pragma: no cover (needs PIL; see test_extensions)
+            def rz(b):
+                img = Image.open(io.BytesIO(b)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
+            pdf = pdf.copy()
+            pdf[payload_col] = pdf[payload_col].map(rz)
+            yield pdf
 
     return df.mapInPandas(batches, df.schema)
 
@@ -99,14 +111,14 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     a real, library-free feature extractor shaped like an embedding UDF."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in it:
             feats = []
             for b in pdf[payload_col]:
-                hist = [0] * 16
-                for byte in b:
-                    hist[byte >> 4] += 1
-                total = max(1, len(b))
-                feats.append([h / total for h in hist])
+                # vectorized: view bytes as uint8, bucket by high nibble
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16).astype("float64")
+                feats.append(hist / max(1, arr.size))
             yield pd.DataFrame({"doc_id": pdf[id_col], "features": feats})
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
