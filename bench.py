@@ -30,8 +30,31 @@ HEADLINE = [
     "text_quality_score",
     "sim_knn_bruteforce",
     "adv_asof_join",
-    "scale_bucketed_join",
+    "scale_bucketed_join",       # write + join: the pre-shuffle investment
+    "scale_bucketed_join_read",  # join only: the steady-state zero-exchange
 ]
+
+
+def _latest_prev_bench() -> tuple[int | None, dict]:
+    """Newest BENCH_r{N}.json in the repo root, for per-query deltas."""
+    import glob
+    import re
+    best_n, best = None, {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is None or n > best_n:
+            try:
+                with open(p) as fh:
+                    data = json.load(fh)
+                # driver records wrap the bench line under "parsed"
+                best, best_n = data.get("parsed", data), n
+            except (OSError, ValueError):
+                pass
+    return best_n, best
 
 
 def main() -> None:
@@ -67,13 +90,25 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
-    print(json.dumps({
+
+    # per-query delta vs the newest recorded round (negative = faster now),
+    # so round-over-round regressions are answerable mechanically
+    prev_round, prev = _latest_prev_bench()
+    prev_q = prev.get("queries", {}) if prev.get("sf") == sf_val else {}
+    prev_delta = {n: round(t - prev_q[n], 3)
+                  for n, t in timings.items() if n in prev_q}
+
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if prev_delta:
+        out["prev_round"] = prev_round
+        out["prev_delta"] = prev_delta
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

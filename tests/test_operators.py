@@ -85,8 +85,10 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     # merge join (at test scale Catalyst would rightly broadcast instead)
     # and verify bucketing removed the shuffle: no Exchange in the plan.
     from padawan_spark.queries import QUERIES
+    from padawan_spark.queries.scale import _ensure_bucketed
     QUERIES["scale_bucketed_join"](spark, sf_dir).collect()
-    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    tl, to = _ensure_bucketed(spark, sf_dir)
+    bl, bo = spark.table(tl), spark.table(to)
     j = (bl.hint("merge")
          .join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
          .select("o_orderpriority"))
