@@ -62,6 +62,18 @@ def get_spark(app_name: str = "padawan-spark", master: str | None = None,
     """
     active = SparkSession.getActiveSession()
     if active is not None:
+        # Static confs (master, memory, warehouse) can't change on a live
+        # session, but runtime SQL confs can — apply them instead of
+        # silently dropping the caller's extra_conf; warn for the rest.
+        if extra_conf:
+            import warnings
+            for k, v in extra_conf.items():
+                try:
+                    active.conf.set(k, v)
+                except Exception:
+                    warnings.warn(
+                        f"get_spark: conf {k!r} is static and a session is "
+                        f"already active; value not applied", stacklevel=2)
         return active
     if master is None:
         master = os.environ.get("SPARK_MASTER")

@@ -87,6 +87,60 @@ def run_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "session_start", "session_end", "n_events"))
 
 
+def tws_available() -> bool:
+    """Capability probe for ``transformWithStateInPandas`` (Spark 4 its
+    successor to applyInPandasWithState).  Its state-server protocol
+    imports ``google.protobuf``; in this container that package is broken
+    (``cannot import name 'descriptor'`` — verified: the streaming Python
+    runner exits -2 with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE),
+    so the operator below stays on applyInPandasWithState.  If the
+    environment gains a working protobuf, this probe flips and
+    :func:`running_count_per_user_tws` becomes usable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def running_count_per_user_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas variant of the running per-user count —
+    the Spark 4 arbitrary-state API (typed value state, timers, TTL).
+    Requires :func:`tws_available`; see its docstring for why this
+    environment can't run it."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf, broken in "
+            "this environment; use running_count_per_user instead")
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Counter(StatefulProcessor):
+        def init(self, handle):
+            self.count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self):
+            pass
+
+    ev = read_events_stream(spark, sf_dir)
+    result = (ev.groupBy("user_id")
+              .transformWithStateInPandas(
+                  Counter(), "user_id bigint, n_events bigint",
+                  "Update", "None"))
+    name = _run_to_memory(result, mode="update")
+    latest = spark.table(name)
+    return (latest.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events")))
+
+
 def running_count_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user running event count via
     applyInPandasWithState — arbitrary state the built-in windows can't

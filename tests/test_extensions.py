@@ -82,3 +82,24 @@ def test_extract_image_features_vectorized(spark, sf_dir):
     assert row["doc_id"] == 7
     assert np.allclose(row["features"], [1 / 16] * 16)
     assert abs(sum(row["features"]) - 1.0) < 1e-12
+
+
+def test_transform_with_state_probe(spark, sf_dir):
+    """Self-activating transformWithStateInPandas test (VERDICT r1 #9):
+    the container's protobuf is broken, so the probe returns False and
+    the operator raises cleanly; if protobuf lands, the real path runs
+    and must match the batch ground truth."""
+    from padawan_spark.queries.registry import load
+    from padawan_spark.streaming.events import (
+        running_count_per_user_tws, tws_available,
+    )
+    if not tws_available():
+        with pytest.raises(NotImplementedError):
+            running_count_per_user_tws(spark, sf_dir)
+        return
+    got = {r["user_id"]: r["n_events"]
+           for r in running_count_per_user_tws(spark, sf_dir).collect()}
+    want = {r["user_id"]: r["n"]
+            for r in load(spark, sf_dir, "events")
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
