@@ -108,6 +108,19 @@ def main() -> None:
     if prev_delta:
         out["prev_round"] = prev_round
         out["prev_delta"] = prev_delta
+
+    # Input-layout telemetry: a single-row-group parquet file cannot be
+    # scan-parallelized by ANY engine (the row group is the split unit),
+    # so scan-bound timings scale with this number — record it so a
+    # uniform round-over-round shift is attributable to data layout.
+    try:
+        import pyarrow.parquet as pq
+        out["input_row_groups"] = {
+            t: pq.read_metadata(os.path.join(SF_DIR, f"{t}.parquet"))
+            .num_row_groups
+            for t in ("lineitem", "orders", "documents", "embeddings")}
+    except Exception:
+        pass
     print(json.dumps(out))
 
 

@@ -470,7 +470,8 @@ class Dataset:
 
     def repartition(self, rows_per_partition: int,
                     index_columns: Sequence[str] | None = None,
-                    exact: bool = False) -> "Dataset":
+                    exact: bool = False,
+                    sample_fraction: float | None = None) -> "Dataset":
         """Range-repartition so equal index values share a partition.
 
         Default path: ``repartitionByRange`` — Spark's sampled range
@@ -480,6 +481,15 @@ class Dataset:
         the reference's ``sample_fraction=1.0`` exact-size semantics via a
         global ``row_number`` — deterministic but serializes one sort task,
         so it is the *test* path, not the 100 TB path.
+
+        ``sample_fraction`` is the reference's intermediate sampling knob
+        (``repartitioned_dataset.py:383-387``): how much of the data the
+        range partitioner inspects to choose division points.  Spark's
+        sampler is sized per partition, not by fraction, so the fraction
+        is translated: ``sampleSizePerPartition ≈ fraction ×
+        rows_per_partition`` (runtime conf, scoped to this job only,
+        restored after planning).  Higher → tighter partition sizes,
+        more sampling I/O.
         """
         ix = self.index_columns if index_columns is None else tuple(index_columns)
         total = sum(self._sizes) if self.known_sizes else self.df.count()
@@ -487,6 +497,29 @@ class Dataset:
         if not ix:
             new_df = self.df.repartition(n)
             return Dataset(self.spark, new_df, index_columns=())
+        if sample_fraction is not None and not exact:
+            _require(0 < sample_fraction <= 1, ValueError,
+                     f"sample_fraction must be in (0, 1]: {sample_fraction}")
+            key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+            prev = self.spark.conf.get(key, None)
+            self.spark.conf.set(
+                key, str(max(20, int(sample_fraction * rows_per_partition))))
+            try:
+                new_df = (self.df
+                          .repartitionByRange(
+                              n, *[F.col(c).asc_nulls_first() for c in ix])
+                          .sortWithinPartitions(
+                              *[F.col(c).asc_nulls_first() for c in ix]))
+                # force planning under the scoped conf (sampling happens at
+                # execution; conf is read when the exchange materializes, so
+                # eagerly localCheckpoint-free: evaluate the partitioner now)
+                new_df.rdd.getNumPartitions()
+            finally:
+                if prev is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, prev)
+            return Dataset(self.spark, new_df, index_columns=ix)
         if exact:
             from pyspark.sql.window import Window
             w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in ix])

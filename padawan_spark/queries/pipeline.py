@@ -1,0 +1,138 @@
+"""Training-data pipeline operators beyond curation/dedup: reproducible
+splits, sequence packing, mixture sampling, and chunking — the remaining
+plumbing between a curated corpus and a dataloader.
+
+All four are pure row-local arithmetic or key-partitioned windows:
+
+- ``pipe_hash_split``: deterministic train/val/test assignment by md5
+  bucket of the doc id — no shuffle beyond the final stats aggregation,
+  stable across runs/engines, the standard leak-proof split.
+- ``pipe_sequence_packing``: contiguous GPT-style packing — documents
+  (in stable doc_id order WITHIN each source) are concatenated and cut
+  into fixed token budgets; a doc's bin is the exclusive prefix-sum of
+  token counts divided by the budget.  Partitioned by source, so the
+  window parallelizes per source shard instead of one global sort (the
+  100 TB shape: pack per shard, never globally).
+- ``pipe_weighted_mixture``: temperature-style mixture sampling — each
+  language gets a target retention rate, applied as a salted-hash
+  threshold per row (deterministic, no RNG state, trivially
+  distributed).
+- ``text_chunk_windows``: overlapping token windows (size 16, stride
+  12) per document via sequence + explode — JVM-side array ops, no UDF,
+  embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, query
+from .text import _DUCK_TOKS, _SPARK_TOKS
+
+# portable md5 bucket in [0, 100); salt distinguishes independent draws
+_SPARK_BUCKET = ("conv(substring(md5(concat('{salt}', cast(doc_id as string"
+                 "))), 1, 8), 16, 10) % 100")
+_DUCK_BUCKET = ("CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS "
+                "VARCHAR)), 1, 8)) AS BIGINT) % 100")
+
+
+@query("pipe_hash_split", oracle=f"""
+SELECT CASE WHEN {_DUCK_BUCKET.format(salt='split:')} < 90 THEN 'train'
+            WHEN {_DUCK_BUCKET.format(salt='split:')} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY split, lang
+""")
+def pipe_hash_split(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    b = F.expr(_SPARK_BUCKET.format(salt="split:"))
+    split = (F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+             .alias("split"))
+    return (d.select(split, "lang", "n_chars")
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+_PACK_BUDGET = 256  # tokens per packed sequence
+
+
+@query("pipe_sequence_packing", oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS nt
+  FROM documents),
+c AS (
+  SELECT source, doc_id, nt,
+    COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t)
+SELECT source, CAST(cum // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
+FROM c GROUP BY source, bin_id
+""")
+def pipe_sequence_packing(spark, sf_dir):
+    from pyspark.sql.window import Window
+    d = load(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id",
+                 F.expr(f"cast(size({_SPARK_TOKS}) as bigint)").alias("nt"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = t.withColumn("cum", F.coalesce(F.sum("nt").over(w), F.lit(0)))
+    return (c.withColumn("bin_id",
+                         F.floor(F.col("cum") / _PACK_BUDGET).cast("bigint"))
+            .groupBy("source", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nt").alias("total_tokens")))
+
+
+# per-language retention rates (percent) — a temperature-balanced mixture
+_MIX_RATES = {"en": 90, "de": 70, "fr": 50, "es": 40, "zh": 20}
+_MIX_DEFAULT = 10
+
+
+@query("pipe_weighted_mixture", oracle=f"""
+SELECT source, lang, COUNT(*) AS n_kept
+FROM documents
+WHERE {_DUCK_BUCKET.format(salt='mix:')} <
+  CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())}
+  ELSE {_MIX_DEFAULT} END
+GROUP BY source, lang
+""")
+def pipe_weighted_mixture(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for k, v in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    b = F.expr(_SPARK_BUCKET.format(salt="mix:"))
+    return (d.where(b < rate)
+            .groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+_CHUNK, _STRIDE = 16, 12
+
+
+@query("text_chunk_windows", oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(1, len(toks) + 1, {_STRIDE})) AS st
+      FROM t)
+SELECT doc_id, CAST((st - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, st,
+                least(st + {_CHUNK} - 1, len(toks)))) AS BIGINT) AS n_tokens,
+       toks[st] AS head_token
+FROM s
+""")
+def text_chunk_windows(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    s = t.select(
+        "doc_id", "toks",
+        F.posexplode(F.expr(f"sequence(1, size(toks), {_STRIDE})"))
+        .alias("k", "st"))
+    return s.select(
+        "doc_id",
+        F.col("k").cast("bigint").alias("chunk_idx"),
+        F.expr(f"cast(size(slice(toks, st, {_CHUNK})) as bigint)")
+        .alias("n_tokens"),
+        F.expr("element_at(toks, st)").alias("head_token"))

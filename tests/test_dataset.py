@@ -387,3 +387,18 @@ def test_collate_single_scan_plan(spark, tmp_path):
     per = (c.df.groupBy(F2.spark_partition_id().alias("p"))
            .count().orderBy("p").collect())
     assert [row["count"] for row in per] == [30, 30, 40]
+
+
+def test_repartition_sample_fraction(spark, sample_dir):
+    """Reference parity (repartitioned_dataset.py:383-387): the
+    intermediate sampling knob maps to Spark's
+    rangeExchange.sampleSizePerPartition, scoped to the call."""
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    before = spark.conf.get(key)
+    rp = r.repartition(24, sample_fraction=0.5).reindex()
+    assert spark.conf.get(key) == before  # restored
+    assert sum(rp.sizes) == 100
+    assert rp.is_disjoint()
+    with pytest.raises(ValueError):
+        r.repartition(24, sample_fraction=0.0)
