@@ -14,7 +14,7 @@ import importlib.util as _ilu
 
 _SUITES = ["operators", "analytics", "dedup", "similarity", "text", "events",
            "streamingq", "multimodal", "advanced", "udfs", "scale",
-           "pipeline"]
+           "pipeline", "graph"]
 for _m in _SUITES:
     if _ilu.find_spec(f"{__name__}.{_m}") is not None:
         _importlib.import_module(f"{__name__}.{_m}")

@@ -1,0 +1,146 @@
+"""Graph operators over derived edge tables — the iterative-algorithm
+surface (PageRank, degree analytics) expressed as pure DataFrame
+join+aggregate rounds, the standard large-scale shape (each iteration
+is one hash-shuffle on the edge key; no driver-side graph state).
+
+The edge table is the event-type transition graph: for each user's
+time-ordered event stream, consecutive events contribute one
+``src_type → dst_type`` edge (a tiny vertex set here, but the plan
+shape — window lead → groupBy edges → iterative join+agg — is exactly
+what a billion-vertex run uses, with vertices hash-partitioned).
+
+Determinism: per-edge contributions are IEEE double products (identical
+across engines); per-vertex sums go through DECIMAL(38,20) casts so
+aggregation order cannot change the result; the iteration count is
+fixed (3) and the oracle unrolls the same three rounds as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+_D = 0.85     # damping
+_ITERS = 3    # fixed, unrolled in the oracle
+_DECG = "decimal(38,20)"
+
+
+def _edges_spark(spark, sf_dir):
+    from pyspark.sql.window import Window
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                              "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (ev.withColumn("dst", F.lead("event_type").over(w))
+         .where(F.col("dst").isNotNull())
+         .groupBy(F.col("event_type").alias("src"), "dst")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    out = e.groupBy("src").agg(F.sum("cnt").alias("outw"))
+    return (e.join(out, "src")
+            .select("src", "dst",
+                    (F.col("cnt") / F.col("outw")).alias("weight")))
+
+
+_DUCK_EDGES = """
+  SELECT src, dst, CAST(cnt AS DOUBLE) / outw AS weight
+  FROM (
+    SELECT src, dst, COUNT(*) AS cnt,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY src) AS DOUBLE) AS outw
+    FROM (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events) WHERE dst IS NOT NULL
+    GROUP BY src, dst)
+"""
+
+_DUCK_VERTS = """
+  SELECT DISTINCT src AS v FROM ({e})
+  UNION SELECT DISTINCT dst FROM ({e})
+"""
+
+
+def _duck_pagerank() -> str:
+    e = _DUCK_EDGES
+    verts = _DUCK_VERTS.format(e=e)
+    sql = f"""
+WITH edges AS ({e}),
+verts AS ({verts}),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+r0 AS (SELECT v, 1.0 / n AS r FROM verts, nv)"""
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        sql += f""",
+r{i} AS (
+  SELECT verts.v,
+    (1.0 - {_D}) / nv.n + {_D} * COALESCE(CAST(c.s AS DOUBLE), 0.0) AS r
+  FROM verts CROSS JOIN nv
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(CAST(p.r * e.weight AS DECIMAL(38,20))) AS s
+    FROM {prev} p JOIN edges e ON p.v = e.src
+    GROUP BY e.dst) c ON verts.v = c.v)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT v AS event_type, ROUND(r, 12) AS pagerank FROM {prev}
+"""
+    return sql
+
+
+@query("graph_pagerank", oracle=_duck_pagerank())
+def graph_pagerank(spark, sf_dir):
+    """3-iteration PageRank (d=0.85) over the event-type transition
+    graph.  Each iteration is one join (rank × edges, hash on src) and
+    one aggregation (hash on dst) — at 10⁹ vertices both shuffles key
+    on the vertex id and AQE handles hub skew; no collect, no driver
+    state.  Citation: the iterative join+groupBy round is the same
+    shape as the reference-era connected components
+    (``scale_dedup_clusters``)."""
+    edges = _edges_spark(spark, sf_dir)
+    verts = (edges.select(F.col("src").alias("v"))
+             .union(edges.select("dst")).distinct())
+    nv = verts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r = verts.crossJoin(nv).select("v", (F.lit(1.0) / F.col("n")).alias("r"))
+    # cache: referenced every iteration; at scale this is the persisted
+    # rank table of a real pipeline
+    edges = edges.cache()
+    for _ in range(_ITERS):
+        contrib = (r.join(edges, r.v == edges.src)
+                   .select(F.col("dst").alias("v"),
+                           (F.col("r") * F.col("weight")).alias("c"))
+                   .groupBy("v")
+                   .agg(F.sum(F.col("c").cast(_DECG)).alias("s")))
+        r = (verts.crossJoin(nv).join(contrib, "v", "left")
+             .select("v",
+                     ((1.0 - _D) / F.col("n")
+                      + _D * F.coalesce(F.col("s").cast("double"),
+                                        F.lit(0.0))).alias("r")))
+    return r.select(F.col("v").alias("event_type"),
+                    F.round("r", 12).alias("pagerank"))
+
+
+@query("graph_degree_stats", oracle=f"""
+WITH edges AS ({_DUCK_EDGES})
+SELECT v AS event_type,
+       CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS in_degree
+FROM ({_DUCK_VERTS.format(e=_DUCK_EDGES)})
+LEFT JOIN (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src) o
+  ON v = o.src
+LEFT JOIN (SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst) i
+  ON v = i.dst
+""")
+def graph_degree_stats(spark, sf_dir):
+    """Degree table of the transition graph — the profiling pass that
+    sizes a PageRank/CC run (hub detection feeds the skew strategy)."""
+    edges = _edges_spark(spark, sf_dir)
+    verts = (edges.select(F.col("src").alias("v"))
+             .union(edges.select("dst")).distinct())
+    o = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    i = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    return (verts.join(o, verts.v == o.src, "left")
+            .join(i, verts.v == i.dst, "left")
+            .select(F.col("v").alias("event_type"),
+                    F.coalesce("outdeg", F.lit(0)).cast("bigint")
+                    .alias("out_degree"),
+                    F.coalesce("indeg", F.lit(0)).cast("bigint")
+                    .alias("in_degree")))

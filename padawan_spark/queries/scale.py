@@ -348,3 +348,70 @@ def scale_sketch_rollup(spark, sf_dir):
                      <= tol).alias("merged_in_bound"),
                     (F.abs(F.col("direct_est") - F.col("exact_users"))
                      <= tol).alias("direct_in_bound")))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation with a deterministic
+# portable hash, so the FULL sketch arithmetic is value-checked by the
+# oracle (not just an error-bound assertion like the HLL rollup).
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+_SPARK_CMS_H = ("conv(substring(md5(concat(cast({row} as string), ':', "
+                "cast(user_id as string))), 1, 8), 16, 10) "
+                f"% {_CMS_WIDTH}")
+_DUCK_CMS_H = ("CAST(('0x' || substr(md5(CAST({row} AS VARCHAR) || ':' || "
+               "CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+               f"% {_CMS_WIDTH}")
+
+
+@query("scale_cms_topk", oracle=f"""
+WITH counters AS (
+  SELECT r.rw, {_DUCK_CMS_H.format(row='r.rw')} AS bucket, COUNT(*) AS c
+  FROM events, unnest(range(0, {_CMS_DEPTH})) AS r(rw)
+  GROUP BY 1, 2),
+truth AS (
+  SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id),
+probes AS (
+  SELECT user_id, true_n FROM truth ORDER BY true_n DESC, user_id LIMIT 10),
+est AS (
+  SELECT p.user_id, p.true_n, MIN(c.c) AS cms_n
+  FROM probes p, unnest(range(0, {_CMS_DEPTH})) AS r(rw)
+  JOIN counters c
+    ON c.rw = r.rw AND c.bucket = {_DUCK_CMS_H.format(row='r.rw')
+       .replace('user_id', 'p.user_id')}
+  GROUP BY p.user_id, p.true_n)
+SELECT user_id, CAST(true_n AS BIGINT) AS true_n,
+       CAST(cms_n AS BIGINT) AS cms_n,
+       cms_n >= true_n AS never_undercounts
+FROM est
+""")
+def scale_cms_topk(spark, sf_dir):
+    """Count-min sketch (depth 4 × width 64) of per-user event counts:
+    the mergeable heavy-hitter structure for streaming frequency
+    estimation.  The sketch build is one explode(depth) + groupBy —
+    counters are (depth × width) cells regardless of key cardinality,
+    so the state is O(1) at any corpus size and cells merge by
+    addition across shards/windows.  The top-10 true heavy hitters are
+    then probed: estimate = min over rows of the hashed cell, with the
+    CMS guarantee (never undercounts) asserted in-query and the exact
+    cell arithmetic value-checked by the oracle (md5-derived hashes
+    are engine-portable)."""
+    e = load(spark, sf_dir, "events")
+    rows = F.explode(F.expr(f"sequence(0, {_CMS_DEPTH - 1})")).alias("rw")
+    cells = (e.select("user_id", rows)
+             .select("rw", F.expr(_SPARK_CMS_H.format(row="rw"))
+                     .alias("bucket"))
+             .groupBy("rw", "bucket").agg(F.count(F.lit(1)).alias("c")))
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = truth.orderBy(F.desc("true_n"), "user_id").limit(10)
+    probed = (probes.select("user_id", "true_n", rows)
+              .withColumn("bucket", F.expr(_SPARK_CMS_H.format(row="rw"))))
+    est = (probed.join(F.broadcast(cells), ["rw", "bucket"])
+           .groupBy("user_id", "true_n")
+           .agg(F.min("c").alias("cms_n")))
+    return est.select("user_id", F.col("true_n").cast("bigint"),
+                      F.col("cms_n").cast("bigint"),
+                      (F.col("cms_n") >= F.col("true_n"))
+                      .alias("never_undercounts"))

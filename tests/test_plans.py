@@ -236,3 +236,39 @@ def test_runtime_bloom_filter_injects(spark):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_chunk_windows_scan_and_generate_only(spark):
+    a = plan_of(spark, "text_chunk_windows")
+    assert len(a.scans) == 1, a.scans
+    assert a.exchanges == 0, a.plan        # explode fuses with the scan
+    assert not a.has_cartesian
+
+
+def test_hash_split_single_scan_partial_agg(spark):
+    a = plan_of(spark, "pipe_hash_split")
+    assert len(a.scans) == 1, a.scans
+    assert a.has_partial_agg, a.plan
+    assert not a.has_cartesian
+
+
+def test_sequence_packing_window_partitioned_by_source(spark):
+    # the packing window must hash-partition by source (parallel per
+    # shard), never collapse to a single global sort partition
+    a = plan_of(spark, "pipe_sequence_packing")
+    assert "hashpartitioning(source" in a.plan.lower(), a.plan
+    assert not a.has_cartesian
+
+
+def test_pagerank_rounds_join_agg_no_cartesian(spark):
+    a = plan_of(spark, "graph_pagerank")
+    # the 1-row vertex-count side rides a broadcast nested loop — fine;
+    # a CartesianProduct would mean the rank-edge join lost its key
+    assert not a.has_cartesian, a.plan
+    assert a.has_partial_agg, a.plan
+
+
+def test_cms_probe_broadcasts_counters(spark):
+    a = plan_of(spark, "scale_cms_topk")
+    assert a.has_broadcast_join, a.plan    # (depth x width) cells are tiny
+    assert not a.has_cartesian
