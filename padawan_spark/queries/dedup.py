@@ -51,14 +51,19 @@ def dedup_exact(spark, sf_dir):
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-def _shingles_spark(d: DataFrame) -> DataFrame:
-    """Distinct word 3-shingles per doc (1-based element_at)."""
+def _shingles_spark_raw(d: DataFrame) -> DataFrame:
+    """Word 3-shingles per doc WITH duplicates (1-based element_at) —
+    no shuffle; feeds aggregations that are duplicate-insensitive."""
     return (d.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
             .select("doc_id", F.explode(F.expr(
                 "transform(sequence(1, size(t) - 2),"
                 " i -> concat_ws(' ', element_at(t, i),"
-                " element_at(t, i + 1), element_at(t, i + 2)))")).alias("s"))
-            .distinct())
+                " element_at(t, i + 1), element_at(t, i + 2)))")).alias("s")))
+
+
+def _shingles_spark(d: DataFrame) -> DataFrame:
+    """Distinct word 3-shingles per doc (set semantics for Jaccard)."""
+    return _shingles_spark_raw(d).distinct()
 
 
 _DUCK_SHINGLES = f"""
@@ -73,7 +78,12 @@ def _minhash_spark(spark, sf_dir) -> DataFrame:
     # the 256 digest bits are sliced into 8 × 8-hex-char keys (md5 bits
     # are i.i.d., so the slices act as independent hash functions at a
     # quarter of the hashing cost — the dominant term at corpus scale).
-    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    # RAW shingles (duplicates kept): MIN aggregation is duplicate-
+    # insensitive, so the distinct()'s full shuffle of the widest table
+    # in the pipeline is pure waste here — the signature groupBy is the
+    # only shuffle.  (The Jaccard verify path still uses the distinct
+    # builder: set semantics matter there.)
+    sh = _shingles_spark_raw(load(spark, sf_dir, "documents"))
     d = F.concat(F.md5(F.concat(F.lit("a:"), F.col("s"))),
                  F.md5(F.concat(F.lit("b:"), F.col("s"))))
     sh = sh.withColumn("d", d)

@@ -99,7 +99,7 @@ def graph_pagerank(spark, sf_dir):
     verts = (edges.select(F.col("src").alias("v"))
              .union(edges.select("dst")).distinct())
     nv = verts.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    r = verts.crossJoin(nv).select("v", (F.lit(1.0) / F.col("n")).alias("r"))
+    r = verts.crossJoin(F.broadcast(nv)).select("v", (F.lit(1.0) / F.col("n")).alias("r"))
     # cache: referenced every iteration; at scale this is the persisted
     # rank table of a real pipeline
     edges = edges.cache()
@@ -109,7 +109,7 @@ def graph_pagerank(spark, sf_dir):
                            (F.col("r") * F.col("weight")).alias("c"))
                    .groupBy("v")
                    .agg(F.sum(F.col("c").cast(_DECG)).alias("s")))
-        r = (verts.crossJoin(nv).join(contrib, "v", "left")
+        r = (verts.crossJoin(F.broadcast(nv)).join(contrib, "v", "left")
              .select("v",
                      ((1.0 - _D) / F.col("n")
                       + _D * F.coalesce(F.col("s").cast("double"),

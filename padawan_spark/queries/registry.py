@@ -80,6 +80,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Decouple compute parallelism from scan parallelism.
+
+    A single-row-group parquet file scans as ONE task, and any per-row
+    compute chained onto the scan (shingling, hashing, regex, feature
+    UDFs) inherits that serialism — a 32× loss on this box regardless of
+    engine.  For *small inputs with expensive per-row pipelines* (the
+    documents/embeddings tables feeding dedup/text/multimodal), one
+    cheap shuffle of the raw rows buys full-width compute.  Do NOT use
+    on large scan-bound inputs (lineitem aggregates): there the shuffle
+    costs more than it saves — and on a healthy multi-file layout this
+    is a no-op."""
+    sc = df.sparkSession.sparkContext
+    n = min_parts or sc.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 # ---- cross-engine-deterministic aggregate builders -----------------------
 
 DEC = "decimal(18,6)"

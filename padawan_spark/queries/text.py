@@ -420,19 +420,23 @@ def text_winnowing(spark, sf_dir):
     as the MinHash family) and the whole pipeline is per-row
     higher-order array code inside codegen — zero shuffle until the
     fingerprint table is joined downstream for overlap detection."""
-    d = load(spark, sf_dir, "documents")
-    h = (f"transform(sequence(1, size({_SPARK_TOKS}) - 2),"
-         f" i -> cast(conv(substr(md5(concat_ws(' ',"
-         f" element_at({_SPARK_TOKS}, i),"
-         f" element_at({_SPARK_TOKS}, i + 1),"
-         f" element_at({_SPARK_TOKS}, i + 2))), 1, 8), 16, 10)"
-         f" as bigint))")
-    fps = (f"array_distinct(transform(sequence(1, size({h}) - 3),"
-           f" i -> array_min(slice({h}, i, 4))))")
-    return (d.where(F.expr(f"size({h}) >= 4"))
-            .select("doc_id",
-                    F.expr(f"cast(size({fps}) as bigint)").alias("n_fps"),
-                    F.expr(f"cast(array_min({fps}) as bigint)")
-                    .alias("min_fp"),
-                    F.expr(f"cast(array_max({fps}) as bigint)")
-                    .alias("max_fp")))
+    from .registry import spread
+    d = spread(load(spark, sf_dir, "documents"))
+    # materialize h and fps ONCE per row (the naive form repeats the
+    # md5-array expression textually — recomputed per reference unless
+    # runtime subexpression elimination happens to rescue it)
+    h = ("transform(sequence(1, size(t) - 2),"
+         " i -> cast(conv(substr(md5(concat_ws(' ',"
+         " element_at(t, i), element_at(t, i + 1),"
+         " element_at(t, i + 2))), 1, 8), 16, 10) as bigint))")
+    fps = ("array_distinct(transform(sequence(1, size(h) - 3),"
+           " i -> array_min(slice(h, i, 4))))")
+    step1 = (d.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+             .select("doc_id", F.expr(h).alias("h"))
+             .where(F.expr("size(h) >= 4"))
+             .select("doc_id", F.expr(fps).alias("fps")))
+    return step1.select(
+        "doc_id",
+        F.expr("cast(size(fps) as bigint)").alias("n_fps"),
+        F.expr("cast(array_min(fps) as bigint)").alias("min_fp"),
+        F.expr("cast(array_max(fps) as bigint)").alias("max_fp"))

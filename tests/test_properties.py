@@ -87,3 +87,14 @@ def test_decimal_sum_partition_invariant(spark):
         assert total(l.repartition(n)) == base
     assert total(l.repartition(8, "l_suppkey")) == base
     assert total(l.orderBy(F.desc("l_extendedprice"))) == base
+
+
+def test_perfect_hash_labels_are_permutations():
+    """Driver-side property behind collate's one-shuffle layout: for any
+    group count k, the generated labels hash (Spark murmur3, seed 42)
+    onto partition slots as an exact permutation with labels[i] -> i."""
+    from padawan_spark.dataset import _murmur3_int32, _perfect_hash_labels
+    for k in list(range(1, 65)) + [100, 257, 1000]:
+        labels = _perfect_hash_labels(k)
+        slots = [_murmur3_int32(l) % k for l in labels]
+        assert slots == list(range(k)), k
