@@ -91,6 +91,41 @@ def main() -> None:
     except ValueError:
         sf_val = None
 
+    # Layout-normalized pass: driver testdata is regenerated per round and
+    # its row-group count has varied (a single-row-group file scans as ONE
+    # task in any engine), which makes round-over-round comparison conflate
+    # engine changes with data layout.  Rewrite the inputs ONCE to a fixed
+    # multi-file layout in a temp dir and time the same queries there, so
+    # `queries` tracks the driver's data as-is and `queries_normalized`
+    # tracks the engine on a stable layout.
+    timings_norm: dict[str, float] = {}
+    try:
+        import shutil
+        import tempfile
+        norm_dir = os.path.join(tempfile.gettempdir(),
+                                f"padawan_bench_norm_sf{sf}")
+        shutil.rmtree(norm_dir, ignore_errors=True)
+        os.makedirs(norm_dir, exist_ok=True)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            src = os.path.join(SF_DIR, f"{t}.parquet")
+            if not os.path.exists(src):
+                continue
+            # raw read (no ts conversion): nanos-as-long columns round-trip
+            # as int64 and queries' load() re-derives timestamps either way
+            (spark.read.parquet(src).repartition(32)
+             .write.mode("overwrite")
+             .parquet(os.path.join(norm_dir, f"{t}.parquet")))
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            _ = fn(spark, norm_dir).collect()
+            timings_norm[name] = round(time.perf_counter() - t0, 3)
+    except Exception:
+        timings_norm = {}
+
     # per-query delta vs the newest recorded round (negative = faster now),
     # so round-over-round regressions are answerable mechanically
     prev_round, prev = _latest_prev_bench()
@@ -108,6 +143,9 @@ def main() -> None:
     if prev_delta:
         out["prev_round"] = prev_round
         out["prev_delta"] = prev_delta
+    if timings_norm:
+        out["queries_normalized"] = timings_norm
+        out["value_normalized"] = round(sum(timings_norm.values()), 3)
 
     # Input-layout telemetry: a single-row-group parquet file cannot be
     # scan-parallelized by ANY engine (the row group is the split unit),

@@ -50,6 +50,14 @@ class AppendError(Exception):
 
 _INCLUSIVE = ("none", "lower", "upper", "both")
 
+#: Sentinel for ``partition_ids``: the slot→physical-partition mapping is
+#: genuinely unknown (e.g. a concat that had to fall back to a DataFrame
+#: union over a file-backed child, whose scan packs files into
+#: FilePartitions largest-first).  Partition ACCESS fails loudly instead of
+#: silently addressing the wrong partitions; ``reindex()`` recomputes the
+#: true mapping with a stats job.
+PIDS_UNKNOWN = "unknown"
+
 
 def _require(cond: bool, exc: type[Exception], msg: str):
     if not cond:
@@ -97,7 +105,11 @@ class Dataset:
         # drops empty partitions from sizes/bounds; without this mapping,
         # ds[i] and sizes[i] would refer to different partitions whenever
         # any partition is empty.  None = identity.
-        self._partition_ids = list(partition_ids) if partition_ids is not None else None
+        if partition_ids is PIDS_UNKNOWN:
+            self._partition_ids = PIDS_UNKNOWN
+        else:
+            self._partition_ids = (list(partition_ids)
+                                   if partition_ids is not None else None)
         if df is None:
             _require(files is not None, ValueError, "need df or files")
             if self._files:
@@ -171,6 +183,9 @@ class Dataset:
         if self._files is not None:
             part = self.spark.read.parquet(self._files[i])
             return part.where(self._residual) if self._residual is not None else part
+        _require(self._partition_ids is not PIDS_UNKNOWN, StatsUnknownError,
+                 "physical partition mapping unknown (concat over a "
+                 "file-backed input); call reindex() to recompute it")
         pid = self._partition_ids[i] if self._partition_ids is not None else i
         return self.df.where(F.spark_partition_id() == F.lit(pid))
 
@@ -185,12 +200,17 @@ class Dataset:
     def reindex(self, index_columns: Sequence[str] | None = None,
                 collect_stats: bool = True) -> "Dataset":
         ix = self.index_columns if index_columns is None else tuple(index_columns)
-        # no-op shortcut (reindexed_dataset.py:129-132)
-        if ix == self.index_columns and self.known_sizes and (self.known_bounds or not ix):
+        # no-op shortcut (reindexed_dataset.py:129-132) — except when the
+        # physical partition mapping is unknown: then the stats job below
+        # is exactly what recomputes it
+        if (ix == self.index_columns and self.known_sizes
+                and (self.known_bounds or not ix)
+                and self._partition_ids is not PIDS_UNKNOWN):
             return self
         # prefix fast path: truncate bounds in metadata only, no data pass
         # (reindexed_dataset.py:34-44)
         if (collect_stats and self.known_sizes and self.known_bounds
+                and self._partition_ids is not PIDS_UNKNOWN
                 and ix == self.index_columns[: len(ix)]):
             k = len(ix)
             return self._with_meta(
@@ -265,9 +285,23 @@ class Dataset:
     def map(self, func: Callable, schema: StructType | str | None = None,
             index_columns: Sequence[str] | None = None,
             preserves: str = "none", shared_args: dict | None = None,
-            extra_args: Sequence[tuple] | None = None) -> "Dataset":
-        """Apply ``func(pandas.DataFrame, *extra, **shared_args) ->
-        pandas.DataFrame`` per partition.
+            extra_args: Sequence[tuple] | None = None,
+            engine: str = "pandas") -> "Dataset":
+        """Apply ``func(frame, *extra, **shared_args) -> frame`` per
+        partition.
+
+        ``engine`` selects the frame type handed to ``func``:
+
+        - ``"pandas"`` (default): a ``pandas.DataFrame`` in, one out.
+        - ``"polars"``: reference-compatibility shim — ``func`` receives a
+          ``polars.LazyFrame`` (built zero-copy-ish from the Arrow batch)
+          and may return a polars LazyFrame or DataFrame, so reference
+          ``map`` bodies (``mapped_dataset.py:61-69``, e.g.
+          ``lambda df: df.with_columns((2*pl.col('a')).alias('b'))``)
+          run unmodified.  Requires ``polars`` to be importable (it is
+          optional — absent in some deployments; an ImportError at call
+          time names the missing package).  Pass ``schema`` whenever the
+          output columns differ from the input.
 
         The reference applies a polars function per partition and lets the
         caller declare what metadata survives (``preserves`` in
@@ -286,15 +320,36 @@ class Dataset:
         resolved by KEY, not position: file path for file-backed datasets
         (joined executor-side via ``input_file_name``), physical
         ``spark_partition_id`` otherwise (mapped through the recorded
-        partition-id list when empty partitions were dropped).  Divergence
-        from the reference: partitions that produce no Arrow batches
-        (empty after a residual filter) never invoke ``func``.
+        partition-id list when empty partitions were dropped).  Rows are
+        buffered per partition key across the task's Arrow batches so
+        ``func`` is invoked exactly once per partition with all its rows
+        (non-row-local funcs — per-partition aggregates, row numbering —
+        are safe).  Divergences from the reference: partitions that
+        produce no rows (empty after a residual filter) never invoke
+        ``func``; and a single file big enough to be SPLIT ACROSS TASKS
+        (> ``spark.sql.files.maxPartitionBytes``) would invoke ``func``
+        once per task — keep per-partition files below that size when
+        using ``extra_args``.
         """
         _require(preserves in ("none", "sizes", "bounds", "all"), ValueError,
                  f"preserves must be one of none/sizes/bounds/all: {preserves}")
+        _require(engine in ("pandas", "polars"), ValueError,
+                 f"engine must be pandas or polars: {engine}")
         ix = self.index_columns if index_columns is None else tuple(index_columns)
         out_schema = schema if schema is not None else self.df.schema
         kwargs = dict(shared_args or {})
+
+        if engine == "polars":
+            import polars  # noqa: F401 — fail fast on the driver
+
+            inner = func
+
+            def func(pdf, *a, **kw):  # noqa: F811 — wrap the user func
+                import polars as pl
+                out = inner(pl.from_pandas(pdf).lazy(), *a, **kw)
+                if isinstance(out, pl.LazyFrame):
+                    out = out.collect()
+                return out.to_pandas()
 
         if extra_args is None:
             def apply(it):
@@ -317,19 +372,36 @@ class Dataset:
                     key_col, F.regexp_replace(F.input_file_name(),
                                               "^file:/+", "/"))
             else:
+                _require(self._partition_ids is not PIDS_UNKNOWN,
+                         StatsUnknownError,
+                         "physical partition mapping unknown (concat over a "
+                         "file-backed input); call reindex() before "
+                         "map(extra_args=...)")
                 pids = self._partition_ids or list(range(n))
                 slot_of = {pid: i for i, pid in enumerate(pids)}
                 tagged = self.df.withColumn(key_col, F.spark_partition_id())
 
             def apply(it):
-                import pandas as pd  # noqa: F401
+                import pandas as pd
+                # one task may carry several partitions' rows (coalesced
+                # file splits), and one partition arrives as SEVERAL Arrow
+                # batches (maxRecordsPerBatch) — buffer per key across the
+                # whole task so func runs exactly once per partition with
+                # all its rows, matching the reference contract
+                # (mapped_dataset.py:61-69).  Residual fragmentation: a
+                # single file large enough to split across *tasks* would
+                # still invoke func once per task; keep such inputs below
+                # spark.sql.files.maxPartitionBytes (docstring).
+                bufs: dict = {}
                 for pdf in it:
-                    # one task may carry several partitions' rows
-                    # (coalesced file splits) — dispatch per key
                     for key, g in pdf.groupby(key_col, sort=False):
-                        slot = slot_of[key]
-                        yield func(g.drop(columns=[key_col]),
-                                   *args_list[slot], **kwargs)
+                        bufs.setdefault(key, []).append(
+                            g.drop(columns=[key_col]))
+                for key, frames in bufs.items():
+                    slot = slot_of[key]
+                    whole = (frames[0] if len(frames) == 1
+                             else pd.concat(frames, ignore_index=True))
+                    yield func(whole, *args_list[slot], **kwargs)
 
             new_df = tagged.mapInPandas(apply, out_schema)
         keep_sizes = preserves in ("sizes", "all")
@@ -487,9 +559,16 @@ class Dataset:
         range partitioner inspects to choose division points.  Spark's
         sampler is sized per partition, not by fraction, so the fraction
         is translated: ``sampleSizePerPartition ≈ fraction ×
-        rows_per_partition`` (runtime conf, scoped to this job only,
-        restored after planning).  Higher → tighter partition sizes,
-        more sampling I/O.
+        rows_per_partition``.  The conf is session-global and only read
+        when a range exchange MATERIALIZES, so the partitioning is
+        materialized eagerly under the scoped conf (``localCheckpoint``)
+        and the conf restored afterwards — every derived DataFrame then
+        reuses the already-sampled partitioning instead of re-sampling
+        under the restored default.  Caveat: the brief session-global
+        mutation can race range exchanges of queries running concurrently
+        ON THE SAME SESSION during this call; higher fraction → tighter
+        partition sizes, more sampling I/O, plus the checkpoint's
+        executor-storage cost.
         """
         ix = self.index_columns if index_columns is None else tuple(index_columns)
         total = sum(self._sizes) if self.known_sizes else self.df.count()
@@ -505,15 +584,18 @@ class Dataset:
             self.spark.conf.set(
                 key, str(max(20, int(sample_fraction * rows_per_partition))))
             try:
+                # materialize the sampled partitioning under the scoped
+                # conf: localCheckpoint truncates to the physical RDD
+                # (partitioning + ordering preserved in the LogicalRDD),
+                # so downstream plans — reindex, joins, writes — reuse
+                # this exact partitioning rather than re-sampling under
+                # whatever the conf is by then
                 new_df = (self.df
                           .repartitionByRange(
                               n, *[F.col(c).asc_nulls_first() for c in ix])
                           .sortWithinPartitions(
-                              *[F.col(c).asc_nulls_first() for c in ix]))
-                # force planning under the scoped conf (sampling happens at
-                # execution; conf is read when the exchange materializes, so
-                # eagerly localCheckpoint-free: evaluate the partitioner now)
-                new_df.rdd.getNumPartitions()
+                              *[F.col(c).asc_nulls_first() for c in ix])
+                          .localCheckpoint(eager=True))
             finally:
                 if prev is None:
                     self.spark.conf.unset(key)
@@ -630,8 +712,14 @@ class Dataset:
     # ------------------------------------------------------------------
 
     def write_parquet(self, path: str, append: bool = False,
-                      manifest_table: bool = False) -> "Dataset":
+                      manifest_table: bool = False,
+                      progress: Callable[[int, int], None] | None = None,
+                      ) -> "Dataset":
         """Write one parquet file per partition plus the manifest.
+
+        ``progress`` — optional ``(completed_tasks, total_tasks)``
+        callback polled while the write and stats jobs run (reference
+        parity: ``progress.py:7-51``).
 
         ``append=False`` wipes the target (``dataset.py:349-363``);
         ``append=True`` validates index-column equality against the
@@ -645,6 +733,11 @@ class Dataset:
         document on the driver (SURVEY §7.4 trap 7; the Iceberg/Delta
         manifest shape for million-file tables).
         """
+        if progress is not None:
+            from .progress import track_progress
+            with track_progress(self.spark, progress):
+                return self.write_parquet(path, append=append,
+                                          manifest_table=manifest_table)
         old = None
         if append:
             _require(_meta.has_manifest(path), AppendError,
@@ -688,10 +781,18 @@ class Dataset:
             _meta.write_manifest_table(self.spark, path, man)
         return scan_parquet(self.spark, path)
 
-    def collect(self):
+    def collect(self, progress: Callable[[int, int], None] | None = None):
         """Materialize as a single in-memory pandas DataFrame
-        (reference: one polars frame, ``dataset.py:531-558``)."""
-        return self.df.toPandas()
+        (reference: one polars frame, ``dataset.py:531-558``).
+
+        ``progress`` — optional ``(completed_tasks, total_tasks)``
+        callback polled while the job runs (reference parity:
+        ``progress.py:7-51``; see :mod:`padawan_spark.progress`)."""
+        if progress is None:
+            return self.df.toPandas()
+        from .progress import track_progress
+        with track_progress(self.spark, progress):
+            return self.df.toPandas()
 
     # ------------------------------------------------------------------
 
@@ -925,10 +1026,22 @@ def concat(spark_or_datasets, datasets: list[Dataset] | None = None) -> Dataset:
     pids = None
     if files is None and known and any(d._partition_ids is not None for d in datasets):
         # union concatenates children's physical partitions in order;
-        # compose each child's slot→pid map with its running offset
+        # compose each child's slot→pid map with its running offset.
+        # Identity (None) is only trustworthy for DF-backed children —
+        # that is the constructor invariant.  A FILE-backed child forced
+        # onto this path (sibling non-file, or residual present) reads as
+        # spark.read.parquet(*files), which packs small files into
+        # FilePartitions largest-first: slot count and order diverge from
+        # physical partitions, so its slot→pid map is simply unknown —
+        # emit no pids at all rather than silently wrong ones.
         pids, off = [], 0
         for d in datasets:
-            child = d._partition_ids or list(range(len(d._sizes)))
+            if d._partition_ids is PIDS_UNKNOWN or (
+                    d._partition_ids is None and d._files is not None):
+                pids = PIDS_UNKNOWN
+                break
+            child = (d._partition_ids if d._partition_ids is not None
+                     else list(range(len(d._sizes))))
             pids.extend(p + off for p in child)
             off += d.df.rdd.getNumPartitions()
     return Dataset(

@@ -41,7 +41,7 @@ SELECT sha256(text) AS digest, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
 FROM documents GROUP BY sha256(text)
 """)
 def dedup_exact(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     return (d.groupBy(F.sha2("text", 256).alias("digest"))
             .agg(F.min("doc_id").cast("bigint").alias("canonical_id"),
                  F.count(F.lit(1)).alias("n_copies")))
@@ -83,7 +83,7 @@ def _minhash_spark(spark, sf_dir) -> DataFrame:
     # in the pipeline is pure waste here — the signature groupBy is the
     # only shuffle.  (The Jaccard verify path still uses the distinct
     # builder: set semantics matter there.)
-    sh = _shingles_spark_raw(load(spark, sf_dir, "documents"))
+    sh = _shingles_spark_raw(load(spark, sf_dir, "documents", wide=True))
     d = F.concat(F.md5(F.concat(F.lit("a:"), F.col("s"))),
                  F.md5(F.concat(F.lit("b:"), F.col("s"))))
     sh = sh.withColumn("d", d)
@@ -178,7 +178,7 @@ JOIN cnt cb ON doc_b = cb.doc_id
 WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
-    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    sh = _shingles_spark(load(spark, sf_dir, "documents", wide=True))
     rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= _DF_CAP).select("s"))
     # both shuffles key on s; Catalyst reuses the exchange for the join
@@ -228,7 +228,7 @@ _DUCK_SIMHASH = f"""
 
 
 def _simhash_spark(spark, sf_dir) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     tok = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
     th = tok.select("doc_id", F.expr(_SPARK_TOKHASH).alias("th"))
     bits = (th.select("doc_id", "th",
@@ -297,7 +297,7 @@ FROM embeddings a JOIN embeddings b
 WHERE {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}) >= 0.4
 """)
 def dedup_embedding_cosine(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings", wide=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
     norm = "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
     withn = e.withColumn("nrm", F.expr(norm.format(v="emb")))
@@ -400,7 +400,7 @@ def dedup_contamination(spark, sf_dir):
     it's millions of shingles → a BROADCAST join against the corpus,
     so the check costs one corpus scan.  Threshold (≥10% overlap →
     contaminated) is integer arithmetic, engine-exact."""
-    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    sh = _shingles_spark(load(spark, sf_dir, "documents", wide=True))
     bench = sh.where(F.col("doc_id") < 50).select("s").distinct()
     corpus = sh.where(F.col("doc_id") >= 50)
     tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -60,8 +60,7 @@ _DUCK_VERTS = """
 """
 
 
-def _duck_pagerank() -> str:
-    e = _DUCK_EDGES
+def _duck_pagerank(e: str = _DUCK_EDGES, out_col: str = "event_type") -> str:
     verts = _DUCK_VERTS.format(e=e)
     sql = f"""
 WITH edges AS ({e}),
@@ -81,28 +80,28 @@ r{i} AS (
     GROUP BY e.dst) c ON verts.v = c.v)"""
         prev = f"r{i}"
     sql += f"""
-SELECT v AS event_type, ROUND(r, 12) AS pagerank FROM {prev}
+SELECT v AS {out_col}, ROUND(r, 12) AS pagerank FROM {prev}
 """
     return sql
 
 
-@query("graph_pagerank", oracle=_duck_pagerank())
-def graph_pagerank(spark, sf_dir):
-    """3-iteration PageRank (d=0.85) over the event-type transition
-    graph.  Each iteration is one join (rank × edges, hash on src) and
-    one aggregation (hash on dst) — at 10⁹ vertices both shuffles key
-    on the vertex id and AQE handles hub skew; no collect, no driver
-    state.  Citation: the iterative join+groupBy round is the same
-    shape as the reference-era connected components
-    (``scale_dedup_clusters``)."""
-    edges = _edges_spark(spark, sf_dir)
+def _pagerank(edges, out_col: str):
+    """Shared 3-iteration PageRank loop (d=0.85).  Each iteration is one
+    join (rank × edges, hash on src) and one aggregation (hash on dst) —
+    at 10⁹ vertices both shuffles key on the vertex id and AQE handles
+    hub skew; no collect, no driver state.  localCheckpoint per round:
+    the rank plan would otherwise grow linearly with the iteration count
+    (driver plan blowup at real round counts); superseded round data is
+    context-cleaned once the reference drops."""
     verts = (edges.select(F.col("src").alias("v"))
              .union(edges.select("dst")).distinct())
     nv = verts.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    r = verts.crossJoin(F.broadcast(nv)).select("v", (F.lit(1.0) / F.col("n")).alias("r"))
+    r = (verts.crossJoin(F.broadcast(nv))
+         .select("v", (F.lit(1.0) / F.col("n")).alias("r")))
     # cache: referenced every iteration; at scale this is the persisted
     # rank table of a real pipeline
     edges = edges.cache()
+    verts = verts.cache()
     for _ in range(_ITERS):
         contrib = (r.join(edges, r.v == edges.src)
                    .select(F.col("dst").alias("v"),
@@ -113,9 +112,66 @@ def graph_pagerank(spark, sf_dir):
              .select("v",
                      ((1.0 - _D) / F.col("n")
                       + _D * F.coalesce(F.col("s").cast("double"),
-                                        F.lit(0.0))).alias("r")))
-    return r.select(F.col("v").alias("event_type"),
+                                        F.lit(0.0))).alias("r"))
+             .localCheckpoint(eager=True))
+    edges.unpersist()
+    verts.unpersist()
+    return r.select(F.col("v").alias(out_col),
                     F.round("r", 12).alias("pagerank"))
+
+
+@query("graph_pagerank", oracle=_duck_pagerank())
+def graph_pagerank(spark, sf_dir):
+    """3-iteration PageRank over the event-type transition graph (tiny
+    vertex set — demonstrates the plan shape; the scale-honest variant
+    is :func:`graph_pagerank_users`)."""
+    return _pagerank(_edges_spark(spark, sf_dir), "event_type")
+
+
+def _user_edges_spark(spark, sf_dir):
+    """User-level edge table: within each event_type stream ordered by
+    (ts, event_id) — a total order, event_id is unique — consecutive
+    events by DIFFERENT users contribute one src_user → dst_user edge.
+    Vertex set = active users (1.5k at sf0.1, scaling linearly with SF),
+    with real hub skew from high-activity users; edge weights are
+    out-normalized transition frequencies."""
+    from pyspark.sql.window import Window
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                              "event_type")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = (ev.withColumn("dst", F.lead("user_id").over(w))
+         .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("user_id")))
+         .groupBy(F.col("user_id").alias("src"), "dst")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    out = e.groupBy("src").agg(F.sum("cnt").alias("outw"))
+    return (e.join(out, "src")
+            .select("src", "dst",
+                    (F.col("cnt") / F.col("outw")).alias("weight")))
+
+
+_DUCK_USER_EDGES = """
+  SELECT src, dst, CAST(cnt AS DOUBLE) / outw AS weight
+  FROM (
+    SELECT src, dst, COUNT(*) AS cnt,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY src) AS DOUBLE) AS outw
+    FROM (
+      SELECT user_id AS src,
+             LEAD(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS dst
+      FROM events) WHERE dst IS NOT NULL AND dst <> src
+    GROUP BY src, dst)
+"""
+
+
+@query("graph_pagerank_users",
+       oracle=_duck_pagerank(_DUCK_USER_EDGES, out_col="user_id"))
+def graph_pagerank_users(spark, sf_dir):
+    """Scale-honest PageRank: same 3-iteration decimal-deterministic
+    loop as :func:`graph_pagerank`, but over the USER co-activity graph
+    (1.5k vertices at sf0.1, growing linearly with SF, hub-skewed) so
+    the iterative path exercises real vertex-key shuffles, not a
+    5-vertex toy."""
+    return _pagerank(_user_edges_spark(spark, sf_dir), "user_id")
 
 
 @query("graph_degree_stats", oracle=f"""

@@ -25,7 +25,7 @@ SELECT doc_id,
 FROM documents
 """)
 def mm_binary_stats(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     b = F.expr("cast(text as binary)")
     return d.select(
         "doc_id",
@@ -45,7 +45,7 @@ SELECT doc_id,
 FROM documents
 """)
 def mm_fake_decode(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").select(
+    d = load(spark, sf_dir, "documents", wide=True).select(
         "doc_id", F.expr("cast(text as binary)").alias("payload"))
     return fake_decode_image(d)
 
@@ -71,7 +71,7 @@ def mm_byte_histogram(spark, sf_dir):
     oracle with a per-position ascii filter.  Each bucket is one
     integer count divided once in IEEE double: bit-identical to the
     pandas arithmetic, proving the Arrow UDF plumbing end-to-end."""
-    d = load(spark, sf_dir, "documents").select(
+    d = load(spark, sf_dir, "documents", wide=True).select(
         "doc_id", F.expr("cast(text as binary)").alias("payload"))
     feats = extract_image_features(d)
     return feats.select(

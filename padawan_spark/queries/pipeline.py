@@ -44,7 +44,7 @@ SELECT CASE WHEN {_DUCK_BUCKET.format(salt='split:')} < 90 THEN 'train'
 FROM documents GROUP BY split, lang
 """)
 def pipe_hash_split(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     b = F.expr(_SPARK_BUCKET.format(salt="split:"))
     split = (F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
              .alias("split"))
@@ -72,7 +72,7 @@ FROM c GROUP BY source, bin_id
 """)
 def pipe_sequence_packing(spark, sf_dir):
     from pyspark.sql.window import Window
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     t = d.select("source", "doc_id",
                  F.expr(f"cast(size({_SPARK_TOKS}) as bigint)").alias("nt"))
     w = (Window.partitionBy("source").orderBy("doc_id")
@@ -99,7 +99,7 @@ WHERE {_DUCK_BUCKET.format(salt='mix:')} <
 GROUP BY source, lang
 """)
 def pipe_weighted_mixture(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     rate = F.lit(_MIX_DEFAULT)
     for k, v in reversed(_MIX_RATES.items()):
         rate = F.when(F.col("lang") == k, v).otherwise(rate)
@@ -124,7 +124,7 @@ SELECT doc_id, CAST((st - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
 FROM s
 """)
 def text_chunk_windows(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     t = d.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
     s = t.select(
         "doc_id", "toks",

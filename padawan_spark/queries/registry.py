@@ -63,7 +63,13 @@ def ensure_session_conf(spark: SparkSession) -> None:
             pass  # immutable in this deployment; keep going
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, name: str,
+         wide: bool = False) -> DataFrame:
+    """Read one testdata table.  ``wide=True`` routes through
+    :func:`spread` — use it whenever the query chains expensive per-row
+    compute (shingling, hashing, regex, vector math, Pandas UDFs)
+    directly onto the scan, so a single-row-group file doesn't serialize
+    the whole pipeline onto one task."""
     ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -77,7 +83,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return spread(df) if wide else df
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -30,18 +30,40 @@ from .registry import DEC, dsum, load, query, sql_dsum
 
 # ---------------------------------------------------------------------------
 
-_BUCKETED_DONE: set[str] = set()
+_BUCKETED_DONE: dict[str, tuple] = {}
+
+
+def _source_fingerprint(sf_dir) -> tuple:
+    """(mtime_ns, size) of the source parquet files — detects testdata
+    regenerated in place under the same path."""
+    fps = []
+    for t in ("lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            fps.append((t, st.st_mtime_ns, st.st_size))
+        except OSError:
+            fps.append((t, None, None))
+    return tuple(fps)
 
 
 def _ensure_bucketed(spark, sf_dir) -> tuple[str, str]:
     """Materialize the bucketed lineitem/orders tables for ``sf_dir`` once
-    per session (suffix-keyed so different scale factors coexist).  This
-    is the pre-shuffle investment: pay the bucketed write once, every
-    subsequent join on the bucket key runs with zero exchange."""
+    (suffix-keyed so different scale factors coexist).  This is the
+    pre-shuffle investment: pay the bucketed write once, every subsequent
+    join on the bucket key runs with zero exchange.
+
+    Staleness guards (not just an in-process memo): the tables live in
+    the SESSION catalog, so a fresh SparkSession in the same process must
+    rebuild (``spark.catalog.tableExists``), and testdata regenerated in
+    place under the same path must invalidate (source-file fingerprint)."""
     import re
     suffix = re.sub(r"\W+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     tl, to = f"b_lineitem_{suffix}", f"b_orders_{suffix}"
-    if sf_dir not in _BUCKETED_DONE:
+    fp = _source_fingerprint(sf_dir)
+    if (_BUCKETED_DONE.get(sf_dir) != fp
+            or not spark.catalog.tableExists(tl)
+            or not spark.catalog.tableExists(to)):
         l = load(spark, sf_dir, "lineitem").select("l_orderkey",
                                                    "l_extendedprice")
         o = load(spark, sf_dir, "orders").select("o_orderkey",
@@ -50,7 +72,7 @@ def _ensure_bucketed(spark, sf_dir) -> tuple[str, str]:
          .mode("overwrite").saveAsTable(tl))
         (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
          .mode("overwrite").saveAsTable(to))
-        _BUCKETED_DONE.add(sf_dir)
+        _BUCKETED_DONE[sf_dir] = fp
     return tl, to
 
 
@@ -125,7 +147,13 @@ def scale_dedup_clusters(spark, sf_dir):
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
 
     # iterative min-label propagation: each round one join + groupBy
-    # (bounded rounds = graph diameter; candidate clusters are tiny)
+    # (bounded rounds = graph diameter; candidate clusters are tiny).
+    # Lineage hygiene: every round localCheckpoints the new label table
+    # (truncates the plan to a scan of materialized partitions, so plan
+    # depth stays O(1) over any number of rounds instead of growing
+    # linearly — THE failure mode of iterative DataFrame loops at scale)
+    # and the superseded round's checkpoint storage is reclaimed by the
+    # ContextCleaner once the Python reference drops.
     labels = (load(spark, sf_dir, "documents").select("doc_id")
               .withColumn("label", F.col("doc_id")))
     for _ in range(10):
@@ -135,12 +163,14 @@ def scale_dedup_clusters(spark, sf_dir):
         new = (labels.join(nbr, "doc_id", "left")
                .select("doc_id",
                        F.least("label", F.coalesce("nbr_label", "label"))
-                       .alias("label")))
+                       .alias("label"))
+               .localCheckpoint(eager=True))
         changed = (new.alias("n").join(labels.alias("o"), "doc_id")
                    .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new.cache()
+        labels = new
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").cast("bigint").alias("cluster_id"))
 
 

@@ -30,7 +30,7 @@ _DUCK_DOT = ("list_reduce(list_transform(range(1, 65),"
 
 
 def _vecs(spark, sf_dir):
-    return load(spark, sf_dir, "embeddings").select(
+    return load(spark, sf_dir, "embeddings", wide=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     ).withColumn("nrm", F.expr(
         "sqrt(" + _DOT.format(a="emb", b="emb") + ")"))
@@ -138,7 +138,7 @@ SELECT label, COUNT(*) AS n_members,
 FROM dots GROUP BY label
 """)
 def sim_label_centroids(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", wide=True)
     comp = e.select(
         "vec_id", "label",
         F.posexplode(F.col("embedding").cast("array<double>"))
@@ -206,7 +206,7 @@ SELECT query_id, neighbor_id, cosine, rn FROM (
   FROM scored) WHERE rn <= 3
 """)
 def sim_ann_ivf(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", wide=True)
     d9 = "decimal(38,9)"
     comp = e.select(
         "vec_id", "label",

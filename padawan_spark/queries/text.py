@@ -39,7 +39,7 @@ SELECT doc_id,
 FROM documents
 """)
 def text_token_stats(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     return d.select(
         "doc_id",
         F.expr(f"cast(size({_SPARK_TOKS}) as int)").alias("n_tokens"),
@@ -69,7 +69,7 @@ FROM (
 )
 """)
 def text_quality_score(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     toks = _SPARK_TOKS
     score = (
         f"0.4 * least(cast(length(text) as double) / 400.0, 1.0)"
@@ -122,7 +122,7 @@ SELECT lang, guess, COUNT(*) AS n FROM (
 ) GROUP BY lang, guess
 """)
 def text_lang_id(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     guess = _guess_case(_votes("spark"))
     return (d.select("lang", F.expr(guess).alias("guess"))
             .groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("n")))
@@ -145,7 +145,7 @@ SELECT doc_id,
 FROM documents
 """)
 def text_fingerprint(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     roll = ("aggregate(transform(sequence(1, {n}),"
             " i -> ascii(substr(text, i, 1))), 0L,"
             " (h, c) -> (h * 131 + c) % 1000000007)")
@@ -180,7 +180,7 @@ SELECT doc_id,
 FROM documents
 """)
 def text_bpe_tokens(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     toks = f'regexp_extract_all(text, "{_BPE_RE}", 0)'
     return d.select(
         "doc_id",
@@ -203,7 +203,7 @@ FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
 GROUP BY token ORDER BY freq DESC, token LIMIT 20
 """)
 def text_wordcount(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     return (d.select(F.explode(F.expr(_SPARK_TOKS)).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -238,7 +238,7 @@ def text_tfidf(spark, sf_dir):
     differ 1 ulp across engines); the row_number tie-break is
     (rounded score, term) — total and engine-stable."""
     from pyspark.sql.window import Window
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -273,7 +273,7 @@ def text_pii_scrub(spark, sf_dir):
     regex and RE2 — no lookarounds — so both engines rewrite
     identically; at scale this is pure narrow projection work inside
     whole-stage codegen, no shuffle at all."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     dirty = F.concat(
         F.col("text"), F.lit(" contact user"),
         F.col("doc_id").cast("string"), F.lit("@example.com or call 555-"),
@@ -346,7 +346,7 @@ def pipe_corpus_curation(spark, sf_dir):
     bounded sum of exact ratios (same formula as text_quality_score) so
     the rounded total matches DuckDB bit-for-bit."""
     from pyspark.sql.window import Window
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     toks = _SPARK_TOKS
     score = (
         f"0.4 * least(cast(length(text) as double) / 400.0, 1.0)"
@@ -385,7 +385,7 @@ def text_ngram_freq(spark, sf_dir):
     Python), exploded, and counted; the top-20 uses the (freq, bigram)
     total order so the limit is engine-stable, executed as per-partition
     top-k + driver merge, never a global sort of the bigram table."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", wide=True)
     bigrams = F.expr(
         f"transform(sequence(1, size({_SPARK_TOKS}) - 1),"
         f" i -> concat(element_at({_SPARK_TOKS}, i), ' ',"
@@ -420,8 +420,7 @@ def text_winnowing(spark, sf_dir):
     as the MinHash family) and the whole pipeline is per-row
     higher-order array code inside codegen — zero shuffle until the
     fingerprint table is joined downstream for overlap detection."""
-    from .registry import spread
-    d = spread(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents", wide=True)
     # materialize h and fps ONCE per row (the naive form repeats the
     # md5-array expression textually — recomputed per reference unless
     # runtime subexpression elimination happens to rescue it)

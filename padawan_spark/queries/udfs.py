@@ -276,7 +276,7 @@ def udf_batch_score(spark, sf_dir):
             return pd.Series(np.round(mat @ w, 6))
         return score
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", wide=True)
     return e.select("vec_id", "label",
                     scorer()(F.col("embedding").cast("array<double>"))
                     .alias("score"))

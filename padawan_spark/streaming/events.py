@@ -30,26 +30,53 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENT_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", TimestampType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+def _event_schema(ts_as_long: bool) -> StructType:
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType() if ts_as_long else TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+
+
+#: default (micros-generated testdata); kept for import compatibility
+EVENT_SCHEMA = _event_schema(ts_as_long=False)
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Probe the parquet footer: TIMESTAMP(NANOS) columns surface as long
+    under ``nanosAsLong`` (which the session sets), so the declared
+    streaming schema must say LongType for that generation — mirroring
+    what batch ``load()`` does by inspecting the read schema."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+        t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+        return getattr(t, "unit", None) == "ns"
+    except Exception:
+        return False
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.registry import ensure_session_conf
     ensure_session_conf(spark)  # UTC + parquet conf for driver-built sessions
     # streaming sources need a directory; select just the events file.
-    # ts is declared TimestampType: the parquet micros column (naive,
-    # isAdjustedToUTC=false) reads as UTC wall-clock under the pinned
-    # session timezone — same values DuckDB sees.
-    return (spark.readStream.schema(EVENT_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir))
+    # ts type is generation-dependent (testdata is regenerated per round):
+    # micros (naive, isAdjustedToUTC=false) reads as TimestampType = UTC
+    # wall-clock under the pinned session timezone — same values DuckDB
+    # sees; TIMESTAMP(NANOS) must be declared LongType (nanosAsLong) and
+    # is truncated to micros here, matching DuckDB's ns→µs truncation.
+    nanos = _events_ts_is_nanos(sf_dir)
+    stream = (spark.readStream.schema(_event_schema(ts_as_long=nanos))
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def _run_to_memory(result: DataFrame, mode: str = "complete") -> str:

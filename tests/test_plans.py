@@ -241,7 +241,10 @@ def test_runtime_bloom_filter_injects(spark):
 def test_chunk_windows_scan_and_generate_only(spark):
     a = plan_of(spark, "text_chunk_windows")
     assert len(a.scans) == 1, a.scans
-    assert a.exchanges == 0, a.plan        # explode fuses with the scan
+    # exactly ONE exchange: the deliberate spread() round-robin that
+    # decouples compute width from a single-row-group scan; the explode
+    # itself fuses — no further shuffle
+    assert a.exchanges <= 1, a.plan
     assert not a.has_cartesian
 
 
@@ -260,12 +263,56 @@ def test_sequence_packing_window_partitioned_by_source(spark):
     assert not a.has_cartesian
 
 
-def test_pagerank_rounds_join_agg_no_cartesian(spark):
-    a = plan_of(spark, "graph_pagerank")
-    # the 1-row vertex-count side rides a broadcast nested loop — fine;
-    # a CartesianProduct would mean the rank-edge join lost its key
+def test_pagerank_round_join_agg_no_cartesian(spark):
+    # one unrolled rank round (pre-checkpoint): rank×edges join keyed on
+    # src + partial/final agg on dst; the 1-row vertex-count side rides
+    # a broadcast nested loop — fine; a CartesianProduct would mean the
+    # rank-edge join lost its key
+    from pyspark.sql import functions as F
+    from padawan_spark.queries.graph import _edges_spark
+    edges = _edges_spark(spark, SF)
+    verts = (edges.select(F.col("src").alias("v"))
+             .union(edges.select("dst")).distinct())
+    nv = verts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r = (verts.crossJoin(F.broadcast(nv))
+         .select("v", (F.lit(1.0) / F.col("n")).alias("r")))
+    contrib = (r.join(edges, r.v == edges.src)
+               .groupBy(F.col("dst").alias("v"))
+               .agg(F.sum(F.col("r") * F.col("weight")).alias("s")))
+    a = audit(contrib)
     assert not a.has_cartesian, a.plan
     assert a.has_partial_agg, a.plan
+
+
+def test_pagerank_users_round_shuffles_on_vertex_key(spark):
+    # scale-honest variant: one unrolled round over the user graph must
+    # hash-shuffle on the vertex key only (src-keyed join, dst-keyed
+    # agg) and never degrade to a cartesian product
+    from pyspark.sql import functions as F
+    from padawan_spark.queries.graph import _user_edges_spark
+    edges = _user_edges_spark(spark, SF)
+    r = edges.select(F.col("src").alias("v"), F.lit(0.1).alias("r")).distinct()
+    contrib = (r.join(edges, r.v == edges.src)
+               .groupBy(F.col("dst").alias("v"))
+               .agg(F.sum(F.col("r") * F.col("weight")).alias("s")))
+    a = audit(contrib)
+    assert not a.has_cartesian, a.plan
+    assert a.has_partial_agg, a.plan
+    low = a.plan.lower()
+    assert "hashpartitioning(src" in low or "hashpartitioning(v" in low, a.plan
+
+
+def test_iterative_loops_truncate_lineage(spark):
+    # lineage hygiene: every round localCheckpoints, so the RETURNED
+    # plan is a scan of materialized partitions + final projection —
+    # its size does not grow with the iteration count (the driver-plan
+    # blowup failure mode of iterative DataFrame loops at scale)
+    for name in ("graph_pagerank", "scale_dedup_clusters"):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().toString()
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan, (name, plan)
+        assert len(plan) < 4000, (name, len(plan))
+        assert df.count() > 0
 
 
 def test_cms_probe_broadcasts_counters(spark):
