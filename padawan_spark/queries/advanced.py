@@ -453,3 +453,50 @@ def adv_percentile_disc(spark, sf_dir):
             AS p90_disc,
           median(l_extendedprice) AS med
         FROM v_li_pd GROUP BY l_returnflag""")
+
+
+@query("adv_scd2_dimension", oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         LAG(o_orderpriority) OVER w AS prev_p
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+changes AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM ordered
+  WHERE prev_p IS NULL OR prev_p <> o_orderpriority)
+SELECT o_custkey AS custkey, o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w2 AS valid_to,
+       CASE WHEN LEAD(o_orderdate) OVER w2 IS NULL THEN 1 ELSE 0 END
+         AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def adv_scd2_dimension(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build — the warehouse pattern
+    that turns a change log into validity intervals: per customer, the
+    order stream (totally ordered by date, orderkey) is compacted to
+    rows where the tracked attribute (order priority) actually CHANGED,
+    each stamped [valid_from, valid_to) with an is_current flag on the
+    open interval.  Two windows over the same (custkey, date, orderkey)
+    ordering → Catalyst evaluates both in one sort within one shuffle
+    on custkey; at 100 TB the dimension key partitions the work and no
+    global sort exists.  Pure column comparisons and date copies —
+    engine-exact."""
+    from pyspark.sql.window import Window
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (o.select("o_custkey", "o_orderpriority", "o_orderdate",
+                        "o_orderkey",
+                        F.lag("o_orderpriority").over(w).alias("prev_p"))
+               .where(F.col("prev_p").isNull()
+                      | (F.col("prev_p") != F.col("o_orderpriority"))))
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (changes
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.col("o_orderdate").alias("valid_from"),
+                    F.lead("o_orderdate").over(w2).alias("valid_to"),
+                    F.when(F.lead("o_orderdate").over(w2).isNull(), 1)
+                    .otherwise(0).alias("is_current")))

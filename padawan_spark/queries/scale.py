@@ -445,3 +445,36 @@ def scale_cms_topk(spark, sf_dir):
                       F.col("cms_n").cast("bigint"),
                       (F.col("cms_n") >= F.col("true_n"))
                       .alias("never_undercounts"))
+
+
+@query("scale_skew_metrics", oracle="""
+WITH g AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_cnt,
+       CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt,
+       CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / SUM(cnt) AS skew_ratio
+FROM g
+""")
+def scale_skew_metrics(spark, sf_dir):
+    """Key-skew profiler — the diagnostic run BEFORE a big join/groupBy
+    decides its strategy at 100 TB: per-key group sizes reduced to key
+    count, max, median, p99, and skew ratio (max/avg).  A skew_ratio
+    near 1 means hash partitioning balances; large means the top key
+    dominates a partition → salt it or let AQE split it.  Two
+    aggregations (key-hash shuffle, then 5-row reduce); the ratio is
+    exact-integer max·n/sum in ONE double division — engine-exact, and
+    percentile_disc picks actual data values (validated convention
+    match with DuckDB's quantile_disc in adv_percentile_disc)."""
+    e = load(spark, sf_dir, "events")
+    e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")) \
+        .createOrReplaceTempView("v_skew_g")
+    return spark.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)
+                    AS BIGINT) AS p50_cnt,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)
+                    AS BIGINT) AS p99_cnt,
+               CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / SUM(cnt) AS skew_ratio
+        FROM v_skew_g""")

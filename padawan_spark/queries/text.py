@@ -439,3 +439,62 @@ def text_winnowing(spark, sf_dir):
         F.expr("cast(size(fps) as bigint)").alias("n_fps"),
         F.expr("cast(array_min(fps) as bigint)").alias("min_fp"),
         F.expr("cast(array_max(fps) as bigint)").alias("max_fp"))
+
+
+@query("text_repetition_metrics", oracle=f"""
+SELECT doc_id, dup_word_frac, dup_shingle_frac, top_bigram_frac,
+       n_adjacent_repeats,
+       CASE WHEN top_bigram_frac >= 0.18 OR n_adjacent_repeats >= 8
+            THEN 0 ELSE 1 END AS keep
+FROM (
+  SELECT doc_id,
+    CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_word_frac,
+    CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+      / greatest(len(sh), 1) AS dup_shingle_frac,
+    CAST(list_max(list_transform(list_distinct(bi),
+         x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE)
+      / greatest(len(bi), 1) AS top_bigram_frac,
+    CAST(len(list_filter(range(2, len(t) + 1), i -> t[i] = t[i-1]))
+         AS BIGINT) AS n_adjacent_repeats
+  FROM (
+    SELECT doc_id, t,
+      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bi,
+      list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)))
+""")
+def text_repetition_metrics(spark, sf_dir):
+    """Repetition filters — the Gopher-style quality signals that catch
+    degenerate/boilerplate documents before training: duplicate-token
+    fraction, duplicate-3-shingle fraction, the most frequent bigram's
+    share of all bigrams, and the count of immediate token repeats; a
+    keep flag gates on the spammy extremes.  (The published metrics are
+    line-based; this corpus is single-line, so the same statistics are
+    computed at token granularity.)  All four are per-row integer
+    counting inside codegen higher-order functions with ONE double
+    division each — engine-exact, zero shuffle, linear over 100 TB."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    t = _SPARK_TOKS
+    stage = d.select(
+        "doc_id", F.expr(t).alias("t"),
+        F.expr(f"transform(sequence(1, size({t}) - 1),"
+               f" i -> concat(element_at({t}, i), ' ',"
+               f" element_at({t}, i + 1)))").alias("bi"),
+        F.expr(f"transform(sequence(1, size({t}) - 2),"
+               f" i -> concat_ws(' ', element_at({t}, i),"
+               f" element_at({t}, i + 1), element_at({t}, i + 2)))").alias("sh"))
+    m = stage.select(
+        "doc_id",
+        F.expr("cast(size(t) - size(array_distinct(t)) as double) / size(t)")
+        .alias("dup_word_frac"),
+        F.expr("cast(size(sh) - size(array_distinct(sh)) as double)"
+               " / greatest(size(sh), 1)").alias("dup_shingle_frac"),
+        F.expr("cast(array_max(transform(array_distinct(bi),"
+               " x -> size(filter(bi, y -> y = x)))) as double)"
+               " / greatest(size(bi), 1)").alias("top_bigram_frac"),
+        F.expr("cast(size(filter(sequence(2, size(t)),"
+               " i -> element_at(t, i) = element_at(t, i - 1))) as bigint)")
+        .alias("n_adjacent_repeats"))
+    return m.withColumn(
+        "keep", F.expr("case when top_bigram_frac >= 0.18"
+                       " or n_adjacent_repeats >= 8 then 0 else 1 end"))
