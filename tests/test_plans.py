@@ -319,3 +319,45 @@ def test_cms_probe_broadcasts_counters(spark):
     a = plan_of(spark, "scale_cms_topk")
     assert a.has_broadcast_join, a.plan    # (depth x width) cells are tiny
     assert not a.has_cartesian
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Engine-wide guarantee: NO registered query's physical plan may
+    contain a CartesianProduct — the one operator that cannot survive a
+    100 TB input.  (Broadcast nested-loop joins against 1-row/constant
+    sides are acceptable and excluded by the audit's cartesian check.)
+    Queries whose terminal DataFrame is checkpoint-backed audit their
+    materialized plan, which is trivially cartesian-free; their per-round
+    shapes are pinned by the dedicated tests above."""
+    bad = []
+    for name, fn in QUERIES.items():
+        try:
+            a = plan_of(spark, name)
+        except Exception as e:   # build/run failure is its own red flag
+            bad.append((name, f"build failed: {type(e).__name__}: {e}"))
+            continue
+        if a.has_cartesian:
+            bad.append((name, "CartesianProduct in plan"))
+    assert not bad, bad
+
+
+def test_no_row_at_a_time_python_udf_anywhere(spark):
+    """Engine-wide policy pin: Python in query plans must be
+    Arrow-batched (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas), never row-at-a-time BatchEvalPython — the
+    10-100x slow path at scale.  Sole exception: udf_table_function
+    exists to demonstrate the SQL-registered @udtf API, whose eval is
+    row-generating by definition."""
+    from padawan_spark.plans.audit import physical_plan
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name == "udf_table_function":
+            continue
+        try:
+            p = physical_plan(fn(spark, SF))
+        except Exception as e:
+            offenders.append((name, f"build failed: {type(e).__name__}"))
+            continue
+        if "BatchEvalPython" in p:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
