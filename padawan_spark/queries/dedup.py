@@ -456,3 +456,65 @@ def dedup_blocking_stats(spark, sf_dir):
           round(n_cand / n_possible, 9))],
         "n_docs bigint, n_candidates bigint, n_possible bigint, "
         "candidate_fraction double")
+
+
+@query("dedup_minhash_estimate", oracle=f"""
+WITH mh AS ({_DUCK_MINHASH}),
+sh AS ({_DUCK_SHINGLES}),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+exact AS (
+  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jac
+  FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+             JOIN cnt cb ON doc_b = cb.doc_id
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+est AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST({" + ".join(f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END"
+                     for j in range(_N_HASH))} AS DOUBLE) / {_N_HASH}
+      AS jac_est
+  FROM mh a JOIN mh b ON a.doc_id < b.doc_id)
+SELECT e.doc_a, e.doc_b, x.jac AS jac_exact, e.jac_est,
+       CASE WHEN e.jac_est >= 0.5 THEN 1 ELSE 0 END AS est_flags
+FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+""")
+def dedup_minhash_estimate(spark, sf_dir):
+    """MinHash-as-estimator audit: for every truly-near-dup pair
+    (exact shingle Jaccard >= 0.5), the signature-agreement estimate
+    (matching minhash slots / n_hash) alongside the exact value and
+    whether an estimate-threshold pass would flag it.  This is the
+    calibration table a production dedup run uses to pick its
+    bands x rows configuration: E[agreement] = true Jaccard, and the
+    table shows the estimator variance at n_hash=8 directly.  The
+    exact side is restricted to already-similar pairs so the join stays
+    bounded; integer counting + one division per side — engine-exact."""
+    mh = _minhash_spark(spark, sf_dir).cache()
+    sh = _shingles_spark(load(spark, sf_dir, "documents", wide=True))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")))
+    exact = (inter.join(ca, "doc_a").join(cb, "doc_b")
+             .where(jac >= 0.5)
+             .select("doc_a", "doc_b", jac.alias("jac_exact")))
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    agree = sum(F.when(F.col(f"ma.h{j}") == F.col(f"mb.h{j}"), 1).otherwise(0)
+                for j in range(_N_HASH))
+    est = (ma.join(mb, F.col("ma.doc_id") < F.col("mb.doc_id"))
+           .select(F.col("ma.doc_id").alias("doc_a"),
+                   F.col("mb.doc_id").alias("doc_b"),
+                   (agree.cast("double") / _N_HASH).alias("jac_est")))
+    return (est.join(exact, ["doc_a", "doc_b"])
+            .select("doc_a", "doc_b", "jac_exact", "jac_est",
+                    F.when(F.col("jac_est") >= 0.5, 1).otherwise(0)
+                    .alias("est_flags")))

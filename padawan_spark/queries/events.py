@@ -360,3 +360,65 @@ def ev_journey_similarity(spark, sf_dir):
             .select(F.col("a.user_id").alias("user_a"),
                     F.col("b.user_id").alias("user_b"),
                     dist.cast("int").alias("dist")))
+
+
+@query("ev_bot_detection", oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS gap_us
+  FROM events),
+stats AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+    SUM(gap_us) AS sum_gap_us,
+    SUM(CAST(CAST(gap_us AS HUGEINT) * gap_us AS DECIMAL(38,0)))
+      AS sum_sq
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= 20)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(sum_gap_us AS BIGINT) AS sum_gap_us,
+       CAST(CAST(sum_sq AS DECIMAL(38,0)) AS VARCHAR) AS sum_sq,
+       CASE WHEN 20 * CAST(n_gaps AS HUGEINT) * CAST(sum_sq AS HUGEINT)
+                 < 21 * CAST(sum_gap_us AS HUGEINT)
+                      * CAST(sum_gap_us AS HUGEINT)
+            THEN 1 ELSE 0 END AS bot_flag
+FROM stats
+""")
+def ev_bot_detection(spark, sf_dir):
+    """Bot/automation detection by inter-event-time regularity — the
+    traffic-hygiene filter a training-data pipeline runs before user
+    content is trusted: humans have high-variance gaps between actions,
+    schedulers do not.  Per user (>= 20 gaps): gap count, exact gap sum
+    (int64 microseconds), exact sum of squared gaps (decimal, emitted as a digit
+    string — an int64 square would overflow and float transports lose
+    low digits).  The flag is the variance test
+    var < 0.05 * mean^2, algebraically cleared of all divisions to
+    20*n*SUM(x^2) < 21*SUM(x)^2 so every quantity stays an exact
+    integer (Spark DECIMAL(38) / DuckDB HUGEINT) and no
+    engine-dependent float rounding exists anywhere.  One window
+    shuffle on user_id feeding one aggregation on the same key —
+    Catalyst reuses the exchange."""
+    from pyspark.sql.window import Window
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (e.select("user_id", "ts", "event_id")
+            .withColumn("prev", F.lag(F.unix_micros("ts")).over(w))
+            .withColumn("gap_us", F.unix_micros("ts") - F.col("prev"))
+            .where(F.col("gap_us").isNotNull()))
+    d18 = "decimal(18,0)"
+    stats = (gaps.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_gaps"),
+                  F.sum("gap_us").alias("sum_gap_us"),
+                  F.sum(F.col("gap_us").cast(d18)
+                        * F.col("gap_us").cast(d18)).alias("sum_sq"))
+             .where(F.col("n_gaps") >= 20))
+    lhs = (F.lit(20).cast(d18) * F.col("n_gaps")) * F.col("sum_sq")
+    rhs = ((F.lit(21).cast(d18) * F.col("sum_gap_us"))
+           * F.col("sum_gap_us").cast(d18))
+    return stats.select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.col("sum_gap_us").cast("bigint").alias("sum_gap_us"),
+        F.col("sum_sq").cast("decimal(38,0)").cast("string")
+        .alias("sum_sq"),
+        F.when(lhs < rhs, 1).otherwise(0).alias("bot_flag"))

@@ -80,3 +80,44 @@ def mm_byte_histogram(spark, sf_dir):
         F.expr("element_at(features, 7)").alias("b6"),
         F.expr("element_at(features, 8)").alias("b7"),
         F.expr("size(features)").alias("dim"))
+
+
+_CHUNK_BYTES = 64
+
+
+@query("mm_chunk_manifest", oracle=f"""
+SELECT doc_id,
+       CAST((st - 1) // {_CHUNK_BYTES} AS BIGINT) AS chunk_idx,
+       CAST(st - 1 AS BIGINT) AS byte_offset,
+       CAST(least({_CHUNK_BYTES}, length(text) - st + 1) AS BIGINT)
+         AS n_bytes,
+       sha256(substr(text, st, {_CHUNK_BYTES})) AS chunk_sha
+FROM (SELECT doc_id, text,
+             unnest(range(1, length(text) + 1, {_CHUNK_BYTES})) AS st
+      FROM documents)
+""")
+def mm_chunk_manifest(spark, sf_dir):
+    """Fixed-size chunk manifest over a binary payload — the sharding
+    primitive for large blobs (video segments, audio frames, model
+    shards): each payload is cut into 64-byte chunks and described
+    as (index, offset, length, sha256) rows, the manifest a content-
+    addressed store or range-request loader consumes.  Pure JVM-side
+    sequence+explode+substring over the BINARY column — no UDF, no
+    shuffle, linear at any corpus size.  Oracle parity rides the ASCII
+    corpus (1 char = 1 byte, same trick as mm_byte_histogram), so the
+    digests are full value checks of the binary slicing."""
+    d = load(spark, sf_dir, "documents", wide=True).select(
+        "doc_id", F.expr("cast(text as binary)").alias("payload"))
+    chunks = d.select(
+        "doc_id", "payload",
+        F.posexplode(
+            F.expr(f"sequence(1, length(payload), {_CHUNK_BYTES})"))
+        .alias("k", "st"))
+    return chunks.select(
+        "doc_id",
+        F.col("k").cast("bigint").alias("chunk_idx"),
+        (F.col("st") - 1).cast("bigint").alias("byte_offset"),
+        F.expr(f"cast(least({_CHUNK_BYTES},"
+               " length(payload) - st + 1) as bigint)").alias("n_bytes"),
+        F.sha2(F.expr(f"substring(payload, st, {_CHUNK_BYTES})"), 256)
+        .alias("chunk_sha"))
