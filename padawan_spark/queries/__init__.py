@@ -30,11 +30,27 @@ for _m in _SUITES:
 # ---------------------------------------------------------------------------
 
 # Round-3 rotation: rounds 1+2 drove 87 distinct queries green; this head
-# is 45 never-driver-checked entries (graph/pipe/scale/streaming/udf/sql/
-# ev/dedup/sim/mm/text remainders) plus 5 sentinels over code paths that
+# is 46 never-driver-checked entries (graph/pipe/scale/streaming/udf/sql/
+# ev/dedup/sim/mm/text remainders) plus sentinels over code paths that
 # CHANGED this round (spread()-widened loads, dataset.py concat/map/
 # repartition fixes) so regressions in touched code stay driver-visible.
-# The ~39 still-unchecked ana_*/adv_* entries are round 4's window.
+#
+# ROUND-4 ROTATION PLAN — the 46 still-unchecked entries, all green in
+# the tri-scale harness; next round's head should be these plus ~4
+# sentinels over whatever round 4 changes:
+#   ana_: json_extract topk_global unpivot win_ntile win_range_frame
+#     array_funcs stats_moments histogram posexplode string_agg
+#     filtered_agg set_ops_all null_semantics map_funcs win_first_last
+#     bitwise_agg percent_of_total gaps_islands try_functions
+#     islands_runs string_funcs_ext date_funcs_ext math_funcs
+#     xml_roundtrip variant_extract top_percent corr_matrix  (27)
+#   adv_: salted_agg percentiles approx_distinct json_roundtrip
+#     orc_roundtrip union_evolved profile_summary approx_quantile
+#     salted_join asof_forward merge_schema_read percentile_disc
+#     scd2_dimension  (13)
+#   round-3 additions: dedup_minhash_estimate text_repetition_metrics
+#     ev_bot_detection mm_chunk_manifest scale_skew_metrics
+#     text_pseudonymize  (6)
 _HEAD = [
     # graph suite (never checked; _users = scale-honest vertex set)
     "graph_pagerank", "graph_pagerank_users", "graph_degree_stats",
