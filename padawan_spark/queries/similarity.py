@@ -316,3 +316,98 @@ def sim_recall_eval(spark, sf_dir):
             .groupBy("query_id")
             .agg(F.count("an").alias("hits"),
                  (F.count("an").cast("double") / 3.0).alias("recall_at_3")))
+
+
+# ---------------------------------------------------------------------------
+# k-means training (Lloyd) — the coarse-quantizer trainer for IVF.
+# K=8, 2 unrolled iterations, deterministic: init = vectors 0..7,
+# distances are exact DECIMAL sums of per-dim double squares (order-
+# independent), argmin tie-breaks on cluster id, centroid updates are
+# exact decimal means.  The oracle unrolls the same two rounds.
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS = 8, 2
+_D9 = "DECIMAL(38,9)"
+
+
+def _duck_kmeans() -> str:
+    sql = f"""
+WITH comp AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+c0 AS (SELECT vec_id AS j, dim, val AS cval FROM comp
+       WHERE vec_id < {_KM_K})"""
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        sql += f""",
+d{it} AS (
+  SELECT comp.vec_id, {prev}.j,
+    SUM(CAST((val - cval) * (val - cval) AS {_D9})) AS dist
+  FROM comp JOIN {prev} ON comp.dim = {prev}.dim
+  GROUP BY comp.vec_id, {prev}.j),
+a{it} AS (
+  SELECT vec_id, j FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM d{it}) WHERE rn = 1),
+c{it} AS (
+  SELECT a{it}.j, comp.dim,
+    CAST(SUM(CAST(val AS {_D9})) AS DOUBLE) / COUNT(*) AS cval
+  FROM comp JOIN a{it} ON comp.vec_id = a{it}.vec_id
+  GROUP BY a{it}.j, comp.dim)"""
+        prev = f"c{it}"
+    last = _KM_ITERS
+    sql += f"""
+SELECT c.j AS cluster, c.dim, ROUND(c.cval, 9) AS cval, s.n_members
+FROM c{last} c JOIN (SELECT j, COUNT(*) AS n_members FROM a{last}
+                     GROUP BY j) s ON c.j = s.j
+"""
+    return sql
+
+
+@query("sim_kmeans_train", oracle=_duck_kmeans())
+def sim_kmeans_train(spark, sf_dir):
+    """In-engine k-means training (2 Lloyd iterations, K=8) over the
+    embedding corpus — the trainer for the IVF coarse quantizer that
+    sim_ann_ivf probes (which uses labels as a stand-in codebook; this
+    closes the loop and trains one).  Each round: one broadcast join of
+    the tiny centroid table against the exploded components, a
+    (vec, cluster) distance aggregation, an argmin window, and a
+    centroid-mean aggregation — two vector-keyed shuffles per round, no
+    driver state, no cartesian.  Determinism: per-dim squared residuals
+    are IEEE doubles summed through exact DECIMAL (order-independent),
+    argmin ties break on cluster id, means are exact decimal sums over
+    exact counts.  At 10^9 vectors the same plan holds with the
+    centroid table still broadcast-sized (K x dims rows).  Lineage:
+    centroids localCheckpoint per round (O(1) plan depth, same policy
+    as graph_pagerank)."""
+    from pyspark.sql.window import Window
+    e = load(spark, sf_dir, "embeddings", wide=True)
+    comp = (e.select("vec_id",
+                     F.posexplode(F.col("embedding").cast("array<double>"))
+                     .alias("pos", "val"))
+            .withColumn("dim", F.col("pos") + 1).drop("pos").cache())
+    cent = (comp.where(F.col("vec_id") < _KM_K)
+            .select(F.col("vec_id").alias("j"), "dim",
+                    F.col("val").alias("cval")))
+    d9 = _D9.lower()
+    assign = None
+    for _ in range(_KM_ITERS):
+        dist = (comp.join(F.broadcast(cent), "dim")
+                .groupBy("vec_id", "j")
+                .agg(F.sum(((F.col("val") - F.col("cval"))
+                            * (F.col("val") - F.col("cval"))).cast(d9))
+                     .alias("dist")))
+        w = Window.partitionBy("vec_id").orderBy("dist", "j")
+        assign = (dist.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1).select("vec_id", "j"))
+        cent = (comp.join(assign, "vec_id")
+                .groupBy("j", "dim")
+                .agg((F.sum(F.col("val").cast(d9)).cast("double")
+                      / F.count(F.lit(1))).alias("cval"))
+                .localCheckpoint(eager=True))
+    sizes = assign.groupBy("j").agg(F.count(F.lit(1)).alias("n_members"))
+    comp.unpersist()
+    return (cent.join(sizes, "j")
+            .select(F.col("j").alias("cluster"), "dim",
+                    F.round("cval", 9).alias("cval"), "n_members"))
