@@ -32,6 +32,10 @@ HEADLINE = [
     "adv_asof_join",
     "scale_bucketed_join",       # write + join: the pre-shuffle investment
     "scale_bucketed_join_read",  # join only: the steady-state zero-exchange
+    # iterative path (3-4 chained jobs each: join+agg rounds with
+    # per-round localCheckpoint lineage truncation)
+    "graph_pagerank_users",
+    "sim_kmeans_train",
 ]
 
 

@@ -200,3 +200,19 @@ def graph_degree_stats(spark, sf_dir):
                     .alias("out_degree"),
                     F.coalesce("indeg", F.lit(0)).cast("bigint")
                     .alias("in_degree")))
+
+
+@query("graph_transition_matrix", oracle=f"""
+SELECT src, dst, ROUND(weight, 12) AS prob
+FROM ({_DUCK_EDGES})
+""")
+def graph_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of the event-type process:
+    P(dst | src) for consecutive events within a user stream — the
+    model behind next-event prediction, anomaly scoring, and the
+    PageRank/CC edge weights above (this IS their edge builder,
+    exposed as a user-facing operator).  One window pass + one edge
+    aggregation; each row's probability is one count/out-weight
+    division — engine-exact, rounded only for the hash gate."""
+    e = _edges_spark(spark, sf_dir)
+    return e.select("src", "dst", F.round("weight", 12).alias("prob"))
