@@ -42,7 +42,13 @@ WHERE l_shipdate <= TIMESTAMP '2000-12-01'
 GROUP BY l_returnflag, l_linestatus
 """)
 def q1(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem")
+    # wide=True: q1 is the one TPC-H query whose per-row work (7 exact
+    # decimal casts/products feeding the partial agg) is heavy enough
+    # that a single-row-group scan serializes it — measured 2.0s → 0.95s
+    # at sf0.1.  On a healthy multi-file layout spread() is a no-op; the
+    # join-heavy queries (q3/q18) are NOT widened: their joins already
+    # redistribute, so the extra shuffle only adds cost (measured).
+    l = load(spark, sf_dir, "lineitem", wide=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
