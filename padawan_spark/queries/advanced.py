@@ -500,3 +500,31 @@ def adv_scd2_dimension(spark, sf_dir):
                     F.lead("o_orderdate").over(w2).alias("valid_to"),
                     F.when(F.lead("o_orderdate").over(w2).isNull(), 1)
                     .otherwise(0).alias("is_current")))
+
+
+@query("adv_xml_source_roundtrip", oracle="""
+SELECT n_regionkey, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name
+FROM nation GROUP BY n_regionkey
+""")
+def adv_xml_source_roundtrip(spark, sf_dir):
+    """XML FILE source/sink round trip — Spark 4 ships the (formerly
+    spark-xml) connector natively: write the nation table as XML
+    documents, read them back with an explicit schema (XML carries no
+    type metadata, so schema-on-read is declared — same discipline as
+    the csv round trip), and aggregate.  Values surviving the
+    serialize/parse cycle exactly is the property under test; the
+    oracle runs on the original table."""
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_xml_"), "nation")
+    (n.write.format("xml").option("rootTag", "nations")
+     .option("rowTag", "nation").mode("overwrite").save(target))
+    back = (spark.read.format("xml").option("rowTag", "nation")
+            .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+            .load(target))
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                 F.min("n_name").alias("first_name")))
