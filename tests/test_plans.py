@@ -361,3 +361,63 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
         if "BatchEvalPython" in p:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The 100 TB skew story made testable: a hot key whose shuffle
+    partition dwarfs the median must be SPLIT by AQE's skew-join
+    optimization (SortMergeJoin(skew=true) + 'skewed' AQEShuffleRead)
+    rather than serializing the join onto one straggler task.
+    Thresholds are scaled down so a local fixture exhibits the same
+    behavior production sizes trigger at defaults."""
+    from pyspark.sql import functions as F
+    fact = (spark.range(0, 220000)
+            .withColumn("k", F.when(F.col("id") < 200000, 0)
+                        .otherwise((F.col("id") % 99) + 1))
+            .withColumn("pad", F.md5(F.col("id").cast("string"))))
+    dim = spark.range(0, 100).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("w"))
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = fact.join(dim, "k")
+        assert j.count() == 220000
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan, plan   # AQEShuffleRead split the hot partition
+
+
+def test_aqe_promotes_smj_to_broadcast(spark):
+    """AQE runtime re-planning: a join the static planner sizes as
+    shuffle-worthy (selective filter, unknowable selectivity) must be
+    PROMOTED to a broadcast-hash join once runtime shuffle stats reveal
+    the small side — the mechanism that saves mis-estimated joins at
+    scale without manual hints."""
+    from pyspark.sql import functions as F
+
+    from padawan_spark.queries.registry import load
+    o = load(spark, SF, "orders")
+    # selective filter on a non-partition column: static estimate stays
+    # near full-table, runtime output is tiny
+    dim = o.where(F.col("o_orderkey") % 1000 == 1).select(
+        "o_orderkey", "o_orderpriority")
+    fact = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    j = fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, plan
