@@ -103,3 +103,45 @@ def test_transform_with_state_probe(spark, sf_dir):
             for r in load(spark, sf_dir, "events")
             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_streaming_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Exactly-once resume across restarts — the property a production
+    stream lives on: a file-source stream with a checkpoint processes
+    the initial input, stops, new files arrive, and a RESTARTED query
+    with the same checkpoint processes ONLY the new files (no
+    double-counting, no gaps).  Verified by row-count equality against
+    the batch read of everything."""
+    import shutil
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.parquet(str(src / "batch0"))
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_id bigint, user_id bigint, event_type string")
+                  .option("recursiveFileLookup", "true").parquet(str(src)))
+        q = (stream.writeStream.format("parquet")
+             .option("path", str(sink))
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(str(sink)).count()
+    assert n_first == ev.where(F.col("event_id") % 2 == 0).count()
+
+    # new arrivals, then restart from the same checkpoint
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.parquet(str(src / "batch1"))
+    run_once()
+    total = spark.read.parquet(str(sink))
+    assert total.count() == ev.count()                  # no gap, no dup
+    assert total.select("event_id").distinct().count() == ev.count()
