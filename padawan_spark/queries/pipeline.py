@@ -136,3 +136,46 @@ def text_chunk_windows(spark, sf_dir):
         F.expr(f"cast(size(slice(toks, st, {_CHUNK})) as bigint)")
         .alias("n_tokens"),
         F.expr("element_at(toks, st)").alias("head_token"))
+
+
+_LEN_BUCKET, _BATCH_SIZE = 16, 32
+
+
+@query("pipe_length_batching", oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS nt FROM documents),
+b AS (
+  SELECT doc_id, nt, nt // {_LEN_BUCKET} AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY nt // {_LEN_BUCKET}
+                            ORDER BY doc_id) AS rn
+  FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST((rn - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id,
+       COUNT(*) AS n_docs, CAST(MAX(nt) AS BIGINT) AS max_tokens,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens
+FROM b GROUP BY bucket, batch_id
+""")
+def pipe_length_batching(spark, sf_dir):
+    """Length-bucketed batching — the inference/serving counterpart of
+    sequence packing: documents are grouped into token-length buckets
+    (width 16) and cut into fixed-size batches (32 docs) within each
+    bucket in stable doc_id order, minimizing intra-batch padding
+    (batch cost = max_tokens x batch_size).  The window partitions by
+    BUCKET, so batching parallelizes per bucket — never a global sort;
+    at 100 TB each bucket shard batches independently.  Pure integer
+    arithmetic throughout."""
+    from pyspark.sql.window import Window
+    d = load(spark, sf_dir, "documents", wide=True)
+    t = d.select("doc_id",
+                 F.expr(f"cast(size({_SPARK_TOKS}) as bigint)").alias("nt"))
+    b = (t.withColumn("bucket", F.floor(F.col("nt") / _LEN_BUCKET))
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy("bucket").orderBy("doc_id"))))
+    return (b.withColumn("batch_id",
+                         F.floor((F.col("rn") - 1) / _BATCH_SIZE)
+                         .cast("bigint"))
+            .groupBy(F.col("bucket").cast("bigint").alias("bucket"),
+                     "batch_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("nt").cast("bigint").alias("max_tokens"),
+                 F.sum("nt").cast("bigint").alias("total_tokens")))

@@ -498,3 +498,64 @@ def text_repetition_metrics(spark, sf_dir):
     return m.withColumn(
         "keep", F.expr("case when top_bigram_frac >= 0.18"
                        " or n_adjacent_repeats >= 8 then 0 else 1 end"))
+
+
+@query("text_bigram_logprob", oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT unnest(toks) AS w FROM t),
+unic AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+nuni AS (SELECT SUM(cw) AS total, COUNT(*) AS vocab FROM unic),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t),
+bic AS (SELECT bg, COUNT(*) AS cbg FROM bi GROUP BY bg),
+scored AS (
+  SELECT bi.doc_id,
+    ln((COALESCE(bic.cbg, 0) + 1.0)
+       / (unic.cw + nuni.vocab)) AS lp
+  FROM bi
+  JOIN unic ON string_split(bi.bg, ' ')[1] = unic.w
+  CROSS JOIN nuni
+  LEFT JOIN bic ON bi.bg = bic.bg)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_logprob
+FROM scored GROUP BY doc_id
+""")
+def text_bigram_logprob(spark, sf_dir):
+    """Per-document language-model scoring — the KenLM-style quality
+    filter: a bigram model with add-one smoothing is trained on the
+    corpus itself (bigram + unigram count tables), then every document
+    is scored by its average bigram log-probability
+    ln((c(w1 w2)+1)/(c(w1)+V)).  The count tables are vocabulary-sized
+    → broadcast to the scoring scan, so the whole pass is train(2
+    aggregations) + score(1 scan with broadcast joins) however large
+    the corpus.  Determinism: each ln() is one libm call on an exact
+    rational (identical across engines for identical inputs), summed
+    through exact DECIMAL and rounded once at the end."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    t = d.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    uni = t.select(F.explode("toks").alias("w"))
+    unic = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    nuni = unic.agg(F.sum("cw").alias("total"),
+                    F.count(F.lit(1)).alias("vocab"))
+    bi = t.select("doc_id", F.explode(F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ',"
+        " element_at(toks, i + 1)))")).alias("bg"))
+    bic = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    scored = (bi
+              .join(F.broadcast(unic), w1 == F.col("w"))
+              .crossJoin(F.broadcast(nuni))
+              .join(F.broadcast(bic), "bg", "left")
+              .select("doc_id",
+                      F.log((F.coalesce(F.col("cbg"), F.lit(0)) + 1.0)
+                            / (F.col("cw") + F.col("vocab"))).alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum(F.col("lp").cast("decimal(38,12)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_logprob")))
