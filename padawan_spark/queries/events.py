@@ -91,6 +91,88 @@ def ev_sessionize(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_events")))
 
 
+@query("ev_session_concurrency", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+              - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 14400000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+sessions AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+  FROM numbered GROUP BY user_id, sid),
+segs AS (
+  SELECT GREATEST(s, d) AS seg_start,
+         LEAST(e, d + INTERVAL '1 day' - INTERVAL '1 microsecond') AS seg_end,
+         d AS day
+  FROM sessions,
+       UNNEST(generate_series(date_trunc('day', s), date_trunc('day', e),
+                              INTERVAL '1 day')) AS t(d)),
+pts AS (
+  SELECT day, seg_start AS pt, 1 AS delta FROM segs
+  UNION ALL SELECT day, seg_end, -1 FROM segs),
+run AS (
+  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY pt, delta DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts)
+SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_sessions
+FROM run GROUP BY day
+""")
+def ev_session_concurrency(spark, sf_dir):
+    """Peak number of simultaneously-active sessions per calendar day —
+    the capacity-planning / load-profile primitive over the same 4h-gap
+    sessions as :func:`ev_sessionize`.
+
+    Scale shape: the classic +1/-1 interval sweep needs a running sum
+    over a total order — a GLOBAL ordered window would serialize on one
+    task.  Instead each session is clipped to the days it spans
+    (``sequence`` + ``explode``), so the sweep window partitions by day
+    and per-partition state is bounded by the sessions touching that
+    day; a day-long session still registers on every day it covers.
+    Finer clips (hour) are the same plan with a different bucket.  All
+    arithmetic is integer counting — engine-exact.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag(F.col("ts")).over(w)))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("new_session",
+                    F.when(gap.isNull() | (gap > 4 * 3600 * 1_000_000), 1)
+                    .otherwise(0))
+        .withColumn("sid", F.sum("new_session").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    segs = (
+        sessions
+        .withColumn("d", F.explode(F.sequence(
+            F.date_trunc("DAY", "s"), F.date_trunc("DAY", "e"),
+            F.expr("INTERVAL 1 DAY"))))
+        .select(
+            F.col("d").alias("day"),
+            F.greatest("s", "d").alias("seg_start"),
+            F.least("e", F.col("d") + F.expr(
+                "INTERVAL 1 DAY") - F.expr(
+                "INTERVAL 1 MICROSECOND")).alias("seg_end")))
+    pts = (segs.select("day", F.col("seg_start").alias("pt"),
+                       F.lit(1).alias("delta"))
+           .unionAll(segs.select("day", F.col("seg_end"),
+                                 F.lit(-1))))
+    sweep = (Window.partitionBy("day").orderBy(F.col("pt"),
+                                               F.col("delta").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = pts.withColumn("conc", F.sum("delta").over(sweep))
+    return (run.groupBy("day")
+            .agg(F.max("conc").cast("bigint").alias("peak_sessions")))
+
+
 @query("ev_funnel", oracle="""
 SELECT s.user_id, s.ts AS signup_ts, MIN(p.ts) AS first_purchase_ts,
        COUNT(*) AS purchases_24h

@@ -202,6 +202,76 @@ def graph_degree_stats(spark, sf_dir):
                     .alias("in_degree")))
 
 
+@query("graph_triangle_count", oracle=f"""
+WITH ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({_DUCK_USER_EDGES}) WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM ue e1 JOIN ue e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b),
+per_vertex AS (
+  SELECT u AS user_id FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri)
+SELECT user_id, COUNT(*) AS n_triangles
+FROM per_vertex GROUP BY user_id
+""")
+def graph_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts on the undirected user co-activity
+    graph — the local-clustering / spam-detection primitive.
+
+    Scale shape (the part that matters at 10⁹ edges): edges are
+    *oriented by (degree, id)* before the wedge join, so every wedge is
+    enumerated at its lowest-degree endpoint and the join fan-out per
+    vertex is bounded by O(√m) instead of max-degree — the standard
+    degree-orientation bound (node-iterator++).  The pipeline is two
+    hash equi-joins keyed on vertex ids plus one aggregation; no
+    cartesian, no driver state.  The oracle enumerates the same
+    triangle SET with plain id-orientation (orientation changes the
+    enumeration order, never the set), so results match exactly.
+    """
+    e = _user_edges_spark(spark, sf_dir)
+    ue = (e.where(F.col("src") != F.col("dst"))
+          .select(F.least("src", "dst").alias("a"),
+                  F.greatest("src", "dst").alias("b"))
+          .distinct())
+    deg = (ue.select(F.col("a").alias("v")).union(ue.select("b"))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    # orient each edge from the (degree, id)-smaller endpoint to the
+    # larger: out-degree after orientation is O(sqrt(m))
+    oe = (ue.join(deg.withColumnRenamed("v", "a")
+                  .withColumnRenamed("deg", "da"), "a")
+          .join(deg.withColumnRenamed("v", "b")
+                .withColumnRenamed("deg", "db"), "b")
+          .select(
+              F.when((F.col("da") < F.col("db"))
+                     | ((F.col("da") == F.col("db"))
+                        & (F.col("a") < F.col("b"))), F.col("a"))
+              .otherwise(F.col("b")).alias("lo"),
+              F.when((F.col("da") < F.col("db"))
+                     | ((F.col("da") == F.col("db"))
+                        & (F.col("a") < F.col("b"))), F.col("b"))
+              .otherwise(F.col("a")).alias("hi"))).cache()
+    # wedges at the low-degree center: (lo -> hi1), (lo -> hi2); closed
+    # iff the third edge exists in EITHER orientation
+    e1 = oe.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = oe.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
+    closing = oe.select(
+        F.least("lo", "hi").alias("cv"), F.greatest("lo", "hi").alias("cw"))
+    # wedge endpoints are already id-ordered (v < w), closing edges are
+    # normalized to (cv < cw): plain two-key hash equi-join
+    tri = wedges.join(
+        closing, (F.col("v") == F.col("cv")) & (F.col("w") == F.col("cw")),
+        "leftsemi")
+    per_vertex = (tri.select(F.col("u").alias("user_id"))
+                  .union(tri.select("v")).union(tri.select("w")))
+    out = per_vertex.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    return out
+
+
 @query("graph_transition_matrix", oracle=f"""
 SELECT src, dst, ROUND(weight, 12) AS prob
 FROM ({_DUCK_EDGES})
