@@ -411,3 +411,150 @@ def sim_kmeans_train(spark, sf_dir):
     return (cent.join(sizes, "j")
             .select(F.col("j").alias("cluster"), "dim",
                     F.round("cval", 9).alias("cval"), "n_members"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path: 64-dim float
+# vectors compress to 8 one-byte codes (one per 8-dim subspace), and
+# queries score candidates through a tiny per-query lookup table (ADC)
+# instead of touching raw vectors.  Codebooks here are the per-label
+# subspace centroids (the same deterministic stand-in sim_ann_ivf uses
+# for its coarse quantizer); swapping in sim_kmeans_train-style trained
+# codebooks is the same plan with a different centroid source.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8       # subspaces
+_PQ_DSUB = 8    # dims per subspace
+
+_DUCK_PQ_BASE = f"""
+comp AS (
+  SELECT vec_id, label, i AS dim, CAST((i - 1) // {_PQ_DSUB} AS INTEGER) AS sub,
+         CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+codebook AS (
+  SELECT label AS code, sub, dim,
+         CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS cval
+  FROM comp GROUP BY label, sub, dim),
+dists AS (
+  SELECT comp.vec_id, comp.sub, codebook.code,
+         SUM(CAST((val - cval) * (val - cval) AS DECIMAL(38,9))) AS d2
+  FROM comp JOIN codebook ON comp.sub = codebook.sub
+                         AND comp.dim = codebook.dim
+  GROUP BY comp.vec_id, comp.sub, codebook.code),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code) AS rn
+    FROM dists) WHERE rn = 1)"""
+
+
+@query("sim_pq_encode", oracle=f"""
+WITH {_DUCK_PQ_BASE}
+SELECT vec_id, sub AS subspace, CAST(code AS INTEGER) AS code FROM codes
+""")
+def sim_pq_encode(spark, sf_dir):
+    """PQ encoding: each 64-dim vector becomes 8 subspace codes — a
+    32x memory reduction that makes billion-vector indexes RAM-resident.
+
+    Plan: explode to (vec, dim) components once; the codebook (M x K x
+    dsub = 640 rows) is an aggregation of the same components and is
+    BROADCAST into the assignment join, so encoding is one scan + one
+    (vec, sub, code) aggregation + one argmin window keyed on
+    (vec, sub) — no shuffle grows with K.  Determinism: squared
+    residuals are per-dim IEEE doubles summed through exact DECIMAL;
+    argmin ties break on code id; centroid means are exact decimal
+    sums over counts (the sim_ann_ivf policy).
+    """
+    from pyspark.sql.window import Window
+    d9 = "decimal(38,9)"
+    e = load(spark, sf_dir, "embeddings", wide=True)
+    comp = (e.select("vec_id", "label",
+                     F.posexplode(F.col("embedding").cast("array<double>"))
+                     .alias("pos", "val"))
+            .withColumn("dim", F.col("pos") + 1)
+            .withColumn("sub", (F.col("pos") / _PQ_DSUB)
+                        .cast("int")).drop("pos"))
+    codebook = (comp.groupBy(F.col("label").alias("code"), "sub", "dim")
+                .agg((F.sum(F.col("val").cast(d9)).cast("double")
+                      / F.count(F.lit(1))).alias("cval")))
+    dists = (comp.join(F.broadcast(codebook), ["sub", "dim"])
+             .groupBy("vec_id", "sub", "code")
+             .agg(F.sum(((F.col("val") - F.col("cval"))
+                         * (F.col("val") - F.col("cval"))).cast(d9))
+                  .alias("d2")))
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    return (dists.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("sub").alias("subspace"),
+                    F.col("code").cast("int").alias("code")))
+
+
+@query("sim_pq_adc_topk", oracle=f"""
+WITH {_DUCK_PQ_BASE},
+lut AS (
+  SELECT comp.vec_id AS query_id, comp.sub, codebook.code,
+         SUM(CAST((val - cval) * (val - cval) AS DECIMAL(38,9))) AS part
+  FROM comp JOIN codebook ON comp.sub = codebook.sub
+                         AND comp.dim = codebook.dim
+  WHERE comp.vec_id < 5
+  GROUP BY comp.vec_id, comp.sub, codebook.code),
+scored AS (
+  SELECT lut.query_id, codes.vec_id AS neighbor_id,
+         ROUND(CAST(SUM(CAST(part AS DECIMAL(38,9))) AS DOUBLE), 9) AS adc_dist
+  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+  WHERE codes.vec_id <> lut.query_id
+  GROUP BY lut.query_id, codes.vec_id)
+SELECT query_id, neighbor_id, adc_dist, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 5
+""")
+def sim_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-k over the PQ codes: each query
+    precomputes a (subspace, code) -> partial-distance lookup table
+    (M x K = 80 rows per query) and candidates are scored by summing 8
+    table hits — never touching raw candidate vectors.
+
+    Scale shape: the LUT (queries x M x K rows) is BROADCAST; the scan
+    side is the codes table (8 small rows per vector, in practice a
+    packed byte column), so scoring is one broadcast-hash join + one
+    (query, vec) aggregation whose width is M rows per pair — the plan
+    a billion-vector PQ index runs, with the top-k window per query.
+    Exactness: partial distances and their 8-term sums go through
+    DECIMAL(38,9); ties break on neighbor id.
+    """
+    from pyspark.sql.window import Window
+    d9 = "decimal(38,9)"
+    e = load(spark, sf_dir, "embeddings", wide=True)
+    comp = (e.select("vec_id", "label",
+                     F.posexplode(F.col("embedding").cast("array<double>"))
+                     .alias("pos", "val"))
+            .withColumn("dim", F.col("pos") + 1)
+            .withColumn("sub", (F.col("pos") / _PQ_DSUB)
+                        .cast("int")).drop("pos").cache())
+    codebook = (comp.groupBy(F.col("label").alias("code"), "sub", "dim")
+                .agg((F.sum(F.col("val").cast(d9)).cast("double")
+                      / F.count(F.lit(1))).alias("cval")))
+    dists = (comp.join(F.broadcast(codebook), ["sub", "dim"])
+             .groupBy("vec_id", "sub", "code")
+             .agg(F.sum(((F.col("val") - F.col("cval"))
+                         * (F.col("val") - F.col("cval"))).cast(d9))
+                  .alias("d2")))
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (dists.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1).select("vec_id", "sub", "code"))
+    lut = (comp.where(F.col("vec_id") < 5)
+           .join(F.broadcast(codebook), ["sub", "dim"])
+           .groupBy(F.col("vec_id").alias("query_id"), "sub", "code")
+           .agg(F.sum(((F.col("val") - F.col("cval"))
+                       * (F.col("val") - F.col("cval"))).cast(d9))
+                .alias("part")))
+    scored = (codes.join(F.broadcast(lut), ["sub", "code"])
+              .where(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+              .agg(F.round(F.sum(F.col("part").cast(d9)).cast("double"), 9)
+                   .alias("adc_dist")))
+    wk = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= 5))
