@@ -528,3 +528,29 @@ def adv_xml_source_roundtrip(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("n_nationkey").cast("bigint").alias("key_sum"),
                  F.min("n_name").alias("first_name")))
+
+
+@query("adv_text_roundtrip", oracle="""
+SELECT doc_id, text FROM documents
+""")
+def adv_text_roundtrip(spark, sf_dir):
+    """Line-oriented ``text`` sink + source round trip — the format
+    raw-corpus drops usually arrive in.  Documents are written one per
+    line as ``doc_id<TAB>hex(utf8(text))`` (hex keeps embedded
+    newlines/tabs from breaking the line framing — the standard
+    armoring for opaque payloads in line protocols) and read back with
+    the built-in text source, which splits on newlines per 128 MB file
+    split, so ingest parallelism is input-size-proportional.  The
+    round-tripped (doc_id, text) must equal the source table exactly.
+    """
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(F.concat_ws(
+        "\t", F.col("doc_id").cast("string"),
+        F.hex(F.encode(F.col("text"), "UTF-8"))).alias("value"))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_text_"), "docs")
+    lines.write.mode("overwrite").text(target)
+    back = spark.read.text(target)
+    parts = F.split(F.col("value"), "\t", 2)
+    return back.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        F.decode(F.unhex(parts.getItem(1)), "UTF-8").alias("text"))

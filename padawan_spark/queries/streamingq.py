@@ -94,3 +94,16 @@ FROM events GROUP BY 1, 2
 def streaming_foreach_batch(spark, sf_dir):
     from ..streaming import run_streaming_foreach_batch
     return run_streaming_foreach_batch(spark, sf_dir)
+
+
+@query("streaming_outer_join", oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       p.user_id, p.ts AS p_ts, v.ts AS v_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL '1 hour'
+""")
+def streaming_outer_join(spark, sf_dir):
+    from ..streaming.events import run_streaming_outer_join
+    return run_streaming_outer_join(spark, sf_dir)

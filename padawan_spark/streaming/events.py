@@ -298,3 +298,80 @@ def run_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("day", "event_type", "n", "total_value"))
+
+
+def run_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, matched
+    to same-user views from the preceding hour, WITH null rows for
+    purchases that had no view — the attribution query where "no prior
+    view" is itself the signal.
+
+    Outer results only materialize when the watermark passes a left
+    row's match window (before that, a matching view could still
+    arrive), so a single-batch availableNow run would end with every
+    unmatched purchase still buffered in state and silently missing.
+    The input is therefore staged as TWO files processed as separate
+    micro-batches (``maxFilesPerTrigger=1``, oldest-first): the real
+    events, then a far-future sentinel row per side.  Batch 2 advances
+    the watermark past all real data and the engine's no-data batch
+    flushes the remaining state, emitting every null match — the same
+    watermark-closure discipline a production deployment gets from its
+    continuously-arriving data.  Sentinels carry negative event ids and
+    are filtered from the output; state stays bounded by the 1 h
+    interval exactly as in the inner-join variant.
+    """
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..queries.registry import ensure_session_conf
+    ensure_session_conf(spark)
+
+    src = _os.path.join(sf_dir, "events.parquet")
+    tmp = _tempfile.mkdtemp(prefix="padawan_soj_")
+    _shutil.copy(src, _os.path.join(tmp, "a.parquet"))
+    t = pq.read_table(src, columns=None)
+    far = pc.max(t["ts"]).as_py()
+    if isinstance(far, int):          # TIMESTAMP(NANOS) read as int64
+        far = far + 10 * 86400 * 10**9
+    else:
+        far = far + _dt.timedelta(days=10)
+    fields = {
+        "event_id": [-1, -2], "ts": [far, far], "user_id": [0, 0],
+        "event_type": ["view", "purchase"], "value": [0.0, 0.0],
+        "props": ["", ""],
+    }
+    sent = pa.table({n: pa.array(v, t.schema.field(n).type)
+                     for n, v in fields.items()}).cast(t.schema)
+    pq.write_table(sent, _os.path.join(tmp, "b.parquet"))
+    now = _time.time()
+    _os.utime(_os.path.join(tmp, "a.parquet"), (now - 100, now - 100))
+    _os.utime(_os.path.join(tmp, "b.parquet"), (now, now))
+
+    nanos = _events_ts_is_nanos(sf_dir)
+    ev = (spark.readStream.schema(_event_schema(ts_as_long=nanos))
+          .option("maxFilesPerTrigger", "1").parquet(tmp))
+    if nanos:
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    v = (ev.where(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+                 F.col("event_id").alias("view_id"))
+         .withWatermark("v_ts", "1 hour"))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("purchase_id"))
+         .withWatermark("p_ts", "1 hour"))
+    j = p.join(v, (F.col("user_id") == F.col("v_user"))
+               & (F.col("v_ts") <= F.col("p_ts"))
+               & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+               "leftOuter")
+    name = _run_to_memory(j, mode="append")
+    return (spark.table(name)
+            .where(F.col("purchase_id") >= 0)
+            .select("purchase_id", "view_id", "user_id", "p_ts", "v_ts"))
