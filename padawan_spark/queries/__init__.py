@@ -50,7 +50,10 @@ for _m in _SUITES:
 #     scd2_dimension  (13)
 #   round-3 additions: dedup_minhash_estimate text_repetition_metrics
 #     ev_bot_detection mm_chunk_manifest scale_skew_metrics
-#     text_pseudonymize  (6)
+#     text_pseudonymize graph_triangle_count ev_session_concurrency
+#     sim_pq_encode sim_pq_adc_topk adv_text_roundtrip
+#     streaming_outer_join pipe_length_batching text_bigram_logprob
+#     sim_kmeans_train graph_transition_matrix  (16)
 _HEAD = [
     # graph suite (never checked; _users = scale-honest vertex set)
     "graph_pagerank", "graph_pagerank_users", "graph_degree_stats",

@@ -421,3 +421,37 @@ def test_aqe_promotes_smj_to_broadcast(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_triangle_count_no_cartesian_two_phase_join(spark):
+    """Degree-oriented triangle counting must stay hash-equi-join-shaped:
+    wedge join + closing semi-join, never a cartesian, with map-side
+    partial aggregation on the per-vertex count."""
+    a = plan_of(spark, "graph_triangle_count")
+    assert not a.has_cartesian, a.plan
+    assert a.has_partial_agg, a.plan
+
+
+def test_pq_adc_broadcasts_lut_and_codebook(spark):
+    """PQ scoring must broadcast the tiny per-query lookup table (and the
+    codebook into encoding) — the scan side is the codes table; a
+    shuffle join here would defeat the entire ADC design."""
+    a = plan_of(spark, "sim_pq_adc_topk")
+    assert a.has_broadcast_join, a.plan
+    assert not a.has_cartesian, a.plan
+
+
+def test_session_concurrency_sweep_partitions_by_day(spark):
+    """The +1/-1 interval sweep must run in a day-partitioned window —
+    a global (empty-partition-spec) running sum would serialize the
+    sweep onto one task at scale."""
+    import re
+    from padawan_spark.plans.audit import physical_plan
+    p = physical_plan(QUERIES["ev_session_concurrency"](spark, SF),
+                      mode="simple")
+    # every running-sum Window node over the sweep orders by pt and must
+    # carry a non-empty partition spec mentioning day
+    for m in re.finditer(r"Window \[[^\]]*sum\(delta\)[^\]]*\], \[([^\]]*)\]",
+                         p):
+        spec = m.group(1)
+        assert "day" in spec, (spec, p)
