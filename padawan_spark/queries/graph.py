@@ -134,14 +134,36 @@ def _user_edges_spark(spark, sf_dir):
     events by DIFFERENT users contribute one src_user → dst_user edge.
     Vertex set = active users (1.5k at sf0.1, scaling linearly with SF),
     with real hub skew from high-activity users; edge weights are
-    out-normalized transition frequencies."""
+    out-normalized transition frequencies.
+
+    Scale note: event_type has ~5 values, so a single
+    ``partitionBy(event_type)`` lead-window would sort the whole table
+    on 5 tasks regardless of cluster size.  The consecutive pairs are
+    instead computed TWO-LEVEL: a (event_type, day)-partitioned window
+    yields all within-day pairs in parallel, and the day-boundary pairs
+    come from a per-(type, day) first/last aggregate stitched by a tiny
+    per-type window over days (~rows = types × days).  Identical pair
+    set — the oracle keeps the single flat LEAD."""
     from pyspark.sql.window import Window
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
-                                              "event_type")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    e = (ev.withColumn("dst", F.lead("user_id").over(w))
-         .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("user_id")))
-         .groupBy(F.col("user_id").alias("src"), "dst")
+    ev = (load(spark, sf_dir, "events")
+          .select("user_id", "ts", "event_id", "event_type")
+          .withColumn("day", F.date_trunc("DAY", "ts")))
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    intra = (ev.withColumn("dst", F.lead("user_id").over(wd))
+             .where(F.col("dst").isNotNull())
+             .select(F.col("user_id").alias("src"), "dst"))
+    ends = (ev.groupBy("event_type", "day")
+            .agg(F.min_by("user_id", F.struct("ts", "event_id"))
+                 .alias("first_user"),
+                 F.max_by("user_id", F.struct("ts", "event_id"))
+                 .alias("last_user")))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    boundary = (ends.withColumn("dst", F.lead("first_user").over(wt))
+                .where(F.col("dst").isNotNull())
+                .select(F.col("last_user").alias("src"), "dst"))
+    pairs = intra.unionAll(boundary)
+    e = (pairs.where(F.col("dst") != F.col("src"))
+         .groupBy("src", "dst")
          .agg(F.count(F.lit(1)).alias("cnt")))
     out = e.groupBy("src").agg(F.sum("cnt").alias("outw"))
     return (e.join(out, "src")
