@@ -554,3 +554,49 @@ def adv_text_roundtrip(spark, sf_dir):
     return back.select(
         parts.getItem(0).cast("bigint").alias("doc_id"),
         F.decode(F.unhex(parts.getItem(1)), "UTF-8").alias("text"))
+
+
+@query("adv_binned_range_join", oracle="""
+WITH iv AS (
+  SELECT s_suppkey,
+         s_acctbal * 3.0 AS lo,
+         s_acctbal * 3.0 + 5000.0 + (s_suppkey % 7) * 1000.0 AS hi
+  FROM supplier),
+hits AS (
+  SELECT iv.s_suppkey, o.o_orderkey
+  FROM orders o JOIN iv ON o.o_totalprice BETWEEN iv.lo AND iv.hi)
+SELECT s_suppkey, COUNT(*) AS n_orders
+FROM hits GROUP BY s_suppkey
+""")
+def adv_binned_range_join(spark, sf_dir):
+    """Pure range join (no equi key) scaled by BINNING — the standard
+    rewrite when BOTH sides are too big to broadcast, where Catalyst
+    would otherwise fall back to a nested-loop join.
+
+    Each interval (derived deterministically from supplier balances,
+    bounded length ≤ 11k) explodes into the fixed-width value bins it
+    covers (``sequence`` → ≤ 4 rows per interval), each point computes
+    its single bin, and the join becomes a hash EQUI-join on bin with
+    the exact BETWEEN as a residual filter.  Work scales with
+    points + intervals x (interval_len / bin_width), shuffle-partitioned
+    by bin — no cartesian, no broadcast requirement (the broadcast
+    variant of a range join is ana_band_join).  The oracle states the
+    plain BETWEEN join; binning is pure plan rewriting.
+    """
+    _W = 5000.0
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") * 3.0).alias("lo"),
+        (F.col("s_acctbal") * 3.0 + 5000.0
+         + (F.col("s_suppkey") % 7) * 1000.0).alias("hi"))
+    iv = s.withColumn(
+        "bin", F.explode(F.sequence(
+            F.floor(F.col("lo") / _W).cast("long"),
+            F.floor(F.col("hi") / _W).cast("long"))))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.floor(F.col("o_totalprice") / _W).cast("long").alias("bin"))
+    hits = (o.join(iv.hint("shuffle_hash"), "bin")
+            .where(F.col("o_totalprice").between(F.col("lo"), F.col("hi"))))
+    return (hits.groupBy("s_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_orders")))

@@ -504,3 +504,60 @@ def ev_bot_detection(spark, sf_dir):
         F.col("sum_sq").cast("decimal(38,0)").cast("string")
         .alias("sum_sq"),
         F.when(lhs < rhs, 1).otherwise(0).alias("bot_flag"))
+
+
+@query("ev_rare_transitions", oracle="""
+WITH pairs AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+p AS (
+  SELECT src, dst, CAST(cnt AS DOUBLE) / outw AS prob
+  FROM (
+    SELECT src, dst, COUNT(*) AS cnt,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY src) AS DOUBLE) AS outw
+    FROM pairs WHERE dst IS NOT NULL
+    GROUP BY src, dst))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN prob < 0.18 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       CAST(SUM(CASE WHEN prob < 0.18 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS rare_rate
+FROM pairs JOIN p USING (src, dst)
+GROUP BY user_id
+HAVING COUNT(*) >= 20
+""")
+def ev_rare_transitions(spark, sf_dir):
+    """Per-user anomaly signal: how often a user's next event is a RARE
+    transition under the global first-order Markov model — the
+    sequence-anomaly pattern (fraud, bots, broken clients) that avoids
+    per-user model state entirely.
+
+    Plan: one user-partitioned lead window builds the transition pairs
+    (high-cardinality key — parallel), the transition-probability table
+    (types² rows) is aggregated from the same pairs and BROADCAST back
+    onto them, and the per-user flag counts aggregate on user_id.  No
+    transcendentals anywhere (a surprisal formulation would hit libm
+    drift): the rarity test is a plain double comparison against the
+    exact cnt/outw probability, so results are engine-exact.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select("user_id", F.col("event_type").alias("src"),
+                      F.lead("event_type").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull()))
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    outw = counts.groupBy("src").agg(
+        F.sum("cnt").cast("double").alias("outw"))
+    p = (counts.join(outw, "src")
+         .select("src", "dst", (F.col("cnt") / F.col("outw")).alias("prob")))
+    rare = F.when(F.col("prob") < 0.18, 1).otherwise(0)
+    return (pairs.join(F.broadcast(p), ["src", "dst"])
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+                 F.sum(rare).cast("bigint").alias("n_rare"),
+                 (F.sum(rare).cast("double") / F.count(F.lit(1)))
+                 .alias("rare_rate"))
+            .where(F.col("n_transitions") >= 20))
