@@ -600,3 +600,32 @@ def adv_binned_range_join(spark, sf_dir):
             .where(F.col("o_totalprice").between(F.col("lo"), F.col("hi"))))
     return (hits.groupBy("s_suppkey")
             .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@query("adv_custom_sink", oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders WHERE o_orderdate >= TIMESTAMP '2000-06-01'
+GROUP BY o_orderpriority
+""")
+def adv_custom_sink(spark, sf_dir):
+    """Custom Python Data Source SINK round trip (Spark 4
+    DataSourceWriter): an aggregated result is written through the
+    jsonlsink connector — each task emits one uniquely-named jsonl file
+    and a commit message; the driver-side commit() publishes a manifest
+    of exactly the committed files — then read back via the manifest
+    (never by directory listing, so speculative/failed task output is
+    invisible: the lakehouse two-phase visibility rule, here exercised
+    end-to-end).  The read-back aggregate must equal the direct SQL.
+    """
+    from ..sources.pysource import read_jsonl_sink, register_python_sources
+    register_python_sources(spark)
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+    agg = (o.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n"),
+                dsum(F.col("o_totalprice"), "total")))
+    target = tempfile.mkdtemp(prefix="padawan_jsonlsink_")
+    agg.write.format("jsonlsink").option("path", target).mode("append").save()
+    back = read_jsonl_sink(
+        spark, target, "o_orderpriority string, n bigint, total double")
+    return back

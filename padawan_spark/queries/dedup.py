@@ -200,6 +200,62 @@ def dedup_ngram_jaccard(spark, sf_dir):
             .select("doc_a", "doc_b", jac.alias("jaccard")))
 
 
+@query("dedup_containment", oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_DF_CAP}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(i AS DOUBLE) / ca.n AS contain_a,
+  CAST(i AS DOUBLE) / cb.n AS contain_b
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE GREATEST(CAST(i AS DOUBLE) / ca.n, CAST(i AS DOUBLE) / cb.n) >= 0.8
+""")
+def dedup_containment(spark, sf_dir):
+    """Asymmetric CONTAINMENT near-dup detection: |A∩B| / |A| — the
+    signal Jaccard structurally misses when a short document is embedded
+    verbatim inside a much longer one (wire copy in a page, quoted post
+    in a thread): the union term dilutes Jaccard below any threshold
+    while containment of the short side stays ~1.
+
+    Same bounded verify-join shape as dedup_ngram_jaccard (shingles
+    df-capped at {cap} before the self-join, so per-shingle fan-out is
+    bounded by cap² and hot boilerplate shingles never explode the
+    join); one extra broadcast-size join against per-doc shingle counts
+    turns intersections into both directed containment ratios.  Exact
+    integer counts, one double division per side.
+    """
+    sh = _shingles_spark(load(spark, sf_dir, "documents", wide=True))
+    rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= _DF_CAP).select("s"))
+    shc = sh.join(rare, "s")
+    cnt = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shc.alias("a")
+    b = shc.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c_a = F.col("i").cast("double") / F.col("na")
+    c_b = F.col("i").cast("double") / F.col("nb")
+    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+            .where(F.greatest(c_a, c_b) >= 0.8)
+            .select("doc_a", "doc_b", c_a.alias("contain_a"),
+                    c_b.alias("contain_b")))
+
+
+dedup_containment.__doc__ = dedup_containment.__doc__.format(cap=_DF_CAP)
+
+
 # ---------------------------------------------------------------------------
 # SimHash: 24-bit fingerprint from token md5s; banded Hamming pairs
 # ---------------------------------------------------------------------------

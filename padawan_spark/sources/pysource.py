@@ -16,7 +16,10 @@ oracle query.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import LongType, StructField, StructType
 
 _SCHEMA = StructType([
@@ -59,3 +62,86 @@ class SequenceSource(DataSource):
 def register_python_sources(spark) -> None:
     """Idempotently register the in-tree Python data sources."""
     spark.dataSource.register(SequenceSource)
+    spark.dataSource.register(JsonlSink)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source SINK (Spark 4 DataSourceWriter): newline-
+# delimited JSON with an explicit commit protocol.  Each task writes its
+# partition to a uniquely-named file and returns the name as its commit
+# message; the DRIVER's commit() then records exactly the committed
+# files in a manifest.  Readers list the manifest, not the directory —
+# so files from failed/speculative task attempts are never visible
+# (the same two-phase visibility rule every exactly-once lakehouse sink
+# implements).
+# ---------------------------------------------------------------------------
+
+
+class _JsonlCommitMessage(WriterCommitMessage):
+    """Picklable task commit message: the file this task produced."""
+
+    def __init__(self, filename: str, rows: int):
+        self.filename = filename
+        self.rows = rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlsink requires a path option")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        full = _os.path.join(self.path, name)
+        n = 0
+        with open(full, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return _JsonlCommitMessage(name, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        with open(_os.path.join(self.path, "_manifest.json"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os as _os
+        for m in messages:
+            try:
+                _os.remove(_os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlSink(DataSource):
+    """``df.write.format("jsonlsink").option("path", dir).save()`` —
+    single-machine demonstration (task files land on a shared local fs;
+    a cluster deployment points ``path`` at a shared store)."""
+
+    @classmethod
+    def name(cls):
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite):
+        return _JsonlWriter(self.options, schema)
+
+
+def read_jsonl_sink(spark, path, schema):
+    """Read back ONLY the manifest-committed files of a jsonlsink dir."""
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_manifest.json")) as fh:
+        manifest = _json.load(fh)
+    files = [_os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.schema(schema).json(files)
