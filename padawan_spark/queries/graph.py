@@ -89,31 +89,35 @@ def _pagerank(edges, out_col: str):
     """Shared 3-iteration PageRank loop (d=0.85).  Each iteration is one
     join (rank × edges, hash on src) and one aggregation (hash on dst) —
     at 10⁹ vertices both shuffles key on the vertex id and AQE handles
-    hub skew; no collect, no driver state.  localCheckpoint per round:
-    the rank plan would otherwise grow linearly with the iteration count
-    (driver plan blowup at real round counts); superseded round data is
-    context-cleaned once the reference drops."""
+    hub skew; no driver state beyond the vertex COUNT (a bounded scalar,
+    same policy as the CC convergence counts — folding it into the rank
+    expression as a literal removes an aggregate+broadcast job per
+    round, the standard GraphX/GraphFrames `numVertices` shape).
+    localCheckpoint per round: the rank plan would otherwise grow
+    linearly with the iteration count (driver plan blowup at real round
+    counts).  Lazy (eager=False): the plan is truncated immediately
+    either way, but materialization folds into the next round's job
+    instead of paying a separate job dispatch per round."""
     verts = (edges.select(F.col("src").alias("v"))
              .union(edges.select("dst")).distinct())
-    nv = verts.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    r = (verts.crossJoin(F.broadcast(nv))
-         .select("v", (F.lit(1.0) / F.col("n")).alias("r")))
     # cache: referenced every iteration; at scale this is the persisted
     # rank table of a real pipeline
     edges = edges.cache()
     verts = verts.cache()
+    n = float(verts.count())
+    r = verts.select("v", (F.lit(1.0) / F.lit(n)).alias("r"))
     for _ in range(_ITERS):
         contrib = (r.join(edges, r.v == edges.src)
                    .select(F.col("dst").alias("v"),
                            (F.col("r") * F.col("weight")).alias("c"))
                    .groupBy("v")
                    .agg(F.sum(F.col("c").cast(_DECG)).alias("s")))
-        r = (verts.crossJoin(F.broadcast(nv)).join(contrib, "v", "left")
+        r = (verts.join(contrib, "v", "left")
              .select("v",
-                     ((1.0 - _D) / F.col("n")
+                     (F.lit((1.0 - _D) / n)
                       + _D * F.coalesce(F.col("s").cast("double"),
                                         F.lit(0.0))).alias("r"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     edges.unpersist()
     verts.unpersist()
     return r.select(F.col("v").alias(out_col),

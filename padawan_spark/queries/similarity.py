@@ -383,32 +383,54 @@ def sim_kmeans_train(spark, sf_dir):
     as graph_pagerank)."""
     from pyspark.sql.window import Window
     e = load(spark, sf_dir, "embeddings", wide=True)
-    comp = (e.select("vec_id",
-                     F.posexplode(F.col("embedding").cast("array<double>"))
-                     .alias("pos", "val"))
-            .withColumn("dim", F.col("pos") + 1).drop("pos").cache())
-    cent = (comp.where(F.col("vec_id") < _KM_K)
-            .select(F.col("vec_id").alias("j"), "dim",
-                    F.col("val").alias("cval")))
+    vec = e.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("x")).cache()
     d9 = _D9.lower()
-    assign = None
+    # centroids as a broadcast table of ARRAYS: distances are computed
+    # per (vector, centroid) row via zip_with + an exact-decimal fold —
+    # no per-dimension fan-out join, so the only shuffled relation per
+    # round is the (vec, cluster) assignment (vs dims x K x vectors rows
+    # for an exploded-component join: at 10^9 vectors that's the
+    # difference between an 8x10^9-row and a 512x10^9-row shuffle).
+    cent = (vec.where(F.col("vec_id") < _KM_K)
+            .select(F.col("vec_id").alias("j"), F.col("x").alias("c")))
+    # fold type: decimal(30,9), NOT (38,9) — Spark's decimal addition at
+    # the 38-precision cap reduces scale (38,9 + 38,9 -> 38,8, a lossy
+    # round the oracle's SUM would not take); at precision 30 the sum is
+    # (31,9), exact, and the clamp back to (30,9) is lossless for these
+    # magnitudes.  Scale-9 element casts round identically to the
+    # oracle's DECIMAL(38,9) casts, so dist values match bit-for-bit.
+    dfold = "decimal(30,9)"
+    sq_dec = lambda a, b: ((a - b) * (a - b)).cast(dfold)  # noqa: E731
+    assign, centcomp = None, None
     for _ in range(_KM_ITERS):
-        dist = (comp.join(F.broadcast(cent), "dim")
-                .groupBy("vec_id", "j")
-                .agg(F.sum(((F.col("val") - F.col("cval"))
-                            * (F.col("val") - F.col("cval"))).cast(d9))
-                     .alias("dist")))
+        dist = (vec.crossJoin(F.broadcast(cent))
+                .select("vec_id", "j",
+                        F.aggregate(F.zip_with("x", "c", sq_dec),
+                                    F.lit(0).cast(dfold),
+                                    lambda acc, v: (acc + v).cast(dfold))
+                        .alias("dist")))
         w = Window.partitionBy("vec_id").orderBy("dist", "j")
         assign = (dist.withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") == 1).select("vec_id", "j"))
-        cent = (comp.join(assign, "vec_id")
-                .groupBy("j", "dim")
-                .agg((F.sum(F.col("val").cast(d9)).cast("double")
-                      / F.count(F.lit(1))).alias("cval"))
-                .localCheckpoint(eager=True))
+        # centroid update: explode ONLY the assigned vectors (K*dims
+        # result groups, partial aggregation absorbs the fan-out), then
+        # re-pack per-cluster component means into broadcastable arrays
+        centcomp = (vec.join(assign, "vec_id")
+                    .select("j", F.posexplode("x").alias("pos", "val"))
+                    .withColumn("dim", F.col("pos") + 1)
+                    .groupBy("j", "dim")
+                    .agg((F.sum(F.col("val").cast(d9)).cast("double")
+                          / F.count(F.lit(1))).alias("cval"))
+                    .localCheckpoint(eager=False))
+        cent = (centcomp
+                .groupBy("j")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "cval")))
+                     .alias("s"))
+                .select("j", F.transform("s", lambda t: t.cval).alias("c")))
     sizes = assign.groupBy("j").agg(F.count(F.lit(1)).alias("n_members"))
-    comp.unpersist()
-    return (cent.join(sizes, "j")
+    vec.unpersist()
+    return (centcomp.join(sizes, "j")
             .select(F.col("j").alias("cluster"), "dim",
                     F.round("cval", 9).alias("cval"), "n_members"))
 
