@@ -53,7 +53,8 @@ for _m in _SUITES:
 #     text_pseudonymize graph_triangle_count ev_session_concurrency
 #     sim_pq_encode sim_pq_adc_topk adv_text_roundtrip
 #     streaming_outer_join pipe_length_batching text_bigram_logprob
-#     sim_kmeans_train graph_transition_matrix  (16)
+#     sim_kmeans_train graph_transition_matrix dedup_segments
+#     dedup_semantic sim_ann_ivfpq  (19)
 _HEAD = [
     # graph suite (never checked; _users = scale-honest vertex set)
     "graph_pagerank", "graph_pagerank_users", "graph_degree_stats",

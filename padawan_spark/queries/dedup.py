@@ -574,3 +574,130 @@ def dedup_minhash_estimate(spark, sf_dir):
             .select("doc_a", "doc_b", "jac_exact", "jac_est",
                     F.when(F.col("jac_est") >= 0.5, 1).otherwise(0)
                     .alias("est_flags")))
+
+
+# ---------------------------------------------------------------------------
+# sub-document segment dedup: drop text SEGMENTS repeated across
+# documents (line-level dedup in web-corpus pipelines; segments here are
+# fixed 8-word windows since the synthetic text has no newlines).  The
+# shape is the production one: explode to (doc, pos, segment), count
+# distinct-document frequency per segment, drop segments above the
+# threshold, re-assemble surviving segments in order — two hash
+# shuffles (segment df, doc re-agg), no self-join, no cross join.
+# ---------------------------------------------------------------------------
+
+_SEG_W = 8       # words per segment
+_SEG_DF = 2      # drop a segment once it appears in >= this many docs
+
+
+@query("dedup_segments", oracle=f"""
+WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[({_SEG_W} * (i - 1) + 1):least({_SEG_W} * i, len(t))],
+                         ' ') AS seg
+  FROM tok, unnest(range(1, (len(t) + {_SEG_W} - 1) // {_SEG_W} + 1)) AS u(i)
+  WHERE len(t) > 0),
+freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+kept AS (SELECT s.doc_id, s.pos, s.seg
+         FROM segs s JOIN freq f ON s.seg = f.seg WHERE f.df < {_SEG_DF}),
+tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id),
+agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_segments, COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""")
+def dedup_segments(spark, sf_dir):
+    """Cross-document repeated-segment removal — the sub-document dedup
+    pass (boilerplate headers, navigation, license blocks) that doc-level
+    MinHash cannot express because it keeps-or-drops whole documents.
+
+    Plan: one scan explodes each doc into positioned 8-word segments;
+    segment document-frequency is a groupBy keyed on the segment text
+    (hash-partitioned — the frequency table CANNOT be broadcast at
+    corpus scale, so the filter is an equi-join re-keyed on the same
+    segment hash and Catalyst reuses the exchange); surviving segments
+    re-aggregate per doc with an array_sort(collect_list(struct(pos,
+    seg))) ordered re-assembly (no global sort — ordering is within the
+    doc group only).  Everything is string/integer arithmetic:
+    engine-exact."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    segs = (d.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+            .where(F.size("t") > 0)
+            .select("doc_id", F.posexplode(F.expr(
+                f"transform(sequence(1, cast(ceil(size(t) / {_SEG_W}.0) as int)),"
+                f" i -> concat_ws(' ', slice(t, {_SEG_W} * (i - 1) + 1, {_SEG_W})))"
+            )).alias("pos0", "seg"))
+            .withColumn("pos", F.col("pos0") + 1).drop("pos0"))
+    freq = (segs.groupBy("seg")
+            .agg(F.countDistinct("doc_id").alias("df")))
+    kept = segs.join(freq.where(F.col("df") < _SEG_DF).select("seg"), "seg")
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    agg = (kept.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s.seg)).alias("cleaned_text")))
+    return (tot.join(agg, "doc_id", "left")
+            .select("doc_id", "n_segments",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text")))
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style): within each coarse cluster, greedily
+# keep only vectors with no earlier (lower-id) neighbor above the cosine
+# threshold.  Label blocks stand in for the k-means cells (the same
+# convention as dedup_embedding_cosine / sim_ann_ivf); swapping in
+# trained cells from sim_kmeans_train is the same plan.
+# ---------------------------------------------------------------------------
+
+_SEM_THETA = 0.4     # cosine threshold for "semantically duplicate"
+
+
+@query("dedup_semantic", oracle=f"""
+WITH drop AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')})
+        >= {_SEM_THETA})
+SELECT e.vec_id, e.label,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM embeddings e LEFT JOIN drop d ON e.vec_id = d.vec_id
+""")
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic pruning: a vector is DROPPED when some
+    lower-id vector in the same cluster sits within the cosine
+    threshold — the deterministic greedy rule (scan order = id order)
+    production semantic-dedup passes use, so exactly one representative
+    of every tight semantic group survives.
+
+    Plan: the near-neighbor pair join is blocked by cluster (equi-join
+    on label — at scale a coarse-quantizer cell, never a cross join);
+    the drop set is a distinct projection of the pair table and comes
+    back as a LEFT join to flag rows.  Cosines are left-to-right
+    double folds, bit-identical across engines (dedup_embedding_cosine
+    policy)."""
+    e = load(spark, sf_dir, "embeddings", wide=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    norm = ("sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x))")
+    withn = e.withColumn("nrm", F.expr(norm.format(v="emb")))
+    a, b = withn.alias("a"), withn.alias("b")
+    dot = F.expr("aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D,"
+                 " (acc, x) -> acc + x)")
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    drop = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .where(cos >= _SEM_THETA)
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct()
+            .withColumn("dropped", F.lit(1)))
+    return (e.select("vec_id", "label")
+            .join(drop, "vec_id", "left")
+            .select("vec_id", "label",
+                    F.when(F.col("dropped").isNull(), 1).otherwise(0)
+                    .alias("kept")))

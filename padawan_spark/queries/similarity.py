@@ -580,3 +580,127 @@ def sim_pq_adc_topk(spark, sf_dir):
     wk = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (scored.withColumn("rn", F.row_number().over(wk))
             .where(F.col("rn") <= 5))
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed index (the FAISS IVFPQ architecture): the coarse
+# quantizer routes each query to nprobe cells, and candidates inside
+# those cells are scored through their PQ codes with a per-query ADC
+# lookup table — raw candidate vectors are never touched, so the scan
+# side is 8 bytes per vector regardless of dimension.
+# ---------------------------------------------------------------------------
+
+@query("sim_ann_ivfpq", oracle=f"""
+WITH {_DUCK_PQ_BASE},
+cent AS (
+  SELECT label, dim,
+    CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS gcval
+  FROM comp GROUP BY label, dim),
+qc AS (
+  SELECT comp.vec_id AS query_id, cent.label AS probe_label,
+    CAST(SUM(CAST(val * gcval AS DECIMAL(38,9))) AS DOUBLE)
+      / (sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,9))) AS DOUBLE))
+         * sqrt(CAST(SUM(CAST(gcval * gcval AS DECIMAL(38,9))) AS DOUBLE)))
+      AS ccos
+  FROM comp JOIN cent ON comp.dim = cent.dim
+  WHERE comp.vec_id < 5
+  GROUP BY comp.vec_id, cent.label),
+probes AS (
+  SELECT query_id, probe_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ccos DESC, probe_label) AS prn
+    FROM qc) WHERE prn <= 2),
+lut AS (
+  SELECT comp.vec_id AS query_id, comp.sub, codebook.code,
+         SUM(CAST((val - cval) * (val - cval) AS DECIMAL(38,9))) AS part
+  FROM comp JOIN codebook ON comp.sub = codebook.sub
+                         AND comp.dim = codebook.dim
+  WHERE comp.vec_id < 5
+  GROUP BY comp.vec_id, comp.sub, codebook.code),
+lcodes AS (
+  SELECT codes.vec_id, codes.sub, codes.code, e.label
+  FROM codes JOIN embeddings e ON codes.vec_id = e.vec_id),
+scored AS (
+  SELECT lut.query_id, lcodes.vec_id AS neighbor_id,
+         ROUND(CAST(SUM(CAST(part AS DECIMAL(38,9))) AS DOUBLE), 9) AS adc_dist
+  FROM lcodes
+  JOIN probes ON lcodes.label = probes.probe_label
+  JOIN lut ON lut.query_id = probes.query_id
+          AND lut.sub = lcodes.sub AND lut.code = lcodes.code
+  WHERE lcodes.vec_id <> lut.query_id
+  GROUP BY lut.query_id, lcodes.vec_id)
+SELECT query_id, neighbor_id, adc_dist, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 5
+""")
+def sim_ann_ivfpq(spark, sf_dir):
+    """Composed IVF+PQ search: sim_ann_ivf's coarse probe routing ON TOP
+    OF sim_pq_adc_topk's code-level scoring — the standard
+    billion-vector index layout (coarse cells bound the candidate set,
+    PQ codes bound the bytes per candidate).
+
+    Scale shape: centroids (nlist x dims) and the per-query LUT
+    (queries x M x K) are BROADCAST; the probed-cell candidate join is
+    an equi-join on the cell label (~nprobe/nlist of the corpus per
+    query, never a cross join); scoring aggregates M=8 one-byte code
+    hits per (query, candidate) pair.  Exactness: decimal partial
+    sums, ties on id (the sim_pq_adc_topk policy); label blocks stand
+    in for trained cells as everywhere in this suite.
+    """
+    d9 = "decimal(38,9)"
+    e = load(spark, sf_dir, "embeddings", wide=True)
+    comp = (e.select("vec_id", "label",
+                     F.posexplode(F.col("embedding").cast("array<double>"))
+                     .alias("pos", "val"))
+            .withColumn("dim", F.col("pos") + 1)
+            .withColumn("sub", (F.col("pos") / _PQ_DSUB)
+                        .cast("int")).drop("pos").cache())
+    # coarse quantizer: full-width centroids + query->top-2 cell routing
+    cent = (comp.groupBy(F.col("label").alias("probe_label"),
+                         F.col("dim").alias("cdim"))
+            .agg((F.sum(F.col("val").cast(d9)).cast("double")
+                  / F.count(F.lit(1))).alias("gcval")))
+    qcomp = comp.where(F.col("vec_id") < 5)
+    qc = (qcomp.join(F.broadcast(cent), qcomp.dim == cent.cdim)
+          .groupBy(F.col("vec_id").alias("query_id"), "probe_label")
+          .agg((F.sum((F.col("val") * F.col("gcval")).cast(d9)).cast("double")
+                / (F.sqrt(F.sum((F.col("val") * F.col("val")).cast(d9))
+                          .cast("double"))
+                   * F.sqrt(F.sum((F.col("gcval") * F.col("gcval")).cast(d9))
+                            .cast("double")))).alias("ccos")))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "probe_label")
+    probes = (qc.withColumn("prn", F.row_number().over(wp))
+              .where(F.col("prn") <= 2).select("query_id", "probe_label"))
+    # PQ codebook + codes (sim_pq_encode plan) with the cell label kept
+    codebook = (comp.groupBy(F.col("label").alias("code"), "sub", "dim")
+                .agg((F.sum(F.col("val").cast(d9)).cast("double")
+                      / F.count(F.lit(1))).alias("cval")))
+    dists = (comp.join(F.broadcast(codebook), ["sub", "dim"])
+             .groupBy("vec_id", "sub", "code")
+             .agg(F.sum(((F.col("val") - F.col("cval"))
+                         * (F.col("val") - F.col("cval"))).cast(d9))
+                  .alias("d2")))
+    wc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (dists.withColumn("rn", F.row_number().over(wc))
+             .where(F.col("rn") == 1).select("vec_id", "sub", "code"))
+    lcodes = codes.join(e.select("vec_id", "label"), "vec_id")
+    # per-query ADC lookup table
+    lut = (qcomp
+           .join(F.broadcast(codebook), ["sub", "dim"])
+           .groupBy(F.col("vec_id").alias("query_id"), "sub", "code")
+           .agg(F.sum(((F.col("val") - F.col("cval"))
+                       * (F.col("val") - F.col("cval"))).cast(d9))
+                .alias("part")))
+    scored = (lcodes
+              .join(F.broadcast(probes),
+                    F.col("label") == F.col("probe_label"))
+              .join(F.broadcast(lut), ["query_id", "sub", "code"])
+              .where(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+              .agg(F.round(F.sum(F.col("part").cast(d9)).cast("double"), 9)
+                   .alias("adc_dist")))
+    wk = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id", "adc_dist", "rn"))
