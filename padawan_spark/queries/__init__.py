@@ -54,7 +54,8 @@ for _m in _SUITES:
 #     sim_pq_encode sim_pq_adc_topk adv_text_roundtrip
 #     streaming_outer_join pipe_length_batching text_bigram_logprob
 #     sim_kmeans_train graph_transition_matrix dedup_segments
-#     dedup_semantic sim_ann_ivfpq  (19)
+#     dedup_semantic sim_ann_ivfpq pipe_shard_manifest
+#     graph_bfs_distance  (21)
 _HEAD = [
     # graph suite (never checked; _users = scale-honest vertex set)
     "graph_pagerank", "graph_pagerank_users", "graph_degree_stats",

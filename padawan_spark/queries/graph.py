@@ -312,3 +312,57 @@ def graph_transition_matrix(spark, sf_dir):
     division — engine-exact, rounded only for the hash gate."""
     e = _edges_spark(spark, sf_dir)
     return e.select("src", "dst", F.round("weight", 12).alias("prob"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS: frontier expansion as join+distinct rounds — the
+# reachability / influence-radius primitive (fraud rings, content
+# propagation), and the third iterative shape alongside PageRank
+# (weighted sums) and connected components (label propagation).
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 3
+
+
+@query("graph_bfs_distance", oracle=f"""
+WITH RECURSIVE edges AS ({_DUCK_USER_EDGES}),
+walk(v, d) AS (
+  SELECT DISTINCT src AS v, 0 AS d FROM edges WHERE src % 97 = 0
+  UNION ALL
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON w.v = e.src
+  WHERE w.d < {_BFS_DEPTH}
+)
+SELECT CAST(v AS BIGINT) AS user_id, CAST(MIN(d) AS INT) AS dist
+FROM walk GROUP BY v
+""")
+def graph_bfs_distance(spark, sf_dir):
+    """Hop distance (bounded rounds) from a seed set over the directed
+    user co-activity graph — multi-source BFS as frontier expansion.
+
+    Plan per round: frontier ⋈ edges (hash equi-join on the vertex
+    key), distinct new vertices, LEFT ANTI against the settled set —
+    each round's frontier shrinks toward the unvisited region, the
+    exact shape Pregel/GraphX BFS lowers to on a shuffle engine.  The
+    new frontier localCheckpoints per round (bounded plan depth, the
+    iterative-loop policy).  The oracle's recursive CTE enumerates all
+    bounded-hop walks and takes MIN(d), which equals BFS distance.
+    Integer arithmetic only: engine-exact."""
+    edges = _user_edges_spark(spark, sf_dir).select("src", "dst").cache()
+    seeds = (edges.where(F.col("src") % 97 == 0)
+             .select(F.col("src").alias("v")).distinct())
+    dist = seeds.select("v", F.lit(0).alias("d"))
+    frontier = dist.select("v")
+    for i in range(1, _BFS_DEPTH + 1):
+        # checkpoint the new frontier (it is referenced twice: by the
+        # settled union and by the next round's expansion) so each
+        # round's plan is one join+distinct over materialized inputs
+        nxt = (frontier.join(edges, frontier.v == edges.src)
+               .select(F.col("dst").alias("v")).distinct()
+               .join(dist, "v", "left_anti")
+               .withColumn("d", F.lit(i))
+               .localCheckpoint(eager=False))
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("v")
+    edges.unpersist()
+    return dist.select(F.col("v").cast("bigint").alias("user_id"),
+                       F.col("d").cast("int").alias("dist"))

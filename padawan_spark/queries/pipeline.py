@@ -179,3 +179,55 @@ def pipe_length_batching(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.max("nt").cast("bigint").alias("max_tokens"),
                  F.sum("nt").cast("bigint").alias("total_tokens")))
+
+
+_N_SHARDS = 16   # training shards (files a dataloader worker owns)
+
+# order-independent per-doc content fingerprint: 32-bit md5 prefix over
+# (id, text), summed per shard — verifies shard CONTENT without
+# imposing any row ordering, so it is partition-layout-invariant
+_SPARK_FP = ("conv(substring(md5(concat('fp:', cast(doc_id as string),"
+             " ':', text)), 1, 8), 16, 10)")
+_DUCK_FP = ("CAST(('0x' || substr(md5('fp:' || CAST(doc_id AS VARCHAR)"
+            " || ':' || text), 1, 8)) AS BIGINT)")
+
+
+_SPARK_SHARD = ("conv(substring(md5(concat('shard:', cast(doc_id as string"
+                f"))), 1, 8), 16, 10) % {_N_SHARDS}")
+_DUCK_SHARD = ("CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS "
+               f"VARCHAR)), 1, 8)) AS BIGINT) % {_N_SHARDS}")
+
+
+@query("pipe_shard_manifest", oracle=f"""
+SELECT CAST({_DUCK_SHARD} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM({_DUCK_FP}) AS BIGINT) AS content_fp
+FROM documents GROUP BY shard_id
+""")
+def pipe_shard_manifest(spark, sf_dir):
+    """Training-shard manifest: every document is assigned to one of
+    N_SHARDS shards by a salted content-independent hash of its id
+    (deterministic across engines, partitionings, and re-runs — the
+    property a resumable dataloader needs), and each shard row carries
+    the doc/token/byte budget a loader uses for balanced worker
+    scheduling plus an ORDER-INDEPENDENT content fingerprint (sum of
+    per-doc 32-bit digests) that verifies shard membership without
+    materializing or sorting the shard.
+
+    Plan: one scan, per-row hash/token arithmetic, one groupBy keyed on
+    the shard id (N_SHARDS groups — partial aggregation collapses each
+    input partition to ≤N_SHARDS rows before the shuffle).  At 100 TB
+    this is the manifest-building job that runs after curation and
+    before training.  Integer arithmetic end to end: engine-exact."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    shard = F.expr(_SPARK_SHARD)
+    return (d.select(shard.cast("bigint").alias("shard_id"),
+                     F.expr(f"cast(size({_SPARK_TOKS}) as bigint)").alias("nt"),
+                     "n_chars", F.expr(_SPARK_FP).alias("fp"))
+            .groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nt").cast("bigint").alias("total_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.sum("fp").cast("bigint").alias("content_fp")))

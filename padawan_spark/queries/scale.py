@@ -32,6 +32,11 @@ from .registry import DEC, dsum, load, query, sql_dsum
 
 _BUCKETED_DONE: dict[str, tuple] = {}
 
+# Bucket count = this box's core count so write and join use full width;
+# at cluster scale size it so each bucket's share of the fact table fits
+# an executor's shuffle-free read (hundreds-to-thousands of buckets).
+_N_BUCKETS = 32
+
 
 def _source_fingerprint(sf_dir) -> tuple:
     """(mtime_ns, size) of the source parquet files — detects testdata
@@ -64,13 +69,22 @@ def _ensure_bucketed(spark, sf_dir) -> tuple[str, str]:
     if (_BUCKETED_DONE.get(sf_dir) != fp
             or not spark.catalog.tableExists(tl)
             or not spark.catalog.tableExists(to)):
-        l = load(spark, sf_dir, "lineitem").select("l_orderkey",
-                                                   "l_extendedprice")
-        o = load(spark, sf_dir, "orders").select("o_orderkey",
-                                                 "o_orderpriority")
-        (l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        # repartition on the bucket key to the bucket count BEFORE the
+        # bucketed write: repartition's hash (Murmur3 pmod n) matches the
+        # bucketing hash, so each task holds exactly one bucket → one
+        # file per bucket, written bucket-parallel.  Without it a
+        # single-task source (1-row-group parquet here; one giant file
+        # at ingest scale) writes every bucket serially, and a many-task
+        # source scatters tasks×buckets small files.
+        l = (load(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_extendedprice")
+             .repartition(_N_BUCKETS, "l_orderkey"))
+        o = (load(spark, sf_dir, "orders")
+             .select("o_orderkey", "o_orderpriority")
+             .repartition(_N_BUCKETS, "o_orderkey"))
+        (l.write.bucketBy(_N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
          .mode("overwrite").saveAsTable(tl))
-        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        (o.write.bucketBy(_N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
          .mode("overwrite").saveAsTable(to))
         _BUCKETED_DONE[sf_dir] = fp
     return tl, to
