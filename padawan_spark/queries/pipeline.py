@@ -231,3 +231,35 @@ def pipe_shard_manifest(spark, sf_dir):
                  F.sum("nt").cast("bigint").alias("total_tokens"),
                  F.sum("n_chars").cast("bigint").alias("total_chars"),
                  F.sum("fp").cast("bigint").alias("content_fp")))
+
+
+@query("pipe_dataset_card", oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_exact_dups
+FROM documents GROUP BY source
+""")
+def pipe_dataset_card(spark, sf_dir):
+    """Per-source dataset card: the summary block (doc/token/byte
+    budgets, length envelope, language spread, exact-duplicate count)
+    every published training corpus reports — computed in ONE scan with
+    a single groupBy on source.  The duplicate count reuses the exact
+    sha256 digest of dedup_exact as a COUNT(DISTINCT) so the card's
+    dup-rate agrees with what the dedup pass would remove.  All
+    integer aggregates: engine-exact."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.expr(f"cast(size({_SPARK_TOKS}) as bigint)"))
+                 .cast("bigint").alias("total_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.min("n_chars").cast("bigint").alias("min_chars"),
+                 F.max("n_chars").cast("bigint").alias("max_chars"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 (F.count(F.lit(1)) - F.countDistinct(F.sha2("text", 256)))
+                 .alias("n_exact_dups")))

@@ -559,3 +559,70 @@ def text_bigram_logprob(spark, sf_dir):
                  F.round(F.sum(F.col("lp").cast("decimal(38,12)"))
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# collocation mining: document co-occurrence lift over the top-K
+# vocabulary — the PMI-style corpus statistic behind phrase detection
+# and topic seeding (log-free: lift = N·C(a,b) / (C(a)·C(b)), so the
+# value is one exact ratio instead of an engine-varying transcendental).
+# ---------------------------------------------------------------------------
+
+_COOC_VOCAB = 24     # top-K words by document frequency
+
+
+@query("text_cooccurrence", oracle=f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, x AS word
+  FROM documents, unnest({_DUCK_TOKS}) AS u(x)),
+vocab AS (
+  SELECT word, COUNT(*) AS dfreq FROM words GROUP BY word
+  ORDER BY dfreq DESC, word LIMIT {_COOC_VOCAB}),
+vw AS (SELECT w.doc_id, w.word FROM words w JOIN vocab v ON w.word = v.word),
+pairs AS (
+  SELECT a.word AS word_a, b.word AS word_b, COUNT(*) AS co_docs
+  FROM vw a JOIN vw b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word),
+n AS (SELECT COUNT(*) AS nd FROM documents)
+SELECT word_a, word_b, co_docs,
+       ROUND(CAST(nd * co_docs AS DOUBLE) / (va.dfreq * vb.dfreq), 9) AS lift
+FROM pairs
+JOIN vocab va ON word_a = va.word
+JOIN vocab vb ON word_b = vb.word
+CROSS JOIN n
+""")
+def text_cooccurrence(spark, sf_dir):
+    """Pairwise document co-occurrence of the top-K vocabulary with
+    independence lift — collocation mining without transcendentals
+    (lift > 1 ⇔ positive PMI; monotone in it, exactly computable).
+
+    Scale shape: the vocabulary is a top-K aggregate (24 rows) and is
+    BROADCAST into the corpus word table, so the per-document pair
+    join fans out at most K² per doc — bounded by construction, the
+    same df-capping discipline as the dedup verify join.  One distinct
+    (doc, word) shuffle, one K-bounded self-join keyed on doc_id, one
+    pair aggregation.  Counts are integers; lift is a single division
+    rounded for the hash gate."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    words = (d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("word"))
+             .distinct())
+    vocab = (words.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+             .orderBy(F.desc("dfreq"), "word").limit(_COOC_VOCAB))
+    vw = words.join(F.broadcast(vocab.select("word")), "word")
+    a, b = vw.alias("a"), vw.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.word") < F.col("b.word")))
+             .groupBy(F.col("a.word").alias("word_a"),
+                      F.col("b.word").alias("word_b"))
+             .agg(F.count(F.lit(1)).alias("co_docs")))
+    nd = d.count()   # bounded driver scalar (blocking-stats policy)
+    va = vocab.select(F.col("word").alias("word_a"),
+                      F.col("dfreq").alias("dfa"))
+    vb = vocab.select(F.col("word").alias("word_b"),
+                      F.col("dfreq").alias("dfb"))
+    return (pairs.join(F.broadcast(va), "word_a")
+            .join(F.broadcast(vb), "word_b")
+            .select("word_a", "word_b", "co_docs",
+                    F.round((F.lit(nd) * F.col("co_docs")).cast("double")
+                            / (F.col("dfa") * F.col("dfb")), 9)
+                    .alias("lift")))

@@ -455,3 +455,52 @@ def test_session_concurrency_sweep_partitions_by_day(spark):
                          p):
         spec = m.group(1)
         assert "day" in spec, (spec, p)
+
+
+def test_segment_dedup_no_broadcast_of_corpus_freq(spark):
+    # the segment-frequency table scales with the corpus: at real scale
+    # the filter join must degrade to a shuffle equi-join keyed on the
+    # segment (at test SF the planner rightly broadcasts the tiny freq
+    # table, so disable broadcast to expose the scale path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = plan_of(spark, "dedup_segments")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert not a.has_cartesian
+    assert a.broadcast_nested_loop == 0, a.plan
+    assert a.shuffle_joins >= 1, a.plan
+    assert a.has_partial_agg, a.plan      # frequency count combines map-side
+
+
+def test_semantic_dedup_pairs_blocked_by_label(spark):
+    a = plan_of(spark, "dedup_semantic")
+    assert not a.has_cartesian
+    # the candidate self-join is an equi-join on the cluster label
+    assert a.broadcast_joins + a.shuffle_joins >= 1, a.plan
+
+
+def test_ivfpq_broadcasts_probe_side_never_cartesian(spark):
+    a = plan_of(spark, "sim_ann_ivfpq")
+    assert not a.has_cartesian
+    # centroids, probes, and the per-query LUT are all broadcast-sized
+    assert a.broadcast_joins >= 2, a.plan
+
+
+def test_cooccurrence_vocab_broadcast_bounds_fanout(spark):
+    a = plan_of(spark, "text_cooccurrence")
+    assert not a.has_cartesian
+    assert a.has_broadcast_join, a.plan   # top-K vocab is the broadcast side
+
+
+def test_bfs_rounds_are_equi_joins(spark):
+    a = plan_of(spark, "graph_bfs_distance")
+    assert not a.has_cartesian
+    assert a.shuffle_joins + a.broadcast_joins >= 2, a.plan
+
+
+def test_dataset_card_single_scan(spark):
+    a = plan_of(spark, "pipe_dataset_card")
+    assert len(a.scans) == 1, a.scans
+    assert a.has_partial_agg, a.plan
