@@ -55,7 +55,8 @@ for _m in _SUITES:
 #     streaming_outer_join pipe_length_batching text_bigram_logprob
 #     sim_kmeans_train graph_transition_matrix dedup_segments
 #     dedup_semantic sim_ann_ivfpq pipe_shard_manifest
-#     graph_bfs_distance  (21)
+#     graph_bfs_distance text_cooccurrence pipe_dataset_card
+#     dedup_incremental  (24)
 _HEAD = [
     # graph suite (never checked; _users = scale-honest vertex set)
     "graph_pagerank", "graph_pagerank_users", "graph_degree_stats",

@@ -701,3 +701,70 @@ def dedup_semantic(spark, sf_dir):
             .select("vec_id", "label",
                     F.when(F.col("dropped").isNull(), 1).otherwise(0)
                     .alias("kept")))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a NEW batch against the EXISTING corpus index —
+# the day-2 shape of every production dedup service.  The corpus side
+# is the persisted band table (here rebuilt from docs < 400; in
+# production it is read back from the signature store); the batch side
+# (docs >= 400) is banded the same way and candidates come from a
+# batch×index band equi-join — never a self-join of the full corpus,
+# so daily cost scales with the batch, not the corpus.
+# ---------------------------------------------------------------------------
+
+_INCR_SPLIT = 400    # doc_id < split = indexed corpus; >= split = new batch
+
+
+@query("dedup_incremental", oracle=f"""
+WITH mh AS ({_DUCK_MINHASH}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM mh"
+      for b in range(_N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, x.doc_id AS index_doc
+  FROM bands n JOIN bands x
+    ON n.band = x.band AND n.key = x.key
+  WHERE n.doc_id >= {_INCR_SPLIT} AND x.doc_id < {_INCR_SPLIT}),
+batch AS (SELECT doc_id FROM documents WHERE doc_id >= {_INCR_SPLIT})
+SELECT b.doc_id AS new_doc,
+       CASE WHEN c.new_doc IS NULL THEN 1 ELSE 0 END AS admit,
+       CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches
+FROM batch b
+LEFT JOIN (SELECT DISTINCT new_doc FROM cand) c ON b.doc_id = c.new_doc
+LEFT JOIN (SELECT new_doc, COUNT(*) AS n_matches FROM cand
+           GROUP BY new_doc) m ON b.doc_id = m.new_doc
+""")
+def dedup_incremental(spark, sf_dir):
+    """Incremental (batch-vs-index) near-dup admission: each NEW
+    document is admitted iff no LSH band key collides with the indexed
+    corpus, plus the number of index matches for triage.
+
+    Scale shape: the index band table is the persisted output of the
+    batch pipeline (millions of (band, key) rows per TB — far too big
+    to broadcast), so the candidate join is a hash equi-join on
+    (band, key) between the SMALL new batch and the index — per-day
+    cost O(batch × collision rate), independent of corpus size, and
+    the admitted batch's bands append to the index for tomorrow.
+    Same md5 signature arithmetic as dedup_minhash_lsh: engine-exact."""
+    bands = _bands_spark(spark, sf_dir)
+    new_b = bands.where(F.col("doc_id") >= _INCR_SPLIT)
+    idx_b = bands.where(F.col("doc_id") < _INCR_SPLIT)
+    cand = (new_b.alias("n")
+            .join(idx_b.alias("x"), (F.col("n.band") == F.col("x.band"))
+                  & (F.col("n.key") == F.col("x.key")))
+            .select(F.col("n.doc_id").alias("new_doc"),
+                    F.col("x.doc_id").alias("index_doc"))
+            .distinct())
+    matches = (cand.groupBy("new_doc")
+               .agg(F.count(F.lit(1)).alias("n_matches")))
+    batch = (load(spark, sf_dir, "documents")
+             .where(F.col("doc_id") >= _INCR_SPLIT).select("doc_id"))
+    return (batch.join(matches, batch.doc_id == matches.new_doc, "left")
+            .select(F.col("doc_id").alias("new_doc"),
+                    F.when(F.col("n_matches").isNull(), 1).otherwise(0)
+                    .alias("admit"),
+                    F.coalesce("n_matches", F.lit(0)).cast("bigint")
+                    .alias("n_matches")))
