@@ -366,3 +366,76 @@ def graph_bfs_distance(spark, sf_dir):
     edges.unpersist()
     return dist.select(F.col("v").cast("bigint").alias("user_id"),
                        F.col("d").cast("int").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Community detection by label propagation (LPA): each round every
+# vertex adopts its neighbors' most frequent label (ties -> smallest
+# label).  Deterministic synchronous variant, 2 rounds, undirected
+# user co-activity edges.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+_DUCK_UEDGES = f"""
+  SELECT src AS u, dst AS v FROM ({_DUCK_USER_EDGES})
+  UNION SELECT dst, src FROM ({_DUCK_USER_EDGES})
+"""
+
+
+def _duck_lpa() -> str:
+    sql = f"""
+WITH ue AS ({_DUCK_UEDGES}),
+l0 AS (SELECT DISTINCT u AS vtx, u AS lbl FROM ue)"""
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        sql += f""",
+h{i} AS (
+  SELECT ue.v AS vtx, p.lbl, COUNT(*) AS cnt
+  FROM ue JOIN {prev} p ON ue.u = p.vtx
+  GROUP BY ue.v, p.lbl),
+l{i} AS (
+  SELECT vtx, lbl FROM (
+    SELECT vtx, lbl, ROW_NUMBER() OVER (PARTITION BY vtx
+              ORDER BY cnt DESC, lbl) AS rn
+    FROM h{i}) WHERE rn = 1)"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT CAST(vtx AS BIGINT) AS user_id, CAST(lbl AS BIGINT) AS community
+FROM {prev}
+"""
+    return sql
+
+
+@query("graph_community_lpa", oracle=_duck_lpa())
+def graph_community_lpa(spark, sf_dir):
+    """Synchronous label-propagation community detection over the
+    undirected user co-activity graph: every round each vertex adopts
+    the most frequent label among its neighbors (ties break to the
+    smallest label — total order, so the rounds are deterministic and
+    the oracle unrolls them exactly).
+
+    Plan per round: labels ⋈ edges (hash equi-join on the vertex key),
+    a (vertex, label) histogram aggregation, and an argmax window
+    partitioned by vertex — two vertex-keyed shuffles, the GraphX LPA
+    lowering.  Labels localCheckpoint per round (iterative-loop
+    policy).  Integer counting only: engine-exact."""
+    from pyspark.sql.window import Window
+    e = _user_edges_spark(spark, sf_dir).select("src", "dst")
+    ue = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+          .union(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+          .distinct().cache())
+    labels = ue.select(F.col("u").alias("vtx")).distinct() \
+        .withColumn("lbl", F.col("vtx"))
+    w = Window.partitionBy("vtx").orderBy(F.desc("cnt"), "lbl")
+    for _ in range(_LPA_ROUNDS):
+        hist = (ue.join(labels, ue.u == labels.vtx)
+                .groupBy(F.col("v").alias("vtx2"), "lbl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumnRenamed("vtx2", "vtx"))
+        labels = (hist.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1).select("vtx", "lbl")
+                  .localCheckpoint(eager=False))
+    ue.unpersist()
+    return labels.select(F.col("vtx").cast("bigint").alias("user_id"),
+                         F.col("lbl").cast("bigint").alias("community"))

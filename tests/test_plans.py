@@ -504,3 +504,28 @@ def test_dataset_card_single_scan(spark):
     a = plan_of(spark, "pipe_dataset_card")
     assert len(a.scans) == 1, a.scans
     assert a.has_partial_agg, a.plan
+
+
+def test_lpa_rounds_vertex_keyed_no_cartesian(spark):
+    # the returned labels plan is checkpoint-truncated, so audit ONE
+    # unrolled round: neighbor-label join keyed on the vertex + a
+    # (vertex, label) histogram with map-side combine, never cartesian
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from padawan_spark.queries.graph import _user_edges_spark
+    e = _user_edges_spark(spark, SF).select("src", "dst")
+    ue = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+          .union(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+          .distinct())
+    labels = (ue.select(F.col("u").alias("vtx")).distinct()
+              .withColumn("lbl", F.col("vtx")))
+    hist = (ue.join(labels, ue.u == labels.vtx)
+            .groupBy(F.col("v").alias("vtx"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("vtx").orderBy(F.desc("cnt"), "lbl")
+    rnd = (hist.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1).select("vtx", "lbl"))
+    a = audit(rnd)
+    assert not a.has_cartesian, a.plan
+    assert a.broadcast_nested_loop == 0, a.plan
+    assert a.has_partial_agg, a.plan      # histogram combines map-side
