@@ -36,6 +36,8 @@ HEADLINE = [
     # per-round localCheckpoint lineage truncation)
     "graph_pagerank_users",
     "sim_kmeans_train",
+    # sub-document dedup: explode -> segment-df shuffle -> reassembly
+    "dedup_segments",
 ]
 
 

@@ -145,3 +145,34 @@ def test_streaming_checkpoint_recovery(spark, sf_dir, tmp_path):
     total = spark.read.parquet(str(sink))
     assert total.count() == ev.count()                  # no gap, no dup
     assert total.select("event_id").distinct().count() == ev.count()
+
+
+def test_segment_dedup_reconstruction_invariants(spark, sf_dir):
+    """Semantic invariants of dedup_segments beyond the SQL oracle:
+    (a) a doc whose every segment survived reconstructs its exact
+    tokenized text; (b) kept counts never exceed totals; (c) a fully
+    duplicated doc (exact dup of another) keeps zero segments."""
+    from padawan_spark.queries import QUERIES
+
+    out = QUERIES["dedup_segments"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = out.join(docs, "doc_id").select(
+        "doc_id", "n_segments", "n_kept", "cleaned_text",
+        F.concat_ws(" ", F.expr("filter(split(text, ' '), x -> x != '')"))
+        .alias("norm_text")).cache()
+
+    assert joined.where(F.col("n_kept") > F.col("n_segments")).count() == 0
+    full = joined.where(F.col("n_kept") == F.col("n_segments"))
+    assert full.count() > 0  # some docs are untouched at this SF
+    assert full.where(F.col("cleaned_text") != F.col("norm_text")).count() == 0
+
+    # exact duplicate pairs share every segment -> both members drop all
+    dup_ids = (docs.groupBy("text")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.collect_list("doc_id").alias("ids"))
+               .where(F.col("n") >= 2)
+               .select(F.explode("ids").alias("doc_id")))
+    dups = joined.join(dup_ids, "doc_id")
+    if dups.count() > 0:
+        assert dups.where(F.col("n_kept") > 0).count() == 0
+    joined.unpersist()
