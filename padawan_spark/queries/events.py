@@ -561,3 +561,51 @@ def ev_rare_transitions(spark, sf_dir):
                  (F.sum(rare).cast("double") / F.count(F.lit(1)))
                  .alias("rare_rate"))
             .where(F.col("n_transitions") >= 20))
+
+
+@query("ev_seasonal_baseline", oracle="""
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod, value FROM events),
+base AS (
+  SELECT event_type, hod, quantile_cont(value, 0.5) AS season_med
+  FROM h GROUP BY event_type, hod),
+resid AS (
+  SELECT h.event_type, h.hod, h.value - b.season_med AS r
+  FROM h JOIN base b ON h.event_type = b.event_type AND h.hod = b.hod),
+mad AS (
+  SELECT event_type, quantile_cont(abs(r), 0.5) AS rmad FROM resid
+  GROUP BY event_type)
+SELECT r.event_type, r.hod, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN abs(r.r) > 3 * 1.4826 * m.rmad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM resid r JOIN mad m ON r.event_type = m.event_type
+GROUP BY r.event_type, r.hod
+""")
+def ev_seasonal_baseline(spark, sf_dir):
+    """Seasonality-aware anomaly detection: the per-(type, hour-of-day)
+    median is the seasonal baseline, residuals are scored against a
+    per-type robust MAD threshold — the decomposition ev_anomaly_mad
+    skips, so a value that is normal at peak hour but wild at 3am gets
+    flagged (and vice versa).
+
+    Plan: two grouped exact percentiles (baseline keyed on the small
+    (type, hour) grid, residual-MAD on type), each broadcast back onto
+    the events scan — the thresholds are grid-sized regardless of event
+    volume, so the pipeline is two scans + two tiny broadcasts at any
+    scale.  Interpolated medians and the threshold expression evaluate
+    identically in both engines (ev_anomaly_mad policy)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hod"), "value")
+    base = (e.groupBy("event_type", "hod")
+            .agg(F.expr("percentile(value, 0.5)").alias("season_med")))
+    resid = (e.join(F.broadcast(base), ["event_type", "hod"])
+             .select("event_type", "hod",
+                     (F.col("value") - F.col("season_med")).alias("r")))
+    mad = (resid.groupBy("event_type")
+           .agg(F.expr("percentile(abs(r), 0.5)").alias("rmad")))
+    return (resid.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type", "hod")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.abs(F.col("r"))
+                              > 3 * 1.4826 * F.col("rmad"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_anomalies")))
