@@ -107,3 +107,37 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 def streaming_outer_join(spark, sf_dir):
     from ..streaming.events import run_streaming_outer_join
     return run_streaming_outer_join(spark, sf_dir)
+
+
+@query("streaming_custom_source", oracle="""
+SELECT bucket, COUNT(*) AS n, CAST(SUM(square) AS BIGINT) AS sum_sq
+FROM (SELECT i AS id, i * i AS square, i % 7 AS bucket
+      FROM range(0, 10000) t(i))
+GROUP BY bucket
+""")
+def streaming_custom_source(spark, sf_dir):
+    """Streaming read THROUGH the custom Python data source (Spark 4
+    ``DataSourceStreamReader``): the bounded replay source emits the
+    sequence in 2500-row micro-batches with a real offset/commit
+    protocol, a complete-mode aggregation folds them, and with the
+    whole sequence drained the result equals the batch oracle — the
+    same exactness argument as the file-backed streaming queries.
+    Each micro-batch reads task-parallel (4 InputPartitions)."""
+    import uuid
+    from pyspark.sql import functions as F
+    from ..sources import register_python_sources
+    register_python_sources(spark)
+    src = (spark.readStream.format("pyseq")
+           .option("n", "10000").option("batchRows", "2500")
+           .option("parts", "4").load())
+    agg = (src.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("square").cast("bigint").alias("sum_sq")))
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("bucket", "n", "sum_sq")

@@ -17,8 +17,8 @@ oracle query.
 from __future__ import annotations
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
-    WriterCommitMessage,
+    DataSource, DataSourceReader, DataSourceStreamReader, DataSourceWriter,
+    InputPartition, WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -45,8 +45,49 @@ class _SequenceReader(DataSourceReader):
             yield (i, i * i, i % 7)
 
 
+class _SequenceStreamReader(DataSourceStreamReader):
+    """Bounded replay STREAM of the same rows (Spark 4 Python streaming
+    data source): offsets are row positions, ``latestOffset`` advances
+    ``batchRows`` per micro-batch until ``n`` and then holds, so
+    ``processAllAvailable()`` drains the source deterministically; each
+    planned batch splits into ``parts`` InputPartitions (task-parallel,
+    exactly like the batch reader).  The offset/commit protocol is the
+    real one — a restart from a checkpoint replays from the committed
+    position, which is the exactly-once story of every replayable
+    source (Kafka with stored offsets, file listings, CDC logs)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.batch_rows = int(options.get("batchRows", 250))
+        self.parts = int(options.get("parts", 4))
+        self._avail = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        self._avail = min(self._avail + self.batch_rows, self.n)
+        return {"pos": self._avail}
+
+    def partitions(self, start, end):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [InputPartition((lo, lo))]
+        step = max(1, (hi - lo + self.parts - 1) // self.parts)
+        return [InputPartition((p, min(p + step, hi)))
+                for p in range(lo, hi, step)]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield (i, i * i, i % 7)
+
+    def commit(self, end):
+        pass  # bounded in-process replay: nothing to reclaim
+
+
 class SequenceSource(DataSource):
-    """``spark.read.format("pyseq").option("n", ...).option("parts", ...)``."""
+    """``spark.read[Stream].format("pyseq").option("n", ...)``."""
 
     @classmethod
     def name(cls):
@@ -57,6 +98,9 @@ class SequenceSource(DataSource):
 
     def reader(self, schema):
         return _SequenceReader(self.options)
+
+    def streamReader(self, schema):
+        return _SequenceStreamReader(self.options)
 
 
 def register_python_sources(spark) -> None:
