@@ -321,3 +321,37 @@ def udf_table_function(spark, sf_dir):
               FROM v_orders_tf WHERE o_orderkey <= 1000) o,
              LATERAL installments(cents, 4) t
     """)
+
+
+@query("sql_scalar_udf", oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       {sql_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)',
+                 'charged')}
+FROM lineitem WHERE l_quantity >= 30 GROUP BY l_returnflag
+""")
+def sql_scalar_udf(spark, sf_dir):
+    """SQL-defined scalar functions (Spark 4 ``CREATE FUNCTION ...
+    RETURNS ... RETURN expr``): business logic registered once in the
+    catalog and reused across queries with NO engine penalty — the
+    function body is inlined into the plan at analysis time, so
+    pushdown/codegen behave exactly as if the expression were written
+    in place (unlike a Python UDF, which walls off the optimizer).
+    The oracle inlines the same expressions by hand; decimal-sum policy
+    as everywhere."""
+    from .registry import ensure_session_conf, load as _load
+    ensure_session_conf(spark)
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+                 p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - d)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION charged_price(
+                 p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE
+                 RETURN disc_price(p, d) * (1.0 + t)""")
+    _load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(charged_price(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS charged
+        FROM v_lineitem WHERE l_quantity >= 30 GROUP BY l_returnflag""")

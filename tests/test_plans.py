@@ -529,3 +529,13 @@ def test_lpa_rounds_vertex_keyed_no_cartesian(spark):
     assert not a.has_cartesian, a.plan
     assert a.broadcast_nested_loop == 0, a.plan
     assert a.has_partial_agg, a.plan      # histogram combines map-side
+
+
+def test_sql_udf_inlines_into_plan(spark):
+    # the SQL-defined function must dissolve at analysis time: scan
+    # pushdown intact, partial aggregation present, and no Python
+    # evaluation node anywhere (that is the whole point vs a Python UDF)
+    a = plan_of(spark, "sql_scalar_udf")
+    assert a.pushed("l_quantity"), a.pushed_filters
+    assert a.has_partial_agg, a.plan
+    assert "EvalPython" not in a.plan, a.plan
