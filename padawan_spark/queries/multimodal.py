@@ -121,3 +121,57 @@ def mm_chunk_manifest(spark, sf_dir):
                " length(payload) - st + 1) as bigint)").alias("n_bytes"),
         F.sha2(F.expr(f"substring(payload, st, {_CHUNK_BYTES})"), 256)
         .alias("chunk_sha"))
+
+
+# ---------------------------------------------------------------------------
+# binaryFile ingestion: the connector a multimodal corpus enters
+# through (directories of image/audio blobs -> (path, length, content)
+# rows).  Deterministic fixture payloads are written once per process;
+# the oracle recomputes the same digests from hex literals, so the
+# byte-for-byte fidelity of the ingest path is value-checked.
+# ---------------------------------------------------------------------------
+
+_BF_PAYLOADS = {
+    "gradient.bin": bytes(range(256)),
+    "stripes.bin": bytes(([0] * 16 + [255] * 16) * 8),
+    "ramp.bin": bytes((i * 7) % 256 for i in range(512)),
+}
+_BF_DIR: list[str] = []   # memoized fixture dir (one per process)
+
+
+def _bf_fixture_dir() -> str:
+    if not _BF_DIR:
+        import tempfile
+        d = tempfile.mkdtemp(prefix="padawan_binaryfile_")
+        for name, payload in _BF_PAYLOADS.items():
+            with open(f"{d}/{name}", "wb") as fh:
+                fh.write(payload)
+        _BF_DIR.append(d)
+    return _BF_DIR[0]
+
+
+def _bf_oracle() -> str:
+    rows = ", ".join(
+        f"('{name}', {len(p)}, md5('{p.hex().upper()}'))"
+        for name, p in sorted(_BF_PAYLOADS.items()))
+    return (f"SELECT * FROM (VALUES {rows})"
+            " t(file_name, n_bytes, content_md5)")
+
+
+@query("mm_binaryfile_ingest", oracle=_bf_oracle())
+def mm_binaryfile_ingest(spark, sf_dir):
+    """Whole-file binary ingestion via Spark's ``binaryFile`` source —
+    how image/audio/video corpora enter the engine (each blob one row:
+    path, modificationTime, length, content).  At 100 TB this scales
+    like any file scan: one task per file (or group of small files),
+    no shuffle, and the downstream decode operators
+    (:mod:`padawan_spark.functions.multimodal`) consume the content
+    column in Arrow batches.  Fidelity check: md5 over the hex-encoded
+    bytes, recomputed by the oracle from the same literals — the
+    digest matches only if every byte survived the trip."""
+    d = _bf_fixture_dir()
+    df = spark.read.format("binaryFile").load(d)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.hex("content")).alias("content_md5"))
