@@ -355,3 +355,49 @@ def sql_scalar_udf(spark, sf_dir):
                CAST(SUM(CAST(charged_price(l_extendedprice, l_discount, l_tax)
                              AS DECIMAL(18,6))) AS DOUBLE) AS charged
         FROM v_lineitem WHERE l_quantity >= 30 GROUP BY l_returnflag""")
+
+
+# ---------------------------------------------------------------------------
+# pandas UDAF over a BOUNDED WINDOW (WindowInPandas): the third pandas
+# execution path next to scalar and grouped-agg — Spark ships each
+# frame's rows to the UDF as a Series.  Exactness: the same int64
+# micro-unit policy as _weighted_price (net price carries <=4 decimal
+# digits, so 1e-6 quantization is exact and order-independent).
+# ---------------------------------------------------------------------------
+
+def _rolling_revenue():
+    @pandas_udf("double")
+    def rollsum(x: pd.Series) -> float:
+        import numpy as np
+        from decimal import Decimal
+        v = np.round(x.to_numpy(dtype="float64") * 1e6).astype("int64").sum()
+        return float(Decimal(int(v)).scaleb(-6))
+    return rollsum
+
+
+@query("udf_window_agg", oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+       OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS rolling_rev
+FROM lineitem WHERE l_quantity >= 45
+""")
+def udf_window_agg(spark, sf_dir):
+    """Custom rolling aggregate via a pandas UDAF over a bounded window
+    frame — the escape hatch when the rolling logic isn't a built-in
+    (here a trailing-3 revenue sum stands in for e.g. a custom decay
+    kernel).  The window partitions by supplier and orders on the
+    (orderkey, linenumber) total order, so frames are deterministic;
+    the UDF sums exact micro-units, matching the oracle's windowed
+    DECIMAL sum bit-for-bit.  Scale: one hash shuffle on the partition
+    key, frames stream through Arrow — same movement as a built-in
+    window, plus the Arrow hop."""
+    from pyspark.sql.window import Window
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy("l_orderkey", "l_linenumber").rowsBetween(-2, 0))
+    net = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return l.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        _rolling_revenue()(net).over(w).alias("rolling_rev"))
