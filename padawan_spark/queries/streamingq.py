@@ -117,19 +117,20 @@ GROUP BY bucket
 """)
 def streaming_custom_source(spark, sf_dir):
     """Streaming read THROUGH the custom Python data source (Spark 4
-    ``DataSourceStreamReader``): the bounded replay source emits the
-    sequence in 2500-row micro-batches with a real offset/commit
-    protocol, a complete-mode aggregation folds them, and with the
-    whole sequence drained the result equals the batch oracle — the
-    same exactness argument as the file-backed streaming queries.
-    Each micro-batch reads task-parallel (4 InputPartitions)."""
+    ``DataSourceStreamReader``): the bounded replay source exposes a
+    real offset/commit protocol (restart-safe: available offsets are
+    external truth, never reader-internal state), the planned range
+    reads as 2500-row task-parallel InputPartitions, a complete-mode
+    aggregation folds them, and with the sequence drained the result
+    equals the batch oracle — the same exactness argument as the
+    file-backed streaming queries."""
     import uuid
     from pyspark.sql import functions as F
     from ..sources import register_python_sources
     register_python_sources(spark)
     src = (spark.readStream.format("pyseq")
            .option("n", "10000").option("batchRows", "2500")
-           .option("parts", "4").load())
+           .load())
     agg = (src.groupBy("bucket")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum("square").cast("bigint").alias("sum_sq")))

@@ -47,33 +47,32 @@ class _SequenceReader(DataSourceReader):
 
 class _SequenceStreamReader(DataSourceStreamReader):
     """Bounded replay STREAM of the same rows (Spark 4 Python streaming
-    data source): offsets are row positions, ``latestOffset`` advances
-    ``batchRows`` per micro-batch until ``n`` and then holds, so
-    ``processAllAvailable()`` drains the source deterministically; each
-    planned batch splits into ``parts`` InputPartitions (task-parallel,
-    exactly like the batch reader).  The offset/commit protocol is the
-    real one — a restart from a checkpoint replays from the committed
-    position, which is the exactly-once story of every replayable
-    source (Kafka with stored offsets, file listings, CDC logs)."""
+    data source).  Offsets are row positions.  ``latestOffset`` reports
+    the EXTERNAL truth — every row of the bounded sequence is already
+    available — never reader-internal throttling state: Spark gives the
+    reader no start offset here, so any internal progress counter would
+    regress after a checkpoint restart and corrupt exactly-once (the
+    classic custom-source bug; real sources report broker/file-listing
+    state for the same reason).  The planned range splits into
+    ``batchRows``-sized InputPartitions, so a 10k-row batch still reads
+    task-parallel exactly like the batch reader, and a restart resumes
+    from the checkpointed offset with no replay gap or overlap."""
 
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.batch_rows = int(options.get("batchRows", 250))
-        self.parts = int(options.get("parts", 4))
-        self._avail = 0
 
     def initialOffset(self):
         return {"pos": 0}
 
     def latestOffset(self):
-        self._avail = min(self._avail + self.batch_rows, self.n)
-        return {"pos": self._avail}
+        return {"pos": self.n}
 
     def partitions(self, start, end):
         lo, hi = start["pos"], end["pos"]
         if hi <= lo:
             return [InputPartition((lo, lo))]
-        step = max(1, (hi - lo + self.parts - 1) // self.parts)
+        step = max(1, self.batch_rows)
         return [InputPartition((p, min(p + step, hi)))
                 for p in range(lo, hi, step)]
 

@@ -176,3 +176,30 @@ def test_segment_dedup_reconstruction_invariants(spark, sf_dir):
     if dups.count() > 0:
         assert dups.where(F.col("n_kept") > 0).count() == 0
     joined.unpersist()
+
+
+def test_streaming_custom_source_restart_exactly_once(spark, tmp_path):
+    """The custom Python streaming source must survive a checkpoint
+    restart with no replay gap or overlap: the second run starts from
+    the committed offset (= everything) and appends ZERO rows."""
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        src = (spark.readStream.format("pyseq")
+               .option("n", "5000").option("batchRows", "1000").load())
+        q = (src.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 5000
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 5000                      # no duplicates
+    assert got.select("id").distinct().count() == 5000
+    assert got.agg(F.sum("square")).first()[0] == sum(i * i
+                                                      for i in range(5000))
