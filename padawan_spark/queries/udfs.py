@@ -401,3 +401,39 @@ def udf_window_agg(spark, sf_dir):
     return l.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
         _rolling_revenue()(net).over(w).alias("rolling_rev"))
+
+
+@query("udf_grouped_map_arrow", oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rk
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC,
+                                     l_orderkey, l_linenumber) AS rk
+  FROM lineitem) WHERE rk <= 3
+""")
+def udf_grouped_map_arrow(spark, sf_dir):
+    """Whole-group transform in ARROW (Spark 4 ``applyInArrow``) — the
+    zero-copy sibling of applyInPandas/udf_grouped_map: each group
+    arrives as one pyarrow Table and is transformed with Arrow compute
+    kernels, skipping the pandas hop (the dominant UDF cost for wide
+    binary/tensor columns).  Here: per-group top-3 rows by price with a
+    total-order sort inside the group — deterministic, so the windowed
+    SQL oracle matches exactly.  Scale: one hash shuffle on the group
+    key, then group-local compute; same movement as any groupBy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+
+    def top3(table: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(table, sort_keys=[
+            ("l_extendedprice", "descending"),
+            ("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
+        t = table.take(idx.slice(0, 3))
+        return t.append_column(
+            "rk", pa.array(range(1, t.num_rows + 1), pa.int32()))
+
+    return l.groupBy("l_returnflag").applyInArrow(
+        top3, schema="l_returnflag string, l_orderkey bigint, "
+                     "l_linenumber int, l_extendedprice double, rk int")
