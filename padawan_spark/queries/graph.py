@@ -105,6 +105,15 @@ def _pagerank(edges, out_col: str):
     edges = edges.cache()
     verts = verts.cache()
     n = float(verts.count())
+    # vertices with no IN-edge receive s=0 every round, so their rank is
+    # the constant (1-d)/n from round 1 on: materialize that slice ONCE
+    # and union it back each round — this removes the per-round
+    # verts-LEFT-JOIN-contrib shuffle (at 10^9 vertices, one full
+    # vertex-table join per iteration) without changing a single value
+    no_in = (verts.join(edges.select(F.col("dst").alias("v")).distinct(),
+                        "v", "left_anti")
+             .select("v", F.lit((1.0 - _D) / n).alias("r"))
+             .localCheckpoint(eager=False))
     r = verts.select("v", (F.lit(1.0) / F.lit(n)).alias("r"))
     for _ in range(_ITERS):
         contrib = (r.join(edges, r.v == edges.src)
@@ -112,12 +121,10 @@ def _pagerank(edges, out_col: str):
                            (F.col("r") * F.col("weight")).alias("c"))
                    .groupBy("v")
                    .agg(F.sum(F.col("c").cast(_DECG)).alias("s")))
-        r = (verts.join(contrib, "v", "left")
-             .select("v",
-                     (F.lit((1.0 - _D) / n)
-                      + _D * F.coalesce(F.col("s").cast("double"),
-                                        F.lit(0.0))).alias("r"))
-             .localCheckpoint(eager=False))
+        active = contrib.select(
+            "v", (F.lit((1.0 - _D) / n)
+                  + _D * F.col("s").cast("double")).alias("r"))
+        r = active.unionByName(no_in).localCheckpoint(eager=False)
     edges.unpersist()
     verts.unpersist()
     return r.select(F.col("v").alias(out_col),
