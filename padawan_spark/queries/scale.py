@@ -160,7 +160,14 @@ def scale_dedup_clusters(spark, sf_dir):
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
 
-    # iterative min-label propagation: each round one join + groupBy
+    # The loop runs over the CONNECTED SUBGRAPH only: a document with no
+    # candidate edge keeps cluster_id = doc_id forever, and near-dup
+    # candidate graphs are sparse (a few % of the corpus), so iterating
+    # the full label table would shuffle mostly-inert rows every round —
+    # at 10^9 docs that is the difference between joining 10^7 and 10^9
+    # rows per iteration.  Isolated docs are unioned back at the end.
+    #
+    # Iterative min-label propagation: each round one join + groupBy
     # (bounded rounds = graph diameter; candidate clusters are tiny).
     # Lineage hygiene: every round localCheckpoints the new label table
     # (truncates the plan to a scan of materialized partitions, so plan
@@ -168,8 +175,13 @@ def scale_dedup_clusters(spark, sf_dir):
     # linearly — THE failure mode of iterative DataFrame loops at scale)
     # and the superseded round's checkpoint storage is reclaimed by the
     # ContextCleaner once the Python reference drops.
-    labels = (load(spark, sf_dir, "documents").select("doc_id")
-              .withColumn("label", F.col("doc_id")))
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # localCheckpoint, not cache: the isolated-docs anti-join below
+    # re-references this after the loop, and a cache would still embed
+    # the whole minhash->bands->pairs lineage in the returned plan
+    active = (edges.select(F.col("a").alias("doc_id")).distinct()
+              .localCheckpoint(eager=True))
+    labels = active.withColumn("label", F.col("doc_id"))
     for _ in range(10):
         nbr = (edges.join(labels, edges.a == labels.doc_id)
                .groupBy(F.col("b").alias("doc_id"))
@@ -184,8 +196,11 @@ def scale_dedup_clusters(spark, sf_dir):
         labels = new
         if changed == 0:
             break
+    isolated = (docs.join(active, "doc_id", "left_anti")
+                .withColumn("label", F.col("doc_id")))
     edges.unpersist()
-    return labels.select("doc_id", F.col("label").cast("bigint").alias("cluster_id"))
+    return (labels.unionByName(isolated)
+            .select("doc_id", F.col("label").cast("bigint").alias("cluster_id")))
 
 
 # ---------------------------------------------------------------------------
