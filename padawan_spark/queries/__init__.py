@@ -58,7 +58,7 @@ for _m in _SUITES:
 #     graph_bfs_distance text_cooccurrence pipe_dataset_card
 #     dedup_incremental graph_community_lpa ev_seasonal_baseline
 #     streaming_custom_source sql_scalar_udf mm_binaryfile_ingest
-#     udf_window_agg udf_grouped_map_arrow  (31)
+#     udf_window_agg udf_grouped_map_arrow pipe_epoch_shuffle  (32)
 _HEAD = [
     # graph suite (never checked; _users = scale-honest vertex set)
     "graph_pagerank", "graph_pagerank_users", "graph_degree_stats",

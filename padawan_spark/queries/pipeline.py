@@ -263,3 +263,43 @@ def pipe_dataset_card(spark, sf_dir):
                  F.countDistinct("lang").alias("n_langs"),
                  (F.count(F.lit(1)) - F.countDistinct(F.sha2("text", 256)))
                  .alias("n_exact_dups")))
+
+
+_N_EPOCHS = 2
+
+
+@query("pipe_epoch_shuffle", oracle=f"""
+SELECT epoch, shard_id, doc_id, rank FROM (
+  SELECT e.epoch, {_DUCK_SHARD} AS shard_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.epoch, {_DUCK_SHARD}
+           ORDER BY md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+                        || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+  FROM documents CROSS JOIN
+       (SELECT i AS epoch FROM range(0, {_N_EPOCHS}) t(i)) e)
+WHERE rank <= 5
+""")
+def pipe_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch reshuffling — the dataloader's shuffle(seed=
+    epoch) without RNG state: within each shard, every epoch orders
+    documents by a salted content-independent hash (salt = epoch), so
+    (a) every worker/engine derives the identical order, (b) each epoch
+    is a fresh permutation, and (c) a resumed job replays the exact
+    order from any position.  The rank window partitions by (epoch,
+    shard) — parallel across shards, never a global sort.  Emitted here:
+    the first 5 docs per (epoch, shard), which pins the permutation in
+    the value hash."""
+    from pyspark.sql.window import Window
+    d = load(spark, sf_dir, "documents", wide=True)
+    epochs = spark.range(_N_EPOCHS).select(F.col("id").cast("int")
+                                           .alias("epoch"))
+    keyed = (d.select("doc_id", F.expr(_SPARK_SHARD).alias("shard_id"))
+             .crossJoin(F.broadcast(epochs))
+             .withColumn("k", F.md5(F.concat(
+                 F.lit("ep"), F.col("epoch").cast("string"), F.lit(":"),
+                 F.col("doc_id").cast("string")))))
+    w = Window.partitionBy("epoch", "shard_id").orderBy("k", "doc_id")
+    return (keyed.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("epoch", F.col("shard_id").cast("bigint").alias("shard_id"),
+                    "doc_id", "rank"))
