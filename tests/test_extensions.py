@@ -203,3 +203,48 @@ def test_streaming_custom_source_restart_exactly_once(spark, tmp_path):
     assert got.select("id").distinct().count() == 5000
     assert got.agg(F.sum("square")).first()[0] == sum(i * i
                                                       for i in range(5000))
+
+
+def test_events_nanos_generation_probe(spark, tmp_path):
+    """The driver regenerates testdata per round, and the events ts
+    column has shipped as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS)
+    across generations.  Write a NANOS file and verify both the batch
+    loader and the streaming schema probe pick the long-read+truncate
+    path and land on identical micro-truncated UTC timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from padawan_spark.queries.registry import load
+    from padawan_spark.streaming.events import (_events_ts_is_nanos,
+                                                read_events_stream)
+
+    d = str(tmp_path)
+    ns = [1700000000123456789, 1700000001987654321]
+    t = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(ns, pa.timestamp("ns")),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["view", "purchase"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    })
+    pq.write_table(t, f"{d}/events.parquet", version="2.6",
+                   coerce_timestamps=None)
+    assert _events_ts_is_nanos(d)
+
+    batch = load(spark, d, "events")
+    assert batch.schema["ts"].dataType.typeName() == "timestamp"
+    got = sorted(r["ts"] for r in batch.select("ts").collect())
+    assert [int(x.timestamp() * 1_000_000) for x in got] \
+        == [v // 1000 for v in ns]                       # ns -> us truncation
+
+    stream = read_events_stream(spark, d)
+    assert stream.schema["ts"].dataType.typeName() == "timestamp"
+    import uuid
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (stream.select("event_id", "ts").writeStream.format("memory")
+         .queryName(name).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    srows = sorted(r["ts"] for r in spark.table(name).collect())
+    assert srows == got                                   # stream == batch
