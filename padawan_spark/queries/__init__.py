@@ -58,7 +58,8 @@ for _m in _SUITES:
 #     graph_bfs_distance text_cooccurrence pipe_dataset_card
 #     dedup_incremental graph_community_lpa ev_seasonal_baseline
 #     streaming_custom_source sql_scalar_udf mm_binaryfile_ingest
-#     udf_window_agg udf_grouped_map_arrow pipe_epoch_shuffle  (32)
+#     udf_window_agg udf_grouped_map_arrow pipe_epoch_shuffle
+#     scale_approx_topk scale_theta_rollup  (34)
 _HEAD = [
     # graph suite (never checked; _users = scale-honest vertex set)
     "graph_pagerank", "graph_pagerank_users", "graph_degree_stats",

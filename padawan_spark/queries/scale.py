@@ -507,3 +507,55 @@ def scale_skew_metrics(spark, sf_dir):
                     AS BIGINT) AS p99_cnt,
                CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / SUM(cnt) AS skew_ratio
         FROM v_skew_g""")
+
+
+@query("scale_approx_topk", oracle="""
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+""")
+def scale_approx_topk(spark, sf_dir):
+    """Native frequent-items sketch (Spark 4 ``approx_top_k``): one
+    partial-aggregating pass builds a bounded-memory top-k summary —
+    at 100 TB this replaces the full (item, count) shuffle a naive
+    top-k needs with a merge of fixed-size sketches.  Exactness
+    window: with k >= the true item cardinality (5 event types) the
+    sketch degenerates to exact counts, so the oracle checks values;
+    beyond that window only count-within-bound holds (the CMS query
+    demonstrates the portable-arithmetic alternative)."""
+    e = load(spark, sf_dir, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 5)").alias("t"))
+    return (topk.select(F.explode("t").alias("x"))
+            .select(F.col("x.item").alias("event_type"),
+                    F.col("x.count").alias("cnt")))
+
+
+@query("scale_theta_rollup", oracle="""
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS merged_exact
+FROM events GROUP BY 1, 2
+""")
+def scale_theta_rollup(spark, sf_dir):
+    """Theta-sketch rollup (Spark 4 ``theta_sketch_agg`` /
+    ``theta_union_agg`` — the DataSketches family next to HLL): daily
+    distinct-user sketches union into weekly estimates without
+    re-touching raw events.  Theta's extra power over HLL is SET
+    ALGEBRA (union/intersection/difference between sketches); here the
+    union path is asserted EXACT in-query — below the sketch's k=4096
+    retention threshold a theta sketch stores every hash, so daily→
+    weekly merges must reproduce the exact distinct count (true up to
+    ~4k distinct users per group; beyond that the assertion would relax
+    to an error bound, the HLL-rollup pattern)."""
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.expr("theta_sketch_agg(user_id)").alias("sk")))
+    weekly = (daily.groupBy(F.date_trunc("week", "day").alias("week"),
+                            "event_type")
+              .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk))")
+                   .alias("merged_est")))
+    direct = (e.groupBy(F.date_trunc("week", "ts").alias("week"),
+                        "event_type")
+              .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (weekly.join(direct, ["week", "event_type"])
+            .select("week", "event_type", "exact_users",
+                    (F.col("merged_est") == F.col("exact_users"))
+                    .alias("merged_exact")))
