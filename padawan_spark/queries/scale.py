@@ -559,3 +559,52 @@ def scale_theta_rollup(spark, sf_dir):
             .select("week", "event_type", "exact_users",
                     (F.col("merged_est") == F.col("exact_users"))
                     .alias("merged_exact")))
+
+
+@query("scale_theta_retention", oracle="""
+WITH weeks AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, user_id
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.week AS week_a, b.week AS week_b,
+         COUNT(*) AS exact_retained
+  FROM weeks a JOIN weeks b
+    ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
+  GROUP BY 1, 2)
+SELECT week_a, week_b, exact_retained, TRUE AS sketch_exact
+FROM pairs
+""")
+def scale_theta_retention(spark, sf_dir):
+    """Week-over-week retention via theta-sketch SET ALGEBRA: the
+    distinct-user sketch of week N is INTERSECTED with week N+1's and
+    the estimate read off — no raw user_id re-shuffle once the weekly
+    sketches are stored, which is why dashboards over 100 TB of events
+    keep sketches, not users.  HLL cannot do this (no intersection);
+    it is theta's distinguishing capability.  Below the k=4096
+    retention threshold theta sketches are lossless, so the estimate
+    is asserted EXACTLY equal to the raw-data overlap the oracle
+    computes; beyond it the assertion relaxes to inclusion-exclusion
+    error bounds."""
+    e = load(spark, sf_dir, "events")
+    weekly = (e.groupBy(F.date_trunc("week", "ts").alias("week"))
+              .agg(F.expr("theta_sketch_agg(user_id)").alias("sk")))
+    a = weekly.select(F.col("week").alias("week_a"), F.col("sk").alias("ska"))
+    b = weekly.select(F.col("week").alias("week_b"), F.col("sk").alias("skb"))
+    est = (a.join(b, F.col("week_b") == F.col("week_a") + F.expr("INTERVAL 7 DAY"))
+           .select("week_a", "week_b",
+                   F.expr("theta_sketch_estimate("
+                          "theta_intersection(ska, skb))").cast("bigint")
+                   .alias("sketch_retained")))
+    exact = (e.select(F.date_trunc("week", "ts").alias("week"), "user_id")
+             .distinct())
+    ea = exact.select(F.col("week").alias("week_a"), "user_id")
+    eb = exact.select(F.col("week").alias("week_b"), "user_id")
+    truth = (ea.join(eb, (F.col("week_b")
+                          == F.col("week_a") + F.expr("INTERVAL 7 DAY"))
+                     & (ea.user_id == eb.user_id))
+             .groupBy("week_a", "week_b")
+             .agg(F.count(F.lit(1)).alias("exact_retained")))
+    return (est.join(truth, ["week_a", "week_b"])
+            .select("week_a", "week_b", "exact_retained",
+                    (F.col("sketch_retained") == F.col("exact_retained"))
+                    .alias("sketch_exact")))
