@@ -303,3 +303,36 @@ def pipe_epoch_shuffle(spark, sf_dir):
             .where(F.col("rank") <= 5)
             .select("epoch", F.col("shard_id").cast("bigint").alias("shard_id"),
                     "doc_id", "rank"))
+
+
+_FH_DIM = 64    # hashed feature dimension
+
+
+@query("pipe_feature_hashing", oracle=f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % {_FH_DIM} AS slot,
+       COUNT(*) AS cnt
+FROM documents, unnest({_DUCK_TOKS}) AS u(x)
+GROUP BY doc_id, slot
+""")
+def pipe_feature_hashing(spark, sf_dir):
+    """Hashing-trick vectorizer (HashingVectorizer / feature hashing):
+    bag-of-words folded into a fixed 64-dim count vector by hashing
+    each token to a slot — the no-vocabulary featurizer linear models
+    and MinHash-free near-dup scorers use at corpus scale, because it
+    needs NO global vocabulary build, no broadcast dictionary, and its
+    output width is constant regardless of token diversity.
+
+    Plan: one scan, explode to tokens, portable md5 slot per token, one
+    (doc, slot) aggregation — partial aggregation collapses the token
+    fan-out map-side, and the only shuffle is keyed on (doc, slot).
+    Sparse output rows (doc, slot, count) are the scalable encoding;
+    densifying to array<double> is one groupBy away.  Integer
+    arithmetic: engine-exact."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("x"))
+    slot = (F.expr("conv(substring(md5(x), 1, 8), 16, 10)")
+            .cast("bigint") % _FH_DIM)
+    return (toks.select("doc_id", slot.alias("slot"))
+            .groupBy("doc_id", "slot")
+            .agg(F.count(F.lit(1)).alias("cnt")))
