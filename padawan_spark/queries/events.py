@@ -609,3 +609,101 @@ def ev_seasonal_baseline(spark, sf_dir):
                  F.sum(F.when(F.abs(F.col("r"))
                               > 3 * 1.4826 * F.col("rmad"), 1)
                        .otherwise(0)).cast("bigint").alias("n_anomalies")))
+
+
+_LTTB_BUCKET = 16    # points per bucket (downsample ratio)
+
+
+@query("ev_downsample_lttb", oracle=f"""
+WITH pts AS (
+  SELECT event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+bk AS (
+  SELECT *, rn // {_LTTB_BUCKET} AS bucket FROM pts),
+stats AS (
+  SELECT event_type, bucket,
+    CAST(SUM(CAST(epoch_us(ts) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mx,
+    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS my
+  FROM bk GROUP BY event_type, bucket),
+nb AS (
+  SELECT event_type, bucket,
+    LAG(mx)  OVER w AS ax, LAG(my)  OVER w AS ay,
+    LEAD(mx) OVER w AS cx, LEAD(my) OVER w AS cy
+  FROM stats WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+scored AS (
+  SELECT bk.event_type, bk.bucket, bk.event_id, bk.ts,
+    abs((nb.ax - nb.cx) * (CAST(bk.value AS DOUBLE) - nb.ay)
+        - (nb.ax - CAST(epoch_us(bk.ts) AS DOUBLE)) * (nb.cy - nb.ay))
+      AS area
+  FROM bk JOIN nb ON bk.event_type = nb.event_type AND bk.bucket = nb.bucket
+  WHERE nb.ax IS NOT NULL AND nb.cx IS NOT NULL)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, event_id, ts FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+            ORDER BY area DESC, ts, event_id) AS pick
+  FROM scored) WHERE pick = 1
+""")
+def ev_downsample_lttb(spark, sf_dir):
+    """Largest-triangle downsampling for time-series visualization
+    (LTTB family): each series is cut into fixed-size buckets and the
+    point with the largest triangle area against the NEIGHBOR BUCKET
+    MEANS is kept — the standard trick for shrinking millions of points
+    to a plottable few thousand while preserving visual extremes.
+
+    This is the parallel variant: classic LTTB anchors on the
+    previously SELECTED point (a sequential chain); anchoring on bucket
+    means instead makes every bucket independent, so the whole pass is
+    two windows (per-series rank, neighbor-stat lag/lead over the tiny
+    bucket-summary table) and one argmax — no sequential dependency,
+    fully distributed per series.  Determinism: bucket means go
+    through exact decimal; the area formula is identical per-row IEEE
+    arithmetic in both engines; argmax ties break on (ts, event_id)."""
+    from pyspark.sql.window import Window
+    e = load(spark, sf_dir, "events")
+    # TWO-LEVEL per-series rank (the user-edge-builder trick): a flat
+    # partitionBy(event_type) window would sort each whole series on
+    # ONE task (~5 series here, regardless of cluster size).  Days
+    # partition the (ts, event_id) order, so global rank = rank within
+    # (series, day) + the exclusive prefix count of earlier days — the
+    # prefix table is types x days rows, windowed in negligible time,
+    # and the heavy rank runs (series x day)-parallel.
+    ed = e.withColumn("day", F.date_trunc("DAY", "ts"))
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    counts = (ed.groupBy("event_type", "day")
+              .agg(F.count(F.lit(1)).alias("c")))
+    wdays = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.select(
+        "event_type", "day",
+        F.coalesce(F.sum("c").over(wdays), F.lit(0)).alias("off"))
+    bk = (ed.withColumn("rnd", F.row_number().over(wd) - 1)
+          .join(offs, ["event_type", "day"])
+          .withColumn("rn", F.col("off") + F.col("rnd"))
+          .withColumn("bucket", F.floor(F.col("rn") / _LTTB_BUCKET))
+          .select("event_type", "bucket", "event_id", "ts", "value"))
+    d6 = "decimal(38,6)"
+    stats = (bk.groupBy("event_type", "bucket")
+             .agg((F.sum(F.unix_micros("ts").cast(d6)).cast("double")
+                   / F.count(F.lit(1))).alias("mx"),
+                  (F.sum(F.col("value").cast(d6)).cast("double")
+                   / F.count(F.lit(1))).alias("my")))
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    nb = (stats.select("event_type", "bucket",
+                       F.lag("mx").over(wb).alias("ax"),
+                       F.lag("my").over(wb).alias("ay"),
+                       F.lead("mx").over(wb).alias("cx"),
+                       F.lead("my").over(wb).alias("cy")))
+    scored = (bk.join(nb, ["event_type", "bucket"])
+              .where(F.col("ax").isNotNull() & F.col("cx").isNotNull())
+              .withColumn("area", F.abs(
+                  (F.col("ax") - F.col("cx"))
+                  * (F.col("value").cast("double") - F.col("ay"))
+                  - (F.col("ax") - F.unix_micros("ts").cast("double"))
+                  * (F.col("cy") - F.col("ay")))))
+    wk = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("area"), "ts", "event_id")
+    return (scored.withColumn("pick", F.row_number().over(wk))
+            .where(F.col("pick") == 1)
+            .select("event_type", F.col("bucket").cast("bigint").alias("bucket"),
+                    "event_id", "ts"))
