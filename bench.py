@@ -90,8 +90,15 @@ def main() -> None:
         if fn is None:
             continue
         # the bucketed-join WRITE is memoized (second call would time the
-        # post-write fast path, not the investment) — single-pass it
-        passes = 1 if name == "scale_bucketed_join" else 2
+        # post-write fast path, not the investment) — single-pass it.
+        # The iterative loops run 8-12 chained jobs and show the widest
+        # run-to-run spread — give them a third pass.
+        if name == "scale_bucketed_join":
+            passes = 1
+        elif name in ("graph_pagerank_users", "sim_kmeans_train"):
+            passes = 3
+        else:
+            passes = 2
         best = None
         for _ in range(passes):
             t0 = time.perf_counter()
