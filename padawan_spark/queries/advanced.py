@@ -629,3 +629,59 @@ def adv_custom_sink(spark, sf_dir):
     back = read_jsonl_sink(
         spark, target, "o_orderpriority string, n bigint, total double")
     return back
+
+
+@query("adv_constraint_audit", oracle="""
+SELECT 'orders_pk_unique' AS check_name,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)) AS BIGINT) AS violations
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_qty_positive',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+""")
+def adv_constraint_audit(spark, sf_dir):
+    """Data-quality constraint audit (the dbt-test / Deequ pattern): a
+    pipeline gate that turns schema assumptions into counted violations
+    — primary-key uniqueness, referential integrity, domain ranges,
+    non-null columns — rolled into one small result the orchestrator
+    asserts on before publishing a table.
+
+    Scale shape: uniqueness is one key-hash aggregation; the FK check
+    is a LEFT ANTI join on the key (never a cross product; at 100 TB
+    the orders side stays a hash-shuffled build, or broadcast when
+    dim-sized); range/null checks fuse into single scans with
+    partial-aggregated conditional counts.  Everything is integer
+    counting: engine-exact."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    pk_dup = (o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+              .where(F.col("c") > 1).count())
+    fk_orphans = (l.join(o.select("o_orderkey"),
+                         l.l_orderkey == o.o_orderkey, "left_anti").count())
+    scans = (l.agg(
+        F.sum(F.when((F.col("l_discount") < 0)
+                     | (F.col("l_discount") > 1), 1).otherwise(0))
+        .alias("disc"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .alias("qty")).first())
+    nulls = o.agg(F.sum(F.when(F.col("o_custkey").isNull(), 1)
+                        .otherwise(0)).alias("n")).first()["n"]
+    rows = [("orders_pk_unique", pk_dup),
+            ("lineitem_fk_orders", fk_orphans),
+            ("lineitem_discount_range", int(scans["disc"] or 0)),
+            ("orders_custkey_not_null", int(nulls or 0)),
+            ("lineitem_qty_positive", int(scans["qty"] or 0))]
+    return spark.createDataFrame(rows, "check_name string, violations bigint")
