@@ -961,12 +961,33 @@ def _file_stats(spark: SparkSession, files: list[str], ix: tuple[str, ...],
             for r in rows}
 
 
-def scan_parquet(spark: SparkSession, path: str) -> Dataset:
+def scan_parquet(spark: SparkSession, path: str,
+                 version: int | None = None) -> Dataset:
     """Directory of parquet files (or one file) → Dataset; loads the manifest
     when present, else globs with unknown stats
-    (``persisted_dataset.py:27-43``)."""
+    (``persisted_dataset.py:27-43``).
+
+    ``version`` pins a manifest SNAPSHOT (every ``write_parquet`` —
+    overwrite or append — archives one under ``_padawan_versions/``):
+    append-only writes retain all files, so ``scan_parquet(path,
+    version=k)`` reproduces exactly the dataset as of write k — the
+    reproducibility pin a training run records so the corpus it read
+    can be re-materialized later.  ``padawan_spark.metadata.
+    list_versions(path)`` enumerates snapshots."""
     if os.path.isfile(path):
+        _require(version is None, ValueError,
+                 "version= requires a manifest directory, not a file")
         return Dataset(spark, files=[path])
+    if version is not None:
+        _require(_meta.has_manifest(path), ValueError,
+                 f"version= requires a manifest at {path}")
+        man = _meta.load_manifest(path, version=version)
+        files = [os.path.join(path, f) for f in man.files]
+        schema = (StructType.fromJson(__import__("json").loads(man.schema_json))
+                  if man.schema_json else None)
+        return Dataset(spark, files=files, index_columns=man.index_columns,
+                       sizes=man.sizes, lower_bounds=man.lower_bounds,
+                       upper_bounds=man.upper_bounds, schema=schema)
     if _meta.has_manifest(path):
         man = _meta.load_manifest(path)
         files = [os.path.join(path, f) for f in man.files]

@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 
 METADATA_FILE = "_padawan_metadata.json"
 SCHEMA_FILE = "_padawan_schema.json"
+VERSIONS_DIR = "_padawan_versions"
 
 _TIMEDELTA_RE = re.compile(r"^(-?\d+)d(-?\d+)s(-?\d+)u$")
 
@@ -95,7 +96,46 @@ def manifest_path(path: str) -> str:
     return os.path.join(path, METADATA_FILE)
 
 
-def load_manifest(path: str) -> Manifest:
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, VERSIONS_DIR)
+
+
+def list_versions(path: str) -> list[int]:
+    """Snapshot versions recorded at ``path``, ascending (empty when the
+    dataset predates versioning or was never written through us)."""
+    d = _versions_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        m = re.match(r"^v(\d+)\.json$", f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def load_manifest(path: str, version: int | None = None) -> Manifest:
+    """Load the current manifest, or a pinned SNAPSHOT when ``version``
+    is given (time travel: append-only writes retain every file, so any
+    archived manifest still describes readable data)."""
+    if version is not None:
+        vp = os.path.join(_versions_dir(path), f"v{version}.json")
+        if not os.path.exists(vp):
+            raise FileNotFoundError(
+                f"no snapshot v{version} at {path}; have {list_versions(path)}")
+        with open(vp) as f:
+            raw = json.load(f)
+        return Manifest(
+            index_columns=tuple(raw["index_columns"]),
+            files=list(raw["files"]),
+            sizes=(list(raw["sizes"])
+                   if raw.get("sizes") is not None else None),
+            lower_bounds=decode_bounds(raw.get("lower_bounds")),
+            upper_bounds=decode_bounds(raw.get("upper_bounds")),
+            max_partition_index=raw.get("max_partition_index",
+                                        len(raw["files"]) - 1),
+            schema_json=raw.get("schema_json"),
+        )
     with open(manifest_path(path)) as f:
         raw = json.load(f)
     schema_json = None
@@ -128,6 +168,18 @@ def write_manifest(path: str, manifest: Manifest) -> None:
     if manifest.schema_json is not None:
         with open(os.path.join(path, SCHEMA_FILE), "w") as f:
             f.write(manifest.schema_json)
+    # snapshot the manifest as the next version: append-only writes never
+    # delete data files, so every archived manifest remains a readable
+    # point-in-time view (reproducibility pins for training runs; the
+    # lakehouse time-travel idea at manifest granularity).  Overwrite
+    # wipes the directory first, so history restarts with the table.
+    vs = list_versions(path)
+    k = (vs[-1] if vs else 0) + 1
+    os.makedirs(_versions_dir(path), exist_ok=True)
+    vraw = dict(raw)
+    vraw["schema_json"] = manifest.schema_json
+    with open(os.path.join(_versions_dir(path), f"v{k}.json"), "w") as f:
+        json.dump(vraw, f)
 
 
 def has_manifest(path: str) -> bool:

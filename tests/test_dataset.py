@@ -501,3 +501,41 @@ def test_progress_callback(spark, sample_dir, tmp_path):
                     progress=lambda d, t: calls2.append((d, t)))
     if calls2:
         assert calls2[-1][0] == calls2[-1][1]
+
+
+def test_manifest_versioning_time_travel(spark, sf_dir, tmp_path):
+    """Every write archives a manifest snapshot; append-only writes keep
+    all files, so scan_parquet(version=k) re-materializes the dataset
+    exactly as of write k — the reproducibility pin of a training run."""
+    from padawan_spark import Dataset, scan_parquet
+    from padawan_spark.metadata import list_versions
+    from padawan_spark.queries.registry import load
+
+    p = str(tmp_path / "tt")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    first = Dataset(spark, n.where(F.col("n_nationkey") < 10),
+                    index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+    ds = first.write_parquet(p)
+    second = Dataset(spark, n.where((F.col("n_nationkey") >= 10)
+                                    & (F.col("n_nationkey") < 20)),
+                     index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+    ds = second.write_parquet(p, append=True)
+    third = Dataset(spark, n.where(F.col("n_nationkey") >= 20),
+                    index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+    ds = third.write_parquet(p, append=True)
+
+    assert list_versions(p) == [1, 2, 3]
+    assert scan_parquet(spark, p).df.count() == n.count()
+    v1 = scan_parquet(spark, p, version=1)
+    assert v1.df.count() == 10
+    assert v1.df.agg(F.max("n_nationkey")).first()[0] == 9
+    v2 = scan_parquet(spark, p, version=2)
+    assert v2.df.count() == 20
+    assert v2.known_bounds and len(v2) == len(v1) + len(second)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        scan_parquet(spark, p, version=9)
+
+    # overwrite restarts history with the table
+    first.write_parquet(p)
+    assert list_versions(p) == [1]
