@@ -388,3 +388,32 @@ def op_observe_metrics(spark, sf_dir):
     return spark.createDataFrame(
         [(m["n_rows"], m["n_large"], m["total"])],
         "n_rows bigint, n_large bigint, total double")
+
+
+@query("op_time_travel", oracle="""
+SELECT n_regionkey, COUNT(*) AS n, CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+FROM nation WHERE n_nationkey < 10 GROUP BY n_regionkey
+""")
+def op_time_travel(spark, sf_dir):
+    """Manifest time travel: write nations < 10, append the rest, then
+    read back VERSION 1 — the pinned read must see exactly the first
+    write, untouched by the append (append-only file retention is what
+    makes every archived manifest a live point-in-time view).  The
+    aggregation over the pinned snapshot matches the oracle's filter on
+    the source table.  At scale this is the reproducibility pin a
+    training run stores: manifest snapshots are O(files) JSON, data is
+    never copied."""
+    from ..dataset import Dataset, scan_parquet
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name")
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_tt_"), "nation_tt")
+    (Dataset(spark, n.where(F.col("n_nationkey") < 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target))
+    (Dataset(spark, n.where(F.col("n_nationkey") >= 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target, append=True))
+    pinned = scan_parquet(spark, target, version=1)
+    return (pinned.df.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("n_nationkey").cast("bigint").alias("max_key")))
