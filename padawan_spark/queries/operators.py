@@ -417,3 +417,39 @@ def op_time_travel(spark, sf_dir):
     return (pinned.df.groupBy("n_regionkey")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.max("n_nationkey").cast("bigint").alias("max_key")))
+
+
+@query("op_incremental_read", oracle="""
+SELECT n_regionkey, COUNT(*) AS n, CAST(MIN(n_nationkey) AS BIGINT) AS min_key
+FROM nation WHERE n_nationkey >= 10 GROUP BY n_regionkey
+""")
+def op_incremental_read(spark, sf_dir):
+    """Incremental consumption between manifest pins (the change-data-
+    feed read): the file set added between version k and k+1 IS the
+    append's payload, so a downstream consumer processes exactly the
+    new files — no full-table rescan, no row-level diff join.  Here:
+    write nations < 10, append the rest, then read ONLY the files in
+    v2 − v1; the aggregate must equal the oracle over the appended
+    slice.  At scale this is how snapshot-pinned pipelines chain:
+    each stage records the version it consumed and reads the file
+    delta next run — O(new data) cost per increment."""
+    from ..dataset import Dataset
+    from .. import metadata as _meta
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name")
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_cdf_"),
+                          "nation_cdf")
+    (Dataset(spark, n.where(F.col("n_nationkey") < 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target))
+    (Dataset(spark, n.where(F.col("n_nationkey") >= 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target, append=True))
+    v1 = _meta.load_manifest(target, version=1)
+    v2 = _meta.load_manifest(target, version=2)
+    new_files = [os.path.join(target, f)
+                 for f in v2.files if f not in set(v1.files)]
+    delta = spark.read.parquet(*new_files)
+    return (delta.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("n_nationkey").cast("bigint").alias("min_key")))
