@@ -19,21 +19,26 @@ from .dataset import (  # noqa: F401
     AppendError,
     Dataset,
     StatsUnknownError,
+    compact_parquet,
     concat,
     from_pandas,
     scan_parquet,
     write_metadata,
 )
+from .metadata import list_versions, vacuum  # noqa: F401
 from .session import get_spark  # noqa: F401
 
 __all__ = [
     "AppendError",
     "Dataset",
     "StatsUnknownError",
+    "compact_parquet",
     "concat",
     "from_pandas",
     "get_spark",
+    "list_versions",
     "scan_parquet",
+    "vacuum",
     "write_metadata",
 ]
 

@@ -1094,3 +1094,40 @@ def write_metadata(spark: SparkSession, path: str,
         schema_json=spark.read.parquet(path).schema.json() if kept else None,
     )
     _meta.write_manifest(path, man)
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    rows_per_partition: int) -> Dataset:
+    """In-place small-file compaction (the OPTIMIZE of the time-travel
+    story): read the current manifest, collate partitions up to
+    ``rows_per_partition``, write the merged files INTO the same
+    directory under new names, and publish a new manifest referencing
+    only them.  The superseded small files stay on disk so older pins
+    (``scan_parquet(version=k)``) keep reading their exact snapshot;
+    :func:`padawan_spark.metadata.vacuum` reclaims them once their
+    snapshots expire.  Same shape as Delta/Iceberg OPTIMIZE+VACUUM:
+    compaction is a data rewrite + manifest swap, never a delete."""
+    _require(_meta.has_manifest(path), ValueError,
+             f"compact_parquet requires a manifest at {path}")
+    ds = scan_parquet(spark, path)
+    comp = ds.collate(rows_per_partition)
+    before = set(_list_parquet(path))
+    comp.df.write.mode("append").parquet(path)
+    new_files = sorted(set(_list_parquet(path)) - before)
+    stats = _file_stats(spark, [os.path.join(path, f) for f in new_files],
+                        ds.index_columns)
+
+    def _k(f):
+        return os.path.abspath(os.path.join(path, f))
+    kept = [f for f in new_files if _k(f) in stats]
+    old = _meta.load_manifest(path)
+    man = _meta.Manifest(
+        index_columns=ds.index_columns, files=kept,
+        sizes=[stats[_k(f)][0] for f in kept],
+        lower_bounds=[stats[_k(f)][1] for f in kept] if ds.index_columns else [() for _ in kept],
+        upper_bounds=[stats[_k(f)][2] for f in kept] if ds.index_columns else [() for _ in kept],
+        max_partition_index=old.max_partition_index + len(kept),
+        schema_json=ds.df.schema.json(),
+    )
+    _meta.write_manifest(path, man)
+    return scan_parquet(spark, path)

@@ -163,11 +163,19 @@ def write_manifest(path: str, manifest: Manifest) -> None:
         "upper_bounds": encode_bounds(manifest.upper_bounds),
         "max_partition_index": manifest.max_partition_index,
     }
-    with open(manifest_path(path), "w") as f:
+    # atomic publish: write a temp file and rename over the manifest, so
+    # a crash mid-write can never leave a truncated manifest behind (the
+    # old one stays valid until the rename commits — rename is the commit
+    # primitive every file-based table format relies on)
+    tmp = manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(raw, f)
+    os.replace(tmp, manifest_path(path))
     if manifest.schema_json is not None:
-        with open(os.path.join(path, SCHEMA_FILE), "w") as f:
+        stmp = os.path.join(path, SCHEMA_FILE) + ".tmp"
+        with open(stmp, "w") as f:
             f.write(manifest.schema_json)
+        os.replace(stmp, os.path.join(path, SCHEMA_FILE))
     # snapshot the manifest as the next version: append-only writes never
     # delete data files, so every archived manifest remains a readable
     # point-in-time view (reproducibility pins for training runs; the
@@ -178,8 +186,41 @@ def write_manifest(path: str, manifest: Manifest) -> None:
     os.makedirs(_versions_dir(path), exist_ok=True)
     vraw = dict(raw)
     vraw["schema_json"] = manifest.schema_json
-    with open(os.path.join(_versions_dir(path), f"v{k}.json"), "w") as f:
+    vtmp = os.path.join(_versions_dir(path), f"v{k}.json.tmp")
+    with open(vtmp, "w") as f:
         json.dump(vraw, f)
+    os.replace(vtmp, os.path.join(_versions_dir(path), f"v{k}.json"))
+
+
+def vacuum(path: str, keep_last: int = 1) -> dict:
+    """Expire old snapshots and delete data files no remaining manifest
+    references — the VACUUM of the time-travel story.  Keeps the newest
+    ``keep_last`` snapshots (the current manifest is always safe: it is
+    also the newest snapshot).  Returns counts for observability.
+
+    Scale note: this is driver-side file bookkeeping, O(files) set
+    arithmetic over manifests — at lakehouse scale the same diff runs as
+    a join over manifest TABLES (see ``write_manifest_table``); deletes
+    are embarrassingly parallel."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = list_versions(path)
+    drop = vs[:-keep_last] if len(vs) > keep_last else []
+    keep = [v for v in vs if v not in drop]
+    referenced = set(load_manifest(path).files)
+    for v in keep:
+        referenced.update(load_manifest(path, version=v).files)
+    removed_files = 0
+    for v in drop:
+        for f in load_manifest(path, version=v).files:
+            if f not in referenced:
+                fp = os.path.join(path, f)
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    removed_files += 1
+        os.remove(os.path.join(_versions_dir(path), f"v{v}.json"))
+    return {"snapshots_removed": len(drop), "files_removed": removed_files,
+            "snapshots_kept": keep}
 
 
 def has_manifest(path: str) -> bool:

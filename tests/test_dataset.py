@@ -539,3 +539,43 @@ def test_manifest_versioning_time_travel(spark, sf_dir, tmp_path):
     # overwrite restarts history with the table
     first.write_parquet(p)
     assert list_versions(p) == [1]
+
+
+def test_compact_then_vacuum_lifecycle(spark, sf_dir, tmp_path):
+    """OPTIMIZE + VACUUM: compaction rewrites small files into merged
+    ones and swaps the manifest; older pins keep reading their exact
+    snapshot until vacuum expires them and reclaims the superseded
+    files; the current view is untouched throughout."""
+    from padawan_spark import (Dataset, compact_parquet, list_versions,
+                               scan_parquet, vacuum)
+    from padawan_spark.queries.registry import load
+
+    p = str(tmp_path / "opt")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    (Dataset(spark, n.where(F.col("n_nationkey") < 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(p))
+    (Dataset(spark, n.where(F.col("n_nationkey") >= 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(p, append=True))
+    total = n.count()
+    files_before = len(scan_parquet(spark, p)._files)
+
+    ds = compact_parquet(spark, p, rows_per_partition=1000)
+    assert list_versions(p) == [1, 2, 3]
+    assert ds.df.count() == total
+    assert len(ds._files) < files_before         # actually merged
+    # the pre-compaction pin still reads the ORIGINAL small files
+    v2 = scan_parquet(spark, p, version=2)
+    assert v2.df.count() == total
+    assert len(v2._files) == files_before
+
+    import os
+    res = vacuum(p, keep_last=1)
+    assert res["snapshots_removed"] == 2
+    assert res["files_removed"] > 0              # superseded files reclaimed
+    assert list_versions(p) == [3]
+    assert scan_parquet(spark, p).df.count() == total
+    # every surviving listed file exists; the reclaimed ones are gone
+    cur = scan_parquet(spark, p)
+    assert all(os.path.exists(f) for f in cur._files)
