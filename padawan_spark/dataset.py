@@ -738,22 +738,45 @@ class Dataset:
             with track_progress(self.spark, progress):
                 return self.write_parquet(path, append=append,
                                           manifest_table=manifest_table)
-        old = None
         if append:
             _require(_meta.has_manifest(path), AppendError,
                      f"cannot append: no manifest at {path}")
-            old = _meta.load_manifest(path)
-            _require(old.index_columns == self.index_columns, AppendError,
-                     f"index columns differ: {old.index_columns} vs "
-                     f"{self.index_columns}")
-            before = set(_list_parquet(path))
-            self.df.write.mode("append").parquet(path)
-            new_files = sorted(set(_list_parquet(path)) - before)
-        else:
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            self.df.write.mode("overwrite").parquet(path)
-            new_files = sorted(_list_parquet(path))
+            # single-writer guard: appends read-modify-write the manifest,
+            # so two concurrent appenders would silently drop one side's
+            # files from it.  An exclusive lock file makes the second
+            # writer FAIL LOUDLY instead (advisory — same-filesystem
+            # only; on object stores this is a conditional-put/commit-
+            # service concern, which is exactly what the lakehouse
+            # formats exist to provide).
+            lock = os.path.join(path, "_padawan_append.lock")
+            try:
+                lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise AppendError(
+                    f"concurrent append in progress at {path} (stale lock? "
+                    f"remove {lock})") from None
+            os.write(lock_fd, str(os.getpid()).encode())
+            os.close(lock_fd)
+            try:
+                old = _meta.load_manifest(path)
+                _require(old.index_columns == self.index_columns, AppendError,
+                         f"index columns differ: {old.index_columns} vs "
+                         f"{self.index_columns}")
+                before = set(_list_parquet(path))
+                self.df.write.mode("append").parquet(path)
+                new_files = sorted(set(_list_parquet(path)) - before)
+                return self._finish_write(path, old, new_files,
+                                          manifest_table)
+            finally:
+                os.unlink(lock)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self.df.write.mode("overwrite").parquet(path)
+        new_files = sorted(_list_parquet(path))
+        return self._finish_write(path, None, new_files, manifest_table)
+
+    def _finish_write(self, path: str, old, new_files, manifest_table: bool
+                      ) -> "Dataset":
 
         sizes_by_file = _file_stats(self.spark, [os.path.join(path, f) for f in new_files],
                                     self.index_columns)

@@ -579,3 +579,41 @@ def test_compact_then_vacuum_lifecycle(spark, sf_dir, tmp_path):
     # every surviving listed file exists; the reclaimed ones are gone
     cur = scan_parquet(spark, p)
     assert all(os.path.exists(f) for f in cur._files)
+
+
+def test_append_lock_guards_concurrent_writers(spark, sf_dir, tmp_path):
+    """A second appender must fail loudly while a lock is held, the
+    lock is released after both success and failure, and a failed
+    append never corrupts the manifest."""
+    import os
+
+    from padawan_spark import AppendError, Dataset, scan_parquet
+    from padawan_spark.queries.registry import load
+
+    p = str(tmp_path / "locked")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ds = Dataset(spark, n.where(F.col("n_nationkey") < 10),
+                 index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+    ds.write_parquet(p)
+    lock = os.path.join(p, "_padawan_append.lock")
+
+    # simulate a concurrent appender holding the lock
+    with open(lock, "w") as fh:
+        fh.write("999")
+    tail = Dataset(spark, n.where(F.col("n_nationkey") >= 10),
+                   index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+    with pytest.raises(AppendError, match="concurrent append"):
+        tail.write_parquet(p, append=True)
+    os.unlink(lock)
+
+    # a failing append (index mismatch) must release the lock...
+    bad = Dataset(spark, n.withColumnRenamed("n_nationkey", "k"),
+                  index_columns=("k",)).reindex(("k",))
+    with pytest.raises(AppendError, match="index columns differ"):
+        bad.write_parquet(p, append=True)
+    assert not os.path.exists(lock)
+    # ...so a correct append then succeeds and the manifest is intact
+    out = tail.write_parquet(p, append=True)
+    assert out.df.count() == n.count()
+    assert not os.path.exists(lock)
+    assert scan_parquet(spark, p).known_bounds
