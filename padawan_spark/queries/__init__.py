@@ -47,7 +47,8 @@ for _m in _SUITES:
 #   adv_: salted_agg percentiles approx_distinct json_roundtrip
 #     orc_roundtrip union_evolved profile_summary approx_quantile
 #     salted_join asof_forward merge_schema_read percentile_disc
-#     scd2_dimension  (13)
+#     scd2_dimension csv_roundtrip  (14)  [+ ana_grouping_id — both
+#     displaced from the r3 head by late-round changed-code sentinels]
 #   round-3 additions: dedup_minhash_estimate text_repetition_metrics
 #     ev_bot_detection mm_chunk_manifest scale_skew_metrics
 #     text_pseudonymize graph_triangle_count ev_session_concurrency
@@ -90,12 +91,14 @@ _HEAD = [
     # text analysis remainder (never checked)
     "text_lang_id", "text_fingerprint", "text_bpe_tokens", "text_wordcount",
     "text_pii_scrub", "text_ngram_freq",
-    # analytics / formats representatives (never checked)
-    "ana_grouping_id", "adv_csv_roundtrip",
     # sentinels: dataset.py ops changed this round
     "op_concat_union", "op_map_partitions", "op_repartition_range",
     # sentinels: spread()-widened hot pipelines
     "dedup_minhash_lsh", "text_quality_score",
+    # sentinels: late-round changes — the CC loop now iterates the
+    # connected subgraph only, and write_parquet gained the append
+    # lock + snapshot archiving (regressions must stay driver-visible)
+    "scale_dedup_clusters", "op_write_roundtrip",
 ]
 
 
