@@ -62,7 +62,7 @@ for _m in _SUITES:
 #     udf_window_agg udf_grouped_map_arrow pipe_epoch_shuffle
 #     scale_approx_topk scale_theta_rollup scale_theta_retention
 #     pipe_feature_hashing ev_downsample_lttb adv_constraint_audit
-#     op_time_travel op_incremental_read  (40)
+#     op_time_travel op_incremental_read streaming_manifest_tail  (41)
 _HEAD = [
     # graph suite (never checked; _users = scale-honest vertex set)
     "graph_pagerank", "graph_pagerank_users", "graph_degree_stats",

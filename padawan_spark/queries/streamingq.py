@@ -142,3 +142,50 @@ def streaming_custom_source(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name).select("bucket", "n", "sum_sq")
+
+
+@query("streaming_manifest_tail", oracle="""
+SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY n_regionkey
+""")
+def streaming_manifest_tail(spark, sf_dir):
+    """Stream the VERSION HISTORY of a manifest dataset (the
+    change-data-feed read as a live stream): each archived snapshot's
+    file delta becomes a micro-batch of the ``padawan_tail`` custom
+    source — offsets are version numbers, latestOffset is the on-disk
+    version list (external truth, restart-safe), and every new file is
+    one task-parallel InputPartition.  Here the dataset is written in
+    two pinned versions and tailed from zero; the complete-mode fold
+    over both deltas must equal the batch oracle over the whole
+    table — the streaming twin of op_incremental_read."""
+    import os
+    import tempfile
+    import uuid
+    from pyspark.sql import functions as F
+    from ..dataset import Dataset
+    from ..sources import register_python_sources
+    from .registry import load as _load
+    register_python_sources(spark)
+    n = _load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name")
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_tail_"), "nation")
+    (Dataset(spark, n.where(F.col("n_nationkey") < 12),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target))
+    (Dataset(spark, n.where(F.col("n_nationkey") >= 12),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target, append=True))
+    src = (spark.readStream.format("padawan_tail")
+           .schema("n_nationkey bigint, n_regionkey bigint, n_name string")
+           .option("path", target).load())
+    agg = (src.groupBy("n_regionkey")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum")))
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("n_regionkey", "n", "key_sum")

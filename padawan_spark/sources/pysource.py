@@ -106,6 +106,7 @@ def register_python_sources(spark) -> None:
     """Idempotently register the in-tree Python data sources."""
     spark.dataSource.register(SequenceSource)
     spark.dataSource.register(JsonlSink)
+    spark.dataSource.register(ManifestTailSource)
 
 
 # ---------------------------------------------------------------------------
@@ -188,3 +189,73 @@ def read_jsonl_sink(spark, path, schema):
         manifest = _json.load(fh)
     files = [_os.path.join(path, f) for f in manifest["files"]]
     return spark.read.schema(schema).json(files)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-tailing STREAM source: the snapshot history of a manifest-
+# versioned dataset (dataset.write_parquet archives one version per
+# write) is treated as a commit log — offsets are version numbers, and
+# each micro-batch reads exactly the files ADDED between two versions
+# (the same delta op_incremental_read consumes in batch).  latestOffset
+# reports the on-disk version list (external truth → checkpoint-restart
+# safe), and each new file is one InputPartition, so a batch of many
+# appended files reads task-parallel.  This is the "table as a stream" /
+# change-data-feed idea of the lakehouse formats, on the padawan
+# manifest.
+# ---------------------------------------------------------------------------
+
+
+class _ManifestTailReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def initialOffset(self):
+        return {"v": 0}
+
+    def latestOffset(self):
+        from .. import metadata as _meta
+        vs = _meta.list_versions(self.path)
+        return {"v": vs[-1] if vs else 0}
+
+    def _files_of(self, version: int) -> list:
+        from .. import metadata as _meta
+        if version <= 0:
+            return []
+        return list(_meta.load_manifest(self.path, version=version).files)
+
+    def partitions(self, start, end):
+        import os as _os
+        lo, hi = start["v"], end["v"]
+        if hi <= lo:
+            return [InputPartition(None)]
+        seen = set(self._files_of(lo))
+        new = []
+        for v in range(lo + 1, hi + 1):
+            for f in self._files_of(v):
+                if f not in seen:
+                    seen.add(f)
+                    new.append(_os.path.join(self.path, f))
+        return [InputPartition(p) for p in new] or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+        for row in pq.read_table(partition.value).to_pylist():
+            yield tuple(row.values())
+
+    def commit(self, end):
+        pass  # snapshots are retained until metadata.vacuum
+
+
+class ManifestTailSource(DataSource):
+    """``spark.readStream.format("padawan_tail").schema(...)
+    .option("path", dataset_dir)`` — stream the version history of a
+    manifest dataset; user-provided schema must match the table."""
+
+    @classmethod
+    def name(cls):
+        return "padawan_tail"
+
+    def streamReader(self, schema):
+        return _ManifestTailReader(self.options)
