@@ -743,32 +743,25 @@ class Dataset:
                      f"cannot append: no manifest at {path}")
             # single-writer guard: appends read-modify-write the manifest,
             # so two concurrent appenders would silently drop one side's
-            # files from it.  An exclusive lock file makes the second
-            # writer FAIL LOUDLY instead (advisory — same-filesystem
-            # only; on object stores this is a conditional-put/commit-
-            # service concern, which is exactly what the lakehouse
-            # formats exist to provide).
-            lock = os.path.join(path, "_padawan_append.lock")
+            # files from it.  The whole critical section runs inside the
+            # injectable commit lock (metadata.commit_lock — default: an
+            # exclusive lock file, same-filesystem only; object-store
+            # deployments inject a conditional-put via set_commit_lock),
+            # so the second writer FAILS LOUDLY instead.
             try:
-                lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                raise AppendError(
-                    f"concurrent append in progress at {path} (stale lock? "
-                    f"remove {lock})") from None
-            os.write(lock_fd, str(os.getpid()).encode())
-            os.close(lock_fd)
-            try:
-                old = _meta.load_manifest(path)
-                _require(old.index_columns == self.index_columns, AppendError,
-                         f"index columns differ: {old.index_columns} vs "
-                         f"{self.index_columns}")
-                before = set(_list_parquet(path))
-                self.df.write.mode("append").parquet(path)
-                new_files = sorted(set(_list_parquet(path)) - before)
-                return self._finish_write(path, old, new_files,
-                                          manifest_table)
-            finally:
-                os.unlink(lock)
+                with _meta.commit_lock(path, "append"):
+                    old = _meta.load_manifest(path)
+                    _require(old.index_columns == self.index_columns,
+                             AppendError,
+                             f"index columns differ: {old.index_columns} vs "
+                             f"{self.index_columns}")
+                    before = set(_list_parquet(path))
+                    self.df.write.mode("append").parquet(path)
+                    new_files = sorted(set(_list_parquet(path)) - before)
+                    return self._finish_write(path, old, new_files,
+                                              manifest_table)
+            except _meta.CommitConflictError as e:
+                raise AppendError(str(e)) from None
         if os.path.exists(path):
             shutil.rmtree(path)
         self.df.write.mode("overwrite").parquet(path)
@@ -1129,28 +1122,41 @@ def compact_parquet(spark: SparkSession, path: str,
     (``scan_parquet(version=k)``) keep reading their exact snapshot;
     :func:`padawan_spark.metadata.vacuum` reclaims them once their
     snapshots expire.  Same shape as Delta/Iceberg OPTIMIZE+VACUUM:
-    compaction is a data rewrite + manifest swap, never a delete."""
+    compaction is a data rewrite + manifest swap, never a delete.
+
+    Concurrency: the read-manifest → rewrite → publish sequence is the
+    same lost-update window as append, so it holds the SAME commit lock
+    (``metadata.commit_lock``) for its whole duration — a compaction
+    racing a concurrent append now fails loudly on one side instead of
+    silently dropping the appended files from the new manifest."""
     _require(_meta.has_manifest(path), ValueError,
              f"compact_parquet requires a manifest at {path}")
-    ds = scan_parquet(spark, path)
-    comp = ds.collate(rows_per_partition)
-    before = set(_list_parquet(path))
-    comp.df.write.mode("append").parquet(path)
-    new_files = sorted(set(_list_parquet(path)) - before)
-    stats = _file_stats(spark, [os.path.join(path, f) for f in new_files],
-                        ds.index_columns)
+    with _meta.commit_lock(path, "compact"):
+        ds = scan_parquet(spark, path)
+        comp = ds.collate(rows_per_partition)
+        before = set(_list_parquet(path))
+        comp.df.write.mode("append").parquet(path)
+        new_files = sorted(set(_list_parquet(path)) - before)
+        stats = _file_stats(spark, [os.path.join(path, f) for f in new_files],
+                            ds.index_columns)
 
-    def _k(f):
-        return os.path.abspath(os.path.join(path, f))
-    kept = [f for f in new_files if _k(f) in stats]
-    old = _meta.load_manifest(path)
-    man = _meta.Manifest(
-        index_columns=ds.index_columns, files=kept,
-        sizes=[stats[_k(f)][0] for f in kept],
-        lower_bounds=[stats[_k(f)][1] for f in kept] if ds.index_columns else [() for _ in kept],
-        upper_bounds=[stats[_k(f)][2] for f in kept] if ds.index_columns else [() for _ in kept],
-        max_partition_index=old.max_partition_index + len(kept),
-        schema_json=ds.df.schema.json(),
-    )
-    _meta.write_manifest(path, man)
+        def _k(f):
+            return os.path.abspath(os.path.join(path, f))
+        kept = [f for f in new_files if _k(f) in stats]
+        old = _meta.load_manifest(path)
+        man = _meta.Manifest(
+            index_columns=ds.index_columns, files=kept,
+            sizes=[stats[_k(f)][0] for f in kept],
+            lower_bounds=[stats[_k(f)][1] for f in kept] if ds.index_columns else [() for _ in kept],
+            upper_bounds=[stats[_k(f)][2] for f in kept] if ds.index_columns else [() for _ in kept],
+            max_partition_index=old.max_partition_index + len(kept),
+            schema_json=ds.df.schema.json(),
+        )
+        _meta.write_manifest(path, man)
+        # a dataset written with manifest_table=True also carries the
+        # parquet manifest-TABLE form; leaving it listing the superseded
+        # small files would dangle after vacuum — refresh it in the same
+        # commit (mirrors _finish_write's manifest_table handling)
+        if os.path.isdir(_meta.manifest_table_path(path)):
+            _meta.write_manifest_table(spark, path, man)
     return scan_parquet(spark, path)

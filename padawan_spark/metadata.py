@@ -23,6 +23,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import json
 import os
@@ -32,6 +33,60 @@ from dataclasses import dataclass, field
 METADATA_FILE = "_padawan_metadata.json"
 SCHEMA_FILE = "_padawan_schema.json"
 VERSIONS_DIR = "_padawan_versions"
+LOCK_FILE = "_padawan_append.lock"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer holds the manifest commit lock for this path."""
+
+
+@contextlib.contextmanager
+def _file_commit_lock(path: str, purpose: str):
+    """Default commit-serialization primitive: an ``O_EXCL`` lock file.
+
+    Advisory and SAME-FILESYSTEM only — on an object store two writers
+    can still race, which is why the whole critical section is behind
+    :func:`set_commit_lock`: production deployments inject a
+    conditional-put / commit-service implementation (the mechanism the
+    lakehouse table formats standardize) without touching any caller.
+    """
+    lock = os.path.join(path, LOCK_FILE)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent {purpose} in progress at {path} (stale lock? "
+            f"remove {lock})") from None
+    os.write(fd, f"{os.getpid()} {purpose}".encode())
+    os.close(fd)
+    try:
+        yield
+    finally:
+        os.unlink(lock)
+
+
+_COMMIT_LOCK = _file_commit_lock
+
+
+def set_commit_lock(factory) -> None:
+    """Inject the manifest-commit serialization primitive.
+
+    ``factory(path, purpose)`` must return a context manager; entering
+    it acquires exclusive commit rights on ``path`` (raising
+    :class:`CommitConflictError` — loudly — when another writer holds
+    them) and exiting releases.  Every manifest read-modify-write in the
+    engine (append, compaction, vacuum) runs inside one acquisition, so
+    swapping in an object-store conditional-put or a commit service is
+    this one call.  Pass ``None`` to restore the default file lock.
+    """
+    global _COMMIT_LOCK
+    _COMMIT_LOCK = factory if factory is not None else _file_commit_lock
+
+
+def commit_lock(path: str, purpose: str):
+    """The injected commit-lock context manager for ``path`` (see
+    :func:`set_commit_lock`)."""
+    return _COMMIT_LOCK(path, purpose)
 
 _TIMEDELTA_RE = re.compile(r"^(-?\d+)d(-?\d+)s(-?\d+)u$")
 
@@ -204,21 +259,25 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
     are embarrassingly parallel."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    vs = list_versions(path)
-    drop = vs[:-keep_last] if len(vs) > keep_last else []
-    keep = [v for v in vs if v not in drop]
-    referenced = set(load_manifest(path).files)
-    for v in keep:
-        referenced.update(load_manifest(path, version=v).files)
-    removed_files = 0
-    for v in drop:
-        for f in load_manifest(path, version=v).files:
-            if f not in referenced:
-                fp = os.path.join(path, f)
-                if os.path.exists(fp):
-                    os.remove(fp)
-                    removed_files += 1
-        os.remove(os.path.join(_versions_dir(path), f"v{v}.json"))
+    # vacuum mutates the directory (deletes files + snapshots) based on a
+    # read of the version history — the same read-modify-write shape as
+    # append/compaction, so it serializes through the same commit lock
+    with commit_lock(path, "vacuum"):
+        vs = list_versions(path)
+        drop = vs[:-keep_last] if len(vs) > keep_last else []
+        keep = [v for v in vs if v not in drop]
+        referenced = set(load_manifest(path).files)
+        for v in keep:
+            referenced.update(load_manifest(path, version=v).files)
+        removed_files = 0
+        for v in drop:
+            for f in load_manifest(path, version=v).files:
+                if f not in referenced:
+                    fp = os.path.join(path, f)
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                        removed_files += 1
+            os.remove(os.path.join(_versions_dir(path), f"v{v}.json"))
     return {"snapshots_removed": len(drop), "files_removed": removed_files,
             "snapshots_kept": keep}
 

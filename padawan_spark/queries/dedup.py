@@ -334,8 +334,41 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup, blocked by label (IVF-style: candidates only
-# within a block — at scale the block is a coarse quantizer cell)
+# within a block — at scale the block is a coarse quantizer cell).
+#
+# CELL-CAPPED: blocking alone leaves one degenerate hot cell quadratic
+# (|cell|² pairs), so the lower-id "keeper" side of the within-cell pair
+# join is restricted to the cell's first _CELL_CAP members by vec_id —
+# fan-out per cell is then O(cap × |cell|), linear, and a pathological
+# cluster at corpus scale can no longer cross-join itself (the vector
+# analogue of _DF_CAP on the Jaccard verify join).  Every vector still
+# gets compared against the cell's canonical low-id representatives,
+# which is exactly what the SemDeDup greedy keep-lowest rule consumes.
 # ---------------------------------------------------------------------------
+
+_CELL_CAP = 64       # max lower-id representatives per cell in pair joins
+
+_DUCK_REPS = f"""reps AS (
+  SELECT * FROM (
+    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+    FROM embeddings e) WHERE rk <= {_CELL_CAP})"""
+
+
+def _cell_capped_pairs(withn: DataFrame):
+    """(a, b) candidate pairs within label cells, a.vec_id < b.vec_id,
+    with the a-side capped to the cell's first ``_CELL_CAP`` members.
+
+    The row_number window shuffles once on the cell key (the same key
+    the pair join needs, so Catalyst reuses the exchange); the rank
+    filter bounds the join's per-cell fan-out at cap × |cell|."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (withn.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _CELL_CAP).drop("rk"))
+    a, b = reps.alias("a"), withn.alias("b")
+    return a.join(b, (F.col("a.label") == F.col("b.label"))
+                  & (F.col("a.vec_id") < F.col("b.vec_id")))
+
 
 _DUCK_DOT = ("list_reduce(list_transform(range(1, 65),"
              " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
@@ -346,9 +379,10 @@ _DUCK_NORM = ("sqrt(list_reduce(list_transform(range(1, 65),"
 
 
 @query("dedup_embedding_cosine", oracle=f"""
+WITH {_DUCK_REPS}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}) AS cosine
-FROM embeddings a JOIN embeddings b
+FROM reps a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}) >= 0.4
 """)
@@ -357,12 +391,9 @@ def dedup_embedding_cosine(spark, sf_dir):
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
     norm = "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
     withn = e.withColumn("nrm", F.expr(norm.format(v="emb")))
-    a = withn.alias("a")
-    b = withn.alias("b")
     dot = F.expr("aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (a.join(b, (F.col("a.label") == F.col("b.label"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    return (_cell_capped_pairs(withn)
             .where(cos >= 0.4)
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
@@ -658,9 +689,10 @@ _SEM_THETA = 0.4     # cosine threshold for "semantically duplicate"
 
 
 @query("dedup_semantic", oracle=f"""
-WITH drop AS (
+WITH {_DUCK_REPS},
+drop AS (
   SELECT DISTINCT b.vec_id
-  FROM embeddings a JOIN embeddings b
+  FROM reps a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')})
         >= {_SEM_THETA})
@@ -669,29 +701,30 @@ SELECT e.vec_id, e.label,
 FROM embeddings e LEFT JOIN drop d ON e.vec_id = d.vec_id
 """)
 def dedup_semantic(spark, sf_dir):
-    """SemDeDup-style semantic pruning: a vector is DROPPED when some
-    lower-id vector in the same cluster sits within the cosine
-    threshold — the deterministic greedy rule (scan order = id order)
-    production semantic-dedup passes use, so exactly one representative
-    of every tight semantic group survives.
+    """SemDeDup-style semantic pruning: a vector is DROPPED when one of
+    its cell's low-id representatives (the first ``_CELL_CAP`` members
+    by vec_id) with a lower id sits within the cosine threshold — the
+    deterministic greedy rule (scan order = id order) production
+    semantic-dedup passes use, so exactly one representative of every
+    tight semantic group survives.
 
     Plan: the near-neighbor pair join is blocked by cluster (equi-join
-    on label — at scale a coarse-quantizer cell, never a cross join);
-    the drop set is a distinct projection of the pair table and comes
-    back as a LEFT join to flag rows.  Cosines are left-to-right
-    double folds, bit-identical across engines (dedup_embedding_cosine
-    policy)."""
+    on label — at scale a coarse-quantizer cell, never a cross join)
+    AND cell-capped via :func:`_cell_capped_pairs`, so a degenerate hot
+    cluster costs cap × |cell| comparisons instead of |cell|² (the
+    _DF_CAP discipline applied to vectors); the drop set is a distinct
+    projection of the pair table and comes back as a LEFT join to flag
+    rows.  Cosines are left-to-right double folds, bit-identical across
+    engines (dedup_embedding_cosine policy)."""
     e = load(spark, sf_dir, "embeddings", wide=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
     norm = ("sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), 0D,"
             " (acc, x) -> acc + x))")
     withn = e.withColumn("nrm", F.expr(norm.format(v="emb")))
-    a, b = withn.alias("a"), withn.alias("b")
     dot = F.expr("aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D,"
                  " (acc, x) -> acc + x)")
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    drop = (a.join(b, (F.col("a.label") == F.col("b.label"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    drop = (_cell_capped_pairs(withn)
             .where(cos >= _SEM_THETA)
             .select(F.col("b.vec_id").alias("vec_id"))
             .distinct()

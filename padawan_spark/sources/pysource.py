@@ -217,21 +217,56 @@ class _ManifestTailReader(DataSourceStreamReader):
         vs = _meta.list_versions(self.path)
         return {"v": vs[-1] if vs else 0}
 
-    def _files_of(self, version: int) -> list:
+    def _files_of(self, version: int) -> list | None:
+        """Files of a snapshot; ``None`` when that snapshot no longer
+        exists (expired by ``metadata.vacuum``, or history was reset by
+        an overwrite)."""
         from .. import metadata as _meta
         if version <= 0:
             return []
-        return list(_meta.load_manifest(self.path, version=version).files)
+        try:
+            return list(_meta.load_manifest(self.path, version=version).files)
+        except FileNotFoundError:
+            return None
 
     def partitions(self, start, end):
         import os as _os
         lo, hi = start["v"], end["v"]
+        if hi < lo:
+            # version history only grows under append; a LOWER latest
+            # version means the table was overwritten (rmtree resets
+            # history to v1) under an active stream — the checkpointed
+            # offset no longer describes this table's history, so fail
+            # with guidance instead of silently re-emitting rows
+            raise RuntimeError(
+                f"padawan_tail: version history at {self.path} regressed "
+                f"from v{lo} to v{hi} — the dataset was overwritten under "
+                "an active stream.  The old checkpoint does not describe "
+                "the new table; restart the stream with a fresh "
+                "checkpointLocation to stream it from scratch.")
         if hi <= lo:
             return [InputPartition(None)]
-        seen = set(self._files_of(lo))
+        base = self._files_of(lo)
+        if base is None:
+            # the checkpointed snapshot was expired by vacuum: the delta
+            # base is gone, so "files added since lo" is unanswerable —
+            # fail loudly rather than regress offsets or re-emit history
+            raise RuntimeError(
+                f"padawan_tail: checkpointed snapshot v{lo} at {self.path} "
+                "no longer exists (expired by metadata.vacuum).  Keep at "
+                "least the snapshots an active stream may restart from "
+                "(vacuum keep_last), or restart the stream with a fresh "
+                "checkpointLocation.")
+        seen = set(base)
         new = []
         for v in range(lo + 1, hi + 1):
-            for f in self._files_of(v):
+            files = self._files_of(v)
+            if files is None:
+                # an INTERMEDIATE snapshot expired: safe to skip — file
+                # lists are cumulative, so anything it added and a later
+                # retained snapshot still references shows up there
+                continue
+            for f in files:
                 if f not in seen:
                     seen.add(f)
                     new.append(_os.path.join(self.path, f))
@@ -251,7 +286,17 @@ class _ManifestTailReader(DataSourceStreamReader):
 class ManifestTailSource(DataSource):
     """``spark.readStream.format("padawan_tail").schema(...)
     .option("path", dataset_dir)`` — stream the version history of a
-    manifest dataset; user-provided schema must match the table."""
+    manifest dataset; user-provided schema must match the table.
+
+    Contract under table maintenance (same caveats as any change-data
+    feed): ``write_parquet(append=True)`` is the supported producer.
+    An OVERWRITE resets version history and breaks the stream (loud
+    error on restart — fresh checkpoint required); a VACUUM that
+    expires the snapshot a checkpoint restarts from also fails loudly
+    (keep enough snapshots for your longest stream outage); a
+    COMPACTION re-emits already-streamed rows, because merged files are
+    genuinely new files in the manifest delta — downstream consumers
+    that must be compaction-proof should deduplicate on a row key."""
 
     @classmethod
     def name(cls):

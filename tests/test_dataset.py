@@ -617,3 +617,167 @@ def test_append_lock_guards_concurrent_writers(spark, sf_dir, tmp_path):
     assert out.df.count() == n.count()
     assert not os.path.exists(lock)
     assert scan_parquet(spark, p).known_bounds
+
+
+def test_compact_and_vacuum_hold_the_commit_lock(spark, sf_dir, tmp_path):
+    """ADVICE r3: compact_parquet and vacuum perform the same manifest
+    read-modify-write as append, so they must serialize through the
+    same commit lock — a held lock makes them fail loudly, never
+    publish a manifest built from a stale snapshot."""
+    from padawan_spark import Dataset, compact_parquet
+    from padawan_spark.metadata import (CommitConflictError, LOCK_FILE,
+                                        vacuum)
+    from padawan_spark.queries.registry import load
+
+    p = str(tmp_path / "cl")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    (Dataset(spark, n, index_columns=("n_nationkey",))
+     .reindex(("n_nationkey",)).write_parquet(p))
+    lock = os.path.join(p, LOCK_FILE)
+    with open(lock, "w") as fh:
+        fh.write("999 append")
+    with pytest.raises(CommitConflictError, match="concurrent compact"):
+        compact_parquet(spark, p, rows_per_partition=1000)
+    with pytest.raises(CommitConflictError, match="concurrent vacuum"):
+        vacuum(p, keep_last=1)
+    os.unlink(lock)
+    # with the lock free both succeed and release it
+    compact_parquet(spark, p, rows_per_partition=1000)
+    vacuum(p, keep_last=1)
+    assert not os.path.exists(lock)
+
+
+def test_compact_refreshes_manifest_table(spark, sf_dir, tmp_path):
+    """ADVICE r3: for datasets written with manifest_table=True the
+    parquet manifest-table form must be refreshed by compaction —
+    otherwise it keeps listing superseded small files that dangle once
+    vacuum reclaims them."""
+    from padawan_spark import Dataset, compact_parquet
+    from padawan_spark.metadata import load_manifest, manifest_from_table, vacuum
+    from padawan_spark.queries.registry import load
+
+    p = str(tmp_path / "mt")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    (Dataset(spark, n.where(F.col("n_nationkey") < 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(p, manifest_table=True))
+    (Dataset(spark, n.where(F.col("n_nationkey") >= 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(p, append=True, manifest_table=True))
+    compact_parquet(spark, p, rows_per_partition=1000)
+    cur = load_manifest(p)
+    tbl = manifest_from_table(spark, p)
+    assert tbl.files == cur.files          # table form tracks the swap
+    vacuum(p, keep_last=1)
+    # every file the table form lists still exists after vacuum
+    assert all(os.path.exists(os.path.join(p, f)) for f in tbl.files)
+
+
+def test_commit_lock_injection_two_writer_race(spark, sf_dir, tmp_path):
+    """The commit critical section is injectable (object-store
+    conditional-put hook): with an injected lock, two overlapping
+    appenders produce EXACTLY one winner; the loser fails loudly with
+    AppendError and the final manifest contains only base + winner."""
+    import contextlib
+    import threading
+
+    from padawan_spark import AppendError, Dataset, scan_parquet
+    from padawan_spark.metadata import (CommitConflictError, set_commit_lock)
+    from padawan_spark.queries.registry import load
+
+    p = str(tmp_path / "race")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = n.where(F.col("n_nationkey") < 10)
+    (Dataset(spark, base, index_columns=("n_nationkey",))
+     .reindex(("n_nationkey",)).write_parquet(p))
+
+    mu = threading.Lock()
+    inside = threading.Event()    # winner is inside the critical section
+    release = threading.Event()   # loser has observed the conflict
+    purposes = []
+
+    def injected(path, purpose):
+        @contextlib.contextmanager
+        def cm():
+            if not mu.acquire(blocking=False):
+                raise CommitConflictError(f"injected conflict: {purpose}")
+            purposes.append(purpose)
+            try:
+                inside.set()
+                release.wait(30)  # hold the commit open for the loser
+                yield
+            finally:
+                mu.release()
+        return cm()
+
+    winner_rows = n.where((F.col("n_nationkey") >= 10)
+                          & (F.col("n_nationkey") < 20))
+    loser_rows = n.where(F.col("n_nationkey") >= 20)
+    result = {}
+
+    def winner():
+        ds = (Dataset(spark, winner_rows, index_columns=("n_nationkey",))
+              .reindex(("n_nationkey",)))
+        result["winner"] = ds.write_parquet(p, append=True)
+
+    set_commit_lock(injected)
+    try:
+        t = threading.Thread(target=winner)
+        t.start()
+        assert inside.wait(30)
+        loser = (Dataset(spark, loser_rows, index_columns=("n_nationkey",))
+                 .reindex(("n_nationkey",)))
+        with pytest.raises(AppendError, match="injected conflict"):
+            loser.write_parquet(p, append=True)
+        release.set()
+        t.join(60)
+        assert not t.is_alive()
+    finally:
+        set_commit_lock(None)
+
+    assert purposes == ["append"]  # exactly one acquisition succeeded
+    got = scan_parquet(spark, p).df.count()
+    assert got == base.count() + winner_rows.count()  # loser left no trace
+
+
+def test_manifest_tail_handles_vacuum_and_overwrite(spark, sf_dir, tmp_path):
+    """ADVICE r3: the padawan_tail stream source must handle snapshot
+    history that did not only grow — a vacuumed base snapshot or an
+    overwrite-reset history fails loudly with guidance; vacuumed
+    INTERMEDIATE snapshots are skipped safely (file lists are
+    cumulative); a fresh start (v=0) after vacuum streams the current
+    retained files."""
+    from padawan_spark import Dataset
+    from padawan_spark.metadata import list_versions, vacuum
+    from padawan_spark.queries.registry import load
+    from padawan_spark.sources.pysource import _ManifestTailReader
+
+    p = str(tmp_path / "tail")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def part(lo, hi):
+        return Dataset(spark, n.where((F.col("n_nationkey") >= lo)
+                                      & (F.col("n_nationkey") < hi)),
+                       index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+
+    part(0, 5).write_parquet(p)                      # v1
+    part(5, 10).write_parquet(p, append=True)        # v2
+    part(10, 15).write_parquet(p, append=True)       # v3
+    part(15, 20).write_parquet(p, append=True)       # v4
+    rd = _ManifestTailReader({"path": p})
+    delta = [x.value for x in rd.partitions({"v": 1}, {"v": 2})]
+    assert len([d for d in delta if d]) > 0
+
+    vacuum(p, keep_last=2)                           # keeps v3, v4
+    assert list_versions(p) == [3, 4]
+    # base snapshot gone -> loud, actionable failure
+    with pytest.raises(RuntimeError, match="expired by metadata.vacuum"):
+        rd.partitions({"v": 1}, {"v": 4})
+    # intermediate snapshots gone, base v0 -> all retained files stream
+    fresh = [x.value for x in rd.partitions({"v": 0}, {"v": 4}) if x.value]
+    assert len(fresh) > 0
+    # overwrite resets history -> regressed offsets fail loudly
+    part(0, 20).write_parquet(p)                     # history back to v1
+    assert rd.latestOffset() == {"v": 1}
+    with pytest.raises(RuntimeError, match="overwritten under"):
+        rd.partitions({"v": 4}, {"v": 1})

@@ -572,3 +572,43 @@ def test_constraint_audit_fk_check_is_anti_join(spark):
     a = audit(j)
     assert not a.has_cartesian
     assert a.broadcast_nested_loop == 0, a.plan
+
+
+def test_semantic_dedup_cell_cap_bounds_fanout(spark):
+    """VERDICT r3 #2: within-cell pair generation must be CELL-CAPPED —
+    a degenerate hot cluster may cost at most _CELL_CAP × |cell|
+    comparisons, never |cell|² (the _DF_CAP discipline applied to the
+    SemDeDup / embedding-cosine pair joins)."""
+    from padawan_spark.queries.dedup import _CELL_CAP, _cell_capped_pairs
+
+    n = 4 * _CELL_CAP           # one hot cell, 4× over the cap
+    rows = [(i, 0, [1.0, 0.0], 1.0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, emb array<double>, nrm double")
+    cnt = _cell_capped_pairs(df).count()
+    # exact bound: rep i (rank i+1) pairs with every higher vec_id
+    assert cnt == sum(n - 1 - i for i in range(_CELL_CAP))
+    assert cnt <= _CELL_CAP * n          # linear in cell size
+    assert cnt < n * (n - 1) // 2        # quadratic path impossible
+
+
+def test_dedup_clusters_one_job_per_round(spark, sf_dir, monkeypatch):
+    """VERDICT r3 #3: the iterative CC loop folds convergence detection
+    into each round's checkpoint job via an Observation — no separate
+    per-round DataFrame.count() probe may run while the query builds."""
+    from pyspark.sql import DataFrame
+
+    from padawan_spark.queries import QUERIES
+
+    counts = []
+    orig = DataFrame.count
+
+    def spy(self):
+        counts.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    res = QUERIES["scale_dedup_clusters"](spark, sf_dir)
+    assert counts == []          # loop ran to convergence, zero count jobs
+    monkeypatch.undo()
+    assert res.count() > 0
