@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.multimodal import extract_image_features, fake_decode_image
+from ..functions.multimodal import (decode_image_pixels, encode_bmp_py,
+                                    extract_image_features, fake_decode_image)
 from .registry import load, query
 
 
@@ -175,3 +176,68 @@ def mm_binaryfile_ingest(spark, sf_dir):
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.hex("content")).alias("content_md5"))
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode, oracle-checked without media libraries: fixture
+# payloads are genuine uncompressed 24bpp BMP files synthesized from an
+# arithmetic pixel formula; the engine decodes them (PIL when present,
+# else the pure-Python struct-unpack BMP parser) down to pixels and
+# emits a position-weighted checksum.  The DuckDB oracle recomputes the
+# checksum FROM THE FORMULA — never from the decoder — so a decoder
+# that misreads dimensions, row padding, or BMP bottom-up row order
+# produces a mismatch.  Image 3 is stored top-down (negative height) to
+# exercise both orientations.
+# ---------------------------------------------------------------------------
+
+#            doc_id  width height top_down
+_BMP_SPECS = [(1,     13,   7,    False),    # odd width -> 3-byte row pad
+              (2,     16,   16,   False),
+              (3,     5,    9,    True)]
+
+
+def _bmp_pixel(x: int, y: int):
+    return ((3 * x + 7 * y) % 256,        # r
+            (5 * x + 11 * y) % 256,       # g
+            (x + y) % 256)                # b
+
+
+def _bmp_payload(w: int, h: int, top_down: bool) -> bytes:
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = _bmp_pixel(x, y)
+            px += bytes((b, g, r))        # top-down BGR, per the codec
+    return encode_bmp_py(w, h, bytes(px), top_down=top_down)
+
+
+def _bmp_oracle() -> str:
+    parts = []
+    for doc_id, w, h, _td in _BMP_SPECS:
+        chk = (f"(SELECT CAST(SUM((i + 1) * ((3 * (i % {w}) + 7 * (i // {w})) % 256"
+               f" + 2 * ((5 * (i % {w}) + 11 * (i // {w})) % 256)"
+               f" + 3 * (((i % {w}) + (i // {w})) % 256))) AS BIGINT)"
+               f" FROM range(0, {w * h}) t(i))")
+        parts.append(f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+                     f" {w} AS width, {h} AS height, 3 AS channels,"
+                     f" {chk} AS pix_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_decode", oracle=_bmp_oracle())
+def mm_real_decode(spark, sf_dir):
+    """REAL image decoding, executed in this container: three synthetic
+    uncompressed 24bpp BMP payloads (odd-width row padding, bottom-up
+    and top-down row orders) flow through the binary-column pipeline
+    and are decoded to pixels by :func:`decode_image_pixels` — PIL when
+    installed, else the dependency-free struct-unpack BMP parser.  The
+    output is (dimensions, channels, position-weighted pixel checksum);
+    the oracle recomputes the checksum from the pixel formula alone, so
+    agreement proves the decoder recovered every pixel in the right
+    position.  Scale shape: identical to any decode pass — Arrow-
+    batched mapInPandas over the payload column, embarrassingly
+    parallel, no shuffle."""
+    rows = [(doc_id, bytearray(_bmp_payload(w, h, td)))
+            for doc_id, w, h, td in _BMP_SPECS]
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_image_pixels(d)
