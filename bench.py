@@ -38,7 +38,19 @@ HEADLINE = [
     "sim_kmeans_train",
     # sub-document dedup: explode -> segment-df shuffle -> reassembly
     "dedup_segments",
+    # round-4 breadth: one heavy representative per previously-unbenched
+    # family, so regressions there are driver-visible
+    "text_tfidf",            # text analysis: two-level broadcast-df join
+    "dedup_ngram_jaccard",   # df-capped verify self-join
+    "ev_downsample_lttb",    # time series: two-level (series, day) window
+    "sim_ann_ivfpq",         # composed IVF routing + PQ ADC scoring
 ]
+
+# Iterative queries re-dispatch a fixed per-round job overhead; the
+# layout-normalized pass (more input splits) RAISES that overhead at
+# small SF, so a normalized number above the raw one for these names is
+# a layout artifact, not an engine regression (see BENCH notes field).
+ITERATIVE = ["graph_pagerank_users", "sim_kmeans_train"]
 
 
 def _latest_prev_bench() -> tuple[int | None, dict]:
@@ -95,7 +107,7 @@ def main() -> None:
         # run-to-run spread — give them a third pass.
         if name == "scale_bucketed_join":
             passes = 1
-        elif name in ("graph_pagerank_users", "sim_kmeans_train"):
+        elif name in ITERATIVE:
             passes = 3
         else:
             passes = 2
@@ -169,6 +181,13 @@ def main() -> None:
     if timings_norm:
         out["queries_normalized"] = timings_norm
         out["value_normalized"] = round(sum(timings_norm.values()), 3)
+        out["notes"] = {
+            "queries_normalized": (
+                "normalization rewrites inputs to 32 splits per table; "
+                "iterative queries (" + ", ".join(ITERATIVE) + ") pay a "
+                "fixed per-round job overhead that GROWS with split count "
+                "at small SF, so normalized > raw there is a layout "
+                "artifact, not an engine regression")}
 
     # Input-layout telemetry: a single-row-group parquet file cannot be
     # scan-parallelized by ANY engine (the row group is the split unit),

@@ -29,76 +29,65 @@ for _m in _SUITES:
 # registered; this is a stable re-ordering, not a filter.
 # ---------------------------------------------------------------------------
 
-# Round-3 rotation: rounds 1+2 drove 87 distinct queries green; this head
-# is 46 never-driver-checked entries (graph/pipe/scale/streaming/udf/sql/
-# ev/dedup/sim/mm/text remainders) plus sentinels over code paths that
-# CHANGED this round (spread()-widened loads, dataset.py concat/map/
-# repartition fixes) so regressions in touched code stay driver-visible.
+# Round-4 rotation (executes the plan VERDICT r3 endorsed): 45 entries
+# that have NEVER had a driver CORRECTNESS row — the full ana_/adv_
+# extended families plus ana_grouping_id, mm_real_decode (new this
+# round) and three round-3 additions — plus 5 sentinels over code that
+# CHANGED this round (cell-capped dedup pair joins, the Observation-
+# folded CC loop, the injectable commit lock on write/compact/vacuum,
+# the reset-aware manifest-tail reader).  Cumulative driver-green
+# coverage after this window: ~176/218.
 #
-# ROUND-4 ROTATION PLAN — the 46 still-unchecked entries, all green in
-# the tri-scale harness; next round's head should be these plus ~4
-# sentinels over whatever round 4 changes:
-#   ana_: json_extract topk_global unpivot win_ntile win_range_frame
-#     array_funcs stats_moments histogram posexplode string_agg
-#     filtered_agg set_ops_all null_semantics map_funcs win_first_last
-#     bitwise_agg percent_of_total gaps_islands try_functions
-#     islands_runs string_funcs_ext date_funcs_ext math_funcs
-#     xml_roundtrip variant_extract top_percent corr_matrix  (27)
-#   adv_: salted_agg percentiles approx_distinct json_roundtrip
-#     orc_roundtrip union_evolved profile_summary approx_quantile
-#     salted_join asof_forward merge_schema_read percentile_disc
-#     scd2_dimension csv_roundtrip  (14)  [+ ana_grouping_id — both
-#     displaced from the r3 head by late-round changed-code sentinels]
-#   round-3 additions: dedup_minhash_estimate text_repetition_metrics
-#     ev_bot_detection mm_chunk_manifest scale_skew_metrics
-#     text_pseudonymize graph_triangle_count ev_session_concurrency
-#     sim_pq_encode sim_pq_adc_topk adv_text_roundtrip
-#     streaming_outer_join pipe_length_batching text_bigram_logprob
-#     sim_kmeans_train graph_transition_matrix dedup_segments
-#     dedup_semantic sim_ann_ivfpq pipe_shard_manifest
-#     graph_bfs_distance text_cooccurrence pipe_dataset_card
-#     dedup_incremental graph_community_lpa ev_seasonal_baseline
-#     streaming_custom_source sql_scalar_udf mm_binaryfile_ingest
-#     udf_window_agg udf_grouped_map_arrow pipe_epoch_shuffle
-#     scale_approx_topk scale_theta_rollup scale_theta_retention
-#     pipe_feature_hashing ev_downsample_lttb adv_constraint_audit
-#     op_time_travel op_incremental_read streaming_manifest_tail  (41)
+# ROUND-5 ROTATION PLAN — the remaining never-checked entries, all
+# green in the tri-scale harness; next round's head should be these
+# plus sentinels over whatever round 5 changes:
+#   round-3 additions not yet rotated in: text_repetition_metrics
+#     ev_bot_detection scale_skew_metrics text_pseudonymize
+#     graph_triangle_count ev_session_concurrency sim_pq_encode
+#     sim_pq_adc_topk adv_text_roundtrip streaming_outer_join
+#     pipe_length_batching text_bigram_logprob graph_transition_matrix
+#     sim_ann_ivfpq pipe_shard_manifest graph_bfs_distance
+#     text_cooccurrence pipe_dataset_card dedup_incremental
+#     graph_community_lpa ev_seasonal_baseline streaming_custom_source
+#     sql_scalar_udf udf_window_agg udf_grouped_map_arrow
+#     pipe_epoch_shuffle scale_approx_topk scale_theta_rollup
+#     scale_theta_retention pipe_feature_hashing ev_downsample_lttb
+#     adv_constraint_audit op_time_travel op_incremental_read
+#     streaming_manifest_tail
+#   plus the rest of the registry tail never rotated (mm_fake_decode,
+#     mm_byte_histogram, ev_mad_outliers, text_tfidf, ...) — reconcile
+#     against CORRECTNESS_r0{1..4}.json when building the r5 head.
 _HEAD = [
-    # graph suite (never checked; _users = scale-honest vertex set)
-    "graph_pagerank", "graph_pagerank_users", "graph_degree_stats",
-    # dataloader-prep pipeline (never checked)
-    "pipe_hash_split", "pipe_sequence_packing", "pipe_weighted_mixture",
-    "text_chunk_windows",
-    # scale patterns remainder (never checked)
-    "scale_cms_topk", "scale_bucketed_join_read", "scale_rollup_compose",
-    "scale_partitioned_write", "scale_hash_sample", "scale_zorder_layout",
-    "scale_stratified_sample", "scale_incremental_rollup",
-    # structured streaming remainder (never checked, env-sensitive)
-    "streaming_sessionize", "streaming_dedup_watermark",
-    "streaming_static_join", "streaming_foreach_batch",
-    # UDF surface remainder (never checked)
-    "udf_grouped_map", "udf_batch_score",
-    # SQL frontend remainder (never checked)
-    "sql_lateral_topn", "sql_recursive_cte",
-    # events / time series remainder (never checked)
-    "ev_tumbling_window", "ev_sliding_window", "ev_gapfill", "ev_ohlc",
-    "ev_rolling_actives", "ev_funnel_steps", "ev_journey_similarity",
-    # dedup remainder (never checked)
-    "dedup_minhash_signatures", "dedup_simhash", "dedup_levenshtein",
-    "dedup_latest_version", "dedup_blocking_stats",
-    # similarity / multimodal remainder (never checked)
-    "sim_label_centroids", "mm_binary_stats",
-    # text analysis remainder (never checked)
-    "text_lang_id", "text_fingerprint", "text_bpe_tokens", "text_wordcount",
-    "text_pii_scrub", "text_ngram_freq",
-    # sentinels: dataset.py ops changed this round
-    "op_concat_union", "op_map_partitions", "op_repartition_range",
-    # sentinels: spread()-widened hot pipelines
-    "dedup_minhash_lsh", "text_quality_score",
-    # sentinels: late-round changes — the CC loop now iterates the
-    # connected subgraph only, and write_parquet gained the append
-    # lock + snapshot archiving (regressions must stay driver-visible)
-    "scale_dedup_clusters", "op_write_roundtrip",
+    # analytics extended family (27 — never driver-checked)
+    "ana_json_extract", "ana_topk_global", "ana_unpivot", "ana_win_ntile",
+    "ana_win_range_frame", "ana_array_funcs", "ana_stats_moments",
+    "ana_histogram", "ana_posexplode", "ana_string_agg", "ana_filtered_agg",
+    "ana_set_ops_all", "ana_null_semantics", "ana_map_funcs",
+    "ana_win_first_last", "ana_bitwise_agg", "ana_percent_of_total",
+    "ana_gaps_islands", "ana_try_functions", "ana_islands_runs",
+    "ana_string_funcs_ext", "ana_date_funcs_ext", "ana_math_funcs",
+    "ana_xml_roundtrip", "ana_variant_extract", "ana_top_percent",
+    "ana_corr_matrix",
+    # advanced joins/formats family (14 — never driver-checked)
+    "adv_salted_agg", "adv_percentiles", "adv_approx_distinct",
+    "adv_json_roundtrip", "adv_orc_roundtrip", "adv_union_evolved",
+    "adv_profile_summary", "adv_approx_quantile", "adv_salted_join",
+    "adv_asof_forward", "adv_merge_schema_read", "adv_percentile_disc",
+    "adv_scd2_dimension", "adv_csv_roundtrip",
+    # displaced from the r3 head; never driver-checked
+    "ana_grouping_id",
+    # NEW this round: real (struct-unpack BMP) image decode, pixel-
+    # checksum-verified — first driver check
+    "mm_real_decode",
+    # round-3 additions rotated in (never driver-checked; sim_kmeans_
+    # train stays in the bench head and rotates in r5)
+    "dedup_minhash_estimate", "dedup_segments",
+    # sentinels: code that CHANGED this round must stay driver-visible —
+    # cell-capped semantic/cosine pair joins, the Observation-folded CC
+    # convergence loop, the injectable commit lock under write_parquet,
+    # and the reset-aware manifest-tail stream reader
+    "dedup_semantic", "dedup_embedding_cosine", "scale_dedup_clusters",
+    "op_write_roundtrip", "streaming_manifest_tail",
 ]
 
 
