@@ -7,13 +7,21 @@ Convention (what a 100 TB multimodal corpus table looks like here):
     meta struct<width:int, height:int, channels:int, duration_ms:bigint>
 
 The Spark-side plumbing — schemas, batch iteration, partition-parallel
-UDF signatures — is real and tested.  IMAGE decode is real and runs in
-every environment: PIL when installed (any format), else a
-dependency-free ``struct``-unpack codec for uncompressed 24bpp BMP
-(:func:`decode_bmp_py`), oracle-checked end-to-end by the
-``mm_real_decode`` query.  Video/audio codec calls (ffmpeg/librosa)
-remain STUBBED — no such library ships in this container — raising
-``NotImplementedError`` unless the library imports; the deterministic
+UDF signatures — is real and tested.  All three modalities DECODE FOR
+REAL in every environment via dependency-free ``struct``-unpack codecs
+for the standard uncompressed containers, each oracle-checked
+end-to-end by a position-weighted checksum the oracle recomputes from
+the pixel/sample formula:
+
+- image: 24bpp BMP (:func:`decode_bmp_py`, query ``mm_real_decode``);
+  PIL takes priority when installed (any format);
+- audio: PCM WAV (:func:`decode_wav_py`, ``mm_real_audio_decode``);
+  soundfile takes priority when installed;
+- video: YUV4MPEG2 frame sampling (:func:`decode_y4m_py`,
+  ``mm_real_video_frames``); PyAV takes priority when installed.
+
+COMPRESSED formats (png/jpeg/mp3/h264/...) still require the real
+library and raise ``NotImplementedError`` without it; the deterministic
 ``fake_decode_image`` additionally stands in where format-agnostic
 plumbing tests need it.
 
@@ -244,21 +252,192 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Stub frame sampler: requires an ffmpeg binding."""
+# ---------------------------------------------------------------------------
+# pure-Python WAV (RIFF/PCM) codec: same policy as BMP — the standard
+# uncompressed container decodes with plain struct unpacking, so the
+# audio pipeline executes (and is oracle-checkable) without soundfile/
+# librosa.  Compressed formats still require the real library.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_py(b: bytes):
+    """Decode an uncompressed PCM WAV (RIFF chunk walk; 16-bit LE).
+
+    Returns ``(sample_rate, channels, bits, frames)`` where ``frames``
+    is the interleaved int16 sample sequence as a list."""
+    import struct
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload and soundfile is unavailable; only "
+            "uncompressed PCM WAV decodes without a media library")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)          # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"pure-Python WAV decode supports 16-bit PCM only "
+            f"(got format={audio_format}, bits={bits})")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[:2 * n]))
+    return rate, channels, bits, samples
+
+
+def encode_wav_py(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Encode int16 samples as an uncompressed PCM WAV (inverse of
+    :func:`decode_wav_py`; synthesizes fixtures and round-trip tests)."""
+    import struct
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+AUDIO_STATS_SCHEMA = ("doc_id bigint, sample_rate int, channels int, "
+                      "bit_depth int, n_samples bigint, "
+                      "sample_checksum bigint")
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Real audio decode: soundfile when present (any format), else the
+    pure-Python PCM-WAV parser — emits header facts plus a
+    position-weighted sample checksum ``sum((i + 1) * s_i)`` so a
+    decoder that drops, reorders, or sign-flips samples is caught by
+    the oracle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _require_lib("av")
-        yield from it  # pragma: no cover
+        import numpy as np
+        try:
+            import soundfile as _sf
+        except ImportError:
+            _sf = None
+        import io
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                if _sf is not None:
+                    data, rate = _sf.read(io.BytesIO(b), dtype="int16",
+                                          always_2d=True)
+                    ch = data.shape[1]
+                    flat = data.reshape(-1).astype(np.int64)
+                else:
+                    rate, ch, _bits, samples = decode_wav_py(b)
+                    flat = np.asarray(samples, dtype=np.int64)
+                wts = np.arange(1, flat.size + 1, dtype=np.int64)
+                out.append((i, rate, ch, 16, flat.size // max(ch, 1),
+                            int((wts * flat).sum())))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "sample_rate", "channels", "bit_depth",
+                "n_samples", "sample_checksum"])
 
-    return df.mapInPandas(batches, FRAMES_SCHEMA)
+    return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
-def decode_audio(df: DataFrame) -> DataFrame:
-    """Stub audio decode: requires librosa/soundfile."""
+# ---------------------------------------------------------------------------
+# pure-Python Y4M (YUV4MPEG2) frame sampler: the uncompressed video
+# container is a text header plus fixed-size raw frames, so frame
+# sampling — the training-pipeline primitive — runs for real without
+# ffmpeg.  Compressed codecs (h264/vp9) still require PyAV.
+# ---------------------------------------------------------------------------
+
+
+def decode_y4m_py(b: bytes):
+    """Parse an uncompressed YUV4MPEG2 stream (C420, 8-bit).
+
+    Returns ``(width, height, frames)`` where ``frames`` is a list of
+    raw per-frame YUV bytes (Y plane w*h, then U and V at w/2*h/2)."""
+    if b[:9] != b"YUV4MPEG2":
+        raise NotImplementedError(
+            "not a YUV4MPEG2 payload and PyAV is unavailable; only "
+            "uncompressed Y4M decodes without a media library")
+    nl = b.index(b"\n")
+    w = h = None
+    for tok in b[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
+            raise NotImplementedError(f"Y4M chroma {tok!r}: C420 only")
+    if not w or not h:
+        raise NotImplementedError("Y4M header missing W/H")
+    fsize = w * h + 2 * ((w // 2) * (h // 2))
+    frames, pos = [], nl + 1
+    while pos < len(b):
+        fnl = b.index(b"\n", pos)
+        if b[pos:pos + 5] != b"FRAME":
+            raise NotImplementedError("bad Y4M FRAME marker")
+        frames.append(b[fnl + 1:fnl + 1 + fsize])
+        pos = fnl + 1 + fsize
+    return w, h, frames
+
+
+def encode_y4m_py(width: int, height: int, frames) -> bytes:
+    """Encode raw YUV C420 frames as YUV4MPEG2 (inverse of
+    :func:`decode_y4m_py`)."""
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 "
+                    f"C420jpeg\n".encode())
+    for f in frames:
+        out += b"FRAME\n" + f
+    return bytes(out)
+
+
+VIDEO_FRAMES_SCHEMA = ("doc_id bigint, frame_idx int, width int, "
+                       "height int, y_checksum bigint")
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30,
+                        payload_col: str = "payload",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Real frame sampling: PyAV when present (any codec), else the
+    pure-Python Y4M parser.  Emits every ``every_n``-th frame's
+    dimensions plus a position-weighted luma checksum
+    ``sum((i + 1) * Y_i)`` — order-sensitive, so plane-size or
+    frame-boundary mistakes are caught by the oracle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _require_lib("soundfile")
-        yield from it  # pragma: no cover
+        import numpy as np
+        try:
+            import av as _av
+        except ImportError:
+            _av = None
+        import io
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                if _av is not None:  # pragma: no cover (no PyAV here)
+                    with _av.open(io.BytesIO(b)) as c:
+                        for k, fr in enumerate(c.decode(video=0)):
+                            if k % every_n:
+                                continue
+                            y = fr.reformat(format="yuv420p") \
+                                .to_ndarray()[:fr.height, :].reshape(-1)
+                            wts = np.arange(1, y.size + 1, dtype=np.int64)
+                            out.append((i, k, fr.width, fr.height,
+                                        int((wts * y.astype(np.int64)).sum())))
+                else:
+                    w, h, frames = decode_y4m_py(b)
+                    for k in range(0, len(frames), every_n):
+                        y = np.frombuffer(frames[k][:w * h], dtype=np.uint8)
+                        wts = np.arange(1, y.size + 1, dtype=np.int64)
+                        out.append((i, k, w, h,
+                                    int((wts * y.astype(np.int64)).sum())))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "frame_idx", "width", "height", "y_checksum"])
 
-    return df.mapInPandas(batches, AUDIO_SCHEMA)
+    return df.mapInPandas(batches, VIDEO_FRAMES_SCHEMA)

@@ -54,9 +54,10 @@ for _m in _SUITES:
 #     scale_theta_retention pipe_feature_hashing ev_downsample_lttb
 #     adv_constraint_audit op_time_travel op_incremental_read
 #     streaming_manifest_tail
-#   plus the rest of the registry tail never rotated (mm_fake_decode,
-#     mm_byte_histogram, ev_mad_outliers, text_tfidf, ...) — reconcile
-#     against CORRECTNESS_r0{1..4}.json when building the r5 head.
+#   plus dedup_minhash_estimate, dedup_embedding_cosine and the rest of
+#     the registry tail never rotated (mm_fake_decode, mm_byte_histogram,
+#     ev_mad_outliers, text_tfidf, ...) — reconcile against
+#     CORRECTNESS_r0{1..4}.json when building the r5 head.
 _HEAD = [
     # analytics extended family (27 — never driver-checked)
     "ana_json_extract", "ana_topk_global", "ana_unpivot", "ana_win_ntile",
@@ -76,17 +77,21 @@ _HEAD = [
     "adv_scd2_dimension", "adv_csv_roundtrip",
     # displaced from the r3 head; never driver-checked
     "ana_grouping_id",
-    # NEW this round: real (struct-unpack BMP) image decode, pixel-
-    # checksum-verified — first driver check
-    "mm_real_decode",
-    # round-3 additions rotated in (never driver-checked; sim_kmeans_
-    # train stays in the bench head and rotates in r5)
-    "dedup_minhash_estimate", "dedup_segments",
+    # NEW this round: REAL in-container decode of all three modalities
+    # (struct-unpack BMP / PCM-WAV / Y4M codecs), checksum-verified —
+    # first driver checks
+    "mm_real_decode", "mm_real_audio_decode", "mm_real_video_frames",
+    # round-3 addition rotated in (never driver-checked; dedup_minhash_
+    # estimate + dedup_embedding_cosine + sim_kmeans_train rotate in r5
+    # — embedding_cosine's round-4 cell-cap change shares
+    # _cell_capped_pairs with the dedup_semantic sentinel below and was
+    # tri-scale-verified at sf0.1 where the cap activates)
+    "dedup_segments",
     # sentinels: code that CHANGED this round must stay driver-visible —
-    # cell-capped semantic/cosine pair joins, the Observation-folded CC
-    # convergence loop, the injectable commit lock under write_parquet,
-    # and the reset-aware manifest-tail stream reader
-    "dedup_semantic", "dedup_embedding_cosine", "scale_dedup_clusters",
+    # cell-capped pair joins, the Observation-folded CC convergence
+    # loop, the injectable commit lock under write_parquet, and the
+    # reset-aware manifest-tail stream reader
+    "dedup_semantic", "scale_dedup_clusters",
     "op_write_roundtrip", "streaming_manifest_tail",
 ]
 

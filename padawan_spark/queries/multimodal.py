@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.multimodal import (decode_image_pixels, encode_bmp_py,
+                                    encode_wav_py, encode_y4m_py,
                                     extract_image_features, fake_decode_image)
 from .registry import load, query
 
@@ -241,3 +242,124 @@ def mm_real_decode(spark, sf_dir):
             for doc_id, w, h, td in _BMP_SPECS]
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return decode_image_pixels(d)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode, same discipline as mm_real_decode: fixtures are
+# genuine PCM WAV payloads synthesized from a sample formula; the
+# engine decodes them (soundfile when present, else the pure-Python
+# RIFF/PCM parser) and emits header facts plus a position-weighted
+# sample checksum that the DuckDB oracle recomputes FROM THE FORMULA.
+# ---------------------------------------------------------------------------
+
+#             doc_id rate   channels n_frames
+_WAV_SPECS = [(1,    8000,  1,       480),
+              (2,    16000, 1,       800),
+              (3,    44100, 2,       300)]   # stereo: interleaved frames
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    """i-th value of the FLAT interleaved int16 sequence."""
+    if doc_id == 1:
+        return ((i * i * 37) % 20001) - 10000
+    if doc_id == 2:
+        return ((i * 91 + 17) % 30001) - 15000
+    return ((i * i * 13 + i * 7) % 24001) - 12000
+
+
+_WAV_DUCK = {1: "((i * i * 37) % 20001) - 10000",
+             2: "((i * 91 + 17) % 30001) - 15000",
+             3: "((i * i * 13 + i * 7) % 24001) - 12000"}
+
+
+def _wav_payload(doc_id: int, rate: int, ch: int, n_frames: int) -> bytes:
+    flat = [_wav_sample(doc_id, i) for i in range(n_frames * ch)]
+    return encode_wav_py(flat, rate, channels=ch)
+
+
+def _wav_oracle() -> str:
+    parts = []
+    for doc_id, rate, ch, n_frames in _WAV_SPECS:
+        total = n_frames * ch
+        chk = (f"(SELECT CAST(SUM((i + 1) * ({_WAV_DUCK[doc_id]})) AS BIGINT)"
+               f" FROM range(0, {total}) t(i))")
+        parts.append(
+            f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+            f" {rate} AS sample_rate, {ch} AS channels, 16 AS bit_depth,"
+            f" CAST({n_frames} AS BIGINT) AS n_samples,"
+            f" {chk} AS sample_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_audio_decode", oracle=_wav_oracle())
+def mm_real_audio_decode(spark, sf_dir):
+    """REAL audio decoding executed in this container: three PCM WAV
+    payloads (8/16/44.1 kHz, mono and interleaved stereo) flow through
+    the binary-column pipeline and are decoded by
+    :func:`padawan_spark.functions.multimodal.decode_audio` —
+    soundfile when installed, else the dependency-free RIFF chunk-walk
+    parser.  The oracle recomputes the position-weighted int16 sample
+    checksum from the generator formula alone, so agreement proves
+    every sample was recovered in order with the right sign and
+    interleaving.  Scale shape: Arrow-batched mapInPandas over the
+    payload column, embarrassingly parallel, no shuffle."""
+    from ..functions.multimodal import decode_audio
+    rows = [(doc_id, bytearray(_wav_payload(doc_id, rate, ch, n)))
+            for doc_id, rate, ch, n in _WAV_SPECS]
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_audio(d)
+
+
+# ---------------------------------------------------------------------------
+# REAL video frame sampling: fixtures are uncompressed YUV4MPEG2
+# streams from a per-frame luma formula; the engine samples every 3rd
+# frame (PyAV when present, else the pure-Python Y4M parser) and emits
+# a per-frame position-weighted luma checksum the oracle recomputes
+# from the formula.
+# ---------------------------------------------------------------------------
+
+#             doc_id  w   h  n_frames
+_Y4M_SPECS = [(1,     16, 8, 7),
+              (2,     6,  4, 10)]
+_Y4M_EVERY = 3
+
+
+def _y4m_payload(doc_id: int, w: int, h: int, n_frames: int) -> bytes:
+    frames = []
+    for f in range(n_frames):
+        y = bytes((f * 31 + i * 7) % 256 for i in range(w * h))
+        uv = bytes((f + i) % 256 for i in range((w // 2) * (h // 2)))
+        frames.append(y + uv + uv)
+    return encode_y4m_py(w, h, frames)
+
+
+def _y4m_oracle() -> str:
+    parts = []
+    for doc_id, w, h, n_frames in _Y4M_SPECS:
+        for f in range(0, n_frames, _Y4M_EVERY):
+            chk = (f"(SELECT CAST(SUM((i + 1) * (({f} * 31 + i * 7) % 256))"
+                   f" AS BIGINT) FROM range(0, {w * h}) t(i))")
+            parts.append(
+                f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+                f" {f} AS frame_idx, {w} AS width, {h} AS height,"
+                f" {chk} AS y_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_video_frames", oracle=_y4m_oracle())
+def mm_real_video_frames(spark, sf_dir):
+    """REAL video frame sampling executed in this container: two
+    uncompressed YUV4MPEG2 streams (C420) flow through
+    :func:`padawan_spark.functions.multimodal.sample_video_frames`,
+    which extracts every 3rd frame — PyAV when installed, else the
+    dependency-free Y4M parser.  The oracle recomputes each sampled
+    frame's position-weighted luma checksum from the pixel formula, so
+    agreement proves frame boundaries, plane sizes, and frame order
+    were all decoded correctly.  Frame sampling is the training-
+    pipeline primitive for video corpora; at scale it is the same
+    embarrassingly parallel mapInPandas pass per blob."""
+    from ..functions.multimodal import sample_video_frames
+    rows = [(doc_id, bytearray(_y4m_payload(doc_id, w, h, n)))
+            for doc_id, w, h, n in _Y4M_SPECS]
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return sample_video_frames(d, every_n=_Y4M_EVERY)

@@ -301,3 +301,45 @@ def test_real_decode_runs_without_pil(spark):
     wts = np.arange(1, w * h + 1, dtype=np.int64)
     assert chk[1] == int((wts * (rgb[:, 0] + 2 * rgb[:, 1]
                                  + 3 * rgb[:, 2])).sum())
+
+
+def test_wav_codec_roundtrip_pure_python():
+    """RIFF/PCM codec: encode→decode identity (mono and stereo), chunk
+    walking skips unknown chunks, and non-WAV payloads fail loudly."""
+    import struct
+
+    from padawan_spark.functions import decode_wav_py, encode_wav_py
+    samples = [(-1) ** i * (i * 117 % 30000) for i in range(501)]  # odd len
+    payload = encode_wav_py(samples, 8000, channels=1)
+    rate, ch, bits, got = decode_wav_py(payload)
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert got == samples
+    # a LIST chunk between fmt and data must be skipped (chunk walk)
+    pos = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+    spliced = payload[:pos] + extra + payload[pos:]
+    assert decode_wav_py(spliced)[3] == samples
+    # stereo interleave round-trips
+    st = encode_wav_py(samples[:100], 44100, channels=2)
+    assert decode_wav_py(st) == (44100, 2, 16, samples[:100])
+    with pytest.raises(NotImplementedError):
+        decode_wav_py(b"OggS not a wav")
+
+
+def test_y4m_codec_roundtrip_pure_python():
+    """YUV4MPEG2 codec: encode→decode identity for C420 frames; wrong
+    magic and unsupported chroma fail loudly."""
+    from padawan_spark.functions import decode_y4m_py, encode_y4m_py
+    w, h = 6, 4
+    fsize = w * h + 2 * ((w // 2) * (h // 2))
+    frames = [bytes((f * 3 + i) % 256 for i in range(fsize))
+              for f in range(4)]
+    payload = encode_y4m_py(w, h, frames)
+    gw, gh, got = decode_y4m_py(payload)
+    assert (gw, gh) == (w, h)
+    assert got == frames
+    with pytest.raises(NotImplementedError):
+        decode_y4m_py(b"RIFF nope")
+    bad = payload.replace(b"C420jpeg", b"C444ffff")
+    with pytest.raises(NotImplementedError):
+        decode_y4m_py(bad)
