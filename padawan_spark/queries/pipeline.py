@@ -336,3 +336,121 @@ def pipe_feature_hashing(spark, sf_dir):
     return (toks.select("doc_id", slot.alias("slot"))
             .groupBy("doc_id", "slot")
             .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# ---------------------------------------------------------------------------
+# importance resampling (DSIR-shaped): score every document by the
+# log-likelihood ratio of its tokens under a TARGET unigram
+# distribution (here: the lang='en' slice, standing in for the
+# high-quality reference corpus) vs the full-corpus distribution, and
+# accept documents whose average ratio is positive.  This is the
+# domain-selection operator of data-mixture pipelines: cheap unigram
+# LMs trained in two aggregations, then one scoring scan.
+# ---------------------------------------------------------------------------
+
+@query("pipe_importance_resampling", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS w FROM documents),
+corpus AS (SELECT w, COUNT(*) AS cf FROM tok GROUP BY w),
+target AS (SELECT w, COUNT(*) AS tf FROM tok WHERE lang = 'en' GROUP BY w),
+freq AS (
+  SELECT c.w, c.cf, COALESCE(t.tf, 0) AS tf
+  FROM corpus c LEFT JOIN target t ON c.w = t.w),
+tot AS (SELECT SUM(tf) AS nt, SUM(cf) AS nc, COUNT(*) AS v FROM freq),
+llr AS (
+  SELECT w, ln((tf + 1.0) / (nt + v)) - ln((cf + 1.0) / (nc + v)) AS lw
+  FROM freq CROSS JOIN tot),
+sc AS (
+  SELECT tok.doc_id, COUNT(*) AS n_tokens,
+         ROUND(CAST(SUM(CAST(lw AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+           + 0.0 AS llr_score
+  FROM tok JOIN llr ON tok.w = llr.w
+  GROUP BY tok.doc_id)
+SELECT doc_id, n_tokens, llr_score,
+       CASE WHEN llr_score > 0 THEN 1 ELSE 0 END AS accept
+FROM sc
+""")
+def pipe_importance_resampling(spark, sf_dir):
+    """DSIR-style importance scoring: two unigram LMs (target slice vs
+    full corpus, add-one smoothing over the shared vocabulary) and a
+    per-document average token log-likelihood ratio; ``accept`` keeps
+    documents that look more like the target than the background.
+
+    Scale shape: the two count tables are one token-keyed aggregation
+    each over the SAME exploded scan (Catalyst reuses the exchange);
+    totals ride a 1-row broadcast (q22 in-plan-scalar pattern); the
+    per-token ratio table is vocabulary-sized → broadcast to the
+    scoring scan, which then re-aggregates doc-keyed.  However large
+    the corpus: 2 aggregations + 1 broadcast-join scan, no self-join.
+    Determinism: each ln() is one libm call on an exact rational,
+    summed through exact DECIMAL, rounded once (text_bigram_logprob
+    policy)."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    tok = d.select("doc_id", "lang",
+                   F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+    corpus = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    target = (tok.where(F.col("lang") == "en")
+              .groupBy("w").agg(F.count(F.lit(1)).alias("tf")))
+    freq = (corpus.join(target, "w", "left")
+            .select("w", "cf", F.coalesce("tf", F.lit(0)).alias("tf")))
+    tot = freq.agg(F.sum("tf").alias("nt"), F.sum("cf").alias("nc"),
+                   F.count(F.lit(1)).alias("v"))
+    llr = (freq.crossJoin(F.broadcast(tot))
+           .select("w", (F.log((F.col("tf") + 1.0) / (F.col("nt") + F.col("v")))
+                         - F.log((F.col("cf") + 1.0)
+                                 / (F.col("nc") + F.col("v")))).alias("lw")))
+    sc = (tok.join(F.broadcast(llr), "w")
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("n_tokens"),
+               (F.round(F.sum(F.col("lw").cast("decimal(38,12)"))
+                        .cast("double") / F.count(F.lit(1)), 6)
+                + F.lit(0.0))        # canonicalize IEEE -0.0 -> 0.0
+               .alias("llr_score")))
+    return sc.select(
+        "doc_id", "n_tokens", "llr_score",
+        F.when(F.col("llr_score") > 0, 1).otherwise(0).alias("accept"))
+
+
+# ---------------------------------------------------------------------------
+# per-source adaptive quality floor: drop each source's bottom quartile
+# by token count — the "adaptive threshold" filtering pattern (a fixed
+# global cutoff over-prunes terse sources and under-prunes verbose
+# ones).  Integer rank arithmetic only: engine-exact.
+# ---------------------------------------------------------------------------
+
+@query("pipe_quality_floor", oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_DUCK_TOKS}) AS BIGINT) AS nt
+  FROM documents),
+r AS (
+  SELECT doc_id, source, nt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t)
+SELECT doc_id, source, nt,
+       CASE WHEN rk > n // 4 THEN 1 ELSE 0 END AS kept
+FROM r
+""")
+def pipe_quality_floor(spark, sf_dir):
+    """Keep each source's top three quartiles by token count (rank
+    computed per source, ties broken by doc_id) — the per-domain
+    adaptive filter of corpus curation.
+
+    Scale shape: one scan, one window partitioned by SOURCE (each
+    source sorts independently — per-shard parallelism, no global
+    sort), integer ranks — deterministic across engines and runs.  At
+    100 TB a skewed source would use the two-level (source, day)
+    window + boundary-stitch pattern from the events suite; sources
+    here are bounded."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    from pyspark.sql import Window
+    t = d.select("doc_id", "source",
+                 F.expr(f"cast(size({_SPARK_TOKS}) as bigint)").alias("nt"))
+    w = Window.partitionBy("source").orderBy("nt", "doc_id")
+    wn = Window.partitionBy("source")
+    r = (t.withColumn("rk", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(wn)))
+    return r.select(
+        "doc_id", "source", "nt",
+        F.when(F.col("rk") > F.floor(F.col("n") / 4), 1).otherwise(0)
+        .alias("kept"))

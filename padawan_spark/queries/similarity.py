@@ -704,3 +704,69 @@ def sim_ann_ivfpq(spark, sf_dir):
     return (scored.withColumn("rn", F.row_number().over(wk))
             .where(F.col("rn") <= 5)
             .select("query_id", "neighbor_id", "adc_dist", "rn"))
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining for contrastive training: for each anchor, the
+# most similar vector with a DIFFERENT label — the negative that
+# actually teaches an embedding model.  Candidates are blocked by the
+# same deterministic sign-LSH bucket as sim_ann_signlsh (hard negatives
+# are by definition near the anchor, so LSH recall is highest exactly
+# where it matters), never a cross join.
+# ---------------------------------------------------------------------------
+
+@query("sim_hard_negatives", oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm,
+         CAST(embedding[1] >= 0 AS INT) * 8
+         + CAST(embedding[2] >= 0 AS INT) * 4
+         + CAST(embedding[3] >= 0 AS INT) * 2
+         + CAST(embedding[4] >= 0 AS INT) AS bucket
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+         c.label AS negative_label,
+    {_DUCK_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm)
+      AS cosine
+  FROM v q JOIN v c ON q.bucket = c.bucket AND q.label <> c.label
+  WHERE q.vec_id < 50)
+SELECT anchor_id, negative_id, negative_label, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                ORDER BY cosine DESC, negative_id) AS rn FROM scored)
+WHERE rn = 1
+""")
+def sim_hard_negatives(spark, sf_dir):
+    """Top-1 cross-label neighbor per anchor — the hard-negative miner
+    of contrastive/embedding training pipelines.
+
+    Plan: anchors (a bounded slice) and candidates meet in a sign-LSH
+    bucket equi-join with a label-inequality residual (blocked — one
+    hot bucket costs |bucket|·|anchors-in-bucket|, never corpus²); the
+    per-anchor argmax is a row_number window keyed on the anchor, so
+    the shuffle is anchor-keyed and the window never sorts globally.
+    Cosines are the same left-to-right double folds as the ANN suite:
+    engine-exact."""
+    v = _vecs(spark, sf_dir).withColumn(
+        "bucket", F.expr(
+            "cast(element_at(emb, 1) >= 0 as int) * 8"
+            " + cast(element_at(emb, 2) >= 0 as int) * 4"
+            " + cast(element_at(emb, 3) >= 0 as int) * 2"
+            " + cast(element_at(emb, 4) >= 0 as int)"))
+    q = v.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor_id"), F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("bucket").alias("qb"),
+        F.col("label").alias("ql"))
+    c = v.select(F.col("vec_id").alias("negative_id"),
+                 F.col("emb").alias("ce"), F.col("nrm").alias("cn"),
+                 F.col("bucket").alias("cb"),
+                 F.col("label").alias("negative_label"))
+    cos = (F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")))
+    scored = (q.join(c, (F.col("qb") == F.col("cb"))
+                     & (F.col("ql") != F.col("negative_label")))
+              .select("anchor_id", "negative_id", "negative_label",
+                      cos.alias("cosine")))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"),
+                                                "negative_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
