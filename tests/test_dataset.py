@@ -821,3 +821,30 @@ def test_map_reference_body_pandas_path(spark, sample_dir):
                        ).collect()[0]
     assert got["sb"] == 2 * got["sa"]
     assert ma.df.count() == sum(want_sizes)
+
+
+def test_write_parquet_empty_and_append_to_empty(spark, tmp_path):
+    """Reference IO parity (/root/reference/tests/test_io.py:144-201):
+    writing a dataset whose every partition is empty persists the
+    SCHEMA (scan and collect both see it, zero rows), and appending
+    real data to that empty-manifest dataset works and computes
+    stats."""
+    p = str(tmp_path / "empty")
+    df = spark.createDataFrame([], "a bigint, b double")
+    ds = Dataset(spark, df, index_columns=("a",)).reindex(("a",))
+    out = ds.write_parquet(p)
+    assert len(out) == 0
+    assert [f.name for f in out.schema.fields] == ["a", "b"]
+    back = scan_parquet(spark, p)
+    assert len(back) == 0
+    pdf = back.collect()
+    assert list(pdf.columns) == ["a", "b"] and len(pdf) == 0
+
+    full = Dataset(spark,
+                   spark.createDataFrame([(1, 2.0), (5, 3.0)],
+                                         "a bigint, b double"),
+                   index_columns=("a",)).reindex(("a",))
+    ap = full.write_parquet(p, append=True)
+    assert ap.known_sizes and sum(ap.sizes) == 2
+    assert ap.known_bounds
+    assert ap.lower_bounds[0] == (1,) and ap.upper_bounds[-1] == (5,)
