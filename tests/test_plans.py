@@ -612,3 +612,29 @@ def test_dedup_clusters_one_job_per_round(spark, sf_dir, monkeypatch):
     assert counts == []          # loop ran to convergence, zero count jobs
     monkeypatch.undo()
     assert res.count() > 0
+
+
+def test_importance_resampling_broadcasts_ratio_table(spark):
+    """The DSIR scoring scan must consume the per-token ratio table and
+    the 1-row totals via broadcast (vocabulary-sized sides never
+    shuffle the corpus-sized token scan)."""
+    a = plan_of(spark, "pipe_importance_resampling")
+    assert a.has_broadcast_join, a.plan       # llr table broadcast to scan
+    assert not a.has_cartesian, a.plan
+
+
+def test_hard_negatives_bucket_blocked(spark):
+    """Hard-negative mining joins anchors to candidates on the sign-LSH
+    bucket key — an equi-join, never a cartesian — and the per-anchor
+    argmax is a window, not a global sort."""
+    a = plan_of(spark, "sim_hard_negatives")
+    assert not a.has_cartesian, a.plan
+    assert a.broadcast_joins + a.shuffle_joins >= 1, a.plan
+
+
+def test_quality_floor_single_scan_per_source_window(spark):
+    """Per-source quartile filter: one scan, windows keyed on source —
+    no self-join, no cartesian."""
+    a = plan_of(spark, "pipe_quality_floor")
+    assert len(a.scans) == 1, a.scans
+    assert not a.has_cartesian, a.plan
