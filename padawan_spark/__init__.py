@@ -23,6 +23,7 @@ from .dataset import (  # noqa: F401
     concat,
     from_pandas,
     scan_parquet,
+    scan_parquet_pruned,
     write_metadata,
 )
 from .metadata import list_versions, vacuum  # noqa: F401
@@ -38,6 +39,7 @@ __all__ = [
     "get_spark",
     "list_versions",
     "scan_parquet",
+    "scan_parquet_pruned",
     "vacuum",
     "write_metadata",
 ]

@@ -453,3 +453,39 @@ def op_incremental_read(spark, sf_dir):
     return (delta.groupBy("n_regionkey")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("n_nationkey").cast("bigint").alias("min_key")))
+
+
+# -- distributed manifest-table pruning (the million-file slice path) ----------
+
+@query("op_pruned_scan", oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS ck
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <= TIMESTAMP '1997-06-30'
+GROUP BY o_orderstatus
+""")
+def op_pruned_scan(spark, sf_dir):
+    """scan_parquet_pruned: the sliced scan that prunes files with a
+    DataFrame filter over the parquet manifest TABLE instead of parsing
+    the whole JSON manifest on the driver — the planning shape for
+    million-file tables (driver cost scales with surviving files).  The
+    conservative first-column prune composes with the exact slice
+    residual, so the result is value-identical to scan+slice; verified
+    here against the plain SQL range predicate."""
+    from ..dataset import scan_parquet_pruned
+    ds = Dataset(spark,
+                 load(spark, sf_dir, "orders")
+                 .select("o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_orderdate"),
+                 index_columns=("o_orderdate",))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_ps_"), "orders_mt")
+    ds.repartition(2000).write_parquet(target, manifest_table=True)
+    out = scan_parquet_pruned(
+        spark, target,
+        (dt.datetime(1997, 1, 1),), (dt.datetime(1997, 6, 30),),
+        inclusive="both")
+    # the distributed prune must have dropped non-overlapping files
+    assert len(out._files) > 0
+    return (out.df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_custkey").cast("bigint").alias("ck")))

@@ -848,3 +848,54 @@ def test_write_parquet_empty_and_append_to_empty(spark, tmp_path):
     assert ap.known_sizes and sum(ap.sizes) == 2
     assert ap.known_bounds
     assert ap.lower_bounds[0] == (1,) and ap.upper_bounds[-1] == (5,)
+
+
+def test_scan_parquet_pruned_matches_driver_slice(spark, sf_dir, tmp_path):
+    """SURVEY §7.4 trap 7 (engine path): scan_parquet_pruned prunes
+    files with a DataFrame filter over the manifest TABLE and must
+    return exactly what the driver-side scan+slice returns, while
+    materializing only the overlapping files' manifest rows."""
+    from padawan_spark import Dataset, scan_parquet, scan_parquet_pruned
+    from padawan_spark.queries.registry import load
+
+    p = str(tmp_path / "pruned")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    (Dataset(spark, n, index_columns=("n_nationkey",))
+     .reindex(("n_nationkey",)).repartition(3)
+     .write_parquet(p, manifest_table=True))
+    full = scan_parquet(spark, p)
+    assert len(full) > 3                       # enough files to prune
+
+    for lb, ub, inc in [((5,), (15,), "lower"), ((5,), (15,), "both"),
+                        (None, (9,), "upper"), ((20,), None, "lower")]:
+        want = full.slice(lb, ub, inclusive=inc)
+        got = scan_parquet_pruned(spark, p, lb, ub, inclusive=inc)
+        wk = sorted(r["n_nationkey"] for r in want.df.collect())
+        gk = sorted(r["n_nationkey"] for r in got.df.collect())
+        assert gk == wk, (lb, ub, inc)
+        # the pruned path planned from fewer manifest rows
+        assert len(got._files) <= len(full._files)
+    mid = scan_parquet_pruned(spark, p, (5,), (15,))
+    assert len(mid._files) < len(full._files)  # actually pruned
+
+
+def test_scan_parquet_pruned_date_index(spark, tmp_path):
+    """The tagged-JSON bound codec prunes correctly for date indexes
+    (ISO strings compare lexicographically)."""
+    import pandas as pd
+
+    from padawan_spark import from_pandas, scan_parquet, scan_parquet_pruned
+
+    p = str(tmp_path / "pruned_dt")
+    days = [dt.date(2022, 1, 1 + i) for i in range(12)]
+    pdf = pd.DataFrame({"d": days, "v": range(12)})
+    (from_pandas(spark, pdf, index_columns=("d",)).repartition(3)
+     .write_parquet(p, manifest_table=True))
+    full = scan_parquet(spark, p)
+    lb, ub = (dt.date(2022, 1, 4),), (dt.date(2022, 1, 8),)
+    want = sorted(r["v"] for r in full.slice(lb, ub, inclusive="both")
+                  .df.collect())
+    got_ds = scan_parquet_pruned(spark, p, lb, ub, inclusive="both")
+    got = sorted(r["v"] for r in got_ds.df.collect())
+    assert got == want == [3, 4, 5, 6, 7]
+    assert len(got_ds._files) < len(full._files)
