@@ -81,12 +81,13 @@ _HEAD = [
     # (struct-unpack BMP / PCM-WAV / Y4M codecs), checksum-verified —
     # first driver checks
     "mm_real_decode", "mm_real_audio_decode", "mm_real_video_frames",
-    # round-3 addition rotated in (never driver-checked; dedup_minhash_
-    # estimate + dedup_embedding_cosine + sim_kmeans_train rotate in r5
-    # — embedding_cosine's round-4 cell-cap change shares
-    # _cell_capped_pairs with the dedup_semantic sentinel below and was
-    # tri-scale-verified at sf0.1 where the cap activates)
-    "dedup_segments",
+    # NEW this round: distributed manifest-table pruning scan path
+    # (dedup_segments, dedup_minhash_estimate, dedup_embedding_cosine
+    # and sim_kmeans_train rotate in r5 — embedding_cosine's round-4
+    # cell-cap change shares _cell_capped_pairs with the dedup_semantic
+    # sentinel below and was tri-scale-verified at sf0.1 where the cap
+    # activates)
+    "op_pruned_scan",
     # sentinels: code that CHANGED this round must stay driver-visible —
     # cell-capped pair joins, the Observation-folded CC convergence
     # loop, the injectable commit lock under write_parquet, and the
