@@ -626,3 +626,66 @@ def text_cooccurrence(spark, sf_dir):
                     F.round((F.lit(nd) * F.col("co_docs")).cast("double")
                             / (F.col("dfa") * F.col("dfb")), 9)
                     .alias("lift")))
+
+
+# ---------------------------------------------------------------------------
+# character-entropy gibberish filter: Shannon entropy of each document's
+# character distribution.  Natural text sits in a narrow entropy band;
+# random bytes score high, repeated-character spam scores low — the
+# cheap first-line quality gate of web-corpus curation.
+# ---------------------------------------------------------------------------
+
+_ENT_LO, _ENT_HI = 3.0, 5.2     # plausible-text band (bits per char)
+
+
+@query("text_char_entropy", oracle=f"""
+WITH ch AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+  FROM documents),
+cnt AS (
+  SELECT doc_id, substr(text, i, 1) AS c, COUNT(*) AS k
+  FROM ch GROUP BY doc_id, substr(text, i, 1)),
+tot AS (SELECT doc_id, CAST(SUM(k) AS DOUBLE) AS L,
+               COUNT(*) AS n_distinct FROM cnt GROUP BY doc_id),
+ent AS (
+  SELECT cnt.doc_id, tot.n_distinct,
+    ROUND(CAST(SUM(CAST(-(k / L) * log2(k / L) AS DECIMAL(38,12)))
+               AS DOUBLE), 6) + 0.0 AS entropy_bits
+  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+  GROUP BY cnt.doc_id, tot.n_distinct)
+SELECT doc_id, CAST(n_distinct AS BIGINT) AS n_distinct_chars, entropy_bits,
+       CASE WHEN entropy_bits >= {_ENT_LO} AND entropy_bits <= {_ENT_HI}
+            THEN 1 ELSE 0 END AS plausible_text
+FROM ent
+""")
+def text_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy (bits/char) with a
+    plausible-text band flag — low entropy catches repeated-character
+    spam, high entropy catches random/binary junk.
+
+    Plan: one scan explodes to (doc, char) and aggregates twice —
+    (doc, char) counts then a doc-keyed entropy fold; both shuffles key
+    on doc_id so Catalyst reuses the exchange.  Linear in corpus bytes,
+    no UDF, no join fan-out.  Determinism: each -(p·log2 p) term is one
+    libm call on an exact rational, summed through DECIMAL and rounded
+    once (text_bigram_logprob policy); -0.0 canonicalized."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    ch = d.select("doc_id", F.posexplode(F.split("text", "")).alias("i", "c"))
+    cnt = (ch.where(F.col("c") != "")
+           .groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k")))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("k").cast("double").alias("L"),
+        F.count(F.lit(1)).alias("n_distinct"))
+    p = F.col("k") / F.col("L")
+    ent = (cnt.join(tot, "doc_id")
+           .groupBy("doc_id", "n_distinct")
+           .agg((F.round(F.sum((-p * F.log2(p)).cast("decimal(38,12)"))
+                         .cast("double"), 6) + F.lit(0.0))
+                .alias("entropy_bits")))
+    return ent.select(
+        "doc_id",
+        F.col("n_distinct").cast("bigint").alias("n_distinct_chars"),
+        "entropy_bits",
+        F.when((F.col("entropy_bits") >= _ENT_LO)
+               & (F.col("entropy_bits") <= _ENT_HI), 1).otherwise(0)
+        .alias("plausible_text"))
