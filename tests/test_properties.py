@@ -183,3 +183,35 @@ def test_time_travel_snapshot_property(spark, tmp_path, seed):
         assert expected[newest] == current
         assert frozenset(
             r["k"] for r in scan_parquet(spark, p).df.collect()) == current
+
+
+def test_pruned_scan_equivalence_random_slices(spark, tmp_path):
+    """scan_parquet_pruned must equal scan+slice for ANY bounds: the
+    conservative manifest-table prune composes with the exact slice
+    residual, so results are value-identical across random windows,
+    inclusivity modes, open ends, and flipped (empty) bounds."""
+    import random
+
+    import pandas as pd
+
+    from padawan_spark import from_pandas, scan_parquet, scan_parquet_pruned
+
+    p = str(tmp_path / "ps")
+    pdf = pd.DataFrame({"k": range(60), "v": [i * 3 for i in range(60)]})
+    (from_pandas(spark, pdf, index_columns=("k",)).repartition(7)
+     .write_parquet(p, manifest_table=True))
+    full = scan_parquet(spark, p)
+
+    rng = random.Random(11)
+    for _ in range(12):
+        lo = rng.randint(-5, 65)
+        hi = rng.randint(-5, 65)          # may flip -> empty slice
+        inc = rng.choice(["lower", "upper", "both", "none"])
+        lb = None if rng.random() < 0.2 else (lo,)
+        ub = None if rng.random() < 0.2 else (hi,)
+        want = sorted(r["k"] for r in
+                      full.slice(lb, ub, inclusive=inc).df.collect())
+        got = sorted(r["k"] for r in
+                     scan_parquet_pruned(spark, p, lb, ub, inclusive=inc)
+                     .df.collect())
+        assert got == want, (lb, ub, inc)
