@@ -54,10 +54,13 @@ for _m in _SUITES:
 #     scale_theta_retention pipe_feature_hashing ev_downsample_lttb
 #     adv_constraint_audit op_time_travel op_incremental_read
 #     streaming_manifest_tail
-#   plus dedup_minhash_estimate, dedup_embedding_cosine and the rest of
-#     the registry tail never rotated (mm_fake_decode, mm_byte_histogram,
-#     ev_mad_outliers, text_tfidf, ...) — reconcile against
-#     CORRECTNESS_r0{1..4}.json when building the r5 head.
+#   round-4 additions left in the tail (all tri-scale green):
+#     pipe_importance_resampling pipe_quality_floor sim_hard_negatives
+#     text_char_entropy dedup_segments dedup_minhash_estimate
+#     dedup_embedding_cosine sim_kmeans_train
+#   plus the rest of the registry tail never rotated (mm_fake_decode,
+#     mm_byte_histogram, ev_mad_outliers, text_tfidf, ...) — reconcile
+#     against CORRECTNESS_r0{1..4}.json when building the r5 head.
 _HEAD = [
     # analytics extended family (27 — never driver-checked)
     "ana_json_extract", "ana_topk_global", "ana_unpivot", "ana_win_ntile",
