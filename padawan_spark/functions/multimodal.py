@@ -41,8 +41,6 @@ from pyspark.sql import DataFrame
 DECODED_SCHEMA = ("doc_id bigint, width int, height int, channels int, "
                   "n_bytes bigint")
 FEATURE_SCHEMA = "doc_id bigint, features array<double>"
-FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
-AUDIO_SCHEMA = "doc_id bigint, sample_rate int, n_samples bigint"
 
 
 def _require_lib(name: str):
