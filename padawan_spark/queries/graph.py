@@ -446,3 +446,77 @@ def graph_community_lpa(spark, sf_dir):
     ue.unpersist()
     return labels.select(F.col("vtx").cast("bigint").alias("user_id"),
                          F.col("lbl").cast("bigint").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling: iteratively remove vertices with degree < k — the
+# web-graph noise filter (spam/leaf pruning) and community-density
+# primitive.  Fixed peel rounds (engine and oracle both run exactly
+# _KCORE_ROUNDS, so results are value-identical even where full
+# convergence would need more rounds); per round one alive-restricted
+# degree aggregation — vertex-key join + groupBy, no cartesian.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _duck_kcore() -> str:
+    parts = [f"""WITH e0 AS (
+  SELECT DISTINCT src, dst FROM ({_DUCK_USER_EDGES}) WHERE src <> dst),
+ue AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+a0 AS (SELECT DISTINCT src AS v FROM ue)"""]
+    for t in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f"""d{t} AS (
+  SELECT ue.src AS v, COUNT(*) AS c FROM ue
+  JOIN a{t-1} x ON ue.src = x.v
+  JOIN a{t-1} y ON ue.dst = y.v
+  GROUP BY ue.src),
+a{t} AS (SELECT v FROM d{t} WHERE c >= {_KCORE_K})""")
+    r = _KCORE_ROUNDS
+    parts.append(f"""fin AS (
+  SELECT ue.src AS v, COUNT(*) AS c FROM ue
+  JOIN a{r} x ON ue.src = x.v
+  JOIN a{r} y ON ue.dst = y.v
+  GROUP BY ue.src)""")
+    return (",\n".join(parts)
+            + f"\nSELECT CAST(v AS BIGINT) AS user_id,"
+              f" CAST(c AS BIGINT) AS core_degree FROM fin")
+
+
+@query("graph_kcore", oracle=_duck_kcore())
+def graph_kcore(spark, sf_dir):
+    """{k}-core membership after {r} peel rounds over the undirected
+    user co-activity graph, with each survivor's within-core degree.
+
+    Plan: per round, restrict edges to alive endpoints (two vertex-key
+    equi-joins against the alive set), aggregate degree, filter — the
+    alive set localCheckpoints each round so plan depth stays O(1)
+    (iterative-loop policy).  Shuffles key on the vertex; no cartesian,
+    no full-graph broadcast.  Integer arithmetic only: engine-exact."""
+    e = (_user_edges_spark(spark, sf_dir).select("src", "dst")
+         .where(F.col("src") != F.col("dst")).distinct())
+    ue = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+          .distinct().cache())
+    alive = ue.select(F.col("src").alias("v")).distinct()
+
+    def _deg_within(alive_df):
+        return (ue.join(alive_df.select(F.col("v").alias("s")),
+                        ue.src == F.col("s"))
+                .join(alive_df.select(F.col("v").alias("d")),
+                      ue.dst == F.col("d"))
+                .groupBy("src").agg(F.count(F.lit(1)).alias("c")))
+
+    for _ in range(_KCORE_ROUNDS):
+        alive = (_deg_within(alive).where(F.col("c") >= _KCORE_K)
+                 .select(F.col("src").alias("v"))
+                 .localCheckpoint(eager=False))
+    fin = _deg_within(alive)
+    ue.unpersist()
+    return fin.select(F.col("src").cast("bigint").alias("user_id"),
+                      F.col("c").cast("bigint").alias("core_degree"))
+
+
+graph_kcore.__doc__ = graph_kcore.__doc__.format(k=_KCORE_K,
+                                                 r=_KCORE_ROUNDS)
