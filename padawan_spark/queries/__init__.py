@@ -56,7 +56,8 @@ for _m in _SUITES:
 #     streaming_manifest_tail
 #   round-4 additions left in the tail (all tri-scale green):
 #     pipe_importance_resampling pipe_quality_floor sim_hard_negatives
-#     text_char_entropy graph_kcore dedup_segments dedup_minhash_estimate
+#     text_char_entropy graph_kcore pipe_token_budget_epochs
+#     dedup_segments dedup_minhash_estimate
 #     dedup_embedding_cosine sim_kmeans_train
 #   plus the rest of the registry tail never rotated (mm_fake_decode,
 #     mm_byte_histogram, ev_mad_outliers, text_tfidf, ...) — reconcile

@@ -454,3 +454,53 @@ def pipe_quality_floor(spark, sf_dir):
         "doc_id", "source", "nt",
         F.when(F.col("rk") > F.floor(F.col("n") / 4), 1).otherwise(0)
         .alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# token-budget epoch planning (data-constrained scaling): given a total
+# training-token budget split evenly across sources, how many epochs
+# (repeats) of each source fit — capped at a max repeat count, floored
+# at one epoch.  The planning table a mixture dataloader consumes.
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET = 200_000   # total token budget across all sources
+_EPOCH_MAX = 4            # repeating data more stops helping
+
+
+@query("pipe_token_budget_epochs", oracle=f"""
+WITH t AS (
+  SELECT source, CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS src_tokens,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source),
+n AS (SELECT COUNT(*) AS n_sources FROM t)
+SELECT source, n_docs, src_tokens,
+       CAST(LEAST({_EPOCH_MAX}, GREATEST(1,
+            ({_EPOCH_BUDGET} // n_sources) // src_tokens)) AS BIGINT)
+         AS epochs,
+       CAST(LEAST({_EPOCH_MAX}, GREATEST(1,
+            ({_EPOCH_BUDGET} // n_sources) // src_tokens)) * src_tokens
+         AS BIGINT) AS planned_tokens
+FROM t CROSS JOIN n
+""")
+def pipe_token_budget_epochs(spark, sf_dir):
+    """Per-source epoch (repeat) plan under a fixed token budget: each
+    source gets budget/n_sources tokens; epochs = clamp(budget_share //
+    source_tokens, 1, max).  Pure integer division — engine-exact —
+    and one source-keyed aggregation plus a 1-row broadcast for the
+    source count (q22 in-plan-scalar pattern); at any corpus size this
+    is a single partial+final agg over the token-count scan."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    t = (d.select("source", F.expr(f"size({_SPARK_TOKS})").alias("nt"))
+         .groupBy("source")
+         .agg(F.sum("nt").cast("bigint").alias("src_tokens"),
+              F.count(F.lit(1)).alias("n_docs")))
+    n = t.agg(F.count(F.lit(1)).alias("n_sources"))
+    share = F.floor(F.lit(_EPOCH_BUDGET) / F.col("n_sources"))
+    epochs = F.least(F.lit(_EPOCH_MAX),
+                     F.greatest(F.lit(1),
+                                F.floor(share / F.col("src_tokens"))))
+    return (t.crossJoin(F.broadcast(n))
+            .select("source", "n_docs", "src_tokens",
+                    epochs.cast("bigint").alias("epochs"),
+                    (epochs * F.col("src_tokens")).cast("bigint")
+                    .alias("planned_tokens")))
