@@ -620,3 +620,46 @@ def scale_theta_retention(spark, sf_dir):
             .select("week_a", "week_b", "exact_retained",
                     (F.col("sketch_retained") == F.col("exact_retained"))
                     .alias("sketch_exact")))
+
+
+# ---------------------------------------------------------------------------
+# sorted-within-files layout: range-partition + sort rows by the filter
+# key before writing, so every parquet row group covers a narrow key
+# band and footer min/max skips most of the file at read time — the
+# write-side half of predicate pushdown (clustering, the poor man's
+# z-order for one dimension).
+# ---------------------------------------------------------------------------
+
+@query("scale_sorted_files", oracle=f"""
+SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+       {sql_dsum('l_extendedprice', 'total')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+""")
+def scale_sorted_files(spark, sf_dir):
+    """Range-partitioned, sorted-within-files rewrite of lineitem keyed
+    on the hot filter column, then a ship-date window aggregate over
+    the rewritten files.
+
+    The write clusters rows so each row group's (min, max) footer spans
+    a narrow l_shipdate band; the read's pushed range predicate then
+    skips whole row groups instead of decoding them (the layout HALF of
+    predicate pushdown — at 100 TB, clustering decides whether a range
+    query reads 0.3% or 100% of the bytes).  Values are layout-
+    independent — count / integer key sum / decimal price sum — so the
+    oracle checks the rewrite lost or duplicated nothing."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice")
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_sort_"),
+                          "lineitem_sorted")
+    (li.repartitionByRange(8, "l_shipdate")
+     .sortWithinPartitions("l_shipdate")
+     .write.mode("overwrite").parquet(target))
+    back = spark.read.parquet(target)
+    return (back.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+             dsum(F.col("l_extendedprice"), "total")))
