@@ -57,7 +57,7 @@ for _m in _SUITES:
 #   round-4 additions left in the tail (all tri-scale green):
 #     pipe_importance_resampling pipe_quality_floor sim_hard_negatives
 #     text_char_entropy graph_kcore pipe_token_budget_epochs
-#     scale_sorted_files
+#     scale_sorted_files pipe_packing_offsets
 #     dedup_segments dedup_minhash_estimate
 #     dedup_embedding_cosine sim_kmeans_train
 #   plus the rest of the registry tail never rotated (mm_fake_decode,

@@ -504,3 +504,52 @@ def pipe_token_budget_epochs(spark, sf_dir):
                     epochs.cast("bigint").alias("epochs"),
                     (epochs * F.col("src_tokens")).cast("bigint")
                     .alias("planned_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# packed-sequence offset table: the row-level artifact a packed trainer
+# actually loads — for every document, which packed sequence (bin) it
+# starts in and at which token offset, plus how many of its tokens
+# spill into the next bin when it straddles a boundary.
+# ---------------------------------------------------------------------------
+
+@query("pipe_packing_offsets", oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS nt
+  FROM documents),
+c AS (
+  SELECT source, doc_id, nt,
+    COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t)
+SELECT source, doc_id, nt,
+       CAST(cum // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(cum % {_PACK_BUDGET} AS BIGINT) AS offset,
+       CAST(GREATEST(0, cum % {_PACK_BUDGET} + nt - {_PACK_BUDGET})
+            AS BIGINT) AS spill_tokens
+FROM c
+""")
+def pipe_packing_offsets(spark, sf_dir):
+    """Per-document placement inside the packed-sequence stream: bin id,
+    token offset within the bin, and boundary spill — the companion of
+    :func:`pipe_sequence_packing` (which emits per-bin stats) at row
+    granularity, i.e. the index a packed dataloader uses to reassemble
+    attention-mask segments.
+
+    Same scale shape as packing: one scan and ONE window partitioned by
+    source (per-shard prefix sums, no global sort); everything else is
+    row-local integer arithmetic — engine-exact."""
+    from pyspark.sql.window import Window
+    d = load(spark, sf_dir, "documents", wide=True)
+    t = d.select("source", "doc_id",
+                 F.expr(f"cast(size({_SPARK_TOKS}) as bigint)").alias("nt"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = t.withColumn("cum", F.coalesce(F.sum("nt").over(w), F.lit(0)))
+    off = F.col("cum") % _PACK_BUDGET
+    return c.select(
+        "source", "doc_id", "nt",
+        F.floor(F.col("cum") / _PACK_BUDGET).cast("bigint").alias("bin_id"),
+        off.cast("bigint").alias("offset"),
+        F.greatest(F.lit(0), off + F.col("nt") - _PACK_BUDGET)
+        .cast("bigint").alias("spill_tokens"))
