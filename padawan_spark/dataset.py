@@ -793,7 +793,12 @@ class Dataset:
             man.lower_bounds = [() for _ in files]
             man.upper_bounds = [() for _ in files]
         _meta.write_manifest(path, man)
-        if manifest_table:
+        # keep the parquet-form manifest in lockstep with the JSON one:
+        # refresh when asked for explicitly OR when the dataset already
+        # carries one (append without manifest_table=True must not leave
+        # a stale table behind — scan_parquet_pruned would silently omit
+        # the appended files; mirrors compact_parquet's auto-refresh)
+        if manifest_table or os.path.isdir(_meta.manifest_table_path(path)):
             _meta.write_manifest_table(self.spark, path, man)
         return scan_parquet(self.spark, path)
 

@@ -114,6 +114,144 @@ def encode_bmp_py(width: int, height: int, pixels: bytes,
     return hdr + info + bytes(body)
 
 
+# ---------------------------------------------------------------------------
+# pure-Python PNG codec: the first COMPRESSED format that decodes for
+# real without a media library — stdlib ``zlib`` inflates the IDAT
+# stream and the per-row scanline filters (None/Sub/Up/Average/Paeth)
+# are undone byte-wise per the PNG spec.  8-bit greyscale / RGB / RGBA,
+# non-interlaced.  PIL, when present, takes priority for every other
+# form (16-bit, palette, interlaced).
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_py(b: bytes):
+    """Decode a non-interlaced 8-bit PNG (grey / RGB / RGBA).
+
+    Returns ``(width, height, channels, pixels)`` with ``pixels`` as
+    row-major top-down bytes in the source channel order (filters
+    undone, scanline filter bytes stripped)."""
+    import struct
+    import zlib
+    if b[:8] != _PNG_MAGIC:
+        raise NotImplementedError(
+            "not a PNG payload and PIL is unavailable")
+    pos, w, h, ch, idat = 8, None, None, None, bytearray()
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color not in (0, 2, 6) or ilace != 0:
+                raise NotImplementedError(
+                    f"pure-Python PNG decode supports non-interlaced 8-bit "
+                    f"grey/RGB/RGBA only (depth={depth}, color={color}, "
+                    f"interlace={ilace})")
+            ch = {0: 1, 2: 3, 6: 4}[color]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out, prev, p = bytearray(), bytearray(stride), 0
+    for _y in range(h):
+        f = raw[p]
+        row = bytearray(raw[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if f == 1:                                   # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif f == 2:                                 # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:                                 # Average
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:                                 # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                up = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
+                row[i] = (row[i] + (a if pa <= pb and pa <= pc
+                                    else up if pb <= pc else c)) & 0xFF
+        elif f != 0:
+            raise NotImplementedError(f"PNG scanline filter {f}")
+        out += row
+        prev = row
+    return w, h, ch, bytes(out)
+
+
+def encode_png_py(width: int, height: int, pixels: bytes,
+                  channels: int = 3,
+                  row_filters: tuple[int, ...] = (0,)) -> bytes:
+    """Encode row-major top-down bytes as an 8-bit PNG, cycling
+    ``row_filters`` across scanlines (the inverse of
+    :func:`decode_png_py`; passing all five filter types makes a
+    fixture that exercises every unfilter path)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw, prev = bytearray(), bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        f = row_filters[y % len(row_filters)]
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = row[i - channels] if i >= channels else 0
+            up = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (a + up) >> 1
+            else:
+                pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
+                pred = (a if pa <= pb and pa <= pc else up if pb <= pc else c)
+            enc[i] = (row[i] - pred) & 0xFF
+        raw.append(f)
+        raw += enc
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _decode_pixels_py(b: bytes):
+    """Dependency-free decode dispatch -> ``(w, h, rgb_bytes)`` in
+    row-major top-down RGB (grey replicated, alpha dropped — matching
+    PIL's ``convert(\"RGB\")``)."""
+    if b[:8] == _PNG_MAGIC:
+        w, h, ch, px = decode_png_py(b)
+        if ch == 1:
+            px = bytes(v for v in px for _ in range(3))
+        elif ch == 4:
+            px = b"".join(px[i:i + 3] for i in range(0, len(px), 4))
+        return w, h, px
+    w, h, _c, bgr = decode_bmp_py(b)
+    rgb = bytearray(len(bgr))
+    rgb[0::3], rgb[1::3], rgb[2::3] = bgr[2::3], bgr[1::3], bgr[0::3]
+    return w, h, bytes(rgb)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id") -> DataFrame:
     """Real image decode: PIL when present (any format), else the
@@ -134,6 +272,9 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
                     img = _Image.open(io.BytesIO(b))
                     out.append((i, img.width, img.height,
                                 len(img.getbands()), len(b)))
+                elif b[:8] == _PNG_MAGIC:
+                    w, h, c, _px = decode_png_py(b)
+                    out.append((i, w, h, c, len(b)))
                 else:
                     w, h, c, _px = decode_bmp_py(b)
                     out.append((i, w, h, c, len(b)))
@@ -175,9 +316,9 @@ def decode_image_pixels(df: DataFrame, payload_col: str = "payload",
                     rgb = np.frombuffer(img.tobytes(), dtype=np.uint8)
                     rgb = rgb.reshape(-1, 3).astype(np.int64)
                 else:
-                    w, h, _c, px = decode_bmp_py(b)
-                    bgr = np.frombuffer(px, dtype=np.uint8)
-                    rgb = bgr.reshape(-1, 3)[:, ::-1].astype(np.int64)
+                    w, h, px = _decode_pixels_py(b)
+                    rgb = (np.frombuffer(px, dtype=np.uint8)
+                           .reshape(-1, 3).astype(np.int64))
                 weights = np.arange(1, w * h + 1, dtype=np.int64)
                 chk = int((weights * (rgb[:, 0] + 2 * rgb[:, 1]
                                       + 3 * rgb[:, 2])).sum())
@@ -314,7 +455,16 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
     pure-Python PCM-WAV parser — emits header facts plus a
     position-weighted sample checksum ``sum((i + 1) * s_i)`` so a
     decoder that drops, reorders, or sign-flips samples is caught by
-    the oracle."""
+    the oracle.
+
+    ``bit_depth`` reports the SOURCE encoding (the WAV fmt chunk /
+    soundfile subtype), not the decoded representation; the checksum is
+    over the decoded samples (int16 on the soundfile path, so a 24-bit
+    source yields bit_depth=24 with an int16-converted checksum)."""
+
+    _SF_BITS = {"PCM_S8": 8, "PCM_U8": 8, "PCM_16": 16, "PCM_24": 24,
+                "PCM_32": 32, "FLOAT": 32, "DOUBLE": 64, "ALAW": 8,
+                "ULAW": 8}
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -328,15 +478,17 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(b)
                 if _sf is not None:
+                    info = _sf.info(io.BytesIO(b))
+                    bits = _SF_BITS.get(info.subtype, 16)
                     data, rate = _sf.read(io.BytesIO(b), dtype="int16",
                                           always_2d=True)
                     ch = data.shape[1]
                     flat = data.reshape(-1).astype(np.int64)
                 else:
-                    rate, ch, _bits, samples = decode_wav_py(b)
+                    rate, ch, bits, samples = decode_wav_py(b)
                     flat = np.asarray(samples, dtype=np.int64)
                 wts = np.arange(1, flat.size + 1, dtype=np.int64)
-                out.append((i, rate, ch, 16, flat.size // max(ch, 1),
+                out.append((i, rate, ch, bits, flat.size // max(ch, 1),
                             int((wts * flat).sum())))
             yield pd.DataFrame(out, columns=[
                 "doc_id", "sample_rate", "channels", "bit_depth",

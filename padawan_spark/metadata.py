@@ -155,6 +155,35 @@ def _versions_dir(path: str) -> str:
     return os.path.join(path, VERSIONS_DIR)
 
 
+def table_id(path: str) -> str | None:
+    """Stable identity of this table INSTANCE: minted when the version
+    history is first created, destroyed (with the whole directory) by an
+    overwrite.  Lets change-data-feed consumers distinguish "same table,
+    more versions" from "a different table that reused the path" even
+    when the version counters happen to line up.  ``None`` for datasets
+    written before identity stamping existed."""
+    p = os.path.join(_versions_dir(path), "_table_id")
+    try:
+        with open(p) as f:
+            return f.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def _ensure_table_id(path: str) -> str:
+    tid = table_id(path)
+    if tid is not None:
+        return tid
+    import uuid
+    tid = uuid.uuid4().hex
+    os.makedirs(_versions_dir(path), exist_ok=True)
+    tmp = os.path.join(_versions_dir(path), "_table_id.tmp")
+    with open(tmp, "w") as f:
+        f.write(tid)
+    os.replace(tmp, os.path.join(_versions_dir(path), "_table_id"))
+    return tid
+
+
 def list_versions(path: str) -> list[int]:
     """Snapshot versions recorded at ``path``, ascending (empty when the
     dataset predates versioning or was never written through us)."""
@@ -239,6 +268,7 @@ def write_manifest(path: str, manifest: Manifest) -> None:
     vs = list_versions(path)
     k = (vs[-1] if vs else 0) + 1
     os.makedirs(_versions_dir(path), exist_ok=True)
+    _ensure_table_id(path)
     vraw = dict(raw)
     vraw["schema_json"] = manifest.schema_json
     vtmp = os.path.join(_versions_dir(path), f"v{k}.json.tmp")

@@ -22,91 +22,78 @@ for _m in _SUITES:
 # ---------------------------------------------------------------------------
 # Registry ordering: external correctness harnesses check a prefix of this
 # dict (the driver verifies the first 50 entries in insertion order), so the
-# head must SPAN every component family — relational, partition operators,
-# window/analytics, dedup, similarity search, text analysis, events,
-# streaming, multimodal, advanced joins/formats, UDF surface, scale patterns,
-# SQL frontend — not just whichever suite imported first.  All queries stay
-# registered; this is a stable re-ordering, not a filter.
+# head is GENERATED from the recorded CORRECTNESS_r{N}.json results (as the
+# round-4 review asked) instead of a hand-maintained list:
+#
+#   1. RETESTS — queries that have appeared in a driver window but never
+#      passed (red rows) go first, so every fix is re-verified next round;
+#   2. SENTINELS — queries exercising code that CHANGED this round (listed
+#      explicitly below, updated each round);
+#   3. NEVER-CHECKED — everything without a driver row yet, in registry
+#      order, with _DEFER_NEXT_ROUND pushed behind the rest when the
+#      50-row window is full (they rotate in automatically next round).
+#
+# All queries stay registered; this is a stable re-ordering, not a filter.
 # ---------------------------------------------------------------------------
 
-# Round-4 rotation (executes the plan VERDICT r3 endorsed): 45 entries
-# that have NEVER had a driver CORRECTNESS row — the full ana_/adv_
-# extended families plus ana_grouping_id, mm_real_decode (new this
-# round) and three round-3 additions — plus 5 sentinels over code that
-# CHANGED this round (cell-capped dedup pair joins, the Observation-
-# folded CC loop, the injectable commit lock on write/compact/vacuum,
-# the reset-aware manifest-tail reader).  Cumulative driver-green
-# coverage after this window: ~176/218.
-#
-# ROUND-5 ROTATION PLAN — the remaining never-checked entries, all
-# green in the tri-scale harness; next round's head should be these
-# plus sentinels over whatever round 5 changes:
-#   round-3 additions not yet rotated in: text_repetition_metrics
-#     ev_bot_detection scale_skew_metrics text_pseudonymize
-#     graph_triangle_count ev_session_concurrency sim_pq_encode
-#     sim_pq_adc_topk adv_text_roundtrip streaming_outer_join
-#     pipe_length_batching text_bigram_logprob graph_transition_matrix
-#     sim_ann_ivfpq pipe_shard_manifest graph_bfs_distance
-#     text_cooccurrence pipe_dataset_card dedup_incremental
-#     graph_community_lpa ev_seasonal_baseline streaming_custom_source
-#     sql_scalar_udf udf_window_agg udf_grouped_map_arrow
-#     pipe_epoch_shuffle scale_approx_topk scale_theta_rollup
-#     scale_theta_retention pipe_feature_hashing ev_downsample_lttb
-#     adv_constraint_audit op_time_travel op_incremental_read
-#     streaming_manifest_tail
-#   round-4 additions left in the tail (all tri-scale green):
-#     pipe_importance_resampling pipe_quality_floor sim_hard_negatives
-#     text_char_entropy graph_kcore pipe_token_budget_epochs
-#     scale_sorted_files pipe_packing_offsets
-#     dedup_segments dedup_minhash_estimate
-#     dedup_embedding_cosine sim_kmeans_train
-#   plus the rest of the registry tail never rotated (mm_fake_decode,
-#     mm_byte_histogram, ev_mad_outliers, text_tfidf, ...) — reconcile
-#     against CORRECTNESS_r0{1..4}.json when building the r5 head.
-_HEAD = [
-    # analytics extended family (27 — never driver-checked)
-    "ana_json_extract", "ana_topk_global", "ana_unpivot", "ana_win_ntile",
-    "ana_win_range_frame", "ana_array_funcs", "ana_stats_moments",
-    "ana_histogram", "ana_posexplode", "ana_string_agg", "ana_filtered_agg",
-    "ana_set_ops_all", "ana_null_semantics", "ana_map_funcs",
-    "ana_win_first_last", "ana_bitwise_agg", "ana_percent_of_total",
-    "ana_gaps_islands", "ana_try_functions", "ana_islands_runs",
-    "ana_string_funcs_ext", "ana_date_funcs_ext", "ana_math_funcs",
-    "ana_xml_roundtrip", "ana_variant_extract", "ana_top_percent",
-    "ana_corr_matrix",
-    # advanced joins/formats family (14 — never driver-checked)
-    "adv_salted_agg", "adv_percentiles", "adv_approx_distinct",
-    "adv_json_roundtrip", "adv_orc_roundtrip", "adv_union_evolved",
-    "adv_profile_summary", "adv_approx_quantile", "adv_salted_join",
-    "adv_asof_forward", "adv_merge_schema_read", "adv_percentile_disc",
-    "adv_scd2_dimension", "adv_csv_roundtrip",
-    # displaced from the r3 head; never driver-checked
-    "ana_grouping_id",
-    # NEW this round: REAL in-container decode of all three modalities
-    # (struct-unpack BMP / PCM-WAV / Y4M codecs), checksum-verified —
-    # first driver checks
-    "mm_real_decode", "mm_real_audio_decode", "mm_real_video_frames",
-    # NEW this round: distributed manifest-table pruning scan path
-    # (dedup_segments, dedup_minhash_estimate, dedup_embedding_cosine
-    # and sim_kmeans_train rotate in r5 — embedding_cosine's round-4
-    # cell-cap change shares _cell_capped_pairs with the dedup_semantic
-    # sentinel below and was tri-scale-verified at sf0.1 where the cap
-    # activates)
-    "op_pruned_scan",
-    # sentinels: code that CHANGED this round must stay driver-visible —
-    # cell-capped pair joins, the Observation-folded CC convergence
-    # loop, the injectable commit lock under write_parquet, and the
-    # reset-aware manifest-tail stream reader
-    "dedup_semantic", "scale_dedup_clusters",
-    "op_write_roundtrip", "streaming_manifest_tail",
-]
+# code that changed THIS round — keep driver-visible even though already
+# green: append-path manifest-table auto-refresh (op_write_roundtrip),
+# table-identity overwrite detection in the tail stream
+# (streaming_manifest_tail), the strict prune assertion (op_pruned_scan),
+# the _decode_pixels_py dispatch refactor (mm_real_decode), source-derived
+# bit_depth (mm_real_audio_decode)
+_SENTINELS = ["op_write_roundtrip", "streaming_manifest_tail",
+              "op_pruned_scan", "mm_real_decode", "mm_real_audio_decode"]
+
+# round-4 additions, all tri-scale + judge green, lowest retest risk —
+# yield their window slots to older never-checked entries when full
+_DEFER_NEXT_ROUND = {
+    "pipe_importance_resampling", "pipe_quality_floor",
+    "pipe_token_budget_epochs", "pipe_packing_offsets",
+    "scale_sorted_files", "graph_kcore", "text_char_entropy",
+    "sim_hard_negatives", "dedup_minhash_estimate",
+}
+
+_WINDOW = 50
+
+
+def _build_head() -> list[str]:
+    import glob as _glob
+    import json as _json
+    import os as _os
+    root = _os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))))
+    seen: set = set()
+    green: set = set()
+    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as fh:
+                d = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        seen.update(d)
+        green.update(k for k, v in d.items()
+                     if isinstance(v, dict) and v.get("hash_match"))
+    retests = [n for n in QUERIES if n in seen and n not in green]
+    never = [n for n in QUERIES if n not in seen]
+    ordered = (retests + _SENTINELS
+               + [n for n in never if n not in _DEFER_NEXT_ROUND]
+               + [n for n in never if n in _DEFER_NEXT_ROUND])
+    head: list[str] = []
+    for n in ordered:
+        if n in QUERIES and n not in head:
+            head.append(n)
+        if len(head) == _WINDOW:
+            break
+    return head
 
 
 def _reorder() -> None:
-    missing = [n for n in _HEAD if n not in QUERIES]
+    head = _build_head()
+    missing = [n for n in head if n not in QUERIES]
     assert not missing, f"registry head references unknown queries: {missing}"
-    tail = [n for n in QUERIES if n not in set(_HEAD)]
-    ordered = {n: QUERIES[n] for n in [*_HEAD, *tail]}
+    tail = [n for n in QUERIES if n not in set(head)]
+    ordered = {n: QUERIES[n] for n in [*head, *tail]}
     QUERIES.clear()
     QUERIES.update(ordered)
 

@@ -323,8 +323,12 @@ SELECT vec_id,
   CAST(len(emb) AS INTEGER) AS n_dims,
   list_max(emb) AS vmax,
   list_min(emb) AS vmin,
-  emb[1:3] AS head3,
-  list_sort(emb)[1:2] AS smallest2,
+  array_to_string(list_transform(emb[1:3],
+      x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT) AS VARCHAR)), ',')
+    AS head3,
+  array_to_string(list_transform(list_sort(emb)[1:2],
+      x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT) AS VARCHAR)), ',')
+    AS smallest2,
   CAST(len(list_filter(emb, x -> x > 0)) AS INTEGER) AS n_pos,
   CAST(list_contains(list_transform(emb, x -> x > 0.5), true) AS INTEGER)
     AS any_large
@@ -334,16 +338,30 @@ FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
 def ana_array_funcs(spark, sf_dir):
     """Array higher-order and collection functions (the `array_*` family
     padawan reaches only through polars `map`): element-wise transforms,
-    sort, slice, filter, existence — all JVM-side, codegen-friendly."""
+    sort, slice, filter, existence — all JVM-side, codegen-friendly.
+
+    The sliced-array outputs are serialized to comma-joined fixed-point
+    strings (floor(x*1e6) per element, identical in the oracle) so every
+    output column is scalar/hashable for external canonicalizers; the
+    array computation itself (slice / array_sort / transform) stays
+    under test."""
     e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
     emb = F.col("embedding").cast("array<double>")
+
+    def _ser(arr):
+        # floor-scaled bigint per element: bit-identical across engines,
+        # immune to double->string formatting differences
+        return F.concat_ws(",", F.transform(
+            arr, lambda x: F.floor(x * F.lit(1000000.0))
+            .cast("long").cast("string")))
+
     return e.select(
         "vec_id",
         F.size(emb).cast("int").alias("n_dims"),
         F.array_max(emb).alias("vmax"),
         F.array_min(emb).alias("vmin"),
-        F.slice(emb, 1, 3).alias("head3"),
-        F.slice(F.array_sort(emb), 1, 2).alias("smallest2"),
+        _ser(F.slice(emb, 1, 3)).alias("head3"),
+        _ser(F.slice(F.array_sort(emb), 1, 2)).alias("smallest2"),
         F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_pos"),
         F.exists(emb, lambda x: x > 0.5).cast("int").alias("any_large"))
 

@@ -14,8 +14,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.multimodal import (decode_image_pixels, encode_bmp_py,
-                                    encode_wav_py, encode_y4m_py,
-                                    extract_image_features, fake_decode_image)
+                                    encode_png_py, encode_wav_py,
+                                    encode_y4m_py, extract_image_features,
+                                    fake_decode_image)
 from .registry import load, query
 
 
@@ -240,6 +241,85 @@ def mm_real_decode(spark, sf_dir):
     parallel, no shuffle."""
     rows = [(doc_id, bytearray(_bmp_payload(w, h, td)))
             for doc_id, w, h, td in _BMP_SPECS]
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_image_pixels(d)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode of a COMPRESSED format, no media library required: PNG
+# scanlines are DEFLATE-compressed and per-row filtered, so a correct
+# checksum here proves stdlib-zlib inflation AND all five unfilter
+# paths (None/Sub/Up/Average/Paeth — the fixtures cycle every filter)
+# ran correctly.  Same oracle discipline as mm_real_decode: the DuckDB
+# side recomputes the position-weighted checksum from the pixel
+# formula, never from the decoder.
+# ---------------------------------------------------------------------------
+
+#            doc_id width height mode    row filters cycled
+_PNG_SPECS = [(1,   13,   7,    "rgb",  (0, 1, 2, 3, 4)),
+              (2,   8,    20,   "grey", (2, 4)),
+              (3,   6,    9,    "rgba", (1, 3))]
+
+
+def _png_pixel(mode: str, x: int, y: int):
+    """(r, g, b[, a]) of the fixture at (x, y) — pure arithmetic so the
+    oracle can recompute it."""
+    if mode == "rgb":
+        return ((2 * x + 5 * y) % 256, (7 * x + 3 * y) % 256,
+                (x * y) % 256)
+    if mode == "grey":
+        v = (13 * x + y * y) % 256
+        return (v,)
+    return ((x + 4 * y) % 256, (9 * x + y) % 256, (3 * x + 2 * y) % 256,
+            (x + y) % 251)                    # alpha: dropped by decode
+
+
+def _png_payload(w: int, h: int, mode: str, filters) -> bytes:
+    ch = {"grey": 1, "rgb": 3, "rgba": 4}[mode]
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(_png_pixel(mode, x, y))
+    return encode_png_py(w, h, bytes(px), channels=ch, row_filters=filters)
+
+
+def _png_oracle() -> str:
+    parts = []
+    for doc_id, w, h, mode, _f in _PNG_SPECS:
+        x, y = f"(i % {w})", f"(i // {w})"
+        if mode == "rgb":
+            val = (f"((2 * {x} + 5 * {y}) % 256"
+                   f" + 2 * ((7 * {x} + 3 * {y}) % 256)"
+                   f" + 3 * (({x} * {y}) % 256))")
+        elif mode == "grey":
+            val = f"6 * ((13 * {x} + {y} * {y}) % 256)"
+        else:
+            val = (f"(({x} + 4 * {y}) % 256"
+                   f" + 2 * ((9 * {x} + {y}) % 256)"
+                   f" + 3 * ((3 * {x} + 2 * {y}) % 256))")
+        chk = (f"(SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+               f" FROM range(0, {w * h}) t(i))")
+        parts.append(f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+                     f" {w} AS width, {h} AS height, 3 AS channels,"
+                     f" {chk} AS pix_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_png_decode", oracle=_png_oracle())
+def mm_real_png_decode(spark, sf_dir):
+    """REAL decoding of a COMPRESSED image format in this container:
+    three synthetic PNGs (RGB cycling all five scanline filters, 8-bit
+    greyscale, RGBA with a to-be-dropped alpha) flow through
+    :func:`decode_image_pixels` — PIL when installed, else the
+    dependency-free stdlib-zlib PNG parser
+    (:func:`padawan_spark.functions.multimodal.decode_png_py`).  The
+    oracle recomputes the position-weighted RGB checksum from the pixel
+    formula alone, so agreement proves DEFLATE inflation, every
+    unfilter path, greyscale replication, and alpha dropping all ran
+    correctly.  Scale shape: Arrow-batched mapInPandas over the payload
+    column, embarrassingly parallel, no shuffle."""
+    rows = [(doc_id, bytearray(_png_payload(w, h, mode, f)))
+            for doc_id, w, h, mode, f in _PNG_SPECS]
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return decode_image_pixels(d)
 

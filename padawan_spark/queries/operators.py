@@ -484,8 +484,11 @@ def op_pruned_scan(spark, sf_dir):
         spark, target,
         (dt.datetime(1997, 1, 1),), (dt.datetime(1997, 6, 30),),
         inclusive="both")
-    # the distributed prune must have dropped non-overlapping files
-    assert len(out._files) > 0
+    # the distributed prune must have dropped non-overlapping files:
+    # non-empty (rows survive) AND strictly fewer than the 2000 written,
+    # so a prune regression that keeps everything fails here too
+    assert 0 < len(out._files) < 2000, \
+        f"prune kept {len(out._files)} of 2000 files"
     return (out.df.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("o_custkey").cast("bigint").alias("ck")))

@@ -210,12 +210,13 @@ class _ManifestTailReader(DataSourceStreamReader):
         self.path = options["path"]
 
     def initialOffset(self):
-        return {"v": 0}
+        from .. import metadata as _meta
+        return {"v": 0, "id": _meta.table_id(self.path)}
 
     def latestOffset(self):
         from .. import metadata as _meta
         vs = _meta.list_versions(self.path)
-        return {"v": vs[-1] if vs else 0}
+        return {"v": vs[-1] if vs else 0, "id": _meta.table_id(self.path)}
 
     def _files_of(self, version: int) -> list | None:
         """Files of a snapshot; ``None`` when that snapshot no longer
@@ -232,6 +233,20 @@ class _ManifestTailReader(DataSourceStreamReader):
     def partitions(self, start, end):
         import os as _os
         lo, hi = start["v"], end["v"]
+        # table-identity check: an overwrite resets history to v1, so a
+        # busy producer can grow the NEW table's version count past the
+        # checkpointed offset before the next batch fires — the hi < lo
+        # guard alone would then silently diff two unrelated histories.
+        # The identity stamp (minted with the version dir, destroyed by
+        # overwrite's rmtree) catches that regardless of version numbers.
+        sid, eid = start.get("id"), end.get("id")
+        if sid is not None and eid is not None and sid != eid:
+            raise RuntimeError(
+                f"padawan_tail: table identity at {self.path} changed "
+                f"({sid[:8]}… -> {eid[:8]}…) — the dataset was overwritten "
+                "under an active stream.  The old checkpoint does not "
+                "describe the new table; restart the stream with a fresh "
+                "checkpointLocation to stream it from scratch.")
         if hi < lo:
             # version history only grows under append; a LOWER latest
             # version means the table was overwritten (rmtree resets

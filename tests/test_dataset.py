@@ -777,10 +777,26 @@ def test_manifest_tail_handles_vacuum_and_overwrite(spark, sf_dir, tmp_path):
     fresh = [x.value for x in rd.partitions({"v": 0}, {"v": 4}) if x.value]
     assert len(fresh) > 0
     # overwrite resets history -> regressed offsets fail loudly
+    from padawan_spark.metadata import table_id
+    old_id = table_id(p)
+    assert old_id is not None
     part(0, 20).write_parquet(p)                     # history back to v1
-    assert rd.latestOffset() == {"v": 1}
+    new_id = table_id(p)
+    assert new_id is not None and new_id != old_id   # identity re-minted
+    assert rd.latestOffset() == {"v": 1, "id": new_id}
     with pytest.raises(RuntimeError, match="overwritten under"):
-        rd.partitions({"v": 4}, {"v": 1})
+        rd.partitions({"v": 4, "id": old_id}, {"v": 1, "id": new_id})
+    # ADVICE r4: even when the NEW history grows back to the checkpointed
+    # version count (hi == lo, the case the version guard alone misses),
+    # the identity mismatch still fails loudly instead of silently
+    # diffing two unrelated histories
+    for k in range(3):
+        part(5 * k, 5 * k + 5).write_parquet(p, append=True)  # v2..v4
+    with pytest.raises(RuntimeError, match="overwritten under"):
+        rd.partitions({"v": 4, "id": old_id}, {"v": 4, "id": new_id})
+    # pre-identity checkpoints (no "id" key) stay readable: legacy path
+    legacy = [x.value for x in rd.partitions({"v": 1}, {"v": 4}) if x.value]
+    assert len(legacy) > 0
 
 
 def test_map_reference_body_pandas_path(spark, sample_dir):
