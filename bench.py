@@ -1,7 +1,14 @@
 """Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: stdout carries exactly ONE compact JSON line — the
+LAST line printed — {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}, kept deliberately short so tail
+captures never truncate it.  Supplementary telemetry (per-query deltas
+vs the previous round, the layout-normalized pass, input row-group
+counts) goes to STDERR as a separate JSON line tagged
+"bench_supplement".  Spark's console progress bar is disabled for the
+session so no control characters interleave with the metric line.
 """
 
 from __future__ import annotations
@@ -44,6 +51,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",   # df-capped verify self-join
     "ev_downsample_lttb",    # time series: two-level (series, day) window
     "sim_ann_ivfpq",         # composed IVF routing + PQ ADC scoring
+    # round-5: steady-state distributed-manifest planning cost over a
+    # 2000-file table (the 100 TB entry point; write memoized like
+    # scale_bucketed_join so the timing isolates prune+plan+agg)
+    "op_pruned_scan_read",
 ]
 
 # Iterative queries re-dispatch a fixed per-round job overhead; the
@@ -54,32 +65,38 @@ ITERATIVE = ["graph_pagerank_users", "sim_kmeans_train"]
 
 
 def _latest_prev_bench() -> tuple[int | None, dict]:
-    """Newest BENCH_r{N}.json in the repo root, for per-query deltas."""
+    """Newest BENCH_r{N}.json in the repo root WITH a usable parse, for
+    per-query deltas (a round whose capture was truncated records
+    ``"parsed": null`` — skip it and fall back to the round before)."""
     import glob
     import re
-    best_n, best = None, {}
+    rounds = []
     here = os.path.dirname(os.path.abspath(__file__))
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if not m:
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for n, p in sorted(rounds, reverse=True):
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
             continue
-        n = int(m.group(1))
-        if best_n is None or n > best_n:
-            try:
-                with open(p) as fh:
-                    data = json.load(fh)
-                # driver records wrap the bench line under "parsed"
-                best, best_n = data.get("parsed", data), n
-            except (OSError, ValueError):
-                pass
-    return best_n, best
+        # driver records wrap the bench line under "parsed"
+        parsed = data.get("parsed", data)
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            return n, parsed
+    return None, {}
 
 
 def main() -> None:
     from padawan_spark import get_spark
     from padawan_spark.queries import QUERIES
 
-    spark = get_spark(app_name="padawan-bench")
+    spark = get_spark(app_name="padawan-bench", extra_conf={
+        # keep stdout clean for the single metric line: no progress bar
+        # control characters, no stage spinners
+        "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM (classloading, codegen, AQE paths, parquet readers) with
@@ -151,6 +168,16 @@ def main() -> None:
             (spark.read.parquet(src).repartition(32)
              .write.mode("overwrite")
              .parquet(os.path.join(norm_dir, f"{t}.parquet")))
+        # queries whose first call pays a memoized one-time write keyed by
+        # sf_dir (norm_dir is a NEW sf_dir): run once untimed so the
+        # normalized number measures the steady state, same as the raw one
+        for name in ("scale_bucketed_join_read", "op_pruned_scan_read"):
+            fn = QUERIES.get(name)
+            if fn is not None and name in HEADLINE:
+                try:
+                    fn(spark, norm_dir).collect()
+                except Exception:
+                    pass
         for name in HEADLINE:
             fn = QUERIES.get(name)
             if fn is None:
@@ -175,13 +202,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+
+    # everything beyond the headline metric goes to STDERR as its own
+    # JSON line, so the stdout metric line stays short enough that a
+    # bounded tail capture can never truncate it mid-stream
+    supplement = {"metric": "bench_supplement", "sf": sf_val}
     if prev_delta:
-        out["prev_round"] = prev_round
-        out["prev_delta"] = prev_delta
+        supplement["prev_round"] = prev_round
+        supplement["prev_delta"] = prev_delta
     if timings_norm:
-        out["queries_normalized"] = timings_norm
-        out["value_normalized"] = round(sum(timings_norm.values()), 3)
-        out["notes"] = {
+        supplement["queries_normalized"] = timings_norm
+        supplement["value_normalized"] = round(sum(timings_norm.values()), 3)
+        supplement["notes"] = {
             "queries_normalized": (
                 "normalization rewrites inputs to 32 splits per table; "
                 "iterative queries (" + ", ".join(ITERATIVE) + ") pay a "
@@ -195,13 +227,15 @@ def main() -> None:
     # uniform round-over-round shift is attributable to data layout.
     try:
         import pyarrow.parquet as pq
-        out["input_row_groups"] = {
+        supplement["input_row_groups"] = {
             t: pq.read_metadata(os.path.join(SF_DIR, f"{t}.parquet"))
             .num_row_groups
             for t in ("lineitem", "orders", "documents", "embeddings")}
     except Exception:
         pass
-    print(json.dumps(out))
+    print(json.dumps(supplement, separators=(",", ":")), file=sys.stderr,
+          flush=True)
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

