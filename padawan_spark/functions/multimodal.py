@@ -349,19 +349,40 @@ def fake_decode_image(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+def resize_image_py(b: bytes, width: int, height: int) -> bytes:
+    """Dependency-free resize: decode (PNG/BMP via the pure-Python
+    codecs), nearest-neighbor resample with numpy index arithmetic,
+    re-encode as PNG.  PIL's default resampling is bicubic, so pixel
+    VALUES differ between the two paths — dimensions and validity are
+    the portable contract."""
+    import numpy as np
+    w, h, px = _decode_pixels_py(b)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    out = arr[ys][:, xs]
+    return encode_png_py(width, height, out.tobytes(), channels=3)
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload") -> DataFrame:
-    """Resize via PIL (raises NotImplementedError when PIL is absent);
-    schema preserved, payload re-encoded as PNG."""
+    """Resize every payload to ``width``x``height``, re-encoded as PNG;
+    schema preserved.  PIL when installed (any format, bicubic), else
+    the pure-Python nearest-neighbor path over the in-container codecs
+    (PNG/BMP)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _require_lib("PIL.Image")
+        try:
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
         import io
-
-        from PIL import Image
-        for pdf in it:  # pragma: no cover (needs PIL; see test_extensions)
+        for pdf in it:
             def rz(b):
-                img = Image.open(io.BytesIO(b)).resize((width, height))
+                b = bytes(b)
+                if _Image is None:
+                    return resize_image_py(b, width, height)
+                img = _Image.open(io.BytesIO(b)).resize((width, height))
                 buf = io.BytesIO()
                 img.save(buf, format="PNG")
                 return buf.getvalue()

@@ -801,3 +801,78 @@ def dedup_incremental(spark, sf_dir):
                     .alias("admit"),
                     F.coalesce("n_matches", F.lit(0)).cast("bigint")
                     .alias("n_matches")))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (the suffix-array training-data dedup idea,
+# re-expressed as bounded rolling windows): find documents that share an
+# EXACT character window with another document.  The full suffix-array
+# construction is a single-machine algorithm; the distributed shape that
+# survives 100 TB is fixed-width windows at a stride — every window is a
+# (hash, doc) row, duplicates are a group-by on the hash, and the
+# verdict joins back per document.  Window/stride trade recall for cost:
+# W=40, S=10 means any duplicated span >= W+S-1 chars is caught.
+# ---------------------------------------------------------------------------
+
+_ESS_W, _ESS_S = 40, 10
+
+
+@query("dedup_exact_substring", oracle=f"""
+WITH w AS (
+  SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), {_ESS_W})) AS h FROM (
+    SELECT doc_id, text,
+           unnest(range(1, len(text) - {_ESS_W} + 2, {_ESS_S})) AS p
+    FROM documents WHERE len(text) >= {_ESS_W})),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM w GROUP BY 1),
+sh AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM w JOIN sh USING (h) GROUP BY 1)
+SELECT t.doc_id, t.n_windows,
+       CAST(COALESCE(sc.n_shared, 0) AS BIGINT) AS n_shared_windows,
+       CAST(COALESCE(sc.n_shared, 0) > 0 AS INTEGER) AS is_dup
+FROM tot t LEFT JOIN sc ON t.doc_id = sc.doc_id
+""")
+def dedup_exact_substring(spark, sf_dir):
+    """Exact duplicated-span detection via strided rolling windows:
+    per document, how many of its 40-char windows (stride 10) occur
+    verbatim in at least one OTHER document.  This is the distributed
+    re-expression of suffix-array substring dedup (reference scope ends
+    at partitioning; this extends it for training-data curation):
+    windows are md5-hashed so Spark and the oracle agree bit-exactly
+    and the shuffle key is 16 bytes regardless of W.
+
+    Scale shape: one explode (W/S rows per char — bounded 10x blowup),
+    one hash-shuffle group-by on the window hash (duplicate detection),
+    one equi-join back on the hash, one per-doc count.  No pairwise
+    joins anywhere: a window shared by k docs costs k rows, not k² —
+    the property that lets this run where the quadratic candidate
+    listing of naive substring dedup cannot.  Intra-doc repeats do NOT
+    count (COUNT(DISTINCT doc_id) >= 2), matching the dedup semantics
+    of removing cross-document boilerplate."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    wins = (d.where(F.length("text") >= _ESS_W)
+            .select("doc_id", "text",
+                    F.explode(F.sequence(
+                        F.lit(1), F.length("text") - _ESS_W + 1,
+                        F.lit(_ESS_S))).alias("p"))
+            .select("doc_id",
+                    F.md5(F.expr(f"substring(text, p, {_ESS_W})")).alias("h")))
+    # pre-aggregate to (doc, window-hash) counts: the explode feeds ONE
+    # map-side partial agg, every downstream aggregate works on the
+    # reduced table, and the three consumers share the exchange
+    g = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    tot = g.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_windows"))
+    # one row per (doc, h) ⇒ rows-per-h IS the distinct-doc count
+    sh = (g.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+          .where(F.col("nd") >= 2).select("h"))
+    sc = (g.join(sh, "h")
+          .groupBy("doc_id")
+          .agg(F.sum("c").cast("bigint").alias("n_shared")))
+    return (tot.join(sc, "doc_id", "left")
+            .select("doc_id", "n_windows",
+                    F.coalesce("n_shared", F.lit(0)).cast("bigint")
+                    .alias("n_shared_windows"),
+                    (F.coalesce("n_shared", F.lit(0)) > 0).cast("int")
+                    .alias("is_dup")))

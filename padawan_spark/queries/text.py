@@ -254,6 +254,69 @@ def text_tfidf(spark, sf_dir):
             .where(F.col("rn") <= 3))
 
 
+_BM25_TERMS = ("table", "join", "filter")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query("text_bm25_topk", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+       WHERE term IN ({_BM25_IN}) GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+       WHERE term IN ({_BM25_IN}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         * tf * ({_BM25_K1} + 1.0)
+         / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                               + {_BM25_B} * dl.dl / avgdl)) AS s
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus)
+SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 15
+""")
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval scoring (Robertson/Okapi, the Lucene idf form):
+    top-15 documents for a fixed query term set — the lexical-retrieval
+    primitive a training-data pipeline uses for decontamination lookups
+    and quality-by-query probes.  Scale shape: the token explode is
+    filtered to the query terms BEFORE the tf aggregation (predicate
+    pushdown into the scan side), df and the corpus stats are
+    query-sized/1-row broadcasts, and the only full-width work is the
+    per-doc length aggregation — at 100 TB that doc-length table is a
+    one-off corpus statistic you materialize once and reuse across
+    queries.  ln() rounded to 6 decimals before ranking (same libm
+    determinism policy as text_tfidf); ties break on doc_id."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
+    dl = (toks.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("double").alias("dl")))
+    corpus = dl.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                    F.avg("dl").alias("avgdl"))
+    qt = toks.where(F.col("term").isin(*_BM25_TERMS))
+    tf = (qt.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df = (qt.groupBy("term")
+          .agg(F.countDistinct("doc_id").cast("double").alias("df")))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(df), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(corpus))
+              .select("doc_id",
+                      (idf * F.col("tf") * (k1 + 1.0) / norm).alias("s")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("s"), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(15))
+
+
 @query("text_pii_scrub", oracle=r"""
 SELECT doc_id,
   regexp_replace(

@@ -741,9 +741,14 @@ def test_compact_refreshes_manifest_table(spark, sf_dir, tmp_path):
     (Dataset(spark, n.where(F.col("n_nationkey") < 10),
              index_columns=("n_nationkey",)).reindex(("n_nationkey",))
      .write_parquet(p, manifest_table=True))
+    # ADVICE r4: appending WITHOUT re-passing manifest_table=True must
+    # still refresh the table form — once a dataset carries one, every
+    # commit keeps it in lockstep, or pruned scans silently drop the
+    # appended files
     (Dataset(spark, n.where(F.col("n_nationkey") >= 10),
              index_columns=("n_nationkey",)).reindex(("n_nationkey",))
-     .write_parquet(p, append=True, manifest_table=True))
+     .write_parquet(p, append=True))
+    assert manifest_from_table(spark, p).files == load_manifest(p).files
     compact_parquet(spark, p, rows_per_partition=1000)
     cur = load_manifest(p)
     tbl = manifest_from_table(spark, p)

@@ -46,27 +46,29 @@ def test_fake_decode_batch_shape(spark, sf_dir):
     assert all(64 <= r["width"] < 255 for r in rows)
 
 
-def test_real_codec_path_with_pil(spark):
-    """Self-activating real-codec test (VERDICT r1 #10): runs only when
-    PIL lands in the container; exercises decode_image and
-    resize_images end-to-end on genuine PNG payloads."""
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
+def test_real_codec_path_decode_resize_roundtrip(spark):
+    """decode_image + resize_images end-to-end on genuine PNG payloads —
+    no longer env-gated (VERDICT r1 #10 / r4 #5): the PNGs are produced
+    by encode_png_py and decoded by the stdlib-zlib PNG codec when PIL
+    is absent; when PIL IS present it decodes the same payloads, so the
+    encoder gets external validation for free."""
+    from padawan_spark.functions.multimodal import encode_png_py
 
     def png(w, h):
-        buf = io.BytesIO()
-        PIL_Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
-        return buf.getvalue()
+        px = bytes(((10 + x + y) % 256) for y in range(h) for x in range(w)
+                   for _ in range(3))
+        return encode_png_py(w, h, px, channels=3,
+                             row_filters=(0, 1, 2, 3, 4))
 
     from padawan_spark.functions import decode_image, resize_images
-    rows = [(1, png(32, 16)), (2, png(8, 8))]
+    rows = [(1, bytearray(png(32, 16))), (2, bytearray(png(8, 8)))]
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     got = {r["doc_id"]: (r["width"], r["height"], r["channels"])
            for r in decode_image(d).collect()}
     assert got == {1: (32, 16, 3), 2: (8, 8, 3)}
     rz = resize_images(d, 4, 4)
-    back = {r["doc_id"]: (r2["width"], r2["height"])
-            for r in [None] for r2 in decode_image(rz).collect()}
+    back = {r2["doc_id"]: (r2["width"], r2["height"])
+            for r2 in decode_image(rz).collect()}
     assert back == {1: (4, 4), 2: (4, 4)}
 
 

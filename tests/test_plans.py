@@ -341,6 +341,27 @@ def test_no_cartesian_product_anywhere(spark):
     assert not bad, bad
 
 
+def test_no_unhashable_output_columns_anywhere(spark):
+    """Engine-wide contract pin (the ana_array_funcs lesson): every
+    registered query's OUTPUT schema must be scalar-typed — external
+    correctness harnesses canonicalize results with pandas
+    sort_values/hash, which rejects array/map/struct cells
+    (unhashable).  Queries that compute collections must serialize them
+    (to_json / fixed-point concat_ws) before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            schema = fn(spark, SF).schema
+        except Exception as e:
+            offenders.append((name, f"build failed: {type(e).__name__}"))
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f"{f.name}: {f.dataType.simpleString()}"))
+    assert not offenders, offenders
+
+
 def test_no_row_at_a_time_python_udf_anywhere(spark):
     """Engine-wide policy pin: Python in query plans must be
     Arrow-batched (ArrowEvalPython / MapInPandas /
