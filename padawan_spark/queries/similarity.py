@@ -770,3 +770,85 @@ def sim_hard_negatives(spark, sf_dir):
                                                 "negative_id")
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1).drop("rn"))
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# semantic (embedding cosine) rankings — the modern two-tower retrieval
+# fusion a curation pipeline uses when neither signal alone is trusted.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from .text import _BM25_DUCK_SCORES
+    dot = _DUCK_DOT.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH v AS ({_DUCK_VECS}),
+sem0 AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND({dot} / (q.nrm * c.nrm), 6) AS cos
+  FROM v c CROSS JOIN (SELECT * FROM v WHERE vec_id = 0) q
+  WHERE c.vec_id <> 0),
+sem AS (SELECT doc_id, r FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+  FROM sem0) WHERE r <= 50),
+lex AS (SELECT doc_id, r FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM ({_BM25_DUCK_SCORES})) WHERE r <= 50),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(l.r AS BIGINT) AS lex_rank, CAST(s.r AS BIGINT) AS sem_rank,
+         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.r), 0.0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.r), 0.0), 8)
+           AS rrf
+  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+SELECT doc_id, lex_rank, sem_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@query("sim_hybrid_rrf", oracle=_rrf_oracle())
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion: top-50 by BM25
+    (lexical) and top-50 by embedding cosine against query vector 0
+    (semantic), fused with RRF(d) = Σ 1/(60 + rank) — the
+    rank-only fusion that needs no score calibration between the two
+    retrievers.  Scale shape: each side's top-50 comes from
+    orderBy+limit, which Spark plans as TakeOrderedAndProject — a
+    per-partition top-k merged on the driver, never a full global
+    sort; the row_number ranking then runs over 50 rows.  The fusion
+    join is two 50-row sides (broadcast-trivial).  Ranks break ties on
+    doc_id over scores rounded to 6 (libm determinism policy), so both
+    engines produce identical rank assignments."""
+    from .text import _bm25_spark
+    v = _vecs(spark, sf_dir)
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("qe"),
+                                             F.col("nrm").alias("qn"))
+    cos = F.round(F.expr(_DOT.format(a="qe", b="emb"))
+                  / (F.col("qn") * F.col("nrm")), 6)
+    sem0 = (v.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .select(F.col("vec_id").alias("doc_id"), cos.alias("cos")))
+    sem_top = sem0.orderBy(F.desc("cos"), F.asc("doc_id")).limit(50)
+    sem = (sem_top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("cos"),
+                                                F.asc("doc_id"))))
+        .select("doc_id", F.col("r").alias("sem_rank")))
+    lex_top = (_bm25_spark(spark, sf_dir)
+               .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50))
+    lex = (lex_top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("bm25"),
+                                                F.asc("doc_id"))))
+        .select("doc_id", F.col("r").alias("lex_rank")))
+    one = F.lit(1.0)
+    fused = (lex.join(sem, "doc_id", "full")
+             .select("doc_id",
+                     F.col("lex_rank").cast("bigint").alias("lex_rank"),
+                     F.col("sem_rank").cast("bigint").alias("sem_rank"),
+                     F.round(
+                         F.coalesce(one / (_RRF_K + F.col("lex_rank")),
+                                    F.lit(0.0))
+                         + F.coalesce(one / (_RRF_K + F.col("sem_rank")),
+                                      F.lit(0.0)), 8).alias("rrf")))
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

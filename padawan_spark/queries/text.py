@@ -258,8 +258,9 @@ _BM25_TERMS = ("table", "join", "filter")
 _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-
-@query("text_bm25_topk", oracle=f"""
+# per-doc BM25 scores as a reusable subquery (text_bm25_topk ranks it;
+# sim_hybrid_rrf fuses it with the vector side)
+_BM25_DUCK_SCORES = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
 dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
@@ -278,20 +279,12 @@ scored AS (
   CROSS JOIN corpus)
 SELECT doc_id, ROUND(SUM(s), 6) AS bm25
 FROM scored GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id LIMIT 15
-""")
-def text_bm25_topk(spark, sf_dir):
-    """BM25 retrieval scoring (Robertson/Okapi, the Lucene idf form):
-    top-15 documents for a fixed query term set — the lexical-retrieval
-    primitive a training-data pipeline uses for decontamination lookups
-    and quality-by-query probes.  Scale shape: the token explode is
-    filtered to the query terms BEFORE the tf aggregation (predicate
-    pushdown into the scan side), df and the corpus stats are
-    query-sized/1-row broadcasts, and the only full-width work is the
-    per-doc length aggregation — at 100 TB that doc-length table is a
-    one-off corpus statistic you materialize once and reuse across
-    queries.  ln() rounded to 6 decimals before ranking (same libm
-    determinism policy as text_tfidf); ties break on doc_id."""
+"""
+
+
+def _bm25_spark(spark, sf_dir):
+    """Per-doc BM25 scores (rounded to 6 before any ranking) — the
+    Spark twin of ``_BM25_DUCK_SCORES``."""
     d = load(spark, sf_dir, "documents", wide=True)
     toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
     dl = (toks.groupBy("doc_id")
@@ -313,7 +306,26 @@ def text_bm25_topk(spark, sf_dir):
               .select("doc_id",
                       (idf * F.col("tf") * (k1 + 1.0) / norm).alias("s")))
     return (scored.groupBy("doc_id")
-            .agg(F.round(F.sum("s"), 6).alias("bm25"))
+            .agg(F.round(F.sum("s"), 6).alias("bm25")))
+
+
+@query("text_bm25_topk", oracle=f"""
+SELECT doc_id, bm25 FROM ({_BM25_DUCK_SCORES})
+ORDER BY bm25 DESC, doc_id LIMIT 15
+""")
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval scoring (Robertson/Okapi, the Lucene idf form):
+    top-15 documents for a fixed query term set — the lexical-retrieval
+    primitive a training-data pipeline uses for decontamination lookups
+    and quality-by-query probes.  Scale shape: the token explode is
+    filtered to the query terms BEFORE the tf aggregation (predicate
+    pushdown into the scan side), df and the corpus stats are
+    query-sized/1-row broadcasts, and the only full-width work is the
+    per-doc length aggregation — at 100 TB that doc-length table is a
+    one-off corpus statistic you materialize once and reuse across
+    queries.  ln() rounded to 6 decimals before ranking (same libm
+    determinism policy as text_tfidf); ties break on doc_id."""
+    return (_bm25_spark(spark, sf_dir)
             .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(15))
 
 
