@@ -659,3 +659,43 @@ def test_quality_floor_single_scan_per_source_window(spark):
     a = plan_of(spark, "pipe_quality_floor")
     assert len(a.scans) == 1, a.scans
     assert not a.has_cartesian, a.plan
+
+
+def test_bm25_broadcasts_stats_and_partial_aggs(spark):
+    """text_bm25_topk: df/corpus-stat sides broadcast, tf aggregation
+    map-side partial, final ranking a TakeOrderedAndProject (top-15
+    without a global sort)."""
+    a = plan_of(spark, "text_bm25_topk")
+    assert a.has_broadcast_join
+    assert a.has_partial_agg
+    assert a.take_ordered
+    assert not a.has_cartesian
+
+
+def test_exact_substring_single_preagg_no_pairs(spark):
+    """dedup_exact_substring: the window explode feeds ONE (doc, hash)
+    partial aggregation; every join is an equi-join (shuffle or
+    broadcast), never a cartesian/pairwise expansion."""
+    a = plan_of(spark, "dedup_exact_substring")
+    assert a.has_partial_agg
+    assert not a.has_cartesian
+    assert a.broadcast_nested_loop == 0
+
+
+def test_hybrid_rrf_take_ordered_both_sides(spark):
+    """sim_hybrid_rrf: candidate generation on each side plans as
+    TakeOrderedAndProject (distributed top-k, no global sort), and the
+    single-row query vector is broadcast."""
+    a = plan_of(spark, "sim_hybrid_rrf")
+    assert a.take_ordered
+    assert a.has_broadcast_join
+    assert not a.has_cartesian
+
+
+def test_pruned_scan_read_prunes_before_scan(spark):
+    """op_pruned_scan_read: the data scan must read only the surviving
+    manifest files — the scan list is file-pruned, and the residual
+    slice predicate is pushed into the parquet reader."""
+    a = plan_of(spark, "op_pruned_scan_read")
+    assert a.pushed("o_orderdate")
+    assert not a.has_cartesian

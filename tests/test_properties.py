@@ -215,3 +215,29 @@ def test_pruned_scan_equivalence_random_slices(spark, tmp_path):
                      scan_parquet_pruned(spark, p, lb, ub, inclusive=inc)
                      .df.collect())
         assert got == want, (lb, ub, inc)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    mode=st.sampled_from([1, 3, 4]),
+    filters=st.lists(st.integers(min_value=0, max_value=4),
+                     min_size=1, max_size=6),
+    data=st.data(),
+)
+def test_png_codec_roundtrip_property(w, h, mode, filters, data):
+    """Pure-Python PNG codec: encode(decode) is the identity for every
+    (size, channel-count, scanline-filter sequence) — pixels drawn
+    randomly so filter arithmetic (Sub/Up/Average/Paeth wraparound at
+    255) is exercised on adversarial byte patterns, not just smooth
+    gradients."""
+    from padawan_spark.functions.multimodal import (decode_png_py,
+                                                    encode_png_py)
+    n = w * h * mode
+    px = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    payload = encode_png_py(w, h, px, channels=mode,
+                            row_filters=tuple(filters))
+    W, H, C, out = decode_png_py(payload)
+    assert (W, H, C) == (w, h, mode)
+    assert out == px
