@@ -876,3 +876,108 @@ def dedup_exact_substring(spark, sf_dir):
                     .alias("n_shared_windows"),
                     (F.coalesce("n_shared", F.lit(0)) > 0).cast("int")
                     .alias("is_dup")))
+
+
+# ---------------------------------------------------------------------------
+# the curation FUNNEL as one query: exact dedup, then LSH-candidate +
+# Jaccard-verified near-dup pruning over the exact survivors — per-stage
+# survival accounting, the observability row every production dedup run
+# reports.  Composes the suite's own stages end-to-end (the integration
+# check that the pieces agree when chained, not just in isolation).
+# ---------------------------------------------------------------------------
+
+@query("dedup_funnel", oracle=f"""
+WITH canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+mh0 AS ({_DUCK_MINHASH}),
+mh AS (SELECT mh0.* FROM mh0 JOIN canon USING (doc_id)),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM mh"
+      for b in range(_N_BANDS))}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sh0 AS ({_DUCK_SHINGLES}),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN canon USING (doc_id)),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_DF_CAP}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+verified AS (
+  SELECT inter.doc_a, inter.doc_b
+  FROM inter
+  JOIN cand ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
+  JOIN cnt ca ON inter.doc_a = ca.doc_id
+  JOIN cnt cb ON inter.doc_b = cb.doc_id
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+dups AS (SELECT DISTINCT doc_b AS doc_id FROM verified)
+SELECT 'exact' AS stage,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS docs_in,
+       CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS docs_out
+UNION ALL
+SELECT 'near_dup',
+       CAST((SELECT COUNT(*) FROM canon) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM canon)
+            - (SELECT COUNT(*) FROM dups) AS BIGINT)
+""")
+def dedup_funnel(spark, sf_dir):
+    """Per-stage dedup survival funnel: (1) exact — one canonical doc
+    per sha256 digest; (2) near-dup — over the exact survivors, LSH
+    band candidates verified by df-capped shingle Jaccard >= 0.5, keep
+    a doc iff it has NO verified lower-id partner (the same keep-min
+    rule as dedup_semantic).  Emits (stage, docs_in, docs_out) —
+    integer-exact.
+
+    Scale shape: each stage reuses the suite's own bounded plans
+    (digest group-by; cached band table equi-join; df-capped shingle
+    self-join gated by the candidate set), and the stage counters are
+    single-row aggregates cross-joined into the 2-row result — no
+    collect, no driver-side loop."""
+    d = load(spark, sf_dir, "documents", wide=True)
+    canon = (d.groupBy(F.sha2("text", 256).alias("dg"))
+             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    bands = _bands_spark(spark, sf_dir).join(canon, "doc_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sh = _shingles_spark(d).join(canon, "doc_id")
+    rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= _DF_CAP).select("s"))
+    shc = sh.join(rare, "s")
+    cnt = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = shc.alias("sa"), shc.alias("sb")
+    inter = (sa.join(sb, (F.col("sa.s") == F.col("sb.s"))
+                     & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+             .groupBy(F.col("sa.doc_id").alias("doc_a"),
+                      F.col("sb.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")))
+    verified = (inter.join(cand, ["doc_a", "doc_b"])
+                .join(ca, "doc_a").join(cb, "doc_b")
+                .where(jac >= 0.5))
+    dups = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    nc = canon.agg(F.count(F.lit(1)).cast("bigint").alias("n_canon"))
+    ndup = dups.agg(F.count(F.lit(1)).cast("bigint").alias("n_dup"))
+    row1 = (tot.crossJoin(nc)
+            .select(F.lit("exact").alias("stage"),
+                    F.col("n_total").alias("docs_in"),
+                    F.col("n_canon").alias("docs_out")))
+    row2 = (nc.crossJoin(ndup)
+            .select(F.lit("near_dup").alias("stage"),
+                    F.col("n_canon").alias("docs_in"),
+                    (F.col("n_canon") - F.col("n_dup")).cast("bigint")
+                    .alias("docs_out")))
+    return row1.unionByName(row2)
