@@ -52,7 +52,7 @@ HEADLINE = [
     "ev_downsample_lttb",    # time series: two-level (series, day) window
     "sim_ann_ivfpq",         # composed IVF routing + PQ ADC scoring
     # round-5: steady-state distributed-manifest planning cost over a
-    # 2000-file table (the 100 TB entry point; write memoized like
+    # ~512-file table (the 100 TB entry point; write memoized like
     # scale_bucketed_join so the timing isolates prune+plan+agg)
     "op_pruned_scan_read",
 ]

@@ -467,12 +467,18 @@ GROUP BY o_orderstatus
 
 _PRUNED_TABLE_DONE: dict[tuple, str] = {}
 
+# target file count for the fixture: padawan repartition() takes ROWS
+# PER PARTITION (reference semantics), so derive it from the row count
+# to get a scale-stable many-file table (~512 files at every SF)
+_PRUNED_FILES_TARGET = 512
+
 
 def _ensure_pruned_table(spark, sf_dir) -> str:
-    """Materialize the 2000-file manifest-table dataset for ``sf_dir``
-    once per process (fingerprint-keyed, so testdata regenerated in
-    place invalidates) — the write is the one-time investment; every
-    pruned scan after it exercises only the distributed planning path."""
+    """Materialize a ~512-file date-indexed manifest-table dataset for
+    ``sf_dir`` once per process (fingerprint-keyed, so testdata
+    regenerated in place invalidates) — the write is the one-time
+    investment; every pruned scan after it exercises only the
+    distributed planning path."""
     p = os.path.join(sf_dir, "orders.parquet")
     try:
         st = os.stat(p)
@@ -482,28 +488,30 @@ def _ensure_pruned_table(spark, sf_dir) -> str:
     target = _PRUNED_TABLE_DONE.get(key)
     if target is not None and os.path.isdir(target):
         return target
-    ds = Dataset(spark,
-                 load(spark, sf_dir, "orders")
-                 .select("o_orderkey", "o_custkey", "o_orderstatus",
-                         "o_orderdate"),
-                 index_columns=("o_orderdate",))
+    src = (load(spark, sf_dir, "orders")
+           .select("o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_orderdate"))
+    rpp = max(1, src.count() // _PRUNED_FILES_TARGET)
+    ds = Dataset(spark, src, index_columns=("o_orderdate",))
     target = os.path.join(tempfile.mkdtemp(prefix="padawan_ps_"), "orders_mt")
-    ds.repartition(2000).write_parquet(target, manifest_table=True)
+    ds.repartition(rpp).write_parquet(target, manifest_table=True)
     _PRUNED_TABLE_DONE[key] = target
     return target
 
 
 def _pruned_scan(spark, target):
+    from .. import metadata as _meta
     from ..dataset import scan_parquet_pruned
     out = scan_parquet_pruned(
         spark, target,
         (dt.datetime(1997, 1, 1),), (dt.datetime(1997, 6, 30),),
         inclusive="both")
     # the distributed prune must have dropped non-overlapping files:
-    # non-empty (rows survive) AND strictly fewer than the 2000 written,
-    # so a prune regression that keeps everything fails here too
-    assert 0 < len(out._files) < 2000, \
-        f"prune kept {len(out._files)} of 2000 files"
+    # non-empty (rows survive) AND strictly fewer than the table's real
+    # file count, so a prune regression that keeps everything fails here
+    total = len(_meta.load_manifest(target).files)
+    assert 0 < len(out._files) < total, \
+        f"prune kept {len(out._files)} of {total} files"
     return (out.df.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("o_custkey").cast("bigint").alias("ck")))
@@ -518,7 +526,7 @@ def op_pruned_scan(spark, sf_dir):
     conservative first-column prune composes with the exact slice
     residual, so the result is value-identical to scan+slice; verified
     here against the plain SQL range predicate.  Includes the one-time
-    2000-file write when the table is not yet materialized."""
+    ~512-file write when the table is not yet materialized."""
     return _pruned_scan(spark, _ensure_pruned_table(spark, sf_dir))
 
 
