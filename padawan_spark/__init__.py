@@ -20,6 +20,7 @@ from .dataset import (  # noqa: F401
     Dataset,
     StatsUnknownError,
     compact_parquet,
+    delete_rows,
     concat,
     from_pandas,
     scan_parquet,
@@ -34,6 +35,7 @@ __all__ = [
     "Dataset",
     "StatsUnknownError",
     "compact_parquet",
+    "delete_rows",
     "concat",
     "from_pandas",
     "get_spark",

@@ -1272,3 +1272,84 @@ def compact_parquet(spark: SparkSession, path: str,
         if os.path.isdir(_meta.manifest_table_path(path)):
             _meta.write_manifest_table(spark, path, man)
     return scan_parquet(spark, path)
+
+
+def delete_rows(spark: SparkSession, path: str, lb=None, ub=None,
+                inclusive: str = "both") -> Dataset:
+    """In-place DELETE of an index-range slice (the lakehouse
+    DELETE-with-copy-on-write, the compliance/GDPR primitive): files
+    whose bounds do not overlap the slice are left byte-identical;
+    overlapping files are rewritten WITHOUT the matching rows (same
+    null-first lexicographic semantics as :meth:`Dataset.slice`, so
+    delete(lb, ub) removes exactly what ``slice(lb, ub)`` returns) and
+    the new manifest references untouched + rewritten files.  Older
+    pins keep reading their exact snapshot until
+    :func:`padawan_spark.metadata.vacuum` reclaims the superseded
+    files.
+
+    Scale shape: bound overlap picks the rewrite set on the manifest
+    (file-count work, no data scan), so the data cost is proportional
+    to the files the range TOUCHES, not the table — on a date-indexed
+    corpus a one-day delete rewrites one day of files.
+
+    Concurrency: the whole read-manifest → rewrite → publish sequence
+    holds the commit lock, same as append/compact/vacuum."""
+    _require(_meta.has_manifest(path), ValueError,
+             f"delete_rows requires a manifest at {path}")
+    _require(lb is not None or ub is not None, ValueError,
+             "delete_rows requires at least one bound (lb/ub)")
+    _require(inclusive in _INCLUSIVE, ValueError,
+             f"inclusive must be one of {_INCLUSIVE}: {inclusive}")
+    with _meta.commit_lock(path, "delete"):
+        old = _meta.load_manifest(path)
+        ix = old.index_columns
+        _require(ix != (), ValueError, "delete_rows requires index columns")
+        _require(old.known_bounds, ValueError,
+                 "delete_rows requires manifest bounds")
+        lo_incl = inclusive in ("lower", "both")
+        hi_incl = inclusive in ("upper", "both")
+        untouched, affected = [], []
+        for i, f in enumerate(old.files):
+            if _overlaps(old.lower_bounds[i], old.upper_bounds[i],
+                         lb, ub, lo_incl, hi_incl):
+                affected.append(f)
+            else:
+                untouched.append(i)
+        if not affected:            # nothing overlaps: no-op, no version
+            return scan_parquet(spark, path)
+        cond = None
+        if lb is not None:
+            c = (_ord.columns_geq if lo_incl else _ord.columns_gt)(ix, lb)
+            cond = c if cond is None else (cond & c)
+        if ub is not None:
+            c = (_ord.columns_leq if hi_incl else _ord.columns_lt)(ix, ub)
+            cond = c if cond is None else (cond & c)
+        keep = ~F.coalesce(cond, F.lit(False))   # null-safe complement
+        rewritten = (spark.read.parquet(
+            *[os.path.join(path, f) for f in affected]).where(keep))
+        before = set(_list_parquet(path))
+        rewritten.write.mode("append").parquet(path)
+        new_files = sorted(set(_list_parquet(path)) - before)
+        stats = _file_stats(spark, [os.path.join(path, f) for f in new_files],
+                            ix)
+
+        def _k(f):
+            return os.path.abspath(os.path.join(path, f))
+        kept_new = [f for f in new_files if _k(f) in stats]
+        man = _meta.Manifest(
+            index_columns=ix,
+            files=[old.files[i] for i in untouched] + kept_new,
+            sizes=([old.sizes[i] for i in untouched]
+                   + [stats[_k(f)][0] for f in kept_new])
+            if old.known_sizes else None,
+            lower_bounds=([old.lower_bounds[i] for i in untouched]
+                          + [stats[_k(f)][1] for f in kept_new]),
+            upper_bounds=([old.upper_bounds[i] for i in untouched]
+                          + [stats[_k(f)][2] for f in kept_new]),
+            max_partition_index=old.max_partition_index + len(kept_new),
+            schema_json=old.schema_json,
+        )
+        _meta.write_manifest(path, man)
+        if os.path.isdir(_meta.manifest_table_path(path)):
+            _meta.write_manifest_table(spark, path, man)
+    return scan_parquet(spark, path)

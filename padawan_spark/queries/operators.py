@@ -538,3 +538,39 @@ def op_pruned_scan_read(spark, sf_dir):
     which is what grows with file count at 100 TB and what the bench
     tracks round-over-round."""
     return _pruned_scan(spark, _ensure_pruned_table(spark, sf_dir))
+
+
+@query("op_delete_rows", oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS ck
+FROM orders
+WHERE NOT (o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate <= TIMESTAMP '1997-06-30')
+GROUP BY o_orderstatus
+""")
+def op_delete_rows(spark, sf_dir):
+    """delete_rows: copy-on-write DELETE of an index-range slice (the
+    compliance primitive; extends the reference, whose scope ends at
+    partitioning).  Bound overlap selects the rewrite set from the
+    MANIFEST (no data scan), untouched files stay byte-identical, and
+    the deleted set complements Dataset.slice exactly — verified here
+    against the SQL NOT-BETWEEN aggregate over the same table.  Scale
+    shape: data cost proportional to files the range touches (one-day
+    delete on a date-indexed corpus rewrites one day of files)."""
+    from ..dataset import delete_rows
+    src = (load(spark, sf_dir, "orders")
+           .select("o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_orderdate"))
+    ds = Dataset(spark, src, index_columns=("o_orderdate",))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_del_"), "orders_d")
+    ds.repartition(1000).write_parquet(target)
+    n_before = len(scan_parquet(spark, target)._files)
+    out = delete_rows(spark, target,
+                      (dt.datetime(1997, 1, 1),), (dt.datetime(1997, 6, 30),),
+                      inclusive="both")
+    # surgical guarantee: the rewrite touched a strict subset of files
+    untouched = len(set(out._files)
+                    & set(scan_parquet(spark, target, version=1)._files))
+    assert 0 < untouched < n_before, (untouched, n_before)
+    return (out.df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_custkey").cast("bigint").alias("ck")))

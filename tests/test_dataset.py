@@ -1111,3 +1111,55 @@ def test_scan_parquet_pruned_date_index(spark, tmp_path):
     got = sorted(r["v"] for r in got_ds.df.collect())
     assert got == want == [3, 4, 5, 6, 7]
     assert len(got_ds._files) < len(full._files)
+
+
+def test_delete_rows_surgical_rewrite(spark, sf_dir, tmp_path):
+    """delete_rows (copy-on-write DELETE): non-overlapping files stay
+    byte-identical, overlapping files are rewritten without the slice's
+    rows, result complements slice() exactly, the pre-delete pin still
+    reads everything, and the whole sequence holds the commit lock."""
+    from padawan_spark import (Dataset, delete_rows, list_versions,
+                               scan_parquet)
+    from padawan_spark.metadata import CommitConflictError, LOCK_FILE
+    from padawan_spark.queries.registry import load
+
+    p = str(tmp_path / "del")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    (Dataset(spark, n, index_columns=("n_nationkey",))
+     .reindex(("n_nationkey",)).repartition(3).write_parquet(p))
+    pre = scan_parquet(spark, p)
+    all_keys = {r.n_nationkey for r in pre.df.select("n_nationkey").collect()}
+    doomed = {r.n_nationkey
+              for r in pre.slice((5,), (15,), inclusive="both")
+              .df.select("n_nationkey").collect()}
+    pre_files = {f: os.path.getmtime(f) for f in pre._files}
+    v_before = list_versions(p)[-1]
+
+    out = delete_rows(spark, p, (5,), (15,), inclusive="both")
+    got = {r.n_nationkey for r in out.df.select("n_nationkey").collect()}
+    assert got == all_keys - doomed                 # exact complement
+    assert list_versions(p)[-1] == v_before + 1     # one new version
+    # untouched files survive byte-identical (same path, same mtime)
+    untouched = [f for f in out._files if f in pre_files]
+    assert untouched, "expected some files to be untouched"
+    for f in untouched:
+        assert os.path.getmtime(f) == pre_files[f]
+    # at least one affected file was rewritten under a new name
+    assert any(f not in pre_files for f in out._files)
+    # the pre-delete pin still reads every row
+    pinned = scan_parquet(spark, p, version=v_before)
+    assert pinned.df.count() == len(all_keys)
+    # bounds/sizes stay valid on the new manifest
+    assert out.known_bounds and out.known_sizes
+    assert sum(out.sizes) == len(got)
+    # no-op outside the data range: no rewrite, no new version
+    v_now = list_versions(p)[-1]
+    delete_rows(spark, p, (1000,), (2000,), inclusive="both")
+    assert list_versions(p)[-1] == v_now
+    # a held commit lock fails the delete loudly
+    lock = os.path.join(p, LOCK_FILE)
+    with open(lock, "w") as fh:
+        fh.write("999 append")
+    with pytest.raises(CommitConflictError, match="concurrent delete"):
+        delete_rows(spark, p, (0,), (1,), inclusive="both")
+    os.unlink(lock)
