@@ -6,9 +6,16 @@ LAST line printed — {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}, kept deliberately short so tail
 captures never truncate it.  Supplementary telemetry (per-query deltas
 vs the previous round, the layout-normalized pass, input row-group
-counts) goes to STDERR as a separate JSON line tagged
-"bench_supplement".  Spark's console progress bar is disabled for the
-session so no control characters interleave with the metric line.
+counts) goes to STDERR as SEPARATE compact JSON lines each tagged
+"bench_supplement" — one fact per line, with prev_delta emitted LAST,
+because the driver's bounded capture keeps the TAIL of the stream and
+a single long supplement line loses its FRONT (r4/r5 both lost the
+q1/q3/q5 deltas that way).  Consumers should treat any stderr line
+whose "metric" is "bench_supplement" as a partial record and merge
+them.  The stdout contract is unchanged since r4; supplement fields
+moved OFF stdout in r5 (see round notes).  Spark's console progress
+bar is disabled for the session so no control characters interleave
+with the metric line.
 """
 
 from __future__ import annotations
@@ -164,9 +171,14 @@ def main() -> None:
             if not os.path.exists(src):
                 continue
             # raw read (no ts conversion): nanos-as-long columns round-trip
-            # as int64 and queries' load() re-derives timestamps either way
+            # as int64 and queries' load() re-derives timestamps either way.
+            # Small parquet.block.size → multiple row groups per file, so
+            # the normalized pass actually exercises row-group min/max
+            # skipping (the driver inputs ship as ONE row group per table,
+            # where skipping can never fire).
             (spark.read.parquet(src).repartition(32)
              .write.mode("overwrite")
+             .option("parquet.block.size", 1 << 20)
              .parquet(os.path.join(norm_dir, f"{t}.parquet")))
         # queries whose first call pays a memoized one-time write keyed by
         # sf_dir (norm_dir is a NEW sf_dir): run once untimed so the
@@ -203,38 +215,60 @@ def main() -> None:
         "sf": sf_val,
     }
 
-    # everything beyond the headline metric goes to STDERR as its own
-    # JSON line, so the stdout metric line stays short enough that a
-    # bounded tail capture can never truncate it mid-stream
-    supplement = {"metric": "bench_supplement", "sf": sf_val}
-    if prev_delta:
-        supplement["prev_round"] = prev_round
-        supplement["prev_delta"] = prev_delta
+    # Everything beyond the headline metric goes to STDERR, one fact per
+    # compact JSON line.  The driver's capture is a bounded TAIL — it
+    # keeps the END of the stream — so the lines are ordered largest
+    # first and prev_delta LAST: when truncation happens it eats the big
+    # normalized-timings line, never the round-over-round deltas (which
+    # is what r4/r5 lost when everything shared one line).
+    def _emit(part: dict) -> None:
+        line: dict = {"metric": "bench_supplement", "sf": sf_val}
+        line.update(part)
+        print(json.dumps(line, separators=(",", ":")), file=sys.stderr,
+              flush=True)
+
     if timings_norm:
-        supplement["queries_normalized"] = timings_norm
-        supplement["value_normalized"] = round(sum(timings_norm.values()), 3)
-        supplement["notes"] = {
-            "queries_normalized": (
-                "normalization rewrites inputs to 32 splits per table; "
-                "iterative queries (" + ", ".join(ITERATIVE) + ") pay a "
-                "fixed per-round job overhead that GROWS with split count "
-                "at small SF, so normalized > raw there is a layout "
-                "artifact, not an engine regression")}
+        _emit({
+            "queries_normalized": timings_norm,
+            "value_normalized": round(sum(timings_norm.values()), 3),
+            "notes": {
+                "queries_normalized": (
+                    "normalization rewrites inputs to 32 splits per table "
+                    "with 1 MiB row groups; iterative queries ("
+                    + ", ".join(ITERATIVE) + ") pay a fixed per-round job "
+                    "overhead that GROWS with split count at small SF, so "
+                    "normalized > raw there is a layout artifact, not an "
+                    "engine regression")}})
 
     # Input-layout telemetry: a single-row-group parquet file cannot be
     # scan-parallelized by ANY engine (the row group is the split unit),
     # so scan-bound timings scale with this number — record it so a
     # uniform round-over-round shift is attributable to data layout.
     try:
+        import glob as _glob
         import pyarrow.parquet as pq
-        supplement["input_row_groups"] = {
-            t: pq.read_metadata(os.path.join(SF_DIR, f"{t}.parquet"))
-            .num_row_groups
-            for t in ("lineitem", "orders", "documents", "embeddings")}
+
+        def _row_groups(root: str) -> dict:
+            counts = {}
+            for t in ("lineitem", "orders", "documents", "embeddings"):
+                path = os.path.join(root, f"{t}.parquet")
+                if os.path.isdir(path):
+                    counts[t] = sum(
+                        pq.read_metadata(f).num_row_groups
+                        for f in _glob.glob(os.path.join(path, "*.parquet")))
+                elif os.path.exists(path):
+                    counts[t] = pq.read_metadata(path).num_row_groups
+            return counts
+
+        layout: dict = {"input_row_groups": _row_groups(SF_DIR)}
+        if timings_norm:
+            layout["normalized_row_groups"] = _row_groups(norm_dir)
+        _emit(layout)
     except Exception:
         pass
-    print(json.dumps(supplement, separators=(",", ":")), file=sys.stderr,
-          flush=True)
+
+    if prev_delta:
+        _emit({"prev_round": prev_round, "prev_delta": prev_delta})
     print(json.dumps(out, separators=(",", ":")), flush=True)
 
 

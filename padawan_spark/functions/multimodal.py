@@ -118,38 +118,48 @@ def encode_bmp_py(width: int, height: int, pixels: bytes,
 # pure-Python PNG codec: the first COMPRESSED format that decodes for
 # real without a media library — stdlib ``zlib`` inflates the IDAT
 # stream and the per-row scanline filters (None/Sub/Up/Average/Paeth)
-# are undone byte-wise per the PNG spec.  8-bit greyscale / RGB / RGBA,
+# are undone byte-wise per the PNG spec.  8-bit greyscale / RGB / RGBA
+# plus palette (color type 3) at 1/2/4/8-bit depth with PLTE lookup,
 # non-interlaced.  PIL, when present, takes priority for every other
-# form (16-bit, palette, interlaced).
+# form (16-bit, interlaced).
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_png_py(b: bytes):
-    """Decode a non-interlaced 8-bit PNG (grey / RGB / RGBA).
+    """Decode a non-interlaced PNG: 8-bit grey / RGB / RGBA, or palette
+    (color type 3) at 1/2/4/8-bit depth.
 
     Returns ``(width, height, channels, pixels)`` with ``pixels`` as
     row-major top-down bytes in the source channel order (filters
-    undone, scanline filter bytes stripped)."""
+    undone, scanline filter bytes stripped).  Palette images come back
+    already looked up through PLTE as ``channels=3`` RGB — the palette
+    is a color encoding, not a channel layout, so the caller always
+    sees real colors."""
     import struct
     import zlib
     if b[:8] != _PNG_MAGIC:
         raise NotImplementedError(
             "not a PNG payload and PIL is unavailable")
     pos, w, h, ch, idat = 8, None, None, None, bytearray()
+    depth, color, plte = 8, None, None
     while pos + 8 <= len(b):
         ln, typ = struct.unpack_from(">I4s", b, pos)
         data = b[pos + 8:pos + 8 + ln]
         if typ == b"IHDR":
             w, h, depth, color, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", data)
-            if depth != 8 or color not in (0, 2, 6) or ilace != 0:
+            if ilace != 0 or not ((depth == 8 and color in (0, 2, 6))
+                                  or (color == 3
+                                      and depth in (1, 2, 4, 8))):
                 raise NotImplementedError(
                     f"pure-Python PNG decode supports non-interlaced 8-bit "
-                    f"grey/RGB/RGBA only (depth={depth}, color={color}, "
-                    f"interlace={ilace})")
-            ch = {0: 1, 2: 3, 6: 4}[color]
+                    f"grey/RGB/RGBA and 1/2/4/8-bit palette only "
+                    f"(depth={depth}, color={color}, interlace={ilace})")
+            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -158,27 +168,30 @@ def decode_png_py(b: bytes):
     if w is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT")
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
+    # the filter "left" offset is a whole pixel rounded up to one byte
+    # (bpp), and sub-byte palette rows pack several pixels per byte
+    bpp = max(1, (ch * depth + 7) // 8)
+    stride = (w * ch * depth + 7) // 8
     out, prev, p = bytearray(), bytearray(stride), 0
     for _y in range(h):
         f = raw[p]
         row = bytearray(raw[p + 1:p + 1 + stride])
         p += 1 + stride
         if f == 1:                                   # Sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif f == 2:                                 # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif f == 3:                                 # Average
             for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
+                a = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif f == 4:                                 # Paeth
             for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
+                a = row[i - bpp] if i >= bpp else 0
                 up = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
                 row[i] = (row[i] + (a if pa <= pb and pa <= pc
                                     else up if pb <= pc else c)) & 0xFF
@@ -186,16 +199,43 @@ def decode_png_py(b: bytes):
             raise NotImplementedError(f"PNG scanline filter {f}")
         out += row
         prev = row
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise NotImplementedError("palette PNG missing a valid PLTE")
+        rgb, per, mask = bytearray(w * h * 3), 8 // depth, (1 << depth) - 1
+        o = 0
+        for y in range(h):
+            rowb = out[y * stride:(y + 1) * stride]
+            for x in range(w):
+                if depth == 8:
+                    idx = rowb[x]
+                else:  # MSB-first packing per the PNG spec
+                    idx = ((rowb[x // per]
+                            >> (8 - depth * (x % per + 1))) & mask)
+                j = 3 * idx
+                if j + 3 > len(plte):
+                    raise NotImplementedError(
+                        f"palette index {idx} outside PLTE")
+                rgb[o:o + 3] = plte[j:j + 3]
+                o += 3
+        return w, h, 3, bytes(rgb)
     return w, h, ch, bytes(out)
 
 
 def encode_png_py(width: int, height: int, pixels: bytes,
                   channels: int = 3,
-                  row_filters: tuple[int, ...] = (0,)) -> bytes:
-    """Encode row-major top-down bytes as an 8-bit PNG, cycling
+                  row_filters: tuple[int, ...] = (0,),
+                  palette: bytes | None = None,
+                  depth: int = 8) -> bytes:
+    """Encode row-major top-down bytes as a PNG, cycling
     ``row_filters`` across scanlines (the inverse of
     :func:`decode_png_py`; passing all five filter types makes a
-    fixture that exercises every unfilter path)."""
+    fixture that exercises every unfilter path).
+
+    With ``palette`` (flat RGB triples), ``pixels`` are palette
+    INDICES — one per pixel — written as color type 3 at ``depth``
+    bits (1/2/4/8, MSB-first packing); otherwise 8-bit grey/RGB/RGBA
+    per ``channels``."""
     import struct
     import zlib
 
@@ -203,17 +243,33 @@ def encode_png_py(width: int, height: int, pixels: bytes,
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
-    color = {1: 0, 3: 2, 4: 6}[channels]
-    stride = width * channels
+    if palette is not None:
+        color, ch = 3, 1
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
+    else:
+        color, ch, depth = {1: 0, 3: 2, 4: 6}[channels], channels, 8
+    bpp = max(1, (ch * depth + 7) // 8)
+    stride = (width * ch * depth + 7) // 8
+    rows = []
+    if depth == 8 and palette is None:
+        rows = [pixels[y * stride:(y + 1) * stride] for y in range(height)]
+    else:  # pack indices (or pass 8-bit indices through) row by row
+        for y in range(height):
+            rb = bytearray(stride)
+            for x in range(width):
+                v = pixels[y * width + x] & ((1 << depth) - 1)
+                bit = x * depth
+                rb[bit // 8] |= v << (8 - depth - bit % 8)
+            rows.append(bytes(rb))
     raw, prev = bytearray(), bytes(stride)
-    for y in range(height):
-        row = pixels[y * stride:(y + 1) * stride]
+    for y, row in enumerate(rows):
         f = row_filters[y % len(row_filters)]
         enc = bytearray(stride)
         for i in range(stride):
-            a = row[i - channels] if i >= channels else 0
+            a = row[i - bpp] if i >= bpp else 0
             up = prev[i]
-            c = prev[i - channels] if i >= channels else 0
+            c = prev[i - bpp] if i >= bpp else 0
             if f == 0:
                 pred = 0
             elif f == 1:
@@ -229,9 +285,11 @@ def encode_png_py(width: int, height: int, pixels: bytes,
         raw.append(f)
         raw += enc
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    return (out + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
 
 

@@ -37,22 +37,20 @@ for _m in _SUITES:
 # ---------------------------------------------------------------------------
 
 # code that changed THIS round — keep driver-visible even though already
-# green: append-path manifest-table auto-refresh (op_write_roundtrip),
-# table-identity overwrite detection in the tail stream
-# (streaming_manifest_tail), the strict prune assertion (op_pruned_scan),
-# the _decode_pixels_py dispatch refactor (mm_real_decode), source-derived
-# bit_depth (mm_real_audio_decode)
-_SENTINELS = ["op_write_roundtrip", "streaming_manifest_tail",
-              "op_pruned_scan", "mm_real_decode", "mm_real_audio_decode"]
+# green: the map polars-shim refactor (_wrap_polars_body, dataset.py),
+# the append-path manifest-table auto-refresh (op_incremental_read),
+# delete_rows' manifest surgery + pre-delete snapshot pins
+# (op_delete_rows / op_time_travel read paths), the offset id re-stamp in
+# the tail stream (streaming_manifest_tail), and the palette-PNG decode
+# path (mm_real_png_decode)
+_SENTINELS = ["op_map_partitions", "op_incremental_read", "op_time_travel",
+              "op_delete_rows", "streaming_manifest_tail",
+              "mm_real_png_decode"]
 
-# round-4 additions, all tri-scale + judge green, lowest retest risk —
-# yield their window slots to older never-checked entries when full
-_DEFER_NEXT_ROUND = {
-    "pipe_importance_resampling", "pipe_quality_floor",
-    "pipe_token_budget_epochs", "pipe_packing_offsets",
-    "scale_sorted_files", "graph_kcore", "text_char_entropy",
-    "sim_hard_negatives", "dedup_minhash_estimate",
-}
+# entries that yield their window slots to older never-checked queries
+# when the 50-row window is full (empty this round: 15 never-checked +
+# sentinels leave ~30 slots spare, so nothing needs deferring)
+_DEFER_NEXT_ROUND: set = set()
 
 _WINDOW = 50
 
@@ -61,21 +59,30 @@ def _build_head() -> list[str]:
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
     root = _os.path.dirname(_os.path.dirname(
         _os.path.dirname(_os.path.abspath(__file__))))
-    seen: set = set()
-    green: set = set()
-    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+    # Per-query verdict comes from the MOST RECENT round that checked it
+    # (rounds iterated newest-first; first verdict wins), so a query that
+    # regresses after an early green is classified as a retest rather than
+    # staying green-by-union forever.
+    rounds = []
+    for p in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    latest: dict = {}
+    for _n, p in sorted(rounds, reverse=True):
         try:
             with open(p) as fh:
                 d = _json.load(fh)
         except (OSError, ValueError):
             continue
-        seen.update(d)
-        green.update(k for k, v in d.items()
-                     if isinstance(v, dict) and v.get("hash_match"))
-    retests = [n for n in QUERIES if n in seen and n not in green]
-    never = [n for n in QUERIES if n not in seen]
+        for k, v in d.items():
+            if k not in latest:
+                latest[k] = bool(isinstance(v, dict) and v.get("hash_match"))
+    retests = [n for n in QUERIES if n in latest and not latest[n]]
+    never = [n for n in QUERIES if n not in latest]
     ordered = (retests + _SENTINELS
                + [n for n in never if n not in _DEFER_NEXT_ROUND]
                + [n for n in never if n in _DEFER_NEXT_ROUND])

@@ -258,7 +258,10 @@ def mm_real_decode(spark, sf_dir):
 #            doc_id width height mode    row filters cycled
 _PNG_SPECS = [(1,   13,   7,    "rgb",  (0, 1, 2, 3, 4)),
               (2,   8,    20,   "grey", (2, 4)),
-              (3,   6,    9,    "rgba", (1, 3))]
+              (3,   6,    9,    "rgba", (1, 3)),
+              # color type 3: PLTE lookup, 4-bit packed + 8-bit indices
+              (4,   15,   11,   "pal4", (2, 3, 4)),
+              (5,   10,   8,    "pal8", (1, 4))]
 
 
 def _png_pixel(mode: str, x: int, y: int):
@@ -274,7 +277,20 @@ def _png_pixel(mode: str, x: int, y: int):
             (x + y) % 251)                    # alpha: dropped by decode
 
 
+def _png_palette(ncolors: int) -> bytes:
+    """PLTE fixture: color i = (11i, 7i, 5i) mod 256 — arithmetic the
+    oracle recomputes from the index formula."""
+    return bytes(v for i in range(ncolors)
+                 for v in ((11 * i) % 256, (7 * i) % 256, (5 * i) % 256))
+
+
 def _png_payload(w: int, h: int, mode: str, filters) -> bytes:
+    if mode.startswith("pal"):
+        depth = int(mode[3:])
+        ncol = 1 << depth
+        idx = bytes((x + 2 * y) % ncol for y in range(h) for x in range(w))
+        return encode_png_py(w, h, idx, palette=_png_palette(ncol),
+                             depth=depth, row_filters=filters)
     ch = {"grey": 1, "rgb": 3, "rgba": 4}[mode]
     px = bytearray()
     for y in range(h):
@@ -293,6 +309,11 @@ def _png_oracle() -> str:
                    f" + 3 * (({x} * {y}) % 256))")
         elif mode == "grey":
             val = f"6 * ((13 * {x} + {y} * {y}) % 256)"
+        elif mode.startswith("pal"):
+            ncol = 1 << int(mode[3:])
+            idx = f"(({x} + 2 * {y}) % {ncol})"
+            val = (f"((11 * {idx}) % 256 + 2 * ((7 * {idx}) % 256)"
+                   f" + 3 * ((5 * {idx}) % 256))")
         else:
             val = (f"(({x} + 4 * {y}) % 256"
                    f" + 2 * ((9 * {x} + {y}) % 256)"
@@ -308,16 +329,19 @@ def _png_oracle() -> str:
 @query("mm_real_png_decode", oracle=_png_oracle())
 def mm_real_png_decode(spark, sf_dir):
     """REAL decoding of a COMPRESSED image format in this container:
-    three synthetic PNGs (RGB cycling all five scanline filters, 8-bit
-    greyscale, RGBA with a to-be-dropped alpha) flow through
+    five synthetic PNGs (RGB cycling all five scanline filters, 8-bit
+    greyscale, RGBA with a to-be-dropped alpha, and two palette /
+    color-type-3 images — 4-bit packed indices and 8-bit indices, both
+    resolved through a PLTE lookup) flow through
     :func:`decode_image_pixels` — PIL when installed, else the
     dependency-free stdlib-zlib PNG parser
     (:func:`padawan_spark.functions.multimodal.decode_png_py`).  The
     oracle recomputes the position-weighted RGB checksum from the pixel
     formula alone, so agreement proves DEFLATE inflation, every
-    unfilter path, greyscale replication, and alpha dropping all ran
-    correctly.  Scale shape: Arrow-batched mapInPandas over the payload
-    column, embarrassingly parallel, no shuffle."""
+    unfilter path, greyscale replication, alpha dropping, and palette
+    resolution (incl. sub-byte MSB-first unpacking) all ran correctly.
+    Scale shape: Arrow-batched mapInPandas over the payload column,
+    embarrassingly parallel, no shuffle."""
     rows = [(doc_id, bytearray(_png_payload(w, h, mode, f)))
             for doc_id, w, h, mode, f in _PNG_SPECS]
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")

@@ -241,3 +241,33 @@ def test_png_codec_roundtrip_property(w, h, mode, filters, data):
     W, H, C, out = decode_png_py(payload)
     assert (W, H, C) == (w, h, mode)
     assert out == px
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    filters=st.lists(st.integers(min_value=0, max_value=4),
+                     min_size=1, max_size=6),
+    data=st.data(),
+)
+def test_png_palette_roundtrip_property(w, h, depth, filters, data):
+    """Palette (color type 3) PNG: for every bit depth (1/2/4/8 —
+    sub-byte depths pack several MSB-first indices per scanline byte),
+    random indices through a random PLTE decode back to exactly the
+    palette-expanded RGB.  Filters run over the PACKED bytes with a
+    one-byte left offset, so this also pins the bpp generalization of
+    the unfilter loops."""
+    from padawan_spark.functions.multimodal import (decode_png_py,
+                                                    encode_png_py)
+    ncol = 1 << depth
+    pal = bytes(data.draw(st.binary(min_size=3 * ncol, max_size=3 * ncol)))
+    idx = bytes(data.draw(st.lists(
+        st.integers(min_value=0, max_value=ncol - 1),
+        min_size=w * h, max_size=w * h)))
+    payload = encode_png_py(w, h, idx, palette=pal, depth=depth,
+                            row_filters=tuple(filters))
+    W, H, C, out = decode_png_py(payload)
+    assert (W, H, C) == (w, h, 3)
+    assert out == b"".join(pal[3 * i:3 * i + 3] for i in idx)
