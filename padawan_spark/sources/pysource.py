@@ -208,15 +208,38 @@ def read_jsonl_sink(spark, path, schema):
 class _ManifestTailReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
+        self._seen_id = None   # first non-null table id observed this run
+
+    def _stamp(self, tid):
+        """Track the first non-null table id seen this RUN and fail
+        loudly if it ever changes.  Offsets checkpointed before the
+        table existed carry ``id=null`` forever (initialOffset on an
+        empty path), so the offset-level identity check alone never
+        activates for such streams — this run-level stamp closes that
+        window from the first batch where ``table_id()`` materializes
+        (ADVICE r5)."""
+        if tid is None:
+            return tid
+        if self._seen_id is None:
+            self._seen_id = tid
+        elif self._seen_id != tid:
+            raise RuntimeError(
+                f"padawan_tail: table identity at {self.path} changed "
+                f"({self._seen_id[:8]}… -> {tid[:8]}…) — the dataset was "
+                "overwritten under an active stream.  The old checkpoint "
+                "does not describe the new table; restart the stream with "
+                "a fresh checkpointLocation to stream it from scratch.")
+        return tid
 
     def initialOffset(self):
         from .. import metadata as _meta
-        return {"v": 0, "id": _meta.table_id(self.path)}
+        return {"v": 0, "id": self._stamp(_meta.table_id(self.path))}
 
     def latestOffset(self):
         from .. import metadata as _meta
         vs = _meta.list_versions(self.path)
-        return {"v": vs[-1] if vs else 0, "id": _meta.table_id(self.path)}
+        return {"v": vs[-1] if vs else 0,
+                "id": self._stamp(_meta.table_id(self.path))}
 
     def _files_of(self, version: int) -> list | None:
         """Files of a snapshot; ``None`` when that snapshot no longer
@@ -239,7 +262,10 @@ class _ManifestTailReader(DataSourceStreamReader):
         # guard alone would then silently diff two unrelated histories.
         # The identity stamp (minted with the version dir, destroyed by
         # overwrite's rmtree) catches that regardless of version numbers.
-        sid, eid = start.get("id"), end.get("id")
+        # fall back to the run-level stamp for offsets minted before the
+        # table existed (id=null) or by pre-identity checkpoints
+        sid = start.get("id") or self._seen_id
+        eid = self._stamp(end.get("id")) or self._seen_id
         if sid is not None and eid is not None and sid != eid:
             raise RuntimeError(
                 f"padawan_tail: table identity at {self.path} changed "

@@ -995,6 +995,36 @@ def test_manifest_tail_handles_vacuum_and_overwrite(spark, sf_dir, tmp_path):
     assert len(legacy) > 0
 
 
+def test_manifest_tail_restamps_identity_for_pretable_streams(
+        spark, sf_dir, tmp_path):
+    """ADVICE r5: a stream started BEFORE the table exists checkpoints
+    offsets with id=null forever, so the offset-level identity guard
+    never activates for it.  The reader now stamps the first non-null
+    table_id it observes at run level, and any later change — i.e. an
+    overwrite — fails loudly on the next latestOffset tick even though
+    every offset involved is id-less."""
+    from padawan_spark import Dataset
+    from padawan_spark.queries.registry import load
+    from padawan_spark.sources.pysource import _ManifestTailReader
+
+    p = str(tmp_path / "tail_pre")
+    rd = _ManifestTailReader({"path": p})
+    assert rd.initialOffset() == {"v": 0, "id": None}   # table not yet born
+    assert rd.latestOffset() == {"v": 0, "id": None}
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ds = Dataset(spark, n, index_columns=("n_nationkey",)
+                 ).reindex(("n_nationkey",))
+    ds.write_parquet(p)                                  # v1: id materializes
+    off = rd.latestOffset()
+    assert off["v"] == 1 and off["id"] is not None
+    # overwrite re-mints the table id; the run-level stamp trips on the
+    # very next tick, with no id in any checkpointed offset required
+    ds.write_parquet(p)
+    with pytest.raises(RuntimeError, match="identity .* changed"):
+        rd.latestOffset()
+
+
 def test_map_reference_body_pandas_path(spark, sample_dir):
     """VERDICT r3 ask #8: the reference map-semantics matrix
     (/root/reference/tests/test_map.py:12-80) asserted on the PANDAS

@@ -271,3 +271,96 @@ def test_png_palette_roundtrip_property(w, h, depth, filters, data):
     W, H, C, out = decode_png_py(payload)
     assert (W, H, C) == (w, h, 3)
     assert out == b"".join(pal[3 * i:3 * i + 3] for i in idx)
+
+
+def test_delete_rows_random_windows_property(spark, tmp_path):
+    """delete_rows over RANDOM index windows on a date-indexed table
+    (VERDICT r5 task 5): after every delete the table equals the eager
+    slice complement, files outside the window survive byte-identical,
+    the version history is monotone (+1 exactly when files overlap),
+    every pre-delete pin replays its exact snapshot — until vacuum
+    reclaims it, after which the pinned read fails loudly.  Ends on the
+    all-rows-deleted edge, where the rewrite produces ZERO new files."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from padawan_spark import (delete_rows, from_pandas, list_versions,
+                               scan_parquet)
+    from padawan_spark.metadata import vacuum
+
+    base = dt.date(2024, 1, 1)
+    pdf = pd.DataFrame(
+        [(base + dt.timedelta(days=d), s) for d in range(40)
+         for s in range(3)],
+        columns=["day", "seq"])
+    p = str(tmp_path / "deltbl")
+    (from_pandas(spark, pdf, index_columns=("day", "seq"))
+     .repartition(8).write_parquet(p))
+
+    def keys(ds):
+        return {(r.day, r.seq) for r in ds.df.select("day", "seq").collect()}
+
+    remaining = keys(scan_parquet(spark, p))
+    assert len(remaining) == 120
+    pins = [(list_versions(p)[-1], set(remaining))]
+
+    rng = random.Random(23)
+    for _ in range(6):
+        d1 = base + dt.timedelta(days=rng.randint(-3, 43))
+        d2 = base + dt.timedelta(days=rng.randint(-3, 43))
+        inc = rng.choice(["lower", "upper", "both", "none"])
+        lb = None if rng.random() < 0.15 else (d1,)
+        ub = (d2,) if (lb is None or rng.random() >= 0.15) else None
+        cur = scan_parquet(spark, p)
+        doomed = keys(cur.slice(lb, ub, inclusive=inc))
+        pre_files = {f: (os.path.getmtime(f), os.path.getsize(f))
+                     for f in cur._files}
+        v_before = list_versions(p)[-1]
+
+        out = delete_rows(spark, p, lb, ub, inclusive=inc)
+        got = keys(out)
+        assert got == remaining - doomed, (lb, ub, inc)
+        remaining = got
+
+        v_after = list_versions(p)[-1]
+        assert v_after in (v_before, v_before + 1)
+        if doomed:
+            assert v_after == v_before + 1      # rows removed => new version
+        if v_after == v_before:
+            assert not doomed                   # no-op only when no overlap
+        else:
+            pins.append((v_after, set(got)))
+        # files carried over from the previous manifest are byte-identical
+        for f in out._files:
+            if f in pre_files:
+                assert (os.path.getmtime(f), os.path.getsize(f)) \
+                    == pre_files[f], f
+        # every retained snapshot still replays exactly
+        for v, snap in pins:
+            assert keys(scan_parquet(spark, p, version=v)) == snap, v
+
+    # edge: delete EVERYTHING — every file is affected and the rewrite
+    # emits zero surviving files; the table reads back empty
+    if remaining:
+        v_before = list_versions(p)[-1]
+        out = delete_rows(spark, p, None, (base + dt.timedelta(days=60),),
+                          inclusive="both")
+        assert keys(out) == set()
+        assert out.df.count() == 0
+        assert list(out._files) == []
+        assert list_versions(p)[-1] == v_before + 1
+        pins.append((v_before + 1, set()))
+        remaining = set()
+
+    # vacuum interaction: keep only the newest snapshot — the old pins
+    # become unreadable with a loud error, the current table still reads
+    vacuum(p, keep_last=1)
+    vs = list_versions(p)
+    assert vs, "current snapshot must survive vacuum"
+    assert keys(scan_parquet(spark, p)) == remaining
+    for v, _snap in pins:
+        if v not in vs:
+            with pytest.raises(FileNotFoundError, match="no snapshot"):
+                scan_parquet(spark, p, version=v)
