@@ -1,0 +1,100 @@
+"""Scale smoke: copy-on-write DELETE against the many-file pruned-scan
+fixture (VERDICT r5 task 7 — the GDPR-delete-at-scale story, made
+measurable).
+
+Builds the ~512-file date-indexed orders manifest table from
+``$SMOKE_DIR`` (default ``/tmp/padawan_sfbig``, the 10x dataset), then
+deletes a ONE-DAY index window and asserts the rewrite set is EXACTLY
+the manifest-bound-overlapping files — no full-table rewrite, no file
+outside the window touched.  Prints a JSON line with file counts,
+bytes rewritten vs table bytes, and wall-clock, for SCALE_SMOKE.md.
+
+Run: ``python3 tests/scale_smoke_delete.py``
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMOKE_DIR = os.environ.get("SMOKE_DIR", "/tmp/padawan_sfbig")
+DAY = dt.datetime(1997, 3, 15)
+
+
+def main() -> None:
+    from padawan_spark import (delete_rows, get_spark, scan_parquet,
+                               scan_parquet_pruned)
+    from padawan_spark import metadata as meta
+    from padawan_spark.dataset import _overlaps
+    from padawan_spark.queries.operators import _ensure_pruned_table
+
+    spark = get_spark(app_name="padawan-smoke-delete", extra_conf={
+        "spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    target = _ensure_pruned_table(spark, SMOKE_DIR)
+    build_s = round(time.perf_counter() - t0, 3)
+
+    man = meta.load_manifest(target)
+    files_before = list(man.files)
+    bytes_before = {f: os.path.getsize(os.path.join(target, f))
+                    for f in files_before}
+    rows_before = scan_parquet(spark, target).df.count()
+
+    # the files whose manifest bounds overlap the one-day window — the
+    # ONLY files delete_rows is allowed to rewrite (same _overlaps
+    # predicate delete_rows itself plans with, window [DAY, DAY+1))
+    w_lb, w_ub = (DAY,), (DAY + dt.timedelta(days=1),)
+    expect_rewrite = {
+        f for f, lb, ub in zip(man.files, man.lower_bounds, man.upper_bounds)
+        if _overlaps(lb, ub, w_lb, w_ub, True, False)}
+
+    t0 = time.perf_counter()
+    out = delete_rows(spark, target, w_lb, w_ub, inclusive="lower")
+    delete_s = round(time.perf_counter() - t0, 3)
+
+    after = set(meta.load_manifest(target).files)
+    removed = set(files_before) - after
+    assert removed == expect_rewrite, (
+        f"rewrite set mismatch: removed {len(removed)} files, manifest "
+        f"bounds said {len(expect_rewrite)} overlap")
+    untouched = set(files_before) & after
+    assert len(untouched) == len(files_before) - len(expect_rewrite)
+
+    rows_after = out.df.count()
+    new_files = after - set(files_before)
+    rewritten_bytes = sum(os.path.getsize(os.path.join(target, f))
+                          for f in new_files)
+
+    # steady-state pruned planning still works on the post-delete manifest
+    t0 = time.perf_counter()
+    probe = scan_parquet_pruned(
+        spark, target, (dt.datetime(1997, 1, 1),),
+        (dt.datetime(1997, 6, 30),), inclusive="both").df.count()
+    pruned_read_s = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "smoke": "delete_one_day_window",
+        "sf_dir": SMOKE_DIR,
+        "table_files": len(files_before),
+        "files_rewritten": len(expect_rewrite),
+        "files_untouched": len(untouched),
+        "rows_deleted": rows_before - rows_after,
+        "table_bytes": sum(bytes_before.values()),
+        "affected_bytes": sum(bytes_before[f] for f in expect_rewrite),
+        "rewritten_bytes": rewritten_bytes,
+        "build_table_s": build_s,
+        "delete_s": delete_s,
+        "pruned_read_after_delete_s": pruned_read_s,
+        "pruned_read_rows": probe,
+    }))
+
+
+if __name__ == "__main__":
+    main()
