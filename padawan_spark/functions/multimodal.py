@@ -127,37 +127,48 @@ def encode_bmp_py(width: int, height: int, pixels: bytes,
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step), in the
+# order their sub-images appear in the IDAT stream
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+#        color type -> bit depths the pure decoder handles
+_PNG_DEPTHS = {0: (8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16),
+               6: (8, 16)}
+
+
 def decode_png_py(b: bytes):
-    """Decode a non-interlaced PNG: 8-bit grey / RGB / RGBA, or palette
-    (color type 3) at 1/2/4/8-bit depth.
+    """Decode a PNG: grey / RGB / grey+alpha / RGBA at 8 or 16 bit,
+    palette (color type 3) at 1/2/4/8 bit, sequential or Adam7
+    interlaced.
 
     Returns ``(width, height, channels, pixels)`` with ``pixels`` as
-    row-major top-down bytes in the source channel order (filters
-    undone, scanline filter bytes stripped).  Palette images come back
-    already looked up through PLTE as ``channels=3`` RGB — the palette
-    is a color encoding, not a channel layout, so the caller always
-    sees real colors."""
+    row-major top-down 8-bit bytes in the source channel order (16-bit
+    samples are reduced to their most-significant byte, PIL-style).
+    Palette images come back already looked up through PLTE as
+    ``channels=3`` RGB — the palette is a color encoding, not a
+    channel layout, so the caller always sees real colors."""
     import struct
     import zlib
     if b[:8] != _PNG_MAGIC:
         raise NotImplementedError(
             "not a PNG payload and PIL is unavailable")
     pos, w, h, ch, idat = 8, None, None, None, bytearray()
-    depth, color, plte = 8, None, None
+    depth, color, ilace, plte = 8, None, 0, None
     while pos + 8 <= len(b):
         ln, typ = struct.unpack_from(">I4s", b, pos)
         data = b[pos + 8:pos + 8 + ln]
         if typ == b"IHDR":
             w, h, depth, color, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", data)
-            if ilace != 0 or not ((depth == 8 and color in (0, 2, 6))
-                                  or (color == 3
-                                      and depth in (1, 2, 4, 8))):
+            if (ilace not in (0, 1) or color not in _PNG_DEPTHS
+                    or depth not in _PNG_DEPTHS[color]):
                 raise NotImplementedError(
-                    f"pure-Python PNG decode supports non-interlaced 8-bit "
-                    f"grey/RGB/RGBA and 1/2/4/8-bit palette only "
-                    f"(depth={depth}, color={color}, interlace={ilace})")
-            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+                    f"pure-Python PNG decode supports 8/16-bit "
+                    f"grey/RGB/grey+alpha/RGBA and 1/2/4/8-bit palette, "
+                    f"sequential or Adam7 (depth={depth}, color={color}, "
+                    f"interlace={ilace})")
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
         elif typ == b"PLTE":
             plte = data
         elif typ == b"IDAT":
@@ -169,64 +180,91 @@ def decode_png_py(b: bytes):
         raise NotImplementedError("PNG missing IHDR/IDAT")
     raw = zlib.decompress(bytes(idat))
     # the filter "left" offset is a whole pixel rounded up to one byte
-    # (bpp), and sub-byte palette rows pack several pixels per byte
+    # (bpp); sub-byte palette rows pack several pixels per byte
     bpp = max(1, (ch * depth + 7) // 8)
-    stride = (w * ch * depth + 7) // 8
-    out, prev, p = bytearray(), bytearray(stride), 0
-    for _y in range(h):
-        f = raw[p]
-        row = bytearray(raw[p + 1:p + 1 + stride])
-        p += 1 + stride
-        if f == 1:                                   # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif f == 2:                                 # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif f == 3:                                 # Average
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:                                 # Paeth
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                up = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
-                row[i] = (row[i] + (a if pa <= pb and pa <= pc
-                                    else up if pb <= pc else c)) & 0xFF
-        elif f != 0:
-            raise NotImplementedError(f"PNG scanline filter {f}")
-        out += row
-        prev = row
+    per, mask = (8 // depth if depth < 8 else 1), (1 << depth) - 1
+
+    def read_subimage(pw, ph, p):
+        """Unfilter a ``pw`` x ``ph`` sub-image starting at ``raw[p]``;
+        returns (rows of 8-bit channel samples, new offset).  Empty
+        passes contribute no bytes (Adam7 rule)."""
+        if pw == 0 or ph == 0:
+            return [], p
+        stride = (pw * ch * depth + 7) // 8
+        rows, prev = [], bytearray(stride)
+        for _y in range(ph):
+            f = raw[p]
+            row = bytearray(raw[p + 1:p + 1 + stride])
+            p += 1 + stride
+            if f == 1:                                   # Sub
+                for i in range(bpp, stride):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif f == 2:                                 # Up
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif f == 3:                                 # Average
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:                                 # Paeth
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    up = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pa, pb = abs(up - c), abs(a - c)
+                    pc = abs(a + up - 2 * c)
+                    row[i] = (row[i] + (a if pa <= pb and pa <= pc
+                                        else up if pb <= pc else c)) & 0xFF
+            elif f != 0:
+                raise NotImplementedError(f"PNG scanline filter {f}")
+            prev = row
+            # normalize the unfiltered row to pw*ch 8-bit samples
+            if depth == 8:
+                rows.append(bytes(row[:pw * ch]))
+            elif depth == 16:                   # keep the high byte
+                rows.append(bytes(row[0:2 * pw * ch:2]))
+            else:                               # sub-byte palette indices
+                rows.append(bytes(
+                    (row[x // per] >> (8 - depth * (x % per + 1))) & mask
+                    for x in range(pw)))
+        return rows, p
+
+    if ilace == 0:
+        rows, _p = read_subimage(w, h, 0)
+        flat = b"".join(rows)
+    else:
+        out = bytearray(w * h * ch)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, (w - x0 + dx - 1) // dx)
+            ph = max(0, (h - y0 + dy - 1) // dy)
+            rows, p = read_subimage(pw, ph, p)
+            for ry, srow in enumerate(rows):
+                y = y0 + ry * dy
+                for rx in range(pw):
+                    o = (y * w + (x0 + rx * dx)) * ch
+                    out[o:o + ch] = srow[rx * ch:(rx + 1) * ch]
+        flat = bytes(out)
     if color == 3:
         if plte is None or len(plte) % 3:
             raise NotImplementedError("palette PNG missing a valid PLTE")
-        rgb, per, mask = bytearray(w * h * 3), 8 // depth, (1 << depth) - 1
-        o = 0
-        for y in range(h):
-            rowb = out[y * stride:(y + 1) * stride]
-            for x in range(w):
-                if depth == 8:
-                    idx = rowb[x]
-                else:  # MSB-first packing per the PNG spec
-                    idx = ((rowb[x // per]
-                            >> (8 - depth * (x % per + 1))) & mask)
-                j = 3 * idx
-                if j + 3 > len(plte):
-                    raise NotImplementedError(
-                        f"palette index {idx} outside PLTE")
-                rgb[o:o + 3] = plte[j:j + 3]
-                o += 3
+        rgb = bytearray(w * h * 3)
+        for i, idx in enumerate(flat):
+            j = 3 * idx
+            if j + 3 > len(plte):
+                raise NotImplementedError(
+                    f"palette index {idx} outside PLTE")
+            rgb[3 * i:3 * i + 3] = plte[j:j + 3]
         return w, h, 3, bytes(rgb)
-    return w, h, ch, bytes(out)
+    return w, h, ch, flat
 
 
 def encode_png_py(width: int, height: int, pixels: bytes,
                   channels: int = 3,
                   row_filters: tuple[int, ...] = (0,),
                   palette: bytes | None = None,
-                  depth: int = 8) -> bytes:
+                  depth: int = 8,
+                  interlace: bool = False) -> bytes:
     """Encode row-major top-down bytes as a PNG, cycling
     ``row_filters`` across scanlines (the inverse of
     :func:`decode_png_py`; passing all five filter types makes a
@@ -234,8 +272,11 @@ def encode_png_py(width: int, height: int, pixels: bytes,
 
     With ``palette`` (flat RGB triples), ``pixels`` are palette
     INDICES — one per pixel — written as color type 3 at ``depth``
-    bits (1/2/4/8, MSB-first packing); otherwise 8-bit grey/RGB/RGBA
-    per ``channels``."""
+    bits (1/2/4/8, MSB-first packing).  Otherwise grey / grey+alpha /
+    RGB / RGBA per ``channels`` at ``depth`` 8 or 16 (16-bit samples
+    are big-endian pairs in ``pixels``).  ``interlace=True`` writes the
+    seven Adam7 passes; ``row_filters`` then cycles across the pass
+    rows in stream order."""
     import struct
     import zlib
 
@@ -248,44 +289,65 @@ def encode_png_py(width: int, height: int, pixels: bytes,
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
     else:
-        color, ch, depth = {1: 0, 3: 2, 4: 6}[channels], channels, 8
+        color, ch = {1: 0, 2: 4, 3: 2, 4: 6}[channels], channels
+        if depth not in (8, 16):
+            raise ValueError(f"non-palette depth must be 8/16, got {depth}")
     bpp = max(1, (ch * depth + 7) // 8)
-    stride = (width * ch * depth + 7) // 8
-    rows = []
-    if depth == 8 and palette is None:
-        rows = [pixels[y * stride:(y + 1) * stride] for y in range(height)]
-    else:  # pack indices (or pass 8-bit indices through) row by row
-        for y in range(height):
-            rb = bytearray(stride)
-            for x in range(width):
-                v = pixels[y * width + x] & ((1 << depth) - 1)
-                bit = x * depth
+    unit = ch * (2 if depth == 16 else 1)   # source bytes per pixel
+
+    def pack_row(xs, y):
+        """Pixels at (x in xs, y) packed to wire format at ``depth``."""
+        if palette is not None:
+            vals = [pixels[y * width + x] & ((1 << depth) - 1) for x in xs]
+            if depth == 8:
+                return bytes(vals)
+            rb = bytearray((len(xs) * depth + 7) // 8)
+            for i, v in enumerate(vals):
+                bit = i * depth
                 rb[bit // 8] |= v << (8 - depth - bit % 8)
-            rows.append(bytes(rb))
-    raw, prev = bytearray(), bytes(stride)
-    for y, row in enumerate(rows):
-        f = row_filters[y % len(row_filters)]
-        enc = bytearray(stride)
-        for i in range(stride):
-            a = row[i - bpp] if i >= bpp else 0
-            up = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = up
-            elif f == 3:
-                pred = (a + up) >> 1
-            else:
-                pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
-                pred = (a if pa <= pb and pa <= pc else up if pb <= pc else c)
-            enc[i] = (row[i] - pred) & 0xFF
-        raw.append(f)
-        raw += enc
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+            return bytes(rb)
+        return b"".join(pixels[(y * width + x) * unit:
+                               (y * width + x) * unit + unit] for x in xs)
+
+    if interlace:
+        passes = [(list(range(x0, width, dx)), list(range(y0, height, dy)))
+                  for x0, y0, dx, dy in _ADAM7]
+        passes = [(xs, ys) for xs, ys in passes if xs and ys]
+    else:
+        passes = [(list(range(width)), list(range(height)))]
+
+    raw, fi = bytearray(), 0
+    for xs, ys in passes:
+        stride = (len(xs) * ch * depth + 7) // 8
+        prev = bytes(stride)
+        for y in ys:
+            row = pack_row(xs, y)
+            f = row_filters[fi % len(row_filters)]
+            fi += 1
+            enc = bytearray(stride)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (a + up) >> 1
+                else:
+                    pa, pb = abs(up - c), abs(a - c)
+                    pc = abs(a + up - 2 * c)
+                    pred = (a if pa <= pb and pa <= pc
+                            else up if pb <= pc else c)
+                enc[i] = (row[i] - pred) & 0xFF
+            raw.append(f)
+            raw += enc
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0,
+                       1 if interlace else 0)
     out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", bytes(palette))
@@ -301,6 +363,9 @@ def _decode_pixels_py(b: bytes):
         w, h, ch, px = decode_png_py(b)
         if ch == 1:
             px = bytes(v for v in px for _ in range(3))
+        elif ch == 2:   # grey+alpha: replicate grey, drop alpha
+            px = bytes(v for i in range(0, len(px), 2)
+                       for v in (px[i], px[i], px[i]))
         elif ch == 4:
             px = b"".join(px[i:i + 3] for i in range(0, len(px), 4))
         return w, h, px

@@ -255,26 +255,39 @@ def mm_real_decode(spark, sf_dir):
 # formula, never from the decoder.
 # ---------------------------------------------------------------------------
 
-#            doc_id width height mode    row filters cycled
-_PNG_SPECS = [(1,   13,   7,    "rgb",  (0, 1, 2, 3, 4)),
-              (2,   8,    20,   "grey", (2, 4)),
-              (3,   6,    9,    "rgba", (1, 3)),
+#            doc_id width height mode     row filters cycled
+_PNG_SPECS = [(1,   13,   7,    "rgb",   (0, 1, 2, 3, 4)),
+              (2,   8,    20,   "grey",  (2, 4)),
+              (3,   6,    9,    "rgba",  (1, 3)),
               # color type 3: PLTE lookup, 4-bit packed + 8-bit indices
-              (4,   15,   11,   "pal4", (2, 3, 4)),
-              (5,   10,   8,    "pal8", (1, 4))]
+              (4,   15,   11,   "pal4",  (2, 3, 4)),
+              (5,   10,   8,    "pal8",  (1, 4)),
+              # grey+alpha (color type 4), alpha dropped
+              (6,   9,    6,    "ga",    (3, 1)),
+              # 16-bit RGB: decode keeps the high byte of each sample
+              (7,   7,    10,   "rgb16", (4, 0, 2)),
+              # Adam7 interlaced RGB: seven passes reassembled
+              (8,   12,   9,    "irgb",  (1, 2, 3, 4, 0))]
 
 
 def _png_pixel(mode: str, x: int, y: int):
     """(r, g, b[, a]) of the fixture at (x, y) — pure arithmetic so the
     oracle can recompute it."""
-    if mode == "rgb":
+    if mode in ("rgb", "irgb"):
         return ((2 * x + 5 * y) % 256, (7 * x + 3 * y) % 256,
                 (x * y) % 256)
     if mode == "grey":
         v = (13 * x + y * y) % 256
         return (v,)
+    if mode == "ga":
+        return ((5 * x + 3 * y) % 256, (x + y) % 251)  # alpha dropped
     return ((x + 4 * y) % 256, (9 * x + y) % 256, (3 * x + 2 * y) % 256,
             (x + y) % 251)                    # alpha: dropped by decode
+
+
+# 16-bit fixture: per-channel HIGH bytes (what decode keeps); low bytes
+# are (x*y+channel) noise the decode must discard
+_RGB16_HI = ((3, 7), (5, 1), (1, 2))   # channel c -> hi = (a*x + b*y) % 256
 
 
 def _png_palette(ncolors: int) -> bytes:
@@ -291,19 +304,29 @@ def _png_payload(w: int, h: int, mode: str, filters) -> bytes:
         idx = bytes((x + 2 * y) % ncol for y in range(h) for x in range(w))
         return encode_png_py(w, h, idx, palette=_png_palette(ncol),
                              depth=depth, row_filters=filters)
-    ch = {"grey": 1, "rgb": 3, "rgba": 4}[mode]
+    if mode == "rgb16":
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                for c, (a, b) in enumerate(_RGB16_HI):
+                    px += bytes(((a * x + b * y) % 256,
+                                 (x * y + c) % 256))   # hi, lo
+        return encode_png_py(w, h, bytes(px), channels=3, depth=16,
+                             row_filters=filters)
+    ch = {"grey": 1, "ga": 2, "rgb": 3, "irgb": 3, "rgba": 4}[mode]
     px = bytearray()
     for y in range(h):
         for x in range(w):
             px += bytes(_png_pixel(mode, x, y))
-    return encode_png_py(w, h, bytes(px), channels=ch, row_filters=filters)
+    return encode_png_py(w, h, bytes(px), channels=ch,
+                         row_filters=filters, interlace=(mode == "irgb"))
 
 
 def _png_oracle() -> str:
     parts = []
     for doc_id, w, h, mode, _f in _PNG_SPECS:
         x, y = f"(i % {w})", f"(i // {w})"
-        if mode == "rgb":
+        if mode in ("rgb", "irgb"):
             val = (f"((2 * {x} + 5 * {y}) % 256"
                    f" + 2 * ((7 * {x} + 3 * {y}) % 256)"
                    f" + 3 * (({x} * {y}) % 256))")
@@ -314,6 +337,13 @@ def _png_oracle() -> str:
             idx = f"(({x} + 2 * {y}) % {ncol})"
             val = (f"((11 * {idx}) % 256 + 2 * ((7 * {idx}) % 256)"
                    f" + 3 * ((5 * {idx}) % 256))")
+        elif mode == "ga":
+            val = f"6 * ((5 * {x} + 3 * {y}) % 256)"
+        elif mode == "rgb16":
+            val = " + ".join(
+                f"{c + 1} * (({a} * {x} + {b} * {y}) % 256)"
+                for c, (a, b) in enumerate(_RGB16_HI))
+            val = f"({val})"
         else:
             val = (f"(({x} + 4 * {y}) % 256"
                    f" + 2 * ((9 * {x} + {y}) % 256)"
