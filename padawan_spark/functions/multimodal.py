@@ -20,10 +20,15 @@ the pixel/sample formula:
 - video: YUV4MPEG2 frame sampling (:func:`decode_y4m_py`,
   ``mm_real_video_frames``); PyAV takes priority when installed.
 
-COMPRESSED formats (png/jpeg/mp3/h264/...) still require the real
-library and raise ``NotImplementedError`` without it; the deterministic
-``fake_decode_image`` additionally stands in where format-agnostic
-plumbing tests need it.
+COMPRESSED images also decode for real, dependency-free: PNG
+(:func:`decode_png_py` — stdlib-zlib inflate, all five scanline
+filters, every color type incl. palette, 8/16-bit, Adam7) and GIF
+(:func:`decode_gif_py` — variable-code-size LZW, color tables, row
+interlace), both exercised by ``mm_real_png_decode`` /
+``mm_real_gif_decode``.  Other compressed formats (jpeg/mp3/h264/...)
+still require the real library and raise ``NotImplementedError``
+without it; the deterministic ``fake_decode_image`` additionally
+stands in where format-agnostic plumbing tests need it.
 
 Scale notes: decode/resize/feature-extract are embarrassingly parallel
 per row; ``mapInPandas`` keeps them JVM→Arrow→pandas batched (no
@@ -355,6 +360,216 @@ def encode_png_py(width: int, height: int, pixels: bytes,
             + chunk(b"IEND", b""))
 
 
+# ---------------------------------------------------------------------------
+# pure-Python GIF codec: the second COMPRESSED format that decodes for
+# real without a media library — variable-code-size LZW (clear/EOI
+# codes, KwKwK case, 12-bit dictionary cap with mid-stream resets),
+# global/local color tables, and the 4-pass GIF row interlace.  The
+# first frame decodes to RGB; GIF is lossless, so fixtures round-trip
+# exactly and the DuckDB oracle recomputes checksums from the palette +
+# index formulas alone.
+# ---------------------------------------------------------------------------
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))   # (first row, step)
+
+
+def _lzw_decode_gif(mcs: int, data: bytes, expected: int) -> bytes:
+    """GIF-flavor LZW: codes are read LSB-first at a variable width that
+    grows when the next-to-assign index reaches the width's capacity
+    (and caps at 12 bits until a clear code resets the dictionary)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return ([bytes([i]) for i in range(1 << mcs)] + [b"", b""],
+                mcs + 1)
+
+    table, csize = fresh()
+    out, prev, bitpos, nbits = bytearray(), None, 0, len(data) * 8
+    while bitpos + csize <= nbits and len(out) < expected:
+        i = bitpos >> 3
+        code = ((int.from_bytes(data[i:i + 3], "little")
+                 >> (bitpos & 7)) & ((1 << csize) - 1))
+        bitpos += csize
+        if code == clear:
+            table, csize = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:                       # first code after clear
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]            # the KwKwK case
+            table.append(entry)
+        else:
+            raise NotImplementedError(
+                f"corrupt GIF LZW stream: code {code} beyond dictionary")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << csize) and csize < 12:
+            csize += 1
+    return bytes(out[:expected])
+
+
+def _lzw_encode_gif(mcs: int, data: bytes) -> bytes:
+    """Inverse of :func:`_lzw_decode_gif` (emit before add, grow after
+    add, clear + reset when the dictionary hits 4096)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    res, acc, accbits = bytearray(), 0, 0
+
+    def emit(code, width):
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            res.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << mcs)}, eoi + 1, mcs + 1
+
+    table, nxt, csize = fresh()
+    emit(clear, csize)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], csize)
+        if nxt == 4096:
+            emit(clear, csize)
+            table, nxt, csize = fresh()
+        else:
+            table[wc] = nxt
+            nxt += 1
+            # the decoder's table lags one entry behind (it appends on
+            # the NEXT code), so its width check `len >= 1<<csize` after
+            # code t equals this `nxt > 1<<csize` after code t — strict
+            # inequality keeps the two streams bit-aligned
+            if nxt > (1 << csize) and csize < 12:
+                csize += 1
+        w = wc[-1:]
+    if w:
+        emit(table[w], csize)
+    emit(eoi, csize)
+    if accbits:
+        res.append(acc & 0xFF)
+    return bytes(res)
+
+
+def decode_gif_py(b: bytes):
+    """Decode the FIRST frame of a GIF87a/GIF89a.
+
+    Returns ``(width, height, 3, rgb)`` for the first image descriptor
+    — LZW-decompressed, de-interlaced when the frame is interlaced, and
+    looked up through its (local-over-global) color table.  Extensions
+    (GCE/comment/application) are skipped; animation beyond frame one
+    is out of scope for corpus feature extraction."""
+    import struct
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError(
+            "not a GIF payload and PIL is unavailable")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = b[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:                        # trailer
+            break
+        if blk == 0x21:                        # extension: skip sub-blocks
+            pos += 1                           # label
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{blk:02x}")
+        _lx, _ty, fw, fh, fp = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        ct = gct
+        if fp & 0x80:                          # local color table wins
+            n = 2 << (fp & 7)
+            ct = b[pos:pos + 3 * n]
+            pos += 3 * n
+        if ct is None:
+            raise NotImplementedError("GIF frame has no color table")
+        mcs = b[pos]
+        pos += 1
+        lzw = bytearray()
+        while b[pos]:
+            ln = b[pos]
+            lzw += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode_gif(mcs, bytes(lzw), fw * fh)
+        if len(idx) < fw * fh:
+            raise NotImplementedError(
+                f"GIF LZW stream ended early ({len(idx)}/{fw * fh} px)")
+        if fp & 0x40:                          # 4-pass row interlace
+            rows = [None] * fh
+            src = 0
+            for first, step in _GIF_PASSES:
+                for y in range(first, fh, step):
+                    rows[y] = idx[src * fw:(src + 1) * fw]
+                    src += 1
+            idx = b"".join(rows)
+        rgb = bytearray(fw * fh * 3)
+        for i, k in enumerate(idx):
+            j = 3 * k
+            if j + 3 > len(ct):
+                raise NotImplementedError(
+                    f"GIF color index {k} outside color table")
+            rgb[3 * i:3 * i + 3] = ct[j:j + 3]
+        return fw, fh, 3, bytes(rgb)
+    raise NotImplementedError("GIF contains no image descriptor")
+
+
+def encode_gif_py(width: int, height: int, indices: bytes,
+                  palette: bytes, interlace: bool = False) -> bytes:
+    """Encode palette indices as a single-frame GIF89a (the inverse of
+    :func:`decode_gif_py`): global color table (power-of-two entries),
+    real variable-code-size LZW, optional 4-pass interlace."""
+    import struct
+    ncol = len(palette) // 3
+    bits = max(1, (ncol - 1).bit_length())
+    if ncol != (1 << bits) or not (2 <= ncol <= 256):
+        raise ValueError(
+            f"GIF palette must have a power-of-two entry count in "
+            f"[2, 256], got {ncol}")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
+                       0x40 if interlace else 0)
+    if interlace:
+        rows = []
+        for first, step in _GIF_PASSES:
+            for y in range(first, height, step):
+                rows.append(indices[y * width:(y + 1) * width])
+        indices = b"".join(rows)
+    mcs = max(2, bits)
+    out.append(mcs)
+    lzw = _lzw_encode_gif(mcs, indices)
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        out.append(len(part))
+        out += part
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 def _decode_pixels_py(b: bytes):
     """Dependency-free decode dispatch -> ``(w, h, rgb_bytes)`` in
     row-major top-down RGB (grey replicated, alpha dropped — matching
@@ -368,6 +583,9 @@ def _decode_pixels_py(b: bytes):
                        for v in (px[i], px[i], px[i]))
         elif ch == 4:
             px = b"".join(px[i:i + 3] for i in range(0, len(px), 4))
+        return w, h, px
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, _c, px = decode_gif_py(b)   # already RGB via color table
         return w, h, px
     w, h, _c, bgr = decode_bmp_py(b)
     rgb = bytearray(len(bgr))
@@ -397,6 +615,9 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
                                 len(img.getbands()), len(b)))
                 elif b[:8] == _PNG_MAGIC:
                     w, h, c, _px = decode_png_py(b)
+                    out.append((i, w, h, c, len(b)))
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, c, _px = decode_gif_py(b)
                     out.append((i, w, h, c, len(b)))
                 else:
                     w, h, c, _px = decode_bmp_py(b)

@@ -14,8 +14,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.multimodal import (decode_image_pixels, encode_bmp_py,
-                                    encode_png_py, encode_wav_py,
-                                    encode_y4m_py, extract_image_features,
+                                    encode_gif_py, encode_png_py,
+                                    encode_wav_py, encode_y4m_py,
+                                    extract_image_features,
                                     fake_decode_image)
 from .registry import load, query
 
@@ -374,6 +375,51 @@ def mm_real_png_decode(spark, sf_dir):
     embarrassingly parallel, no shuffle."""
     rows = [(doc_id, bytearray(_png_payload(w, h, mode, f)))
             for doc_id, w, h, mode, f in _PNG_SPECS]
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_image_pixels(d)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode of a SECOND compressed format: GIF is LZW-compressed and
+# lossless, so a correct checksum proves the variable-code-size LZW
+# decode (clear codes, KwKwK, width growth), color-table lookup, and
+# 4-pass row de-interlacing all ran correctly.  Same oracle discipline:
+# DuckDB recomputes the checksum from the palette + index formulas.
+# ---------------------------------------------------------------------------
+
+#            doc_id width height palette-bits interlaced
+_GIF_SPECS = [(1,   14,   9,    4,           False),
+              (2,   8,    12,   8,           True),   # interlace path
+              (3,   21,   5,    2,           False)]  # tiny color table
+
+
+@query("mm_real_gif_decode", oracle=" UNION ALL ".join(
+    f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+    f" {w} AS width, {h} AS height, 3 AS channels,"
+    f" (SELECT CAST(SUM((i + 1) * ("
+    f"   (11 * ((3 * (i % {w}) + (i // {w})) % {1 << bits})) % 256"
+    f"   + 2 * ((7 * ((3 * (i % {w}) + (i // {w})) % {1 << bits})) % 256)"
+    f"   + 3 * ((5 * ((3 * (i % {w}) + (i // {w})) % {1 << bits})) % 256)"
+    f" )) AS BIGINT) FROM range(0, {w * h}) t(i)) AS pix_checksum"
+    for doc_id, w, h, bits, _il in _GIF_SPECS))
+def mm_real_gif_decode(spark, sf_dir):
+    """REAL decoding of LZW-compressed GIFs in this container: three
+    synthetic GIF89a payloads (4-bit palette sequential, 8-bit palette
+    INTERLACED, 2-bit palette) flow through :func:`decode_image_pixels`
+    — PIL when installed, else the dependency-free LZW parser
+    (:func:`padawan_spark.functions.multimodal.decode_gif_py`).  The
+    oracle recomputes the position-weighted RGB checksum from the
+    palette formula (color i = (11i, 7i, 5i) mod 256) and the index
+    formula ((3x + y) mod ncolors) alone, so agreement proves the LZW
+    stream, color-table lookup, and de-interlacing are all correct.
+    Scale shape: Arrow-batched mapInPandas, embarrassingly parallel,
+    no shuffle."""
+    rows = []
+    for doc_id, w, h, bits, il in _GIF_SPECS:
+        ncol = 1 << bits
+        idx = bytes((3 * x + y) % ncol for y in range(h) for x in range(w))
+        payload = encode_gif_py(w, h, idx, _png_palette(ncol), interlace=il)
+        rows.append((doc_id, bytearray(payload)))
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return decode_image_pixels(d)
 

@@ -395,3 +395,44 @@ def test_delete_rows_random_windows_property(spark, tmp_path):
         if v not in vs:
             with pytest.raises(FileNotFoundError, match="no snapshot"):
                 scan_parquet(spark, p, version=v)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    bits=st.sampled_from([1, 2, 4, 8]),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_gif_codec_roundtrip_property(w, h, bits, interlace, data):
+    """GIF codec: random indices through a random color table survive
+    encode -> LZW -> decode exactly, for every palette size and both
+    row orders (sequential / 4-pass interlace).  Random index streams
+    are adversarial for LZW width handling — they grow the dictionary
+    at an uneven rate, so the variable-code-size boundaries land at
+    arbitrary stream positions."""
+    from padawan_spark.functions.multimodal import (decode_gif_py,
+                                                    encode_gif_py)
+    ncol = 1 << bits
+    pal = bytes(data.draw(st.binary(min_size=3 * ncol, max_size=3 * ncol)))
+    idx = bytes(data.draw(st.lists(
+        st.integers(min_value=0, max_value=ncol - 1),
+        min_size=w * h, max_size=w * h)))
+    W, H, C, out = decode_gif_py(encode_gif_py(w, h, idx, pal,
+                                               interlace=interlace))
+    assert (W, H, C) == (w, h, 3)
+    assert out == b"".join(pal[3 * i:3 * i + 3] for i in idx)
+
+
+def test_gif_lzw_dictionary_reset_12bit():
+    """A payload large and varied enough to push the LZW dictionary to
+    its 4096-entry cap forces 12-bit codes AND a mid-stream clear +
+    reset; the round trip must survive both."""
+    import random
+
+    from padawan_spark.functions.multimodal import (_lzw_decode_gif,
+                                                    _lzw_encode_gif)
+    rng = random.Random(99)
+    data = bytes(rng.randrange(256) for _ in range(60000))
+    assert _lzw_decode_gif(8, _lzw_encode_gif(8, data), len(data)) == data
