@@ -22,13 +22,17 @@ the pixel/sample formula:
 
 COMPRESSED images also decode for real, dependency-free: PNG
 (:func:`decode_png_py` — stdlib-zlib inflate, all five scanline
-filters, every color type incl. palette, 8/16-bit, Adam7) and GIF
+filters, every color type incl. palette, 8/16-bit, Adam7), GIF
 (:func:`decode_gif_py` — variable-code-size LZW, color tables, row
-interlace), both exercised by ``mm_real_png_decode`` /
-``mm_real_gif_decode``.  Other compressed formats (jpeg/mp3/h264/...)
-still require the real library and raise ``NotImplementedError``
-without it; the deterministic ``fake_decode_image`` additionally
-stands in where format-agnostic plumbing tests need it.
+interlace), and baseline JPEG (:func:`decode_jpeg_py` — Huffman
+entropy decode, numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers,
+libjpeg's exact fixed-point color constants), exercised by
+``mm_real_png_decode`` / ``mm_real_gif_decode`` /
+``mm_real_jpeg_decode``.  Progressive JPEG and av formats
+(mp3/h264/...) still require the real library and raise
+``NotImplementedError`` without it; the deterministic
+``fake_decode_image`` additionally stands in where format-agnostic
+plumbing tests need it.
 
 Scale notes: decode/resize/feature-extract are embarrassingly parallel
 per row; ``mapInPandas`` keeps them JVM→Arrow→pandas batched (no
@@ -570,6 +574,493 @@ def encode_gif_py(width: int, height: int, indices: bytes,
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# pure-Python baseline JPEG codec (numpy IDCT): the third COMPRESSED
+# format that decodes for real without a media library.  Baseline
+# sequential DCT (SOF0) with Huffman entropy coding, 8/16-bit DQT,
+# greyscale / YCbCr at 4:4:4, 4:2:2 and 4:2:0, and DRI/RSTn restart
+# markers.  YCbCr -> RGB uses libjpeg's exact 16-bit fixed-point
+# constants, so a PIL/libjpeg path produces bit-identical colors;
+# chroma upsampling is sample replication (exact wherever chroma is
+# constant per MCU — which is how the oracle fixtures are built, JPEG
+# being lossy elsewhere).  Progressive (SOF2) and arithmetic coding
+# raise NotImplementedError honestly.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+           12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+           35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+           58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# ITU-T T.81 Annex K "typical" Huffman tables: (BITS counts, values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_basis():
+    import numpy as np
+    import math
+    c = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            cu = math.sqrt(0.5) if u == 0 else 1.0
+            c[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+def _huff_codes(bits, vals):
+    """value -> (code, length) per T.81 C.2 canonical code assignment."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_tree(bits, vals):
+    """(code, length) -> value lookup for decoding."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# libjpeg's 16-bit fixed-point YCbCr->RGB constants (jdcolor.c): using
+# them verbatim makes this decoder bit-identical to a PIL/libjpeg path
+_FIX_142, _FIX_177 = 91881, 116130          # round(1.40200/1.77200 * 65536)
+_FIX_034, _FIX_071 = 22554, 46802           # round(0.34414/0.71414 * 65536)
+
+
+def _ycc_to_rgb(y, cb, cr):
+    """Vectorized libjpeg fixed-point conversion on numpy int arrays."""
+    import numpy as np
+    y = y.astype(np.int64)
+    cb = cb.astype(np.int64) - 128
+    cr = cr.astype(np.int64) - 128
+    r = y + ((_FIX_142 * cr + 32768) >> 16)
+    b = y + ((_FIX_177 * cb + 32768) >> 16)
+    g = y + ((-_FIX_034 * cb - _FIX_071 * cr + 32768) >> 16)
+    return [np.clip(v, 0, 255).astype(np.uint8) for v in (r, g, b)]
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing; RSTn
+    markers byte-align and signal a restart to the caller."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.pos, self.acc, self.nbits = data, pos, 0, 0
+        self.restart_hit = False
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.d):
+                self.acc = (self.acc << 8) | 0xFF    # pad past end
+                self.nbits += 8
+                continue
+            byte = self.d[self.pos]
+            if byte == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) \
+                    else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    self.restart_hit = True
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:                                # EOI or next marker
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, tree) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            if (ln, code) in tree:
+                return tree[(ln, code)]
+        raise NotImplementedError("corrupt JPEG Huffman stream")
+
+    def restart(self):
+        """Consume the RSTn marker and byte-align (clears the padding
+        bits buffered while detecting it)."""
+        self.acc, self.nbits, self.restart_hit = 0, 0, False
+        while self.pos + 1 < len(self.d):
+            if (self.d[self.pos] == 0xFF
+                    and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise NotImplementedError("JPEG restart marker missing")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` magnitude bits to a signed
+    coefficient."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_py(b: bytes):
+    """Decode a baseline sequential JPEG (SOF0, Huffman).
+
+    Returns ``(width, height, channels, pixels)`` — ``channels=3`` RGB
+    for YCbCr images (libjpeg fixed-point conversion, replicated
+    chroma upsampling), ``channels=1`` for greyscale."""
+    import struct
+    import numpy as np
+    if b[:2] != b"\xFF\xD8":
+        raise NotImplementedError(
+            "not a JPEG payload and PIL is unavailable")
+    pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
+    w = h = None
+    comps = []          # (id, hsamp, vsamp, qtab_id)
+    scan_tabs = {}      # comp id -> (dc table id, ac table id)
+    restart_interval = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker sync lost")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", b, pos + 2)[0]
+        data = b[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:                     # DQT
+            i = 0
+            while i < len(data):
+                prec, tid = data[i] >> 4, data[i] & 15
+                i += 1
+                if prec:
+                    tab = list(struct.unpack_from(f">{64}H", data, i))
+                    i += 128
+                else:
+                    tab = list(data[i:i + 64])
+                    i += 64
+                nat = [0] * 64
+                for z, q in enumerate(tab):
+                    nat[_ZIGZAG[z]] = q
+                qt[tid] = np.array(nat, dtype=np.float64).reshape(8, 8)
+        elif marker == 0xC0:                   # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
+            comps = []
+            for c in range(ncomp):
+                cid, samp, qid = struct.unpack_from(">BBB", data, 6 + 3 * c)
+                comps.append((cid, samp >> 4, samp & 15, qid))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline JPEG (SOF0) decodes without a media "
+                f"library (got SOF marker 0x{marker:02X})")
+        elif marker == 0xC4:                   # DHT
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(data[i + 17:i + 17 + n])
+                (huff_ac if cls else huff_dc)[tid] = _huff_tree(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:                   # DRI
+            restart_interval = struct.unpack_from(">H", data, 0)[0]
+        elif marker == 0xDA:                   # SOS: entropy data follows
+            ns = data[0]
+            for c in range(ns):
+                cid, tabs = data[1 + 2 * c], data[2 + 2 * c]
+                scan_tabs[cid] = (tabs >> 4, tabs & 15)
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    else:
+        raise NotImplementedError("JPEG missing SOS")
+    if w is None or not comps:
+        raise NotImplementedError("JPEG missing SOF0")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    basis = _dct_basis()
+    planes = {}
+    for cid, hs, vs, _q in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8),
+                               dtype=np.int16)
+    rd = _JpegBitReader(b, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                rd.restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu_count += 1
+            for cid, hs, vs, qid in comps:
+                dct, act = scan_tabs[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coeff = np.zeros(64)
+                        size = rd.huff(huff_dc[dct])
+                        diff = _extend(rd.bits(size), size) if size else 0
+                        pred[cid] += diff
+                        coeff[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(huff_ac[act])
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:       # ZRL
+                                    k += 16
+                                    continue
+                                break               # EOB
+                            k += run
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "JPEG AC coefficient overflow")
+                            coeff[_ZIGZAG[k]] = _extend(rd.bits(size), size)
+                            k += 1
+                        blk = coeff.reshape(8, 8) * qt[qid]
+                        px = basis.T @ blk @ basis + 128.0
+                        px = np.clip(np.rint(px), 0, 255).astype(np.int16)
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+    # upsample to full resolution by replication, crop, convert
+    full = []
+    for cid, hs, vs, _q in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return w, h, 1, bytes(full[0].astype(np.uint8).tobytes())
+    r, g, bch = _ycc_to_rgb(full[0], full[1], full[2])
+    out = np.stack([r, g, bch], axis=-1)
+    return w, h, 3, out.tobytes()
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def put(self, code: int, n: int):
+        self.acc = (self.acc << n) | (code & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)          # stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def align(self):
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)     # pad with 1s
+
+
+def encode_jpeg_py(width: int, height: int, y, cb=None, cr=None,
+                   subsampling: str = "444",
+                   quant=(8, 1),
+                   restart_interval: int = 0) -> bytes:
+    """Encode planar 8-bit YCbCr (or greyscale when ``cb``/``cr`` are
+    None) as a baseline JPEG with the T.81 Annex K Huffman tables.
+
+    ``y``/``cb``/``cr`` are row-major ``height`` x ``width`` byte
+    sequences at FULL resolution; 4:2:0 / 4:2:2 chroma is produced by
+    block averaging.  ``quant=(dc, ac)`` builds flat quantization
+    tables — the default (8, 1) makes constant 8x8 blocks reproduce
+    EXACTLY (DC of a constant block is 8*(v-128), so dc_q=8 stores v
+    losslessly), which is what the formula oracles rely on."""
+    import struct
+    import numpy as np
+    gray = cb is None
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(f"subsampling must be 444/422/420: {subsampling}")
+    hs, vs = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    if gray:
+        hs = vs = 1
+    dc_q, ac_q = quant
+    qtab = np.full((8, 8), float(ac_q))
+    qtab[0, 0] = float(dc_q)
+    basis = _dct_basis()
+
+    def plane(arr):
+        return np.frombuffer(bytes(arr), dtype=np.uint8).reshape(
+            height, width).astype(np.float64)
+
+    def pad_to(p, bw, bh):
+        ph = ((p.shape[0] + bh - 1) // bh) * bh
+        pw = ((p.shape[1] + bw - 1) // bw) * bw
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                      mode="edge")
+
+    yp = pad_to(plane(y), 8 * hs, 8 * vs)
+    if not gray:
+        cbp = plane(cb)
+        crp = plane(cr)
+        if (hs, vs) != (1, 1):   # box-average subsampling (exact on
+            #                      constant regions)
+            cbp = pad_to(cbp, hs, vs)
+            crp = pad_to(crp, hs, vs)
+            cbp = cbp.reshape(cbp.shape[0] // vs, vs,
+                              cbp.shape[1] // hs, hs).mean(axis=(1, 3))
+            crp = crp.reshape(crp.shape[0] // vs, vs,
+                              crp.shape[1] // hs, hs).mean(axis=(1, 3))
+        cbp = pad_to(cbp, 8, 8)
+        crp = pad_to(crp, 8, 8)
+
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    ac_c = _huff_codes(*_AC_CHROMA)
+
+    def emit_block(wtr, px, pred, dct, act):
+        blk = basis @ (px - 128.0) @ basis.T
+        q = np.rint(blk / qtab).astype(np.int64)
+        zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
+        diff = zz[0] - pred
+        size = abs(diff).bit_length()
+        code, ln = dct[size]
+        wtr.put(code, ln)
+        if size:
+            wtr.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]
+                wtr.put(code, ln)
+                run -= 16
+            size = abs(v).bit_length()
+            code, ln = act[(run << 4) | size]
+            wtr.put(code, ln)
+            wtr.put(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < 63:
+            code, ln = act[0x00]
+            wtr.put(code, ln)
+        return zz[0]
+
+    out = bytearray(b"\xFF\xD8")               # SOI
+
+    def seg(marker, payload):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    zz_q = bytes(int(qtab.flat[_ZIGZAG[k]]) for k in range(64))
+    seg(0xDB, b"\x00" + zz_q)                  # table 0 for all comps
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    sof += struct.pack(">BBB", 1, (hs << 4) | vs, 0)
+    if not gray:
+        sof += struct.pack(">BBB", 2, 0x11, 0)
+        sof += struct.pack(">BBB", 3, 0x11, 0)
+    seg(0xC0, sof)
+    for cls, tid, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+                                   (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)):
+        if gray and tid == 1:
+            continue
+        seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += b"\x00\x3F\x00"
+    seg(0xDA, sos)
+
+    wtr = _JpegBitWriter()
+    mcux = yp.shape[1] // (8 * hs)
+    mcuy = yp.shape[0] // (8 * vs)
+    pred = [0, 0, 0]
+    mcu_count, rst = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                wtr.align()
+                out.extend(wtr.out)
+                wtr = _JpegBitWriter()
+                out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                pred = [0, 0, 0]
+            mcu_count += 1
+            for by in range(vs):
+                for bx in range(hs):
+                    y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    pred[0] = emit_block(
+                        wtr, yp[y0:y0 + 8, x0:x0 + 8], pred[0], dc_l, ac_l)
+            if not gray:
+                pred[1] = emit_block(
+                    wtr, cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
+                    pred[1], dc_c, ac_c)
+                pred[2] = emit_block(
+                    wtr, crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
+                    pred[2], dc_c, ac_c)
+    wtr.align()
+    out.extend(wtr.out)
+    out.extend(b"\xFF\xD9")                    # EOI
+    return bytes(out)
+
+
 def _decode_pixels_py(b: bytes):
     """Dependency-free decode dispatch -> ``(w, h, rgb_bytes)`` in
     row-major top-down RGB (grey replicated, alpha dropped — matching
@@ -586,6 +1077,11 @@ def _decode_pixels_py(b: bytes):
         return w, h, px
     if b[:6] in (b"GIF87a", b"GIF89a"):
         w, h, _c, px = decode_gif_py(b)   # already RGB via color table
+        return w, h, px
+    if b[:2] == b"\xFF\xD8":
+        w, h, ch, px = decode_jpeg_py(b)
+        if ch == 1:
+            px = bytes(v for v in px for _ in range(3))
         return w, h, px
     w, h, _c, bgr = decode_bmp_py(b)
     rgb = bytearray(len(bgr))
@@ -618,6 +1114,9 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
                     out.append((i, w, h, c, len(b)))
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     w, h, c, _px = decode_gif_py(b)
+                    out.append((i, w, h, c, len(b)))
+                elif b[:2] == b"\xFF\xD8":
+                    w, h, c, _px = decode_jpeg_py(b)
                     out.append((i, w, h, c, len(b)))
                 else:
                     w, h, c, _px = decode_bmp_py(b)

@@ -14,9 +14,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.multimodal import (decode_image_pixels, encode_bmp_py,
-                                    encode_gif_py, encode_png_py,
-                                    encode_wav_py, encode_y4m_py,
-                                    extract_image_features,
+                                    encode_gif_py, encode_jpeg_py,
+                                    encode_png_py, encode_wav_py,
+                                    encode_y4m_py, extract_image_features,
                                     fake_decode_image)
 from .registry import load, query
 
@@ -419,6 +419,95 @@ def mm_real_gif_decode(spark, sf_dir):
         ncol = 1 << bits
         idx = bytes((3 * x + y) % ncol for y in range(h) for x in range(w))
         payload = encode_gif_py(w, h, idx, _png_palette(ncol), interlace=il)
+        rows.append((doc_id, bytearray(payload)))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_image_pixels(d)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode of a THIRD compressed format — baseline JPEG, the
+# dominant format of any web image corpus.  JPEG is lossy, so the
+# fixtures are built where the codec is EXACT by construction:
+# constant 8x8 (4:4:4) or 16x16 (4:2:0) tiles with flat quant tables
+# (dc_q=8 stores the constant block's DC losslessly, all AC are zero),
+# and the decoder's YCbCr->RGB uses libjpeg's 16-bit fixed-point
+# constants which the DuckDB oracle reproduces with FLOOR division.
+# A correct checksum therefore proves Huffman entropy decoding, DC
+# prediction, dequantization, the IDCT, chroma upsampling, restart
+# handling, and the exact color convert all ran correctly.
+# ---------------------------------------------------------------------------
+
+#             doc_id width height mode        restart
+_JPEG_SPECS = [(1,   32,   24,   "gray",     0),
+               (2,   32,   24,   "color444", 0),
+               (3,   32,   32,   "color420", 0),
+               (4,   48,   16,   "color420", 2)]   # restart markers
+
+
+def _jpeg_planes(w: int, h: int, mode: str):
+    """Per-tile-constant Y/Cb/Cr planes; tile is 8 px for 4:4:4 (every
+    block constant) and 16 px for 4:2:0 (every MCU constant, so chroma
+    subsampling averages a constant — exact)."""
+    t = 16 if mode == "color420" else 8
+    y = bytes((17 * (x // t) + 29 * (yy // t)) % 256
+              for yy in range(h) for x in range(w))
+    if mode == "gray":
+        return y, None, None
+    cb = bytes((11 * (x // t) + 23 * (yy // t)) % 256
+               for yy in range(h) for x in range(w))
+    cr = bytes((5 * (x // t) + 13 * (yy // t)) % 256
+               for yy in range(h) for x in range(w))
+    return y, cb, cr
+
+
+def _jpeg_oracle() -> str:
+    parts = []
+    for doc_id, w, h, mode, _rst in _JPEG_SPECS:
+        t = 16 if mode == "color420" else 8
+        bx, by = f"((i % {w}) // {t})", f"((i // {w}) // {t})"
+        yv = f"((17 * {bx} + 29 * {by}) % 256)"
+        if mode == "gray":
+            val = f"6 * {yv}"
+        else:
+            cbv = f"(((11 * {bx} + 23 * {by}) % 256) - 128)"
+            crv = f"(((5 * {bx} + 13 * {by}) % 256) - 128)"
+
+            def clamp(e):
+                return f"GREATEST(0, LEAST(255, {e}))"
+            r = clamp(f"{yv} + CAST(FLOOR((91881 * {crv} + 32768)"
+                      f" / 65536.0) AS BIGINT)")
+            g = clamp(f"{yv} + CAST(FLOOR((-22554 * {cbv} - 46802 * {crv}"
+                      f" + 32768) / 65536.0) AS BIGINT)")
+            b = clamp(f"{yv} + CAST(FLOOR((116130 * {cbv} + 32768)"
+                      f" / 65536.0) AS BIGINT)")
+            val = f"(({r}) + 2 * ({g}) + 3 * ({b}))"
+        chk = (f"(SELECT CAST(SUM((i + 1) * ({val})) AS BIGINT)"
+               f" FROM range(0, {w * h}) t(i))")
+        parts.append(f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+                     f" {w} AS width, {h} AS height, 3 AS channels,"
+                     f" {chk} AS pix_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_jpeg_decode", oracle=_jpeg_oracle())
+def mm_real_jpeg_decode(spark, sf_dir):
+    """REAL decoding of baseline JPEGs in this container: four
+    synthetic SOF0 payloads (greyscale, 4:4:4 color, 4:2:0 color, and
+    4:2:0 with DRI/RSTn restart markers) flow through
+    :func:`decode_image_pixels` — PIL/libjpeg when installed, else the
+    dependency-free Huffman + numpy-IDCT parser
+    (:func:`padawan_spark.functions.multimodal.decode_jpeg_py`).
+    Fixtures are constant-tile images under flat quant tables, where
+    baseline JPEG is exact by construction, so the DuckDB oracle
+    recomputes the checksum from the tile formulas and libjpeg's
+    fixed-point color constants alone.  Scale shape: Arrow-batched
+    mapInPandas, embarrassingly parallel, no shuffle."""
+    rows = []
+    for doc_id, w, h, mode, rst in _JPEG_SPECS:
+        y, cb, cr = _jpeg_planes(w, h, mode)
+        sub = "420" if mode == "color420" else "444"
+        payload = encode_jpeg_py(w, h, y, cb, cr, subsampling=sub,
+                                 restart_interval=rst)
         rows.append((doc_id, bytearray(payload)))
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return decode_image_pixels(d)

@@ -436,3 +436,82 @@ def test_gif_lzw_dictionary_reset_12bit():
     rng = random.Random(99)
     data = bytes(rng.randrange(256) for _ in range(60000))
     assert _lzw_decode_gif(8, _lzw_encode_gif(8, data), len(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=4),   # size in tiles
+    bh=st.integers(min_value=1, max_value=4),
+    mode=st.sampled_from(["gray", "444", "422", "420"]),
+    rst=st.sampled_from([0, 1, 3]),
+    data=st.data(),
+)
+def test_jpeg_constant_tile_exactness_property(bw, bh, mode, rst, data):
+    """Baseline JPEG is EXACT on constant-tile images under flat quant
+    (dc_q=8 stores each constant block's DC losslessly; all AC vanish):
+    random tile colors, every subsampling mode, and restart intervals
+    must reproduce the source planes bit-for-bit.  The tile is one MCU
+    (16x16 for 4:2:0, 16x8 for 4:2:2, 8x8 otherwise) so chroma
+    averaging also sees constants."""
+    import numpy as np
+
+    from padawan_spark.functions.multimodal import (decode_jpeg_py,
+                                                    encode_jpeg_py)
+    tx = 16 if mode in ("420", "422") else 8
+    ty = 16 if mode == "420" else 8
+    w, h = bw * tx, bh * ty
+
+    def plane():
+        tiles = data.draw(st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=bw * bh, max_size=bw * bh))
+        a = np.zeros((h, w), dtype=np.uint8)
+        for t, v in enumerate(tiles):
+            y0, x0 = (t // bw) * ty, (t % bw) * tx
+            a[y0:y0 + ty, x0:x0 + tx] = v
+        return a
+
+    ya = plane()
+    if mode == "gray":
+        W, H, C, px = decode_jpeg_py(encode_jpeg_py(
+            w, h, ya.tobytes(), restart_interval=rst))
+        assert (W, H, C) == (w, h, 1)
+        assert px == ya.tobytes()
+        return
+    cba, cra = plane(), plane()
+    W, H, C, px = decode_jpeg_py(encode_jpeg_py(
+        w, h, ya.tobytes(), cba.tobytes(), cra.tobytes(),
+        subsampling=mode, restart_interval=rst))
+    assert (W, H, C) == (w, h, 3)
+    # expected RGB via the libjpeg fixed-point formula on exact planes
+    y64 = ya.astype(np.int64)
+    cb = cba.astype(np.int64) - 128
+    cr = cra.astype(np.int64) - 128
+    r = np.clip(y64 + ((91881 * cr + 32768) >> 16), 0, 255)
+    g = np.clip(y64 + ((-22554 * cb - 46802 * cr + 32768) >> 16), 0, 255)
+    b = np.clip(y64 + ((116130 * cb + 32768) >> 16), 0, 255)
+    assert px == np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    data=st.data(),
+)
+def test_jpeg_random_grey_near_lossless_property(w, h, data):
+    """With flat quant (ac_q=1) the only loss is FDCT/IDCT float
+    rounding: arbitrary random greyscale images — any size, including
+    non-multiples of 8 (edge-replicated padding, cropped back) — must
+    round-trip within 2 grey levels per pixel."""
+    import numpy as np
+
+    from padawan_spark.functions.multimodal import (decode_jpeg_py,
+                                                    encode_jpeg_py)
+    n = w * h
+    y = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    W, H, C, px = decode_jpeg_py(encode_jpeg_py(w, h, y))
+    assert (W, H, C) == (w, h, 1)
+    err = np.abs(np.frombuffer(px, np.uint8).astype(int)
+                 - np.frombuffer(y, np.uint8).astype(int))
+    assert err.max() <= 2
