@@ -17,7 +17,7 @@ from ..functions.multimodal import (decode_image_pixels, encode_bmp_py,
                                     encode_gif_py, encode_jpeg_py,
                                     encode_png_py, encode_wav_py,
                                     encode_y4m_py, extract_image_features,
-                                    fake_decode_image)
+                                    fake_decode_image, sniff_image_headers)
 from .registry import load, query
 
 
@@ -511,6 +511,47 @@ def mm_real_jpeg_decode(spark, sf_dir):
         rows.append((doc_id, bytearray(payload)))
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return decode_image_pixels(d)
+
+
+@query("mm_header_sniff", oracle="""
+SELECT CAST(i AS BIGINT) AS doc_id,
+  CASE i % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+             WHEN 3 THEN 'bmp' ELSE 'unknown' END AS format,
+  CAST(CASE WHEN i % 5 = 4 THEN -1 ELSE 16 + i % 13 END AS INTEGER)
+    AS width,
+  CAST(CASE WHEN i % 5 = 4 THEN -1 ELSE 8 + (i * 3) % 11 END AS INTEGER)
+    AS height
+FROM range(0, 40) t(i)
+""")
+def mm_header_sniff(spark, sf_dir):
+    """Header-only format/dimension profiling — the realistic FIRST
+    pass over a crawled image corpus at 100 TB: identify each blob and
+    read its dimensions from magic bytes + fixed-offset header fields
+    (PNG IHDR, GIF logical screen descriptor, JPEG SOF marker walk, BMP
+    info header) with NO entropy decode, so per-blob cost is O(header)
+    regardless of payload size.  Fixtures: a 40-doc mixed corpus
+    cycling png/gif/jpeg/bmp/garbage with formula-derived dimensions;
+    the oracle recomputes format and dims from the doc_id alone.
+    Scale shape: Arrow-batched mapInPandas, embarrassingly parallel,
+    no shuffle, full decode deferred to the filtered survivors."""
+    rows = []
+    for doc in range(40):
+        w, h = 16 + doc % 13, 8 + (doc * 3) % 11
+        k = doc % 5
+        if k == 0:
+            payload = encode_png_py(w, h, bytes(w * h), channels=1)
+        elif k == 1:
+            payload = encode_gif_py(w, h, bytes(w * h), bytes(6))
+        elif k == 2:
+            payload = encode_jpeg_py(w, h, bytes(w * h))
+        elif k == 3:
+            payload = encode_bmp_py(w, h, bytes(w * h * 3))
+        else:
+            payload = b"\x00\x01\x02 not an image payload"
+        rows.append((doc, bytearray(payload)))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return sniff_image_headers(d).select("doc_id", "format", "width",
+                                         "height")
 
 
 # ---------------------------------------------------------------------------
