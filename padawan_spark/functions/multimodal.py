@@ -1274,7 +1274,7 @@ def resize_images(df: DataFrame, width: int, height: int,
     """Resize every payload to ``width``x``height``, re-encoded as PNG;
     schema preserved.  PIL when installed (any format, bicubic), else
     the pure-Python nearest-neighbor path over the in-container codecs
-    (PNG/BMP)."""
+    (PNG/GIF/baseline-JPEG/BMP)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:

@@ -72,6 +72,31 @@ def test_real_codec_path_decode_resize_roundtrip(spark):
     assert back == {1: (4, 4), 2: (4, 4)}
 
 
+def test_mixed_format_decode_resize(spark):
+    """The full in-container codec matrix flows through the same
+    decode_image + resize_images plumbing: GIF (LZW) and baseline JPEG
+    payloads decode for real and resize to PNG alongside PNG/BMP —
+    round 6's compressed-format additions exercised end-to-end through
+    the Spark operators, not just the codec unit tests."""
+    from padawan_spark.functions import decode_image, resize_images
+    from padawan_spark.functions.multimodal import (encode_gif_py,
+                                                    encode_jpeg_py)
+
+    pal = bytes(v for i in range(4) for v in (11 * i, 7 * i, 5 * i))
+    gif = encode_gif_py(10, 6, bytes((x % 4) for x in range(60)), pal)
+    jpg = encode_jpeg_py(16, 16, bytes([77]) * 256,
+                         bytes([120]) * 256, bytes([140]) * 256,
+                         subsampling="420")
+    rows = [(1, bytearray(gif)), (2, bytearray(jpg))]
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: (r["width"], r["height"], r["channels"])
+           for r in decode_image(d).collect()}
+    assert got == {1: (10, 6, 3), 2: (16, 16, 3)}
+    back = {r2["doc_id"]: (r2["width"], r2["height"])
+            for r2 in decode_image(resize_images(d, 5, 5)).collect()}
+    assert back == {1: (5, 5), 2: (5, 5)}
+
+
 def test_extract_image_features_vectorized(spark, sf_dir):
     """Byte-histogram features: L1-normalized 16-bucket nibble histogram,
     vectorized via np.frombuffer/np.bincount."""
