@@ -1154,8 +1154,9 @@ def _decode_pixels_py(b: bytes):
 def decode_image(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id") -> DataFrame:
     """Real image decode: PIL when present (any format), else the
-    pure-Python BMP parser — so a real decode runs in every
-    environment.  Plumbing identical to fake_decode_image."""
+    pure-Python PNG/GIF/baseline-JPEG/BMP parsers — so a real decode
+    runs in every environment.  Plumbing identical to
+    fake_decode_image."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
