@@ -513,6 +513,83 @@ def mm_real_jpeg_decode(spark, sf_dir):
     return decode_image_pixels(d)
 
 
+def _gif_rgbsum(idx: str) -> str:
+    return (f"((11 * ({idx})) % 256 + 2 * ((7 * ({idx})) % 256)"
+            f" + 3 * ((5 * ({idx})) % 256))")
+
+
+def _gif_anim_oracle() -> str:
+    parts = []
+    # doc 1: four full 12x8 frames, idx=(x+2y+7f)%16, sampled every 2nd
+    for f in (0, 2):
+        x, y = "(i % 12)", "(i // 12)"
+        val = _gif_rgbsum(f"({x} + 2 * {y} + {7 * f}) % 16")
+        parts.append(
+            f"SELECT CAST(1 AS BIGINT) AS doc_id, {f} AS frame_idx,"
+            f" 12 AS width, 8 AS height,"
+            f" (SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+            f"  FROM range(0, 96) t(i)) AS pix_checksum")
+    # doc 2 frame 0: full 10x10 base layer A=(x+y)%16
+    x, y = "(i % 10)", "(i // 10)"
+    val = _gif_rgbsum(f"({x} + {y}) % 16")
+    parts.append(
+        f"SELECT CAST(2 AS BIGINT) AS doc_id, 0 AS frame_idx,"
+        f" 10 AS width, 10 AS height,"
+        f" (SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+        f"  FROM range(0, 100) t(i)) AS pix_checksum")
+    # doc 2 frame 2: C (transparent idx 0) over B (disposal 1) over A —
+    # the presented canvas composites the SKIPPED frame 1 too
+    c = f"(({x} - 1) + 2 * ({y} - 1)) % 16"
+    bexp = f"(3 * ({x} - 2) + ({y} - 3) + 1) % 16"
+    i2 = (f"CASE WHEN {x} BETWEEN 1 AND 6 AND {y} BETWEEN 1 AND 5"
+          f" AND {c} != 0 THEN {c}"
+          f" WHEN {x} BETWEEN 2 AND 6 AND {y} BETWEEN 3 AND 6 THEN {bexp}"
+          f" ELSE ({x} + {y}) % 16 END")
+    val = _gif_rgbsum(i2)
+    parts.append(
+        f"SELECT CAST(2 AS BIGINT) AS doc_id, 2 AS frame_idx,"
+        f" 10 AS width, 10 AS height,"
+        f" (SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+        f"  FROM range(0, 100) t(i)) AS pix_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_gif_frame_sample", oracle=_gif_anim_oracle())
+def mm_gif_frame_sample(spark, sf_dir):
+    """Animated-GIF frame sampling with REAL compositing: doc 1 is a
+    four-frame full-canvas animation sampled every 2nd frame; doc 2
+    layers a partial overlay (disposal 1) and a transparent partial
+    overlay (index 0 transparent, disposal 2) over a base frame — the
+    sampled frame 2 checksum can only be right if the SKIPPED frame 1
+    was still composited onto the canvas and the transparency holes
+    show the layers beneath.  The oracle recomputes every presented
+    canvas from the region/index formulas alone (nested CASE over the
+    overlay rectangles).  Scale shape: Arrow-batched mapInPandas over
+    payloads, embarrassingly parallel, no shuffle."""
+    from ..functions.multimodal import encode_gif_anim_py, sample_gif_frames
+    pal = _png_palette(16)
+    w1, h1 = 12, 8
+    doc1 = encode_gif_anim_py(w1, h1, pal, [
+        (0, 0, w1, h1,
+         bytes((x + 2 * y + 7 * f) % 16
+               for y in range(h1) for x in range(w1)), None, 0)
+        for f in range(4)])
+    w2, h2 = 10, 10
+    doc2 = encode_gif_anim_py(w2, h2, pal, [
+        (0, 0, w2, h2, bytes((x + y) % 16
+                             for y in range(h2) for x in range(w2)),
+         None, 0),
+        (2, 3, 5, 4, bytes((3 * u + v + 1) % 16
+                           for v in range(4) for u in range(5)), None, 1),
+        (1, 1, 6, 5, bytes((u + 2 * v) % 16
+                           for v in range(5) for u in range(6)), 0, 2),
+    ], bg=5)
+    d = spark.createDataFrame(
+        [(1, bytearray(doc1)), (2, bytearray(doc2))],
+        "doc_id bigint, payload binary")
+    return sample_gif_frames(d, every_n=2)
+
+
 @query("mm_header_sniff", oracle="""
 SELECT CAST(i AS BIGINT) AS doc_id,
   CASE i % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'

@@ -515,3 +515,53 @@ def test_jpeg_random_grey_near_lossless_property(w, h, data):
     err = np.abs(np.frombuffer(px, np.uint8).astype(int)
                  - np.frombuffer(y, np.uint8).astype(int))
     assert err.max() <= 2
+
+
+def test_gif_animation_compositing_reference():
+    """Animated-GIF compositing vs an INDEPENDENT reference compositor:
+    partial-frame offsets, transparency holes, disposal 1 (leave) and
+    disposal 2 (restore-to-background) must present exactly the frames
+    the spec semantics produce."""
+    from padawan_spark.functions.multimodal import (decode_gif_frames_py,
+                                                    encode_gif_anim_py)
+    ncol, w, h = 16, 10, 10
+    pal = bytes(v for i in range(ncol)
+                for v in ((11 * i) % 256, (7 * i) % 256, (5 * i) % 256))
+
+    def ref_composite(specs, bg):
+        canvas = [[bg] * w for _ in range(h)]
+        outs = []
+        for (lx, ty, fw, fh, idx, tr, disp) in specs:
+            for v in range(fh):
+                for u in range(fw):
+                    k = idx[v * fw + u]
+                    if k == tr:
+                        continue
+                    if ty + v < h and lx + u < w:
+                        canvas[ty + v][lx + u] = k
+            outs.append(b"".join(
+                pal[3 * canvas[y][x]:3 * canvas[y][x] + 3]
+                for y in range(h) for x in range(w)))
+            if disp == 2:
+                for v in range(fh):
+                    for u in range(fw):
+                        if ty + v < h and lx + u < w:
+                            canvas[ty + v][lx + u] = bg
+        return outs
+
+    specs = [
+        (0, 0, w, h, bytes((x + y) % ncol
+                           for y in range(h) for x in range(w)), None, 0),
+        (2, 3, 5, 4, bytes((3 * u + v + 1) % ncol
+                           for v in range(4) for u in range(5)), None, 1),
+        (1, 1, 6, 5, bytes((u + 2 * v) % ncol
+                           for v in range(5) for u in range(6)), 0, 2),
+        (4, 4, 4, 4, bytes((u * v) % ncol
+                           for v in range(4) for u in range(4)), None, 0),
+    ]
+    g = encode_gif_anim_py(w, h, pal, specs, bg=5)
+    W, H, frames = decode_gif_frames_py(g)
+    want = ref_composite(specs, 5)
+    assert (W, H) == (w, h) and len(frames) == len(want)
+    for f, (got, exp) in enumerate(zip(frames, want)):
+        assert got == exp, f"frame {f} composite mismatch"
