@@ -24,13 +24,14 @@ COMPRESSED images also decode for real, dependency-free: PNG
 (:func:`decode_png_py` — stdlib-zlib inflate, all five scanline
 filters, every color type incl. palette, 8/16-bit, Adam7), GIF
 (:func:`decode_gif_py` — variable-code-size LZW, color tables, row
-interlace), and baseline JPEG (:func:`decode_jpeg_py` — Huffman
-entropy decode, numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers,
-libjpeg's exact fixed-point color constants), exercised by
-``mm_real_png_decode`` / ``mm_real_gif_decode`` /
-``mm_real_jpeg_decode``.  Progressive JPEG and av formats
-(mp3/h264/...) still require the real library and raise
-``NotImplementedError`` without it; the deterministic
+interlace), and JPEG — baseline SOF0 AND
+progressive SOF2 (:func:`decode_jpeg_py` — Huffman entropy decode,
+spectral selection, successive approximation, EOB runs, numpy IDCT,
+4:4:4/4:2:2/4:2:0, restart markers, libjpeg's exact fixed-point color
+constants), exercised by ``mm_real_png_decode`` /
+``mm_real_gif_decode`` / ``mm_real_jpeg_decode``.  AV formats
+(mp3/h264/...) and arithmetic-coded JPEG still require the real
+library and raise ``NotImplementedError`` without it; the deterministic
 ``fake_decode_image`` additionally stands in where format-agnostic
 plumbing tests need it.
 
@@ -745,16 +746,17 @@ def sample_gif_frames(df: DataFrame, every_n: int = 1,
 
 
 # ---------------------------------------------------------------------------
-# pure-Python baseline JPEG codec (numpy IDCT): the third COMPRESSED
-# format that decodes for real without a media library.  Baseline
-# sequential DCT (SOF0) with Huffman entropy coding, 8/16-bit DQT,
-# greyscale / YCbCr at 4:4:4, 4:2:2 and 4:2:0, and DRI/RSTn restart
-# markers.  YCbCr -> RGB uses libjpeg's exact 16-bit fixed-point
+# pure-Python JPEG codec (numpy IDCT): the third COMPRESSED format
+# that decodes for real without a media library.  Baseline sequential
+# DCT (SOF0) AND progressive (SOF2 — spectral selection, successive
+# approximation, EOB runs, correction bits, any number of scans) with
+# Huffman entropy coding, 8/16-bit DQT, greyscale / YCbCr at 4:4:4,
+# 4:2:2 and 4:2:0, and DRI/RSTn restart markers.  YCbCr -> RGB uses libjpeg's exact 16-bit fixed-point
 # constants, so a PIL/libjpeg path produces bit-identical colors;
 # chroma upsampling is sample replication (exact wherever chroma is
 # constant per MCU — which is how the oracle fixtures are built, JPEG
-# being lossy elsewhere).  Progressive (SOF2) and arithmetic coding
-# raise NotImplementedError honestly.
+# being lossy elsewhere).  Arithmetic coding and hierarchical/lossless
+# SOFs raise NotImplementedError honestly.
 # ---------------------------------------------------------------------------
 
 _ZIGZAG = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -925,7 +927,13 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_py(b: bytes):
-    """Decode a baseline sequential JPEG (SOF0, Huffman).
+    """Decode a baseline (SOF0) or progressive (SOF2) Huffman JPEG.
+
+    Both entropy layouts fill the same per-component coefficient
+    buffers — progressive scans accumulate spectral bands and
+    successive-approximation bits across any number of SOS segments —
+    then dequantize + IDCT once at the end, so the two layouts decode
+    to IDENTICAL pixels for identical quantized coefficients.
 
     Returns ``(width, height, channels, pixels)`` — ``channels=3`` RGB
     for YCbCr images (libjpeg fixed-point conversion, replicated
@@ -938,8 +946,161 @@ def decode_jpeg_py(b: bytes):
     pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
     w = h = None
     comps = []          # (id, hsamp, vsamp, qtab_id)
-    scan_tabs = {}      # comp id -> (dc table id, ac table id)
     restart_interval = 0
+    progressive = False
+    coeffs = {}         # comp id -> (blocks_y, blocks_x, 64) int32
+    dims = {}           # comp id -> (real_blocks_y, real_blocks_x)
+    hmax = vmax = mcux = mcuy = 0
+    eob_state = [0]     # EOBRUN persists across blocks within a scan
+
+    def scan_end(p):
+        """First byte after the entropy-coded segment starting at p."""
+        while p + 1 < len(b):
+            if b[p] == 0xFF and b[p + 1] != 0x00 \
+                    and not (0xD0 <= b[p + 1] <= 0xD7):
+                return p
+            p += 1
+        return len(b)
+
+    def decode_scan(scomp, ss, se, ah, al, p_start, p_end):
+        """Decode one SOS entropy segment into the coefficient
+        buffers.  Multi-component scans iterate MCU-interleaved;
+        single-component scans iterate that component's own block
+        grid (T.81 A.2.2/A.2.3)."""
+        rd = _JpegBitReader(b[:p_end], p_start)
+        pred = {cid: 0 for cid, *_ in comps}
+        eob_state[0] = 0
+
+        def dc_block(blk, dct_tree):
+            size = rd.huff(dct_tree)
+            diff = _extend(rd.bits(size), size) if size else 0
+            return diff
+
+        def ac_first(blk, act_tree):
+            if eob_state[0] > 0:
+                eob_state[0] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = rd.huff(act_tree)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eob_state[0] = (1 << r) - 1
+                    if r:
+                        eob_state[0] += rd.bits(r)
+                    break
+                k += r
+                if k > 63:
+                    raise NotImplementedError("JPEG AC overflow")
+                blk[_ZIGZAG[k]] = _extend(rd.bits(s), s) << al
+                k += 1
+
+        def ac_refine(blk, act_tree):
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            if eob_state[0] == 0:
+                while k <= se:
+                    rs = rd.huff(act_tree)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eob_state[0] = (1 << r)
+                            if r:
+                                eob_state[0] += rd.bits(r)
+                            break
+                    else:           # s == 1 in refinement scans
+                        val = p1 if rd.bits(1) else m1
+                    while k <= se:
+                        c = int(blk[_ZIGZAG[k]])
+                        if c != 0:
+                            if rd.bits(1) and (c & p1) == 0:
+                                blk[_ZIGZAG[k]] = c + (p1 if c >= 0
+                                                       else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        blk[_ZIGZAG[k]] = val
+                    k += 1
+            if eob_state[0] > 0:
+                while k <= se:
+                    c = int(blk[_ZIGZAG[k]])
+                    if c != 0:
+                        if rd.bits(1) and (c & p1) == 0:
+                            blk[_ZIGZAG[k]] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eob_state[0] -= 1
+
+        def do_block(cid, by, bx, dct, act):
+            blk = coeffs[cid][by, bx]
+            if ss == 0 and se == 0:                # DC-only scan
+                if ah == 0:
+                    pred[cid] += dc_block(blk, huff_dc[dct])
+                    blk[0] = pred[cid] << al
+                else:
+                    if rd.bits(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+            elif ss == 0:                          # baseline full scan
+                pred[cid] += dc_block(blk, huff_dc[dct])
+                blk[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs = rd.huff(huff_ac[act])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break
+                    k += r
+                    if k > 63:
+                        raise NotImplementedError("JPEG AC overflow")
+                    blk[_ZIGZAG[k]] = _extend(rd.bits(s), s)
+                    k += 1
+            else:                                  # AC band scan
+                if ah == 0:
+                    ac_first(blk, huff_ac[act])
+                else:
+                    ac_refine(blk, huff_ac[act])
+
+        def restart():
+            rd.restart()
+            for cid in pred:
+                pred[cid] = 0
+            eob_state[0] = 0
+
+        n = 0
+        if len(scomp) > 1:                         # interleaved MCUs
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n \
+                            and n % restart_interval == 0:
+                        restart()
+                    n += 1
+                    for cid, dct, act in scomp:
+                        hs, vs = next((c[1], c[2]) for c in comps
+                                      if c[0] == cid)
+                        for by in range(vs):
+                            for bx in range(hs):
+                                do_block(cid, my * vs + by,
+                                         mx * hs + bx, dct, act)
+        else:
+            cid, dct, act = scomp[0]
+            nby, nbx = dims[cid]
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and n \
+                            and n % restart_interval == 0:
+                        restart()
+                    n += 1
+                    do_block(cid, by, bx, dct, act)
+
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise NotImplementedError("JPEG marker sync lost")
@@ -963,17 +1124,30 @@ def decode_jpeg_py(b: bytes):
                 for z, q in enumerate(tab):
                     nat[_ZIGZAG[z]] = q
                 qt[tid] = np.array(nat, dtype=np.float64).reshape(8, 8)
-        elif marker == 0xC0:                   # SOF0 baseline
+        elif marker in (0xC0, 0xC2):           # SOF0 / SOF2
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
             comps = []
             for c in range(ncomp):
-                cid, samp, qid = struct.unpack_from(">BBB", data, 6 + 3 * c)
+                cid, samp, qid = struct.unpack_from(">BBB", data,
+                                                    6 + 3 * c)
                 comps.append((cid, samp >> 4, samp & 15, qid))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hs, vs, _q in comps:
+                coeffs[cid] = np.zeros((mcuy * vs, mcux * hs, 64),
+                                       dtype=np.int32)
+                cw = (w * hs + hmax - 1) // hmax
+                ch2 = (h * vs + vmax - 1) // vmax
+                dims[cid] = ((ch2 + 7) // 8, (cw + 7) // 8)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline JPEG (SOF0) decodes without a media "
-                f"library (got SOF marker 0x{marker:02X})")
+                f"only baseline (SOF0) and progressive (SOF2) Huffman "
+                f"JPEG decode without a media library "
+                f"(got SOF marker 0x{marker:02X})")
         elif marker == 0xC4:                   # DHT
             i = 0
             while i < len(data):
@@ -981,77 +1155,52 @@ def decode_jpeg_py(b: bytes):
                 bits = list(data[i + 1:i + 17])
                 n = sum(bits)
                 vals = list(data[i + 17:i + 17 + n])
-                (huff_ac if cls else huff_dc)[tid] = _huff_tree(bits, vals)
+                (huff_ac if cls else huff_dc)[tid] = _huff_tree(bits,
+                                                                vals)
                 i += 17 + n
         elif marker == 0xDD:                   # DRI
             restart_interval = struct.unpack_from(">H", data, 0)[0]
-        elif marker == 0xDA:                   # SOS: entropy data follows
+        elif marker == 0xDA:                   # SOS
+            if w is None or not comps:
+                raise NotImplementedError("JPEG SOS before SOF")
             ns = data[0]
+            scomp = []
             for c in range(ns):
                 cid, tabs = data[1 + 2 * c], data[2 + 2 * c]
-                scan_tabs[cid] = (tabs >> 4, tabs & 15)
-            pos = pos + 2 + seg_len
-            break
+                scomp.append((cid, tabs >> 4, tabs & 15))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            a = data[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            p_start = pos + 2 + seg_len
+            p_end = scan_end(p_start)
+            decode_scan(scomp, ss, se, ah, al, p_start, p_end)
+            pos = p_end
+            continue
         pos += 2 + seg_len
-    else:
-        raise NotImplementedError("JPEG missing SOS")
-    if w is None or not comps:
-        raise NotImplementedError("JPEG missing SOF0")
+    if w is None or not comps or not coeffs:
+        raise NotImplementedError("JPEG missing SOF/SOS")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     basis = _dct_basis()
     planes = {}
-    for cid, hs, vs, _q in comps:
-        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8),
-                               dtype=np.int16)
-    rd = _JpegBitReader(b, pos)
-    pred = {cid: 0 for cid, *_ in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count \
-                    and mcu_count % restart_interval == 0:
-                rd.restart()
-                pred = {cid: 0 for cid, *_ in comps}
-            mcu_count += 1
-            for cid, hs, vs, qid in comps:
-                dct, act = scan_tabs[cid]
-                for by in range(vs):
-                    for bx in range(hs):
-                        coeff = np.zeros(64)
-                        size = rd.huff(huff_dc[dct])
-                        diff = _extend(rd.bits(size), size) if size else 0
-                        pred[cid] += diff
-                        coeff[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = rd.huff(huff_ac[act])
-                            run, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if run == 15:       # ZRL
-                                    k += 16
-                                    continue
-                                break               # EOB
-                            k += run
-                            if k > 63:
-                                raise NotImplementedError(
-                                    "JPEG AC coefficient overflow")
-                            coeff[_ZIGZAG[k]] = _extend(rd.bits(size), size)
-                            k += 1
-                        blk = coeff.reshape(8, 8) * qt[qid]
-                        px = basis.T @ blk @ basis + 128.0
-                        px = np.clip(np.rint(px), 0, 255).astype(np.int16)
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
-    # upsample to full resolution by replication, crop, convert
+    for cid, hs, vs, qid in comps:
+        buf = coeffs[cid]
+        nby, nbx = buf.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.int16)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = buf[by, bx].astype(np.float64).reshape(8, 8) \
+                    * qt[qid]
+                px = basis.T @ blk @ basis + 128.0
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    np.clip(np.rint(px), 0, 255).astype(np.int16)
+        planes[cid] = plane
     full = []
     for cid, hs, vs, _q in comps:
         p = planes[cid]
-        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0),
+                      hmax // hs, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
         return w, h, 1, bytes(full[0].astype(np.uint8).tobytes())
@@ -1080,10 +1229,224 @@ class _JpegBitWriter:
             self.put(0x7F, 8 - self.nbits)     # pad with 1s
 
 
+# generic AC table for progressive scans: every (run, size) symbol is
+# codable (255 symbols at 8 bits + one at 9 — the all-ones codeword
+# stays reserved per T.81), so EOBn run codes 0x10..0xE0 — which the
+# Annex K baseline tables lack — can be emitted and round-tripped
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+
+
+def _encode_jpeg_progressive(width, height, planes, comps, qtab,
+                             out, basis):
+    """Emit the SOF2 scan script onto ``out`` (header already has SOI/
+    DQT).  ``planes`` are padded float planes per component in ``comps``
+    order; each component's quantized zigzag coefficients are computed
+    once, then serialized as: interleaved DC first (Al=1), DC
+    refinement, per-component AC bands (1-5, 6-63) at Al=1, then their
+    refinements to Al=0 — exercising spectral selection, successive
+    approximation, EOB runs, and correction-bit interleaving."""
+    import struct
+    import numpy as np
+    ncomp = len(comps)
+    hmax = max(hs for _cid, hs, _vs in comps)
+    vmax = max(vs for _cid, _hs, vs in comps)
+    coeffs = []          # per comp: 2D list of zigzag-order lists
+    real = []            # per comp: (blocks_y, blocks_x) non-interleaved
+    for (cid, hs, vs), p in zip(comps, planes):
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        grid = []
+        for by in range(nby):
+            row = []
+            for bx in range(nbx):
+                blk = basis @ (p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                               - 128.0) @ basis.T
+                q = np.rint(blk / qtab).astype(np.int64)
+                row.append([int(q.flat[_ZIGZAG[k]]) for k in range(64)])
+            grid.append(row)
+        coeffs.append(grid)
+        cw = (width * hs + hmax - 1) // hmax
+        ch2 = (height * vs + vmax - 1) // vmax
+        real.append(((ch2 + 7) // 8, (cw + 7) // 8))
+    dc_tabs = [_huff_codes(*(_DC_LUMA if i == 0 else _DC_CHROMA))
+               for i in range(ncomp)]
+    ac_tab = _huff_codes(*_AC_PROG)
+    mcux = planes[0].shape[1] // (8 * comps[0][1])
+    mcuy = planes[0].shape[0] // (8 * comps[0][2])
+
+    def sos(scomp_idx, ss, se, ah, al):
+        body = bytes([len(scomp_idx)])
+        for i in scomp_idx:
+            cid = comps[i][0]
+            body += bytes([cid, (0 if i == 0 else 1) << 4 | 0])
+        body += bytes([ss, se, (ah << 4) | al])
+        out.extend(struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2))
+        out.extend(body)
+
+    # ---- scan 1: interleaved DC first, Al=1 ----
+    sos(list(range(ncomp)), 0, 0, 0, 1)
+    wtr = _JpegBitWriter()
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for i, (cid, hs, vs) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = coeffs[i][my * vs + by][mx * hs + bx][0] >> 1
+                        diff = v - pred[i]
+                        pred[i] = v
+                        size = abs(diff).bit_length()
+                        code, ln = dc_tabs[i][size]
+                        wtr.put(code, ln)
+                        if size:
+                            wtr.put(diff if diff > 0
+                                    else diff + (1 << size) - 1, size)
+    wtr.align()
+    out.extend(wtr.out)
+
+    # ---- AC first scans per component and band, Al=1 ----
+    def ac_first_scan(i, ss, se):
+        sos([i], ss, se, 0, 1)
+        wtr = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                code, ln = ac_tab[rr << 4]
+                wtr.put(code, ln)
+                if rr:
+                    wtr.put(eobrun - (1 << rr), rr)
+                eobrun = 0
+
+        nby, nbx = real[i]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coeffs[i][by][bx]
+                r, last_nz = 0, -1
+                for k in range(ss, se + 1):
+                    if abs(zz[k]) >> 1:
+                        last_nz = k
+                for k in range(ss, se + 1):
+                    ta = abs(zz[k]) >> 1
+                    if ta == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        code, ln = ac_tab[0xF0]
+                        wtr.put(code, ln)
+                        r -= 16
+                    s = ta.bit_length()
+                    code, ln = ac_tab[(r << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(ta if zz[k] > 0
+                            else (~ta) & ((1 << s) - 1), s)
+                    r = 0
+                if last_nz < se:       # trailing zeros end in EOB state
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+        flush_eob()
+        wtr.align()
+        out.extend(wtr.out)
+
+    bands = [(1, 5), (6, 63)]
+    for i in range(ncomp):
+        for ss, se in bands:
+            ac_first_scan(i, ss, se)
+
+    # ---- DC refinement: Ah=1 -> Al=0, interleaved, one raw bit/block --
+    sos(list(range(ncomp)), 0, 0, 1, 0)
+    wtr = _JpegBitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for i, (cid, hs, vs) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        wtr.put(coeffs[i][my * vs + by][mx * hs + bx][0]
+                                & 1, 1)
+    wtr.align()
+    out.extend(wtr.out)
+
+    # ---- AC refinement per component and band: Ah=1 -> Al=0 ----
+    def ac_refine_scan(i, ss, se):
+        sos([i], ss, se, 1, 0)
+        wtr = _JpegBitWriter()
+        eobrun, eob_bits = 0, []
+
+        def flush_eob():
+            nonlocal eobrun, eob_bits
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                code, ln = ac_tab[rr << 4]
+                wtr.put(code, ln)
+                if rr:
+                    wtr.put(eobrun - (1 << rr), rr)
+                for bit in eob_bits:
+                    wtr.put(bit, 1)
+                eobrun, eob_bits = 0, []
+
+        nby, nbx = real[i]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coeffs[i][by][bx]
+                # t: magnitude at target precision; t>=2 -> known from
+                # earlier scans (correction bit), t==1 -> newly
+                # significant here, t==0 -> still zero
+                t = [abs(zz[k]) for k in range(64)]
+                newly = [k for k in range(ss, se + 1) if t[k] == 1]
+                if not newly:
+                    eobrun += 1
+                    eob_bits += [t[k] & 1 for k in range(ss, se + 1)
+                                 if t[k] >= 2]
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                i2 = ss
+                for nxt in newly:
+                    r = sum(1 for k in range(i2, nxt) if t[k] == 0)
+                    while r > 15:
+                        code, ln = ac_tab[0xF0]
+                        wtr.put(code, ln)
+                        cnt = 0
+                        while cnt < 16:
+                            if t[i2] >= 2:
+                                wtr.put(t[i2] & 1, 1)
+                            elif t[i2] == 0:
+                                cnt += 1
+                            i2 += 1
+                        r -= 16
+                    code, ln = ac_tab[(r << 4) | 1]
+                    wtr.put(code, ln)
+                    wtr.put(1 if zz[nxt] > 0 else 0, 1)
+                    while i2 < nxt:
+                        if t[i2] >= 2:
+                            wtr.put(t[i2] & 1, 1)
+                        i2 += 1
+                    i2 = nxt + 1
+                if i2 <= se:           # trailing band joins an EOB run
+                    eobrun += 1
+                    eob_bits += [t[k] & 1 for k in range(i2, se + 1)
+                                 if t[k] >= 2]
+        flush_eob()
+        wtr.align()
+        out.extend(wtr.out)
+
+    for i in range(ncomp):
+        for ss, se in bands:
+            ac_refine_scan(i, ss, se)
+    out.extend(b"\xFF\xD9")
+    return bytes(out)
+
+
 def encode_jpeg_py(width: int, height: int, y, cb=None, cr=None,
                    subsampling: str = "444",
                    quant=(8, 1),
-                   restart_interval: int = 0) -> bytes:
+                   restart_interval: int = 0,
+                   progressive: bool = False) -> bytes:
     """Encode planar 8-bit YCbCr (or greyscale when ``cb``/``cr`` are
     None) as a baseline JPEG with the T.81 Annex K Huffman tables.
 
@@ -1178,6 +1541,25 @@ def encode_jpeg_py(width: int, height: int, y, cb=None, cr=None,
     zz_q = bytes(int(qtab.flat[_ZIGZAG[k]]) for k in range(64))
     seg(0xDB, b"\x00" + zz_q)                  # table 0 for all comps
     ncomp = 1 if gray else 3
+    if progressive:
+        sof = struct.pack(">BHHB", 8, height, width, ncomp)
+        sof += struct.pack(">BBB", 1, (hs << 4) | vs, 0)
+        if not gray:
+            sof += struct.pack(">BBB", 2, 0x11, 0)
+            sof += struct.pack(">BBB", 3, 0x11, 0)
+        seg(0xC2, sof)
+        for cls, tid, tab in ((0, 0, _DC_LUMA), (0, 1, _DC_CHROMA),
+                              (1, 0, _AC_PROG)):
+            if gray and tid == 1:
+                continue
+            tbits, tvals = tab
+            seg(0xC4, bytes([(cls << 4) | tid]) + bytes(tbits)
+                + bytes(tvals))
+        comps_p = [(1, hs, vs)] + ([] if gray else [(2, 1, 1),
+                                                    (3, 1, 1)])
+        planes_p = [yp] + ([] if gray else [cbp, crp])
+        return _encode_jpeg_progressive(width, height, planes_p,
+                                        comps_p, qtab, out, basis)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     sof += struct.pack(">BBB", 1, (hs << 4) | vs, 0)
     if not gray:

@@ -437,11 +437,16 @@ def mm_real_gif_decode(spark, sf_dir):
 # handling, and the exact color convert all ran correctly.
 # ---------------------------------------------------------------------------
 
-#             doc_id width height mode        restart
-_JPEG_SPECS = [(1,   32,   24,   "gray",     0),
-               (2,   32,   24,   "color444", 0),
-               (3,   32,   32,   "color420", 0),
-               (4,   48,   16,   "color420", 2)]   # restart markers
+#             doc_id width height mode        restart  progressive
+_JPEG_SPECS = [(1,   32,   24,   "gray",     0,       False),
+               (2,   32,   24,   "color444", 0,       False),
+               (3,   32,   32,   "color420", 0,       False),
+               (4,   48,   16,   "color420", 2,       False),  # RSTn
+               # SOF2 progressive: spectral selection + successive
+               # approximation across 10 scans, EOB runs, correction
+               # bits — decodes to the same exact pixels
+               (5,   32,   24,   "color444", 0,       True),
+               (6,   32,   32,   "color420", 0,       True)]
 
 
 def _jpeg_planes(w: int, h: int, mode: str):
@@ -462,7 +467,7 @@ def _jpeg_planes(w: int, h: int, mode: str):
 
 def _jpeg_oracle() -> str:
     parts = []
-    for doc_id, w, h, mode, _rst in _JPEG_SPECS:
+    for doc_id, w, h, mode, _rst, _prog in _JPEG_SPECS:
         t = 16 if mode == "color420" else 8
         bx, by = f"((i % {w}) // {t})", f"((i // {w}) // {t})"
         yv = f"((17 * {bx} + 29 * {by}) % 256)"
@@ -503,11 +508,11 @@ def mm_real_jpeg_decode(spark, sf_dir):
     fixed-point color constants alone.  Scale shape: Arrow-batched
     mapInPandas, embarrassingly parallel, no shuffle."""
     rows = []
-    for doc_id, w, h, mode, rst in _JPEG_SPECS:
+    for doc_id, w, h, mode, rst, prog in _JPEG_SPECS:
         y, cb, cr = _jpeg_planes(w, h, mode)
         sub = "420" if mode == "color420" else "444"
         payload = encode_jpeg_py(w, h, y, cb, cr, subsampling=sub,
-                                 restart_interval=rst)
+                                 restart_interval=rst, progressive=prog)
         rows.append((doc_id, bytearray(payload)))
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return decode_image_pixels(d)

@@ -565,3 +565,37 @@ def test_gif_animation_compositing_reference():
     assert (W, H) == (w, h) and len(frames) == len(want)
     for f, (got, exp) in enumerate(zip(frames, want)):
         assert got == exp, f"frame {f} composite mismatch"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=34),
+    h=st.integers(min_value=1, max_value=34),
+    mode=st.sampled_from(["gray", "444", "422", "420"]),
+    data=st.data(),
+)
+def test_jpeg_progressive_equals_baseline_property(w, h, mode, data):
+    """The decisive progressive-JPEG invariant: SOF2 (spectral
+    selection + successive approximation + EOB runs + correction bits,
+    10 scans) carries exactly the same quantized coefficients as SOF0,
+    so decoding must produce BYTE-IDENTICAL pixels for any input —
+    random planes, any size, every subsampling mode.  Two independent
+    entropy pipelines agreeing bit-for-bit on random data is the
+    strongest cross-validation available without libjpeg in the
+    container."""
+    from padawan_spark.functions.multimodal import (decode_jpeg_py,
+                                                    encode_jpeg_py)
+    n = w * h
+    y = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    if mode == "gray":
+        base = decode_jpeg_py(encode_jpeg_py(w, h, y))
+        prog = decode_jpeg_py(encode_jpeg_py(w, h, y, progressive=True))
+    else:
+        cb = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+        cr = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+        base = decode_jpeg_py(encode_jpeg_py(w, h, y, cb, cr,
+                                             subsampling=mode))
+        prog = decode_jpeg_py(encode_jpeg_py(w, h, y, cb, cr,
+                                             subsampling=mode,
+                                             progressive=True))
+    assert base == prog
