@@ -1613,6 +1613,187 @@ def encode_jpeg_py(width: int, height: int, y, cb=None, cr=None,
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# EXIF (APP1/TIFF-IFD) metadata: camera orientation, capture time, and
+# declared pixel dimensions live in a TIFF structure embedded in the
+# JPEG APP1 segment.  Reading it is pure struct-walking — no entropy
+# decode — and is how a real image pipeline normalizes rotation and
+# dedups by capture metadata before ever touching pixels.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {0x0100: "width", 0x0101: "height", 0x0112: "orientation",
+              0x010F: "make", 0x0132: "datetime"}
+_EXIF_SUBIFD = 0x8769
+_EXIF_PIXEL_X, _EXIF_PIXEL_Y = 0xA002, 0xA003
+
+
+def parse_exif_py(b: bytes) -> dict:
+    """Extract EXIF fields from a JPEG's APP1 segment.
+
+    Returns a dict with any of ``width``/``height``/``orientation``
+    (ints), ``make``/``datetime`` (strings) found in IFD0, plus
+    ``pixel_x``/``pixel_y`` from the Exif sub-IFD.  Handles both byte
+    orders (II little-endian, MM big-endian), SHORT/LONG/ASCII value
+    types, and out-of-line ASCII values.  Empty dict when the JPEG
+    carries no APP1/Exif."""
+    import struct
+    if b[:2] != b"\xFF\xD8":
+        return {}
+    pos, app1 = 2, None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            break
+        marker = b[pos + 1]
+        if marker in (0xD8, 0xD9, 0xDA) or 0xD0 <= marker <= 0xD7:
+            break
+        seg_len = struct.unpack_from(">H", b, pos + 2)[0]
+        if marker == 0xE1 and b[pos + 4:pos + 10] == b"Exif\x00\x00":
+            app1 = b[pos + 10:pos + 2 + seg_len]
+            break
+        pos += 2 + seg_len
+    if app1 is None or len(app1) < 8:
+        return {}
+    bo = app1[:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        return {}
+    if struct.unpack_from(e + "H", app1, 2)[0] != 42:
+        return {}
+    out: dict = {}
+
+    def read_value(typ, cnt, off):
+        """IFD entry value: inline when it fits in 4 bytes, else at
+        the recorded offset (TIFF rule)."""
+        size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            return None
+        total = size * cnt
+        src = off if total <= 4 else struct.unpack_from(e + "I", app1,
+                                                        off)[0]
+        if total <= 4:
+            raw = app1[off:off + total]
+        else:
+            raw = app1[src:src + total]
+        if typ == 2:                       # ASCII, NUL-terminated
+            return raw.split(b"\x00")[0].decode("ascii", "replace")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        vals = struct.unpack(e + fmt * cnt, raw)
+        return vals[0] if cnt == 1 else list(vals)
+
+    def walk(ifd_off, tagmap):
+        sub = None
+        if ifd_off + 2 > len(app1):
+            return sub
+        n = struct.unpack_from(e + "H", app1, ifd_off)[0]
+        for i in range(n):
+            ent = ifd_off + 2 + 12 * i
+            if ent + 12 > len(app1):
+                break
+            tag, typ, cnt = struct.unpack_from(e + "HHI", app1, ent)
+            if tag == _EXIF_SUBIFD:
+                sub = struct.unpack_from(e + "I", app1, ent + 8)[0]
+            elif tag in tagmap:
+                v = read_value(typ, cnt, ent + 8)
+                if v is not None:
+                    out[tagmap[tag]] = v
+        return sub
+
+    ifd0 = struct.unpack_from(e + "I", app1, 4)[0]
+    sub = walk(ifd0, _EXIF_TAGS)
+    if sub:
+        walk(sub, {_EXIF_PIXEL_X: "pixel_x", _EXIF_PIXEL_Y: "pixel_y"})
+    return out
+
+
+def encode_exif_app1(width: int, height: int, orientation: int,
+                     make: str, datetime_s: str,
+                     byte_order: str = "II") -> bytes:
+    """Build an ``Exif\\x00\\x00`` APP1 payload (TIFF IFD0 with
+    width/height/orientation/make/datetime + an Exif sub-IFD carrying
+    PixelX/YDimension) in either byte order — the fixture inverse of
+    :func:`parse_exif_py`."""
+    import struct
+    e = "<" if byte_order == "II" else ">"
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = datetime_s.encode("ascii") + b"\x00"
+    if len(make_b) <= 4 or len(dt_b) <= 4:
+        raise ValueError("make/datetime must exceed 4 bytes (this "
+                         "fixture encoder always writes ASCII values "
+                         "out-of-line)")
+    # layout: header(8) IFD0(2 + 6*12 + 4) subIFD(2 + 2*12 + 4) strings
+    ifd0_off = 8
+    n0 = 6
+    sub_off = ifd0_off + 2 + n0 * 12 + 4
+    n1 = 2
+    str_off = sub_off + 2 + n1 * 12 + 4
+    make_off = str_off
+    dt_off = make_off + len(make_b)
+
+    def entry(tag, typ, cnt, val, inline_fmt=None):
+        ent = struct.pack(e + "HHI", tag, typ, cnt)
+        if inline_fmt:                      # value fits inline, pad to 4
+            raw = struct.pack(e + inline_fmt, val)
+            return ent + raw + b"\x00" * (4 - len(raw))
+        return ent + struct.pack(e + "I", val)
+
+    ifd0 = struct.pack(e + "H", n0)
+    ifd0 += entry(0x0100, 3, 1, width, "H")
+    ifd0 += entry(0x0101, 3, 1, height, "H")
+    ifd0 += entry(0x010F, 2, len(make_b), make_off)
+    ifd0 += entry(0x0112, 3, 1, orientation, "H")
+    ifd0 += entry(0x0132, 2, len(dt_b), dt_off)
+    ifd0 += entry(_EXIF_SUBIFD, 4, 1, sub_off)
+    ifd0 += struct.pack(e + "I", 0)         # next IFD: none
+    sub = struct.pack(e + "H", n1)
+    sub += entry(_EXIF_PIXEL_X, 4, 1, width)
+    sub += entry(_EXIF_PIXEL_Y, 4, 1, height)
+    sub += struct.pack(e + "I", 0)
+    tiff = (byte_order.encode("ascii") + struct.pack(e + "H", 42)
+            + struct.pack(e + "I", ifd0_off) + ifd0 + sub
+            + make_b + dt_b)
+    return b"Exif\x00\x00" + tiff
+
+
+def insert_app1(jpeg: bytes, app1_payload: bytes) -> bytes:
+    """Splice an APP1 segment directly after SOI."""
+    import struct
+    if jpeg[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream")
+    return (jpeg[:2]
+            + struct.pack(">BBH", 0xFF, 0xE1, len(app1_payload) + 2)
+            + app1_payload + jpeg[2:])
+
+
+EXIF_SCHEMA = ("doc_id bigint, orientation int, exif_width int, "
+               "exif_height int, make string, taken_at string")
+
+
+def extract_exif(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """EXIF extraction over a JPEG payload column: orientation,
+    declared dimensions, camera make, and capture time from the APP1
+    TIFF IFDs — O(header) per blob, no pixel decode, nulls where a
+    payload carries no EXIF.  Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_exif_py(bytes(b))
+                out.append((i, m.get("orientation"),
+                            m.get("pixel_x", m.get("width")),
+                            m.get("pixel_y", m.get("height")),
+                            m.get("make"), m.get("datetime")))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "orientation", "exif_width", "exif_height",
+                "make", "taken_at"])
+
+    return df.mapInPandas(batches, EXIF_SCHEMA)
+
+
 def sniff_image_header_py(b: bytes):
     """Identify an image payload and read its dimensions from HEADER
     bytes alone — no entropy decode, no pixel materialization.

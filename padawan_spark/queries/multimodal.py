@@ -595,6 +595,70 @@ def mm_gif_frame_sample(spark, sf_dir):
     return sample_gif_frames(d, every_n=2)
 
 
+def _exif_spec(doc: int):
+    """Formula-derived EXIF fields for fixture ``doc`` (None when the
+    doc carries no APP1) — shared by the fixture builder and oracle."""
+    if doc % 4 == 3:
+        return None
+    return {
+        "orientation": 1 + doc % 8,
+        "w": 320 + 16 * doc,
+        "h": 240 + 8 * doc,
+        "make": f"Cam{doc:02d}Maker",
+        "dt": f"2024:0{1 + doc % 9}:{10 + doc % 20:02d} "
+              f"08:{doc % 60:02d}:00",
+    }
+
+
+def _exif_oracle() -> str:
+    rows = []
+    for doc in range(12):
+        s = _exif_spec(doc)
+        if s is None:
+            rows.append(f"({doc}, NULL, NULL, NULL, NULL, NULL)")
+        else:
+            rows.append(
+                f"({doc}, {s['orientation']}, {s['w']}, {s['h']},"
+                f" '{s['make']}', '{s['dt']}')")
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(orientation AS INTEGER) AS orientation,"
+        " CAST(exif_width AS INTEGER) AS exif_width,"
+        " CAST(exif_height AS INTEGER) AS exif_height,"
+        " CAST(make AS VARCHAR) AS make,"
+        " CAST(taken_at AS VARCHAR) AS taken_at"
+        " FROM (VALUES " + ", ".join(rows)
+        + ") t(doc_id, orientation, exif_width, exif_height, make,"
+        " taken_at)")
+
+
+@query("mm_exif_meta", oracle=_exif_oracle())
+def mm_exif_meta(spark, sf_dir):
+    """EXIF metadata extraction from JPEG APP1 segments — orientation
+    normalization and capture-time dedup keys are read from the TIFF
+    IFDs (both II and MM byte orders, IFD0 + Exif sub-IFD, inline and
+    out-of-line ASCII values) with NO pixel decode, so the per-blob
+    cost is O(header) at any corpus size.  A quarter of the fixture
+    docs carry no APP1 and must yield NULLs.  The oracle lists the
+    formula-derived spec values directly — parser and spec agree only
+    if every struct offset walk is correct.  Scale shape: Arrow-batched
+    mapInPandas, embarrassingly parallel, no shuffle."""
+    from ..functions.multimodal import (encode_exif_app1, extract_exif,
+                                        insert_app1)
+    rows = []
+    for doc in range(12):
+        jpg = encode_jpeg_py(8, 8, bytes(64))
+        s = _exif_spec(doc)
+        if s is not None:
+            app1 = encode_exif_app1(s["w"], s["h"], s["orientation"],
+                                    s["make"], s["dt"],
+                                    byte_order="II" if doc % 2 else "MM")
+            jpg = insert_app1(jpg, app1)
+        rows.append((doc, bytearray(jpg)))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return extract_exif(d)
+
+
 @query("mm_header_sniff", oracle="""
 SELECT CAST(i AS BIGINT) AS doc_id,
   CASE i % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
