@@ -15,8 +15,10 @@ the pixel/sample formula:
 
 - image: 24bpp BMP (:func:`decode_bmp_py`, query ``mm_real_decode``);
   PIL takes priority when installed (any format);
-- audio: PCM WAV (:func:`decode_wav_py`, ``mm_real_audio_decode``);
-  soundfile takes priority when installed;
+- audio: PCM WAV (:func:`decode_wav_py`, ``mm_real_audio_decode``)
+  AND compressed FLAC (:func:`decode_flac_py` — rice-coded
+  FIXED/LPC subframes, stereo decorrelation, CRC-verified frames,
+  ``mm_real_flac_decode``); soundfile takes priority when installed;
 - video: YUV4MPEG2 frame sampling (:func:`decode_y4m_py`,
   ``mm_real_video_frames``); PyAV takes priority when installed.
 
@@ -2052,6 +2054,400 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
 
 
 # ---------------------------------------------------------------------------
+# pure-Python FLAC codec subset: the COMPRESSED audio format of real
+# speech corpora (LibriSpeech ships FLAC) decodes for real without
+# soundfile.  Decoder: STREAMINFO, frame headers (UTF-8 frame numbers,
+# all block-size/sample-rate codes), CONSTANT / VERBATIM / FIXED
+# (orders 0-4) / LPC subframes, rice-coded residuals (methods 0/1,
+# partitions, escapes), wasted bits, and left/right/mid-side stereo
+# decorrelation — with CRC-8 (header) and CRC-16 (frame) verified.
+# FLAC is lossless, so fixtures round-trip exactly and oracles are
+# formula-derived.  Encoder: FIXED predictors with per-partition rice
+# parameters — enough to exercise every decode path the fixtures use.
+# ---------------------------------------------------------------------------
+
+
+def _crc8_flac(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000
+                   else crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitReader:
+    def __init__(self, d: bytes, pos: int = 0):
+        self.d, self.bytepos, self.bitpos = d, pos, 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        while n:
+            if self.bytepos >= len(self.d):
+                raise NotImplementedError("FLAC stream truncated")
+            avail = 8 - self.bitpos
+            take = min(n, avail)
+            byte = self.d[self.bytepos]
+            v = (v << take) | ((byte >> (avail - take))
+                              & ((1 << take) - 1))
+            self.bitpos += take
+            if self.bitpos == 8:
+                self.bytepos += 1
+                self.bitpos = 0
+            n -= take
+        return v
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self):
+        if self.bitpos:
+            self.bytepos += 1
+            self.bitpos = 0
+
+
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+               4: [4, -6, 4, -1]}
+
+
+def decode_flac_py(b: bytes):
+    """Decode a FLAC stream (subset — see section comment).
+
+    Returns ``(sample_rate, channels, bits_per_sample, frames)`` with
+    ``frames`` the interleaved integer samples, mirroring
+    :func:`decode_wav_py`."""
+    if b[:4] != b"fLaC":
+        raise NotImplementedError(
+            "not a FLAC payload and soundfile is unavailable")
+    pos = 4
+    rate = nch = bps = total = None
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(b[pos + 1:pos + 4], "big")
+        body = b[pos + 4:pos + 4 + ln]
+        if btype == 0:                      # STREAMINFO
+            rd = _FlacBitReader(body)
+            rd.bits(16)                     # min block size
+            rd.bits(16)                     # max block size
+            rd.bits(24)
+            rd.bits(24)
+            rate = rd.bits(20)
+            nch = rd.bits(3) + 1
+            bps = rd.bits(5) + 1
+            total = rd.bits(36)
+        pos += 4 + ln
+        if last:
+            break
+    if rate is None:
+        raise NotImplementedError("FLAC missing STREAMINFO")
+
+    out = []
+    while pos < len(b) and (total is None or total == 0
+                            or len(out) < total * nch):
+        hdr_start = pos
+        rd = _FlacBitReader(b, pos)
+        sync = rd.bits(14)
+        if sync != 0x3FFE:
+            raise NotImplementedError(
+                f"FLAC frame sync lost at byte {pos}")
+        rd.bits(1)                          # reserved
+        rd.bits(1)                          # blocking strategy
+        bs_code = rd.bits(4)
+        sr_code = rd.bits(4)
+        ch_code = rd.bits(4)
+        ss_code = rd.bits(3)
+        rd.bits(1)                          # reserved
+        first = rd.bits(8)                  # UTF-8 coded number
+        if first >= 0xC0:
+            extra = 1
+            while (first << extra) & 0x80:
+                extra += 1
+            extra -= 1
+            for _ in range(extra):
+                rd.bits(8)
+        if bs_code == 0:
+            raise NotImplementedError("reserved FLAC block size code")
+        elif bs_code == 1:
+            bsize = 192
+        elif bs_code <= 5:
+            bsize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bsize = rd.bits(8) + 1
+        elif bs_code == 7:
+            bsize = rd.bits(16) + 1
+        else:
+            bsize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            rd.bits(8)
+        elif sr_code in (13, 14):
+            rd.bits(16)
+        fbps = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24,
+                7: 32}.get(ss_code)
+        if fbps is None:
+            raise NotImplementedError("reserved FLAC sample size code")
+        crc8 = rd.bits(8)
+        if _crc8_flac(b[hdr_start:rd.bytepos - 1]) != crc8:
+            raise NotImplementedError("FLAC frame header CRC-8 mismatch")
+        if ch_code < 8:
+            fch, mode = ch_code + 1, "indep"
+        elif ch_code == 8:
+            fch, mode = 2, "left"
+        elif ch_code == 9:
+            fch, mode = 2, "right"
+        elif ch_code == 10:
+            fch, mode = 2, "mid"
+        else:
+            raise NotImplementedError("reserved FLAC channel assignment")
+
+        def subframe(ch_bps):
+            if rd.bits(1):
+                raise NotImplementedError("FLAC subframe sync bit set")
+            ty = rd.bits(6)
+            wasted = 0
+            if rd.bits(1):
+                wasted = rd.unary() + 1
+            eff = ch_bps - wasted
+            if ty == 0:                     # CONSTANT
+                s = [rd.sbits(eff)] * bsize
+            elif ty == 1:                   # VERBATIM
+                s = [rd.sbits(eff) for _ in range(bsize)]
+            elif 8 <= ty <= 12 or ty >= 32:
+                if ty >= 32:                # LPC
+                    order = (ty & 31) + 1
+                    s = [rd.sbits(eff) for _ in range(order)]
+                    prec = rd.bits(4) + 1
+                    if prec == 16:
+                        raise NotImplementedError(
+                            "invalid FLAC LPC precision")
+                    shift = rd.sbits(5)
+                    if shift < 0:
+                        raise NotImplementedError(
+                            "negative FLAC LPC shift")
+                    coefs = [rd.sbits(prec) for _ in range(order)]
+                else:                       # FIXED
+                    order = ty - 8
+                    s = [rd.sbits(eff) for _ in range(order)]
+                    coefs, shift = None, 0
+                res = _flac_residual(rd, bsize, order)
+                if coefs is None:
+                    poly = _FLAC_FIXED[order]
+                    for i in range(order, bsize):
+                        p = sum(c * s[i - 1 - j]
+                                for j, c in enumerate(poly))
+                        s.append(res[i - order] + p)
+                else:
+                    for i in range(order, bsize):
+                        p = sum(coefs[j] * s[i - 1 - j]
+                                for j in range(order)) >> shift
+                        s.append(res[i - order] + p)
+            else:
+                raise NotImplementedError(
+                    f"reserved FLAC subframe type {ty}")
+            if wasted:
+                s = [v << wasted for v in s]
+            return s
+
+        chans = []
+        for c in range(fch):
+            extra_bit = (mode == "left" and c == 1) \
+                or (mode == "right" and c == 0) \
+                or (mode == "mid" and c == 1)
+            chans.append(subframe(fbps + (1 if extra_bit else 0)))
+        rd.align()
+        crc16 = rd.bits(16)
+        if _crc16_flac(b[hdr_start:rd.bytepos - 2]) != crc16:
+            raise NotImplementedError("FLAC frame CRC-16 mismatch")
+        pos = rd.bytepos
+        if mode == "left":                  # L, S -> R = L - S
+            chans = [chans[0], [l - s for l, s in zip(*chans)]]
+        elif mode == "right":               # S, R -> L = R + S
+            chans = [[r + s for s, r in zip(*chans)], chans[1]]
+        elif mode == "mid":                 # M, S
+            l_ch, r_ch = [], []
+            for m, s in zip(*chans):
+                m2 = (m << 1) | (s & 1)
+                l_ch.append((m2 + s) >> 1)
+                r_ch.append((m2 - s) >> 1)
+            chans = [l_ch, r_ch]
+        for i in range(bsize):
+            for c in range(len(chans)):
+                out.append(chans[c][i])
+    if total:
+        out = out[:total * nch]
+    return rate, nch, bps, out
+
+
+def _flac_residual(rd, bsize, order):
+    method = rd.bits(2)
+    if method > 1:
+        raise NotImplementedError("reserved FLAC residual method")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    po = rd.bits(4)
+    res = []
+    nparts = 1 << po
+    for p in range(nparts):
+        n = (bsize >> po) - (order if p == 0 else 0)
+        param = rd.bits(pbits)
+        if param == esc:                    # escaped: raw fixed-width
+            sz = rd.bits(5)
+            res.extend(rd.sbits(sz) if sz else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = rd.unary()
+                v = (q << param) | rd.bits(param)
+                res.append((v >> 1) ^ -(v & 1))
+    return res
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def put(self, v: int, n: int):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def unary(self, q: int):
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)
+
+    def align(self):
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+
+def encode_flac_py(samples, sample_rate: int, channels: int = 1,
+                   bps: int = 16, block_size: int = 1024,
+                   fixed_order: int = 2,
+                   stereo_mode: str = "indep") -> bytes:
+    """Encode interleaved integer ``samples`` as a FLAC stream using
+    FIXED predictors of ``fixed_order`` with single-partition rice
+    residuals — the fixture inverse of :func:`decode_flac_py`; FLAC is
+    lossless so the round trip is exact for any input.  For 2-channel
+    input ``stereo_mode`` selects the decorrelation: ``indep``,
+    ``left`` (left/side), ``right`` (side/right) or ``mid``
+    (mid/side) — the side channel carries one extra bit, per spec."""
+    import struct
+    if stereo_mode != "indep" and channels != 2:
+        raise ValueError("stereo_mode requires channels=2")
+    nframes = len(samples) // channels
+    chans = [[samples[i * channels + c] for i in range(nframes)]
+             for c in range(channels)]
+    ch_code, ch_bits = channels - 1, [bps] * channels
+    if stereo_mode != "indep":
+        l_ch, r_ch = chans
+        side = [l - r for l, r in zip(l_ch, r_ch)]
+        if stereo_mode == "left":
+            chans, ch_code, ch_bits = [l_ch, side], 8, [bps, bps + 1]
+        elif stereo_mode == "right":
+            chans, ch_code, ch_bits = [side, r_ch], 9, [bps + 1, bps]
+        else:
+            mid = [(l + r) >> 1 for l, r in zip(l_ch, r_ch)]
+            chans, ch_code, ch_bits = [mid, side], 10, [bps, bps + 1]
+    out = bytearray(b"fLaC")
+    info = _FlacBitWriter()
+    info.put(block_size, 16)
+    info.put(block_size, 16)
+    info.put(0, 24)
+    info.put(0, 24)
+    info.put(sample_rate, 20)
+    info.put(channels - 1, 3)
+    info.put(bps - 1, 5)
+    info.put(nframes, 36)
+    info.align()
+    body = bytes(info.out) + b"\x00" * 16       # md5: unset (all zero)
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    def utf8_num(w, v):
+        if v < 0x80:
+            w.put(v, 8)
+            return
+        nbytes = 2
+        while v >= (1 << (5 * nbytes + 1)):
+            nbytes += 1
+        w.put((0xFF << (8 - nbytes)) & 0xFF | (v >> (6 * (nbytes - 1))),
+              8)
+        for i in range(nbytes - 2, -1, -1):
+            w.put(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+    for fno in range(0, nframes, block_size):
+        fidx = fno // block_size
+        bsize = min(block_size, nframes - fno)
+        w = _FlacBitWriter()
+        w.put(0x3FFE, 14)
+        w.put(0, 1)
+        w.put(0, 1)                             # fixed blocking
+        w.put(7, 4)                             # block size: 16-bit - 1
+        w.put(0, 4)                             # rate from STREAMINFO
+        w.put(ch_code, 4)                       # channel assignment
+        w.put({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+        w.put(0, 1)
+        utf8_num(w, fidx)
+        w.put(bsize - 1, 16)
+        hdr = bytes(w.out)
+        if w.nbits:
+            raise AssertionError("frame header must be byte-aligned")
+        w.put(_crc8_flac(hdr), 8)
+        for c in range(channels):
+            cbits = ch_bits[c]
+            s = chans[c][fno:fno + bsize]
+            order = min(fixed_order, len(s) - 1, 4)
+            if order < 0:
+                order = 0
+            w.put(0, 1)
+            w.put(8 + order, 6)                 # FIXED subframe
+            w.put(0, 1)                         # no wasted bits
+            for i in range(order):
+                w.put(s[i] & ((1 << cbits) - 1), cbits)
+            poly = _FLAC_FIXED[order]
+            res = [s[i] - sum(c2 * s[i - 1 - j]
+                              for j, c2 in enumerate(poly))
+                   for i in range(order, len(s))]
+            w.put(0, 2)                         # rice method 0
+            w.put(0, 4)                         # partition order 0
+            if res:
+                mean = sum(abs(r) for r in res) // len(res)
+                param = min(14, max(0, mean.bit_length()))
+            else:
+                param = 0
+            w.put(param, 4)
+            for r in res:
+                z = (abs(r) << 1) - (1 if r < 0 else 0)
+                w.unary(z >> param)
+                w.put(z & ((1 << param) - 1), param)
+        w.align()
+        frame = bytes(w.out)
+        w.put(_crc16_flac(frame), 16)
+        out += bytes(w.out)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # pure-Python WAV (RIFF/PCM) codec: same policy as BMP — the standard
 # uncompressed container decodes with plain struct unpacking, so the
 # audio pipeline executes (and is oracle-checkable) without soundfile/
@@ -2111,8 +2507,8 @@ AUDIO_STATS_SCHEMA = ("doc_id bigint, sample_rate int, channels int, "
 
 def decode_audio(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id") -> DataFrame:
-    """Real audio decode: soundfile when present (any format), else the
-    pure-Python PCM-WAV parser — emits header facts plus a
+    """Real audio decode: soundfile when present (any format), else
+    the pure-Python FLAC or PCM-WAV parsers — emits header facts plus a
     position-weighted sample checksum ``sum((i + 1) * s_i)`` so a
     decoder that drops, reorders, or sign-flips samples is caught by
     the oracle.
@@ -2144,6 +2540,9 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
                                           always_2d=True)
                     ch = data.shape[1]
                     flat = data.reshape(-1).astype(np.int64)
+                elif b[:4] == b"fLaC":
+                    rate, ch, bits, samples = decode_flac_py(b)
+                    flat = np.asarray(samples, dtype=np.int64)
                 else:
                     rate, ch, bits, samples = decode_wav_py(b)
                     flat = np.asarray(samples, dtype=np.int64)

@@ -767,6 +767,64 @@ def mm_real_audio_decode(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# REAL decode of a COMPRESSED audio format: FLAC (what LibriSpeech-
+# style speech corpora actually ship).  FLAC is lossless, so the same
+# sample formulas as the WAV fixtures hold exactly after rice-coded
+# FIXED-predictor compression — a correct checksum proves the bit
+# reader, rice decode, predictor reconstruction, interleaving, and
+# CRC-verified framing all ran correctly.
+# ---------------------------------------------------------------------------
+
+#              doc_id rate   channels n_frames fixed-order stereo
+_FLAC_SPECS = [(1,    16000, 1,       2000,    2,          "indep"),
+               (2,    8000,  1,       900,     0,          "indep"),
+               (3,    44100, 2,       700,     3,          "indep"),
+               # mid/side decorrelation: the side channel carries an
+               # extra bit and reconstruction is (m<<1|s&1 +/- s)>>1
+               (4,    24000, 2,       600,     2,          "mid")]
+
+
+def _flac_oracle() -> str:
+    parts = []
+    for doc_id, rate, ch, n_frames, _o, _m in _FLAC_SPECS:
+        total = n_frames * ch
+        duck = _WAV_DUCK.get(doc_id, _WAV_DUCK[3])
+        chk = (f"(SELECT CAST(SUM((i + 1) * ({duck}))"
+               f" AS BIGINT) FROM range(0, {total}) t(i))")
+        parts.append(
+            f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+            f" {rate} AS sample_rate, {ch} AS channels, 16 AS bit_depth,"
+            f" CAST({n_frames} AS BIGINT) AS n_samples,"
+            f" {chk} AS sample_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_flac_decode", oracle=_flac_oracle())
+def mm_real_flac_decode(spark, sf_dir):
+    """REAL decoding of a COMPRESSED audio format in this container:
+    three FLAC streams (rice-coded FIXED predictors of orders 0/2/3,
+    mono and interleaved stereo, multiple frames per stream with
+    CRC-8/CRC-16 verification) flow through
+    :func:`padawan_spark.functions.multimodal.decode_audio` —
+    soundfile when installed, else the dependency-free FLAC parser
+    (:func:`decode_flac_py`).  The sample formulas are the SAME as the
+    WAV fixtures, so the oracle recomputes the position-weighted
+    checksum from the formula alone — FLAC's losslessness makes the
+    compressed path exactly as checkable as the PCM one.  Scale shape:
+    Arrow-batched mapInPandas, embarrassingly parallel, no shuffle."""
+    from ..functions.multimodal import decode_audio, encode_flac_py
+    rows = []
+    for doc_id, rate, ch, n, order, mode in _FLAC_SPECS:
+        flat = [_wav_sample(doc_id, i) for i in range(n * ch)]
+        payload = encode_flac_py(flat, rate, channels=ch,
+                                 block_size=512, fixed_order=order,
+                                 stereo_mode=mode)
+        rows.append((doc_id, bytearray(payload)))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_audio(d)
+
+
+# ---------------------------------------------------------------------------
 # REAL video frame sampling: fixtures are uncompressed YUV4MPEG2
 # streams from a per-frame luma formula; the engine samples every 3rd
 # frame (PyAV when present, else the pure-Python Y4M parser) and emits

@@ -599,3 +599,32 @@ def test_jpeg_progressive_equals_baseline_property(w, h, mode, data):
                                              subsampling=mode,
                                              progressive=True))
     assert base == prog
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=900),
+    ch=st.sampled_from([1, 2]),
+    order=st.integers(min_value=0, max_value=4),
+    block=st.sampled_from([64, 192, 256, 577]),
+    mode=st.sampled_from(["indep", "left", "right", "mid"]),
+    data=st.data(),
+)
+def test_flac_roundtrip_property(n, ch, order, block, mode, data):
+    """FLAC is lossless: random int16 streams — any length, mono or
+    stereo under every decorrelation mode (independent, left/side,
+    side/right, mid/side), every FIXED order, odd block sizes — must
+    round-trip exactly, through CRC-8/CRC-16-verified frames and
+    rice-coded residuals."""
+    from padawan_spark.functions.multimodal import (decode_flac_py,
+                                                    encode_flac_py)
+    if ch == 1:
+        mode = "indep"
+    s = data.draw(st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=n * ch, max_size=n * ch))
+    f = encode_flac_py(s, 16000, channels=ch, block_size=block,
+                       fixed_order=order, stereo_mode=mode)
+    rate, c2, bits, out = decode_flac_py(f)
+    assert (rate, c2, bits) == (16000, ch, 16)
+    assert out == s
