@@ -21,6 +21,7 @@ from .dataset import (  # noqa: F401
     StatsUnknownError,
     compact_parquet,
     delete_rows,
+    merge_rows,
     concat,
     from_pandas,
     scan_parquet,
@@ -36,6 +37,7 @@ __all__ = [
     "StatsUnknownError",
     "compact_parquet",
     "delete_rows",
+    "merge_rows",
     "concat",
     "from_pandas",
     "get_spark",

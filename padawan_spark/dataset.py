@@ -1353,3 +1353,102 @@ def delete_rows(spark: SparkSession, path: str, lb=None, ub=None,
         if os.path.isdir(_meta.manifest_table_path(path)):
             _meta.write_manifest_table(spark, path, man)
     return scan_parquet(spark, path)
+
+
+def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
+    """In-place MERGE (upsert by index key) — the lakehouse
+    DELETE+INSERT in one commit: every ``batch`` row replaces the
+    table row with the same index key (if any); the rest insert.
+
+    Copy-on-write like :func:`delete_rows`: the rewrite set is the
+    files whose manifest bounds overlap the batch's key range
+    (file-count work on the manifest, no table scan); their surviving
+    rows — a left-anti join against the batch's keys over ONLY those
+    files — union with the batch and re-collate into fresh
+    range-disjoint files.  Untouched files stay byte-identical, and
+    older pins (``scan_parquet(version=k)``) keep reading their exact
+    snapshot until :func:`padawan_spark.metadata.vacuum`.
+
+    Scale shape: cost is O(files touched + batch), never O(table); a
+    daily upsert against a date-collated 100 TB corpus rewrites one
+    day of files.  The whole read-manifest → rewrite → publish
+    sequence holds the commit lock, same as append/compact/delete."""
+    _require(_meta.has_manifest(path), ValueError,
+             f"merge_rows requires a manifest at {path}")
+    with _meta.commit_lock(path, "merge"):
+        old = _meta.load_manifest(path)
+        ix = old.index_columns
+        _require(ix != (), ValueError, "merge_rows requires index columns")
+        _require(tuple(batch.index_columns) == tuple(ix), ValueError,
+                 f"batch index {batch.index_columns} != table index {ix}")
+        _require(old.known_bounds, ValueError,
+                 "merge_rows requires manifest bounds")
+        table_cols = [f["name"] for f in
+                      __import__("json").loads(old.schema_json)["fields"]] \
+            if old.schema_json else batch.df.columns
+        _require(set(batch.df.columns) == set(table_cols), ValueError,
+                 f"batch columns {sorted(batch.df.columns)} != table "
+                 f"columns {sorted(table_cols)}")
+        # one job: batch key range + uniqueness check
+        key = F.struct(*_ord.sort_key_cols(ix))
+        val = F.struct(*[F.col(c) for c in ix])
+        agg = batch.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*[F.col(c) for c in ix]).alias("nd"),
+            F.min_by(val, key).alias("lb"),
+            F.max_by(val, key).alias("ub")).collect()[0]
+        if agg["n"] == 0:                    # empty batch: no-op
+            return scan_parquet(spark, path)
+        _require(agg["n"] == agg["nd"], ValueError,
+                 f"batch has duplicate index keys "
+                 f"({agg['n']} rows, {agg['nd']} distinct)")
+        blb = tuple(agg["lb"][c] for c in ix)
+        bub = tuple(agg["ub"][c] for c in ix)
+        untouched, affected = [], []
+        for i, f in enumerate(old.files):
+            if _overlaps(old.lower_bounds[i], old.upper_bounds[i],
+                         blb, bub, True, True):
+                affected.append(f)
+            else:
+                untouched.append(i)
+        merged = batch.df.select(*table_cols)
+        if affected:
+            survivors = (spark.read.parquet(
+                *[os.path.join(path, f) for f in affected])
+                .join(batch.df.select(*[F.col(c) for c in ix]).distinct(),
+                      on=list(ix), how="left_anti"))
+            merged = survivors.select(*table_cols).unionByName(merged)
+        # re-collate the merged region to the table's prevailing file
+        # size so merge does not degrade layout over time
+        if old.known_sizes and old.sizes:
+            rpp = max(1, sum(old.sizes) // max(1, len(old.sizes)))
+        else:
+            rpp = 1 << 20
+        merged_ds = Dataset(spark, merged, index_columns=ix
+                            ).reindex(ix).repartition(rpp)
+        before = set(_list_parquet(path))
+        merged_ds.df.write.mode("append").parquet(path)
+        new_files = sorted(set(_list_parquet(path)) - before)
+        stats = _file_stats(spark,
+                            [os.path.join(path, f) for f in new_files], ix)
+
+        def _k(f):
+            return os.path.abspath(os.path.join(path, f))
+        kept_new = [f for f in new_files if _k(f) in stats]
+        man = _meta.Manifest(
+            index_columns=ix,
+            files=[old.files[i] for i in untouched] + kept_new,
+            sizes=([old.sizes[i] for i in untouched]
+                   + [stats[_k(f)][0] for f in kept_new])
+            if old.known_sizes else None,
+            lower_bounds=([old.lower_bounds[i] for i in untouched]
+                          + [stats[_k(f)][1] for f in kept_new]),
+            upper_bounds=([old.upper_bounds[i] for i in untouched]
+                          + [stats[_k(f)][2] for f in kept_new]),
+            max_partition_index=old.max_partition_index + len(kept_new),
+            schema_json=old.schema_json,
+        )
+        _meta.write_manifest(path, man)
+        if os.path.isdir(_meta.manifest_table_path(path)):
+            _meta.write_manifest_table(spark, path, man)
+    return scan_parquet(spark, path)

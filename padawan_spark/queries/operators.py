@@ -574,3 +574,48 @@ def op_delete_rows(spark, sf_dir):
     return (out.df.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("o_custkey").cast("bigint").alias("ck")))
+
+
+@query("op_merge_upsert", oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+FROM nation WHERE n_nationkey NOT BETWEEN 5 AND 14
+UNION ALL
+SELECT CAST(i AS BIGINT) AS k, 'UPDATED_' || CAST(i AS VARCHAR) AS name
+FROM range(5, 15) t(i)
+UNION ALL
+SELECT CAST(i AS BIGINT) AS k, 'NEW_' || CAST(i AS VARCHAR) AS name
+FROM range(100, 105) t(i)
+""")
+def op_merge_upsert(spark, sf_dir):
+    """merge_rows: copy-on-write MERGE (upsert by index key) — the
+    lakehouse DELETE+INSERT in one commit, composing the manifest
+    machinery the same way delete_rows does.  A batch UPDATEs nation
+    keys 5-14 and INSERTs keys 100-104; the rewrite set comes from
+    manifest bound overlap (file-count work, no table scan), surviving
+    rows anti-join the batch keys over ONLY the affected files, and
+    the merged region re-collates into range-disjoint files while
+    untouched files stay byte-identical (asserted).  The oracle states
+    MERGE semantics directly: base rows outside the updated keys,
+    union the batch.  Scale shape: O(files touched + batch) — a daily
+    upsert on a date-collated corpus rewrites one day of files."""
+    from ..dataset import merge_rows
+    src = (load(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").cast("bigint").alias("k"),
+                   F.col("n_name").alias("name")))
+    ds = Dataset(spark, src, index_columns=("k",))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_mrg_"),
+                          "nation_m")
+    ds.repartition(5).write_parquet(target)
+    n_before = len(scan_parquet(spark, target)._files)
+    batch_rows = ([(k, f"UPDATED_{k}") for k in range(5, 15)]
+                  + [(k, f"NEW_{k}") for k in range(100, 105)])
+    batch = Dataset(spark,
+                    spark.createDataFrame(batch_rows, "k bigint, name string"),
+                    index_columns=("k",))
+    out = merge_rows(spark, target, batch)
+    # surgical guarantee: files below the batch's key range survive
+    untouched = len(set(out._files)
+                    & set(scan_parquet(spark, target, version=1)._files))
+    assert 0 < untouched < n_before, (untouched, n_before)
+    out.assert_disjoint()
+    return out.df.select("k", "name")

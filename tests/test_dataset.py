@@ -1193,3 +1193,69 @@ def test_delete_rows_surgical_rewrite(spark, sf_dir, tmp_path):
     with pytest.raises(CommitConflictError, match="concurrent delete"):
         delete_rows(spark, p, (0,), (1,), inclusive="both")
     os.unlink(lock)
+
+
+def test_merge_rows_upsert_semantics(spark, tmp_path):
+    """merge_rows (copy-on-write MERGE): updates replace rows by index
+    key, inserts land, untouched files stay byte-identical, the
+    pre-merge pin still reads the old table, the result manifest stays
+    bound-disjoint — and duplicate batch keys / mismatched columns
+    fail loudly before any write."""
+    import pandas as pd
+
+    from padawan_spark import (from_pandas, list_versions, merge_rows,
+                               scan_parquet)
+
+    p = str(tmp_path / "mrg")
+    pdf = pd.DataFrame({"k": range(40), "v": [i * 10 for i in range(40)]})
+    from_pandas(spark, pdf, index_columns=("k",)).repartition(10
+                                                              ).write_parquet(p)
+    pre = scan_parquet(spark, p)
+    pre_files = {f: (os.path.getmtime(f), os.path.getsize(f))
+                 for f in pre._files}
+    v0 = list_versions(p)[-1]
+
+    bpdf = pd.DataFrame({"k": list(range(12, 18)) + list(range(100, 105)),
+                         "v": [999] * 11})
+    out = merge_rows(spark, p, from_pandas(spark, bpdf,
+                                           index_columns=("k",)))
+    got = {r.k: r.v for r in out.df.collect()}
+    want = {i: i * 10 for i in range(40)}
+    want.update({k: 999 for k in list(range(12, 18))
+                 + list(range(100, 105))})
+    assert got == want
+    assert list_versions(p)[-1] == v0 + 1
+    untouched = [f for f in out._files if f in pre_files]
+    assert untouched, "some files must survive the merge"
+    for f in untouched:
+        assert (os.path.getmtime(f), os.path.getsize(f)) == pre_files[f]
+    assert any(f not in pre_files for f in out._files)
+    # pre-merge pin replays exactly
+    assert {r.k: r.v
+            for r in scan_parquet(spark, p, version=v0).df.collect()} \
+        == {i: i * 10 for i in range(40)}
+    out.assert_disjoint()
+    assert out.known_bounds and out.known_sizes
+    assert sum(out.sizes) == len(want)
+    # a second merge composes (k=100 updated again)
+    out2 = merge_rows(spark, p, from_pandas(
+        spark, pd.DataFrame({"k": [100], "v": [1]}),
+        index_columns=("k",)))
+    assert {r.v for r in out2.df.where("k = 100").collect()} == {1}
+    # duplicate batch keys rejected before any write
+    v_now = list_versions(p)[-1]
+    with pytest.raises(ValueError, match="duplicate index keys"):
+        merge_rows(spark, p, from_pandas(
+            spark, pd.DataFrame({"k": [1, 1], "v": [2, 3]}),
+            index_columns=("k",)))
+    # mismatched columns rejected
+    with pytest.raises(ValueError, match="columns"):
+        merge_rows(spark, p, from_pandas(
+            spark, pd.DataFrame({"k": [1], "other": [2]}),
+            index_columns=("k",)))
+    assert list_versions(p)[-1] == v_now       # no version from failures
+    # empty batch: no-op, no version
+    merge_rows(spark, p, Dataset(
+        spark, spark.createDataFrame([], "k bigint, v bigint"),
+        index_columns=("k",)))
+    assert list_versions(p)[-1] == v_now
