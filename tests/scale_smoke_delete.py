@@ -79,6 +79,57 @@ def main() -> None:
         (dt.datetime(1997, 6, 30),), inclusive="both").df.count()
     pruned_read_s = round(time.perf_counter() - t0, 3)
 
+    # copy-on-write MERGE at the same scale: re-insert the deleted day
+    # (every key lands in the gap, plus boundary-file updates) and
+    # assert the rewrite stays file-surgical
+    from padawan_spark import merge_rows
+    from padawan_spark.dataset import Dataset
+    from pyspark.sql import functions as SF
+    n_ins = rows_before - rows_after
+    day_rows = (spark.range(n_ins)
+                .select((SF.col("id") + 900_000_000).alias("o_orderkey"),
+                        (SF.col("id") % 1000).alias("o_custkey"),
+                        SF.lit("X").alias("o_orderstatus"),
+                        (SF.lit(DAY)
+                         + SF.make_dt_interval(secs=SF.col("id")))
+                        .alias("o_orderdate")))
+    batch = Dataset(spark, day_rows, index_columns=("o_orderdate",))
+    man2 = meta.load_manifest(target)
+    files_pre_merge = set(man2.files)
+    t0 = time.perf_counter()
+    merged = merge_rows(spark, target, batch)
+    merge_s = round(time.perf_counter() - t0, 3)
+    man3 = meta.load_manifest(target)
+    merge_untouched = len(files_pre_merge & set(man3.files))
+    rows_final = merged.df.count()
+    assert rows_final == rows_before, (rows_final, rows_before)
+    merged.assert_disjoint()
+
+    # second merge: a key COLLISION — one batch row at an existing
+    # index key replaces every row sharing it, forcing the rewrite
+    # path; the rewrite set must be exactly the bound-overlapping files
+    day2 = dt.datetime(1997, 5, 1)
+    n_key = merged.df.where(SF.col("o_orderdate") == SF.lit(day2)).count()
+    man_pre2 = meta.load_manifest(target)
+    expect2 = {
+        f for f, lb, ub in zip(man_pre2.files, man_pre2.lower_bounds,
+                               man_pre2.upper_bounds)
+        if _overlaps(lb, ub, (day2,), (day2,), True, True)}
+    upd = spark.createDataFrame(
+        [(999_999_999, 7, "U", day2)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_orderdate timestamp")
+    t0 = time.perf_counter()
+    merged2 = merge_rows(spark, target,
+                         Dataset(spark, upd,
+                                 index_columns=("o_orderdate",)))
+    merge2_s = round(time.perf_counter() - t0, 3)
+    man4 = meta.load_manifest(target)
+    removed2 = set(man_pre2.files) - set(man4.files)
+    assert removed2 == expect2, (len(removed2), len(expect2))
+    assert merged2.df.count() == rows_final - n_key + 1
+    merged2.assert_disjoint()
+
     print(json.dumps({
         "smoke": "delete_one_day_window",
         "sf_dir": SMOKE_DIR,
@@ -93,6 +144,13 @@ def main() -> None:
         "delete_s": delete_s,
         "pruned_read_after_delete_s": pruned_read_s,
         "pruned_read_rows": probe,
+        "merge_rows_inserted": n_ins,
+        "merge_files_untouched": merge_untouched,
+        "merge_files_total_before": len(files_pre_merge),
+        "merge_s": merge_s,
+        "merge2_keys_replaced": n_key,
+        "merge2_files_rewritten": len(expect2),
+        "merge2_s": merge2_s,
     }))
 
 
