@@ -130,10 +130,10 @@ def encode_bmp_py(width: int, height: int, pixels: bytes,
 # pure-Python PNG codec: the first COMPRESSED format that decodes for
 # real without a media library — stdlib ``zlib`` inflates the IDAT
 # stream and the per-row scanline filters (None/Sub/Up/Average/Paeth)
-# are undone byte-wise per the PNG spec.  8-bit greyscale / RGB / RGBA
-# plus palette (color type 3) at 1/2/4/8-bit depth with PLTE lookup,
-# non-interlaced.  PIL, when present, takes priority for every other
-# form (16-bit, interlaced).
+# are undone byte-wise per the PNG spec.  Every color type: greyscale,
+# grey+alpha, RGB, RGBA at 8/16-bit (16-bit reduces to the high byte)
+# and palette (color type 3) at 1/2/4/8-bit with PLTE lookup —
+# sequential or Adam7 interlaced.  PIL, when present, takes priority.
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
