@@ -55,13 +55,14 @@ _DEFER_NEXT_ROUND: set = set()
 _WINDOW = 50
 
 
-def _build_head() -> list[str]:
+def _build_head(root: str | None = None) -> list[str]:
     import glob as _glob
     import json as _json
     import os as _os
     import re as _re
-    root = _os.path.dirname(_os.path.dirname(
-        _os.path.dirname(_os.path.abspath(__file__))))
+    if root is None:
+        root = _os.path.dirname(_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))))
     # Per-query verdict comes from the MOST RECENT round that checked it
     # (rounds iterated newest-first; first verdict wins), so a query that
     # regresses after an early green is classified as a retest rather than

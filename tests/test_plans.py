@@ -699,3 +699,34 @@ def test_pruned_scan_read_prunes_before_scan(spark):
     a = plan_of(spark, "op_pruned_scan_read")
     assert a.pushed("o_orderdate")
     assert not a.has_cartesian
+
+
+def test_build_head_latest_round_wins(tmp_path):
+    """ADVICE r5 (medium): a query green in an EARLY round but red in
+    the LATEST round that checked it must be classified as a retest and
+    lead the driver window — per-query status is the most recent
+    round's verdict, never a green-union across rounds."""
+    import json
+
+    from padawan_spark.queries import _SENTINELS, _build_head
+
+    def write(n, results):
+        (tmp_path / f"CORRECTNESS_r{n:02d}.json").write_text(json.dumps({
+            q: {"rows_match": ok, "schema_match": ok, "hash_match": ok,
+                "spark_rows": 1, "oracle_rows": 1, "err": None}
+            for q, ok in results.items()}))
+
+    # r1: q1 green; r2: q1 RED again plus q6 green
+    write(1, {"q1_pricing_summary": True, "q6_forecast_revenue": True})
+    write(2, {"q1_pricing_summary": False})
+    head = _build_head(root=str(tmp_path))
+    # the regressed query is a retest and precedes every sentinel
+    assert head[0] == "q1_pricing_summary"
+    assert head.index("q1_pricing_summary") \
+        < min(head.index(s) for s in _SENTINELS if s in head)
+    # the still-green query is NOT re-prioritized into the retest slot
+    assert "q6_forecast_revenue" not in head[:1 + len(_SENTINELS)]
+    # inverse order: red early, green later -> not a retest
+    write(3, {"q1_pricing_summary": True})
+    head2 = _build_head(root=str(tmp_path))
+    assert head2[0] != "q1_pricing_summary"
