@@ -1801,11 +1801,26 @@ def sniff_image_header_py(b: bytes):
     bytes alone — no entropy decode, no pixel materialization.
 
     Returns ``(format, width, height)`` with format in
-    ``png/gif/jpeg/bmp/unknown`` (width/height -1 for unknown).  This
-    is the realistic FIRST pass over a crawled image corpus at scale:
+    ``png/gif/jpeg/bmp/unknown`` (width/height -1 when unreadable).
+    TOTAL by construction: corrupt or truncated blobs degrade to
+    ``(magic-identified format, -1, -1)`` or ``unknown`` instead of
+    raising — a crawled corpus always contains garbage, and the
+    first-pass profiler must classify it, not die on it.  This is the
+    realistic FIRST pass over a crawled image corpus at scale:
     O(header) work per blob lets a 100 TB table be profiled for
     format/size distribution at scan speed, with full decoding
     deferred to the (much smaller) slice that survives filtering."""
+    try:
+        return _sniff_image_header(b)
+    except Exception:
+        for magic, name in ((_PNG_MAGIC, "png"), (b"GIF8", "gif"),
+                            (b"\xFF\xD8", "jpeg"), (b"BM", "bmp")):
+            if b[:len(magic)] == magic:
+                return name, -1, -1
+        return "unknown", -1, -1
+
+
+def _sniff_image_header(b: bytes):
     import struct
     if b[:8] == _PNG_MAGIC and len(b) >= 24:
         w, h = struct.unpack_from(">II", b, 16)   # IHDR is always first

@@ -156,6 +156,67 @@ def adv_orc_roundtrip(spark, sf_dir):
                  dsum(F.col("o_totalprice"), "total")))
 
 
+@query("adv_jsonl_gz_roundtrip", oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders WHERE o_orderdate >= TIMESTAMP '2000-06-01'
+GROUP BY o_orderstatus
+""")
+def adv_jsonl_gz_roundtrip(spark, sf_dir):
+    """Gzip-compressed JSONL shards — the format raw web-corpus drops
+    overwhelmingly arrive in (`*.jsonl.gz`): write orders as gzipped
+    JSON lines, read them back with an explicit schema, aggregate.
+    Scale shape: gzip is NOT splittable, so ingest parallelism is one
+    task per shard file — which is why corpus distributors shard to
+    many moderate files; Spark decompresses transparently on read and
+    the very first downstream shuffle restores full parallelism.
+    Values surviving the compress/serialize cycle exactly is the
+    property under test; the oracle runs on the original table."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_jgz_"), "orders")
+    (o.repartition(8).write.mode("overwrite")
+     .option("compression", "gzip").json(target))
+    import glob as _glob
+    assert _glob.glob(os.path.join(target, "*.json.gz")), \
+        "expected gzipped shards on disk"
+    back = spark.read.schema(_ORDERS_SCHEMA).json(target)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("o_totalprice"), "total")))
+
+
+@query("adv_zstd_parquet_roundtrip", oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders WHERE o_orderdate >= TIMESTAMP '2000-06-01'
+GROUP BY o_orderpriority
+""")
+def adv_zstd_parquet_roundtrip(spark, sf_dir):
+    """Zstd-compressed parquet — the modern lake default codec (better
+    ratio than snappy at comparable decode speed): write, read back,
+    aggregate.  Unlike the gzip-JSONL path, zstd parquet stays fully
+    splittable (the row group, not the compression stream, is the
+    split unit — codec applies per column chunk), so scan parallelism
+    is unchanged; this pairing is exactly why columnar+zstd replaces
+    jsonl.gz once data enters the lake.  Values must survive exactly;
+    the oracle runs on the original table."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_zst_"), "orders")
+    (o.write.mode("overwrite")
+     .option("compression", "zstd").parquet(target))
+    import pyarrow.parquet as _pq
+    import glob as _glob
+    sample = _glob.glob(os.path.join(target, "*.parquet"))[0]
+    codecs = {_pq.ParquetFile(sample).metadata.row_group(0)
+              .column(c).compression
+              for c in range(_pq.ParquetFile(sample).metadata.num_columns)}
+    assert codecs == {"ZSTD"}, f"expected ZSTD column chunks: {codecs}"
+    back = spark.read.parquet(target)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("o_totalprice"), "total")))
+
+
 @query("adv_merge_upsert", oracle="""
 WITH delta AS (
   SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,

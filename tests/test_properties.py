@@ -628,3 +628,31 @@ def test_flac_roundtrip_property(n, ch, order, block, mode, data):
     rate, c2, bits, out = decode_flac_py(f)
     assert (rate, c2, bits) == (16000, ch, 16)
     assert out == s
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_sniff_image_header_is_total(data):
+    """The header sniffer must be TOTAL: any byte string — valid
+    payloads, truncated prefixes of them, or pure garbage — yields a
+    (format, width, height) triple and never raises.  A 100 TB crawled
+    corpus always contains corrupt blobs; the first-pass profiler
+    classifies them instead of dying."""
+    from padawan_spark.functions.multimodal import (encode_gif_py,
+                                                    encode_jpeg_py,
+                                                    encode_png_py,
+                                                    sniff_image_header_py)
+    kind = data.draw(st.sampled_from(["png", "jpeg", "gif", "garbage"]))
+    if kind == "png":
+        payload = encode_png_py(9, 7, bytes(9 * 7 * 3), channels=3)
+    elif kind == "jpeg":
+        payload = encode_jpeg_py(16, 8, bytes(128))
+    elif kind == "gif":
+        payload = encode_gif_py(6, 5, bytes(30), bytes(6))
+    else:
+        payload = bytes(data.draw(st.binary(max_size=80)))
+    cut = data.draw(st.integers(min_value=0, max_value=len(payload)))
+    got = sniff_image_header_py(payload[:cut])
+    assert isinstance(got, tuple) and len(got) == 3
+    if cut == len(payload) and kind != "garbage":
+        assert got[0] == kind and got[1] > 0 and got[2] > 0
