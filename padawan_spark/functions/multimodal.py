@@ -1902,11 +1902,20 @@ def _decode_pixels_py(b: bytes):
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 on_error: str = "raise") -> DataFrame:
     """Real image decode: PIL when present (any format), else the
-    pure-Python PNG/GIF/baseline-JPEG/BMP parsers — so a real decode
-    runs in every environment.  Plumbing identical to
-    fake_decode_image."""
+    pure-Python PNG/GIF/baseline+progressive-JPEG/BMP parsers — so a
+    real decode runs in every environment.  Plumbing identical to
+    fake_decode_image.
+
+    ``on_error="null"`` salvages corrupt blobs: a payload that fails
+    to decode yields a row with NULL dimensions instead of killing the
+    task — mandatory posture for a crawled corpus, where some fraction
+    of blobs is always garbage and one bad byte must not fail a
+    100 TB job (the nulls are then the quarantine filter)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be raise|null: {on_error}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
@@ -1918,22 +1927,27 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
             out = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(b)
-                if _Image is not None:
-                    img = _Image.open(io.BytesIO(b))
-                    out.append((i, img.width, img.height,
-                                len(img.getbands()), len(b)))
-                elif b[:8] == _PNG_MAGIC:
-                    w, h, c, _px = decode_png_py(b)
-                    out.append((i, w, h, c, len(b)))
-                elif b[:6] in (b"GIF87a", b"GIF89a"):
-                    w, h, c, _px = decode_gif_py(b)
-                    out.append((i, w, h, c, len(b)))
-                elif b[:2] == b"\xFF\xD8":
-                    w, h, c, _px = decode_jpeg_py(b)
-                    out.append((i, w, h, c, len(b)))
-                else:
-                    w, h, c, _px = decode_bmp_py(b)
-                    out.append((i, w, h, c, len(b)))
+                try:
+                    if _Image is not None:
+                        img = _Image.open(io.BytesIO(b))
+                        out.append((i, img.width, img.height,
+                                    len(img.getbands()), len(b)))
+                    elif b[:8] == _PNG_MAGIC:
+                        w, h, c, _px = decode_png_py(b)
+                        out.append((i, w, h, c, len(b)))
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, c, _px = decode_gif_py(b)
+                        out.append((i, w, h, c, len(b)))
+                    elif b[:2] == b"\xFF\xD8":
+                        w, h, c, _px = decode_jpeg_py(b)
+                        out.append((i, w, h, c, len(b)))
+                    else:
+                        w, h, c, _px = decode_bmp_py(b)
+                        out.append((i, w, h, c, len(b)))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out.append((i, None, None, None, len(b)))
             yield pd.DataFrame(out, columns=["doc_id", "width", "height",
                                              "channels", "n_bytes"])
 

@@ -518,6 +518,42 @@ def mm_real_jpeg_decode(spark, sf_dir):
     return decode_image_pixels(d)
 
 
+@query("mm_decode_salvage", oracle="""
+SELECT CAST(i AS BIGINT) AS doc_id,
+  CAST(CASE WHEN i % 3 = 2 THEN NULL ELSE 8 + i END AS INTEGER)
+    AS width,
+  CAST(CASE WHEN i % 3 = 2 THEN NULL ELSE 5 + i END AS INTEGER)
+    AS height,
+  CAST(CASE WHEN i % 3 = 2 THEN NULL ELSE 3 END AS INTEGER) AS channels
+FROM range(0, 12) t(i)
+""")
+def mm_decode_salvage(spark, sf_dir):
+    """Corrupt-blob salvage: a crawled corpus always contains garbage,
+    and one bad byte must not kill a 100 TB decode job.  A 12-doc
+    mixed corpus (valid PNGs, valid BMPs, and every third payload
+    corrupt — truncated PNG or pure garbage) flows through
+    ``decode_image(on_error="null")``: valid payloads decode to their
+    formula dimensions, corrupt ones yield NULL dimensions (the
+    quarantine filter), and the job completes.  The oracle lists the
+    expected outcome per doc directly.  Scale shape: same Arrow-batched
+    mapInPandas as every decode, per-payload exception fencing only."""
+    from ..functions.multimodal import decode_image
+    rows = []
+    for doc in range(12):
+        w, h = 8 + doc, 5 + doc
+        if doc % 3 == 2:                    # corrupt: truncated / garbage
+            good = encode_png_py(w, h, bytes(w * h * 3), channels=3)
+            payload = good[:30] if doc % 2 == 0 else b"\x13\x37" * 10
+        elif doc % 3 == 0:
+            payload = encode_png_py(w, h, bytes(w * h * 3), channels=3)
+        else:
+            payload = encode_bmp_py(w, h, bytes(w * h * 3))
+        rows.append((doc, bytearray(payload)))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_image(d, on_error="null").select(
+        "doc_id", "width", "height", "channels")
+
+
 def _gif_rgbsum(idx: str) -> str:
     return (f"((11 * ({idx})) % 256 + 2 * ((7 * ({idx})) % 256)"
             f" + 3 * ((5 * ({idx})) % 256))")
