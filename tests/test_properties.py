@@ -656,3 +656,95 @@ def test_sniff_image_header_is_total(data):
     assert isinstance(got, tuple) and len(got) == 3
     if cut == len(payload) and kind != "garbage":
         assert got[0] == kind and got[1] > 0 and got[2] > 0
+
+
+def test_flac_lpc_and_wasted_bits_decode():
+    """The two decode paths the FIXED-predictor fixture encoder never
+    writes: a hand-built stream with an order-2 LPC subframe (known
+    quantized coefficients and shift) and a CONSTANT subframe carrying
+    wasted bits; expected samples computed independently here from the
+    spec formulas (s[i] = res + (c0*s[i-1] + c1*s[i-2]) >> shift, and
+    value << wasted)."""
+    import struct
+
+    from padawan_spark.functions.multimodal import (_crc8_flac,
+                                                    _crc16_flac,
+                                                    _FlacBitWriter,
+                                                    decode_flac_py)
+    bsize, bps = 8, 16
+    warm = [100, 205]
+    coefs, shift = [3, -2], 1
+    res = [5, -7, 11, 0, -3, 8]
+    expect = list(warm)
+    for r in res:
+        p = (coefs[0] * expect[-1] + coefs[1] * expect[-2]) >> shift
+        expect.append(r + p)
+
+    def frame(sub_bits_fn, total):
+        w = _FlacBitWriter()
+        w.put(0x3FFE, 14)
+        w.put(0, 2)
+        w.put(6, 4)                     # block size: 8-bit value - 1
+        w.put(0, 4)                     # rate from STREAMINFO
+        w.put(0, 4)                     # mono
+        w.put(4, 3)                     # 16-bit
+        w.put(0, 1)
+        w.put(0, 8)                     # frame number 0 (UTF-8)
+        w.put(bsize - 1, 8)
+        hdr = bytes(w.out)
+        w.put(_crc8_flac(hdr), 8)
+        sub_bits_fn(w)
+        w.align()
+        w.put(_crc16_flac(bytes(w.out)), 16)
+        return bytes(w.out)
+
+    def lpc_sub(w):
+        w.put(0, 1)
+        w.put(32 + (2 - 1), 6)          # LPC, order 2
+        w.put(0, 1)                     # no wasted bits
+        for s in warm:
+            w.put(s & 0xFFFF, 16)
+        w.put(15 - 1, 4)                # precision 15
+        w.put(shift, 5)
+        for c in coefs:
+            w.put(c & 0x7FFF, 15)
+        w.put(0, 2)                     # rice method 0
+        w.put(0, 4)                     # partition order 0
+        w.put(4, 4)                     # rice param 4
+        for r in res:
+            z = (abs(r) << 1) - (1 if r < 0 else 0)
+            w.put(1, (z >> 4) + 1)      # unary quotient then stop bit
+            w.put(z & 15, 4)
+
+    def header(nframes):
+        info = _FlacBitWriter()
+        info.put(bsize, 16)
+        info.put(bsize, 16)
+        info.put(0, 24)
+        info.put(0, 24)
+        info.put(8000, 20)
+        info.put(0, 3)                  # mono
+        info.put(bps - 1, 5)
+        info.put(nframes, 36)
+        info.align()
+        body = bytes(info.out) + b"\x00" * 16
+        return (b"fLaC" + bytes([0x80])
+                + struct.pack(">I", len(body))[1:] + body)
+
+    rate, ch, bits, out = decode_flac_py(header(bsize)
+                                         + frame(lpc_sub, bsize))
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert out == expect, (out, expect)
+
+    # CONSTANT subframe with 2 wasted bits: stored value 77 at 14 bits
+    # decodes to 77 << 2 replicated
+    def const_wasted_sub(w):
+        w.put(0, 1)
+        w.put(0, 6)                     # CONSTANT
+        w.put(1, 1)                     # wasted-bits flag
+        w.put(0b01, 2)                  # unary 1 -> wasted = 2
+        w.put(77, 14)                   # eff = 16 - 2
+
+    rate, ch, bits, out = decode_flac_py(header(bsize)
+                                         + frame(const_wasted_sub, bsize))
+    assert out == [77 << 2] * bsize
