@@ -748,3 +748,55 @@ def test_flac_lpc_and_wasted_bits_decode():
     rate, ch, bits, out = decode_flac_py(header(bsize)
                                          + frame(const_wasted_sub, bsize))
     assert out == [77 << 2] * bsize
+
+
+def test_gif_local_color_table_wins():
+    """A frame's LOCAL color table overrides the global one (the
+    fixture encoder only writes GCTs, so this decode branch is pinned
+    with a hand-assembled GIF: same indices, deliberately different
+    global and local palettes)."""
+    import struct
+
+    from padawan_spark.functions.multimodal import (_lzw_encode_gif,
+                                                    decode_gif_py)
+    w, h = 4, 3
+    idx = bytes((x + y) % 4 for y in range(h) for x in range(w))
+    gct = bytes(range(12))                       # 4 colors
+    lct = bytes(255 - v for v in range(12))      # different 4 colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (1 << 4) | 1, 0, 0)
+    out += gct
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | 1)  # LCT flag
+    out += lct
+    out.append(2)                                # min code size
+    lzw = _lzw_encode_gif(2, idx)
+    out += bytes([len(lzw)]) + lzw + b"\x00\x3B"
+    W, H, C, rgb = decode_gif_py(bytes(out))
+    assert (W, H, C) == (w, h, 3)
+    assert rgb == b"".join(lct[3 * i:3 * i + 3] for i in idx)
+
+
+def test_exif_inline_short_ascii():
+    """TIFF IFD values that fit in 4 bytes are stored INLINE in the
+    entry (the fixture encoder always writes ASCII out-of-line, so the
+    inline branch is pinned with a hand-assembled APP1: a 3-byte make
+    string and an inline SHORT orientation)."""
+    import struct
+
+    from padawan_spark.functions.multimodal import (encode_jpeg_py,
+                                                    insert_app1,
+                                                    parse_exif_py)
+    e = "<"
+    make_b = b"XY\x00"                           # 3 bytes: inline
+    ifd0 = struct.pack(e + "H", 2)
+    ifd0 += (struct.pack(e + "HHI", 0x010F, 2, len(make_b))
+             + make_b + b"\x00")                 # padded to 4
+    ifd0 += (struct.pack(e + "HHI", 0x0112, 3, 1)
+             + struct.pack(e + "H", 8) + b"\x00\x00")
+    ifd0 += struct.pack(e + "I", 0)
+    tiff = b"II" + struct.pack(e + "H", 42) + struct.pack(e + "I", 8) \
+        + ifd0
+    jpg = insert_app1(encode_jpeg_py(8, 8, bytes(64)),
+                      b"Exif\x00\x00" + tiff)
+    meta = parse_exif_py(jpg)
+    assert meta == {"make": "XY", "orientation": 8}
