@@ -800,3 +800,35 @@ def test_exif_inline_short_ascii():
                       b"Exif\x00\x00" + tiff)
     meta = parse_exif_py(jpg)
     assert meta == {"make": "XY", "orientation": 8}
+
+
+def test_jpeg_16bit_dqt_decodes_identically():
+    """DQT tables may be stored as 16-bit values (precision nibble 1) —
+    the encoder always writes 8-bit, so the wide-table read branch is
+    pinned by rewriting a valid stream's DQT to 16-bit form with the
+    same values: the decode must be byte-identical."""
+    import struct
+
+    from padawan_spark.functions.multimodal import (decode_jpeg_py,
+                                                    encode_jpeg_py)
+    y = bytes((17 * ((i % 32) // 8) + 29 * ((i // 32) // 8)) % 256
+              for i in range(32 * 24))
+    jpg = encode_jpeg_py(32, 24, y)
+    base = decode_jpeg_py(jpg)
+
+    # locate the DQT segment and widen it
+    pos = 2
+    while True:
+        marker = jpg[pos + 1]
+        seg_len = struct.unpack_from(">H", jpg, pos + 2)[0]
+        if marker == 0xDB:
+            body = jpg[pos + 4:pos + 2 + seg_len]
+            assert body[0] == 0x00            # 8-bit table 0
+            wide = bytes([0x10]) + b"".join(
+                struct.pack(">H", v) for v in body[1:65])
+            new_seg = struct.pack(">BBH", 0xFF, 0xDB, len(wide) + 2) + wide
+            jpg16 = jpg[:pos] + new_seg + jpg[pos + 2 + seg_len:]
+            break
+        pos += 2 + seg_len
+
+    assert decode_jpeg_py(jpg16) == base
