@@ -1769,6 +1769,127 @@ def insert_app1(jpeg: bytes, app1_payload: bytes) -> bytes:
             + app1_payload + jpeg[2:])
 
 
+# ---------------------------------------------------------------------------
+# baseline TIFF codec: the scanned-document / scientific-imaging
+# container is the same IFD structure EXIF embeds, holding uncompressed
+# strips — plain struct walking, no entropy decode.  8-bit greyscale
+# and RGB, any strip layout, both byte orders.
+# ---------------------------------------------------------------------------
+
+
+def decode_tiff_py(b: bytes):
+    """Decode an uncompressed baseline TIFF (8-bit grey or RGB).
+
+    Returns ``(width, height, channels, pixels)`` with row-major
+    top-down bytes, strips concatenated in order.  Compressed or
+    deep-sample TIFFs raise ``NotImplementedError`` honestly."""
+    import struct
+    if b[:2] not in (b"II", b"MM"):
+        raise NotImplementedError(
+            "not a TIFF payload and PIL is unavailable")
+    e = "<" if b[:2] == b"II" else ">"
+    if struct.unpack_from(e + "H", b, 2)[0] != 42:
+        raise NotImplementedError("bad TIFF version")
+    ifd = struct.unpack_from(e + "I", b, 4)[0]
+    n = struct.unpack_from(e + "H", b, ifd)[0]
+    tags = {}
+    for i in range(n):
+        ent = ifd + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, ent)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        off = ent + 8 if total <= 4 else struct.unpack_from(
+            e + "I", b, ent + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(e + fmt * cnt, b, off))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise NotImplementedError(
+            f"TIFF missing required tag {exc}") from exc
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    if comp != 1 or spp not in (1, 3) or any(v != 8 for v in bits):
+        raise NotImplementedError(
+            f"pure-Python TIFF decode supports uncompressed 8-bit "
+            f"grey/RGB only (compression={comp}, samples={spp}, "
+            f"bits={bits})")
+    px = b"".join(b[o:o + c] for o, c in zip(offsets, counts))
+    if len(px) < w * h * spp:
+        raise NotImplementedError("TIFF strip data truncated")
+    return w, h, spp, px[:w * h * spp]
+
+
+def encode_tiff_py(width: int, height: int, pixels: bytes,
+                   channels: int = 3, byte_order: str = "II",
+                   rows_per_strip: int | None = None) -> bytes:
+    """Encode 8-bit grey/RGB as an uncompressed baseline TIFF (the
+    inverse of :func:`decode_tiff_py`), optionally split into strips
+    of ``rows_per_strip`` rows to exercise multi-strip reassembly."""
+    import struct
+    e = "<" if byte_order == "II" else ">"
+    rps = rows_per_strip or height
+    strips = [pixels[y * width * channels:
+                     min(y + rps, height) * width * channels]
+              for y in range(0, height, rps)]
+    nst = len(strips)
+    # layout: header(8) IFD entries + arrays + strip data
+    ntags = 8
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + ntags * 12 + 4
+
+    def arr_needed(cnt, size):
+        return cnt * size if cnt * size > 4 else 0
+
+    bits_off = after_ifd
+    bits_sz = arr_needed(channels, 2)
+    offs_off = bits_off + bits_sz
+    offs_sz = arr_needed(nst, 4)
+    cnts_off = offs_off + offs_sz
+    cnts_sz = arr_needed(nst, 4)
+    data_off = cnts_off + cnts_sz
+    strip_offs = []
+    o = data_off
+    for s in strips:
+        strip_offs.append(o)
+        o += len(s)
+
+    def entry(tag, typ, cnt, vals, off_if_big):
+        size = {3: 2, 4: 4}[typ]
+        ent = struct.pack(e + "HHI", tag, typ, cnt)
+        if cnt * size <= 4:
+            raw = b"".join(struct.pack(e + ("H" if typ == 3 else "I"), v)
+                           for v in vals)
+            return ent + raw + b"\x00" * (4 - len(raw))
+        return ent + struct.pack(e + "I", off_if_big)
+
+    ifd = struct.pack(e + "H", ntags)
+    ifd += entry(256, 4, 1, [width], 0)
+    ifd += entry(257, 4, 1, [height], 0)
+    ifd += entry(258, 3, channels, [8] * channels, bits_off)
+    ifd += entry(259, 3, 1, [1], 0)                  # uncompressed
+    ifd += entry(262, 3, 1, [2 if channels == 3 else 1], 0)
+    ifd += entry(273, 4, nst, strip_offs, offs_off)
+    ifd += entry(277, 3, 1, [channels], 0)
+    ifd += entry(279, 4, nst, [len(s) for s in strips], cnts_off)
+    ifd += struct.pack(e + "I", 0)
+    out = (byte_order.encode() + struct.pack(e + "H", 42)
+           + struct.pack(e + "I", ifd_off) + ifd)
+    if bits_sz:
+        out += b"".join(struct.pack(e + "H", 8) for _ in range(channels))
+    if offs_sz:
+        out += b"".join(struct.pack(e + "I", v) for v in strip_offs)
+    if cnts_sz:
+        out += b"".join(struct.pack(e + "I", len(s)) for s in strips)
+    return out + b"".join(strips)
+
+
 EXIF_SCHEMA = ("doc_id bigint, orientation int, exif_width int, "
                "exif_height int, make string, taken_at string")
 
@@ -1814,7 +1935,8 @@ def sniff_image_header_py(b: bytes):
         return _sniff_image_header(b)
     except Exception:
         for magic, name in ((_PNG_MAGIC, "png"), (b"GIF8", "gif"),
-                            (b"\xFF\xD8", "jpeg"), (b"BM", "bmp")):
+                            (b"\xFF\xD8", "jpeg"), (b"II*\x00", "tiff"),
+                            (b"MM\x00*", "tiff"), (b"BM", "bmp")):
             if b[:len(magic)] == magic:
                 return name, -1, -1
         return "unknown", -1, -1
@@ -1828,6 +1950,19 @@ def _sniff_image_header(b: bytes):
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack_from("<HH", b, 6)
         return "gif", w, h
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        import struct as _st
+        e = "<" if b[:2] == b"II" else ">"
+        ifd = _st.unpack_from(e + "I", b, 4)[0]
+        nent = _st.unpack_from(e + "H", b, ifd)[0]
+        dims = {}
+        for i in range(nent):
+            ent = ifd + 2 + 12 * i
+            tag, typ, cnt = _st.unpack_from(e + "HHI", b, ent)
+            if tag in (256, 257):
+                fmt = "H" if typ == 3 else "I"
+                dims[tag] = _st.unpack_from(e + fmt, b, ent + 8)[0]
+        return "tiff", dims.get(256, -1), dims.get(257, -1)
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack_from("<ii", b, 18)
         return "bmp", w, abs(h)
@@ -1895,6 +2030,11 @@ def _decode_pixels_py(b: bytes):
         if ch == 1:
             px = bytes(v for v in px for _ in range(3))
         return w, h, px
+    if b[:2] in (b"II", b"MM"):
+        w, h, ch, px = decode_tiff_py(b)
+        if ch == 1:
+            px = bytes(v for v in px for _ in range(3))
+        return w, h, px
     w, h, _c, bgr = decode_bmp_py(b)
     rgb = bytearray(len(bgr))
     rgb[0::3], rgb[1::3], rgb[2::3] = bgr[2::3], bgr[1::3], bgr[0::3]
@@ -1940,6 +2080,9 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
                         out.append((i, w, h, c, len(b)))
                     elif b[:2] == b"\xFF\xD8":
                         w, h, c, _px = decode_jpeg_py(b)
+                        out.append((i, w, h, c, len(b)))
+                    elif b[:2] in (b"II", b"MM"):
+                        w, h, c, _px = decode_tiff_py(b)
                         out.append((i, w, h, c, len(b)))
                     else:
                         w, h, c, _px = decode_bmp_py(b)

@@ -518,6 +518,61 @@ def mm_real_jpeg_decode(spark, sf_dir):
     return decode_image_pixels(d)
 
 
+#             doc_id width height mode   byte-order rows/strip
+_TIFF_SPECS = [(1,   14,   9,    "grey", "MM",      2),
+               (2,   10,   12,   "rgb",  "II",      5),
+               (3,   8,    8,    "rgb",  "II",      None)]  # single strip
+
+
+def _tiff_oracle() -> str:
+    parts = []
+    for doc_id, w, h, mode, _bo, _rps in _TIFF_SPECS:
+        x, y = f"(i % {w})", f"(i // {w})"
+        if mode == "grey":
+            val = f"6 * ((13 * {x} + {y} * {y}) % 256)"
+        else:
+            val = (f"((2 * {x} + 5 * {y}) % 256"
+                   f" + 2 * ((7 * {x} + 3 * {y}) % 256)"
+                   f" + 3 * (({x} * {y}) % 256))")
+        chk = (f"(SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+               f" FROM range(0, {w * h}) t(i))")
+        parts.append(f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+                     f" {w} AS width, {h} AS height, 3 AS channels,"
+                     f" {chk} AS pix_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_tiff_decode", oracle=_tiff_oracle())
+def mm_real_tiff_decode(spark, sf_dir):
+    """REAL decoding of baseline TIFF — the scanned-document and
+    scientific-imaging container: three fixtures (big-endian
+    multi-strip greyscale, little-endian multi-strip RGB, single-strip
+    RGB) flow through :func:`decode_image_pixels` — PIL when
+    installed, else the dependency-free IFD walker
+    (:func:`padawan_spark.functions.multimodal.decode_tiff_py`).  The
+    oracle recomputes the position-weighted checksum from the pixel
+    formulas, so agreement proves the IFD tag walk, both byte orders,
+    strip reassembly, and greyscale replication all ran correctly.
+    Scale shape: Arrow-batched mapInPandas, no shuffle."""
+    from ..functions.multimodal import encode_tiff_py
+    rows = []
+    for doc_id, w, h, mode, bo, rps in _TIFF_SPECS:
+        if mode == "grey":
+            px = bytes((13 * x + y * y) % 256
+                       for y in range(h) for x in range(w))
+            ch = 1
+        else:
+            px = bytes(v for y in range(h) for x in range(w)
+                       for v in ((2 * x + 5 * y) % 256,
+                                 (7 * x + 3 * y) % 256, (x * y) % 256))
+            ch = 3
+        payload = encode_tiff_py(w, h, px, channels=ch, byte_order=bo,
+                                 rows_per_strip=rps)
+        rows.append((doc_id, bytearray(payload)))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_image_pixels(d)
+
+
 @query("mm_decode_salvage", oracle="""
 SELECT CAST(i AS BIGINT) AS doc_id,
   CAST(CASE WHEN i % 3 = 2 THEN NULL ELSE 8 + i END AS INTEGER)

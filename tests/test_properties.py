@@ -832,3 +832,28 @@ def test_jpeg_16bit_dqt_decodes_identically():
         pos += 2 + seg_len
 
     assert decode_jpeg_py(jpg16) == base
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    ch=st.sampled_from([1, 3]),
+    bo=st.sampled_from(["II", "MM"]),
+    rps=st.sampled_from([None, 1, 2, 7]),
+    data=st.data(),
+)
+def test_tiff_roundtrip_property(w, h, ch, bo, rps, data):
+    """Baseline TIFF: random 8-bit grey/RGB pixels survive encode ->
+    IFD walk -> strip reassembly exactly, in both byte orders and any
+    strip height (including 1-row strips, which maximize the
+    offsets/counts arrays)."""
+    from padawan_spark.functions.multimodal import (decode_tiff_py,
+                                                    encode_tiff_py)
+    n = w * h * ch
+    px = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    t = encode_tiff_py(w, h, px, channels=ch, byte_order=bo,
+                       rows_per_strip=rps)
+    W, H, C, out = decode_tiff_py(t)
+    assert (W, H, C) == (w, h, ch)
+    assert out == px
