@@ -26,12 +26,16 @@ COMPRESSED images also decode for real, dependency-free: PNG
 (:func:`decode_png_py` — stdlib-zlib inflate, all five scanline
 filters, every color type incl. palette, 8/16-bit, Adam7), GIF
 (:func:`decode_gif_py` — variable-code-size LZW, color tables, row
-interlace), and JPEG — baseline SOF0 AND
+interlace), JPEG — baseline SOF0 AND
 progressive SOF2 (:func:`decode_jpeg_py` — Huffman entropy decode,
 spectral selection, successive approximation, EOB runs, numpy IDCT,
 4:4:4/4:2:2/4:2:0, restart markers, libjpeg's exact fixed-point color
-constants), exercised by ``mm_real_png_decode`` /
-``mm_real_gif_decode`` / ``mm_real_jpeg_decode``.  AV formats
+constants), lossless WebP (:mod:`padawan_spark.functions.webp` —
+VP8L prefix codes, color cache, LZ77, subtract-green + predictor
+transforms), and baseline TIFF (:func:`decode_tiff_py`), exercised by
+``mm_real_png_decode`` / ``mm_real_gif_decode`` /
+``mm_real_jpeg_decode`` / ``mm_real_webp_decode`` /
+``mm_real_tiff_decode``.  AV formats
 (mp3/h264/...) and arithmetic-coded JPEG still require the real
 library and raise ``NotImplementedError`` without it; the deterministic
 ``fake_decode_image`` additionally stands in where format-agnostic
@@ -1934,6 +1938,8 @@ def sniff_image_header_py(b: bytes):
     try:
         return _sniff_image_header(b)
     except Exception:
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            return "webp", -1, -1
         for magic, name in ((_PNG_MAGIC, "png"), (b"GIF8", "gif"),
                             (b"\xFF\xD8", "jpeg"), (b"II*\x00", "tiff"),
                             (b"MM\x00*", "tiff"), (b"BM", "bmp")):
@@ -1950,6 +1956,17 @@ def _sniff_image_header(b: bytes):
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack_from("<HH", b, 6)
         return "gif", w, h
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        import struct as _st2
+        tag = b[12:16]
+        if tag == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            v = _st2.unpack_from("<I", b, 21)[0]
+            return "webp", (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1
+        if tag == b"VP8X" and len(b) >= 30:
+            wm1 = int.from_bytes(b[24:27], "little")
+            hm1 = int.from_bytes(b[27:30], "little")
+            return "webp", wm1 + 1, hm1 + 1
+        return "webp", -1, -1
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         import struct as _st
         e = "<" if b[:2] == b"II" else ">"
@@ -2035,6 +2052,10 @@ def _decode_pixels_py(b: bytes):
         if ch == 1:
             px = bytes(v for v in px for _ in range(3))
         return w, h, px
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .webp import decode_webp_py
+        w, h, _ch, px = decode_webp_py(b)      # RGBA
+        return w, h, b"".join(px[i:i + 3] for i in range(0, len(px), 4))
     w, h, _c, bgr = decode_bmp_py(b)
     rgb = bytearray(len(bgr))
     rgb[0::3], rgb[1::3], rgb[2::3] = bgr[2::3], bgr[1::3], bgr[0::3]
@@ -2083,6 +2104,10 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
                         out.append((i, w, h, c, len(b)))
                     elif b[:2] in (b"II", b"MM"):
                         w, h, c, _px = decode_tiff_py(b)
+                        out.append((i, w, h, c, len(b)))
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                        from .webp import decode_webp_py
+                        w, h, c, _px = decode_webp_py(b)
                         out.append((i, w, h, c, len(b)))
                     else:
                         w, h, c, _px = decode_bmp_py(b)

@@ -1,0 +1,683 @@
+"""Pure-Python WebP-lossless (VP8L) codec subset.
+
+Decodes the web's fourth major image format without libwebp: the
+RIFF/VP8L container, canonical prefix codes (simple and
+code-length-coded with 16/17/18 repeats), the color cache, LZ77
+backward references with the 120-entry 2D distance mapping, and the
+subtract-green and tile-based predictor transforms (all 14 modes).
+Color-transform / color-indexing transforms and meta-prefix (multiple
+Huffman group) images raise ``NotImplementedError`` honestly.
+
+The fixture encoder writes real frequency-built canonical Huffman
+codes, optional LZ77 run/vertical matches, an optional color cache,
+and optional subtract-green / uniform-mode predictor transforms — so
+every decode path above is exercised by exact (lossless) round trips.
+
+Format facts follow the public WebP Lossless Bitstream Specification
+(RFC 9649) and the libwebp reference behavior it documents.
+"""
+
+from __future__ import annotations
+
+ARGB_BLACK = 0xFF000000
+
+# kCodeLengthCodeOrder (RFC 9649 §5.2.2)
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+             13, 14, 15]
+
+# 120-entry 2D distance map (RFC 9649 §4.2.2): (dx, dy) pairs
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+class _Vp8lBitReader:
+    """LSB-first bit reader (VP8L convention)."""
+
+    def __init__(self, d: bytes, pos: int = 0):
+        self.d, self.pos, self.acc, self.nbits = d, pos, 0, 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            # zero-pad past the end: every decode loop is bounded by
+            # pixel/alphabet counts, so padding cannot run away, and
+            # prefix-code reads error out after 16 unmatched bits
+            byte = self.d[self.pos] if self.pos < len(self.d) else 0
+            self.acc |= byte << self.nbits
+            self.nbits += 8
+            self.pos += 1
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+    def read_code(self, tree) -> int:
+        """Canonical prefix codes are emitted MSB-of-code first into
+        the LSB-first stream (the DEFLATE convention)."""
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bits(1)
+            ln += 1
+            sym = tree.get((ln, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("corrupt VP8L prefix code")
+
+
+class _Vp8lBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def put(self, v: int, n: int):
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, ln: int):
+        for i in range(ln - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.out)
+        if self.nbits:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+def _canonical(lengths):
+    """(length, code) -> symbol decode map and symbol -> (code, length)
+    encode map from a code-length array (canonical assignment by
+    (length, symbol) order)."""
+    order = sorted((ln, s) for s, ln in enumerate(lengths) if ln > 0)
+    dec, enc, code, prev_len = {}, {}, 0, 0
+    for ln, s in order:
+        code <<= (ln - prev_len)
+        prev_len = ln
+        dec[(ln, code)] = s
+        enc[s] = (code, ln)
+        code += 1
+    return dec, enc
+
+
+class _SingleSymbolTree(dict):
+    """A one-symbol prefix code consumes ZERO bits at decode time."""
+
+    def __init__(self, symbol: int):
+        super().__init__()
+        self.symbol = symbol
+
+
+def _read_prefix_code(rd, alphabet_size: int):
+    """Read one prefix code (RFC 9649 §5.2.2): simple (1-2 symbols)
+    or code-length-coded with 16/17/18 repeats."""
+    if rd.bits(1):                               # simple code
+        num_symbols = rd.bits(1) + 1
+        first_8bit = rd.bits(1)
+        s0 = rd.bits(8) if first_8bit else rd.bits(1)
+        if num_symbols == 1:
+            return _SingleSymbolTree(s0)
+        s1 = rd.bits(8)
+        lengths = [0] * alphabet_size
+        lengths[s0] = lengths[s1] = 1
+        dec, _enc = _canonical(lengths)
+        return dec
+    num_codes = rd.bits(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_CL_ORDER[i]] = rd.bits(3)
+    cl_dec, _ = _canonical(cl_lengths)
+    if rd.bits(1):                               # explicit max_symbol
+        length_nbits = 2 + 2 * rd.bits(3)
+        max_symbol = 2 + rd.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol, prev = 0, 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = rd.read_code(cl_dec)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev = code_len
+        else:
+            if code_len == 16:
+                repeat, fill = 3 + rd.bits(2), prev
+            elif code_len == 17:
+                repeat, fill = 3 + rd.bits(3), 0
+            else:
+                repeat, fill = 11 + rd.bits(7), 0
+            for _ in range(repeat):
+                if symbol >= alphabet_size:
+                    break
+                lengths[symbol] = fill
+                symbol += 1
+    nz = [s for s, ln in enumerate(lengths) if ln]
+    if len(nz) == 1:
+        return _SingleSymbolTree(nz[0])
+    dec, _ = _canonical(lengths)
+    return dec
+
+
+def _read_sym(rd, tree) -> int:
+    if isinstance(tree, _SingleSymbolTree):
+        return tree.symbol
+    return rd.read_code(tree)
+
+
+def _prefix_value(rd, code: int) -> int:
+    """LZ77 length/distance prefix decoding (RFC 9649 §4.2.1.1)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + rd.bits(extra) + 1
+
+
+def _cache_hash(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _read_entropy_image(rd, w: int, h: int, allow_cache: bool = True):
+    """Decode one spatially-coded (entropy) image of w*h ARGB pixels —
+    the core shared by the main image and every transform sub-image."""
+    cache_bits = 0
+    if allow_cache and rd.bits(1):
+        cache_bits = rd.bits(4)
+        if not (1 <= cache_bits <= 11):
+            raise NotImplementedError(
+                f"invalid VP8L color-cache bits {cache_bits}")
+    if rd.bits(1):
+        raise NotImplementedError(
+            "VP8L meta-prefix (multiple Huffman group) images are not "
+            "supported by the pure-Python decoder")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _read_prefix_code(rd, 256 + 24 + cache_size)
+    red = _read_prefix_code(rd, 256)
+    blue = _read_prefix_code(rd, 256)
+    alpha = _read_prefix_code(rd, 256)
+    dist = _read_prefix_code(rd, 40)
+    cache = [0] * cache_size
+    px = [0] * (w * h)
+    i = 0
+    n = w * h
+    while i < n:
+        s = _read_sym(rd, green)
+        if s < 256:                              # literal
+            r = _read_sym(rd, red)
+            b = _read_sym(rd, blue)
+            a = _read_sym(rd, alpha)
+            v = (a << 24) | (r << 16) | (s << 8) | b
+            px[i] = v
+            if cache_bits:
+                cache[_cache_hash(v, cache_bits)] = v
+            i += 1
+        elif s < 280:                            # LZ77 backref
+            length = _prefix_value(rd, s - 256)
+            dcode = _prefix_value(rd, _read_sym(rd, dist))
+            if dcode <= 120:
+                dx, dy = _DIST_MAP[dcode - 1]
+                d = dy * w + dx
+                if d < 1:
+                    d = 1
+            else:
+                d = dcode - 120
+            if d > i or i + length > n:
+                raise NotImplementedError("VP8L backref out of range")
+            for _ in range(length):
+                v = px[i - d]
+                px[i] = v
+                if cache_bits:
+                    cache[_cache_hash(v, cache_bits)] = v
+                i += 1
+        else:                                    # color-cache hit
+            if not cache_bits:
+                raise NotImplementedError(
+                    "VP8L cache symbol without a color cache")
+            v = cache[s - 280]
+            px[i] = v
+            if cache_bits:
+                cache[_cache_hash(v, cache_bits)] = v
+            i += 1
+    return px
+
+
+def _avg2(a: int, b: int) -> int:
+    return ((((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)) & 0xFFFFFFFF
+
+
+def _add_px(a: int, b: int) -> int:
+    """Per-channel modulo-256 addition of two ARGB words."""
+    out = 0
+    for sh in (0, 8, 16, 24):
+        out |= (((a >> sh) + (b >> sh)) & 0xFF) << sh
+    return out
+
+
+def _sub_px(a: int, b: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        out |= (((a >> sh) - (b >> sh)) & 0xFF) << sh
+    return out
+
+
+def _select(t: int, l_: int, tl: int) -> int:
+    pa = pb = 0
+    for sh in (0, 8, 16, 24):
+        tc, lc, tlc = (t >> sh) & 0xFF, (l_ >> sh) & 0xFF, (tl >> sh) & 0xFF
+        p = tc + lc - tlc
+        pa += abs(p - tc)
+        pb += abs(p - lc)
+    return t if pa <= pb else l_
+
+
+def _clip255(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _clamp_add_sub_full(l_: int, t: int, tl: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        v = _clip255(((l_ >> sh) & 0xFF) + ((t >> sh) & 0xFF)
+                     - ((tl >> sh) & 0xFF))
+        out |= v << sh
+    return out
+
+
+def _clamp_add_sub_half(l_: int, t: int, tl: int) -> int:
+    ave = _avg2(l_, t)
+    out = 0
+    for sh in (0, 8, 16, 24):
+        a = (ave >> sh) & 0xFF
+        b = (tl >> sh) & 0xFF
+        q = a - b
+        q = q // 2 if q >= 0 else -((-q) // 2)   # C truncation
+        out |= _clip255(a + q) << sh
+    return out
+
+
+def _predict(mode: int, px, i: int, x: int, y: int, w: int) -> int:
+    if y == 0:
+        return px[i - 1] if x > 0 else ARGB_BLACK
+    if x == 0:
+        return px[i - w]
+    l_, t, tl = px[i - 1], px[i - w], px[i - w - 1]
+    tr = px[i - w + 1]        # flat-buffer neighbor (wraps at x=w-1,
+    #                           matching libwebp's row layout)
+    if mode == 0:
+        return ARGB_BLACK
+    if mode == 1:
+        return l_
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l_, tr), t)
+    if mode == 6:
+        return _avg2(l_, tl)
+    if mode == 7:
+        return _avg2(l_, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l_, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(t, l_, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(l_, t, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(l_, t, tl)
+    raise NotImplementedError(f"VP8L predictor mode {mode}")
+
+
+def decode_webp_py(b: bytes):
+    """Decode a lossless WebP (VP8L).
+
+    Returns ``(width, height, 4, rgba_bytes)`` row-major top-down.
+    Lossy VP8, color-transform / color-indexing transforms, and
+    meta-prefix images raise ``NotImplementedError`` honestly."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise NotImplementedError(
+            "not a WebP payload and PIL is unavailable")
+    if b[12:16] != b"VP8L":
+        raise NotImplementedError(
+            f"only lossless (VP8L) WebP decodes without libwebp "
+            f"(chunk {b[12:16]!r})")
+    data = b[20:]
+    if not data or data[0] != 0x2F:
+        raise NotImplementedError("bad VP8L signature byte")
+    rd = _Vp8lBitReader(data, 1)
+    w = rd.bits(14) + 1
+    h = rd.bits(14) + 1
+    rd.bits(1)                                   # alpha hint
+    if rd.bits(3) != 0:
+        raise NotImplementedError("unknown VP8L version")
+    transforms = []
+    while rd.bits(1):
+        ttype = rd.bits(2)
+        if ttype == 2:                           # subtract green
+            transforms.append(("subtract_green",))
+        elif ttype == 0:                         # predictor
+            size_bits = rd.bits(3) + 2
+            tw = (w + (1 << size_bits) - 1) >> size_bits
+            th = (h + (1 << size_bits) - 1) >> size_bits
+            tiles = _read_entropy_image(rd, tw, th)
+            transforms.append(("predictor", size_bits, tw, tiles))
+        else:
+            raise NotImplementedError(
+                "VP8L color-transform / color-indexing transforms are "
+                "not supported by the pure-Python decoder")
+    px = _read_entropy_image(rd, w, h)
+    # inverse transforms, in reverse order of appearance
+    for tr in reversed(transforms):
+        if tr[0] == "subtract_green":
+            for i, v in enumerate(px):
+                g = (v >> 8) & 0xFF
+                r = ((v >> 16) + g) & 0xFF
+                bl = (v + g) & 0xFF
+                px[i] = (v & 0xFF00FF00) | (r << 16) | bl
+        else:
+            _tag, size_bits, tw, tiles = tr
+            for i in range(w * h):
+                x, y = i % w, i // w
+                mode = (tiles[(y >> size_bits) * tw + (x >> size_bits)]
+                        >> 8) & 0xFF
+                px[i] = _add_px(px[i], _predict(mode, px, i, x, y, w))
+    out = bytearray(w * h * 4)
+    for i, v in enumerate(px):
+        out[4 * i] = (v >> 16) & 0xFF            # R
+        out[4 * i + 1] = (v >> 8) & 0xFF         # G
+        out[4 * i + 2] = v & 0xFF                # B
+        out[4 * i + 3] = (v >> 24) & 0xFF        # A
+    return w, h, 4, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder
+# ---------------------------------------------------------------------------
+
+
+def _huffman_lengths(freqs: dict) -> dict:
+    """Code lengths from symbol frequencies (heapq Huffman); falls back
+    to uniform ceil(log2(k)) lengths if depth would exceed 15."""
+    import heapq
+    import math
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    i = len(heap)
+    while len(heap) > 1:
+        f1, _x, g1 = heapq.heappop(heap)
+        f2, _y, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, i, g1 + g2))
+        i += 1
+    if max(depth.values()) > 15:
+        flat = max(1, math.ceil(math.log2(len(syms))))
+        return {s: flat for s in syms}
+    return depth
+
+
+def _write_prefix_code(wtr, lengths_by_symbol: dict, alphabet_size: int):
+    """Emit one prefix code; returns the symbol -> (code, len) map."""
+    syms = sorted(lengths_by_symbol)
+    if len(syms) <= 2 and all(s <= 255 for s in syms):
+        wtr.put(1, 1)                            # simple code
+        wtr.put(len(syms) - 1, 1)
+        s0 = syms[0]
+        if s0 <= 1 and len(syms) == 2 or (len(syms) == 1 and s0 <= 1):
+            wtr.put(0, 1)                        # 1-bit first symbol
+            wtr.put(s0, 1)
+        else:
+            wtr.put(1, 1)
+            wtr.put(s0, 8)
+        if len(syms) == 1:
+            return {s0: (0, 0)}                  # zero bits per symbol
+        wtr.put(syms[1], 8)
+        full = [0] * alphabet_size
+        full[syms[0]] = full[syms[1]] = 1
+        _dec, enc = _canonical(full)
+        return enc
+    full = [0] * alphabet_size
+    for s, ln in lengths_by_symbol.items():
+        full[s] = ln
+    # CL token stream (value, extra_bits, extra_value)
+    stream = []
+    i, n = 0, alphabet_size
+    while i < n:
+        v = full[i]
+        run = 1
+        while i + run < n and full[i + run] == v:
+            run += 1
+        if v == 0:
+            r = run
+            while r >= 3:
+                take = min(r, 138)
+                if take >= 11:
+                    stream.append((18, 7, take - 11))
+                else:
+                    stream.append((17, 3, take - 3))
+                r -= take
+            stream.extend([(0, 0, 0)] * r)
+        else:
+            stream.append((v, 0, 0))
+            r = run - 1
+            while r >= 3:
+                take = min(r, 6)
+                stream.append((16, 2, take - 3))
+                r -= take
+            stream.extend([(v, 0, 0)] * r)
+        i += run
+    import math
+    used_cl = sorted({t[0] for t in stream})
+    flat = max(1, math.ceil(math.log2(len(used_cl)))) \
+        if len(used_cl) > 1 else 1
+    cl_lengths = [0] * 19
+    for s in used_cl:
+        cl_lengths[s] = flat
+    _dec, cl_enc = _canonical(cl_lengths)
+    num_codes = max((_CL_ORDER.index(s) for s in used_cl), default=0) + 1
+    num_codes = max(num_codes, 4)
+    wtr.put(0, 1)                                # not simple
+    wtr.put(num_codes - 4, 4)
+    for k in range(num_codes):
+        wtr.put(cl_lengths[_CL_ORDER[k]], 3)
+    wtr.put(0, 1)                                # no max_symbol header
+    for v, eb, ev in stream:
+        code, ln = cl_enc[v]
+        wtr.put_code(code, ln)
+        if eb:
+            wtr.put(ev, eb)
+    _dec2, enc = _canonical(full)
+    return enc
+
+
+def _prefix_encode(val: int):
+    """Inverse of :func:`_prefix_value`: (code, extra_bits, extra)."""
+    if val <= 4:
+        return val - 1, 0, 0
+    x = val - 1
+    nb = x.bit_length() - 1
+    second = (x >> (nb - 1)) & 1
+    return 2 * nb + second, nb - 1, x & ((1 << (nb - 1)) - 1)
+
+
+def _write_entropy_image(wtr, px, w, h, cache_bits=0, use_lz77=False):
+    n = len(px)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    tokens = []
+    i = 0
+    while i < n:
+        best = None
+        if use_lz77 and i > 0:
+            for d in (1, w):
+                if 1 <= d <= i and px[i - d] == px[i]:
+                    ln = 0
+                    while (i + ln < n and ln < 4000
+                           and px[i + ln - d] == px[i + ln]):
+                        ln += 1
+                    if ln >= 3 and (best is None or ln > best[0]):
+                        best = (ln, d)
+        if best:
+            ln, d = best
+            for k in range(ln):
+                if cache_size:
+                    v = px[i + k]
+                    cache[_cache_hash(v, cache_bits)] = v
+            tokens.append(("copy", ln, d))
+            i += ln
+            continue
+        v = px[i]
+        hsh = _cache_hash(v, cache_bits) if cache_size else 0
+        if cache_size and cache[hsh] == v:
+            tokens.append(("cache", hsh))
+        else:
+            tokens.append(("lit", v))
+        if cache_size:
+            cache[hsh] = v
+        i += 1
+
+    def dist_code(d):
+        if d == 1:
+            return _DIST_MAP.index((1, 0)) + 1
+        if d == w and (0, 1) in _DIST_MAP:
+            return _DIST_MAP.index((0, 1)) + 1
+        return d + 120
+
+    gf, rf, bf, af, df = {}, {}, {}, {}, {}
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            gf[(v >> 8) & 0xFF] = gf.get((v >> 8) & 0xFF, 0) + 1
+            rf[(v >> 16) & 0xFF] = rf.get((v >> 16) & 0xFF, 0) + 1
+            bf[v & 0xFF] = bf.get(v & 0xFF, 0) + 1
+            af[(v >> 24) & 0xFF] = af.get((v >> 24) & 0xFF, 0) + 1
+        elif t[0] == "copy":
+            lc, _eb, _ev = _prefix_encode(t[1])
+            gf[256 + lc] = gf.get(256 + lc, 0) + 1
+            dc, _e2, _v2 = _prefix_encode(dist_code(t[2]))
+            df[dc] = df.get(dc, 0) + 1
+        else:
+            gf[280 + t[1]] = gf.get(280 + t[1], 0) + 1
+    for f in (gf, rf, bf, af, df):
+        if not f:
+            f[0] = 1                             # decoder always reads it
+
+    if cache_bits:
+        wtr.put(1, 1)
+        wtr.put(cache_bits, 4)
+    else:
+        wtr.put(0, 1)
+    wtr.put(0, 1)                                # no meta-prefix image
+    g_enc = _write_prefix_code(wtr, _huffman_lengths(gf),
+                               256 + 24 + cache_size)
+    r_enc = _write_prefix_code(wtr, _huffman_lengths(rf), 256)
+    b_enc = _write_prefix_code(wtr, _huffman_lengths(bf), 256)
+    a_enc = _write_prefix_code(wtr, _huffman_lengths(af), 256)
+    d_enc = _write_prefix_code(wtr, _huffman_lengths(df), 40)
+
+    def put_sym(enc, s):
+        code, ln = enc[s]
+        if ln:
+            wtr.put_code(code, ln)
+
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            put_sym(g_enc, (v >> 8) & 0xFF)
+            put_sym(r_enc, (v >> 16) & 0xFF)
+            put_sym(b_enc, v & 0xFF)
+            put_sym(a_enc, (v >> 24) & 0xFF)
+        elif t[0] == "copy":
+            lc, eb, ev = _prefix_encode(t[1])
+            put_sym(g_enc, 256 + lc)
+            if eb:
+                wtr.put(ev, eb)
+            dc, eb2, ev2 = _prefix_encode(dist_code(t[2]))
+            put_sym(d_enc, dc)
+            if eb2:
+                wtr.put(ev2, eb2)
+        else:
+            put_sym(g_enc, 280 + t[1])
+
+
+def encode_webp_py(width: int, height: int, rgba: bytes,
+                   cache_bits: int = 0, use_lz77: bool = False,
+                   subtract_green: bool = False,
+                   predictor_mode: int | None = None,
+                   predictor_size_bits: int = 4) -> bytes:
+    """Encode row-major RGBA bytes as a lossless WebP (VP8L) — the
+    fixture inverse of :func:`decode_webp_py`.  Optional features map
+    one-to-one onto decoder paths: a color cache of ``cache_bits``,
+    LZ77 run/vertical matches, the subtract-green transform, and a
+    uniform-mode predictor transform (any of the 14 modes)."""
+    import struct
+    px = [((rgba[4 * i + 3] << 24) | (rgba[4 * i] << 16)
+           | (rgba[4 * i + 1] << 8) | rgba[4 * i + 2])
+          for i in range(width * height)]
+    wtr = _Vp8lBitWriter()
+    wtr.put(width - 1, 14)
+    wtr.put(height - 1, 14)
+    wtr.put(1, 1)                                # alpha hint
+    wtr.put(0, 3)                                # version
+    if subtract_green:
+        wtr.put(1, 1)
+        wtr.put(2, 2)
+        for i, v in enumerate(px):
+            g = (v >> 8) & 0xFF
+            r = ((v >> 16) - g) & 0xFF
+            b = (v - g) & 0xFF
+            px[i] = (v & 0xFF00FF00) | (r << 16) | b
+    if predictor_mode is not None:
+        sb = predictor_size_bits
+        wtr.put(1, 1)
+        wtr.put(0, 2)
+        wtr.put(sb - 2, 3)
+        tw = (width + (1 << sb) - 1) >> sb
+        th = (height + (1 << sb) - 1) >> sb
+        tiles = [ARGB_BLACK | (predictor_mode << 8)] * (tw * th)
+        _write_entropy_image(wtr, tiles, tw, th)
+        res = [0] * len(px)
+        for i, v in enumerate(px):
+            pred = _predict(predictor_mode, px, i, i % width,
+                            i // width, width)
+            res[i] = _sub_px(v, pred)
+        px = res
+    wtr.put(0, 1)                                # end of transforms
+    _write_entropy_image(wtr, px, width, height, cache_bits, use_lz77)
+    body = b"\x2F" + wtr.bytes()
+    if len(body) % 2:
+        body += b"\x00"                          # RIFF even padding
+    out = (b"RIFF" + struct.pack("<I", 12 + len(body))
+           + b"WEBPVP8L" + struct.pack("<I", len(body)) + body)
+    return out

@@ -518,6 +518,58 @@ def mm_real_jpeg_decode(spark, sf_dir):
     return decode_image_pixels(d)
 
 
+#             doc_id width height  encoder features
+_WEBP_SPECS = [(1,   13,   8,    {}),                       # literals only
+               (2,   16,   16,   {"predictor_mode": 12,
+                                  "subtract_green": True,
+                                  "cache_bits": 4,
+                                  "predictor_size_bits": 3}),
+               (3,   24,   7,    {"use_lz77": True,
+                                  "cache_bits": 5})]
+
+
+def _webp_oracle() -> str:
+    parts = []
+    for doc_id, w, h, _feat in _WEBP_SPECS:
+        x, y = f"(i % {w})", f"(i // {w})"
+        val = (f"((3 * {x} + 7 * {y}) % 256"
+               f" + 2 * ((5 * {x} + {y} * {y}) % 256)"
+               f" + 3 * (({x} * {y} + 11) % 256))")
+        chk = (f"(SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+               f" FROM range(0, {w * h}) t(i))")
+        parts.append(f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+                     f" {w} AS width, {h} AS height, 3 AS channels,"
+                     f" {chk} AS pix_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_webp_decode", oracle=_webp_oracle())
+def mm_real_webp_decode(spark, sf_dir):
+    """REAL decoding of a FOURTH compressed image format — lossless
+    WebP (VP8L): three fixtures exercise literal prefix-coded pixels,
+    the full transform stack (uniform-mode predictor 12 +
+    subtract-green + color cache), and LZ77 backward references with a
+    color cache, all through :func:`decode_image_pixels` — PIL when
+    installed, else the dependency-free VP8L parser
+    (:mod:`padawan_spark.functions.webp`).  VP8L is lossless, so the
+    same pixel-formula oracle discipline as PNG applies: a correct
+    checksum proves canonical prefix decoding (incl. the
+    code-length-code with its 16/17/18 repeats), cache hashing,
+    LZ77 distance mapping, and the inverse transforms all ran
+    correctly.  Scale shape: Arrow-batched mapInPandas, no shuffle."""
+    from ..functions.webp import encode_webp_py
+    rows = []
+    for doc_id, w, h, feat in _WEBP_SPECS:
+        rgba = bytes(v for y in range(h) for x in range(w)
+                     for v in ((3 * x + 7 * y) % 256,
+                               (5 * x + y * y) % 256,
+                               (x * y + 11) % 256, 255))
+        rows.append((doc_id,
+                     bytearray(encode_webp_py(w, h, rgba, **feat))))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_image_pixels(d)
+
+
 #             doc_id width height mode   byte-order rows/strip
 _TIFF_SPECS = [(1,   14,   9,    "grey", "MM",      2),
                (2,   10,   12,   "rgb",  "II",      5),

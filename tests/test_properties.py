@@ -857,3 +857,30 @@ def test_tiff_roundtrip_property(w, h, ch, bo, rps, data):
     W, H, C, out = decode_tiff_py(t)
     assert (W, H, C) == (w, h, ch)
     assert out == px
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    cache_bits=st.sampled_from([0, 2, 6]),
+    lz=st.booleans(),
+    sg=st.booleans(),
+    pred=st.one_of(st.none(), st.integers(min_value=0, max_value=13)),
+    data=st.data(),
+)
+def test_webp_vp8l_roundtrip_property(w, h, cache_bits, lz, sg, pred,
+                                      data):
+    """VP8L is lossless: random RGBA pixels survive encode -> canonical
+    prefix codes -> decode exactly under every feature combination —
+    color cache sizes, LZ77 on/off, subtract-green, and any of the 14
+    predictor modes (tile-based, via a real predictor sub-image)."""
+    from padawan_spark.functions.webp import (decode_webp_py,
+                                              encode_webp_py)
+    n = w * h * 4
+    rgba = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    payload = encode_webp_py(w, h, rgba, cache_bits=cache_bits,
+                             use_lz77=lz, subtract_green=sg,
+                             predictor_mode=pred,
+                             predictor_size_bits=2)
+    assert decode_webp_py(payload) == (w, h, 4, rgba)
