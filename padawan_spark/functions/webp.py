@@ -3,15 +3,17 @@
 Decodes the web's fourth major image format without libwebp: the
 RIFF/VP8L container, canonical prefix codes (simple and
 code-length-coded with 16/17/18 repeats), the color cache, LZ77
-backward references with the 120-entry 2D distance mapping, and the
-subtract-green and tile-based predictor transforms (all 14 modes).
-Color-transform / color-indexing transforms and meta-prefix (multiple
-Huffman group) images raise ``NotImplementedError`` honestly.
+backward references with the 120-entry 2D distance mapping, and ALL
+FOUR transforms — subtract-green, the tile-based predictor (14
+modes), the cross-channel color transform, and color indexing with
+sub-byte pixel packing.  Meta-prefix (multiple Huffman group) images
+and color-indexing COMBINED with other transforms raise
+``NotImplementedError`` honestly.
 
-The fixture encoder writes real frequency-built canonical Huffman
+The fixture encoders write real frequency-built canonical Huffman
 codes, optional LZ77 run/vertical matches, an optional color cache,
-and optional subtract-green / uniform-mode predictor transforms — so
-every decode path above is exercised by exact (lossless) round trips.
+and any combination of the transforms — so every decode path above is
+exercised by exact (lossless) round trips.
 
 Format facts follow the public WebP Lossless Bitstream Specification
 (RFC 9649) and the libwebp reference behavior it documents.
@@ -262,6 +264,10 @@ def _read_entropy_image(rd, w: int, h: int, allow_cache: bool = True):
     return px
 
 
+def _int8(v: int) -> int:
+    return v - 256 if v > 127 else v
+
+
 def _avg2(a: int, b: int) -> int:
     return ((((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)) & 0xFFFFFFFF
 
@@ -388,14 +394,67 @@ def decode_webp_py(b: bytes):
             th = (h + (1 << size_bits) - 1) >> size_bits
             tiles = _read_entropy_image(rd, tw, th)
             transforms.append(("predictor", size_bits, tw, tiles))
+        elif ttype == 1:                         # color transform
+            size_bits = rd.bits(3) + 2
+            tw = (w + (1 << size_bits) - 1) >> size_bits
+            th = (h + (1 << size_bits) - 1) >> size_bits
+            tiles = _read_entropy_image(rd, tw, th)
+            transforms.append(("color", size_bits, tw, tiles))
+        elif ttype == 3:                         # color indexing
+            npal = rd.bits(8) + 1
+            stored = _read_entropy_image(rd, npal, 1)
+            pal, prev = [], 0                    # delta-coded entries
+            for v in stored:
+                prev = _add_px(prev, v)
+                pal.append(prev)
+            wb = 3 if npal <= 2 else 2 if npal <= 4                 else 1 if npal <= 16 else 0
+            transforms.append(("color_index", npal, wb, pal))
         else:
             raise NotImplementedError(
-                "VP8L color-transform / color-indexing transforms are "
-                "not supported by the pure-Python decoder")
-    px = _read_entropy_image(rd, w, h)
+                "the VP8L color (cross-channel) transform is not "
+                "supported by the pure-Python decoder")
+    if any(t[0] == "color_index" for t in transforms)             and len(transforms) > 1:
+        raise NotImplementedError(
+            "VP8L color-indexing combined with other transforms is "
+            "not supported by the pure-Python decoder")
+    w_eff = w
+    for t in transforms:
+        if t[0] == "color_index" and t[2]:
+            w_eff = (w + (1 << t[2]) - 1) >> t[2]
+    px = _read_entropy_image(rd, w_eff, h)
     # inverse transforms, in reverse order of appearance
     for tr in reversed(transforms):
-        if tr[0] == "subtract_green":
+        if tr[0] == "color_index":
+            _tag, npal, wb, pal = tr
+            if wb:
+                bpp = 8 >> wb
+                mask = (1 << bpp) - 1
+                pw = (w + (1 << wb) - 1) >> wb
+                out2 = [0] * (w * h)
+                for y in range(h):
+                    for x in range(w):
+                        packed = (px[y * pw + (x >> wb)] >> 8) & 0xFF
+                        idx = (packed >> ((x & ((1 << wb) - 1)) * bpp))                             & mask
+                        out2[y * w + x] = pal[idx] if idx < npal else 0
+                px = out2
+            else:
+                px = [pal[(v >> 8) & 0xFF]
+                      if ((v >> 8) & 0xFF) < npal else 0 for v in px]
+        elif tr[0] == "color":
+            _tag, size_bits, tw, tiles = tr
+            for i in range(w * h):
+                x, y = i % w, i // w
+                cte = tiles[(y >> size_bits) * tw + (x >> size_bits)]
+                g2r = _int8(cte & 0xFF)
+                g2b = _int8((cte >> 8) & 0xFF)
+                r2b = _int8((cte >> 16) & 0xFF)
+                v = px[i]
+                g = _int8((v >> 8) & 0xFF)
+                r = ((v >> 16) + ((g2r * g) >> 5)) & 0xFF
+                bl = (v + ((g2b * g) >> 5)) & 0xFF
+                bl = (bl + ((r2b * _int8(r)) >> 5)) & 0xFF
+                px[i] = (v & 0xFF00FF00) | (r << 16) | bl
+        elif tr[0] == "subtract_green":
             for i, v in enumerate(px):
                 g = (v >> 8) & 0xFF
                 r = ((v >> 16) + g) & 0xFF
@@ -634,6 +693,7 @@ def _write_entropy_image(wtr, px, w, h, cache_bits=0, use_lz77=False):
 def encode_webp_py(width: int, height: int, rgba: bytes,
                    cache_bits: int = 0, use_lz77: bool = False,
                    subtract_green: bool = False,
+                   color_transform: tuple | None = None,
                    predictor_mode: int | None = None,
                    predictor_size_bits: int = 4) -> bytes:
     """Encode row-major RGBA bytes as a lossless WebP (VP8L) — the
@@ -658,6 +718,28 @@ def encode_webp_py(width: int, height: int, rgba: bytes,
             r = ((v >> 16) - g) & 0xFF
             b = (v - g) & 0xFF
             px[i] = (v & 0xFF00FF00) | (r << 16) | b
+    if color_transform is not None:
+        g2r, g2b, r2b = color_transform
+        sb = predictor_size_bits
+        wtr.put(1, 1)
+        wtr.put(1, 2)
+        wtr.put(sb - 2, 3)
+        tw = (width + (1 << sb) - 1) >> sb
+        th = (height + (1 << sb) - 1) >> sb
+        cte = (ARGB_BLACK | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8)
+               | (g2r & 0xFF))
+        _write_entropy_image(wtr, [cte] * (tw * th), tw, th)
+        for i, v in enumerate(px):
+            g = _int8((v >> 8) & 0xFF)
+            r0 = (v >> 16) & 0xFF
+            bl = v & 0xFF
+            # forward: subtract the deltas the decoder will add back,
+            # with blue's red term taken from the ORIGINAL red (the
+            # decoder restores red first, then uses it for blue)
+            r = (r0 - ((_int8(g2r & 0xFF) * g) >> 5)) & 0xFF
+            bl = (bl - ((_int8(g2b & 0xFF) * g) >> 5)) & 0xFF
+            bl = (bl - ((_int8(r2b & 0xFF) * _int8(r0)) >> 5)) & 0xFF
+            px[i] = (v & 0xFF00FF00) | (r << 16) | bl
     if predictor_mode is not None:
         sb = predictor_size_bits
         wtr.put(1, 1)
@@ -681,3 +763,56 @@ def encode_webp_py(width: int, height: int, rgba: bytes,
     out = (b"RIFF" + struct.pack("<I", 12 + len(body))
            + b"WEBPVP8L" + struct.pack("<I", len(body)) + body)
     return out
+
+
+def encode_webp_palette_py(width: int, height: int, rgba: bytes,
+                           cache_bits: int = 0) -> bytes:
+    """Encode RGBA through the VP8L COLOR-INDEXING transform: build the
+    palette from the distinct pixels (<= 256 required), delta-code it
+    into the transform's sub-image, pack indices into the green
+    channel at 8/4/2/1 bits per pixel depending on palette size, and
+    entropy-code the width-reduced image."""
+    import struct
+    px = [((rgba[4 * i + 3] << 24) | (rgba[4 * i] << 16)
+           | (rgba[4 * i + 1] << 8) | rgba[4 * i + 2])
+          for i in range(width * height)]
+    pal = sorted(set(px))
+    if len(pal) > 256:
+        raise ValueError(f"palette too large: {len(pal)} colors")
+    npal = len(pal)
+    index = {v: i for i, v in enumerate(pal)}
+    wb = 3 if npal <= 2 else 2 if npal <= 4 else 1 if npal <= 16 else 0
+    wtr = _Vp8lBitWriter()
+    wtr.put(width - 1, 14)
+    wtr.put(height - 1, 14)
+    wtr.put(1, 1)
+    wtr.put(0, 3)
+    wtr.put(1, 1)                                # a transform follows
+    wtr.put(3, 2)                                # color indexing
+    wtr.put(npal - 1, 8)
+    deltas, prev = [], 0
+    for v in pal:
+        deltas.append(_sub_px(v, prev))
+        prev = v
+    _write_entropy_image(wtr, deltas, npal, 1)
+    wtr.put(0, 1)                                # end of transforms
+    if wb:
+        bpp = 8 >> wb
+        pw = (width + (1 << wb) - 1) >> wb
+        packed = [0] * (pw * height)
+        for y in range(height):
+            for x in range(width):
+                k = index[px[y * width + x]]
+                packed[y * pw + (x >> wb)] |= \
+                    k << ((x & ((1 << wb) - 1)) * bpp)
+        body_px = [ARGB_BLACK | (v << 8) for v in packed]
+        bw = pw
+    else:
+        body_px = [ARGB_BLACK | (index[v] << 8) for v in px]
+        bw = width
+    _write_entropy_image(wtr, body_px, bw, height, cache_bits)
+    body = b"\x2F" + wtr.bytes()
+    if len(body) % 2:
+        body += b"\x00"
+    return (b"RIFF" + struct.pack("<I", 12 + len(body))
+            + b"WEBPVP8L" + struct.pack("<I", len(body)) + body)

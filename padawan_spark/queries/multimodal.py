@@ -525,16 +525,27 @@ _WEBP_SPECS = [(1,   13,   8,    {}),                       # literals only
                                   "cache_bits": 4,
                                   "predictor_size_bits": 3}),
                (3,   24,   7,    {"use_lz77": True,
-                                  "cache_bits": 5})]
+                                  "cache_bits": 5}),
+               (4,   16,   10,   {"color_transform": (34, -20, 57),
+                                  "subtract_green": True,
+                                  "predictor_mode": 7,
+                                  "predictor_size_bits": 3}),
+               (5,   18,   12,   "palette")]     # color-indexing, packed
 
 
 def _webp_oracle() -> str:
     parts = []
-    for doc_id, w, h, _feat in _WEBP_SPECS:
+    for doc_id, w, h, feat in _WEBP_SPECS:
         x, y = f"(i % {w})", f"(i // {w})"
-        val = (f"((3 * {x} + 7 * {y}) % 256"
-               f" + 2 * ((5 * {x} + {y} * {y}) % 256)"
-               f" + 3 * (({x} * {y} + 11) % 256))")
+        if feat == "palette":
+            k = f"(({x} + 2 * {y}) % 16)"
+            val = (f"((3 * {k} + 7) % 256"
+                   f" + 2 * ((5 * {k} + 1) % 256)"
+                   f" + 3 * ((11 * {k}) % 256))")
+        else:
+            val = (f"((3 * {x} + 7 * {y}) % 256"
+                   f" + 2 * ((5 * {x} + {y} * {y}) % 256)"
+                   f" + 3 * (({x} * {y} + 11) % 256))")
         chk = (f"(SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
                f" FROM range(0, {w * h}) t(i))")
         parts.append(f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
@@ -557,15 +568,24 @@ def mm_real_webp_decode(spark, sf_dir):
     code-length-code with its 16/17/18 repeats), cache hashing,
     LZ77 distance mapping, and the inverse transforms all ran
     correctly.  Scale shape: Arrow-batched mapInPandas, no shuffle."""
-    from ..functions.webp import encode_webp_py
+    from ..functions.webp import encode_webp_palette_py, encode_webp_py
     rows = []
     for doc_id, w, h, feat in _WEBP_SPECS:
-        rgba = bytes(v for y in range(h) for x in range(w)
-                     for v in ((3 * x + 7 * y) % 256,
-                               (5 * x + y * y) % 256,
-                               (x * y + 11) % 256, 255))
-        rows.append((doc_id,
-                     bytearray(encode_webp_py(w, h, rgba, **feat))))
+        if feat == "palette":
+            # 16-color image -> color-indexing with 2 pixels/byte
+            rgba = bytes(v for y in range(h) for x in range(w)
+                         for v in ((3 * ((x + 2 * y) % 16) + 7) % 256,
+                                   (5 * ((x + 2 * y) % 16) + 1) % 256,
+                                   (11 * ((x + 2 * y) % 16)) % 256, 255))
+            rows.append((doc_id,
+                         bytearray(encode_webp_palette_py(w, h, rgba))))
+        else:
+            rgba = bytes(v for y in range(h) for x in range(w)
+                         for v in ((3 * x + 7 * y) % 256,
+                                   (5 * x + y * y) % 256,
+                                   (x * y + 11) % 256, 255))
+            rows.append((doc_id,
+                         bytearray(encode_webp_py(w, h, rgba, **feat))))
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return decode_image_pixels(d)
 

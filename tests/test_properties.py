@@ -866,21 +866,48 @@ def test_tiff_roundtrip_property(w, h, ch, bo, rps, data):
     cache_bits=st.sampled_from([0, 2, 6]),
     lz=st.booleans(),
     sg=st.booleans(),
+    ct=st.one_of(st.none(), st.tuples(
+        st.integers(min_value=-128, max_value=127),
+        st.integers(min_value=-128, max_value=127),
+        st.integers(min_value=-128, max_value=127))),
     pred=st.one_of(st.none(), st.integers(min_value=0, max_value=13)),
     data=st.data(),
 )
-def test_webp_vp8l_roundtrip_property(w, h, cache_bits, lz, sg, pred,
-                                      data):
+def test_webp_vp8l_roundtrip_property(w, h, cache_bits, lz, sg, ct,
+                                      pred, data):
     """VP8L is lossless: random RGBA pixels survive encode -> canonical
     prefix codes -> decode exactly under every feature combination —
-    color cache sizes, LZ77 on/off, subtract-green, and any of the 14
-    predictor modes (tile-based, via a real predictor sub-image)."""
+    color cache sizes, LZ77 on/off, subtract-green, random
+    cross-channel color transforms, and any of the 14 predictor modes
+    (tile-based, via real transform sub-images)."""
     from padawan_spark.functions.webp import (decode_webp_py,
                                               encode_webp_py)
     n = w * h * 4
     rgba = bytes(data.draw(st.binary(min_size=n, max_size=n)))
     payload = encode_webp_py(w, h, rgba, cache_bits=cache_bits,
                              use_lz77=lz, subtract_green=sg,
+                             color_transform=ct,
                              predictor_mode=pred,
                              predictor_size_bits=2)
     assert decode_webp_py(payload) == (w, h, 4, rgba)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    ncol=st.sampled_from([2, 3, 4, 11, 16, 40, 250]),
+    data=st.data(),
+)
+def test_webp_color_indexing_roundtrip_property(w, h, ncol, data):
+    """VP8L color indexing: palettes of every packing class (8/4/2/1
+    bits per pixel, incl. sub-byte packing into the green channel)
+    round-trip exactly through the delta-coded palette sub-image."""
+    from padawan_spark.functions.webp import (decode_webp_py,
+                                              encode_webp_palette_py)
+    pal = [bytes(data.draw(st.binary(min_size=4, max_size=4)))
+           for _ in range(ncol)]
+    rgba = b"".join(pal[data.draw(st.integers(0, ncol - 1))]
+                    for _ in range(w * h))
+    assert decode_webp_py(encode_webp_palette_py(w, h, rgba)) \
+        == (w, h, 4, rgba)
