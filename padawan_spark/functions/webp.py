@@ -6,9 +6,10 @@ code-length-coded with 16/17/18 repeats), the color cache, LZ77
 backward references with the 120-entry 2D distance mapping, and ALL
 FOUR transforms — subtract-green, the tile-based predictor (14
 modes), the cross-channel color transform, and color indexing with
-sub-byte pixel packing.  Meta-prefix (multiple Huffman group) images
-and color-indexing COMBINED with other transforms raise
-``NotImplementedError`` honestly.
+sub-byte pixel packing — plus meta-prefix images (a sub-resolution
+image selecting one of several Huffman code groups per tile).  Only
+color-indexing COMBINED with other transforms raises
+``NotImplementedError``.
 
 The fixture encoders write real frequency-built canonical Huffman
 codes, optional LZ77 run/vertical matches, an optional color cache,
@@ -202,28 +203,44 @@ def _cache_hash(argb: int, cache_bits: int) -> int:
 
 def _read_entropy_image(rd, w: int, h: int, allow_cache: bool = True):
     """Decode one spatially-coded (entropy) image of w*h ARGB pixels —
-    the core shared by the main image and every transform sub-image."""
+    the core shared by the main image and every transform sub-image.
+    Handles meta-prefix images: a recursively-decoded sub-resolution
+    image assigns one of several Huffman code groups to each tile."""
     cache_bits = 0
     if allow_cache and rd.bits(1):
         cache_bits = rd.bits(4)
         if not (1 <= cache_bits <= 11):
             raise NotImplementedError(
                 f"invalid VP8L color-cache bits {cache_bits}")
-    if rd.bits(1):
-        raise NotImplementedError(
-            "VP8L meta-prefix (multiple Huffman group) images are not "
-            "supported by the pure-Python decoder")
+    meta = None
+    if rd.bits(1):                               # meta-prefix image
+        hb = rd.bits(3) + 2
+        hw = (w + (1 << hb) - 1) >> hb
+        hh = (h + (1 << hb) - 1) >> hb
+        himg = _read_entropy_image(rd, hw, hh)
+        gidx = [((((v >> 16) & 0xFF) << 8) | ((v >> 8) & 0xFF))
+                for v in himg]
+        meta = (hb, hw, gidx)
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green = _read_prefix_code(rd, 256 + 24 + cache_size)
-    red = _read_prefix_code(rd, 256)
-    blue = _read_prefix_code(rd, 256)
-    alpha = _read_prefix_code(rd, 256)
-    dist = _read_prefix_code(rd, 40)
+    n_groups = (max(meta[2]) + 1) if meta else 1
+    groups = []
+    for _g in range(n_groups):
+        groups.append((
+            _read_prefix_code(rd, 256 + 24 + cache_size),
+            _read_prefix_code(rd, 256),
+            _read_prefix_code(rd, 256),
+            _read_prefix_code(rd, 256),
+            _read_prefix_code(rd, 40)))
+    green, red, blue, alpha, dist = groups[0]
     cache = [0] * cache_size
     px = [0] * (w * h)
     i = 0
     n = w * h
     while i < n:
+        if meta:
+            hb, hw, gidx = meta
+            g_i = gidx[((i // w) >> hb) * hw + ((i % w) >> hb)]
+            green, red, blue, alpha, dist = groups[g_i]
         s = _read_sym(rd, green)
         if s < 256:                              # literal
             r = _read_sym(rd, red)
@@ -690,12 +707,60 @@ def _write_entropy_image(wtr, px, w, h, cache_bits=0, use_lz77=False):
             put_sym(g_enc, 280 + t[1])
 
 
+def _write_meta_entropy_image(wtr, px, w, h, hb):
+    """Emit a meta-prefix main image: tiles in the left half of the
+    tile grid use Huffman group 0, the right half group 1 — two
+    independently-built code sets selected per pixel position
+    (literals only; the group split is what's under test)."""
+    hw = (w + (1 << hb) - 1) >> hb
+    hh = (h + (1 << hb) - 1) >> hb
+    gidx = [0 if tx < max(1, (hw + 1) // 2) else 1
+            for _ty in range(hh) for tx in range(hw)]
+    ngroups = max(gidx) + 1
+    wtr.put(0, 1)                                # no color cache
+    wtr.put(1, 1)                                # meta-prefix present
+    wtr.put(hb - 2, 3)
+    tiles = [ARGB_BLACK | ((g & 0xFF) << 8) | (((g >> 8) & 0xFF) << 16)
+             for g in gidx]
+    _write_entropy_image(wtr, tiles, hw, hh)
+
+    def group_of(i):
+        return gidx[((i // w) >> hb) * hw + ((i % w) >> hb)]
+
+    freqs = [[{}, {}, {}, {}] for _ in range(ngroups)]
+    for i, v in enumerate(px):
+        fs = freqs[group_of(i)]
+        for f, val in ((fs[0], (v >> 8) & 0xFF), (fs[1], (v >> 16) & 0xFF),
+                       (fs[2], v & 0xFF), (fs[3], (v >> 24) & 0xFF)):
+            f[val] = f.get(val, 0) + 1
+    encs = []
+    for fs in freqs:
+        for f in fs:
+            if not f:
+                f[0] = 1
+        encs.append((
+            _write_prefix_code(wtr, _huffman_lengths(fs[0]), 256 + 24),
+            _write_prefix_code(wtr, _huffman_lengths(fs[1]), 256),
+            _write_prefix_code(wtr, _huffman_lengths(fs[2]), 256),
+            _write_prefix_code(wtr, _huffman_lengths(fs[3]), 256),
+            _write_prefix_code(wtr, _huffman_lengths({0: 1}), 40)))
+    for i, v in enumerate(px):
+        g_enc, r_enc, b_enc, a_enc, _d = encs[group_of(i)]
+        for enc, val in ((g_enc, (v >> 8) & 0xFF),
+                         (r_enc, (v >> 16) & 0xFF),
+                         (b_enc, v & 0xFF), (a_enc, (v >> 24) & 0xFF)):
+            code, ln = enc[val]
+            if ln:
+                wtr.put_code(code, ln)
+
+
 def encode_webp_py(width: int, height: int, rgba: bytes,
                    cache_bits: int = 0, use_lz77: bool = False,
                    subtract_green: bool = False,
                    color_transform: tuple | None = None,
                    predictor_mode: int | None = None,
-                   predictor_size_bits: int = 4) -> bytes:
+                   predictor_size_bits: int = 4,
+                   meta_groups_bits: int | None = None) -> bytes:
     """Encode row-major RGBA bytes as a lossless WebP (VP8L) — the
     fixture inverse of :func:`decode_webp_py`.  Optional features map
     one-to-one onto decoder paths: a color cache of ``cache_bits``,
@@ -756,7 +821,16 @@ def encode_webp_py(width: int, height: int, rgba: bytes,
             res[i] = _sub_px(v, pred)
         px = res
     wtr.put(0, 1)                                # end of transforms
-    _write_entropy_image(wtr, px, width, height, cache_bits, use_lz77)
+    if meta_groups_bits is not None:
+        if use_lz77 or cache_bits:
+            raise ValueError(
+                "meta_groups_bits composes with transforms but not "
+                "with LZ77/cache in this fixture encoder")
+        _write_meta_entropy_image(wtr, px, width, height,
+                                  meta_groups_bits)
+    else:
+        _write_entropy_image(wtr, px, width, height, cache_bits,
+                             use_lz77)
     body = b"\x2F" + wtr.bytes()
     if len(body) % 2:
         body += b"\x00"                          # RIFF even padding

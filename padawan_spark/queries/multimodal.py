@@ -530,7 +530,9 @@ _WEBP_SPECS = [(1,   13,   8,    {}),                       # literals only
                                   "subtract_green": True,
                                   "predictor_mode": 7,
                                   "predictor_size_bits": 3}),
-               (5,   18,   12,   "palette")]     # color-indexing, packed
+               (5,   18,   12,   "palette"),     # color-indexing, packed
+               # meta-prefix: two Huffman groups selected per tile
+               (6,   22,   9,    {"meta_groups_bits": 2})]
 
 
 def _webp_oracle() -> str:

@@ -890,6 +890,13 @@ def test_webp_vp8l_roundtrip_property(w, h, cache_bits, lz, sg, ct,
                              predictor_mode=pred,
                              predictor_size_bits=2)
     assert decode_webp_py(payload) == (w, h, 4, rgba)
+    # meta-prefix variant: two tile-selected Huffman groups, composed
+    # with the same transform stack (cache/LZ77 off per the encoder)
+    payload2 = encode_webp_py(w, h, rgba, subtract_green=sg,
+                              color_transform=ct, predictor_mode=pred,
+                              predictor_size_bits=2,
+                              meta_groups_bits=2)
+    assert decode_webp_py(payload2) == (w, h, 4, rgba)
 
 
 @settings(max_examples=25, deadline=None)
