@@ -918,3 +918,51 @@ def test_webp_color_indexing_roundtrip_property(w, h, ncol, data):
                     for _ in range(w * h))
     assert decode_webp_py(encode_webp_palette_py(w, h, rgba)) \
         == (w, h, 4, rgba)
+
+
+def test_vp8l_max_symbol_header_and_vp8x_sniff():
+    """Two wild-file branches no fixture encoder writes: (a) the
+    prefix-code 'use max_symbol' header, which bounds how many
+    code-length CODES are read (remaining symbols implicitly zero) —
+    hand-assembled and decoded against the expected canonical code;
+    (b) VP8X extended-header canvas dimensions in the sniffer."""
+    import struct
+
+    from padawan_spark.functions.multimodal import sniff_image_header_py
+    from padawan_spark.functions.webp import (_read_prefix_code,
+                                              _Vp8lBitReader,
+                                              _Vp8lBitWriter)
+
+    # (a) lengths [2, 1, 2] over an 8-symbol alphabet via the
+    # max_symbol path: 3 explicit CL codes, then the header stops
+    # reading and symbols 3..7 stay zero.
+    w = _Vp8lBitWriter()
+    w.put(0, 1)                        # not simple
+    w.put(8 - 4, 4)                    # 8 code-length codes
+    # CL order: [17,18,0,1,2,...] -> lengths for CL syms 1 and 2 only
+    cl = {17: 0, 18: 0, 0: 0, 1: 1, 2: 2, 3: 0, 4: 0, 5: 0}
+    from padawan_spark.functions.webp import _CL_ORDER, _canonical
+    for k in range(8):
+        w.put(cl[_CL_ORDER[k]], 3)
+    w.put(1, 1)                        # USE the max_symbol header
+    w.put(0, 3)                        # length_nbits = 2
+    w.put(3 - 2, 2)                    # max_symbol = 3 codes
+    cl_lengths = [0] * 19
+    for s, ln in cl.items():
+        cl_lengths[s] = ln
+    _dec, cl_enc = _canonical(cl_lengths)
+    for sym in (2, 1, 2):              # code lengths for symbols 0..2
+        code, ln = cl_enc[sym]
+        w.put_code(code, ln)
+    rd = _Vp8lBitReader(w.bytes())
+    tree = _read_prefix_code(rd, 8)
+    # expected canonical over lengths [2,1,2,0,...]: sym1 len1 code 0;
+    # sym0 len2 code 10; sym2 len2 code 11
+    assert tree == {(1, 0): 1, (2, 2): 0, (2, 3): 2}
+
+    # (b) VP8X canvas dims (24-bit minus-one, little-endian)
+    vp8x = (b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+            + b"VP8X" + struct.pack("<I", 10)
+            + b"\x00\x00\x00\x00"
+            + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    assert sniff_image_header_py(vp8x) == ("webp", 640, 480)
