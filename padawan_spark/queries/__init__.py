@@ -25,32 +25,30 @@ for _m in _SUITES:
 # head is GENERATED from the recorded CORRECTNESS_r{N}.json results (as the
 # round-4 review asked) instead of a hand-maintained list:
 #
-#   1. RETESTS — queries that have appeared in a driver window but never
-#      passed (red rows) go first, so every fix is re-verified next round;
+#   1. RETESTS — queries whose MOST RECENT driver check failed (red rows)
+#      go first, so every fix is re-verified next round;
 #   2. SENTINELS — queries exercising code that CHANGED this round (listed
 #      explicitly below, updated each round);
-#   3. NEVER-CHECKED — everything without a driver row yet, in registry
-#      order, with _DEFER_NEXT_ROUND pushed behind the rest when the
-#      50-row window is full (they rotate in automatically next round).
+#   3. EVERYTHING ELSE ascending by the round it was LAST driver-checked
+#      (never-checked sorts first as round 0, then r1-era rows, r2-era,
+#      ...), registry order within a round — so with the full registry
+#      green the 50-row window cycles the oldest-verified queries back
+#      through the driver every round instead of re-emitting a static
+#      prefix, and every row is re-verified roughly every
+#      ceil(len(QUERIES)/window) rounds.
 #
 # All queries stay registered; this is a stable re-ordering, not a filter.
 # ---------------------------------------------------------------------------
 
 # code that changed THIS round — keep driver-visible even though already
-# green: the map polars-shim refactor (_wrap_polars_body, dataset.py),
-# the append-path manifest-table auto-refresh (op_incremental_read),
-# delete_rows' manifest surgery + pre-delete snapshot pins
-# (op_delete_rows / op_time_travel read paths), the offset id re-stamp in
-# the tail stream (streaming_manifest_tail), and the palette-PNG decode
-# path (mm_real_png_decode)
-_SENTINELS = ["op_map_partitions", "op_incremental_read", "op_time_travel",
-              "op_delete_rows", "streaming_manifest_tail",
-              "mm_real_png_decode"]
-
-# entries that yield their window slots to older never-checked queries
-# when the 50-row window is full (empty this round: 15 never-checked +
-# sentinels leave ~30 slots spare, so nothing needs deferring)
-_DEFER_NEXT_ROUND: set = set()
+# green: merge_rows' per-file key-membership rewrite set (op_merge_upsert),
+# the VP8L color-indexing-combined-with-transforms decode path
+# (mm_real_webp_decode), the r6 TIFF/FLAC decoders and total-sniff salvage
+# path (mm_real_tiff_decode / mm_real_flac_decode / mm_decode_salvage),
+# and the run-level stream identity re-stamp (streaming_manifest_tail)
+_SENTINELS = ["op_merge_upsert", "mm_real_webp_decode",
+              "mm_real_tiff_decode", "mm_real_flac_decode",
+              "mm_decode_salvage", "streaming_manifest_tail"]
 
 _WINDOW = 50
 
@@ -66,13 +64,15 @@ def _build_head(root: str | None = None) -> list[str]:
     # Per-query verdict comes from the MOST RECENT round that checked it
     # (rounds iterated newest-first; first verdict wins), so a query that
     # regresses after an early green is classified as a retest rather than
-    # staying green-by-union forever.
+    # staying green-by-union forever.  The same pass records WHICH round
+    # last checked each query, driving the least-recently-checked rotation.
     rounds = []
     for p in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if m:
             rounds.append((int(m.group(1)), p))
     latest: dict = {}
+    checked_round: dict = {}        # query -> newest round containing it
     for _n, p in sorted(rounds, reverse=True):
         try:
             with open(p) as fh:
@@ -82,11 +82,12 @@ def _build_head(root: str | None = None) -> list[str]:
         for k, v in d.items():
             if k not in latest:
                 latest[k] = bool(isinstance(v, dict) and v.get("hash_match"))
+                checked_round[k] = _n
     retests = [n for n in QUERIES if n in latest and not latest[n]]
-    never = [n for n in QUERIES if n not in latest]
-    ordered = (retests + _SENTINELS
-               + [n for n in never if n not in _DEFER_NEXT_ROUND]
-               + [n for n in never if n in _DEFER_NEXT_ROUND])
+    # stale-first rotation: never-checked rows sort as round 0 ahead of
+    # r1-era rows, etc.; registry order breaks ties within a round
+    by_staleness = sorted(QUERIES, key=lambda n: checked_round.get(n, 0))
+    ordered = retests + _SENTINELS + by_staleness
     head: list[str] = []
     for n in ordered:
         if n in QUERIES and n not in head:

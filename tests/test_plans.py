@@ -730,3 +730,44 @@ def test_build_head_latest_round_wins(tmp_path):
     write(3, {"q1_pricing_summary": True})
     head2 = _build_head(root=str(tmp_path))
     assert head2[0] != "q1_pricing_summary"
+
+
+def test_build_head_rotates_least_recently_checked(tmp_path):
+    """VERDICT r6 task 1: with the registry fully green, the window must
+    cycle by staleness — never-checked first, then rows ascending by the
+    round that last checked them — so r1-era greens rotate back through
+    the driver instead of going stale behind a static prefix."""
+    import json
+
+    from padawan_spark.queries import QUERIES, _SENTINELS, _WINDOW, _build_head
+
+    names = list(QUERIES)
+    third = len(names) // 3
+    r1, r2 = names[:third], names[third:2 * third]   # r3+: never checked
+
+    def write(n, qs):
+        (tmp_path / f"CORRECTNESS_r{n:02d}.json").write_text(json.dumps({
+            q: {"hash_match": True} for q in qs}))
+
+    write(1, r1)
+    write(2, r2)
+    head = _build_head(root=str(tmp_path))
+    assert len(head) == _WINDOW
+    sent = [s for s in _SENTINELS if s in head]
+    pos = {n: i for i, n in enumerate(head)}
+    never = set(names) - set(r1) - set(r2)
+    # after the sentinels, never-checked rows fill before any r1-era row,
+    # and r1-era rows fill before any r2-era row
+    non_sentinel = [n for n in head if n not in sent]
+    ranks = [0 if n in never else (1 if n in r1 else 2) for n in non_sentinel]
+    assert ranks == sorted(ranks), "head is not staleness-ordered"
+    # sentinels still lead (no retests in this fixture)
+    assert all(pos[s] < pos[non_sentinel[0]] or s == non_sentinel[0]
+               for s in sent)
+    # cycling: pretend the driver greens this head next round; the round
+    # after must pick DIFFERENT rows (the next-stalest), proving the
+    # window walks the registry rather than re-emitting a fixed prefix
+    write(3, head)
+    head_next = _build_head(root=str(tmp_path))
+    fresh = set(head_next) - set(head)
+    assert len(fresh) >= _WINDOW - len(_SENTINELS) - 1
