@@ -22,6 +22,7 @@ from .dataset import (  # noqa: F401
     compact_parquet,
     delete_rows,
     merge_rows,
+    read_changes,
     concat,
     from_pandas,
     scan_parquet,
@@ -38,6 +39,7 @@ __all__ = [
     "compact_parquet",
     "delete_rows",
     "merge_rows",
+    "read_changes",
     "concat",
     "from_pandas",
     "get_spark",

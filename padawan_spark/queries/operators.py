@@ -619,3 +619,51 @@ def op_merge_upsert(spark, sf_dir):
     assert 0 < untouched < n_before, (untouched, n_before)
     out.assert_disjoint()
     return out.df.select("k", "name")
+
+
+@query("op_read_changes", oracle="""
+SELECT 2 AS commit_version, 'delete' AS change_type,
+       CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+FROM nation WHERE n_nationkey BETWEEN 5 AND 9
+UNION ALL
+SELECT 3, 'update_preimage', CAST(n_nationkey AS BIGINT), n_name
+FROM nation WHERE n_nationkey BETWEEN 10 AND 14
+UNION ALL
+SELECT 3, 'update_postimage', CAST(i AS BIGINT),
+       'UPDATED_' || CAST(i AS VARCHAR)
+FROM range(10, 15) t(i)
+UNION ALL
+SELECT 3, 'insert', CAST(i AS BIGINT), 'NEW_' || CAST(i AS VARCHAR)
+FROM range(100, 105) t(i)
+""")
+def op_read_changes(spark, sf_dir):
+    """read_changes: the row-level change-data-feed over manifest
+    snapshots (extends ``op_incremental_read``'s file delta to row
+    granularity, so ``delete_rows``/``merge_rows`` commits become
+    consumable deltas).  Build three commits — v1 write nation as
+    (k, name), v2 DELETE keys 5-9, v3 MERGE updating keys 10-14 and
+    inserting 100-104 — then read the CDF over (v1, v3].  Survivor
+    rows copied verbatim into rewritten files must cancel (EXCEPT ALL
+    on the full row), the delete shows as pure deletes, and the merge
+    splits into update pre/post images plus pure inserts.  The oracle
+    states the expected change rows directly from the source table.
+    Scale shape: per-commit diff reads only added+removed files."""
+    from ..dataset import delete_rows, merge_rows, read_changes
+    src = (load(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").cast("bigint").alias("k"),
+                   F.col("n_name").alias("name")))
+    ds = Dataset(spark, src, index_columns=("k",))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_cdf2_"),
+                          "nation_chg")
+    ds.repartition(5).write_parquet(target)                      # v1
+    delete_rows(spark, target, (5,), (9,), inclusive="both")     # v2
+    batch_rows = ([(k, f"UPDATED_{k}") for k in range(10, 15)]
+                  + [(k, f"NEW_{k}") for k in range(100, 105)])
+    batch = Dataset(spark,
+                    spark.createDataFrame(batch_rows, "k bigint, name string"),
+                    index_columns=("k",))
+    merge_rows(spark, target, batch)                             # v3
+    chg = read_changes(spark, target, 1)
+    return chg.select(F.col("_commit_version").alias("commit_version"),
+                      F.col("_change_type").alias("change_type"),
+                      "k", "name")

@@ -1259,3 +1259,53 @@ def test_merge_rows_upsert_semantics(spark, tmp_path):
         spark, spark.createDataFrame([], "k bigint, v bigint"),
         index_columns=("k",)))
     assert list_versions(p)[-1] == v_now
+
+
+def test_read_changes_cdf(spark, tmp_path):
+    """read_changes (row-level CDF): per-commit deltas between manifest
+    pins — appends emit pure inserts with no anti-join input, deletes
+    emit pure deletes, merges split into update pre/post images plus
+    inserts, survivor rows copied verbatim into rewritten files cancel
+    out, and bad version ranges fail loudly."""
+    import pandas as pd
+
+    from padawan_spark import (delete_rows, from_pandas, list_versions,
+                               merge_rows, read_changes)
+
+    p = str(tmp_path / "cdf")
+    pdf = pd.DataFrame({"k": range(30), "v": [i * 10 for i in range(30)]})
+    from_pandas(spark, pdf, index_columns=("k",)).repartition(6
+                                                              ).write_parquet(p)
+    # v2: append 30-34
+    from_pandas(spark, pd.DataFrame({"k": range(30, 35),
+                                     "v": [0] * 5}),
+                index_columns=("k",)).write_parquet(p, append=True)
+    # v3: delete 5-9
+    delete_rows(spark, p, (5,), (9,), inclusive="both")
+    # v4: merge — update 12-14, insert 100-101
+    merge_rows(spark, p, from_pandas(
+        spark, pd.DataFrame({"k": [12, 13, 14, 100, 101], "v": [999] * 5}),
+        index_columns=("k",)))
+    assert list_versions(p) == [1, 2, 3, 4]
+
+    chg = read_changes(spark, p, 1).collect()
+    got = {(r._commit_version, r._change_type, r.k, r.v) for r in chg}
+    want = ({(2, "insert", k, 0) for k in range(30, 35)}
+            | {(3, "delete", k, k * 10) for k in range(5, 10)}
+            | {(4, "update_preimage", k, k * 10) for k in (12, 13, 14)}
+            | {(4, "update_postimage", k, 999) for k in (12, 13, 14)}
+            | {(4, "insert", k, 999) for k in (100, 101)})
+    assert got == want and len(chg) == len(want)   # survivors cancelled
+
+    # sub-range: only the delete commit
+    chg3 = read_changes(spark, p, 2, 3).collect()
+    assert {(r._change_type, r.k) for r in chg3} \
+        == {("delete", k) for k in range(5, 10)}
+    # empty range: no commits, empty frame with the CDF schema
+    none = read_changes(spark, p, 4)
+    assert none.count() == 0
+    assert none.columns == ["k", "v", "_commit_version", "_change_type"]
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_changes(spark, p, 99)
+    with pytest.raises(ValueError, match="bad version range"):
+        read_changes(spark, p, 3, 2)
