@@ -1361,18 +1361,25 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
     table row with the same index key (if any); the rest insert.
 
     Copy-on-write like :func:`delete_rows`: the rewrite set is the
-    files whose manifest bounds overlap the batch's key range
-    (file-count work on the manifest, no table scan); their surviving
-    rows — a left-anti join against the batch's keys over ONLY those
-    files — union with the batch and re-collate into fresh
-    range-disjoint files.  Untouched files stay byte-identical, and
-    older pins (``scan_parquet(version=k)``) keep reading their exact
-    snapshot until :func:`padawan_spark.metadata.vacuum`.
+    files that actually CONTAIN a batch key — envelope overlap against
+    the manifest picks candidates (file-count work, no table scan),
+    then a chunked map-side aggregate over the small-by-contract batch
+    tests per-file key membership, so a 2-key batch at opposite table
+    ends rewrites 2 files, not every file the min/max envelope spans.
+    Surviving rows — a left-anti join against the batch's keys over
+    ONLY the affected files — union with the batch and re-collate into
+    fresh range-disjoint files, collated per REGION (the gaps between
+    kept files) so the rewritten files never straddle a kept file's
+    range.  Untouched files stay byte-identical, and older pins
+    (``scan_parquet(version=k)``) keep reading their exact snapshot
+    until :func:`padawan_spark.metadata.vacuum`.
 
     Scale shape: cost is O(files touched + batch), never O(table); a
     daily upsert against a date-collated 100 TB corpus rewrites one
-    day of files.  The whole read-manifest → rewrite → publish
-    sequence holds the commit lock, same as append/compact/delete."""
+    day of files, and a scattered batch rewrites only the files its
+    keys land in (plus one tiny aggregate job per 128 candidate
+    files).  The whole read-manifest → rewrite → publish sequence
+    holds the commit lock, same as append/compact/delete."""
     _require(_meta.has_manifest(path), ValueError,
              f"merge_rows requires a manifest at {path}")
     with _meta.commit_lock(path, "merge"):
@@ -1404,28 +1411,109 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
                  f"({agg['n']} rows, {agg['nd']} distinct)")
         blb = tuple(agg["lb"][c] for c in ix)
         bub = tuple(agg["ub"][c] for c in ix)
-        untouched, affected = [], []
+        untouched, candidates = [], []
         for i, f in enumerate(old.files):
             if _overlaps(old.lower_bounds[i], old.upper_bounds[i],
                          blb, bub, True, True):
-                affected.append(f)
+                candidates.append(i)
             else:
                 untouched.append(i)
-        merged = batch.df.select(*table_cols)
-        if affected:
-            survivors = (spark.read.parquet(
-                *[os.path.join(path, f) for f in affected])
-                .join(batch.df.select(*[F.col(c) for c in ix]).distinct(),
-                      on=list(ix), how="left_anti"))
-            merged = survivors.select(*table_cols).unionByName(merged)
-        # re-collate the merged region to the table's prevailing file
-        # size so merge does not degrade layout over time
+        # refine the envelope-overlap candidates to per-file KEY
+        # membership: a scattered batch (keys at both table extremes)
+        # envelope-overlaps every file but only TOUCHES the files that
+        # actually contain one of its keys.  A map-side aggregate over
+        # the (small-by-contract) batch evaluates, per candidate file,
+        # "does any batch key fall inside this file's bounds" — a 1-row
+        # result per chunk, no data files read, no key collection.
+        # Chunked so a pathological candidate count never builds one
+        # giant aggregate expression list.
+        import functools
+        candidates.sort(key=functools.cmp_to_key(
+            lambda a, b: _ord.lex_cmp(old.lower_bounds[a],
+                                      old.lower_bounds[b])))
+        inside = {}
+        for lo in range(0, len(candidates), 128):
+            chunk = candidates[lo:lo + 128]
+            row = batch.df.agg(*[
+                F.max(F.coalesce(
+                    (_ord.columns_geq(ix, old.lower_bounds[i])
+                     & _ord.columns_leq(ix, old.upper_bounds[i]))
+                    .cast("int"), F.lit(0))).alias(f"c{j}")
+                for j, i in enumerate(chunk)]).collect()[0]
+            for j, i in enumerate(chunk):
+                inside[i] = bool(row[f"c{j}"])
+        affected = [i for i in candidates if inside[i]]
+        spared = [i for i in candidates if not inside[i]]
+        untouched = sorted(untouched + spared)
+        # The rewritten rows must stay range-disjoint from every KEPT
+        # file, so the merge collates per REGION: the open gaps between
+        # consecutive SPARED candidates (inside-envelope files holding no
+        # batch key).  Fully-outside untouched files cannot interleave —
+        # batch keys and affected-file bounds all lie inside the
+        # envelope, which the spared/affected candidates tile.  Region r
+        # in 0..len(spared) spans (spared[r-1].ub, spared[r].lb), open
+        # ends at the extremes; every batch key and every affected file
+        # falls strictly inside one region (a key on a spared bound
+        # would have made that file affected).
+        def _region_pred(r):
+            p = None
+            if r > 0:
+                p = _ord.columns_gt(ix, old.upper_bounds[spared[r - 1]])
+            if r < len(spared):
+                c = _ord.columns_lt(ix, old.lower_bounds[spared[r]])
+                p = c if p is None else (p & c)
+            return (F.lit(True) if p is None
+                    else F.coalesce(p, F.lit(False)))
+        region_files: dict[int, list[int]] = {}
+        r = 0
+        for i in affected:           # both lists ascend by lower bound
+            while r < len(spared) and _ord.lex_cmp(
+                    old.lower_bounds[i], old.lower_bounds[spared[r]]) > 0:
+                r += 1
+            region_files.setdefault(r, []).append(i)
+        work = sorted(region_files)
+        # pure-insert regions (keys landing in a gap with no affected
+        # file) found by the same chunked map-side aggregate
+        rest = [r for r in range(len(spared) + 1) if r not in region_files]
+        for lo in range(0, len(rest), 128):
+            chunk = rest[lo:lo + 128]
+            row = batch.df.agg(*[
+                F.max(_region_pred(rr).cast("int")).alias(f"r{j}")
+                for j, rr in enumerate(chunk)]).collect()[0]
+            work += [rr for j, rr in enumerate(chunk) if row[f"r{j}"]]
+        work.sort()
+        # re-collate each region to the table's prevailing file size so
+        # merge does not degrade layout over time
         if old.known_sizes and old.sizes:
             rpp = max(1, sum(old.sizes) // max(1, len(old.sizes)))
         else:
             rpp = 1 << 20
-        merged_ds = Dataset(spark, merged, index_columns=ix
-                            ).reindex(ix).repartition(rpp)
+        batch_keys = batch.df.select(*[F.col(c) for c in ix]).distinct()
+        parts = []
+        for rr in work:
+            part = batch.df.where(_region_pred(rr)).select(*table_cols)
+            files_r = region_files.get(rr, [])
+            if files_r:
+                surv = (spark.read.parquet(
+                    *[os.path.join(path, old.files[i]) for i in files_r])
+                    .join(batch_keys, on=list(ix), how="left_anti"))
+                part = surv.select(*table_cols).unionByName(part)
+            parts.append(Dataset(spark, part, index_columns=ix
+                                 ).reindex(ix).repartition(rpp))
+        if len(parts) == 1:
+            merged_ds = parts[0]
+        else:
+            # pin each region's range partitioning before the union: AQE
+            # coalesces a Union of shuffle exchanges across children, and
+            # a fused partition spanning two regions would straddle the
+            # spared files between them — breaking range-disjointness.
+            # localCheckpoint materializes the partitioning (same trick
+            # as repartition's sample_fraction path); regions are small
+            # (O(files touched + batch)), so the extra materialization
+            # is bounded by the rewrite itself.
+            merged_ds = concat([
+                Dataset(spark, d.df.localCheckpoint(eager=True),
+                        index_columns=ix) for d in parts])
         before = set(_list_parquet(path))
         merged_ds.df.write.mode("append").parquet(path)
         new_files = sorted(set(_list_parquet(path)) - before)

@@ -1309,3 +1309,44 @@ def test_read_changes_cdf(spark, tmp_path):
         read_changes(spark, p, 99)
     with pytest.raises(ValueError, match="bad version range"):
         read_changes(spark, p, 3, 2)
+
+
+def test_merge_rows_rewrite_set_is_key_membership(spark, tmp_path):
+    """VERDICT r6 task 5: a 2-key batch at opposite table ends must
+    rewrite only the 2 files actually containing those keys — the
+    rewrite set is per-file key membership, not the batch's min/max
+    envelope (which overlaps every file here)."""
+    import pandas as pd
+
+    from padawan_spark import from_pandas, merge_rows, scan_parquet
+
+    p = str(tmp_path / "mrgscat")
+    pdf = pd.DataFrame({"k": range(100), "v": [i * 10 for i in range(100)]})
+    from_pandas(spark, pdf, index_columns=("k",)).repartition(10
+                                                              ).write_parquet(p)
+    pre = scan_parquet(spark, p)
+    assert len(pre._files) == 10
+    # keys 3 and 97: first and last file only; envelope [3, 97] overlaps
+    # all ten files
+    out = merge_rows(spark, p, from_pandas(
+        spark, pd.DataFrame({"k": [3, 97], "v": [999, 999]}),
+        index_columns=("k",)))
+    untouched = set(out._files) & set(pre._files)
+    assert len(untouched) == 8, \
+        f"expected 8 untouched files, got {len(untouched)}"
+    got = {r.k: r.v for r in out.df.collect()}
+    want = {i: i * 10 for i in range(100)}
+    want.update({3: 999, 97: 999})
+    assert got == want
+    out.assert_disjoint()
+    # scattered keys landing in NO existing file's bounds (pure inserts
+    # between/outside file ranges) rewrite nothing when no file contains
+    # them: batch keys 200, 300 are beyond every upper bound
+    pre2 = scan_parquet(spark, p)
+    out2 = merge_rows(spark, p, from_pandas(
+        spark, pd.DataFrame({"k": [200, 300], "v": [1, 2]}),
+        index_columns=("k",)))
+    assert set(pre2._files) <= set(out2._files)
+    assert {r.k: r.v for r in out2.df.where("k >= 200").collect()} \
+        == {200: 1, 300: 2}
+    out2.assert_disjoint()
