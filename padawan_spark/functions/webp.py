@@ -7,9 +7,9 @@ backward references with the 120-entry 2D distance mapping, and ALL
 FOUR transforms — subtract-green, the tile-based predictor (14
 modes), the cross-channel color transform, and color indexing with
 sub-byte pixel packing — plus meta-prefix images (a sub-resolution
-image selecting one of several Huffman code groups per tile).  Only
-color-indexing COMBINED with other transforms raises
-``NotImplementedError``.
+image selecting one of several Huffman code groups per tile),
+including color-indexing STACKED with the other transforms (later
+transforms operate on the packed, width-reduced image per the spec).
 
 The fixture encoders write real frequency-built canonical Huffman
 codes, optional LZ77 run/vertical matches, an optional color cache,
@@ -382,8 +382,8 @@ def decode_webp_py(b: bytes):
     """Decode a lossless WebP (VP8L).
 
     Returns ``(width, height, 4, rgba_bytes)`` row-major top-down.
-    Lossy VP8, color-transform / color-indexing transforms, and
-    meta-prefix images raise ``NotImplementedError`` honestly."""
+    All four transforms decode, in any stacking; lossy VP8 raises
+    ``NotImplementedError`` honestly."""
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise NotImplementedError(
             "not a WebP payload and PIL is unavailable")
@@ -401,66 +401,63 @@ def decode_webp_py(b: bytes):
     if rd.bits(3) != 0:
         raise NotImplementedError("unknown VP8L version")
     transforms = []
-    while rd.bits(1):
-        ttype = rd.bits(2)
+    w_cur = w            # color-indexing bundling reduces the width used
+    while rd.bits(1):    # by EVERYTHING read after it (spec: transforms
+        ttype = rd.bits(2)  # following it apply to the packed image)
         if ttype == 2:                           # subtract green
             transforms.append(("subtract_green",))
         elif ttype == 0:                         # predictor
             size_bits = rd.bits(3) + 2
-            tw = (w + (1 << size_bits) - 1) >> size_bits
+            tw = (w_cur + (1 << size_bits) - 1) >> size_bits
             th = (h + (1 << size_bits) - 1) >> size_bits
             tiles = _read_entropy_image(rd, tw, th)
-            transforms.append(("predictor", size_bits, tw, tiles))
+            transforms.append(("predictor", size_bits, tw, tiles, w_cur))
         elif ttype == 1:                         # color transform
             size_bits = rd.bits(3) + 2
-            tw = (w + (1 << size_bits) - 1) >> size_bits
+            tw = (w_cur + (1 << size_bits) - 1) >> size_bits
             th = (h + (1 << size_bits) - 1) >> size_bits
             tiles = _read_entropy_image(rd, tw, th)
-            transforms.append(("color", size_bits, tw, tiles))
-        elif ttype == 3:                         # color indexing
+            transforms.append(("color", size_bits, tw, tiles, w_cur))
+        else:                                    # ttype == 3: indexing
             npal = rd.bits(8) + 1
             stored = _read_entropy_image(rd, npal, 1)
             pal, prev = [], 0                    # delta-coded entries
             for v in stored:
                 prev = _add_px(prev, v)
                 pal.append(prev)
-            wb = 3 if npal <= 2 else 2 if npal <= 4                 else 1 if npal <= 16 else 0
-            transforms.append(("color_index", npal, wb, pal))
-        else:
-            raise NotImplementedError(
-                "the VP8L color (cross-channel) transform is not "
-                "supported by the pure-Python decoder")
-    if any(t[0] == "color_index" for t in transforms)             and len(transforms) > 1:
-        raise NotImplementedError(
-            "VP8L color-indexing combined with other transforms is "
-            "not supported by the pure-Python decoder")
-    w_eff = w
-    for t in transforms:
-        if t[0] == "color_index" and t[2]:
-            w_eff = (w + (1 << t[2]) - 1) >> t[2]
-    px = _read_entropy_image(rd, w_eff, h)
-    # inverse transforms, in reverse order of appearance
+            wb = (3 if npal <= 2 else 2 if npal <= 4
+                  else 1 if npal <= 16 else 0)
+            transforms.append(("color_index", npal, wb, pal, w_cur))
+            if wb:
+                w_cur = (w_cur + (1 << wb) - 1) >> wb
+    px = _read_entropy_image(rd, w_cur, h)
+    # inverse transforms, in reverse order of appearance; each runs at
+    # the width that was current when its forward was READ, so inverses
+    # of transforms read after the indexing transform operate on the
+    # packed image, and un-indexing then restores the full width for
+    # the transforms read before it
     for tr in reversed(transforms):
         if tr[0] == "color_index":
-            _tag, npal, wb, pal = tr
+            _tag, npal, wb, pal, src_w = tr
             if wb:
                 bpp = 8 >> wb
                 mask = (1 << bpp) - 1
-                pw = (w + (1 << wb) - 1) >> wb
-                out2 = [0] * (w * h)
+                pw = (src_w + (1 << wb) - 1) >> wb
+                out2 = [0] * (src_w * h)
                 for y in range(h):
-                    for x in range(w):
+                    for x in range(src_w):
                         packed = (px[y * pw + (x >> wb)] >> 8) & 0xFF
-                        idx = (packed >> ((x & ((1 << wb) - 1)) * bpp))                             & mask
-                        out2[y * w + x] = pal[idx] if idx < npal else 0
+                        idx = ((packed >> ((x & ((1 << wb) - 1)) * bpp))
+                               & mask)
+                        out2[y * src_w + x] = pal[idx] if idx < npal else 0
                 px = out2
             else:
                 px = [pal[(v >> 8) & 0xFF]
                       if ((v >> 8) & 0xFF) < npal else 0 for v in px]
         elif tr[0] == "color":
-            _tag, size_bits, tw, tiles = tr
-            for i in range(w * h):
-                x, y = i % w, i // w
+            _tag, size_bits, tw, tiles, cw = tr
+            for i in range(cw * h):
+                x, y = i % cw, i // cw
                 cte = tiles[(y >> size_bits) * tw + (x >> size_bits)]
                 g2r = _int8(cte & 0xFF)
                 g2b = _int8((cte >> 8) & 0xFF)
@@ -478,12 +475,12 @@ def decode_webp_py(b: bytes):
                 bl = (v + g) & 0xFF
                 px[i] = (v & 0xFF00FF00) | (r << 16) | bl
         else:
-            _tag, size_bits, tw, tiles = tr
-            for i in range(w * h):
-                x, y = i % w, i // w
+            _tag, size_bits, tw, tiles, cw = tr
+            for i in range(cw * h):
+                x, y = i % cw, i // cw
                 mode = (tiles[(y >> size_bits) * tw + (x >> size_bits)]
                         >> 8) & 0xFF
-                px[i] = _add_px(px[i], _predict(mode, px, i, x, y, w))
+                px[i] = _add_px(px[i], _predict(mode, px, i, x, y, cw))
     out = bytearray(w * h * 4)
     for i, v in enumerate(px):
         out[4 * i] = (v >> 16) & 0xFF            # R
@@ -840,27 +837,45 @@ def encode_webp_py(width: int, height: int, rgba: bytes,
 
 
 def encode_webp_palette_py(width: int, height: int, rgba: bytes,
-                           cache_bits: int = 0) -> bytes:
+                           cache_bits: int = 0,
+                           subtract_green: bool = False,
+                           predictor_mode: int | None = None,
+                           predictor_size_bits: int = 4) -> bytes:
     """Encode RGBA through the VP8L COLOR-INDEXING transform: build the
     palette from the distinct pixels (<= 256 required), delta-code it
     into the transform's sub-image, pack indices into the green
     channel at 8/4/2/1 bits per pixel depending on palette size, and
-    entropy-code the width-reduced image."""
+    entropy-code the width-reduced image.
+
+    ``subtract_green`` stacks the subtract-green transform UNDER the
+    palette (applied to the pixels before palettization; written first
+    so the decoder un-indexes before un-subtracting).
+    ``predictor_mode`` stacks a uniform predictor transform ON TOP of
+    the packed index image (written after the indexing transform, so
+    its tile grid spans the packed width per the spec)."""
     import struct
     px = [((rgba[4 * i + 3] << 24) | (rgba[4 * i] << 16)
            | (rgba[4 * i + 1] << 8) | rgba[4 * i + 2])
           for i in range(width * height)]
+    wtr = _Vp8lBitWriter()
+    wtr.put(width - 1, 14)
+    wtr.put(height - 1, 14)
+    wtr.put(1, 1)
+    wtr.put(0, 3)
+    if subtract_green:
+        wtr.put(1, 1)
+        wtr.put(2, 2)
+        for i, v in enumerate(px):
+            g = (v >> 8) & 0xFF
+            r = ((v >> 16) - g) & 0xFF
+            b = (v - g) & 0xFF
+            px[i] = (v & 0xFF00FF00) | (r << 16) | b
     pal = sorted(set(px))
     if len(pal) > 256:
         raise ValueError(f"palette too large: {len(pal)} colors")
     npal = len(pal)
     index = {v: i for i, v in enumerate(pal)}
     wb = 3 if npal <= 2 else 2 if npal <= 4 else 1 if npal <= 16 else 0
-    wtr = _Vp8lBitWriter()
-    wtr.put(width - 1, 14)
-    wtr.put(height - 1, 14)
-    wtr.put(1, 1)
-    wtr.put(0, 3)
     wtr.put(1, 1)                                # a transform follows
     wtr.put(3, 2)                                # color indexing
     wtr.put(npal - 1, 8)
@@ -869,7 +884,6 @@ def encode_webp_palette_py(width: int, height: int, rgba: bytes,
         deltas.append(_sub_px(v, prev))
         prev = v
     _write_entropy_image(wtr, deltas, npal, 1)
-    wtr.put(0, 1)                                # end of transforms
     if wb:
         bpp = 8 >> wb
         pw = (width + (1 << wb) - 1) >> wb
@@ -884,6 +898,22 @@ def encode_webp_palette_py(width: int, height: int, rgba: bytes,
     else:
         body_px = [ARGB_BLACK | (index[v] << 8) for v in px]
         bw = width
+    if predictor_mode is not None:
+        sb = predictor_size_bits
+        wtr.put(1, 1)
+        wtr.put(0, 2)                            # predictor transform
+        wtr.put(sb - 2, 3)
+        tw = (bw + (1 << sb) - 1) >> sb
+        th = (height + (1 << sb) - 1) >> sb
+        tiles = [ARGB_BLACK | (predictor_mode << 8)] * (tw * th)
+        _write_entropy_image(wtr, tiles, tw, th)
+        res = [0] * len(body_px)
+        for i, v in enumerate(body_px):
+            pred = _predict(predictor_mode, body_px, i, i % bw,
+                            i // bw, bw)
+            res[i] = _sub_px(v, pred)
+        body_px = res
+    wtr.put(0, 1)                                # end of transforms
     _write_entropy_image(wtr, body_px, bw, height, cache_bits)
     body = b"\x2F" + wtr.bytes()
     if len(body) % 2:

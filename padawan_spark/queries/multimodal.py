@@ -532,14 +532,17 @@ _WEBP_SPECS = [(1,   13,   8,    {}),                       # literals only
                                   "predictor_size_bits": 3}),
                (5,   18,   12,   "palette"),     # color-indexing, packed
                # meta-prefix: two Huffman groups selected per tile
-               (6,   22,   9,    {"meta_groups_bits": 2})]
+               (6,   22,   9,    {"meta_groups_bits": 2}),
+               # color-indexing STACKED with subtract-green + a
+               # predictor over the packed image + a color cache
+               (7,   19,   11,   "palette_stacked")]
 
 
 def _webp_oracle() -> str:
     parts = []
     for doc_id, w, h, feat in _WEBP_SPECS:
         x, y = f"(i % {w})", f"(i // {w})"
-        if feat == "palette":
+        if feat in ("palette", "palette_stacked"):
             k = f"(({x} + 2 * {y}) % 16)"
             val = (f"((3 * {k} + 7) % 256"
                    f" + 2 * ((5 * {k} + 1) % 256)"
@@ -573,14 +576,20 @@ def mm_real_webp_decode(spark, sf_dir):
     from ..functions.webp import encode_webp_palette_py, encode_webp_py
     rows = []
     for doc_id, w, h, feat in _WEBP_SPECS:
-        if feat == "palette":
-            # 16-color image -> color-indexing with 2 pixels/byte
+        if feat in ("palette", "palette_stacked"):
+            # 16-color image -> color-indexing with 2 pixels/byte;
+            # the stacked variant layers subtract-green under the
+            # palette and a predictor + cache over the packed image
             rgba = bytes(v for y in range(h) for x in range(w)
                          for v in ((3 * ((x + 2 * y) % 16) + 7) % 256,
                                    (5 * ((x + 2 * y) % 16) + 1) % 256,
                                    (11 * ((x + 2 * y) % 16)) % 256, 255))
+            kw = (dict(subtract_green=True, predictor_mode=11,
+                       predictor_size_bits=2, cache_bits=3)
+                  if feat == "palette_stacked" else {})
             rows.append((doc_id,
-                         bytearray(encode_webp_palette_py(w, h, rgba))))
+                         bytearray(encode_webp_palette_py(w, h, rgba,
+                                                          **kw))))
         else:
             rgba = bytes(v for y in range(h) for x in range(w)
                          for v in ((3 * x + 7 * y) % 256,

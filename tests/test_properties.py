@@ -909,7 +909,10 @@ def test_webp_vp8l_roundtrip_property(w, h, cache_bits, lz, sg, ct,
 def test_webp_color_indexing_roundtrip_property(w, h, ncol, data):
     """VP8L color indexing: palettes of every packing class (8/4/2/1
     bits per pixel, incl. sub-byte packing into the green channel)
-    round-trip exactly through the delta-coded palette sub-image."""
+    round-trip exactly through the delta-coded palette sub-image —
+    alone AND stacked with the other transforms (subtract-green under
+    the palette; a predictor over the PACKED width-reduced image, the
+    spec's 'later transforms apply to the packed image' rule)."""
     from padawan_spark.functions.webp import (decode_webp_py,
                                               encode_webp_palette_py)
     pal = [bytes(data.draw(st.binary(min_size=4, max_size=4)))
@@ -918,6 +921,15 @@ def test_webp_color_indexing_roundtrip_property(w, h, ncol, data):
                     for _ in range(w * h))
     assert decode_webp_py(encode_webp_palette_py(w, h, rgba)) \
         == (w, h, 4, rgba)
+    sg = data.draw(st.booleans())
+    pred = data.draw(st.one_of(st.none(),
+                               st.integers(min_value=0, max_value=13)))
+    cb = data.draw(st.sampled_from([0, 3]))
+    stacked = encode_webp_palette_py(w, h, rgba, cache_bits=cb,
+                                     subtract_green=sg,
+                                     predictor_mode=pred,
+                                     predictor_size_bits=2)
+    assert decode_webp_py(stacked) == (w, h, 4, rgba)
 
 
 def test_vp8l_max_symbol_header_and_vp8x_sniff():
