@@ -117,24 +117,18 @@ def main() -> None:
             except Exception:
                 pass
 
-    # best-of-2 per query: this box shows 2-3x run-to-run variance from
-    # neighbor load, and the min of two passes is the standard way to
-    # report the engine's cost rather than the machine's worst moment
+    # min-of-3 per query: this box shows 2-3x run-to-run variance from
+    # neighbor load (r7's raw total moved +9.5% on entirely untouched
+    # code), and the min of three same-process warm passes reports the
+    # engine's cost rather than the machine's worst moment
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # the bucketed-join WRITE is memoized (second call would time the
-        # post-write fast path, not the investment) — single-pass it.
-        # The iterative loops run 8-12 chained jobs and show the widest
-        # run-to-run spread — give them a third pass.
-        if name == "scale_bucketed_join":
-            passes = 1
-        elif name in ITERATIVE:
-            passes = 3
-        else:
-            passes = 2
+        # the bucketed-join WRITE is memoized (a repeat call would time
+        # the post-write fast path, not the investment) — single-pass it
+        passes = 1 if name == "scale_bucketed_join" else 3
         best = None
         for _ in range(passes):
             t0 = time.perf_counter()

@@ -23,7 +23,9 @@ predicates are Catalyst boolean trees that push into parquet scans.
 
 from __future__ import annotations
 
+import functools
 import glob as _glob
+import json
 import math
 import os
 import shutil
@@ -31,7 +33,8 @@ from typing import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (BooleanType, LongType, StructField,
+                               StructType)
 
 from . import metadata as _meta
 from . import ordering as _ord
@@ -1363,9 +1366,10 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
     Copy-on-write like :func:`delete_rows`: the rewrite set is the
     files that actually CONTAIN a batch key — envelope overlap against
     the manifest picks candidates (file-count work, no table scan),
-    then a chunked map-side aggregate over the small-by-contract batch
-    tests per-file key membership, so a 2-key batch at opposite table
-    ends rewrites 2 files, not every file the min/max envelope spans.
+    then ONE broadcast join of the small-by-contract batch keys against
+    a (file, bounds) table tests per-file key membership, so a 2-key
+    batch at opposite table ends rewrites 2 files, not every file the
+    min/max envelope spans.
     Surviving rows — a left-anti join against the batch's keys over
     ONLY the affected files — union with the batch and re-collate into
     fresh range-disjoint files, collated per REGION (the gaps between
@@ -1377,8 +1381,8 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
     Scale shape: cost is O(files touched + batch), never O(table); a
     daily upsert against a date-collated 100 TB corpus rewrites one
     day of files, and a scattered batch rewrites only the files its
-    keys land in (plus one tiny aggregate job per 128 candidate
-    files).  The whole read-manifest → rewrite → publish sequence
+    keys land in (two fixed-size metadata probe jobs total, however
+    many candidates).  The whole read-manifest → rewrite → publish sequence
     holds the commit lock, same as append/compact/delete."""
     _require(_meta.has_manifest(path), ValueError,
              f"merge_rows requires a manifest at {path}")
@@ -1396,12 +1400,16 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
         _require(set(batch.df.columns) == set(table_cols), ValueError,
                  f"batch columns {sorted(batch.df.columns)} != table "
                  f"columns {sorted(table_cols)}")
-        # one job: batch key range + uniqueness check
+        # one job: batch key range + uniqueness check.  The distinct
+        # count runs over a STRUCT of the key columns: countDistinct on
+        # bare columns drops null-keyed rows (legal under null-first
+        # semantics), which would misreport a single null-key row as a
+        # duplicate.
         key = F.struct(*_ord.sort_key_cols(ix))
         val = F.struct(*[F.col(c) for c in ix])
         agg = batch.df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct(*[F.col(c) for c in ix]).alias("nd"),
+            F.countDistinct(val).alias("nd"),
             F.min_by(val, key).alias("lb"),
             F.max_by(val, key).alias("ub")).collect()[0]
         if agg["n"] == 0:                    # empty batch: no-op
@@ -1421,29 +1429,44 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
         # refine the envelope-overlap candidates to per-file KEY
         # membership: a scattered batch (keys at both table extremes)
         # envelope-overlaps every file but only TOUCHES the files that
-        # actually contain one of its keys.  A map-side aggregate over
-        # the (small-by-contract) batch evaluates, per candidate file,
-        # "does any batch key fall inside this file's bounds" — a 1-row
-        # result per chunk, no data files read, no key collection.
-        # Chunked so a pathological candidate count never builds one
-        # giant aggregate expression list.
-        import functools
+        # actually contain one of its keys.  The per-file containment
+        # test runs as ONE broadcast nested-loop join — batch keys vs a
+        # tiny (file_id, lb, ub) bounds table built from the manifest —
+        # a single Spark job regardless of candidate count (the prior
+        # chunked-aggregate form launched one sequential job per 128
+        # candidates: ~800 jobs inside the commit lock on a 100k-file
+        # table).  No data files read, no key collection: the join
+        # output is the distinct matched file ids, O(candidates) rows.
         candidates.sort(key=functools.cmp_to_key(
             lambda a, b: _ord.lex_cmp(old.lower_bounds[a],
                                       old.lower_bounds[b])))
-        inside = {}
-        for lo in range(0, len(candidates), 128):
-            chunk = candidates[lo:lo + 128]
-            row = batch.df.agg(*[
-                F.max(F.coalesce(
-                    (_ord.columns_geq(ix, old.lower_bounds[i])
-                     & _ord.columns_leq(ix, old.upper_bounds[i]))
-                    .cast("int"), F.lit(0))).alias(f"c{j}")
-                for j, i in enumerate(chunk)]).collect()[0]
-            for j, i in enumerate(chunk):
-                inside[i] = bool(row[f"c{j}"])
-        affected = [i for i in candidates if inside[i]]
-        spared = [i for i in candidates if not inside[i]]
+        ix_fields = [batch.df.schema[c] for c in ix]
+        key_df = batch.df.select(*[F.col(c) for c in ix])
+
+        def _probe(rows, schema, cond) -> set:
+            """One broadcast-NL-join job: which bounds rows match ≥1 key."""
+            bdf = spark.createDataFrame(rows, schema)
+            hit = (key_df.join(F.broadcast(bdf), on=cond, how="inner")
+                   .select("__bid").distinct().collect())
+            return {r["__bid"] for r in hit}
+
+        nb = len(ix_fields)
+        file_schema = StructType(
+            [StructField("__bid", LongType(), False)]
+            + [StructField(f"__lb_{j}", f.dataType, True)
+               for j, f in enumerate(ix_fields)]
+            + [StructField(f"__ub_{j}", f.dataType, True)
+               for j, f in enumerate(ix_fields)])
+        lb_cols = [F.col(f"__lb_{j}") for j in range(nb)]
+        ub_cols = [F.col(f"__ub_{j}") for j in range(nb)]
+        inside_set = _probe(
+            [(i, *old.lower_bounds[i], *old.upper_bounds[i])
+             for i in candidates],
+            file_schema,
+            _ord.cols_geq_cols(ix, lb_cols) & _ord.cols_leq_cols(ix, ub_cols)
+        ) if candidates else set()
+        affected = [i for i in candidates if i in inside_set]
+        spared = [i for i in candidates if i not in inside_set]
         untouched = sorted(untouched + spared)
         # The rewritten rows must stay range-disjoint from every KEPT
         # file, so the merge collates per REGION: the open gaps between
@@ -1473,14 +1496,31 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
             region_files.setdefault(r, []).append(i)
         work = sorted(region_files)
         # pure-insert regions (keys landing in a gap with no affected
-        # file) found by the same chunked map-side aggregate
+        # file): same single broadcast-join probe, gap bounds table this
+        # time.  Open ends carry an explicit has_lo/has_hi flag because a
+        # NULL bound VALUE is legal (null-first ranges) and cannot double
+        # as the open-end sentinel.
         rest = [r for r in range(len(spared) + 1) if r not in region_files]
-        for lo in range(0, len(rest), 128):
-            chunk = rest[lo:lo + 128]
-            row = batch.df.agg(*[
-                F.max(_region_pred(rr).cast("int")).alias(f"r{j}")
-                for j, rr in enumerate(chunk)]).collect()[0]
-            work += [rr for j, rr in enumerate(chunk) if row[f"r{j}"]]
+        if rest:
+            region_schema = StructType(
+                [StructField("__bid", LongType(), False),
+                 StructField("__has_lo", BooleanType(), False),
+                 StructField("__has_hi", BooleanType(), False)]
+                + [StructField(f"__lo_{j}", f.dataType, True)
+                   for j, f in enumerate(ix_fields)]
+                + [StructField(f"__hi_{j}", f.dataType, True)
+                   for j, f in enumerate(ix_fields)])
+            none_b = (None,) * nb
+            rows = [(r, r > 0, r < len(spared),
+                     *(old.upper_bounds[spared[r - 1]] if r > 0 else none_b),
+                     *(old.lower_bounds[spared[r]] if r < len(spared)
+                       else none_b))
+                    for r in rest]
+            lo_cols = [F.col(f"__lo_{j}") for j in range(nb)]
+            hi_cols = [F.col(f"__hi_{j}") for j in range(nb)]
+            cond = ((~F.col("__has_lo") | _ord.cols_gt_cols(ix, lo_cols))
+                    & (~F.col("__has_hi") | _ord.cols_lt_cols(ix, hi_cols)))
+            work += sorted(_probe(rows, region_schema, cond))
         work.sort()
         # re-collate each region to the table's prevailing file size so
         # merge does not degrade layout over time
@@ -1489,6 +1529,13 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
         else:
             rpp = 1 << 20
         batch_keys = batch.df.select(*[F.col(c) for c in ix]).distinct()
+        # null-safe survivor anti-join: a table row with a NULL index key
+        # must still be replaced by a null-keyed batch row — plain-equality
+        # anti-join would keep it and duplicate the key
+        _anti = functools.reduce(
+            lambda acc, c: acc & F.col(f"t.{c}").eqNullSafe(F.col(f"b.{c}")),
+            ix[1:],
+            F.col(f"t.{ix[0]}").eqNullSafe(F.col(f"b.{ix[0]}")))
         parts = []
         for rr in work:
             part = batch.df.where(_region_pred(rr)).select(*table_cols)
@@ -1496,7 +1543,8 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
             if files_r:
                 surv = (spark.read.parquet(
                     *[os.path.join(path, old.files[i]) for i in files_r])
-                    .join(batch_keys, on=list(ix), how="left_anti"))
+                    .alias("t")
+                    .join(batch_keys.alias("b"), on=_anti, how="left_anti"))
                 part = surv.select(*table_cols).unionByName(part)
             parts.append(Dataset(spark, part, index_columns=ix
                                  ).reindex(ix).repartition(rpp))
@@ -1562,12 +1610,25 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
     on the driver, no table scan); rows copy-on-write carried over
     unchanged (survivors of a rewritten file) cancel out via a
     multiset ``EXCEPT ALL`` on the full row, so a one-day delete on a
-    100 TB corpus yields a one-day read, and an append commit costs a
-    metadata-only diff (no removed files → every added row is an
-    insert with no anti-join).  The update classification joins the
-    change set against itself on the index key — O(changes), never
-    O(table)."""
+    100 TB corpus yields a one-day read; an append commit takes a fast
+    path that tags the added rows ``insert`` directly (no removed
+    files → no EXCEPT ALL, no shuffle of the appended data), and a
+    whole-file drop the symmetric ``delete`` path.  The update
+    classification joins the change set against itself on the index
+    key with NULL-SAFE equality (``<=>``) — delete_rows can remove
+    rows whose index keys are NULL under null-first range semantics,
+    and plain equality would silently split their updates into
+    insert+delete — O(changes), never O(table).  Replaying a long
+    history stays plan-bounded: every 8 change-bearing commits the
+    accumulated union is ``localCheckpoint``-ed (eagerly — a
+    months-long replay materializes intermediate change sets instead
+    of building an unbounded lazy plan)."""
     versions = _meta.list_versions(path)
+    if versions and from_version < versions[0]:
+        raise ValueError(
+            f"snapshot v{from_version} at {path} has been vacuumed "
+            f"(retained versions: {versions}); the change history "
+            f"before v{versions[0]} is gone")
     _require(from_version in versions, ValueError,
              f"no snapshot v{from_version} at {path}; have {versions}")
     if to_version is None:
@@ -1577,52 +1638,96 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
              f"bad version range ({from_version}, {to_version}]; "
              f"have {versions}")
     span = [v for v in versions if from_version <= v <= to_version]
-    schema = StructType.fromJson(__import__("json").loads(
-        _meta.load_manifest(path, version=to_version).schema_json))
+    mans = {v: _meta.load_manifest(path, version=v) for v in span}
+    # compact_parquet records schema_json=None when it keeps zero files —
+    # fall back to the newest snapshot in the span that has a schema
+    # (the same guard scan_parquet applies), else fail descriptively
+    schema_json = next((mans[v].schema_json for v in reversed(span)
+                        if mans[v].schema_json), None)
+    _require(schema_json is not None, ValueError,
+             f"no snapshot in [{from_version}, {to_version}] at {path} "
+             "records a schema (every snapshot in the span is an empty "
+             "table); cannot build a change feed")
+    schema = StructType.fromJson(json.loads(schema_json))
     cols = schema.names
     empty = spark.createDataFrame([], schema)
-    out = (empty.withColumn("_commit_version", F.lit(0).cast("bigint"))
-           .withColumn("_change_type", F.lit("")))
+
+    def _ver(df: DataFrame, v: int) -> DataFrame:
+        return (df.withColumn("_commit_version", F.lit(v).cast("bigint"))
+                .select(*cols, "_commit_version", "_change_type"))
+
+    chunks: list[DataFrame] = []
     for v_prev, v in zip(span, span[1:]):
-        prev = _meta.load_manifest(path, version=v_prev)
-        cur = _meta.load_manifest(path, version=v)
-        removed = [f for f in prev.files if f not in set(cur.files)]
-        added = [f for f in cur.files if f not in set(prev.files)]
+        prev, cur = mans[v_prev], mans[v]
+        cur_set, prev_set = set(cur.files), set(prev.files)
+        removed = [f for f in prev.files if f not in cur_set]
+        added = [f for f in cur.files if f not in prev_set]
         if not removed and not added:
             continue
-        before = (spark.read.parquet(
-            *[os.path.join(path, f) for f in removed]).select(*cols)
-            if removed else empty)
         after = (spark.read.parquet(
             *[os.path.join(path, f) for f in added]).select(*cols)
-            if added else empty)
+            if added else None)
+        before = (spark.read.parquet(
+            *[os.path.join(path, f) for f in removed]).select(*cols)
+            if removed else None)
+        if before is None:
+            # pure append: every added row is an insert — no carried-over
+            # rows can exist, so skip the EXCEPT ALL shuffle entirely
+            chunks.append(_ver(after.withColumn(
+                "_change_type", F.lit("insert")), v))
+            continue
+        if after is None:
+            # whole files dropped without rewrite: pure deletes
+            chunks.append(_ver(before.withColumn(
+                "_change_type", F.lit("delete")), v))
+            continue
         # rows rewritten verbatim into new files are not changes
         inserts = after.exceptAll(before)
         deletes = before.exceptAll(after)
         ix = list(cur.index_columns)
         if ix:
-            upd_keys = (inserts.select(*ix).distinct()
-                        .join(deletes.select(*ix).distinct(), on=ix,
-                              how="inner"))
-            marked = F.col("__upd").isNotNull()
-            inserts = (inserts.join(upd_keys.withColumn("__upd", F.lit(1)),
-                                    on=ix, how="left")
-                       .withColumn("_change_type",
-                                   F.when(marked, "update_postimage")
-                                    .otherwise("insert")).drop("__upd"))
-            deletes = (deletes.join(upd_keys.withColumn("__upd", F.lit(1)),
-                                    on=ix, how="left")
-                       .withColumn("_change_type",
-                                   F.when(marked, "update_preimage")
-                                    .otherwise("delete")).drop("__upd"))
+            def _keys_eq(a: str, b: str):
+                return functools.reduce(
+                    lambda acc, c: acc & F.col(f"{a}.{c}").eqNullSafe(
+                        F.col(f"{b}.{c}")),
+                    ix[1:],
+                    F.col(f"{a}.{ix[0]}").eqNullSafe(F.col(f"{b}.{ix[0]}")))
+            upd_keys = (inserts.select(*ix).distinct().alias("ik")
+                        .join(deletes.select(*ix).distinct().alias("dk"),
+                              on=_keys_eq("ik", "dk"), how="inner")
+                        .select(*[F.col(f"ik.{c}").alias(c) for c in ix])
+                        .withColumn("__upd", F.lit(1)))
+
+            def _classify(side: DataFrame, hit: str, miss: str) -> DataFrame:
+                return (side.alias("s")
+                        .join(upd_keys.alias("uk"),
+                              on=_keys_eq("s", "uk"), how="left")
+                        .select(*[F.col(f"s.{c}") for c in cols],
+                                F.when(F.col("uk.__upd").isNotNull(), hit)
+                                 .otherwise(miss).alias("_change_type")))
+            inserts = _classify(inserts, "update_postimage", "insert")
+            deletes = _classify(deletes, "update_preimage", "delete")
         else:
             inserts = inserts.withColumn("_change_type", F.lit("insert"))
             deletes = deletes.withColumn("_change_type", F.lit("delete"))
-        ver = F.lit(v).cast("bigint")
-        out = out.unionByName(
-            inserts.withColumn("_commit_version", ver)
-            .select(*cols, "_commit_version", "_change_type")
-        ).unionByName(
-            deletes.withColumn("_commit_version", ver)
-            .select(*cols, "_commit_version", "_change_type"))
+        chunks.append(_ver(inserts, v).unionByName(_ver(deletes, v)))
+    base = (empty.withColumn("_commit_version", F.lit(0).cast("bigint"))
+            .withColumn("_change_type", F.lit("")))
+    if not chunks:
+        return base
+    # bound plan depth on long histories: fold the per-commit unions and
+    # materialize every 8 change-bearing commits so the lazy plan never
+    # grows unbounded in commit count
+    out, pending = None, []
+    for ch in chunks:
+        pending.append(ch)
+        if len(pending) == 8:
+            merged = functools.reduce(lambda a, b: a.unionByName(b), pending)
+            if out is not None:
+                merged = out.unionByName(merged)
+            out = merged.localCheckpoint(eager=True)
+            pending = []
+    if pending:
+        merged = functools.reduce(lambda a, b: a.unionByName(b), pending)
+        out = merged if out is None else out.unionByName(merged)
     return out

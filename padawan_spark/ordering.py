@@ -96,6 +96,50 @@ def columns_geq(columns: Sequence, bound: Sequence) -> Column:
     return _expand(cols, list(bound), _null_gt, empty=True)
 
 
+def _cc_lt(col: Column, bound: Column) -> Column:
+    """``col < bound`` under null-first order, bound itself a COLUMN whose
+    null-ness is only known at runtime (vs ``_null_lt``, which folds a
+    literal bound's null-ness at plan-build time)."""
+    return bound.isNotNull() & (col.isNull() | (col < bound))
+
+
+def _cc_gt(col: Column, bound: Column) -> Column:
+    """``col > bound`` under null-first order, column-valued bound."""
+    return col.isNotNull() & (bound.isNull() | (col > bound))
+
+
+def _cc_expand(columns: list[Column], bounds: list[Column],
+               strict_atom, empty: bool) -> Column:
+    if not bounds:
+        return F.lit(empty)
+    rest = _cc_expand(columns[1:], bounds[1:], strict_atom, empty)
+    return strict_atom(columns[0], bounds[0]) | (
+        columns[0].eqNullSafe(bounds[0]) & rest)
+
+
+def cols_lt_cols(columns: Sequence, bounds: Sequence) -> Column:
+    """``(columns...) < (bounds...)`` lexicographic null-first where the
+    bound side is COLUMNS too (e.g. a broadcast manifest-bounds table),
+    so one join evaluates every (row, file-bound) pair in a single job."""
+    return _cc_expand(_as_cols(columns)[: len(bounds)], _as_cols(bounds),
+                      _cc_lt, empty=False)
+
+
+def cols_leq_cols(columns: Sequence, bounds: Sequence) -> Column:
+    return _cc_expand(_as_cols(columns)[: len(bounds)], _as_cols(bounds),
+                      _cc_lt, empty=True)
+
+
+def cols_gt_cols(columns: Sequence, bounds: Sequence) -> Column:
+    return _cc_expand(_as_cols(columns)[: len(bounds)], _as_cols(bounds),
+                      _cc_gt, empty=False)
+
+
+def cols_geq_cols(columns: Sequence, bounds: Sequence) -> Column:
+    return _cc_expand(_as_cols(columns)[: len(bounds)], _as_cols(bounds),
+                      _cc_gt, empty=True)
+
+
 def sort_key_cols(columns: Sequence) -> list[Column]:
     """Flattened ``(null_rank, value)`` pairs forming a null-first sort key.
 

@@ -41,14 +41,12 @@ for _m in _SUITES:
 # ---------------------------------------------------------------------------
 
 # code that changed THIS round — keep driver-visible even though already
-# green: merge_rows' per-file key-membership rewrite set (op_merge_upsert),
-# the VP8L color-indexing-combined-with-transforms decode path
-# (mm_real_webp_decode), the r6 TIFF/FLAC decoders and total-sniff salvage
-# path (mm_real_tiff_decode / mm_real_flac_decode / mm_decode_salvage),
-# and the run-level stream identity re-stamp (streaming_manifest_tail)
-_SENTINELS = ["op_merge_upsert", "mm_real_webp_decode",
-              "mm_real_tiff_decode", "mm_real_flac_decode",
-              "mm_decode_salvage", "streaming_manifest_tail"]
+# green: read_changes hardening (append fast path, plan-depth bounding,
+# null-safe update classification, schema/vacuum guards → op_read_changes),
+# merge_rows' key-membership probe folded into one broadcast-join job
+# (op_merge_upsert), and the WebP decode surface (lossy VP8 key-frame
+# path added next to the r7 VP8L stacked-palette work → mm_real_webp_decode)
+_SENTINELS = ["op_read_changes", "op_merge_upsert", "mm_real_webp_decode"]
 
 _WINDOW = 50
 

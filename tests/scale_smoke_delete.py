@@ -130,6 +130,40 @@ def main() -> None:
     assert merged2.df.count() == rows_final - n_key + 1
     merged2.assert_disjoint()
 
+    # --- CDF chain (r8): read_changes over the delete → merge → merge2
+    # history must read ONLY the files those commits added or removed
+    # (the docstring's O(changed files) claim, asserted via inputFiles),
+    # and the per-commit change counts must match the operations above.
+    from padawan_spark import list_versions, read_changes
+    vs = list_versions(target)
+    v0 = vs[0]                       # the pre-delete snapshot
+    changed_files: set[str] = set()
+    span = [v for v in vs if v0 <= v <= vs[-1]]
+    for a, b in zip(span, span[1:]):
+        fa = set(meta.load_manifest(target, version=a).files)
+        fb = set(meta.load_manifest(target, version=b).files)
+        changed_files |= (fa ^ fb)
+    chg = read_changes(spark, target, v0)
+    t0 = time.perf_counter()
+    by = {(r["_commit_version"], r["_change_type"]): r["n"]
+          for r in chg.groupBy("_commit_version", "_change_type")
+          .agg(SF.count(SF.lit(1)).alias("n")).collect()}
+    cdf_s = round(time.perf_counter() - t0, 3)
+    read_set = {os.path.basename(f) for f in chg.inputFiles()}
+    assert read_set == changed_files, (
+        f"CDF read {len(read_set)} files, commits changed "
+        f"{len(changed_files)}")
+    assert len(changed_files) < len(files_before) // 10, (
+        "CDF input not O(changed files): "
+        f"{len(changed_files)} vs table {len(files_before)}")
+    v_del, v_mrg, v_mrg2 = span[1], span[2], span[3]
+    n_del = rows_before - rows_after
+    assert by.get((v_del, "delete")) == n_del, by
+    assert by.get((v_mrg, "insert")) == n_ins, by
+    assert by.get((v_mrg2, "update_preimage")) == n_key, by
+    assert by.get((v_mrg2, "update_postimage")) == 1, by
+    assert sum(by.values()) == n_del + n_ins + n_key + 1, by
+
     print(json.dumps({
         "smoke": "delete_one_day_window",
         "sf_dir": SMOKE_DIR,
@@ -151,6 +185,9 @@ def main() -> None:
         "merge2_keys_replaced": n_key,
         "merge2_files_rewritten": len(expect2),
         "merge2_s": merge2_s,
+        "cdf_files_read": len(changed_files),
+        "cdf_change_rows": sum(by.values()),
+        "cdf_s": cdf_s,
     }))
 
 
