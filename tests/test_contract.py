@@ -47,3 +47,27 @@ def test_doc_counts_match_registry():
         stale = {q for q in quoted if q != n and 150 <= q <= 2 * n}
         assert not stale, (f"{doc} quotes query count(s) {sorted(stale)} "
                            f"but the registry has {n}")
+
+
+def test_scale_smoke_sf1_table_matches_headline_set():
+    """r8 (VERDICT task 8): the formal sf1 table in SCALE_SMOKE.md must
+    cover exactly bench.py's HEADLINE set, and its quoted totals must be
+    the sums of its own rows — so neither a HEADLINE change nor a
+    re-run can silently stale the documented numbers."""
+    import re
+    import sys
+
+    sys.path.insert(0, _ROOT)
+    from bench import HEADLINE
+
+    text = open(os.path.join(_ROOT, "SCALE_SMOKE.md")).read()
+    sec = text.split("formal sf1 bench")[1].split("## ")[0]
+    rows = re.findall(
+        r"^\| (\w+) \| ([\d.]+) s \| ([\d.]+) s \| [\d.]+× \|$",
+        sec, re.M)
+    assert {r[0] for r in rows} == set(HEADLINE), (
+        "sf1 table rows != bench.py HEADLINE set")
+    tot = re.search(r"Total: ([\d.]+) s at sf0\.1 → ([\d.]+) s", sec)
+    assert tot, "sf1 section must quote its totals"
+    assert abs(sum(float(r[1]) for r in rows) - float(tot.group(1))) < 0.01
+    assert abs(sum(float(r[2]) for r in rows) - float(tot.group(2))) < 0.01
