@@ -201,7 +201,8 @@ def _cache_hash(argb: int, cache_bits: int) -> int:
     return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
 
 
-def _read_entropy_image(rd, w: int, h: int, allow_cache: bool = True):
+def _read_entropy_image(rd, w: int, h: int, allow_cache: bool = True,
+                        allow_meta: bool = False):
     """Decode one spatially-coded (entropy) image of w*h ARGB pixels —
     the core shared by the main image and every transform sub-image.
     Handles meta-prefix images: a recursively-decoded sub-resolution
@@ -213,7 +214,10 @@ def _read_entropy_image(rd, w: int, h: int, allow_cache: bool = True):
             raise NotImplementedError(
                 f"invalid VP8L color-cache bits {cache_bits}")
     meta = None
-    if rd.bits(1):                               # meta-prefix image
+    # the meta-prefix bit exists ONLY in the top-level image (libwebp
+    # reads it only when is_level0); sub-images (palette rows, transform
+    # tile images, the meta image itself) go straight to the code groups
+    if allow_meta and rd.bits(1):                # meta-prefix image
         hb = rd.bits(3) + 2
         hw = (w + (1 << hb) - 1) >> hb
         hh = (h + (1 << hb) - 1) >> hb
@@ -379,18 +383,31 @@ def _predict(mode: int, px, i: int, x: int, y: int, w: int) -> int:
 
 
 def decode_webp_py(b: bytes):
-    """Decode a lossless WebP (VP8L).
+    """Decode a WebP payload: lossless (VP8L) via this module's parser,
+    lossy (VP8 key frame) via :mod:`padawan_spark.functions.vp8` — both
+    dependency-free and byte-identical to libwebp (cross-validated in
+    tests).  VP8X-wrapped stills (alpha/animation feature container)
+    fall back to the system libwebp when installed.
 
-    Returns ``(width, height, 4, rgba_bytes)`` row-major top-down.
-    All four transforms decode, in any stacking; lossy VP8 raises
-    ``NotImplementedError`` honestly."""
+    Returns ``(width, height, 4, rgba_bytes)`` row-major top-down."""
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise NotImplementedError(
             "not a WebP payload and PIL is unavailable")
+    if b[12:16] == b"VP8 ":
+        import struct as _struct
+
+        from .vp8 import decode_vp8_rgba
+        sz = _struct.unpack("<I", b[16:20])[0]
+        w, h, rgba = decode_vp8_rgba(b[20:20 + sz])
+        return w, h, 4, rgba
     if b[12:16] != b"VP8L":
+        from . import webplib
+        if webplib.available():
+            w, h, rgba = webplib.decode_rgba(b)
+            return w, h, 4, rgba
         raise NotImplementedError(
-            f"only lossless (VP8L) WebP decodes without libwebp "
-            f"(chunk {b[12:16]!r})")
+            f"VP8X-wrapped WebP ({b[12:16]!r}) needs libwebp/PIL; plain "
+            f"VP8 and VP8L decode dependency-free")
     data = b[20:]
     if not data or data[0] != 0x2F:
         raise NotImplementedError("bad VP8L signature byte")
@@ -430,7 +447,7 @@ def decode_webp_py(b: bytes):
             transforms.append(("color_index", npal, wb, pal, w_cur))
             if wb:
                 w_cur = (w_cur + (1 << wb) - 1) >> wb
-    px = _read_entropy_image(rd, w_cur, h)
+    px = _read_entropy_image(rd, w_cur, h, allow_meta=True)
     # inverse transforms, in reverse order of appearance; each runs at
     # the width that was current when its forward was READ, so inverses
     # of transforms read after the indexing transform operate on the
@@ -495,11 +512,25 @@ def decode_webp_py(b: bytes):
 # ---------------------------------------------------------------------------
 
 
+def _complete_near_flat(freqs: dict) -> dict:
+    """COMPLETE canonical lengths (Kraft sum exactly 1) of near-uniform
+    depth: with k = ceil(log2 n), the 2^k - n most frequent symbols get
+    length k-1 and the rest k.  Strict decoders (libwebp) reject
+    under-subscribed codes, so every fallback must stay complete."""
+    import math
+    syms = sorted(freqs, key=lambda s: (-freqs[s], s))
+    n = len(syms)
+    if n == 1:
+        return {syms[0]: 1}
+    k = max(1, math.ceil(math.log2(n)))
+    short = (1 << k) - n
+    return {s: (k - 1 if i < short else k) for i, s in enumerate(syms)}
+
+
 def _huffman_lengths(freqs: dict) -> dict:
     """Code lengths from symbol frequencies (heapq Huffman); falls back
-    to uniform ceil(log2(k)) lengths if depth would exceed 15."""
+    to complete near-flat lengths if depth would exceed 15."""
     import heapq
-    import math
     syms = sorted(freqs)
     if len(syms) == 1:
         return {syms[0]: 1}
@@ -515,8 +546,7 @@ def _huffman_lengths(freqs: dict) -> dict:
         heapq.heappush(heap, (f1 + f2, i, g1 + g2))
         i += 1
     if max(depth.values()) > 15:
-        flat = max(1, math.ceil(math.log2(len(syms))))
-        return {s: flat for s in syms}
+        return _complete_near_flat(freqs)
     return depth
 
 
@@ -570,13 +600,23 @@ def _write_prefix_code(wtr, lengths_by_symbol: dict, alphabet_size: int):
                 r -= take
             stream.extend([(v, 0, 0)] * r)
         i += run
-    import math
     used_cl = sorted({t[0] for t in stream})
-    flat = max(1, math.ceil(math.log2(len(used_cl)))) \
-        if len(used_cl) > 1 else 1
     cl_lengths = [0] * 19
-    for s in used_cl:
-        cl_lengths[s] = flat
+    if len(used_cl) == 1:
+        # a 1-symbol CL code would be under-subscribed; pad with a dummy
+        # second symbol to a complete 1-bit code (never emitted)
+        dummy = 0 if used_cl[0] != 0 else 1
+        cl_lengths[used_cl[0]] = cl_lengths[dummy] = 1
+        used_cl = sorted(used_cl + [dummy])
+    else:
+        cl_freq: dict = {}
+        for t in stream:
+            cl_freq[t[0]] = cl_freq.get(t[0], 0) + 1
+        ls = _huffman_lengths(cl_freq)
+        if max(ls.values()) > 7:                 # CL lengths are 3-bit
+            ls = _complete_near_flat(cl_freq)
+        for s, ln in ls.items():
+            cl_lengths[s] = ln
     _dec, cl_enc = _canonical(cl_lengths)
     num_codes = max((_CL_ORDER.index(s) for s in used_cl), default=0) + 1
     num_codes = max(num_codes, 4)
@@ -604,7 +644,8 @@ def _prefix_encode(val: int):
     return 2 * nb + second, nb - 1, x & ((1 << (nb - 1)) - 1)
 
 
-def _write_entropy_image(wtr, px, w, h, cache_bits=0, use_lz77=False):
+def _write_entropy_image(wtr, px, w, h, cache_bits=0, use_lz77=False,
+                         top_level=False):
     n = len(px)
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [0] * cache_size
@@ -671,7 +712,8 @@ def _write_entropy_image(wtr, px, w, h, cache_bits=0, use_lz77=False):
         wtr.put(cache_bits, 4)
     else:
         wtr.put(0, 1)
-    wtr.put(0, 1)                                # no meta-prefix image
+    if top_level:
+        wtr.put(0, 1)                            # no meta-prefix image
     g_enc = _write_prefix_code(wtr, _huffman_lengths(gf),
                                256 + 24 + cache_size)
     r_enc = _write_prefix_code(wtr, _huffman_lengths(rf), 256)
@@ -827,7 +869,7 @@ def encode_webp_py(width: int, height: int, rgba: bytes,
                                   meta_groups_bits)
     else:
         _write_entropy_image(wtr, px, width, height, cache_bits,
-                             use_lz77)
+                             use_lz77, top_level=True)
     body = b"\x2F" + wtr.bytes()
     if len(body) % 2:
         body += b"\x00"                          # RIFF even padding
@@ -914,7 +956,8 @@ def encode_webp_palette_py(width: int, height: int, rgba: bytes,
             res[i] = _sub_px(v, pred)
         body_px = res
     wtr.put(0, 1)                                # end of transforms
-    _write_entropy_image(wtr, body_px, bw, height, cache_bits)
+    _write_entropy_image(wtr, body_px, bw, height, cache_bits,
+                         top_level=True)
     body = b"\x2F" + wtr.bytes()
     if len(body) % 2:
         body += b"\x00"

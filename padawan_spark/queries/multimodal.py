@@ -535,14 +535,35 @@ _WEBP_SPECS = [(1,   13,   8,    {}),                       # literals only
                (6,   22,   9,    {"meta_groups_bits": 2}),
                # color-indexing STACKED with subtract-green + a
                # predictor over the packed image + a color cache
-               (7,   19,   11,   "palette_stacked")]
+               (7,   19,   11,   "palette_stacked"),
+               # r8: LOSSY (VP8 key frame) — MB-aligned flat tiles at
+               # qi=0 / filter 0 decode exactly (the flat-quant oracle
+               # trick); uniform chroma so upsampling is a fixed point
+               (8,   34,   22,   "vp8_flat"),
+               (9,   48,   16,   "vp8_bands")]
+
+# the VP8 fixture tile targets (YUV); bands share chroma so the fancy
+# upsampler has no seam and each band's RGB is closed-form
+_VP8_FLAT_YUV = (110, 145, 90)
+_VP8_BAND_YS = (60, 130, 200)
+_VP8_BAND_UV = (100, 160)
 
 
 def _webp_oracle() -> str:
+    from ..functions.vp8 import vp8_flat_rgb
     parts = []
     for doc_id, w, h, feat in _WEBP_SPECS:
         x, y = f"(i % {w})", f"(i // {w})"
-        if feat in ("palette", "palette_stacked"):
+        if feat == "vp8_flat":
+            r, g, b = vp8_flat_rgb(*_VP8_FLAT_YUV)
+            val = str(r + 2 * g + 3 * b)
+        elif feat == "vp8_bands":
+            u_, v_ = _VP8_BAND_UV
+            vals = [vp8_flat_rgb(yy, u_, v_) for yy in _VP8_BAND_YS]
+            tot = [r + 2 * g + 3 * b for r, g, b in vals]
+            val = (f"(CASE WHEN {x} < 16 THEN {tot[0]} "
+                   f"WHEN {x} < 32 THEN {tot[1]} ELSE {tot[2]} END)")
+        elif feat in ("palette", "palette_stacked"):
             k = f"(({x} + 2 * {y}) % 16)"
             val = (f"((3 * {k} + 7) % 256"
                    f" + 2 * ((5 * {k} + 1) % 256)"
@@ -572,11 +593,28 @@ def mm_real_webp_decode(spark, sf_dir):
     checksum proves canonical prefix decoding (incl. the
     code-length-code with its 16/17/18 repeats), cache hashing,
     LZ77 distance mapping, and the inverse transforms all ran
-    correctly.  Scale shape: Arrow-batched mapInPandas, no shuffle."""
+    correctly.  r8 adds LOSSY WebP: two real VP8 key frames
+    (:mod:`padawan_spark.functions.vp8` — bool decoder, token trees,
+    WHT/iDCT, intra prediction; byte-identical to libwebp, pytest
+    cross-validated) built as MB-aligned flat tiles at qi=0 where
+    decode is exact by construction, so the lossy rows carry the same
+    closed-form checksum oracle as the lossless ones.  Scale shape:
+    Arrow-batched mapInPandas, no shuffle."""
+    from ..functions.vp8 import encode_vp8_tiles_py, wrap_webp_vp8
     from ..functions.webp import encode_webp_palette_py, encode_webp_py
     rows = []
     for doc_id, w, h, feat in _WEBP_SPECS:
-        if feat in ("palette", "palette_stacked"):
+        if feat == "vp8_flat":
+            rows.append((doc_id, bytearray(wrap_webp_vp8(
+                encode_vp8_tiles_py(w, h,
+                                    lambda mx, my: _VP8_FLAT_YUV)))))
+        elif feat == "vp8_bands":
+            u_, v_ = _VP8_BAND_UV
+            rows.append((doc_id, bytearray(wrap_webp_vp8(
+                encode_vp8_tiles_py(
+                    w, h,
+                    lambda mx, my: (_VP8_BAND_YS[mx], u_, v_))))))
+        elif feat in ("palette", "palette_stacked"):
             # 16-color image -> color-indexing with 2 pixels/byte;
             # the stacked variant layers subtract-green under the
             # palette and a predictor + cache over the packed image

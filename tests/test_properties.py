@@ -978,3 +978,129 @@ def test_vp8l_max_symbol_header_and_vp8x_sniff():
             + b"\x00\x00\x00\x00"
             + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
     assert sniff_image_header_py(vp8x) == ("webp", 640, 480)
+
+
+# --- VP8 (lossy WebP) decoder: libwebp cross-validation ---------------------
+
+def _libwebp():
+    from padawan_spark.functions import webplib
+    return webplib if webplib.available() else None
+
+
+@settings(max_examples=12, deadline=None)
+@given(w=st.integers(1, 70), h=st.integers(1, 52),
+       q=st.sampled_from([10.0, 45.0, 75.0, 95.0]),
+       data=st.data())
+def test_vp8_decoder_matches_libwebp_property(w, h, q, data):
+    """The pure-Python VP8 key-frame decoder must be BYTE-IDENTICAL to
+    libwebp on libwebp-encoded random content — YUV planes (no
+    conversion choices) AND the RGBA output (fancy upsampling + the
+    fixed-point YUV->RGB), across sizes, qualities, all intra modes,
+    segmentation, and nonzero loop-filter levels."""
+    import struct
+
+    wl = _libwebp()
+    if wl is None:
+        pytest.skip("libwebp not installed")
+    from padawan_spark.functions.vp8 import (decode_vp8_frame,
+                                             decode_vp8_rgba)
+    rgb = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+    rgba = b"".join(rgb[i * 3:i * 3 + 3] + b"\xff" for i in range(w * h))
+    enc = wl.encode_rgba(w, h, rgba, q)
+    assert enc[12:16] == b"VP8 "
+    sz = struct.unpack("<I", enc[16:20])[0]
+    payload = enc[20:20 + sz]
+    assert decode_vp8_frame(payload) == wl.decode_yuv(enc)
+    W, H, got = decode_vp8_rgba(payload)
+    Wr, Hr, ref = wl.decode_rgba(enc)
+    assert (W, H, got) == (Wr, Hr, ref)
+
+
+def test_vp8l_decoder_matches_libwebp_lossless():
+    """The VP8L decoder and fixture encoders must agree with libwebp on
+    BOTH directions: libwebp-lossless payloads decode exactly to the
+    source pixels, and our fixture-encoded VP8L payloads decode
+    identically under libwebp."""
+    import random
+
+    wl = _libwebp()
+    if wl is None:
+        pytest.skip("libwebp not installed")
+    from padawan_spark.functions.webp import decode_webp_py, encode_webp_py
+    rng = random.Random(77)
+    for w, h in ((1, 1), (15, 9), (32, 21)):
+        rgba = bytes(rng.randrange(256) if (i + 1) % 4 else 255
+                     for i in range(w * h * 4))
+        enc = wl.encode_lossless_rgba(w, h, rgba)
+        assert decode_webp_py(enc) == (w, h, 4, rgba)
+        ours = encode_webp_py(w, h, rgba, use_lz77=True, cache_bits=4)
+        assert wl.decode_rgba(ours) == (w, h, rgba)
+
+
+def test_vp8_tile_encoder_exact_and_conformant():
+    """The MB-tile fixture encoder (flat-quant oracle trick) decodes to
+    the EXACT tile targets through the full bitstream path, and — when
+    libwebp is installed — the self-encoded bitstream is conformant
+    (libwebp produces the same planes)."""
+    from padawan_spark.functions.vp8 import (decode_vp8_frame,
+                                             decode_vp8_rgba,
+                                             encode_vp8_tiles_py,
+                                             vp8_flat_rgb, wrap_webp_vp8)
+    tiles = {(0, 0): (110, 96, 201), (1, 0): (17, 96, 201),
+             (0, 1): (110, 96, 201), (1, 1): (246, 96, 201)}
+    pay = encode_vp8_tiles_py(30, 28, lambda mx, my: tiles[(mx, my)])
+    W, H, y, u, v = decode_vp8_frame(pay)
+    assert (W, H) == (30, 28)
+    for r in range(H):
+        for c in range(W):
+            want = tiles[(c // 16, r // 16)][0]
+            assert y[r * W + c] == want, (r, c)
+    assert set(u) == {96} and set(v) == {201}
+    wl = _libwebp()
+    if wl is not None:
+        assert wl.decode_yuv(wrap_webp_vp8(pay)) == (W, H, y, u, v)
+        Wr, Hr, ref = wl.decode_rgba(wrap_webp_vp8(pay))
+        assert (Wr, Hr, ref) == decode_vp8_rgba(pay)
+    # uniform region RGB matches the closed-form oracle helper
+    _, _, rgba = decode_vp8_rgba(encode_vp8_tiles_py(
+        18, 18, lambda mx, my: (110, 96, 201)))
+    r0, g0, b0 = vp8_flat_rgb(110, 96, 201)
+    assert rgba[:4] == bytes((r0, g0, b0, 255))
+    assert set(rgba[i:i + 4] for i in range(0, len(rgba), 4)) \
+        == {bytes((r0, g0, b0, 255))}
+
+
+def test_vp8l_encoder_conformance_sweep():
+    """Every VP8L fixture-encoder feature combination must parse under
+    the STRICT reference decoder (libwebp rejects under-subscribed
+    prefix codes our lenient decoder tolerates — the r8 bug this sweep
+    now pins): random content, random transforms, exact round trip."""
+    import random
+
+    wl = _libwebp()
+    if wl is None:
+        pytest.skip("libwebp not installed")
+    from padawan_spark.functions.webp import (encode_webp_palette_py,
+                                              encode_webp_py)
+    rng = random.Random(5)
+    for _ in range(25):
+        w, h = rng.randrange(1, 40), rng.randrange(1, 30)
+        rgba = bytes(rng.randrange(256) if (i + 1) % 4 else 255
+                     for i in range(w * h * 4))
+        kw = rng.choice([
+            {}, {"use_lz77": True}, {"cache_bits": rng.randrange(1, 9)},
+            {"use_lz77": True, "cache_bits": 4}, {"subtract_green": True},
+            {"predictor_mode": rng.randrange(14),
+             "predictor_size_bits": rng.randrange(2, 5)},
+            {"meta_groups_bits": 2},
+            {"color_transform": (34, -20, 57), "subtract_green": True}])
+        assert wl.decode_rgba(encode_webp_py(w, h, rgba, **kw)) \
+            == (w, h, rgba), kw
+        pal = [rng.randrange(1 << 24) for _ in range(16)]
+        prgba = b"".join(pal[rng.randrange(16)].to_bytes(3, "big") + b"\xff"
+                         for _ in range(w * h))
+        kw2 = rng.choice([{}, {"cache_bits": 3},
+                          {"subtract_green": True, "predictor_mode": 11,
+                           "predictor_size_bits": 2, "cache_bits": 3}])
+        assert wl.decode_rgba(encode_webp_palette_py(w, h, prgba, **kw2)) \
+            == (w, h, prgba), kw2
