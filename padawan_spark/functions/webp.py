@@ -400,14 +400,11 @@ def decode_webp_py(b: bytes):
         sz = _struct.unpack("<I", b[16:20])[0]
         w, h, rgba = decode_vp8_rgba(b[20:20 + sz])
         return w, h, 4, rgba
+    if b[12:16] == b"VP8X":
+        return _decode_vp8x(b)
     if b[12:16] != b"VP8L":
-        from . import webplib
-        if webplib.available():
-            w, h, rgba = webplib.decode_rgba(b)
-            return w, h, 4, rgba
         raise NotImplementedError(
-            f"VP8X-wrapped WebP ({b[12:16]!r}) needs libwebp/PIL; plain "
-            f"VP8 and VP8L decode dependency-free")
+            f"unknown WebP chunk {b[12:16]!r}")
     data = b[20:]
     if not data or data[0] != 0x2F:
         raise NotImplementedError("bad VP8L signature byte")
@@ -417,6 +414,118 @@ def decode_webp_py(b: bytes):
     rd.bits(1)                                   # alpha hint
     if rd.bits(3) != 0:
         raise NotImplementedError("unknown VP8L version")
+    px = _decode_vp8l_pixels(rd, w, h)
+    out = bytearray(w * h * 4)
+    for i, v in enumerate(px):
+        out[4 * i] = (v >> 16) & 0xFF            # R
+        out[4 * i + 1] = (v >> 8) & 0xFF         # G
+        out[4 * i + 2] = v & 0xFF                # B
+        out[4 * i + 3] = (v >> 24) & 0xFF        # A
+    return w, h, 4, bytes(out)
+
+
+def _decode_alpha(payload: bytes, w: int, h: int) -> bytearray:
+    """ALPH chunk (WebP container spec): 1 header byte — compression
+    method (0 raw / 1 headerless-VP8L with alpha in green), row filter
+    (none/horizontal/vertical/gradient, libwebp filters.c semantics),
+    pre-processing — then the alpha plane."""
+    hdr = payload[0]
+    method = hdr & 3
+    filt = (hdr >> 2) & 3
+    prep = (hdr >> 4) & 3
+    if method > 1:
+        raise NotImplementedError(f"ALPH compression method {method}")
+    if prep == 1:
+        raise NotImplementedError(
+            "ALPH level-reduction pre-processing (lossy alpha) needs "
+            "libwebp")
+    if method == 0:
+        plane = bytearray(payload[1:1 + w * h])
+        if len(plane) != w * h:
+            raise NotImplementedError("truncated raw ALPH plane")
+    else:
+        px = _decode_vp8l_pixels(_Vp8lBitReader(payload, 1), w, h)
+        plane = bytearray(((v >> 8) & 0xFF) for v in px)
+    if filt:
+        for y in range(h):
+            row = y * w
+            prev = row - w
+            if filt == 1 or y == 0:          # horizontal (and the first
+                pred = plane[prev] if y else 0   # row of vertical/gradient
+                for x in range(w):
+                    pred = plane[row + x] = (pred + plane[row + x]) & 0xFF
+            elif filt == 2:                  # vertical
+                for x in range(w):
+                    plane[row + x] = (plane[prev + x]
+                                      + plane[row + x]) & 0xFF
+            else:                            # gradient
+                top_left = left = plane[prev]
+                for x in range(w):
+                    top = plane[prev + x]
+                    g = left + top - top_left
+                    g = 0 if g < 0 else 255 if g > 255 else g
+                    left = plane[row + x] = (plane[row + x] + g) & 0xFF
+                    top_left = top
+    return plane
+
+
+def _decode_vp8x(b: bytes):
+    """VP8X extended-format STILL image: walk the chunk list, decode
+    the VP8/VP8L image chunk, apply the ALPH alpha plane if present.
+    Animations (ANIM/ANMF) and lossy-alpha pre-processing defer to the
+    system libwebp when installed."""
+    import struct
+
+    chunks = {}
+    pos = 12
+    while pos + 8 <= len(b):
+        four = b[pos:pos + 4]
+        sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        chunks.setdefault(four, b[pos + 8:pos + 8 + sz])
+        pos += 8 + sz + (sz & 1)
+    try:
+        if b"ANIM" in chunks or b"ANMF" in chunks:
+            raise NotImplementedError("animated WebP needs libwebp/PIL")
+        if b"VP8L" in chunks:
+            data = chunks[b"VP8L"]
+            if not data or data[0] != 0x2F:
+                raise NotImplementedError("bad VP8L signature byte")
+            rd = _Vp8lBitReader(data, 1)
+            w = rd.bits(14) + 1
+            h = rd.bits(14) + 1
+            rd.bits(1)
+            if rd.bits(3) != 0:
+                raise NotImplementedError("unknown VP8L version")
+            px = _decode_vp8l_pixels(rd, w, h)
+            out = bytearray(w * h * 4)
+            for i, v in enumerate(px):
+                out[4 * i] = (v >> 16) & 0xFF
+                out[4 * i + 1] = (v >> 8) & 0xFF
+                out[4 * i + 2] = v & 0xFF
+                out[4 * i + 3] = (v >> 24) & 0xFF
+            return w, h, 4, bytes(out)
+        if b"VP8 " not in chunks:
+            raise NotImplementedError("VP8X without an image chunk")
+        from .vp8 import decode_vp8_rgba
+        w, h, rgba = decode_vp8_rgba(chunks[b"VP8 "])
+        if b"ALPH" in chunks:
+            out = bytearray(rgba)
+            out[3::4] = _decode_alpha(chunks[b"ALPH"], w, h)
+            rgba = bytes(out)
+        return w, h, 4, rgba
+    except NotImplementedError:
+        from . import webplib
+        if webplib.available():
+            w, h, rgba = webplib.decode_rgba(b)
+            return w, h, 4, rgba
+        raise
+
+
+def _decode_vp8l_pixels(rd, w: int, h: int):
+    """Transforms + spatially-coded image of a VP8L stream (everything
+    after the 5-byte header) -> ARGB pixel list.  Shared by the main
+    VP8L path and ALPH chunks (whose lossless alpha stream is exactly
+    this, headerless, with alpha in the green channel)."""
     transforms = []
     w_cur = w            # color-indexing bundling reduces the width used
     while rd.bits(1):    # by EVERYTHING read after it (spec: transforms
@@ -498,13 +607,7 @@ def decode_webp_py(b: bytes):
                 mode = (tiles[(y >> size_bits) * tw + (x >> size_bits)]
                         >> 8) & 0xFF
                 px[i] = _add_px(px[i], _predict(mode, px, i, x, y, cw))
-    out = bytearray(w * h * 4)
-    for i, v in enumerate(px):
-        out[4 * i] = (v >> 16) & 0xFF            # R
-        out[4 * i + 1] = (v >> 8) & 0xFF         # G
-        out[4 * i + 2] = v & 0xFF                # B
-        out[4 * i + 3] = (v >> 24) & 0xFF        # A
-    return w, h, 4, bytes(out)
+    return px
 
 
 # ---------------------------------------------------------------------------

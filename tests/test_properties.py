@@ -1104,3 +1104,77 @@ def test_vp8l_encoder_conformance_sweep():
                            "predictor_size_bits": 2, "cache_bits": 3}])
         assert wl.decode_rgba(encode_webp_palette_py(w, h, prgba, **kw2)) \
             == (w, h, prgba), kw2
+
+
+def test_webp_alpha_vp8x_matches_libwebp():
+    """VP8X+ALPH stills (lossy WebP with alpha): libwebp-encoded
+    payloads decode byte-exactly through the pure-Python path (both
+    ALPH compression methods), and hand-built containers with every
+    row filter (none/horizontal/vertical/gradient) round-trip the
+    exact alpha plane under BOTH decoders."""
+    import random
+
+    wl = _libwebp()
+    if wl is None:
+        pytest.skip("libwebp not installed")
+    from padawan_spark.functions.vp8 import encode_vp8_tiles_py
+    from padawan_spark.functions.webp import decode_webp_py
+
+    rng = random.Random(3)
+    # libwebp-encoded: alpha forces the VP8X+ALPH container
+    for style in range(3):
+        w, h = rng.randrange(2, 40), rng.randrange(2, 30)
+        px = bytearray()
+        for i in range(w * h):
+            a = (i * 255 // max(1, w * h - 1)) if style == 0 else (
+                rng.randrange(256) if style == 1
+                else (0 if rng.random() < .1 else 255))
+            px += bytes((rng.randrange(256), rng.randrange(256),
+                         rng.randrange(256), a))
+        enc = wl.encode_rgba(w, h, bytes(px), 75.0)
+        assert enc[12:16] == b"VP8X"
+        W, H, ref = wl.decode_rgba(enc)
+        got = decode_webp_py(enc)
+        assert (got[0], got[1], got[3]) == (W, H, ref)
+
+    def clip(g):
+        return 0 if g < 0 else 255 if g > 255 else g
+
+    def forward(plane, w, h, f):
+        out = bytearray(w * h)
+        for y in range(h):
+            for x in range(w):
+                if f == 1 or y == 0:
+                    pred = plane[y * w + x - 1] if x else (
+                        plane[(y - 1) * w] if y else 0)
+                elif f == 2:
+                    pred = plane[(y - 1) * w + x]
+                else:
+                    left = plane[y * w + x - 1] if x else plane[(y - 1) * w]
+                    top = plane[(y - 1) * w + x]
+                    tl = (plane[(y - 1) * w + x - 1] if x
+                          else plane[(y - 1) * w])
+                    pred = clip(left + top - tl)
+                out[y * w + x] = (plane[y * w + x] - pred) & 0xFF
+        return bytes(out)
+
+    def chunk(four, payload):
+        c = four + len(payload).to_bytes(4, "little") + payload
+        return c + (b"\x00" if len(payload) & 1 else b"")
+
+    for f in (1, 2, 3):
+        w, h = rng.randrange(2, 40), rng.randrange(2, 30)
+        plane = bytes(rng.randrange(256) for _ in range(w * h))
+        alph = bytes([(f << 2)]) + forward(plane, w, h, f)
+        vp8 = encode_vp8_tiles_py(w, h, lambda mx, my: (128, 128, 128))
+        vp8x = (b"VP8X" + (10).to_bytes(4, "little")
+                + bytes([0x10, 0, 0, 0])
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        body = (b"WEBP" + vp8x + chunk(b"ALPH", alph)
+                + chunk(b"VP8 ", vp8))
+        full = b"RIFF" + len(body).to_bytes(4, "little") + body
+        W, H, ref = wl.decode_rgba(full)
+        got = decode_webp_py(full)
+        assert (got[0], got[1], got[3]) == (W, H, ref)
+        assert got[3][3::4] == plane, f"filter {f} alpha mismatch"
