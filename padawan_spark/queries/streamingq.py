@@ -189,3 +189,69 @@ def streaming_manifest_tail(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name).select("n_regionkey", "n", "key_sum")
+
+
+@query("streaming_cdf_tail", oracle="""
+SELECT 'delete' AS change_type, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation WHERE n_nationkey BETWEEN 5 AND 9
+UNION ALL
+SELECT 'insert', COUNT(*) + 2, CAST(SUM(n_nationkey) + 201 AS BIGINT)
+FROM nation
+UNION ALL
+SELECT 'update_preimage', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation WHERE n_nationkey IN (12, 13, 14)
+UNION ALL
+SELECT 'update_postimage', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation WHERE n_nationkey IN (12, 13, 14)
+""")
+def streaming_cdf_tail(spark, sf_dir):
+    """Stream ROW-LEVEL CHANGES of a lakehouse table — the streaming
+    twin of ``read_changes`` (``padawan_cdf`` custom source, r8): the
+    table is written, a range DELETE and a MERGE upsert commit on top,
+    and the change feed replays the full history as micro-batches —
+    the initial load as per-file-parallel inserts (append fast path),
+    the delete commit's rows as deletes, the merge split into update
+    pre/post images plus true inserts, with copy-on-write survivor
+    rows cancelled inside the rewrite commit's diff partition.  The
+    complete-mode fold per _change_type must equal the batch oracle
+    reconstructed from the source table.  Offsets are snapshot
+    versions with the same identity/vacuum guards as padawan_tail,
+    plus Delta's ``startingVersion`` option."""
+    import os
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..dataset import Dataset, delete_rows, from_pandas, merge_rows
+    from ..sources import register_python_sources
+    from .registry import load as _load
+    register_python_sources(spark)
+    n = _load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name")
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_cdfq_"),
+                          "nation")
+    (Dataset(spark, n, index_columns=("n_nationkey",))
+     .reindex(("n_nationkey",)).repartition(5).write_parquet(target))
+    delete_rows(spark, target, (5,), (9,), inclusive="both")
+    merge_rows(spark, target, from_pandas(
+        spark,
+        pd.DataFrame({"n_nationkey": [12, 13, 14, 100, 101],
+                      "n_regionkey": [99] * 3 + [77] * 2,
+                      "n_name": ["UPD"] * 3 + ["NEW"] * 2}),
+        index_columns=("n_nationkey",)))
+    src = (spark.readStream.format("padawan_cdf")
+           .option("path", target).load())
+    agg = (src.groupBy(F.col("_change_type").alias("change_type"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum")))
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("change_type", "n", "key_sum")

@@ -107,6 +107,7 @@ def register_python_sources(spark) -> None:
     spark.dataSource.register(SequenceSource)
     spark.dataSource.register(JsonlSink)
     spark.dataSource.register(ManifestTailSource)
+    spark.dataSource.register(ManifestCDFSource)
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +225,7 @@ class _ManifestTailReader(DataSourceStreamReader):
             self._seen_id = tid
         elif self._seen_id != tid:
             raise RuntimeError(
-                f"padawan_tail: table identity at {self.path} changed "
+                f"{self._NAME}: table identity at {self.path} changed "
                 f"({self._seen_id[:8]}… -> {tid[:8]}…) — the dataset was "
                 "overwritten under an active stream.  The old checkpoint "
                 "does not describe the new table; restart the stream with "
@@ -253,8 +254,9 @@ class _ManifestTailReader(DataSourceStreamReader):
         except FileNotFoundError:
             return None
 
-    def partitions(self, start, end):
-        import os as _os
+    def _guard_span(self, start, end) -> tuple:
+        """Shared offset-sanity checks (identity stamp + history
+        regression); returns ``(lo, hi)``."""
         lo, hi = start["v"], end["v"]
         # table-identity check: an overwrite resets history to v1, so a
         # busy producer can grow the NEW table's version count past the
@@ -268,7 +270,7 @@ class _ManifestTailReader(DataSourceStreamReader):
         eid = self._stamp(end.get("id")) or self._seen_id
         if sid is not None and eid is not None and sid != eid:
             raise RuntimeError(
-                f"padawan_tail: table identity at {self.path} changed "
+                f"{self._NAME}: table identity at {self.path} changed "
                 f"({sid[:8]}… -> {eid[:8]}…) — the dataset was overwritten "
                 "under an active stream.  The old checkpoint does not "
                 "describe the new table; restart the stream with a fresh "
@@ -280,11 +282,18 @@ class _ManifestTailReader(DataSourceStreamReader):
             # offset no longer describes this table's history, so fail
             # with guidance instead of silently re-emitting rows
             raise RuntimeError(
-                f"padawan_tail: version history at {self.path} regressed "
+                f"{self._NAME}: version history at {self.path} regressed "
                 f"from v{lo} to v{hi} — the dataset was overwritten under "
                 "an active stream.  The old checkpoint does not describe "
                 "the new table; restart the stream with a fresh "
                 "checkpointLocation to stream it from scratch.")
+        return lo, hi
+
+    _NAME = "padawan_tail"
+
+    def partitions(self, start, end):
+        import os as _os
+        lo, hi = self._guard_span(start, end)
         if hi <= lo:
             return [InputPartition(None)]
         base = self._files_of(lo)
@@ -345,3 +354,167 @@ class ManifestTailSource(DataSource):
 
     def streamReader(self, schema):
         return _ManifestTailReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Row-level CDF STREAM source: the streaming twin of dataset.read_changes.
+# Offsets are version numbers (same identity/regression/vacuum guards as
+# padawan_tail); each micro-batch emits the CHANGE ROWS of the commits in
+# (start, end] with Delta-CDF classification (insert / delete /
+# update_preimage / update_postimage).  Append commits fan out one
+# InputPartition per added file (fully task-parallel, no diff work);
+# whole-file drops likewise per removed file; only genuine rewrite
+# commits (copy-on-write delete/merge) read that commit's added+removed
+# files in one task to cancel verbatim-carried survivor rows — bounded
+# by the commit's size, never the table's.
+# ---------------------------------------------------------------------------
+
+
+class _ManifestCDFReader(_ManifestTailReader):
+    _NAME = "padawan_cdf"
+
+    def __init__(self, options):
+        super().__init__(options)
+        self.start_version = int(options.get("startingVersion", 0))
+
+    def initialOffset(self):
+        from .. import metadata as _meta
+        return {"v": self.start_version,
+                "id": self._stamp(_meta.table_id(self.path))}
+
+    def _manifest_of(self, version: int):
+        from .. import metadata as _meta
+        if version <= 0:
+            return ()
+        try:
+            return _meta.load_manifest(self.path, version=version)
+        except FileNotFoundError:
+            return None
+
+    def partitions(self, start, end):
+        import os as _os
+        lo, hi = self._guard_span(start, end)
+        if hi <= lo:
+            return [InputPartition(None)]
+        parts = []
+        prev = self._manifest_of(lo)
+        if prev is None:
+            raise RuntimeError(
+                f"padawan_cdf: checkpointed snapshot v{lo} at {self.path} "
+                "no longer exists (expired by metadata.vacuum).  Keep at "
+                "least the snapshots an active stream may restart from "
+                "(vacuum keep_last), or restart the stream with a fresh "
+                "checkpointLocation.")
+        for v in range(lo + 1, hi + 1):
+            cur = self._manifest_of(v)
+            if cur is None:
+                # unlike the file-level tail, a change feed cannot skip
+                # an expired intermediate snapshot: its per-commit diff
+                # (and the version attribution of every row in it) is
+                # gone for good
+                raise RuntimeError(
+                    f"padawan_cdf: snapshot v{v} at {self.path} was "
+                    "expired by metadata.vacuum mid-history; the change "
+                    "feed for commit v{v} is unrecoverable.  Vacuum only "
+                    "past the stream's checkpoint, or restart with a "
+                    "fresh checkpointLocation.")
+            prev_files = list(prev.files) if prev != () else []
+            cur_set = set(cur.files)
+            prev_set = set(prev_files)
+            removed = [f for f in prev_files if f not in cur_set]
+            added = [f for f in cur.files if f not in prev_set]
+            cols = None
+            ix = list(cur.index_columns)
+            if not removed:
+                parts += [InputPartition(
+                    ("rows", _os.path.join(self.path, f), v, "insert"))
+                    for f in added]
+            elif not added:
+                parts += [InputPartition(
+                    ("rows", _os.path.join(self.path, f), v, "delete"))
+                    for f in removed]
+            else:
+                import json as _json
+                sj = cur.schema_json or (
+                    prev.schema_json if prev != () else None)
+                if not sj:
+                    raise RuntimeError(
+                        f"padawan_cdf: snapshot v{v} records no schema")
+                cols = [f["name"]
+                        for f in _json.loads(sj)["fields"]]
+                parts.append(InputPartition(
+                    ("diff",
+                     [_os.path.join(self.path, f) for f in added],
+                     [_os.path.join(self.path, f) for f in removed],
+                     v, ix, cols)))
+            prev = cur
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+        kind = partition.value[0]
+        if kind == "rows":
+            _k, path, ver, ctype = partition.value
+            for row in pq.read_table(path).to_pylist():
+                yield (*row.values(), ver, ctype)
+            return
+        _k, added, removed, ver, ix, cols = partition.value
+        from collections import Counter
+
+        def rows_of(paths):
+            out = []
+            for p in paths:
+                for row in pq.read_table(p).to_pylist():
+                    out.append(tuple(row[c] for c in cols))
+            return out
+
+        after = Counter(rows_of(added))
+        before = Counter(rows_of(removed))
+        # verbatim copy-on-write survivors cancel (multiset difference)
+        inserts = list((after - before).elements())
+        deletes = list((before - after).elements())
+        ixpos = [cols.index(c) for c in ix]
+        ikeys = {tuple(r[i] for i in ixpos) for r in inserts}
+        dkeys = {tuple(r[i] for i in ixpos) for r in deletes}
+        upd = (ikeys & dkeys) if ix else set()
+        for r in inserts:
+            hit = ix and tuple(r[i] for i in ixpos) in upd
+            yield (*r, ver, "update_postimage" if hit else "insert")
+        for r in deletes:
+            hit = ix and tuple(r[i] for i in ixpos) in upd
+            yield (*r, ver, "update_preimage" if hit else "delete")
+
+
+class ManifestCDFSource(DataSource):
+    """``spark.readStream.format("padawan_cdf").option("path", dir)`` —
+    stream row-level changes of a manifest dataset (the streaming twin
+    of :func:`padawan_spark.dataset.read_changes`).  The schema is
+    derived from the table's manifest (table columns plus
+    ``_commit_version``/``_change_type``), so consumers need not repeat
+    it.  Same maintenance contract as ``padawan_tail``, stricter on
+    vacuum: every snapshot in the un-streamed span must still exist."""
+
+    @classmethod
+    def name(cls):
+        return "padawan_cdf"
+
+    def schema(self):
+        import json as _json
+
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        from .. import metadata as _meta
+        man = _meta.load_manifest(self.options["path"])
+        if not man.schema_json:
+            raise ValueError(
+                f"padawan_cdf: {self.options['path']} records no schema")
+        st = StructType.fromJson(_json.loads(man.schema_json))
+        return StructType(list(st.fields)
+                          + [StructField("_commit_version", LongType()),
+                             StructField("_change_type", StringType())])
+
+    def streamReader(self, schema):
+        return _ManifestCDFReader(self.options)

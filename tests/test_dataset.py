@@ -1456,3 +1456,51 @@ def test_read_changes_verbatim_survivor_property(spark, tmp_path):
     got = {(r._commit_version, r._change_type, r.k, r.v)
            for r in read_changes(spark, p, 1).collect()}
     assert got == expected, "survivor rows leaked into the change feed"
+
+
+def test_cdf_stream_source_startingversion_and_vacuum_guard(spark, tmp_path):
+    """r8: the padawan_cdf stream source honors startingVersion (skips
+    the initial-load inserts), classifies a merge's updates, and fails
+    loudly when vacuum expired a snapshot inside the un-streamed span."""
+    import uuid
+
+    from padawan_spark import delete_rows, from_pandas, merge_rows
+    from padawan_spark.metadata import vacuum
+    from padawan_spark.sources import register_python_sources
+
+    register_python_sources(spark)
+    p = str(tmp_path / "cdfsrc")
+    from_pandas(spark, pd.DataFrame({"k": range(20), "v": range(20)}),
+                index_columns=("k",)).repartition(4).write_parquet(p)
+    delete_rows(spark, p, (3,), (5,), inclusive="both")          # v2
+    merge_rows(spark, p, from_pandas(                            # v3
+        spark, pd.DataFrame({"k": [10, 50], "v": [999, 1]}),
+        index_columns=("k",)))
+
+    def run(start):
+        name = "mem_" + uuid.uuid4().hex[:8]
+        src = (spark.readStream.format("padawan_cdf").option("path", p)
+               .option("startingVersion", str(start)).load())
+        q = (src.groupBy("_commit_version", "_change_type")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {(r[0], r[1]): r[2] for r in spark.table(name).collect()}
+
+    # startingVersion=1 skips the 20 initial inserts
+    got = run(1)
+    assert got == {(2, "delete"): 3,
+                   (3, "update_preimage"): 1,
+                   (3, "update_postimage"): 1,
+                   (3, "insert"): 1}, got
+    # full history includes the per-file-parallel initial load
+    assert run(0)[(1, "insert")] == 20
+    # vacuum expiring a mid-span snapshot breaks the feed loudly
+    vacuum(p, keep_last=1)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="vacuum|no longer exists"):
+        run(0)
