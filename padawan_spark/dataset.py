@@ -133,7 +133,14 @@ class Dataset:
         if df is None:
             _require(files is not None, ValueError, "need df or files")
             if self._files:
-                df = spark.read.parquet(*self._files)
+                # manifest-backed scans read with the RECORDED schema:
+                # stable column set under schema evolution (files written
+                # before a merge_schema append lack the new columns and
+                # surface them as nulls), no footer schema inference, and
+                # time travel reproduces each snapshot's own schema
+                reader = (spark.read.schema(schema) if schema is not None
+                          else spark.read)
+                df = reader.parquet(*self._files)
                 if residual is not None:
                     df = df.where(residual)
             else:
@@ -201,7 +208,10 @@ class Dataset:
             i += n
         _require(0 <= i < n, IndexError, f"partition {i} out of range ({n})")
         if self._files is not None:
-            part = self.spark.read.parquet(self._files[i])
+            # schema-pinned so pre-evolution files surface added columns
+            # as nulls, identical to the whole-dataset view
+            part = (self.spark.read.schema(self.df.schema)
+                    .parquet(self._files[i]))
             return part.where(self._residual) if self._residual is not None else part
         _require(self._partition_ids is not PIDS_UNKNOWN, StatsUnknownError,
                  "physical partition mapping unknown (concat over a "
@@ -674,7 +684,7 @@ class Dataset:
                      for gi, g in enumerate(groups) for i in g]
             map_df = self.spark.createDataFrame(
                 pairs, "__path string, __label int")
-            base = self.spark.read.parquet(
+            base = self.spark.read.schema(self.df.schema).parquet(
                 *[self._files[i] for g in groups for i in g])
             if self._residual is not None:
                 base = base.where(self._residual)
@@ -726,8 +736,15 @@ class Dataset:
     def write_parquet(self, path: str, append: bool = False,
                       manifest_table: bool = False,
                       progress: Callable[[int, int], None] | None = None,
+                      merge_schema: bool = False,
                       ) -> "Dataset":
         """Write one parquet file per partition plus the manifest.
+
+        ``merge_schema=True`` (with ``append=True``) evolves the table
+        schema: new nullable columns are added to the manifest schema,
+        and every scan reads with that schema so pre-evolution files
+        surface the new columns as nulls (see ``_check_evolution``).
+        The default rejects any appended-schema drift loudly.
 
         ``progress`` — optional ``(completed_tasks, total_tasks)``
         callback polled while the write and stats jobs run (reference
@@ -749,7 +766,8 @@ class Dataset:
             from .progress import track_progress
             with track_progress(self.spark, progress):
                 return self.write_parquet(path, append=append,
-                                          manifest_table=manifest_table)
+                                          manifest_table=manifest_table,
+                                          merge_schema=merge_schema)
         if append:
             _require(_meta.has_manifest(path), AppendError,
                      f"cannot append: no manifest at {path}")
@@ -767,11 +785,13 @@ class Dataset:
                              AppendError,
                              f"index columns differ: {old.index_columns} vs "
                              f"{self.index_columns}")
+                    schema_json = self._check_evolution(old, merge_schema)
                     before = set(_list_parquet(path))
                     self.df.write.mode("append").parquet(path)
                     new_files = sorted(set(_list_parquet(path)) - before)
                     return self._finish_write(path, old, new_files,
-                                              manifest_table)
+                                              manifest_table,
+                                              schema_json=schema_json)
             except _meta.CommitConflictError as e:
                 raise AppendError(str(e)) from None
         if os.path.exists(path):
@@ -780,8 +800,43 @@ class Dataset:
         new_files = sorted(_list_parquet(path))
         return self._finish_write(path, None, new_files, manifest_table)
 
-    def _finish_write(self, path: str, old, new_files, manifest_table: bool
-                      ) -> "Dataset":
+    def _check_evolution(self, old, merge_schema: bool) -> str | None:
+        """Append-side schema contract.  Default: the appended schema
+        must match the table's recorded one exactly by (name, type) —
+        appending a drifted schema used to record the NEW schema
+        silently, leaving mixed files behind an inconsistent manifest.
+        ``merge_schema=True`` evolves instead (the Delta/Iceberg ADD
+        COLUMN story): new nullable columns append to the table schema,
+        existing columns must keep their type, and files from either
+        era surface missing columns as nulls because every scan reads
+        with the manifest schema.  Returns the schema_json to record."""
+        if not old.schema_json:
+            return self.df.schema.json()
+        old_schema = StructType.fromJson(json.loads(old.schema_json))
+        old_t = {f.name: f.dataType for f in old_schema.fields}
+        new_fields = list(self.df.schema.fields)
+        conflicts = [f.name for f in new_fields
+                     if f.name in old_t and f.dataType != old_t[f.name]]
+        _require(not conflicts, AppendError,
+                 f"appended column type(s) differ from the table's for "
+                 f"{conflicts}; schema evolution only ADDS columns")
+        added = [f.name for f in new_fields if f.name not in old_t]
+        missing = [n for n in old_t if n not in
+                   {f.name for f in new_fields}]
+        if not merge_schema:
+            _require(not added and not missing, AppendError,
+                     f"appended schema differs from the table's "
+                     f"(new: {added}, missing: {missing}); pass "
+                     f"merge_schema=True to evolve the table schema")
+            return old.schema_json
+        from pyspark.sql.types import StructField as _SF
+        merged = list(old_schema.fields) + [
+            _SF(f.name, f.dataType, True) for f in new_fields
+            if f.name not in old_t]
+        return StructType(merged).json()
+
+    def _finish_write(self, path: str, old, new_files, manifest_table: bool,
+                      schema_json: str | None = None) -> "Dataset":
 
         sizes_by_file = _file_stats(self.spark, [os.path.join(path, f) for f in new_files],
                                     self.index_columns)
@@ -799,7 +854,7 @@ class Dataset:
             lower_bounds=lbs if self.index_columns else None,
             upper_bounds=ubs if self.index_columns else None,
             max_partition_index=(old.max_partition_index if old else -1) + len(kept),
-            schema_json=self.df.schema.json(),
+            schema_json=schema_json or self.df.schema.json(),
         )
         if not self.index_columns:
             man.lower_bounds = [() for _ in files]
@@ -995,7 +1050,8 @@ def _file_stats(spark: SparkSession, files: list[str], ix: tuple[str, ...],
 
 
 def scan_parquet(spark: SparkSession, path: str,
-                 version: int | None = None) -> Dataset:
+                 version: int | None = None,
+                 as_of=None) -> Dataset:
     """Directory of parquet files (or one file) → Dataset; loads the manifest
     when present, else globs with unknown stats
     (``persisted_dataset.py:27-43``).
@@ -1005,8 +1061,14 @@ def scan_parquet(spark: SparkSession, path: str,
     append-only writes retain all files, so ``scan_parquet(path,
     version=k)`` reproduces exactly the dataset as of write k — the
     reproducibility pin a training run records so the corpus it read
-    can be re-materialized later.  ``padawan_spark.metadata.
-    list_versions(path)`` enumerates snapshots."""
+    can be re-materialized later.  ``as_of`` (a datetime or unix
+    seconds) resolves to the newest snapshot committed at or before
+    that instant (Delta's ``timestampAsOf``).  ``padawan_spark.
+    metadata.list_versions(path)`` enumerates snapshots."""
+    if as_of is not None:
+        _require(version is None, ValueError,
+                 "pass either version= or as_of=, not both")
+        version = _meta.version_at(path, as_of)
     if os.path.isfile(path):
         _require(version is None, ValueError,
                  "version= requires a manifest directory, not a file")
@@ -1328,7 +1390,10 @@ def delete_rows(spark: SparkSession, path: str, lb=None, ub=None,
             c = (_ord.columns_leq if hi_incl else _ord.columns_lt)(ix, ub)
             cond = c if cond is None else (cond & c)
         keep = ~F.coalesce(cond, F.lit(False))   # null-safe complement
-        rewritten = (spark.read.parquet(
+        rdr = (spark.read.schema(StructType.fromJson(
+            json.loads(old.schema_json))) if old.schema_json
+            else spark.read)
+        rewritten = (rdr.parquet(
             *[os.path.join(path, f) for f in affected]).where(keep))
         before = set(_list_parquet(path))
         rewritten.write.mode("append").parquet(path)
@@ -1536,12 +1601,15 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
             lambda acc, c: acc & F.col(f"t.{c}").eqNullSafe(F.col(f"b.{c}")),
             ix[1:],
             F.col(f"t.{ix[0]}").eqNullSafe(F.col(f"b.{ix[0]}")))
+        srdr = (spark.read.schema(StructType.fromJson(
+            json.loads(old.schema_json))) if old.schema_json
+            else spark.read)
         parts = []
         for rr in work:
             part = batch.df.where(_region_pred(rr)).select(*table_cols)
             files_r = region_files.get(rr, [])
             if files_r:
-                surv = (spark.read.parquet(
+                surv = (srdr.parquet(
                     *[os.path.join(path, old.files[i]) for i in files_r])
                     .alias("t")
                     .join(batch_keys.alias("b"), on=_anti, how="left_anti"))
@@ -1664,10 +1732,12 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
         added = [f for f in cur.files if f not in prev_set]
         if not removed and not added:
             continue
-        after = (spark.read.parquet(
+        # schema-pinned reads: files predating a merge_schema append
+        # lack the added columns and must surface them as nulls
+        after = (spark.read.schema(schema).parquet(
             *[os.path.join(path, f) for f in added]).select(*cols)
             if added else None)
-        before = (spark.read.parquet(
+        before = (spark.read.schema(schema).parquet(
             *[os.path.join(path, f) for f in removed]).select(*cols)
             if removed else None)
         if before is None:

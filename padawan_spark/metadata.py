@@ -198,6 +198,27 @@ def list_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def version_at(path: str, ts) -> int:
+    """Largest snapshot version committed at or before ``ts`` (a
+    ``datetime`` or unix seconds) — timestamp time travel, resolved
+    against the archived snapshot files' commit mtimes (the same
+    source of truth Delta's ``timestampAsOf`` reads from its log)."""
+    import datetime as _dt
+    if isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    vs = list_versions(path)
+    best = None
+    for v in vs:
+        m = os.path.getmtime(os.path.join(_versions_dir(path), f"v{v}.json"))
+        if m <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot at {path} committed at or before {ts} "
+            f"(versions: {vs})")
+    return best
+
+
 def load_manifest(path: str, version: int | None = None) -> Manifest:
     """Load the current manifest, or a pinned SNAPSHOT when ``version``
     is given (time travel: append-only writes retain every file, so any

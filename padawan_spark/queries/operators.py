@@ -667,3 +667,80 @@ def op_read_changes(spark, sf_dir):
     return chg.select(F.col("_commit_version").alias("commit_version"),
                       F.col("_change_type").alias("change_type"),
                       "k", "name")
+
+
+@query("op_schema_evolution", oracle="""
+SELECT COUNT(*) AS n, CAST(SUM(n_regionkey) AS BIGINT) AS rk_sum,
+       COUNT(*) FILTER (WHERE n_nationkey >= 12) AS named,
+       CAST(2 AS BIGINT) AS v1_cols,
+       COUNT(*) FILTER (WHERE n_nationkey < 12) AS v1_rows
+FROM nation
+""")
+def op_schema_evolution(spark, sf_dir):
+    """Lakehouse schema evolution (r8, ``write_parquet(append=True,
+    merge_schema=True)`` — the Delta/Iceberg ADD COLUMN story): the
+    table is written with two columns, then an append with an extra
+    ``n_name`` column evolves the manifest schema.  Every scan reads
+    with the MANIFEST schema, so pre-evolution files surface the new
+    column as nulls (counted by ``named``), and time travel to v1
+    reproduces the ORIGINAL two-column schema (``v1_cols``/``v1_rows``)
+    — snapshots pin their own schema, not just their file list.  Scale
+    shape: metadata-only; no data rewritten to add a column."""
+    from ..dataset import Dataset, scan_parquet
+    n = load(spark, sf_dir, "nation")
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_se_"),
+                          "nation_se")
+    (Dataset(spark,
+             n.where(F.col("n_nationkey") < 12)
+             .select("n_nationkey", "n_regionkey"),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target))
+    (Dataset(spark,
+             n.where(F.col("n_nationkey") >= 12)
+             .select("n_nationkey", "n_regionkey", "n_name"),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target, append=True, merge_schema=True))
+    cur = scan_parquet(spark, target).df
+    v1 = scan_parquet(spark, target, version=1)
+    stats = cur.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_regionkey").cast("bigint").alias("rk_sum"),
+        F.count("n_name").alias("named")).collect()[0]
+    return spark.createDataFrame(
+        [(stats["n"], stats["rk_sum"], stats["named"],
+          len(v1.df.columns), v1.df.count())],
+        "n bigint, rk_sum bigint, named bigint, v1_cols bigint, "
+        "v1_rows bigint")
+
+
+@query("op_timetravel_timestamp", oracle="""
+SELECT n_regionkey, COUNT(*) AS n, CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+FROM nation WHERE n_nationkey < 10 GROUP BY n_regionkey
+""")
+def op_timetravel_timestamp(spark, sf_dir):
+    """Timestamp time travel (r8, ``scan_parquet(as_of=...)`` — Delta's
+    ``timestampAsOf``): two commits get distinct archived-snapshot
+    mtimes (pinned explicitly so the fixture never races the clock),
+    and a read as-of an instant between them resolves to the FIRST
+    snapshot — same result as the version-pinned op_time_travel read.
+    Resolution is O(versions) driver metadata; data is never copied."""
+    import os as _os
+    from .. import metadata as _meta
+    from ..dataset import Dataset, scan_parquet
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name")
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_ttts_"),
+                          "nation_ttts")
+    (Dataset(spark, n.where(F.col("n_nationkey") < 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target))
+    (Dataset(spark, n.where(F.col("n_nationkey") >= 10),
+             index_columns=("n_nationkey",)).reindex(("n_nationkey",))
+     .write_parquet(target, append=True))
+    vdir = _meta._versions_dir(target)
+    _os.utime(_os.path.join(vdir, "v1.json"), (1_700_000_000,) * 2)
+    _os.utime(_os.path.join(vdir, "v2.json"), (1_700_000_100,) * 2)
+    pinned = scan_parquet(spark, target, as_of=1_700_000_050)
+    return (pinned.df.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("n_nationkey").cast("bigint").alias("max_key")))

@@ -1504,3 +1504,81 @@ def test_cdf_stream_source_startingversion_and_vacuum_guard(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="vacuum|no longer exists"):
         run(0)
+
+
+def test_schema_evolution_lifecycle(spark, tmp_path):
+    """r8: merge_schema appends ADD columns — pre-evolution files
+    surface them as nulls, appends with MISSING columns backfill nulls,
+    snapshots pin their era's schema, strict mode rejects drift, and
+    type conflicts always fail."""
+    from padawan_spark import AppendError, from_pandas, scan_parquet
+
+    p = str(tmp_path / "evolve")
+    from_pandas(spark, pd.DataFrame({"k": range(10), "v": range(10)}),
+                index_columns=("k",)).write_parquet(p)
+    # strict default: extra column rejected loudly
+    extra = from_pandas(spark, pd.DataFrame(
+        {"k": [100], "v": [1], "w": ["x"]}), index_columns=("k",))
+    with pytest.raises(AppendError, match="merge_schema"):
+        extra.write_parquet(p, append=True)
+    # evolve: add column w
+    extra.write_parquet(p, append=True, merge_schema=True)
+    cur = scan_parquet(spark, p).df
+    assert set(cur.columns) == {"k", "v", "w"}
+    got = {r.k: r.w for r in cur.collect()}
+    assert got[100] == "x" and all(got[k] is None for k in range(10))
+    # append missing the evolved column: nulls backfill on read
+    from_pandas(spark, pd.DataFrame({"k": [200], "v": [2]}),
+                index_columns=("k",)).write_parquet(p, append=True,
+                                                    merge_schema=True)
+    assert scan_parquet(spark, p).df.where("k = 200").collect()[0].w is None
+    # snapshots pin their era's schema
+    assert set(scan_parquet(spark, p, version=1).df.columns) == {"k", "v"}
+    assert set(scan_parquet(spark, p, version=2).df.columns) == {"k", "v",
+                                                                 "w"}
+    # type conflict rejected even with merge_schema
+    with pytest.raises(AppendError, match="type"):
+        from_pandas(spark, pd.DataFrame({"k": [1], "v": ["str"]}),
+                    index_columns=("k",)).write_parquet(
+            p, append=True, merge_schema=True)
+    # lakehouse write paths survive evolution: delete + merge + CDF
+    from padawan_spark import delete_rows, merge_rows, read_changes
+    delete_rows(spark, p, (3,), (4,), inclusive="both")
+    merge_rows(spark, p, from_pandas(
+        spark, pd.DataFrame({"k": [5, 300], "v": [55, 3],
+                             "w": ["upd", "new"]}),
+        index_columns=("k",)))
+    rows = {r.k: (r.v, r.w) for r in scan_parquet(spark, p).df.collect()}
+    assert rows[5] == (55, "upd") and rows[300] == (3, "new")
+    assert 3 not in rows and 4 not in rows
+    chg = read_changes(spark, p, 3)      # the delete + merge commits
+    types = {(r._change_type, r.k) for r in chg.collect()}
+    assert ("delete", 3) in types and ("update_postimage", 5) in types \
+        and ("insert", 300) in types
+
+
+def test_scan_parquet_as_of_timestamp(spark, tmp_path):
+    """r8: as_of= resolves to the newest snapshot committed at or
+    before the instant; earlier than every commit fails loudly."""
+    import os as _os
+
+    from padawan_spark import from_pandas, scan_parquet
+    from padawan_spark.metadata import _versions_dir
+
+    p = str(tmp_path / "asof")
+    from_pandas(spark, pd.DataFrame({"k": [1]}),
+                index_columns=("k",)).write_parquet(p)
+    from_pandas(spark, pd.DataFrame({"k": [2]}),
+                index_columns=("k",)).write_parquet(p, append=True)
+    vdir = _versions_dir(p)
+    _os.utime(_os.path.join(vdir, "v1.json"), (1_000_000,) * 2)
+    _os.utime(_os.path.join(vdir, "v2.json"), (2_000_000,) * 2)
+    assert scan_parquet(spark, p, as_of=1_500_000).df.count() == 1
+    assert scan_parquet(spark, p, as_of=2_000_000).df.count() == 2
+    import datetime as dt2
+    assert scan_parquet(spark, p, as_of=dt2.datetime.fromtimestamp(
+        1_000_000)).df.count() == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        scan_parquet(spark, p, as_of=999_999)
+    with pytest.raises(ValueError, match="not both"):
+        scan_parquet(spark, p, version=1, as_of=1_500_000)
