@@ -2847,3 +2847,35 @@ def sample_video_frames(df: DataFrame, every_n: int = 30,
                 "doc_id", "frame_idx", "width", "height", "y_checksum"])
 
     return df.mapInPandas(batches, VIDEO_FRAMES_SCHEMA)
+
+
+def sample_webp_frames(df: DataFrame, every_n: int = 1,
+                       payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Animated-WebP frame sampling (the VP8X/ANMF twin of
+    :func:`sample_gif_frames`): decode every frame with the container
+    spec's compositing (offsets, blend bit, dispose-to-background) via
+    :func:`padawan_spark.functions.webp.decode_webp_frames_py`, keep
+    every ``every_n``-th, and emit a position-weighted RGBA checksum
+    ``sum((i+1) * (r + 2g + 3b + 4a))`` of the PRESENTED canvas — the
+    alpha term makes blending itself checksum-visible.  A non-animated
+    WebP yields one frame.  Arrow-batched mapInPandas, zero shuffle."""
+    from .webp import decode_webp_frames_py
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, frames = decode_webp_frames_py(bytes(b))
+                wts = np.arange(1, w * h + 1, dtype=np.int64)
+                for k in range(0, len(frames), every_n):
+                    px = (np.frombuffer(frames[k], dtype=np.uint8)
+                          .reshape(-1, 4).astype(np.int64))
+                    chk = int((wts * (px[:, 0] + 2 * px[:, 1]
+                                      + 3 * px[:, 2] + 4 * px[:, 3])).sum())
+                    out.append((i, k, w, h, chk))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "frame_idx", "width", "height", "pix_checksum"])
+
+    return df.mapInPandas(batches, GIF_FRAMES_SCHEMA)

@@ -485,7 +485,13 @@ def _decode_vp8x(b: bytes):
         pos += 8 + sz + (sz & 1)
     try:
         if b"ANIM" in chunks or b"ANMF" in chunks:
-            raise NotImplementedError("animated WebP needs libwebp/PIL")
+            # single-image view of an animation: the first presented
+            # canvas (PIL's behavior); frame-accurate access goes
+            # through decode_webp_frames_py
+            w, h, frames = decode_webp_frames_py(b)
+            if not frames:
+                raise NotImplementedError("animated WebP without frames")
+            return w, h, 4, frames[0]
         if b"VP8L" in chunks:
             data = chunks[b"VP8L"]
             if not data or data[0] != 0x2F:
@@ -1066,3 +1072,165 @@ def encode_webp_palette_py(width: int, height: int, rgba: bytes,
         body += b"\x00"
     return (b"RIFF" + struct.pack("<I", 12 + len(body))
             + b"WEBPVP8L" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM/ANMF): frame-accurate decode with the
+# container spec's compositing — frames render at their (even-valued)
+# offsets onto the persistent canvas, the blend bit selects alpha
+# blending vs overwrite, and disposal 1 restores the frame rectangle to
+# the ANIM background color after presentation.  The web-corpus analog
+# of decode_gif_frames_py; sub-frames may be VP8L or lossy VP8, with an
+# optional ALPH plane.
+# ---------------------------------------------------------------------------
+
+
+def _decode_subframe(chunks: list):
+    """(ALPH?, VP8|VP8L) chunk list inside one ANMF -> (w, h, rgba)."""
+    alph = None
+    for four, payload in chunks:
+        if four == b"ALPH":
+            alph = payload
+        elif four == b"VP8L":
+            if not payload or payload[0] != 0x2F:
+                raise NotImplementedError("bad VP8L signature byte")
+            rd = _Vp8lBitReader(payload, 1)
+            w = rd.bits(14) + 1
+            h = rd.bits(14) + 1
+            rd.bits(1)
+            if rd.bits(3) != 0:
+                raise NotImplementedError("unknown VP8L version")
+            px = _decode_vp8l_pixels(rd, w, h)
+            out = bytearray(w * h * 4)
+            for i, v in enumerate(px):
+                out[4 * i] = (v >> 16) & 0xFF
+                out[4 * i + 1] = (v >> 8) & 0xFF
+                out[4 * i + 2] = v & 0xFF
+                out[4 * i + 3] = (v >> 24) & 0xFF
+            return w, h, bytes(out)
+        elif four == b"VP8 ":
+            from .vp8 import decode_vp8_rgba
+            w, h, rgba = decode_vp8_rgba(payload)
+            if alph is not None:
+                out = bytearray(rgba)
+                out[3::4] = _decode_alpha(alph, w, h)
+                rgba = bytes(out)
+            return w, h, rgba
+    raise NotImplementedError("ANMF frame without an image chunk")
+
+
+def _walk_chunks(b: bytes, pos: int, end: int) -> list:
+    import struct
+    out = []
+    while pos + 8 <= end:
+        four = b[pos:pos + 4]
+        sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        out.append((four, b[pos + 8:pos + 8 + sz]))
+        pos += 8 + sz + (sz & 1)
+    return out
+
+
+def decode_webp_frames_py(b: bytes):
+    """Decode EVERY frame of an animated WebP; returns ``(canvas_w,
+    canvas_h, [rgba_canvas, ...])`` — each element the full canvas AS
+    PRESENTED for that frame.  The canvas starts as the ANIM background
+    color; blend=0 alpha-blends the sub-frame over the canvas (exact
+    container-spec arithmetic), blend=1 overwrites; disposal=1 fills
+    the frame rectangle back with the background color after
+    presentation.  A non-animated payload decodes as one frame."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise NotImplementedError("not a WebP payload")
+    chunks = _walk_chunks(b, 12, len(b))
+    kinds = [c[0] for c in chunks]
+    if b"ANMF" not in kinds:
+        w, h, _c, rgba = decode_webp_py(b)
+        return w, h, [rgba]
+    vp8x = dict(chunks).get(b"VP8X")
+    if vp8x is None:
+        raise NotImplementedError("ANMF frames without a VP8X header")
+    cw = int.from_bytes(vp8x[4:7], "little") + 1
+    ch = int.from_bytes(vp8x[7:10], "little") + 1
+    bg = (0, 0, 0, 0)
+    for four, payload in chunks:
+        if four == b"ANIM":                      # BGRA byte order
+            bg = (payload[2], payload[1], payload[0], payload[3])
+    canvas = bytearray(bytes(bg) * (cw * ch))
+    frames = []
+    for four, payload in chunks:
+        if four != b"ANMF":
+            continue
+        fx = int.from_bytes(payload[0:3], "little") * 2
+        fy = int.from_bytes(payload[3:6], "little") * 2
+        fw = int.from_bytes(payload[6:9], "little") + 1
+        fh = int.from_bytes(payload[9:12], "little") + 1
+        flags = payload[15]
+        no_blend = (flags >> 1) & 1
+        dispose = flags & 1
+        sw, sh, srgba = _decode_subframe(_walk_chunks(
+            payload, 16, len(payload)))
+        if (sw, sh) != (fw, fh):
+            raise NotImplementedError(
+                f"ANMF header {fw}x{fh} != sub-frame {sw}x{sh}")
+        for y in range(fh):
+            co = ((fy + y) * cw + fx) * 4
+            so = y * fw * 4
+            if no_blend:
+                canvas[co:co + fw * 4] = srgba[so:so + fw * 4]
+            else:
+                for x in range(fw):
+                    sa = srgba[so + 4 * x + 3]
+                    if sa == 255:
+                        canvas[co + 4 * x:co + 4 * x + 4] = \
+                            srgba[so + 4 * x:so + 4 * x + 4]
+                    elif sa == 0:
+                        pass
+                    else:                        # container-spec blend
+                        da = canvas[co + 4 * x + 3]
+                        ab = sa + da * (255 - sa) // 255
+                        for c in range(3):
+                            s = srgba[so + 4 * x + c]
+                            d = canvas[co + 4 * x + c]
+                            canvas[co + 4 * x + c] = 0 if ab == 0 else (
+                                (s * sa + d * da * (255 - sa) // 255)
+                                // ab)
+                        canvas[co + 4 * x + 3] = ab
+        frames.append(bytes(canvas))
+        if dispose:
+            for y in range(fh):
+                co = ((fy + y) * cw + fx) * 4
+                canvas[co:co + fw * 4] = bytes(bg) * fw
+    return cw, ch, frames
+
+
+def encode_webp_anim_py(width: int, height: int, frames,
+                        bg=(0, 0, 0, 255), loop: int = 0) -> bytes:
+    """Fixture encoder for animated WebP: ``frames`` is a list of
+    ``(fx, fy, fw, fh, rgba, no_blend, dispose, duration_ms)`` with
+    even fx/fy; each sub-frame is embedded as a lossless VP8L chunk so
+    decode is exact.  ``bg`` is (r, g, b, a)."""
+    import struct
+
+    def chunk(four, payload):
+        c = four + len(payload).to_bytes(4, "little") + payload
+        return c + (b"\x00" if len(payload) & 1 else b"")
+
+    body = b"WEBP"
+    body += chunk(b"VP8X", bytes([0x12, 0, 0, 0])
+                  + (width - 1).to_bytes(3, "little")
+                  + (height - 1).to_bytes(3, "little"))
+    body += chunk(b"ANIM", bytes((bg[2], bg[1], bg[0], bg[3]))
+                  + struct.pack("<H", loop))
+    for fx, fy, fw, fh, rgba, no_blend, dispose, dur in frames:
+        if fx % 2 or fy % 2:
+            raise ValueError("ANMF offsets must be even")
+        sub = encode_webp_py(fw, fh, rgba)      # full RIFF; take VP8L chunk
+        vp8l = _walk_chunks(sub, 12, len(sub))[0][1]
+        payload = ((fx // 2).to_bytes(3, "little")
+                   + (fy // 2).to_bytes(3, "little")
+                   + (fw - 1).to_bytes(3, "little")
+                   + (fh - 1).to_bytes(3, "little")
+                   + int(dur).to_bytes(3, "little")
+                   + bytes([(int(no_blend) << 1) | int(dispose)]))
+        payload += chunk(b"VP8L", vp8l)
+        body += chunk(b"ANMF", payload)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

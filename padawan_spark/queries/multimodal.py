@@ -1089,3 +1089,84 @@ def mm_real_video_frames(spark, sf_dir):
             for doc_id, w, h, n in _Y4M_SPECS]
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return sample_video_frames(d, every_n=_Y4M_EVERY)
+
+
+def _webp_anim_oracle() -> str:
+    # doc 1: 11x7 canvas, base formula frame, overwrite sub-rect with
+    # dispose-to-background, then a second sub-rect
+    w, h = 11, 7
+    x, y = "(i % 11)", "(i // 11)"
+    base = (f"((7 * {x}) % 256 + 2 * ((11 * {y}) % 256)"
+            f" + 3 * (({x} + {y}) % 256) + 1020)")
+    c1 = 200 + 2 * 10 + 3 * 30 + 4 * 255          # f1 constant
+    cbg = 9 + 2 * 8 + 3 * 7 + 4 * 255             # background
+    c2 = 1 + 2 * 2 + 3 * 3 + 4 * 255              # f2 constant
+    r1 = f"({x} BETWEEN 4 AND 8 AND {y} BETWEEN 2 AND 4)"
+    r2 = f"({x} < 3 AND {y} < 3)"
+    f0 = base
+    f1 = f"(CASE WHEN {r1} THEN {c1} ELSE {base} END)"
+    f2 = f"(CASE WHEN {r2} THEN {c2} WHEN {r1} THEN {cbg} ELSE {base} END)"
+    parts = []
+    for k, val in enumerate((f0, f1, f2)):
+        parts.append(
+            f"SELECT CAST(1 AS BIGINT) AS doc_id, {k} AS frame_idx,"
+            f" {w} AS width, {h} AS height,"
+            f" (SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+            f"  FROM range(0, {w * h}) t(i)) AS pix_checksum")
+    # doc 2: alpha BLENDING — semi-transparent constant over an opaque
+    # constant; the container-spec integer blend closes over constants
+    s, sa = (200, 100, 50), 100
+    d = (40, 80, 120)
+    blend = [(s[c] * sa + d[c] * 255 * (255 - sa) // 255) // 255
+             for c in range(3)]
+    cb = blend[0] + 2 * blend[1] + 3 * blend[2] + 4 * 255
+    cd = d[0] + 2 * d[1] + 3 * d[2] + 4 * 255
+    x2, y2 = "(i % 8)", "(i // 8)"
+    rb = f"({x2} BETWEEN 2 AND 5 AND {y2} BETWEEN 2 AND 3)"
+    for k, val in enumerate(
+            (str(cd), f"(CASE WHEN {rb} THEN {cb} ELSE {cd} END)")):
+        parts.append(
+            f"SELECT CAST(2 AS BIGINT), {k}, 8, 6,"
+            f" (SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+            f"  FROM range(0, 48) t(i))")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_webp_anim", oracle=_webp_anim_oracle())
+def mm_real_webp_anim(spark, sf_dir):
+    """Animated WebP (VP8X + ANIM/ANMF, r8) — frame-accurate decode
+    with container-spec compositing, the web-corpus twin of the
+    animated-GIF query: doc 1 exercises sub-frame offsets, overwrite
+    rendering, and dispose-to-background (each presented canvas is
+    checksummed with an alpha term so compositing mistakes are
+    value-visible); doc 2 exercises ALPHA BLENDING of a
+    semi-transparent sub-frame over an opaque canvas — the spec's
+    integer blend closes over constant colors, so even the blended
+    frame carries an exact closed-form oracle.  Sub-frames are
+    lossless VP8L chunks (exact by construction).  Scale shape:
+    Arrow-batched mapInPandas over binary payloads, zero shuffle."""
+    from ..functions.multimodal import sample_webp_frames
+    from ..functions.webp import encode_webp_anim_py
+
+    def rect(fw, fh, fn):
+        return b"".join(bytes(fn(xx, yy))
+                        for yy in range(fh) for xx in range(fw))
+
+    f0 = rect(11, 7, lambda xx, yy: ((7 * xx) % 256, (11 * yy) % 256,
+                                     (xx + yy) % 256, 255))
+    doc1 = encode_webp_anim_py(11, 7, [
+        (0, 0, 11, 7, f0, 1, 0, 40),
+        (4, 2, 5, 3, rect(5, 3, lambda xx, yy: (200, 10, 30, 255)),
+         1, 1, 40),
+        (0, 0, 3, 3, rect(3, 3, lambda xx, yy: (1, 2, 3, 255)),
+         0, 0, 40),
+    ], bg=(9, 8, 7, 255))
+    doc2 = encode_webp_anim_py(8, 6, [
+        (0, 0, 8, 6, rect(8, 6, lambda xx, yy: (40, 80, 120, 255)),
+         1, 0, 40),
+        (2, 2, 4, 2, rect(4, 2, lambda xx, yy: (200, 100, 50, 100)),
+         0, 0, 40),
+    ])
+    d = spark.createDataFrame([(1, bytearray(doc1)), (2, bytearray(doc2))],
+                              "doc_id bigint, payload binary")
+    return sample_webp_frames(d)

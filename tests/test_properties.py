@@ -1178,3 +1178,48 @@ def test_webp_alpha_vp8x_matches_libwebp():
         got = decode_webp_py(full)
         assert (got[0], got[1], got[3]) == (W, H, ref)
         assert got[3][3::4] == plane, f"filter {f} alpha mismatch"
+
+
+@settings(max_examples=15, deadline=None)
+@given(cw=st.integers(4, 24), ch=st.integers(4, 18), data=st.data())
+def test_webp_animation_compositing_property(cw, ch, data):
+    """Animated WebP compositing as a property: random sub-frame
+    rectangles (even offsets), random blend/dispose flags with opaque
+    or fully-transparent pixels (the exactly-defined blend cases), must
+    reproduce a straightforward reference canvas simulation."""
+    from padawan_spark.functions.webp import (decode_webp_frames_py,
+                                              encode_webp_anim_py)
+    bg = (data.draw(st.integers(0, 255)), data.draw(st.integers(0, 255)),
+          data.draw(st.integers(0, 255)), 255)
+    n_frames = data.draw(st.integers(1, 4))
+    frames = []
+    for _ in range(n_frames):
+        fx = data.draw(st.integers(0, (cw - 2) // 2)) * 2
+        fy = data.draw(st.integers(0, (ch - 2) // 2)) * 2
+        fw = data.draw(st.integers(1, cw - fx))
+        fh = data.draw(st.integers(1, ch - fy))
+        rgba = bytes(data.draw(st.integers(0, 255)) if (i + 1) % 4 else
+                     data.draw(st.sampled_from([0, 255]))
+                     for i in range(fw * fh * 4))
+        frames.append((fx, fy, fw, fh, rgba,
+                       data.draw(st.integers(0, 1)),
+                       data.draw(st.integers(0, 1)), 30))
+    payload = encode_webp_anim_py(cw, ch, frames, bg=bg)
+    W, H, got = decode_webp_frames_py(payload)
+    assert (W, H) == (cw, ch)
+    canvas = bytearray(bytes(bg) * (cw * ch))
+    for k, (fx, fy, fw, fh, rgba, no_blend, dispose, _d) in \
+            enumerate(frames):
+        for y in range(fh):
+            for x in range(fw):
+                so = (y * fw + x) * 4
+                co = ((fy + y) * cw + fx + x) * 4
+                src = rgba[so:so + 4]
+                if no_blend or src[3] == 255:
+                    canvas[co:co + 4] = src
+                # src alpha 0 under blending: canvas unchanged
+        assert got[k] == bytes(canvas), f"frame {k}"
+        if dispose:
+            for y in range(fh):
+                co = ((fy + y) * cw + fx) * 4
+                canvas[co:co + fw * 4] = bytes(bg) * fw
