@@ -764,3 +764,110 @@ def text_char_entropy(spark, sf_dir):
         F.when((F.col("entropy_bits") >= _ENT_LO)
                & (F.col("entropy_bits") <= _ENT_HI), 1).otherwise(0)
         .alias("plausible_text"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (r8): learn merge rules from the corpus — the
+# step upstream of every token-counting operator.  Each round counts
+# adjacent symbol pairs over the word-frequency table and merges the
+# argmax (count desc, then lexicographic) everywhere.  Merge
+# application uses a double-space encoding so plain string REPLACE is
+# EXACTLY the greedy left-to-right non-overlapping BPE merge (each
+# token boundary carries two spaces; a match consumes one from each
+# side, leaving one for the adjacent match), which both engines
+# implement identically — that is what makes an iterative trainer
+# fully value-oracled in SQL.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    w = r"""
+w0 AS (
+  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+  WHERE length(word) BETWEEN 2 AND 12
+  GROUP BY 1
+)"""
+    ctes = [w]
+    for k in range(1, _BPE_ROUNDS + 1):
+        ctes.append(f"""
+p{k} AS (
+  SELECT p['l'] AS l, p['r'] AS r, SUM(freq) AS cnt
+  FROM (SELECT freq,
+               unnest(list_transform(range(1, len(string_split(seq, ' '))),
+                      i -> {{'l': string_split(seq, ' ')[i],
+                            'r': string_split(seq, ' ')[i + 1]}})) AS p
+        FROM w{k - 1})
+  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+)""")
+        if k < _BPE_ROUNDS:
+            ctes.append(f"""
+w{k} AS (
+  SELECT trim(regexp_replace(replace(
+           ' ' || replace(seq, ' ', '  ') || ' ',
+           ' ' || (SELECT l FROM p{k}) || '  '
+               || (SELECT r FROM p{k}) || ' ',
+           ' ' || (SELECT l FROM p{k})
+               || (SELECT r FROM p{k}) || ' '),
+         ' +', ' ', 'g')) AS seq, freq
+  FROM w{k - 1}
+)""")
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS round, l || r AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count "
+        f"FROM p{k}" for k in range(1, _BPE_ROUNDS + 1))
+    return "WITH " + ",".join(ctes) + " " + sel
+
+
+@query("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark, sf_dir):
+    """Train {n} BPE merges on the documents corpus and emit each
+    round's learned merge with its pair count.  Plan shape per round:
+    one JVM-side pair-explode + groupBy over the DISTINCT-WORD
+    frequency table (classic BPE trains on word shapes, so the
+    iteration cost is O(vocabulary), not O(corpus) — the corpus is
+    touched once to build the table), a 1-row argmax collect (the
+    merge rule itself — O(1) driver data), and a string-level merge
+    application kept inside whole-stage codegen.  The word table is
+    localCheckpointed per round so the lazy plan stays flat across
+    iterations, same as the k-means/PageRank loops.  At 100 TB the
+    word-frequency table is the classic skew-safe reduction: words
+    hash-shuffle once, everything after is vocabulary-sized."""
+    from pyspark.sql import functions as SF
+    d = load(spark, sf_dir, "documents", wide=True)
+    words = (d.select(SF.explode(
+        SF.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .alias("word"))
+        .where("length(word) BETWEEN 2 AND 12")
+        .groupBy("word").agg(SF.count(SF.lit(1)).alias("freq"))
+        .select(SF.expr("trim(regexp_replace(word, '(.)', '$1 '))")
+                .alias("seq"), "freq"))
+    words = words.localCheckpoint(eager=True)
+    out = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        arr = "split(seq, ' ')"
+        pairs = words.select("freq", SF.explode(SF.expr(
+            f"transform(sequence(1, size({arr}) - 1), "
+            f"i -> struct(element_at({arr}, i) AS l, "
+            f"element_at({arr}, i + 1) AS r))")).alias("p"))
+        best = (pairs.groupBy("p.l", "p.r")
+                .agg(SF.sum("freq").alias("cnt"))
+                .orderBy(SF.desc("cnt"), "l", "r").limit(1).collect()[0])
+        out.append((k, best["l"] + best["r"], best["cnt"]))
+        if k < _BPE_ROUNDS:
+            pat = f" {best['l']}  {best['r']} "
+            rep = f" {best['l']}{best['r']} "
+            words = words.select(SF.expr(
+                "trim(regexp_replace(replace("
+                "concat(' ', replace(seq, ' ', '  '), ' '), "
+                f"'{pat}', '{rep}'), ' +', ' '))").alias("seq"), "freq")
+            words = words.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "round int, merged string, pair_count bigint")
+
+
+text_bpe_train.__doc__ = text_bpe_train.__doc__.format(n=_BPE_ROUNDS)
