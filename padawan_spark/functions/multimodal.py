@@ -2806,13 +2806,41 @@ VIDEO_FRAMES_SCHEMA = ("doc_id bigint, frame_idx int, width int, "
                        "height int, y_checksum bigint")
 
 
+def _mjpeg_frames(b: bytes):
+    """Container walk + per-frame JPEG decode for Motion-JPEG in AVI or
+    MP4 (r8): returns ``(width, height, [luma planes])``.  Grayscale
+    frames decode to the raw Y plane; color frames use the green
+    channel's luma-dominant row as-is (fixtures are grayscale, where
+    baseline JPEG is exact under flat quant)."""
+    import numpy as np
+    from .video import decode_avi_py, extract_mp4_frames_py
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        w, h, _r, _s, codec, payloads = decode_avi_py(b)
+        if codec not in ("MJPG", "mjpg", "jpeg"):
+            raise NotImplementedError(
+                f"AVI codec {codec!r}: only MJPG decodes without PyAV")
+    else:
+        w, h, codec, payloads = extract_mp4_frames_py(b)
+        if codec not in ("jpeg", "mjpa"):
+            raise NotImplementedError(
+                f"MP4 codec {codec!r}: only MJPEG samples decode "
+                f"without PyAV")
+    lumas = []
+    for p in payloads:
+        fw, fh, ch, px = decode_jpeg_py(p)
+        a = np.frombuffer(px, dtype=np.uint8)
+        lumas.append(a if ch == 1 else a.reshape(-1, 3)[:, 1])
+    return w, h, lumas
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 30,
                         payload_col: str = "payload",
                         id_col: str = "doc_id") -> DataFrame:
     """Real frame sampling: PyAV when present (any codec), else the
-    pure-Python Y4M parser.  Emits every ``every_n``-th frame's
-    dimensions plus a position-weighted luma checksum
-    ``sum((i + 1) * Y_i)`` — order-sensitive, so plane-size or
+    pure-Python Y4M parser or — r8 — the AVI/MP4 container walk with
+    in-repo MJPEG (baseline JPEG) frame decode.  Emits every
+    ``every_n``-th frame's dimensions plus a position-weighted luma
+    checksum ``sum((i + 1) * Y_i)`` — order-sensitive, so plane-size or
     frame-boundary mistakes are caught by the oracle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2826,7 +2854,14 @@ def sample_video_frames(df: DataFrame, every_n: int = 30,
             out = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(b)
-                if _av is not None:  # pragma: no cover (no PyAV here)
+                if (b[:4] == b"RIFF" and b[8:12] == b"AVI ") \
+                        or b[4:8] == b"ftyp":
+                    w, h, lumas = _mjpeg_frames(b)
+                    for k in range(0, len(lumas), every_n):
+                        y = lumas[k].astype(np.int64)
+                        wts = np.arange(1, y.size + 1, dtype=np.int64)
+                        out.append((i, k, w, h, int((wts * y).sum())))
+                elif _av is not None:  # pragma: no cover (no PyAV here)
                     with _av.open(io.BytesIO(b)) as c:
                         for k, fr in enumerate(c.decode(video=0)):
                             if k % every_n:
@@ -2847,6 +2882,64 @@ def sample_video_frames(df: DataFrame, every_n: int = 30,
                 "doc_id", "frame_idx", "width", "height", "y_checksum"])
 
     return df.mapInPandas(batches, VIDEO_FRAMES_SCHEMA)
+
+
+VIDEO_META_SCHEMA = ("doc_id bigint, container string, codec string, "
+                     "width int, height int, n_frames bigint, "
+                     "duration_ms bigint")
+
+
+def scan_video_containers(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Header-only video-container metadata scan (r8): AVI reads the
+    ``hdrl`` list, MP4 the ``moov`` tree, Y4M the stream header plus
+    O(1) frame arithmetic — never the sample payloads.  This is the
+    100 TB corpus-triage primitive (codec/resolution/duration
+    histograms over billions of blobs) and costs O(header) per blob;
+    embarrassingly parallel mapInPandas, zero shuffle."""
+    from .video import parse_avi_meta_py, parse_mp4_py
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    w, h, rate, scale, codec, n, dur = parse_avi_meta_py(b)
+                    out.append((i, "avi", codec, w, h, n, dur))
+                elif len(b) >= 12 and b[4:8] == b"ftyp":
+                    m = parse_mp4_py(b)
+                    vid = next((t for t in m["tracks"]
+                                if t["handler"] == "vide"), None)
+                    if vid is None:
+                        raise NotImplementedError("MP4 has no video track")
+                    dur = (vid["duration"] * 1000) // max(
+                        vid["timescale"] or 1, 1)
+                    out.append((i, "mp4", vid["codec"], vid["width"],
+                                vid["height"], vid["n_samples"], dur))
+                elif b[:9] == b"YUV4MPEG2":
+                    nl = b.index(b"\n")
+                    w = h = None
+                    fn, fd = 25, 1
+                    for tok in b[9:nl].split():
+                        if tok[:1] == b"W":
+                            w = int(tok[1:])
+                        elif tok[:1] == b"H":
+                            h = int(tok[1:])
+                        elif tok[:1] == b"F":
+                            fn, fd = (int(x) for x in tok[1:].split(b":"))
+                    fsize = w * h + 2 * ((w // 2) * (h // 2))
+                    n = (len(b) - nl - 1) // (6 + fsize)
+                    out.append((i, "y4m", "rawvideo", w, h, n,
+                                (n * fd * 1000) // fn))
+                else:
+                    raise NotImplementedError(
+                        "unrecognized video container (AVI/MP4/Y4M)")
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "container", "codec", "width", "height",
+                "n_frames", "duration_ms"])
+
+    return df.mapInPandas(batches, VIDEO_META_SCHEMA)
 
 
 def sample_webp_frames(df: DataFrame, every_n: int = 1,

@@ -1170,3 +1170,135 @@ def mm_real_webp_anim(spark, sf_dir):
     d = spark.createDataFrame([(1, bytearray(doc1)), (2, bytearray(doc2))],
                               "doc_id bigint, payload binary")
     return sample_webp_frames(d)
+
+
+# ---------------------------------------------------------------------------
+# REAL video containers (r8): Motion-JPEG inside AVI (RIFF) and MP4
+# (ISO BMFF) — the dominant container layouts of real video corpora —
+# plus a header-only metadata scan across all three containers.  The
+# MJPEG fixtures reuse the flat-quant constant-tile JPEG trick (exact
+# by construction), so the oracle recomputes sampled-frame luma
+# checksums from the tile formula alone: agreement proves the RIFF
+# chunk walk / the stsz+stsc+stco sample-table resolution AND the
+# per-frame JPEG entropy decode both ran correctly.
+# ---------------------------------------------------------------------------
+
+#                 doc_id  w   h   n  fps
+_AVI_SPECS = [(1,  24, 16, 5, 10),
+              (2,  32,  8, 4, 25)]
+_AVI_EVERY = 2
+_MP4_SPECS = [(1,  16, 24, 7, 30),
+              (2,  40,  8, 3, 25)]
+_MP4_EVERY = 3
+
+
+def _mjpeg_gray(doc_id: int, w: int, h: int, f: int) -> bytes:
+    return bytes((17 * (x // 8) + 29 * (y // 8) + 7 * f + 13 * doc_id)
+                 % 256 for y in range(h) for x in range(w))
+
+
+def _mjpeg_oracle(specs, every) -> str:
+    parts = []
+    for doc_id, w, h, n, _fps in specs:
+        bx, by = f"((i % {w}) // 8)", f"((i // {w}) // 8)"
+        for f in range(0, n, every):
+            val = f"((17 * {bx} + 29 * {by} + {7 * f + 13 * doc_id}) % 256)"
+            parts.append(
+                f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+                f" {f} AS frame_idx, {w} AS width, {h} AS height,"
+                f" (SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+                f"  FROM range(0, {w * h}) t(i)) AS y_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_video_avi", oracle=_mjpeg_oracle(_AVI_SPECS, _AVI_EVERY))
+def mm_real_video_avi(spark, sf_dir):
+    """REAL compressed-video frame sampling from the AVI container
+    (r8): Motion-JPEG streams built by the in-repo JPEG encoder flow
+    through :func:`sample_video_frames`, whose RIFF walk
+    (`functions/video.py:decode_avi_py`) locates the ``vids`` stream's
+    ``00dc`` chunks and decodes each with the baseline JPEG decoder.
+    Constant-tile frames under flat quant are exact, so the oracle
+    recomputes every sampled frame's position-weighted luma checksum
+    from the tile formula — proving chunk boundaries, stream-number
+    filtering, frame order, and the entropy decode.  Scale shape:
+    Arrow-batched mapInPandas per blob, zero shuffle; the container
+    walk is sequential within one blob only."""
+    from ..functions.multimodal import sample_video_frames
+    from ..functions.video import encode_avi_mjpeg_py
+    rows = []
+    for doc_id, w, h, n, fps in _AVI_SPECS:
+        frames = [encode_jpeg_py(w, h, _mjpeg_gray(doc_id, w, h, f))
+                  for f in range(n)]
+        rows.append((doc_id,
+                     bytearray(encode_avi_mjpeg_py(w, h, frames, fps))))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return sample_video_frames(d, every_n=_AVI_EVERY)
+
+
+@query("mm_real_video_mp4", oracle=_mjpeg_oracle(_MP4_SPECS, _MP4_EVERY))
+def mm_real_video_mp4(spark, sf_dir):
+    """REAL frame sampling from the MP4 / ISO-BMFF container (r8):
+    MJPEG samples addressed through the real sample tables — ``stsz``
+    sizes, ``stsc`` chunk map, ``stco`` offsets into ``mdat``
+    (`functions/video.py:extract_mp4_frames_py`) — then decoded with
+    the in-repo baseline JPEG decoder.  The oracle recomputes sampled
+    luma checksums from the constant-tile formula, so a sample-table
+    off-by-one (wrong offset, size, or chunk expansion) fails the
+    hash.  Same Arrow-batched mapInPandas shape as the AVI path."""
+    from ..functions.multimodal import sample_video_frames
+    from ..functions.video import encode_mp4_mjpeg_py
+    rows = []
+    for doc_id, w, h, n, fps in _MP4_SPECS:
+        frames = [encode_jpeg_py(w, h, _mjpeg_gray(doc_id, w, h, f))
+                  for f in range(n)]
+        rows.append((doc_id,
+                     bytearray(encode_mp4_mjpeg_py(w, h, frames, fps))))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return sample_video_frames(d, every_n=_MP4_EVERY)
+
+
+def _video_meta_oracle() -> str:
+    rows = [
+        # AVI doc 1 of _AVI_SPECS: dwTotalFrames=5 @ 10 fps
+        "SELECT CAST(1 AS BIGINT) AS doc_id, 'avi' AS container,"
+        " 'MJPG' AS codec, 24 AS width, 16 AS height,"
+        " CAST(5 AS BIGINT) AS n_frames, CAST(500 AS BIGINT) AS duration_ms",
+        # MP4 doc 1 of _MP4_SPECS: 7 samples @ 30 fps, timescale 3000
+        "SELECT CAST(2 AS BIGINT), 'mp4', 'jpeg', 16, 24,"
+        " CAST(7 AS BIGINT), CAST(233 AS BIGINT)",
+        # Y4M: 7 raw frames @ F25:1
+        "SELECT CAST(3 AS BIGINT), 'y4m', 'rawvideo', 16, 8,"
+        " CAST(7 AS BIGINT), CAST(280 AS BIGINT)",
+    ]
+    return " UNION ALL ".join(rows)
+
+
+@query("mm_video_metadata", oracle=_video_meta_oracle())
+def mm_video_metadata(spark, sf_dir):
+    """Header-only video-container triage (r8): one AVI, one MP4, one
+    Y4M payload flow through :func:`scan_video_containers`, which reads
+    ONLY the header structures (AVI ``hdrl``, MP4 ``moov``, the Y4M
+    stream line) — never the frame payloads — and emits codec,
+    resolution, frame count, and duration.  This is the first pass any
+    100 TB video corpus gets (what codecs? what resolutions? how many
+    hours?) and must cost O(header) per blob; the fixtures' metadata is
+    spec-derivable so the oracle is closed-form."""
+    from ..functions.multimodal import (encode_y4m_py as _y4m,
+                                        scan_video_containers)
+    from ..functions.video import encode_avi_mjpeg_py, encode_mp4_mjpeg_py
+    doc_id, w, h, n, fps = _AVI_SPECS[0]
+    avi = encode_avi_mjpeg_py(
+        w, h, [encode_jpeg_py(w, h, _mjpeg_gray(doc_id, w, h, f))
+               for f in range(n)], fps)
+    doc_id, w, h, n, fps = _MP4_SPECS[0]
+    mp4 = encode_mp4_mjpeg_py(
+        w, h, [encode_jpeg_py(w, h, _mjpeg_gray(doc_id, w, h, f))
+               for f in range(n)], fps)
+    yw, yh, yn = 16, 8, 7
+    y4m = _y4m(yw, yh, [bytes((f + i) % 256 for i in range(
+        yw * yh + 2 * (yw // 2) * (yh // 2))) for f in range(yn)])
+    d = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(mp4)), (3, bytearray(y4m))],
+        "doc_id bigint, payload binary")
+    return scan_video_containers(d)

@@ -370,3 +370,69 @@ def test_y4m_codec_roundtrip_pure_python():
     bad = payload.replace(b"C420jpeg", b"C444ffff")
     with pytest.raises(NotImplementedError):
         decode_y4m_py(bad)
+
+
+# ---------------------------------------------------------------------------
+# r8: real video containers (AVI / MP4) wrapping MJPEG
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_container_roundtrip():
+    from padawan_spark.functions.video import (decode_avi_py,
+                                               encode_avi_mjpeg_py,
+                                               parse_avi_meta_py)
+    frames = [b"\xff\xd8" + bytes([i]) * (10 + i) + b"\xff\xd9"
+              for i in range(6)]
+    blob = encode_avi_mjpeg_py(20, 12, frames, fps=30)
+    w, h, rate, scale, codec, out = decode_avi_py(blob)
+    assert (w, h, rate, scale, codec) == (20, 12, 30, 1, "MJPG")
+    assert out == frames
+    # header-only metadata agrees without touching movi
+    mw, mh, mr, ms, mc, n, dur = parse_avi_meta_py(blob)
+    assert (mw, mh, mr, ms, mc, n) == (20, 12, 30, 1, "MJPG", 6)
+    assert dur == 6 * 1000 // 30
+
+
+def test_mp4_sample_tables_roundtrip():
+    from padawan_spark.functions.video import (encode_mp4_mjpeg_py,
+                                               extract_mp4_frames_py,
+                                               parse_mp4_py)
+    frames = [bytes([i]) * (5 + 3 * i) for i in range(4)]   # varied sizes
+    blob = encode_mp4_mjpeg_py(8, 6, frames, fps=25)
+    meta = parse_mp4_py(blob)
+    t = meta["tracks"][0]
+    assert (t["handler"], t["codec"], t["width"], t["height"],
+            t["n_samples"]) == ("vide", "jpeg", 8, 6, 4)
+    w, h, codec, out = extract_mp4_frames_py(blob)
+    assert (w, h, codec) == (8, 6, "jpeg")
+    assert out == frames
+
+
+def test_video_container_decode_is_exact_for_flat_quant_mjpeg():
+    import numpy as np
+    from padawan_spark.functions.multimodal import (_mjpeg_frames,
+                                                    encode_jpeg_py)
+    from padawan_spark.functions.video import (encode_avi_mjpeg_py,
+                                               encode_mp4_mjpeg_py)
+    w, h = 16, 24
+
+    def plane(f):
+        return bytes((17 * (x // 8) + 29 * (y // 8) + 11 * f) % 256
+                     for y in range(h) for x in range(w))
+
+    jpegs = [encode_jpeg_py(w, h, plane(f)) for f in range(3)]
+    for blob in (encode_avi_mjpeg_py(w, h, jpegs),
+                 encode_mp4_mjpeg_py(w, h, jpegs)):
+        ww, hh, lumas = _mjpeg_frames(blob)
+        assert (ww, hh) == (w, h)
+        assert [bytes(y) for y in lumas] == [plane(f) for f in range(3)]
+
+
+def test_video_containers_reject_unknown_payloads():
+    import pytest
+    from padawan_spark.functions.video import (decode_avi_py,
+                                               parse_avi_meta_py,
+                                               parse_mp4_py)
+    for fn in (decode_avi_py, parse_avi_meta_py, parse_mp4_py):
+        with pytest.raises(NotImplementedError):
+            fn(b"not a container at all")
