@@ -2652,11 +2652,74 @@ def encode_flac_py(samples, sample_rate: int, channels: int = 1,
 # ---------------------------------------------------------------------------
 
 
+def ulaw_to_lin16(u: int) -> int:
+    """G.711 mu-law byte -> 16-bit linear PCM (CCITT reference
+    expansion, identical to the classic ``audioop.ulaw2lin`` table:
+    complement, rebias by 0x84, shift by the segment)."""
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def alaw_to_lin16(a: int) -> int:
+    """G.711 A-law byte -> 16-bit linear PCM (even-bit inversion by
+    0x55, then the 8-segment expansion; sign bit set = positive)."""
+    a ^= 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def lin16_to_ulaw(v: int) -> int:
+    """Inverse companding for fixtures/round-trip tests (CCITT G.711
+    mu-law encode in the reference's 14-bit domain: bias by 33, find
+    the segment, complement — bit-identical to the classic
+    ``audioop.lin2ulaw``)."""
+    v >>= 2                               # 16-bit -> 14-bit domain
+    mask = 0x7F if v < 0 else 0xFF
+    if v < 0:
+        v = -v
+    v = min(v, 8159) + 33
+    seg = 8
+    for s, top in enumerate((0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF,
+                             0xFFF, 0x1FFF)):
+        if v <= top:
+            seg = s
+            break
+    if seg >= 8:
+        return 0x7F ^ mask
+    return ((seg << 4) | ((v >> (seg + 1)) & 0x0F)) ^ mask
+
+
+def lin16_to_alaw(v: int) -> int:
+    """G.711 A-law encode (fixtures/round-trip twin of
+    :func:`alaw_to_lin16`)."""
+    sign = 0x80 if v >= 0 else 0
+    if v < 0:
+        v = -v - 1 if v != -0x8000 else 0x7FFF
+    if v < 0x100:
+        a = v >> 4
+    else:
+        seg = 1
+        while seg < 7 and v >= (0x100 << seg):
+            seg += 1
+        a = (seg << 4) | ((v >> (seg + 3)) & 0x0F)
+    return (a | sign) ^ 0x55
+
+
 def decode_wav_py(b: bytes):
-    """Decode an uncompressed PCM WAV (RIFF chunk walk; 16-bit LE).
+    """Decode a RIFF/WAVE payload: uncompressed 16-bit PCM (format 1)
+    plus — r8 — the G.711 telephony codings, A-law (format 6) and
+    mu-law (format 7), expanded to 16-bit linear with the exact CCITT
+    segment formulas.
 
     Returns ``(sample_rate, channels, bits, frames)`` where ``frames``
-    is the interleaved int16 sample sequence as a list."""
+    is the interleaved int16 sample sequence as a list and ``bits``
+    reports the SOURCE coding width (8 for G.711)."""
     import struct
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
@@ -2675,13 +2738,31 @@ def decode_wav_py(b: bytes):
     if fmt is None or data is None:
         raise NotImplementedError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _br, _ba, bits = fmt
+    if audio_format == 6 and bits == 8:
+        return rate, channels, 8, [alaw_to_lin16(x) for x in data]
+    if audio_format == 7 and bits == 8:
+        return rate, channels, 8, [ulaw_to_lin16(x) for x in data]
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"pure-Python WAV decode supports 16-bit PCM only "
-            f"(got format={audio_format}, bits={bits})")
+            f"pure-Python WAV decode supports 16-bit PCM and 8-bit "
+            f"G.711 only (got format={audio_format}, bits={bits})")
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[:2 * n]))
     return rate, channels, bits, samples
+
+
+def encode_wav_g711_py(payload: bytes, sample_rate: int,
+                       channels: int = 1, alaw: bool = False) -> bytes:
+    """Wrap raw G.711 bytes in a RIFF/WAVE container (format 6/7,
+    8-bit) — fixture twin of the :func:`decode_wav_py` G.711 path."""
+    import struct
+    code = 6 if alaw else 7
+    fmt = struct.pack("<HHIIHH", code, channels, sample_rate,
+                      sample_rate * channels, channels, 8)
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
 
 
 def encode_wav_py(samples, sample_rate: int, channels: int = 1) -> bytes:
@@ -2751,6 +2832,36 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
                 "n_samples", "sample_checksum"])
 
     return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+MP3_META_SCHEMA = ("doc_id bigint, version string, layer int, "
+                   "sample_rate int, channels int, n_frames bigint, "
+                   "duration_ms bigint, bitrate_kbps int, "
+                   "vbr boolean, id3v2 boolean")
+
+
+def scan_mp3_meta(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """MPEG-audio frame-walk metadata (r8): duration, bitrate mode,
+    sample rate, channel layout from the 4-byte frame headers alone
+    (:func:`padawan_spark.functions.mp3.scan_mp3_py`) — ID3v2/ID3v1
+    tags skipped, the Xing/Info VBR tag frame recognized and excluded
+    from the audio frame count.  The corpus-triage primitive for audio
+    at 100 TB: O(n_frames) header taps per blob, no entropy data read,
+    embarrassingly parallel mapInPandas, zero shuffle."""
+    from .mp3 import scan_mp3_py
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                out.append((i, *scan_mp3_py(bytes(b))))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "version", "layer", "sample_rate", "channels",
+                "n_frames", "duration_ms", "bitrate_kbps", "vbr",
+                "id3v2"])
+
+    return df.mapInPandas(batches, MP3_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

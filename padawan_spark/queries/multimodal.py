@@ -1302,3 +1302,125 @@ def mm_video_metadata(spark, sf_dir):
         [(1, bytearray(avi)), (2, bytearray(mp4)), (3, bytearray(y4m))],
         "doc_id bigint, payload binary")
     return scan_video_containers(d)
+
+
+# ---------------------------------------------------------------------------
+# REAL telephony-audio decode (G.711) and MPEG-audio triage (r8).
+# G.711 mu-law/A-law expansion is formula-exact (the CCITT segment
+# arithmetic, cross-validated bit-identical to the classic CPython
+# audioop tables over all 256 codes in tests), so the DuckDB oracle
+# re-derives every decoded sample from the byte formula.  MP3 full
+# synthesis needs the ISO polyphase window tables (numeric constants,
+# unverifiable here) and stays honestly gated; the frame-walk metadata
+# scan below is what a 100 TB audio corpus needs first anyway.
+# ---------------------------------------------------------------------------
+
+#               doc_id  n    rate  alaw   byte formula
+_G711_SPECS = [(1,      400, 8000, False, (7, 13)),
+               (2,      300, 8000, True,  (11, 5))]
+
+
+def _g711_oracle() -> str:
+    parts = []
+    for doc_id, n, rate, alaw, (m, c) in _G711_SPECS:
+        v = f"(({m} * i + {c}) % 256)"
+        if alaw:
+            a = f"xor({v}, 85)"
+            seg = f"(({a} // 16) % 8)"
+            t = (f"(CASE WHEN {seg} = 0 THEN ({a} % 16) * 16 + 8 "
+                 f"ELSE ((({a} % 16) * 16) + 264) * (1 << ({seg} - 1)) "
+                 f"END)")
+            val = f"(CASE WHEN {a} >= 128 THEN {t} ELSE -{t} END)"
+        else:
+            u = f"(255 - {v})"
+            t = f"((({u} % 16) * 8 + 132) * (1 << (({u} // 16) % 8)))"
+            val = f"(CASE WHEN {u} >= 128 THEN 132 - {t} "\
+                  f"ELSE {t} - 132 END)"
+        parts.append(
+            f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+            f" {rate} AS sample_rate, 1 AS channels, 8 AS bit_depth,"
+            f" CAST({n} AS BIGINT) AS n_samples,"
+            f" (SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+            f"  FROM range(0, {n}) t(i)) AS sample_checksum")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_g711_decode", oracle=_g711_oracle())
+def mm_real_g711_decode(spark, sf_dir):
+    """REAL G.711 telephony decode (r8): mu-law (WAV format 7) and
+    A-law (format 6) payloads expand to 16-bit linear PCM through
+    :func:`decode_audio` with the exact CCITT segment formulas
+    (`functions/multimodal.py:ulaw_to_lin16`/`alaw_to_lin16`,
+    cross-validated bit-identical to audioop over every code in
+    tests/test_extensions.py).  The oracle recomputes each decoded
+    sample from the byte formula in SQL — complement/xor, segment
+    shift, rebias — so a single wrong table cell fails the hash.
+    Speech corpora (call centers, telephony datasets) ship G.711;
+    scale shape is the usual Arrow-batched mapInPandas, zero
+    shuffle."""
+    from ..functions.multimodal import decode_audio, encode_wav_g711_py
+    rows = []
+    for doc_id, n, rate, alaw, (m, c) in _G711_SPECS:
+        payload = bytes((m * i + c) % 256 for i in range(n))
+        rows.append((doc_id, bytearray(
+            encode_wav_g711_py(payload, rate, alaw=alaw))))
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return decode_audio(d)
+
+
+_MP3_VBR_SEQ = (64, 128, 192, 128, 64, 320, 96, 112, 160, 224)
+
+
+def _mp3_oracle() -> str:
+    rows = [
+        # doc 1: CBR 128 kbps MPEG1 L3 stereo, 30 frames, ID3v2 tag
+        f"SELECT CAST(1 AS BIGINT) AS doc_id, 'MPEG1' AS version,"
+        f" 3 AS layer, 44100 AS sample_rate, 2 AS channels,"
+        f" CAST(30 AS BIGINT) AS n_frames,"
+        f" CAST(30 * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,"
+        f" 128 AS bitrate_kbps, FALSE AS vbr, TRUE AS id3v2",
+        # doc 2: VBR (Xing) MPEG1 L3 mono 48 kHz, 10 frames
+        f"SELECT CAST(2 AS BIGINT), 'MPEG1', 3, 48000, 1,"
+        f" CAST(10 AS BIGINT),"
+        f" CAST(10 * 1152 * 1000 // 48000 AS BIGINT),"
+        f" CAST(({' + '.join(map(str, _MP3_VBR_SEQ))}) // 10 AS INT),"
+        f" TRUE, FALSE",
+        # doc 3: MPEG2 L3 mono 16 kHz (576-sample frames), 20 frames
+        f"SELECT CAST(3 AS BIGINT), 'MPEG2', 3, 16000, 1,"
+        f" CAST(20 AS BIGINT),"
+        f" CAST(20 * 576 * 1000 // 16000 AS BIGINT), 48, FALSE, FALSE",
+        # doc 4: MPEG1 LAYER II 192 kbps stereo, 8 frames
+        f"SELECT CAST(4 AS BIGINT), 'MPEG1', 2, 44100, 2,"
+        f" CAST(8 AS BIGINT),"
+        f" CAST(8 * 1152 * 1000 // 44100 AS BIGINT), 192, FALSE, FALSE",
+    ]
+    return " UNION ALL ".join(rows)
+
+
+@query("mm_audio_mp3_scan", oracle=_mp3_oracle())
+def mm_audio_mp3_scan(spark, sf_dir):
+    """MPEG-audio corpus triage (r8): four fixture streams — CBR with
+    an ID3v2 tag, VBR with a Xing tag frame (recognized and excluded
+    from the audio frame count), an MPEG-2 low-sample-rate stream
+    (576-sample frames), and a Layer II stream — flow through
+    :func:`scan_mp3_meta`, which walks the ISO 11172-3/13818-3 frame
+    headers computing sample-accurate duration, average bitrate, and
+    CBR/VBR classification.  The oracle re-derives every field from
+    the spec arithmetic (samples-per-frame x frames / rate), so a
+    frame-length table error desyncs the walk and fails the check."""
+    from ..functions.mp3 import encode_mp3_frames_py
+    from ..functions.multimodal import scan_mp3_meta
+    docs = [
+        (1, encode_mp3_frames_py(30, bitrate=128, sample_rate=44100,
+                                 channels=2, id3v2_bytes=100)),
+        (2, encode_mp3_frames_py(10, sample_rate=48000, channels=1,
+                                 xing=True,
+                                 bitrate_seq=list(_MP3_VBR_SEQ))),
+        (3, encode_mp3_frames_py(20, bitrate=48, sample_rate=16000,
+                                 channels=1)),
+        (4, encode_mp3_frames_py(8, bitrate=192, sample_rate=44100,
+                                 channels=2, layer=2)),
+    ]
+    d = spark.createDataFrame([(i, bytearray(b)) for i, b in docs],
+                              "doc_id bigint, payload binary")
+    return scan_mp3_meta(d)

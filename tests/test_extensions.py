@@ -436,3 +436,74 @@ def test_video_containers_reject_unknown_payloads():
     for fn in (decode_avi_py, parse_avi_meta_py, parse_mp4_py):
         with pytest.raises(NotImplementedError):
             fn(b"not a container at all")
+
+
+# ---------------------------------------------------------------------------
+# r8: G.711 telephony codings + MPEG-audio frame walk
+# ---------------------------------------------------------------------------
+
+
+def test_g711_matches_audioop_reference_exactly():
+    """Decode AND encode, both laws, cross-validated bit-identical to
+    the CPython audioop reference tables (available in this 3.11
+    container) — the same in-container-oracle discipline as libwebp for
+    VP8."""
+    import struct
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    from padawan_spark.functions.multimodal import (
+        alaw_to_lin16, lin16_to_alaw, lin16_to_ulaw, ulaw_to_lin16)
+    for code in range(256):
+        assert audioop.ulaw2lin(bytes([code]), 2) == \
+            struct.pack("<h", ulaw_to_lin16(code))
+        assert audioop.alaw2lin(bytes([code]), 2) == \
+            struct.pack("<h", alaw_to_lin16(code))
+    for v in range(-32768, 32768, 17):
+        assert audioop.lin2ulaw(struct.pack("<h", v), 2)[0] == \
+            lin16_to_ulaw(v)
+        assert audioop.lin2alaw(struct.pack("<h", v), 2)[0] == \
+            lin16_to_alaw(v)
+
+
+def test_g711_wav_roundtrip():
+    from padawan_spark.functions.multimodal import (decode_wav_py,
+                                                    encode_wav_g711_py,
+                                                    lin16_to_alaw,
+                                                    lin16_to_ulaw,
+                                                    alaw_to_lin16,
+                                                    ulaw_to_lin16)
+    src = [(-1) ** i * (i * 251 % 30000) for i in range(500)]
+    for alaw, enc, dec in ((False, lin16_to_ulaw, ulaw_to_lin16),
+                           (True, lin16_to_alaw, alaw_to_lin16)):
+        payload = bytes(enc(v) for v in src)
+        blob = encode_wav_g711_py(payload, 8000, alaw=alaw)
+        rate, ch, bits, samples = decode_wav_py(blob)
+        assert (rate, ch, bits) == (8000, 1, 8)
+        assert samples == [dec(x) for x in payload]
+        # companding round trip stays within the segment quantization
+        for a, b in zip(src, samples):
+            assert abs(a - b) <= max(64, abs(a) / 12)
+
+
+def test_mp3_frame_walk_edge_cases():
+    import pytest
+    from padawan_spark.functions.mp3 import (encode_mp3_frames_py,
+                                             scan_mp3_py)
+    # leading garbage before first sync resyncs; ID3v1 trailer skipped
+    b = (b"\x00garbage"
+         + encode_mp3_frames_py(5, bitrate=96, sample_rate=32000)
+         + b"TAG" + bytes(125))
+    ver, layer, rate, ch, n, dur, avg, vbr, id3 = scan_mp3_py(b)
+    assert (ver, layer, rate, n, avg, vbr, id3) == \
+        ("MPEG1", 3, 32000, 5, 96, False, False)
+    assert dur == 5 * 1152 * 1000 // 32000
+    # layer I frame sizing (384 samples, 4-byte slots)
+    out = scan_mp3_py(encode_mp3_frames_py(12, bitrate=256,
+                                           sample_rate=44100, layer=1))
+    assert out[1] == 1 and out[4] == 12
+    assert out[5] == 12 * 384 * 1000 // 44100
+    # non-audio payload raises (salvage absorbs it as null upstream)
+    with pytest.raises(NotImplementedError):
+        scan_mp3_py(b"definitely not audio")
