@@ -1801,3 +1801,112 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
         merged = functools.reduce(lambda a, b: a.unionByName(b), pending)
         out = merged if out is None else out.unionByName(merged)
     return out
+
+
+_REFRESH_STATE_FILE = "_refresh_state.json"
+
+
+def refresh_aggregate(spark: SparkSession, source_path: str,
+                      target_path: str, keys: Sequence[str],
+                      sum_cols: Sequence[str] = ()) -> Dataset:
+    """Incrementally maintained materialized aggregate — the flagship
+    consumer of :func:`read_changes` (r8).
+
+    Maintains ``target_path`` as a lakehouse table indexed by ``keys``
+    holding ``cnt`` (source row count per group) and ``sum_<c>`` for
+    each column in ``sum_cols``.  The first call (or a target whose
+    refresh state is missing/diverged) computes the FULL aggregate of
+    the source's current snapshot; every later call reads ONLY the
+    row-level change feed since the last refreshed source version,
+    folds it into per-group deltas (insert/update_postimage add,
+    delete/update_preimage subtract — count and sums are
+    self-maintainable, so an update moving a row across groups
+    adjusts both sides), and :func:`merge_rows` writes ONLY the
+    affected groups.  Groups whose count reaches zero are kept with
+    ``cnt = 0`` (merge is upsert-only); readers filter them.
+
+    Scale shape: a one-day change set against a 100 TB source costs a
+    one-day CDF read + a groupBy over the changes + a merge that
+    rewrites only the target files containing affected group keys —
+    never a source rescan, never a full MV rewrite.
+
+    Crash/concurrency safety: the sidecar ``_refresh_state.json``
+    records the source's ``table_id`` + refreshed version AND the
+    target version the refresh produced.  A state/target version
+    mismatch (crash between commit and state write, or an out-of-band
+    writer touching the MV) or a source table_id change (path reuse)
+    is detected and falls back to a full recompute instead of silently
+    double-applying deltas."""
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    agg_exprs = [F.count(F.lit(1)).cast("bigint").alias("cnt")] + [
+        F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols]
+    src_versions = _meta.list_versions(source_path)
+    _require(bool(src_versions), ValueError,
+             f"source {source_path} has no version history; "
+             "refresh_aggregate needs a manifest-tracked table")
+    src_ver = src_versions[-1]
+    src_id = _meta.table_id(source_path)
+
+    state_path = os.path.join(target_path, _REFRESH_STATE_FILE)
+    state = None
+    if os.path.exists(state_path):
+        try:
+            with open(state_path) as fh:
+                state = json.load(fh)
+        except (OSError, ValueError):
+            state = None
+    tgt_versions = (_meta.list_versions(target_path)
+                    if os.path.isdir(target_path) else [])
+    stale = (state is None or not tgt_versions
+             or state.get("source_table_id") != src_id
+             or state.get("target_version") != tgt_versions[-1]
+             or state.get("source_version") not in src_versions)
+
+    if stale:
+        # full recompute of the current source snapshot
+        full = (scan_parquet(spark, source_path).df
+                .groupBy(*keys).agg(*agg_exprs))
+        ds = Dataset(spark, full, index_columns=tuple(keys))
+        ds.reindex(tuple(keys)).write_parquet(target_path)
+    elif state["source_version"] != src_ver:
+        changes = read_changes(spark, source_path,
+                               state["source_version"], src_ver)
+        sign = F.when(F.col("_change_type").isin("insert",
+                                                 "update_postimage"),
+                      F.lit(1)).otherwise(F.lit(-1))
+        delta = (changes.withColumn("__sign", sign)
+                 .groupBy(*keys)
+                 .agg(F.sum("__sign").cast("bigint").alias("d_cnt"),
+                      *[F.sum(F.col("__sign") * F.col(c))
+                        .alias(f"d_sum_{c}") for c in sum_cols]))
+        # touch only the affected groups: join current MV rows for those
+        # keys (null-safe — group keys may be NULL) and add the deltas
+        cur = scan_parquet(spark, target_path).df
+        joined = delta.alias("d").join(
+            cur.alias("m"),
+            on=functools.reduce(
+                lambda acc, c: acc & F.col(f"d.{c}").eqNullSafe(
+                    F.col(f"m.{c}")),
+                keys[1:],
+                F.col(f"d.{keys[0]}").eqNullSafe(F.col(f"m.{keys[0]}"))),
+            how="left")
+        upd = joined.select(
+            *[F.col(f"d.{c}") for c in keys],
+            (F.coalesce(F.col("m.cnt"), F.lit(0))
+             + F.col("d.d_cnt")).cast("bigint").alias("cnt"),
+            *[(F.coalesce(F.col(f"m.sum_{c}"), F.lit(0))
+               + F.col(f"d.d_sum_{c}")).alias(f"sum_{c}")
+              for c in sum_cols])
+        if upd.limit(1).count():          # no-op change feeds skip commit
+            merge_rows(spark, target_path,
+                       Dataset(spark, upd, index_columns=tuple(keys)))
+    # (state["source_version"] == src_ver: already fresh, nothing to do)
+
+    new_tgt = _meta.list_versions(target_path)[-1]
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"source_table_id": src_id, "source_version": src_ver,
+                   "target_version": new_tgt}, fh)
+    os.replace(tmp, state_path)
+    return scan_parquet(spark, target_path)

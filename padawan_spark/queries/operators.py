@@ -744,3 +744,52 @@ def op_timetravel_timestamp(spark, sf_dir):
     return (pinned.df.groupBy("n_regionkey")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.max("n_nationkey").cast("bigint").alias("max_key")))
+
+
+@query("op_incremental_agg", oracle="""
+WITH final AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         CAST(CASE WHEN n_nationkey BETWEEN 10 AND 14
+              THEN n_regionkey + 100 ELSE n_regionkey END AS BIGINT) AS g
+  FROM nation WHERE n_nationkey NOT BETWEEN 5 AND 9
+  UNION ALL
+  SELECT i, i % 7 FROM range(100, 105) t(i)
+)
+SELECT g, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+FROM final GROUP BY g
+""")
+def op_incremental_agg(spark, sf_dir):
+    """refresh_aggregate (r8): an incrementally maintained
+    materialized aggregate — the flagship change-data-feed consumer.
+    Build the source (nation as (k, g), indexed by k), full-refresh
+    the MV (cnt + sum(k) per group g), then DELETE keys 5-9 and MERGE
+    an update that MOVES keys 10-14 into groups g+100 plus inserts
+    100-104; the second refresh reads ONLY the CDF (update preimages
+    subtract from the old group, postimages add to the new one — the
+    cross-group move is the hard case) and merge-writes only affected
+    groups.  The oracle aggregates the simulated final state directly,
+    so any double-counted or dropped delta fails the hash.  Scale
+    shape: refresh cost is O(changes) + a merge of affected groups —
+    never a source rescan or full MV rewrite."""
+    from ..dataset import delete_rows, merge_rows, refresh_aggregate
+    src_df = (load(spark, sf_dir, "nation")
+              .select(F.col("n_nationkey").cast("bigint").alias("k"),
+                      F.col("n_regionkey").cast("bigint").alias("g")))
+    base = tempfile.mkdtemp(prefix="padawan_iva_")
+    source = os.path.join(base, "src")
+    mv = os.path.join(base, "mv")
+    Dataset(spark, src_df, index_columns=("k",)) \
+        .repartition(5).write_parquet(source)
+    refresh_aggregate(spark, source, mv, keys=("g",), sum_cols=("k",))
+    delete_rows(spark, source, (5,), (9,), inclusive="both")
+    upd = [(k, g + 100) for k, g in
+           src_df.where(F.col("k").between(10, 14)).collect()]
+    ins = [(k, k % 7) for k in range(100, 105)]
+    merge_rows(spark, source,
+               Dataset(spark,
+                       spark.createDataFrame(upd + ins,
+                                             "k bigint, g bigint"),
+                       index_columns=("k",)))
+    out = refresh_aggregate(spark, source, mv,
+                            keys=("g",), sum_cols=("k",))
+    return out.df.where(F.col("cnt") > 0).select("g", "cnt", "sum_k")

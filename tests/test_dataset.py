@@ -1582,3 +1582,96 @@ def test_scan_parquet_as_of_timestamp(spark, tmp_path):
         scan_parquet(spark, p, as_of=999_999)
     with pytest.raises(ValueError, match="not both"):
         scan_parquet(spark, p, version=1, as_of=1_500_000)
+
+
+# ---------------------------------------------------------------------------
+# r8: refresh_aggregate — incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def _iva_source(spark, tmp_path, rows):
+    from padawan_spark.dataset import Dataset
+    src = str(tmp_path / "iva_src")
+    Dataset(spark, spark.createDataFrame(rows, "k bigint, g bigint"),
+            index_columns=("k",)).repartition(3).write_parquet(src)
+    return src
+
+
+def test_refresh_aggregate_incremental_matches_full(spark, tmp_path):
+    from padawan_spark.dataset import (Dataset, delete_rows, merge_rows,
+                                       refresh_aggregate, scan_parquet)
+    rows = [(k, k % 4) for k in range(40)]
+    src = _iva_source(spark, tmp_path, rows)
+    mv = str(tmp_path / "iva_mv")
+    refresh_aggregate(spark, src, mv, keys=("g",), sum_cols=("k",))
+    v_after_full = 1
+
+    delete_rows(spark, src, (10,), (19,), inclusive="both")
+    merge_rows(spark, src, Dataset(
+        spark,
+        spark.createDataFrame([(k, (k + 1) % 4) for k in range(5)]
+                              + [(100 + k, 2) for k in range(3)],
+                              "k bigint, g bigint"),
+        index_columns=("k",)))
+    out = refresh_aggregate(spark, src, mv, keys=("g",),
+                            sum_cols=("k",)).df
+    # ground truth: full aggregate of the live source
+    truth = {(r["g"], r["cnt"], r["sum_k"]) for r in
+             scan_parquet(spark, src).df.groupBy("g")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                  F.sum("k").alias("sum_k")).collect()}
+    got = {(r["g"], r["cnt"], r["sum_k"]) for r in
+           out.where("cnt > 0").collect()}
+    assert got == truth
+    # the incremental path merged (target advanced past the full write)
+    from padawan_spark import metadata as m
+    assert m.list_versions(mv)[-1] > v_after_full
+    # idempotent when source is unchanged: no new MV commit
+    before = m.list_versions(mv)[-1]
+    refresh_aggregate(spark, src, mv, keys=("g",), sum_cols=("k",))
+    assert m.list_versions(mv)[-1] == before
+
+
+def test_refresh_aggregate_zero_count_groups_retained(spark, tmp_path):
+    from padawan_spark.dataset import delete_rows, refresh_aggregate
+    rows = [(1, 7), (2, 7), (3, 8)]
+    src = _iva_source(spark, tmp_path, rows)
+    mv = str(tmp_path / "iva_mv0")
+    refresh_aggregate(spark, src, mv, keys=("g",), sum_cols=("k",))
+    delete_rows(spark, src, (1,), (2,), inclusive="both")   # empties g=7
+    out = refresh_aggregate(spark, src, mv, keys=("g",),
+                            sum_cols=("k",)).df
+    zeros = {r["g"] for r in out.where("cnt = 0").collect()}
+    live = {(r["g"], r["cnt"], r["sum_k"])
+            for r in out.where("cnt > 0").collect()}
+    assert zeros == {7}
+    assert live == {(8, 1, 3)}
+
+
+def test_refresh_aggregate_detects_divergence_and_recomputes(
+        spark, tmp_path):
+    import os
+    from padawan_spark.dataset import (Dataset, delete_rows, merge_rows,
+                                       refresh_aggregate)
+    rows = [(k, k % 3) for k in range(12)]
+    src = _iva_source(spark, tmp_path, rows)
+    mv = str(tmp_path / "iva_mvd")
+    refresh_aggregate(spark, src, mv, keys=("g",), sum_cols=("k",))
+    # out-of-band writer corrupts the MV (bumps its version)
+    merge_rows(spark, mv, Dataset(
+        spark, spark.createDataFrame([(99, 1, 1)],
+                                     "g bigint, cnt bigint, sum_k bigint"),
+        index_columns=("g",)))
+    delete_rows(spark, src, (0,), (5,), inclusive="both")
+    out = refresh_aggregate(spark, src, mv, keys=("g",),
+                            sum_cols=("k",)).df
+    got = {(r["g"], r["cnt"], r["sum_k"])
+           for r in out.where("cnt > 0").collect()}
+    # full recompute wiped the poison row AND applied the delete
+    assert got == {(0, 2, 15), (1, 2, 17), (2, 2, 19)}
+    # missing state file => full recompute, not a crash
+    os.remove(os.path.join(mv, "_refresh_state.json"))
+    out2 = refresh_aggregate(spark, src, mv, keys=("g",),
+                             sum_cols=("k",)).df
+    assert {(r["g"], r["cnt"], r["sum_k"])
+            for r in out2.where("cnt > 0").collect()} == got
