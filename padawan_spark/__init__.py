@@ -23,6 +23,7 @@ from .dataset import (  # noqa: F401
     delete_rows,
     merge_rows,
     read_changes,
+    refresh_aggregate,
     concat,
     from_pandas,
     scan_parquet,
@@ -40,6 +41,7 @@ __all__ = [
     "delete_rows",
     "merge_rows",
     "read_changes",
+    "refresh_aggregate",
     "concat",
     "from_pandas",
     "get_spark",
