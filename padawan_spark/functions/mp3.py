@@ -200,3 +200,143 @@ def encode_mp3_frames_py(n_frames: int, bitrate: int = 128,
     for k, kbps in enumerate(seq):
         out += frame(kbps, k + 1)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Ogg container (RFC 3533) page walk: Vorbis/Opus corpus triage.
+# Full Vorbis/Opus PCM synthesis stays env-gated (codebook decode needs
+# a reference decoder to validate against), but duration/codec/channel
+# metadata is spec-exact from the page structure + identification
+# headers alone — the audio twin of the MP4 moov walk.
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC: CRC-32 poly 0x04C11DB7, non-reflected, init 0,
+    xorout 0 (RFC 3533 appendix)."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 \
+                    else (r << 1)
+            tbl.append(r & 0xFFFFFFFF)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def _ogg_page(serial: int, seq: int, granule: int, body: bytes,
+              header_type: int = 0) -> bytes:
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)                        # final short (possibly 0) seg
+    hdr = (b"OggS\x00" + bytes([header_type])
+           + struct.pack("<q", granule) + struct.pack("<II", serial, seq)
+           + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs))
+    crc = _ogg_crc(hdr + body)
+    hdr = hdr[:22] + struct.pack("<I", crc) + hdr[26:]
+    return hdr + body
+
+
+def encode_ogg_py(codec: str, sample_rate: int, channels: int,
+                  n_samples: int, n_data_pages: int = 3,
+                  serial: int = 0x1234) -> bytes:
+    """Build a minimal spec-layout Ogg stream for parser fixtures: a
+    BOS page carrying the codec identification header (Vorbis or
+    Opus), dummy data pages with monotone granule positions, and an
+    EOS page whose granule encodes the total duration.  Fixture twin
+    of :func:`scan_ogg_py`; payload packets are filler — only the
+    container walk is exercised."""
+    if codec == "vorbis":
+        ident = (b"\x01vorbis" + struct.pack("<I", 0)
+                 + bytes([channels]) + struct.pack("<I", sample_rate)
+                 + struct.pack("<iii", -1, 128000, -1) + b"\xb8\x01")
+        final_granule = n_samples
+    elif codec == "opus":
+        pre_skip = 312
+        ident = (b"OpusHead\x01" + bytes([channels])
+                 + struct.pack("<H", pre_skip)
+                 + struct.pack("<I", sample_rate)
+                 + struct.pack("<h", 0) + b"\x00")
+        final_granule = n_samples + pre_skip    # granule is 48 kHz + skip
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    out = bytearray(_ogg_page(serial, 0, 0, ident, header_type=2))
+    for k in range(1, n_data_pages):
+        g = final_granule * k // n_data_pages
+        out += _ogg_page(serial, k, g,
+                         bytes((serial + k + i) % 256
+                               for i in range(40 + 7 * k)))
+    out += _ogg_page(serial, n_data_pages, final_granule,
+                     bytes(8), header_type=4)
+    return bytes(out)
+
+
+def scan_ogg_py(b: bytes):
+    """Page-walk an Ogg stream (RFC 3533): CRC-verify every page,
+    identify the codec from the BOS packet ("\\x01vorbis" /
+    "OpusHead"), and derive duration from the final granule position
+    (Vorbis: PCM samples at the id-header rate; Opus: 48 kHz samples
+    minus pre-skip).  Returns ``(codec, sample_rate, channels,
+    n_pages, duration_ms)``.  Cost is O(pages) header taps."""
+    if b[:4] != b"OggS":
+        raise NotImplementedError("no OggS capture pattern")
+    pos = 0
+    codec = None
+    rate = channels = None
+    pre_skip = 0
+    last_granule = 0
+    n_pages = 0
+    while pos + 27 <= len(b):
+        if b[pos:pos + 4] != b"OggS":
+            raise NotImplementedError("Ogg page sync lost")
+        nsegs = b[pos + 26]
+        seg_table = b[pos + 27:pos + 27 + nsegs]
+        body_len = sum(seg_table)
+        page_end = pos + 27 + nsegs + body_len
+        if page_end > len(b):
+            raise NotImplementedError("truncated Ogg page")
+        page = bytearray(b[pos:page_end])
+        stored = struct.unpack_from("<I", page, 22)[0]
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != stored:
+            raise NotImplementedError("Ogg page CRC mismatch")
+        header_type = b[pos + 5]
+        granule = struct.unpack_from("<q", b, pos + 6)[0]
+        body = b[pos + 27 + nsegs:page_end]
+        if header_type & 0x02:            # BOS: identification header
+            if body[:7] == b"\x01vorbis":
+                codec = "vorbis"
+                channels = body[11]
+                rate = struct.unpack_from("<I", body, 12)[0]
+            elif body[:8] == b"OpusHead":
+                codec = "opus"
+                channels = body[9]
+                pre_skip = struct.unpack_from("<H", body, 10)[0]
+                rate = struct.unpack_from("<I", body, 12)[0]
+            else:
+                raise NotImplementedError(
+                    "unrecognized Ogg codec (vorbis/opus only)")
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+        n_pages += 1
+        pos = page_end
+    if codec is None:
+        raise NotImplementedError("Ogg stream has no BOS page")
+    if codec == "opus":
+        # granules are 48 kHz regardless of the input rate
+        duration_ms = max(last_granule - pre_skip, 0) * 1000 // 48000
+    else:
+        duration_ms = last_granule * 1000 // rate
+    return codec, rate, channels, n_pages, duration_ms

@@ -2864,6 +2864,33 @@ def scan_mp3_meta(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(batches, MP3_META_SCHEMA)
 
 
+OGG_META_SCHEMA = ("doc_id bigint, codec string, sample_rate int, "
+                   "channels int, n_pages bigint, duration_ms bigint")
+
+
+def scan_ogg_meta(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Ogg (RFC 3533) container triage (r8): CRC-verified page walk,
+    codec identification from the BOS packet (Vorbis / Opus), duration
+    from the final granule position
+    (:func:`padawan_spark.functions.mp3.scan_ogg_py`).  Full
+    Vorbis/Opus PCM synthesis stays env-gated; the metadata walk is
+    spec-exact and costs O(pages) header taps per blob.  Arrow-batched
+    mapInPandas, zero shuffle."""
+    from .mp3 import scan_ogg_py
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                out.append((i, *scan_ogg_py(bytes(b))))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "codec", "sample_rate", "channels", "n_pages",
+                "duration_ms"])
+
+    return df.mapInPandas(batches, OGG_META_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # pure-Python Y4M (YUV4MPEG2) frame sampler: the uncompressed video
 # container is a text header plus fixed-size raw frames, so frame

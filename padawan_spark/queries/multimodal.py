@@ -1424,3 +1424,46 @@ def mm_audio_mp3_scan(spark, sf_dir):
     d = spark.createDataFrame([(i, bytearray(b)) for i, b in docs],
                               "doc_id bigint, payload binary")
     return scan_mp3_meta(d)
+
+
+#               doc_id  codec     rate   ch  n_samples  pages
+_OGG_SPECS = [(1,      "vorbis", 44100, 2, 441000,    3),
+              (2,      "opus",   48000, 1, 480000,    5),
+              (3,      "vorbis", 8000,  1, 12345,     2)]
+
+
+def _ogg_oracle() -> str:
+    parts = []
+    for doc_id, codec, rate, ch, n, pages in _OGG_SPECS:
+        # encoder emits BOS + data pages + EOS = pages + 2 total;
+        # opus granules are 48 kHz and the oracle mirrors the pre-skip
+        if codec == "opus":
+            dur = f"CAST({n} * 1000 // 48000 AS BIGINT)"
+        else:
+            dur = f"CAST({n} * 1000 // {rate} AS BIGINT)"
+        parts.append(
+            f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+            f" '{codec}' AS codec, {rate} AS sample_rate,"
+            f" {ch} AS channels, CAST({pages + 2} AS BIGINT) AS n_pages,"
+            f" {dur} AS duration_ms")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_audio_ogg_scan", oracle=_ogg_oracle())
+def mm_audio_ogg_scan(spark, sf_dir):
+    """Ogg/Vorbis + Ogg/Opus corpus triage (r8): fixture streams built
+    to the RFC 3533 page layout (real CRC-32s — the parser verifies
+    every page and tests prove corruption is rejected) flow through
+    :func:`scan_ogg_meta`: codec from the BOS identification header,
+    channels/rate from the id packet, duration from the final granule
+    (Opus granules run at 48 kHz minus pre-skip — the spec subtlety
+    the oracle mirrors).  Together with mm_audio_mp3_scan this covers
+    the two dominant compressed-audio families at O(headers) per
+    blob."""
+    from ..functions.mp3 import encode_ogg_py
+    from ..functions.multimodal import scan_ogg_meta
+    rows = [(doc_id, bytearray(encode_ogg_py(
+        codec, rate, ch, n, n_data_pages=pages + 1)))
+        for doc_id, codec, rate, ch, n, pages in _OGG_SPECS]
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return scan_ogg_meta(d)

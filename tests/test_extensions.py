@@ -507,3 +507,21 @@ def test_mp3_frame_walk_edge_cases():
     # non-audio payload raises (salvage absorbs it as null upstream)
     with pytest.raises(NotImplementedError):
         scan_mp3_py(b"definitely not audio")
+
+
+def test_ogg_page_walk_roundtrip_and_crc_guard():
+    import pytest
+    from padawan_spark.functions.mp3 import encode_ogg_py, scan_ogg_py
+    b = encode_ogg_py("vorbis", 44100, 2, 441000)
+    assert scan_ogg_py(b) == ("vorbis", 44100, 2, 4, 10000)
+    # opus: granules run at 48 kHz and exclude the pre-skip
+    b2 = encode_ogg_py("opus", 48000, 1, 480000, n_data_pages=5)
+    assert scan_ogg_py(b2) == ("opus", 48000, 1, 6, 10000)
+    # any corrupted byte fails the page CRC (or desyncs the walk)
+    for k in (40, 60, 100):
+        bad = bytearray(b)
+        bad[k] ^= 0xFF
+        with pytest.raises(NotImplementedError):
+            scan_ogg_py(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        scan_ogg_py(b"no capture pattern here")
