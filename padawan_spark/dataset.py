@@ -1806,6 +1806,58 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
 _REFRESH_STATE_FILE = "_refresh_state.json"
 
 
+def fold_changes_into_aggregate(spark: SparkSession, target_path: str,
+                                changes: DataFrame, keys: Sequence[str],
+                                sum_cols: Sequence[str] = ()) -> None:
+    """Fold a row-level change set (``read_changes`` schema: data
+    columns + ``_change_type``) into a count+sums aggregate table at
+    ``target_path``: insert/update_postimage rows add, delete/
+    update_preimage rows subtract, per group key.  Creates the table
+    from the deltas if it does not exist yet.  Shared by
+    :func:`refresh_aggregate` (batch pull) and the streaming
+    foreachBatch consumer of the ``padawan_cdf`` source (push) —
+    cost is a groupBy over the CHANGES plus a merge of affected
+    groups, never a source rescan or a full target rewrite."""
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    sign = F.when(F.col("_change_type").isin("insert",
+                                             "update_postimage"),
+                  F.lit(1)).otherwise(F.lit(-1))
+    delta = (changes.withColumn("__sign", sign)
+             .groupBy(*keys)
+             .agg(F.sum("__sign").cast("bigint").alias("d_cnt"),
+                  *[F.sum(F.col("__sign") * F.col(c))
+                    .alias(f"d_sum_{c}") for c in sum_cols]))
+    if not _meta.list_versions(target_path):
+        first = delta.select(
+            *keys, F.col("d_cnt").alias("cnt"),
+            *[F.col(f"d_sum_{c}").alias(f"sum_{c}") for c in sum_cols])
+        Dataset(spark, first, index_columns=tuple(keys)) \
+            .reindex(tuple(keys)).write_parquet(target_path)
+        return
+    # touch only the affected groups: join current MV rows for those
+    # keys (null-safe — group keys may be NULL) and add the deltas
+    cur = scan_parquet(spark, target_path).df
+    joined = delta.alias("d").join(
+        cur.alias("m"),
+        on=functools.reduce(
+            lambda acc, c: acc & F.col(f"d.{c}").eqNullSafe(
+                F.col(f"m.{c}")),
+            keys[1:],
+            F.col(f"d.{keys[0]}").eqNullSafe(F.col(f"m.{keys[0]}"))),
+        how="left")
+    upd = joined.select(
+        *[F.col(f"d.{c}") for c in keys],
+        (F.coalesce(F.col("m.cnt"), F.lit(0))
+         + F.col("d.d_cnt")).cast("bigint").alias("cnt"),
+        *[(F.coalesce(F.col(f"m.sum_{c}"), F.lit(0))
+           + F.col(f"d.d_sum_{c}")).alias(f"sum_{c}")
+          for c in sum_cols])
+    if upd.limit(1).count():              # no-op change feeds skip commit
+        merge_rows(spark, target_path,
+                   Dataset(spark, upd, index_columns=tuple(keys)))
+
+
 def refresh_aggregate(spark: SparkSession, source_path: str,
                       target_path: str, keys: Sequence[str],
                       sum_cols: Sequence[str] = ()) -> Dataset:
@@ -1872,35 +1924,8 @@ def refresh_aggregate(spark: SparkSession, source_path: str,
     elif state["source_version"] != src_ver:
         changes = read_changes(spark, source_path,
                                state["source_version"], src_ver)
-        sign = F.when(F.col("_change_type").isin("insert",
-                                                 "update_postimage"),
-                      F.lit(1)).otherwise(F.lit(-1))
-        delta = (changes.withColumn("__sign", sign)
-                 .groupBy(*keys)
-                 .agg(F.sum("__sign").cast("bigint").alias("d_cnt"),
-                      *[F.sum(F.col("__sign") * F.col(c))
-                        .alias(f"d_sum_{c}") for c in sum_cols]))
-        # touch only the affected groups: join current MV rows for those
-        # keys (null-safe — group keys may be NULL) and add the deltas
-        cur = scan_parquet(spark, target_path).df
-        joined = delta.alias("d").join(
-            cur.alias("m"),
-            on=functools.reduce(
-                lambda acc, c: acc & F.col(f"d.{c}").eqNullSafe(
-                    F.col(f"m.{c}")),
-                keys[1:],
-                F.col(f"d.{keys[0]}").eqNullSafe(F.col(f"m.{keys[0]}"))),
-            how="left")
-        upd = joined.select(
-            *[F.col(f"d.{c}") for c in keys],
-            (F.coalesce(F.col("m.cnt"), F.lit(0))
-             + F.col("d.d_cnt")).cast("bigint").alias("cnt"),
-            *[(F.coalesce(F.col(f"m.sum_{c}"), F.lit(0))
-               + F.col(f"d.d_sum_{c}")).alias(f"sum_{c}")
-              for c in sum_cols])
-        if upd.limit(1).count():          # no-op change feeds skip commit
-            merge_rows(spark, target_path,
-                       Dataset(spark, upd, index_columns=tuple(keys)))
+        fold_changes_into_aggregate(spark, target_path, changes, keys,
+                                    sum_cols)
     # (state["source_version"] == src_ver: already fresh, nothing to do)
 
     new_tgt = _meta.list_versions(target_path)[-1]

@@ -255,3 +255,73 @@ def streaming_cdf_tail(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name).select("change_type", "n", "key_sum")
+
+
+@query("streaming_mv_refresh", oracle="""
+WITH final AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         CAST(CASE WHEN n_nationkey >= 20 THEN n_regionkey + 50
+              ELSE n_regionkey END AS BIGINT) AS g
+  FROM nation WHERE n_nationkey NOT BETWEEN 0 AND 3
+  UNION ALL
+  SELECT i, i % 4 FROM range(200, 206) t(i)
+)
+SELECT g, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+FROM final GROUP BY g
+""")
+def streaming_mv_refresh(spark, sf_dir):
+    """STREAMING materialized-view maintenance (r8): the ``padawan_cdf``
+    change feed drives ``foreachBatch``, and every micro-batch folds
+    its row-level changes into a count+sum aggregate table with the
+    same delta algebra as batch ``refresh_aggregate``
+    (``fold_changes_into_aggregate`` — update preimages subtract from
+    the old group, postimages add to the new, merge_rows touches only
+    affected groups).  The source history — initial load, a range
+    DELETE, a MERGE that moves keys across groups and inserts new ones
+    — replays through the stream, and the final MV must equal the
+    direct aggregate of the final state (the oracle).  This is the
+    lakehouse "stream a table into a maintained rollup" loop:
+    exactly-once per micro-batch via the CDF source's version offsets,
+    O(changes) per batch, never a source rescan."""
+    import os
+    import tempfile
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from ..dataset import (Dataset, delete_rows,
+                           fold_changes_into_aggregate, from_pandas,
+                           merge_rows, scan_parquet)
+    from ..sources import register_python_sources
+    from .registry import load as _load
+    register_python_sources(spark)
+    n = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    base = tempfile.mkdtemp(prefix="padawan_smv_")
+    source = os.path.join(base, "src")
+    mv = os.path.join(base, "mv")
+    (Dataset(spark, n, index_columns=("k",))
+     .reindex(("k",)).repartition(4).write_parquet(source))
+    delete_rows(spark, source, (0,), (3,), inclusive="both")
+    upd = [(int(r["k"]), int(r["g"]) + 50)
+           for r in n.where(F.col("k") >= 20).collect()]
+    ins = [(200 + i, (200 + i) % 4) for i in range(6)]
+    merge_rows(spark, source, from_pandas(
+        spark, pd.DataFrame(upd + ins, columns=["k", "g"]),
+        index_columns=("k",)))
+
+    def fold(batch_df, batch_id):
+        fold_changes_into_aggregate(batch_df.sparkSession, mv,
+                                    batch_df, keys=("g",),
+                                    sum_cols=("k",))
+
+    src = (spark.readStream.format("padawan_cdf")
+           .option("path", source).load())
+    q = (src.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (scan_parquet(spark, mv).df.where(F.col("cnt") > 0)
+            .select("g", "cnt", "sum_k"))
