@@ -1835,17 +1835,26 @@ def fold_changes_into_aggregate(spark: SparkSession, target_path: str,
         Dataset(spark, first, index_columns=tuple(keys)) \
             .reindex(tuple(keys)).write_parquet(target_path)
         return
-    # touch only the affected groups: join current MV rows for those
-    # keys (null-safe — group keys may be NULL) and add the deltas
-    cur = scan_parquet(spark, target_path).df
-    joined = delta.alias("d").join(
-        cur.alias("m"),
-        on=functools.reduce(
-            lambda acc, c: acc & F.col(f"d.{c}").eqNullSafe(
-                F.col(f"m.{c}")),
+    # touch only the affected groups, without shuffling the MV: the
+    # delta is small (one change-window of groups) so BROADCAST it —
+    # first as a semi-join filter that reduces the MV scan to affected
+    # rows (no exchange on the MV side), then as the probe side of the
+    # outer join against that reduced set.  Null-safe equality
+    # throughout — group keys may be NULL.
+    def _keys_eq(a: str, b: str):
+        return functools.reduce(
+            lambda acc, c: acc & F.col(f"{a}.{c}").eqNullSafe(
+                F.col(f"{b}.{c}")),
             keys[1:],
-            F.col(f"d.{keys[0]}").eqNullSafe(F.col(f"m.{keys[0]}"))),
-        how="left")
+            F.col(f"{a}.{keys[0]}").eqNullSafe(F.col(f"{b}.{keys[0]}")))
+
+    cur = scan_parquet(spark, target_path).df
+    affected = cur.alias("m").join(
+        F.broadcast(delta.select(*keys)).alias("dk"),
+        on=_keys_eq("m", "dk"), how="leftsemi")
+    joined = delta.alias("d").join(
+        F.broadcast(affected.alias("m")),
+        on=_keys_eq("d", "m"), how="left")
     upd = joined.select(
         *[F.col(f"d.{c}") for c in keys],
         (F.coalesce(F.col("m.cnt"), F.lit(0))
