@@ -771,3 +771,37 @@ def test_build_head_rotates_least_recently_checked(tmp_path):
     head_next = _build_head(root=str(tmp_path))
     fresh = set(head_next) - set(head)
     assert len(fresh) >= _WINDOW - len(_SENTINELS) - 1
+
+
+def test_incremental_mv_fold_never_shuffles_the_mv(spark, tmp_path):
+    """r8: fold_changes_into_aggregate must join the delta against the
+    MV via broadcast (semi filter + broadcast outer join) — a
+    SortMergeJoin here means the whole MV shuffles on group keys for a
+    one-window change set."""
+    from padawan_spark.dataset import (Dataset, delete_rows,
+                                       read_changes, refresh_aggregate)
+    src, mv = str(tmp_path / "s"), str(tmp_path / "m")
+    Dataset(spark, spark.range(400).selectExpr("id as k", "id % 7 as g"),
+            index_columns=("k",)).repartition(4).write_parquet(src)
+    refresh_aggregate(spark, src, mv, keys=("g",), sum_cols=("k",))
+    delete_rows(spark, src, (10,), (30,), inclusive="both")
+    changes = read_changes(spark, src, 1)
+    # intercept the merge the REAL fold issues and pin ITS plan
+    import padawan_spark.dataset as dsmod
+    captured = {}
+    real_merge = dsmod.merge_rows
+
+    def spy(sp, path, batch):
+        captured["plan"] = \
+            batch.df._jdf.queryExecution().executedPlan().toString()
+        return real_merge(sp, path, batch)
+
+    dsmod.merge_rows = spy
+    try:
+        dsmod.fold_changes_into_aggregate(spark, mv, changes,
+                                          keys=("g",), sum_cols=("k",))
+    finally:
+        dsmod.merge_rows = real_merge
+    plan = captured["plan"]
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
