@@ -340,3 +340,101 @@ def scan_ogg_py(b: bytes):
     else:
         duration_ms = last_granule * 1000 // rate
     return codec, rate, channels, n_pages, duration_ms
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 tag frames (informal standard id3.org, v2.3/v2.4): the audio
+# twin of the EXIF walk — title/artist/album/year attribution metadata
+# that a training pipeline carries alongside the payload.
+# ---------------------------------------------------------------------------
+
+
+def _id3_text(body: bytes) -> str:
+    """Decode an ID3v2 text-information frame body: leading encoding
+    byte (0 latin-1, 1 UTF-16 w/BOM, 2 UTF-16BE, 3 UTF-8), NUL-
+    terminated."""
+    if not body:
+        return ""
+    enc, data = body[0], body[1:]
+    if enc == 0:
+        s = data.decode("latin-1", "replace")
+    elif enc == 1:
+        s = data.decode("utf-16", "replace")
+    elif enc == 2:
+        s = data.decode("utf-16-be", "replace")
+    elif enc == 3:
+        s = data.decode("utf-8", "replace")
+    else:
+        raise NotImplementedError(f"ID3v2 text encoding {enc}")
+    return s.split("\x00", 1)[0]
+
+
+def parse_id3v2_py(b: bytes):
+    """Walk the ID3v2.3/2.4 frame list at the head of an MPEG stream.
+    Returns a dict of the common text frames (``title`` TIT2,
+    ``artist`` TPE1, ``album`` TALB, ``year`` TYER/TDRC, ``track``
+    TRCK, ``genre`` TCON) — missing frames absent.  O(tag) cost; the
+    audio frames are never touched."""
+    if b[:3] != b"ID3" or len(b) < 10:
+        return {}
+    ver = b[3]
+    size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+        | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+    end = min(10 + size, len(b))
+    pos = 10
+    if b[5] & 0x40:                       # extended header present
+        if ver >= 4:
+            ext = ((b[pos] & 0x7F) << 21) | ((b[pos + 1] & 0x7F) << 14) \
+                | ((b[pos + 2] & 0x7F) << 7) | (b[pos + 3] & 0x7F)
+        else:
+            ext = struct.unpack_from(">I", b, pos)[0] + 4
+        pos += ext
+    _MAP = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+            b"TYER": "year", b"TDRC": "year", b"TRCK": "track",
+            b"TCON": "genre"}
+    out: dict = {}
+    while pos + 10 <= end:
+        fid = b[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break                         # padding reached
+        if ver >= 4:                      # v2.4: syncsafe frame sizes
+            fsz = ((b[pos + 4] & 0x7F) << 21) \
+                | ((b[pos + 5] & 0x7F) << 14) \
+                | ((b[pos + 6] & 0x7F) << 7) | (b[pos + 7] & 0x7F)
+        else:
+            fsz = struct.unpack_from(">I", b, pos + 4)[0]
+        body = b[pos + 10:pos + 10 + fsz]
+        key = _MAP.get(fid)
+        if key is not None and key not in out:
+            out[key] = _id3_text(body)
+        pos += 10 + fsz
+    return out
+
+
+def encode_id3v2_py(frames: dict, version: int = 3,
+                    padding: int = 32) -> bytes:
+    """Build an ID3v2.3/2.4 tag for fixtures (inverse of
+    :func:`parse_id3v2_py`): text frames UTF-16 for v2.3 BOM coverage,
+    UTF-8 for v2.4."""
+    _MAP = {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB",
+            "track": b"TRCK", "genre": b"TCON",
+            "year": b"TDRC" if version >= 4 else b"TYER"}
+    body = bytearray()
+    for key, val in frames.items():
+        if version >= 4:
+            payload = b"\x03" + val.encode("utf-8") + b"\x00"
+        else:
+            payload = b"\x01" + val.encode("utf-16") + b"\x00\x00"
+        fid = _MAP[key]
+        if version >= 4:
+            sz = len(payload)
+            szb = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                         (sz >> 7) & 0x7F, sz & 0x7F])
+        else:
+            szb = struct.pack(">I", len(payload))
+        body += fid + szb + b"\x00\x00" + payload
+    body += bytes(padding)
+    sz = len(body)
+    return (b"ID3" + bytes([version, 0, 0])
+            + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                     (sz >> 7) & 0x7F, sz & 0x7F]) + bytes(body))

@@ -2864,6 +2864,32 @@ def scan_mp3_meta(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(batches, MP3_META_SCHEMA)
 
 
+ID3_TAGS_SCHEMA = ("doc_id bigint, title string, artist string, "
+                   "album string, year string, track string, "
+                   "genre string")
+
+
+def extract_id3_tags(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id") -> DataFrame:
+    """ID3v2.3/2.4 attribution metadata (r8) — the audio twin of
+    :func:`extract_exif`: title/artist/album/year/track/genre text
+    frames (all four spec text encodings), NULLs where a frame — or
+    the whole tag — is absent.  O(tag bytes) per blob; the audio
+    frames are never read.  Arrow-batched mapInPandas, zero shuffle."""
+    from .mp3 import parse_id3v2_py
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["title", "artist", "album", "year", "track", "genre"]
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                tags = parse_id3v2_py(bytes(b))
+                out.append((i, *[tags.get(c) for c in cols]))
+            yield pd.DataFrame(out, columns=["doc_id", *cols])
+
+    return df.mapInPandas(batches, ID3_TAGS_SCHEMA)
+
+
 OGG_META_SCHEMA = ("doc_id bigint, codec string, sample_rate int, "
                    "channels int, n_pages bigint, duration_ms bigint")
 

@@ -384,3 +384,99 @@ def extract_mp4_frames_py(b: bytes):
             si += 1
     return state.get("width"), state.get("height"), \
         state.get("codec", ""), frames
+
+
+# ---------------------------------------------------------------------------
+# Subtitle / caption formats: SRT and WebVTT cue parsing.  Captions are
+# the aligned-text channel of a video corpus — the part a multimodal
+# training pipeline actually trains on — and both formats are plain
+# text with a fully-specified cue grammar.
+# ---------------------------------------------------------------------------
+
+
+def _ts_ms(ts: str) -> int:
+    """``HH:MM:SS,mmm`` (SRT) or ``[HH:]MM:SS.mmm`` (WebVTT) -> ms."""
+    ts = ts.strip().replace(",", ".")
+    parts = ts.split(":")
+    if len(parts) == 2:
+        parts = ["0"] + parts
+    h, m = int(parts[0]), int(parts[1])
+    sec, _, frac = parts[2].partition(".")
+    ms = int((frac + "000")[:3]) if frac else 0
+    return ((h * 60 + m) * 60 + int(sec)) * 1000 + ms
+
+
+def parse_subtitles_py(b: bytes):
+    """Parse SRT or WebVTT caption payloads into cue tuples
+    ``(cue_idx, start_ms, end_ms, text)`` (0-based cue order; text
+    lines joined with ``\\n``).  WebVTT ``NOTE``/``STYLE`` blocks and
+    cue-settings after the timing line are skipped per spec; SRT
+    numeric counters are validated as present but the emitted index is
+    positional.  O(bytes) per blob."""
+    text = b.decode("utf-8-sig", "replace")
+    lines = text.splitlines()
+    is_vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
+    if not is_vtt and "-->" not in text:
+        raise NotImplementedError("neither WebVTT header nor SRT cues")
+    cues = []
+    i = 1 if is_vtt else 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if not line:
+            i += 1
+            continue
+        if is_vtt and (line.startswith("NOTE")
+                       or line.startswith("STYLE")
+                       or line.startswith("REGION")):
+            i += 1
+            while i < len(lines) and lines[i].strip():
+                i += 1
+            continue
+        # optional SRT counter / VTT cue id on the line before timing
+        if "-->" not in line:
+            i += 1
+            if i >= len(lines) or "-->" not in lines[i]:
+                raise NotImplementedError(
+                    f"cue header without a timing line: {line!r}")
+            line = lines[i].strip()
+        start_s, _, rest = line.partition("-->")
+        end_s = rest.strip().split(None, 1)[0]      # drop cue settings
+        i += 1
+        body = []
+        while i < len(lines) and lines[i].strip():
+            body.append(lines[i].rstrip())
+            i += 1
+        cues.append((len(cues), _ts_ms(start_s), _ts_ms(end_s),
+                     "\n".join(body)))
+    return cues
+
+
+def encode_srt_py(cues) -> bytes:
+    """Render ``(start_ms, end_ms, text)`` cues as SRT (fixture twin
+    of :func:`parse_subtitles_py`)."""
+    def ts(ms):
+        h, rem = divmod(ms, 3600000)
+        m, rem = divmod(rem, 60000)
+        s, ms = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+    out = []
+    for k, (a, z, txt) in enumerate(cues):
+        out.append(f"{k + 1}\n{ts(a)} --> {ts(z)}\n{txt}\n")
+    return "\n".join(out).encode("utf-8")
+
+
+def encode_vtt_py(cues) -> bytes:
+    """Render cues as WebVTT, with a NOTE block and per-cue settings
+    so the parser's skip paths are exercised."""
+    def ts(ms):
+        h, rem = divmod(ms, 3600000)
+        m, rem = divmod(rem, 60000)
+        s, ms = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
+    out = ["WEBVTT", "", "NOTE", "generated fixture", ""]
+    for k, (a, z, txt) in enumerate(cues):
+        out.append(f"cue-{k}")
+        out.append(f"{ts(a)} --> {ts(z)} align:start line:0")
+        out.append(txt)
+        out.append("")
+    return "\n".join(out).encode("utf-8")

@@ -1467,3 +1467,95 @@ def mm_audio_ogg_scan(spark, sf_dir):
         for doc_id, codec, rate, ch, n, pages in _OGG_SPECS]
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return scan_ogg_meta(d)
+
+
+@query("mm_audio_id3_tags", oracle="""
+SELECT CAST(1 AS BIGINT) AS doc_id, 'Étude No. 5' AS title,
+       'Ensemble Σ' AS artist, 'Live' AS album, '1997' AS year,
+       '5/12' AS track, CAST(NULL AS VARCHAR) AS genre
+UNION ALL
+SELECT CAST(2 AS BIGINT), '日本語タイトル', NULL, NULL, '2003', NULL,
+       'Speech'
+UNION ALL
+SELECT CAST(3 AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL
+""")
+def mm_audio_id3_tags(spark, sf_dir):
+    """ID3v2 attribution extraction (r8) — the audio twin of
+    mm_exif_meta: doc 1 carries a v2.3 tag (UTF-16 BOM text frames,
+    TYER year), doc 2 a v2.4 tag (UTF-8, syncsafe frame sizes, TDRC),
+    doc 3 a bare MPEG stream with no tag at all (all columns NULL —
+    absence must not error).  Both tagged docs also carry real audio
+    frames after the tag, proving the walk stops at the tag boundary.
+    Attribution metadata (title/artist/album) is what a licensed-music
+    or podcast corpus joins on; the scan is O(tag bytes) per blob."""
+    from ..functions.mp3 import encode_id3v2_py, encode_mp3_frames_py
+    from ..functions.multimodal import extract_id3_tags
+    d1 = (encode_id3v2_py({"title": "Étude No. 5", "artist": "Ensemble Σ",
+                           "album": "Live", "year": "1997",
+                           "track": "5/12"})
+          + encode_mp3_frames_py(4, bitrate=128, sample_rate=44100))
+    d2 = (encode_id3v2_py({"title": "日本語タイトル", "year": "2003",
+                           "genre": "Speech"}, version=4)
+          + encode_mp3_frames_py(3, bitrate=64, sample_rate=22050,
+                                 channels=1))
+    d3 = encode_mp3_frames_py(2, bitrate=96, sample_rate=32000)
+    d = spark.createDataFrame(
+        [(1, bytearray(d1)), (2, bytearray(d2)), (3, bytearray(d3))],
+        "doc_id bigint, payload binary")
+    return extract_id3_tags(d)
+
+
+_SUB_SPECS = [(1, "srt", 6), (2, "vtt", 4)]
+
+
+def _sub_oracle() -> str:
+    parts = []
+    for doc_id, kind, n in _SUB_SPECS:
+        for k in range(n):
+            start = 1000 * k * doc_id + 17 * k
+            end = start + 900 + 10 * k
+            parts.append(
+                f"SELECT CAST({doc_id} AS BIGINT) AS doc_id,"
+                f" {k} AS cue_idx, CAST({start} AS BIGINT) AS start_ms,"
+                f" CAST({end} AS BIGINT) AS end_ms,"
+                f" 'caption {k} of doc {doc_id}' AS text")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_subtitle_parse", oracle=_sub_oracle())
+def mm_subtitle_parse(spark, sf_dir):
+    """Subtitle/caption cue extraction (r8): SRT and WebVTT payloads —
+    the aligned-text channel of a video corpus, the part a multimodal
+    pipeline actually trains on — parse into (cue_idx, start_ms,
+    end_ms, text) rows via `functions/video.py:parse_subtitles_py`.
+    The WebVTT fixture carries a NOTE block, cue identifiers, and
+    per-cue settings (all skipped per spec); timestamps exercise both
+    the comma (SRT) and dot (VTT) millisecond forms.  The oracle
+    restates every cue from the fixture formula.  Arrow-batched
+    mapInPandas, one row per cue, zero shuffle."""
+    import pandas as pd
+    from ..functions.video import (encode_srt_py, encode_vtt_py,
+                                   parse_subtitles_py)
+
+    def payload(doc_id, kind, n):
+        cues = [(1000 * k * doc_id + 17 * k,
+                 1000 * k * doc_id + 17 * k + 900 + 10 * k,
+                 f"caption {k} of doc {doc_id}") for k in range(n)]
+        return (encode_srt_py if kind == "srt" else encode_vtt_py)(cues)
+
+    rows = [(doc_id, bytearray(payload(doc_id, kind, n)))
+            for doc_id, kind, n in _SUB_SPECS]
+    d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                for cue in parse_subtitles_py(bytes(b)):
+                    out.append((i, *cue))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "cue_idx", "start_ms", "end_ms", "text"])
+
+    return d.mapInPandas(batches, "doc_id bigint, cue_idx int, "
+                                  "start_ms bigint, end_ms bigint, "
+                                  "text string")

@@ -525,3 +525,41 @@ def test_ogg_page_walk_roundtrip_and_crc_guard():
             scan_ogg_py(bytes(bad))
     with pytest.raises(NotImplementedError):
         scan_ogg_py(b"no capture pattern here")
+
+
+def test_id3v2_tag_roundtrip_both_versions():
+    from padawan_spark.functions.mp3 import (encode_id3v2_py,
+                                             encode_mp3_frames_py,
+                                             parse_id3v2_py, scan_mp3_py)
+    tags = {"title": "Étude No. 5", "artist": "Ensemble Σ",
+            "album": "Live", "year": "1997", "track": "5/12"}
+    for ver in (3, 4):
+        blob = encode_id3v2_py(tags, version=ver)
+        assert parse_id3v2_py(blob) == tags
+    # v2.4 UTF-8 with non-latin text
+    t4 = encode_id3v2_py({"title": "日本語タイトル"}, version=4)
+    assert parse_id3v2_py(t4) == {"title": "日本語タイトル"}
+    # tag followed by audio frames: frame walk AND tag walk both work
+    b = encode_id3v2_py(tags) + encode_mp3_frames_py(
+        4, bitrate=128, sample_rate=44100)
+    assert parse_id3v2_py(b) == tags
+    assert scan_mp3_py(b)[4] == 4          # n_frames
+    # tagless payload yields an empty dict, not an error
+    assert parse_id3v2_py(b"\xff\xfb no tag") == {}
+
+
+def test_subtitle_parse_srt_and_vtt():
+    import pytest
+    from padawan_spark.functions.video import (encode_srt_py,
+                                               encode_vtt_py,
+                                               parse_subtitles_py)
+    cues = [(0, 900, "one"), (3_600_123, 3_601_000, "two\nlines"),
+            (7_200_000, 7_260_500, "three")]
+    for enc in (encode_srt_py, encode_vtt_py):
+        got = parse_subtitles_py(enc(cues))
+        assert got == [(k, a, z, t) for k, (a, z, t) in enumerate(cues)]
+    # VTT short MM:SS.mmm timestamps and settings after timing
+    vtt = (b"WEBVTT\n\n00:05.250 --> 00:07.100 align:start\nhi\n")
+    assert parse_subtitles_py(vtt) == [(0, 5250, 7100, "hi")]
+    with pytest.raises(NotImplementedError):
+        parse_subtitles_py(b"just some prose, no cues")
