@@ -1862,6 +1862,9 @@ def fold_changes_into_aggregate(spark: SparkSession, target_path: str,
         *[(F.coalesce(F.col(f"m.sum_{c}"), F.lit(0))
            + F.col(f"d.d_sum_{c}")).alias(f"sum_{c}")
           for c in sum_cols])
+    # materialize the fold ONCE: the emptiness probe and the merge's
+    # rewrite otherwise each recompute the whole CDF+join pipeline
+    upd = upd.localCheckpoint(eager=True)
     if upd.limit(1).count():              # no-op change feeds skip commit
         merge_rows(spark, target_path,
                    Dataset(spark, upd, index_columns=tuple(keys)))

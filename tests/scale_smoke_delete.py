@@ -164,6 +164,41 @@ def main() -> None:
     assert by.get((v_mrg2, "update_postimage")) == 1, by
     assert sum(by.values()) == n_del + n_ins + n_key + 1, by
 
+    # --- incremental MV chain (r8): a full refresh pays one table
+    # aggregate; after ONE more surgical commit, the incremental
+    # refresh must (a) produce exactly the direct aggregate of the
+    # live table and (b) commit via merge (MV version advances — a
+    # full-recompute fallback would reset the MV history to v1).
+    from padawan_spark import refresh_aggregate
+    mv = target + "_mv"
+    t0 = time.perf_counter()
+    refresh_aggregate(spark, target, mv, keys=("o_custkey",),
+                      sum_cols=("o_orderkey",))
+    mv_full_s = round(time.perf_counter() - t0, 3)
+    day3 = dt.datetime(1997, 8, 20)
+    merge_rows(spark, target, Dataset(
+        spark,
+        spark.createDataFrame(
+            [(888_888_888, 42, "I", day3)],
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_orderdate timestamp"),
+        index_columns=("o_orderdate",)))
+    t0 = time.perf_counter()
+    mv_ds = refresh_aggregate(spark, target, mv, keys=("o_custkey",),
+                              sum_cols=("o_orderkey",))
+    mv_incr_s = round(time.perf_counter() - t0, 3)
+    assert meta.list_versions(mv)[-1] == 2, (
+        "incremental refresh must merge (v2), not full-recompute",
+        meta.list_versions(mv))
+    truth = {(r["o_custkey"], r["cnt"], r["sum_o_orderkey"]) for r in
+             scan_parquet(spark, target).df.groupBy("o_custkey")
+             .agg(SF.count(SF.lit(1)).cast("bigint").alias("cnt"),
+                  SF.sum("o_orderkey").alias("sum_o_orderkey"))
+             .collect()}
+    got = {(r["o_custkey"], r["cnt"], r["sum_o_orderkey"]) for r in
+           mv_ds.df.where("cnt > 0").collect()}
+    assert got == truth, (len(got), len(truth))
+
     print(json.dumps({
         "smoke": "delete_one_day_window",
         "sf_dir": SMOKE_DIR,
@@ -188,6 +223,8 @@ def main() -> None:
         "cdf_files_read": len(changed_files),
         "cdf_change_rows": sum(by.values()),
         "cdf_s": cdf_s,
+        "mv_full_refresh_s": mv_full_s,
+        "mv_incremental_refresh_s": mv_incr_s,
     }))
 
 
