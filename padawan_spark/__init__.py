@@ -24,6 +24,8 @@ from .dataset import (  # noqa: F401
     merge_rows,
     read_changes,
     refresh_aggregate,
+    build_bloom_index,
+    scan_point_lookup,
     concat,
     from_pandas,
     scan_parquet,
@@ -42,6 +44,8 @@ __all__ = [
     "merge_rows",
     "read_changes",
     "refresh_aggregate",
+    "build_bloom_index",
+    "scan_point_lookup",
     "concat",
     "from_pandas",
     "get_spark",

@@ -793,3 +793,35 @@ def op_incremental_agg(spark, sf_dir):
     out = refresh_aggregate(spark, source, mv,
                             keys=("g",), sum_cols=("k",))
     return out.df.where(F.col("cnt") > 0).select("g", "cnt", "sum_k")
+
+
+@query("op_bloom_point_lookup", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order
+FROM orders WHERE o_custkey = 371
+""")
+def op_bloom_point_lookup(spark, sf_dir):
+    """Per-file Bloom-filter index over a NON-index column (r8, the
+    Delta/Hudi bloom-index idea): the orders table is written indexed
+    by o_orderdate (manifest range pruning serves date predicates),
+    then ``build_bloom_index`` computes each file's bloom of
+    o_custkey in ONE pass whose shuffle is bounded by files x words —
+    never row count — and ``scan_point_lookup`` answers
+    ``o_custkey = 371`` reading only the files whose bloom admits the
+    probe (false negatives impossible, property-tested; staleness
+    falls back to a full scan).  The oracle recomputes the customer's
+    aggregate straight from the source table."""
+    from ..dataset import build_bloom_index, scan_point_lookup
+    src = (load(spark, sf_dir, "orders")
+           .select(F.col("o_orderkey").cast("bigint"),
+                   F.col("o_custkey").cast("bigint"), "o_orderdate"))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_bloom_"),
+                          "orders_bl")
+    (Dataset(spark, src, index_columns=("o_orderdate",))
+     .reindex(("o_orderdate",)).repartition(1200).write_parquet(target))
+    build_bloom_index(spark, target, "o_custkey")
+    hit = scan_point_lookup(spark, target, "o_custkey", 371)
+    return hit.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                   F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                   F.min("o_orderdate").alias("first_order"))

@@ -1675,3 +1675,82 @@ def test_refresh_aggregate_detects_divergence_and_recomputes(
                              sum_cols=("k",)).df
     assert {(r["g"], r["cnt"], r["sum_k"])
             for r in out2.where("cnt > 0").collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# r8: per-file bloom index / point lookup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_index_no_false_negatives_and_prunes(spark, tmp_path):
+    from padawan_spark.dataset import (Dataset, build_bloom_index,
+                                       scan_parquet, scan_point_lookup)
+    t = str(tmp_path / "bl")
+    # cluster the probe column so its values are file-local (the case a
+    # bloom index exists for); repartition(N) = N rows per file here
+    df = spark.range(6000).select(
+        F.col("id").alias("k"), (F.col("id") / 100).cast("bigint")
+        .alias("cust"),
+        F.concat(F.lit("u_"), (F.col("id") / 200).cast("bigint"))
+        .alias("user"))
+    Dataset(spark, df, index_columns=("k",)).repartition(300) \
+        .write_parquet(t)
+    sc = build_bloom_index(spark, t, "cust")
+    n_files = len(
+        __import__("padawan_spark.metadata", fromlist=["m"])
+        .load_manifest(t).files)
+    truth_df = scan_parquet(spark, t).df
+    # every present value is found (false negatives impossible)
+    for v in range(0, 60, 7):
+        got = scan_point_lookup(spark, t, "cust", v).count()
+        want = truth_df.where(F.col("cust") == v).count()
+        assert got == want, (v, got, want)
+    # and the probe read far fewer files than the table holds
+    hit = scan_point_lookup(spark, t, "cust", 42)
+    assert 0 < len(hit.inputFiles()) <= 2, (
+        len(hit.inputFiles()), n_files)
+    assert n_files == 20
+    # absent value: zero rows (bloom may or may not prune to zero files)
+    assert scan_point_lookup(spark, t, "cust", 99999).count() == 0
+    # string column probes work through the same sidecar machinery
+    build_bloom_index(spark, t, "user")
+    s = scan_point_lookup(spark, t, "user", "u_7")
+    assert s.count() == truth_df.where("user = 'u_7'").count()
+    assert len(s.inputFiles()) < n_files
+    assert sc["version"] == 1
+
+
+def test_bloom_index_stale_fallback_and_rebuild(spark, tmp_path):
+    from padawan_spark.dataset import (Dataset, build_bloom_index,
+                                       delete_rows, scan_parquet,
+                                       scan_point_lookup)
+    t = str(tmp_path / "bls")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") / 100).cast("bigint")
+        .alias("cust"))
+    Dataset(spark, df, index_columns=("k",)).repartition(100) \
+        .write_parquet(t)
+    build_bloom_index(spark, t, "cust")
+    delete_rows(spark, t, (100,), (400,), inclusive="both")
+    # sidecar is stale (v1 != v2): lookup falls back to a correct scan
+    got = scan_point_lookup(spark, t, "cust", 7).count()
+    want = scan_parquet(spark, t).df.where("cust = 7").count()
+    assert got == want
+    # rebuild re-arms pruning at the new version
+    sc = build_bloom_index(spark, t, "cust")
+    assert sc["version"] == 2
+    hit = scan_point_lookup(spark, t, "cust", 7)
+    assert hit.count() == want
+    man_files = __import__("padawan_spark.metadata", fromlist=["m"]) \
+        .load_manifest(t).files
+    assert len(hit.inputFiles()) < len(man_files)
+
+
+def test_bloom_index_rejects_index_columns(spark, tmp_path):
+    import pytest
+    from padawan_spark.dataset import Dataset, build_bloom_index
+    t = str(tmp_path / "blx")
+    Dataset(spark, spark.range(10).selectExpr("id as k", "id as v"),
+            index_columns=("k",)).write_parquet(t)
+    with pytest.raises(ValueError, match="index column"):
+        build_bloom_index(spark, t, "k")
