@@ -2059,3 +2059,27 @@ def scan_point_lookup(spark: SparkSession, path: str, column: str,
     rd = spark.read.schema(schema) if schema else spark.read
     return rd.parquet(*[os.path.join(path, f)
                         for f in survivors]).where(pred)
+
+
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """Table history (the DESCRIBE HISTORY operational surface, r8):
+    one row per snapshot with its file count, total bytes (when the
+    manifest records sizes), and the file delta against the previous
+    snapshot — derived purely from the archived manifests, O(files)
+    driver work, no data reads.  Lets an operator answer "what did
+    that commit touch" before replaying the row-level CDF."""
+    versions = _meta.list_versions(path)
+    _require(bool(versions), ValueError,
+             f"{path} has no version history")
+    rows = []
+    prev: set = set()
+    for v in versions:
+        man = _meta.load_manifest(path, version=v)
+        cur = set(man.files)
+        size = sum(man.sizes) if man.known_sizes else None
+        rows.append((v, len(man.files), len(cur - prev),
+                     len(prev - cur), size))
+        prev = cur
+    return spark.createDataFrame(
+        rows, "version bigint, n_files int, n_added_files int, "
+              "n_removed_files int, total_bytes bigint")

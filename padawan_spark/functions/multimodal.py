@@ -3136,3 +3136,42 @@ def sample_webp_frames(df: DataFrame, every_n: int = 1,
                 "doc_id", "frame_idx", "width", "height", "pix_checksum"])
 
     return df.mapInPandas(batches, GIF_FRAMES_SCHEMA)
+
+
+def sniff_media_py(b: bytes):
+    """TOTAL media-type triage across every format family this engine
+    understands (r8): returns ``(media_type, format)`` with media_type
+    in ``image/audio/video/caption/unknown``.  Pure magic-byte
+    dispatch — O(16 bytes) per blob, total by construction (garbage
+    classifies as ``unknown``, never raises) — the very first pass
+    over a mixed crawled corpus, ahead of the per-family header
+    scans."""
+    if len(b) >= 12 and b[:4] == b"RIFF":
+        if b[8:12] == b"WEBP":
+            return "image", "webp"
+        if b[8:12] == b"AVI ":
+            return "video", "avi"
+        if b[8:12] == b"WAVE":
+            return "audio", "wav"
+    fmt, _w, _h = sniff_image_header_py(b)
+    if fmt != "unknown":
+        return "image", fmt
+    if b[:4] == b"fLaC":
+        return "audio", "flac"
+    if b[:4] == b"OggS":
+        return "audio", "ogg"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "video", "mp4"
+    if b[:9] == b"YUV4MPEG2":
+        return "video", "y4m"
+    if b[:3] == b"ID3":
+        return "audio", "mp3"
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0 \
+            and (b[1] & 0x18) != 0x08 and (b[1] & 0x06) != 0:
+        return "audio", "mp3"             # MPEG frame sync
+    head = bytes(b[:64])
+    if head.lstrip()[:6] == b"WEBVTT":
+        return "caption", "vtt"
+    if b"-->" in bytes(b[:256]):
+        return "caption", "srt"
+    return "unknown", "unknown"

@@ -1559,3 +1559,63 @@ def mm_subtitle_parse(spark, sf_dir):
     return d.mapInPandas(batches, "doc_id bigint, cue_idx int, "
                                   "start_ms bigint, end_ms bigint, "
                                   "text string")
+
+
+@query("mm_media_triage", oracle="""
+SELECT CAST(1 AS BIGINT) AS doc_id, 'image' AS media_type, 'png' AS format
+UNION ALL SELECT 2, 'image', 'jpeg'
+UNION ALL SELECT 3, 'audio', 'wav'
+UNION ALL SELECT 4, 'audio', 'flac'
+UNION ALL SELECT 5, 'audio', 'mp3'
+UNION ALL SELECT 6, 'audio', 'ogg'
+UNION ALL SELECT 7, 'video', 'avi'
+UNION ALL SELECT 8, 'video', 'mp4'
+UNION ALL SELECT 9, 'video', 'y4m'
+UNION ALL SELECT 10, 'caption', 'vtt'
+UNION ALL SELECT 11, 'caption', 'srt'
+UNION ALL SELECT 12, 'unknown', 'unknown'
+""")
+def mm_media_triage(spark, sf_dir):
+    """TOTAL mixed-corpus triage (r8): twelve payloads spanning every
+    media family this engine understands — images, four audio
+    families, three video containers, both caption formats, and pure
+    garbage — classify by magic bytes alone via
+    :func:`sniff_media_py`.  O(16 bytes) per blob and total by
+    construction (the garbage row must classify as unknown, not
+    raise): the first routing pass a mixed 100 TB crawl gets before
+    the per-family header scans."""
+    import pandas as pd
+    from ..functions.mp3 import (encode_id3v2_py, encode_mp3_frames_py,
+                                 encode_ogg_py)
+    from ..functions.multimodal import (encode_flac_py, encode_wav_py,
+                                        sniff_media_py)
+    from ..functions.video import (encode_avi_mjpeg_py,
+                                   encode_mp4_mjpeg_py, encode_srt_py,
+                                   encode_vtt_py)
+    jpeg = encode_jpeg_py(8, 8, bytes(range(64)))
+    docs = [
+        (1, encode_png_py(4, 3, bytes(36))),
+        (2, jpeg),
+        (3, encode_wav_py([0, 1, -1, 2], 8000)),
+        (4, encode_flac_py([0, 1, -1, 2], 8000)),
+        (5, encode_id3v2_py({"title": "t"}) + encode_mp3_frames_py(2)),
+        (6, encode_ogg_py("vorbis", 44100, 2, 44100)),
+        (7, encode_avi_mjpeg_py(8, 8, [jpeg])),
+        (8, encode_mp4_mjpeg_py(8, 8, [jpeg])),
+        (9, encode_y4m_py(4, 2, [bytes(10)])),
+        (10, encode_vtt_py([(0, 500, "hi")])),
+        (11, encode_srt_py([(0, 500, "hi")])),
+        (12, b"\x00\x01garbage payload\xfe\xff"),
+    ]
+    d = spark.createDataFrame([(i, bytearray(b)) for i, b in docs],
+                              "doc_id bigint, payload binary")
+
+    def batches(it):
+        for pdf in it:
+            out = [(i, *sniff_media_py(bytes(b)))
+                   for i, b in zip(pdf["doc_id"], pdf["payload"])]
+            yield pd.DataFrame(out, columns=["doc_id", "media_type",
+                                             "format"])
+
+    return d.mapInPandas(
+        batches, "doc_id bigint, media_type string, format string")

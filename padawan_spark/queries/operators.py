@@ -825,3 +825,42 @@ def op_bloom_point_lookup(spark, sf_dir):
     return hit.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                    F.sum("o_orderkey").cast("bigint").alias("key_sum"),
                    F.min("o_orderdate").alias("first_order"))
+
+
+@query("op_describe_history", oracle="""
+SELECT 1 AS version, 5 AS n_files, 5 AS n_added_files,
+       0 AS n_removed_files, CAST(25 AS BIGINT) AS rows
+UNION ALL SELECT 2, 4, 0, 1, CAST(20 AS BIGINT)
+UNION ALL SELECT 3, 5, 2, 1, CAST(22 AS BIGINT)
+""")
+def op_describe_history(spark, sf_dir):
+    """describe_history (r8, the DESCRIBE HISTORY operational surface):
+    three commits on a 5-rows-per-file nation layout — write (5 files),
+    a whole-file-aligned DELETE of keys 5-9 (drops exactly one file,
+    rewrites none), and a MERGE updating keys 12/13 (rewrites their
+    file) plus inserting 100/101 (one gap file) — then the history
+    report, derived purely from archived manifests with O(files)
+    driver work, joined with time-travel row counts.  The oracle
+    states the expected file deltas and per-version rows; any change
+    to copy-on-write surgical-rewrite behavior shows up here."""
+    from ..dataset import delete_rows, describe_history, merge_rows
+    src = (load(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").cast("bigint").alias("k"),
+                   F.col("n_regionkey").cast("bigint").alias("v")))
+    target = os.path.join(tempfile.mkdtemp(prefix="padawan_hist_"),
+                          "nation_h")
+    (Dataset(spark, src, index_columns=("k",)).reindex(("k",))
+     .repartition(5).write_parquet(target))
+    delete_rows(spark, target, (5,), (9,), inclusive="both")
+    merge_rows(spark, target, Dataset(
+        spark, spark.createDataFrame(
+            [(12, 999), (13, 999), (100, 1), (101, 2)],
+            "k bigint, v bigint"),
+        index_columns=("k",)))
+    hist = describe_history(spark, target)
+    rows = [(v, scan_parquet(spark, target, version=v).df.count())
+            for v in (1, 2, 3)]
+    rc = spark.createDataFrame(rows, "version bigint, rows bigint")
+    return (hist.join(rc, on="version")
+            .select("version", "n_files", "n_added_files",
+                    "n_removed_files", "rows"))

@@ -1223,3 +1223,14 @@ def test_webp_animation_compositing_property(cw, ch, data):
             for y in range(fh):
                 co = ((fy + y) * cw + fx) * 4
                 canvas[co:co + fw * 4] = bytes(bg) * fw
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_sniff_media_total_on_arbitrary_bytes(b):
+    """r8: the mixed-corpus triage pass must classify ANY byte string
+    (crawled corpora contain garbage) — never raise."""
+    from padawan_spark.functions.multimodal import sniff_media_py
+    mt, fmt = sniff_media_py(b)
+    assert mt in {"image", "audio", "video", "caption", "unknown"}
+    assert isinstance(fmt, str)
