@@ -325,3 +325,76 @@ def streaming_mv_refresh(spark, sf_dir):
         q.stop()
     return (scan_parquet(spark, mv).df.where(F.col("cnt") > 0)
             .select("g", "cnt", "sum_k"))
+
+
+@query("streaming_rate_limited_tail", oracle="""
+SELECT CAST(3 AS BIGINT) AS n_batches,
+       CAST(9 AS BIGINT) AS max_batch_rows,
+       CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+""")
+def streaming_rate_limited_tail(spark, sf_dir):
+    """Backpressure on the manifest stream (r8,
+    ``maxVersionsPerTrigger``): the stream starts against the first
+    commit (batch 1: 8 rows), then TWO more commits land while it is
+    live and the cap of one version per micro-batch drains that
+    2-version backlog as TWO bounded batches (9 rows max) instead of
+    one 17-row catch-up batch — the Delta maxFilesPerTrigger idea at
+    version granularity.  The oracle pins the batch count, the largest
+    batch, and that no row was lost or duplicated across the batch
+    boundaries (sum/count over the source table).  At scale this is
+    what keeps a backlog drain from materializing weeks of commits
+    into one executor-crushing batch.  (The first batch of a run is
+    deliberately uncapped: latestOffset cannot see the checkpointed
+    start, and a low guess would trip the history-regression guard —
+    see the reader comment.)"""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..dataset import Dataset
+    from ..sources import register_python_sources
+    from .registry import load as _load
+    register_python_sources(spark)
+    n = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_name").alias("name"))
+    base = tempfile.mkdtemp(prefix="padawan_rate_")
+    target = os.path.join(base, "nation_r")
+
+    def commit(lo, hi):
+        part = n.where((F.col("k") >= lo) & (F.col("k") < hi))
+        ds = Dataset(spark, part, index_columns=("k",)).reindex(("k",))
+        ds.write_parquet(target, append=os.path.isdir(target))
+
+    commit(0, 8)
+    batches = []
+
+    def tally(batch_df, batch_id):
+        rows = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("s")).collect()[0]
+        if rows["n"]:
+            batches.append((int(rows["n"]), int(rows["s"])))
+
+    src = (spark.readStream.format("padawan_tail")
+           .schema("k bigint, name string")
+           .option("path", target)
+           .option("maxVersionsPerTrigger", "1").load())
+    q = (src.writeStream.foreachBatch(tally)
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()            # batch 1: the v1 rows
+        commit(8, 16)
+        commit(16, 25)                     # a 2-version backlog...
+        q.processAllAvailable()            # ...drains as 2 capped batches
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        [(len(batches), max(b[0] for b in batches),
+          sum(b[0] for b in batches), sum(b[1] for b in batches))],
+        "n_batches bigint, max_batch_rows bigint, total_rows bigint, "
+        "key_sum bigint")

@@ -210,6 +210,20 @@ class _ManifestTailReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self._seen_id = None   # first non-null table id observed this run
+        # backpressure (r8): cap how many snapshot versions one
+        # micro-batch may admit (0 = unlimited).  A capped stream
+        # replays a backlog as bounded batches instead of one giant
+        # catch-up batch — the Delta maxFilesPerTrigger idea at version
+        # granularity.  The cap anchors on the last offset span this
+        # READER instance validated in partitions(); the FIRST batch of
+        # any run is uncapped, because latestOffset cannot see the
+        # checkpointed start offset (Spark calls it before partitions —
+        # observed: even a fresh stream's first latestOffset precedes
+        # initialOffset in the runner process) and a low guess would
+        # trip the history-regression guard after a restart.  Every
+        # batch after the first is bounded.
+        self._max_versions = int(options.get("maxVersionsPerTrigger", 0))
+        self._last_end = None
 
     def _stamp(self, tid):
         """Track the first non-null table id seen this RUN and fail
@@ -234,12 +248,17 @@ class _ManifestTailReader(DataSourceStreamReader):
 
     def initialOffset(self):
         from .. import metadata as _meta
+        self._last_end = 0
         return {"v": 0, "id": self._stamp(_meta.table_id(self.path))}
 
     def latestOffset(self):
         from .. import metadata as _meta
         vs = _meta.list_versions(self.path)
-        return {"v": vs[-1] if vs else 0,
+        v = vs[-1] if vs else 0
+        if self._max_versions and self._last_end is not None:
+            v = max(min(v, self._last_end + self._max_versions),
+                    self._last_end)
+        return {"v": v,
                 "id": self._stamp(_meta.table_id(self.path))}
 
     def _files_of(self, version: int) -> list | None:
@@ -287,6 +306,7 @@ class _ManifestTailReader(DataSourceStreamReader):
                 "an active stream.  The old checkpoint does not describe "
                 "the new table; restart the stream with a fresh "
                 "checkpointLocation to stream it from scratch.")
+        self._last_end = hi               # anchor the per-trigger cap
         return lo, hi
 
     _NAME = "padawan_tail"
@@ -379,6 +399,7 @@ class _ManifestCDFReader(_ManifestTailReader):
 
     def initialOffset(self):
         from .. import metadata as _meta
+        self._last_end = self.start_version
         return {"v": self.start_version,
                 "id": self._stamp(_meta.table_id(self.path))}
 

@@ -1754,3 +1754,48 @@ def test_bloom_index_rejects_index_columns(spark, tmp_path):
             index_columns=("k",)).write_parquet(t)
     with pytest.raises(ValueError, match="index column"):
         build_bloom_index(spark, t, "k")
+
+
+def test_tail_stream_max_versions_per_trigger(spark, tmp_path):
+    """r8: maxVersionsPerTrigger bounds every batch after the first —
+    a live 2-commit backlog drains as two batches, and without the
+    option the same backlog is one batch."""
+    import os
+    from padawan_spark.dataset import Dataset
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    n = spark.range(30).selectExpr("id as k")
+
+    def run(with_cap: bool):
+        base = str(tmp_path / f"rt_{with_cap}")
+        t = os.path.join(base, "t")
+
+        def commit(lo, hi):
+            Dataset(spark, n.where(f"k >= {lo} and k < {hi}"),
+                    index_columns=("k",)).reindex(("k",)) \
+                .write_parquet(t, append=os.path.isdir(t))
+
+        commit(0, 10)
+        counts = []
+        rd = (spark.readStream.format("padawan_tail")
+              .schema("k bigint").option("path", t))
+        if with_cap:
+            rd = rd.option("maxVersionsPerTrigger", "1")
+        q = (rd.load().writeStream
+             .foreachBatch(lambda df, i: counts.append(df.count()))
+             .option("checkpointLocation", os.path.join(base, "ck"))
+             .start())
+        try:
+            q.processAllAvailable()
+            commit(10, 20)
+            commit(20, 30)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [c for c in counts if c]
+
+    assert run(True) == [10, 10, 10]       # backlog split per version
+    # uncapped: still loss-free, but batch boundaries race the polling
+    # trigger (the backlog may land as one 20-row batch or two) — only
+    # the capped run has deterministic boundaries
+    assert sum(run(False)) == 30
