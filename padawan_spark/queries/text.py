@@ -871,3 +871,55 @@ def text_bpe_train(spark, sf_dir):
 
 
 text_bpe_train.__doc__ = text_bpe_train.__doc__.format(n=_BPE_ROUNDS)
+
+
+@query("text_unicode_nfc", oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769)
+                      WHEN doc_id % 3 = 1 THEN chr(65533)
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       t = nfc_normalize(t) AS is_nfc,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_len,
+       CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT)
+         AS n_replacement
+FROM aug
+""")
+def text_unicode_nfc(spark, sf_dir):
+    """Unicode hygiene for a crawled corpus (r8): NFC-normalization
+    check and replacement-character (U+FFFD, the decoder's "something
+    was already broken" marker) census.  A third of the docs get a
+    combining-acute suffix (non-NFC composed form), a third a U+FFFD —
+    the scan must flag exactly those.  Spark has no built-in Unicode
+    normalizer, so this is a real Arrow-batched python pass
+    (unicodedata.normalize per blob of text); the oracle mirrors it
+    with DuckDB's nfc_normalize.  At 100 TB this is the same
+    embarrassingly parallel mapInPandas shape as the codec passes —
+    normalization happens once, up front, so every downstream dedup
+    hash and tokenizer sees canonical bytes."""
+    import pandas as pd
+    d = load(spark, sf_dir, "documents", wide=True).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("e\u0301"))
+             .when(F.col("doc_id") % 3 == 1, F.lit("\ufffd"))
+             .otherwise(F.lit(""))).alias("t"))
+
+    def batches(it):
+        import unicodedata
+        for pdf in it:
+            nfc = pdf["t"].map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "is_nfc": pdf["t"] == nfc,
+                "nfc_len": nfc.str.len().astype("int64"),
+                "n_replacement": pdf["t"].str.count("\ufffd")
+                .astype("int64"),
+            })
+
+    return d.mapInPandas(batches, "doc_id bigint, is_nfc boolean, "
+                                  "nfc_len bigint, n_replacement bigint")
