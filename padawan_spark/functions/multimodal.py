@@ -2742,13 +2742,55 @@ def decode_wav_py(b: bytes):
         return rate, channels, 8, [alaw_to_lin16(x) for x in data]
     if audio_format == 7 and bits == 8:
         return rate, channels, 8, [ulaw_to_lin16(x) for x in data]
+    if audio_format == 1 and bits == 24:
+        # 3-byte LE signed -> int16 by arithmetic >>8 (the same
+        # convention soundfile's dtype="int16" applies to PCM_24)
+        n = len(data) // 3
+        out = []
+        for i in range(n):
+            v = int.from_bytes(data[3 * i:3 * i + 3], "little",
+                               signed=True)
+            out.append(v >> 8)            # arithmetic shift keeps sign
+        return rate, channels, 24, out
+    if audio_format == 3 and bits == 32:
+        # IEEE float32 -> int16 full-scale (x * 32768, the libsndfile
+        # convention), clipped; fixtures use exact 1/32768 multiples
+        import numpy as np
+        f = np.frombuffer(data[:4 * (len(data) // 4)], dtype="<f4")
+        v = np.clip(np.rint(f.astype(np.float64) * 32768.0),
+                    -32768, 32767).astype(np.int64)
+        return rate, channels, 32, [int(x) for x in v]
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"pure-Python WAV decode supports 16-bit PCM and 8-bit "
-            f"G.711 only (got format={audio_format}, bits={bits})")
+            f"pure-Python WAV decode supports 8-bit G.711, 16/24-bit "
+            f"PCM, and 32-bit float only (got format={audio_format}, "
+            f"bits={bits})")
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[:2 * n]))
     return rate, channels, bits, samples
+
+
+def encode_wav_deep_py(samples, sample_rate: int, channels: int = 1,
+                       bits: int = 24) -> bytes:
+    """Wrap 24-bit PCM ints (``bits=24``) or float samples
+    (``bits=32`` — IEEE-float WAV, format code 3) in a RIFF/WAVE
+    container; fixture twin of the deep-sample paths in
+    :func:`decode_wav_py`."""
+    import struct
+    if bits == 24:
+        code, data = 1, b"".join(
+            int(v).to_bytes(3, "little", signed=True) for v in samples)
+    elif bits == 32:
+        code, data = 3, struct.pack(f"<{len(samples)}f", *samples)
+    else:
+        raise ValueError("bits must be 24 or 32")
+    bpf = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", code, channels, sample_rate,
+                      sample_rate * bpf, bpf, bits)
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
 
 
 def encode_wav_g711_py(payload: bytes, sample_rate: int,
@@ -3175,3 +3217,186 @@ def sniff_media_py(b: bytes):
     if b"-->" in bytes(b[:256]):
         return "caption", "srt"
     return "unknown", "unknown"
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG, the PNG third of the animated-web-format family
+# next to GIF and WebP): acTL/fcTL/fdAT chunks per the public APNG
+# spec.  Each frame's fdAT payload is an independent zlib datastream in
+# the IHDR's pixel format, so frame decode REUSES the full PNG
+# unfilter machinery by synthesizing a standalone per-frame PNG;
+# compositing (x/y offsets, dispose none/background/previous, blend
+# source/over) runs on an RGBA canvas exactly as the spec orders.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def encode_apng_py(width: int, height: int, frames, plays: int = 0
+                   ) -> bytes:
+    """Build an APNG: ``frames`` is a list of ``(x, y, fw, fh,
+    rgba_bytes, dispose_op, blend_op, delay_ms)``; frame 0 must cover
+    the full canvas (spec rule for the IDAT-participating frame).
+    Fixture twin of :func:`decode_apng_frames_py`."""
+    import struct
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    out = bytearray(_PNG_MAGIC + _png_chunk(b"IHDR", ihdr))
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), plays))
+    seq = 0
+    for idx, (x, y, fw, fh, rgba, dispose, blend, delay) in \
+            enumerate(frames):
+        fctl = struct.pack(">IIIIIHHBB", seq, fw, fh, x, y,
+                           delay, 1000, dispose, blend)
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        rows = b"".join(b"\x00" + rgba[r * fw * 4:(r + 1) * fw * 4]
+                        for r in range(fh))
+        z = zlib.compress(rows)
+        if idx == 0:
+            out += _png_chunk(b"IDAT", z)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng_frames_py(b: bytes):
+    """Decode an APNG to its PRESENTED canvases: returns ``(width,
+    height, [rgba_bytes])`` — one full-canvas RGBA image per animation
+    frame after offsets, blending (``over`` per the spec's alpha
+    compositing, integer math), and disposal.  A plain PNG yields its
+    single image as RGBA."""
+    import struct
+    if b[:8] != _PNG_MAGIC:
+        raise NotImplementedError("not a PNG payload")
+    pos, w = 8, None
+    ihdr_raw = None
+    plte = None
+    actl = None
+    frames = []          # (fctl fields, [data chunks])
+    idat = bytearray()
+    idat_fctl = None
+    cur = None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr_raw = data
+            w, h = struct.unpack_from(">II", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"acTL":
+            actl = struct.unpack(">II", data)
+        elif typ == b"fcTL":
+            f = struct.unpack(">IIIIIHHBB", data)
+            cur = {"fctl": f, "data": bytearray()}
+            frames.append(cur)
+        elif typ == b"IDAT":
+            idat += data
+            if cur is not None and not frames[0]["data"] \
+                    and cur is frames[0]:
+                idat_fctl = cur
+        elif typ == b"fdAT":
+            if cur is None:
+                raise NotImplementedError("fdAT before any fcTL")
+            cur["data"] += data[4:]       # strip the sequence number
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if actl is None or not frames:
+        ww, hh, ch, px = decode_png_py(b)
+        rgba = bytearray()
+        for i in range(ww * hh):
+            p = px[i * ch:(i + 1) * ch]
+            if ch == 1:
+                rgba += bytes((p[0], p[0], p[0], 255))
+            elif ch == 2:
+                rgba += bytes((p[0], p[0], p[0], p[1]))
+            elif ch == 3:
+                rgba += bytes((p[0], p[1], p[2], 255))
+            else:
+                rgba += p
+        return ww, hh, [bytes(rgba)]
+    if idat_fctl is not None:
+        idat_fctl["data"] = idat          # IDAT is frame 0's datastream
+    canvas = bytearray(w * h * 4)         # transparent black
+    out = []
+    for fr in frames:
+        seqno, fw, fh, x, y, _dn, _dd, dispose, blend = fr["fctl"]
+        mini = (_PNG_MAGIC + _png_chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", fw, fh, ihdr_raw[8], ihdr_raw[9], 0, 0, 0))
+            + (_png_chunk(b"PLTE", plte) if plte else b"")
+            + _png_chunk(b"IDAT", bytes(fr["data"]))
+            + _png_chunk(b"IEND", b""))
+        pw, ph, ch, px = decode_png_py(mini)
+        saved = bytes(canvas) if dispose == 2 else None
+        for ry in range(ph):
+            for rx in range(pw):
+                o = ((y + ry) * w + (x + rx)) * 4
+                if ch == 4:
+                    s = px[(ry * pw + rx) * 4:(ry * pw + rx) * 4 + 4]
+                elif ch == 3:
+                    p3 = px[(ry * pw + rx) * 3:(ry * pw + rx) * 3 + 3]
+                    s = bytes((p3[0], p3[1], p3[2], 255))
+                else:
+                    g = px[(ry * pw + rx) * ch]
+                    a = px[(ry * pw + rx) * ch + 1] if ch == 2 else 255
+                    s = bytes((g, g, g, a))
+                if blend == 0 or s[3] == 255:
+                    canvas[o:o + 4] = s
+                elif s[3] == 0:
+                    pass
+                else:
+                    # spec "over" in integer math; with an opaque
+                    # destination this closes exactly over constants
+                    sa, da = s[3], canvas[o + 3]
+                    oa = sa * 255 + da * (255 - sa)      # alpha x255
+                    for c in range(3):
+                        num = (s[c] * sa * 255
+                               + canvas[o + c] * da * (255 - sa))
+                        canvas[o + c] = num // oa if oa else 0
+                    canvas[o + 3] = oa // 255
+        out.append(bytes(canvas))
+        if dispose == 1:
+            for ry in range(ph):
+                o = ((y + ry) * w + x) * 4
+                canvas[o:o + 4 * pw] = bytes(4 * pw)
+        elif dispose == 2:
+            canvas = bytearray(saved)
+    return w, h, out
+
+
+def sample_apng_frames(df: DataFrame, every_n: int = 1,
+                       payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Animated-PNG frame sampling (the APNG member of the
+    GIF/WebP/APNG trio): presented-canvas RGBA checksums
+    ``sum((i+1)*(r+2g+3b+4a))`` per kept frame — blending and disposal
+    are checksum-visible.  Arrow-batched mapInPandas, zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, frames = decode_apng_frames_py(bytes(b))
+                wts = np.arange(1, w * h + 1, dtype=np.int64)
+                for k in range(0, len(frames), every_n):
+                    px = (np.frombuffer(frames[k], dtype=np.uint8)
+                          .reshape(-1, 4).astype(np.int64))
+                    chk = int((wts * (px[:, 0] + 2 * px[:, 1]
+                                      + 3 * px[:, 2]
+                                      + 4 * px[:, 3])).sum())
+                    out.append((i, k, w, h, chk))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "frame_idx", "width", "height",
+                "pix_checksum"])
+
+    return df.mapInPandas(batches, GIF_FRAMES_SCHEMA)

@@ -1619,3 +1619,118 @@ def mm_media_triage(spark, sf_dir):
 
     return d.mapInPandas(
         batches, "doc_id bigint, media_type string, format string")
+
+
+@query("mm_real_wav_deep", oracle="""
+SELECT CAST(1 AS BIGINT) AS doc_id, 48000 AS sample_rate,
+       1 AS channels, 24 AS bit_depth, CAST(200 AS BIGINT) AS n_samples,
+       (SELECT CAST(SUM((i + 1) * (((i * 9973) % 65536) - 32768))
+               AS BIGINT) FROM range(0, 200) t(i)) AS sample_checksum
+UNION ALL
+SELECT CAST(2 AS BIGINT), 44100, 1, 32, CAST(300 AS BIGINT),
+       (SELECT CAST(SUM((i + 1) * ((((i * 37) % 128) - 64) * 256))
+               AS BIGINT) FROM range(0, 300) t(i))
+""")
+def mm_real_wav_deep(spark, sf_dir):
+    """Deep-sample WAV decode (r8): 24-bit PCM (3-byte LE, reduced to
+    int16 by arithmetic >>8 — the libsndfile dtype=int16 convention)
+    and IEEE-float WAV (format code 3, x32768 full-scale, fixtures on
+    exact 1/32768 multiples so the conversion closes in integers).
+    Studio masters and DAW exports ship these; the oracle recomputes
+    every converted sample from the fixture formulas.  Same
+    Arrow-batched decode_audio pass as the 16-bit/G.711/FLAC paths."""
+    from ..functions.multimodal import decode_audio, encode_wav_deep_py
+    v16 = [((i * 9973) % 65536) - 32768 for i in range(200)]
+    d1 = encode_wav_deep_py([v * 256 for v in v16], 48000, bits=24)
+    f = [(((i * 37) % 128) - 64) / 128.0 for i in range(300)]
+    d2 = encode_wav_deep_py(f, 44100, bits=32)
+    d = spark.createDataFrame([(1, bytearray(d1)), (2, bytearray(d2))],
+                              "doc_id bigint, payload binary")
+    return decode_audio(d)
+
+
+def _apng_oracle() -> str:
+    # doc 1: 10x6 — formula base frame; overwrite sub-rect with
+    # dispose-to-background; then an alpha-over 2x2 patch
+    w, h = 10, 6
+    x, y = "(i % 10)", "(i // 10)"
+    r = f"((3 * {x}) % 256)"
+    g = f"((5 * {y}) % 256)"
+    bb = f"(({x} + {y}) % 256)"
+    base = f"({r} + 2 * {g} + 3 * {bb} + 1020)"
+    c1 = 200 + 2 * 10 + 3 * 30 + 4 * 255
+    reg1 = f"({x} BETWEEN 3 AND 6 AND {y} BETWEEN 1 AND 3)"
+    reg2 = f"({x} < 2 AND {y} < 2)"
+    # integer 'over' with opaque dst: out_c = (100*s + 155*d) // 255
+    def ov(s, d):
+        return f"((100 * {s} + 155 * {d}) // 255)"
+    f2pix = (f"(CASE WHEN {reg2} THEN {ov(100, r)} + 2 * {ov(50, g)}"
+             f" + 3 * {ov(25, bb)} + 1020"
+             f" WHEN {reg1} THEN 0 ELSE {base} END)")
+    f0 = base
+    f1 = f"(CASE WHEN {reg1} THEN {c1} ELSE {base} END)"
+    parts = []
+    for k, val in enumerate((f0, f1, f2pix)):
+        parts.append(
+            f"SELECT CAST(1 AS BIGINT) AS doc_id, {k} AS frame_idx,"
+            f" {w} AS width, {h} AS height,"
+            f" (SELECT CAST(SUM((i + 1) * {val}) AS BIGINT)"
+            f"  FROM range(0, {w * h}) t(i)) AS pix_checksum")
+    # doc 2: dispose-to-PREVIOUS — frame 2's sub-rect must vanish from
+    # frame 3's canvas
+    ca = 40 + 2 * 80 + 3 * 120 + 4 * 255
+    cb = 7 + 2 * 14 + 3 * 21 + 4 * 255
+    cc = 90 + 2 * 60 + 3 * 30 + 4 * 255
+    x2, y2 = "(i % 8)", "(i // 8)"
+    rb = f"({x2} BETWEEN 1 AND 3 AND {y2} BETWEEN 1 AND 2)"
+    rc = f"({x2} BETWEEN 5 AND 6 AND {y2} BETWEEN 2 AND 3)"
+    for k, val in enumerate(
+            (str(ca),
+             f"(CASE WHEN {rb} THEN {cb} ELSE {ca} END)",
+             f"(CASE WHEN {rc} THEN {cc} ELSE {ca} END)")):
+        parts.append(
+            f"SELECT CAST(2 AS BIGINT), {k}, 8, 5,"
+            f" (SELECT CAST(SUM((i + 1) * ({val})) AS BIGINT)"
+            f"  FROM range(0, 40) t(i))")
+    return " UNION ALL ".join(parts)
+
+
+@query("mm_real_apng_frames", oracle=_apng_oracle())
+def mm_real_apng_frames(spark, sf_dir):
+    """Animated PNG (r8) — the PNG member of the GIF/WebP/APNG
+    animated-web trio: acTL/fcTL/fdAT chunk walk, per-frame zlib
+    datastreams decoded through the full PNG unfilter machinery, and
+    spec compositing — doc 1 exercises sub-frame offsets, overwrite
+    rendering, dispose-to-background, and integer alpha-over blending
+    (closed-form over the constants); doc 2 exercises
+    dispose-to-PREVIOUS (the presented sub-rect must vanish from the
+    next canvas).  Every presented canvas's position-weighted RGBA
+    checksum is recomputed by the oracle.  Arrow-batched mapInPandas,
+    zero shuffle."""
+    from ..functions.multimodal import (encode_apng_py,
+                                        sample_apng_frames)
+
+    def rect(fw, fh, fn):
+        return b"".join(bytes(fn(xx, yy))
+                        for yy in range(fh) for xx in range(fw))
+
+    f0 = rect(10, 6, lambda xx, yy: ((3 * xx) % 256, (5 * yy) % 256,
+                                     (xx + yy) % 256, 255))
+    doc1 = encode_apng_py(10, 6, [
+        (0, 0, 10, 6, f0, 0, 0, 40),
+        (3, 1, 4, 3, rect(4, 3, lambda xx, yy: (200, 10, 30, 255)),
+         1, 0, 40),
+        (0, 0, 2, 2, rect(2, 2, lambda xx, yy: (100, 50, 25, 100)),
+         0, 1, 40),
+    ])
+    a = rect(8, 5, lambda xx, yy: (40, 80, 120, 255))
+    doc2 = encode_apng_py(8, 5, [
+        (0, 0, 8, 5, a, 0, 0, 40),
+        (1, 1, 3, 2, rect(3, 2, lambda xx, yy: (7, 14, 21, 255)),
+         2, 0, 40),
+        (5, 2, 2, 2, rect(2, 2, lambda xx, yy: (90, 60, 30, 255)),
+         0, 0, 40),
+    ])
+    d = spark.createDataFrame([(1, bytearray(doc1)), (2, bytearray(doc2))],
+                              "doc_id bigint, payload binary")
+    return sample_apng_frames(d)

@@ -563,3 +563,58 @@ def test_subtitle_parse_srt_and_vtt():
     assert parse_subtitles_py(vtt) == [(0, 5250, 7100, "hi")]
     with pytest.raises(NotImplementedError):
         parse_subtitles_py(b"just some prose, no cues")
+
+
+def test_apng_compositing_and_dispose_previous():
+    from padawan_spark.functions.multimodal import (decode_apng_frames_py,
+                                                    encode_apng_py,
+                                                    encode_png_py)
+
+    def rect(fw, fh, px):
+        return bytes(px) * (fw * fh)
+
+    w, h = 6, 4
+    a = rect(w, h, (10, 20, 30, 255))
+    apng = encode_apng_py(w, h, [
+        (0, 0, w, h, a, 0, 0, 40),
+        (1, 1, 2, 2, rect(2, 2, (200, 0, 0, 255)), 2, 0, 40),  # dispose prev
+        (3, 0, 2, 1, rect(2, 1, (0, 200, 0, 255)), 0, 0, 40),
+    ])
+    W, H, frames = decode_apng_frames_py(apng)
+    assert (W, H, len(frames)) == (w, h, 3)
+    assert frames[0] == a
+    # frame 2: the red patch from frame 1 must have been disposed
+    f2 = frames[2]
+    assert f2[(1 * w + 1) * 4:(1 * w + 1) * 4 + 4] == bytes(
+        (10, 20, 30, 255))
+    assert f2[(0 * w + 3) * 4:(0 * w + 3) * 4 + 4] == bytes(
+        (0, 200, 0, 255))
+    # alpha-over blending: semi-transparent over opaque, integer math
+    apng2 = encode_apng_py(2, 1, [
+        (0, 0, 2, 1, rect(2, 1, (100, 100, 100, 255)), 0, 0, 40),
+        (0, 0, 1, 1, rect(1, 1, (200, 0, 0, 128)), 0, 1, 40),
+    ])
+    _, _, fr2 = decode_apng_frames_py(apng2)
+    got = fr2[1][:4]
+    oa = 128 * 255 + 255 * 127
+    want = tuple((s * 128 * 255 + d * 255 * 127) // oa
+                 for s, d in ((200, 100), (0, 100), (0, 100))) + (255,)
+    assert got == bytes(want)
+    # a plain PNG presents as its single RGBA frame
+    p = encode_png_py(3, 2, bytes(range(18)))
+    pw, ph, pf = decode_apng_frames_py(p)
+    assert (pw, ph, len(pf)) == (3, 2, 1)
+
+
+def test_wav_deep_sample_formats_roundtrip():
+    from padawan_spark.functions.multimodal import (decode_wav_py,
+                                                    encode_wav_deep_py)
+    v16 = [((i * 7919) % 65536) - 32768 for i in range(128)]
+    r, ch, bits, s = decode_wav_py(
+        encode_wav_deep_py([v * 256 for v in v16], 32000, bits=24))
+    assert (r, bits) == (32000, 24) and s == v16
+    f = [(((i * 53) % 256) - 128) / 256.0 for i in range(99)]
+    r, ch, bits, s = decode_wav_py(
+        encode_wav_deep_py(f, 16000, bits=32))
+    assert (r, bits) == (16000, 32)
+    assert s == [int(x * 32768) for x in f]
