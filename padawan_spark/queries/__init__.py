@@ -44,9 +44,14 @@ for _m in _SUITES:
 # green: read_changes hardening (append fast path, plan-depth bounding,
 # null-safe update classification, schema/vacuum guards → op_read_changes),
 # merge_rows' key-membership probe folded into one broadcast-join job
-# (op_merge_upsert), and the WebP decode surface (lossy VP8 key-frame
-# path added next to the r7 VP8L stacked-palette work → mm_real_webp_decode)
-_SENTINELS = ["op_read_changes", "op_merge_upsert", "mm_real_webp_decode"]
+# (op_merge_upsert), the WebP decode surface (lossy VP8 key-frame path
+# next to the r7 VP8L work → mm_real_webp_decode), and the manifest
+# stream readers (maxVersionsPerTrigger backpressure touched the shared
+# latestOffset/_guard_span under BOTH existing stream queries →
+# streaming_manifest_tail, streaming_cdf_tail).  The ~17 never-checked
+# r8 queries sort ahead of the rotation automatically (round 0).
+_SENTINELS = ["op_read_changes", "op_merge_upsert", "mm_real_webp_decode",
+              "streaming_manifest_tail", "streaming_cdf_tail"]
 
 _WINDOW = 50
 
