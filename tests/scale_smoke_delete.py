@@ -199,6 +199,28 @@ def main() -> None:
            mv_ds.df.where("cnt > 0").collect()}
     assert got == truth, (len(got), len(truth))
 
+    # --- bloom point-lookup chain (r8): build the per-file bloom of a
+    # NON-index column over the ~513-file table, then a point lookup
+    # must read only bloom-admitted files while a plain scan reads all.
+    from padawan_spark import build_bloom_index, scan_point_lookup
+    t0 = time.perf_counter()
+    build_bloom_index(spark, target, "o_custkey")
+    bloom_build_s = round(time.perf_counter() - t0, 3)
+    probe_key = 371
+    t0 = time.perf_counter()
+    hit = scan_point_lookup(spark, target, "o_custkey", probe_key)
+    n_hit = hit.count()
+    bloom_lookup_s = round(time.perf_counter() - t0, 3)
+    bloom_files_read = len(hit.inputFiles())
+    n_table_files = len(meta.load_manifest(target).files)
+    t0 = time.perf_counter()
+    n_full = (scan_parquet(spark, target).df
+              .where(SF.col("o_custkey") == probe_key).count())
+    full_lookup_s = round(time.perf_counter() - t0, 3)
+    assert n_hit == n_full, (n_hit, n_full)     # no false negatives
+    assert bloom_files_read < n_table_files, (
+        bloom_files_read, n_table_files)
+
     print(json.dumps({
         "smoke": "delete_one_day_window",
         "sf_dir": SMOKE_DIR,
@@ -225,6 +247,12 @@ def main() -> None:
         "cdf_s": cdf_s,
         "mv_full_refresh_s": mv_full_s,
         "mv_incremental_refresh_s": mv_incr_s,
+        "bloom_build_s": bloom_build_s,
+        "bloom_files_read": bloom_files_read,
+        "bloom_table_files": n_table_files,
+        "bloom_lookup_s": bloom_lookup_s,
+        "bloom_lookup_rows": n_hit,
+        "full_scan_lookup_s": full_lookup_s,
     }))
 
 

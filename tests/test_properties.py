@@ -1234,3 +1234,76 @@ def test_sniff_media_total_on_arbitrary_bytes(b):
     mt, fmt = sniff_media_py(b)
     assert mt in {"image", "audio", "video", "caption", "unknown"}
     assert isinstance(fmt, str)
+
+
+@given(st.lists(st.binary(min_size=1, max_size=400), min_size=1,
+                max_size=10),
+       st.integers(min_value=4, max_value=64),
+       st.integers(min_value=4, max_value=64))
+@settings(max_examples=60, deadline=None)
+def test_video_container_roundtrip_property(frames, w, h):
+    """r8: arbitrary frame payloads of arbitrary sizes survive both
+    container round trips byte-identically, and the header-only AVI
+    metadata agrees without touching movi."""
+    from padawan_spark.functions.video import (decode_avi_py,
+                                               encode_avi_mjpeg_py,
+                                               encode_mp4_mjpeg_py,
+                                               extract_mp4_frames_py,
+                                               parse_avi_meta_py)
+    avi = encode_avi_mjpeg_py(w, h, frames, fps=25)
+    aw, ah, _r, _s, codec, out = decode_avi_py(avi)
+    assert (aw, ah, codec) == (w, h, "MJPG") and out == frames
+    assert parse_avi_meta_py(avi)[5] == len(frames)
+    mp4 = encode_mp4_mjpeg_py(w, h, frames, fps=25)
+    mw, mh, mc, mout = extract_mp4_frames_py(mp4)
+    assert (mw, mh) == (w, h) and mout == frames
+
+
+@given(st.integers(min_value=1, max_value=40),
+       st.sampled_from([32, 48, 64, 96, 128, 160, 192, 256, 320]),
+       st.sampled_from([44100, 48000, 32000, 22050, 16000]),
+       st.sampled_from([1, 2]),
+       st.sampled_from([1, 2, 3]))
+@settings(max_examples=80, deadline=None)
+def test_mp3_frame_walk_roundtrip_property(n, kbps, rate, ch, layer):
+    """r8: every (bitrate, rate, channels, layer) combination the
+    encoder can emit walks back to the exact frame count, duration,
+    and nominal bitrate."""
+    from padawan_spark.functions.mp3 import (_BITRATES,
+                                             encode_mp3_frames_py,
+                                             scan_mp3_py)
+    mpeg1 = rate in (44100, 48000, 32000)
+    if kbps not in _BITRATES[(1 if mpeg1 else 0, layer)]:
+        return                             # row lacks this rate
+    b = encode_mp3_frames_py(n, bitrate=kbps, sample_rate=rate,
+                             channels=ch, layer=layer)
+    ver, lay, r, c, nf, dur, avg, vbr, id3 = scan_mp3_py(b)
+    assert (lay, r, c, nf, avg, vbr, id3) == (layer, rate, ch, n,
+                                              kbps, False, False)
+    spf = 384 if layer == 1 else (1152 if mpeg1 or layer == 2 else 576)
+    assert dur == n * spf * 1000 // rate
+
+
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3_600_000),
+              st.integers(min_value=0, max_value=500_000),
+              st.text(alphabet=st.characters(
+                  blacklist_categories=("Cs", "Cc")),
+                  min_size=1, max_size=40)),
+    min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_subtitle_roundtrip_property(raw):
+    """r8: arbitrary cue timings and (newline-free) unicode text
+    round-trip through both caption formats."""
+    from padawan_spark.functions.video import (encode_srt_py,
+                                               encode_vtt_py,
+                                               parse_subtitles_py)
+    cues = [(a, a + d, t.replace("\n", " ").strip() or "x")
+            for a, d, t in raw]
+    cues = [(a, z, t) for a, z, t in cues
+            if "-->" not in t]             # a cue text that IS a timing
+    if not cues:
+        return
+    for enc in (encode_srt_py, encode_vtt_py):
+        got = parse_subtitles_py(enc(cues))
+        assert got == [(k, a, z, t) for k, (a, z, t) in enumerate(cues)]
