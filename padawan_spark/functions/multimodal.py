@@ -1781,12 +1781,158 @@ def insert_app1(jpeg: bytes, app1_payload: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF LZW (spec section 13): MSB-first variable-width codes,
+    Clear=256/EOI=257, and the standard "early change" — the code
+    width bumps one entry BEFORE the table fills (at 510/1022/2046).
+    This differs from GIF LZW in both bit packing and the early
+    change, so it is a separate decoder."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out[:expected])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise NotImplementedError("corrupt TIFF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1                # early change
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Inverse of :func:`_lzw_decode_tiff` (fixtures/round trips)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emitted = 0                           # data codes since last Clear
+
+    def emit_data(code):
+        # width tracks the DECODER's table, which runs one entry
+        # behind the encoder: after its k-th data code it holds
+        # 258+(k-1) entries, and bumps when that hits (1<<width)-1
+        nonlocal emitted, width
+        emit(code, width)
+        emitted += 1
+        if 258 + emitted - 1 == (1 << width) - 1 and width < 12:
+            width += 1                    # early change
+    emit(256, width)
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit_data(table[run])
+        table[cand] = nxt
+        nxt += 1
+        if nxt == 4094:                   # table nearly full: clear
+            emit(256, width)              # Clear adds no decoder entry
+            emitted = 0
+            width = 9
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+        run = bytes([byte])
+    if run:
+        emit_data(table[run])
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (compression 32773): the classic Apple RLE."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Inverse of :func:`_packbits_decode`: greedy literal/run split."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            nr = 1
+            while i + nr < n and nr < 3 and data[i + nr] == data[i]:
+                nr += 1
+            if nr >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
 def decode_tiff_py(b: bytes):
-    """Decode an uncompressed baseline TIFF (8-bit grey or RGB).
+    """Decode a baseline TIFF (8-bit grey or RGB): uncompressed, LZW
+    (compression 5, with the spec's early-change code widths and
+    optional horizontal-differencing predictor 2), or PackBits
+    (32773) — the three layouts scanned-document corpora actually
+    ship.
 
     Returns ``(width, height, channels, pixels)`` with row-major
-    top-down bytes, strips concatenated in order.  Compressed or
-    deep-sample TIFFs raise ``NotImplementedError`` honestly."""
+    top-down bytes, strips concatenated in order.  Other compressions
+    or deep samples raise ``NotImplementedError`` honestly."""
     import struct
     if b[:2] not in (b"II", b"MM"):
         raise NotImplementedError(
@@ -1819,12 +1965,35 @@ def decode_tiff_py(b: bytes):
     comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8] * spp)
-    if comp != 1 or spp not in (1, 3) or any(v != 8 for v in bits):
+    predictor = tags.get(317, [1])[0]
+    if comp not in (1, 5, 32773) or spp not in (1, 3) \
+            or any(v != 8 for v in bits) or predictor not in (1, 2):
         raise NotImplementedError(
-            f"pure-Python TIFF decode supports uncompressed 8-bit "
-            f"grey/RGB only (compression={comp}, samples={spp}, "
-            f"bits={bits})")
-    px = b"".join(b[o:o + c] for o, c in zip(offsets, counts))
+            f"pure-Python TIFF decode supports 8-bit grey/RGB, "
+            f"uncompressed/LZW/PackBits, predictor 1/2 only "
+            f"(compression={comp}, samples={spp}, bits={bits}, "
+            f"predictor={predictor})")
+    rps = tags.get(278, [h])[0]
+    row_bytes = w * spp
+    chunks = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        nrows = min(rps, h - si * rps)
+        expected = nrows * row_bytes
+        raw = b[o:o + c]
+        if comp == 5:
+            raw = _lzw_decode_tiff(raw, expected)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, expected)
+        if predictor == 2:
+            buf = bytearray(raw)
+            for r in range(nrows):
+                base = r * row_bytes
+                for i in range(spp, row_bytes):
+                    buf[base + i] = (buf[base + i]
+                                     + buf[base + i - spp]) & 0xFF
+            raw = bytes(buf)
+        chunks.append(raw)
+    px = b"".join(chunks)
     if len(px) < w * h * spp:
         raise NotImplementedError("TIFF strip data truncated")
     return w, h, spp, px[:w * h * spp]
@@ -1832,66 +2001,87 @@ def decode_tiff_py(b: bytes):
 
 def encode_tiff_py(width: int, height: int, pixels: bytes,
                    channels: int = 3, byte_order: str = "II",
-                   rows_per_strip: int | None = None) -> bytes:
-    """Encode 8-bit grey/RGB as an uncompressed baseline TIFF (the
-    inverse of :func:`decode_tiff_py`), optionally split into strips
-    of ``rows_per_strip`` rows to exercise multi-strip reassembly."""
+                   rows_per_strip: int | None = None,
+                   compression: int = 1, predictor: int = 1) -> bytes:
+    """Encode 8-bit grey/RGB as a baseline TIFF (the inverse of
+    :func:`decode_tiff_py`): uncompressed (1), LZW (5, optionally with
+    horizontal-differencing ``predictor=2``), or PackBits (32773);
+    ``rows_per_strip`` splits into strips to exercise multi-strip
+    reassembly."""
     import struct
     e = "<" if byte_order == "II" else ">"
     rps = rows_per_strip or height
-    strips = [pixels[y * width * channels:
-                     min(y + rps, height) * width * channels]
-              for y in range(0, height, rps)]
+    row_bytes = width * channels
+    strips = []
+    for y in range(0, height, rps):
+        raw = pixels[y * row_bytes:min(y + rps, height) * row_bytes]
+        if predictor == 2:
+            buf = bytearray(raw)
+            nrows = len(raw) // row_bytes
+            for r in range(nrows):
+                base = r * row_bytes
+                for i in range(row_bytes - 1, channels - 1, -1):
+                    buf[base + i] = (buf[base + i]
+                                     - buf[base + i - channels]) & 0xFF
+            raw = bytes(buf)
+        if compression == 5:
+            raw = _lzw_encode_tiff(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
     nst = len(strips)
-    # layout: header(8) IFD entries + arrays + strip data
-    ntags = 8
+    tags = [
+        (256, 4, [width]), (257, 4, [height]),
+        (258, 3, [8] * channels), (259, 3, [compression]),
+        (262, 3, [2 if channels == 3 else 1]),
+        (273, 4, None),                   # strip offsets, patched below
+        (277, 3, [channels]), (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if predictor != 1:
+        tags.append((317, 3, [predictor]))
+    tags.sort()
+    ntags = len(tags)
     ifd_off = 8
     after_ifd = ifd_off + 2 + ntags * 12 + 4
-
-    def arr_needed(cnt, size):
-        return cnt * size if cnt * size > 4 else 0
-
-    bits_off = after_ifd
-    bits_sz = arr_needed(channels, 2)
-    offs_off = bits_off + bits_sz
-    offs_sz = arr_needed(nst, 4)
-    cnts_off = offs_off + offs_sz
-    cnts_sz = arr_needed(nst, 4)
-    data_off = cnts_off + cnts_sz
-    strip_offs = []
-    o = data_off
+    # lay out overflow arrays, then strip data
+    sizes = {3: 2, 4: 4}
+    arr_off = after_ifd
+    arr_pos = {}
+    for tag, typ, vals in tags:
+        cnt = nst if vals is None else len(vals)
+        total = cnt * sizes[typ]
+        if total > 4:
+            arr_pos[tag] = arr_off
+            arr_off += total
+    data_off = arr_off
+    strip_offs, o = [], data_off
     for s in strips:
         strip_offs.append(o)
         o += len(s)
 
-    def entry(tag, typ, cnt, vals, off_if_big):
-        size = {3: 2, 4: 4}[typ]
+    def entry(tag, typ, vals):
+        vals = strip_offs if vals is None else vals
+        cnt = len(vals)
         ent = struct.pack(e + "HHI", tag, typ, cnt)
-        if cnt * size <= 4:
+        if cnt * sizes[typ] <= 4:
             raw = b"".join(struct.pack(e + ("H" if typ == 3 else "I"), v)
                            for v in vals)
             return ent + raw + b"\x00" * (4 - len(raw))
-        return ent + struct.pack(e + "I", off_if_big)
+        return ent + struct.pack(e + "I", arr_pos[tag])
 
     ifd = struct.pack(e + "H", ntags)
-    ifd += entry(256, 4, 1, [width], 0)
-    ifd += entry(257, 4, 1, [height], 0)
-    ifd += entry(258, 3, channels, [8] * channels, bits_off)
-    ifd += entry(259, 3, 1, [1], 0)                  # uncompressed
-    ifd += entry(262, 3, 1, [2 if channels == 3 else 1], 0)
-    ifd += entry(273, 4, nst, strip_offs, offs_off)
-    ifd += entry(277, 3, 1, [channels], 0)
-    ifd += entry(279, 4, nst, [len(s) for s in strips], cnts_off)
+    for tag, typ, vals in tags:
+        ifd += entry(tag, typ, vals)
     ifd += struct.pack(e + "I", 0)
-    out = (byte_order.encode() + struct.pack(e + "H", 42)
-           + struct.pack(e + "I", ifd_off) + ifd)
-    if bits_sz:
-        out += b"".join(struct.pack(e + "H", 8) for _ in range(channels))
-    if offs_sz:
-        out += b"".join(struct.pack(e + "I", v) for v in strip_offs)
-    if cnts_sz:
-        out += b"".join(struct.pack(e + "I", len(s)) for s in strips)
-    return out + b"".join(strips)
+    out = bytearray(byte_order.encode() + struct.pack(e + "H", 42)
+                    + struct.pack(e + "I", ifd_off) + ifd)
+    for tag, typ, vals in tags:
+        vals = strip_offs if vals is None else vals
+        if len(vals) * sizes[typ] > 4:
+            out += b"".join(struct.pack(
+                e + ("H" if typ == 3 else "I"), v) for v in vals)
+    return bytes(out) + b"".join(strips)
 
 
 EXIF_SCHEMA = ("doc_id bigint, orientation int, exif_width int, "

@@ -51,7 +51,8 @@ for _m in _SUITES:
 # streaming_manifest_tail, streaming_cdf_tail).  The ~17 never-checked
 # r8 queries sort ahead of the rotation automatically (round 0).
 _SENTINELS = ["op_read_changes", "op_merge_upsert", "mm_real_webp_decode",
-              "streaming_manifest_tail", "streaming_cdf_tail"]
+              "streaming_manifest_tail", "streaming_cdf_tail",
+              "mm_real_tiff_decode"]  # r8: LZW/PackBits decode added
 
 _WINDOW = 50
 

@@ -639,15 +639,21 @@ def mm_real_webp_decode(spark, sf_dir):
     return decode_image_pixels(d)
 
 
-#             doc_id width height mode   byte-order rows/strip
-_TIFF_SPECS = [(1,   14,   9,    "grey", "MM",      2),
-               (2,   10,   12,   "rgb",  "II",      5),
-               (3,   8,    8,    "rgb",  "II",      None)]  # single strip
+#             doc_id width height mode   byte-order rows/strip comp pred
+_TIFF_SPECS = [(1,   14,   9,    "grey", "MM",      2,    1,     1),
+               (2,   10,   12,   "rgb",  "II",      5,    1,     1),
+               (3,   8,    8,    "rgb",  "II",      None, 1,     1),
+               # r8: the compressed layouts scanned corpora ship —
+               # LZW (early-change code widths), LZW with horizontal-
+               # differencing predictor 2, and PackBits RLE
+               (4,   21,   11,   "rgb",  "II",      4,    5,     1),
+               (5,   16,   13,   "rgb",  "MM",      6,    5,     2),
+               (6,   12,   10,   "grey", "II",      3,    32773, 1)]
 
 
 def _tiff_oracle() -> str:
     parts = []
-    for doc_id, w, h, mode, _bo, _rps in _TIFF_SPECS:
+    for doc_id, w, h, mode, _bo, _rps, _c, _p in _TIFF_SPECS:
         x, y = f"(i % {w})", f"(i // {w})"
         if mode == "grey":
             val = f"6 * ((13 * {x} + {y} * {y}) % 256)"
@@ -668,16 +674,20 @@ def mm_real_tiff_decode(spark, sf_dir):
     """REAL decoding of baseline TIFF — the scanned-document and
     scientific-imaging container: three fixtures (big-endian
     multi-strip greyscale, little-endian multi-strip RGB, single-strip
-    RGB) flow through :func:`decode_image_pixels` — PIL when
-    installed, else the dependency-free IFD walker
+    RGB — and, r8, LZW with the spec's early-change code widths, LZW
+    with horizontal-differencing predictor 2, and PackBits RLE, the
+    compressed layouts scanned corpora actually ship) flow through
+    :func:`decode_image_pixels` — PIL when installed, else the
+    dependency-free IFD walker
     (:func:`padawan_spark.functions.multimodal.decode_tiff_py`).  The
     oracle recomputes the position-weighted checksum from the pixel
     formulas, so agreement proves the IFD tag walk, both byte orders,
-    strip reassembly, and greyscale replication all ran correctly.
+    strip reassembly, per-strip decompression, predictor undo, and
+    greyscale replication all ran correctly.
     Scale shape: Arrow-batched mapInPandas, no shuffle."""
     from ..functions.multimodal import encode_tiff_py
     rows = []
-    for doc_id, w, h, mode, bo, rps in _TIFF_SPECS:
+    for doc_id, w, h, mode, bo, rps, comp, pred in _TIFF_SPECS:
         if mode == "grey":
             px = bytes((13 * x + y * y) % 256
                        for y in range(h) for x in range(w))
@@ -688,7 +698,8 @@ def mm_real_tiff_decode(spark, sf_dir):
                                  (7 * x + 3 * y) % 256, (x * y) % 256))
             ch = 3
         payload = encode_tiff_py(w, h, px, channels=ch, byte_order=bo,
-                                 rows_per_strip=rps)
+                                 rows_per_strip=rps, compression=comp,
+                                 predictor=pred)
         rows.append((doc_id, bytearray(payload)))
     d = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     return decode_image_pixels(d)

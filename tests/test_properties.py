@@ -1307,3 +1307,16 @@ def test_subtitle_roundtrip_property(raw):
     for enc in (encode_srt_py, encode_vtt_py):
         got = parse_subtitles_py(enc(cues))
         assert got == [(k, a, z, t) for k, (a, z, t) in enumerate(cues)]
+
+
+@given(st.binary(min_size=0, max_size=3000))
+@settings(max_examples=120, deadline=None)
+def test_tiff_lzw_and_packbits_roundtrip_property(data):
+    """r8: TIFF LZW (early-change widths, clears) and PackBits
+    round-trip arbitrary bytes exactly."""
+    from padawan_spark.functions.multimodal import (_lzw_decode_tiff,
+                                                    _lzw_encode_tiff,
+                                                    _packbits_decode,
+                                                    _packbits_encode)
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
