@@ -1966,11 +1966,11 @@ def decode_tiff_py(b: bytes):
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8] * spp)
     predictor = tags.get(317, [1])[0]
-    if comp not in (1, 5, 32773) or spp not in (1, 3) \
+    if comp not in (1, 5, 8, 32773) or spp not in (1, 3) \
             or any(v != 8 for v in bits) or predictor not in (1, 2):
         raise NotImplementedError(
             f"pure-Python TIFF decode supports 8-bit grey/RGB, "
-            f"uncompressed/LZW/PackBits, predictor 1/2 only "
+            f"uncompressed/LZW/Deflate/PackBits, predictor 1/2 only "
             f"(compression={comp}, samples={spp}, bits={bits}, "
             f"predictor={predictor})")
     rps = tags.get(278, [h])[0]
@@ -1982,6 +1982,9 @@ def decode_tiff_py(b: bytes):
         raw = b[o:o + c]
         if comp == 5:
             raw = _lzw_decode_tiff(raw, expected)
+        elif comp == 8:                   # Adobe Deflate
+            import zlib
+            raw = zlib.decompress(raw)[:expected]
         elif comp == 32773:
             raw = _packbits_decode(raw, expected)
         if predictor == 2:
@@ -2026,6 +2029,9 @@ def encode_tiff_py(width: int, height: int, pixels: bytes,
             raw = bytes(buf)
         if compression == 5:
             raw = _lzw_encode_tiff(raw)
+        elif compression == 8:
+            import zlib
+            raw = zlib.compress(raw)
         elif compression == 32773:
             raw = _packbits_encode(raw)
         strips.append(raw)

@@ -648,7 +648,8 @@ _TIFF_SPECS = [(1,   14,   9,    "grey", "MM",      2,    1,     1),
                # differencing predictor 2, and PackBits RLE
                (4,   21,   11,   "rgb",  "II",      4,    5,     1),
                (5,   16,   13,   "rgb",  "MM",      6,    5,     2),
-               (6,   12,   10,   "grey", "II",      3,    32773, 1)]
+               (6,   12,   10,   "grey", "II",      3,    32773, 1),
+               (7,   15,   9,    "rgb",  "II",      4,    8,     2)]
 
 
 def _tiff_oracle() -> str:
