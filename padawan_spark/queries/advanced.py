@@ -746,3 +746,56 @@ def adv_constraint_audit(spark, sf_dir):
             ("orders_custkey_not_null", int(nulls or 0)),
             ("lineitem_qty_positive", int(scans["qty"] or 0))]
     return spark.createDataFrame(rows, "check_name string, violations bigint")
+
+
+@query("src_avro_roundtrip", oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_null_status,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DOUBLE)) AS DOUBLE), 2) AS price_sum
+FROM orders WHERE o_orderkey % 10 = 0
+""")
+def src_avro_roundtrip(spark, sf_dir):
+    """Avro Object Container source (r8): Spark ships Avro only as an
+    external package, so the engine reads it through the
+    dependency-free spec decoder (`functions/avro.py` — zigzag
+    varints, block/sync framing, null+deflate codecs, [null,T]
+    unions) plugged into the Python Data Source API as
+    ``padawan_avro``.  A deterministic orders slice is written to
+    THREE container files (alternating codecs, nullable status column
+    nulled for every 7th key), read back schema-first (the writer
+    schema embedded in the file header becomes the Catalyst schema,
+    one task per file), and aggregated; the oracle recomputes the
+    aggregate straight from the source table — count, key sum, null
+    census, and price sum all survive the round trip."""
+    import os
+    import tempfile
+
+    from ..functions.avro import encode_avro_py
+    from ..sources import register_python_sources
+    register_python_sources(spark)
+    rows = (load(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 10 == 0)
+            .select("o_orderkey", "o_orderstatus",
+                    F.col("o_totalprice").cast("double"))
+            .collect())
+    fields = [("o_orderkey", "long", False),
+              ("o_orderstatus", "string", True),
+              ("o_totalprice", "double", False)]
+    recs = [(r[0], None if r[0] % 7 == 0 else r[1], r[2]) for r in rows]
+    d = tempfile.mkdtemp(prefix="padawan_avro_")
+    third = (len(recs) + 2) // 3
+    for fi in range(3):
+        chunk = recs[fi * third:(fi + 1) * third]
+        with open(os.path.join(d, f"part-{fi}.avro"), "wb") as fh:
+            fh.write(encode_avro_py(
+                fields, chunk,
+                codec="deflate" if fi % 2 else "null",
+                block_rows=512))
+    df = spark.read.format("padawan_avro").option("path", d).load()
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.count(F.when(F.col("o_orderstatus").isNull(), 1))
+        .cast("bigint").alias("n_null_status"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"))

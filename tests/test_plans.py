@@ -786,22 +786,26 @@ def test_incremental_mv_fold_never_shuffles_the_mv(spark, tmp_path):
     refresh_aggregate(spark, src, mv, keys=("g",), sum_cols=("k",))
     delete_rows(spark, src, (10,), (30,), inclusive="both")
     changes = read_changes(spark, src, 1)
-    # intercept the merge the REAL fold issues and pin ITS plan
+    # the fold localCheckpoints its result before merging (so the
+    # emptiness probe and the merge share one materialization), which
+    # erases the join plan downstream — intercept the checkpoint call
+    # itself and pin the plan of the frame being materialized
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
     import padawan_spark.dataset as dsmod
     captured = {}
-    real_merge = dsmod.merge_rows
+    real_ckpt = _DF.localCheckpoint
 
-    def spy(sp, path, batch):
+    def spy(self, eager=True):
         captured["plan"] = \
-            batch.df._jdf.queryExecution().executedPlan().toString()
-        return real_merge(sp, path, batch)
+            self._jdf.queryExecution().executedPlan().toString()
+        return real_ckpt(self, eager=eager)
 
-    dsmod.merge_rows = spy
+    _DF.localCheckpoint = spy
     try:
         dsmod.fold_changes_into_aggregate(spark, mv, changes,
                                           keys=("g",), sum_cols=("k",))
     finally:
-        dsmod.merge_rows = real_merge
+        _DF.localCheckpoint = real_ckpt
     plan = captured["plan"]
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan

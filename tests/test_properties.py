@@ -1320,3 +1320,27 @@ def test_tiff_lzw_and_packbits_roundtrip_property(data):
                                                     _packbits_encode)
     assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
     assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+@given(st.lists(st.tuples(
+    st.integers(min_value=-2**62, max_value=2**62),
+    st.one_of(st.none(), st.text(max_size=30)),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+    st.one_of(st.none(), st.binary(max_size=20))),
+    min_size=0, max_size=200),
+    st.sampled_from(["null", "deflate"]))
+@settings(max_examples=60, deadline=None)
+def test_avro_container_roundtrip_property(rows, codec):
+    """r8: arbitrary typed rows (incl. nulls in both nullable
+    columns, empty files, multi-block files) round-trip the Avro
+    container exactly."""
+    from padawan_spark.functions.avro import (decode_avro_py,
+                                              encode_avro_py)
+    fields = [("k", "long", False), ("name", "string", True),
+              ("x", "double", False), ("ok", "boolean", False),
+              ("blob", "bytes", True)]
+    blob = encode_avro_py(fields, rows, codec=codec, block_rows=37)
+    f2, r2 = decode_avro_py(blob)
+    assert f2 == fields
+    assert r2 == [tuple(r) for r in rows]
