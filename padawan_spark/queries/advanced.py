@@ -799,3 +799,55 @@ def src_avro_roundtrip(spark, sf_dir):
         F.count(F.when(F.col("o_orderstatus").isNull(), 1))
         .cast("bigint").alias("n_null_status"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"))
+
+
+@query("src_delta_read", oracle="""
+SELECT 0 AS version, COUNT(*) FILTER (WHERE n_nationkey < 15) AS n,
+       CAST(SUM(n_nationkey) FILTER (WHERE n_nationkey < 15) AS BIGINT)
+         AS key_sum
+FROM nation
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT) FROM nation
+UNION ALL
+SELECT 2, COUNT(*) FILTER (WHERE n_regionkey <> 0),
+       CAST(SUM(n_nationkey) FILTER (WHERE n_regionkey <> 0) AS BIGINT)
+FROM nation
+""")
+def src_delta_read(spark, sf_dir):
+    """Delta Lake interop (r8): scan a PARTITIONED Delta table through
+    the dependency-free transaction-log reader
+    (`functions/delta.py:read_delta`) — no delta-spark jar.  A
+    spec-layout log is built by the fixture writer (three commits:
+    create partitioned by region, append, remove one partition's
+    files), then every version is read via log replay + time travel:
+    add/remove resolution, partition-value columns re-attached from
+    the add actions (Delta does not store them in the data files —
+    the key sum catches a mis-attached partition), and the embedded
+    schemaString becoming the Catalyst schema.  The oracle restates
+    each version's aggregate from the source table.  Scale shape: log
+    replay is O(actions) driver work; the scan is one parquet job per
+    distinct partition tuple, unioned."""
+    import os
+    import tempfile
+
+    from ..functions.delta import (read_delta,
+                                   remove_delta_files_fixture,
+                                   write_delta_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        F.col("n_name").alias("name"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_delta_"), "tbl")
+    write_delta_fixture(spark, n.where(F.col("k") < 15), t,
+                        partition_by=("g",))
+    write_delta_fixture(spark, n.where(F.col("k") >= 15), t,
+                        partition_by=("g",), mode="append")
+    remove_delta_files_fixture(t, lambda rel: rel.startswith("g=0/"))
+    out = []
+    for v in (0, 1, 2):
+        agg = read_delta(spark, t, version=v).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("s")).collect()[0]
+        out.append((v, int(agg["n"]), int(agg["s"])))
+    return spark.createDataFrame(out,
+                                 "version int, n bigint, key_sum bigint")

@@ -618,3 +618,36 @@ def test_wav_deep_sample_formats_roundtrip():
         encode_wav_deep_py(f, 16000, bits=32))
     assert (r, bits) == (16000, 32)
     assert s == [int(x * 32768) for x in f]
+
+
+def test_delta_log_reader_partitions_and_timetravel(spark, tmp_path):
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (list_delta_versions,
+                                               read_delta,
+                                               remove_delta_files_fixture,
+                                               write_delta_fixture)
+    t = str(tmp_path / "dl")
+    df = spark.range(60).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 4).cast("bigint").alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",))
+    write_delta_fixture(
+        spark, spark.range(60, 80).select(
+            SF.col("id").alias("k"),
+            (SF.col("id") % 4).cast("bigint").alias("g")),
+        t, partition_by=("g",), mode="append")
+    assert list_delta_versions(t) == [0, 1]
+    cur = read_delta(spark, t)
+    # partition column reconstructed from add-action partitionValues
+    assert cur.schema.simpleString() == "struct<k:bigint,g:bigint>"
+    assert cur.count() == 80
+    assert cur.where("g = 2").count() == 20
+    assert cur.where("k % 4 != g").count() == 0
+    assert read_delta(spark, t, version=0).count() == 60
+    remove_delta_files_fixture(t, lambda rel: rel.startswith("g=3/"))
+    after = read_delta(spark, t)
+    assert after.count() == 60 and after.where("g = 3").count() == 0
+    # unknown version fails descriptively
+    import pytest
+    with pytest.raises(ValueError, match="no Delta commit"):
+        read_delta(spark, t, version=99)
