@@ -46,16 +46,163 @@ def _zigzag_decode(b: bytes, pos: int) -> tuple[int, int]:
 
 
 def _norm_type(t):
-    """Normalize a field type to ``(base_type, nullable)``."""
+    """Normalize a field type to ``(base_type, nullable)`` where
+    ``base_type`` is a primitive name or a complex-type dict."""
     if isinstance(t, list):
         if len(t) == 2 and "null" in t:
             other = t[0] if t[1] == "null" else t[1]
             return other, True
         raise NotImplementedError(f"avro union {t}: only [null, T]")
-    if isinstance(t, dict):
-        raise NotImplementedError(
-            f"avro complex type {t.get('type')!r} unsupported")
     return t, False
+
+
+def read_datum(b: bytes, pos: int, typ):
+    """Generic datum decoder over the FULL recursive type grammar
+    (r8, needed for Iceberg manifests): records -> dicts, arrays ->
+    lists, maps -> dicts, fixed -> bytes, plus all primitives and
+    [null, T] unions."""
+    typ, nullable = _norm_type(typ)
+    if nullable:
+        idx, pos = _zigzag_decode(b, pos)
+        if idx == 0:
+            return None, pos
+    if isinstance(typ, dict):
+        kind = typ.get("type")
+        if kind == "record":
+            out = {}
+            for f in typ["fields"]:
+                out[f["name"]], pos = read_datum(b, pos, f["type"])
+            return out, pos
+        if kind == "array":
+            items = []
+            while True:
+                n, pos = _zigzag_decode(b, pos)
+                if n == 0:
+                    return items, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _zigzag_decode(b, pos)   # block byte size
+                for _ in range(n):
+                    v, pos = read_datum(b, pos, typ["items"])
+                    items.append(v)
+        if kind == "map":
+            out = {}
+            while True:
+                n, pos = _zigzag_decode(b, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _zigzag_decode(b, pos)
+                for _ in range(n):
+                    k, pos = _read_value(b, pos, "string")
+                    out[k], pos = read_datum(b, pos, typ["values"])
+            return out, pos
+        if kind == "fixed":
+            sz = typ["size"]
+            return bytes(b[pos:pos + sz]), pos + sz
+        if kind == "enum":
+            i, pos = _zigzag_decode(b, pos)
+            return typ["symbols"][i], pos
+        if kind in ("int", "long", "float", "double", "boolean",
+                    "bytes", "string", "null"):
+            return _read_value(b, pos, kind)   # logical-type wrapper
+        raise NotImplementedError(f"avro complex type {kind!r}")
+    return _read_value(b, pos, typ)
+
+
+def write_datum(out: bytearray, v, typ) -> None:
+    """Inverse of :func:`read_datum` (Iceberg fixture writer)."""
+    typ, nullable = _norm_type(typ)
+    if nullable:
+        if v is None:
+            out += _zigzag_encode(0)
+            return
+        out += _zigzag_encode(1)
+    if isinstance(typ, dict):
+        kind = typ.get("type")
+        if kind == "record":
+            for f in typ["fields"]:
+                write_datum(out, v[f["name"]], f["type"])
+            return
+        if kind == "array":
+            if v:
+                out += _zigzag_encode(len(v))
+                for item in v:
+                    write_datum(out, item, typ["items"])
+            out += _zigzag_encode(0)
+            return
+        if kind == "map":
+            if v:
+                out += _zigzag_encode(len(v))
+                for k, val in v.items():
+                    _write_value(out, k, "string")
+                    write_datum(out, val, typ["values"])
+            out += _zigzag_encode(0)
+            return
+        if kind == "fixed":
+            assert len(v) == typ["size"]
+            out += bytes(v)
+            return
+        if kind == "enum":
+            out += _zigzag_encode(typ["symbols"].index(v))
+            return
+        if kind in ("int", "long", "float", "double", "boolean",
+                    "bytes", "string", "null"):
+            _write_value(out, v, kind)
+            return
+        raise NotImplementedError(f"avro complex type {kind!r}")
+    _write_value(out, v, typ)
+
+
+def decode_avro_datums(b: bytes):
+    """Decode a container file generically: returns
+    ``(schema_dict, [datum])`` with each datum via :func:`read_datum`
+    (dicts for records) — the reader Iceberg manifests go through."""
+    import zlib
+    schema, codec, sync, pos = parse_avro_header(b)
+    rows = []
+    while pos < len(b):
+        n, pos = _zigzag_decode(b, pos)
+        nbytes, pos = _zigzag_decode(b, pos)
+        block = b[pos:pos + nbytes]
+        pos += nbytes
+        if b[pos:pos + 16] != sync:
+            raise NotImplementedError("avro block sync mismatch")
+        pos += 16
+        if codec == "deflate":
+            block = zlib.decompress(block, wbits=-15)
+        bp = 0
+        for _ in range(n):
+            v, bp = read_datum(block, bp, schema)
+            rows.append(v)
+    return schema, rows
+
+
+def encode_avro_datums(schema: dict, datums, codec: str = "null") -> bytes:
+    """Generic container writer for an arbitrary record schema
+    (fixture twin of :func:`decode_avro_datums`)."""
+    import zlib
+    sync = bytes((i * 31 + 11) % 256 for i in range(16))
+    out = bytearray(_MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    out += _zigzag_encode(len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        out += _zigzag_encode(len(kb)) + kb
+        out += _zigzag_encode(len(v)) + v
+    out += _zigzag_encode(0)
+    out += sync
+    body = bytearray()
+    for d in datums:
+        write_datum(body, d, schema)
+    payload = (zlib.compress(bytes(body))[2:-4] if codec == "deflate"
+               else bytes(body))
+    out += _zigzag_encode(len(datums))
+    out += _zigzag_encode(len(payload))
+    out += payload + sync
+    return bytes(out)
 
 
 def _read_value(b: bytes, pos: int, typ: str):

@@ -1,0 +1,335 @@
+"""Apache Iceberg table reader, dependency-free (the PUBLIC Iceberg
+table spec): ``metadata/*.metadata.json`` + Avro manifest lists +
+Avro manifest files, decoded with the in-repo generic Avro datum
+reader (:func:`padawan_spark.functions.avro.decode_avro_datums` —
+nested records/arrays/maps are exactly what manifests are made of).
+
+Interop surface: scan an existing Iceberg table — current snapshot or
+time travel by snapshot id — without the iceberg-spark runtime jar.
+Live data files are resolved by walking the snapshot's manifest list
+and keeping entries whose status is not DELETED; identity-transform
+partition values from each ``data_file.partition`` record are
+re-attached as columns (Iceberg, like Delta/Hive, may omit them from
+the data files).  Metadata work is O(manifest entries) on the driver;
+the scan is one parquet job per distinct partition tuple.
+
+Supported: format v1/v2 JSON metadata, identity partition transforms,
+parquet data files, null/deflate-coded manifests.  Non-identity
+transforms (bucket/truncate/days), delete files (v2 row-level
+deletes), and ORC/Avro data files raise honest
+``NotImplementedError``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+
+def _latest_metadata(path: str) -> str:
+    mdir = os.path.join(path, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = fh.read().strip()
+        cand = os.path.join(mdir, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            return cand
+    best, best_v = None, -1
+    for f in os.listdir(mdir):
+        m = re.match(r"^v(\d+)\.metadata\.json$", f)
+        if m and int(m.group(1)) > best_v:
+            best, best_v = f, int(m.group(1))
+    if best is None:
+        raise FileNotFoundError(f"{mdir}: no v*.metadata.json")
+    return os.path.join(mdir, best)
+
+
+def _resolve(path: str, table: str) -> str:
+    p = path
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    if os.path.isabs(p):
+        return p
+    return os.path.join(table, p)
+
+
+_ICE_TO_SPARK = {"long": "bigint", "int": "int", "string": "string",
+                 "double": "double", "float": "float",
+                 "boolean": "boolean", "date": "date",
+                 "binary": "binary", "timestamp": "timestamp"}
+
+
+def _ice_type_ddl(t) -> str:
+    if isinstance(t, str):
+        if t in _ICE_TO_SPARK:
+            return _ICE_TO_SPARK[t]
+        m = re.match(r"^decimal\((\d+),\s*(\d+)\)$", t)
+        if m:
+            return f"decimal({m.group(1)},{m.group(2)})"
+        raise NotImplementedError(f"iceberg type {t!r}")
+    raise NotImplementedError(f"nested iceberg type {t!r}")
+
+
+def live_data_files(path: str, snapshot_id: int | None = None):
+    """Resolve the live data files of a snapshot.  Returns
+    ``(schema_fields, partition_fields, files)`` with ``files`` as
+    ``[(abs_path, partition_dict)]`` and ``partition_fields`` the
+    identity-source field names in spec order."""
+    from .avro import decode_avro_datums
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    snaps = meta.get("snapshots", [])
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snap = next((s for s in snaps
+                 if s["snapshot-id"] == snapshot_id), None)
+    if snap is None:
+        raise ValueError(
+            f"no snapshot {snapshot_id} at {path}; have "
+            f"{[s['snapshot-id'] for s in snaps]}")
+    # schema: v2 keeps a list + current-schema-id; v1 a single schema
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        schema = next(s for s in meta["schemas"]
+                      if s.get("schema-id", 0) == sid)
+    else:
+        schema = meta["schema"]
+    fields = [(f["name"], _ice_type_ddl(f["type"]))
+              for f in schema["fields"]]
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    specs = {s.get("spec-id", 0): s for s in
+             meta.get("partition-specs", [])}
+    if not specs and "partition-spec" in meta:      # v1 inline form
+        specs = {0: {"spec-id": 0, "fields": meta["partition-spec"]}}
+    part_fields: list[str] = []
+    spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
+    for pf in spec["fields"]:
+        if pf.get("transform", "identity") != "identity":
+            raise NotImplementedError(
+                f"iceberg partition transform {pf['transform']!r}")
+        part_fields.append(by_id.get(pf.get("source-id"),
+                                     pf.get("name")))
+    mlist_path = _resolve(snap["manifest-list"], path)
+    with open(mlist_path, "rb") as fh:
+        _s, manifests = decode_avro_datums(fh.read())
+    files = []
+    for m in manifests:
+        if m.get("content", 0) not in (0, None):
+            raise NotImplementedError(
+                "iceberg delete manifests (v2 row-level deletes) "
+                "unsupported")
+        mpath = _resolve(m["manifest_path"], path)
+        with open(mpath, "rb") as fh:
+            _s2, entries = decode_avro_datums(fh.read())
+        for e in entries:
+            if e.get("status") == 2:                 # DELETED
+                continue
+            df_ = e["data_file"]
+            fmt = (df_.get("file_format") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"iceberg data file format {fmt!r}")
+            part = df_.get("partition") or {}
+            files.append((_resolve(df_["file_path"], path), dict(part)))
+    return fields, part_fields, sorted(files)
+
+
+def read_iceberg(spark, path: str, snapshot_id: int | None = None):
+    """Scan an Iceberg table at a snapshot (default: current).
+    Identity partition values are re-attached per data file, grouped
+    so each distinct partition tuple is one parquet scan."""
+    from pyspark.sql import functions as F
+    fields, part_fields, files = live_data_files(path, snapshot_id)
+    ddl_all = ", ".join(f"{n} {t}" for n, t in fields)
+    if not files:
+        return spark.createDataFrame([], ddl_all)
+    data_ddl = ", ".join(f"{n} {t}" for n, t in fields
+                         if n not in part_fields)
+    types = dict(fields)
+    groups: dict[tuple, list[str]] = {}
+    for p, pvals in files:
+        key = tuple(pvals.get(c) for c in part_fields)
+        groups.setdefault(key, []).append(p)
+    parts = []
+    for key, paths in sorted(groups.items()):
+        df = spark.read.schema(data_ddl).parquet(*paths)
+        for c, v in zip(part_fields, key):
+            df = df.withColumn(c, (F.lit(None) if v is None
+                                   else F.lit(v)).cast(types[c]))
+        parts.append(df.select(*[n for n, _t in fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture writer: spec-layout metadata for READER verification (a test
+# double, not a transactional committer — same stance as the Delta
+# fixture writer)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICE = {"bigint": "long", "int": "int", "string": "string",
+                 "double": "double", "float": "float",
+                 "boolean": "boolean", "binary": "binary"}
+
+
+def _manifest_schema(part_fields, types):
+    part_rec = {"type": "record", "name": "r102", "fields": [
+        {"name": c, "type": ["null",
+                             {"bigint": "long"}.get(types[c],
+                                                    _SPARK_TO_ICE.get(
+                                                        types[c], "string"))]}
+        for c in part_fields]}
+    data_file = {"type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "partition", "type": part_rec},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+    ]}
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": data_file},
+    ]}
+
+
+_MLIST_SCHEMA = {"type": "record", "name": "manifest_file", "fields": [
+    {"name": "manifest_path", "type": "string"},
+    {"name": "manifest_length", "type": "long"},
+    {"name": "partition_spec_id", "type": "int"},
+    {"name": "content", "type": "int"},
+    {"name": "added_snapshot_id", "type": ["null", "long"]},
+]}
+
+
+def write_iceberg_fixture(spark, df, path: str, partition_by=(),
+                          append_to_snapshot: int | None = None,
+                          delete_partition=None) -> int:
+    """Create or extend a spec-layout Iceberg table.  Each call makes
+    ONE new snapshot: the base file set is the previous snapshot's
+    (empty on create), minus files whose partition dict matches
+    ``delete_partition`` (emitted as status=2 DELETED entries in the
+    new manifest), plus ``df``'s rows as new parquet files (one per
+    distinct partition tuple; pass ``df=None`` for a delete-only
+    snapshot).  Returns the new snapshot id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .avro import encode_avro_datums
+    part_fields = list(partition_by)
+    mdir = os.path.join(path, "metadata")
+    ddir = os.path.join(path, "data")
+    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+    try:
+        with open(_latest_metadata(path)) as fh:
+            meta = json.load(fh)
+        version = max(int(re.match(r"^v(\d+)\.metadata\.json$", f)
+                          .group(1))
+                      for f in os.listdir(mdir)
+                      if re.match(r"^v(\d+)\.metadata\.json$", f))
+    except (FileNotFoundError, OSError):
+        meta, version = None, 0
+    if meta is None:
+        types = dict(df.dtypes)
+        schema_fields = [
+            {"id": i + 1, "name": c, "required": False,
+             "type": _SPARK_TO_ICE.get(types[c], types[c])}
+            for i, c in enumerate(df.columns)]
+        name_to_id = {f["name"]: f["id"] for f in schema_fields}
+        meta = {
+            "format-version": 2, "table-uuid": "0" * 32,
+            "location": path, "last-sequence-number": 0,
+            "last-updated-ms": 0, "last-column-id": len(schema_fields),
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": schema_fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": c, "transform": "identity",
+                 "source-id": name_to_id[c],
+                 "field-id": 1000 + i}
+                for i, c in enumerate(part_fields)]}],
+            "properties": {}, "current-snapshot-id": None,
+            "snapshots": [],
+        }
+    sid = meta.get("current-schema-id", 0)
+    schema = next(s for s in meta["schemas"]
+                  if s.get("schema-id", 0) == sid)
+    types = {f["name"]: _ice_type_ddl(f["type"])
+             for f in schema["fields"]}
+    prev_files = []
+    if meta["snapshots"]:
+        base = (append_to_snapshot
+                if append_to_snapshot is not None
+                else meta["current-snapshot-id"])
+        _f, _p, prev_files = live_data_files(path, base)
+    snap_id = len(meta["snapshots"]) + 1
+    entries = []
+    for p, pvals in prev_files:
+        rel = os.path.relpath(p, path)
+        status = 2 if (delete_partition is not None
+                       and all(pvals.get(k) == v
+                               for k, v in delete_partition.items())) \
+            else 0
+        entries.append({"status": status, "snapshot_id": snap_id,
+                        "data_file": {
+                            "content": 0, "file_path": rel,
+                            "file_format": "PARQUET",
+                            "partition": pvals, "record_count": 0,
+                            "file_size_in_bytes":
+                                os.path.getsize(p)}})
+    if df is not None:
+        data_cols = [c for c in df.columns if c not in part_fields]
+        keys = ([tuple(r) for r in
+                 df.select(*part_fields).distinct().collect()]
+                if part_fields else [()])
+        for ki, key in enumerate(
+                sorted(keys, key=lambda k: tuple(str(x) for x in k))):
+            sub = df
+            for c, v in zip(part_fields, key):
+                sub = sub.where(sub[c].eqNullSafe(v))
+            rel = f"data/snap{snap_id}-{ki}.parquet"
+            full = os.path.join(path, rel)
+            pdf = sub.select(*data_cols).toPandas()
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False), full)
+            entries.append({"status": 1, "snapshot_id": snap_id,
+                            "data_file": {
+                                "content": 0, "file_path": rel,
+                                "file_format": "PARQUET",
+                                "partition": dict(zip(part_fields,
+                                                      key)),
+                                "record_count": pdf.shape[0],
+                                "file_size_in_bytes":
+                                    os.path.getsize(full)}})
+    msch = _manifest_schema(part_fields, types)
+    mrel = f"metadata/manifest-{snap_id}.avro"
+    with open(os.path.join(path, mrel), "wb") as fh:
+        fh.write(encode_avro_datums(msch, entries, codec="deflate"))
+    mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
+    with open(os.path.join(path, mlist_rel), "wb") as fh:
+        fh.write(encode_avro_datums(_MLIST_SCHEMA, [{
+            "manifest_path": mrel,
+            "manifest_length": os.path.getsize(
+                os.path.join(path, mrel)),
+            "partition_spec_id": 0, "content": 0,
+            "added_snapshot_id": snap_id}]))
+    meta["snapshots"].append({"snapshot-id": snap_id,
+                              "sequence-number": snap_id,
+                              "timestamp-ms": 0,
+                              "manifest-list": mlist_rel,
+                              "summary": {"operation": "append"}})
+    meta["current-snapshot-id"] = snap_id
+    version += 1
+    with open(os.path.join(mdir, f"v{version}.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snap_id

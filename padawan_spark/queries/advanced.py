@@ -851,3 +851,52 @@ def src_delta_read(spark, sf_dir):
         out.append((v, int(agg["n"]), int(agg["s"])))
     return spark.createDataFrame(out,
                                  "version int, n bigint, key_sum bigint")
+
+
+@query("src_iceberg_read", oracle="""
+SELECT 1 AS snapshot, COUNT(*) FILTER (WHERE n_nationkey < 15) AS n,
+       CAST(SUM(n_nationkey) FILTER (WHERE n_nationkey < 15) AS BIGINT)
+         AS key_sum
+FROM nation
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT) FROM nation
+UNION ALL
+SELECT 3, COUNT(*) FILTER (WHERE n_regionkey <> 2),
+       CAST(SUM(n_nationkey) FILTER (WHERE n_regionkey <> 2) AS BIGINT)
+FROM nation
+""")
+def src_iceberg_read(spark, sf_dir):
+    """Apache Iceberg interop (r8): scan a PARTITIONED Iceberg table
+    without the iceberg-spark runtime — metadata.json walk, the
+    snapshot's Avro manifest list and manifest files decoded by the
+    in-repo generic Avro datum reader (nested records/arrays are
+    exactly what manifests are made of), DELETED entries dropped,
+    identity partition values from each data_file.partition record
+    re-attached as columns.  Three snapshots (create partitioned by
+    region, append, delete one partition) are each read by snapshot-id
+    time travel; the oracle restates every snapshot's aggregate from
+    the source table.  Scale shape: O(manifest entries) driver work,
+    one parquet job per distinct partition tuple."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import read_iceberg, write_iceberg_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        F.col("n_name").alias("name"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_ice_"), "tbl")
+    s1 = write_iceberg_fixture(spark, n.where(F.col("k") < 15), t,
+                               partition_by=("g",))
+    s2 = write_iceberg_fixture(spark, n.where(F.col("k") >= 15), t,
+                               partition_by=("g",))
+    s3 = write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                               delete_partition={"g": 2})
+    out = []
+    for s in (s1, s2, s3):
+        agg = read_iceberg(spark, t, snapshot_id=s).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("s")).collect()[0]
+        out.append((s, int(agg["n"]), int(agg["s"])))
+    return spark.createDataFrame(
+        out, "snapshot int, n bigint, key_sum bigint")

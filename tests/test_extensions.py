@@ -651,3 +651,31 @@ def test_delta_log_reader_partitions_and_timetravel(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="no Delta commit"):
         read_delta(spark, t, version=99)
+
+
+def test_iceberg_reader_snapshots_and_partition_reattach(spark, tmp_path):
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (read_iceberg,
+                                                 write_iceberg_fixture)
+    t = str(tmp_path / "ice")
+    df = spark.range(40).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 2).cast("bigint").alias("g"))
+    s1 = write_iceberg_fixture(spark, df, t, partition_by=("g",))
+    s2 = write_iceberg_fixture(
+        spark, spark.range(40, 50).select(
+            SF.col("id").alias("k"),
+            (SF.col("id") % 2).cast("bigint").alias("g")),
+        t, partition_by=("g",))
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 50
+    assert cur.where("k % 2 != g").count() == 0   # partition re-attach
+    assert read_iceberg(spark, t, snapshot_id=s1).count() == 40
+    s3 = write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                               delete_partition={"g": 0})
+    after = read_iceberg(spark, t)
+    assert after.count() == 25 and after.where("g = 0").count() == 0
+    assert read_iceberg(spark, t, snapshot_id=s2).count() == 50
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_iceberg(spark, t, snapshot_id=999)
