@@ -923,3 +923,71 @@ def text_unicode_nfc(spark, sf_dir):
 
     return d.mapInPandas(batches, "doc_id bigint, is_nfc boolean, "
                                   "nfc_len bigint, n_replacement bigint")
+
+
+# ordered merge ranks for the APPLY query (GPT-2-style rank list,
+# applied sequentially; crafted from frequent English pairs)
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+               ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+               ("in", "g"), ("o", "r")]
+
+
+def _bpe_apply_sql_chain(var: str) -> str:
+    """The same sequential merge fold the Spark side applies, as a
+    nested DuckDB expression over a space-delimited symbol string."""
+    seq = f"trim(regexp_replace({var}, '(.)', '\\1 ', 'g'))"
+    for l_, r_ in _BPE_MERGES:
+        padded = f"concat(' ', replace({seq}, ' ', '  '), ' ')"
+        merged = f"replace({padded}, ' {l_}  {r_} ', ' {l_}{r_} ')"
+        seq = f"trim(regexp_replace({merged}, ' +', ' ', 'g'))"
+    return seq
+
+
+@query("text_bpe_apply", oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, w,
+         len(string_split({_bpe_apply_sql_chain('w')}, ' ')) AS n_tok
+  FROM words
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars
+FROM tok GROUP BY doc_id
+""")
+def text_bpe_apply(spark, sf_dir):
+    """BPE tokenizer APPLICATION (r8) — the other half of
+    text_bpe_train: a 10-rule ordered merge list tokenizes the corpus
+    and emits per-document token counts.  Scale shape is the one real
+    tokenizers use on a corpus: tokenize each DISTINCT word once (the
+    merge fold runs over the vocabulary, O(vocab) work, entirely
+    inside whole-stage codegen as replace/regexp expressions), then
+    broadcast-join the word->token_count map back onto the
+    per-document word stream — the corpus is never re-tokenized per
+    occurrence.  The oracle replays the identical sequential-rank
+    fold in SQL, so a boundary bug in the token-delimiter algebra
+    (the doubled-space trick) diverges immediately.  n_chars pins the
+    word extraction itself."""
+    from pyspark.sql import functions as SF
+    d = load(spark, sf_dir, "documents", wide=True)
+    words = d.select(
+        "doc_id",
+        SF.explode(SF.expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .alias("w"))
+    vocab = words.select("w").distinct()
+    seq = "trim(regexp_replace(w, '(.)', '$1 '))"
+    for l_, r_ in _BPE_MERGES:
+        padded = f"concat(' ', replace({seq}, ' ', '  '), ' ')"
+        merged = f"replace({padded}, ' {l_}  {r_} ', ' {l_}{r_} ')"
+        seq = f"trim(regexp_replace({merged}, ' +', ' '))"
+    tok_map = vocab.select(
+        "w", SF.expr(f"size(split({seq}, ' '))").alias("n_tok"))
+    return (words.join(SF.broadcast(tok_map), on="w")
+            .groupBy("doc_id")
+            .agg(SF.count(SF.lit(1)).alias("n_words"),
+                 SF.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 SF.sum(SF.length("w")).cast("bigint")
+                 .alias("n_chars")))
