@@ -900,3 +900,53 @@ def src_iceberg_read(spark, sf_dir):
         out.append((s, int(agg["n"]), int(agg["s"])))
     return spark.createDataFrame(
         out, "snapshot int, n bigint, key_sum bigint")
+
+
+@query("src_hudi_read", oracle="""
+SELECT 1 AS instant, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+UNION ALL
+SELECT 2,
+       COUNT(*) FILTER (WHERE n_regionkey <> 3 OR n_nationkey % 2 = 0),
+       CAST(SUM(n_nationkey) FILTER
+            (WHERE n_regionkey <> 3 OR n_nationkey % 2 = 0) AS BIGINT)
+FROM nation
+""")
+def src_hudi_read(spark, sf_dir):
+    """Apache Hudi copy-on-write interop (r8) — the third table
+    format next to Delta and Iceberg: the ``.hoodie`` timeline's
+    commit JSONs are replayed to resolve the latest file slice per
+    file GROUP (`functions/hudi.py:live_hudi_files`), so a second
+    commit that REWRITES one partition's file group (same fileId, new
+    file — the CoW update path, here dropping region 3's odd keys)
+    supersedes the first commit's file for that group while every
+    other group still reads the original file.  Both instants are
+    read by timeline time travel with ``_hoodie_*`` meta columns
+    dropped; the oracle restates each instant's aggregate.  Scale
+    shape: O(commits x write-stats) driver replay, one parquet scan
+    of the live slices."""
+    import json as _json
+    import os
+    import tempfile
+
+    from ..functions.hudi import read_hudi, write_hudi_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_hudi_"), "tbl")
+    i1 = write_hudi_fixture(spark, n, t, partition_field="g")
+    with open(os.path.join(t, ".hoodie", f"{i1}.commit")) as fh:
+        c1 = _json.load(fh)
+    fid_g3 = c1["partitionToWriteStats"]["3"][0]["fileId"]
+    upd = n.where((F.col("g") == 3) & (F.col("k") % 2 == 0))
+    i2 = write_hudi_fixture(spark, upd, t, partition_field="g",
+                            replace_file_ids=(fid_g3,))
+    out = []
+    for label, inst in ((1, i1), (2, i2)):
+        agg = read_hudi(spark, t, as_of=inst).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("s")).collect()[0]
+        out.append((label, int(agg["n"]), int(agg["s"])))
+    return spark.createDataFrame(
+        out, "instant int, n bigint, key_sum bigint")

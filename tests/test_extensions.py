@@ -679,3 +679,35 @@ def test_iceberg_reader_snapshots_and_partition_reattach(spark, tmp_path):
     assert read_iceberg(spark, t, snapshot_id=s2).count() == 50
     with pytest.raises(ValueError, match="no snapshot"):
         read_iceberg(spark, t, snapshot_id=999)
+
+
+def test_hudi_cow_reader_file_group_supersede(spark, tmp_path):
+    import json
+    import os
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.hudi import (list_hudi_commits,
+                                              read_hudi,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "hudi")
+    df = spark.range(30).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 2).cast("bigint").alias("g"))
+    i1 = write_hudi_fixture(spark, df, t, partition_field="g")
+    with open(os.path.join(t, ".hoodie", f"{i1}.commit")) as fh:
+        fid = json.load(fh)["partitionToWriteStats"]["0"][0]["fileId"]
+    i2 = write_hudi_fixture(
+        spark, spark.range(100, 105).select(
+            SF.col("id").alias("k"),
+            SF.lit(0).cast("bigint").alias("g")),
+        t, partition_field="g", replace_file_ids=(fid,))
+    assert list_hudi_commits(t) == [i1, i2]
+    cur = read_hudi(spark, t)
+    assert cur.columns == ["k", "g"]          # meta columns dropped
+    assert cur.where("g = 0").count() == 5    # group superseded
+    assert cur.where("g = 1").count() == 15   # untouched group intact
+    assert read_hudi(spark, t, as_of=i1).count() == 30
+    assert "_hoodie_commit_time" in read_hudi(
+        spark, t, keep_meta=True).columns
+    with pytest.raises(ValueError, match="no commit instant"):
+        read_hudi(spark, t, as_of="999")
