@@ -864,3 +864,62 @@ def op_describe_history(spark, sf_dir):
     return (hist.join(rc, on="version")
             .select("version", "n_files", "n_added_files",
                     "n_removed_files", "rows"))
+
+
+@query("op_footer_stats", oracle="""
+WITH g AS (
+  SELECT CAST(n_nationkey // 10 AS INT) AS rg, n_nationkey AS k,
+         n_name, CASE WHEN n_nationkey % 4 = 0 THEN NULL
+                      ELSE n_regionkey END AS opt
+  FROM nation
+)
+SELECT rg AS row_group, 'k' AS column, COUNT(*) AS num_values,
+       CAST(0 AS BIGINT) AS null_count,
+       CAST(MIN(k) AS VARCHAR) AS min_val,
+       CAST(MAX(k) AS VARCHAR) AS max_val
+FROM g GROUP BY rg
+UNION ALL
+SELECT rg, 'name', COUNT(*),
+       CAST(0 AS BIGINT), MIN(n_name), MAX(n_name)
+FROM g GROUP BY rg
+UNION ALL
+SELECT rg, 'opt', COUNT(*),
+       COUNT(*) FILTER (WHERE opt IS NULL),
+       CAST(MIN(opt) AS VARCHAR), CAST(MAX(opt) AS VARCHAR)
+FROM g GROUP BY rg
+""")
+def op_footer_stats(spark, sf_dir):
+    """Parquet footer-statistics audit (r8,
+    ``scan_parquet_footers``): a deterministic file — nation sorted by
+    key, 10-row row groups, one nullable column — is footer-scanned
+    (pyarrow, O(footer) bytes per file, distributed over the file
+    list) and every (row group, column) statistic is checked against
+    SQL-derived truth: value counts, null counts, and min/max per
+    group (the row-group split is key//10 by construction, so the
+    oracle reconstructs each group's stats exactly).  This is the ops
+    view behind pruning decisions — 'why didn't this row group get
+    skipped' — and doubles as a machine check that what the engine
+    WRITES into footers matches the data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..dataset import scan_parquet_footers
+    n = (load(spark, sf_dir, "nation")
+         .select(F.col("n_nationkey").cast("bigint").alias("k"),
+                 F.col("n_name").alias("name"),
+                 F.when(F.col("n_nationkey") % 4 == 0, None)
+                 .otherwise(F.col("n_regionkey")).cast("bigint")
+                 .alias("opt"))
+         .orderBy("k"))
+    path = os.path.join(tempfile.mkdtemp(prefix="padawan_foot_"),
+                        "nation_rg.parquet")
+    rows = n.collect()
+    tbl = pa.table({
+        "k": pa.array([r["k"] for r in rows], pa.int64()),
+        "name": pa.array([r["name"] for r in rows], pa.string()),
+        "opt": pa.array([r["opt"] for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, path, row_group_size=10)
+    return (scan_parquet_footers(spark, path)
+            .select("row_group", "column", "num_values",
+                    "null_count", "min_val", "max_val"))
