@@ -923,3 +923,42 @@ def op_footer_stats(spark, sf_dir):
     return (scan_parquet_footers(spark, path)
             .select("row_group", "column", "num_values",
                     "null_count", "min_val", "max_val"))
+
+
+@query("op_import_delta", oracle="""
+SELECT COUNT(*) AS n_window,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_total
+FROM nation WHERE n_nationkey BETWEEN 8 AND 16
+""")
+def op_import_delta(spark, sf_dir):
+    """The MIGRATION path end-to-end (r8): an existing Delta table is
+    read through the dependency-free log reader, written INTO the
+    padawan lakehouse as an indexed manifest table (reindex +
+    range-partitioned write), and then served by an index-range SLICE
+    whose file pruning runs off the new manifest — proving imported
+    estates get the full native feature set (stats, pruning, time
+    travel, CDF) rather than a one-off scan.  The oracle restates the
+    sliced window and the imported total from the source table."""
+    import os
+    import tempfile
+
+    from ..functions.delta import read_delta, write_delta_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    base = tempfile.mkdtemp(prefix="padawan_imp_")
+    delta_t = os.path.join(base, "delta")
+    write_delta_fixture(spark, n, delta_t, partition_by=("g",))
+    imported = read_delta(spark, delta_t)
+    target = os.path.join(base, "native")
+    (Dataset(spark, imported.select("k", "g"), index_columns=("k",))
+     .reindex(("k",)).repartition(5).write_parquet(target))
+    ds = scan_parquet(spark, target)
+    window = ds.slice((8,), (16,), inclusive="both")
+    agg = window.df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("s")).collect()[0]
+    return spark.createDataFrame(
+        [(int(agg["n"]), int(agg["s"]), ds.df.count())],
+        "n_window bigint, key_sum bigint, n_total bigint")
