@@ -33,6 +33,9 @@ from .dataset import (  # noqa: F401
     write_metadata,
 )
 from .metadata import list_versions, vacuum  # noqa: F401
+from .functions.delta import read_delta  # noqa: F401
+from .functions.iceberg import read_iceberg  # noqa: F401
+from .functions.hudi import read_hudi  # noqa: F401
 from .session import get_spark  # noqa: F401
 
 __all__ = [
@@ -46,6 +49,9 @@ __all__ = [
     "refresh_aggregate",
     "build_bloom_index",
     "scan_point_lookup",
+    "read_delta",
+    "read_iceberg",
+    "read_hudi",
     "concat",
     "from_pandas",
     "get_spark",
