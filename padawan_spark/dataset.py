@@ -1593,7 +1593,12 @@ def merge_rows(spark: SparkSession, path: str, batch: "Dataset") -> Dataset:
             rpp = max(1, sum(old.sizes) // max(1, len(old.sizes)))
         else:
             rpp = 1 << 20
-        batch_keys = batch.df.select(*[F.col(c) for c in ix]).distinct()
+        # batch keys are small by contract (one merge batch, not the
+        # table) — broadcast-hint the anti-join so the survivor scan is
+        # a broadcast hash join under ANY session conf instead of riding
+        # autoBroadcastJoinThreshold into a SortMergeJoin of the regions
+        batch_keys = F.broadcast(
+            batch.df.select(*[F.col(c) for c in ix]).distinct())
         # null-safe survivor anti-join: a table row with a NULL index key
         # must still be replaced by a null-keyed batch row — plain-equality
         # anti-join would keep it and duplicate the key
@@ -1762,11 +1767,17 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
                         F.col(f"{b}.{c}")),
                     ix[1:],
                     F.col(f"{a}.{ix[0]}").eqNullSafe(F.col(f"{b}.{ix[0]}")))
-            upd_keys = (inserts.select(*ix).distinct().alias("ik")
-                        .join(deletes.select(*ix).distinct().alias("dk"),
-                              on=_keys_eq("ik", "dk"), how="inner")
-                        .select(*[F.col(f"ik.{c}").alias(c) for c in ix])
-                        .withColumn("__upd", F.lit(1)))
+            # the changed-key set is O(changes), small by contract —
+            # broadcast both the build join and the classification
+            # probes so the plan is deterministic (broadcast hash join)
+            # regardless of autoBroadcastJoinThreshold / runtime stats
+            upd_keys = F.broadcast(
+                inserts.select(*ix).distinct().alias("ik")
+                .join(F.broadcast(deletes.select(*ix).distinct()
+                                  ).alias("dk"),
+                      on=_keys_eq("ik", "dk"), how="inner")
+                .select(*[F.col(f"ik.{c}").alias(c) for c in ix])
+                .withColumn("__upd", F.lit(1)))
 
             def _classify(side: DataFrame, hit: str, miss: str) -> DataFrame:
                 return (side.alias("s")

@@ -46,14 +46,19 @@ def _zigzag_decode(b: bytes, pos: int) -> tuple[int, int]:
 
 
 def _norm_type(t):
-    """Normalize a field type to ``(base_type, nullable)`` where
-    ``base_type`` is a primitive name or a complex-type dict."""
+    """Normalize a field type to ``(base_type, null_idx)`` where
+    ``base_type`` is a primitive name or a complex-type dict and
+    ``null_idx`` is the union branch index of ``"null"`` (0 or 1), or
+    ``None`` for a non-union type.  Spec-valid files may declare either
+    ``["null", T]`` or ``[T, "null"]`` — the encoded union index picks
+    a BRANCH, not "is null", so the null branch position must travel
+    with the type or values and nulls swap silently."""
     if isinstance(t, list):
         if len(t) == 2 and "null" in t:
-            other = t[0] if t[1] == "null" else t[1]
-            return other, True
+            null_idx = t.index("null")
+            return t[1 - null_idx], null_idx
         raise NotImplementedError(f"avro union {t}: only [null, T]")
-    return t, False
+    return t, None
 
 
 def read_datum(b: bytes, pos: int, typ):
@@ -61,10 +66,10 @@ def read_datum(b: bytes, pos: int, typ):
     (r8, needed for Iceberg manifests): records -> dicts, arrays ->
     lists, maps -> dicts, fixed -> bytes, plus all primitives and
     [null, T] unions."""
-    typ, nullable = _norm_type(typ)
-    if nullable:
+    typ, null_idx = _norm_type(typ)
+    if null_idx is not None:
         idx, pos = _zigzag_decode(b, pos)
-        if idx == 0:
+        if idx == null_idx:
             return None, pos
     if isinstance(typ, dict):
         kind = typ.get("type")
@@ -113,12 +118,12 @@ def read_datum(b: bytes, pos: int, typ):
 
 def write_datum(out: bytearray, v, typ) -> None:
     """Inverse of :func:`read_datum` (Iceberg fixture writer)."""
-    typ, nullable = _norm_type(typ)
-    if nullable:
+    typ, null_idx = _norm_type(typ)
+    if null_idx is not None:
         if v is None:
-            out += _zigzag_encode(0)
+            out += _zigzag_encode(null_idx)
             return
-        out += _zigzag_encode(1)
+        out += _zigzag_encode(1 - null_idx)
     if isinstance(typ, dict):
         kind = typ.get("type")
         if kind == "record":
@@ -280,8 +285,9 @@ def decode_avro_py(b: bytes):
     schema, codec, sync, pos = parse_avro_header(b)
     if schema.get("type") != "record":
         raise NotImplementedError("avro top-level must be a record")
-    fields = [(f["name"], *_norm_type(f["type"]))
-              for f in schema["fields"]]
+    specs = [(f["name"], *_norm_type(f["type"]))
+             for f in schema["fields"]]
+    fields = [(n, t, nl is not None) for n, t, nl in specs]
     rows = []
     while pos < len(b):
         n, pos = _zigzag_decode(b, pos)
@@ -296,10 +302,10 @@ def decode_avro_py(b: bytes):
         bp = 0
         for _ in range(n):
             row = []
-            for _name, typ, nullable in fields:
-                if nullable:
+            for _name, typ, null_idx in specs:
+                if null_idx is not None:
                     idx, bp = _zigzag_decode(block, bp)
-                    if idx == 0:          # branch order: [null, T]
+                    if idx == null_idx:   # the declared null branch
                         row.append(None)
                         continue
                 v, bp = _read_value(block, bp, typ)

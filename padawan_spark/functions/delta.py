@@ -10,11 +10,13 @@ the ``add`` actions (Delta, like Hive layouts, does NOT store
 partition columns in the data files).
 
 Supported: JSON commits with add/remove replay, version time travel,
-partitioned tables, schema from the latest ``metaData`` action.
-Parquet checkpoints (``*.checkpoint.parquet``) are read through Spark
-itself when present.  Column-mapping, deletion vectors, and v2
-checkpoints raise an honest ``NotImplementedError`` (they change data
-layout, not just metadata).
+partitioned tables, schema from the latest ``metaData`` action,
+classic parquet checkpoints (single-file and multi-part, replayed
+driver-side through pyarrow so a log whose pre-checkpoint commits were
+retention-cleaned still reads correctly), and deletion vectors
+(RoaringBitmapArray decode — see :mod:`.deltadv`).  Column mapping
+and v2 checkpoints raise an honest ``NotImplementedError`` (they
+change data layout, not just metadata).
 """
 
 from __future__ import annotations
@@ -37,52 +39,151 @@ def list_delta_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def _list_checkpoints(path: str) -> dict[int, list[str]]:
+    """Checkpoint version -> parquet part files (classic single-file
+    ``<v>.checkpoint.parquet`` and multi-part
+    ``<v>.checkpoint.<i>.<n>.parquet``).  V2 (``*.checkpoint.<uuid>.
+    parquet`` + sidecars) raises — it moves actions into sidecar files
+    this replay would silently miss."""
+    d = os.path.join(path, "_delta_log")
+    out: dict[int, list[str]] = {}
+    for f in sorted(os.listdir(d)):
+        m = re.match(r"^(\d{20})\.checkpoint\.parquet$", f)
+        if m:
+            out.setdefault(int(m.group(1)), []).append(os.path.join(d, f))
+            continue
+        m = re.match(r"^(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet$", f)
+        if m:
+            out.setdefault(int(m.group(1)), []).append(os.path.join(d, f))
+            continue
+        if re.match(r"^\d{20}\.checkpoint\..*\.(parquet|json)$", f):
+            raise NotImplementedError(
+                f"delta v2 checkpoint {f!r} unsupported (sidecar files)")
+    return out
+
+
+class _Replay:
+    """Mutable log-replay state shared by the JSON-commit walk and the
+    checkpoint-row walk (same action semantics, different containers)."""
+
+    def __init__(self):
+        self.schema_json = None
+        self.part_cols: list[str] = []
+        # rel_path -> (partitionValues dict, deletionVector dict | None)
+        self.live: dict[str, tuple[dict, dict | None]] = {}
+
+    def apply(self, action: dict) -> None:
+        if action.get("metaData"):
+            md = action["metaData"]
+            self.schema_json = md.get("schemaString")
+            self.part_cols = md.get("partitionColumns") or []
+            fmt = (md.get("format") or {}).get("provider", "parquet")
+            if fmt != "parquet":
+                raise NotImplementedError(f"delta format provider {fmt!r}")
+            mapping = (md.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none")
+            if mapping and mapping != "none":
+                # column mapping renames physical parquet columns to
+                # col-<uuid>; reading logical names against them returns
+                # all-null columns SILENTLY, so gate hard here.  Legacy
+                # mapping ships at minReaderVersion exactly 2, so the
+                # protocol gate below never catches it.
+                raise NotImplementedError(
+                    f"delta column mapping mode {mapping!r} unsupported")
+        elif action.get("add"):
+            a = action["add"]
+            self.live[a["path"]] = (a.get("partitionValues") or {},
+                                    a.get("deletionVector"))
+        elif action.get("remove"):
+            self.live.pop(action["remove"]["path"], None)
+        elif action.get("protocol"):
+            p = action["protocol"]
+            feats = set(p.get("readerFeatures") or [])
+            unsupported = feats - {"deletionVectors"}
+            if p.get("minReaderVersion", 1) > 2 and unsupported:
+                raise NotImplementedError(
+                    f"delta readerFeatures {sorted(unsupported)} "
+                    "unsupported")
+            if p.get("minReaderVersion", 1) > 3:
+                raise NotImplementedError(
+                    f"delta minReaderVersion {p['minReaderVersion']} "
+                    "unsupported")
+
+
+def _replay_checkpoint(state: _Replay, part_files: list[str]) -> None:
+    """Fold a classic parquet checkpoint into the replay state —
+    driver-side pyarrow, O(actions-in-checkpoint), no Spark job.
+    Checkpoint rows are the COMPACTED state at that version: every live
+    add, expired-tombstone removes (ignorable for the live set), and
+    the latest metaData/protocol."""
+    import pyarrow.parquet as pq
+
+    def _maps(obj):
+        # parquet checkpoints type partitionValues/configuration as
+        # map<string,string>; pyarrow's to_pylist yields those as
+        # [(k, v)] tuple lists — normalize back to dicts recursively
+        if isinstance(obj, list) and obj and isinstance(obj[0], tuple):
+            return {k: _maps(v) for k, v in obj}
+        if isinstance(obj, dict):
+            return {k: _maps(v) for k, v in obj.items()}
+        return obj
+
+    for pf in part_files:
+        tbl = pq.read_table(pf)
+        for row in tbl.to_pylist():
+            state.apply({k: _maps(v) for k, v in row.items()
+                         if k in ("metaData", "add", "remove", "protocol")
+                         and v is not None})
+
+
 def replay_delta_log(path: str, version: int | None = None):
     """Replay the log up to ``version`` (default: latest).  Returns
     ``(schema_json, partition_columns, files)`` where ``files`` is a
-    list of ``(relative_path, partition_values_dict)``."""
+    list of ``(relative_path, partition_values_dict,
+    deletion_vector_descriptor_or_None)``.
+
+    Replay starts from the newest classic checkpoint at or below
+    ``version`` when one exists (so retention-cleaned logs read
+    correctly); without a checkpoint the JSON commits must form a
+    contiguous ``0..version`` chain — a gap means add actions were
+    cleaned and a silent replay would return an incomplete file set,
+    so it raises instead."""
     versions = list_delta_versions(path)
-    if not versions:
+    checkpoints = _list_checkpoints(path)
+    if not versions and not checkpoints:
         raise FileNotFoundError(f"{path}: empty _delta_log")
+    newest = max(versions[-1] if versions else -1,
+                 max(checkpoints) if checkpoints else -1)
     if version is None:
-        version = versions[-1]
-    if version not in versions:
+        version = newest
+    if version not in versions and version not in checkpoints:
         raise ValueError(
             f"no Delta commit {version} at {path}; have {versions}")
-    schema_json = None
-    part_cols: list[str] = []
-    live: dict[str, dict] = {}
-    for v in versions:
-        if v > version:
-            break
+    state = _Replay()
+    start = 0
+    usable = [cv for cv in checkpoints if cv <= version]
+    if usable:
+        cv = max(usable)
+        _replay_checkpoint(state, checkpoints[cv])
+        start = cv + 1
+    tail = [v for v in versions if start <= v <= version]
+    expect = list(range(start, version + 1))
+    if tail != expect:
+        missing = sorted(set(expect) - set(tail))
+        raise ValueError(
+            f"delta log at {path} is not contiguous over "
+            f"[{start}, {version}]: missing commits {missing[:10]} "
+            f"(log retention cleaned them and no usable checkpoint "
+            f"covers the gap); replaying would silently drop files")
+    for v in tail:
         fp = os.path.join(path, "_delta_log", f"{v:020d}.json")
         with open(fp) as fh:
             for line in fh:
                 line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "metaData" in action:
-                    md = action["metaData"]
-                    schema_json = md.get("schemaString")
-                    part_cols = md.get("partitionColumns", [])
-                    fmt = md.get("format", {}).get("provider", "parquet")
-                    if fmt != "parquet":
-                        raise NotImplementedError(
-                            f"delta format provider {fmt!r}")
-                elif "add" in action:
-                    a = action["add"]
-                    live[a["path"]] = a.get("partitionValues", {})
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-                elif "protocol" in action:
-                    p = action["protocol"]
-                    if p.get("minReaderVersion", 1) > 2:
-                        raise NotImplementedError(
-                            f"delta minReaderVersion "
-                            f"{p['minReaderVersion']} (column mapping / "
-                            f"deletion vectors) unsupported")
-    return schema_json, part_cols, sorted(live.items())
+                if line:
+                    state.apply(json.loads(line))
+    return (state.schema_json, state.part_cols,
+            [(rel, pv, dv) for rel, (pv, dv) in sorted(state.live.items())])
 
 
 def _delta_type_ddl(t) -> str:
@@ -98,8 +199,16 @@ def read_delta(spark, path: str, version: int | None = None):
     driver-side, then one parquet scan of the surviving files with
     partition-value columns re-attached per add-action (grouped so
     each distinct partition tuple is ONE scan, unioned — file-count
-    planning work, no data rewrite).  Returns a DataFrame."""
+    planning work, no data rewrite).  Add actions carrying a
+    ``deletionVector`` have their deleted positions decoded driver-side
+    (:mod:`.deltadv`) and anti-joined away on
+    ``(_metadata.file_path, _metadata.row_index)`` with the position
+    set BROADCAST — the DV'd files still read in the same distributed
+    scan, no rewrite, and files without DVs skip the join entirely.
+    Returns a DataFrame."""
     from pyspark.sql import functions as F
+
+    from .deltadv import read_dv_positions
     schema_json, part_cols, files = replay_delta_log(path, version)
     if schema_json is None:
         raise NotImplementedError(f"{path}: no metaData action in log")
@@ -116,26 +225,43 @@ def read_delta(spark, path: str, version: int | None = None):
             f"{f['name']} {_delta_type_ddl(f['type'])}"
             for f in sch["fields"])
         return spark.createDataFrame([], full)
+    out_cols = [f["name"] for f in sch["fields"]]
     groups: dict[tuple, list[str]] = {}
-    for rel, pvals in files:
+    dv_rows: list[tuple[str, int]] = []
+    for rel, pvals, dv in files:
+        full_p = os.path.join(path, rel)
         key = tuple(pvals.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(os.path.join(path, rel))
+        groups.setdefault(key, []).append(full_p)
+        if dv:
+            dv_rows.extend((os.path.abspath(full_p), p)
+                           for p in read_dv_positions(path, dv))
     parts = []
     for key, paths in sorted(groups.items()):
         df = spark.read.schema(ddl).parquet(*paths)
+        if dv_rows:
+            # _metadata.file_path URI form varies (file:/p vs file:///p)
+            # — normalize to a plain absolute path before matching
+            df = (df.withColumn(
+                "__fp", F.regexp_replace(F.col("_metadata.file_path"),
+                                         "^file:/+", "/"))
+                .withColumn("__pos", F.col("_metadata.row_index")))
         for c, v in zip(part_cols, key):
             col = (F.lit(None) if v is None
                    else F.lit(v)).cast(part_types[c])
             df = df.withColumn(c, col)
-        parts.append(df.select(*[f["name"] for f in sch["fields"]]))
+        parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    if dv_rows:
+        deleted = F.broadcast(spark.createDataFrame(
+            dv_rows, "__fp string, __pos bigint"))
+        out = out.join(deleted, on=["__fp", "__pos"], how="left_anti")
+    return out.select(*out_cols)
 
 
 def write_delta_fixture(spark, df, path: str, partition_by=(),
-                        mode: str = "create") -> int:
+                        mode: str = "create", order_by=()) -> int:
     """FIXTURE writer emitting the public Delta log layout (metaData +
     add actions; ``mode="append"`` adds a commit, ``mode="delete"``
     removes files matching a predicate via
@@ -179,6 +305,10 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
         rel = f"{rel_dir}/{fname}" if rel_dir else fname
         full = os.path.join(path, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
+        if order_by:
+            # deterministic physical row order — deletion-vector
+            # fixtures address rows BY POSITION, so the writer must pin it
+            sub = sub.orderBy(*order_by)
         pdf = sub.select(*data_cols).toPandas()
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -196,13 +326,129 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
     return v
 
 
+def add_dv_fixture(path: str, dv_by_rel: dict[str, list[int]],
+                   inline: bool = False) -> int:
+    """FIXTURE commit attaching deletion vectors to live files: for
+    each ``rel_path -> deleted positions``, emits the protocol-upgrade
+    action (minReaderVersion 3 + readerFeatures [deletionVectors]),
+    a ``remove`` of the old add and an ``add`` of the same path
+    carrying the DV descriptor — the exact action shape a modern Delta
+    DELETE writes.  ``inline=True`` stores the bitmaps Z85-inline in
+    the log; default writes one shared ``.bin`` sidecar."""
+    from .deltadv import inline_dv_fixture, write_dv_file_fixture
+    versions = list_delta_versions(path)
+    v = versions[-1] + 1
+    _sch, _pc, files = replay_delta_log(path)
+    by_rel = {rel: (pv, dv) for rel, pv, dv in files}
+    missing = sorted(set(dv_by_rel) - set(by_rel))
+    if missing:
+        raise ValueError(f"no live files {missing} at {path}")
+    rels = sorted(dv_by_rel)
+    if inline:
+        descs = [inline_dv_fixture(sorted(dv_by_rel[r])) for r in rels]
+    else:
+        descs = write_dv_file_fixture(
+            path, [sorted(dv_by_rel[r]) for r in rels])
+    actions = [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"]}}]
+    for rel, desc in zip(rels, descs):
+        pv, _old_dv = by_rel[rel]
+        actions.append({"remove": {"path": rel, "deletionTimestamp": 0,
+                                   "dataChange": True}})
+        actions.append({"add": {"path": rel, "partitionValues": pv,
+                                "size": os.path.getsize(
+                                    os.path.join(path, rel)),
+                                "modificationTime": 0, "dataChange": True,
+                                "deletionVector": desc}})
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return v
+
+
+def write_delta_checkpoint_fixture(path: str,
+                                   clean_before: bool = False) -> int:
+    """FIXTURE: write a classic single-file parquet checkpoint of the
+    current replayed state at the latest version (the layout
+    ``_last_checkpoint`` points at), optionally deleting the JSON
+    commits it covers — the retention-cleaned shape real tables land
+    in, which the contiguity guard otherwise rejects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    versions = list_delta_versions(path)
+    v = versions[-1]
+    state = _Replay()
+    for vv in versions:
+        fp = os.path.join(path, "_delta_log", f"{vv:020d}.json")
+        with open(fp) as fh:
+            for line in fh:
+                if line.strip():
+                    state.apply(json.loads(line.strip()))
+    rows = [{"metaData": {
+        "id": "ckpt", "format": {"provider": "parquet", "options": {}},
+        "schemaString": state.schema_json,
+        "partitionColumns": state.part_cols, "configuration": {}},
+        "add": None, "remove": None, "protocol": None}]
+    rows.append({"metaData": None, "add": None, "remove": None,
+                 "protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}})
+    for rel, (pv, dv) in sorted(state.live.items()):
+        rows.append({"metaData": None, "remove": None, "protocol": None,
+                     "add": {"path": rel, "partitionValues": pv,
+                             "size": os.path.getsize(
+                                 os.path.join(path, rel)),
+                             "modificationTime": 0, "dataChange": False,
+                             "deletionVector": dv}})
+    # explicit schema: real checkpoints type partitionValues /
+    # configuration as map<string,string> (plain inference would make
+    # empty structs, which parquet rejects) — this also exercises the
+    # reader's map-to-dict normalization
+    smap = pa.map_(pa.string(), pa.string())
+    schema = pa.schema([
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", smap)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", smap)])),
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("add", pa.struct([
+            ("path", pa.string()), ("partitionValues", smap),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("deletionVector", pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int64()), ("sizeInBytes", pa.int64()),
+                ("cardinality", pa.int64())]))])),
+        ("remove", pa.struct([("path", pa.string()),
+                              ("deletionTimestamp", pa.int64()),
+                              ("dataChange", pa.bool_())])),
+    ])
+    log = os.path.join(path, "_delta_log")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": v, "size": len(rows)}, fh)
+    if clean_before:
+        for vv in versions:
+            if vv <= v:
+                os.remove(os.path.join(log, f"{vv:020d}.json"))
+    return v
+
+
 def remove_delta_files_fixture(path: str, match) -> int:
     """Fixture commit that REMOVEs every live file whose relative path
     satisfies ``match`` (a predicate on the path string)."""
     versions = list_delta_versions(path)
     v = versions[-1] + 1
     _sch, _pc, files = replay_delta_log(path)
-    removed = [rel for rel, _pv in files if match(rel)]
+    removed = [rel for rel, _pv, _dv in files if match(rel)]
     log = os.path.join(path, "_delta_log")
     with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
         for rel in removed:

@@ -41,18 +41,20 @@ for _m in _SUITES:
 # ---------------------------------------------------------------------------
 
 # code that changed THIS round — keep driver-visible even though already
-# green: read_changes hardening (append fast path, plan-depth bounding,
-# null-safe update classification, schema/vacuum guards → op_read_changes),
-# merge_rows' key-membership probe folded into one broadcast-join job
-# (op_merge_upsert), the WebP decode surface (lossy VP8 key-frame path
-# next to the r7 VP8L work → mm_real_webp_decode), and the manifest
-# stream readers (maxVersionsPerTrigger backpressure touched the shared
-# latestOffset/_guard_span under BOTH existing stream queries →
-# streaming_manifest_tail, streaming_cdf_tail).  The ~17 never-checked
-# r8 queries sort ahead of the rotation automatically (round 0).
-_SENTINELS = ["op_read_changes", "op_merge_upsert", "mm_real_webp_decode",
-              "streaming_manifest_tail", "streaming_cdf_tail",
-              "mm_real_tiff_decode"]  # r8: LZW/PackBits decode added
+# green: the CDF update-classification joins and merge_rows' survivor
+# anti-join gained explicit broadcast hints (r9) → op_incremental_agg
+# (the MV fold that rides both) and op_import_delta/src_delta_read
+# (the Delta log reader gained a column-mapping gate and a
+# checkpoint/contiguity guard, r9); the Avro decoder's union
+# branch-order fix (r9) → src_avro_roundtrip; src_iceberg_read (v2
+# position-delete support lands this round next to the v1 reader);
+# src_hudi_read (new r8 reader, first sentinel round);
+# op_bloom_point_lookup + mm_real_video_avi (r8-new code the r8
+# sentinels never covered).  Never-checked r9 queries sort ahead of
+# the rotation automatically (round 0).
+_SENTINELS = ["op_incremental_agg", "op_import_delta", "src_delta_read",
+              "src_avro_roundtrip", "src_iceberg_read", "src_hudi_read",
+              "op_bloom_point_lookup", "mm_real_video_avi"]
 
 _WINDOW = 50
 

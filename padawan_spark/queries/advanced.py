@@ -853,6 +853,70 @@ def src_delta_read(spark, sf_dir):
                                  "version int, n bigint, key_sum bigint")
 
 
+@query("src_delta_dv_read", oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DOUBLE)) AS DOUBLE), 2)
+         AS price_sum
+FROM orders
+WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 <> 0
+""")
+def src_delta_dv_read(spark, sf_dir):
+    """Delta Lake DELETION VECTORS + parquet CHECKPOINT replay (r9) —
+    the two protocol features a user of modern Delta tables (DVs are
+    default-on) hits first.  A partitioned fixture table gets a DV
+    commit marking every ``o_orderkey % 3 == 0`` row deleted BY
+    POSITION (one partition's bitmap Z85-INLINE in the log, the rest
+    in a framed ``.bin`` sidecar — both public storage types), then a
+    classic parquet checkpoint is written and the pre-checkpoint JSON
+    commits are retention-cleaned, so the read exercises checkpoint
+    replay, the protocol/readerFeatures gate, full RoaringBitmapArray
+    decode (`functions/deltadv.py`), and the broadcast anti-join on
+    ``(_metadata.file_path, _metadata.row_index)``.  The oracle
+    restates the surviving rows straight from the source table.
+    Scale shape: DV decode is O(deleted rows) driver work (inherent to
+    the format — every Delta reader does it); the data files read in
+    ONE distributed scan with the position set broadcast, no rewrite."""
+    import os
+    import tempfile
+
+    from ..functions.delta import (add_dv_fixture, read_delta,
+                                   replay_delta_log,
+                                   write_delta_checkpoint_fixture,
+                                   write_delta_fixture)
+    src = (load(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 10 == 0)
+           .select(F.col("o_orderkey").cast("bigint").alias("k"),
+                   (F.col("o_orderkey") % 4).cast("bigint").alias("g"),
+                   F.col("o_totalprice").cast("double").alias("price")))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_dv_"), "tbl")
+    write_delta_fixture(spark, src, t, partition_by=("g",),
+                        order_by=("k",))
+    # positions are row indexes within each (k-sorted) partition file
+    keys = [(int(r["g"]), int(r["k"]))
+            for r in src.select("g", "k").collect()]
+    by_g: dict[int, list[int]] = {}
+    for g, k in sorted(keys):
+        by_g.setdefault(g, []).append(k)
+    _sch, _pc, files = replay_delta_log(t)
+    rel_by_g = {int(pv["g"]): rel for rel, pv, _dv in files}
+    dv_by_rel = {}
+    for g, ks in by_g.items():
+        positions = [i for i, k in enumerate(ks) if k % 3 == 0]
+        if positions:
+            dv_by_rel[rel_by_g[g]] = positions
+    inline_rel = min(dv_by_rel)
+    add_dv_fixture(t, {inline_rel: dv_by_rel[inline_rel]}, inline=True)
+    rest = {r: p for r, p in dv_by_rel.items() if r != inline_rel}
+    if rest:
+        add_dv_fixture(t, rest)
+    write_delta_checkpoint_fixture(t, clean_before=True)
+    return read_delta(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.round(F.sum("price"), 2).alias("price_sum"))
+
+
 @query("src_iceberg_read", oracle="""
 SELECT 1 AS snapshot, COUNT(*) FILTER (WHERE n_nationkey < 15) AS n,
        CAST(SUM(n_nationkey) FILTER (WHERE n_nationkey < 15) AS BIGINT)

@@ -554,8 +554,13 @@ class ManifestCDFSource(DataSource):
 
 
 class _AvroReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.files = _avro_files(options)
+        # Catalyst binds output columns positionally to the declared
+        # schema (taken from the FIRST file) — remember its field order
+        # so schema-evolved sibling files realign by NAME instead of
+        # silently mapping values to the wrong columns
+        self.names = list(schema.names) if schema is not None else None
 
     def partitions(self):
         return [InputPartition(p) for p in self.files]
@@ -563,8 +568,21 @@ class _AvroReader(DataSourceReader):
     def read(self, partition):
         from ..functions.avro import decode_avro_py
         with open(partition.value, "rb") as fh:
-            _fields, rows = decode_avro_py(fh.read())
-        yield from rows
+            fields, rows = decode_avro_py(fh.read())
+        file_names = [n for n, _t, _nl in fields]
+        if self.names is None or file_names == self.names:
+            yield from rows
+            return
+        missing = [n for n in self.names if n not in file_names]
+        extra = [n for n in file_names if n not in self.names]
+        if missing or extra:
+            raise ValueError(
+                f"padawan_avro: {partition.value} writer schema fields "
+                f"{file_names} do not match the directory schema "
+                f"{self.names} (missing={missing}, extra={extra})")
+        order = [file_names.index(n) for n in self.names]
+        for row in rows:
+            yield tuple(row[i] for i in order)
 
 
 def _avro_files(options) -> list:
@@ -591,12 +609,26 @@ class AvroSource(DataSource):
         from ..functions.avro import (_norm_type, avro_spark_schema,
                                       parse_avro_header)
         path = _avro_files(self.options)[0]
+        # the header (embedded schema JSON) can exceed any fixed prefix
+        # — grow the read until the header parses or the file is
+        # exhausted, instead of crashing inside the varint decoder
+        size, head = 1 << 16, b""
         with open(path, "rb") as fh:
-            head = fh.read(1 << 16)
-        schema, _codec, _sync, _pos = parse_avro_header(head)
-        fields = [(f["name"], *_norm_type(f["type"]))
-                  for f in schema["fields"]]
+            while True:
+                fh.seek(0)
+                head = fh.read(size)
+                try:
+                    schema, _codec, _sync, _pos = parse_avro_header(head)
+                    break
+                except IndexError:
+                    if len(head) < size:   # whole file read, still short
+                        raise ValueError(
+                            f"padawan_avro: truncated header in {path}")
+                    size *= 4
+        fields = [(f["name"], t, nl is not None)
+                  for f in schema["fields"]
+                  for t, nl in [_norm_type(f["type"])]]
         return avro_spark_schema(fields)
 
     def reader(self, schema):
-        return _AvroReader(self.options)
+        return _AvroReader(self.options, schema)

@@ -653,6 +653,122 @@ def test_delta_log_reader_partitions_and_timetravel(spark, tmp_path):
         read_delta(spark, t, version=99)
 
 
+def test_delta_deletion_vectors_inline_and_file(spark, tmp_path):
+    """r9: DV decode (z85 + RoaringBitmapArray, both storage types)
+    filters rows BY POSITION with no data-file rewrite."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (add_dv_fixture, read_delta,
+                                               replay_delta_log,
+                                               write_delta_fixture)
+    t = str(tmp_path / "dv")
+    df = spark.range(40).select(SF.col("id").alias("k"),
+                                (SF.col("id") % 2).alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",), order_by=("k",))
+    _s, _p, files = replay_delta_log(t)
+    rel = {int(pv["g"]): r for r, pv, _dv in files}
+    # g=0 file holds k = 0,2,4,...,38 sorted; delete positions 0,1,19
+    add_dv_fixture(t, {rel[0]: [0, 1, 19]}, inline=True)
+    # g=1 file holds k = 1,3,...,39; delete position 5 (k=11) via .bin
+    add_dv_fixture(t, {rel[1]: [5]})
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    expect = sorted(set(range(40)) - {0, 2, 38, 11})
+    assert got == expect
+    # time travel to before the DVs still sees every row
+    assert read_delta(spark, t, version=0).count() == 40
+
+
+def test_delta_checkpoint_replay_and_retention_clean(spark, tmp_path):
+    """r9: classic parquet checkpoints replay driver-side; a log gap
+    without a covering checkpoint raises instead of dropping files."""
+    import os
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.delta import (
+        read_delta, remove_delta_files_fixture,
+        write_delta_checkpoint_fixture, write_delta_fixture)
+    t = str(tmp_path / "ck")
+    df = spark.range(30).select(SF.col("id").alias("k"),
+                                (SF.col("id") % 3).alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",))
+    write_delta_fixture(
+        spark, spark.range(30, 40).select(SF.col("id").alias("k"),
+                                          (SF.col("id") % 3).alias("g")),
+        t, partition_by=("g",), mode="append")
+    remove_delta_files_fixture(t, lambda rel: rel.startswith("g=1/"))
+    expect = read_delta(spark, t).count()
+    write_delta_checkpoint_fixture(t, clean_before=True)
+    assert not any(f.endswith(".json")
+                   for f in os.listdir(os.path.join(t, "_delta_log")))
+    assert read_delta(spark, t).count() == expect
+    # a gap with NO checkpoint must raise, not silently drop adds
+    t2 = str(tmp_path / "gap")
+    write_delta_fixture(spark, df, t2)
+    write_delta_fixture(spark, df.limit(5), t2, mode="append")
+    os.remove(os.path.join(t2, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="not contiguous"):
+        read_delta(spark, t2)
+
+
+def test_delta_column_mapping_gate(spark, tmp_path):
+    """r9 (advice): column mapping ships at minReaderVersion exactly 2
+    — the configuration, not the protocol version, must gate it."""
+    import json
+    import os
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.delta import read_delta, write_delta_fixture
+    t = str(tmp_path / "cm")
+    write_delta_fixture(spark, spark.range(5).select(
+        SF.col("id").alias("k")), t)
+    log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(line) for line in open(log)]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "name"}
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        read_delta(spark, t)
+
+
+def test_avro_union_branch_order_and_schema_evolution(spark, tmp_path):
+    """r9 (advice): [T,"null"] unions decode by the DECLARED null
+    branch index, and a directory of schema-evolved files realigns
+    rows by field name (or raises on a real mismatch)."""
+    import json
+    import pytest
+    from padawan_spark.functions.avro import (decode_avro_py,
+                                              encode_avro_datums,
+                                              encode_avro_py)
+    from padawan_spark.sources import register_python_sources
+    # spec-valid [T,"null"]: value 5 must decode as 5, null as None
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["long", "null"]}]}
+    blob = encode_avro_datums(schema, [{"x": 5}, {"x": None}, {"x": -7}])
+    fields, rows = decode_avro_py(blob)
+    assert rows == [(5,), (None,), (-7,)]
+    register_python_sources(spark)
+    d = tmp_path / "av"
+    d.mkdir()
+    f1 = [("a", "long", False), ("b", "string", True)]
+    (d / "p1.avro").write_bytes(encode_avro_py(f1, [(1, "x"), (2, None)]))
+    # second file: same fields, REORDERED — must realign by name
+    f2 = [("b", "string", True), ("a", "long", False)]
+    (d / "p2.avro").write_bytes(encode_avro_py(f2, [("y", 3)]))
+    got = sorted((r["a"], r["b"]) for r in spark.read
+                 .format("padawan_avro").option("path", str(d))
+                 .load().collect())
+    assert got == [(1, "x"), (2, None), (3, "y")]
+    # third file: a genuinely different field set must raise
+    (d / "p3.avro").write_bytes(encode_avro_py(
+        [("c", "long", False)], [(9,)]))
+    with pytest.raises(Exception, match="do not match"):
+        (spark.read.format("padawan_avro").option("path", str(d))
+         .load().collect())
+
+
 def test_iceberg_reader_snapshots_and_partition_reattach(spark, tmp_path):
     import pyspark.sql.functions as SF
     import pytest

@@ -789,15 +789,18 @@ def test_incremental_mv_fold_never_shuffles_the_mv(spark, tmp_path):
     # the fold localCheckpoints its result before merging (so the
     # emptiness probe and the merge share one materialization), which
     # erases the join plan downstream — intercept the checkpoint call
-    # itself and pin the plan of the frame being materialized
+    # itself and pin the plan of the frame being materialized.  The
+    # fold's checkpoint is the FIRST one fired; merge_rows checkpoints
+    # its own repartitioned regions afterwards, so only setdefault the
+    # first capture or the assertion runs against a merge-internal plan
     from pyspark.sql.classic.dataframe import DataFrame as _DF
     import padawan_spark.dataset as dsmod
     captured = {}
     real_ckpt = _DF.localCheckpoint
 
     def spy(self, eager=True):
-        captured["plan"] = \
-            self._jdf.queryExecution().executedPlan().toString()
+        captured.setdefault(
+            "plan", self._jdf.queryExecution().executedPlan().toString())
         return real_ckpt(self, eager=eager)
 
     _DF.localCheckpoint = spy
