@@ -14,9 +14,16 @@ the data files).  Metadata work is O(manifest entries) on the driver;
 the scan is one parquet job per distinct partition tuple.
 
 Supported: format v1/v2 JSON metadata, identity partition transforms,
-parquet data files, null/deflate-coded manifests.  Non-identity
-transforms (bucket/truncate/days), delete files (v2 row-level
-deletes), and ORC/Avro data files raise honest
+parquet data files, null/deflate-coded manifests, and v2 POSITION
+delete files (r9): delete manifests (``content=1`` in the manifest
+list) are walked like data manifests, their position-delete parquet
+files (``file_path``/``pos`` columns) read distributed, and the
+deleted positions anti-joined against the data rows on
+``(_metadata.file_path, _metadata.row_index)`` — position deletes
+reference data files by unique path, so path-matched application is
+exact without sequence-number bookkeeping.  Non-identity transforms
+(bucket/truncate/days), EQUALITY delete files (which do need
+sequence-number scoping), and ORC/Avro data files raise honest
 ``NotImplementedError``.
 """
 
@@ -74,9 +81,10 @@ def _ice_type_ddl(t) -> str:
 
 def live_data_files(path: str, snapshot_id: int | None = None):
     """Resolve the live data files of a snapshot.  Returns
-    ``(schema_fields, partition_fields, files)`` with ``files`` as
-    ``[(abs_path, partition_dict)]`` and ``partition_fields`` the
-    identity-source field names in spec order."""
+    ``(schema_fields, partition_fields, files, delete_files)`` with
+    ``files`` as ``[(abs_path, partition_dict)]``, ``partition_fields``
+    the identity-source field names in spec order, and ``delete_files``
+    the snapshot's POSITION-delete parquet paths (absolute)."""
     from .avro import decode_avro_datums
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
@@ -114,12 +122,12 @@ def live_data_files(path: str, snapshot_id: int | None = None):
     mlist_path = _resolve(snap["manifest-list"], path)
     with open(mlist_path, "rb") as fh:
         _s, manifests = decode_avro_datums(fh.read())
-    files = []
+    files, delete_files = [], []
     for m in manifests:
-        if m.get("content", 0) not in (0, None):
+        content = m.get("content", 0) or 0
+        if content not in (0, 1):
             raise NotImplementedError(
-                "iceberg delete manifests (v2 row-level deletes) "
-                "unsupported")
+                f"iceberg manifest content {content} unsupported")
         mpath = _resolve(m["manifest_path"], path)
         with open(mpath, "rb") as fh:
             _s2, entries = decode_avro_datums(fh.read())
@@ -131,17 +139,34 @@ def live_data_files(path: str, snapshot_id: int | None = None):
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg data file format {fmt!r}")
+            fcontent = df_.get("content", 0) or 0
+            if content == 1 or fcontent:
+                if fcontent == 2:
+                    raise NotImplementedError(
+                        "iceberg equality deletes unsupported "
+                        "(need sequence-number scoping)")
+                if fcontent != 1:
+                    raise NotImplementedError(
+                        f"iceberg delete-file content {fcontent}")
+                delete_files.append(_resolve(df_["file_path"], path))
+                continue
             part = df_.get("partition") or {}
             files.append((_resolve(df_["file_path"], path), dict(part)))
-    return fields, part_fields, sorted(files)
+    return fields, part_fields, sorted(files), sorted(delete_files)
 
 
 def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     """Scan an Iceberg table at a snapshot (default: current).
     Identity partition values are re-attached per data file, grouped
-    so each distinct partition tuple is one parquet scan."""
+    so each distinct partition tuple is one parquet scan.  Position
+    deletes (v2) read as their own distributed parquet scan and
+    anti-join the data rows on ``(file path, row position)`` — the
+    delete set stays distributed (never collected), AQE picks
+    broadcast when it is small, and tables without delete files skip
+    the join entirely."""
     from pyspark.sql import functions as F
-    fields, part_fields, files = live_data_files(path, snapshot_id)
+    fields, part_fields, files, delete_files = live_data_files(
+        path, snapshot_id)
     ddl_all = ", ".join(f"{n} {t}" for n, t in fields)
     if not files:
         return spark.createDataFrame([], ddl_all)
@@ -152,17 +177,35 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     for p, pvals in files:
         key = tuple(pvals.get(c) for c in part_fields)
         groups.setdefault(key, []).append(p)
+    # file_path values inside position-delete files are URIs/relative
+    # paths as the writer recorded them — normalize both sides to a
+    # plain absolute path with Spark expressions (stays distributed)
+    def _norm(col):
+        c = F.regexp_replace(col, "^file:/+", "/")
+        return F.when(c.startswith("/"), c).otherwise(
+            F.concat(F.lit(os.path.abspath(path) + "/"), c))
+
     parts = []
     for key, paths in sorted(groups.items()):
         df = spark.read.schema(data_ddl).parquet(*paths)
+        if delete_files:
+            df = (df.withColumn("__fp",
+                                _norm(F.col("_metadata.file_path")))
+                  .withColumn("__pos", F.col("_metadata.row_index")))
         for c, v in zip(part_fields, key):
             df = df.withColumn(c, (F.lit(None) if v is None
                                    else F.lit(v)).cast(types[c]))
-        parts.append(df.select(*[n for n, _t in fields]))
+        parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    if delete_files:
+        dels = (spark.read.schema("file_path string, pos bigint")
+                .parquet(*delete_files)
+                .select(_norm(F.col("file_path")).alias("__fp"),
+                        F.col("pos").alias("__pos")))
+        out = out.join(dels, on=["__fp", "__pos"], how="left_anti")
+    return out.select(*[n for n, _t in fields])
 
 
 # ---------------------------------------------------------------------------
@@ -209,14 +252,21 @@ _MLIST_SCHEMA = {"type": "record", "name": "manifest_file", "fields": [
 
 def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                           append_to_snapshot: int | None = None,
-                          delete_partition=None) -> int:
+                          delete_partition=None,
+                          delete_positions=None,
+                          order_by=()) -> int:
     """Create or extend a spec-layout Iceberg table.  Each call makes
     ONE new snapshot: the base file set is the previous snapshot's
     (empty on create), minus files whose partition dict matches
     ``delete_partition`` (emitted as status=2 DELETED entries in the
     new manifest), plus ``df``'s rows as new parquet files (one per
     distinct partition tuple; pass ``df=None`` for a delete-only
-    snapshot).  Returns the new snapshot id."""
+    snapshot).  ``delete_positions`` (``{table-relative data path:
+    [row positions]}``) emits a v2 POSITION-delete parquet file and a
+    delete manifest (``content=1`` manifest-list row) — the shape a
+    merge-on-read DELETE writes; previous delete files carry forward.
+    ``order_by`` pins physical row order inside data files so
+    positions are deterministic.  Returns the new snapshot id."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -263,12 +313,12 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                   if s.get("schema-id", 0) == sid)
     types = {f["name"]: _ice_type_ddl(f["type"])
              for f in schema["fields"]}
-    prev_files = []
+    prev_files, prev_deletes = [], []
     if meta["snapshots"]:
         base = (append_to_snapshot
                 if append_to_snapshot is not None
                 else meta["current-snapshot-id"])
-        _f, _p, prev_files = live_data_files(path, base)
+        _f, _p, prev_files, prev_deletes = live_data_files(path, base)
     snap_id = len(meta["snapshots"]) + 1
     entries = []
     for p, pvals in prev_files:
@@ -294,6 +344,8 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             sub = df
             for c, v in zip(part_fields, key):
                 sub = sub.where(sub[c].eqNullSafe(v))
+            if order_by:
+                sub = sub.orderBy(*order_by)
             rel = f"data/snap{snap_id}-{ki}.parquet"
             full = os.path.join(path, rel)
             pdf = sub.select(*data_cols).toPandas()
@@ -308,18 +360,59 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                                 "record_count": pdf.shape[0],
                                 "file_size_in_bytes":
                                     os.path.getsize(full)}})
+    # delete manifest: carried-forward position-delete files + any new
+    # delete_positions parquet (columns file_path/pos per the v2 spec)
+    del_entries = []
+    for p in prev_deletes:
+        del_entries.append({"status": 0, "snapshot_id": snap_id,
+                            "data_file": {
+                                "content": 1,
+                                "file_path": os.path.relpath(p, path),
+                                "file_format": "PARQUET",
+                                "partition": {}, "record_count": 0,
+                                "file_size_in_bytes":
+                                    os.path.getsize(p)}})
+    if delete_positions:
+        rows = [(rel, int(pos))
+                for rel in sorted(delete_positions)
+                for pos in sorted(delete_positions[rel])]
+        drel = f"data/pos-del-snap{snap_id}.parquet"
+        dfull = os.path.join(path, drel)
+        pq.write_table(pa.table(
+            {"file_path": [r[0] for r in rows],
+             "pos": [r[1] for r in rows]}), dfull)
+        del_entries.append({"status": 1, "snapshot_id": snap_id,
+                            "data_file": {
+                                "content": 1, "file_path": drel,
+                                "file_format": "PARQUET",
+                                "partition": {},
+                                "record_count": len(rows),
+                                "file_size_in_bytes":
+                                    os.path.getsize(dfull)}})
     msch = _manifest_schema(part_fields, types)
     mrel = f"metadata/manifest-{snap_id}.avro"
     with open(os.path.join(path, mrel), "wb") as fh:
         fh.write(encode_avro_datums(msch, entries, codec="deflate"))
+    mlist_rows = [{
+        "manifest_path": mrel,
+        "manifest_length": os.path.getsize(os.path.join(path, mrel)),
+        "partition_spec_id": 0, "content": 0,
+        "added_snapshot_id": snap_id}]
+    if del_entries:
+        dmsch = _manifest_schema([], types)
+        dmrel = f"metadata/delete-manifest-{snap_id}.avro"
+        with open(os.path.join(path, dmrel), "wb") as fh:
+            fh.write(encode_avro_datums(dmsch, del_entries,
+                                        codec="deflate"))
+        mlist_rows.append({
+            "manifest_path": dmrel,
+            "manifest_length": os.path.getsize(
+                os.path.join(path, dmrel)),
+            "partition_spec_id": 0, "content": 1,
+            "added_snapshot_id": snap_id})
     mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
     with open(os.path.join(path, mlist_rel), "wb") as fh:
-        fh.write(encode_avro_datums(_MLIST_SCHEMA, [{
-            "manifest_path": mrel,
-            "manifest_length": os.path.getsize(
-                os.path.join(path, mrel)),
-            "partition_spec_id": 0, "content": 0,
-            "added_snapshot_id": snap_id}]))
+        fh.write(encode_avro_datums(_MLIST_SCHEMA, mlist_rows))
     meta["snapshots"].append({"snapshot-id": snap_id,
                               "sequence-number": snap_id,
                               "timestamp-ms": 0,

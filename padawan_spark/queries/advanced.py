@@ -966,6 +966,63 @@ def src_iceberg_read(spark, sf_dir):
         out, "snapshot int, n bigint, key_sum bigint")
 
 
+@query("src_iceberg_v2_deletes", oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       COUNT(DISTINCT o_orderkey % 4) AS n_groups
+FROM orders
+WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 <> 0
+""")
+def src_iceberg_v2_deletes(spark, sf_dir):
+    """Iceberg format-v2 POSITION DELETES (r9) — the most-hit real
+    interop gap after the v1 reader: a merge-on-read DELETE writes a
+    delete manifest (``content=1`` manifest-list row) pointing at
+    position-delete parquet files (``file_path``/``pos`` columns),
+    which the reader must anti-join against data rows by (file, row
+    position).  The fixture builds a partitioned table (deterministic
+    in-file row order), commits a position-delete snapshot marking
+    every ``o_orderkey % 3 == 0`` row deleted, and a SECOND delete
+    snapshot on another partition to prove delete files carry forward
+    across snapshots.  The oracle restates the surviving rows from the
+    source table.  Scale shape: delete files read as their own
+    distributed parquet scan and anti-join on
+    ``(_metadata.file_path, _metadata.row_index)`` — never collected,
+    AQE broadcasts when small; data files are never rewritten."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import read_iceberg, write_iceberg_fixture
+    src = (load(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 10 == 0)
+           .select(F.col("o_orderkey").cast("bigint").alias("k"),
+                   (F.col("o_orderkey") % 4).cast("bigint").alias("g")))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_icev2_"), "tbl")
+    write_iceberg_fixture(spark, src, t, partition_by=("g",),
+                          order_by=("k",))
+    by_g: dict[int, list[int]] = {}
+    for g, k in sorted((int(r["g"]), int(r["k"]))
+                       for r in src.select("g", "k").collect()):
+        by_g.setdefault(g, []).append(k)
+    # data files are data/snap1-<ki>.parquet in sorted-group order
+    rel_by_g = {g: f"data/snap1-{ki}.parquet"
+                for ki, g in enumerate(sorted(by_g))}
+    dels = {g: [i for i, k in enumerate(ks) if k % 3 == 0]
+            for g, ks in by_g.items()}
+    first = min(g for g, p in dels.items() if p)
+    write_iceberg_fixture(
+        spark, None, t, partition_by=("g",),
+        delete_positions={rel_by_g[first]: dels[first]})
+    rest = {rel_by_g[g]: p for g, p in dels.items()
+            if g != first and p}
+    if rest:
+        write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                              delete_positions=rest)
+    return read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.countDistinct("g").alias("n_groups"))
+
+
 @query("src_hudi_read", oracle="""
 SELECT 1 AS instant, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

@@ -797,6 +797,62 @@ def test_iceberg_reader_snapshots_and_partition_reattach(spark, tmp_path):
         read_iceberg(spark, t, snapshot_id=999)
 
 
+def test_iceberg_v2_position_deletes(spark, tmp_path):
+    """r9: delete manifests (content=1) route to position-delete
+    parquet files that anti-join rows away by (file, position); delete
+    files carry forward across snapshots; equality deletes gate."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (live_data_files,
+                                                 read_iceberg,
+                                                 write_iceberg_fixture)
+    t = str(tmp_path / "icev2")
+    df = spark.range(30).select(SF.col("id").alias("k"),
+                                (SF.col("id") % 2).alias("g"))
+    s1 = write_iceberg_fixture(spark, df, t, partition_by=("g",),
+                               order_by=("k",))
+    # g=0 file (data/snap1-0.parquet) holds k=0,2,...,28: delete
+    # positions 0 and 14 (k=0, k=28)
+    s2 = write_iceberg_fixture(
+        spark, None, t, partition_by=("g",),
+        delete_positions={"data/snap1-0.parquet": [0, 14]})
+    # second delete snapshot on the OTHER partition — first must carry
+    s3 = write_iceberg_fixture(
+        spark, None, t, partition_by=("g",),
+        delete_positions={"data/snap1-1.parquet": [1]})   # k=3
+    assert read_iceberg(spark, t, snapshot_id=s1).count() == 30
+    got2 = sorted(r["k"] for r in
+                  read_iceberg(spark, t, snapshot_id=s2).collect())
+    assert got2 == sorted(set(range(30)) - {0, 28})
+    got3 = sorted(r["k"] for r in
+                  read_iceberg(spark, t, snapshot_id=s3).collect())
+    assert got3 == sorted(set(range(30)) - {0, 28, 3})
+    _f, _p, files, dels = live_data_files(t, s3)
+    assert len(files) == 2 and len(dels) == 2   # both delete files live
+    # appending data after deletes keeps them applied
+    write_iceberg_fixture(spark, spark.range(100, 104).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("g",), order_by=("k",))
+    assert read_iceberg(spark, t).count() == 27 + 4
+    # equality deletes raise honestly
+    import json
+    import os
+    import re
+    from padawan_spark.functions.avro import (decode_avro_datums,
+                                              encode_avro_datums)
+    mdir = os.path.join(t, "metadata")
+    dm = sorted(f for f in os.listdir(mdir)
+                if f.startswith("delete-manifest-"))[0]
+    with open(os.path.join(mdir, dm), "rb") as fh:
+        sch, rows = decode_avro_datums(fh.read())
+    for r in rows:
+        r["data_file"]["content"] = 2
+    with open(os.path.join(mdir, dm), "wb") as fh:
+        fh.write(encode_avro_datums(sch, rows))
+    with pytest.raises(NotImplementedError, match="equality deletes"):
+        read_iceberg(spark, t, snapshot_id=s2).count()
+
+
 def test_hudi_cow_reader_file_group_supersede(spark, tmp_path):
     import json
     import os
