@@ -14,9 +14,14 @@ partitioned tables, schema from the latest ``metaData`` action,
 classic parquet checkpoints (single-file and multi-part, replayed
 driver-side through pyarrow so a log whose pre-checkpoint commits were
 retention-cleaned still reads correctly), and deletion vectors
-(RoaringBitmapArray decode — see :mod:`.deltadv`).  Column mapping
-and v2 checkpoints raise an honest ``NotImplementedError`` (they
-change data layout, not just metadata).
+(RoaringBitmapArray decode — see :mod:`.deltadv`), and ``name``-mode
+column mapping (physical ``col-<uuid>`` parquet columns aliased back
+to logical names via the schemaString's per-field
+``delta.columnMapping.physicalName`` metadata; partition columns and
+partitionValues are physically keyed too).  ``id``-mode mapping
+(parquet field-id matching) and v2 checkpoints raise an honest
+``NotImplementedError`` (they change data layout in ways a schema-DDL
+read cannot honor).
 """
 
 from __future__ import annotations
@@ -69,6 +74,7 @@ class _Replay:
     def __init__(self):
         self.schema_json = None
         self.part_cols: list[str] = []
+        self.mapping_mode = "none"
         # rel_path -> (partitionValues dict, deletionVector dict | None)
         self.live: dict[str, tuple[dict, dict | None]] = {}
 
@@ -81,15 +87,17 @@ class _Replay:
             if fmt != "parquet":
                 raise NotImplementedError(f"delta format provider {fmt!r}")
             mapping = (md.get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none")
-            if mapping and mapping != "none":
-                # column mapping renames physical parquet columns to
-                # col-<uuid>; reading logical names against them returns
-                # all-null columns SILENTLY, so gate hard here.  Legacy
-                # mapping ships at minReaderVersion exactly 2, so the
-                # protocol gate below never catches it.
+                "delta.columnMapping.mode", "none") or "none"
+            if mapping not in ("none", "name"):
+                # 'id' mode matches by parquet field ids, which a
+                # schema-DDL read cannot honor; reading logical names
+                # against col-<uuid> files returns all-null columns
+                # SILENTLY, so gate hard.  Legacy mapping ships at
+                # minReaderVersion exactly 2, so the protocol gate
+                # below never catches it.
                 raise NotImplementedError(
                     f"delta column mapping mode {mapping!r} unsupported")
+            self.mapping_mode = mapping
         elif action.get("add"):
             a = action["add"]
             self.live[a["path"]] = (a.get("partitionValues") or {},
@@ -138,9 +146,11 @@ def _replay_checkpoint(state: _Replay, part_files: list[str]) -> None:
 
 def replay_delta_log(path: str, version: int | None = None):
     """Replay the log up to ``version`` (default: latest).  Returns
-    ``(schema_json, partition_columns, files)`` where ``files`` is a
-    list of ``(relative_path, partition_values_dict,
-    deletion_vector_descriptor_or_None)``.
+    ``(schema_json, partition_columns, files, column_mapping_mode)``
+    where ``files`` is a list of ``(relative_path,
+    partition_values_dict, deletion_vector_descriptor_or_None)`` and
+    ``column_mapping_mode`` is ``"none"`` or ``"name"`` (``"id"``
+    gates).
 
     Replay starts from the newest classic checkpoint at or below
     ``version`` when one exists (so retention-cleaned logs read
@@ -183,7 +193,8 @@ def replay_delta_log(path: str, version: int | None = None):
                 if line:
                     state.apply(json.loads(line))
     return (state.schema_json, state.part_cols,
-            [(rel, pv, dv) for rel, (pv, dv) in sorted(state.live.items())])
+            [(rel, pv, dv) for rel, (pv, dv) in sorted(state.live.items())],
+            state.mapping_mode)
 
 
 def _delta_type_ddl(t) -> str:
@@ -209,17 +220,38 @@ def read_delta(spark, path: str, version: int | None = None):
     from pyspark.sql import functions as F
 
     from .deltadv import read_dv_positions
-    schema_json, part_cols, files = replay_delta_log(path, version)
+    schema_json, part_cols, files, mapping = replay_delta_log(
+        path, version)
     if schema_json is None:
         raise NotImplementedError(f"{path}: no metaData action in log")
     sch = json.loads(schema_json)
+
+    def _phys(f) -> str:
+        # 'name'-mode column mapping: parquet files carry col-<uuid>
+        # physical names recorded per field in the schemaString
+        # metadata; partitionValues and partitionColumns are ALSO keyed
+        # physically.  Read physical, alias back to logical.
+        if mapping == "name":
+            pn = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName")
+            if not pn:
+                raise NotImplementedError(
+                    f"column-mapped table field {f['name']!r} lacks "
+                    "delta.columnMapping.physicalName metadata")
+            return pn
+        return f["name"]
+
+    phys = {f["name"]: _phys(f) for f in sch["fields"]}
+    # partitionColumns in a mapped table are physical names
+    logical_parts = [next((ln for ln, pn in phys.items() if pn == c), c)
+                     for c in part_cols]
     data_fields = [f for f in sch["fields"]
-                   if f["name"] not in part_cols]
+                   if f["name"] not in logical_parts]
     ddl = ", ".join(
-        f"{f['name']} {_delta_type_ddl(f['type'])}"
+        f"`{phys[f['name']]}` {_delta_type_ddl(f['type'])}"
         for f in data_fields)
     part_types = {f["name"]: _delta_type_ddl(f["type"])
-                  for f in sch["fields"] if f["name"] in part_cols}
+                  for f in sch["fields"] if f["name"] in logical_parts}
     if not files:
         full = ", ".join(
             f"{f['name']} {_delta_type_ddl(f['type'])}"
@@ -230,6 +262,7 @@ def read_delta(spark, path: str, version: int | None = None):
     dv_rows: list[tuple[str, int]] = []
     for rel, pvals, dv in files:
         full_p = os.path.join(path, rel)
+        # partitionValues keys are physical names in a mapped table
         key = tuple(pvals.get(c) for c in part_cols)
         groups.setdefault(key, []).append(full_p)
         if dv:
@@ -238,6 +271,10 @@ def read_delta(spark, path: str, version: int | None = None):
     parts = []
     for key, paths in sorted(groups.items()):
         df = spark.read.schema(ddl).parquet(*paths)
+        # alias physical data columns back to their logical names
+        for f in data_fields:
+            if phys[f["name"]] != f["name"]:
+                df = df.withColumnRenamed(phys[f["name"]], f["name"])
         if dv_rows:
             # _metadata.file_path URI form varies (file:/p vs file:///p)
             # — normalize to a plain absolute path before matching
@@ -245,7 +282,7 @@ def read_delta(spark, path: str, version: int | None = None):
                 "__fp", F.regexp_replace(F.col("_metadata.file_path"),
                                          "^file:/+", "/"))
                 .withColumn("__pos", F.col("_metadata.row_index")))
-        for c, v in zip(part_cols, key):
+        for c, v in zip(logical_parts, key):
             col = (F.lit(None) if v is None
                    else F.lit(v)).cast(part_types[c])
             df = df.withColumn(c, col)
@@ -261,14 +298,20 @@ def read_delta(spark, path: str, version: int | None = None):
 
 
 def write_delta_fixture(spark, df, path: str, partition_by=(),
-                        mode: str = "create", order_by=()) -> int:
+                        mode: str = "create", order_by=(),
+                        column_mapping: bool = False) -> int:
     """FIXTURE writer emitting the public Delta log layout (metaData +
     add actions; ``mode="append"`` adds a commit, ``mode="delete"``
     removes files matching a predicate via
-    :func:`delete_delta_fixture`).  This is a test-double for an
-    upstream Delta writer — it does NOT implement the optimistic
-    commit protocol; its output is spec-layout logs for the READER to
-    be verified against.  Returns the committed version."""
+    :func:`delete_delta_fixture`).  ``column_mapping=True`` emits a
+    ``name``-mode mapped table — ``col-<uuid>`` physical parquet
+    columns, per-field physicalName metadata, physically-keyed
+    partitionColumns/partitionValues, at minReaderVersion exactly 2
+    (the legacy form the protocol-version gate can never catch).
+    This is a test-double for an upstream Delta writer — it does NOT
+    implement the optimistic commit protocol; its output is
+    spec-layout logs for the READER to be verified against.  Returns
+    the committed version."""
     import uuid
     part_cols = list(partition_by)
     log = os.path.join(path, "_delta_log")
@@ -279,18 +322,36 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
         versions = []
     v = (versions[-1] + 1) if versions else 0
     data_cols = [c for c in df.columns if c not in part_cols]
+    phys = {c: (f"col-{uuid.uuid5(uuid.NAMESPACE_URL, c).hex[:12]}"
+                if column_mapping else c) for c in df.columns}
     actions = []
     if v == 0:
         schema = {"type": "struct", "fields": [
             {"name": c, "type": dict(df.dtypes)[c], "nullable": True,
-             "metadata": {}} for c in df.columns]}
-        actions.append({"protocol": {"minReaderVersion": 1,
-                                     "minWriterVersion": 2}})
+             "metadata": ({"delta.columnMapping.id": i + 1,
+                           "delta.columnMapping.physicalName": phys[c]}
+                          if column_mapping else {})}
+            for i, c in enumerate(df.columns)]}
+        conf = ({"delta.columnMapping.mode": "name",
+                 "delta.columnMapping.maxColumnId": str(len(df.columns))}
+                if column_mapping else {})
+        actions.append({"protocol": {
+            "minReaderVersion": 2 if column_mapping else 1,
+            "minWriterVersion": 5 if column_mapping else 2}})
         actions.append({"metaData": {
             "id": uuid.uuid4().hex, "format": {"provider": "parquet",
                                                "options": {}},
             "schemaString": json.dumps(schema),
-            "partitionColumns": part_cols, "configuration": {}}})
+            "partitionColumns": [phys[c] for c in part_cols],
+            "configuration": conf}})
+    else:
+        # appending: honor the table's existing mapping so physical
+        # column names stay consistent across commits
+        sch_json, _pc, _files, mm = replay_delta_log(path)
+        if mm == "name":
+            phys = {f["name"]: f["metadata"]
+                    ["delta.columnMapping.physicalName"]
+                    for f in json.loads(sch_json)["fields"]}
     if part_cols:
         keys = [tuple(r) for r in
                 df.select(*part_cols).distinct().collect()]
@@ -310,13 +371,14 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
             # fixtures address rows BY POSITION, so the writer must pin it
             sub = sub.orderBy(*order_by)
         pdf = sub.select(*data_cols).toPandas()
+        pdf.columns = [phys[c] for c in data_cols]   # physical names
         import pyarrow as pa
         import pyarrow.parquet as pq
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                        full)
         actions.append({"add": {
             "path": rel, "partitionValues": {
-                c: (None if v_ is None else str(v_))
+                phys[c]: (None if v_ is None else str(v_))
                 for c, v_ in zip(part_cols, key)},
             "size": os.path.getsize(full),
             "modificationTime": 0, "dataChange": True}})
@@ -338,7 +400,7 @@ def add_dv_fixture(path: str, dv_by_rel: dict[str, list[int]],
     from .deltadv import inline_dv_fixture, write_dv_file_fixture
     versions = list_delta_versions(path)
     v = versions[-1] + 1
-    _sch, _pc, files = replay_delta_log(path)
+    _sch, _pc, files, _mm = replay_delta_log(path)
     by_rel = {rel: (pv, dv) for rel, pv, dv in files}
     missing = sorted(set(dv_by_rel) - set(by_rel))
     if missing:
@@ -447,7 +509,7 @@ def remove_delta_files_fixture(path: str, match) -> int:
     satisfies ``match`` (a predicate on the path string)."""
     versions = list_delta_versions(path)
     v = versions[-1] + 1
-    _sch, _pc, files = replay_delta_log(path)
+    _sch, _pc, files, _mm = replay_delta_log(path)
     removed = [rel for rel, _pv, _dv in files if match(rel)]
     log = os.path.join(path, "_delta_log")
     with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:

@@ -898,7 +898,7 @@ def src_delta_dv_read(spark, sf_dir):
     by_g: dict[int, list[int]] = {}
     for g, k in sorted(keys):
         by_g.setdefault(g, []).append(k)
-    _sch, _pc, files = replay_delta_log(t)
+    _sch, _pc, files, _mm = replay_delta_log(t)
     rel_by_g = {int(pv["g"]): rel for rel, pv, _dv in files}
     dv_by_rel = {}
     for g, ks in by_g.items():

@@ -49,6 +49,31 @@ def test_doc_counts_match_registry():
                            f"but the registry has {n}")
 
 
+def test_doc_pytest_count_matches_collection():
+    """r9 (VERDICT r8 task 6): COVERAGE.md quotes the pytest collection
+    size; it drifted in r8 (claimed 154, actual 172).  Pin the
+    documented count to `pytest --collect-only -q` reality so adding
+    tests without refreshing the doc fails here instead of shipping a
+    stale number."""
+    import re
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only",
+         "-q", "--no-header", "-p", "no:cacheprovider"],
+        cwd=_ROOT, capture_output=True, text=True, timeout=300)
+    m = re.search(r"(\d+) tests collected", out.stdout)
+    assert m, f"could not parse collection output: {out.stdout[-500:]}"
+    actual = int(m.group(1))
+    text = open(os.path.join(_ROOT, "COVERAGE.md")).read()
+    doc = re.search(r"(\d+) collected pytest tests", text)
+    assert doc, "COVERAGE.md must quote the collected-test count"
+    assert int(doc.group(1)) == actual, (
+        f"COVERAGE.md claims {doc.group(1)} collected pytest tests but "
+        f"collection finds {actual} — refresh the doc")
+
+
 def test_scale_smoke_sf1_table_matches_headline_set():
     """r8 (VERDICT task 8): the formal sf1 table in SCALE_SMOKE.md must
     cover exactly bench.py's HEADLINE set, and its quoted totals must be

@@ -664,7 +664,7 @@ def test_delta_deletion_vectors_inline_and_file(spark, tmp_path):
     df = spark.range(40).select(SF.col("id").alias("k"),
                                 (SF.col("id") % 2).alias("g"))
     write_delta_fixture(spark, df, t, partition_by=("g",), order_by=("k",))
-    _s, _p, files = replay_delta_log(t)
+    _s, _p, files, _mm = replay_delta_log(t)
     rel = {int(pv["g"]): r for r, pv, _dv in files}
     # g=0 file holds k = 0,2,4,...,38 sorted; delete positions 0,1,19
     add_dv_fixture(t, {rel[0]: [0, 1, 19]}, inline=True)
@@ -709,9 +709,42 @@ def test_delta_checkpoint_replay_and_retention_clean(spark, tmp_path):
         read_delta(spark, t2)
 
 
+def test_delta_column_mapping_name_mode_reads(spark, tmp_path):
+    """r9: 'name'-mode column mapping reads for real — physical
+    col-<uuid> parquet columns alias back to logical names, physically
+    keyed partitionColumns/partitionValues resolve, appends stay
+    consistent."""
+    import glob
+    import os
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import read_delta, write_delta_fixture
+    t = str(tmp_path / "cmname")
+    df = spark.range(20).select(SF.col("id").alias("k"),
+                                (SF.col("id") % 2).alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",),
+                        column_mapping=True)
+    write_delta_fixture(spark, spark.range(20, 26).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("g",), mode="append")
+    # prove the fixture is genuinely mapped: no parquet file carries a
+    # logical column name
+    for f in glob.glob(os.path.join(t, "**", "*.parquet"),
+                       recursive=True):
+        names = pq.read_schema(f).names
+        assert "k" not in names and "g" not in names
+        assert all(n.startswith("col-") for n in names)
+    cur = read_delta(spark, t)
+    assert sorted(cur.columns) == ["g", "k"]
+    assert cur.count() == 26
+    assert cur.where("k % 2 != g").count() == 0   # partition re-attach
+    assert read_delta(spark, t, version=0).count() == 20
+
+
 def test_delta_column_mapping_gate(spark, tmp_path):
-    """r9 (advice): column mapping ships at minReaderVersion exactly 2
-    — the configuration, not the protocol version, must gate it."""
+    """r9 (advice): 'id'-mode column mapping ships at minReaderVersion
+    exactly 2 — the configuration, not the protocol version, must gate
+    it (name mode is SUPPORTED, see the test above)."""
     import json
     import os
     import pyspark.sql.functions as SF
@@ -725,7 +758,7 @@ def test_delta_column_mapping_gate(spark, tmp_path):
     for a in lines:
         if "metaData" in a:
             a["metaData"]["configuration"] = {
-                "delta.columnMapping.mode": "name"}
+                "delta.columnMapping.mode": "id"}
     with open(log, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")
