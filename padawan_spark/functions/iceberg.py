@@ -21,10 +21,15 @@ files (``file_path``/``pos`` columns) read distributed, and the
 deleted positions anti-joined against the data rows on
 ``(_metadata.file_path, _metadata.row_index)`` — position deletes
 reference data files by unique path, so path-matched application is
-exact without sequence-number bookkeeping.  Non-identity transforms
-(bucket/truncate/days), EQUALITY delete files (which do need
-sequence-number scoping), and ORC/Avro data files raise honest
-``NotImplementedError``.
+exact without sequence-number bookkeeping.  v2 EQUALITY delete files
+(r9, ``content=2``): manifest-entry sequence numbers (inherited from
+the manifest-list row when null, per the spec's v2 inheritance rule)
+scope each delete to data files with STRICTLY SMALLER sequence
+numbers, so rows re-inserted in the same or a later commit survive;
+application is one null-safe anti-join per distinct ``equality_ids``
+set with the data-file sequence number attached as a literal column.
+Non-identity transforms (bucket/truncate/days) and ORC/Avro data
+files raise honest ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -82,9 +87,12 @@ def _ice_type_ddl(t) -> str:
 def live_data_files(path: str, snapshot_id: int | None = None):
     """Resolve the live data files of a snapshot.  Returns
     ``(schema_fields, partition_fields, files, delete_files)`` with
-    ``files`` as ``[(abs_path, partition_dict)]``, ``partition_fields``
-    the identity-source field names in spec order, and ``delete_files``
-    the snapshot's POSITION-delete parquet paths (absolute)."""
+    ``files`` as ``[(abs_path, partition_dict, sequence_number)]``,
+    ``partition_fields`` the identity-source field names in spec
+    order, and ``delete_files`` as ``[(abs_path, content,
+    sequence_number, equality_col_names_or_None)]`` for the
+    snapshot's POSITION (content=1) and EQUALITY (content=2) delete
+    parquet files."""
     from .avro import decode_avro_datums
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
@@ -139,31 +147,49 @@ def live_data_files(path: str, snapshot_id: int | None = None):
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg data file format {fmt!r}")
+            # v2 sequence-number inheritance: a null entry seq means
+            # "the sequence number of the commit that added this
+            # manifest" — taken from the manifest-list row
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number") or 0
             fcontent = df_.get("content", 0) or 0
             if content == 1 or fcontent:
                 if fcontent == 2:
-                    raise NotImplementedError(
-                        "iceberg equality deletes unsupported "
-                        "(need sequence-number scoping)")
+                    eq_ids = df_.get("equality_ids") or []
+                    eq_names = [by_id[i] for i in eq_ids]
+                    if not eq_names:
+                        raise NotImplementedError(
+                            "iceberg equality delete without "
+                            "equality_ids")
+                    delete_files.append(
+                        (_resolve(df_["file_path"], path), 2,
+                         int(seq), tuple(eq_names)))
+                    continue
                 if fcontent != 1:
                     raise NotImplementedError(
                         f"iceberg delete-file content {fcontent}")
-                delete_files.append(_resolve(df_["file_path"], path))
+                delete_files.append(
+                    (_resolve(df_["file_path"], path), 1,
+                     int(seq), None))
                 continue
             part = df_.get("partition") or {}
-            files.append((_resolve(df_["file_path"], path), dict(part)))
+            files.append((_resolve(df_["file_path"], path),
+                          dict(part), int(seq)))
     return fields, part_fields, sorted(files), sorted(delete_files)
 
 
 def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     """Scan an Iceberg table at a snapshot (default: current).
     Identity partition values are re-attached per data file, grouped
-    so each distinct partition tuple is one parquet scan.  Position
-    deletes (v2) read as their own distributed parquet scan and
-    anti-join the data rows on ``(file path, row position)`` — the
-    delete set stays distributed (never collected), AQE picks
-    broadcast when it is small, and tables without delete files skip
-    the join entirely."""
+    so each distinct (partition tuple, sequence number) is one parquet
+    scan.  Position deletes (v2) read as their own distributed parquet
+    scan and anti-join the data rows on ``(file path, row position)``;
+    equality deletes (v2) anti-join null-safely on their equality
+    columns, scoped to data rows whose file sequence number is
+    STRICTLY below the delete file's.  Both delete sets stay
+    distributed (never collected), AQE picks broadcast when they are
+    small, and tables without delete files skip the joins entirely."""
     from pyspark.sql import functions as F
     fields, part_fields, files, delete_files = live_data_files(
         path, snapshot_id)
@@ -173,9 +199,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     data_ddl = ", ".join(f"{n} {t}" for n, t in fields
                          if n not in part_fields)
     types = dict(fields)
+    pos_files = [p for p, c, _s, _e in delete_files if c == 1]
+    eq_files = [(p, s, e) for p, c, s, e in delete_files if c == 2]
     groups: dict[tuple, list[str]] = {}
-    for p, pvals in files:
-        key = tuple(pvals.get(c) for c in part_fields)
+    for p, pvals, seq in files:
+        key = (tuple(pvals.get(c) for c in part_fields), seq)
         groups.setdefault(key, []).append(p)
     # file_path values inside position-delete files are URIs/relative
     # paths as the writer recorded them — normalize both sides to a
@@ -186,12 +214,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
             F.concat(F.lit(os.path.abspath(path) + "/"), c))
 
     parts = []
-    for key, paths in sorted(groups.items()):
+    for (key, seq), paths in sorted(groups.items()):
         df = spark.read.schema(data_ddl).parquet(*paths)
-        if delete_files:
+        if pos_files:
             df = (df.withColumn("__fp",
                                 _norm(F.col("_metadata.file_path")))
                   .withColumn("__pos", F.col("_metadata.row_index")))
+        if eq_files:
+            df = df.withColumn("__seq", F.lit(seq).cast("bigint"))
         for c, v in zip(part_fields, key):
             df = df.withColumn(c, (F.lit(None) if v is None
                                    else F.lit(v)).cast(types[c]))
@@ -199,12 +229,30 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if delete_files:
+    if pos_files:
         dels = (spark.read.schema("file_path string, pos bigint")
-                .parquet(*delete_files)
+                .parquet(*pos_files)
                 .select(_norm(F.col("file_path")).alias("__fp"),
                         F.col("pos").alias("__pos")))
         out = out.join(dels, on=["__fp", "__pos"], how="left_anti")
+    # equality deletes: one anti-join per distinct equality-column
+    # set; inside a set, delete files union with their sequence
+    # numbers so the strict D < S scope rides the join condition
+    by_eq: dict[tuple, list[tuple[str, int]]] = {}
+    for p, s, e in eq_files:
+        by_eq.setdefault(e, []).append((p, s))
+    for eq_names, pfs in sorted(by_eq.items()):
+        eq_ddl = ", ".join(f"{n} {types[n]}" for n in eq_names)
+        dels = None
+        for p, s in pfs:
+            one = (spark.read.schema(eq_ddl).parquet(p)
+                   .withColumn("__dseq", F.lit(s).cast("bigint")))
+            dels = one if dels is None else dels.unionByName(one)
+        d = dels.alias("d")
+        cond = F.col("t.__seq") < F.col("d.__dseq")
+        for n in eq_names:
+            cond = cond & F.col(f"t.{n}").eqNullSafe(F.col(f"d.{n}"))
+        out = out.alias("t").join(d, on=cond, how="left_anti")
     return out.select(*[n for n, _t in fields])
 
 
@@ -233,10 +281,13 @@ def _manifest_schema(part_fields, types):
         {"name": "partition", "type": part_rec},
         {"name": "record_count", "type": "long"},
         {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}]},
     ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "data_file", "type": data_file},
     ]}
 
@@ -246,6 +297,7 @@ _MLIST_SCHEMA = {"type": "record", "name": "manifest_file", "fields": [
     {"name": "manifest_length", "type": "long"},
     {"name": "partition_spec_id", "type": "int"},
     {"name": "content", "type": "int"},
+    {"name": "sequence_number", "type": ["null", "long"]},
     {"name": "added_snapshot_id", "type": ["null", "long"]},
 ]}
 
@@ -254,6 +306,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                           append_to_snapshot: int | None = None,
                           delete_partition=None,
                           delete_positions=None,
+                          delete_equality=None,
                           order_by=()) -> int:
     """Create or extend a spec-layout Iceberg table.  Each call makes
     ONE new snapshot: the base file set is the previous snapshot's
@@ -265,6 +318,14 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     [row positions]}``) emits a v2 POSITION-delete parquet file and a
     delete manifest (``content=1`` manifest-list row) — the shape a
     merge-on-read DELETE writes; previous delete files carry forward.
+    ``delete_equality`` (``(equality_col_names, rows)``) emits a v2
+    EQUALITY-delete parquet file (content=2, ``equality_ids`` from
+    the schema's field ids) at the NEW snapshot's sequence number —
+    the shape a merge-on-read UPSERT writes; data rows added in this
+    same snapshot survive it (strict ``<`` scoping).  Sequence
+    numbers: carried-forward entries keep their original explicit
+    ``sequence_number``; entries NEW in this snapshot write null and
+    inherit from the manifest-list row, exercising both spec paths.
     ``order_by`` pins physical row order inside data files so
     positions are deterministic.  Returns the new snapshot id."""
     import pyarrow as pa
@@ -313,6 +374,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                   if s.get("schema-id", 0) == sid)
     types = {f["name"]: _ice_type_ddl(f["type"])
              for f in schema["fields"]}
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
     prev_files, prev_deletes = [], []
     if meta["snapshots"]:
         base = (append_to_snapshot
@@ -321,19 +383,21 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
         _f, _p, prev_files, prev_deletes = live_data_files(path, base)
     snap_id = len(meta["snapshots"]) + 1
     entries = []
-    for p, pvals in prev_files:
+    for p, pvals, pseq in prev_files:
         rel = os.path.relpath(p, path)
         status = 2 if (delete_partition is not None
                        and all(pvals.get(k) == v
                                for k, v in delete_partition.items())) \
             else 0
         entries.append({"status": status, "snapshot_id": snap_id,
+                        "sequence_number": pseq,
                         "data_file": {
                             "content": 0, "file_path": rel,
                             "file_format": "PARQUET",
                             "partition": pvals, "record_count": 0,
                             "file_size_in_bytes":
-                                os.path.getsize(p)}})
+                                os.path.getsize(p),
+                            "equality_ids": None}})
     if df is not None:
         data_cols = [c for c in df.columns if c not in part_fields]
         keys = ([tuple(r) for r in
@@ -352,6 +416,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             pq.write_table(
                 pa.Table.from_pandas(pdf, preserve_index=False), full)
             entries.append({"status": 1, "snapshot_id": snap_id,
+                            "sequence_number": None,
                             "data_file": {
                                 "content": 0, "file_path": rel,
                                 "file_format": "PARQUET",
@@ -359,19 +424,25 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                                                       key)),
                                 "record_count": pdf.shape[0],
                                 "file_size_in_bytes":
-                                    os.path.getsize(full)}})
-    # delete manifest: carried-forward position-delete files + any new
-    # delete_positions parquet (columns file_path/pos per the v2 spec)
+                                    os.path.getsize(full),
+                                "equality_ids": None}})
+    # delete manifest: carried-forward delete files + any new
+    # delete_positions parquet (columns file_path/pos per the v2
+    # spec) + any new delete_equality parquet (content=2)
     del_entries = []
-    for p in prev_deletes:
+    for p, dcontent, dseq, deq in prev_deletes:
         del_entries.append({"status": 0, "snapshot_id": snap_id,
+                            "sequence_number": dseq,
                             "data_file": {
-                                "content": 1,
+                                "content": dcontent,
                                 "file_path": os.path.relpath(p, path),
                                 "file_format": "PARQUET",
                                 "partition": {}, "record_count": 0,
                                 "file_size_in_bytes":
-                                    os.path.getsize(p)}})
+                                    os.path.getsize(p),
+                                "equality_ids":
+                                    ([name_to_id[n] for n in deq]
+                                     if deq else None)}})
     if delete_positions:
         rows = [(rel, int(pos))
                 for rel in sorted(delete_positions)
@@ -382,13 +453,33 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             {"file_path": [r[0] for r in rows],
              "pos": [r[1] for r in rows]}), dfull)
         del_entries.append({"status": 1, "snapshot_id": snap_id,
+                            "sequence_number": None,
                             "data_file": {
                                 "content": 1, "file_path": drel,
                                 "file_format": "PARQUET",
                                 "partition": {},
                                 "record_count": len(rows),
                                 "file_size_in_bytes":
-                                    os.path.getsize(dfull)}})
+                                    os.path.getsize(dfull),
+                                "equality_ids": None}})
+    if delete_equality:
+        eq_cols, eq_rows = delete_equality
+        erel = f"data/eq-del-snap{snap_id}.parquet"
+        efull = os.path.join(path, erel)
+        pq.write_table(pa.table(
+            {c: [r[i] for r in eq_rows]
+             for i, c in enumerate(eq_cols)}), efull)
+        del_entries.append({"status": 1, "snapshot_id": snap_id,
+                            "sequence_number": None,
+                            "data_file": {
+                                "content": 2, "file_path": erel,
+                                "file_format": "PARQUET",
+                                "partition": {},
+                                "record_count": len(eq_rows),
+                                "file_size_in_bytes":
+                                    os.path.getsize(efull),
+                                "equality_ids":
+                                    [name_to_id[c] for c in eq_cols]}})
     msch = _manifest_schema(part_fields, types)
     mrel = f"metadata/manifest-{snap_id}.avro"
     with open(os.path.join(path, mrel), "wb") as fh:
@@ -397,6 +488,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
         "manifest_path": mrel,
         "manifest_length": os.path.getsize(os.path.join(path, mrel)),
         "partition_spec_id": 0, "content": 0,
+        "sequence_number": snap_id,
         "added_snapshot_id": snap_id}]
     if del_entries:
         dmsch = _manifest_schema([], types)
@@ -409,6 +501,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             "manifest_length": os.path.getsize(
                 os.path.join(path, dmrel)),
             "partition_spec_id": 0, "content": 1,
+            "sequence_number": snap_id,
             "added_snapshot_id": snap_id})
     mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
     with open(os.path.join(path, mlist_rel), "wb") as fh:

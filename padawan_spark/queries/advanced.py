@@ -1023,6 +1023,63 @@ def src_iceberg_v2_deletes(spark, sf_dir):
         F.countDistinct("g").alias("n_groups"))
 
 
+@query("src_iceberg_eq_deletes", oracle="""
+SELECT 2 AS snapshot, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+WHERE n_nationkey % 5 <> 0 OR n_nationkey IN (5, 15)
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation
+WHERE (n_nationkey % 5 <> 0 OR n_nationkey IN (5, 15))
+  AND n_regionkey <> 3
+""")
+def src_iceberg_eq_deletes(spark, sf_dir):
+    """Iceberg format-v2 EQUALITY DELETES (r9) — the delete shape a
+    streaming CDC/upsert writer emits: a content=2 parquet file of
+    equality-column values that deletes every matching data row whose
+    file sequence number is STRICTLY below the delete file's.  The
+    fixture proves the two spec subtleties that make equality deletes
+    harder than position deletes: (1) strict sequence scoping —
+    snapshot 2 deletes keys {0,5,10,15,20} AND re-inserts rows for
+    keys 5 and 15 in the SAME commit, so the re-inserted rows (data
+    seq 2, delete seq 2, 2 < 2 false) survive; (2) per-column-set
+    application — snapshot 3 deletes on a DIFFERENT equality column
+    (the region key), which must anti-join separately and also erase
+    the seq-2 re-inserted rows.  Sequence numbers exercise both spec
+    paths: carried-forward manifest entries keep explicit values, new
+    entries write null and inherit from the manifest-list row.  The
+    oracle restates both snapshots from the source table.  Scale
+    shape: one null-safe anti-join per equality-column set, delete
+    sets distributed (never collected), AQE broadcasts when small;
+    data files never rewritten."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import read_iceberg, write_iceberg_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        F.col("n_name").alias("name"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_iceeq_"), "tbl")
+    write_iceberg_fixture(spark, n, t, partition_by=("g",))
+    s2 = write_iceberg_fixture(
+        spark, n.where(F.col("k").isin(5, 15)), t,
+        partition_by=("g",),
+        delete_equality=(["k"], [(0,), (5,), (10,), (15,), (20,)]))
+    s3 = write_iceberg_fixture(
+        spark, None, t, partition_by=("g",),
+        delete_equality=(["g"], [(3,)]))
+    out = []
+    for s in (s2, s3):
+        agg = read_iceberg(spark, t, snapshot_id=s).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("s")).collect()[0]
+        out.append((s, int(agg["n"]), int(agg["s"])))
+    return spark.createDataFrame(
+        out, "snapshot int, n bigint, key_sum bigint")
+
+
 @query("src_hudi_read", oracle="""
 SELECT 1 AS instant, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
