@@ -28,7 +28,18 @@ scope each delete to data files with STRICTLY SMALLER sequence
 numbers, so rows re-inserted in the same or a later commit survive;
 application is one null-safe anti-join per distinct ``equality_ids``
 set with the data-file sequence number attached as a literal column.
-Non-identity transforms (bucket/truncate/days) and ORC/Avro data
+Non-identity partition transforms (r9): ``bucket[N]`` (spec-exact
+32-bit Murmur3 over the value's single-value-serialization bytes,
+pinned to the spec's published test vectors), ``truncate[W]``,
+``year``/``month``/``day``/``hour`` and ``void`` are parsed from the
+partition spec, evaluated in :func:`_transform_value`, and used for
+MANIFEST-LEVEL FILE PRUNING: :func:`prune_partition_files` drops
+every data file whose transformed partition value cannot match an
+equality filter before any Spark job runs — the transform-pruning
+path that makes a 100 TB bucketed/date-partitioned table a
+point-lookup instead of a full scan.  Source columns of non-identity
+transforms live in the data files themselves (only identity
+partition values are re-attached from metadata).  ORC/Avro data
 files raise honest ``NotImplementedError``.
 """
 
@@ -84,15 +95,148 @@ def _ice_type_ddl(t) -> str:
     raise NotImplementedError(f"nested iceberg type {t!r}")
 
 
+# ---------------------------------------------------------------------------
+# partition transforms (public Iceberg spec, "Partition Transforms"):
+# evaluated on the driver for manifest-level pruning and by the
+# fixture writer when laying out files — never per data row
+# ---------------------------------------------------------------------------
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant) — the hash the spec's ``bucket``
+    transform mandates.  Returns the UNSIGNED 32-bit value."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) - len(data) % 4
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k, tail = 0, data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if tail:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    return h ^ (h >> 16)
+
+
+def _epoch_days(v) -> int:
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        v = v.date()
+    if isinstance(v, _dt.date):
+        return v.toordinal() - _dt.date(1970, 1, 1).toordinal()
+    return int(v)
+
+
+def _epoch_micros(v) -> int:
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        return ((v - _dt.datetime(1970, 1, 1))
+                // _dt.timedelta(microseconds=1))
+    return int(v)
+
+
+def _transform_value(transform: str, param, v, spark_type: str):
+    """Apply a partition transform to one source value (spec
+    semantics: null maps to null for every transform)."""
+    import datetime as _dt
+    if v is None or transform == "void":
+        return None
+    if transform == "identity":
+        return v
+    if transform == "bucket":
+        # single-value serialization: int/long as 8-byte LE (ints are
+        # hashed as longs so bucket(int)==bucket(long), per spec),
+        # string as UTF-8, date as days-from-epoch long, timestamp as
+        # micros-from-epoch long
+        if spark_type in ("tinyint", "smallint", "int", "bigint"):
+            data = int(v).to_bytes(8, "little", signed=True)
+        elif spark_type == "string":
+            data = str(v).encode("utf-8")
+        elif spark_type == "date":
+            data = _epoch_days(v).to_bytes(8, "little", signed=True)
+        elif spark_type.startswith("timestamp"):
+            data = _epoch_micros(v).to_bytes(8, "little", signed=True)
+        else:
+            raise NotImplementedError(
+                f"iceberg bucket over {spark_type!r}")
+        return (_murmur3_32(data) & 0x7FFFFFFF) % int(param)
+    if transform == "truncate":
+        if spark_type == "string":
+            return str(v)[:int(param)]
+        w, x = int(param), int(v)
+        return x - (((x % w) + w) % w)   # floor toward -inf, per spec
+    if transform in ("year", "month"):
+        d = v.date() if isinstance(v, _dt.datetime) else v
+        if transform == "year":
+            return d.year - 1970
+        return (d.year - 1970) * 12 + (d.month - 1)
+    if transform == "day":
+        return _epoch_days(v)
+    if transform == "hour":
+        return _epoch_micros(v) // 3_600_000_000
+    raise NotImplementedError(f"iceberg transform {transform!r}")
+
+
+def _parse_spec_transform(tr: str):
+    """``'bucket[8]'`` → ``('bucket', 8)``; plain names pass through."""
+    m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+    if m:
+        return m.group(1), int(m.group(2))
+    if tr in ("identity", "year", "month", "day", "hour", "void"):
+        return tr, None
+    raise NotImplementedError(f"iceberg partition transform {tr!r}")
+
+
+def prune_partition_files(files, part_specs, types, filters):
+    """Manifest-level partition pruning: keep only the data files
+    whose transformed partition value can match every equality
+    ``filters`` entry (``{source_column: value}``).  Pure driver-side
+    metadata work — no Spark job — so at 100 TB a point lookup on a
+    bucketed key touches O(files-in-one-bucket), not O(table)."""
+    if not filters:
+        return files
+    keep = []
+    for p, pvals, seq in files:
+        ok = True
+        for transform, param, src, fname in part_specs:
+            if src in filters and transform != "void" \
+                    and fname in pvals:
+                exp = _transform_value(transform, param,
+                                       filters[src], types[src])
+                if pvals[fname] != exp:
+                    ok = False
+                    break
+        if ok:
+            keep.append((p, pvals, seq))
+    return keep
+
+
 def live_data_files(path: str, snapshot_id: int | None = None):
     """Resolve the live data files of a snapshot.  Returns
-    ``(schema_fields, partition_fields, files, delete_files)`` with
+    ``(schema_fields, part_specs, files, delete_files)`` with
     ``files`` as ``[(abs_path, partition_dict, sequence_number)]``,
-    ``partition_fields`` the identity-source field names in spec
-    order, and ``delete_files`` as ``[(abs_path, content,
-    sequence_number, equality_col_names_or_None)]`` for the
-    snapshot's POSITION (content=1) and EQUALITY (content=2) delete
-    parquet files."""
+    ``part_specs`` as ``[(transform, param, source_column,
+    partition_field_name)]`` in spec order, and ``delete_files`` as
+    ``[(abs_path, content, sequence_number,
+    equality_col_names_or_None)]`` for the snapshot's POSITION
+    (content=1) and EQUALITY (content=2) delete parquet files."""
     from .avro import decode_avro_datums
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
@@ -119,14 +263,14 @@ def live_data_files(path: str, snapshot_id: int | None = None):
              meta.get("partition-specs", [])}
     if not specs and "partition-spec" in meta:      # v1 inline form
         specs = {0: {"spec-id": 0, "fields": meta["partition-spec"]}}
-    part_fields: list[str] = []
+    part_specs: list[tuple] = []
     spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
     for pf in spec["fields"]:
-        if pf.get("transform", "identity") != "identity":
-            raise NotImplementedError(
-                f"iceberg partition transform {pf['transform']!r}")
-        part_fields.append(by_id.get(pf.get("source-id"),
-                                     pf.get("name")))
+        transform, param = _parse_spec_transform(
+            pf.get("transform", "identity"))
+        src = by_id.get(pf.get("source-id"), pf.get("name"))
+        part_specs.append((transform, param, src,
+                           pf.get("name", src)))
     mlist_path = _resolve(snap["manifest-list"], path)
     with open(mlist_path, "rb") as fh:
         _s, manifests = decode_avro_datums(fh.read())
@@ -176,14 +320,21 @@ def live_data_files(path: str, snapshot_id: int | None = None):
             part = df_.get("partition") or {}
             files.append((_resolve(df_["file_path"], path),
                           dict(part), int(seq)))
-    return fields, part_fields, sorted(files), sorted(delete_files)
+    return fields, part_specs, sorted(files), sorted(delete_files)
 
 
-def read_iceberg(spark, path: str, snapshot_id: int | None = None):
+def read_iceberg(spark, path: str, snapshot_id: int | None = None,
+                 filters: dict | None = None):
     """Scan an Iceberg table at a snapshot (default: current).
     Identity partition values are re-attached per data file, grouped
     so each distinct (partition tuple, sequence number) is one parquet
-    scan.  Position deletes (v2) read as their own distributed parquet
+    scan; non-identity transform sources are read from the data files
+    themselves.  ``filters`` (``{source_column: value}`` equality
+    predicates) prune data files THROUGH the partition transforms on
+    the driver (bucket/truncate/date buckets) before any job runs,
+    then re-apply as row predicates for exactness — at 100 TB a
+    point lookup on a bucketed key scans one bucket, not the table.
+    Position deletes (v2) read as their own distributed parquet
     scan and anti-join the data rows on ``(file path, row position)``;
     equality deletes (v2) anti-join null-safely on their equality
     columns, scoped to data rows whose file sequence number is
@@ -191,19 +342,24 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     distributed (never collected), AQE picks broadcast when they are
     small, and tables without delete files skip the joins entirely."""
     from pyspark.sql import functions as F
-    fields, part_fields, files, delete_files = live_data_files(
+    fields, part_specs, files, delete_files = live_data_files(
         path, snapshot_id)
+    types = dict(fields)
+    part_fields = [src for t, _p, src, _f in part_specs
+                   if t == "identity"]
+    pfnames = {src: fname for t, _p, src, fname in part_specs
+               if t == "identity"}
+    files = prune_partition_files(files, part_specs, types, filters)
     ddl_all = ", ".join(f"{n} {t}" for n, t in fields)
     if not files:
         return spark.createDataFrame([], ddl_all)
     data_ddl = ", ".join(f"{n} {t}" for n, t in fields
                          if n not in part_fields)
-    types = dict(fields)
     pos_files = [p for p, c, _s, _e in delete_files if c == 1]
     eq_files = [(p, s, e) for p, c, s, e in delete_files if c == 2]
     groups: dict[tuple, list[str]] = {}
     for p, pvals, seq in files:
-        key = (tuple(pvals.get(c) for c in part_fields), seq)
+        key = (tuple(pvals.get(pfnames[c]) for c in part_fields), seq)
         groups.setdefault(key, []).append(p)
     # file_path values inside position-delete files are URIs/relative
     # paths as the writer recorded them — normalize both sides to a
@@ -253,7 +409,13 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
         for n in eq_names:
             cond = cond & F.col(f"t.{n}").eqNullSafe(F.col(f"d.{n}"))
         out = out.alias("t").join(d, on=cond, how="left_anti")
-    return out.select(*[n for n, _t in fields])
+    out = out.select(*[n for n, _t in fields])
+    # re-apply the equality filters on rows: transform pruning is
+    # file-granular (a bucket holds many keys), the predicate pushes
+    # into the surviving files' parquet scans
+    for src, v in (filters or {}).items():
+        out = out.where(F.col(src) == F.lit(v))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -267,13 +429,20 @@ _SPARK_TO_ICE = {"bigint": "long", "int": "int", "string": "string",
                  "boolean": "boolean", "binary": "binary"}
 
 
-def _manifest_schema(part_fields, types):
+def _avro_part_type(spark_type: str) -> str:
+    return {"bigint": "long"}.get(
+        spark_type, _SPARK_TO_ICE.get(spark_type, "string"))
+
+
+def _manifest_schema(part_items, types=None):
+    """``part_items``: ``[(partition_field_name, spark_type)]`` (or a
+    list of names with ``types`` a name→spark-type map, the identity
+    shorthand)."""
+    if types is not None:
+        part_items = [(c, types[c]) for c in part_items]
     part_rec = {"type": "record", "name": "r102", "fields": [
-        {"name": c, "type": ["null",
-                             {"bigint": "long"}.get(types[c],
-                                                    _SPARK_TO_ICE.get(
-                                                        types[c], "string"))]}
-        for c in part_fields]}
+        {"name": c, "type": ["null", _avro_part_type(t)]}
+        for c, t in part_items]}
     data_file = {"type": "record", "name": "r2", "fields": [
         {"name": "content", "type": "int"},
         {"name": "file_path", "type": "string"},
@@ -327,12 +496,47 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     ``sequence_number``; entries NEW in this snapshot write null and
     inherit from the manifest-list row, exercising both spec paths.
     ``order_by`` pins physical row order inside data files so
-    positions are deterministic.  Returns the new snapshot id."""
+    positions are deterministic.  ``partition_by`` entries are either
+    plain column names (identity) or transform expressions —
+    ``"bucket(4, k)"``, ``"truncate(3, name)"``, ``"year(ts)"`` /
+    ``"month(ts)"`` / ``"day(ts)"`` / ``"hour(ts)"`` — evaluated with
+    the spec transform functions; one data file per distinct
+    transformed tuple.  Returns the new snapshot id."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from .avro import encode_avro_datums
-    part_fields = list(partition_by)
+
+    def _pa_table(pdf):
+        # naive pandas timestamps must become UTC-adjusted parquet
+        # timestamps or Spark reads them as TIMESTAMP_NTZ and the
+        # declared `timestamp` schema mismatches
+        tb = pa.Table.from_pandas(pdf, preserve_index=False)
+        for i, f in enumerate(tb.schema):
+            if pa.types.is_timestamp(f.type):
+                tb = tb.set_column(
+                    i, f.name,
+                    tb.column(i).cast(pa.timestamp(
+                        "us", f.type.tz or "UTC")))
+        return tb
+    w_specs = []
+    for s in partition_by:
+        m = re.match(r"^(\w+)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$", s)
+        if m:
+            t, param, src = m.groups()
+            param = int(param) if param else None
+            if t == "identity":
+                w_specs.append(("identity", None, src, src))
+            else:
+                _parse_spec_transform(          # validate the name
+                    f"{t}[{param}]" if param is not None else t)
+                suffix = "trunc" if t == "truncate" else t
+                w_specs.append((t, param, src, f"{src}_{suffix}"))
+        else:
+            w_specs.append(("identity", None, s, s))
+    part_fields = [src for t, _p, src, _f in w_specs
+                   if t == "identity"]
+    non_identity = any(t != "identity" for t, _p, _s, _f in w_specs)
     mdir = os.path.join(path, "metadata")
     ddir = os.path.join(path, "data")
     os.makedirs(mdir, exist_ok=True)
@@ -362,10 +566,14 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                          "fields": schema_fields}],
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": [
-                {"name": c, "transform": "identity",
-                 "source-id": name_to_id[c],
+                {"name": fname,
+                 "transform": ("identity" if t == "identity"
+                               else f"{t}[{param}]"
+                               if param is not None else t),
+                 "source-id": name_to_id[src],
                  "field-id": 1000 + i}
-                for i, c in enumerate(part_fields)]}],
+                for i, (t, param, src, fname)
+                in enumerate(w_specs)]}],
             "properties": {}, "current-snapshot-id": None,
             "snapshots": [],
         }
@@ -398,7 +606,41 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                             "file_size_in_bytes":
                                 os.path.getsize(p),
                             "equality_ids": None}})
-    if df is not None:
+    if df is not None and non_identity:
+        # transform layout: evaluate the spec transforms per row on
+        # the driver (the fixture writer is a test double), one data
+        # file per distinct transformed tuple; non-identity sources
+        # stay IN the data files, identity sources are metadata-only
+        data_cols = [c for c in df.columns if c not in part_fields]
+        pdf_all = (df.orderBy(*order_by) if order_by
+                   else df).toPandas()
+        by_key: dict[tuple, list[int]] = {}
+        for i, r in enumerate(pdf_all.to_dict("records")):
+            key = tuple(
+                _transform_value(t, param, r[src], types[src])
+                for t, param, src, _f in w_specs)
+            by_key.setdefault(key, []).append(i)
+        for ki, key in enumerate(
+                sorted(by_key, key=lambda k: tuple(str(x)
+                                                   for x in k))):
+            rel = f"data/snap{snap_id}-{ki}.parquet"
+            full = os.path.join(path, rel)
+            pdf = (pdf_all.iloc[by_key[key]][data_cols]
+                   .reset_index(drop=True))
+            pq.write_table(_pa_table(pdf), full)
+            pvals = {fname: (v.item() if hasattr(v, "item") else v)
+                     for (_t, _p, _s, fname), v in zip(w_specs, key)}
+            entries.append({"status": 1, "snapshot_id": snap_id,
+                            "sequence_number": None,
+                            "data_file": {
+                                "content": 0, "file_path": rel,
+                                "file_format": "PARQUET",
+                                "partition": pvals,
+                                "record_count": pdf.shape[0],
+                                "file_size_in_bytes":
+                                    os.path.getsize(full),
+                                "equality_ids": None}})
+    elif df is not None:
         data_cols = [c for c in df.columns if c not in part_fields]
         keys = ([tuple(r) for r in
                  df.select(*part_fields).distinct().collect()]
@@ -413,8 +655,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             rel = f"data/snap{snap_id}-{ki}.parquet"
             full = os.path.join(path, rel)
             pdf = sub.select(*data_cols).toPandas()
-            pq.write_table(
-                pa.Table.from_pandas(pdf, preserve_index=False), full)
+            pq.write_table(_pa_table(pdf), full)
             entries.append({"status": 1, "snapshot_id": snap_id,
                             "sequence_number": None,
                             "data_file": {
@@ -480,7 +721,11 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                                     os.path.getsize(efull),
                                 "equality_ids":
                                     [name_to_id[c] for c in eq_cols]}})
-    msch = _manifest_schema(part_fields, types)
+    part_items = [(fname,
+                   "int" if t in ("bucket", "year", "month",
+                                  "day", "hour") else types[src])
+                  for t, _p, src, fname in w_specs]
+    msch = _manifest_schema(part_items)
     mrel = f"metadata/manifest-{snap_id}.avro"
     with open(os.path.join(path, mrel), "wb") as fh:
         fh.write(encode_avro_datums(msch, entries, codec="deflate"))

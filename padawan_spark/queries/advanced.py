@@ -1080,6 +1080,72 @@ def src_iceberg_eq_deletes(spark, sf_dir):
         out, "snapshot int, n bigint, key_sum bigint")
 
 
+@query("src_iceberg_transforms", oracle="""
+WITH s AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0)
+SELECT 'full' AS scope, COUNT(*) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM s
+UNION ALL
+SELECT 'point_key', COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+FROM s WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM s)
+UNION ALL
+SELECT 'point_ts', COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+FROM s WHERE o_orderdate = (SELECT MIN(o_orderdate) FROM s)
+""")
+def src_iceberg_transforms(spark, sf_dir):
+    """Iceberg NON-IDENTITY partition transforms (r9): a table
+    partitioned by ``bucket(4, k)`` + ``year(ts)`` — the spec's
+    Murmur3 bucket transform (pinned to the published test vectors in
+    tests) and a date transform — written by the fixture and read
+    back with MANIFEST-LEVEL TRANSFORM PRUNING: a point lookup on the
+    bucketed key prunes to one bucket's files and an equality on the
+    timestamp prunes to one year's files, asserted in-query against
+    the file inventory before any Spark job runs.  Source columns of
+    non-identity transforms live in the data files, so values stay
+    exact after pruning via a pushed row predicate.  The oracle
+    restates all three reads from the source table.  Scale shape: at
+    100 TB the bucketed point lookup scans O(files in one bucket ×
+    years), not O(table) — partition pruning is pure driver metadata
+    work."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import (live_data_files,
+                                     prune_partition_files,
+                                     read_iceberg,
+                                     write_iceberg_fixture)
+    src = (load(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 5 == 0)
+           .select(F.col("o_orderkey").cast("bigint").alias("k"),
+                   F.col("o_custkey").cast("bigint").alias("cust"),
+                   F.col("o_orderdate").alias("ts")))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_icetr_"), "tbl")
+    write_iceberg_fixture(spark, src, t,
+                          partition_by=("bucket(4, k)", "year(ts)"))
+    lo = src.agg(F.min("k").alias("k"),
+                 F.min("ts").alias("ts")).collect()[0]
+    fields, specs, files, _dels = live_data_files(t)
+    types = dict(fields)
+    n_key = len(prune_partition_files(files, specs, types,
+                                      {"k": int(lo["k"])}))
+    n_ts = len(prune_partition_files(files, specs, types,
+                                     {"ts": lo["ts"]}))
+    # the scale property under test: both point filters must prune
+    # files through the transforms, not scan the whole table
+    assert 0 < n_key < len(files), (n_key, len(files))
+    assert 0 < n_ts < len(files), (n_ts, len(files))
+    out = []
+    for scope, filt in (("full", None),
+                        ("point_key", {"k": int(lo["k"])}),
+                        ("point_ts", {"ts": lo["ts"]})):
+        agg = read_iceberg(spark, t, filters=filt).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cust").cast("bigint").alias("s")).collect()[0]
+        out.append((scope, int(agg["n"]), int(agg["s"])))
+    return spark.createDataFrame(
+        out, "scope string, n bigint, cust_sum bigint")
+
+
 @query("src_hudi_read", oracle="""
 SELECT 1 AS instant, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

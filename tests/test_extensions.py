@@ -867,10 +867,8 @@ def test_iceberg_v2_position_deletes(spark, tmp_path):
         SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
         t, partition_by=("g",), order_by=("k",))
     assert read_iceberg(spark, t).count() == 27 + 4
-    # equality deletes raise honestly
-    import json
+    # an equality delete without equality_ids still raises honestly
     import os
-    import re
     from padawan_spark.functions.avro import (decode_avro_datums,
                                               encode_avro_datums)
     mdir = os.path.join(t, "metadata")
@@ -882,8 +880,97 @@ def test_iceberg_v2_position_deletes(spark, tmp_path):
         r["data_file"]["content"] = 2
     with open(os.path.join(mdir, dm), "wb") as fh:
         fh.write(encode_avro_datums(sch, rows))
-    with pytest.raises(NotImplementedError, match="equality deletes"):
+    with pytest.raises(NotImplementedError,
+                       match="without equality_ids"):
         read_iceberg(spark, t, snapshot_id=s2).count()
+
+
+def test_iceberg_v2_equality_deletes_sequence_scoping(spark, tmp_path):
+    """r9: equality deletes (content=2) erase matching rows only from
+    data files with STRICTLY smaller sequence numbers — rows
+    re-inserted in the delete's own commit survive; per-column-set
+    deletes apply independently."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (read_iceberg,
+                                                 write_iceberg_fixture)
+    t = str(tmp_path / "iceeq")
+    df = spark.range(20).select(SF.col("id").alias("k"),
+                                (SF.col("id") % 4).alias("g"))
+    write_iceberg_fixture(spark, df, t, partition_by=("g",))
+    # snapshot 2: delete k in {0,4,8} AND re-insert k=4 in the same
+    # commit — the re-inserted row must survive (seq 2 not < 2)
+    s2 = write_iceberg_fixture(
+        spark, df.where(SF.col("k") == 4), t, partition_by=("g",),
+        delete_equality=(["k"], [(0,), (4,), (8,)]))
+    got2 = sorted(r["k"] for r in
+                  read_iceberg(spark, t, snapshot_id=s2).collect())
+    assert got2 == sorted(set(range(20)) - {0, 8})
+    # snapshot 3: delete on a DIFFERENT column set (g=1) — erases
+    # both seq-1 rows and the seq-2 re-inserted row if g matched
+    s3 = write_iceberg_fixture(
+        spark, None, t, partition_by=("g",),
+        delete_equality=(["g"], [(1,)]))
+    got3 = sorted(r["k"] for r in
+                  read_iceberg(spark, t, snapshot_id=s3).collect())
+    assert got3 == sorted(k for k in set(range(20)) - {0, 8}
+                          if k % 4 != 1)
+    # time travel back to snapshot 2 is unaffected by snapshot 3
+    assert read_iceberg(spark, t, snapshot_id=s2).count() == 18
+
+
+def test_iceberg_partition_transforms_prune_and_read(spark, tmp_path):
+    """r9: bucket/truncate/date transforms — spec test vectors for the
+    Murmur3 bucket hash, manifest-level file pruning through the
+    transforms, and exact reads after pruning."""
+    import datetime as dt
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (_murmur3_32,
+                                                 _transform_value,
+                                                 live_data_files,
+                                                 prune_partition_files,
+                                                 read_iceberg,
+                                                 write_iceberg_fixture)
+
+    # spec appendix test vectors (public Iceberg spec, "Appendix B")
+    def signed(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+    assert signed(_murmur3_32(
+        (34).to_bytes(8, "little", signed=True))) == 2017239379
+    assert signed(_murmur3_32(b"iceberg")) == 1210000089
+    assert signed(_murmur3_32(
+        (17486).to_bytes(8, "little", signed=True))) == -653330422
+    assert _transform_value("truncate", 10, -1, "int") == -10
+    assert _transform_value("truncate", 3, "iceberg", "string") == "ice"
+    d = dt.date(2017, 11, 16)
+    assert _transform_value("year", None, d, "date") == 47
+    assert _transform_value("month", None, d, "date") == 574
+    assert _transform_value("day", None, d, "date") == 17486
+
+    t = str(tmp_path / "icetr")
+    df = spark.range(200).select(
+        SF.col("id").alias("k"),
+        SF.expr("timestamp'1996-01-01' + make_interval(0,0,0,0,0,0,"
+                "id*90000)").alias("ts"))
+    write_iceberg_fixture(spark, df, t,
+                          partition_by=("bucket(4, k)", "hour(ts)"))
+    fields, specs, files, _dels = live_data_files(t)
+    assert [(s[0], s[1]) for s in specs] == [("bucket", 4),
+                                             ("hour", None)]
+    types = dict(fields)
+    # every point filter prunes through the transform on the driver
+    kept = prune_partition_files(files, specs, types, {"k": 7})
+    assert 0 < len(kept) < len(files)
+    exp_bucket = _transform_value("bucket", 4, 7, "bigint")
+    assert all(p[1]["k_bucket"] == exp_bucket for p in kept)
+    # the filtered read returns exactly the matching rows
+    got = read_iceberg(spark, t, filters={"k": 7}).collect()
+    assert len(got) == 1 and got[0]["k"] == 7
+    ts0 = dt.datetime(1996, 1, 1)
+    got_ts = read_iceberg(spark, t, filters={"ts": ts0}).collect()
+    assert len(got_ts) == 1 and got_ts[0]["k"] == 0
+    # unfiltered read still returns everything, source cols intact
+    assert read_iceberg(spark, t).count() == 200
 
 
 def test_hudi_cow_reader_file_group_supersede(spark, tmp_path):
