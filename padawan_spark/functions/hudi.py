@@ -1,21 +1,37 @@
-"""Apache Hudi copy-on-write table reader, dependency-free (the
-PUBLIC Hudi timeline layout): ``.hoodie/<instant>.commit`` JSON files
-whose ``partitionToWriteStats`` map the write's file groups to data
-files.  Completes the table-format interop trifecta next to
+"""Apache Hudi table reader, dependency-free (the PUBLIC Hudi
+timeline layout): ``.hoodie/<instant>.commit`` /
+``<instant>.deltacommit`` JSON files whose ``partitionToWriteStats``
+map the write's file groups to data files.  Completes the
+table-format interop trifecta next to
 :mod:`padawan_spark.functions.delta` and
 :mod:`padawan_spark.functions.iceberg`.
 
 Copy-on-write semantics: each commit rewrites whole file groups, so
-the live view at an instant keeps, per ``fileId``, the path written by
-the LATEST completed commit at or before that instant.  The reader
-replays the timeline (O(commits x write-stats) driver work), reads the
-surviving parquet files in one scan, and drops Hudi's ``_hoodie_*``
-meta columns by default.
+the live view at an instant keeps, per ``fileId``, the base file
+written by the LATEST completed commit at or before that instant.
 
-Supported: CoW tables with JSON commit instants and instant-time time
-travel.  Merge-on-read tables (log files needing compaction),
-replacecommit/clustering, and ``.hoodie/metadata`` table reads raise an
-honest ``NotImplementedError``.
+Merge-on-read semantics (r9): delta commits append typed blocks to
+``.log`` files (:mod:`padawan_spark.functions.hudilog`) instead of
+rewriting bases; the snapshot read merges each file slice — base
+rows plus log upserts/deletes — LATEST-WINS per
+``_hoodie_record_key``, ordered by (instant, block sequence).  A new
+base file for a file group (compaction or CoW-style rewrite)
+supersedes the accumulated logs.  The Spark plan: one distributed
+parquet scan over all base files, one Arrow-batched ``mapInPandas``
+decode over the log-file list (one task per log file — log decode
+scales with log count, never collected to the driver), a union, and
+one window per record key; tables with no log files skip the merge
+entirely and stay a pure parquet scan.  Uncommitted log blocks
+(their instant not in the completed timeline — a failed write) are
+excluded at decode time, and rollback command blocks void their
+target instant's blocks inside the codec.
+
+Supported: CoW tables, MOR tables with parquet bases + avro-block
+logs, instant-time time travel on both.  Replacecommit/clustering,
+``.hoodie/metadata`` table reads, log-only file groups (a
+deltacommit inserting into a file group with no base yet), and
+non-primitive log payload columns raise honest
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -29,63 +45,194 @@ _META_COLS = ("_hoodie_commit_time", "_hoodie_commit_seqno",
               "_hoodie_file_name")
 
 
-def list_hudi_commits(path: str) -> list[str]:
-    """Completed commit instants (ascending timestamp strings)."""
+def _timeline(path: str) -> list[tuple[str, str]]:
+    """Completed instants, ascending: ``[(ts, kind)]`` with kind in
+    ``commit`` / ``deltacommit``."""
     hdir = os.path.join(path, ".hoodie")
     if not os.path.isdir(hdir):
         raise FileNotFoundError(f"{path} has no .hoodie directory")
     out = []
     for f in os.listdir(hdir):
-        m = re.match(r"^(\d+)\.commit$", f)
+        m = re.match(r"^(\d+)\.(commit|deltacommit)$", f)
         if m:
-            out.append(m.group(1))
-        elif re.match(r"^\d+\.(deltacommit|replacecommit)$", f):
+            out.append((m.group(1), m.group(2)))
+        elif re.match(r"^\d+\.replacecommit$", f):
             raise NotImplementedError(
-                f"hudi instant {f}: merge-on-read/clustering "
-                "timelines unsupported (copy-on-write .commit only)")
+                f"hudi instant {f}: clustering/replacecommit "
+                "timelines unsupported")
     return sorted(out)
 
 
-def live_hudi_files(path: str, as_of: str | None = None):
-    """Latest file slice per file group at ``as_of`` (default: latest
-    commit).  Returns ``[(abs_path, partition_path)]``."""
-    commits = list_hudi_commits(path)
-    if not commits:
+def list_hudi_commits(path: str) -> list[str]:
+    """Completed commit instants of any kind (ascending)."""
+    return [ts for ts, _k in _timeline(path)]
+
+
+def live_hudi_slices(path: str, as_of: str | None = None):
+    """Latest file slice per file group at ``as_of`` (default:
+    latest instant).  Returns ``{fileId: {"base": abs_path_or_None,
+    "part": partition_path, "logs": [abs_log_paths, commit order]}}``.
+    A commit's base file supersedes the group's accumulated logs
+    (compaction); a deltacommit appends log files."""
+    timeline = _timeline(path)
+    if not timeline:
         raise FileNotFoundError(f"{path}: no completed commits")
     if as_of is None:
-        as_of = commits[-1]
-    if as_of not in commits:
+        as_of = timeline[-1][0]
+    if as_of not in {ts for ts, _k in timeline}:
         raise ValueError(
-            f"no commit instant {as_of} at {path}; have {commits}")
-    latest: dict[str, tuple[str, str]] = {}    # fileId -> (rel, part)
-    for ts in commits:
+            f"no commit instant {as_of} at {path}; have "
+            f"{[ts for ts, _k in timeline]}")
+    slices: dict[str, dict] = {}
+    for ts, kind in timeline:
         if ts > as_of:
             break
-        with open(os.path.join(path, ".hoodie", f"{ts}.commit")) as fh:
+        with open(os.path.join(path, ".hoodie",
+                               f"{ts}.{kind}")) as fh:
             commit = json.load(fh)
         for part, stats in commit.get("partitionToWriteStats",
                                       {}).items():
             for st in stats:
-                fid = st.get("fileId")
-                rel = st.get("path")
-                if fid and rel:
-                    latest[fid] = (rel, part)
-    return sorted((os.path.join(path, rel), part)
-                  for rel, part in latest.values())
+                fid, rel = st.get("fileId"), st.get("path")
+                if not fid or not rel:
+                    continue
+                if kind == "commit":
+                    slices[fid] = {"base": os.path.join(path, rel),
+                                   "part": part, "logs": []}
+                else:
+                    if fid not in slices:
+                        raise NotImplementedError(
+                            f"hudi log-only file group {fid} "
+                            "(deltacommit into a group with no "
+                            "base file)")
+                    full = os.path.join(path, rel)
+                    if full not in slices[fid]["logs"]:
+                        slices[fid]["logs"].append(full)
+    return slices
+
+
+def live_hudi_files(path: str, as_of: str | None = None):
+    """CoW view: latest base file per file group at ``as_of``.
+    Returns ``[(abs_path, partition_path)]``; raises if any file
+    group carries unmerged log files (use :func:`read_hudi`)."""
+    slices = live_hudi_slices(path, as_of)
+    for fid, s in slices.items():
+        if s["logs"]:
+            raise NotImplementedError(
+                f"hudi file group {fid} has unmerged log files — "
+                "read through read_hudi (merge-on-read)")
+    return sorted((s["base"], s["part"]) for s in slices.values())
+
+
+_LOG_SAFE = ("bigint", "int", "smallint", "tinyint", "double",
+             "float", "string", "boolean")
 
 
 def read_hudi(spark, path: str, as_of: str | None = None,
               keep_meta: bool = False):
-    """Scan a Hudi CoW table at a commit instant (default: latest).
-    One parquet scan over the live file slices; ``_hoodie_*`` meta
-    columns dropped unless ``keep_meta``."""
-    files = [p for p, _part in live_hudi_files(path, as_of)]
-    if not files:
+    """Scan a Hudi table at a commit instant (default: latest).
+    CoW (or fully compacted MOR): one parquet scan over the live
+    base files.  MOR with live logs: base scan + distributed log
+    decode + latest-wins merge per record key (see module
+    docstring).  ``_hoodie_*`` meta columns dropped unless
+    ``keep_meta``."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    slices = live_hudi_slices(path, as_of)
+    if not slices:
         raise NotImplementedError(f"{path}: no live data files")
-    df = spark.read.parquet(*files)
+    bases = sorted(s["base"] for s in slices.values())
+    base_df = spark.read.parquet(*bases)
+    log_files = sorted(p for s in slices.values() for p in s["logs"])
+    if not log_files:
+        if not keep_meta:
+            base_df = base_df.drop(*[c for c in base_df.columns
+                                     if c in _META_COLS])
+        return base_df
+    data_cols = [c for c in base_df.columns if c not in _META_COLS]
+    dtypes = dict(base_df.dtypes)
+    bad = [c for c in data_cols if dtypes[c] not in _LOG_SAFE]
+    if bad:
+        raise NotImplementedError(
+            f"hudi MOR merge over non-primitive columns {bad}")
+    committed = set(list_hudi_commits(path))
+    if as_of is not None:
+        committed = {ts for ts in committed if ts <= as_of}
+    out_ddl = ("_hoodie_record_key string, __instant string, "
+               "__seq int, __del boolean, "
+               + ", ".join(f"{c} {dtypes[c]}" for c in data_cols))
+
+    def _decode(batches):
+        from .hudilog import (BLOCK_AVRO_DATA, BLOCK_DELETE,
+                              H_INSTANT_TIME, decode_avro_data_block,
+                              decode_delete_block, decode_log_blocks)
+        cols = (["_hoodie_record_key", "__instant", "__seq",
+                 "__del"] + data_cols)
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                with open(p, "rb") as fh:
+                    blocks = decode_log_blocks(fh.read())
+                for seq, blk in enumerate(blocks):
+                    inst = blk["header"].get(H_INSTANT_TIME)
+                    if inst not in committed:
+                        continue            # failed / future write
+                    if blk["type"] == BLOCK_AVRO_DATA:
+                        for r in decode_avro_data_block(blk):
+                            rows.append(
+                                [r["_hoodie_record_key"], inst,
+                                 seq, False]
+                                + [r.get(c) for c in data_cols])
+                    elif blk["type"] == BLOCK_DELETE:
+                        for k in decode_delete_block(blk):
+                            rows.append([k, inst, seq, True]
+                                        + [None] * len(data_cols))
+                    else:
+                        raise NotImplementedError(
+                            f"hudi log block type {blk['type']}")
+            yield pd.DataFrame(rows, columns=cols)
+
+    paths_df = spark.createDataFrame(
+        [(p,) for p in log_files], "path string").repartition(
+        min(len(log_files), 32), "path")
+    log_df = paths_df.mapInPandas(_decode, out_ddl)
+    base_evt = base_df.select(
+        F.col("_hoodie_record_key"),
+        F.col("_hoodie_commit_time").alias("__instant"),
+        F.lit(-1).alias("__seq"), F.lit(False).alias("__del"),
+        *[F.col(c) for c in data_cols])
+    w = (Window.partitionBy("_hoodie_record_key")
+         .orderBy(F.col("__instant").desc(), F.col("__seq").desc()))
+    merged = (base_evt.unionByName(log_df)
+              .withColumn("__rn", F.row_number().over(w))
+              .where((F.col("__rn") == 1) & ~F.col("__del"))
+              .drop("__rn", "__instant", "__seq", "__del"))
     if not keep_meta:
-        df = df.drop(*[c for c in df.columns if c in _META_COLS])
-    return df
+        merged = merged.drop("_hoodie_record_key")
+    return merged
+
+
+def _next_instant(path: str) -> str:
+    """Monotonic default instant: strictly after every instant ever
+    handed out here — INCLUDING uncommitted (failed) writes, which
+    hold no timeline entry but do stamp log blocks; reusing one for
+    a later commit would resurrect those blocks.  A dot-file counter
+    (ignored by the timeline regex) remembers them."""
+    hdir = os.path.join(path, ".hoodie")
+    seqf = os.path.join(hdir, ".instant_seq")
+    try:
+        cur = int(open(seqf).read().strip())
+    except (FileNotFoundError, ValueError):
+        try:
+            commits = list_hudi_commits(path)
+        except FileNotFoundError:
+            commits = []
+        cur = max([20260101000000] + [int(t) for t in commits])
+    os.makedirs(hdir, exist_ok=True)
+    with open(seqf, "w") as fh:
+        fh.write(str(cur + 1))
+    return f"{cur + 1:014d}"
 
 
 def write_hudi_fixture(spark, df, path: str,
@@ -105,11 +252,7 @@ def write_hudi_fixture(spark, df, path: str,
     import pyarrow.parquet as pq
     hdir = os.path.join(path, ".hoodie")
     os.makedirs(hdir, exist_ok=True)
-    try:
-        commits = list_hudi_commits(path)
-    except FileNotFoundError:
-        commits = []
-    instant = instant or f"{20260101000000 + len(commits):014d}"
+    instant = instant or _next_instant(path)
     parts: dict[str, list] = {}
     rows = df.collect()
     for r in rows:
@@ -146,4 +289,107 @@ def write_hudi_fixture(spark, df, path: str,
     with open(os.path.join(hdir, f"{instant}.commit"), "w") as fh:
         json.dump({"partitionToWriteStats": stats_by_part,
                    "operationType": "UPSERT"}, fh)
+    return instant
+
+
+_SPARK_TO_AVRO = {"bigint": "long", "int": "int", "double": "double",
+                  "float": "float", "string": "string",
+                  "boolean": "boolean"}
+
+
+def write_hudi_delta_fixture(spark, path: str, upserts=None,
+                             deletes=None,
+                             partition_field: str | None = None,
+                             instant: str | None = None,
+                             commit: bool = True,
+                             rollback_target: str | None = None
+                             ) -> str:
+    """FIXTURE delta commit for a MOR table: appends typed log blocks
+    to each touched file group's ``.log`` file and writes the
+    ``<instant>.deltacommit`` timeline entry.  ``upserts`` is a
+    DataFrame shaped like the base data (first column is the record
+    key); ``deletes`` is a list of record keys (unpartitioned) or a
+    ``{partition_value: [keys]}`` dict.  ``commit=False`` writes the
+    blocks but NOT the timeline entry — a torn/failed write the
+    reader must ignore.  ``rollback_target`` appends a rollback
+    command block voiding that instant's blocks (the cleanup a real
+    writer performs after a failed write).  Returns the instant."""
+    from .hudilog import (encode_avro_data_block, encode_delete_block,
+                          encode_rollback_block)
+    hdir = os.path.join(path, ".hoodie")
+    instant = instant or _next_instant(path)
+    slices = live_hudi_slices(path)
+    by_part = {s["part"]: (fid, s) for fid, s in slices.items()}
+
+    def _log_path(fid: str, s: dict) -> str:
+        if s["logs"]:
+            return s["logs"][0]
+        base = os.path.basename(s["base"])
+        base_instant = base.rsplit("_", 1)[1].split(".")[0]
+        fname = f".{fid}_{base_instant}.log.1"
+        return os.path.join(path, s["part"], fname) \
+            if s["part"] else os.path.join(path, fname)
+
+    stats_by_part: dict[str, list] = {}
+
+    def _note(part, fid, full):
+        rel = os.path.relpath(full, path)
+        stats = stats_by_part.setdefault(part, [])
+        if not any(st["path"] == rel for st in stats):
+            stats.append({"fileId": fid, "path": rel,
+                          "fileSizeInBytes": os.path.getsize(full)})
+
+    if upserts is not None:
+        dtypes = dict(upserts.dtypes)
+        bad = [c for c, t in dtypes.items() if t not in _SPARK_TO_AVRO]
+        if bad:
+            raise NotImplementedError(
+                f"hudi log fixture over non-primitive columns {bad}")
+        schema = {"type": "record", "name": "rec", "fields": (
+            [{"name": "_hoodie_record_key", "type": "string"}]
+            + [{"name": c, "type": ["null", _SPARK_TO_AVRO[t]]}
+               for c, t in upserts.dtypes])}
+        grouped: dict[str, list[dict]] = {}
+        for r in upserts.collect():
+            part = (str(r[partition_field]) if partition_field
+                    else "")
+            rec = {"_hoodie_record_key": str(r[0]),
+                   **{c: r[c] for c in upserts.columns}}
+            grouped.setdefault(part, []).append(rec)
+        for part, recs in sorted(grouped.items()):
+            if part not in by_part:
+                raise NotImplementedError(
+                    f"hudi delta fixture: no base file group for "
+                    f"partition {part!r} (log-only groups "
+                    "unsupported)")
+            fid, s = by_part[part]
+            full = _log_path(fid, s)
+            with open(full, "ab") as fh:
+                fh.write(encode_avro_data_block(instant, schema,
+                                                recs))
+            _note(part, fid, full)
+    if deletes:
+        dmap = (deletes if isinstance(deletes, dict)
+                else {"": list(deletes)})
+        for part, keys in sorted(dmap.items()):
+            fid, s = by_part[str(part)]
+            full = _log_path(fid, s)
+            with open(full, "ab") as fh:
+                fh.write(encode_delete_block(instant,
+                                             [str(k) for k in keys]))
+            _note(str(part), fid, full)
+    if rollback_target:
+        for part, (fid, s) in sorted(by_part.items()):
+            if not s["logs"]:
+                continue
+            full = _log_path(fid, s)
+            with open(full, "ab") as fh:
+                fh.write(encode_rollback_block(instant,
+                                               rollback_target))
+            _note(part, fid, full)
+    if commit:
+        with open(os.path.join(hdir,
+                               f"{instant}.deltacommit"), "w") as fh:
+            json.dump({"partitionToWriteStats": stats_by_part,
+                       "operationType": "UPSERT"}, fh)
     return instant

@@ -1194,3 +1194,60 @@ def src_hudi_read(spark, sf_dir):
         out.append((label, int(agg["n"]), int(agg["s"])))
     return spark.createDataFrame(
         out, "instant int, n bigint, key_sum bigint")
+
+
+@query("src_hudi_mor_read", oracle="""
+SELECT 'base' AS scope, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(0 AS BIGINT) AS n_upd
+FROM nation
+UNION ALL
+SELECT 'merged', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT),
+       COUNT(*) FILTER (WHERE n_nationkey % 4 = 0)
+FROM nation WHERE n_nationkey NOT IN (1, 7)
+""")
+def src_hudi_mor_read(spark, sf_dir):
+    """Apache Hudi MERGE-ON-READ interop (r9) — the write path real
+    Hudi deployments default to for update-heavy tables: delta
+    commits append typed blocks (Avro data, delete, rollback
+    command) to per-file-group ``.log`` files instead of rewriting
+    base parquet; the snapshot read merges base rows with the log,
+    LATEST-WINS per ``_hoodie_record_key``.  The fixture commits a
+    base, then one deltacommit upserting every ``k % 4 == 0`` row's
+    name and deleting keys 1 and 7; both the merged state and the
+    time-traveled base state are read back, and the oracle restates
+    each from the source table.  Scale shape: base files one
+    distributed parquet scan; log decode is Arrow-batched
+    ``mapInPandas`` with one task per log file (never collected);
+    the merge is one window per record key — the same shuffle real
+    MOR readers pay."""
+    import os
+    import tempfile
+
+    from ..functions.hudi import (read_hudi, write_hudi_delta_fixture,
+                                  write_hudi_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        F.col("n_name").alias("name"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_mor_"), "tbl")
+    i1 = write_hudi_fixture(spark, n, t, partition_field="g")
+    dels: dict[str, list[str]] = {}
+    for r in n.where(F.col("k").isin(1, 7)).collect():
+        dels.setdefault(str(r["g"]), []).append(str(r["k"]))
+    write_hudi_delta_fixture(
+        spark, t,
+        upserts=n.where(F.col("k") % 4 == 0)
+        .withColumn("name", F.lit("UPD")),
+        deletes=dels, partition_field="g")
+    out = []
+    for scope, inst in (("base", i1), ("merged", None)):
+        agg = read_hudi(spark, t, as_of=inst).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("s"),
+            F.count(F.when(F.col("name") == "UPD", 1))
+            .alias("u")).collect()[0]
+        out.append((scope, int(agg["n"]), int(agg["s"]),
+                    int(agg["u"])))
+    return spark.createDataFrame(
+        out, "scope string, n bigint, key_sum bigint, n_upd bigint")

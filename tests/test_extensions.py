@@ -1003,3 +1003,69 @@ def test_hudi_cow_reader_file_group_supersede(spark, tmp_path):
         spark, t, keep_meta=True).columns
     with pytest.raises(ValueError, match="no commit instant"):
         read_hudi(spark, t, as_of="999")
+
+
+def test_hudi_mor_log_merge(spark, tmp_path):
+    """r9: merge-on-read — delta commits append avro/delete log
+    blocks; the snapshot read merges latest-wins per record key;
+    uncommitted blocks are invisible; rollback voids a failed
+    instant; a new base file supersedes the logs (compaction)."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (live_hudi_files,
+                                              read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    import json
+    import os
+
+    import pytest
+    t = str(tmp_path / "mor")
+    df = spark.range(20).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 2).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    i1 = write_hudi_fixture(spark, df, t, partition_field="g")
+    # delta 1: update k=1,3 and delete k=2
+    d1 = write_hudi_delta_fixture(
+        spark, t,
+        upserts=df.where(SF.col("k").isin(1, 3))
+        .withColumn("v", SF.col("k") + 1000),
+        deletes={"0": ["2"]}, partition_field="g")
+    got = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert 2 not in got and got[1] == 1001 and got[3] == 1003
+    assert got[4] == 40 and len(got) == 19
+    # CoW view now refuses: logs are unmerged
+    with pytest.raises(NotImplementedError, match="unmerged log"):
+        live_hudi_files(t)
+    # delta 2: re-insert k=2 with a new value (delete then upsert
+    # ordering by instant)
+    write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("k") == 2)
+        .withColumn("v", SF.lit(222).cast("bigint")),
+        partition_field="g")
+    got2 = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert got2[2] == 222 and len(got2) == 20
+    # time travel to the delta-1 state
+    gott = {r["k"]: r["v"]
+            for r in read_hudi(spark, t, as_of=d1).collect()}
+    assert 2 not in gott and gott[1] == 1001
+    # a FAILED write (blocks without a timeline entry) is invisible
+    bad = write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("k") == 5)
+        .withColumn("v", SF.lit(999).cast("bigint")),
+        partition_field="g", commit=False)
+    assert {r["k"]: r["v"] for r in read_hudi(spark, t).collect()
+            }[5] == 50
+    # rollback voids the failed instant's blocks for good measure
+    write_hudi_delta_fixture(spark, t, rollback_target=bad)
+    assert {r["k"]: r["v"] for r in read_hudi(spark, t).collect()
+            }[5] == 50
+    # compaction: a new base for the g=0 group supersedes its logs
+    with open(os.path.join(t, ".hoodie", f"{i1}.commit")) as fh:
+        fid0 = json.load(fh)["partitionToWriteStats"]["0"][0]["fileId"]
+    write_hudi_fixture(
+        spark, df.where(SF.col("g") == 0), t,
+        partition_field="g", replace_file_ids=(fid0,))
+    got3 = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert got3[2] == 20 and got3[0] == 0      # base values back
+    assert got3[1] == 1001 and got3[3] == 1003  # g=1 logs still live
