@@ -277,19 +277,13 @@ def parse_avro_header(b: bytes):
     return schema, codec, sync, pos
 
 
-def decode_avro_py(b: bytes):
-    """Decode a container file to ``(field_specs, rows)`` where
-    ``field_specs`` is ``[(name, type, nullable)]`` and rows are
-    tuples in field order."""
+def _decode_blocks(b: bytes, pos: int, end: int, specs, codec,
+                   sync) -> list[tuple]:
+    """Decode the block frames in ``b[pos:end]`` (must start exactly
+    at a block boundary) into row tuples."""
     import zlib
-    schema, codec, sync, pos = parse_avro_header(b)
-    if schema.get("type") != "record":
-        raise NotImplementedError("avro top-level must be a record")
-    specs = [(f["name"], *_norm_type(f["type"]))
-             for f in schema["fields"]]
-    fields = [(n, t, nl is not None) for n, t, nl in specs]
-    rows = []
-    while pos < len(b):
+    rows: list[tuple] = []
+    while pos < end:
         n, pos = _zigzag_decode(b, pos)
         nbytes, pos = _zigzag_decode(b, pos)
         block = b[pos:pos + nbytes]
@@ -311,7 +305,89 @@ def decode_avro_py(b: bytes):
                 v, bp = _read_value(block, bp, typ)
                 row.append(v)
             rows.append(tuple(row))
-    return fields, rows
+    return rows
+
+
+def _record_specs(schema):
+    if schema.get("type") != "record":
+        raise NotImplementedError("avro top-level must be a record")
+    return [(f["name"], *_norm_type(f["type"]))
+            for f in schema["fields"]]
+
+
+def decode_avro_py(b: bytes):
+    """Decode a container file to ``(field_specs, rows)`` where
+    ``field_specs`` is ``[(name, type, nullable)]`` and rows are
+    tuples in field order."""
+    schema, codec, sync, pos = parse_avro_header(b)
+    specs = _record_specs(schema)
+    fields = [(n, t, nl is not None) for n, t, nl in specs]
+    return fields, _decode_blocks(b, pos, len(b), specs, codec, sync)
+
+
+def read_avro_header_file(path: str):
+    """Parse a container file's header reading only as many bytes as
+    the header needs (grown geometrically — embedded schema JSON can
+    exceed any fixed prefix).  Returns ``(schema, codec, sync,
+    header_len)``."""
+    size = 1 << 16
+    with open(path, "rb") as fh:
+        while True:
+            fh.seek(0)
+            head = fh.read(size)
+            try:
+                return parse_avro_header(head)
+            except IndexError:
+                if len(head) < size:   # whole file read, still short
+                    raise ValueError(
+                        f"avro: truncated header in {path}")
+                size *= 4
+
+
+def scan_avro_block_ranges(path: str, target_bytes: int = 32 << 20):
+    """Split a container file into byte ranges at BLOCK boundaries:
+    walk the block frames reading ~20 bytes each (two varints) and
+    seeking over the data, then coalesce consecutive blocks into
+    ranges of about ``target_bytes``.  O(blocks) driver work with
+    O(20 bytes) I/O per block — the scan that lets ONE multi-GB Avro
+    file read as many parallel tasks instead of one.  Returns
+    ``[(start, end)]`` covering every block exactly once."""
+    import os as _os
+    _schema, _codec, _sync, pos = read_avro_header_file(path)
+    fsize = _os.path.getsize(path)
+    ranges: list[list[int]] = []
+    with open(path, "rb") as fh:
+        while pos < fsize:
+            fh.seek(pos)
+            frame = fh.read(20)      # 2 varints, ≤10 bytes each
+            _n, off1 = _zigzag_decode(frame, 0)
+            nbytes, off2 = _zigzag_decode(frame, off1)
+            end = pos + off2 + nbytes + 16       # data + sync marker
+            if end > fsize:
+                raise NotImplementedError(
+                    f"avro: truncated block at {pos} in {path}")
+            if ranges and (ranges[-1][1] - ranges[-1][0]) \
+                    < target_bytes:
+                ranges[-1][1] = end
+            else:
+                ranges.append([pos, end])
+            pos = end
+    return [(s, e) for s, e in ranges]
+
+
+def decode_avro_py_range(path: str, start: int, end: int):
+    """Decode only the blocks in ``[start, end)`` of a container
+    file (a range from :func:`scan_avro_block_ranges`): header
+    re-parsed for schema/codec/sync, then one seek + one read of the
+    range itself.  Returns ``(field_specs, rows)`` like
+    :func:`decode_avro_py`."""
+    schema, codec, sync, _hlen = read_avro_header_file(path)
+    specs = _record_specs(schema)
+    fields = [(n, t, nl is not None) for n, t, nl in specs]
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        b = fh.read(end - start)
+    return fields, _decode_blocks(b, 0, len(b), specs, codec, sync)
 
 
 def encode_avro_py(fields, rows, codec: str = "null",

@@ -18,10 +18,13 @@ retention-cleaned still reads correctly), and deletion vectors
 column mapping (physical ``col-<uuid>`` parquet columns aliased back
 to logical names via the schemaString's per-field
 ``delta.columnMapping.physicalName`` metadata; partition columns and
-partitionValues are physically keyed too).  ``id``-mode mapping
-(parquet field-id matching) and v2 checkpoints raise an honest
-``NotImplementedError`` (they change data layout in ways a schema-DDL
-read cannot honor).
+partitionValues are physically keyed too), and ``id``-mode mapping
+(r9): each data file's parquet footer field ids are matched to the
+schemaString's ``delta.columnMapping.id`` values, files are grouped
+by physical layout, and each group scans with its own physical DDL —
+so files whose physical names differ (e.g. written by different
+engines) still read correctly.  v2 checkpoints raise an honest
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -88,13 +91,7 @@ class _Replay:
                 raise NotImplementedError(f"delta format provider {fmt!r}")
             mapping = (md.get("configuration") or {}).get(
                 "delta.columnMapping.mode", "none") or "none"
-            if mapping not in ("none", "name"):
-                # 'id' mode matches by parquet field ids, which a
-                # schema-DDL read cannot honor; reading logical names
-                # against col-<uuid> files returns all-null columns
-                # SILENTLY, so gate hard.  Legacy mapping ships at
-                # minReaderVersion exactly 2, so the protocol gate
-                # below never catches it.
+            if mapping not in ("none", "name", "id"):
                 raise NotImplementedError(
                     f"delta column mapping mode {mapping!r} unsupported")
             self.mapping_mode = mapping
@@ -149,8 +146,7 @@ def replay_delta_log(path: str, version: int | None = None):
     ``(schema_json, partition_columns, files, column_mapping_mode)``
     where ``files`` is a list of ``(relative_path,
     partition_values_dict, deletion_vector_descriptor_or_None)`` and
-    ``column_mapping_mode`` is ``"none"`` or ``"name"`` (``"id"``
-    gates).
+    ``column_mapping_mode`` is ``"none"``, ``"name"`` or ``"id"``.
 
     Replay starts from the newest classic checkpoint at or below
     ``version`` when one exists (so retention-cleaned logs read
@@ -227,11 +223,12 @@ def read_delta(spark, path: str, version: int | None = None):
     sch = json.loads(schema_json)
 
     def _phys(f) -> str:
-        # 'name'-mode column mapping: parquet files carry col-<uuid>
-        # physical names recorded per field in the schemaString
-        # metadata; partitionValues and partitionColumns are ALSO keyed
-        # physically.  Read physical, alias back to logical.
-        if mapping == "name":
+        # column mapping: parquet files carry col-<uuid> physical
+        # names recorded per field in the schemaString metadata;
+        # partitionValues and partitionColumns are ALSO keyed
+        # physically (both 'name' and 'id' modes write physicalName).
+        # Read physical, alias back to logical.
+        if mapping in ("name", "id"):
             pn = (f.get("metadata") or {}).get(
                 "delta.columnMapping.physicalName")
             if not pn:
@@ -258,23 +255,65 @@ def read_delta(spark, path: str, version: int | None = None):
             for f in sch["fields"])
         return spark.createDataFrame([], full)
     out_cols = [f["name"] for f in sch["fields"]]
+    fid_of: dict[int, str] = {}
+    if mapping == "id":
+        for f in sch["fields"]:
+            fid = (f.get("metadata") or {}).get(
+                "delta.columnMapping.id")
+            if fid is None:
+                raise NotImplementedError(
+                    f"id-mapped table field {f['name']!r} lacks "
+                    "delta.columnMapping.id metadata")
+            fid_of[int(fid)] = f["name"]
+
+    def _layout(full_p: str) -> dict[str, str]:
+        # 'id' mode matches by PARQUET FIELD IDS in each file's
+        # footer, not by name — files from different writers (e.g. an
+        # Iceberg conversion) may use different physical names for
+        # the same logical column; the ids are the stable key.
+        # O(footer) driver work per file, same order as the log
+        # replay itself.
+        import pyarrow.parquet as pq
+        m = {}
+        for fld in pq.read_schema(full_p):
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None and int(fid) in fid_of:
+                m[fid_of[int(fid)]] = fld.name
+        missing = [f["name"] for f in data_fields
+                   if f["name"] not in m]
+        if missing:
+            raise NotImplementedError(
+                f"delta id-mapped file {full_p} lacks parquet field "
+                f"ids for {missing}")
+        return m
+
     groups: dict[tuple, list[str]] = {}
     dv_rows: list[tuple[str, int]] = []
     for rel, pvals, dv in files:
         full_p = os.path.join(path, rel)
-        # partitionValues keys are physical names in a mapped table
-        key = tuple(pvals.get(c) for c in part_cols)
+        lay = (tuple(sorted(_layout(full_p).items()))
+               if mapping == "id" else ())
+        # partitionValues keys are physical names in a mapped table;
+        # id mode additionally groups by each file's physical layout
+        key = (tuple(pvals.get(c) for c in part_cols), lay)
         groups.setdefault(key, []).append(full_p)
         if dv:
             dv_rows.extend((os.path.abspath(full_p), p)
                            for p in read_dv_positions(path, dv))
     parts = []
-    for key, paths in sorted(groups.items()):
-        df = spark.read.schema(ddl).parquet(*paths)
+    for (key, lay), paths in sorted(groups.items()):
+        lmap = (dict(lay) if mapping == "id"
+                else {f["name"]: phys[f["name"]]
+                      for f in data_fields})
+        ddl_g = (", ".join(
+            f"`{lmap[f['name']]}` {_delta_type_ddl(f['type'])}"
+            for f in data_fields) if mapping == "id" else ddl)
+        df = spark.read.schema(ddl_g).parquet(*paths)
         # alias physical data columns back to their logical names
         for f in data_fields:
-            if phys[f["name"]] != f["name"]:
-                df = df.withColumnRenamed(phys[f["name"]], f["name"])
+            if lmap[f["name"]] != f["name"]:
+                df = df.withColumnRenamed(lmap[f["name"]], f["name"])
         if dv_rows:
             # _metadata.file_path URI form varies (file:/p vs file:///p)
             # — normalize to a plain absolute path before matching
@@ -303,17 +342,24 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
     """FIXTURE writer emitting the public Delta log layout (metaData +
     add actions; ``mode="append"`` adds a commit, ``mode="delete"``
     removes files matching a predicate via
-    :func:`delete_delta_fixture`).  ``column_mapping=True`` emits a
+    :func:`delete_delta_fixture`).  ``column_mapping=True`` (or ``"name"``) emits a
     ``name``-mode mapped table — ``col-<uuid>`` physical parquet
     columns, per-field physicalName metadata, physically-keyed
     partitionColumns/partitionValues, at minReaderVersion exactly 2
     (the legacy form the protocol-version gate can never catch).
+    ``column_mapping="id"`` emits an ``id``-mode table whose data
+    files carry PARQUET FIELD IDS and deliberately use
+    commit-varying physical column names that do NOT match the
+    physicalName metadata — the layout only an id-matching reader
+    can decode (a name-matching one would read nulls).
     This is a test-double for an upstream Delta writer — it does NOT
     implement the optimistic commit protocol; its output is
     spec-layout logs for the READER to be verified against.  Returns
     the committed version."""
     import uuid
     part_cols = list(partition_by)
+    cm_mode = {True: "name", False: None}.get(column_mapping,
+                                              column_mapping)
     log = os.path.join(path, "_delta_log")
     os.makedirs(log, exist_ok=True)
     try:
@@ -323,21 +369,22 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
     v = (versions[-1] + 1) if versions else 0
     data_cols = [c for c in df.columns if c not in part_cols]
     phys = {c: (f"col-{uuid.uuid5(uuid.NAMESPACE_URL, c).hex[:12]}"
-                if column_mapping else c) for c in df.columns}
+                if cm_mode else c) for c in df.columns}
+    fids = {c: i + 1 for i, c in enumerate(df.columns)}
     actions = []
     if v == 0:
         schema = {"type": "struct", "fields": [
             {"name": c, "type": dict(df.dtypes)[c], "nullable": True,
-             "metadata": ({"delta.columnMapping.id": i + 1,
+             "metadata": ({"delta.columnMapping.id": fids[c],
                            "delta.columnMapping.physicalName": phys[c]}
-                          if column_mapping else {})}
-            for i, c in enumerate(df.columns)]}
-        conf = ({"delta.columnMapping.mode": "name",
+                          if cm_mode else {})}
+            for c in df.columns]}
+        conf = ({"delta.columnMapping.mode": cm_mode,
                  "delta.columnMapping.maxColumnId": str(len(df.columns))}
-                if column_mapping else {})
+                if cm_mode else {})
         actions.append({"protocol": {
-            "minReaderVersion": 2 if column_mapping else 1,
-            "minWriterVersion": 5 if column_mapping else 2}})
+            "minReaderVersion": 2 if cm_mode else 1,
+            "minWriterVersion": 5 if cm_mode else 2}})
         actions.append({"metaData": {
             "id": uuid.uuid4().hex, "format": {"provider": "parquet",
                                                "options": {}},
@@ -348,10 +395,15 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
         # appending: honor the table's existing mapping so physical
         # column names stay consistent across commits
         sch_json, _pc, _files, mm = replay_delta_log(path)
-        if mm == "name":
+        if mm in ("name", "id"):
+            cm_mode = mm
+            flds = json.loads(sch_json)["fields"]
             phys = {f["name"]: f["metadata"]
                     ["delta.columnMapping.physicalName"]
-                    for f in json.loads(sch_json)["fields"]}
+                    for f in flds}
+            fids = {f["name"]: int(f["metadata"]
+                                   ["delta.columnMapping.id"])
+                    for f in flds}
     if part_cols:
         keys = [tuple(r) for r in
                 df.select(*part_cols).distinct().collect()]
@@ -371,11 +423,22 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
             # fixtures address rows BY POSITION, so the writer must pin it
             sub = sub.orderBy(*order_by)
         pdf = sub.select(*data_cols).toPandas()
-        pdf.columns = [phys[c] for c in data_cols]   # physical names
         import pyarrow as pa
         import pyarrow.parquet as pq
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
-                       full)
+        if cm_mode == "id":
+            # id mode: physical names vary per commit (so only field
+            # ids can match them), field ids ride the parquet footer
+            pdf.columns = [f"{phys[c]}_v{v}" for c in data_cols]
+            tb = pa.Table.from_pandas(pdf, preserve_index=False)
+            fields = [tb.schema.field(i).with_metadata(
+                {b"PARQUET:field_id": str(fids[c]).encode()})
+                for i, c in enumerate(data_cols)]
+            tb = tb.cast(pa.schema(fields))
+            pq.write_table(tb, full)
+        else:
+            pdf.columns = [phys[c] for c in data_cols]  # physical
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False), full)
         actions.append({"add": {
             "path": rel, "partitionValues": {
                 phys[c]: (None if v_ is None else str(v_))

@@ -853,6 +853,46 @@ def src_delta_read(spark, sf_dir):
                                  "version int, n bigint, key_sum bigint")
 
 
+@query("src_delta_id_mapping", oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CASE WHEN n_regionkey = 2
+                     THEN n_nationkey END) AS BIGINT) AS r2_sum
+FROM nation
+""")
+def src_delta_id_mapping(spark, sf_dir):
+    """Delta 'id'-mode column mapping (r9) — the layout conversions
+    from other engines produce: data files matched to the schema by
+    PARQUET FOOTER FIELD IDS, with physical column names that need
+    not agree across files.  The fixture writes two commits whose
+    physical names deliberately differ (only the field ids line up);
+    the reader groups files by footer layout, scans each group with
+    its own physical DDL, aliases back to logical names, and
+    re-attaches physically-keyed partition values.  The oracle
+    restates the union from the source table.  Scale shape: one
+    O(footer) driver tap per file — the same order as the log replay
+    already does — then one parquet scan per (partition, layout)
+    group."""
+    import os
+    import tempfile
+
+    from ..functions.delta import read_delta, write_delta_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_cmid_"), "tbl")
+    write_delta_fixture(spark, n.where(F.col("k") % 2 == 0), t,
+                        partition_by=("g",), column_mapping="id")
+    write_delta_fixture(spark, n.where(F.col("k") % 2 == 1), t,
+                        partition_by=("g",), mode="append",
+                        column_mapping="id")
+    return read_delta(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.sum(F.when(F.col("g") == 2, F.col("k")))
+        .cast("bigint").alias("r2_sum"))
+
+
 @query("src_delta_dv_read", oracle="""
 SELECT COUNT(*) AS n,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,

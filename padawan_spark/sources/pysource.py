@@ -556,19 +556,41 @@ class ManifestCDFSource(DataSource):
 class _AvroReader(DataSourceReader):
     def __init__(self, options, schema=None):
         self.files = _avro_files(options)
+        # intra-file parallelism (r9): files above split_bytes are
+        # divided at BLOCK boundaries by a driver-side frame walk
+        # (~20 bytes I/O per block), so one multi-GB file reads as
+        # many tasks instead of one
+        self.split_bytes = int(options.get("split_bytes",
+                                           32 * 1024 * 1024))
+        self.names = list(schema.names) if schema is not None else None
         # Catalyst binds output columns positionally to the declared
         # schema (taken from the FIRST file) — remember its field order
         # so schema-evolved sibling files realign by NAME instead of
         # silently mapping values to the wrong columns
-        self.names = list(schema.names) if schema is not None else None
 
     def partitions(self):
-        return [InputPartition(p) for p in self.files]
+        import os as _os
+
+        from ..functions.avro import scan_avro_block_ranges
+        parts = []
+        for p in self.files:
+            if _os.path.getsize(p) <= self.split_bytes:
+                parts.append(InputPartition((p, None, None)))
+                continue
+            for start, end in scan_avro_block_ranges(
+                    p, self.split_bytes):
+                parts.append(InputPartition((p, start, end)))
+        return parts
 
     def read(self, partition):
-        from ..functions.avro import decode_avro_py
-        with open(partition.value, "rb") as fh:
-            fields, rows = decode_avro_py(fh.read())
+        from ..functions.avro import (decode_avro_py,
+                                      decode_avro_py_range)
+        path, start, end = partition.value
+        if start is None:
+            with open(path, "rb") as fh:
+                fields, rows = decode_avro_py(fh.read())
+        else:
+            fields, rows = decode_avro_py_range(path, start, end)
         file_names = [n for n, _t, _nl in fields]
         if self.names is None or file_names == self.names:
             yield from rows
@@ -577,7 +599,7 @@ class _AvroReader(DataSourceReader):
         extra = [n for n in file_names if n not in self.names]
         if missing or extra:
             raise ValueError(
-                f"padawan_avro: {partition.value} writer schema fields "
+                f"padawan_avro: {path} writer schema fields "
                 f"{file_names} do not match the directory schema "
                 f"{self.names} (missing={missing}, extra={extra})")
         order = [file_names.index(n) for n in self.names]
@@ -607,24 +629,11 @@ class AvroSource(DataSource):
 
     def schema(self):
         from ..functions.avro import (_norm_type, avro_spark_schema,
-                                      parse_avro_header)
+                                      read_avro_header_file)
         path = _avro_files(self.options)[0]
-        # the header (embedded schema JSON) can exceed any fixed prefix
-        # — grow the read until the header parses or the file is
-        # exhausted, instead of crashing inside the varint decoder
-        size, head = 1 << 16, b""
-        with open(path, "rb") as fh:
-            while True:
-                fh.seek(0)
-                head = fh.read(size)
-                try:
-                    schema, _codec, _sync, _pos = parse_avro_header(head)
-                    break
-                except IndexError:
-                    if len(head) < size:   # whole file read, still short
-                        raise ValueError(
-                            f"padawan_avro: truncated header in {path}")
-                    size *= 4
+        # header read grows geometrically — the embedded schema JSON
+        # can exceed any fixed prefix
+        schema, _codec, _sync, _pos = read_avro_header_file(path)
         fields = [(f["name"], t, nl is not None)
                   for f in schema["fields"]
                   for t, nl in [_norm_type(f["type"])]]

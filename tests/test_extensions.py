@@ -742,9 +742,11 @@ def test_delta_column_mapping_name_mode_reads(spark, tmp_path):
 
 
 def test_delta_column_mapping_gate(spark, tmp_path):
-    """r9 (advice): 'id'-mode column mapping ships at minReaderVersion
-    exactly 2 — the configuration, not the protocol version, must gate
-    it (name mode is SUPPORTED, see the test above)."""
+    """r9 (advice, updated): column mapping is gated by the
+    CONFIGURATION, not the protocol version (mapping ships at
+    minReaderVersion exactly 2) — an unknown mode raises, and an
+    id-mode table whose schema lacks the id metadata raises instead
+    of silently reading nulls."""
     import json
     import os
     import pyspark.sql.functions as SF
@@ -758,12 +760,55 @@ def test_delta_column_mapping_gate(spark, tmp_path):
     for a in lines:
         if "metaData" in a:
             a["metaData"]["configuration"] = {
-                "delta.columnMapping.mode": "id"}
+                "delta.columnMapping.mode": "symlink"}
     with open(log, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(NotImplementedError, match="column mapping"):
         read_delta(spark, t)
+    # id mode declared but no per-field id metadata: honest error
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "id"}
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError,
+                       match="columnMapping.id|physicalName"):
+        read_delta(spark, t)
+
+
+def test_delta_column_mapping_id_mode_reads(spark, tmp_path):
+    """r9: 'id'-mode mapping matches parquet FOOTER FIELD IDS, not
+    names — the fixture varies physical column names per commit (so
+    name matching is impossible) and the reader must group files by
+    layout and still return correct values, partitions, and time
+    travel."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (read_delta,
+                                               write_delta_fixture)
+    t = str(tmp_path / "cmid")
+    df = spark.range(12).select(
+        SF.col("id").alias("k"), (SF.col("id") % 3).alias("g"),
+        (SF.col("id") * 1.5).alias("x"))
+    v0 = write_delta_fixture(spark, df, t, partition_by=("g",),
+                             column_mapping="id")
+    write_delta_fixture(
+        spark, df.withColumn("k", SF.col("k") + 100), t,
+        partition_by=("g",), mode="append", column_mapping="id")
+    out = read_delta(spark, t)
+    assert set(out.columns) == {"k", "g", "x"}
+    got = sorted(r["k"] for r in out.collect())
+    assert got == sorted(list(range(12)) + [k + 100
+                                            for k in range(12)])
+    # values align to the right logical columns (not nulls, not
+    # swapped): x == 1.5 * (k % 100)
+    assert all(abs(r["x"] - 1.5 * (r["k"] % 100)) < 1e-9
+               for r in out.collect())
+    # partition values re-attach through the physical keying
+    assert out.where("g = 1").count() == 8
+    assert read_delta(spark, t, version=v0).count() == 12
 
 
 def test_avro_union_branch_order_and_schema_evolution(spark, tmp_path):
@@ -800,6 +845,45 @@ def test_avro_union_branch_order_and_schema_evolution(spark, tmp_path):
     with pytest.raises(Exception, match="do not match"):
         (spark.read.format("padawan_avro").option("path", str(d))
          .load().collect())
+
+
+def test_avro_intra_file_block_splitting(spark, tmp_path):
+    """r9: one big container file splits into many read tasks at
+    BLOCK boundaries — the driver-side frame walk must tile the file
+    exactly and every range must decode to exactly its own rows."""
+    import os
+
+    from padawan_spark.functions.avro import (decode_avro_py_range,
+                                              encode_avro_py,
+                                              read_avro_header_file,
+                                              scan_avro_block_ranges)
+    from padawan_spark.sources import register_python_sources
+    f = [("k", "long", False), ("v", "string", True)]
+    rows = [(i, f"s{i}" if i % 3 else None) for i in range(5000)]
+    p = str(tmp_path / "big.avro")
+    with open(p, "wb") as fh:
+        fh.write(encode_avro_py(f, rows, codec="deflate",
+                                block_rows=100))   # 50 blocks
+    _sch, _codec, _sync, hlen = read_avro_header_file(p)
+    ranges = scan_avro_block_ranges(p, target_bytes=4096)
+    assert len(ranges) > 1
+    # ranges tile the byte span exactly: header end → file end
+    assert ranges[0][0] == hlen
+    assert ranges[-1][1] == os.path.getsize(p)
+    assert all(a[1] == b[0] for a, b in zip(ranges, ranges[1:]))
+    got = []
+    for start, end in ranges:
+        _f, rs = decode_avro_py_range(p, start, end)
+        got.extend(rs)
+    assert got == rows                 # block order == row order
+    # the registered source splits too and returns the same rows
+    register_python_sources(spark)
+    df = (spark.read.format("padawan_avro")
+          .option("path", p).option("split_bytes", "4096").load())
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == 5000
+    assert df.agg({"k": "sum"}).collect()[0][0] == sum(
+        r[0] for r in rows)
 
 
 def test_iceberg_reader_snapshots_and_partition_reattach(spark, tmp_path):
