@@ -23,8 +23,10 @@ partitionValues are physically keyed too), and ``id``-mode mapping
 schemaString's ``delta.columnMapping.id`` values, files are grouped
 by physical layout, and each group scans with its own physical DDL —
 so files whose physical names differ (e.g. written by different
-engines) still read correctly.  v2 checkpoints raise an honest
-``NotImplementedError``.
+engines) still read correctly.  V2 checkpoints (r9): the UUID-named
+top-level checkpoint plus ``_sidecars/`` parquet files replay
+driver-side like classic ones.  JSON-format v2 checkpoints raise an
+honest ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -47,27 +49,36 @@ def list_delta_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _list_checkpoints(path: str) -> dict[int, list[str]]:
-    """Checkpoint version -> parquet part files (classic single-file
-    ``<v>.checkpoint.parquet`` and multi-part
-    ``<v>.checkpoint.<i>.<n>.parquet``).  V2 (``*.checkpoint.<uuid>.
-    parquet`` + sidecars) raises — it moves actions into sidecar files
-    this replay would silently miss."""
+def _list_checkpoints(path: str):
+    """Checkpoint inventory: ``(classic, v2)`` — classic maps version
+    -> parquet part files (single-file ``<v>.checkpoint.parquet`` and
+    multi-part ``<v>.checkpoint.<i>.<n>.parquet``); v2 maps version
+    -> the UUID-named top-level file (``<v>.checkpoint.<uuid>.
+    parquet``) whose ``sidecar`` actions point into
+    ``_delta_log/_sidecars/``.  JSON-format v2 checkpoints raise."""
     d = os.path.join(path, "_delta_log")
-    out: dict[int, list[str]] = {}
+    classic: dict[int, list[str]] = {}
+    v2: dict[int, str] = {}
     for f in sorted(os.listdir(d)):
         m = re.match(r"^(\d{20})\.checkpoint\.parquet$", f)
         if m:
-            out.setdefault(int(m.group(1)), []).append(os.path.join(d, f))
+            classic.setdefault(int(m.group(1)), []).append(
+                os.path.join(d, f))
             continue
         m = re.match(r"^(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet$", f)
         if m:
-            out.setdefault(int(m.group(1)), []).append(os.path.join(d, f))
+            classic.setdefault(int(m.group(1)), []).append(
+                os.path.join(d, f))
             continue
-        if re.match(r"^\d{20}\.checkpoint\..*\.(parquet|json)$", f):
+        m = re.match(r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]+\.parquet$",
+                     f)
+        if m:
+            v2[int(m.group(1))] = os.path.join(d, f)
+            continue
+        if re.match(r"^\d{20}\.checkpoint\..*\.json$", f):
             raise NotImplementedError(
-                f"delta v2 checkpoint {f!r} unsupported (sidecar files)")
-    return out
+                f"delta v2 JSON checkpoint {f!r} unsupported")
+    return classic, v2
 
 
 class _Replay:
@@ -104,7 +115,9 @@ class _Replay:
         elif action.get("protocol"):
             p = action["protocol"]
             feats = set(p.get("readerFeatures") or [])
-            unsupported = feats - {"deletionVectors"}
+            unsupported = feats - {"deletionVectors", "v2Checkpoint",
+                                    "columnMapping",
+                                    "timestampNtz"}
             if p.get("minReaderVersion", 1) > 2 and unsupported:
                 raise NotImplementedError(
                     f"delta readerFeatures {sorted(unsupported)} "
@@ -141,6 +154,39 @@ def _replay_checkpoint(state: _Replay, part_files: list[str]) -> None:
                          and v is not None})
 
 
+def _replay_v2_checkpoint(state: _Replay, table: str,
+                          top_file: str) -> None:
+    """Fold a V2 checkpoint (r9): the UUID-named top-level parquet
+    holds protocol/metaData (+ possibly inlined file actions) and
+    ``sidecar`` actions pointing at parquet files under
+    ``_delta_log/_sidecars/`` that carry the add/remove set — the
+    layout modern writers emit with the ``v2Checkpoint`` feature.
+    Driver-side pyarrow, O(actions)."""
+    import pyarrow.parquet as pq
+
+    def _maps(obj):
+        if isinstance(obj, list) and obj and isinstance(obj[0], tuple):
+            return {k: _maps(v) for k, v in obj}
+        if isinstance(obj, dict):
+            return {k: _maps(v) for k, v in obj.items()}
+        return obj
+
+    sidecars: list[str] = []
+    for row in pq.read_table(top_file).to_pylist():
+        if row.get("sidecar"):
+            sidecars.append(row["sidecar"]["path"])
+            continue
+        state.apply({k: _maps(v) for k, v in row.items()
+                     if k in ("metaData", "add", "remove", "protocol")
+                     and v is not None})
+    sdir = os.path.join(table, "_delta_log", "_sidecars")
+    for rel in sidecars:
+        sp = rel if os.path.isabs(rel) else os.path.join(sdir, rel)
+        for row in pq.read_table(sp).to_pylist():
+            state.apply({k: _maps(v) for k, v in row.items()
+                         if k in ("add", "remove") and v is not None})
+
+
 def replay_delta_log(path: str, version: int | None = None):
     """Replay the log up to ``version`` (default: latest).  Returns
     ``(schema_json, partition_columns, files, column_mapping_mode)``
@@ -148,29 +194,33 @@ def replay_delta_log(path: str, version: int | None = None):
     partition_values_dict, deletion_vector_descriptor_or_None)`` and
     ``column_mapping_mode`` is ``"none"``, ``"name"`` or ``"id"``.
 
-    Replay starts from the newest classic checkpoint at or below
-    ``version`` when one exists (so retention-cleaned logs read
-    correctly); without a checkpoint the JSON commits must form a
-    contiguous ``0..version`` chain — a gap means add actions were
-    cleaned and a silent replay would return an incomplete file set,
-    so it raises instead."""
+    Replay starts from the newest checkpoint (classic parquet or v2
+    UUID-named + sidecars) at or below ``version`` when one exists
+    (so retention-cleaned logs read correctly); without a checkpoint
+    the JSON commits must form a contiguous ``0..version`` chain — a
+    gap means add actions were cleaned and a silent replay would
+    return an incomplete file set, so it raises instead."""
     versions = list_delta_versions(path)
-    checkpoints = _list_checkpoints(path)
-    if not versions and not checkpoints:
+    classic, v2 = _list_checkpoints(path)
+    all_cv = set(classic) | set(v2)
+    if not versions and not all_cv:
         raise FileNotFoundError(f"{path}: empty _delta_log")
     newest = max(versions[-1] if versions else -1,
-                 max(checkpoints) if checkpoints else -1)
+                 max(all_cv) if all_cv else -1)
     if version is None:
         version = newest
-    if version not in versions and version not in checkpoints:
+    if version not in versions and version not in all_cv:
         raise ValueError(
             f"no Delta commit {version} at {path}; have {versions}")
     state = _Replay()
     start = 0
-    usable = [cv for cv in checkpoints if cv <= version]
+    usable = [cv for cv in all_cv if cv <= version]
     if usable:
         cv = max(usable)
-        _replay_checkpoint(state, checkpoints[cv])
+        if cv in classic:
+            _replay_checkpoint(state, classic[cv])
+        else:
+            _replay_v2_checkpoint(state, path, v2[cv])
         start = cv + 1
     tail = [v for v in versions if start <= v <= version]
     expect = list(range(start, version + 1))
@@ -364,9 +414,13 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
     os.makedirs(log, exist_ok=True)
     try:
         versions = list_delta_versions(path)
+        classic, v2s = _list_checkpoints(path)
+        cv = max(set(classic) | set(v2s), default=-1)
     except FileNotFoundError:
-        versions = []
-    v = (versions[-1] + 1) if versions else 0
+        versions, cv = [], -1
+    # a retention-cleaned log may hold ONLY a checkpoint — the next
+    # commit must continue after it, not restart at 0
+    v = max(versions[-1] if versions else -1, cv) + 1
     data_cols = [c for c in df.columns if c not in part_cols]
     phys = {c: (f"col-{uuid.uuid5(uuid.NAMESPACE_URL, c).hex[:12]}"
                 if cm_mode else c) for c in df.columns}
@@ -495,12 +549,20 @@ def add_dv_fixture(path: str, dv_by_rel: dict[str, list[int]],
 
 
 def write_delta_checkpoint_fixture(path: str,
-                                   clean_before: bool = False) -> int:
-    """FIXTURE: write a classic single-file parquet checkpoint of the
-    current replayed state at the latest version (the layout
-    ``_last_checkpoint`` points at), optionally deleting the JSON
-    commits it covers — the retention-cleaned shape real tables land
-    in, which the contiguity guard otherwise rejects."""
+                                   clean_before: bool = False,
+                                   v2: bool = False,
+                                   n_sidecars: int = 2) -> int:
+    """FIXTURE: write a parquet checkpoint of the current replayed
+    state at the latest version (the layout ``_last_checkpoint``
+    points at), optionally deleting the JSON commits it covers — the
+    retention-cleaned shape real tables land in, which the contiguity
+    guard otherwise rejects.  ``v2=True`` writes the V2 layout
+    instead: a UUID-named top-level file holding protocol/metaData/
+    checkpointMetadata plus ``sidecar`` pointers, with the add
+    actions split across ``n_sidecars`` parquet files under
+    ``_delta_log/_sidecars/``."""
+    import uuid as _uuid
+
     import pyarrow as pa
     import pyarrow.parquet as pq
     versions = list_delta_versions(path)
@@ -512,10 +574,12 @@ def write_delta_checkpoint_fixture(path: str,
             for line in fh:
                 if line.strip():
                     state.apply(json.loads(line.strip()))
+    conf = ({"delta.columnMapping.mode": state.mapping_mode}
+            if state.mapping_mode != "none" else {})
     rows = [{"metaData": {
         "id": "ckpt", "format": {"provider": "parquet", "options": {}},
         "schemaString": state.schema_json,
-        "partitionColumns": state.part_cols, "configuration": {}},
+        "partitionColumns": state.part_cols, "configuration": conf},
         "add": None, "remove": None, "protocol": None}]
     rows.append({"metaData": None, "add": None, "remove": None,
                  "protocol": {"minReaderVersion": 1,
@@ -556,8 +620,50 @@ def write_delta_checkpoint_fixture(path: str,
                               ("dataChange", pa.bool_())])),
     ])
     log = os.path.join(path, "_delta_log")
-    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
-                   os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+    if v2:
+        head, adds = rows[:2], rows[2:]
+        sdir = os.path.join(log, "_sidecars")
+        os.makedirs(sdir, exist_ok=True)
+        side_schema = pa.schema([schema.field("add"),
+                                 schema.field("remove")])
+        chunks = [adds[i::max(1, n_sidecars)]
+                  for i in range(max(1, n_sidecars))]
+        top_extra = pa.schema(list(schema) + [
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            ("sidecar", pa.struct([("path", pa.string()),
+                                   ("sizeInBytes", pa.int64()),
+                                   ("modificationTime", pa.int64())])),
+        ])
+        top_rows = [dict(r, checkpointMetadata=None, sidecar=None)
+                    for r in head]
+        top_rows.append({"metaData": None, "add": None, "remove": None,
+                         "protocol": None,
+                         "checkpointMetadata": {"version": v},
+                         "sidecar": None})
+        for i, chunk in enumerate(chunks):
+            if not chunk:
+                continue
+            sname = f"{_uuid.uuid5(_uuid.NAMESPACE_URL, str(i)).hex}.parquet"
+            sfull = os.path.join(sdir, sname)
+            pq.write_table(pa.Table.from_pylist(
+                [{"add": r["add"], "remove": r["remove"]}
+                 for r in chunk], schema=side_schema), sfull)
+            top_rows.append({"metaData": None, "add": None,
+                             "remove": None, "protocol": None,
+                             "checkpointMetadata": None,
+                             "sidecar": {
+                                 "path": sname,
+                                 "sizeInBytes": os.path.getsize(sfull),
+                                 "modificationTime": 0}})
+        top_name = (f"{v:020d}.checkpoint."
+                    f"{_uuid.uuid5(_uuid.NAMESPACE_URL, 'top').hex}"
+                    ".parquet")
+        pq.write_table(pa.Table.from_pylist(top_rows,
+                                            schema=top_extra),
+                       os.path.join(log, top_name))
+    else:
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       os.path.join(log, f"{v:020d}.checkpoint.parquet"))
     with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
         json.dump({"version": v, "size": len(rows)}, fh)
     if clean_before:

@@ -27,11 +27,13 @@ excluded at decode time, and rollback command blocks void their
 target instant's blocks inside the codec.
 
 Supported: CoW tables, MOR tables with parquet bases + avro-block
-logs, instant-time time travel on both.  Replacecommit/clustering,
-``.hoodie/metadata`` table reads, log-only file groups (a
-deltacommit inserting into a file group with no base yet), and
-non-primitive log payload columns raise honest
-``NotImplementedError``.
+logs, instant-time time travel on both, and ``replacecommit``
+instants (r9 — clustering / insert_overwrite: the file groups listed
+in ``partitionToReplaceFileIds`` are retired wholesale, logs and
+all, in favor of the commit's new base files).  ``.hoodie/metadata``
+table reads, log-only file groups (a deltacommit inserting into a
+file group with no base yet), and non-primitive log payload columns
+raise honest ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -53,13 +55,10 @@ def _timeline(path: str) -> list[tuple[str, str]]:
         raise FileNotFoundError(f"{path} has no .hoodie directory")
     out = []
     for f in os.listdir(hdir):
-        m = re.match(r"^(\d+)\.(commit|deltacommit)$", f)
+        m = re.match(r"^(\d+)\.(commit|deltacommit|replacecommit)$",
+                     f)
         if m:
             out.append((m.group(1), m.group(2)))
-        elif re.match(r"^\d+\.replacecommit$", f):
-            raise NotImplementedError(
-                f"hudi instant {f}: clustering/replacecommit "
-                "timelines unsupported")
     return sorted(out)
 
 
@@ -90,13 +89,21 @@ def live_hudi_slices(path: str, as_of: str | None = None):
         with open(os.path.join(path, ".hoodie",
                                f"{ts}.{kind}")) as fh:
             commit = json.load(fh)
+        if kind == "replacecommit":
+            # clustering / insert_overwrite: the listed file groups
+            # are REPLACED wholesale (logs and all) by this commit's
+            # new base files
+            for _part, fids in commit.get("partitionToReplaceFileIds",
+                                          {}).items():
+                for fid in fids:
+                    slices.pop(fid, None)
         for part, stats in commit.get("partitionToWriteStats",
                                       {}).items():
             for st in stats:
                 fid, rel = st.get("fileId"), st.get("path")
                 if not fid or not rel:
                     continue
-                if kind == "commit":
+                if kind in ("commit", "replacecommit"):
                     slices[fid] = {"base": os.path.join(path, rel),
                                    "part": part, "logs": []}
                 else:
@@ -290,6 +297,29 @@ def write_hudi_fixture(spark, df, path: str,
         json.dump({"partitionToWriteStats": stats_by_part,
                    "operationType": "UPSERT"}, fh)
     return instant
+
+
+def write_hudi_replace_fixture(spark, df, path: str, replace_file_ids,
+                               partition_field: str | None = None,
+                               instant: str | None = None) -> str:
+    """FIXTURE replacecommit (clustering / insert_overwrite):
+    ``df``'s rows become NEW file groups and every fileId listed in
+    ``replace_file_ids`` (``{partition: [fileIds]}``) is retired —
+    including any accumulated log files.  Returns the instant."""
+    inst = write_hudi_fixture(spark, df, path,
+                              partition_field=partition_field,
+                              instant=instant)
+    hdir = os.path.join(path, ".hoodie")
+    src = os.path.join(hdir, f"{inst}.commit")
+    with open(src) as fh:
+        commit = json.load(fh)
+    commit["operationType"] = "CLUSTER"
+    commit["partitionToReplaceFileIds"] = {
+        str(p): list(fids) for p, fids in replace_file_ids.items()}
+    os.remove(src)
+    with open(os.path.join(hdir, f"{inst}.replacecommit"), "w") as fh:
+        json.dump(commit, fh)
+    return inst
 
 
 _SPARK_TO_AVRO = {"bigint": "long", "int": "int", "double": "double",

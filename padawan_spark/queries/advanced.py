@@ -893,6 +893,125 @@ def src_delta_id_mapping(spark, sf_dir):
         .cast("bigint").alias("r2_sum"))
 
 
+@query("src_delta_v2_checkpoint", oracle="""
+SELECT 'ckpt' AS scope, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation WHERE n_regionkey <> 2
+UNION ALL
+SELECT 'final', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation
+WHERE n_regionkey <> 2 OR n_nationkey % 2 = 0
+""")
+def src_delta_v2_checkpoint(spark, sf_dir):
+    """Delta V2 CHECKPOINTS (r9) — the layout modern writers emit
+    with the v2Checkpoint table feature: a UUID-named top-level
+    checkpoint parquet holding protocol/metaData/checkpointMetadata
+    plus ``sidecar`` actions, with the add/remove set split across
+    parquet files under ``_delta_log/_sidecars/``.  The fixture
+    builds a partitioned table (create + append + remove one
+    partition), checkpoints it V2 with two sidecars, DELETES the
+    covered JSON commits (the retention-cleaned state), appends a
+    post-checkpoint commit, and reads both the checkpoint state
+    (version time travel) and the final state.  The oracle restates
+    both from the source table.  Scale shape: checkpoint replay is
+    O(actions) driver-side pyarrow over top-level + sidecars; the
+    data scan is unchanged."""
+    import os
+    import tempfile
+
+    from ..functions.delta import (read_delta,
+                                   remove_delta_files_fixture,
+                                   write_delta_checkpoint_fixture,
+                                   write_delta_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_ckv2_"), "tbl")
+    write_delta_fixture(spark, n.where(F.col("k") < 15), t,
+                        partition_by=("g",))
+    write_delta_fixture(spark, n.where(F.col("k") >= 15), t,
+                        partition_by=("g",), mode="append")
+    remove_delta_files_fixture(t, lambda rel: rel.startswith("g=2/"))
+    v = write_delta_checkpoint_fixture(t, clean_before=True, v2=True,
+                                       n_sidecars=2)
+    write_delta_fixture(
+        spark, n.where((F.col("g") == 2) & (F.col("k") % 2 == 0)),
+        t, partition_by=("g",), mode="append")
+    out = []
+    for scope, ver in (("ckpt", v), ("final", None)):
+        agg = read_delta(spark, t, version=ver).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("s")).collect()[0]
+        out.append((scope, int(agg["n"]), int(agg["s"])))
+    return spark.createDataFrame(
+        out, "scope string, n bigint, key_sum bigint")
+
+
+@query("src_hudi_clustering", oracle="""
+SELECT 'pre' AS scope, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE n_nationkey % 3 = 0) AS n_upd,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+UNION ALL
+SELECT 'post', COUNT(*),
+       COUNT(*) FILTER (WHERE n_nationkey % 3 = 0),
+       CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation
+""")
+def src_hudi_clustering(spark, sf_dir):
+    """Hudi REPLACECOMMIT / clustering (r9): a replacecommit retires
+    whole file groups — accumulated log files included — in favor of
+    new base files, changing LAYOUT but never VALUES.  The fixture
+    upserts ``k % 3 == 0`` rows' names via a deltacommit, then
+    clusters one partition's file group (its new base carrying the
+    merged rows, as a real clustering service writes); the query
+    reads the pre- and post-clustering instants and proves both see
+    identical values, while an in-query assertion checks the
+    clustered group really dropped its logs (layout change is real).
+    The oracle restates the (value-identical) aggregate twice.
+    Scale shape: clustering converts merge-on-read groups back to
+    pure scans — the read cost of the window merge disappears for
+    clustered groups."""
+    import json as _json
+    import os
+    import tempfile
+
+    from ..functions.hudi import (live_hudi_slices, read_hudi,
+                                  write_hudi_delta_fixture,
+                                  write_hudi_fixture,
+                                  write_hudi_replace_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        F.col("n_name").alias("name"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_clus_"), "tbl")
+    i1 = write_hudi_fixture(spark, n, t, partition_field="g")
+    d1 = write_hudi_delta_fixture(
+        spark, t, upserts=n.where(F.col("k") % 3 == 0)
+        .withColumn("name", F.lit("UPD")), partition_field="g")
+    with open(os.path.join(t, ".hoodie", f"{i1}.commit")) as fh:
+        fid1 = _json.load(fh)["partitionToWriteStats"]["1"][0]["fileId"]
+    merged_g1 = (n.where(F.col("g") == 1)
+                 .withColumn("name",
+                             F.when(F.col("k") % 3 == 0, F.lit("UPD"))
+                             .otherwise(F.col("name"))))
+    r1 = write_hudi_replace_fixture(spark, merged_g1, t, {"1": [fid1]},
+                                    partition_field="g")
+    # layout really changed: the clustered partition has no live logs
+    assert all(not s["logs"] for s in live_hudi_slices(t, r1).values()
+               if s["part"] == "1")
+    out = []
+    for scope, inst in (("pre", d1), ("post", r1)):
+        agg = read_hudi(spark, t, as_of=inst).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("name") == "UPD", 1)).alias("u"),
+            F.sum("k").cast("bigint").alias("s")).collect()[0]
+        out.append((scope, int(agg["n"]), int(agg["u"]),
+                    int(agg["s"])))
+    return spark.createDataFrame(
+        out, "scope string, n bigint, n_upd bigint, key_sum bigint")
+
+
 @query("src_delta_dv_read", oracle="""
 SELECT COUNT(*) AS n,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,

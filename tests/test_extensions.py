@@ -709,6 +709,46 @@ def test_delta_checkpoint_replay_and_retention_clean(spark, tmp_path):
         read_delta(spark, t2)
 
 
+def test_delta_v2_checkpoint_sidecars(spark, tmp_path):
+    """r9: V2 checkpoints — UUID-named top-level file + sidecar
+    parquet files under _delta_log/_sidecars/ — replay like classic
+    ones, survive retention cleaning, and later commits continue
+    AFTER the checkpoint version instead of restarting at 0."""
+    import os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (
+        read_delta, remove_delta_files_fixture,
+        write_delta_checkpoint_fixture, write_delta_fixture)
+    t = str(tmp_path / "ckv2")
+    df = spark.range(30).select(SF.col("id").alias("k"),
+                                (SF.col("id") % 3).alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",))
+    write_delta_fixture(
+        spark, spark.range(30, 40).select(
+            SF.col("id").alias("k"), (SF.col("id") % 3).alias("g")),
+        t, partition_by=("g",), mode="append")
+    remove_delta_files_fixture(t, lambda rel: rel.startswith("g=2/"))
+    expect = read_delta(spark, t).count()
+    v = write_delta_checkpoint_fixture(t, clean_before=True, v2=True,
+                                       n_sidecars=2)
+    log = os.path.join(t, "_delta_log")
+    assert not any(f.endswith(".json") and not f.startswith("_")
+                   for f in os.listdir(log))
+    assert len(os.listdir(os.path.join(log, "_sidecars"))) == 2
+    assert read_delta(spark, t).count() == expect
+    # append AFTER the cleaned checkpoint: version continues at v+1
+    write_delta_fixture(
+        spark, spark.range(100, 105).select(
+            SF.col("id").alias("k"), (SF.col("id") % 3).alias("g")),
+        t, partition_by=("g",), mode="append")
+    assert sorted(int(x.split(".")[0]) for x in os.listdir(log)
+                  if x.endswith(".json")
+                  and not x.startswith("_")) == [v + 1]
+    assert read_delta(spark, t).count() == expect + 5
+    assert read_delta(spark, t, version=v).count() == expect
+
+
 def test_delta_column_mapping_name_mode_reads(spark, tmp_path):
     """r9: 'name'-mode column mapping reads for real — physical
     col-<uuid> parquet columns alias back to logical names, physically
@@ -1153,3 +1193,47 @@ def test_hudi_mor_log_merge(spark, tmp_path):
     got3 = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
     assert got3[2] == 20 and got3[0] == 0      # base values back
     assert got3[1] == 1001 and got3[3] == 1003  # g=1 logs still live
+
+
+def test_hudi_replacecommit_clustering(spark, tmp_path):
+    """r9: a replacecommit retires the listed file groups wholesale
+    (logs included) in favor of its new base files; earlier instants
+    still time-travel to the merged pre-clustering state."""
+    import json
+    import os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture,
+                                              write_hudi_replace_fixture)
+    t = str(tmp_path / "repl")
+    df = spark.range(10).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 2).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    i1 = write_hudi_fixture(spark, df, t, partition_field="g")
+    d1 = write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("k") == 0)
+        .withColumn("v", SF.lit(77).cast("bigint")),
+        partition_field="g")
+    assert {r["k"]: r["v"]
+            for r in read_hudi(spark, t).collect()}[0] == 77
+    with open(os.path.join(t, ".hoodie", f"{i1}.commit")) as fh:
+        fid0 = json.load(fh)["partitionToWriteStats"]["0"][0]["fileId"]
+    # cluster the g=0 group: new base carries the MERGED rows (as a
+    # real clustering service would), old group + its log retire
+    merged_g0 = (df.where(SF.col("g") == 0)
+                 .withColumn("v", SF.when(SF.col("k") == 0,
+                                          SF.lit(77).cast("bigint"))
+                             .otherwise(SF.col("v"))))
+    r1 = write_hudi_replace_fixture(
+        spark, merged_g0, t, {"0": [fid0]}, partition_field="g")
+    got = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert got[0] == 77 and got[2] == 20 and len(got) == 10
+    # no unmerged logs remain for g=0, so as_of the replacecommit the
+    # g=0 slice is pure base again; d1 time travel still merges
+    gd = {r["k"]: r["v"]
+          for r in read_hudi(spark, t, as_of=d1).collect()}
+    assert gd[0] == 77 and len(gd) == 10
+    assert read_hudi(spark, t, as_of=r1).count() == 10
