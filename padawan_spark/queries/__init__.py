@@ -41,20 +41,25 @@ for _m in _SUITES:
 # ---------------------------------------------------------------------------
 
 # code that changed THIS round — keep driver-visible even though already
-# green: the CDF update-classification joins and merge_rows' survivor
-# anti-join gained explicit broadcast hints (r9) → op_incremental_agg
-# (the MV fold that rides both) and op_import_delta/src_delta_read
-# (the Delta log reader gained a column-mapping gate and a
-# checkpoint/contiguity guard, r9); the Avro decoder's union
-# branch-order fix (r9) → src_avro_roundtrip; src_iceberg_read (v2
-# position-delete support lands this round next to the v1 reader);
-# src_hudi_read (new r8 reader, first sentinel round);
-# op_bloom_point_lookup + mm_real_video_avi (r8-new code the r8
-# sentinels never covered).  Never-checked r9 queries sort ahead of
-# the rotation automatically (round 0).
-_SENTINELS = ["op_incremental_agg", "op_import_delta", "src_delta_read",
-              "src_avro_roundtrip", "src_iceberg_read", "src_hudi_read",
-              "op_bloom_point_lookup", "mm_real_video_avi"]
+# green: the late-r9 interop wave rewired every reader —
+# src_iceberg_read (live_data_files now returns sequence numbers +
+# transform part-specs; the v2-deletes and transform paths branch off
+# it), src_iceberg_v2_deletes (grouping key gained the sequence
+# number), src_delta_read + op_import_delta (replay gained v2
+# checkpoints, id-mapping acceptance, and the version-allocation
+# fix), src_delta_dv_read (classic checkpoint fixture now preserves
+# mapping config), src_avro_roundtrip (the container reader moved to
+# block-range partitions), src_hudi_read (timeline now admits
+# deltacommit/replacecommit kinds; live_hudi_files rides the new
+# slice resolver), op_incremental_agg (r9 broadcast hints in the CDF
+# fold, carried one more round as the r8 verdict's weak item).
+# Never-checked r9 queries (eq-deletes, transforms, MOR, clustering,
+# id-mapping, v2-checkpoint) sort ahead of the rotation
+# automatically (round 0).
+_SENTINELS = ["src_iceberg_read", "src_iceberg_v2_deletes",
+              "src_delta_read", "op_import_delta", "src_delta_dv_read",
+              "src_avro_roundtrip", "src_hudi_read",
+              "op_incremental_agg"]
 
 _WINDOW = 50
 
