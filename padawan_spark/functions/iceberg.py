@@ -39,8 +39,12 @@ equality filter before any Spark job runs — the transform-pruning
 path that makes a 100 TB bucketed/date-partitioned table a
 point-lookup instead of a full scan.  Source columns of non-identity
 transforms live in the data files themselves (only identity
-partition values are re-attached from metadata).  ORC/Avro data
-files raise honest ``NotImplementedError``.
+partition values are re-attached from metadata).  Schema evolution
+(r9): a table carrying more than one schema resolves columns the way
+the spec mandates — by PARQUET FOOTER FIELD ID — so renames keep
+reading old files and post-add files return null for the new column;
+the fixture writer stamps field ids on every data file it writes.
+ORC/Avro data files raise honest ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -323,6 +327,23 @@ def live_data_files(path: str, snapshot_id: int | None = None):
     return fields, part_specs, sorted(files), sorted(delete_files)
 
 
+def _schema_inventory(path: str):
+    """Current schema fields WITH ids, and how many schemas the table
+    has carried (``> 1`` means evolution happened and column
+    resolution must go through parquet field ids, per the spec's
+    "columns are matched by field id" rule)."""
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        schema = next(s for s in meta["schemas"]
+                      if s.get("schema-id", 0) == sid)
+        n = len(meta["schemas"])
+    else:
+        schema, n = meta["schema"], 1
+    return {f["name"]: f["id"] for f in schema["fields"]}, n
+
+
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                  filters: dict | None = None):
     """Scan an Iceberg table at a snapshot (default: current).
@@ -340,7 +361,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     columns, scoped to data rows whose file sequence number is
     STRICTLY below the delete file's.  Both delete sets stay
     distributed (never collected), AQE picks broadcast when they are
-    small, and tables without delete files skip the joins entirely."""
+    small, and tables without delete files skip the joins entirely.
+    Schema evolution (r9): when the table carries more than one
+    schema, columns resolve per the spec — by PARQUET FOOTER FIELD
+    ID, not by name — so renamed columns read their old files
+    correctly and columns added later come back null from pre-add
+    files; files are grouped by physical layout and each group scans
+    with its own DDL.  Unevolved tables skip the footer taps
+    entirely."""
     from pyspark.sql import functions as F
     fields, part_specs, files, delete_files = live_data_files(
         path, snapshot_id)
@@ -355,11 +383,38 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         return spark.createDataFrame([], ddl_all)
     data_ddl = ", ".join(f"{n} {t}" for n, t in fields
                          if n not in part_fields)
+    fld_ids, n_schemas = _schema_inventory(path)
+    evolved = n_schemas > 1
+    data_names = [n for n, _t in fields if n not in part_fields]
+
+    def _layout(full_p: str) -> tuple:
+        # evolved table: logical name -> THIS FILE's physical column,
+        # matched by footer field id (name fallback for id-less
+        # legacy files); absent = column added after this file
+        import pyarrow.parquet as pq
+        arr = pq.read_schema(full_p)
+        byfid = {}
+        for f2 in arr:
+            md = f2.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                byfid[int(fid)] = f2.name
+        names = set(arr.names)
+        m = {}
+        for n2 in data_names:
+            fid = fld_ids.get(n2)
+            if fid is not None and fid in byfid:
+                m[n2] = byfid[fid]
+            elif n2 in names:
+                m[n2] = n2
+        return tuple(sorted(m.items()))
+
     pos_files = [p for p, c, _s, _e in delete_files if c == 1]
     eq_files = [(p, s, e) for p, c, s, e in delete_files if c == 2]
     groups: dict[tuple, list[str]] = {}
     for p, pvals, seq in files:
-        key = (tuple(pvals.get(pfnames[c]) for c in part_fields), seq)
+        key = (tuple(pvals.get(pfnames[c]) for c in part_fields), seq,
+               _layout(p) if evolved else ())
         groups.setdefault(key, []).append(p)
     # file_path values inside position-delete files are URIs/relative
     # paths as the writer recorded them — normalize both sides to a
@@ -370,8 +425,21 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             F.concat(F.lit(os.path.abspath(path) + "/"), c))
 
     parts = []
-    for (key, seq), paths in sorted(groups.items()):
-        df = spark.read.schema(data_ddl).parquet(*paths)
+    for (key, seq, lay), paths in sorted(groups.items()):
+        if evolved:
+            lmap = dict(lay)
+            ddl_g = ", ".join(f"`{lmap[n]}` {types[n]}"
+                              for n in data_names if n in lmap)
+        else:
+            lmap, ddl_g = None, data_ddl
+        df = spark.read.schema(ddl_g).parquet(*paths)
+        if evolved:
+            for n in data_names:
+                if n in lmap and lmap[n] != n:
+                    df = df.withColumnRenamed(lmap[n], n)
+                elif n not in lmap:      # column postdates this file
+                    df = df.withColumn(n,
+                                       F.lit(None).cast(types[n]))
         if pos_files:
             df = (df.withColumn("__fp",
                                 _norm(F.col("_metadata.file_path")))
@@ -518,7 +586,15 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                     i, f.name,
                     tb.column(i).cast(pa.timestamp(
                         "us", f.type.tz or "UTC")))
-        return tb
+        # stamp PARQUET FIELD IDS (r9): the spec resolves columns by
+        # id, which is what lets renamed columns keep reading — the
+        # closure binds name_to_id after the schema resolves below
+        flds = [f.with_metadata(
+            {b"PARQUET:field_id":
+             str(name_to_id[f.name]).encode()})
+            if f.name in name_to_id else f
+            for f in tb.schema]
+        return tb.cast(pa.schema(flds))
     w_specs = []
     for s in partition_by:
         m = re.match(r"^(\w+)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$", s)
@@ -764,3 +840,47 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return snap_id
+
+
+def evolve_iceberg_schema_fixture(path: str, renames=None,
+                                  add_columns=()) -> int:
+    """FIXTURE schema evolution: append a NEW schema to the metadata
+    (the shape an ``ALTER TABLE RENAME/ADD COLUMN`` commit writes) —
+    renamed columns KEEP their field ids, added columns take fresh
+    ids past ``last-column-id``, and ``current-schema-id`` advances.
+    Existing data files are untouched (their footers still carry the
+    old physical names + the stable field ids).  Returns the new
+    schema id."""
+    import copy
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    mdir = os.path.join(path, "metadata")
+    version = max(int(re.match(r"^v(\d+)\.metadata\.json$", f)
+                      .group(1))
+                  for f in os.listdir(mdir)
+                  if re.match(r"^v(\d+)\.metadata\.json$", f))
+    sid = meta.get("current-schema-id", 0)
+    cur = next(s for s in meta["schemas"]
+               if s.get("schema-id", 0) == sid)
+    new = copy.deepcopy(cur)
+    new["schema-id"] = max(s.get("schema-id", 0)
+                           for s in meta["schemas"]) + 1
+    for f in new["fields"]:
+        if renames and f["name"] in renames:
+            f["name"] = renames[f["name"]]
+    last = meta.get("last-column-id",
+                    max(f["id"] for f in new["fields"]))
+    for nm, t in add_columns:
+        last += 1
+        new["fields"].append({"id": last, "name": nm,
+                              "required": False, "type": t})
+    meta["last-column-id"] = last
+    meta["schemas"].append(new)
+    meta["current-schema-id"] = new["schema-id"]
+    with open(os.path.join(mdir,
+                           f"v{version + 1}.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version + 1))
+    return new["schema-id"]

@@ -1305,6 +1305,52 @@ def src_iceberg_transforms(spark, sf_dir):
         out, "scope string, n bigint, cust_sum bigint")
 
 
+@query("src_iceberg_schema_evolution", oracle="""
+SELECT 2 * COUNT(*) AS n,
+       CAST(2 * SUM(n_nationkey) + 100 * COUNT(*) AS BIGINT)
+         AS key_sum,
+       COUNT(*) AS n_flag,
+       CAST(SUM(n_regionkey) AS BIGINT) AS flag_sum
+FROM nation
+""")
+def src_iceberg_schema_evolution(spark, sf_dir):
+    """Iceberg SCHEMA EVOLUTION (r9): the spec resolves columns by
+    PARQUET FOOTER FIELD ID, never by name — the rule that makes
+    ALTER TABLE RENAME/ADD COLUMN metadata-only operations.  The
+    fixture writes a snapshot, renames a column and adds a new one
+    (ids stable, fresh id for the addition), then appends a second
+    snapshot under the new schema; the read must return the renamed
+    column's values from BOTH file generations and nulls for the
+    added column from pre-add files.  The oracle restates the union
+    from the source table.  Scale shape: footer field-id taps are
+    O(files) driver work activated ONLY when the table carries more
+    than one schema; files group by physical layout, one scan per
+    (partition, layout) group."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import (evolve_iceberg_schema_fixture,
+                                     read_iceberg,
+                                     write_iceberg_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        F.col("n_name").alias("name"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_icesv_"), "tbl")
+    write_iceberg_fixture(spark, n, t, partition_by=("g",))
+    evolve_iceberg_schema_fixture(t, renames={"name": "nation_name"},
+                                  add_columns=[("flag", "long")])
+    n2 = n.select((F.col("k") + 100).alias("k"), F.col("g"),
+                  F.col("name").alias("nation_name"),
+                  F.col("g").alias("flag"))
+    write_iceberg_fixture(spark, n2, t, partition_by=("g",))
+    return read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.count("flag").alias("n_flag"),
+        F.sum("flag").cast("bigint").alias("flag_sum"))
+
+
 @query("src_hudi_read", oracle="""
 SELECT 1 AS instant, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

@@ -1097,6 +1097,44 @@ def test_iceberg_partition_transforms_prune_and_read(spark, tmp_path):
     assert read_iceberg(spark, t).count() == 200
 
 
+def test_iceberg_schema_evolution_field_id_resolution(spark, tmp_path):
+    """r9: a table with >1 schema resolves columns by parquet footer
+    FIELD ID (the spec rule) — renamed columns keep reading their old
+    files, added columns come back null from pre-add files, and the
+    per-layout grouping never mixes physical DDLs."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        write_iceberg_fixture)
+    t = str(tmp_path / "icev")
+    df = spark.range(10).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g"),
+        (SF.col("id") * 2).alias("v"))
+    s1 = write_iceberg_fixture(spark, df, t, partition_by=("g",))
+    evolve_iceberg_schema_fixture(t, renames={"v": "value"},
+                                  add_columns=[("w", "long")])
+    df2 = spark.range(100, 106).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g"),
+        (SF.col("id") * 3).alias("value"),
+        (SF.col("id") + 1).alias("w"))
+    s2 = write_iceberg_fixture(spark, df2, t, partition_by=("g",))
+    out = read_iceberg(spark, t)
+    assert out.columns == ["k", "g", "value", "w"]
+    rows = {r["k"]: (r["value"], r["w"]) for r in out.collect()}
+    assert len(rows) == 16
+    assert rows[4] == (8, None)        # renamed col via field id
+    assert rows[101] == (303, 102)     # new-schema file, both live
+    # aggregates see every file's values under the current names
+    agg = out.agg(SF.sum("value").alias("s"),
+                  SF.count("w").alias("nw")).collect()[0]
+    assert agg["s"] == sum(k * 2 for k in range(10)) + sum(
+        k * 3 for k in range(100, 106))
+    assert agg["nw"] == 6
+    # snapshot time travel before/after evolution both read
+    assert read_iceberg(spark, t, snapshot_id=s1).count() == 10
+    assert read_iceberg(spark, t, snapshot_id=s2).count() == 16
+
+
 def test_hudi_cow_reader_file_group_supersede(spark, tmp_path):
     import json
     import os
