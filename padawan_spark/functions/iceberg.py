@@ -232,7 +232,8 @@ def prune_partition_files(files, part_specs, types, filters):
     return keep
 
 
-def live_data_files(path: str, snapshot_id: int | None = None):
+def live_data_files(path: str, snapshot_id: int | None = None,
+                    as_of_ms: int | None = None):
     """Resolve the live data files of a snapshot.  Returns
     ``(schema_fields, part_specs, files, delete_files)`` with
     ``files`` as ``[(abs_path, partition_dict, sequence_number)]``,
@@ -245,6 +246,17 @@ def live_data_files(path: str, snapshot_id: int | None = None):
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
     snaps = meta.get("snapshots", [])
+    if snapshot_id is None and as_of_ms is not None:
+        # timestamp time travel: latest snapshot committed at or
+        # before the instant (spec: snapshots carry timestamp-ms)
+        past = [s for s in snaps
+                if s.get("timestamp-ms", 0) <= as_of_ms]
+        if not past:
+            raise ValueError(
+                f"no snapshot at or before {as_of_ms} at {path}")
+        snapshot_id = max(
+            past, key=lambda s: (s.get("timestamp-ms", 0),
+                                 s["snapshot-id"]))["snapshot-id"]
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     snap = next((s for s in snaps
@@ -345,7 +357,8 @@ def _schema_inventory(path: str):
 
 
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
-                 filters: dict | None = None):
+                 filters: dict | None = None,
+                 as_of_ms: int | None = None):
     """Scan an Iceberg table at a snapshot (default: current).
     Identity partition values are re-attached per data file, grouped
     so each distinct (partition tuple, sequence number) is one parquet
@@ -371,7 +384,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     entirely."""
     from pyspark.sql import functions as F
     fields, part_specs, files, delete_files = live_data_files(
-        path, snapshot_id)
+        path, snapshot_id, as_of_ms=as_of_ms)
     types = dict(fields)
     part_fields = [src for t, _p, src, _f in part_specs
                    if t == "identity"]
@@ -829,7 +842,9 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
         fh.write(encode_avro_datums(_MLIST_SCHEMA, mlist_rows))
     meta["snapshots"].append({"snapshot-id": snap_id,
                               "sequence-number": snap_id,
-                              "timestamp-ms": 0,
+                              # deterministic, strictly increasing —
+                              # what as_of_ms time travel needs
+                              "timestamp-ms": snap_id * 1000,
                               "manifest-list": mlist_rel,
                               "summary": {"operation": "append"}})
     meta["current-snapshot-id"] = snap_id

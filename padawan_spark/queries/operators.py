@@ -925,6 +925,58 @@ def op_footer_stats(spark, sf_dir):
                     "null_count", "min_val", "max_val"))
 
 
+@query("op_import_iceberg", oracle="""
+SELECT COUNT(*) AS n_window,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0)
+            AS BIGINT) AS n_total
+FROM orders
+WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+  AND o_orderkey BETWEEN 700 AND 7000
+""")
+def op_import_iceberg(spark, sf_dir):
+    """Iceberg-to-native MIGRATION end-to-end (r9), completing the
+    import pair next to op_import_delta: an existing Iceberg table —
+    partitioned, carrying a v2 EQUALITY delete so the import must
+    apply merge-on-read semantics rather than copy files — is read
+    through the dependency-free snapshot reader, written INTO the
+    padawan lakehouse as an indexed manifest table, and served by an
+    index-range SLICE pruned by the NEW manifest.  The oracle
+    restates the sliced window and total from the source table.
+    Scale shape: the import is one distributed read (delete
+    anti-join included) + one range-partitioned write; the serve
+    path is manifest pruning."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import read_iceberg, write_iceberg_fixture
+    src = (load(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 7 == 0)
+           .select(F.col("o_orderkey").cast("bigint").alias("k"),
+                   (F.col("o_orderkey") % 4).cast("bigint").alias("g")))
+    base = tempfile.mkdtemp(prefix="padawan_impice_")
+    ice_t = os.path.join(base, "ice")
+    write_iceberg_fixture(spark, src, ice_t, partition_by=("g",),
+                          order_by=("k",))
+    dead = [(int(r["k"]),) for r in
+            src.where(F.col("k") % 3 == 0).collect()]
+    write_iceberg_fixture(spark, None, ice_t, partition_by=("g",),
+                          delete_equality=(["k"], sorted(dead)))
+    imported = read_iceberg(spark, ice_t)
+    target = os.path.join(base, "native")
+    (Dataset(spark, imported.select("k", "g"), index_columns=("k",))
+     .reindex(("k",)).repartition(5).write_parquet(target))
+    ds = scan_parquet(spark, target)
+    window = ds.slice((700,), (7000,), inclusive="both")
+    agg = window.df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("s")).collect()[0]
+    return spark.createDataFrame(
+        [(int(agg["n"]), int(agg["s"]), ds.df.count())],
+        "n_window bigint, key_sum bigint, n_total bigint")
+
+
 @query("op_import_delta", oracle="""
 SELECT COUNT(*) AS n_window,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,

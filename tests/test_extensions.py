@@ -947,6 +947,11 @@ def test_iceberg_reader_snapshots_and_partition_reattach(spark, tmp_path):
     assert read_iceberg(spark, t, snapshot_id=s1).count() == 40
     s3 = write_iceberg_fixture(spark, None, t, partition_by=("g",),
                                delete_partition={"g": 0})
+    # r9: timestamp time travel — fixture stamps snap_id*1000 ms
+    assert read_iceberg(spark, t, as_of_ms=1500).count() == 40
+    assert read_iceberg(spark, t, as_of_ms=2000).count() == 50
+    with pytest.raises(ValueError, match="at or before"):
+        read_iceberg(spark, t, as_of_ms=500).count()
     after = read_iceberg(spark, t)
     assert after.count() == 25 and after.where("g = 0").count() == 0
     assert read_iceberg(spark, t, snapshot_id=s2).count() == 50
