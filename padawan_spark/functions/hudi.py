@@ -30,10 +30,13 @@ Supported: CoW tables, MOR tables with parquet bases + avro-block
 logs, instant-time time travel on both, and ``replacecommit``
 instants (r9 — clustering / insert_overwrite: the file groups listed
 in ``partitionToReplaceFileIds`` are retired wholesale, logs and
-all, in favor of the commit's new base files).  ``.hoodie/metadata``
-table reads, log-only file groups (a deltacommit inserting into a
-file group with no base yet), and non-primitive log payload columns
-raise honest ``NotImplementedError``.
+all, in favor of the commit's new base files), and LOG-ONLY file
+groups (r9 — a deltacommit INSERT into a partition with no base
+yet: its rows live purely in the log and merge like any other
+slice).  ``.hoodie/metadata`` table reads, tables consisting ONLY of
+log-only groups (no base file anywhere to take the merge schema
+from), and non-primitive log payload columns raise honest
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -108,10 +111,11 @@ def live_hudi_slices(path: str, as_of: str | None = None):
                                    "part": part, "logs": []}
                 else:
                     if fid not in slices:
-                        raise NotImplementedError(
-                            f"hudi log-only file group {fid} "
-                            "(deltacommit into a group with no "
-                            "base file)")
+                        # log-only file group (r9): a deltacommit
+                        # INSERT into a group with no base yet —
+                        # rows live in the log until compaction
+                        slices[fid] = {"base": None, "part": part,
+                                       "logs": []}
                     full = os.path.join(path, rel)
                     if full not in slices[fid]["logs"]:
                         slices[fid]["logs"].append(full)
@@ -124,7 +128,7 @@ def live_hudi_files(path: str, as_of: str | None = None):
     group carries unmerged log files (use :func:`read_hudi`)."""
     slices = live_hudi_slices(path, as_of)
     for fid, s in slices.items():
-        if s["logs"]:
+        if s["logs"] or s["base"] is None:
             raise NotImplementedError(
                 f"hudi file group {fid} has unmerged log files — "
                 "read through read_hudi (merge-on-read)")
@@ -149,7 +153,12 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     slices = live_hudi_slices(path, as_of)
     if not slices:
         raise NotImplementedError(f"{path}: no live data files")
-    bases = sorted(s["base"] for s in slices.values())
+    bases = sorted(s["base"] for s in slices.values()
+                   if s["base"] is not None)
+    if not bases:
+        raise NotImplementedError(
+            f"{path}: table has ONLY log-only file groups — the "
+            "merge schema comes from base parquet files")
     base_df = spark.read.parquet(*bases)
     log_files = sorted(p for s in slices.values() for p in s["logs"])
     if not log_files:
@@ -354,8 +363,11 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
     def _log_path(fid: str, s: dict) -> str:
         if s["logs"]:
             return s["logs"][0]
-        base = os.path.basename(s["base"])
-        base_instant = base.rsplit("_", 1)[1].split(".")[0]
+        if s["base"] is not None:
+            base = os.path.basename(s["base"])
+            base_instant = base.rsplit("_", 1)[1].split(".")[0]
+        else:
+            base_instant = instant       # log-only group, born now
         fname = f".{fid}_{base_instant}.log.1"
         return os.path.join(path, s["part"], fname) \
             if s["part"] else os.path.join(path, fname)
@@ -388,10 +400,13 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
             grouped.setdefault(part, []).append(rec)
         for part, recs in sorted(grouped.items()):
             if part not in by_part:
-                raise NotImplementedError(
-                    f"hudi delta fixture: no base file group for "
-                    f"partition {part!r} (log-only groups "
-                    "unsupported)")
+                # INSERT into a new partition: a log-only file group
+                import uuid as _uuid
+                fid = _uuid.uuid4().hex[:8]
+                os.makedirs(os.path.join(path, part) if part
+                            else path, exist_ok=True)
+                by_part[part] = (fid, {"base": None, "part": part,
+                                       "logs": []})
             fid, s = by_part[part]
             full = _log_path(fid, s)
             with open(full, "ab") as fh:

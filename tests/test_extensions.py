@@ -1238,6 +1238,37 @@ def test_hudi_mor_log_merge(spark, tmp_path):
     assert got3[1] == 1001 and got3[3] == 1003  # g=1 logs still live
 
 
+def test_hudi_log_only_file_groups(spark, tmp_path):
+    """r9: a deltacommit INSERT into a partition with no base file
+    creates a log-only group — its rows merge like any slice, delete
+    blocks apply, and the CoW view refuses the table."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.hudi import (live_hudi_files,
+                                              read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "logonly")
+    df = spark.range(10).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 2).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    write_hudi_fixture(spark, df, t, partition_field="g")
+    newp = spark.range(100, 104).select(
+        SF.col("id").alias("k"), SF.lit(5).cast("bigint").alias("g"),
+        (SF.col("id") * 7).alias("v"))
+    write_hudi_delta_fixture(spark, t, upserts=newp,
+                             partition_field="g")
+    got = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert got[101] == 707 and len(got) == 14
+    with pytest.raises(NotImplementedError, match="unmerged log"):
+        live_hudi_files(t)
+    write_hudi_delta_fixture(spark, t, deletes={"5": ["100"]},
+                             partition_field="g")
+    got2 = {r["k"] for r in read_hudi(spark, t).collect()}
+    assert 100 not in got2 and 101 in got2 and len(got2) == 13
+
+
 def test_hudi_replacecommit_clustering(spark, tmp_path):
     """r9: a replacecommit retires the listed file groups wholesale
     (logs included) in favor of its new base files; earlier instants
