@@ -35,8 +35,9 @@ groups (r9 — a deltacommit INSERT into a partition with no base
 yet: its rows live purely in the log and merge like any other
 slice).  ``.hoodie/metadata`` table reads, tables consisting ONLY of
 log-only groups (no base file anywhere to take the merge schema
-from), and non-primitive log payload columns raise honest
-``NotImplementedError``.
+from), and non-scalar log payload columns (arrays/structs/binary)
+raise honest ``NotImplementedError``; timestamps and dates ride
+Avro logical types (micros / days from epoch).
 """
 
 from __future__ import annotations
@@ -136,7 +137,7 @@ def live_hudi_files(path: str, as_of: str | None = None):
 
 
 _LOG_SAFE = ("bigint", "int", "smallint", "tinyint", "double",
-             "float", "string", "boolean")
+             "float", "string", "boolean", "timestamp", "date")
 
 
 def read_hudi(spark, path: str, as_of: str | None = None,
@@ -172,6 +173,10 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     if bad:
         raise NotImplementedError(
             f"hudi MOR merge over non-primitive columns {bad}")
+    # temporal log payloads ride Avro logical types (micros / days
+    # from epoch) and convert back on the pandas side of the decode
+    ts_cols = [c for c in data_cols if dtypes[c] == "timestamp"]
+    date_cols = [c for c in data_cols if dtypes[c] == "date"]
     committed = set(list_hudi_commits(path))
     if as_of is not None:
         committed = {ts for ts in committed if ts <= as_of}
@@ -207,7 +212,13 @@ def read_hudi(spark, path: str, as_of: str | None = None,
                     else:
                         raise NotImplementedError(
                             f"hudi log block type {blk['type']}")
-            yield pd.DataFrame(rows, columns=cols)
+            pdf_out = pd.DataFrame(rows, columns=cols)
+            for c in ts_cols:
+                pdf_out[c] = pd.to_datetime(pdf_out[c], unit="us")
+            for c in date_cols:
+                pdf_out[c] = pd.to_datetime(
+                    pdf_out[c], unit="D").dt.date
+            yield pdf_out
 
     paths_df = spark.createDataFrame(
         [(p,) for p in log_files], "path string").repartition(
@@ -296,8 +307,16 @@ def write_hudi_fixture(spark, df, path: str,
             "_hoodie_file_name": [fname] * len(prows),
         }
         pdf = pd.DataFrame({**meta, **data})
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
-                       full)
+        tb = pa.Table.from_pandas(pdf, preserve_index=False)
+        for ci, fld in enumerate(tb.schema):
+            # micros + UTC: nano timestamps read back as long under
+            # the session's nanosAsLong conf, naive ones as NTZ
+            if pa.types.is_timestamp(fld.type):
+                tb = tb.set_column(
+                    ci, fld.name,
+                    tb.column(ci).cast(pa.timestamp(
+                        "us", fld.type.tz or "UTC")))
+        pq.write_table(tb, full)
         stats_by_part.setdefault(part, []).append({
             "fileId": fid, "path": rel,
             "numWrites": len(prows),
@@ -333,7 +352,10 @@ def write_hudi_replace_fixture(spark, df, path: str, replace_file_ids,
 
 _SPARK_TO_AVRO = {"bigint": "long", "int": "int", "double": "double",
                   "float": "float", "string": "string",
-                  "boolean": "boolean"}
+                  "boolean": "boolean",
+                  # Avro logical types: written as their underlying
+                  # primitives (micros / days from epoch)
+                  "timestamp": "long", "date": "int"}
 
 
 def write_hudi_delta_fixture(spark, path: str, upserts=None,
@@ -391,12 +413,21 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
             [{"name": "_hoodie_record_key", "type": "string"}]
             + [{"name": c, "type": ["null", _SPARK_TO_AVRO[t]]}
                for c, t in upserts.dtypes])}
+        import datetime as _dt
+
+        def _avroize(v):
+            if isinstance(v, _dt.datetime):
+                return (v - _dt.datetime(1970, 1, 1)) \
+                    // _dt.timedelta(microseconds=1)
+            if isinstance(v, _dt.date):
+                return (v - _dt.date(1970, 1, 1)).days
+            return v
         grouped: dict[str, list[dict]] = {}
         for r in upserts.collect():
             part = (str(r[partition_field]) if partition_field
                     else "")
             rec = {"_hoodie_record_key": str(r[0]),
-                   **{c: r[c] for c in upserts.columns}}
+                   **{c: _avroize(r[c]) for c in upserts.columns}}
             grouped.setdefault(part, []).append(rec)
         for part, recs in sorted(grouped.items()):
             if part not in by_part:

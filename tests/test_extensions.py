@@ -1269,6 +1269,38 @@ def test_hudi_log_only_file_groups(spark, tmp_path):
     assert 100 not in got2 and 101 in got2 and len(got2) == 13
 
 
+def test_hudi_mor_temporal_payloads(spark, tmp_path):
+    """r9: timestamp and date columns ride the log as Avro logical
+    types (micros / days from epoch) and merge value-exactly; the
+    base fixture writes micro-precision UTC timestamps so the base
+    scan types them as TIMESTAMP, not nanos-as-long."""
+    import datetime as dt
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "mort")
+    df = spark.range(6).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 2).cast("bigint").alias("g"),
+        SF.expr("timestamp'2001-06-01 12:00:00' + "
+                "make_interval(0,0,0,0,0,0,id*3600)").alias("ts"),
+        SF.expr("date'2001-06-01' + CAST(id AS INT)").alias("d"))
+    write_hudi_fixture(spark, df, t, partition_field="g")
+    assert dict(read_hudi(spark, t).dtypes)["ts"] == "timestamp"
+    upd = (df.where(SF.col("k") == 2)
+           .withColumn("ts", SF.expr("timestamp'2020-01-01'"))
+           .withColumn("d", SF.expr("date'2020-01-01'")))
+    write_hudi_delta_fixture(spark, t, upserts=upd,
+                             partition_field="g")
+    got = {r["k"]: (r["ts"], r["d"])
+           for r in read_hudi(spark, t).collect()}
+    assert got[2] == (dt.datetime(2020, 1, 1), dt.date(2020, 1, 1))
+    assert got[3] == (dt.datetime(2001, 6, 1, 15),
+                      dt.date(2001, 6, 4))
+
+
 def test_hudi_replacecommit_clustering(spark, tmp_path):
     """r9: a replacecommit retires the listed file groups wholesale
     (logs included) in favor of its new base files; earlier instants
