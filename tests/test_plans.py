@@ -812,3 +812,80 @@ def test_incremental_mv_fold_never_shuffles_the_mv(spark, tmp_path):
     plan = captured["plan"]
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hudi_mor_merge_plan_shape(spark, tmp_path):
+    """r9: the MOR snapshot merge must stay ONE window over the
+    base-union-log event stream — no cartesian, no nested-loop join,
+    and the only shuffles are the per-record-key window partitioning
+    of the two union branches."""
+    import pyspark.sql.functions as SF_
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    from padawan_spark.plans import audit
+    t = str(tmp_path / "morplan")
+    df = spark.range(200).select(
+        SF_.col("id").alias("k"),
+        (SF_.col("id") % 4).cast("bigint").alias("g"),
+        (SF_.col("id") * 2).alias("v"))
+    write_hudi_fixture(spark, df, t, partition_field="g")
+    write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF_.col("k") % 50 == 0)
+        .withColumn("v", SF_.lit(1).cast("bigint")),
+        partition_field="g")
+    a = audit(read_hudi(spark, t))
+    assert not a.has_cartesian, a.plan
+    assert a.broadcast_nested_loop == 0, a.plan
+    import re as _re
+    assert len(_re.findall(r"^\(\d+\) Window\s*$", a.plan,
+                           _re.MULTILINE)) == 1, a.plan
+    assert a.exchanges <= 3, a.plan     # two union branches + margin
+
+
+def test_iceberg_eq_delete_anti_join_broadcasts(spark, tmp_path):
+    """r9: the equality-delete anti-join must run as a broadcast hash
+    join under AQE (delete sets are small relative to data), never a
+    cartesian/nested-loop pair explosion."""
+    import pyspark.sql.functions as SF_
+    from padawan_spark.functions.iceberg import (read_iceberg,
+                                                 write_iceberg_fixture)
+    t = str(tmp_path / "iceplan")
+    df = spark.range(2000).select(SF_.col("id").alias("k"),
+                                  (SF_.col("id") % 4).alias("g"))
+    write_iceberg_fixture(spark, df, t, partition_by=("g",))
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_equality=(["k"], [(5,), (10,)]))
+    out = read_iceberg(spark, t)
+    out.collect()                        # let AQE finalize the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_iceberg_transform_pruning_is_driver_metadata_work(spark,
+                                                           tmp_path):
+    """r9: a point filter through bucket/date transforms prunes the
+    FILE LIST before any Spark job — the scan the filtered read plans
+    must touch strictly fewer files than the table holds."""
+    import pyspark.sql.functions as SF_
+    from padawan_spark.functions.iceberg import (live_data_files,
+                                                 prune_partition_files,
+                                                 read_iceberg,
+                                                 write_iceberg_fixture)
+    from padawan_spark.plans import audit
+    t = str(tmp_path / "icetrplan")
+    df = spark.range(400).select(
+        SF_.col("id").alias("k"),
+        SF_.expr("timestamp'1996-01-01' + make_interval(0,0,0,0,"
+                 "id,0,0)").alias("ts"))
+    write_iceberg_fixture(spark, df, t,
+                          partition_by=("bucket(4, k)", "day(ts)"))
+    fields, specs, files, _d = live_data_files(t)
+    kept = prune_partition_files(files, specs, dict(fields), {"k": 7})
+    assert 0 < len(kept) < len(files)
+    a = audit(read_iceberg(spark, t, filters={"k": 7}))
+    # the planned scan unions exactly the pruned groups, and the
+    # residual k=7 predicate pushes into those parquet scans
+    assert a.pushed("k"), a.plan
+    assert len(a.scans) <= len(kept), (a.scans, len(kept))
