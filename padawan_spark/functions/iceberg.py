@@ -44,7 +44,11 @@ partition values are re-attached from metadata).  Schema evolution
 the spec mandates — by PARQUET FOOTER FIELD ID — so renames keep
 reading old files and post-add files return null for the new column;
 the fixture writer stamps field ids on every data file it writes.
-ORC/Avro data files raise honest ``NotImplementedError``.
+AVRO data files (r9) read through the in-repo dependency-free Avro
+source (block-split tasks, writer schema per file) and union with
+parquet groups in one table; position deletes and schema evolution
+over Avro data, and ORC data files, raise honest
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -217,7 +221,7 @@ def prune_partition_files(files, part_specs, types, filters):
     if not filters:
         return files
     keep = []
-    for p, pvals, seq in files:
+    for p, pvals, seq, fmt in files:
         ok = True
         for transform, param, src, fname in part_specs:
             if src in filters and transform != "void" \
@@ -228,7 +232,7 @@ def prune_partition_files(files, part_specs, types, filters):
                     ok = False
                     break
         if ok:
-            keep.append((p, pvals, seq))
+            keep.append((p, pvals, seq, fmt))
     return keep
 
 
@@ -236,7 +240,8 @@ def live_data_files(path: str, snapshot_id: int | None = None,
                     as_of_ms: int | None = None):
     """Resolve the live data files of a snapshot.  Returns
     ``(schema_fields, part_specs, files, delete_files)`` with
-    ``files`` as ``[(abs_path, partition_dict, sequence_number)]``,
+    ``files`` as ``[(abs_path, partition_dict, sequence_number,
+    file_format)]``,
     ``part_specs`` as ``[(transform, param, source_column,
     partition_field_name)]`` in spec order, and ``delete_files`` as
     ``[(abs_path, content, sequence_number,
@@ -304,7 +309,7 @@ def live_data_files(path: str, snapshot_id: int | None = None,
                 continue
             df_ = e["data_file"]
             fmt = (df_.get("file_format") or "PARQUET").upper()
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "AVRO"):
                 raise NotImplementedError(
                     f"iceberg data file format {fmt!r}")
             # v2 sequence-number inheritance: a null entry seq means
@@ -335,7 +340,7 @@ def live_data_files(path: str, snapshot_id: int | None = None,
                 continue
             part = df_.get("partition") or {}
             files.append((_resolve(df_["file_path"], path),
-                          dict(part), int(seq)))
+                          dict(part), int(seq), fmt))
     return fields, part_specs, sorted(files), sorted(delete_files)
 
 
@@ -424,10 +429,18 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
 
     pos_files = [p for p, c, _s, _e in delete_files if c == 1]
     eq_files = [(p, s, e) for p, c, s, e in delete_files if c == 2]
+    if any(fmt == "AVRO" for _p, _pv, _s, fmt in files):
+        if pos_files:
+            raise NotImplementedError(
+                "iceberg position deletes over AVRO data files "
+                "(no row-position metadata in the Avro source)")
+        if evolved:
+            raise NotImplementedError(
+                "iceberg schema evolution over AVRO data files")
     groups: dict[tuple, list[str]] = {}
-    for p, pvals, seq in files:
+    for p, pvals, seq, fmt in files:
         key = (tuple(pvals.get(pfnames[c]) for c in part_fields), seq,
-               _layout(p) if evolved else ())
+               _layout(p) if evolved else (), fmt)
         groups.setdefault(key, []).append(p)
     # file_path values inside position-delete files are URIs/relative
     # paths as the writer recorded them — normalize both sides to a
@@ -438,14 +451,28 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             F.concat(F.lit(os.path.abspath(path) + "/"), c))
 
     parts = []
-    for (key, seq, lay), paths in sorted(groups.items()):
+    for (key, seq, lay, fmt), paths in sorted(groups.items()):
         if evolved:
             lmap = dict(lay)
             ddl_g = ", ".join(f"`{lmap[n]}` {types[n]}"
                               for n in data_names if n in lmap)
         else:
             lmap, ddl_g = None, data_ddl
-        df = spark.read.schema(ddl_g).parquet(*paths)
+        if fmt == "AVRO":
+            # dependency-free Avro source: schema from each file's
+            # embedded writer schema, block-split read tasks; cast
+            # to the table types and align to the declared columns
+            from ..sources import register_python_sources
+            register_python_sources(spark)
+            df = None
+            for p in paths:
+                one = (spark.read.format("padawan_avro")
+                       .option("path", p).load()
+                       .select(*[F.col(n).cast(types[n]).alias(n)
+                                 for n in data_names]))
+                df = one if df is None else df.unionByName(one)
+        else:
+            df = spark.read.schema(ddl_g).parquet(*paths)
         if evolved:
             for n in data_names:
                 if n in lmap and lmap[n] != n:
@@ -557,7 +584,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                           delete_partition=None,
                           delete_positions=None,
                           delete_equality=None,
-                          order_by=()) -> int:
+                          order_by=(), file_format="parquet") -> int:
     """Create or extend a spec-layout Iceberg table.  Each call makes
     ONE new snapshot: the base file set is the previous snapshot's
     (empty on create), minus files whose partition dict matches
@@ -680,7 +707,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
         _f, _p, prev_files, prev_deletes = live_data_files(path, base)
     snap_id = len(meta["snapshots"]) + 1
     entries = []
-    for p, pvals, pseq in prev_files:
+    for p, pvals, pseq, pfmt in prev_files:
         rel = os.path.relpath(p, path)
         status = 2 if (delete_partition is not None
                        and all(pvals.get(k) == v
@@ -690,7 +717,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                         "sequence_number": pseq,
                         "data_file": {
                             "content": 0, "file_path": rel,
-                            "file_format": "PARQUET",
+                            "file_format": pfmt,
                             "partition": pvals, "record_count": 0,
                             "file_size_in_bytes":
                                 os.path.getsize(p),
@@ -741,15 +768,35 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                 sub = sub.where(sub[c].eqNullSafe(v))
             if order_by:
                 sub = sub.orderBy(*order_by)
-            rel = f"data/snap{snap_id}-{ki}.parquet"
+            ext = file_format.lower()
+            rel = f"data/snap{snap_id}-{ki}.{ext}"
             full = os.path.join(path, rel)
             pdf = sub.select(*data_cols).toPandas()
-            pq.write_table(_pa_table(pdf), full)
+            if ext == "avro":
+                from .avro import encode_avro_py
+                a_map = {"bigint": "long", "int": "int",
+                         "double": "double", "float": "float",
+                         "string": "string", "boolean": "boolean"}
+                bad = [c for c in data_cols if types[c] not in a_map]
+                if bad:
+                    raise NotImplementedError(
+                        f"avro fixture over columns {bad}")
+                aspec = [(c, a_map[types[c]], True)
+                         for c in data_cols]
+                rows_py = [tuple(None if v_ != v_ else
+                                 (v_.item() if hasattr(v_, "item")
+                                  else v_)
+                                 for v_ in row)
+                           for row in pdf.itertuples(index=False)]
+                with open(full, "wb") as fh:
+                    fh.write(encode_avro_py(aspec, rows_py))
+            else:
+                pq.write_table(_pa_table(pdf), full)
             entries.append({"status": 1, "snapshot_id": snap_id,
                             "sequence_number": None,
                             "data_file": {
                                 "content": 0, "file_path": rel,
-                                "file_format": "PARQUET",
+                                "file_format": file_format.upper(),
                                 "partition": dict(zip(part_fields,
                                                       key)),
                                 "record_count": pdf.shape[0],

@@ -1351,6 +1351,48 @@ def src_iceberg_schema_evolution(spark, sf_dir):
         F.sum("flag").cast("bigint").alias("flag_sum"))
 
 
+@query("src_iceberg_avro_data", oracle="""
+WITH u AS (
+  SELECT n_nationkey AS k, n_regionkey AS g FROM nation
+  UNION ALL
+  SELECT n_nationkey + 100, n_regionkey FROM nation
+)
+SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
+       COUNT(DISTINCT g) AS n_groups
+FROM u WHERE k NOT IN (3, 103)
+""")
+def src_iceberg_avro_data(spark, sf_dir):
+    """Iceberg AVRO data files (r9) — the non-parquet data format the
+    spec allows and old tables actually carry: a snapshot written as
+    Avro Object Container files reads through the in-repo
+    dependency-free Avro source (block-split tasks, writer schema
+    from each file header) and UNIONS with a later parquet snapshot
+    in one table — per-file-format scan groups, values cast to the
+    table schema.  An equality delete then applies ACROSS formats.
+    The oracle restates the merged aggregate.  Scale shape: Avro
+    groups read distributed via the Python Data Source, parquet
+    groups stay native scans; no collect anywhere."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import read_iceberg, write_iceberg_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_iceav_"), "tbl")
+    write_iceberg_fixture(spark, n, t, partition_by=("g",),
+                          file_format="avro")
+    write_iceberg_fixture(spark, n.select((F.col("k") + 100).alias("k"),
+                                          F.col("g")),
+                          t, partition_by=("g",))
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_equality=(["k"], [(3,), (103,)]))
+    return read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.countDistinct("g").alias("n_groups"))
+
+
 @query("src_hudi_read", oracle="""
 SELECT 1 AS instant, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
