@@ -687,3 +687,173 @@ def remove_delta_files_fixture(path: str, match) -> int:
                 "path": rel, "deletionTimestamp": 0,
                 "dataChange": True}}) + "\n")
     return v
+
+
+def read_delta_changes(spark, path: str, starting_version: int = 0,
+                       ending_version: int | None = None):
+    """Change Data Feed interop (r9): row-level changes between two
+    commit versions of an EXISTING Delta table, the way the protocol
+    defines them — commits carrying ``cdc`` actions (files under
+    ``_change_data/`` with a ``_change_type`` column: CDF-enabled
+    UPDATE/MERGE writers) use ONLY those; commits without cdc actions
+    derive changes from their data-changing actions (``add`` rows as
+    inserts, ``remove`` rows as deletes — the removed file is read
+    pre-vacuum, partition values recovered from the pre-remove
+    state).  Output: data columns + ``_change_type`` +
+    ``_commit_version``, one distributed scan per change file, no
+    driver row work.  Column-mapped tables and deletion-vector
+    commits in the range gate honestly (their change rows need
+    physical-layout/DV resolution a derived read cannot fake)."""
+    from pyspark.sql import functions as F
+    versions = list_delta_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"{path}: empty _delta_log")
+    if ending_version is None:
+        ending_version = versions[-1]
+    schema_json, part_cols, _files, mapping = replay_delta_log(
+        path, ending_version)
+    if mapping != "none":
+        raise NotImplementedError(
+            "delta CDF over column-mapped tables")
+    sch = json.loads(schema_json)
+    types = {f["name"]: _delta_type_ddl(f["type"])
+             for f in sch["fields"]}
+    data_fields = [f["name"] for f in sch["fields"]
+                   if f["name"] not in part_cols]
+    ddl = ", ".join(f"`{n}` {types[n]}" for n in data_fields)
+    cdc_ddl = ddl + ", _change_type string"
+
+    def _with_parts(df, pvals):
+        for c in part_cols:
+            pv = (pvals or {}).get(c)
+            df = df.withColumn(c, (F.lit(None) if pv is None
+                                   else F.lit(pv)).cast(types[c]))
+        return df
+
+    live: dict[str, dict] = {}          # rel -> partitionValues
+    out = None
+    for v in versions:
+        if v > ending_version:
+            break
+        fp = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        cdc, adds, removes = [], [], []
+        with open(fp) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("cdc"):
+                    cdc.append(a["cdc"])
+                elif a.get("add"):
+                    ad = a["add"]
+                    if ad.get("deletionVector") and \
+                            v >= starting_version:
+                        raise NotImplementedError(
+                            "delta CDF over deletion-vector commits")
+                    live[ad["path"]] = ad.get("partitionValues") or {}
+                    if ad.get("dataChange"):
+                        adds.append(ad)
+                elif a.get("remove"):
+                    rm = a["remove"]
+                    pv = live.pop(rm["path"],
+                                  rm.get("partitionValues") or {})
+                    if rm.get("dataChange", True):
+                        removes.append((rm["path"], pv))
+        if v < starting_version:
+            continue
+        frames = []
+        if cdc:
+            # spec rule: a commit with cdc actions describes its
+            # changes ONLY through them
+            for c in cdc:
+                df = spark.read.schema(cdc_ddl).parquet(
+                    os.path.join(path, c["path"]))
+                frames.append(_with_parts(
+                    df, c.get("partitionValues")))
+        else:
+            for ad in adds:
+                df = (spark.read.schema(ddl)
+                      .parquet(os.path.join(path, ad["path"]))
+                      .withColumn("_change_type", F.lit("insert")))
+                frames.append(_with_parts(
+                    df, ad.get("partitionValues")))
+            for rel, pv in removes:
+                df = (spark.read.schema(ddl)
+                      .parquet(os.path.join(path, rel))
+                      .withColumn("_change_type", F.lit("delete")))
+                frames.append(_with_parts(df, pv))
+        for df in frames:
+            df = df.withColumn("_commit_version",
+                               F.lit(v).cast("bigint"))
+            out = df if out is None else out.unionByName(df)
+    cols = [f["name"] for f in sch["fields"]]
+    if out is None:
+        return spark.createDataFrame(
+            [], ", ".join(f"`{n}` {types[n]}" for n in cols)
+            + ", _change_type string, _commit_version bigint")
+    return out.select(*cols, "_change_type", "_commit_version")
+
+
+def update_delta_cdc_fixture(spark, path: str, part_col: str,
+                             part_val, set_col: str,
+                             add_amount) -> int:
+    """FIXTURE: one UPDATE commit over a partition with the explicit
+    ``cdc`` action a CDF-enabled writer emits — for every live file
+    of the partition: ``remove`` (old file) + ``add`` (rewritten
+    rows, ``set_col += add_amount``) + a ``_change_data/`` parquet
+    holding the update_preimage/update_postimage row pairs.  Returns
+    the committed version."""
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    versions = list_delta_versions(path)
+    v = versions[-1] + 1
+    schema_json, part_cols, files, _mm = replay_delta_log(path)
+    sch = json.loads(schema_json)
+    types = {f["name"]: _delta_type_ddl(f["type"])
+             for f in sch["fields"]}
+    data_fields = [f["name"] for f in sch["fields"]
+                   if f["name"] not in part_cols]
+    ddl = ", ".join(f"`{n}` {types[n]}" for n in data_fields)
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    actions = []
+    for rel, pvals, _dv in files:
+        if pvals.get(part_col) != str(part_val):
+            continue
+        old = spark.read.schema(ddl).parquet(
+            os.path.join(path, rel))
+        new = old.withColumn(
+            set_col, F.col(set_col) + F.lit(add_amount))
+        new_rel = f"part-{v:05d}-{uuid.uuid4().hex}.parquet"
+        pdf_new = new.toPandas()
+        pq.write_table(pa.Table.from_pandas(pdf_new,
+                                            preserve_index=False),
+                       os.path.join(path, new_rel))
+        pdf_old = old.toPandas()
+        pdf_old["_change_type"] = "update_preimage"
+        pdf_post = pdf_new.copy()
+        pdf_post["_change_type"] = "update_postimage"
+        cdc_rel = f"_change_data/cdc-{v:05d}-{uuid.uuid4().hex}.parquet"
+        pq.write_table(pa.Table.from_pandas(
+            pd.concat([pdf_old, pdf_post], ignore_index=True),
+            preserve_index=False), os.path.join(path, cdc_rel))
+        actions.append({"remove": {"path": rel, "deletionTimestamp": 0,
+                                   "dataChange": True,
+                                   "partitionValues": pvals}})
+        actions.append({"add": {
+            "path": new_rel, "partitionValues": pvals,
+            "size": os.path.getsize(os.path.join(path, new_rel)),
+            "modificationTime": 0, "dataChange": True}})
+        actions.append({"cdc": {
+            "path": cdc_rel, "partitionValues": pvals,
+            "size": os.path.getsize(os.path.join(path, cdc_rel)),
+            "dataChange": False}})
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return v

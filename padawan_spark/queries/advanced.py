@@ -893,6 +893,59 @@ def src_delta_id_mapping(spark, sf_dir):
         .cast("bigint").alias("r2_sum"))
 
 
+@query("src_delta_cdf_read", oracle="""
+SELECT 'insert' AS change, 0 AS commit_v, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+UNION ALL
+SELECT 'delete', 1, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation WHERE n_regionkey = 2
+UNION ALL
+SELECT 'update_preimage', 2, COUNT(*),
+       CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation WHERE n_regionkey = 1
+UNION ALL
+SELECT 'update_postimage', 2, COUNT(*),
+       CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation WHERE n_regionkey = 1
+""")
+def src_delta_cdf_read(spark, sf_dir):
+    """Delta CHANGE DATA FEED interop (r9) — the row-level change
+    stream the native engine's ``read_changes`` provides, read from
+    an EXISTING Delta table per the protocol: commits with ``cdc``
+    actions (``_change_data/`` files carrying ``_change_type``, what
+    a CDF-enabled UPDATE writes) use only those; commits without
+    derive inserts from data-changing adds and deletes from removes
+    (files read pre-vacuum, partition values recovered from the
+    pre-remove state).  The fixture commits a create (derived
+    inserts), a partition delete (derived deletes), and a
+    cdc-explicit UPDATE (pre/postimage pairs); the oracle restates
+    every change row from the source table.  Scale shape: one
+    distributed scan per change file, O(log actions) driver replay,
+    no row work on the driver."""
+    import os
+    import tempfile
+
+    from ..functions.delta import (read_delta_changes,
+                                   remove_delta_files_fixture,
+                                   update_delta_cdc_fixture,
+                                   write_delta_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        (F.col("n_nationkey") * 10).cast("bigint").alias("v"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_cdf_"), "tbl")
+    write_delta_fixture(spark, n, t, partition_by=("g",))
+    remove_delta_files_fixture(t, lambda rel: rel.startswith("g=2/"))
+    update_delta_cdc_fixture(spark, t, "g", 1, "v", 1000)
+    return (read_delta_changes(spark, t)
+            .groupBy(F.col("_change_type").alias("change"),
+                     F.col("_commit_version").cast("int")
+                     .alias("commit_v"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").cast("bigint").alias("key_sum")))
+
+
 @query("src_delta_v2_checkpoint", oracle="""
 SELECT 'ckpt' AS scope, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

@@ -851,6 +851,56 @@ def test_delta_column_mapping_id_mode_reads(spark, tmp_path):
     assert read_delta(spark, t, version=v0).count() == 12
 
 
+def test_delta_cdf_interop(spark, tmp_path):
+    """r9: change-data-feed reads off an existing Delta log — cdc
+    actions win over derived changes in their commit, derived
+    inserts/deletes come from data-changing adds/removes (partition
+    values recovered from the pre-remove state), version bounds
+    filter, and compaction-style non-dataChange removes emit
+    nothing."""
+    import json
+    import os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (read_delta_changes,
+                                               remove_delta_files_fixture,
+                                               update_delta_cdc_fixture,
+                                               write_delta_fixture)
+    t = str(tmp_path / "cdf")
+    df = spark.range(12).select(
+        SF.col("id").alias("k"), (SF.col("id") % 3).alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    write_delta_fixture(spark, df, t, partition_by=("g",))
+    remove_delta_files_fixture(t, lambda rel: rel.startswith("g=2/"))
+    update_delta_cdc_fixture(spark, t, "g", 1, "v", 1000)
+    ch = read_delta_changes(spark, t)
+    agg = {(r["_change_type"], r["_commit_version"]): r["n"]
+           for r in ch.groupBy("_change_type", "_commit_version")
+           .agg(SF.count("*").alias("n")).collect()}
+    assert agg == {("insert", 0): 12, ("delete", 1): 4,
+                   ("update_preimage", 2): 4,
+                   ("update_postimage", 2): 4}
+    # deleted rows keep their partition value from the pre-state
+    dels = (ch.where("_change_type = 'delete'")
+            .select("g").distinct().collect())
+    assert [r["g"] for r in dels] == [2]
+    # the update's postimage carries the new values
+    post = {r["k"]: r["v"] for r in
+            ch.where("_change_type = 'update_postimage'").collect()}
+    assert all(v == k * 10 + 1000 for k, v in post.items())
+    # version bounds
+    assert read_delta_changes(spark, t, starting_version=1,
+                              ending_version=1).count() == 4
+    # a non-dataChange remove (compaction shape) emits no change rows
+    log = os.path.join(t, "_delta_log")
+    v3 = 3
+    with open(os.path.join(log, f"{v3:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"remove": {
+            "path": "g=0/nonexistent.parquet", "deletionTimestamp": 0,
+            "dataChange": False}}) + "\n")
+    assert read_delta_changes(spark, t, starting_version=3).count() == 0
+
+
 def test_avro_union_branch_order_and_schema_evolution(spark, tmp_path):
     """r9 (advice): [T,"null"] unions decode by the DECLARED null
     branch index, and a directory of schema-evolved files realigns
