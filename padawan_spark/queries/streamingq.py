@@ -191,6 +191,73 @@ def streaming_manifest_tail(spark, sf_dir):
     return spark.table(name).select("n_regionkey", "n", "key_sum")
 
 
+@query("streaming_delta_cdf", oracle="""
+SELECT 'insert' AS change, 0 AS commit_v, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+UNION ALL
+SELECT 'delete', 1, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation WHERE n_regionkey = 2
+UNION ALL
+SELECT 'update_preimage', 2, COUNT(*),
+       CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation WHERE n_regionkey = 1
+UNION ALL
+SELECT 'update_postimage', 2, COUNT(*),
+       CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation WHERE n_regionkey = 1
+""")
+def streaming_delta_cdf(spark, sf_dir):
+    """STREAM the change feed of an EXISTING Delta table (r9) — the
+    interop twin of ``streaming_cdf_tail``: offsets are Delta commit
+    versions, each micro-batch reads the change files of the versions
+    in its span (``cdc`` actions win per the protocol; other commits
+    derive inserts from data-changing adds and deletes from removes
+    with partition values recovered from the pre-remove state).  The
+    fixture commits a create, a partition delete, and a cdc-explicit
+    UPDATE; the complete-mode fold per (_change_type,
+    _commit_version) must equal the batch oracle.  Scale shape: one
+    InputPartition per change file (task-parallel like a file scan),
+    ``maxVersionsPerTrigger`` backpressure available, O(log actions)
+    planning per batch."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions.delta import (remove_delta_files_fixture,
+                                   update_delta_cdc_fixture,
+                                   write_delta_fixture)
+    from ..sources import register_python_sources
+    from .registry import load as _load
+    register_python_sources(spark)
+    n = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        (F.col("n_nationkey") * 10).cast("bigint").alias("v"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_sdcdf_"), "tbl")
+    write_delta_fixture(spark, n, t, partition_by=("g",))
+    remove_delta_files_fixture(t, lambda rel: rel.startswith("g=2/"))
+    update_delta_cdc_fixture(spark, t, "g", 1, "v", 1000)
+    src = (spark.readStream.format("padawan_delta_cdf")
+           .option("path", t).load())
+    agg = (src.groupBy(F.col("_change_type").alias("change"),
+                       F.col("_commit_version").cast("int")
+                       .alias("commit_v"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("k").cast("bigint").alias("key_sum")))
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("change", "commit_v", "n",
+                                    "key_sum")
+
+
 @query("streaming_cdf_tail", oracle="""
 SELECT 'delete' AS change_type, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

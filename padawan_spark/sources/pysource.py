@@ -109,6 +109,7 @@ def register_python_sources(spark) -> None:
     spark.dataSource.register(ManifestTailSource)
     spark.dataSource.register(ManifestCDFSource)
     spark.dataSource.register(AvroSource)
+    spark.dataSource.register(DeltaCDFSource)
 
 
 # ---------------------------------------------------------------------------
@@ -641,3 +642,165 @@ class AvroSource(DataSource):
 
     def reader(self, schema):
         return _AvroReader(self.options, schema)
+
+
+# ---------------------------------------------------------------------------
+# Delta CDF stream source (r9): the streaming twin of
+# functions.delta.read_delta_changes — offsets are Delta commit
+# versions, each micro-batch reads the change files of the versions in
+# (start, end]: commits carrying ``cdc`` actions use only those
+# (protocol rule), others derive inserts from data-changing adds and
+# deletes from removes (partition values recovered from the
+# pre-remove state, files read pre-vacuum).  One InputPartition per
+# change file; rows decoded worker-side through pyarrow.
+# ---------------------------------------------------------------------------
+
+
+class _DeltaCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.start_version = int(options.get("startingVersion", 0))
+        self._max_versions = int(options.get("maxVersionsPerTrigger",
+                                             0))
+        self._last_end = None
+        self.names = list(schema.names)
+        self.types = {f.name: f.dataType.simpleString()
+                      for f in schema.fields}
+
+    def initialOffset(self):
+        self._last_end = self.start_version - 1
+        return {"v": self.start_version - 1}
+
+    def latestOffset(self):
+        from ..functions.delta import list_delta_versions
+        vs = list_delta_versions(self.path)
+        v = vs[-1] if vs else self.start_version - 1
+        if self._max_versions and self._last_end is not None:
+            v = max(min(v, self._last_end + self._max_versions),
+                    self._last_end)
+        return {"v": v}
+
+    def partitions(self, start, end):
+        import json as _json
+        import os as _os
+
+        from ..functions.delta import list_delta_versions
+        lo, hi = start["v"], end["v"]
+        self._last_end = hi
+        if hi <= lo:
+            return [InputPartition(None)]
+        parts = []
+        live: dict[str, dict] = {}
+        for v in list_delta_versions(self.path):
+            if v > hi:
+                break
+            fp = _os.path.join(self.path, "_delta_log",
+                               f"{v:020d}.json")
+            cdc, adds, removes = [], [], []
+            with open(fp) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = _json.loads(line)
+                    if a.get("cdc"):
+                        cdc.append(a["cdc"])
+                    elif a.get("add"):
+                        ad = a["add"]
+                        if ad.get("deletionVector") and v > lo:
+                            raise NotImplementedError(
+                                "padawan_delta_cdf: deletion-vector "
+                                "commits in the stream range")
+                        live[ad["path"]] = (ad.get("partitionValues")
+                                            or {})
+                        if ad.get("dataChange"):
+                            adds.append(ad)
+                    elif a.get("remove"):
+                        rm = a["remove"]
+                        pv = live.pop(rm["path"],
+                                      rm.get("partitionValues") or {})
+                        if rm.get("dataChange", True):
+                            removes.append((rm["path"], pv))
+            if v <= lo:
+                continue
+            if cdc:
+                parts += [InputPartition(
+                    ("cdc", _os.path.join(self.path, c["path"]), v,
+                     tuple(sorted((c.get("partitionValues")
+                                   or {}).items()))))
+                    for c in cdc]
+            else:
+                parts += [InputPartition(
+                    ("insert", _os.path.join(self.path, ad["path"]),
+                     v, tuple(sorted((ad.get("partitionValues")
+                                      or {}).items()))))
+                    for ad in adds]
+                parts += [InputPartition(
+                    ("delete", _os.path.join(self.path, rel), v,
+                     tuple(sorted(pv.items()))))
+                    for rel, pv in removes]
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        kind, full, v, pv_items = partition.value
+        import pyarrow.parquet as pq
+        pv = dict(pv_items)
+
+        def conv(c, raw):
+            if raw is None:
+                return None
+            t = self.types.get(c, "string")
+            if t in ("bigint", "int", "smallint", "tinyint"):
+                return int(raw)
+            if t in ("double", "float"):
+                return float(raw)
+            if t == "boolean":
+                return raw in (True, "true", "True")
+            return raw
+
+        for r in pq.read_table(full).to_pylist():
+            change = (r.get("_change_type") if kind == "cdc"
+                      else kind)
+            out = []
+            for c in self.names:
+                if c == "_change_type":
+                    out.append(change)
+                elif c == "_commit_version":
+                    out.append(v)
+                elif c in pv:
+                    out.append(conv(c, pv[c]))
+                else:
+                    out.append(r.get(c))
+            yield tuple(out)
+
+    def commit(self, end):
+        pass
+
+
+class DeltaCDFSource(DataSource):
+    """``spark.readStream.format("padawan_delta_cdf")`` — stream the
+    change feed of an existing Delta table; schema = table columns +
+    ``_change_type`` + ``_commit_version``."""
+
+    @classmethod
+    def name(cls):
+        return "padawan_delta_cdf"
+
+    def schema(self):
+        import json as _json
+
+        from ..functions.delta import _delta_type_ddl, replay_delta_log
+        schema_json, _pc, _files, mapping = replay_delta_log(
+            self.options["path"])
+        if mapping != "none":
+            raise NotImplementedError(
+                "padawan_delta_cdf over column-mapped tables")
+        sch = _json.loads(schema_json)
+        return (", ".join(
+            f"{f['name']} {_delta_type_ddl(f['type'])}"
+            for f in sch["fields"])
+            + ", _change_type string, _commit_version bigint")
+
+    def streamReader(self, schema):
+        return _DeltaCDFStreamReader(self.options, schema)
