@@ -141,7 +141,7 @@ _LOG_SAFE = ("bigint", "int", "smallint", "tinyint", "double",
 
 
 def read_hudi(spark, path: str, as_of: str | None = None,
-              keep_meta: bool = False):
+              keep_meta: bool = False, _provenance: bool = False):
     """Scan a Hudi table at a commit instant (default: latest).
     CoW (or fully compacted MOR): one parquet scan over the live
     base files.  MOR with live logs: base scan + distributed log
@@ -163,6 +163,11 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     base_df = spark.read.parquet(*bases)
     log_files = sorted(p for s in slices.values() for p in s["logs"])
     if not log_files:
+        if _provenance:
+            return base_df.withColumn(
+                "__instant", F.col("_hoodie_commit_time")).drop(
+                *[c for c in base_df.columns
+                  if c in _META_COLS and c != "_hoodie_record_key"])
         if not keep_meta:
             base_df = base_df.drop(*[c for c in base_df.columns
                                      if c in _META_COLS])
@@ -234,7 +239,10 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     merged = (base_evt.unionByName(log_df)
               .withColumn("__rn", F.row_number().over(w))
               .where((F.col("__rn") == 1) & ~F.col("__del"))
-              .drop("__rn", "__instant", "__seq", "__del"))
+              .drop("__rn", "__seq", "__del"))
+    if _provenance:
+        return merged
+    merged = merged.drop("__instant")
     if not keep_meta:
         merged = merged.drop("_hoodie_record_key")
     return merged
@@ -260,6 +268,34 @@ def _next_instant(path: str) -> str:
     with open(seqf, "w") as fh:
         fh.write(str(cur + 1))
     return f"{cur + 1:014d}"
+
+
+def read_hudi_incremental(spark, path: str, begin: str,
+                          end: str | None = None):
+    """INCREMENTAL query (r9) — Hudi's third query type next to
+    snapshot and read-optimized: the LATEST state of every record
+    key CHANGED in the instant window ``(begin, end]``, without
+    returning the unchanged rows.  Built on the snapshot merge with
+    provenance kept: after latest-wins resolution, a row survives
+    the window filter iff its winning event's instant lies in the
+    window (base rows carry ``_hoodie_commit_time``, log rows their
+    block's instant).  Keys whose latest event is a delete are not
+    emitted (Hudi's default incremental semantics).  Scale shape:
+    same plan as the snapshot read plus one filter — no extra
+    shuffle; the filter prunes to changed rows before any consumer
+    join."""
+    from pyspark.sql import functions as F
+    timeline = [ts for ts, _k in _timeline(path)]
+    if end is None:
+        end = timeline[-1]
+    if begin not in timeline and begin != "0":
+        raise ValueError(
+            f"no commit instant {begin} at {path}; have {timeline}")
+    df = read_hudi(spark, path, as_of=end, _provenance=True)
+    out = (df.where((F.col("__instant") > F.lit(begin))
+                    & (F.col("__instant") <= F.lit(end)))
+           .drop("__instant", "_hoodie_record_key"))
+    return out
 
 
 def write_hudi_fixture(spark, df, path: str,

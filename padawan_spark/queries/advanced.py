@@ -1446,6 +1446,61 @@ def src_iceberg_avro_data(spark, sf_dir):
         F.countDistinct("g").alias("n_groups"))
 
 
+@query("src_hudi_incremental", oracle="""
+SELECT 'w2' AS scope, COUNT(*) AS n,
+       CAST(SUM(n_nationkey * 10 + 1000) AS BIGINT) AS val_sum
+FROM nation WHERE n_nationkey % 4 = 0
+UNION ALL
+SELECT 'w3', COUNT(*),
+       CAST(SUM(n_nationkey * 10 + 2000) AS BIGINT)
+FROM nation WHERE n_nationkey % 3 = 0
+""")
+def src_hudi_incremental(spark, sf_dir):
+    """Hudi INCREMENTAL query (r9) — the third query type next to
+    snapshot and read-optimized, and the one CDC consumers poll: the
+    latest state of every record key CHANGED in an instant window,
+    unchanged rows never returned.  The fixture commits a base, a
+    delta upserting ``k % 4 == 0`` rows, and a second delta upserting
+    ``k % 3 == 0`` rows plus a delete; each window must return
+    exactly its own changed keys at their end-of-window values (keys
+    touched in BOTH windows appear in each at that window's value —
+    latest-wins is evaluated per window end).  The oracle restates
+    both windows from the source table.  Scale shape: the snapshot
+    merge plan plus one filter on the winning event's instant — no
+    extra shuffle."""
+    import os
+    import tempfile
+
+    from ..functions.hudi import (read_hudi_incremental,
+                                  write_hudi_delta_fixture,
+                                  write_hudi_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        (F.col("n_nationkey") * 10).cast("bigint").alias("v"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_hinc_"), "tbl")
+    i1 = write_hudi_fixture(spark, n, t, partition_field="g")
+    d2 = write_hudi_delta_fixture(
+        spark, t, upserts=n.where(F.col("k") % 4 == 0)
+        .withColumn("v", F.col("k") * 10 + 1000),
+        partition_field="g")
+    dels: dict[str, list[str]] = {}
+    for r in n.where(F.col("k") == 2).collect():
+        dels.setdefault(str(r["g"]), []).append(str(r["k"]))
+    d3 = write_hudi_delta_fixture(
+        spark, t, upserts=n.where(F.col("k") % 3 == 0)
+        .withColumn("v", F.col("k") * 10 + 2000),
+        deletes=dels, partition_field="g")
+    out = []
+    for scope, lo, hi in (("w2", i1, d2), ("w3", d2, d3)):
+        agg = read_hudi_incremental(spark, t, lo, hi).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("bigint").alias("s")).collect()[0]
+        out.append((scope, int(agg["n"]), int(agg["s"])))
+    return spark.createDataFrame(
+        out, "scope string, n bigint, val_sum bigint")
+
+
 @query("src_hudi_read", oracle="""
 SELECT 1 AS instant, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

@@ -1351,6 +1351,50 @@ def test_hudi_mor_temporal_payloads(spark, tmp_path):
                       dt.date(2001, 6, 4))
 
 
+def test_hudi_incremental_query(spark, tmp_path):
+    """r9: the incremental query returns the latest state of exactly
+    the keys changed in the window — keys touched in both windows
+    show each window's end value, deletes emit nothing, and unchanged
+    rows never appear."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              read_hudi_incremental,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "inc")
+    df = spark.range(24).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 2).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    i1 = write_hudi_fixture(spark, df, t, partition_field="g")
+    d2 = write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("k") % 4 == 0)
+        .withColumn("v", SF.col("k") * 10 + 1000),
+        partition_field="g")
+    d3 = write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("k") % 3 == 0)
+        .withColumn("v", SF.col("k") * 10 + 2000),
+        deletes={"0": ["2"]}, partition_field="g")
+    w2 = {r["k"]: r["v"]
+          for r in read_hudi_incremental(spark, t, i1, d2).collect()}
+    assert set(w2) == {k for k in range(24) if k % 4 == 0}
+    assert all(v == k * 10 + 1000 for k, v in w2.items())
+    w3 = {r["k"]: r["v"]
+          for r in read_hudi_incremental(spark, t, d2, d3).collect()}
+    assert set(w3) == {k for k in range(24) if k % 3 == 0}
+    assert all(v == k * 10 + 2000 for k, v in w3.items())
+    # whole-history window: every live key, at its latest value
+    allw = {r["k"]: r["v"]
+            for r in read_hudi_incremental(spark, t, "0").collect()}
+    assert len(allw) == 23 and 2 not in allw
+    assert allw[12] == 12 * 10 + 2000 and allw[1] == 10
+    # the snapshot read is unchanged by the provenance plumbing
+    assert read_hudi(spark, t).columns == ["k", "g", "v"]
+    with pytest.raises(ValueError, match="no commit instant"):
+        read_hudi_incremental(spark, t, "12345")
+
+
 def test_hudi_replacecommit_clustering(spark, tmp_path):
     """r9: a replacecommit retires the listed file groups wholesale
     (logs included) in favor of its new base files; earlier instants
