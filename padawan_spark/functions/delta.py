@@ -253,19 +253,20 @@ def _delta_type_ddl(t) -> str:
 
 def read_delta(spark, path: str, version: int | None = None):
     """Scan a Delta table at ``version`` (default latest): log replay
-    driver-side, then one parquet scan of the surviving files with
-    partition-value columns re-attached per add-action (grouped so
-    each distinct partition tuple is ONE scan, unioned — file-count
-    planning work, no data rewrite).  Add actions carrying a
-    ``deletionVector`` have their deleted positions decoded driver-side
-    (:mod:`.deltadv`) and anti-joined away on
-    ``(_metadata.file_path, _metadata.row_index)`` with the position
-    set BROADCAST — the DV'd files still read in the same distributed
-    scan, no rewrite, and files without DVs skip the join entirely.
+    driver-side, then ONE parquet scan per distinct physical layout
+    (one per schema epoch — NOT per partition tuple), with
+    partition-value columns re-attached through a small broadcast
+    file→partition-values join on ``_metadata.file_path``, so plan
+    size stays flat as partition count grows.  Add actions carrying a
+    ``deletionVector`` have their deleted positions decoded in
+    DISTRIBUTED tasks (:mod:`.deltadv` inside ``mapInPandas`` — one
+    input row per DV'd file, positions never touch the driver) and
+    anti-joined away on ``(_metadata.file_path,
+    _metadata.row_index)``, AQE choosing broadcast when the set is
+    small — the DV'd files still read in the same distributed scan,
+    no rewrite, and files without DVs skip the join entirely.
     Returns a DataFrame."""
     from pyspark.sql import functions as F
-
-    from .deltadv import read_dv_positions
     schema_json, part_cols, files, mapping = replay_delta_log(
         path, version)
     if schema_json is None:
@@ -316,43 +317,49 @@ def read_delta(spark, path: str, version: int | None = None):
                     "delta.columnMapping.id metadata")
             fid_of[int(fid)] = f["name"]
 
-    def _layout(full_p: str) -> dict[str, str]:
+    files_abs = [(os.path.abspath(os.path.join(path, rel)), pvals, dv)
+                 for rel, pvals, dv in files]
+    layouts: dict[str, dict[str, str]] = {}
+    if mapping == "id":
         # 'id' mode matches by PARQUET FIELD IDS in each file's
         # footer, not by name — files from different writers (e.g. an
         # Iceberg conversion) may use different physical names for
-        # the same logical column; the ids are the stable key.
-        # O(footer) driver work per file, same order as the log
-        # replay itself.
-        import pyarrow.parquet as pq
-        m = {}
-        for fld in pq.read_schema(full_p):
-            md = fld.metadata or {}
-            fid = md.get(b"PARQUET:field_id")
-            if fid is not None and int(fid) in fid_of:
-                m[fid_of[int(fid)]] = fld.name
-        missing = [f["name"] for f in data_fields
-                   if f["name"] not in m]
-        if missing:
-            raise NotImplementedError(
-                f"delta id-mapped file {full_p} lacks parquet field "
-                f"ids for {missing}")
-        return m
-
+        # the same logical column; the ids are the stable key.  ONE
+        # distributed footer job resolves every file's layout (r10 —
+        # never a driver-side open per data file).
+        from .layouts import parquet_field_layouts
+        raw = parquet_field_layouts(
+            spark, [p for p, _pv, _dv in files_abs])
+        for p, flds in raw.items():
+            m = {fid_of[fid]: nm for fid, nm in flds
+                 if fid is not None and fid in fid_of}
+            missing = [f["name"] for f in data_fields
+                       if f["name"] not in m]
+            if missing:
+                raise NotImplementedError(
+                    f"delta id-mapped file {p} lacks parquet field "
+                    f"ids for {missing}")
+            layouts[p] = m
+    # ONE parquet scan per distinct PHYSICAL LAYOUT (a handful at
+    # most — one per schema epoch), never per partition tuple: at 10k
+    # partitions a per-tuple union is a 10k-arm plan (r9 verdict #5).
+    # Partition values re-attach via a small broadcast
+    # file→partition-values table joined on _metadata.file_path.
     groups: dict[tuple, list[str]] = {}
-    dv_rows: list[tuple[str, int]] = []
-    for rel, pvals, dv in files:
-        full_p = os.path.join(path, rel)
-        lay = (tuple(sorted(_layout(full_p).items()))
+    for p, _pvals, _dv in files_abs:
+        lay = (tuple(sorted(layouts[p].items()))
                if mapping == "id" else ())
-        # partitionValues keys are physical names in a mapped table;
-        # id mode additionally groups by each file's physical layout
-        key = (tuple(pvals.get(c) for c in part_cols), lay)
-        groups.setdefault(key, []).append(full_p)
-        if dv:
-            dv_rows.extend((os.path.abspath(full_p), p)
-                           for p in read_dv_positions(path, dv))
+        groups.setdefault(lay, []).append(p)
+    dv_files = [(p, json.dumps(dv)) for p, _pv, dv in files_abs if dv]
+    has_dv = bool(dv_files)
+    # _metadata.file_path URI form varies (file:/p vs file:///p)
+    # — normalize to a plain absolute path before matching
+    def _norm(col):
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    need_fp = has_dv or bool(logical_parts)
     parts = []
-    for (key, lay), paths in sorted(groups.items()):
+    for lay, paths in sorted(groups.items()):
         lmap = (dict(lay) if mapping == "id"
                 else {f["name"]: phys[f["name"]]
                       for f in data_fields})
@@ -364,25 +371,53 @@ def read_delta(spark, path: str, version: int | None = None):
         for f in data_fields:
             if lmap[f["name"]] != f["name"]:
                 df = df.withColumnRenamed(lmap[f["name"]], f["name"])
-        if dv_rows:
-            # _metadata.file_path URI form varies (file:/p vs file:///p)
-            # — normalize to a plain absolute path before matching
-            df = (df.withColumn(
-                "__fp", F.regexp_replace(F.col("_metadata.file_path"),
-                                         "^file:/+", "/"))
-                .withColumn("__pos", F.col("_metadata.row_index")))
-        for c, v in zip(logical_parts, key):
-            col = (F.lit(None) if v is None
-                   else F.lit(v)).cast(part_types[c])
-            df = df.withColumn(c, col)
+        if need_fp:
+            df = df.withColumn(
+                "__fp", _norm(F.col("_metadata.file_path")))
+        if has_dv:
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if dv_rows:
-        deleted = F.broadcast(spark.createDataFrame(
-            dv_rows, "__fp string, __pos bigint"))
-        out = out.join(deleted, on=["__fp", "__pos"], how="left_anti")
+    if logical_parts:
+        # partitionValues keys are physical names in a mapped table
+        pmap_rows = [(p, *[pvals.get(c) for c in part_cols])
+                     for p, pvals, _dv in files_abs]
+        pmap_ddl = ("__fp string, " + ", ".join(
+            f"`{c}` string" for c in logical_parts))
+        pmap = F.broadcast(spark.createDataFrame(pmap_rows, pmap_ddl))
+        out = out.join(pmap, on="__fp", how="left")
+        for c in logical_parts:
+            out = out.withColumn(c, F.col(c).cast(part_types[c]))
+    if has_dv:
+        # DV positions decode in a DISTRIBUTED task per (file,
+        # descriptor) — one row per deleted position, built on the
+        # executors (r10: never materialized on the driver) — then
+        # anti-join; AQE picks broadcast when the set is small.
+        table_root = os.path.abspath(path)
+
+        def _dv_decode(batches):
+            import json as _json
+
+            import pandas as pd
+
+            from .deltadv import read_dv_positions
+            for pdf in batches:
+                rows = []
+                for p, dvs in zip(pdf["path"], pdf["dv"]):
+                    for pos in read_dv_positions(table_root,
+                                                 _json.loads(dvs)):
+                        rows.append((p, pos))
+                yield pd.DataFrame(rows, columns=["__fp", "__pos"])
+
+        n = min(len(dv_files),
+                max(32, spark.sparkContext.defaultParallelism))
+        dels = (spark.createDataFrame(dv_files,
+                                      "path string, dv string")
+                .repartition(n, "path")
+                .mapInPandas(_dv_decode, "__fp string, __pos bigint"))
+        out = out.join(dels, on=["__fp", "__pos"], how="left_anti")
     return out.select(*out_cols)
 
 
@@ -458,6 +493,13 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
             fids = {f["name"]: int(f["metadata"]
                                    ["delta.columnMapping.id"])
                     for f in flds}
+        if not part_cols and _pc:
+            # inherit the table's partitioning — an append that
+            # dropped partitionValues would be a malformed log
+            inv = {pn: ln for ln, pn in phys.items()}
+            part_cols = [inv.get(c, c) for c in _pc]
+            data_cols = [c for c in df.columns
+                         if c not in part_cols]
     if part_cols:
         keys = [tuple(r) for r in
                 df.select(*part_cols).distinct().collect()]
@@ -701,36 +743,73 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
     pre-vacuum, partition values recovered from the pre-remove
     state).  Output: data columns + ``_change_type`` +
     ``_commit_version``, one distributed scan per change file, no
-    driver row work.  Column-mapped tables and deletion-vector
-    commits in the range gate honestly (their change rows need
-    physical-layout/DV resolution a derived read cannot fake)."""
+    driver row work.  ``name``-mode column-mapped tables read their
+    physical columns and alias back (r10); ``id`` mode and
+    deletion-vector files touched in the range gate honestly (their
+    change rows need per-file-footer/DV resolution a derived read
+    cannot fake).  The derived read rebuilds file state by replaying
+    the JSON commits from version 0 — if log retention cleaned any
+    commit at or below ``ending_version`` it raises rather than
+    return a silently-partial feed (ADVICE r9)."""
     from pyspark.sql import functions as F
     versions = list_delta_versions(path)
     if not versions:
         raise FileNotFoundError(f"{path}: empty _delta_log")
     if ending_version is None:
         ending_version = versions[-1]
+    have = set(versions)
+    gap = [v for v in range(ending_version + 1) if v not in have]
+    if gap:
+        raise NotImplementedError(
+            f"delta CDF needs the contiguous JSON commit history "
+            f"[0..{ending_version}] to rebuild file state; missing "
+            f"{gap[:10]} (log retention cleaned them; a checkpoint "
+            "cannot substitute — it has no per-commit changes)")
     schema_json, part_cols, _files, mapping = replay_delta_log(
         path, ending_version)
-    if mapping != "none":
+    if mapping == "id":
         raise NotImplementedError(
-            "delta CDF over column-mapped tables")
+            "delta CDF over id-mapped tables (per-file footer "
+            "field-id resolution)")
     sch = json.loads(schema_json)
+
+    def _phys(f) -> str:
+        if mapping == "name":
+            pn = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName")
+            if not pn:
+                raise NotImplementedError(
+                    f"column-mapped table field {f['name']!r} lacks "
+                    "delta.columnMapping.physicalName metadata")
+            return pn
+        return f["name"]
+
+    phys = {f["name"]: _phys(f) for f in sch["fields"]}
+    # partitionColumns/partitionValues are physically keyed in a
+    # mapped table
+    logical_parts = [next((ln for ln, pn in phys.items()
+                           if pn == c), c) for c in part_cols]
     types = {f["name"]: _delta_type_ddl(f["type"])
              for f in sch["fields"]}
     data_fields = [f["name"] for f in sch["fields"]
-                   if f["name"] not in part_cols]
-    ddl = ", ".join(f"`{n}` {types[n]}" for n in data_fields)
+                   if f["name"] not in logical_parts]
+    ddl = ", ".join(f"`{phys[n]}` {types[n]}" for n in data_fields)
     cdc_ddl = ddl + ", _change_type string"
 
+    def _logical(df):
+        for n in data_fields:
+            if phys[n] != n:
+                df = df.withColumnRenamed(phys[n], n)
+        return df
+
     def _with_parts(df, pvals):
-        for c in part_cols:
-            pv = (pvals or {}).get(c)
+        for c in logical_parts:
+            pv = (pvals or {}).get(phys[c])
             df = df.withColumn(c, (F.lit(None) if pv is None
                                    else F.lit(pv)).cast(types[c]))
         return df
 
-    live: dict[str, dict] = {}          # rel -> partitionValues
+    live: dict[str, tuple] = {}   # rel -> (partitionValues, has_dv)
     out = None
     for v in versions:
         if v > ending_version:
@@ -750,13 +829,25 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
                             v >= starting_version:
                         raise NotImplementedError(
                             "delta CDF over deletion-vector commits")
-                    live[ad["path"]] = ad.get("partitionValues") or {}
+                    live[ad["path"]] = (
+                        ad.get("partitionValues") or {},
+                        bool(ad.get("deletionVector")))
                     if ad.get("dataChange"):
                         adds.append(ad)
                 elif a.get("remove"):
                     rm = a["remove"]
-                    pv = live.pop(rm["path"],
-                                  rm.get("partitionValues") or {})
+                    pv, had_dv = live.pop(
+                        rm["path"],
+                        (rm.get("partitionValues") or {}, False))
+                    # ADVICE r9: a removed file whose rows were
+                    # partially DV-deleted (whether the DV landed
+                    # before OR inside the window) must not emit
+                    # delete rows for already-dead positions
+                    if (had_dv or rm.get("deletionVector")) and \
+                            v >= starting_version:
+                        raise NotImplementedError(
+                            "delta CDF remove of a deletion-vector "
+                            "file in the window")
                     if rm.get("dataChange", True):
                         removes.append((rm["path"], pv))
         if v < starting_version:
@@ -766,20 +857,21 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
             # spec rule: a commit with cdc actions describes its
             # changes ONLY through them
             for c in cdc:
-                df = spark.read.schema(cdc_ddl).parquet(
-                    os.path.join(path, c["path"]))
+                df = _logical(spark.read.schema(cdc_ddl).parquet(
+                    os.path.join(path, c["path"])))
                 frames.append(_with_parts(
                     df, c.get("partitionValues")))
         else:
             for ad in adds:
-                df = (spark.read.schema(ddl)
-                      .parquet(os.path.join(path, ad["path"]))
+                df = (_logical(spark.read.schema(ddl)
+                               .parquet(os.path.join(
+                                   path, ad["path"])))
                       .withColumn("_change_type", F.lit("insert")))
                 frames.append(_with_parts(
                     df, ad.get("partitionValues")))
             for rel, pv in removes:
-                df = (spark.read.schema(ddl)
-                      .parquet(os.path.join(path, rel))
+                df = (_logical(spark.read.schema(ddl)
+                               .parquet(os.path.join(path, rel)))
                       .withColumn("_change_type", F.lit("delete")))
                 frames.append(_with_parts(df, pv))
         for df in frames:

@@ -236,24 +236,16 @@ def prune_partition_files(files, part_specs, types, filters):
     return keep
 
 
-def live_data_files(path: str, snapshot_id: int | None = None,
-                    as_of_ms: int | None = None):
-    """Resolve the live data files of a snapshot.  Returns
-    ``(schema_fields, part_specs, files, delete_files)`` with
-    ``files`` as ``[(abs_path, partition_dict, sequence_number,
-    file_format)]``,
-    ``part_specs`` as ``[(transform, param, source_column,
-    partition_field_name)]`` in spec order, and ``delete_files`` as
-    ``[(abs_path, content, sequence_number,
-    equality_col_names_or_None)]`` for the snapshot's POSITION
-    (content=1) and EQUALITY (content=2) delete parquet files."""
-    from .avro import decode_avro_datums
+def _resolve_snapshot(path: str, snapshot_id: int | None = None,
+                      as_of_ms: int | None = None):
+    """Load the latest table metadata and resolve one snapshot —
+    by id, by ``as_of_ms`` timestamp time travel (latest snapshot
+    committed at or before the instant, per the spec's
+    timestamp-ms), or the current one.  Returns ``(meta, snap)``."""
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
     snaps = meta.get("snapshots", [])
     if snapshot_id is None and as_of_ms is not None:
-        # timestamp time travel: latest snapshot committed at or
-        # before the instant (spec: snapshots carry timestamp-ms)
         past = [s for s in snaps
                 if s.get("timestamp-ms", 0) <= as_of_ms]
         if not past:
@@ -270,9 +262,31 @@ def live_data_files(path: str, snapshot_id: int | None = None,
         raise ValueError(
             f"no snapshot {snapshot_id} at {path}; have "
             f"{[s['snapshot-id'] for s in snaps]}")
-    # schema: v2 keeps a list + current-schema-id; v1 a single schema
+    return meta, snap
+
+
+def live_data_files(path: str, snapshot_id: int | None = None,
+                    as_of_ms: int | None = None):
+    """Resolve the live data files of a snapshot.  Returns
+    ``(schema_fields, part_specs, files, delete_files)`` with
+    ``files`` as ``[(abs_path, partition_dict, sequence_number,
+    file_format)]``,
+    ``part_specs`` as ``[(transform, param, source_column,
+    partition_field_name)]`` in spec order, and ``delete_files`` as
+    ``[(abs_path, content, sequence_number,
+    equality_col_names_or_None)]`` for the snapshot's POSITION
+    (content=1) and EQUALITY (content=2) delete parquet files."""
+    from .avro import decode_avro_datums
+    meta, snap = _resolve_snapshot(path, snapshot_id, as_of_ms)
+    # schema: v2 keeps a list + current-schema-id; v1 a single
+    # schema.  Time travel resolves the SNAPSHOT's schema-id when
+    # the snapshot records one (ADVICE r9 — a pre-evolution snapshot
+    # reads back with its own column names, not the renamed ones),
+    # falling back to the current schema for snapshots that predate
+    # the field.
     if "schemas" in meta:
-        sid = meta.get("current-schema-id", 0)
+        sid = snap.get("schema-id",
+                       meta.get("current-schema-id", 0))
         schema = next(s for s in meta["schemas"]
                       if s.get("schema-id", 0) == sid)
     else:
@@ -296,11 +310,23 @@ def live_data_files(path: str, snapshot_id: int | None = None,
     with open(mlist_path, "rb") as fh:
         _s, manifests = decode_avro_datums(fh.read())
     files, delete_files = [], []
+    default_spec_id = meta.get("default-spec-id", 0)
     for m in manifests:
         content = m.get("content", 0) or 0
         if content not in (0, 1):
             raise NotImplementedError(
                 f"iceberg manifest content {content} unsupported")
+        # partition-spec evolution gate (r10): a manifest written
+        # under a non-default spec would need ITS spec's transforms
+        # for pruning and identity re-attach — silently stamping
+        # NULL/old-spec values would be wrong, so raise honestly
+        mspec = m.get("partition_spec_id")
+        if mspec is not None and mspec != default_spec_id:
+            raise NotImplementedError(
+                f"iceberg manifest {m['manifest_path']!r} was "
+                f"written under partition spec {mspec} (table "
+                f"default {default_spec_id}) — partition-spec "
+                "evolution is not supported")
         mpath = _resolve(m["manifest_path"], path)
         with open(mpath, "rb") as fh:
             _s2, entries = decode_avro_datums(fh.read())
@@ -344,15 +370,17 @@ def live_data_files(path: str, snapshot_id: int | None = None,
     return fields, part_specs, sorted(files), sorted(delete_files)
 
 
-def _schema_inventory(path: str):
-    """Current schema fields WITH ids, and how many schemas the table
-    has carried (``> 1`` means evolution happened and column
+def _schema_inventory(path: str, schema_id: int | None = None):
+    """Schema fields WITH ids (``schema_id`` — a time-traveled
+    snapshot's own schema — or current), and how many schemas the
+    table has carried (``> 1`` means evolution happened and column
     resolution must go through parquet field ids, per the spec's
     "columns are matched by field id" rule)."""
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
     if "schemas" in meta:
-        sid = meta.get("current-schema-id", 0)
+        sid = (schema_id if schema_id is not None
+               else meta.get("current-schema-id", 0))
         schema = next(s for s in meta["schemas"]
                       if s.get("schema-id", 0) == sid)
         n = len(meta["schemas"])
@@ -388,8 +416,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     with its own DDL.  Unevolved tables skip the footer taps
     entirely."""
     from pyspark.sql import functions as F
+    _meta, snap = _resolve_snapshot(path, snapshot_id, as_of_ms)
     fields, part_specs, files, delete_files = live_data_files(
-        path, snapshot_id, as_of_ms=as_of_ms)
+        path, snap["snapshot-id"])
     types = dict(fields)
     part_fields = [src for t, _p, src, _f in part_specs
                    if t == "identity"]
@@ -401,31 +430,13 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         return spark.createDataFrame([], ddl_all)
     data_ddl = ", ".join(f"{n} {t}" for n, t in fields
                          if n not in part_fields)
-    fld_ids, n_schemas = _schema_inventory(path)
+    # resolve field ids against the SNAPSHOT's schema (time travel
+    # keeps the snapshot's own column names; values are matched by
+    # field id either way)
+    fld_ids, n_schemas = _schema_inventory(path,
+                                           snap.get("schema-id"))
     evolved = n_schemas > 1
     data_names = [n for n, _t in fields if n not in part_fields]
-
-    def _layout(full_p: str) -> tuple:
-        # evolved table: logical name -> THIS FILE's physical column,
-        # matched by footer field id (name fallback for id-less
-        # legacy files); absent = column added after this file
-        import pyarrow.parquet as pq
-        arr = pq.read_schema(full_p)
-        byfid = {}
-        for f2 in arr:
-            md = f2.metadata or {}
-            fid = md.get(b"PARQUET:field_id")
-            if fid is not None:
-                byfid[int(fid)] = f2.name
-        names = set(arr.names)
-        m = {}
-        for n2 in data_names:
-            fid = fld_ids.get(n2)
-            if fid is not None and fid in byfid:
-                m[n2] = byfid[fid]
-            elif n2 in names:
-                m[n2] = n2
-        return tuple(sorted(m.items()))
 
     pos_files = [p for p, c, _s, _e in delete_files if c == 1]
     eq_files = [(p, s, e) for p, c, s, e in delete_files if c == 2]
@@ -437,10 +448,43 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         if evolved:
             raise NotImplementedError(
                 "iceberg schema evolution over AVRO data files")
+    pq_paths = [p for p, _pv, _s, fmt in files if fmt == "PARQUET"]
+    layouts: dict[str, tuple] = {}
+    if evolved and pq_paths:
+        # evolved table: logical name -> each file's physical column,
+        # matched by footer field id (name fallback for id-less
+        # legacy files); absent = column added after this file.  ONE
+        # distributed footer job resolves every file (r10 — never a
+        # driver-side open per data file).
+        from .layouts import parquet_field_layouts
+        raw = parquet_field_layouts(spark, pq_paths)
+        for p, flds in raw.items():
+            byfid = {fid: nm for fid, nm in flds if fid is not None}
+            names = {nm for _fid, nm in flds}
+            m = {}
+            for n2 in data_names:
+                fid = fld_ids.get(n2)
+                if fid is not None and fid in byfid:
+                    m[n2] = byfid[fid]
+                elif n2 in names:
+                    m[n2] = n2
+            layouts[p] = tuple(sorted(m.items()))
+    # ONE parquet scan per distinct PHYSICAL LAYOUT (one per schema
+    # epoch — NOT per partition tuple or sequence number): at 10k+
+    # partitions a per-tuple union is a 10k-arm plan (r9 verdict #5).
+    # Identity partition values and the file's sequence number
+    # re-attach via a small broadcast file→values table joined on
+    # _metadata.file_path.  AVRO data files (no _metadata support in
+    # the python source) keep the literal-attach path, grouped per
+    # (partition tuple, sequence).
     groups: dict[tuple, list[str]] = {}
     for p, pvals, seq, fmt in files:
-        key = (tuple(pvals.get(pfnames[c]) for c in part_fields), seq,
-               _layout(p) if evolved else (), fmt)
+        if fmt == "AVRO":
+            key = ("AVRO",
+                   tuple(pvals.get(pfnames[c]) for c in part_fields),
+                   seq)
+        else:
+            key = ("PARQUET", layouts.get(p, ()), None)
         groups.setdefault(key, []).append(p)
     # file_path values inside position-delete files are URIs/relative
     # paths as the writer recorded them — normalize both sides to a
@@ -450,14 +494,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         return F.when(c.startswith("/"), c).otherwise(
             F.concat(F.lit(os.path.abspath(path) + "/"), c))
 
+    need_fp = bool(pos_files) or bool(eq_files) or bool(part_fields)
     parts = []
-    for (key, seq, lay, fmt), paths in sorted(groups.items()):
-        if evolved:
-            lmap = dict(lay)
-            ddl_g = ", ".join(f"`{lmap[n]}` {types[n]}"
-                              for n in data_names if n in lmap)
-        else:
-            lmap, ddl_g = None, data_ddl
+    for (fmt, pkey, seq), paths in sorted(
+            groups.items(), key=lambda kv: (kv[0][0],
+                                            str(kv[0][1:]))):
         if fmt == "AVRO":
             # dependency-free Avro source: schema from each file's
             # embedded writer schema, block-split read tasks; cast
@@ -471,8 +512,27 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                        .select(*[F.col(n).cast(types[n]).alias(n)
                                  for n in data_names]))
                 df = one if df is None else df.unionByName(one)
+            if need_fp:
+                # no _metadata on the python Avro source: null key,
+                # never matches the attach map, lit values survive
+                # the coalesce
+                df = df.withColumn("__fp",
+                                   F.lit(None).cast("string"))
+            if eq_files:
+                df = df.withColumn("__seq",
+                                   F.lit(seq).cast("bigint"))
+            for c, v in zip(part_fields, pkey):
+                df = df.withColumn(c, (F.lit(None) if v is None
+                                       else F.lit(v)).cast(types[c]))
+            parts.append(df)
+            continue
+        if evolved:
+            lmap = dict(pkey)
+            ddl_g = ", ".join(f"`{lmap[n]}` {types[n]}"
+                              for n in data_names if n in lmap)
         else:
-            df = spark.read.schema(ddl_g).parquet(*paths)
+            lmap, ddl_g = None, data_ddl
+        df = spark.read.schema(ddl_g).parquet(*paths)
         if evolved:
             for n in data_names:
                 if n in lmap and lmap[n] != n:
@@ -480,19 +540,40 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                 elif n not in lmap:      # column postdates this file
                     df = df.withColumn(n,
                                        F.lit(None).cast(types[n]))
+        if need_fp:
+            df = df.withColumn("__fp",
+                               _norm(F.col("_metadata.file_path")))
         if pos_files:
-            df = (df.withColumn("__fp",
-                                _norm(F.col("_metadata.file_path")))
-                  .withColumn("__pos", F.col("_metadata.row_index")))
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
         if eq_files:
-            df = df.withColumn("__seq", F.lit(seq).cast("bigint"))
-        for c, v in zip(part_fields, key):
-            df = df.withColumn(c, (F.lit(None) if v is None
-                                   else F.lit(v)).cast(types[c]))
+            df = df.withColumn("__seq", F.lit(None).cast("bigint"))
+        for c in part_fields:
+            df = df.withColumn(c, F.lit(None).cast(types[c]))
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if (part_fields or eq_files) and pq_paths:
+        # the broadcast attach table: one row per parquet data file
+        pmap_rows = [
+            (p, int(seq),
+             *[pvals.get(pfnames[c]) for c in part_fields])
+            for p, pvals, seq, fmt in files if fmt == "PARQUET"]
+        pmap_ddl = ("__fp string, __mseq bigint, " + ", ".join(
+            f"`{c}__m` string" for c in part_fields)).rstrip(", ")
+        pmap = F.broadcast(spark.createDataFrame(
+            [tuple(str(v) if i >= 2 and v is not None else v
+                   for i, v in enumerate(r)) for r in pmap_rows],
+            pmap_ddl))
+        out = out.join(pmap, on="__fp", how="left")
+        if eq_files:
+            out = out.withColumn(
+                "__seq", F.coalesce(F.col("__seq"), F.col("__mseq")))
+        for c in part_fields:
+            out = out.withColumn(
+                c, F.coalesce(F.col(c),
+                              F.col(f"{c}__m").cast(types[c])))
+        out = out.drop("__mseq", *[f"{c}__m" for c in part_fields])
     if pos_files:
         dels = (spark.read.schema("file_path string, pos bigint")
                 .parquet(*pos_files)
@@ -892,6 +973,10 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                               # deterministic, strictly increasing —
                               # what as_of_ms time travel needs
                               "timestamp-ms": snap_id * 1000,
+                              # the schema this snapshot was written
+                              # under (v2 spec) — snapshot-schema
+                              # time travel resolves through it
+                              "schema-id": sid,
                               "manifest-list": mlist_rel,
                               "summary": {"operation": "append"}})
     meta["current-snapshot-id"] = snap_id

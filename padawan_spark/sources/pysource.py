@@ -658,6 +658,9 @@ class AvroSource(DataSource):
 
 class _DeltaCDFStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema):
+        import json as _json
+
+        from ..functions.delta import replay_delta_log
         self.path = options["path"]
         self.start_version = int(options.get("startingVersion", 0))
         self._max_versions = int(options.get("maxVersionsPerTrigger",
@@ -666,6 +669,17 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
         self.names = list(schema.names)
         self.types = {f.name: f.dataType.simpleString()
                       for f in schema.fields}
+        # name-mode column mapping (r10): logical -> physical parquet
+        # column; partitionValues are also physically keyed
+        schema_json, _pc, _files, mapping = replay_delta_log(
+            self.path)
+        self.phys = {}
+        if mapping == "name":
+            for f in _json.loads(schema_json)["fields"]:
+                pn = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName")
+                if pn:
+                    self.phys[f["name"]] = pn
 
     def initialOffset(self):
         self._last_end = self.start_version - 1
@@ -689,9 +703,20 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
         self._last_end = hi
         if hi <= lo:
             return [InputPartition(None)]
+        versions = list_delta_versions(self.path)
+        have = set(versions)
+        gap = [v for v in range(hi + 1) if v not in have]
+        if gap:
+            # ADVICE r9: the derived feed rebuilds file state from
+            # version 0 — retention-cleaned commits would yield a
+            # silently-partial feed
+            raise NotImplementedError(
+                f"padawan_delta_cdf needs the contiguous JSON "
+                f"commit history [0..{hi}]; missing {gap[:10]} "
+                "(log retention cleaned them)")
         parts = []
-        live: dict[str, dict] = {}
-        for v in list_delta_versions(self.path):
+        live: dict[str, tuple] = {}
+        for v in versions:
             if v > hi:
                 break
             fp = _os.path.join(self.path, "_delta_log",
@@ -710,14 +735,24 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                             raise NotImplementedError(
                                 "padawan_delta_cdf: deletion-vector "
                                 "commits in the stream range")
-                        live[ad["path"]] = (ad.get("partitionValues")
-                                            or {})
+                        live[ad["path"]] = (
+                            ad.get("partitionValues") or {},
+                            bool(ad.get("deletionVector")))
                         if ad.get("dataChange"):
                             adds.append(ad)
                     elif a.get("remove"):
                         rm = a["remove"]
-                        pv = live.pop(rm["path"],
-                                      rm.get("partitionValues") or {})
+                        pv, had_dv = live.pop(
+                            rm["path"],
+                            (rm.get("partitionValues") or {}, False))
+                        # ADVICE r9: removing a DV'd file would emit
+                        # delete rows for already-dead positions
+                        if (had_dv or rm.get("deletionVector")) \
+                                and v > lo:
+                            raise NotImplementedError(
+                                "padawan_delta_cdf: remove of a "
+                                "deletion-vector file in the "
+                                "stream range")
                         if rm.get("dataChange", True):
                             removes.append((rm["path"], pv))
             if v <= lo:
@@ -764,14 +799,15 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                       else kind)
             out = []
             for c in self.names:
+                pc = self.phys.get(c, c)
                 if c == "_change_type":
                     out.append(change)
                 elif c == "_commit_version":
                     out.append(v)
-                elif c in pv:
-                    out.append(conv(c, pv[c]))
+                elif pc in pv:
+                    out.append(conv(c, pv[pc]))
                 else:
-                    out.append(r.get(c))
+                    out.append(r.get(pc))
             yield tuple(out)
 
     def commit(self, end):
@@ -781,7 +817,9 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
 class DeltaCDFSource(DataSource):
     """``spark.readStream.format("padawan_delta_cdf")`` — stream the
     change feed of an existing Delta table; schema = table columns +
-    ``_change_type`` + ``_commit_version``."""
+    ``_change_type`` + ``_commit_version``.  ``name``-mode
+    column-mapped tables stream under their LOGICAL names (r10 —
+    physical resolution inside the reader); ``id`` mode gates."""
 
     @classmethod
     def name(cls):
@@ -793,9 +831,10 @@ class DeltaCDFSource(DataSource):
         from ..functions.delta import _delta_type_ddl, replay_delta_log
         schema_json, _pc, _files, mapping = replay_delta_log(
             self.options["path"])
-        if mapping != "none":
+        if mapping == "id":
             raise NotImplementedError(
-                "padawan_delta_cdf over column-mapped tables")
+                "padawan_delta_cdf over id-mapped tables (per-file "
+                "footer field-id resolution)")
         sch = _json.loads(schema_json)
         return (", ".join(
             f"{f['name']} {_delta_type_ddl(f['type'])}"

@@ -874,6 +874,74 @@ def test_hudi_mor_full_shuffle_fallback_still_correct(spark,
     assert all(v == -1 for k, v in fast if k < 10)
 
 
+def test_delta_scan_count_independent_of_partition_values(spark,
+                                                          tmp_path):
+    """r10 (verdict #5): the Delta read plans ONE parquet scan per
+    physical layout, never per partition tuple — partition values
+    re-attach via a broadcast file→values join, so plan width stays
+    flat as partitions grow."""
+    import pyspark.sql.functions as SF_
+    from padawan_spark.functions.delta import (read_delta,
+                                               write_delta_fixture)
+    from padawan_spark.plans import audit
+    t = str(tmp_path / "dscan")
+    df = spark.range(120).select(
+        SF_.col("id").alias("k"),
+        (SF_.col("id") % 10).cast("bigint").alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",))
+    out = read_delta(spark, t)
+    a = audit(out)
+    assert a.scans.count("parquet") == 1, a.scans
+    assert a.broadcast_joins >= 1, a.plan      # the attach map
+    assert a.exchanges == 0, a.plan
+    got = {(r["k"], r["g"]) for r in out.collect()}
+    assert got == {(k, k % 10) for k in range(120)}
+
+
+def test_iceberg_scan_count_independent_of_partition_values(
+        spark, tmp_path):
+    """r10 (verdict #5): same pin for Iceberg — one scan per layout,
+    identity partition values via the broadcast attach map."""
+    import pyspark.sql.functions as SF_
+    from padawan_spark.functions.iceberg import (read_iceberg,
+                                                 write_iceberg_fixture)
+    from padawan_spark.plans import audit
+    t = str(tmp_path / "iscan")
+    df = spark.range(120).select(
+        SF_.col("id").alias("k"),
+        (SF_.col("id") % 10).alias("g"))
+    write_iceberg_fixture(spark, df, t, partition_by=("g",))
+    out = read_iceberg(spark, t)
+    a = audit(out)
+    assert a.scans.count("parquet") == 1, a.scans
+    assert a.broadcast_joins >= 1, a.plan
+    assert a.exchanges == 0, a.plan
+    got = {(r["k"], r["g"]) for r in out.collect()}
+    assert got == {(k, k % 10) for k in range(120)}
+
+
+def test_delta_dv_anti_join_broadcasts(spark, tmp_path):
+    """r10 (verdict #3): the distributed DV anti-join finalizes as a
+    broadcast hash join under AQE (position sets are small relative
+    to data) — never a cartesian/nested-loop pair explosion."""
+    import pyspark.sql.functions as SF_
+    from padawan_spark.functions.delta import (add_dv_fixture,
+                                               read_delta,
+                                               replay_delta_log,
+                                               write_delta_fixture)
+    t = str(tmp_path / "dvplan")
+    df = spark.range(2000).select(SF_.col("id").alias("k"),
+                                  (SF_.col("id") % 4).alias("g"))
+    write_delta_fixture(spark, df, t, order_by=("k",))
+    _s, _p, files, _mm = replay_delta_log(t)
+    add_dv_fixture(t, {files[0][0]: [5, 10, 15]})
+    out = read_delta(spark, t)
+    assert len(out.collect()) == 1997    # let AQE finalize the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_iceberg_eq_delete_anti_join_broadcasts(spark, tmp_path):
     """r9: the equality-delete anti-join must run as a broadcast hash
     join under AQE (delete sets are small relative to data), never a
