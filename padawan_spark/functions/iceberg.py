@@ -46,9 +46,12 @@ reading old files and post-add files return null for the new column;
 the fixture writer stamps field ids on every data file it writes.
 AVRO data files (r9) read through the in-repo dependency-free Avro
 source (block-split tasks, writer schema per file) and union with
-parquet groups in one table; position deletes and schema evolution
-over Avro data, and ORC data files, raise honest
-``NotImplementedError``.
+parquet groups in one table; ORC data files (r10) ride Spark's
+native vectorized ORC source and share the broadcast
+partition-attach map through ``_metadata.file_path``.  Position
+deletes and schema evolution over Avro/ORC data raise honest
+``NotImplementedError`` (no row-index metadata outside parquet; no
+footer-field-id resolution outside parquet).
 """
 
 from __future__ import annotations
@@ -335,7 +338,7 @@ def live_data_files(path: str, snapshot_id: int | None = None,
                 continue
             df_ = e["data_file"]
             fmt = (df_.get("file_format") or "PARQUET").upper()
-            if fmt not in ("PARQUET", "AVRO"):
+            if fmt not in ("PARQUET", "AVRO", "ORC"):
                 raise NotImplementedError(
                     f"iceberg data file format {fmt!r}")
             # v2 sequence-number inheritance: a null entry seq means
@@ -448,6 +451,17 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         if evolved:
             raise NotImplementedError(
                 "iceberg schema evolution over AVRO data files")
+    if any(fmt == "ORC" for _p, _pv, _s, fmt in files):
+        # ORC scans expose _metadata.file_path (so partition attach
+        # and eq-delete sequence scoping work) but not row_index, and
+        # column resolution by ORC field ids is not implemented
+        if pos_files:
+            raise NotImplementedError(
+                "iceberg position deletes over ORC data files "
+                "(_metadata.row_index is parquet-only)")
+        if evolved:
+            raise NotImplementedError(
+                "iceberg schema evolution over ORC data files")
     pq_paths = [p for p, _pv, _s, fmt in files if fmt == "PARQUET"]
     layouts: dict[str, tuple] = {}
     if evolved and pq_paths:
@@ -483,6 +497,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             key = ("AVRO",
                    tuple(pvals.get(pfnames[c]) for c in part_fields),
                    seq)
+        elif fmt == "ORC":
+            key = ("ORC", (), None)
         else:
             key = ("PARQUET", layouts.get(p, ()), None)
         groups.setdefault(key, []).append(p)
@@ -532,7 +548,12 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                               for n in data_names if n in lmap)
         else:
             lmap, ddl_g = None, data_ddl
-        df = spark.read.schema(ddl_g).parquet(*paths)
+        # ORC rides Spark's native ORC source (same vectorized scan,
+        # same _metadata.file_path for the attach map); evolution and
+        # position deletes over ORC are gated above
+        df = (spark.read.schema(ddl_g).orc(list(paths))
+              if fmt == "ORC"
+              else spark.read.schema(ddl_g).parquet(*paths))
         if evolved:
             for n in data_names:
                 if n in lmap and lmap[n] != n:
@@ -553,12 +574,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if (part_fields or eq_files) and pq_paths:
-        # the broadcast attach table: one row per parquet data file
+    mappable = [(p, pvals, seq) for p, pvals, seq, fmt in files
+                if fmt in ("PARQUET", "ORC")]
+    if (part_fields or eq_files) and mappable:
+        # the broadcast attach table: one row per parquet/ORC file
         pmap_rows = [
             (p, int(seq),
              *[pvals.get(pfnames[c]) for c in part_fields])
-            for p, pvals, seq, fmt in files if fmt == "PARQUET"]
+            for p, pvals, seq in mappable]
         pmap_ddl = ("__fp string, __mseq bigint, " + ", ".join(
             f"`{c}__m` string" for c in part_fields)).rstrip(", ")
         pmap = F.broadcast(spark.createDataFrame(
@@ -871,6 +894,11 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                            for row in pdf.itertuples(index=False)]
                 with open(full, "wb") as fh:
                     fh.write(encode_avro_py(aspec, rows_py))
+            elif ext == "orc":
+                from pyarrow import orc as pa_orc
+                pa_orc.write_table(
+                    pa.Table.from_pandas(pdf, preserve_index=False),
+                    full)
             else:
                 pq.write_table(_pa_table(pdf), full)
             entries.append({"status": 1, "snapshot_id": snap_id,

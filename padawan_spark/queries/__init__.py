@@ -41,25 +41,25 @@ for _m in _SUITES:
 # ---------------------------------------------------------------------------
 
 # code that changed THIS round — keep driver-visible even though already
-# green: the late-r9 interop wave rewired every reader —
-# src_iceberg_read (live_data_files now returns sequence numbers +
-# transform part-specs; the v2-deletes and transform paths branch off
-# it), src_iceberg_v2_deletes (grouping key gained the sequence
-# number), src_delta_read + op_import_delta (replay gained v2
-# checkpoints, id-mapping acceptance, and the version-allocation
-# fix), src_delta_dv_read (classic checkpoint fixture now preserves
-# mapping config), src_avro_roundtrip (the container reader moved to
-# block-range partitions), src_hudi_read (timeline now admits
-# deltacommit/replacecommit kinds; live_hudi_files rides the new
-# slice resolver), op_incremental_agg (r9 broadcast hints in the CDF
-# fold, carried one more round as the r8 verdict's weak item).
-# Never-checked r9 queries (eq-deletes, transforms, MOR, clustering,
-# id-mapping, v2-checkpoint) sort ahead of the rotation
-# automatically (round 0).
-_SENTINELS = ["src_iceberg_read", "src_iceberg_v2_deletes",
-              "src_delta_read", "op_import_delta", "src_delta_dv_read",
-              "src_avro_roundtrip", "src_hudi_read",
-              "op_incremental_agg"]
+# green: the r10 scale rework rebuilt every interop read plan —
+# src_hudi_mor_read (broadcast log-key merge, base rows bypass the
+# window; global per-group log ordering), src_hudi_incremental
+# (touched-file-slice pruning via partitionToWriteStats),
+# src_hudi_clustering (rides the reworked merge),
+# src_delta_dv_read (DV decode moved to distributed mapInPandas +
+# AQE broadcast anti-join), src_delta_id_mapping +
+# src_iceberg_schema_evolution (footer field-id layouts resolve in
+# ONE Spark job), src_delta_read + src_iceberg_read +
+# src_iceberg_transforms (one scan per layout, partition values via
+# broadcast attach map instead of per-tuple unions),
+# src_delta_cdf_read + streaming_delta_cdf (contiguity + DV-remove
+# guards, name-mode column mapping support).
+_SENTINELS = ["src_hudi_mor_read", "src_hudi_incremental",
+              "src_hudi_clustering", "src_delta_dv_read",
+              "src_delta_id_mapping", "src_iceberg_schema_evolution",
+              "src_delta_read", "src_iceberg_read",
+              "src_iceberg_transforms", "src_delta_cdf_read",
+              "streaming_delta_cdf"]
 
 _WINDOW = 50
 

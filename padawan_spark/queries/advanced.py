@@ -1446,6 +1446,50 @@ def src_iceberg_avro_data(spark, sf_dir):
         F.countDistinct("g").alias("n_groups"))
 
 
+@query("src_iceberg_orc_data", oracle="""
+WITH u AS (
+  SELECT n_nationkey AS k, n_regionkey AS g FROM nation
+  UNION ALL
+  SELECT n_nationkey + 200, n_regionkey FROM nation
+)
+SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
+       COUNT(DISTINCT g) AS n_groups
+FROM u WHERE k NOT IN (7, 207)
+""")
+def src_iceberg_orc_data(spark, sf_dir):
+    """Iceberg ORC data files (r10) — the other non-parquet data
+    format the spec allows: a snapshot written as ORC reads through
+    Spark's NATIVE vectorized ORC source and unions with a later
+    parquet snapshot in one table (one scan group per file format);
+    identity partition values re-attach through the shared broadcast
+    file→values map (ORC exposes ``_metadata.file_path`` like any
+    Spark file source), and an equality delete applies ACROSS
+    formats via the same sequence-scoped anti-join.  The oracle
+    restates the merged aggregate.  Scale shape: both formats stay
+    native distributed scans; position deletes and schema evolution
+    over ORC gate honestly (no ``row_index``/field-id metadata
+    outside parquet)."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import read_iceberg, write_iceberg_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_iceorc_"), "tbl")
+    write_iceberg_fixture(spark, n, t, partition_by=("g",),
+                          file_format="orc")
+    write_iceberg_fixture(spark, n.select((F.col("k") + 200).alias("k"),
+                                          F.col("g")),
+                          t, partition_by=("g",))
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_equality=(["k"], [(7,), (207,)]))
+    return read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.countDistinct("g").alias("n_groups"))
+
+
 @query("src_hudi_incremental", oracle="""
 SELECT 'w2' AS scope, COUNT(*) AS n,
        CAST(SUM(n_nationkey * 10 + 1000) AS BIGINT) AS val_sum

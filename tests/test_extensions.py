@@ -1290,6 +1290,35 @@ def test_iceberg_schema_evolution_field_id_resolution(spark, tmp_path):
     assert read_iceberg(spark, t, snapshot_id=s2).count() == 16
 
 
+def test_iceberg_orc_data_files(spark, tmp_path):
+    """r10: ORC data files read through Spark's native ORC source,
+    union with parquet snapshots, share the partition attach map,
+    and gate position deletes honestly."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (read_iceberg,
+                                                 write_iceberg_fixture)
+    t = str(tmp_path / "iceorc")
+    df = spark.range(10).select(SF.col("id").alias("k"),
+                                (SF.col("id") % 2).alias("g"))
+    write_iceberg_fixture(spark, df, t, partition_by=("g",),
+                          file_format="orc")
+    write_iceberg_fixture(spark, spark.range(100, 104).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("g",))
+    out = read_iceberg(spark, t)
+    rows = {(r["k"], r["g"]) for r in out.collect()}
+    assert rows == {(k, k % 2) for k in
+                    list(range(10)) + list(range(100, 104))}
+    # filters prune + re-apply across both formats
+    assert read_iceberg(spark, t, filters={"g": 1}).count() == 7
+    # position deletes over ORC rows gate honestly
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_positions={"data/snap1-0.orc": [0]})
+    with pytest.raises(NotImplementedError, match="ORC"):
+        read_iceberg(spark, t).collect()
+
+
 def test_iceberg_snapshot_schema_time_travel(spark, tmp_path):
     """ADVICE r9: time traveling to a pre-evolution snapshot reads
     with THAT snapshot's schema — original column names, no
