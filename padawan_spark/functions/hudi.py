@@ -139,6 +139,27 @@ def live_hudi_files(path: str, as_of: str | None = None):
 _LOG_SAFE = ("bigint", "int", "smallint", "tinyint", "double",
              "float", "string", "boolean", "timestamp", "date")
 
+# nested payloads (r10): arrays and flat structs of non-temporal
+# primitives ride the generic Avro datum codec; temporal values
+# inside nested types would need per-element logical-type conversion
+# and stay gated
+_LOG_SAFE_NESTED = tuple(t for t in _LOG_SAFE
+                         if t not in ("timestamp", "date"))
+
+
+def _log_safe_type(t: str) -> bool:
+    if t in _LOG_SAFE:
+        return True
+    m = re.match(r"^array<(\w+)>$", t)
+    if m:
+        return m.group(1) in _LOG_SAFE_NESTED
+    m = re.match(r"^struct<(.+)>$", t)
+    if m and "<" not in m.group(1):
+        return all(
+            ":" in f and f.split(":")[1] in _LOG_SAFE_NESTED
+            for f in m.group(1).split(","))
+    return False
+
 
 def read_hudi(spark, path: str, as_of: str | None = None,
               keep_meta: bool = False, _provenance: bool = False,
@@ -200,10 +221,10 @@ def read_hudi(spark, path: str, as_of: str | None = None,
         return base_df
     data_cols = [c for c in base_df.columns if c not in _META_COLS]
     dtypes = dict(base_df.dtypes)
-    bad = [c for c in data_cols if dtypes[c] not in _LOG_SAFE]
+    bad = [c for c in data_cols if not _log_safe_type(dtypes[c])]
     if bad:
         raise NotImplementedError(
-            f"hudi MOR merge over non-primitive columns {bad}")
+            f"hudi MOR merge over unsupported payload columns {bad}")
     # temporal log payloads ride Avro logical types (micros / days
     # from epoch) and convert back on the pandas side of the decode
     ts_cols = [c for c in data_cols if dtypes[c] == "timestamp"]
@@ -445,7 +466,20 @@ def write_hudi_fixture(spark, df, path: str,
         full = os.path.join(path, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
         import pandas as pd
-        data = {c: [r[c] for r in prows] for c in df.columns}
+
+        from pyspark.sql import Row as _Row
+
+        def _pyize(v):
+            # nested payloads: Rows -> dicts so pyarrow can build
+            # struct columns
+            if isinstance(v, _Row):
+                return {k2: _pyize(v2)
+                        for k2, v2 in v.asDict().items()}
+            if isinstance(v, list):
+                return [_pyize(x) for x in v]
+            return v
+
+        data = {c: [_pyize(r[c]) for r in prows] for c in df.columns}
         meta = {
             "_hoodie_commit_time": [instant] * len(prows),
             "_hoodie_commit_seqno": [f"{instant}_{i}"
@@ -506,6 +540,30 @@ _SPARK_TO_AVRO = {"bigint": "long", "int": "int", "double": "double",
                   "timestamp": "long", "date": "int"}
 
 
+def _avro_payload_type(col: str, t: str):
+    """Spark DDL type -> Avro schema for a log payload column;
+    arrays and flat structs of non-temporal primitives supported."""
+    if t in _SPARK_TO_AVRO:
+        return _SPARK_TO_AVRO[t]
+    m = re.match(r"^array<(\w+)>$", t)
+    if m and m.group(1) in _LOG_SAFE_NESTED:
+        return {"type": "array",
+                "items": ["null", _SPARK_TO_AVRO[m.group(1)]]}
+    m = re.match(r"^struct<(.+)>$", t)
+    if m and "<" not in m.group(1) and all(
+            ":" in f and f.split(":")[1] in _LOG_SAFE_NESTED
+            for f in m.group(1).split(",")):
+        flds = []
+        for f in m.group(1).split(","):
+            fn, ft = f.split(":")
+            flds.append({"name": fn,
+                         "type": ["null", _SPARK_TO_AVRO[ft]]})
+        return {"type": "record", "name": f"p_{col}",
+                "fields": flds}
+    raise NotImplementedError(
+        f"hudi log fixture over payload type {t!r}")
+
+
 def write_hudi_delta_fixture(spark, path: str, upserts=None,
                              deletes=None,
                              partition_field: str | None = None,
@@ -559,16 +617,13 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                           "fileSizeInBytes": os.path.getsize(full)})
 
     if upserts is not None:
-        dtypes = dict(upserts.dtypes)
-        bad = [c for c, t in dtypes.items() if t not in _SPARK_TO_AVRO]
-        if bad:
-            raise NotImplementedError(
-                f"hudi log fixture over non-primitive columns {bad}")
         schema = {"type": "record", "name": "rec", "fields": (
             [{"name": "_hoodie_record_key", "type": "string"}]
-            + [{"name": c, "type": ["null", _SPARK_TO_AVRO[t]]}
+            + [{"name": c, "type": ["null", _avro_payload_type(c, t)]}
                for c, t in upserts.dtypes])}
         import datetime as _dt
+
+        from pyspark.sql import Row as _Row
 
         def _avroize(v):
             if isinstance(v, _dt.datetime):
@@ -576,6 +631,10 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                     // _dt.timedelta(microseconds=1)
             if isinstance(v, _dt.date):
                 return (v - _dt.date(1970, 1, 1)).days
+            if isinstance(v, _Row):
+                return v.asDict()
+            if isinstance(v, list):
+                return list(v)
             return v
         grouped: dict[str, list[dict]] = {}
         for r in upserts.collect():

@@ -1731,6 +1731,48 @@ def test_hudi_mor_keep_meta_carries_all_meta_columns(spark,
     assert rows["3"]["_hoodie_commit_time"] is None
 
 
+def test_hudi_mor_nested_payload_columns(spark, tmp_path):
+    """r10 (missing #3): MOR log payloads may carry arrays and flat
+    structs of non-temporal primitives — they ride the generic Avro
+    datum codec through the distributed decode and merge like any
+    scalar; temporal values INSIDE nested types still gate."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "mornest")
+    df = spark.range(6).select(
+        SF.col("id").alias("k"),
+        SF.array(SF.col("id"), SF.col("id") * 2).alias("vs"),
+        SF.struct(SF.col("id").alias("a"),
+                  SF.concat(SF.lit("n"), SF.col("id"))
+                  .alias("b")).alias("s"))
+    write_hudi_fixture(spark, df, t)
+    ups = spark.createDataFrame(
+        [(2, [9, 9, 9], {"a": 77, "b": "upd"})],
+        "k long, vs array<bigint>, s struct<a:bigint,b:string>")
+    write_hudi_delta_fixture(spark, t, upserts=ups, deletes=["5"])
+    rows = {r["k"]: r for r in read_hudi(spark, t).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert list(rows[2]["vs"]) == [9, 9, 9]
+    assert rows[2]["s"]["a"] == 77 and rows[2]["s"]["b"] == "upd"
+    assert list(rows[1]["vs"]) == [1, 2]
+    assert rows[3]["s"]["b"] == "n3"
+    # temporal inside nested types still gates
+    df2 = spark.range(2).select(
+        SF.col("id").alias("k"),
+        SF.array(SF.current_timestamp()).alias("ts_arr"))
+    t2 = str(tmp_path / "mornest2")
+    write_hudi_fixture(spark, df2, t2)
+    with pytest.raises(NotImplementedError, match="payload"):
+        write_hudi_delta_fixture(spark, t2, upserts=df2)
+    ok = write_hudi_delta_fixture(spark, t2, deletes=["0"])
+    assert ok  # scalar-only delete path unaffected
+    with pytest.raises(NotImplementedError, match="payload"):
+        read_hudi(spark, t2).collect()
+
+
 def test_hudi_replacecommit_clustering(spark, tmp_path):
     """r9: a replacecommit retires the listed file groups wholesale
     (logs included) in favor of its new base files; earlier instants
