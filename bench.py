@@ -325,7 +325,16 @@ def main() -> None:
             "calibration_note": CALIBRATION_NOTE})
 
     if prev_delta:
-        _emit({"prev_round": prev_round, "prev_delta": prev_delta})
+        sup = {"prev_round": prev_round, "prev_delta": prev_delta}
+        # r10: carry the CALIBRATED round-over-round comparison in the
+        # record itself — value_calibrated is machine-speed-free, so
+        # prev_calibrated_ratio > 1 is a real regression, not noise
+        pv = prev.get("value_calibrated")
+        if pv and out["value_calibrated"]:
+            sup["prev_value_calibrated"] = pv
+            sup["prev_calibrated_ratio"] = round(
+                out["value_calibrated"] / pv, 3)
+        _emit(sup)
     print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
