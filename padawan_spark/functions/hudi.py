@@ -183,8 +183,11 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     window.  A 100 TB base with a 1 GB log shuffles ~1 GB, not
     100 TB.  When the distinct log-key count exceeds
     ``log_key_limit`` (a genuinely huge uncompacted backlog where a
-    driver broadcast would be the bottleneck), the merge falls back
-    to the full base-∪-logs shuffle, documented and deliberate.
+    driver broadcast would be the bottleneck), the same split plan
+    runs with shuffle joins instead of the broadcast hint — the
+    structure (and therefore the semantics, including verbatim
+    pass-through of duplicate-key base rows a bulk insert may have
+    left) never depends on log size.
 
     ``_slices`` (internal): restrict the read to a pre-pruned
     file-slice dict (:func:`read_hudi_incremental`)."""
@@ -305,25 +308,26 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     # consumer); sized like the log, small by MOR design
     touched_keys = (log_df.select("_hoodie_record_key").distinct()
                     .localCheckpoint())
-    if touched_keys.count() > log_key_limit:
-        # documented fallback: uncompacted log backlog too large to
-        # broadcast — full event-stream shuffle, the pre-r10 plan
-        merged = (base_evt.unionByName(log_evt)
-                  .withColumn("__rn", F.row_number().over(w))
-                  .where((F.col("__rn") == 1) & ~F.col("__del"))
-                  .drop("__rn", "__lidx", "__seq", "__del"))
-    else:
-        bkeys = F.broadcast(touched_keys)
-        untouched = (base_evt
-                     .join(bkeys, "_hoodie_record_key", "left_anti")
-                     .drop("__lidx", "__seq", "__del"))
-        touched_base = base_evt.join(bkeys, "_hoodie_record_key",
-                                     "left_semi")
-        resolved = (touched_base.unionByName(log_evt)
-                    .withColumn("__rn", F.row_number().over(w))
-                    .where((F.col("__rn") == 1) & ~F.col("__del"))
-                    .drop("__rn", "__lidx", "__seq", "__del"))
-        merged = untouched.unionByName(resolved)
+    # Base rows whose key no log touches pass through VERBATIM (the
+    # way a real MOR reader streams base rows, merging only on log
+    # match — including duplicate-key rows a bulk insert may have
+    # left); only touched keys enter the latest-wins window.  Both
+    # size regimes share this structure so semantics never depend on
+    # log size: past log_key_limit the only change is dropping the
+    # broadcast hint (the joins become shuffle joins rather than a
+    # driver-OOM-risking broadcast).
+    bkeys = (touched_keys if touched_keys.count() > log_key_limit
+             else F.broadcast(touched_keys))
+    untouched = (base_evt
+                 .join(bkeys, "_hoodie_record_key", "left_anti")
+                 .drop("__lidx", "__seq", "__del"))
+    touched_base = base_evt.join(bkeys, "_hoodie_record_key",
+                                 "left_semi")
+    resolved = (touched_base.unionByName(log_evt)
+                .withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") == 1) & ~F.col("__del"))
+                .drop("__rn", "__lidx", "__seq", "__del"))
+    merged = untouched.unionByName(resolved)
     if _provenance:
         return merged.drop(*extra_meta)
     merged = merged.drop("__instant")

@@ -849,11 +849,38 @@ def test_hudi_mor_merge_plan_shape(spark, tmp_path):
     assert a.exchanges <= 1, a.plan
 
 
+def test_hudi_mor_duplicate_base_keys_pass_through_both_paths(
+        spark, tmp_path):
+    """Duplicate-key base rows (a bulk insert without dedup) pass
+    through VERBATIM when no log touches their key, and collapse to
+    one latest-wins row when a log does — IDENTICALLY in the
+    broadcast and shuffle-join size regimes (the r10 scale smoke
+    caught the old fallback deduping everything)."""
+    import pyspark.sql.functions as SF_
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "mordup")
+    base = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "k long, v long")
+    write_hudi_fixture(spark, base, t)
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame([(2, 99)],
+                                                "k long, v long"))
+    for limit in (4_000_000, 0):        # broadcast vs shuffle joins
+        rows = sorted(
+            tuple(r) for r in
+            read_hudi(spark, t, log_key_limit=limit).collect())
+        assert rows == [(1, 10), (1, 11), (2, 99), (3, 30)], (
+            limit, rows)
+
+
 def test_hudi_mor_full_shuffle_fallback_still_correct(spark,
                                                       tmp_path):
     """The documented huge-log-backlog fallback (log_key_limit
-    exceeded → full event-stream shuffle) must return the same rows
-    as the broadcast merge."""
+    exceeded → shuffle joins instead of the broadcast hint) must
+    return the same rows as the broadcast merge."""
     import pyspark.sql.functions as SF_
     from padawan_spark.functions.hudi import (read_hudi,
                                               write_hudi_delta_fixture,
