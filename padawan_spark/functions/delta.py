@@ -743,14 +743,16 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
     pre-vacuum, partition values recovered from the pre-remove
     state).  Output: data columns + ``_change_type`` +
     ``_commit_version``, one distributed scan per change file, no
-    driver row work.  ``name``-mode column-mapped tables read their
-    physical columns and alias back (r10); ``id`` mode and
-    deletion-vector files touched in the range gate honestly (their
-    change rows need per-file-footer/DV resolution a derived read
-    cannot fake).  The derived read rebuilds file state by replaying
-    the JSON commits from version 0 — if log retention cleaned any
-    commit at or below ``ending_version`` it raises rather than
-    return a silently-partial feed (ADVICE r9)."""
+    driver row work.  Column-mapped tables are fully supported
+    (r10): ``name`` mode aliases physical columns back to logical;
+    ``id`` mode resolves each change file's physical layout by
+    PARQUET FIELD ID through one distributed footer job
+    (:mod:`.layouts`).  Deletion-vector files touched in the range
+    gate honestly (their change rows need DV resolution a derived
+    read cannot fake).  The derived read rebuilds file state by
+    replaying the JSON commits from version 0 — if log retention
+    cleaned any commit at or below ``ending_version`` it raises
+    rather than return a silently-partial feed (ADVICE r9)."""
     from pyspark.sql import functions as F
     versions = list_delta_versions(path)
     if not versions:
@@ -767,14 +769,10 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
             "cannot substitute — it has no per-commit changes)")
     schema_json, part_cols, _files, mapping = replay_delta_log(
         path, ending_version)
-    if mapping == "id":
-        raise NotImplementedError(
-            "delta CDF over id-mapped tables (per-file footer "
-            "field-id resolution)")
     sch = json.loads(schema_json)
 
     def _phys(f) -> str:
-        if mapping == "name":
+        if mapping in ("name", "id"):
             pn = (f.get("metadata") or {}).get(
                 "delta.columnMapping.physicalName")
             if not pn:
@@ -783,6 +781,17 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
                     "delta.columnMapping.physicalName metadata")
             return pn
         return f["name"]
+
+    fid_of: dict[int, str] = {}
+    if mapping == "id":
+        for f in sch["fields"]:
+            fid = (f.get("metadata") or {}).get(
+                "delta.columnMapping.id")
+            if fid is None:
+                raise NotImplementedError(
+                    f"id-mapped table field {f['name']!r} lacks "
+                    "delta.columnMapping.id metadata")
+            fid_of[int(fid)] = f["name"]
 
     phys = {f["name"]: _phys(f) for f in sch["fields"]}
     # partitionColumns/partitionValues are physically keyed in a
@@ -810,7 +819,7 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
         return df
 
     live: dict[str, tuple] = {}   # rel -> (partitionValues, has_dv)
-    out = None
+    events: list[tuple] = []      # (version, kind, rel, pvals)
     for v in versions:
         if v > ending_version:
             break
@@ -852,32 +861,55 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
                         removes.append((rm["path"], pv))
         if v < starting_version:
             continue
-        frames = []
         if cdc:
             # spec rule: a commit with cdc actions describes its
             # changes ONLY through them
-            for c in cdc:
-                df = _logical(spark.read.schema(cdc_ddl).parquet(
-                    os.path.join(path, c["path"])))
-                frames.append(_with_parts(
-                    df, c.get("partitionValues")))
+            events += [(v, "cdc", c["path"],
+                        c.get("partitionValues")) for c in cdc]
         else:
-            for ad in adds:
-                df = (_logical(spark.read.schema(ddl)
-                               .parquet(os.path.join(
-                                   path, ad["path"])))
-                      .withColumn("_change_type", F.lit("insert")))
-                frames.append(_with_parts(
-                    df, ad.get("partitionValues")))
-            for rel, pv in removes:
-                df = (_logical(spark.read.schema(ddl)
-                               .parquet(os.path.join(path, rel)))
-                      .withColumn("_change_type", F.lit("delete")))
-                frames.append(_with_parts(df, pv))
-        for df in frames:
-            df = df.withColumn("_commit_version",
-                               F.lit(v).cast("bigint"))
-            out = df if out is None else out.unionByName(df)
+            events += [(v, "insert", ad["path"],
+                        ad.get("partitionValues")) for ad in adds]
+            events += [(v, "delete", rel, pv)
+                       for rel, pv in removes]
+    # id mode: each change file's physical layout resolves by parquet
+    # field id — ONE distributed footer job over every file in range
+    lmaps: dict[str, dict[str, str]] = {}
+    if mapping == "id" and events:
+        from .layouts import parquet_field_layouts
+        raw = parquet_field_layouts(
+            spark, [os.path.abspath(os.path.join(path, rel))
+                    for _v, _k, rel, _pv in events])
+        for p, flds in raw.items():
+            m = {fid_of[fid]: nm for fid, nm in flds
+                 if fid is not None and fid in fid_of}
+            missing = [n for n in data_fields if n not in m]
+            if missing:
+                raise NotImplementedError(
+                    f"delta id-mapped change file {p} lacks parquet "
+                    f"field ids for {missing}")
+            lmaps[p] = m
+
+    out = None
+    for v, kind, rel, pvals in events:
+        full = os.path.join(path, rel)
+        if mapping == "id":
+            lm = lmaps[os.path.abspath(full)]
+            ddl_f = ", ".join(f"`{lm[n]}` {types[n]}"
+                              for n in data_fields)
+            df = spark.read.schema(
+                ddl_f + (", _change_type string"
+                         if kind == "cdc" else "")).parquet(full)
+            for n in data_fields:
+                if lm[n] != n:
+                    df = df.withColumnRenamed(lm[n], n)
+        else:
+            df = _logical(spark.read.schema(
+                cdc_ddl if kind == "cdc" else ddl).parquet(full))
+        if kind != "cdc":
+            df = df.withColumn("_change_type", F.lit(kind))
+        df = (_with_parts(df, pvals)
+              .withColumn("_commit_version", F.lit(v).cast("bigint")))
+        out = df if out is None else out.unionByName(df)
     cols = [f["name"] for f in sch["fields"]]
     if out is None:
         return spark.createDataFrame(

@@ -1001,6 +1001,32 @@ def test_delta_cdf_name_mapped_table_reads(spark, tmp_path):
                    for k in list(range(8)) + [100, 101, 102]}
 
 
+def test_delta_cdf_id_mapped_table_reads(spark, tmp_path):
+    """r10: CDF over an id-mode column-mapped table — each change
+    file's physical layout (deliberately commit-varying in the
+    fixture) resolves by parquet field id through one distributed
+    footer job; values come back under logical names."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (
+        read_delta_changes, remove_delta_files_fixture,
+        write_delta_fixture)
+    t = str(tmp_path / "cdfid")
+    df = spark.range(6).select(
+        SF.col("id").alias("k"), (SF.col("id") * 10).alias("v"))
+    write_delta_fixture(spark, df, t, column_mapping="id")
+    write_delta_fixture(spark, spark.range(50, 53).select(
+        SF.col("id").alias("k"), (SF.col("id") * 10).alias("v")),
+        t, mode="append", column_mapping="id")
+    remove_delta_files_fixture(t, lambda rel: rel.startswith("part-00001"))
+    ch = read_delta_changes(spark, t)
+    rows = {(r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in ch.collect()}
+    expect = ({(k, k * 10, "insert", 0) for k in range(6)}
+              | {(k, k * 10, "insert", 1) for k in (50, 51, 52)}
+              | {(k, k * 10, "delete", 2) for k in (50, 51, 52)})
+    assert rows == expect, rows
+
+
 def test_avro_union_branch_order_and_schema_evolution(spark, tmp_path):
     """r9 (advice): [T,"null"] unions decode by the DECLARED null
     branch index, and a directory of schema-evolved files realigns
