@@ -215,18 +215,30 @@ def _parse_spec_transform(tr: str):
     raise NotImplementedError(f"iceberg partition transform {tr!r}")
 
 
-def prune_partition_files(files, part_specs, types, filters):
+def prune_partition_files(files, part_specs, types, filters,
+                          specs_by_id=None):
     """Manifest-level partition pruning: keep only the data files
     whose transformed partition value can match every equality
     ``filters`` entry (``{source_column: value}``).  Pure driver-side
     metadata work — no Spark job — so at 100 TB a point lookup on a
-    bucketed key touches O(files-in-one-bucket), not O(table)."""
+    bucketed key touches O(files-in-one-bucket), not O(table).
+
+    Spec evolution (r10): when ``specs_by_id`` is given, each file
+    prunes under ITS OWN spec (file tuples carry a spec id); a file
+    whose spec does not partition the filtered column is kept —
+    pruning stays conservative, the residual row predicate is exact.
+    File tuples may be 4-tuples (legacy) or 5-tuples with the
+    trailing spec id."""
     if not filters:
         return files
     keep = []
-    for p, pvals, seq, fmt in files:
+    for f in files:
+        p, pvals, seq, fmt = f[0], f[1], f[2], f[3]
+        spec = part_specs
+        if specs_by_id is not None and len(f) > 4:
+            spec = specs_by_id.get(f[4], part_specs)
         ok = True
-        for transform, param, src, fname in part_specs:
+        for transform, param, src, fname in spec:
             if src in filters and transform != "void" \
                     and fname in pvals:
                 exp = _transform_value(transform, param,
@@ -235,8 +247,30 @@ def prune_partition_files(files, part_specs, types, filters):
                     ok = False
                     break
         if ok:
-            keep.append((p, pvals, seq, fmt))
+            keep.append(f)
     return keep
+
+
+def _raw_specs(meta: dict) -> dict:
+    """All partition specs of the table, by spec id (v1 inline form
+    normalized to spec id 0)."""
+    specs = {s.get("spec-id", 0): s for s in
+             meta.get("partition-specs", [])}
+    if not specs and "partition-spec" in meta:
+        specs = {0: {"spec-id": 0, "fields": meta["partition-spec"]}}
+    return specs
+
+
+def _parse_part_spec(spec_json: dict, by_id: dict) -> list[tuple]:
+    """One spec's fields -> ``[(transform, param, source_column,
+    partition_field_name)]`` in spec order."""
+    out: list[tuple] = []
+    for pf in spec_json.get("fields", []):
+        transform, param = _parse_spec_transform(
+            pf.get("transform", "identity"))
+        src = by_id.get(pf.get("source-id"), pf.get("name"))
+        out.append((transform, param, src, pf.get("name", src)))
+    return out
 
 
 def _resolve_snapshot(path: str, snapshot_id: int | None = None,
@@ -297,18 +331,10 @@ def live_data_files(path: str, snapshot_id: int | None = None,
     fields = [(f["name"], _ice_type_ddl(f["type"]))
               for f in schema["fields"]]
     by_id = {f["id"]: f["name"] for f in schema["fields"]}
-    specs = {s.get("spec-id", 0): s for s in
-             meta.get("partition-specs", [])}
-    if not specs and "partition-spec" in meta:      # v1 inline form
-        specs = {0: {"spec-id": 0, "fields": meta["partition-spec"]}}
-    part_specs: list[tuple] = []
-    spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
-    for pf in spec["fields"]:
-        transform, param = _parse_spec_transform(
-            pf.get("transform", "identity"))
-        src = by_id.get(pf.get("source-id"), pf.get("name"))
-        part_specs.append((transform, param, src,
-                           pf.get("name", src)))
+    specs = _raw_specs(meta)
+    part_specs = _parse_part_spec(
+        specs.get(meta.get("default-spec-id", 0), {"fields": []}),
+        by_id)
     mlist_path = _resolve(snap["manifest-list"], path)
     with open(mlist_path, "rb") as fh:
         _s, manifests = decode_avro_datums(fh.read())
@@ -319,17 +345,17 @@ def live_data_files(path: str, snapshot_id: int | None = None,
         if content not in (0, 1):
             raise NotImplementedError(
                 f"iceberg manifest content {content} unsupported")
-        # partition-spec evolution gate (r10): a manifest written
-        # under a non-default spec would need ITS spec's transforms
-        # for pruning and identity re-attach — silently stamping
-        # NULL/old-spec values would be wrong, so raise honestly
+        # partition-spec evolution (r10): each manifest carries the
+        # spec id its entries were written under; the id rides every
+        # file tuple so pruning and identity re-attach resolve
+        # against the FILE's spec, not the table default
         mspec = m.get("partition_spec_id")
-        if mspec is not None and mspec != default_spec_id:
+        if mspec is None:
+            mspec = default_spec_id
+        if mspec not in specs:
             raise NotImplementedError(
-                f"iceberg manifest {m['manifest_path']!r} was "
-                f"written under partition spec {mspec} (table "
-                f"default {default_spec_id}) — partition-spec "
-                "evolution is not supported")
+                f"iceberg manifest {m['manifest_path']!r} references "
+                f"unknown partition spec {mspec}")
         mpath = _resolve(m["manifest_path"], path)
         with open(mpath, "rb") as fh:
             _s2, entries = decode_avro_datums(fh.read())
@@ -369,8 +395,10 @@ def live_data_files(path: str, snapshot_id: int | None = None,
                 continue
             part = df_.get("partition") or {}
             files.append((_resolve(df_["file_path"], path),
-                          dict(part), int(seq), fmt))
-    return fields, part_specs, sorted(files), sorted(delete_files)
+                          dict(part), int(seq), fmt, mspec))
+    return (fields, part_specs,
+            sorted(files, key=lambda f: (f[0], f[2])),
+            sorted(delete_files))
 
 
 def _schema_inventory(path: str, schema_id: int | None = None):
@@ -423,27 +451,42 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     fields, part_specs, files, delete_files = live_data_files(
         path, snap["snapshot-id"])
     types = dict(fields)
-    part_fields = [src for t, _p, src, _f in part_specs
-                   if t == "identity"]
-    pfnames = {src: fname for t, _p, src, fname in part_specs
-               if t == "identity"}
-    files = prune_partition_files(files, part_specs, types, filters)
-    ddl_all = ", ".join(f"{n} {t}" for n, t in fields)
-    if not files:
-        return spark.createDataFrame([], ddl_all)
-    data_ddl = ", ".join(f"{n} {t}" for n, t in fields
-                         if n not in part_fields)
     # resolve field ids against the SNAPSHOT's schema (time travel
     # keeps the snapshot's own column names; values are matched by
     # field id either way)
     fld_ids, n_schemas = _schema_inventory(path,
                                            snap.get("schema-id"))
     evolved = n_schemas > 1
-    data_names = [n for n, _t in fields if n not in part_fields]
+    # spec evolution (r10): every spec the table ever carried, parsed
+    # — each file prunes and re-attaches under ITS OWN spec
+    name_of_fid = {v: k for k, v in fld_ids.items()}
+    specs_by_id = {s: _parse_part_spec(sp, name_of_fid)
+                   for s, sp in _raw_specs(_meta).items()}
+    ident_of = {s: {src: fname for t, _p, src, fname in sp
+                    if t == "identity"}
+                for s, sp in specs_by_id.items()}
+    files = prune_partition_files(files, part_specs, types, filters,
+                                  specs_by_id=specs_by_id)
+    ddl_all = ", ".join(f"{n} {t}" for n, t in fields)
+    if not files:
+        return spark.createDataFrame([], ddl_all)
+    field_names = [n for n, _t in fields]
+    present_sids = {f[4] for f in files}
+    # columns whose values come from partition METADATA for at least
+    # one present spec (restricted to current table columns)
+    attach_cols = sorted(
+        {src for s in present_sids
+         for src in ident_of.get(s, {})} & set(field_names))
+
+    def _dn(sid):
+        # data columns READ FROM the files of spec `sid` — everything
+        # except that spec's identity sources
+        return [n for n in field_names
+                if n not in ident_of.get(sid, {})]
 
     pos_files = [p for p, c, _s, _e in delete_files if c == 1]
     eq_files = [(p, s, e) for p, c, s, e in delete_files if c == 2]
-    if any(fmt == "AVRO" for _p, _pv, _s, fmt in files):
+    if any(fmt == "AVRO" for _p, _pv, _s, fmt, _sp in files):
         if pos_files:
             raise NotImplementedError(
                 "iceberg position deletes over AVRO data files "
@@ -451,7 +494,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         if evolved:
             raise NotImplementedError(
                 "iceberg schema evolution over AVRO data files")
-    if any(fmt == "ORC" for _p, _pv, _s, fmt in files):
+    if any(fmt == "ORC" for _p, _pv, _s, fmt, _sp in files):
         # ORC scans expose _metadata.file_path (so partition attach
         # and eq-delete sequence scoping work) but not row_index, and
         # column resolution by ORC field ids is not implemented
@@ -462,7 +505,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         if evolved:
             raise NotImplementedError(
                 "iceberg schema evolution over ORC data files")
-    pq_paths = [p for p, _pv, _s, fmt in files if fmt == "PARQUET"]
+    pq_paths = [p for p, _pv, _s, fmt, _sp in files
+                if fmt == "PARQUET"]
     layouts: dict[str, tuple] = {}
     if evolved and pq_paths:
         # evolved table: logical name -> each file's physical column,
@@ -476,31 +520,33 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             byfid = {fid: nm for fid, nm in flds if fid is not None}
             names = {nm for _fid, nm in flds}
             m = {}
-            for n2 in data_names:
+            for n2 in field_names:
                 fid = fld_ids.get(n2)
                 if fid is not None and fid in byfid:
                     m[n2] = byfid[fid]
                 elif n2 in names:
                     m[n2] = n2
             layouts[p] = tuple(sorted(m.items()))
-    # ONE parquet scan per distinct PHYSICAL LAYOUT (one per schema
-    # epoch — NOT per partition tuple or sequence number): at 10k+
-    # partitions a per-tuple union is a 10k-arm plan (r9 verdict #5).
-    # Identity partition values and the file's sequence number
-    # re-attach via a small broadcast file→values table joined on
+    # ONE parquet scan per distinct (PHYSICAL LAYOUT, partition spec)
+    # — a handful at most, one per schema/spec epoch; NEVER per
+    # partition tuple or sequence number: at 10k+ partitions a
+    # per-tuple union is a 10k-arm plan (r9 verdict #5).  Identity
+    # partition values and the file's sequence number re-attach via a
+    # small broadcast file→values table joined on
     # _metadata.file_path.  AVRO data files (no _metadata support in
     # the python source) keep the literal-attach path, grouped per
     # (partition tuple, sequence).
     groups: dict[tuple, list[str]] = {}
-    for p, pvals, seq, fmt in files:
+    for p, pvals, seq, fmt, sid in files:
         if fmt == "AVRO":
-            key = ("AVRO",
-                   tuple(pvals.get(pfnames[c]) for c in part_fields),
+            key = ("AVRO", sid,
+                   tuple(pvals.get(f2)
+                         for f2 in ident_of.get(sid, {}).values()),
                    seq)
-        elif fmt == "ORC":
-            key = ("ORC", (), None)
         else:
-            key = ("PARQUET", layouts.get(p, ()), None)
+            key = (fmt, sid,
+                   layouts.get(p, ()) if fmt == "PARQUET" else (),
+                   None)
         groups.setdefault(key, []).append(p)
     # file_path values inside position-delete files are URIs/relative
     # paths as the writer recorded them — normalize both sides to a
@@ -510,11 +556,12 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         return F.when(c.startswith("/"), c).otherwise(
             F.concat(F.lit(os.path.abspath(path) + "/"), c))
 
-    need_fp = bool(pos_files) or bool(eq_files) or bool(part_fields)
+    need_fp = bool(pos_files) or bool(eq_files) or bool(attach_cols)
     parts = []
-    for (fmt, pkey, seq), paths in sorted(
-            groups.items(), key=lambda kv: (kv[0][0],
-                                            str(kv[0][1:]))):
+    for (fmt, sid, pkey, seq), paths in sorted(
+            groups.items(), key=lambda kv: str(kv[0])):
+        dn = _dn(sid)
+        ident_fnames = list(ident_of.get(sid, {}).items())
         if fmt == "AVRO":
             # dependency-free Avro source: schema from each file's
             # embedded writer schema, block-split read tasks; cast
@@ -526,7 +573,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                 one = (spark.read.format("padawan_avro")
                        .option("path", p).load()
                        .select(*[F.col(n).cast(types[n]).alias(n)
-                                 for n in data_names]))
+                                 for n in dn]))
                 df = one if df is None else df.unionByName(one)
             if need_fp:
                 # no _metadata on the python Avro source: null key,
@@ -537,17 +584,22 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             if eq_files:
                 df = df.withColumn("__seq",
                                    F.lit(seq).cast("bigint"))
-            for c, v in zip(part_fields, pkey):
+            for (c, _f2), v in zip(ident_fnames, pkey):
                 df = df.withColumn(c, (F.lit(None) if v is None
                                        else F.lit(v)).cast(types[c]))
+            for c in attach_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c,
+                                       F.lit(None).cast(types[c]))
             parts.append(df)
             continue
         if evolved:
             lmap = dict(pkey)
             ddl_g = ", ".join(f"`{lmap[n]}` {types[n]}"
-                              for n in data_names if n in lmap)
+                              for n in dn if n in lmap)
         else:
-            lmap, ddl_g = None, data_ddl
+            lmap = None
+            ddl_g = ", ".join(f"{n} {types[n]}" for n in dn)
         # ORC rides Spark's native ORC source (same vectorized scan,
         # same _metadata.file_path for the attach map); evolution and
         # position deletes over ORC are gated above
@@ -555,7 +607,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
               if fmt == "ORC"
               else spark.read.schema(ddl_g).parquet(*paths))
         if evolved:
-            for n in data_names:
+            for n in dn:
                 if n in lmap and lmap[n] != n:
                     df = df.withColumnRenamed(lmap[n], n)
                 elif n not in lmap:      # column postdates this file
@@ -568,22 +620,29 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             df = df.withColumn("__pos", F.col("_metadata.row_index"))
         if eq_files:
             df = df.withColumn("__seq", F.lit(None).cast("bigint"))
-        for c in part_fields:
-            df = df.withColumn(c, F.lit(None).cast(types[c]))
+        # this spec's identity sources carry no data in its files —
+        # NULL placeholders, filled from the attach map
+        for c in field_names:
+            if c not in dn:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    mappable = [(p, pvals, seq) for p, pvals, seq, fmt in files
+        out = out.unionByName(p, allowMissingColumns=False)
+    mappable = [(p, pvals, seq, sid)
+                for p, pvals, seq, fmt, sid in files
                 if fmt in ("PARQUET", "ORC")]
-    if (part_fields or eq_files) and mappable:
-        # the broadcast attach table: one row per parquet/ORC file
+    if (attach_cols or eq_files) and mappable:
+        # the broadcast attach table: one row per parquet/ORC file,
+        # identity values resolved under EACH FILE's own spec
         pmap_rows = [
             (p, int(seq),
-             *[pvals.get(pfnames[c]) for c in part_fields])
-            for p, pvals, seq in mappable]
+             *[pvals.get(ident_of.get(sid, {}).get(c))
+               if c in ident_of.get(sid, {}) else None
+               for c in attach_cols])
+            for p, pvals, seq, sid in mappable]
         pmap_ddl = ("__fp string, __mseq bigint, " + ", ".join(
-            f"`{c}__m` string" for c in part_fields)).rstrip(", ")
+            f"`{c}__m` string" for c in attach_cols)).rstrip(", ")
         pmap = F.broadcast(spark.createDataFrame(
             [tuple(str(v) if i >= 2 and v is not None else v
                    for i, v in enumerate(r)) for r in pmap_rows],
@@ -592,11 +651,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         if eq_files:
             out = out.withColumn(
                 "__seq", F.coalesce(F.col("__seq"), F.col("__mseq")))
-        for c in part_fields:
+        for c in attach_cols:
             out = out.withColumn(
                 c, F.coalesce(F.col(c),
                               F.col(f"{c}__m").cast(types[c])))
-        out = out.drop("__mseq", *[f"{c}__m" for c in part_fields])
+        out = out.drop("__mseq", *[f"{c}__m" for c in attach_cols])
     if pos_files:
         dels = (spark.read.schema("file_path string, pos bigint")
                 .parquet(*pos_files)
@@ -803,15 +862,33 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     types = {f["name"]: _ice_type_ddl(f["type"])
              for f in schema["fields"]}
     name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    default_spec_id = meta.get("default-spec-id", 0)
     prev_files, prev_deletes = [], []
+    carried_mlist_rows: list[dict] = []
     if meta["snapshots"]:
         base = (append_to_snapshot
                 if append_to_snapshot is not None
                 else meta["current-snapshot-id"])
         _f, _p, prev_files, prev_deletes = live_data_files(path, base)
+        if any(f[4] != default_spec_id for f in prev_files):
+            # spec evolution: older-spec entries cannot fold into the
+            # new manifest (different partition Avro schema) — carry
+            # the base snapshot's manifest-list rows VERBATIM, the
+            # way a real writer keeps old manifests in the list
+            if delete_partition is not None:
+                raise NotImplementedError(
+                    "fixture delete_partition across evolved "
+                    "partition specs")
+            from .avro import decode_avro_datums as _dec
+            base_snap = next(s for s in meta["snapshots"]
+                             if s["snapshot-id"] == base)
+            with open(_resolve(base_snap["manifest-list"],
+                               path), "rb") as fh:
+                _s0, carried_mlist_rows = _dec(fh.read())
+            prev_files, prev_deletes = [], []
     snap_id = len(meta["snapshots"]) + 1
     entries = []
-    for p, pvals, pseq, pfmt in prev_files:
+    for p, pvals, pseq, pfmt, _pspec in prev_files:
         rel = os.path.relpath(p, path)
         status = 2 if (delete_partition is not None
                        and all(pvals.get(k) == v
@@ -974,10 +1051,10 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     mrel = f"metadata/manifest-{snap_id}.avro"
     with open(os.path.join(path, mrel), "wb") as fh:
         fh.write(encode_avro_datums(msch, entries, codec="deflate"))
-    mlist_rows = [{
+    mlist_rows = list(carried_mlist_rows) + [{
         "manifest_path": mrel,
         "manifest_length": os.path.getsize(os.path.join(path, mrel)),
-        "partition_spec_id": 0, "content": 0,
+        "partition_spec_id": default_spec_id, "content": 0,
         "sequence_number": snap_id,
         "added_snapshot_id": snap_id}]
     if del_entries:
@@ -990,7 +1067,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             "manifest_path": dmrel,
             "manifest_length": os.path.getsize(
                 os.path.join(path, dmrel)),
-            "partition_spec_id": 0, "content": 1,
+            "partition_spec_id": default_spec_id, "content": 1,
             "sequence_number": snap_id,
             "added_snapshot_id": snap_id})
     mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
@@ -1015,6 +1092,53 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return snap_id
+
+
+def evolve_iceberg_spec_fixture(path: str, partition_by=()) -> int:
+    """FIXTURE partition-spec evolution: append a NEW partition spec
+    (the shape an ``ALTER TABLE ... PARTITION FIELD`` commit writes)
+    and advance ``default-spec-id``.  Existing manifests keep their
+    old spec id; the next :func:`write_iceberg_fixture` call writes
+    under the new spec (pass the matching ``partition_by``).
+    Returns the new spec id."""
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    mdir = os.path.join(path, "metadata")
+    version = max(int(re.match(r"^v(\d+)\.metadata\.json$", f)
+                      .group(1))
+                  for f in os.listdir(mdir)
+                  if re.match(r"^v(\d+)\.metadata\.json$", f))
+    sid = meta.get("current-schema-id", 0)
+    schema = next(s for s in meta["schemas"]
+                  if s.get("schema-id", 0) == sid)
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    new_id = max([s.get("spec-id", 0)
+                  for s in meta.get("partition-specs", [])]
+                 + [0]) + 1
+    flds = []
+    for i, s in enumerate(partition_by):
+        m = re.match(r"^(\w+)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$", s)
+        if m:
+            t, param, src = m.groups()
+            tr = (f"{t}[{int(param)}]" if param is not None else t)
+            _parse_spec_transform(tr)           # validate
+            suffix = "trunc" if t == "truncate" else t
+            fname = src if t == "identity" else f"{src}_{suffix}"
+        else:
+            t, tr, src, fname = "identity", "identity", s, s
+        flds.append({"name": fname, "transform": tr,
+                     "source-id": name_to_id[src],
+                     "field-id": 1000 + 100 * new_id + i})
+    meta.setdefault("partition-specs", []).append(
+        {"spec-id": new_id, "fields": flds})
+    meta["default-spec-id"] = new_id
+    with open(os.path.join(mdir,
+                           f"v{version + 1}.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version + 1))
+    return new_id
 
 
 def evolve_iceberg_schema_fixture(path: str, renames=None,

@@ -1376,40 +1376,47 @@ def test_iceberg_snapshot_schema_time_travel(spark, tmp_path):
     assert cur.count() == 11
 
 
-def test_iceberg_partition_spec_evolution_gate(spark, tmp_path):
-    """r10 (verdict #6): a manifest written under a non-default
-    partition spec raises honestly instead of silently re-attaching
-    NULL identity values."""
-    import json as _json
-    import os as _os
-
+def test_iceberg_partition_spec_evolution_reads(spark, tmp_path):
+    """r10 (verdict #6, upgraded from a gate to full support): files
+    written under an OLDER partition spec read correctly after the
+    spec evolves — identity values re-attach under each file's OWN
+    spec, pruning applies each file's own transforms, and new-spec
+    files coexist in one table."""
     import pyspark.sql.functions as SF
-    import pytest as _pytest
-    from padawan_spark.functions.iceberg import (_latest_metadata,
-                                                 read_iceberg,
-                                                 write_iceberg_fixture)
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_spec_fixture, read_iceberg,
+        write_iceberg_fixture)
     t = str(tmp_path / "icespec")
-    df = spark.range(6).select(SF.col("id").alias("k"),
-                               (SF.col("id") % 2).alias("g"))
+    df = spark.range(8).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 2).alias("g"),
+                               (SF.col("id") % 3).alias("h"))
+    # snapshot 1 under spec 0: identity-partitioned by g (g is
+    # metadata-only in those files)
     write_iceberg_fixture(spark, df, t, partition_by=("g",))
-    mp = _latest_metadata(t)
-    with open(mp) as fh:
-        meta = _json.load(fh)
-    # evolve the spec AFTER the manifest was written: the old
-    # manifest's spec-id 0 no longer matches the new default
-    meta["partition-specs"].append({"spec-id": 1, "fields": []})
-    meta["default-spec-id"] = 1
-    mdir = _os.path.dirname(mp)
-    v = int(open(_os.path.join(mdir, "version-hint.text"))
-            .read()) + 1
-    with open(_os.path.join(mdir, f"v{v}.metadata.json"),
-              "w") as fh:
-        _json.dump(meta, fh)
-    with open(_os.path.join(mdir, "version-hint.text"), "w") as fh:
-        fh.write(str(v))
-    with _pytest.raises(NotImplementedError,
-                        match="partition-spec evolution"):
-        read_iceberg(spark, t).collect()
+    # evolve: now identity-partitioned by h instead
+    new_spec = evolve_iceberg_spec_fixture(t, partition_by=("h",))
+    assert new_spec == 1
+    df2 = spark.range(100, 106).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g"),
+        (SF.col("id") % 3).alias("h"))
+    write_iceberg_fixture(spark, df2, t, partition_by=("h",))
+    out = read_iceberg(spark, t)
+    rows = {(r["k"], r["g"], r["h"]) for r in out.collect()}
+    assert rows == {(k, k % 2, k % 3)
+                    for k in list(range(8)) + list(range(100, 106))}
+    # pruning on h only prunes new-spec files (old-spec files are
+    # kept conservatively), and the row predicate stays exact
+    got = {r["k"] for r in
+           read_iceberg(spark, t, filters={"h": 1}).collect()}
+    assert got == {k for k in list(range(8))
+                   + list(range(100, 106)) if k % 3 == 1}
+    # pruning on g still prunes the old-spec files
+    got_g = {r["k"] for r in
+             read_iceberg(spark, t, filters={"g": 0}).collect()}
+    assert got_g == {k for k in list(range(8))
+                     + list(range(100, 106)) if k % 2 == 0}
+    # time travel to the pre-evolution snapshot still works
+    assert read_iceberg(spark, t, snapshot_id=1).count() == 8
 
 
 def test_iceberg_prune_keeps_files_missing_partition_field():
