@@ -8,12 +8,15 @@ schema.  Reading those footers one by one from the driver is the
 million-sequential-opens anti-pattern (r9 verdict item #4) — this
 module runs ONE Spark job over the file list (same shape as
 ``padawan_spark.dataset.scan_parquet_footers``): each task taps only
-footer bytes via pyarrow, and the driver collects O(files × columns)
-tiny rows — the metadata it needs anyway to group files by physical
-layout before planning the scans.
+footer bytes via pyarrow and serializes the whole layout to ONE row
+per file, so the driver collects O(files) small rows — the metadata
+it needs anyway to group files by physical layout before planning
+the scans.
 """
 
 from __future__ import annotations
+
+import json
 
 
 def parquet_field_layouts(spark, paths) -> dict:
@@ -27,27 +30,27 @@ def parquet_field_layouts(spark, paths) -> dict:
         return {}
 
     def _tap(batches):
+        import json as _json
+
         import pandas as pd
         import pyarrow.parquet as pq
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
+                pairs = []
                 for fld in pq.read_schema(p):
                     md = fld.metadata or {}
                     fid = md.get(b"PARQUET:field_id")
-                    rows.append((p, int(fid) if fid is not None
-                                 else None, fld.name))
-            yield pd.DataFrame(rows,
-                               columns=["path", "fid", "name"])
+                    pairs.append((int(fid) if fid is not None
+                                  else None, fld.name))
+                rows.append((p, _json.dumps(pairs)))
+            yield pd.DataFrame(rows, columns=["path", "layout"])
 
     n = min(len(paths),
             max(32, spark.sparkContext.defaultParallelism))
     fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
            .repartition(n, "path")
-           .mapInPandas(_tap, "path string, fid bigint, name string"))
-    out: dict[str, list] = {p: [] for p in paths}
-    for r in fdf.collect():
-        out[r["path"]].append(
-            (int(r["fid"]) if r["fid"] is not None else None,
-             r["name"]))
-    return out
+           .mapInPandas(_tap, "path string, layout string"))
+    return {r["path"]: [(fid, nm) for fid, nm in
+                        json.loads(r["layout"])]
+            for r in fdf.collect()}
