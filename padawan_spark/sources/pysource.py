@@ -669,17 +669,25 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
         self.names = list(schema.names)
         self.types = {f.name: f.dataType.simpleString()
                       for f in schema.fields}
-        # name-mode column mapping (r10): logical -> physical parquet
-        # column; partitionValues are also physically keyed
+        # column mapping (r10): logical -> physical parquet column
+        # for 'name' mode; partitionValues are physically keyed in
+        # BOTH modes (they use the metadata physicalName).  'id' mode
+        # additionally matches each file's columns by parquet footer
+        # field id inside read() — the file is open there anyway.
         schema_json, _pc, _files, mapping = replay_delta_log(
             self.path)
+        self.mapping = mapping
         self.phys = {}
-        if mapping == "name":
+        self.fid_of = {}
+        if mapping in ("name", "id"):
             for f in _json.loads(schema_json)["fields"]:
-                pn = (f.get("metadata") or {}).get(
-                    "delta.columnMapping.physicalName")
+                md = f.get("metadata") or {}
+                pn = md.get("delta.columnMapping.physicalName")
                 if pn:
                     self.phys[f["name"]] = pn
+                fid = md.get("delta.columnMapping.id")
+                if fid is not None:
+                    self.fid_of[int(fid)] = f["name"]
 
     def initialOffset(self):
         self._last_end = self.start_version - 1
@@ -794,18 +802,27 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                 return raw in (True, "true", "True")
             return raw
 
-        for r in pq.read_table(full).to_pylist():
+        tb = pq.read_table(full)
+        col_of = {c: self.phys.get(c, c) for c in self.names}
+        if self.mapping == "id":
+            # id mode: the FILE's column names are matched by footer
+            # field id (physical names vary per writer/commit)
+            for fld in tb.schema:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None and int(fid) in self.fid_of:
+                    col_of[self.fid_of[int(fid)]] = fld.name
+        for r in tb.to_pylist():
             change = (r.get("_change_type") if kind == "cdc"
                       else kind)
             out = []
             for c in self.names:
-                pc = self.phys.get(c, c)
+                pc = col_of[c]
                 if c == "_change_type":
                     out.append(change)
                 elif c == "_commit_version":
                     out.append(v)
-                elif pc in pv:
-                    out.append(conv(c, pv[pc]))
+                elif self.phys.get(c, c) in pv:
+                    out.append(conv(c, pv[self.phys.get(c, c)]))
                 else:
                     out.append(r.get(pc))
             yield tuple(out)
@@ -817,9 +834,10 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
 class DeltaCDFSource(DataSource):
     """``spark.readStream.format("padawan_delta_cdf")`` — stream the
     change feed of an existing Delta table; schema = table columns +
-    ``_change_type`` + ``_commit_version``.  ``name``-mode
-    column-mapped tables stream under their LOGICAL names (r10 —
-    physical resolution inside the reader); ``id`` mode gates."""
+    ``_change_type`` + ``_commit_version``.  Column-mapped tables
+    stream under their LOGICAL names (r10): ``name`` mode resolves
+    through the schema's physicalName metadata, ``id`` mode by each
+    file's parquet footer field ids inside the read task."""
 
     @classmethod
     def name(cls):
@@ -829,12 +847,8 @@ class DeltaCDFSource(DataSource):
         import json as _json
 
         from ..functions.delta import _delta_type_ddl, replay_delta_log
-        schema_json, _pc, _files, mapping = replay_delta_log(
+        schema_json, _pc, _files, _mapping = replay_delta_log(
             self.options["path"])
-        if mapping == "id":
-            raise NotImplementedError(
-                "padawan_delta_cdf over id-mapped tables (per-file "
-                "footer field-id resolution)")
         sch = _json.loads(schema_json)
         return (", ".join(
             f"{f['name']} {_delta_type_ddl(f['type'])}"

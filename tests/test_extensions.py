@@ -1025,6 +1025,22 @@ def test_delta_cdf_id_mapped_table_reads(spark, tmp_path):
               | {(k, k * 10, "insert", 1) for k in (50, 51, 52)}
               | {(k, k * 10, "delete", 2) for k in (50, 51, 52)})
     assert rows == expect, rows
+    # the stream source resolves id mode too (footer field ids read
+    # inside the task, where the file is open anyway)
+    import uuid as _uuid
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    name = "cdfid_" + _uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("padawan_delta_cdf")
+           .option("path", t).load())
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["k"], r["v"], r["_change_type"], r["_commit_version"])
+           for r in spark.table(name).collect()}
+    assert got == expect, got
 
 
 def test_avro_union_branch_order_and_schema_evolution(spark, tmp_path):
