@@ -693,3 +693,38 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
             json.dump({"partitionToWriteStats": stats_by_part,
                        "operationType": "UPSERT"}, fh)
     return instant
+
+
+_PA_TO_DDL = {"int64": "bigint", "int32": "int", "double": "double",
+              "float": "float", "string": "string", "large_string":
+              "string", "bool": "boolean"}
+
+
+def hudi_table_schema(path: str):
+    """``[(name, spark_ddl_type)]`` of a Hudi table's data columns
+    (``_hoodie_*`` meta excluded), from one base file's parquet
+    footer — planning-only driver work.  Timestamp/date surface as
+    their Spark types; other non-primitives gate."""
+    import pyarrow.parquet as pq
+    slices = live_hudi_slices(path)
+    base = next((s["base"] for s in slices.values()
+                 if s["base"] is not None), None)
+    if base is None:
+        raise NotImplementedError(
+            f"{path}: table has ONLY log-only file groups")
+    out = []
+    for f in pq.read_schema(base):
+        if f.name in _META_COLS:
+            continue
+        t = str(f.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t == "date32[day]":
+            ddl = "date"
+        elif t in _PA_TO_DDL:
+            ddl = _PA_TO_DDL[t]
+        else:
+            raise NotImplementedError(
+                f"hudi incremental stream over column type {t!r}")
+        out.append((f.name, ddl))
+    return out

@@ -258,6 +258,76 @@ def streaming_delta_cdf(spark, sf_dir):
                                     "key_sum")
 
 
+@query("streaming_hudi_incremental", oracle="""
+SELECT 'w2' AS scope, COUNT(*) AS n,
+       CAST(SUM(n_nationkey * 10 + 1000) AS BIGINT) AS val_sum
+FROM nation WHERE n_nationkey % 4 = 0
+UNION ALL
+SELECT 'w3', COUNT(*),
+       CAST(SUM(n_nationkey * 10 + 2000) AS BIGINT)
+FROM nation WHERE n_nationkey % 3 = 0
+""")
+def streaming_hudi_incremental(spark, sf_dir):
+    """STREAM a Hudi table's INCREMENTAL query (r10) — the CDC
+    surface Hudi consumers poll, automated: offsets are commit
+    instants, each micro-batch emits the latest state of every
+    record key changed in its instant window, and the tasks read
+    ONLY the file slices those instants touched
+    (``partitionToWriteStats`` pruning — the same contract as the
+    batch ``read_hudi_incremental``).  The latest-wins merge runs
+    per slice INSIDE the read task (a key's updates land in its own
+    file group's logs, so no cross-slice state exists).  The fixture
+    commits a CoW base then two MOR delta commits (upserts + one
+    delete); ``maxInstantsPerTrigger=1`` forces one batch per
+    instant, and the per-window fold must equal the batch oracle —
+    the deleted key is never emitted.  Scale shape: one
+    InputPartition per touched slice, O(timeline) planning per
+    batch, untouched file groups never load."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions.hudi import (write_hudi_delta_fixture,
+                                  write_hudi_fixture)
+    from ..sources import register_python_sources
+    from .registry import load as _load
+    register_python_sources(spark)
+    n = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        (F.col("n_nationkey") * 10).cast("bigint").alias("v"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_shinc_"),
+                     "tbl")
+    i1 = write_hudi_fixture(spark, n, t, partition_field="g")
+    d2 = write_hudi_delta_fixture(
+        spark, t, upserts=n.where(F.col("k") % 4 == 0)
+        .withColumn("v", F.col("k") * 10 + 1000),
+        partition_field="g")
+    # key "2" (region 1) deleted in the second window; never emitted
+    two_part = str(n.where(F.col("k") == 2).collect()[0]["g"])
+    write_hudi_delta_fixture(
+        spark, t, upserts=n.where(F.col("k") % 3 == 0)
+        .withColumn("v", F.col("k") * 10 + 2000),
+        deletes={two_part: ["2"]}, partition_field="g")
+    src = (spark.readStream.format("padawan_hudi_incremental")
+           .option("path", t).option("startingInstant", i1)
+           .option("maxInstantsPerTrigger", 1).load())
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (src.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .groupBy(F.when(F.col("_commit_instant") == F.lit(d2),
+                            "w2").otherwise("w3").alias("scope"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").cast("bigint").alias("val_sum")))
+
+
 @query("streaming_cdf_tail", oracle="""
 SELECT 'delete' AS change_type, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

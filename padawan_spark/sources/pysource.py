@@ -110,6 +110,7 @@ def register_python_sources(spark) -> None:
     spark.dataSource.register(ManifestCDFSource)
     spark.dataSource.register(AvroSource)
     spark.dataSource.register(DeltaCDFSource)
+    spark.dataSource.register(HudiIncrementalSource)
 
 
 # ---------------------------------------------------------------------------
@@ -857,3 +858,144 @@ class DeltaCDFSource(DataSource):
 
     def streamReader(self, schema):
         return _DeltaCDFStreamReader(self.options, schema)
+
+
+# ---------------------------------------------------------------------------
+# Hudi INCREMENTAL streaming source (r10): the CDC surface Hudi
+# consumers poll — each micro-batch emits the LATEST state of every
+# record key changed in the new instant window, reading ONLY the file
+# slices the window's commits touched (partitionToWriteStats pruning,
+# same contract as functions.hudi.read_hudi_incremental).  One
+# InputPartition per touched file slice; the latest-wins merge runs
+# INSIDE the task over that slice alone — correct because a key's
+# updates land in its own file group's logs, so no cross-slice state
+# is ever needed.  Offsets are commit instants, so a restart resumes
+# exactly after the last batch's end instant.
+class _HudiIncrementalStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.start_instant = str(options.get("startingInstant", "0"))
+        self._max_instants = int(options.get("maxInstantsPerTrigger",
+                                             0))
+        self._last_end = None
+        self.names = list(schema.names)
+        self.types = {f.name: f.dataType.simpleString()
+                      for f in schema.fields}
+
+    def initialOffset(self):
+        self._last_end = self.start_instant
+        return {"i": self.start_instant}
+
+    def latestOffset(self):
+        from ..functions.hudi import list_hudi_commits
+        commits = list_hudi_commits(self.path)
+        last = self._last_end or self.start_instant
+        newer = [c for c in commits if c > last]
+        if self._max_instants:
+            newer = newer[:self._max_instants]
+        return {"i": newer[-1] if newer else last}
+
+    def partitions(self, start, end):
+        from ..functions.hudi import (_timeline, _touched_file_ids,
+                                      live_hudi_slices)
+        lo, hi = start["i"], end["i"]
+        self._last_end = hi
+        if hi <= lo:
+            return [InputPartition(None)]
+        committed = tuple(ts for ts, _k in _timeline(self.path)
+                          if ts <= hi)
+        touched = _touched_file_ids(self.path, lo, hi)
+        slices = live_hudi_slices(self.path, as_of=hi)
+        parts = [InputPartition(
+            (s["base"], tuple(s["logs"]), lo, hi, committed))
+            for fid, s in sorted(slices.items()) if fid in touched]
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        base, logs, lo, hi, committed = partition.value
+        committed = set(committed)
+        from ..functions.hudilog import (BLOCK_AVRO_DATA,
+                                         BLOCK_DELETE,
+                                         H_INSTANT_TIME,
+                                         decode_avro_data_block,
+                                         decode_delete_block,
+                                         decode_log_blocks)
+        import datetime as _dt
+
+        # per-slice latest-wins state: key -> (ordkey, deleted, row)
+        state: dict[str, tuple] = {}
+        if base is not None:
+            import pyarrow.parquet as pq
+            for r in pq.read_table(base).to_pylist():
+                k = r["_hoodie_record_key"]
+                ord_k = (r["_hoodie_commit_time"], -1, -1)
+                state[k] = (ord_k, False, r)
+        for lidx, logf in enumerate(logs):
+            with open(logf, "rb") as fh:
+                blocks = decode_log_blocks(fh.read())
+            for seq, blk in enumerate(blocks):
+                inst = blk["header"].get(H_INSTANT_TIME)
+                if inst not in committed:
+                    continue             # failed / future write
+                if blk["type"] == BLOCK_AVRO_DATA:
+                    for r in decode_avro_data_block(blk):
+                        k = r["_hoodie_record_key"]
+                        ord_k = (inst, lidx, seq)
+                        if k not in state or state[k][0] < ord_k:
+                            state[k] = (ord_k, False, r)
+                elif blk["type"] == BLOCK_DELETE:
+                    for k in decode_delete_block(blk):
+                        ord_k = (inst, lidx, seq)
+                        if k not in state or state[k][0] < ord_k:
+                            state[k] = (ord_k, True, None)
+                else:
+                    raise NotImplementedError(
+                        f"hudi log block type {blk['type']}")
+
+        def conv(c, v):
+            # log payloads ride Avro logical types: micros / days
+            if v is None or not isinstance(v, int):
+                return v
+            t = self.types.get(c)
+            if t == "timestamp":
+                return (_dt.datetime(1970, 1, 1)
+                        + _dt.timedelta(microseconds=v))
+            if t == "date":
+                return (_dt.date(1970, 1, 1)
+                        + _dt.timedelta(days=v))
+            return v
+
+        for k in sorted(state):
+            ord_k, deleted, row = state[k]
+            inst = ord_k[0]
+            if deleted or not (lo < inst <= hi):
+                continue
+            yield tuple(inst if c == "_commit_instant"
+                        else conv(c, row.get(c))
+                        for c in self.names)
+
+    def commit(self, end):
+        pass
+
+
+class HudiIncrementalSource(DataSource):
+    """``spark.readStream.format("padawan_hudi_incremental")`` —
+    stream a Hudi table's incremental query: per micro-batch, the
+    latest state of every record key changed in the new instant
+    window, scanning only the touched file slices.  Schema = data
+    columns + ``_commit_instant``."""
+
+    @classmethod
+    def name(cls):
+        return "padawan_hudi_incremental"
+
+    def schema(self):
+        from ..functions.hudi import hudi_table_schema
+        cols = hudi_table_schema(self.options["path"])
+        return (", ".join(f"{n} {t}" for n, t in cols)
+                + ", _commit_instant string")
+
+    def streamReader(self, schema):
+        return _HudiIncrementalStreamReader(self.options, schema)

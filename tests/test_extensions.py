@@ -1822,6 +1822,62 @@ def test_hudi_mor_nested_payload_columns(spark, tmp_path):
         read_hudi(spark, t2).collect()
 
 
+def test_hudi_incremental_stream_source(spark, tmp_path):
+    """r10: the padawan_hudi_incremental stream source — one batch
+    per instant under maxInstantsPerTrigger=1, per-slice latest-wins
+    merge inside the task, deleted keys never emitted, and partition
+    planning restricted to the touched file slices."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    from padawan_spark.sources import register_python_sources
+    from padawan_spark.sources.pysource import (
+        _HudiIncrementalStreamReader)
+    register_python_sources(spark)
+    t = str(tmp_path / "shinc")
+    df = spark.range(24).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 4).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    i1 = write_hudi_fixture(spark, df, t, partition_field="g")
+    d2 = write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("g") == 1)
+        .withColumn("v", SF.lit(-1).cast("bigint")),
+        partition_field="g")
+    d3 = write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("k") == 2)
+        .withColumn("v", SF.lit(-2).cast("bigint")),
+        deletes={"1": ["5"]}, partition_field="g")
+    # planning: only the touched slices become InputPartitions
+    rdr = _HudiIncrementalStreamReader({"path": t}, spark.range(1)
+                                       .select(
+        SF.col("id").alias("k"), SF.col("id").alias("g"),
+        SF.col("id").alias("v"),
+        SF.lit("x").alias("_commit_instant")).schema)
+    assert len(rdr.partitions({"i": i1}, {"i": d2})) == 1   # g=1 only
+    assert len(rdr.partitions({"i": d2}, {"i": d3})) == 2   # g=1, g=2
+    assert rdr.partitions({"i": d3}, {"i": d3})[0].value is None
+    # end-to-end: one batch per instant
+    name = "shinc_" + _uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("padawan_hudi_incremental")
+           .option("path", t).option("startingInstant", i1)
+           .option("maxInstantsPerTrigger", 1).load())
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["k"], r["v"], r["_commit_instant"])
+            for r in spark.table(name).collect()}
+    w2 = {(k, -1, d2) for k in range(24) if k % 4 == 1}
+    # k=5 is upserted in d2's window, deleted in d3's: emitted for
+    # w2, absent from w3; k=2 updated in w3
+    w3 = {(2, -2, d3)}
+    assert rows == w2 | w3, rows
+
+
 def test_hudi_replacecommit_clustering(spark, tmp_path):
     """r9: a replacecommit retires the listed file groups wholesale
     (logs included) in favor of its new base files; earlier instants
