@@ -328,6 +328,64 @@ def streaming_hudi_incremental(spark, sf_dir):
                  F.sum("v").cast("bigint").alias("val_sum")))
 
 
+@query("streaming_iceberg_appends", oracle="""
+SELECT 'a2' AS scope, COUNT(*) AS n,
+       CAST(SUM(n_nationkey + 300) AS BIGINT) AS key_sum
+FROM nation
+UNION ALL
+SELECT 'a3', COUNT(*), CAST(SUM(n_nationkey + 600) AS BIGINT)
+FROM nation
+""")
+def streaming_iceberg_appends(spark, sf_dir):
+    """STREAM an Iceberg table's incremental APPEND scan (r10) — the
+    spec's incremental consumption model: offsets are snapshot ids,
+    each micro-batch reads exactly the data files ADDED by the new
+    snapshots (identity partition values re-attached per file, under
+    the file's own spec), and a span containing a non-append
+    snapshot raises per the spec instead of emitting wrong rows.
+    The fixture commits a base snapshot and two appends; streaming
+    from the base snapshot id emits only the two appended row sets.
+    Scale shape: one InputPartition per added file, O(metadata)
+    planning per batch, pre-existing files never load."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions.iceberg import write_iceberg_fixture
+    from ..sources import register_python_sources
+    from .registry import load as _load
+    register_python_sources(spark)
+    n = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_siapp_"),
+                     "tbl")
+    s1 = write_iceberg_fixture(spark, n, t, partition_by=("g",))
+    write_iceberg_fixture(spark, n.select(
+        (F.col("k") + 300).alias("k"), F.col("g")), t,
+        partition_by=("g",))
+    write_iceberg_fixture(spark, n.select(
+        (F.col("k") + 600).alias("k"), F.col("g")), t,
+        partition_by=("g",))
+    src = (spark.readStream.format("padawan_iceberg_appends")
+           .option("path", t).option("startingSnapshotId", s1)
+           .option("maxSnapshotsPerTrigger", 1).load())
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (src.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .groupBy(F.when(F.col("k") < 600, "a2")
+                     .otherwise("a3").alias("scope"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").cast("bigint").alias("key_sum")))
+
+
 @query("streaming_cdf_tail", oracle="""
 SELECT 'delete' AS change_type, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

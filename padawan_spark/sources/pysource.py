@@ -111,6 +111,7 @@ def register_python_sources(spark) -> None:
     spark.dataSource.register(AvroSource)
     spark.dataSource.register(DeltaCDFSource)
     spark.dataSource.register(HudiIncrementalSource)
+    spark.dataSource.register(IcebergAppendsSource)
 
 
 # ---------------------------------------------------------------------------
@@ -999,3 +1000,124 @@ class HudiIncrementalSource(DataSource):
 
     def streamReader(self, schema):
         return _HudiIncrementalStreamReader(self.options, schema)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg incremental-APPEND streaming source (r10): the spec's
+# incremental scan — offsets are snapshot ids (by commit order), each
+# micro-batch reads exactly the data files ADDED by the snapshots in
+# its span.  Per the spec, only append snapshots may be consumed
+# incrementally: a span whose file set shrank (delete/replace/
+# overwrite) raises instead of emitting wrong rows.  One
+# InputPartition per added file — task-parallel like a file scan.
+class _IcebergAppendsStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.start_snapshot = int(options.get("startingSnapshotId",
+                                              0))
+        self._max_snaps = int(options.get("maxSnapshotsPerTrigger",
+                                          0))
+        self._last_end = None
+        self.names = list(schema.names)
+
+    def _snapshot_ids(self):
+        import json as _os_json
+
+        from ..functions.iceberg import _latest_metadata
+        with open(_latest_metadata(self.path)) as fh:
+            meta = _os_json.load(fh)
+        return [s["snapshot-id"]
+                for s in sorted(meta.get("snapshots", []),
+                                key=lambda s: (
+                                    s.get("sequence-number", 0),
+                                    s["snapshot-id"]))]
+
+    def initialOffset(self):
+        self._last_end = self.start_snapshot
+        return {"s": self.start_snapshot}
+
+    def latestOffset(self):
+        snaps = self._snapshot_ids()
+        last = (self._last_end if self._last_end is not None
+                else self.start_snapshot)
+        newer = [s for s in snaps if s > last] if last else snaps
+        if self._max_snaps:
+            newer = newer[:self._max_snaps]
+        return {"s": newer[-1] if newer else last}
+
+    def partitions(self, start, end):
+        import json as _json
+
+        from ..functions.iceberg import (_latest_metadata,
+                                         _parse_part_spec,
+                                         _raw_specs,
+                                         _schema_inventory,
+                                         live_data_files)
+        lo, hi = start["s"], end["s"]
+        self._last_end = hi
+        if hi <= lo:
+            return [InputPartition(None)]
+        hi_files = live_data_files(self.path, hi)[2]
+        new_files = {p: (tuple(sorted(pv.items())), sp)
+                     for p, pv, _s, _f, sp in hi_files}
+        old_paths = set()
+        if lo:
+            old_paths = {p for p, _pv, _s, _f, _sp in
+                         live_data_files(self.path, lo)[2]}
+        gone = old_paths - set(new_files)
+        if gone:
+            raise NotImplementedError(
+                "padawan_iceberg_appends: snapshots in "
+                f"({lo}, {hi}] removed or replaced files "
+                f"({sorted(gone)[:3]}...) — only append snapshots "
+                "stream incrementally, per the spec")
+        added = sorted(p for p in new_files if p not in old_paths)
+        # identity partition values re-attach per file in the task,
+        # resolved under each file's OWN spec
+        with open(_latest_metadata(self.path)) as fh:
+            meta = _json.load(fh)
+        fld_ids, _n = _schema_inventory(self.path)
+        name_of = {v: k for k, v in fld_ids.items()}
+        ident_by_spec = {
+            s: {fname: src for t, _p, src, fname
+                in _parse_part_spec(sp, name_of) if t == "identity"}
+            for s, sp in _raw_specs(meta).items()}
+        return ([InputPartition(
+            (p, new_files[p][0],
+             tuple(ident_by_spec.get(new_files[p][1], {}).items())))
+            for p in added]
+            or [InputPartition(None)])
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        p, pv_items, ident_items = partition.value
+        import pyarrow.parquet as pq
+        pv = dict(pv_items)
+        src_of = dict(ident_items)       # partition field -> column
+        attach = {src_of[f]: v for f, v in pv.items() if f in src_of}
+        for r in pq.read_table(p).to_pylist():
+            yield tuple(attach.get(c, r.get(c))
+                        for c in self.names)
+
+    def commit(self, end):
+        pass
+
+
+class IcebergAppendsSource(DataSource):
+    """``spark.readStream.format("padawan_iceberg_appends")`` —
+    stream an Iceberg table's incremental append scan: per
+    micro-batch, the rows of exactly the data files added by the new
+    snapshots.  Non-append snapshots in a span raise, per the spec."""
+
+    @classmethod
+    def name(cls):
+        return "padawan_iceberg_appends"
+
+    def schema(self):
+        from ..functions.iceberg import live_data_files
+        fields, _sp, _f, _d = live_data_files(self.options["path"])
+        return ", ".join(f"{n} {t}" for n, t in fields)
+
+    def streamReader(self, schema):
+        return _IcebergAppendsStreamReader(self.options, schema)

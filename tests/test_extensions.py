@@ -1479,6 +1479,52 @@ def test_delta_dv_decode_runs_on_executors(spark, tmp_path):
     assert len(ks) == 26 and {1, 3, 5, 7}.isdisjoint(ks)
 
 
+def test_iceberg_appends_stream_source(spark, tmp_path):
+    """r10: the padawan_iceberg_appends stream — snapshot-id offsets,
+    one InputPartition per ADDED file, identity partition values
+    re-attached in the task, and a span containing a non-append
+    snapshot (file removal) raises per the spec."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import write_iceberg_fixture
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "iapp")
+    df = spark.range(10).select(SF.col("id").alias("k"),
+                                (SF.col("id") % 2).alias("g"))
+    s1 = write_iceberg_fixture(spark, df, t, partition_by=("g",))
+    write_iceberg_fixture(spark, spark.range(100, 104).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("g",))
+    name = "iapp_" + _uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("padawan_iceberg_appends")
+           .option("path", t).option("startingSnapshotId", s1)
+           .load())
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["k"], r["g"]) for r in spark.table(name).collect()}
+    assert rows == {(k, k % 2) for k in range(100, 104)}
+    # a delete snapshot in the span gates honestly
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_partition={"g": 0})
+    name2 = "iapp_" + _uuid.uuid4().hex[:8]
+    src2 = (spark.readStream.format("padawan_iceberg_appends")
+            .option("path", t).option("startingSnapshotId", s1)
+            .load())
+    q2 = src2.writeStream.format("memory").queryName(name2).start()
+    try:
+        with pytest.raises(Exception,
+                           match="append snapshots"):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+
 def test_hudi_cow_reader_file_group_supersede(spark, tmp_path):
     import json
     import os
