@@ -251,7 +251,8 @@ def _delta_type_ddl(t) -> str:
     raise NotImplementedError(f"nested delta type {t!r}")
 
 
-def read_delta(spark, path: str, version: int | None = None):
+def read_delta(spark, path: str, version: int | None = None,
+               filters: dict | None = None):
     """Scan a Delta table at ``version`` (default latest): log replay
     driver-side, then ONE parquet scan per distinct physical layout
     (one per schema epoch — NOT per partition tuple), with
@@ -265,7 +266,14 @@ def read_delta(spark, path: str, version: int | None = None):
     _metadata.row_index)``, AQE choosing broadcast when the set is
     small — the DV'd files still read in the same distributed scan,
     no rewrite, and files without DVs skip the join entirely.
-    Returns a DataFrame."""
+
+    ``filters`` (r10): ``{partition_column: value}`` equality
+    predicates prune the FILE LIST on the driver through each add
+    action's ``partitionValues`` — Delta's partition pruning, so a
+    point lookup on a partitioned key plans O(files-in-partition),
+    not O(table) — then re-apply as row predicates (free exactness;
+    non-partition columns in ``filters`` simply skip pruning and
+    filter rows).  Returns a DataFrame."""
     from pyspark.sql import functions as F
     schema_json, part_cols, files, mapping = replay_delta_log(
         path, version)
@@ -300,11 +308,23 @@ def read_delta(spark, path: str, version: int | None = None):
         for f in data_fields)
     part_types = {f["name"]: _delta_type_ddl(f["type"])
                   for f in sch["fields"] if f["name"] in logical_parts}
+    if filters:
+        # partition pruning: drop files whose partitionValues cannot
+        # match — driver metadata work, no Spark job.  Values are
+        # compared in the log's string form.
+        for c, v in filters.items():
+            pc = phys.get(c, c)
+            if pc in part_cols:
+                sv = None if v is None else str(v)
+                files = [f for f in files if f[1].get(pc) == sv]
     if not files:
         full = ", ".join(
             f"{f['name']} {_delta_type_ddl(f['type'])}"
             for f in sch["fields"])
-        return spark.createDataFrame([], full)
+        out = spark.createDataFrame([], full)
+        for c, v in (filters or {}).items():
+            out = out.where(F.col(c).eqNullSafe(F.lit(v)))
+        return out
     out_cols = [f["name"] for f in sch["fields"]]
     fid_of: dict[int, str] = {}
     if mapping == "id":
@@ -418,7 +438,12 @@ def read_delta(spark, path: str, version: int | None = None):
                 .repartition(n, "path")
                 .mapInPandas(_dv_decode, "__fp string, __pos bigint"))
         out = out.join(dels, on=["__fp", "__pos"], how="left_anti")
-    return out.select(*out_cols)
+    out = out.select(*out_cols)
+    # re-apply filters on rows: exactness for non-partition columns
+    # (which skipped pruning), free for partition columns
+    for c, v in (filters or {}).items():
+        out = out.where(F.col(c).eqNullSafe(F.lit(v)))
+    return out
 
 
 def write_delta_fixture(spark, df, path: str, partition_by=(),

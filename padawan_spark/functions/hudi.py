@@ -163,7 +163,8 @@ def _log_safe_type(t: str) -> bool:
 
 def read_hudi(spark, path: str, as_of: str | None = None,
               keep_meta: bool = False, _provenance: bool = False,
-              _slices=None, log_key_limit: int = 4_000_000):
+              _slices=None, log_key_limit: int = 4_000_000,
+              partitions=None):
     """Scan a Hudi table at a commit instant (default: latest).
     CoW (or fully compacted MOR): one parquet scan over the live
     base files.  MOR with live logs: base scan + distributed log
@@ -189,6 +190,10 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     pass-through of duplicate-key base rows a bulk insert may have
     left) never depends on log size.
 
+    ``partitions`` (r10): an iterable of partition-path strings —
+    prune the read to those partitions' file slices (Hudi's
+    partition pruning: driver metadata work, O(partition) scan).
+
     ``_slices`` (internal): restrict the read to a pre-pruned
     file-slice dict (:func:`read_hudi_incremental`)."""
     import pandas as pd
@@ -196,6 +201,10 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     from pyspark.sql.window import Window
     slices = (_slices if _slices is not None
               else live_hudi_slices(path, as_of))
+    if partitions is not None:
+        want = {str(p) for p in partitions}
+        slices = {fid: s for fid, s in slices.items()
+                  if s["part"] in want}
     if not slices:
         raise NotImplementedError(f"{path}: no live data files")
     bases = sorted(s["base"] for s in slices.values()
