@@ -801,6 +801,39 @@ def src_avro_roundtrip(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"))
 
 
+@query("src_delta_partition_prune", oracle="""
+SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       COUNT(DISTINCT n_regionkey) AS n_groups
+FROM nation WHERE n_regionkey = 2
+""")
+def src_delta_partition_prune(spark, sf_dir):
+    """Delta partition pruning (r10) — ``read_delta(filters=...)``:
+    a point predicate on a partition column prunes the planned FILE
+    LIST on the driver through the add actions' partitionValues
+    (Delta's partition pruning), then re-applies as an exact row
+    predicate.  The query asserts the plan property it claims: only
+    the filtered partition's files may enter the plan.  Scale shape:
+    a point lookup on a partitioned key plans O(files-in-partition),
+    not O(table)."""
+    import os
+    import tempfile
+
+    from ..functions.delta import read_delta, write_delta_fixture
+    from ..plans import physical_plan
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_dpp_"), "tbl")
+    write_delta_fixture(spark, n, t, partition_by=("g",))
+    out = read_delta(spark, t, filters={"g": 2})
+    plan = physical_plan(out)
+    assert "g=2/" in plan and "g=0/" not in plan \
+        and "g=1/" not in plan, plan
+    return out.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("k").cast("bigint").alias("key_sum"),
+                   F.countDistinct("g").alias("n_groups"))
+
+
 @query("src_delta_read", oracle="""
 SELECT 0 AS version, COUNT(*) FILTER (WHERE n_nationkey < 15) AS n,
        CAST(SUM(n_nationkey) FILTER (WHERE n_nationkey < 15) AS BIGINT)
