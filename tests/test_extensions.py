@@ -1525,6 +1525,81 @@ def test_iceberg_appends_stream_source(spark, tmp_path):
         q2.stop()
 
 
+def test_incremental_stream_sources_restart_exactly_once(spark,
+                                                         tmp_path):
+    """r10: kill the hudi-incremental and iceberg-appends streams and
+    restart from their checkpoints — instant/snapshot offsets make
+    consumption exactly-once across the restart: windows consumed
+    before the stop are not re-emitted, commits landed while the
+    stream was down are picked up."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    from padawan_spark.functions.iceberg import write_iceberg_fixture
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+
+    def drain(fmt, opts, ckpt, _name):
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(tuple(r) for r in batch_df.collect())
+
+        src = spark.readStream.format(fmt).options(**opts).load()
+        q = (src.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return rows
+
+    # --- hudi incremental ---
+    t = str(tmp_path / "hres")
+    df = spark.range(12).select(SF.col("id").alias("k"),
+                                (SF.col("id") * 10).alias("v"))
+    i1 = write_hudi_fixture(spark, df, t)
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame([(1, -1)],
+                                                "k long, v long"))
+    ck = str(tmp_path / "hck")
+    nm = "hres_" + _uuid.uuid4().hex[:8]
+    out1 = set(drain(
+        "padawan_hudi_incremental",
+        {"path": t, "startingInstant": i1}, ck, nm))
+    assert {(r[0], r[1]) for r in out1} == {(1, -1)}
+    # while down: one more commit; restart must emit ONLY its window
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame([(2, -2)],
+                                                "k long, v long"))
+    nm2 = "hres_" + _uuid.uuid4().hex[:8]
+    out2 = set(drain(
+        "padawan_hudi_incremental",
+        {"path": t, "startingInstant": i1}, ck, nm2))
+    assert {(r[0], r[1]) for r in out2} == {(2, -2)}, out2
+
+    # --- iceberg appends ---
+    t2 = str(tmp_path / "ires")
+    s1 = write_iceberg_fixture(spark, df.select("k"), t2)
+    write_iceberg_fixture(spark, spark.range(100, 102).select(
+        SF.col("id").alias("k")), t2)
+    ck2 = str(tmp_path / "ick")
+    nm3 = "ires_" + _uuid.uuid4().hex[:8]
+    got1 = {r[0] for r in drain(
+        "padawan_iceberg_appends",
+        {"path": t2, "startingSnapshotId": str(s1)}, ck2, nm3)}
+    assert got1 == {100, 101}
+    write_iceberg_fixture(spark, spark.range(200, 203).select(
+        SF.col("id").alias("k")), t2)
+    nm4 = "ires_" + _uuid.uuid4().hex[:8]
+    got2 = {r[0] for r in drain(
+        "padawan_iceberg_appends",
+        {"path": t2, "startingSnapshotId": str(s1)}, ck2, nm4)}
+    assert got2 == {200, 201, 202}, got2
+
+
 def test_hudi_cow_reader_file_group_supersede(spark, tmp_path):
     import json
     import os
