@@ -1344,3 +1344,73 @@ def test_avro_container_roundtrip_property(rows, codec):
     f2, r2 = decode_avro_py(blob)
     assert f2 == fields
     assert r2 == [tuple(r) for r in rows]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            # data block: (instant_idx, [(key, value)])
+            st.tuples(st.just("data"),
+                      st.integers(min_value=0, max_value=4),
+                      st.lists(st.tuples(
+                          st.integers(min_value=0, max_value=9),
+                          st.integers(min_value=-5, max_value=5)),
+                          min_size=1, max_size=4)),
+            # delete block: (instant_idx, [keys])
+            st.tuples(st.just("del"),
+                      st.integers(min_value=0, max_value=4),
+                      st.lists(st.integers(min_value=0, max_value=9),
+                               min_size=1, max_size=3)),
+            # rollback command voiding one instant's earlier blocks
+            st.tuples(st.just("rb"),
+                      st.integers(min_value=0, max_value=4),
+                      st.just(None))),
+        min_size=0, max_size=12),
+    torn_tail=st.sampled_from([b"", b"#HUDI#", b"#HUDI#\x00\x00",
+                               b"#HUDI#\x00\x00\x00\x00\x00\x00\x00"
+                               b"\xff trailing-garbage"]),
+)
+def test_hudilog_block_walk_property(ops, torn_tail):
+    """r10: arbitrary data/delete/rollback block sequences round-trip
+    the HoodieLogFormat codec — rollbacks void exactly their target
+    instant's EARLIER blocks, later blocks survive, and a torn tail
+    (truncated magic / length / body) ends the walk cleanly with the
+    full intact prefix."""
+    from padawan_spark.functions.hudilog import (
+        BLOCK_AVRO_DATA, BLOCK_DELETE, H_INSTANT_TIME,
+        decode_avro_data_block, decode_delete_block,
+        decode_log_blocks, encode_avro_data_block,
+        encode_delete_block, encode_rollback_block)
+    schema = {"type": "record", "name": "rec", "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "v", "type": ["null", "long"]}]}
+    blob = bytearray()
+    expected = []           # (kind, instant, payload) surviving walk
+    for kind, inst_i, payload in ops:
+        inst = f"2026010100000{inst_i}"
+        if kind == "data":
+            rows = [{"_hoodie_record_key": str(k), "v": v}
+                    for k, v in payload]
+            blob += encode_avro_data_block(inst, schema, rows)
+            expected.append(("data", inst,
+                             [(str(k), v) for k, v in payload]))
+        elif kind == "del":
+            keys = [str(k) for k in payload]
+            blob += encode_delete_block(inst, keys)
+            expected.append(("del", inst, keys))
+        else:
+            blob += encode_rollback_block("20260101000009", inst)
+            expected = [e for e in expected if e[1] != inst]
+    blob += torn_tail
+    blocks = decode_log_blocks(bytes(blob))
+    got = []
+    for blk in blocks:
+        inst = blk["header"][H_INSTANT_TIME]
+        if blk["type"] == BLOCK_AVRO_DATA:
+            got.append(("data", inst,
+                        [(r["_hoodie_record_key"], r["v"])
+                         for r in decode_avro_data_block(blk)]))
+        elif blk["type"] == BLOCK_DELETE:
+            got.append(("del", inst, decode_delete_block(blk)))
+    assert got == expected
