@@ -1414,3 +1414,30 @@ def test_hudilog_block_walk_property(ops, torn_tail):
         elif blk["type"] == BLOCK_DELETE:
             got.append(("del", inst, decode_delete_block(blk)))
     assert got == expected
+
+
+@settings(max_examples=60, deadline=None)
+@given(positions=st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=70_000),
+        # high-container positions exercise the RoaringBitmapArray's
+        # per-2^32-bucket framing and 16-bit container keys
+        st.integers(min_value=4_294_967_290,
+                    max_value=4_294_967_400)),
+    unique=True, max_size=300))
+def test_delta_dv_codec_roundtrip_property(positions):
+    """r10: arbitrary deleted-position sets (incl. empty, dense runs
+    near container boundaries, and >2^32 bucket spills) round-trip
+    the deletion-vector codec — the RoaringBitmap array framing, the
+    DV blob magic, AND the Z85 inline armor."""
+    from padawan_spark.functions.deltadv import (bitmap_array_decode,
+                                                 bitmap_array_encode,
+                                                 dv_blob_decode,
+                                                 dv_blob_encode,
+                                                 z85_decode,
+                                                 z85_encode)
+    want = sorted(positions)
+    assert bitmap_array_decode(bitmap_array_encode(want)) == want
+    blob = dv_blob_encode(want)
+    assert dv_blob_decode(blob) == want
+    assert z85_decode(z85_encode(blob), out_len=len(blob)) == blob
