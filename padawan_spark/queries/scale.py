@@ -52,6 +52,26 @@ def _source_fingerprint(sf_dir) -> tuple:
     return tuple(fps)
 
 
+def _drop_orphan_locations(spark, tables) -> None:
+    """Make ``saveAsTable(mode="overwrite")`` safe against a stale managed
+    location: drop the catalog entry if present (overwrite handles a live
+    table fine, but a catalog-absent leftover directory makes Spark refuse
+    with LOCATION_ALREADY_EXISTS), then remove the on-disk directory when
+    the catalog does NOT own it."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for t in tables:
+        if spark.catalog.tableExists(t):
+            continue  # catalog owns it; mode("overwrite") replaces cleanly
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh:
+            loc = os.path.join(wh, t.lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+
+
 def _ensure_bucketed(spark, sf_dir) -> tuple[str, str]:
     """Materialize the bucketed lineitem/orders tables for ``sf_dir`` once
     (suffix-keyed so different scale factors coexist).  This is the
@@ -61,7 +81,14 @@ def _ensure_bucketed(spark, sf_dir) -> tuple[str, str]:
     Staleness guards (not just an in-process memo): the tables live in
     the SESSION catalog, so a fresh SparkSession in the same process must
     rebuild (``spark.catalog.tableExists``), and testdata regenerated in
-    place under the same path must invalidate (source-file fingerprint)."""
+    place under the same path must invalidate (source-file fingerprint).
+
+    Orphan-location guard: a fresh metastore (new Derby/in-memory catalog)
+    paired with a PERSISTENT warehouse directory — exactly what a
+    per-query subprocess harness produces — leaves the table directory on
+    disk with no catalog entry, and ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS rather than overwriting.  When the catalog
+    doesn't know the table, drop any leftover location first."""
     import re
     suffix = re.sub(r"\W+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     tl, to = f"b_lineitem_{suffix}", f"b_orders_{suffix}"
@@ -69,6 +96,7 @@ def _ensure_bucketed(spark, sf_dir) -> tuple[str, str]:
     if (_BUCKETED_DONE.get(sf_dir) != fp
             or not spark.catalog.tableExists(tl)
             or not spark.catalog.tableExists(to)):
+        _drop_orphan_locations(spark, (tl, to))
         # repartition on the bucket key to the bucket count BEFORE the
         # bucketed write: repartition's hash (Murmur3 pmod n) matches the
         # bucketing hash, so each task holds exactly one bucket → one

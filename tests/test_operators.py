@@ -4,6 +4,7 @@ queries (pushdown reaches the scan, dims broadcast, top-k does not
 global-sort)."""
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -78,6 +79,29 @@ def test_slice_prunes_files_and_pushes(spark, tmp_path, sf_dir):
     s = ds.slice((dt.datetime(1997, 1, 1),), (dt.datetime(1997, 6, 1),))
     assert len(s._files) < n_before  # manifest pruned the scan set
     assert "PushedFilters: [" in _plan(s.df)
+
+
+def test_ensure_bucketed_survives_orphan_location(spark, sf_dir):
+    # Simulate the per-query-subprocess harness: fresh metastore (table
+    # absent from the catalog) + persistent warehouse dir holding a stale
+    # table directory.  saveAsTable refuses LOCATION_ALREADY_EXISTS unless
+    # the bootstrap removes the orphan first.
+    from urllib.parse import urlparse
+    from padawan_spark.queries.scale import _BUCKETED_DONE, _ensure_bucketed
+    tl, to = _ensure_bucketed(spark, sf_dir)   # ensure tables + memo exist
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (tl, to):
+        assert os.path.isdir(os.path.join(wh, t.lower()))
+        spark.sql(f"DROP TABLE {t}")  # managed drop purges the location...
+        # ...so recreate the orphan dir by hand, like a stale warehouse
+        # left behind by a previous process with its own metastore
+        os.makedirs(os.path.join(wh, t.lower()), exist_ok=True)
+        with open(os.path.join(wh, t.lower(), "stale.parquet"), "wb") as f:
+            f.write(b"not a real file")
+    _BUCKETED_DONE.clear()
+    tl2, to2 = _ensure_bucketed(spark, sf_dir)  # must not raise
+    assert (tl2, to2) == (tl, to)
+    assert spark.table(tl2).count() > 0
 
 
 def test_bucketed_join_no_exchange(spark, sf_dir):
