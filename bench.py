@@ -262,6 +262,14 @@ def main() -> None:
         "calibration": cal,
         "value_calibrated": (round(total / cal["spark_probe_best"], 3)
                              if cal["spark_probe_best"] else None),
+        # r11: per-query calibrated timings ON STDOUT — the stderr
+        # supplement carrying these was tail-truncated in the r10 record,
+        # and the judge's noise-vs-real adjudication needs them lossless.
+        # Units: multiples of the frozen spark probe (machine-speed-free).
+        "queries_calibrated": ({
+            n: round(t / cal["spark_probe_best"], 2)
+            for n, t in timings.items()}
+            if cal["spark_probe_best"] else {}),
     }
 
     # Everything beyond the headline metric goes to STDERR, one fact per
@@ -316,13 +324,11 @@ def main() -> None:
     except Exception:
         pass
 
-    # per-query probe-normalized timings (units: multiples of the spark
-    # probe) — the judge's noise-vs-real adjudication, mechanized
+    # per-query probe-normalized timings moved ONTO stdout in r11 (the
+    # r10 stderr record lost the front of this line to tail truncation);
+    # only the prose note stays here.
     if cal["spark_probe_best"]:
-        _emit({"queries_calibrated": {
-            n: round(t / cal["spark_probe_best"], 2)
-            for n, t in timings.items()},
-            "calibration_note": CALIBRATION_NOTE})
+        _emit({"calibration_note": CALIBRATION_NOTE})
 
     if prev_delta:
         sup = {"prev_round": prev_round, "prev_delta": prev_delta}

@@ -772,9 +772,13 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
     (r10): ``name`` mode aliases physical columns back to logical;
     ``id`` mode resolves each change file's physical layout by
     PARQUET FIELD ID through one distributed footer job
-    (:mod:`.layouts`).  Deletion-vector files touched in the range
-    gate honestly (their change rows need DV resolution a derived
-    read cannot fake).  The derived read rebuilds file state by
+    (:mod:`.layouts`).  Deletion-vector commits are SUPPORTED (r11):
+    a same-commit remove+re-add of one path carrying a DV — the shape
+    a modern DELETE writes — emits delete rows for exactly the
+    newly-dead positions (new DV minus old DV), decoded in
+    distributed tasks and applied via ``_metadata.row_index``
+    semi/anti joins; a tombstoned DV'd file emits deletes only for
+    its still-live rows.  The derived read rebuilds file state by
     replaying the JSON commits from version 0 — if log retention
     cleaned any commit at or below ``ending_version`` it raises
     rather than return a silently-partial feed (ADVICE r9)."""
@@ -843,13 +847,17 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
                                    else F.lit(pv)).cast(types[c]))
         return df
 
-    live: dict[str, tuple] = {}   # rel -> (partitionValues, has_dv)
-    events: list[tuple] = []      # (version, kind, rel, pvals)
+    live: dict[str, tuple] = {}   # rel -> (partitionValues, dv desc)
+    # (version, kind, rel, pvals, include_dv, exclude_dv) — the DV
+    # descriptors carry position filters: include = emit only these
+    # physical row positions (newly-dead rows of an in-place DV
+    # rewrite), exclude = skip these (already-dead rows)
+    events: list[tuple] = []
     for v in versions:
         if v > ending_version:
             break
         fp = os.path.join(path, "_delta_log", f"{v:020d}.json")
-        cdc, adds, removes = [], [], []
+        cdc, adds_all, removes_all = [], [], []
         with open(fp) as fh:
             for line in fh:
                 if not line.strip():
@@ -858,44 +866,56 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
                 if a.get("cdc"):
                     cdc.append(a["cdc"])
                 elif a.get("add"):
-                    ad = a["add"]
-                    if ad.get("deletionVector") and \
-                            v >= starting_version:
-                        raise NotImplementedError(
-                            "delta CDF over deletion-vector commits")
-                    live[ad["path"]] = (
-                        ad.get("partitionValues") or {},
-                        bool(ad.get("deletionVector")))
-                    if ad.get("dataChange"):
-                        adds.append(ad)
+                    adds_all.append(a["add"])
                 elif a.get("remove"):
-                    rm = a["remove"]
-                    pv, had_dv = live.pop(
-                        rm["path"],
-                        (rm.get("partitionValues") or {}, False))
-                    # ADVICE r9: a removed file whose rows were
-                    # partially DV-deleted (whether the DV landed
-                    # before OR inside the window) must not emit
-                    # delete rows for already-dead positions
-                    if (had_dv or rm.get("deletionVector")) and \
-                            v >= starting_version:
-                        raise NotImplementedError(
-                            "delta CDF remove of a deletion-vector "
-                            "file in the window")
-                    if rm.get("dataChange", True):
-                        removes.append((rm["path"], pv))
+                    removes_all.append(a["remove"])
+        # Reconcile the commit as a whole: a path removed AND re-added
+        # in the same commit is an in-place rewrite — the shape a
+        # modern DELETE leaves when it attaches a deletion vector
+        # (remove old add + re-add the SAME file with the DV).  Its
+        # change rows are the NEWLY-dead positions (new DV minus old
+        # DV), not a remove-all/insert-all pair (r11).
+        repl = ({ad["path"] for ad in adds_all}
+                & {rm["path"] for rm in removes_all})
+        derived: list[tuple] = []
+        stash: dict[str, tuple] = {}
+        for rm in removes_all:
+            p = rm["path"]
+            old_pv, old_dv = live.pop(
+                p, (rm.get("partitionValues") or {},
+                    rm.get("deletionVector")))
+            if p in repl:
+                stash[p] = (old_pv, old_dv)
+                continue
+            if rm.get("dataChange", True):
+                # ADVICE r9: a tombstoned file whose rows were partly
+                # DV-deleted must not re-emit the already-dead rows
+                derived.append(("delete", p, old_pv, None, old_dv))
+        for ad in adds_all:
+            p = ad["path"]
+            new_dv = ad.get("deletionVector")
+            pv = ad.get("partitionValues") or {}
+            if p in repl:
+                old_pv, old_dv = stash[p]
+                live[p] = (pv or old_pv, new_dv)
+                if ad.get("dataChange"):
+                    derived.append(("delete", p, pv or old_pv,
+                                    new_dv, old_dv))
+                continue
+            live[p] = (pv, new_dv)
+            if ad.get("dataChange"):
+                derived.append(("insert", p, pv, None, new_dv))
         if v < starting_version:
             continue
         if cdc:
             # spec rule: a commit with cdc actions describes its
             # changes ONLY through them
             events += [(v, "cdc", c["path"],
-                        c.get("partitionValues")) for c in cdc]
+                        c.get("partitionValues"), None, None)
+                       for c in cdc]
         else:
-            events += [(v, "insert", ad["path"],
-                        ad.get("partitionValues")) for ad in adds]
-            events += [(v, "delete", rel, pv)
-                       for rel, pv in removes]
+            events += [(v, kind, rel, pv, inc, exc)
+                       for kind, rel, pv, inc, exc in derived]
     # id mode: each change file's physical layout resolves by parquet
     # field id — ONE distributed footer job over every file in range
     lmaps: dict[str, dict[str, str]] = {}
@@ -903,7 +923,7 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
         from .layouts import parquet_field_layouts
         raw = parquet_field_layouts(
             spark, [os.path.abspath(os.path.join(path, rel))
-                    for _v, _k, rel, _pv in events])
+                    for _v, _k, rel, _pv, _i, _e in events])
         for p, flds in raw.items():
             m = {fid_of[fid]: nm for fid, nm in flds
                  if fid is not None and fid in fid_of}
@@ -914,8 +934,45 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
                     f"field ids for {missing}")
             lmaps[p] = m
 
+    # DV position filters decode in DISTRIBUTED tasks (one small job,
+    # positions never materialize on the driver), keyed by event index
+    dv_descs = []
+    for i, (_v, _k, _rel, _pv, inc, exc) in enumerate(events):
+        if inc:
+            dv_descs.append((i, "inc", json.dumps(inc)))
+        if exc:
+            dv_descs.append((i, "exc", json.dumps(exc)))
+    posdf = None
+    if dv_descs:
+        table_root = os.path.abspath(path)
+
+        def _dv_decode(batches):
+            import json as _json
+
+            import pandas as pd
+
+            from .deltadv import read_dv_positions
+            for pdf in batches:
+                rows = []
+                for eid, k, dj in zip(pdf["eid"], pdf["k"],
+                                      pdf["dv"]):
+                    for pos in read_dv_positions(
+                            table_root, _json.loads(dj)):
+                        rows.append((int(eid), k, pos))
+                yield pd.DataFrame(
+                    rows, columns=["__eid", "__k", "__pos"])
+
+        n_dec = min(len(dv_descs),
+                    max(32, spark.sparkContext.defaultParallelism))
+        posdf = (spark.createDataFrame(
+            dv_descs, "eid int, k string, dv string")
+            .repartition(n_dec, "eid", "k")
+            .mapInPandas(_dv_decode,
+                         "__eid int, __k string, __pos bigint")
+            .localCheckpoint())
+
     out = None
-    for v, kind, rel, pvals in events:
+    for i, (v, kind, rel, pvals, inc, exc) in enumerate(events):
         full = os.path.join(path, rel)
         if mapping == "id":
             lm = lmaps[os.path.abspath(full)]
@@ -930,6 +987,23 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
         else:
             df = _logical(spark.read.schema(
                 cdc_ddl if kind == "cdc" else ddl).parquet(full))
+        if inc or exc:
+            # semi-join the include set (newly-dead positions of an
+            # in-place DV rewrite), anti-join the exclude set
+            # (already-dead positions) — net: include minus exclude;
+            # AQE picks broadcast when the position set is small
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
+            if inc:
+                df = df.join(
+                    posdf.where((F.col("__eid") == i)
+                                & (F.col("__k") == "inc"))
+                    .select("__pos"), on="__pos", how="semi")
+            if exc:
+                df = df.join(
+                    posdf.where((F.col("__eid") == i)
+                                & (F.col("__k") == "exc"))
+                    .select("__pos"), on="__pos", how="left_anti")
+            df = df.drop("__pos")
         if kind != "cdc":
             df = df.withColumn("_change_type", F.lit(kind))
         df = (_with_parts(df, pvals)

@@ -941,6 +941,12 @@ UNION ALL
 SELECT 'update_postimage', 2, COUNT(*),
        CAST(SUM(n_nationkey) AS BIGINT)
 FROM nation WHERE n_regionkey = 1
+UNION ALL
+-- v3: deletion-vector commit — deletes = the newly-dead positions
+-- (file sorted by key; DV kills positions 0,1 of region 3's file)
+SELECT 'delete', 3, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+FROM (SELECT n_nationkey FROM nation WHERE n_regionkey = 3
+      ORDER BY n_nationkey LIMIT 2)
 """)
 def src_delta_cdf_read(spark, sf_dir):
     """Delta CHANGE DATA FEED interop (r9) — the row-level change
@@ -951,16 +957,20 @@ def src_delta_cdf_read(spark, sf_dir):
     derive inserts from data-changing adds and deletes from removes
     (files read pre-vacuum, partition values recovered from the
     pre-remove state).  The fixture commits a create (derived
-    inserts), a partition delete (derived deletes), and a
-    cdc-explicit UPDATE (pre/postimage pairs); the oracle restates
-    every change row from the source table.  Scale shape: one
-    distributed scan per change file, O(log actions) driver replay,
-    no row work on the driver."""
+    inserts), a partition delete (derived deletes), a cdc-explicit
+    UPDATE (pre/postimage pairs), and (r11) a DELETION-VECTOR commit
+    whose delete rows are exactly the newly-dead positions (new DV
+    minus old DV, decoded in distributed tasks, applied by
+    ``_metadata.row_index``); the oracle restates every change row
+    from the source table.  Scale shape: one distributed scan per
+    change file, O(log actions) driver replay, no row work on the
+    driver."""
     import os
     import tempfile
 
-    from ..functions.delta import (read_delta_changes,
+    from ..functions.delta import (add_dv_fixture, read_delta_changes,
                                    remove_delta_files_fixture,
+                                   replay_delta_log,
                                    update_delta_cdc_fixture,
                                    write_delta_fixture)
     n = load(spark, sf_dir, "nation").select(
@@ -968,9 +978,14 @@ def src_delta_cdf_read(spark, sf_dir):
         F.col("n_regionkey").cast("bigint").alias("g"),
         (F.col("n_nationkey") * 10).cast("bigint").alias("v"))
     t = os.path.join(tempfile.mkdtemp(prefix="padawan_cdf_"), "tbl")
-    write_delta_fixture(spark, n, t, partition_by=("g",))
+    # order_by pins physical row order — DV positions address by it
+    write_delta_fixture(spark, n, t, partition_by=("g",),
+                        order_by=("k",))
     remove_delta_files_fixture(t, lambda rel: rel.startswith("g=2/"))
     update_delta_cdc_fixture(spark, t, "g", 1, "v", 1000)
+    _sch, _pc, files, _mm = replay_delta_log(t)
+    g3 = next(rel for rel, _pv, _dv in files if rel.startswith("g=3/"))
+    add_dv_fixture(t, {g3: [0, 1]})
     return (read_delta_changes(spark, t)
             .groupBy(F.col("_change_type").alias("change"),
                      F.col("_commit_version").cast("int")

@@ -206,6 +206,14 @@ UNION ALL
 SELECT 'update_postimage', 2, COUNT(*),
        CAST(SUM(n_nationkey) AS BIGINT)
 FROM nation WHERE n_regionkey = 1
+UNION ALL
+-- v3: a deletion-vector commit (remove + re-add of the SAME file
+-- carrying the DV) — change rows are the newly-dead positions only.
+-- The fixture file is sorted by n_nationkey, DV kills positions 0,1
+-- of region 3's file = its two smallest keys.
+SELECT 'delete', 3, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+FROM (SELECT n_nationkey FROM nation WHERE n_regionkey = 3
+      ORDER BY n_nationkey LIMIT 2)
 """)
 def streaming_delta_cdf(spark, sf_dir):
     """STREAM the change feed of an EXISTING Delta table (r9) — the
@@ -214,19 +222,24 @@ def streaming_delta_cdf(spark, sf_dir):
     in its span (``cdc`` actions win per the protocol; other commits
     derive inserts from data-changing adds and deletes from removes
     with partition values recovered from the pre-remove state).  The
-    fixture commits a create, a partition delete, and a cdc-explicit
-    UPDATE; the complete-mode fold per (_change_type,
-    _commit_version) must equal the batch oracle.  Scale shape: one
-    InputPartition per change file (task-parallel like a file scan),
-    ``maxVersionsPerTrigger`` backpressure available, O(log actions)
-    planning per batch."""
+    fixture commits a create, a partition delete, a cdc-explicit
+    UPDATE, and (r11) a DELETION-VECTOR commit — the remove+re-add of
+    the same file a modern DELETE writes; the derived feed emits
+    delete rows for exactly the newly-dead positions, decoded from
+    the DV bitmap inside the read task (new DV minus old DV).  The
+    complete-mode fold per (_change_type, _commit_version) must equal
+    the batch oracle.  Scale shape: one InputPartition per change
+    file (task-parallel like a file scan), ``maxVersionsPerTrigger``
+    backpressure available, O(log actions) planning per batch."""
     import os
     import tempfile
     import uuid
 
     from pyspark.sql import functions as F
 
-    from ..functions.delta import (remove_delta_files_fixture,
+    from ..functions.delta import (add_dv_fixture,
+                                   remove_delta_files_fixture,
+                                   replay_delta_log,
                                    update_delta_cdc_fixture,
                                    write_delta_fixture)
     from ..sources import register_python_sources
@@ -237,9 +250,15 @@ def streaming_delta_cdf(spark, sf_dir):
         F.col("n_regionkey").cast("bigint").alias("g"),
         (F.col("n_nationkey") * 10).cast("bigint").alias("v"))
     t = os.path.join(tempfile.mkdtemp(prefix="padawan_sdcdf_"), "tbl")
-    write_delta_fixture(spark, n, t, partition_by=("g",))
+    # order_by pins physical row order: DV positions address rows BY
+    # POSITION, so the oracle needs position i == i-th smallest key
+    write_delta_fixture(spark, n, t, partition_by=("g",),
+                        order_by=("k",))
     remove_delta_files_fixture(t, lambda rel: rel.startswith("g=2/"))
     update_delta_cdc_fixture(spark, t, "g", 1, "v", 1000)
+    _sch, _pc, files, _mm = replay_delta_log(t)
+    g3 = next(rel for rel, _pv, _dv in files if rel.startswith("g=3/"))
+    add_dv_fixture(t, {g3: [0, 1]})
     src = (spark.readStream.format("padawan_delta_cdf")
            .option("path", t).load())
     agg = (src.groupBy(F.col("_change_type").alias("change"),

@@ -725,13 +725,14 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                 f"commit history [0..{hi}]; missing {gap[:10]} "
                 "(log retention cleaned them)")
         parts = []
+        # rel -> (partitionValues, deletionVector descriptor | None)
         live: dict[str, tuple] = {}
         for v in versions:
             if v > hi:
                 break
             fp = _os.path.join(self.path, "_delta_log",
                                f"{v:020d}.json")
-            cdc, adds, removes = [], [], []
+            cdc, adds_all, removes_all = [], [], []
             with open(fp) as fh:
                 for line in fh:
                     if not line.strip():
@@ -740,57 +741,96 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                     if a.get("cdc"):
                         cdc.append(a["cdc"])
                     elif a.get("add"):
-                        ad = a["add"]
-                        if ad.get("deletionVector") and v > lo:
-                            raise NotImplementedError(
-                                "padawan_delta_cdf: deletion-vector "
-                                "commits in the stream range")
-                        live[ad["path"]] = (
-                            ad.get("partitionValues") or {},
-                            bool(ad.get("deletionVector")))
-                        if ad.get("dataChange"):
-                            adds.append(ad)
+                        adds_all.append(a["add"])
                     elif a.get("remove"):
-                        rm = a["remove"]
-                        pv, had_dv = live.pop(
-                            rm["path"],
-                            (rm.get("partitionValues") or {}, False))
-                        # ADVICE r9: removing a DV'd file would emit
-                        # delete rows for already-dead positions
-                        if (had_dv or rm.get("deletionVector")) \
-                                and v > lo:
-                            raise NotImplementedError(
-                                "padawan_delta_cdf: remove of a "
-                                "deletion-vector file in the "
-                                "stream range")
-                        if rm.get("dataChange", True):
-                            removes.append((rm["path"], pv))
+                        removes_all.append(a["remove"])
+            # Reconcile the commit as a whole BEFORE emitting events:
+            # a path removed AND re-added in the same commit is an
+            # in-place rewrite — the shape a modern DELETE leaves when
+            # it attaches a deletion vector (remove old add + re-add
+            # the SAME file with the DV descriptor).  Its change rows
+            # are the NEWLY-dead positions (new DV minus old DV), not
+            # a remove-all/insert-all pair (r11, VERDICT r10 #3).
+            repl = ({ad["path"] for ad in adds_all}
+                    & {rm["path"] for rm in removes_all})
+            events = []  # (kind, rel, pv, include_dv, exclude_dv)
+            stash: dict[str, tuple] = {}
+            for rm in removes_all:
+                p = rm["path"]
+                old_pv, old_dv = live.pop(
+                    p, (rm.get("partitionValues") or {},
+                        rm.get("deletionVector")))
+                if p in repl:
+                    stash[p] = (old_pv, old_dv)
+                    continue
+                if rm.get("dataChange", True):
+                    # tombstone of a DV'd file: the already-dead
+                    # positions must not re-emit as deletes
+                    events.append(("delete", p, old_pv, None, old_dv))
+            for ad in adds_all:
+                p = ad["path"]
+                new_dv = ad.get("deletionVector")
+                pv = ad.get("partitionValues") or {}
+                if p in repl:
+                    old_pv, old_dv = stash[p]
+                    live[p] = (pv or old_pv, new_dv)
+                    if ad.get("dataChange"):
+                        # rewrite in place: deletes = new DV − old DV
+                        events.append(("delete", p, pv or old_pv,
+                                       new_dv, old_dv))
+                    continue
+                live[p] = (pv, new_dv)
+                if ad.get("dataChange"):
+                    # fresh file pre-carrying a DV: its dead positions
+                    # were never visible, skip them in the insert
+                    events.append(("insert", p, pv, None, new_dv))
             if v <= lo:
                 continue
             if cdc:
+                # spec rule: a commit with cdc actions describes its
+                # changes ONLY through them
                 parts += [InputPartition(
                     ("cdc", _os.path.join(self.path, c["path"]), v,
                      tuple(sorted((c.get("partitionValues")
-                                   or {}).items()))))
+                                   or {}).items())), None, None))
                     for c in cdc]
             else:
                 parts += [InputPartition(
-                    ("insert", _os.path.join(self.path, ad["path"]),
-                     v, tuple(sorted((ad.get("partitionValues")
-                                      or {}).items()))))
-                    for ad in adds]
-                parts += [InputPartition(
-                    ("delete", _os.path.join(self.path, rel), v,
-                     tuple(sorted(pv.items()))))
-                    for rel, pv in removes]
+                    (kind, _os.path.join(self.path, rel), v,
+                     tuple(sorted(pv.items())),
+                     _json.dumps(inc) if inc else None,
+                     _json.dumps(exc) if exc else None))
+                    for kind, rel, pv, inc, exc in events]
         return parts or [InputPartition(None)]
 
     def read(self, partition):
         if partition.value is None:
             return
-        kind, full, v, pv_items = partition.value
+        kind, full, v, pv_items, inc_json, exc_json = partition.value
+        import os as _os
+
         import pyarrow.parquet as pq
         pv = dict(pv_items)
+        # DV position filters decode IN THIS TASK (never the driver):
+        # include = emit only these physical row positions (the
+        # newly-dead rows of an in-place DV rewrite); exclude = skip
+        # these (already-dead rows of a tombstoned/pre-DV'd file).
+        inc = exc = None
+        if inc_json or exc_json:
+            import json as _json2
+
+            from ..functions.deltadv import read_dv_positions
+            root = _os.path.abspath(self.path)
+            if inc_json:
+                inc = set(read_dv_positions(
+                    root, _json2.loads(inc_json)))
+            if exc_json:
+                exc = set(read_dv_positions(
+                    root, _json2.loads(exc_json)))
+            if inc is not None:
+                inc -= (exc or set())
+                if not inc:
+                    return
 
         def conv(c, raw):
             if raw is None:
@@ -813,7 +853,11 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                 fid = (fld.metadata or {}).get(b"PARQUET:field_id")
                 if fid is not None and int(fid) in self.fid_of:
                     col_of[self.fid_of[int(fid)]] = fld.name
-        for r in tb.to_pylist():
+        for pos, r in enumerate(tb.to_pylist()):
+            if inc is not None and pos not in inc:
+                continue
+            if exc is not None and pos in exc:
+                continue
             change = (r.get("_change_type") if kind == "cdc"
                       else kind)
             out = []

@@ -935,26 +935,53 @@ def test_delta_cdf_retention_cleaned_log_raises(spark, tmp_path):
         q.stop()
 
 
-def test_delta_cdf_dv_file_remove_in_window_raises(spark, tmp_path):
-    """ADVICE r9: removing a file that carries a deletion vector —
-    attached BEFORE the change window — must not emit delete rows
-    for the already-DV-deleted positions; the read gates."""
+def test_delta_cdf_dv_commits_emit_position_exact_changes(spark,
+                                                          tmp_path):
+    """r11 (VERDICT r10 #3, supersedes the ADVICE-r9 gate): deletion-
+    vector commits in a derived change feed.  The DV commit itself
+    (remove + re-add of the SAME file carrying the DV) emits delete
+    rows for exactly the NEWLY-dead positions; a later tombstone of
+    that file emits deletes only for its still-LIVE rows — the
+    already-DV-deleted positions never re-emit."""
     import pyspark.sql.functions as SF
-    import pytest
     from padawan_spark.functions.delta import (
         add_dv_fixture, read_delta_changes, replay_delta_log,
         remove_delta_files_fixture, write_delta_fixture)
     t = str(tmp_path / "cdfdv")
     df = spark.range(10).select(SF.col("id").alias("k"))
-    write_delta_fixture(spark, df, t, order_by=("k",))
+    write_delta_fixture(spark, df, t, order_by=("k",))   # v0
     _s, _p, files, _mm = replay_delta_log(t)
-    add_dv_fixture(t, {files[0][0]: [0, 1, 2]})
-    remove_delta_files_fixture(t, lambda rel: True)
-    # the DV landed at v1, the remove at v2 — a window starting at
-    # v2 never sees the DV add yet must still refuse
-    with pytest.raises(NotImplementedError,
-                       match="deletion-vector file"):
-        read_delta_changes(spark, t, starting_version=2)
+    add_dv_fixture(t, {files[0][0]: [0, 1, 2]})          # v1: DV
+    remove_delta_files_fixture(t, lambda rel: True)      # v2: drop all
+
+    def rows(ch):
+        return {(r["k"], r["_change_type"], r["_commit_version"])
+                for r in ch.collect()}
+
+    # the DV commit alone: deletes = the 3 newly-dead positions
+    # (file sorted by k, so positions 0-2 are k 0-2)
+    assert rows(read_delta_changes(spark, t, starting_version=1,
+                                   ending_version=1)) == {
+        (k, "delete", 1) for k in (0, 1, 2)}
+    # the tombstone alone — window starts AFTER the DV landed, state
+    # replay still knows it: only the 7 live rows emit
+    assert rows(read_delta_changes(spark, t, starting_version=2)) == {
+        (k, "delete", 2) for k in range(3, 10)}
+    # full feed: inserts + both delete slices, no overlap
+    assert rows(read_delta_changes(spark, t)) == (
+        {(k, "insert", 0) for k in range(10)}
+        | {(k, "delete", 1) for k in (0, 1, 2)}
+        | {(k, "delete", 2) for k in range(3, 10)})
+
+    # cumulative-DV growth: a second DV on the same file must emit
+    # only the DELTA (new minus old), not re-kill positions 0-2
+    t2 = str(tmp_path / "cdfdv2")
+    write_delta_fixture(spark, df, t2, order_by=("k",))  # v0
+    _s, _p, files2, _mm = replay_delta_log(t2)
+    add_dv_fixture(t2, {files2[0][0]: [0, 1, 2]})        # v1
+    add_dv_fixture(t2, {files2[0][0]: [0, 1, 2, 5, 7]})  # v2: grown DV
+    assert rows(read_delta_changes(spark, t2, starting_version=2)) == {
+        (5, "delete", 2), (7, "delete", 2)}
 
 
 def test_delta_cdf_name_mapped_table_reads(spark, tmp_path):
