@@ -30,12 +30,14 @@ Supported: CoW tables, MOR tables with parquet bases + avro-block
 logs, instant-time time travel on both, and ``replacecommit``
 instants (r9 — clustering / insert_overwrite: the file groups listed
 in ``partitionToReplaceFileIds`` are retired wholesale, logs and
-all, in favor of the commit's new base files), and LOG-ONLY file
+all, in favor of the commit's new base files), LOG-ONLY file
 groups (r9 — a deltacommit INSERT into a partition with no base
 yet: its rows live purely in the log and merge like any other
-slice).  ``.hoodie/metadata`` table reads, tables consisting ONLY of
-log-only groups (no base file anywhere to take the merge schema
-from), and non-scalar log payload columns (arrays/structs/binary)
+slice), and tables consisting ONLY of log-only groups (r11 — the
+merge schema recovers from the log's embedded Avro writer schema,
+logical-type annotations included, so a freshly-bootstrapped
+streaming-ingest table with no compaction yet reads correctly).
+Deeply-nested log payload columns (arrays of structs, binary)
 raise honest ``NotImplementedError``; timestamps and dates ride
 Avro logical types (micros / days from epoch).
 """
@@ -201,19 +203,46 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     from pyspark.sql.window import Window
     slices = (_slices if _slices is not None
               else live_hudi_slices(path, as_of))
+    had_slices = bool(slices)
     if partitions is not None:
         want = {str(p) for p in partitions}
         slices = {fid: s for fid, s in slices.items()
                   if s["part"] in want}
     if not slices:
+        if had_slices:
+            # ADVICE r10: pruning every slice away is a valid query —
+            # return zero rows WITH the table schema (the Delta path's
+            # behavior), never an error
+            cols = hudi_table_schema(path)
+            ddl = ", ".join(f"`{c}` {t}" for c, t in cols)
+            if keep_meta:
+                ddl = (", ".join(f"{c} string" for c in _META_COLS)
+                       + ", " + ddl)
+            empty = spark.createDataFrame([], ddl)
+            if _provenance:
+                empty = empty.withColumn(
+                    "__instant", F.lit(None).cast("string"))
+                if "_hoodie_record_key" not in empty.columns:
+                    empty = empty.withColumn(
+                        "_hoodie_record_key",
+                        F.lit(None).cast("string"))
+            return empty
         raise NotImplementedError(f"{path}: no live data files")
     bases = sorted(s["base"] for s in slices.values()
                    if s["base"] is not None)
-    if not bases:
-        raise NotImplementedError(
-            f"{path}: table has ONLY log-only file groups — the "
-            "merge schema comes from base parquet files")
-    base_df = spark.read.parquet(*bases)
+    if bases:
+        base_df = spark.read.parquet(*bases)
+    else:
+        # table consisting ONLY of log-only file groups (r11 — a
+        # freshly-bootstrapped streaming-ingest table): the merge
+        # schema comes from the log's embedded Avro writer schema;
+        # the base side of the merge is an empty frame with the five
+        # meta columns, and every row flows from the log decode
+        cols = hudi_log_table_schema(
+            sorted(p for s in slices.values() for p in s["logs"]))
+        base_df = spark.createDataFrame([], ", ".join(
+            [f"{c} string" for c in _META_COLS]
+            + [f"`{c}` {t}" for c, t in cols]))
     # ADVICE r9: real Hudi rolls .log.1/.log.2 per file group — the
     # ordering key must be global per group, so each log file carries
     # its position in the slice's commit-ordered log list (lidx) and
@@ -549,8 +578,13 @@ _SPARK_TO_AVRO = {"bigint": "long", "int": "int", "double": "double",
                   "float": "float", "string": "string",
                   "boolean": "boolean",
                   # Avro logical types: written as their underlying
-                  # primitives (micros / days from epoch)
-                  "timestamp": "long", "date": "int"}
+                  # primitives (micros / days from epoch), ANNOTATED
+                  # the way a real Hudi writer stamps them — the
+                  # annotation is what lets a log-only table's schema
+                  # round-trip (r11)
+                  "timestamp": {"type": "long",
+                                "logicalType": "timestamp-micros"},
+                  "date": {"type": "int", "logicalType": "date"}}
 
 
 def _avro_payload_type(col: str, t: str):
@@ -603,8 +637,14 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
     from .hudilog import (encode_avro_data_block, encode_delete_block,
                           encode_rollback_block)
     hdir = os.path.join(path, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
     instant = instant or _next_instant(path)
-    slices = live_hudi_slices(path)
+    try:
+        slices = live_hudi_slices(path)
+    except FileNotFoundError:
+        # bootstrapping a FRESH table with a deltacommit — the
+        # streaming-ingest shape that produces a log-only-ONLY table
+        slices = {}
     by_part = {s["part"]: (fid, s) for fid, s in slices.items()}
 
     def _log_path(fid: str, s: dict, roll: int = 0) -> str:
@@ -709,18 +749,80 @@ _PA_TO_DDL = {"int64": "bigint", "int32": "int", "double": "double",
               "string", "bool": "boolean"}
 
 
+_AVRO_PRIM_TO_DDL = {"long": "bigint", "int": "int",
+                     "double": "double", "float": "float",
+                     "string": "string", "boolean": "boolean"}
+
+
+def _avro_field_ddl(t) -> str:
+    """Avro field type (null-union already stripped) -> Spark DDL.
+    Logical-type annotations recover timestamp/date — the reason the
+    fixture writer stamps them like a real Hudi writer does."""
+    from .avro import _norm_type
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "timestamp-micros":
+            return "timestamp"
+        if lt == "date":
+            return "date"
+        k = t.get("type")
+        if k == "array":
+            it, _nl = _norm_type(t["items"])
+            return f"array<{_avro_field_ddl(it)}>"
+        if k == "record":
+            inner = ",".join(
+                f"{f['name']}:{_avro_field_ddl(_norm_type(f['type'])[0])}"
+                for f in t["fields"])
+            return f"struct<{inner}>"
+        if k in _AVRO_PRIM_TO_DDL:
+            return _AVRO_PRIM_TO_DDL[k]
+        raise NotImplementedError(f"hudi log schema avro type {t!r}")
+    if t in _AVRO_PRIM_TO_DDL:
+        return _AVRO_PRIM_TO_DDL[t]
+    raise NotImplementedError(f"hudi log schema avro type {t!r}")
+
+
+def hudi_log_table_schema(log_paths) -> list[tuple[str, str]]:
+    """``[(name, spark_ddl_type)]`` recovered from the FIRST Avro data
+    block's embedded writer schema across ``log_paths`` — the schema
+    source for a table consisting only of log-only file groups (r11).
+    Driver work is O(one log header), not O(rows): block headers are
+    walked, the first data block's SCHEMA header parsed, done."""
+    from .avro import _norm_type
+    from .hudilog import BLOCK_AVRO_DATA, H_SCHEMA, decode_log_blocks
+    for p in log_paths:
+        with open(p, "rb") as fh:
+            blocks = decode_log_blocks(fh.read())
+        for blk in blocks:
+            if blk["type"] != BLOCK_AVRO_DATA:
+                continue
+            schema = json.loads(blk["header"][H_SCHEMA])
+            out = []
+            for f in schema["fields"]:
+                if f["name"] in _META_COLS:
+                    continue
+                base_t, _nl = _norm_type(f["type"])
+                out.append((f["name"], _avro_field_ddl(base_t)))
+            return out
+    raise NotImplementedError(
+        "no avro data block found in any log file — cannot recover "
+        "the table schema (delete-only logs carry keys, not schemas)")
+
+
 def hudi_table_schema(path: str):
     """``[(name, spark_ddl_type)]`` of a Hudi table's data columns
     (``_hoodie_*`` meta excluded), from one base file's parquet
-    footer — planning-only driver work.  Timestamp/date surface as
-    their Spark types; other non-primitives gate."""
+    footer — planning-only driver work; a table with ONLY log-only
+    file groups recovers its schema from the log's embedded Avro
+    writer schema instead (r11).  Timestamp/date surface as their
+    Spark types; other non-primitives gate."""
     import pyarrow.parquet as pq
     slices = live_hudi_slices(path)
     base = next((s["base"] for s in slices.values()
                  if s["base"] is not None), None)
     if base is None:
-        raise NotImplementedError(
-            f"{path}: table has ONLY log-only file groups")
+        return hudi_log_table_schema(
+            sorted(p for s in slices.values() for p in s["logs"]))
     out = []
     for f in pq.read_schema(base):
         if f.name in _META_COLS:

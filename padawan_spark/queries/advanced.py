@@ -1698,3 +1698,47 @@ def src_hudi_mor_read(spark, sf_dir):
                     int(agg["u"])))
     return spark.createDataFrame(
         out, "scope string, n bigint, key_sum bigint, n_upd bigint")
+
+
+@query("src_hudi_log_only_table", oracle="""
+SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CASE WHEN n_nationkey % 5 = 0
+                     THEN n_nationkey * 100
+                     ELSE n_nationkey * 10 END) AS BIGINT) AS val_sum
+FROM nation WHERE n_nationkey <> 3
+""")
+def src_hudi_log_only_table(spark, sf_dir):
+    """Hudi table consisting ONLY of log-only file groups (r11) —
+    the shape of a freshly-bootstrapped streaming-ingest MOR table:
+    every write so far is a deltacommit, no base parquet exists
+    anywhere, so the merge schema recovers from the log's embedded
+    Avro writer schema (logical-type annotations included).  The
+    fixture bootstraps with a deltacommit INSERT, then a second
+    deltacommit upserts every ``k % 5 == 0`` row and deletes key 3;
+    the read must merge latest-wins purely from logs.  Scale shape:
+    identical to the MOR merge — Arrow-batched log decode, one task
+    per log file, one window per record key — with an EMPTY base
+    branch (zero parquet scan)."""
+    import os
+    import tempfile
+
+    from ..functions.hudi import read_hudi, write_hudi_delta_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        (F.col("n_nationkey") * 10).cast("bigint").alias("v"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_lo_"), "tbl")
+    write_hudi_delta_fixture(spark, t, upserts=n,
+                             partition_field="g")   # bootstrap
+    dels: dict[str, list[str]] = {}
+    for r in n.where(F.col("k") == 3).collect():
+        dels.setdefault(str(r["g"]), []).append(str(r["k"]))
+    write_hudi_delta_fixture(
+        spark, t,
+        upserts=n.where(F.col("k") % 5 == 0)
+        .withColumn("v", (F.col("k") * 100).cast("bigint")),
+        deletes=dels, partition_field="g")
+    return read_hudi(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.sum("v").cast("bigint").alias("val_sum"))
