@@ -48,10 +48,15 @@ AVRO data files (r9) read through the in-repo dependency-free Avro
 source (block-split tasks, writer schema per file) and union with
 parquet groups in one table; ORC data files (r10) ride Spark's
 native vectorized ORC source and share the broadcast
-partition-attach map through ``_metadata.file_path``.  Position
-deletes and schema evolution over Avro/ORC data raise honest
-``NotImplementedError`` (no row-index metadata outside parquet; no
-footer-field-id resolution outside parquet).
+partition-attach map through ``_metadata.file_path``.  ORC schema
+evolution (r11) resolves by the ``iceberg.id`` footer type
+attributes (the spec's ORC appendix) through the same one-job layout
+tap as parquet; ORC position deletes (r11) route ONLY the targeted
+files through an Arrow stripe scan that derives exact row positions
+in-task, untargeted ORC files staying on the native vectorized scan.
+Position deletes and schema evolution over AVRO data still raise
+honest ``NotImplementedError`` (no row-index or field-id metadata in
+the Avro source).
 """
 
 from __future__ import annotations
@@ -494,28 +499,23 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         if evolved:
             raise NotImplementedError(
                 "iceberg schema evolution over AVRO data files")
-    if any(fmt == "ORC" for _p, _pv, _s, fmt, _sp in files):
-        # ORC scans expose _metadata.file_path (so partition attach
-        # and eq-delete sequence scoping work) but not row_index, and
-        # column resolution by ORC field ids is not implemented
-        if pos_files:
-            raise NotImplementedError(
-                "iceberg position deletes over ORC data files "
-                "(_metadata.row_index is parquet-only)")
-        if evolved:
-            raise NotImplementedError(
-                "iceberg schema evolution over ORC data files")
     pq_paths = [p for p, _pv, _s, fmt, _sp in files
                 if fmt == "PARQUET"]
+    orc_paths = [p for p, _pv, _s, fmt, _sp in files if fmt == "ORC"]
     layouts: dict[str, tuple] = {}
-    if evolved and pq_paths:
+    if evolved and (pq_paths or orc_paths):
         # evolved table: logical name -> each file's physical column,
         # matched by footer field id (name fallback for id-less
         # legacy files); absent = column added after this file.  ONE
-        # distributed footer job resolves every file (r10 — never a
-        # driver-side open per data file).
-        from .layouts import parquet_field_layouts
-        raw = parquet_field_layouts(spark, pq_paths)
+        # distributed footer job PER FORMAT resolves every file (r10;
+        # ORC r11 via the `iceberg.id` type attributes) — never a
+        # driver-side open per data file.
+        from .layouts import orc_field_layouts, parquet_field_layouts
+        raw = {}
+        if pq_paths:
+            raw.update(parquet_field_layouts(spark, pq_paths))
+        if orc_paths:
+            raw.update(orc_field_layouts(spark, orc_paths))
         for p, flds in raw.items():
             byfid = {fid: nm for fid, nm in flds if fid is not None}
             names = {nm for _fid, nm in flds}
@@ -536,6 +536,30 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     # _metadata.file_path.  AVRO data files (no _metadata support in
     # the python source) keep the literal-attach path, grouped per
     # (partition tuple, sequence).
+    # file_path values inside position-delete files are URIs/relative
+    # paths as the writer recorded them — normalize both sides to a
+    # plain absolute path with Spark expressions (stays distributed)
+    def _norm(col):
+        c = F.regexp_replace(col, "^file:/+", "/")
+        return F.when(c.startswith("/"), c).otherwise(
+            F.concat(F.lit(os.path.abspath(path) + "/"), c))
+
+    # ORC files TARGETED by a position delete read through an Arrow
+    # stripe scan that derives EXACT row positions in-task (ORC has
+    # no _metadata.row_index); untargeted ORC files keep the native
+    # vectorized scan (their null __pos can never match a delete).
+    # The targeted set comes from ONE small job over the delete
+    # files — O(distinct deleted files) driver rows, the same class
+    # as the manifest planning collects.
+    targeted_orc: set = set()
+    if pos_files and orc_paths:
+        targeted = {
+            r["__fp"] for r in
+            spark.read.schema("file_path string, pos bigint")
+            .parquet(*pos_files)
+            .select(_norm(F.col("file_path")).alias("__fp"))
+            .distinct().collect()}
+        targeted_orc = {p for p in orc_paths if p in targeted}
     groups: dict[tuple, list[str]] = {}
     for p, pvals, seq, fmt, sid in files:
         if fmt == "AVRO":
@@ -544,17 +568,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                          for f2 in ident_of.get(sid, {}).values()),
                    seq)
         else:
-            key = (fmt, sid,
-                   layouts.get(p, ()) if fmt == "PARQUET" else (),
+            key = ("ORC@pos" if p in targeted_orc else fmt, sid,
+                   layouts.get(p, ()) if fmt in ("PARQUET", "ORC")
+                   else (),
                    None)
         groups.setdefault(key, []).append(p)
-    # file_path values inside position-delete files are URIs/relative
-    # paths as the writer recorded them — normalize both sides to a
-    # plain absolute path with Spark expressions (stays distributed)
-    def _norm(col):
-        c = F.regexp_replace(col, "^file:/+", "/")
-        return F.when(c.startswith("/"), c).otherwise(
-            F.concat(F.lit(os.path.abspath(path) + "/"), c))
 
     need_fp = bool(pos_files) or bool(eq_files) or bool(attach_cols)
     parts = []
@@ -600,9 +618,59 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         else:
             lmap = None
             ddl_g = ", ".join(f"{n} {types[n]}" for n in dn)
+        if fmt == "ORC@pos":
+            # position-deleted ORC files (r11): Arrow stripe scan,
+            # one task per file, positions derived by a running
+            # stripe offset — memory bounds at one stripe per batch,
+            # physical columns resolved by field id via the same
+            # layout map, logical names emitted directly
+            pmapping = {n: (lmap.get(n) if evolved else n)
+                        for n in dn}
+            out_ddl = (", ".join(f"`{n}` {types[n]}" for n in dn)
+                       + ", __fp string, __pos bigint")
+
+            def _orc_pos_scan(batches, _pm=pmapping, _dn=tuple(dn)):
+                import pandas as pd
+                import pyarrow.orc as po
+                for pdf in batches:
+                    for p2 in pdf["path"]:
+                        f2 = po.ORCFile(p2)
+                        off = 0
+                        for si in range(f2.nstripes):
+                            tb = f2.read_stripe(si)
+                            pdo = tb.to_pandas()
+                            data = {}
+                            for n2 in _dn:
+                                pn = _pm.get(n2)
+                                data[n2] = (
+                                    pdo[pn] if pn is not None
+                                    and pn in pdo.columns
+                                    else [None] * len(pdo))
+                            outp = pd.DataFrame(data)
+                            outp["__fp"] = p2
+                            outp["__pos"] = range(off,
+                                                  off + len(pdo))
+                            off += len(pdo)
+                            yield outp
+
+            n_scan = min(len(paths),
+                         max(32,
+                             spark.sparkContext.defaultParallelism))
+            df = (spark.createDataFrame([(p2,) for p2 in paths],
+                                        "path string")
+                  .repartition(n_scan, "path")
+                  .mapInPandas(_orc_pos_scan, out_ddl))
+            if eq_files:
+                df = df.withColumn("__seq",
+                                   F.lit(None).cast("bigint"))
+            for c in field_names:
+                if c not in dn:
+                    df = df.withColumn(c, F.lit(None).cast(types[c]))
+            parts.append(df)
+            continue
         # ORC rides Spark's native ORC source (same vectorized scan,
-        # same _metadata.file_path for the attach map); evolution and
-        # position deletes over ORC are gated above
+        # same _metadata.file_path for the attach map); schema
+        # evolution resolves by `iceberg.id` footer attributes (r11)
         df = (spark.read.schema(ddl_g).orc(list(paths))
               if fmt == "ORC"
               else spark.read.schema(ddl_g).parquet(*paths))
@@ -617,7 +685,12 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             df = df.withColumn("__fp",
                                _norm(F.col("_metadata.file_path")))
         if pos_files:
-            df = df.withColumn("__pos", F.col("_metadata.row_index"))
+            # ORC here means UNTARGETED by any position delete (the
+            # targeted files took the ORC@pos branch): a null __pos
+            # can never match the anti-join, so the rows all survive
+            df = df.withColumn(
+                "__pos", F.lit(None).cast("bigint") if fmt == "ORC"
+                else F.col("_metadata.row_index"))
         if eq_files:
             df = df.withColumn("__seq", F.lit(None).cast("bigint"))
         # this spec's identity sources carry no data in its files —
@@ -973,9 +1046,17 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                     fh.write(encode_avro_py(aspec, rows_py))
             elif ext == "orc":
                 from pyarrow import orc as pa_orc
-                pa_orc.write_table(
-                    pa.Table.from_pandas(pdf, preserve_index=False),
-                    full)
+                # stamp field ids as `iceberg.id` type attributes —
+                # the ORC equivalent of PARQUET:field_id (spec's ORC
+                # appendix), what lets an evolved reader resolve
+                # columns by id (r11)
+                tb = pa.Table.from_pandas(pdf, preserve_index=False)
+                flds = [f.with_metadata(
+                    {b"iceberg.id":
+                     str(name_to_id[f.name]).encode()})
+                    if f.name in name_to_id else f
+                    for f in tb.schema]
+                pa_orc.write_table(tb.cast(pa.schema(flds)), full)
             else:
                 pq.write_table(_pa_table(pdf), full)
             entries.append({"status": 1, "snapshot_id": snap_id,

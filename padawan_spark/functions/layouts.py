@@ -54,3 +54,40 @@ def parquet_field_layouts(spark, paths) -> dict:
     return {r["path"]: [(fid, nm) for fid, nm in
                         json.loads(r["layout"])]
             for r in fdf.collect()}
+
+
+def orc_field_layouts(spark, paths) -> dict:
+    """ORC twin of :func:`parquet_field_layouts` (r11): one
+    distributed footer job → ``{path: [(field_id | None, name)]}``.
+    Iceberg's ORC writers stamp each column's field id as the
+    ``iceberg.id`` type attribute (the spec's ORC appendix), which
+    pyarrow surfaces as field metadata."""
+    paths = sorted(set(paths))
+    if not paths:
+        return {}
+
+    def _tap(batches):
+        import json as _json
+
+        import pandas as pd
+        import pyarrow.orc as po
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                pairs = []
+                for fld in po.ORCFile(p).schema:
+                    md = fld.metadata or {}
+                    fid = md.get(b"iceberg.id")
+                    pairs.append((int(fid) if fid is not None
+                                  else None, fld.name))
+                rows.append((p, _json.dumps(pairs)))
+            yield pd.DataFrame(rows, columns=["path", "layout"])
+
+    n = min(len(paths),
+            max(32, spark.sparkContext.defaultParallelism))
+    fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
+           .repartition(n, "path")
+           .mapInPandas(_tap, "path string, layout string"))
+    return {r["path"]: [(fid, nm) for fid, nm in
+                        json.loads(r["layout"])]
+            for r in fdf.collect()}

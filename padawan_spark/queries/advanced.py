@@ -1499,10 +1499,13 @@ WITH u AS (
   SELECT n_nationkey AS k, n_regionkey AS g FROM nation
   UNION ALL
   SELECT n_nationkey + 200, n_regionkey FROM nation
-)
+),
+-- the position delete kills row 0 of region 0's ORC file, which is
+-- sorted by key: the smallest n_nationkey of region 0 (ORC copy only)
+x AS (SELECT MIN(n_nationkey) AS k0 FROM nation WHERE n_regionkey = 0)
 SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
        COUNT(DISTINCT g) AS n_groups
-FROM u WHERE k NOT IN (7, 207)
+FROM u, x WHERE k NOT IN (7, 207) AND k <> x.k0
 """)
 def src_iceberg_orc_data(spark, sf_dir):
     """Iceberg ORC data files (r10) — the other non-parquet data
@@ -1511,12 +1514,15 @@ def src_iceberg_orc_data(spark, sf_dir):
     parquet snapshot in one table (one scan group per file format);
     identity partition values re-attach through the shared broadcast
     file→values map (ORC exposes ``_metadata.file_path`` like any
-    Spark file source), and an equality delete applies ACROSS
-    formats via the same sequence-scoped anti-join.  The oracle
-    restates the merged aggregate.  Scale shape: both formats stay
-    native distributed scans; position deletes and schema evolution
-    over ORC gate honestly (no ``row_index``/field-id metadata
-    outside parquet)."""
+    Spark file source), an equality delete applies ACROSS formats
+    via the same sequence-scoped anti-join, and (r11) a POSITION
+    delete on an ORC file applies too — the targeted file reads
+    through an Arrow stripe scan deriving exact row positions
+    in-task, every untargeted ORC file staying on the native
+    vectorized scan.  The oracle restates the merged aggregate.
+    Scale shape: the Arrow path is paid ONLY by position-deleted
+    files; schema evolution over ORC resolves by ``iceberg.id``
+    footer attributes through the shared one-job layout tap."""
     import os
     import tempfile
 
@@ -1525,13 +1531,17 @@ def src_iceberg_orc_data(spark, sf_dir):
         F.col("n_nationkey").cast("bigint").alias("k"),
         F.col("n_regionkey").cast("bigint").alias("g"))
     t = os.path.join(tempfile.mkdtemp(prefix="padawan_iceorc_"), "tbl")
+    # order_by pins physical row order — position deletes address by it
     write_iceberg_fixture(spark, n, t, partition_by=("g",),
-                          file_format="orc")
+                          file_format="orc", order_by=("k",))
     write_iceberg_fixture(spark, n.select((F.col("k") + 200).alias("k"),
                                           F.col("g")),
                           t, partition_by=("g",))
     write_iceberg_fixture(spark, None, t, partition_by=("g",),
                           delete_equality=(["k"], [(7,), (207,)]))
+    # v2 position delete on region 0's ORC data file, row 0
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_positions={"data/snap1-0.orc": [0]})
     return read_iceberg(spark, t).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("k").cast("bigint").alias("key_sum"),

@@ -1360,18 +1360,19 @@ def test_iceberg_schema_evolution_field_id_resolution(spark, tmp_path):
 
 
 def test_iceberg_orc_data_files(spark, tmp_path):
-    """r10: ORC data files read through Spark's native ORC source,
-    union with parquet snapshots, share the partition attach map,
-    and gate position deletes honestly."""
+    """r10 (+r11): ORC data files read through Spark's native ORC
+    source, union with parquet snapshots, share the partition attach
+    map — and position deletes APPLY to ORC: the targeted file reads
+    through an Arrow stripe scan with exact row positions, untargeted
+    ORC files stay native."""
     import pyspark.sql.functions as SF
-    import pytest
     from padawan_spark.functions.iceberg import (read_iceberg,
                                                  write_iceberg_fixture)
     t = str(tmp_path / "iceorc")
     df = spark.range(10).select(SF.col("id").alias("k"),
                                 (SF.col("id") % 2).alias("g"))
     write_iceberg_fixture(spark, df, t, partition_by=("g",),
-                          file_format="orc")
+                          file_format="orc", order_by=("k",))
     write_iceberg_fixture(spark, spark.range(100, 104).select(
         SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
         t, partition_by=("g",))
@@ -1381,11 +1382,51 @@ def test_iceberg_orc_data_files(spark, tmp_path):
                     list(range(10)) + list(range(100, 104))}
     # filters prune + re-apply across both formats
     assert read_iceberg(spark, t, filters={"g": 1}).count() == 7
-    # position deletes over ORC rows gate honestly
+    # position deletes over ORC: snap1-0.orc is partition g=0 sorted
+    # by k (rows 0,2,4,6,8) — positions 0 and 2 are keys 0 and 4
     write_iceberg_fixture(spark, None, t, partition_by=("g",),
-                          delete_positions={"data/snap1-0.orc": [0]})
-    with pytest.raises(NotImplementedError, match="ORC"):
-        read_iceberg(spark, t).collect()
+                          delete_positions={"data/snap1-0.orc": [0, 2]})
+    rows2 = {r["k"] for r in read_iceberg(spark, t).collect()}
+    assert rows2 == ({k for k in range(10)} - {0, 4}) | set(
+        range(100, 104))
+    # partition values still attach on the Arrow-scanned file
+    assert read_iceberg(spark, t, filters={"g": 0}).count() == 5
+
+
+def test_iceberg_orc_schema_evolution(spark, tmp_path):
+    """r11: schema evolution over ORC data files — columns resolve by
+    the `iceberg.id` footer type attributes (the spec's ORC appendix)
+    through the same one-job layout tap as parquet, so renames keep
+    reading pre-rename ORC files and later-added columns come back
+    null; combined with a position delete on the evolved file (the
+    Arrow stripe scan path under an evolved layout)."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        write_iceberg_fixture)
+    t = str(tmp_path / "iceorcev")
+    df = spark.range(8).select(
+        SF.col("id").alias("k"), (SF.col("id") * 2).alias("v"))
+    write_iceberg_fixture(spark, df, t, file_format="orc",
+                          order_by=("k",))
+    evolve_iceberg_schema_fixture(t, renames={"v": "value"},
+                                  add_columns=[("w", "long")])
+    write_iceberg_fixture(spark, spark.range(100, 103).select(
+        SF.col("id").alias("k"), (SF.col("id") * 3).alias("value"),
+        (SF.col("id") + 1).alias("w")), t, file_format="orc",
+        order_by=("k",))
+    out = read_iceberg(spark, t)
+    assert out.columns == ["k", "value", "w"]
+    rows = {r["k"]: (r["value"], r["w"]) for r in out.collect()}
+    assert rows[4] == (8, None)        # renamed col via iceberg.id
+    assert rows[101] == (303, 102)     # new-schema ORC file
+    assert len(rows) == 11
+    # position delete on the PRE-evolution ORC file: the Arrow scan
+    # resolves physical column `v` -> logical `value` via the layout
+    write_iceberg_fixture(spark, None, t,
+                          delete_positions={"data/snap1-0.orc": [1]})
+    rows2 = {r["k"]: r["value"] for r in read_iceberg(spark, t).collect()}
+    assert 1 not in rows2 and rows2[2] == 4 and len(rows2) == 10
 
 
 def test_iceberg_snapshot_schema_time_travel(spark, tmp_path):
