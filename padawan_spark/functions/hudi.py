@@ -246,9 +246,12 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     # ADVICE r9: real Hudi rolls .log.1/.log.2 per file group — the
     # ordering key must be global per group, so each log file carries
     # its position in the slice's commit-ordered log list (lidx) and
-    # latest-wins orders by (instant, lidx, block index)
+    # latest-wins orders by (instant, lidx, block index).  r11: each
+    # log file also carries its file-group id — the merge is PER FILE
+    # SLICE, the way real MOR readers run it (a key's updates land
+    # only in its own group's logs).
     log_files = sorted(
-        (p, lidx) for s in slices.values()
+        (p, lidx, fid) for fid, s in slices.items()
         for lidx, p in enumerate(s["logs"]))
     if not log_files:
         if _provenance:
@@ -273,7 +276,8 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     committed = set(list_hudi_commits(path))
     if as_of is not None:
         committed = {ts for ts in committed if ts <= as_of}
-    out_ddl = ("_hoodie_record_key string, __instant string, "
+    out_ddl = ("_hoodie_record_key string, __gid string, "
+               "__instant string, "
                "__lidx int, __seq int, __del boolean, "
                + ", ".join(f"{c} {dtypes[c]}" for c in data_cols))
 
@@ -281,11 +285,12 @@ def read_hudi(spark, path: str, as_of: str | None = None,
         from .hudilog import (BLOCK_AVRO_DATA, BLOCK_DELETE,
                               H_INSTANT_TIME, decode_avro_data_block,
                               decode_delete_block, decode_log_blocks)
-        cols = (["_hoodie_record_key", "__instant", "__lidx",
+        cols = (["_hoodie_record_key", "__gid", "__instant", "__lidx",
                  "__seq", "__del"] + data_cols)
         for pdf in batches:
             rows = []
-            for p, lidx in zip(pdf["path"], pdf["lidx"]):
+            for p, lidx, gid in zip(pdf["path"], pdf["lidx"],
+                                    pdf["gid"]):
                 with open(p, "rb") as fh:
                     blocks = decode_log_blocks(fh.read())
                 for seq, blk in enumerate(blocks):
@@ -295,13 +300,13 @@ def read_hudi(spark, path: str, as_of: str | None = None,
                     if blk["type"] == BLOCK_AVRO_DATA:
                         for r in decode_avro_data_block(blk):
                             rows.append(
-                                [r["_hoodie_record_key"], inst,
+                                [r["_hoodie_record_key"], gid, inst,
                                  int(lidx), seq, False]
                                 + [r.get(c) for c in data_cols])
                     elif blk["type"] == BLOCK_DELETE:
                         for k in decode_delete_block(blk):
-                            rows.append([k, inst, int(lidx), seq,
-                                         True]
+                            rows.append([k, gid, inst, int(lidx),
+                                         seq, True]
                                         + [None] * len(data_cols))
                     else:
                         raise NotImplementedError(
@@ -319,7 +324,7 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     n_tasks = min(len(log_files),
                   max(32, spark.sparkContext.defaultParallelism))
     paths_df = spark.createDataFrame(
-        log_files, "path string, lidx int").repartition(
+        log_files, "path string, lidx int, gid string").repartition(
         n_tasks, "path")
     # materialize the decoded log rows ONCE (they feed the key
     # broadcast, the pass-through anti-join, and the merge branch —
@@ -328,44 +333,86 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     extra_meta = [c for c in _META_COLS
                   if c != "_hoodie_record_key"
                   and c in base_df.columns] if keep_meta else []
-    base_evt = base_df.select(
-        F.col("_hoodie_record_key"),
-        F.col("_hoodie_commit_time").alias("__instant"),
-        F.lit(-1).alias("__lidx"),
-        F.lit(-1).alias("__seq"), F.lit(False).alias("__del"),
-        *[F.col(c) for c in data_cols],
-        *[F.col(c) for c in extra_meta])
+    # Per-file-slice merge (r11): base files of groups with NO logs
+    # never enter any join — their scan unions straight into the
+    # output.  Only touched GROUPS' base files feed the key split,
+    # so the anti/semi branches scan log-touched files, not the
+    # table.  A base row's group id derives in-task from its file
+    # name (Hudi encodes the fileId as the name's first `_`-separated
+    # token — the same identity the planning stats carry), verified
+    # against the planning fileIds driver-side below so a
+    # nonconforming layout fails CLOSED instead of splitting wrong.
+    touched_fids = {fid for fid, s in slices.items() if s["logs"]}
+    un_bases = sorted(s["base"] for fid, s in slices.items()
+                      if not s["logs"] and s["base"] is not None)
+    t_bases = sorted(s["base"] for fid, s in slices.items()
+                     if s["logs"] and s["base"] is not None)
+    for fid, s in slices.items():
+        if s["logs"] and s["base"] is not None:
+            prefix = os.path.basename(s["base"]).split("_", 1)[0]
+            if prefix != fid:
+                raise NotImplementedError(
+                    f"hudi base file {s['base']!r} does not encode "
+                    f"its file group id {fid!r} in its name — "
+                    "cannot derive per-slice merge groups")
+
+    def _evt(df, with_gid=False):
+        gid = ([F.regexp_extract(F.col("_metadata.file_name"),
+                                 "^([^_]+)_", 1).alias("__gid")]
+               if with_gid else [])
+        return df.select(
+            F.col("_hoodie_record_key"), *gid,
+            F.col("_hoodie_commit_time").alias("__instant"),
+            F.lit(-1).alias("__lidx"),
+            F.lit(-1).alias("__seq"), F.lit(False).alias("__del"),
+            *[F.col(c) for c in data_cols],
+            *[F.col(c) for c in extra_meta])
+
+    base_evt = None
+    if t_bases:
+        base_evt = _evt(spark.read.parquet(*t_bases), with_gid=True)
     log_evt = log_df
     for c in extra_meta:
         log_evt = log_evt.withColumn(c, F.lit(None).cast("string"))
-    w = (Window.partitionBy("_hoodie_record_key")
+    w = (Window.partitionBy("__gid", "_hoodie_record_key")
          .orderBy(F.col("__instant").desc(), F.col("__lidx").desc(),
                   F.col("__seq").desc()))
     # materialized alongside the count so the anti- and semi-join
     # broadcasts build straight from it (no re-shuffled distinct per
     # consumer); sized like the log, small by MOR design
-    touched_keys = (log_df.select("_hoodie_record_key").distinct()
-                    .localCheckpoint())
-    # Base rows whose key no log touches pass through VERBATIM (the
-    # way a real MOR reader streams base rows, merging only on log
-    # match — including duplicate-key rows a bulk insert may have
-    # left); only touched keys enter the latest-wins window.  Both
-    # size regimes share this structure so semantics never depend on
-    # log size: past log_key_limit the only change is dropping the
-    # broadcast hint (the joins become shuffle joins rather than a
-    # driver-OOM-risking broadcast).
+    touched_keys = (log_df.select("__gid", "_hoodie_record_key")
+                    .distinct().localCheckpoint())
+    # Base rows whose key no log IN THEIR OWN GROUP touches pass
+    # through VERBATIM (the way a real MOR reader streams base rows,
+    # merging only on log match — including duplicate-key rows a bulk
+    # insert may have left); only touched (group, key) pairs enter
+    # the latest-wins window.  Both size regimes share this structure
+    # so semantics never depend on log size: past log_key_limit the
+    # only change is dropping the broadcast hint (the joins become
+    # shuffle joins rather than a driver-OOM-risking broadcast).
     bkeys = (touched_keys if touched_keys.count() > log_key_limit
              else F.broadcast(touched_keys))
-    untouched = (base_evt
-                 .join(bkeys, "_hoodie_record_key", "left_anti")
-                 .drop("__lidx", "__seq", "__del"))
-    touched_base = base_evt.join(bkeys, "_hoodie_record_key",
-                                 "left_semi")
-    resolved = (touched_base.unionByName(log_evt)
+    pieces = []
+    if un_bases:
+        pieces.append(_evt(spark.read.parquet(*un_bases))
+                      .drop("__lidx", "__seq", "__del"))
+    if base_evt is not None:
+        pieces.append(
+            base_evt.join(bkeys, ["__gid", "_hoodie_record_key"],
+                          "left_anti")
+            .drop("__lidx", "__seq", "__del", "__gid"))
+    touched_union = (base_evt.join(
+        bkeys, ["__gid", "_hoodie_record_key"], "left_semi")
+        .unionByName(log_evt) if base_evt is not None else log_evt)
+    resolved = (touched_union
                 .withColumn("__rn", F.row_number().over(w))
                 .where((F.col("__rn") == 1) & ~F.col("__del"))
-                .drop("__rn", "__lidx", "__seq", "__del"))
-    merged = untouched.unionByName(resolved)
+                .drop("__rn", "__lidx", "__seq", "__del", "__gid"))
+    merged = pieces[0] if pieces else None
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    merged = (resolved if merged is None
+              else merged.unionByName(resolved))
     if _provenance:
         return merged.drop(*extra_meta)
     merged = merged.drop("__instant")

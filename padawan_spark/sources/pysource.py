@@ -1048,9 +1048,10 @@ class HudiIncrementalSource(DataSource):
 
 # ---------------------------------------------------------------------------
 # Iceberg incremental-APPEND streaming source (r10): the spec's
-# incremental scan — offsets are snapshot ids (by commit order), each
-# micro-batch reads exactly the data files ADDED by the snapshots in
-# its span.  Per the spec, only append snapshots may be consumed
+# incremental scan — offsets are COMMIT-ORDER POSITIONS in the
+# snapshot log (ADVICE r10: snapshot ids are random longs, so id
+# comparison would drop a newer-but-smaller id), each micro-batch
+# reads exactly the data files ADDED by the snapshots in its span.  Per the spec, only append snapshots may be consumed
 # incrementally: a span whose file set shrank (delete/replace/
 # overwrite) raises instead of emitting wrong rows.  One
 # InputPartition per added file — task-parallel like a file scan.
@@ -1076,18 +1077,39 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                                     s.get("sequence-number", 0),
                                     s["snapshot-id"]))]
 
+    # ADVICE r10: real Iceberg snapshot ids are RANDOM longs — a
+    # newer snapshot may carry a smaller id, so id comparison as the
+    # offset would silently skip it (dropped data).  Offsets are the
+    # POSITION in the commit-ordered snapshot list instead ("how many
+    # snapshots consumed"); ids resolve from the ordered list only
+    # when a span's endpoints are needed.
+
+    def _initial_index(self):
+        if not self.start_snapshot:
+            return 0
+        snaps = self._snapshot_ids()
+        if self.start_snapshot not in snaps:
+            raise ValueError(
+                f"padawan_iceberg_appends: startingSnapshotId "
+                f"{self.start_snapshot} not in the table's "
+                "snapshot log")
+        return snaps.index(self.start_snapshot) + 1
+
     def initialOffset(self):
-        self._last_end = self.start_snapshot
-        return {"s": self.start_snapshot}
+        idx = self._initial_index()
+        self._last_end = max(self._last_end or 0, idx)
+        return {"i": idx}
 
     def latestOffset(self):
-        snaps = self._snapshot_ids()
+        n = len(self._snapshot_ids())
+        # Spark may poll latestOffset BEFORE initialOffset — falling
+        # back to 0 here would throttle the first batch into a span
+        # that re-reads pre-start snapshots
         last = (self._last_end if self._last_end is not None
-                else self.start_snapshot)
-        newer = [s for s in snaps if s > last] if last else snaps
+                else self._initial_index())
         if self._max_snaps:
-            newer = newer[:self._max_snaps]
-        return {"s": newer[-1] if newer else last}
+            n = min(n, last + self._max_snaps)
+        return {"i": max(n, last)}
 
     def partitions(self, start, end):
         import json as _json
@@ -1097,10 +1119,13 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                                          _raw_specs,
                                          _schema_inventory,
                                          live_data_files)
-        lo, hi = start["s"], end["s"]
-        self._last_end = hi
-        if hi <= lo:
+        lo_i, hi_i = start["i"], end["i"]
+        self._last_end = max(self._last_end or 0, hi_i, lo_i)
+        if hi_i <= lo_i:
             return [InputPartition(None)]
+        snaps = self._snapshot_ids()
+        lo = snaps[lo_i - 1] if lo_i > 0 else 0
+        hi = snaps[hi_i - 1]
         hi_files = live_data_files(self.path, hi)[2]
         new_files = {p: (tuple(sorted(pv.items())), sp)
                      for p, pv, _s, _f, sp in hi_files}
@@ -1116,11 +1141,29 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                 f"({sorted(gone)[:3]}...) — only append snapshots "
                 "stream incrementally, per the spec")
         added = sorted(p for p in new_files if p not in old_paths)
+        # ADVICE r10: the task reads with pyarrow.parquet and matches
+        # columns BY CURRENT NAME — mirror the batch reader's honest
+        # gates instead of emitting NULLs for a renamed column or
+        # crashing opaquely on a non-parquet file
+        added_set = set(added)
+        bad_fmt = sorted(f for p, _pv, _s, f, _sp in hi_files
+                         if p in added_set and f != "PARQUET")
+        if bad_fmt:
+            raise NotImplementedError(
+                "padawan_iceberg_appends: non-parquet data files "
+                f"({bad_fmt[:3]}) in the stream span — the stream "
+                "task reads with pyarrow.parquet only")
         # identity partition values re-attach per file in the task,
         # resolved under each file's OWN spec
         with open(_latest_metadata(self.path)) as fh:
             meta = _json.load(fh)
-        fld_ids, _n = _schema_inventory(self.path)
+        fld_ids, n_schemas = _schema_inventory(self.path)
+        if n_schemas > 1:
+            raise NotImplementedError(
+                "padawan_iceberg_appends: the table carries "
+                f"{n_schemas} schemas — by-name column matching in "
+                "the stream task would silently null a renamed "
+                "column; evolved tables need the batch read_iceberg")
         name_of = {v: k for k, v in fld_ids.items()}
         ident_by_spec = {
             s: {fname: src for t, _p, src, fname

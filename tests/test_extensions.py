@@ -1593,6 +1593,95 @@ def test_iceberg_appends_stream_source(spark, tmp_path):
         q2.stop()
 
 
+def test_iceberg_appends_stream_random_snapshot_ids(spark, tmp_path):
+    """ADVICE r10: real Iceberg snapshot ids are random longs — a
+    newer snapshot with a SMALLER id than the last-consumed one must
+    still stream (offsets are commit-order positions, not id
+    comparisons).  Also pins the honest gates: non-parquet data files
+    and evolved schemas raise instead of nulling/crashing in-task."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+
+    def _remap_ids(t, mapping):
+        mdir = _os.path.join(t, "metadata")
+        hint = int(open(_os.path.join(mdir,
+                                      "version-hint.text")).read())
+        mp = _os.path.join(mdir, f"v{hint}.metadata.json")
+        with open(mp) as fh:
+            meta = _json.load(fh)
+        for s in meta["snapshots"]:
+            s["snapshot-id"] = mapping.get(s["snapshot-id"],
+                                           s["snapshot-id"])
+        meta["current-snapshot-id"] = mapping.get(
+            meta["current-snapshot-id"], meta["current-snapshot-id"])
+        with open(mp, "w") as fh:
+            _json.dump(meta, fh)
+
+    t = str(tmp_path / "irand")
+    write_iceberg_fixture(spark, spark.range(3).select(
+        SF.col("id").alias("k")), t)                      # seq 1
+    write_iceberg_fixture(spark, spark.range(10, 12).select(
+        SF.col("id").alias("k")), t)                      # seq 2
+    write_iceberg_fixture(spark, spark.range(20, 24).select(
+        SF.col("id").alias("k")), t)                      # seq 3
+    # commit order stays 1,2,3 by sequence-number; ids become
+    # NON-monotonic: the third snapshot's id is the smallest
+    _remap_ids(t, {1: 500, 2: 900, 3: 105})
+
+    def drain(opts):
+        name = "ir_" + _uuid.uuid4().hex[:8]
+        src = (spark.readStream.format("padawan_iceberg_appends")
+               .options(**opts).load())
+        q = src.writeStream.format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {r["k"] for r in spark.table(name).collect()}
+
+    # start AFTER snapshot 500: both later snapshots stream, the
+    # smaller-id one (105) included — the old `id > last` offset
+    # would have silently dropped it
+    assert drain({"path": t, "startingSnapshotId": "500"}) == (
+        {10, 11} | {20, 21, 22, 23})
+    # one micro-batch per snapshot must also hold the order
+    assert drain({"path": t, "startingSnapshotId": "900",
+                  "maxSnapshotsPerTrigger": "1"}) == {20, 21, 22, 23}
+
+    # unknown startingSnapshotId fails loudly
+    with pytest.raises(Exception, match="not in the table"):
+        drain({"path": t, "startingSnapshotId": "12345"})
+
+    # non-parquet data files in the span gate honestly
+    t2 = str(tmp_path / "iorc")
+    write_iceberg_fixture(spark, spark.range(3).select(
+        SF.col("id").alias("k")), t2)
+    write_iceberg_fixture(spark, spark.range(5, 7).select(
+        SF.col("id").alias("k")), t2, file_format="orc")
+    with pytest.raises(Exception, match="non-parquet"):
+        drain({"path": t2})
+
+    # evolved schema gates honestly (by-name matching would null a
+    # renamed column)
+    t3 = str(tmp_path / "ievo")
+    write_iceberg_fixture(spark, spark.range(3).select(
+        SF.col("id").alias("k"), (SF.col("id") * 2).alias("v")), t3)
+    evolve_iceberg_schema_fixture(t3, renames={"v": "value"})
+    write_iceberg_fixture(spark, spark.range(9, 11).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") * 3).alias("value")), t3)
+    with pytest.raises(Exception, match="schemas"):
+        drain({"path": t3})
+
+
 def test_incremental_stream_sources_restart_exactly_once(spark,
                                                          tmp_path):
     """r10: kill the hudi-incremental and iceberg-appends streams and
