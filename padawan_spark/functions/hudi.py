@@ -73,12 +73,125 @@ def list_hudi_commits(path: str) -> list[str]:
     return [ts for ts, _k in _timeline(path)]
 
 
-def live_hudi_slices(path: str, as_of: str | None = None):
+def hudi_metadata_files(path: str):
+    """Driver-side read of the ``.hoodie/metadata`` table's FILES
+    partition (r11): Hudi's internal MOR table whose ``files``
+    partition maps each data partition to its file listing — the
+    replacement for per-partition directory listing (and here, for
+    the full O(timeline) commit-JSON replay) in the planning path.
+    Returns ``{data_partition: [filenames]}``, or ``None`` when no
+    metadata table exists.  Planning-scale work: one record per data
+    partition, latest-wins per key across the metadata table's own
+    log blocks.  HFile base files (real Hudi's metadata base format)
+    gate honestly; the avro-log-only shape our fixture writes — and a
+    freshly-bootstrapped real metadata table has — decodes fully."""
+    mroot = os.path.join(path, ".hoodie", "metadata")
+    if not os.path.isdir(os.path.join(mroot, ".hoodie")):
+        return None
+    from .hudilog import (BLOCK_AVRO_DATA, BLOCK_DELETE,
+                          H_INSTANT_TIME, decode_avro_data_block,
+                          decode_delete_block, decode_log_blocks)
+    inner = live_hudi_slices(mroot, use_metadata=False)
+    committed = set(list_hudi_commits(mroot))
+    state: dict[str, tuple] = {}
+    for fid, s in sorted(inner.items()):
+        if s["base"] is not None:
+            raise NotImplementedError(
+                f"{mroot}: metadata table base file {s['base']!r} — "
+                "HFile bases are unsupported; only log-only metadata "
+                "tables decode")
+        for lidx, p in enumerate(s["logs"]):
+            with open(p, "rb") as fh:
+                blocks = decode_log_blocks(fh.read())
+            for seq, blk in enumerate(blocks):
+                inst = blk["header"].get(H_INSTANT_TIME)
+                if inst not in committed:
+                    continue
+                ordk = (inst, lidx, seq)
+                if blk["type"] == BLOCK_AVRO_DATA:
+                    for r in decode_avro_data_block(blk):
+                        k = r["_hoodie_record_key"]
+                        if k not in state or state[k][0] < ordk:
+                            state[k] = (ordk, r.get("filenames"))
+                elif blk["type"] == BLOCK_DELETE:
+                    for k in decode_delete_block(blk):
+                        if k not in state or state[k][0] < ordk:
+                            state[k] = (ordk, None)
+                else:
+                    raise NotImplementedError(
+                        f"hudi metadata log block type {blk['type']}")
+    return {("" if k == "__all_partitions__" else k): list(v)
+            for k, (_o, v) in state.items() if v is not None}
+
+
+_BASE_RE = re.compile(r"^([^_.][^_]*)_[^_]+_(\d+)\.parquet$")
+_LOG_RE = re.compile(r"^\.([^_]+)_(\d+)\.log\.(\d+)$")
+
+
+def _slices_from_listing(path: str, files_by_part: dict):
+    """File-slice view reconstructed from a FILE LISTING (the
+    metadata-table planning path): Hudi encodes the slice structure
+    in the names — base ``{fileId}_{token}_{instant}.parquet`` (the
+    group's latest base wins), log ``.{fileId}_{baseInstant}.log.{v}``
+    (version order = commit order within the slice)."""
+    slices: dict[str, dict] = {}
+    bases: dict[str, tuple] = {}
+    logs: dict[str, list] = {}
+    parts: dict[str, str] = {}
+    for part, names in files_by_part.items():
+        for n in names:
+            full = (os.path.join(path, part, n) if part
+                    else os.path.join(path, n))
+            m = _BASE_RE.match(n)
+            if m:
+                fid, inst = m.group(1), m.group(2)
+                if fid not in bases or bases[fid][0] < inst:
+                    bases[fid] = (inst, full)
+                parts[fid] = part
+                continue
+            m = _LOG_RE.match(n)
+            if m:
+                fid, binst, ver = (m.group(1), m.group(2),
+                                   int(m.group(3)))
+                logs.setdefault(fid, []).append((binst, ver, full))
+                parts[fid] = part
+                continue
+            raise NotImplementedError(
+                f"hudi metadata listing entry {n!r} matches neither "
+                "the base nor the log file naming scheme")
+    for fid in sorted(set(bases) | set(logs)):
+        binst = bases.get(fid, ("",))[0]
+        # logs belonging to a slice OLDER than the latest base were
+        # superseded by compaction — the listing keeps them until
+        # cleaning, the slice view must not
+        live_logs = sorted(
+            (ver, full) for li, ver, full in logs.get(fid, [])
+            if li >= binst)
+        slices[fid] = {
+            "base": bases[fid][1] if fid in bases else None,
+            "part": parts[fid],
+            "logs": [full for _v, full in live_logs]}
+    return slices
+
+
+def live_hudi_slices(path: str, as_of: str | None = None,
+                     use_metadata: bool = True):
     """Latest file slice per file group at ``as_of`` (default:
     latest instant).  Returns ``{fileId: {"base": abs_path_or_None,
     "part": partition_path, "logs": [abs_log_paths, commit order]}}``.
     A commit's base file supersedes the group's accumulated logs
-    (compaction); a deltacommit appends log files."""
+    (compaction); a deltacommit appends log files.
+
+    When the table carries a ``.hoodie/metadata`` table (r11) and the
+    read is at the LATEST instant, the slice view comes from its
+    FILES partition — O(partitions) records instead of an O(timeline)
+    commit-JSON replay (and, on a real object store, instead of
+    per-partition LIST calls).  Time travel keeps the replay path
+    (the listing describes only the current state)."""
+    if use_metadata and as_of is None:
+        listing = hudi_metadata_files(path)
+        if listing is not None:
+            return _slices_from_listing(path, listing)
     timeline = _timeline(path)
     if not timeline:
         raise FileNotFoundError(f"{path}: no completed commits")
@@ -421,6 +534,43 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     return merged
 
 
+def write_hudi_metadata_fixture(spark, path: str) -> str | None:
+    """FIXTURE: create or refresh the ``.hoodie/metadata`` table's
+    FILES partition from the data table's current timeline state —
+    one record per data partition (``key`` = partition path,
+    ``filenames`` = the partition's live base+log file names), written
+    as a deltacommit to the log-only inner MOR table, the shape a
+    freshly-bootstrapped real metadata table has.  The data-table
+    fixture writers call this automatically after each commit when
+    the metadata table exists, mirroring a real writer's transactional
+    metadata update.  Returns the inner table's commit instant."""
+    from pyspark.sql import functions as F
+    mroot = os.path.join(path, ".hoodie", "metadata")
+    slices = live_hudi_slices(path, use_metadata=False)
+    listing: dict[str, set] = {}
+    for s in slices.values():
+        fs = listing.setdefault(s["part"], set())
+        if s["base"] is not None:
+            fs.add(os.path.basename(s["base"]))
+        fs.update(os.path.basename(p) for p in s["logs"])
+    rows = [(part or "__all_partitions__", sorted(fs), "files")
+            for part, fs in sorted(listing.items())]
+    df = spark.createDataFrame(
+        rows, "key string, filenames array<string>, p string")
+    return write_hudi_delta_fixture(spark, mroot, upserts=df,
+                                    partition_field="p")
+
+
+def _sync_hudi_metadata(spark, path: str) -> None:
+    """Refresh the metadata table after a data-table fixture commit,
+    when one exists (a stale listing would be a silently-wrong read).
+    The metadata table itself never recurses (its own
+    ``.hoodie/metadata`` does not exist)."""
+    if os.path.isdir(os.path.join(path, ".hoodie", "metadata",
+                                  ".hoodie")):
+        write_hudi_metadata_fixture(spark, path)
+
+
 def _next_instant(path: str) -> str:
     """Monotonic default instant: strictly after every instant ever
     handed out here — INCLUDING uncommitted (failed) writes, which
@@ -595,6 +745,7 @@ def write_hudi_fixture(spark, df, path: str,
     with open(os.path.join(hdir, f"{instant}.commit"), "w") as fh:
         json.dump({"partitionToWriteStats": stats_by_part,
                    "operationType": "UPSERT"}, fh)
+    _sync_hudi_metadata(spark, path)
     return instant
 
 
@@ -618,6 +769,9 @@ def write_hudi_replace_fixture(spark, df, path: str, replace_file_ids,
     os.remove(src)
     with open(os.path.join(hdir, f"{inst}.replacecommit"), "w") as fh:
         json.dump(commit, fh)
+    # the commit-kind rewrite changed the live set after the .commit
+    # sync ran — refresh so a metadata listing reflects the replace
+    _sync_hudi_metadata(spark, path)
     return inst
 
 
@@ -788,6 +942,9 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                                f"{instant}.deltacommit"), "w") as fh:
             json.dump({"partitionToWriteStats": stats_by_part,
                        "operationType": "UPSERT"}, fh)
+        if not path.rstrip("/").endswith(os.path.join(".hoodie",
+                                                      "metadata")):
+            _sync_hudi_metadata(spark, path)
     return instant
 
 

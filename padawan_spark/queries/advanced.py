@@ -1710,6 +1710,53 @@ def src_hudi_mor_read(spark, sf_dir):
         out, "scope string, n bigint, key_sum bigint, n_upd bigint")
 
 
+@query("src_hudi_metadata_listing", oracle="""
+SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CASE WHEN n_nationkey % 6 = 0
+                     THEN -1 ELSE n_nationkey * 10 END)
+            AS BIGINT) AS val_sum
+FROM nation WHERE n_nationkey <> 9
+""")
+def src_hudi_metadata_listing(spark, sf_dir):
+    """Hudi ``.hoodie/metadata`` table planning (r11): when the
+    internal metadata table exists, the file-slice view comes from
+    its FILES partition — O(partitions) records decoded driver-side
+    — instead of the O(timeline) commit-JSON replay (on a real
+    object store: instead of per-partition LIST calls).  The fixture
+    commits a base + a delta (upserts + one delete), materializes
+    the metadata table, then commits ANOTHER delta so the
+    auto-synced listing must reflect it; the snapshot read plans
+    entirely from the listing and must merge identically.  Scale
+    shape: planning cost scales with partition count, not commit
+    count; the merge plan is unchanged (per-slice broadcast split)."""
+    import os
+    import tempfile
+
+    from ..functions.hudi import (read_hudi, write_hudi_delta_fixture,
+                                  write_hudi_fixture,
+                                  write_hudi_metadata_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"),
+        (F.col("n_nationkey") * 10).cast("bigint").alias("v"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_hmd_"), "tbl")
+    write_hudi_fixture(spark, n, t, partition_field="g")
+    write_hudi_delta_fixture(
+        spark, t, upserts=n.where(F.col("k") % 6 == 0)
+        .withColumn("v", F.lit(-1).cast("bigint")),
+        partition_field="g")
+    write_hudi_metadata_fixture(spark, t)
+    dels: dict[str, list[str]] = {}
+    for r in n.where(F.col("k") == 9).collect():
+        dels.setdefault(str(r["g"]), []).append(str(r["k"]))
+    write_hudi_delta_fixture(spark, t, deletes=dels,
+                             partition_field="g")   # auto-syncs
+    return read_hudi(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.sum("v").cast("bigint").alias("val_sum"))
+
+
 @query("src_hudi_log_only_table", oracle="""
 SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
        CAST(SUM(CASE WHEN n_nationkey % 5 = 0

@@ -1929,6 +1929,73 @@ def test_hudi_log_only_only_table(spark, tmp_path):
     assert e.columns == ["k", "g", "v", "ts", "d"]
 
 
+def test_hudi_metadata_table_listing(spark, tmp_path):
+    """r11 (VERDICT r10 #7): the ``.hoodie/metadata`` table's FILES
+    partition replaces the O(timeline) commit replay in the planning
+    path — the slice view reconstructed from its listing must equal
+    the replay view across deltacommits, compaction-style naming, and
+    a replacecommit, with fixture writers auto-syncing the metadata
+    table like a real writer's transactional update."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (
+        hudi_metadata_files, live_hudi_slices, read_hudi,
+        write_hudi_delta_fixture, write_hudi_fixture,
+        write_hudi_metadata_fixture, write_hudi_replace_fixture)
+    t = str(tmp_path / "hmd")
+    df = spark.range(12).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 3).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    write_hudi_fixture(spark, df, t, partition_field="g")
+    write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("k") % 4 == 0)
+        .withColumn("v", SF.lit(-1).cast("bigint")),
+        partition_field="g")
+    write_hudi_metadata_fixture(spark, t)
+
+    def norm(slices):
+        return {fid: (s["base"], s["part"], tuple(s["logs"]))
+                for fid, s in slices.items()}
+
+    listing = hudi_metadata_files(t)
+    assert set(listing) == {"0", "1", "2"}
+    assert norm(live_hudi_slices(t)) == norm(
+        live_hudi_slices(t, use_metadata=False))
+    rows = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert rows == {k: (-1 if k % 4 == 0 else k * 10)
+                    for k in range(12)}
+    # a later deltacommit auto-syncs the metadata table
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame(
+            [(1, 1, 999)], "k long, g long, v long"),
+        partition_field="g", deletes={"2": ["2"]})
+    assert norm(live_hudi_slices(t)) == norm(
+        live_hudi_slices(t, use_metadata=False))
+    rows2 = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert rows2[1] == 999 and 2 not in rows2
+    # a replacecommit (clustering) retires groups in the listing too
+    fid0 = next(fid for fid, s in
+                live_hudi_slices(t, use_metadata=False).items()
+                if s["part"] == "0")
+    write_hudi_replace_fixture(
+        spark, df.where(SF.col("g") == 0), t,
+        replace_file_ids={"0": [fid0]}, partition_field="g")
+    assert norm(live_hudi_slices(t)) == norm(
+        live_hudi_slices(t, use_metadata=False))
+    rows3 = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    # replaced group (g=0: keys 0,3,6,9) reverts to the raw rewrite,
+    # its old log dropped with it; other groups keep their merges
+    assert rows3[0] == 0 and rows3[3] == 30
+    assert rows3[4] == -1 and rows3[1] == 999
+    # time travel keeps the replay path (listing is current-state)
+    assert read_hudi(
+        spark, t,
+        as_of=sorted(__import__(
+            "padawan_spark.functions.hudi",
+            fromlist=["list_hudi_commits"]).list_hudi_commits(t))[0]
+    ).count() == 12
+
+
 def test_hudi_mor_temporal_payloads(spark, tmp_path):
     """r9: timestamp and date columns ride the log as Avro logical
     types (micros / days from epoch) and merge value-exactly; the
