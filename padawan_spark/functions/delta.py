@@ -402,14 +402,24 @@ def read_delta(spark, path: str, version: int | None = None,
         out = out.unionByName(p)
     if logical_parts:
         # partitionValues keys are physical names in a mapped table
-        pmap_rows = [(p, *[pvals.get(c) for c in part_cols])
+        pmap_rows = [(p, 1, *[pvals.get(c) for c in part_cols])
                      for p, pvals, _dv in files_abs]
-        pmap_ddl = ("__fp string, " + ", ".join(
+        pmap_ddl = ("__fp string, __pm int, " + ", ".join(
             f"`{c}` string" for c in logical_parts))
         pmap = F.broadcast(spark.createDataFrame(pmap_rows, pmap_ddl))
         out = out.join(pmap, on="__fp", how="left")
+        # ADVICE r10: the path-keyed attach join must fail CLOSED — a
+        # normalization miss (URI-escaped table path) would otherwise
+        # silently null every partition value; the marker column
+        # distinguishes a missed join from a genuinely-null value
         for c in logical_parts:
-            out = out.withColumn(c, F.col(c).cast(part_types[c]))
+            out = out.withColumn(
+                c, F.when(F.col("__pm").isNull(), F.raise_error(F.lit(
+                    "delta partition-attach map missed a scanned "
+                    "file path — refusing to degrade to NULL "
+                    "partition values")))
+                .otherwise(F.col(c).cast(part_types[c])))
+        out = out.drop("__pm")
     if has_dv:
         # DV positions decode in a DISTRIBUTED task per (file,
         # descriptor) — one row per deleted position, built on the

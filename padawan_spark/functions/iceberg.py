@@ -721,13 +721,30 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                    for i, v in enumerate(r)) for r in pmap_rows],
             pmap_ddl))
         out = out.join(pmap, on="__fp", how="left")
+        # ADVICE r10: the path-keyed attach join must fail CLOSED — a
+        # normalization miss would otherwise silently null partition
+        # values AND stop eq-delete sequence scoping.  Every pmap row
+        # carries a non-null __mseq, and every parquet/ORC row a
+        # non-null __fp (AVRO rows ride lit-attached values and null
+        # __fp by design), so (__fp non-null, __mseq null) = a missed
+        # join, never a real value.
+        miss = F.col("__fp").isNotNull() & F.col("__mseq").isNull()
+
+        def _checked(val):
+            return F.when(miss, F.raise_error(F.lit(
+                "iceberg partition-attach map missed a scanned file "
+                "path — refusing to degrade to NULL partition "
+                "values / unscoped equality deletes"))).otherwise(val)
+
         if eq_files:
             out = out.withColumn(
-                "__seq", F.coalesce(F.col("__seq"), F.col("__mseq")))
+                "__seq", F.coalesce(F.col("__seq"),
+                                    _checked(F.col("__mseq"))))
         for c in attach_cols:
             out = out.withColumn(
                 c, F.coalesce(F.col(c),
-                              F.col(f"{c}__m").cast(types[c])))
+                              _checked(F.col(f"{c}__m")
+                                       .cast(types[c]))))
         out = out.drop("__mseq", *[f"{c}__m" for c in attach_cols])
     if pos_files:
         dels = (spark.read.schema("file_path string, pos bigint")
@@ -1210,6 +1227,14 @@ def evolve_iceberg_spec_fixture(path: str, partition_by=()) -> int:
         flds.append({"name": fname, "transform": tr,
                      "source-id": name_to_id[src],
                      "field-id": 1000 + 100 * new_id + i})
+    # ADVICE r10: a v1-style table declares only the inline
+    # 'partition-spec' — once the LIST form exists, _raw_specs stops
+    # normalizing the inline one, so pre-evolution manifests (spec id
+    # 0) would fail with 'unknown partition spec 0'.  Seed the list
+    # with the normalized inline spec before appending the new one.
+    if "partition-specs" not in meta and "partition-spec" in meta:
+        meta["partition-specs"] = [
+            {"spec-id": 0, "fields": meta["partition-spec"]}]
     meta.setdefault("partition-specs", []).append(
         {"spec-id": new_id, "fields": flds})
     meta["default-spec-id"] = new_id

@@ -1429,6 +1429,43 @@ def test_iceberg_orc_schema_evolution(spark, tmp_path):
     assert 1 not in rows2 and rows2[2] == 4 and len(rows2) == 10
 
 
+def test_iceberg_spec_evolution_on_v1_inline_spec_table(spark,
+                                                        tmp_path):
+    """ADVICE r10: evolving the partition spec of a v1-style table
+    (inline 'partition-spec', no 'partition-specs' list) must seed
+    the list with the normalized inline spec 0, or pre-evolution
+    manifests fail with 'unknown partition spec 0'."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        _latest_metadata, evolve_iceberg_spec_fixture, read_iceberg,
+        write_iceberg_fixture)
+    t = str(tmp_path / "icev1")
+    df = spark.range(8).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 2).alias("g"))
+    write_iceberg_fixture(spark, df, t, partition_by=("g",))
+    # rewrite the metadata into the v1 inline shape
+    mp = _latest_metadata(t)
+    with open(mp) as fh:
+        meta = _json.load(fh)
+    specs = meta.pop("partition-specs")
+    meta["partition-spec"] = specs[0]["fields"]
+    meta.pop("default-spec-id", None)
+    with open(mp, "w") as fh:
+        _json.dump(meta, fh)
+    evolve_iceberg_spec_fixture(t, partition_by=("bucket(4, k)",))
+    write_iceberg_fixture(spark, spark.range(100, 103).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("bucket(4, k)",))
+    out = read_iceberg(spark, t)
+    assert {r["k"] for r in out.collect()} == (
+        set(range(8)) | {100, 101, 102})
+    # pre-evolution manifests still prune under THEIR spec
+    assert read_iceberg(spark, t, filters={"g": 1}).count() >= 4
+
+
 def test_iceberg_snapshot_schema_time_travel(spark, tmp_path):
     """ADVICE r9: time traveling to a pre-evolution snapshot reads
     with THAT snapshot's schema — original column names, no
