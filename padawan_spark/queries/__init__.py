@@ -40,26 +40,25 @@ for _m in _SUITES:
 # All queries stay registered; this is a stable re-ordering, not a filter.
 # ---------------------------------------------------------------------------
 
-# code that changed THIS round — keep driver-visible even though already
-# green: the r10 scale rework rebuilt every interop read plan —
-# src_hudi_mor_read (broadcast log-key merge, base rows bypass the
-# window; global per-group log ordering), src_hudi_incremental
-# (touched-file-slice pruning via partitionToWriteStats),
-# src_hudi_clustering (rides the reworked merge),
-# src_delta_dv_read (DV decode moved to distributed mapInPandas +
-# AQE broadcast anti-join), src_delta_id_mapping +
-# src_iceberg_schema_evolution (footer field-id layouts resolve in
-# ONE Spark job), src_delta_read + src_iceberg_read +
-# src_iceberg_transforms (one scan per layout, partition values via
-# broadcast attach map instead of per-tuple unions),
-# src_delta_cdf_read + streaming_delta_cdf (contiguity + DV-remove
-# guards, name-mode column mapping support).
-_SENTINELS = ["src_hudi_mor_read", "src_hudi_incremental",
-              "src_hudi_clustering", "src_delta_dv_read",
-              "src_delta_id_mapping", "src_iceberg_schema_evolution",
-              "src_delta_read", "src_iceberg_read",
-              "src_iceberg_transforms", "src_delta_cdf_read",
-              "streaming_delta_cdf"]
+# code that changed THIS round (r11) — keep driver-visible even though
+# already green: scale_bucketed_join_read + scale_bucketed_join (the
+# r10 red row: orphan-warehouse-location bootstrap fix),
+# src_delta_cdf_read + streaming_delta_cdf (deletion-vector commits
+# now emit position-exact delete rows in batch and stream),
+# src_hudi_mor_read + src_hudi_incremental (per-file-slice merge:
+# untouched groups join-free, window keyed by (group, key)),
+# src_hudi_log_only_table (NEW — schema recovered from log Avro),
+# src_hudi_metadata_listing (NEW — .hoodie/metadata FILES-partition
+# planning), src_iceberg_orc_data (ORC position deletes via Arrow
+# stripe scan + iceberg.id evolution), streaming_iceberg_appends
+# (commit-order offsets, honest format/evolution gates),
+# src_delta_read + src_iceberg_read (fail-closed attach maps).
+_SENTINELS = ["scale_bucketed_join_read", "scale_bucketed_join",
+              "src_delta_cdf_read", "streaming_delta_cdf",
+              "src_hudi_mor_read", "src_hudi_incremental",
+              "src_hudi_log_only_table", "src_hudi_metadata_listing",
+              "src_iceberg_orc_data", "streaming_iceberg_appends",
+              "src_delta_read", "src_iceberg_read"]
 
 _WINDOW = 50
 
