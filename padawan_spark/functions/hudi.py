@@ -189,7 +189,14 @@ def live_hudi_slices(path: str, as_of: str | None = None,
     per-partition LIST calls).  Time travel keeps the replay path
     (the listing describes only the current state)."""
     if use_metadata and as_of is None:
-        listing = hudi_metadata_files(path)
+        try:
+            listing = hudi_metadata_files(path)
+        except NotImplementedError:
+            # an HFile-based metadata table (real Hudi's default base
+            # format) is unreadable here — the commit replay below is
+            # the source of truth, so fall back rather than fail a
+            # read the replay path serves correctly
+            listing = None
         if listing is not None:
             return _slices_from_listing(path, listing)
     timeline = _timeline(path)
