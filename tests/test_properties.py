@@ -1441,3 +1441,55 @@ def test_delta_dv_codec_roundtrip_property(positions):
     blob = dv_blob_encode(want)
     assert dv_blob_decode(blob) == want
     assert z85_decode(z85_encode(blob), out_len=len(blob)) == blob
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_delta_cdf_dv_diff_property(spark, tmp_path, seed):
+    """r11: random deletion-vector GROWTH sequences — for EVERY
+    version window, the derived change feed's delete rows are exactly
+    the positions newly dead inside that window (cumulative-DV diff),
+    never a re-emit of an already-dead row; the full feed carries each
+    insert once and each delete exactly once."""
+    import random
+
+    import pyspark.sql.functions as SF
+
+    from padawan_spark.functions.delta import (add_dv_fixture,
+                                               read_delta_changes,
+                                               replay_delta_log,
+                                               write_delta_fixture)
+    rng = random.Random(seed)
+    t = str(tmp_path / f"dvp{seed}")
+    n = 20
+    df = spark.range(n).select(SF.col("id").alias("k"))
+    # one file, physically sorted by k: position i == key i
+    write_delta_fixture(spark, df.coalesce(1), t, order_by=("k",))
+    _s, _p, files, _m = replay_delta_log(t)
+    assert len(files) == 1
+    rel = files[0][0]
+    dead_at = {0: frozenset()}
+    dead: frozenset = frozenset()
+    for _ in range(4):
+        new = frozenset(dead | {rng.randrange(n)
+                                for _ in range(rng.randint(1, 4))})
+        if new == dead:
+            continue
+        v = add_dv_fixture(t, {rel: sorted(new)})
+        dead = new
+        dead_at[v] = dead
+    versions = sorted(dead_at)
+    for i, sv in enumerate(versions[1:], start=1):
+        for ev in versions[i:]:
+            ch = read_delta_changes(spark, t, starting_version=sv,
+                                    ending_version=ev)
+            dels = [r["k"] for r in
+                    ch.where("_change_type = 'delete'").collect()]
+            expect = dead_at[ev] - dead_at[versions[i - 1]]
+            assert sorted(dels) == sorted(expect), (sv, ev)
+            assert len(dels) == len(set(dels)), (sv, ev)
+    full = [(r["k"], r["_change_type"]) for r in
+            read_delta_changes(spark, t).collect()]
+    assert sorted(k for k, c in full if c == "insert") == list(range(n))
+    dd = [k for k, c in full if c == "delete"]
+    assert sorted(dd) == sorted(dead_at[versions[-1]])
+    assert len(dd) == len(set(dd))
