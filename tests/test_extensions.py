@@ -1026,6 +1026,31 @@ def test_delta_cdf_name_mapped_table_reads(spark, tmp_path):
            spark.table(name).collect()}
     assert got == {(k, k % 2, k * 10)
                    for k in list(range(8)) + [100, 101, 102]}
+    # r11: a DV commit on the MAPPED table — delete rows carry the
+    # logical columns and exactly the newly-dead positions (batch +
+    # stream agree)
+    from padawan_spark.functions.delta import (add_dv_fixture,
+                                               read_delta_changes,
+                                               replay_delta_log)
+    _s, _p, files, _mm = replay_delta_log(t)
+    g0 = next(rel for rel, _pv, _dv in files
+              if rel.startswith("g=0/") and "part-00000" in rel)
+    add_dv_fixture(t, {g0: [0]})
+    batch = {(r["k"], r["g"]) for r in
+             read_delta_changes(spark, t, starting_version=2)
+             .where("_change_type = 'delete'").collect()}
+    name2 = "cm_" + _uuid.uuid4().hex[:8]
+    src2 = (spark.readStream.format("padawan_delta_cdf")
+            .option("path", t).option("startingVersion", "2").load())
+    q2 = (src2.writeStream.format("memory").queryName(name2).start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    stream = {(r["k"], r["g"]) for r in spark.table(name2)
+              .where("_change_type = 'delete'").collect()}
+    assert batch == stream and len(batch) == 1
+    assert next(iter(batch))[1] == 0   # partition value attached
 
 
 def test_delta_cdf_id_mapped_table_reads(spark, tmp_path):
@@ -2031,6 +2056,36 @@ def test_hudi_metadata_table_listing(spark, tmp_path):
             "padawan_spark.functions.hudi",
             fromlist=["list_hudi_commits"]).list_hudi_commits(t))[0]
     ).count() == 12
+
+
+def test_hudi_incremental_stream_over_log_only_table(spark, tmp_path):
+    """r11: the incremental stream source works on a table with ZERO
+    base files — its schema() recovers from the log's embedded Avro
+    writer schema and each micro-batch merges purely from log blocks."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import write_hudi_delta_fixture
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "hlos")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") * 10).alias("v"))
+    i1 = write_hudi_delta_fixture(spark, t, upserts=df)   # bootstrap
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame([(2, -2)],
+                                                "k long, v long"),
+        deletes=["5"])
+    name = "hlos_" + _uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("padawan_hudi_incremental")
+           .option("path", t).option("startingInstant", i1).load())
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["k"], r["v"]) for r in spark.table(name).collect()}
+    assert rows == {(2, -2)}   # upsert emitted, delete suppressed
 
 
 def test_hudi_mor_temporal_payloads(spark, tmp_path):
