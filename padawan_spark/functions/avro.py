@@ -391,12 +391,18 @@ def decode_avro_py_range(path: str, start: int, end: int):
 
 
 def encode_avro_py(fields, rows, codec: str = "null",
-                   block_rows: int = 1000) -> bytes:
+                   block_rows: int = 1000,
+                   field_ids: dict | None = None) -> bytes:
     """Build a container file; ``fields`` is ``[(name, type,
-    nullable)]``.  Fixture/round-trip twin of :func:`decode_avro_py`."""
+    nullable)]``.  Fixture/round-trip twin of :func:`decode_avro_py`.
+    ``field_ids`` (r11): ``{name: id}`` stamps each field with the
+    ``field-id`` attribute Iceberg's Avro writers record — what lets
+    an evolved reader resolve columns by id."""
     import zlib
     schema = {"type": "record", "name": "padawan_row", "fields": [
-        {"name": n, "type": (["null", t] if nullable else t)}
+        {"name": n, "type": (["null", t] if nullable else t),
+         **({"field-id": field_ids[n]}
+            if field_ids and n in field_ids else {})}
         for n, t, nullable in fields]}
     sync = bytes((i * 29 + 7) % 256 for i in range(16))
     out = bytearray(_MAGIC)

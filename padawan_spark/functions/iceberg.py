@@ -54,9 +54,13 @@ attributes (the spec's ORC appendix) through the same one-job layout
 tap as parquet; ORC position deletes (r11) route ONLY the targeted
 files through an Arrow stripe scan that derives exact row positions
 in-task, untargeted ORC files staying on the native vectorized scan.
-Position deletes and schema evolution over AVRO data still raise
-honest ``NotImplementedError`` (no row-index or field-id metadata in
-the Avro source).
+AVRO closes the same way (r11): schema evolution resolves by the
+embedded writer schema's ``field-id`` attributes (Iceberg's Avro
+convention) through the shared one-job layout tap, and position
+deletes route only the targeted AVRO files through the python block
+decoder, which enumerates rows in file order — exact positions by
+construction.  Every (format × evolution × delete-kind) combination
+now reads.
 """
 
 from __future__ import annotations
@@ -491,31 +495,29 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
 
     pos_files = [p for p, c, _s, _e in delete_files if c == 1]
     eq_files = [(p, s, e) for p, c, s, e in delete_files if c == 2]
-    if any(fmt == "AVRO" for _p, _pv, _s, fmt, _sp in files):
-        if pos_files:
-            raise NotImplementedError(
-                "iceberg position deletes over AVRO data files "
-                "(no row-position metadata in the Avro source)")
-        if evolved:
-            raise NotImplementedError(
-                "iceberg schema evolution over AVRO data files")
     pq_paths = [p for p, _pv, _s, fmt, _sp in files
                 if fmt == "PARQUET"]
     orc_paths = [p for p, _pv, _s, fmt, _sp in files if fmt == "ORC"]
+    avro_paths = [p for p, _pv, _s, fmt, _sp in files
+                  if fmt == "AVRO"]
     layouts: dict[str, tuple] = {}
-    if evolved and (pq_paths or orc_paths):
+    if evolved and (pq_paths or orc_paths or avro_paths):
         # evolved table: logical name -> each file's physical column,
         # matched by footer field id (name fallback for id-less
         # legacy files); absent = column added after this file.  ONE
         # distributed footer job PER FORMAT resolves every file (r10;
-        # ORC r11 via the `iceberg.id` type attributes) — never a
-        # driver-side open per data file.
-        from .layouts import orc_field_layouts, parquet_field_layouts
+        # ORC r11 via the `iceberg.id` type attributes; AVRO r11 via
+        # the embedded writer schema's `field-id` attributes) — never
+        # a driver-side open per data file.
+        from .layouts import (avro_field_layouts, orc_field_layouts,
+                              parquet_field_layouts)
         raw = {}
         if pq_paths:
             raw.update(parquet_field_layouts(spark, pq_paths))
         if orc_paths:
             raw.update(orc_field_layouts(spark, orc_paths))
+        if avro_paths:
+            raw.update(avro_field_layouts(spark, avro_paths))
         for p, flds in raw.items():
             byfid = {fid: nm for fid, nm in flds if fid is not None}
             names = {nm for _fid, nm in flds}
@@ -544,15 +546,17 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         return F.when(c.startswith("/"), c).otherwise(
             F.concat(F.lit(os.path.abspath(path) + "/"), c))
 
-    # ORC files TARGETED by a position delete read through an Arrow
-    # stripe scan that derives EXACT row positions in-task (ORC has
-    # no _metadata.row_index); untargeted ORC files keep the native
-    # vectorized scan (their null __pos can never match a delete).
-    # The targeted set comes from ONE small job over the delete
-    # files — O(distinct deleted files) driver rows, the same class
-    # as the manifest planning collects.
+    # ORC/AVRO files TARGETED by a position delete read through a
+    # position-deriving task scan (Arrow stripes for ORC, the python
+    # block decoder for AVRO — neither source exposes
+    # _metadata.row_index); untargeted files keep their normal scan
+    # (a null __pos can never match a delete).  The targeted set
+    # comes from ONE small job over the delete files — O(distinct
+    # deleted files) driver rows, the same class as the manifest
+    # planning collects.
     targeted_orc: set = set()
-    if pos_files and orc_paths:
+    targeted_avro: set = set()
+    if pos_files and (orc_paths or avro_paths):
         targeted = {
             r["__fp"] for r in
             spark.read.schema("file_path string, pos bigint")
@@ -560,12 +564,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             .select(_norm(F.col("file_path")).alias("__fp"))
             .distinct().collect()}
         targeted_orc = {p for p in orc_paths if p in targeted}
+        targeted_avro = {p for p in avro_paths if p in targeted}
     groups: dict[tuple, list[str]] = {}
     for p, pvals, seq, fmt, sid in files:
         if fmt == "AVRO":
-            key = ("AVRO", sid,
-                   tuple(pvals.get(f2)
-                         for f2 in ident_of.get(sid, {}).values()),
+            key = ("AVRO@pos" if p in targeted_avro else "AVRO", sid,
+                   (tuple(pvals.get(f2)
+                          for f2 in ident_of.get(sid, {}).values()),
+                    layouts.get(p, ())),
                    seq)
         else:
             key = ("ORC@pos" if p in targeted_orc else fmt, sid,
@@ -580,29 +586,92 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             groups.items(), key=lambda kv: str(kv[0])):
         dn = _dn(sid)
         ident_fnames = list(ident_of.get(sid, {}).items())
-        if fmt == "AVRO":
-            # dependency-free Avro source: schema from each file's
-            # embedded writer schema, block-split read tasks; cast
-            # to the table types and align to the declared columns
-            from ..sources import register_python_sources
-            register_python_sources(spark)
-            df = None
-            for p in paths:
-                one = (spark.read.format("padawan_avro")
-                       .option("path", p).load()
-                       .select(*[F.col(n).cast(types[n]).alias(n)
-                                 for n in dn]))
-                df = one if df is None else df.unionByName(one)
-            if need_fp:
-                # no _metadata on the python Avro source: null key,
-                # never matches the attach map, lit values survive
-                # the coalesce
-                df = df.withColumn("__fp",
-                                   F.lit(None).cast("string"))
+        if fmt in ("AVRO", "AVRO@pos"):
+            ident_vals, lay = pkey
+            lmap = dict(lay)
+
+            def _phys_of(n):
+                # evolved: the layout map resolves by field-id (name
+                # fallback); a miss means the column postdates the
+                # file.  Unevolved: names match directly.
+                return lmap.get(n, None if evolved else n)
+
+            if fmt == "AVRO@pos":
+                # position-deleted AVRO files (r11): the python block
+                # decoder enumerates rows in file order — exact
+                # positions by construction; one task per file
+                out_ddl = (", ".join(f"`{n}` {types[n]}" for n in dn)
+                           + ", __fp string, __pos bigint")
+                pmapping = {n: _phys_of(n) for n in dn}
+
+                def _avro_pos_scan(batches, _pm=pmapping,
+                                   _dn=tuple(dn)):
+                    import pandas as pd
+
+                    from .avro import decode_avro_py
+                    for pdf in batches:
+                        for p2 in pdf["path"]:
+                            with open(p2, "rb") as fh:
+                                flds2, rows2 = decode_avro_py(
+                                    fh.read())
+                            idx = {n3: i for i, (n3, _t, _nl)
+                                   in enumerate(flds2)}
+                            data = {}
+                            for n2 in _dn:
+                                pn = _pm.get(n2)
+                                i = (idx.get(pn) if pn is not None
+                                     else None)
+                                data[n2] = (
+                                    [r[i] for r in rows2]
+                                    if i is not None
+                                    else [None] * len(rows2))
+                            outp = pd.DataFrame(data)
+                            outp["__fp"] = p2
+                            outp["__pos"] = range(len(rows2))
+                            yield outp
+
+                n_scan = min(
+                    len(paths),
+                    max(32, spark.sparkContext.defaultParallelism))
+                df = (spark.createDataFrame(
+                    [(p2,) for p2 in paths], "path string")
+                    .repartition(n_scan, "path")
+                    .mapInPandas(_avro_pos_scan, out_ddl))
+            else:
+                # dependency-free Avro source: schema from each
+                # file's embedded writer schema, block-split read
+                # tasks; physical columns resolve per file's layout
+                # and cast/alias to the table's declared columns
+                from ..sources import register_python_sources
+                register_python_sources(spark)
+                df = None
+                for p in paths:
+                    src = (spark.read.format("padawan_avro")
+                           .option("path", p).load())
+                    cols = []
+                    for n in dn:
+                        pn = _phys_of(n)
+                        cols.append(
+                            (F.col(pn) if pn is not None
+                             and pn in src.columns else
+                             F.lit(None)).cast(types[n]).alias(n))
+                    one = src.select(*cols)
+                    df = one if df is None else df.unionByName(one)
+                if need_fp:
+                    # no _metadata on the python Avro source: null
+                    # key, never matches the attach map, lit values
+                    # survive the coalesce
+                    df = df.withColumn("__fp",
+                                       F.lit(None).cast("string"))
+                if pos_files:
+                    # untargeted by any position delete: a null __pos
+                    # can never match the anti-join
+                    df = df.withColumn("__pos",
+                                       F.lit(None).cast("bigint"))
             if eq_files:
                 df = df.withColumn("__seq",
                                    F.lit(seq).cast("bigint"))
-            for (c, _f2), v in zip(ident_fnames, pkey):
+            for (c, _f2), v in zip(ident_fnames, ident_vals):
                 df = df.withColumn(c, (F.lit(None) if v is None
                                        else F.lit(v)).cast(types[c]))
             for c in attach_cols:
@@ -702,9 +771,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=False)
+    # every row source with a NON-NULL __fp must appear in the attach
+    # map or the fail-closed miss check would fire: parquet/ORC scans
+    # plus position-targeted AVRO files (whose task emits __fp for
+    # the delete anti-join; their identity values are lit-attached,
+    # so the coalesce never reads the map for them)
     mappable = [(p, pvals, seq, sid)
                 for p, pvals, seq, fmt, sid in files
-                if fmt in ("PARQUET", "ORC")]
+                if fmt in ("PARQUET", "ORC") or p in targeted_avro]
     if (attach_cols or eq_files) and mappable:
         # the broadcast attach table: one row per parquet/ORC file,
         # identity values resolved under EACH FILE's own spec
@@ -1060,7 +1134,10 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                                  for v_ in row)
                            for row in pdf.itertuples(index=False)]
                 with open(full, "wb") as fh:
-                    fh.write(encode_avro_py(aspec, rows_py))
+                    # field-id attributes: the Iceberg Avro writers'
+                    # column-resolution key (r11)
+                    fh.write(encode_avro_py(aspec, rows_py,
+                                            field_ids=name_to_id))
             elif ext == "orc":
                 from pyarrow import orc as pa_orc
                 # stamp field ids as `iceberg.id` type attributes —

@@ -56,6 +56,41 @@ def parquet_field_layouts(spark, paths) -> dict:
             for r in fdf.collect()}
 
 
+def avro_field_layouts(spark, paths) -> dict:
+    """Avro twin of :func:`parquet_field_layouts` (r11): one
+    distributed header job → ``{path: [(field_id | None, name)]}``.
+    Iceberg's Avro writers stamp each field's id as the ``field-id``
+    attribute in the embedded writer schema; reading it costs one
+    header parse per file, never a row decode."""
+    paths = sorted(set(paths))
+    if not paths:
+        return {}
+
+    def _tap(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from .avro import read_avro_header_file
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                schema, _c, _s, _pos = read_avro_header_file(p)
+                pairs = [(f.get("field-id"), f["name"])
+                         for f in schema["fields"]]
+                rows.append((p, _json.dumps(pairs)))
+            yield pd.DataFrame(rows, columns=["path", "layout"])
+
+    n = min(len(paths),
+            max(32, spark.sparkContext.defaultParallelism))
+    fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
+           .repartition(n, "path")
+           .mapInPandas(_tap, "path string, layout string"))
+    return {r["path"]: [(fid, nm) for fid, nm in
+                        json.loads(r["layout"])]
+            for r in fdf.collect()}
+
+
 def orc_field_layouts(spark, paths) -> dict:
     """ORC twin of :func:`parquet_field_layouts` (r11): one
     distributed footer job → ``{path: [(field_id | None, name)]}``.

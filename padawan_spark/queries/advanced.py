@@ -1457,10 +1457,13 @@ WITH u AS (
   SELECT n_nationkey AS k, n_regionkey AS g FROM nation
   UNION ALL
   SELECT n_nationkey + 100, n_regionkey FROM nation
-)
+),
+-- the position delete kills row 0 of region 0's AVRO file, which is
+-- sorted by key: the smallest n_nationkey of region 0 (AVRO copy only)
+x AS (SELECT MIN(n_nationkey) AS k0 FROM nation WHERE n_regionkey = 0)
 SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
        COUNT(DISTINCT g) AS n_groups
-FROM u WHERE k NOT IN (3, 103)
+FROM u, x WHERE k NOT IN (3, 103) AND k <> x.k0
 """)
 def src_iceberg_avro_data(spark, sf_dir):
     """Iceberg AVRO data files (r9) — the non-parquet data format the
@@ -1469,10 +1472,15 @@ def src_iceberg_avro_data(spark, sf_dir):
     dependency-free Avro source (block-split tasks, writer schema
     from each file header) and UNIONS with a later parquet snapshot
     in one table — per-file-format scan groups, values cast to the
-    table schema.  An equality delete then applies ACROSS formats.
-    The oracle restates the merged aggregate.  Scale shape: Avro
-    groups read distributed via the Python Data Source, parquet
-    groups stay native scans; no collect anywhere."""
+    table schema.  An equality delete applies ACROSS formats, and
+    (r11) a POSITION delete on an AVRO file applies too — the
+    targeted file reads through the python block decoder, which
+    enumerates rows in file order (exact positions by construction);
+    untargeted Avro files keep the block-split source.  The oracle
+    restates the merged aggregate.  Scale shape: the
+    position-deriving path is paid ONLY by targeted files; schema
+    evolution over Avro resolves by the embedded writer schema's
+    field-id attributes through the shared one-job layout tap."""
     import os
     import tempfile
 
@@ -1481,13 +1489,17 @@ def src_iceberg_avro_data(spark, sf_dir):
         F.col("n_nationkey").cast("bigint").alias("k"),
         F.col("n_regionkey").cast("bigint").alias("g"))
     t = os.path.join(tempfile.mkdtemp(prefix="padawan_iceav_"), "tbl")
+    # order_by pins physical row order — position deletes address by it
     write_iceberg_fixture(spark, n, t, partition_by=("g",),
-                          file_format="avro")
+                          file_format="avro", order_by=("k",))
     write_iceberg_fixture(spark, n.select((F.col("k") + 100).alias("k"),
                                           F.col("g")),
                           t, partition_by=("g",))
     write_iceberg_fixture(spark, None, t, partition_by=("g",),
                           delete_equality=(["k"], [(3,), (103,)]))
+    # v2 position delete on region 0's AVRO data file, row 0
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_positions={"data/snap1-0.avro": [0]})
     return read_iceberg(spark, t).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("k").cast("bigint").alias("key_sum"),

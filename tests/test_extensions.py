@@ -1454,6 +1454,58 @@ def test_iceberg_orc_schema_evolution(spark, tmp_path):
     assert 1 not in rows2 and rows2[2] == 4 and len(rows2) == 10
 
 
+def test_iceberg_avro_position_deletes_and_evolution(spark, tmp_path):
+    """r11 (closes missing #3 fully): position deletes over AVRO data
+    files — the targeted file reads through the python block decoder
+    with exact file-order positions — and schema evolution over AVRO
+    via the embedded writer schema's field-id attributes, including
+    the combination (position delete on a pre-rename file)."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        write_iceberg_fixture)
+    t = str(tmp_path / "iavpd")
+    df = spark.range(8).select(SF.col("id").alias("k"),
+                               (SF.col("id") * 2).alias("v"))
+    write_iceberg_fixture(spark, df, t, file_format="avro",
+                          order_by=("k",))
+    evolve_iceberg_schema_fixture(t, renames={"v": "value"},
+                                  add_columns=[("w", "long")])
+    write_iceberg_fixture(spark, spark.range(100, 103).select(
+        SF.col("id").alias("k"), (SF.col("id") * 3).alias("value"),
+        (SF.col("id") + 1).alias("w")), t, file_format="avro")
+    out = read_iceberg(spark, t)
+    rows = {r["k"]: (r["value"], r["w"]) for r in out.collect()}
+    assert rows[4] == (8, None)        # renamed col via field-id
+    assert rows[101] == (303, 102)     # new-schema Avro file
+    assert len(rows) == 11
+    # position delete on the PRE-evolution file: the block decoder
+    # resolves physical column `v` -> logical `value` via the layout
+    write_iceberg_fixture(spark, None, t,
+                          delete_positions={"data/snap1-0.avro": [1]})
+    rows2 = {r["k"]: r["value"]
+             for r in read_iceberg(spark, t).collect()}
+    assert 1 not in rows2 and rows2[2] == 4 and len(rows2) == 10
+    # mixed avro+parquet, identity partitions, eq + pos deletes:
+    # untargeted avro files stay on the block-split source
+    t2 = str(tmp_path / "iavmix")
+    dfp = spark.range(10).select(SF.col("id").alias("k"),
+                                 (SF.col("id") % 2).alias("g"))
+    write_iceberg_fixture(spark, dfp, t2, partition_by=("g",),
+                          file_format="avro", order_by=("k",))
+    write_iceberg_fixture(spark, spark.range(100, 104).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t2, partition_by=("g",))
+    write_iceberg_fixture(spark, None, t2, partition_by=("g",),
+                          delete_equality=(["k"], [(7,), (101,)]))
+    write_iceberg_fixture(spark, None, t2, partition_by=("g",),
+                          delete_positions={"data/snap1-0.avro": [0]})
+    got = sorted(r["k"] for r in read_iceberg(spark, t2).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 8, 9, 100, 102, 103]
+    # partition values attach on the position-scanned file too
+    assert read_iceberg(spark, t2, filters={"g": 0}).count() == 6
+
+
 def test_iceberg_spec_evolution_on_v1_inline_spec_table(spark,
                                                         tmp_path):
     """ADVICE r10: evolving the partition spec of a v1-style table
