@@ -1871,6 +1871,56 @@ def test_incremental_stream_sources_restart_exactly_once(spark,
     assert got2 == {200, 201, 202}, got2
 
 
+def test_delta_cdf_stream_restart_across_dv_commit(spark, tmp_path):
+    """r11: kill the Delta CDF stream and restart from its checkpoint
+    with a DELETION-VECTOR commit landed while it was down — the
+    restart emits exactly that commit's position-exact delete rows,
+    nothing re-emitted, nothing skipped."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (add_dv_fixture,
+                                               replay_delta_log,
+                                               write_delta_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "cdfres")
+    df = spark.range(10).select(SF.col("id").alias("k"))
+    write_delta_fixture(spark, df, t, order_by=("k",))          # v0
+    write_delta_fixture(spark, spark.range(100, 102).select(
+        SF.col("id").alias("k")), t, mode="append")             # v1
+
+    def drain(ckpt):
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend((r["k"], r["_change_type"],
+                         r["_commit_version"])
+                        for r in batch_df.collect())
+
+        src = (spark.readStream.format("padawan_delta_cdf")
+               .option("path", t).load())
+        q = (src.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return rows
+
+    ck = str(tmp_path / "ck")
+    out1 = drain(ck)
+    assert {c for _k, c, _v in out1} == {"insert"}
+    assert len(out1) == 12
+    # while down: a DV commit kills positions 0,2 of the v0 file
+    _s, _p, files, _m = replay_delta_log(t)
+    v0_file = next(rel for rel, _pv, _dv in files
+                   if "part-00000" in rel)
+    add_dv_fixture(t, {v0_file: [0, 2]})                        # v2
+    out2 = drain(ck)
+    assert sorted(out2) == [(0, "delete", 2), (2, "delete", 2)], out2
+
+
 def test_hudi_cow_reader_file_group_supersede(spark, tmp_path):
     import json
     import os

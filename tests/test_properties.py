@@ -1493,3 +1493,83 @@ def test_delta_cdf_dv_diff_property(spark, tmp_path, seed):
     dd = [k for k, c in full if c == "delete"]
     assert sorted(dd) == sorted(dead_at[versions[-1]])
     assert len(dd) == len(set(dd))
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_hudi_metadata_listing_matches_replay_property(spark,
+                                                       tmp_path, seed):
+    """r11: over random maintenance sequences (CoW commits, delta
+    upserts/deletes into random partitions, replacecommit clustering),
+    the slice view reconstructed from the auto-synced
+    ``.hoodie/metadata`` FILES listing equals the commit-replay view
+    after EVERY commit, and the snapshot read stays value-correct."""
+    import random
+
+    import pyspark.sql.functions as SF
+
+    from padawan_spark.functions.hudi import (
+        live_hudi_slices, read_hudi, write_hudi_delta_fixture,
+        write_hudi_fixture, write_hudi_metadata_fixture,
+        write_hudi_replace_fixture)
+    rng = random.Random(seed)
+    t = str(tmp_path / f"hmdp{seed}")
+    df = spark.range(12).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 3).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    write_hudi_fixture(spark, df, t, partition_field="g")
+    write_hudi_metadata_fixture(spark, t)
+    state = {k: k * 10 for k in range(12)}
+
+    def norm(slices):
+        return {fid: (s["base"], s["part"], tuple(s["logs"]))
+                for fid, s in slices.items()}
+
+    def check():
+        assert norm(live_hudi_slices(t)) == norm(
+            live_hudi_slices(t, use_metadata=False))
+        got = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+        assert got == state
+
+    check()
+    for _ in range(5):
+        op = rng.choice(["upsert", "delete", "replace"])
+        if op == "upsert":
+            ks = rng.sample(range(12), rng.randint(1, 3))
+            ks = [k for k in ks if k in state]
+            if not ks:
+                continue
+            nv = rng.randrange(1000)
+            up = spark.createDataFrame(
+                [(k, k % 3, nv) for k in ks],
+                "k long, g long, v long")
+            write_hudi_delta_fixture(spark, t, upserts=up,
+                                     partition_field="g")
+            for k in ks:
+                state[k] = nv
+        elif op == "delete":
+            alive = [k for k in state]
+            if not alive:
+                continue
+            k = rng.choice(alive)
+            write_hudi_delta_fixture(
+                spark, t, deletes={str(k % 3): [str(k)]},
+                partition_field="g")
+            state.pop(k)
+        else:
+            part = str(rng.randrange(3))
+            fid = next((f for f, s in
+                        live_hudi_slices(t, use_metadata=False).items()
+                        if s["part"] == part), None)
+            if fid is None:
+                continue
+            rows = [(k, int(part), v) for k, v in state.items()
+                    if k % 3 == int(part)]
+            if not rows:
+                continue
+            write_hudi_replace_fixture(
+                spark, spark.createDataFrame(
+                    rows, "k long, g long, v long"), t,
+                replace_file_ids={part: [fid]},
+                partition_field="g")
+        check()
