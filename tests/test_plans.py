@@ -954,6 +954,37 @@ def test_hudi_mor_full_shuffle_fallback_still_correct(spark,
     assert all(v == -1 for k, v in fast if k < 10)
 
 
+def test_iceberg_position_delete_arrow_path_only_targeted_files(
+        spark, tmp_path):
+    """r11: ORC/AVRO position deletes route ONLY the targeted files
+    through the position-deriving task scan — the untargeted files of
+    the same format stay on their normal source.  Pinned by the plan:
+    with two ORC files and one targeted, the native ORC scan covers
+    exactly the 1 untargeted path and exactly one MapInPandas feeds
+    positions from the 1 targeted file."""
+    import re as _re
+
+    import pyspark.sql.functions as SF_
+    from padawan_spark.functions.iceberg import (read_iceberg,
+                                                 write_iceberg_fixture)
+    t = str(tmp_path / "iorcpos")
+    df = spark.range(10).select(SF_.col("id").alias("k"),
+                                (SF_.col("id") % 2).alias("g"))
+    write_iceberg_fixture(spark, df, t, partition_by=("g",),
+                          file_format="orc", order_by=("k",))
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_positions={"data/snap1-0.orc": [0]})
+    out = read_iceberg(spark, t)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    orc_scans = _re.findall(
+        r"FileScan orc .*?Location: InMemoryFileIndex\((\d+) paths?\)",
+        plan)
+    assert orc_scans == ["1"], (orc_scans, plan[:1500])
+    assert plan.count("MapInPandas") >= 1, plan[:1500]
+    rows = sorted(r["k"] for r in out.collect())
+    assert rows == [1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
 def test_delta_scan_count_independent_of_partition_values(spark,
                                                           tmp_path):
     """r10 (verdict #5): the Delta read plans ONE parquet scan per
