@@ -57,7 +57,8 @@ _SENTINELS = ["scale_bucketed_join_read", "scale_bucketed_join",
               "src_delta_cdf_read", "streaming_delta_cdf",
               "src_hudi_mor_read", "src_hudi_incremental",
               "src_hudi_log_only_table", "src_hudi_metadata_listing",
-              "src_iceberg_orc_data", "streaming_iceberg_appends",
+              "src_iceberg_orc_data", "src_iceberg_avro_data",
+              "streaming_iceberg_appends",
               "src_delta_read", "src_iceberg_read"]
 
 _WINDOW = 50
