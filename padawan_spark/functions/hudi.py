@@ -351,7 +351,11 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     bases = sorted(s["base"] for s in slices.values()
                    if s["base"] is not None)
     if bases:
-        base_df = spark.read.parquet(*bases)
+        # schema probe over ONE file (Hudi enforces a uniform schema
+        # across a table's base files) — building the full file index
+        # here would triple the driver's listing work once the merge
+        # builds its own untouched/touched scans (r11)
+        base_df = spark.read.parquet(bases[0])
     else:
         # table consisting ONLY of log-only file groups (r11 — a
         # freshly-bootstrapped streaming-ingest table): the merge
@@ -374,15 +378,18 @@ def read_hudi(spark, path: str, as_of: str | None = None,
         (p, lidx, fid) for fid, s in slices.items()
         for lidx, p in enumerate(s["logs"]))
     if not log_files:
+        # fully-compacted / CoW table: ONE scan over every base file
+        # (base_df above was only the single-file schema probe)
+        full_df = spark.read.parquet(*bases)
         if _provenance:
-            return base_df.withColumn(
+            return full_df.withColumn(
                 "__instant", F.col("_hoodie_commit_time")).drop(
-                *[c for c in base_df.columns
+                *[c for c in full_df.columns
                   if c in _META_COLS and c != "_hoodie_record_key"])
         if not keep_meta:
-            base_df = base_df.drop(*[c for c in base_df.columns
+            full_df = full_df.drop(*[c for c in full_df.columns
                                      if c in _META_COLS])
-        return base_df
+        return full_df
     data_cols = [c for c in base_df.columns if c not in _META_COLS]
     dtypes = dict(base_df.dtypes)
     bad = [c for c in data_cols if not _log_safe_type(dtypes[c])]
