@@ -147,11 +147,22 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return round(best, 3), out
 
+    # The consumer aggregates REAL data columns — a bare count()
+    # would let Catalyst prune the old plan's window shuffle down to
+    # two narrow key columns (its best case, never a real read's),
+    # which an idle-machine r11 re-run exposed: the count-only C plan
+    # warmed to ~1.5 s while carrying-columns C stays table-bound.
+    def consume(df):
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("qty").alias("q"),
+                   F.sum("price").alias("p")).collect()[0]
+        return int(r["n"])
+
     # A: the r10 broadcast-keyed merge (default path)
-    t_fast, n_fast = timed(lambda: read_hudi(spark, TBL).count())
+    t_fast, n_fast = timed(lambda: consume(read_hudi(spark, TBL)))
     # B: the huge-backlog regime — same split, shuffle joins
     t_shuf, n_shuf = timed(
-        lambda: read_hudi(spark, TBL, log_key_limit=0).count())
+        lambda: consume(read_hudi(spark, TBL, log_key_limit=0)))
     assert n_fast == n_shuf == n_base, (n_fast, n_shuf, n_base)
     # C: the PRE-r10 plan — latest-wins window over the ENTIRE base
     bases = sorted(b for s in live_hudi_slices(TBL).values()
@@ -160,9 +171,9 @@ def main() -> None:
     w_old = (Window.partitionBy("_hoodie_record_key")
              .orderBy(F.col("_hoodie_commit_time").desc()))
     t_old, n_old = timed(
-        lambda: bdf.withColumn(
+        lambda: consume(bdf.withColumn(
             "__rn", F.row_number().over(w_old))
-        .where("__rn = 1").count())
+            .where("__rn = 1")))
     assert n_old == n_base
 
     # incremental: pruned slices vs snapshot+filter (pre-r10 shape)
