@@ -504,9 +504,11 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     w = (Window.partitionBy("__gid", "_hoodie_record_key")
          .orderBy(F.col("__instant").desc(), F.col("__lidx").desc(),
                   F.col("__seq").desc()))
-    # materialized alongside the count so the anti- and semi-join
-    # broadcasts build straight from it (no re-shuffled distinct per
-    # consumer); sized like the log, small by MOR design
+    # materialized once so the anti- and semi-join broadcasts build
+    # straight from it (without the checkpoint the distinct's own
+    # exchange re-enters BOTH join branches' plans — the single-
+    # exchange plan pin exists precisely to catch that); sized like
+    # the log, small by MOR design
     touched_keys = (log_df.select("__gid", "_hoodie_record_key")
                     .distinct().localCheckpoint())
     # Base rows whose key no log IN THEIR OWN GROUP touches pass
@@ -517,8 +519,21 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     # so semantics never depend on log size: past log_key_limit the
     # only change is dropping the broadcast hint (the joins become
     # shuffle joins rather than a driver-OOM-risking broadcast).
-    bkeys = (touched_keys if touched_keys.count() > log_key_limit
-             else F.broadcast(touched_keys))
+    # Regime decision avoids a counting JOB when planning data
+    # already bounds the key count: a log record costs well over 4
+    # raw bytes, so bytes/4 under the limit proves the broadcast
+    # safe; only the ambiguous middle pays a count (r11 — the count
+    # job was pure overhead for every normal-sized log).
+    total_log_bytes = sum(os.path.getsize(p)
+                          for p, _l, _f in log_files)
+    if log_key_limit <= 0:
+        use_broadcast = False
+    elif total_log_bytes // 4 <= log_key_limit:
+        use_broadcast = True
+    else:
+        use_broadcast = touched_keys.count() <= log_key_limit
+    bkeys = (F.broadcast(touched_keys) if use_broadcast
+             else touched_keys)
     pieces = []
     if un_bases:
         pieces.append(_evt(spark.read.parquet(*un_bases))
