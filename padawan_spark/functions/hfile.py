@@ -1,0 +1,373 @@
+"""HFile (HBase file format v2/v3) codec, dependency-free — the base
+file format real Hudi uses for its internal ``.hoodie/metadata`` table
+(r12, VERDICT r11 task 4).  Only what a metadata-table FILES-partition
+read needs: sorted key/value cells out of DATA blocks, plus the
+file-info map (Hudi stores the records' Avro schema there under the
+``schema`` key, where ``HoodieHFileWriter.appendFileInfo`` puts it).
+
+Layout follows the PUBLIC HBase format documentation/source
+(``hbase/io/hfile``; the reference engine has no HFile or lakehouse
+surface):
+
+- File = data blocks, (optional leaf-index/bloom blocks), then the
+  "load-on-open" section — root data index, meta index, FILE INFO
+  block — then a fixed-size trailer.
+- Every block: 33-byte header (8-byte type magic,
+  ``onDiskSizeWithoutHeader`` int, ``uncompressedSizeWithoutHeader``
+  int, ``prevBlockOffset`` long, ``checksumType`` byte,
+  ``bytesPerChecksum`` int, ``onDiskDataSizeWithHeader`` int), data,
+  then checksum words.  (Pre-checksum v2 minor-0 files use the
+  24-byte header without the last three fields.)  All integers
+  big-endian.
+- DATA block payload = KeyValue cells: ``keyLen`` int, ``valueLen``
+  int, key bytes (``rowLen`` short, row, ``familyLen`` byte, family,
+  qualifier, ``timestamp`` long, ``keyType`` byte), value bytes,
+  then — only when the file-info says so — a tags length+bytes and/or
+  an MVCC sequence id as a Hadoop vlong.
+- FILE INFO payload = ``PBUF`` magic + varint-delimited protobuf
+  ``FileInfoProto`` (repeated ``BytesBytesPair`` field 1:
+  ``first``=1, ``second``=2).
+- Trailer = ``TRABLK"$`` magic + varint-delimited protobuf
+  ``FileTrailerProto`` + zero padding + 4-byte version word
+  (``major | minor << 24``), fixed at 212 bytes for major version 2
+  and 4096 for version 3.
+
+The reader walks ``[first_data_block_offset,
+load_on_open_data_offset)`` sequentially — no index decode needed for
+a full scan — skipping non-DATA blocks, and reads the file-info block
+straight from the trailer's ``file_info_offset``.  NONE and GZ block
+compression are handled; anything else, and ``ENCODED_DATA`` blocks
+(prefix/diff encodings), raise ``NotImplementedError`` so callers
+fall back honestly.  Checksums are written (CRC32) but not verified
+on read — this reader targets planning-path listings, not storage
+scrubbing.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+TRAILER_MAGIC = b'TRABLK"$'
+DATA_MAGIC = b"DATABLK*"
+ENCODED_DATA_MAGIC = b"DATABLKE"
+FILE_INFO_MAGIC = b"FILEINF2"
+ROOT_INDEX_MAGIC = b"IDXROOT2"
+PB_MAGIC = b"PBUF"
+
+# HBase Compression.Algorithm ordinals
+_COMP_LZO, _COMP_GZ, _COMP_NONE = 0, 1, 2
+
+_HEADER_SIZE = 33          # with checksum fields (v3, v2 minor>=1)
+_HEADER_SIZE_NO_CKS = 24   # v2 minor 0
+
+
+# -- minimal protobuf (the two tiny messages the format uses) ---------
+
+def _read_varint(b: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        byte = b[pos]
+        out |= (byte & 0x7F) << shift
+        pos += 1
+        if not byte & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        if v < 0x80:
+            out.append(v)
+            return bytes(out)
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+
+
+def _pb_fields(b: bytes):
+    """Yield ``(field_no, value)`` — varint fields as int, length-
+    delimited as bytes; other wire types gate."""
+    pos = 0
+    while pos < len(b):
+        tag, pos = _read_varint(b, pos)
+        fno, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, pos = _read_varint(b, pos)
+        elif wt == 2:
+            ln, pos = _read_varint(b, pos)
+            v = b[pos:pos + ln]
+            pos += ln
+        else:
+            raise NotImplementedError(f"hfile protobuf wire type {wt}")
+        yield fno, v
+
+
+def _pb_field(fno: int, v) -> bytes:
+    if isinstance(v, int):
+        return _varint(fno << 3) + _varint(v)
+    if isinstance(v, str):
+        v = v.encode("utf-8")
+    return _varint(fno << 3 | 2) + _varint(len(v)) + v
+
+
+def _pb_delimited(body: bytes) -> bytes:
+    return _varint(len(body)) + body
+
+
+# -- trailer ----------------------------------------------------------
+
+def _trailer_size(major: int) -> int:
+    return 212 if major == 2 else 4096
+
+
+def read_trailer(path: str) -> dict:
+    """Parse the fixed trailer: returns the ``FileTrailerProto``
+    fields this reader uses plus ``major``/``minor`` version."""
+    import os
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        fh.seek(max(0, size - 4096))
+        tail = fh.read()
+    (word,) = struct.unpack(">I", tail[-4:])
+    major, minor = word & 0x00FFFFFF, word >> 24
+    if major not in (2, 3):
+        raise NotImplementedError(f"hfile major version {major}")
+    tsz = _trailer_size(major)
+    if len(tail) < tsz:
+        raise NotImplementedError(
+            f"{path}: file shorter than its {tsz}-byte trailer")
+    tr = tail[-tsz:]
+    if tr[:8] != TRAILER_MAGIC:
+        raise NotImplementedError(
+            f"{path}: bad trailer magic {tr[:8]!r}")
+    ln, pos = _read_varint(tr, 8)
+    fields = dict(_pb_fields(tr[pos:pos + ln]))
+    return {
+        "major": major, "minor": minor,
+        "file_info_offset": fields.get(1, 0),
+        "load_on_open_data_offset": fields.get(2, 0),
+        "entry_count": fields.get(7, 0),
+        "first_data_block_offset": fields.get(9, 0),
+        "last_data_block_offset": fields.get(10, 0),
+        "compression_codec": fields.get(12, _COMP_NONE),
+        "trailer_offset": size - tsz,
+    }
+
+
+# -- blocks -----------------------------------------------------------
+
+def _read_block(buf: bytes, off: int, trailer: dict):
+    """``(magic, payload, next_off)`` of the block at ``off`` —
+    payload decompressed per the trailer's codec."""
+    magic = buf[off:off + 8]
+    ondisk_wo_hdr, uncomp_wo_hdr = struct.unpack_from(">ii", buf,
+                                                      off + 8)
+    checksummed = not (trailer["major"] == 2 and trailer["minor"] < 1)
+    if checksummed:
+        (ondisk_data_with_hdr,) = struct.unpack_from(
+            ">i", buf, off + 29)
+        hdr = _HEADER_SIZE
+        data = buf[off + hdr:off + ondisk_data_with_hdr]
+    else:
+        hdr = _HEADER_SIZE_NO_CKS
+        data = buf[off + hdr:off + hdr + ondisk_wo_hdr]
+    codec = trailer["compression_codec"]
+    if codec == _COMP_GZ:
+        data = zlib.decompress(data, 16 + zlib.MAX_WBITS,
+                               uncomp_wo_hdr)
+    elif codec != _COMP_NONE:
+        raise NotImplementedError(
+            f"hfile compression codec ordinal {codec}")
+    return magic, data, off + hdr + ondisk_wo_hdr
+
+
+def _read_hadoop_vlong(b: bytes, pos: int) -> tuple[int, int]:
+    first = struct.unpack_from(">b", b, pos)[0]
+    pos += 1
+    if first >= -112:
+        return first, pos
+    neg = first < -120
+    ln = (-first - 120) if neg else (-first - 112)
+    v = int.from_bytes(b[pos:pos + ln], "big")
+    pos += ln
+    return (~v if neg else v), pos
+
+
+def _decode_cells(data: bytes, with_mvcc: bool,
+                  with_tags: bool) -> list[tuple[bytes, bytes]]:
+    """``[(row_key, value)]`` of one DATA block's payload."""
+    cells, pos = [], 0
+    while pos < len(data):
+        klen, vlen = struct.unpack_from(">ii", data, pos)
+        pos += 8
+        key = data[pos:pos + klen]
+        pos += klen
+        value = data[pos:pos + vlen]
+        pos += vlen
+        if with_tags:
+            (tlen,) = struct.unpack_from(">h", data, pos)
+            pos += 2 + tlen
+        if with_mvcc:
+            _seq, pos = _read_hadoop_vlong(data, pos)
+        (rowlen,) = struct.unpack_from(">h", key, 0)
+        cells.append((key[2:2 + rowlen], value))
+    return cells
+
+
+def _parse_file_info(payload: bytes) -> dict[bytes, bytes]:
+    if payload[:4] != PB_MAGIC:
+        raise NotImplementedError(
+            f"hfile file-info magic {payload[:4]!r}")
+    ln, pos = _read_varint(payload, 4)
+    info: dict[bytes, bytes] = {}
+    for fno, pair in _pb_fields(payload[pos:pos + ln]):
+        if fno != 1:
+            continue
+        kv = dict(_pb_fields(pair))
+        info[bytes(kv[1])] = bytes(kv[2])
+    return info
+
+
+def read_hfile(path: str) -> tuple[dict[bytes, bytes],
+                                   list[tuple[bytes, bytes]]]:
+    """Full scan: ``(file_info, [(row_key, value)] in file order)``.
+    Planning-path use only — the whole file is read into memory (a
+    metadata FILES partition is KBs per thousand partitions)."""
+    trailer = read_trailer(path)
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    magic, payload, _n = _read_block(buf, trailer["file_info_offset"],
+                                     trailer)
+    if magic != FILE_INFO_MAGIC:
+        raise NotImplementedError(
+            f"{path}: expected FILEINF2 at file_info_offset, "
+            f"found {magic!r}")
+    info = _parse_file_info(payload)
+    # KEY_VALUE_VERSION == 1 ("with memstore ts") marks cells that
+    # carry an MVCC vlong; MAX_TAGS_LEN marks cells that carry tags
+    kv_ver = info.get(b"KEY_VALUE_VERSION")
+    with_mvcc = (kv_ver is not None
+                 and int.from_bytes(kv_ver, "big") == 1)
+    with_tags = b"MAX_TAGS_LEN" in info
+    cells: list[tuple[bytes, bytes]] = []
+    off = trailer["first_data_block_offset"]
+    end = trailer["load_on_open_data_offset"]
+    while off < end:
+        magic, payload, off = _read_block(buf, off, trailer)
+        if magic == DATA_MAGIC:
+            cells += _decode_cells(payload, with_mvcc, with_tags)
+        elif magic == ENCODED_DATA_MAGIC:
+            raise NotImplementedError(
+                f"{path}: encoded (prefix/diff) data blocks")
+        # leaf-index / bloom blocks interleave with data: skip
+    return info, cells
+
+
+# -- fixture writer ---------------------------------------------------
+
+def _checksums(block: bytes, bytes_per: int) -> bytes:
+    out = bytearray()
+    for i in range(0, len(block), bytes_per):
+        out += struct.pack(">I",
+                           zlib.crc32(block[i:i + bytes_per])
+                           & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _build_block(magic: bytes, data: bytes, prev_off: int) -> bytes:
+    """One uncompressed, CRC32-checksummed v3 block."""
+    bytes_per = 16384
+    n_chunks = (_HEADER_SIZE + len(data) + bytes_per - 1) // bytes_per
+    cks_len = 4 * n_chunks
+    hdr = magic + struct.pack(
+        ">iiqbii",
+        len(data) + cks_len,            # onDiskSizeWithoutHeader
+        len(data),                      # uncompressedSizeWithoutHeader
+        prev_off,                       # prevBlockOffset
+        1,                              # checksumType = CRC32
+        bytes_per,
+        _HEADER_SIZE + len(data))       # onDiskDataSizeWithHeader
+    body = hdr + data
+    return body + _checksums(body, bytes_per)
+
+
+def _encode_cell(row: bytes, value: bytes) -> bytes:
+    """KeyValue with empty family/qualifier, Long.MAX_VALUE timestamp
+    and Put type — the exact cell shape Hudi's HFile writer emits."""
+    key = (struct.pack(">h", len(row)) + row + b"\x00"
+           + struct.pack(">qb", 0x7FFFFFFFFFFFFFFF, 4))
+    return (struct.pack(">ii", len(key), len(value)) + key + value
+            ), key
+
+
+def write_hfile(path: str, cells: list[tuple[bytes, bytes]],
+                file_info: dict[bytes, bytes],
+                block_size: int = 65536) -> None:
+    """Write a v3 HFile of ``cells`` (sorted by key here; unsigned
+    byte order — python ``bytes`` comparison matches HBase's row
+    comparator for the row-only keys Hudi uses).  No MVCC, no tags,
+    NONE compression, single-level index."""
+    cells = sorted(cells)
+    out = bytearray()
+    data_blocks: list[tuple[int, int, bytes]] = []  # off, size, 1st key
+    cur = bytearray()
+    first_key: bytes | None = None
+    prev_data_off = -1
+
+    def _flush():
+        nonlocal cur, first_key, prev_data_off
+        if not cur:
+            return
+        off = len(out)
+        blk = _build_block(DATA_MAGIC, bytes(cur), prev_data_off)
+        out.extend(blk)
+        data_blocks.append((off, len(blk), first_key))
+        prev_data_off = off
+        cur, first_key = bytearray(), None
+
+    for row, value in cells:
+        enc, key = _encode_cell(row, value)
+        if first_key is None:
+            first_key = key
+        cur += enc
+        if len(cur) >= block_size:
+            _flush()
+    _flush()
+
+    load_on_open = len(out)
+    # root data index: offset long, onDiskSizeWithHeader int,
+    # vint-length-prefixed first key per entry
+    idx = bytearray()
+    for off, size, key in data_blocks:
+        idx += struct.pack(">qi", off, size)
+        # Hadoop vint: values 0..127 are one raw byte — identical to
+        # a protobuf varint for the short keys written here
+        idx += _varint(len(key)) + key
+    out.extend(_build_block(ROOT_INDEX_MAGIC, bytes(idx), -1))
+    # empty meta index root
+    out.extend(_build_block(ROOT_INDEX_MAGIC, b"", -1))
+    file_info_offset = len(out)
+    pairs = b"".join(
+        _pb_field(1, _pb_field(1, k) + _pb_field(2, v))
+        for k, v in sorted(file_info.items()))
+    out.extend(_build_block(FILE_INFO_MAGIC,
+                            PB_MAGIC + _pb_delimited(pairs), -1))
+    trailer_pb = (
+        _pb_field(1, file_info_offset)
+        + _pb_field(2, load_on_open)
+        + _pb_field(3, len(idx))           # uncompressed index size
+        + _pb_field(4, sum(s for _o, s, _k in data_blocks))
+        + _pb_field(5, len(data_blocks))   # data_index_count
+        + _pb_field(6, 0)                  # meta_index_count
+        + _pb_field(7, len(cells))         # entry_count
+        + _pb_field(8, 1)                  # num_data_index_levels
+        + _pb_field(9, data_blocks[0][0] if data_blocks else 0)
+        + _pb_field(10, data_blocks[-1][0] if data_blocks else 0)
+        + _pb_field(11, "org.apache.hadoop.hbase.CellComparatorImpl")
+        + _pb_field(12, _COMP_NONE))
+    body = TRAILER_MAGIC + _pb_delimited(trailer_pb)
+    pad = _trailer_size(3) - len(body) - 4
+    out.extend(body + b"\x00" * pad + struct.pack(">I", 3))
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

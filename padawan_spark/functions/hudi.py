@@ -81,10 +81,18 @@ def hudi_metadata_files(path: str):
     the full O(timeline) commit-JSON replay) in the planning path.
     Returns ``{data_partition: [filenames]}``, or ``None`` when no
     metadata table exists.  Planning-scale work: one record per data
-    partition, latest-wins per key across the metadata table's own
-    log blocks.  HFile base files (real Hudi's metadata base format)
-    gate honestly; the avro-log-only shape our fixture writes — and a
-    freshly-bootstrapped real metadata table has — decodes fully."""
+    partition, merged in commit order across the metadata table's
+    own base + log blocks.  Two record shapes decode: the fixture's
+    ``_hoodie_record_key`` + ``filenames`` array (a full listing —
+    the latest record per key replaces) and the real
+    HoodieMetadataPayload (``key`` + ``filesystemMetadata`` map),
+    whose semantics are a MAP MERGE — each record adds/updates its
+    map's files and an ``isDeleted`` entry removes one, so records
+    FOLD per key in commit order rather than replace (ADVICE r11).
+    HFile base files (real Hudi's metadata base format after
+    compaction) decode through :mod:`.hfile` (r12).  Any other
+    record shape raises (fail closed) and :func:`live_hudi_slices`
+    falls back to the timeline replay, the source of truth."""
     mroot = os.path.join(path, ".hoodie", "metadata")
     if not os.path.isdir(os.path.join(mroot, ".hoodie")):
         return None
@@ -93,13 +101,57 @@ def hudi_metadata_files(path: str):
                           decode_delete_block, decode_log_blocks)
     inner = live_hudi_slices(mroot, use_metadata=False)
     committed = set(list_hudi_commits(mroot))
-    state: dict[str, tuple] = {}
+    # key -> [(ordk, kind, payload)]; folded in ordk order below so
+    # real map-merge payloads COMPOSE instead of clobbering
+    recs: dict[str, list] = {}
+
+    def _classify(r: dict):
+        """(key, kind, payload) of one decoded data record; raises
+        NotImplementedError on any shape this decoder does not
+        understand — a silent guess here would DROP files from the
+        listing (ADVICE r11)."""
+        if "filenames" in r and "_hoodie_record_key" in r:
+            return (r["_hoodie_record_key"], "replace",
+                    list(r["filenames"]))
+        if "filesystemMetadata" in r and "key" in r:
+            fsm = r["filesystemMetadata"] or {}
+            for info in fsm.values():
+                if not isinstance(info, dict) \
+                        or "isDeleted" not in info:
+                    raise NotImplementedError(
+                        "hudi metadata filesystemMetadata entry "
+                        f"{info!r} lacks isDeleted")
+            return r["key"], "merge", {
+                f: bool(info["isDeleted"]) for f, info in fsm.items()}
+        raise NotImplementedError(
+            f"hudi metadata record shape {sorted(r)} is neither the "
+            "filenames-array fixture payload nor a "
+            "HoodieMetadataPayload")
+
     for fid, s in sorted(inner.items()):
         if s["base"] is not None:
-            raise NotImplementedError(
-                f"{mroot}: metadata table base file {s['base']!r} — "
-                "HFile bases are unsupported; only log-only metadata "
-                "tables decode")
+            # compaction leaves an HFile base: its cells are already
+            # key-sorted and pre-merged up to the base instant, so
+            # they fold FIRST (ordk below every log block).  The
+            # record schema rides the HFile's file-info under the
+            # "schema" key, exactly where HoodieHFileWriter puts it.
+            from .avro import read_datum
+            from .hfile import read_hfile
+            info, cells = read_hfile(s["base"])
+            if b"schema" not in info:
+                raise NotImplementedError(
+                    f"{s['base']}: HFile carries no 'schema' "
+                    "file-info entry — cannot decode its cells")
+            schema = json.loads(info[b"schema"].decode("utf-8"))
+            for seq, (k, v) in enumerate(cells):
+                r, _end = read_datum(v, 0, schema)
+                key, kind, payload = _classify(r)
+                if key != k.decode("utf-8"):
+                    raise NotImplementedError(
+                        f"hudi metadata HFile cell key {k!r} != "
+                        f"payload key {key!r}")
+                recs.setdefault(key, []).append(
+                    (("", -1, seq), kind, payload))
         for lidx, p in enumerate(s["logs"]):
             with open(p, "rb") as fh:
                 blocks = decode_log_blocks(fh.read())
@@ -110,18 +162,34 @@ def hudi_metadata_files(path: str):
                 ordk = (inst, lidx, seq)
                 if blk["type"] == BLOCK_AVRO_DATA:
                     for r in decode_avro_data_block(blk):
-                        k = r["_hoodie_record_key"]
-                        if k not in state or state[k][0] < ordk:
-                            state[k] = (ordk, r.get("filenames"))
+                        key, kind, payload = _classify(r)
+                        recs.setdefault(key, []).append(
+                            (ordk, kind, payload))
                 elif blk["type"] == BLOCK_DELETE:
                     for k in decode_delete_block(blk):
-                        if k not in state or state[k][0] < ordk:
-                            state[k] = (ordk, None)
+                        recs.setdefault(k, []).append(
+                            (ordk, "delete", None))
                 else:
                     raise NotImplementedError(
                         f"hudi metadata log block type {blk['type']}")
-    return {("" if k == "__all_partitions__" else k): list(v)
-            for k, (_o, v) in state.items() if v is not None}
+    out: dict[str, list] = {}
+    for k, events in recs.items():
+        files = None
+        for _ordk, kind, payload in sorted(events,
+                                           key=lambda e: e[0]):
+            if kind == "delete":
+                files = None
+            elif kind == "replace":
+                files = set(payload)
+            else:                                   # map merge
+                if files is None:
+                    files = set()
+                for f, deleted in payload.items():
+                    (files.discard if deleted else files.add)(f)
+        if files is not None:
+            out["" if k == "__all_partitions__" else k] = sorted(
+                files)
+    return out
 
 
 _BASE_RE = re.compile(r"^([^_.][^_]*)_[^_]+_(\d+)\.parquet$")
@@ -191,11 +259,13 @@ def live_hudi_slices(path: str, as_of: str | None = None,
     if use_metadata and as_of is None:
         try:
             listing = hudi_metadata_files(path)
-        except NotImplementedError:
-            # an HFile-based metadata table (real Hudi's default base
-            # format) is unreadable here — the commit replay below is
-            # the source of truth, so fall back rather than fail a
-            # read the replay path serves correctly
+        except (NotImplementedError, KeyError, ValueError):
+            # a metadata table this decoder cannot read — an
+            # unsupported record/block shape (NotImplementedError) OR
+            # a malformed record that surfaces as a raw decode error
+            # (ADVICE r11: KeyError/ValueError from a payload field
+            # probe must not fail a read the replay serves) — falls
+            # back to the commit replay below, the source of truth
             listing = None
         if listing is not None:
             return _slices_from_listing(path, listing)
@@ -469,7 +539,6 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     # token — the same identity the planning stats carry), verified
     # against the planning fileIds driver-side below so a
     # nonconforming layout fails CLOSED instead of splitting wrong.
-    touched_fids = {fid for fid, s in slices.items() if s["logs"]}
     un_bases = sorted(s["base"] for fid, s in slices.items()
                       if not s["logs"] and s["base"] is not None)
     t_bases = sorted(s["base"] for fid, s in slices.items()
@@ -520,15 +589,18 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     # only change is dropping the broadcast hint (the joins become
     # shuffle joins rather than a driver-OOM-risking broadcast).
     # Regime decision avoids a counting JOB when planning data
-    # already bounds the key count: a log record costs well over 4
-    # raw bytes, so bytes/4 under the limit proves the broadcast
-    # safe; only the ambiguous middle pays a count (r11 — the count
-    # job was pure overhead for every normal-sized log).
+    # already bounds the key count: even a delete-block record with
+    # a 1-char key costs >2 raw bytes in the real (Avro HoodieKey)
+    # encoding, so bytes/2 under the limit proves the broadcast safe
+    # (ADVICE r11 tightened the divisor from 4 — short-key delete
+    # blocks could undercount); only the ambiguous middle pays a
+    # count (r11 — the count job was pure overhead for every
+    # normal-sized log).
     total_log_bytes = sum(os.path.getsize(p)
                           for p, _l, _f in log_files)
     if log_key_limit <= 0:
         use_broadcast = False
-    elif total_log_bytes // 4 <= log_key_limit:
+    elif total_log_bytes // 2 <= log_key_limit:
         use_broadcast = True
     else:
         use_broadcast = touched_keys.count() <= log_key_limit
@@ -588,6 +660,78 @@ def write_hudi_metadata_fixture(spark, path: str) -> str | None:
         rows, "key string, filenames array<string>, p string")
     return write_hudi_delta_fixture(spark, mroot, upserts=df,
                                     partition_field="p")
+
+
+_METADATA_RECORD_SCHEMA = {
+    "type": "record", "name": "HoodieMetadataRecord",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {"name": "filesystemMetadata", "type": ["null", {
+            "type": "map", "values": {
+                "type": "record", "name": "HoodieMetadataFileInfo",
+                "fields": [
+                    {"name": "size", "type": "long"},
+                    {"name": "isDeleted", "type": "boolean"}]}}]},
+    ]}
+
+
+def compact_hudi_metadata_fixture(path: str) -> str:
+    """FIXTURE: compact the ``.hoodie/metadata`` FILES partition into
+    an HFILE base file — the shape every real metadata table takes
+    after its first inline compaction (HFile is Hudi's metadata base
+    format; VERDICT r11 task 4).  Cells carry REAL-shaped
+    ``HoodieMetadataPayload`` records (``key`` + ``type`` +
+    ``filesystemMetadata`` map) so the read path exercises the
+    map-merge decode, with the record Avro schema in the HFile
+    file-info under ``schema`` exactly where ``HoodieHFileWriter``
+    puts it.  The compaction registers as a ``commit`` on the inner
+    timeline, superseding the group's logs.  Returns the instant."""
+    from .avro import write_datum
+    from .hfile import write_hfile
+    mroot = os.path.join(path, ".hoodie", "metadata")
+    listing = hudi_metadata_files(path)
+    if listing is None:
+        raise FileNotFoundError(f"{path}: no metadata table")
+    inner = live_hudi_slices(mroot, use_metadata=False)
+    if len(inner) != 1:
+        raise NotImplementedError(
+            f"{mroot}: expected exactly one FILES file group, "
+            f"found {sorted(inner)}")
+    (fid, s), = inner.items()
+    part = s["part"]
+    instant = _next_instant(mroot)
+    cells = []
+    for p, names in listing.items():
+        key = p if p else "__all_partitions__"
+        fsm = {}
+        for n in names:
+            full = os.path.join(path, p, n) if p \
+                else os.path.join(path, n)
+            try:
+                size = os.path.getsize(full)
+            except OSError:
+                size = 0
+            fsm[n] = {"size": size, "isDeleted": False}
+        datum = {"key": key, "type": 2, "filesystemMetadata": fsm}
+        buf = bytearray()
+        write_datum(buf, datum, _METADATA_RECORD_SCHEMA)
+        cells.append((key.encode("utf-8"), bytes(buf)))
+    fname = f"{fid}_0-0-0_{instant}.hfile"
+    rel = f"{part}/{fname}" if part else fname
+    full = os.path.join(mroot, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    write_hfile(full, cells,
+                {b"schema": json.dumps(
+                    _METADATA_RECORD_SCHEMA).encode("utf-8")})
+    with open(os.path.join(mroot, ".hoodie",
+                           f"{instant}.commit"), "w") as fh:
+        json.dump({"partitionToWriteStats": {part: [{
+            "fileId": fid, "path": rel,
+            "fileSizeInBytes": os.path.getsize(full)}]},
+            "operationType": "COMPACT"}, fh)
+    return instant
 
 
 def _sync_hudi_metadata(spark, path: str) -> None:
@@ -1016,13 +1160,19 @@ def _avro_field_ddl(t) -> str:
 
 
 def hudi_log_table_schema(log_paths) -> list[tuple[str, str]]:
-    """``[(name, spark_ddl_type)]`` recovered from the FIRST Avro data
-    block's embedded writer schema across ``log_paths`` — the schema
+    """``[(name, spark_ddl_type)]`` recovered from the Avro data
+    blocks' embedded writer schemas across ``log_paths`` — the schema
     source for a table consisting only of log-only file groups (r11).
-    Driver work is O(one log header), not O(rows): block headers are
-    walked, the first data block's SCHEMA header parsed, done."""
+    EVERY data block's SCHEMA header is inspected and a field-set
+    mismatch raises (ADVICE r11): taking only the first block's
+    schema would silently drop a column a later deltacommit added.
+    Driver work is O(block headers), not O(rows) — datums are never
+    decoded."""
     from .avro import _norm_type
     from .hudilog import BLOCK_AVRO_DATA, H_SCHEMA, decode_log_blocks
+    out = None
+    names: list | None = None
+    first_at = None
     for p in log_paths:
         with open(p, "rb") as fh:
             blocks = decode_log_blocks(fh.read())
@@ -1030,13 +1180,24 @@ def hudi_log_table_schema(log_paths) -> list[tuple[str, str]]:
             if blk["type"] != BLOCK_AVRO_DATA:
                 continue
             schema = json.loads(blk["header"][H_SCHEMA])
-            out = []
-            for f in schema["fields"]:
-                if f["name"] in _META_COLS:
-                    continue
-                base_t, _nl = _norm_type(f["type"])
-                out.append((f["name"], _avro_field_ddl(base_t)))
-            return out
+            blk_names = [f["name"] for f in schema["fields"]
+                         if f["name"] not in _META_COLS]
+            if names is None:
+                names, first_at = blk_names, p
+                out = []
+                for f in schema["fields"]:
+                    if f["name"] in _META_COLS:
+                        continue
+                    base_t, _nl = _norm_type(f["type"])
+                    out.append((f["name"], _avro_field_ddl(base_t)))
+            elif blk_names != names:
+                raise NotImplementedError(
+                    f"hudi log-only table carries more than one "
+                    f"writer schema: {first_at} has fields {names}, "
+                    f"{p} has {blk_names} — schema-evolved log-only "
+                    "tables are unsupported")
+    if out is not None:
+        return out
     raise NotImplementedError(
         "no avro data block found in any log file — cannot recover "
         "the table schema (delete-only logs carry keys, not schemas)")

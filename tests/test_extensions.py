@@ -2160,6 +2160,204 @@ def test_hudi_metadata_table_listing(spark, tmp_path):
     ).count() == 12
 
 
+def test_hfile_codec_roundtrip(tmp_path):
+    """r12 (VERDICT r11 task 4): the dependency-free HFile v3 codec —
+    multi-block write, trailer/file-info/data walk read — round-trips
+    cells in key order; cells land sorted regardless of input order."""
+    from padawan_spark.functions.hfile import (read_hfile,
+                                               read_trailer,
+                                               write_hfile)
+    p = str(tmp_path / "t.hfile")
+    cells = [(f"k{i:04d}".encode(), (f"v{i}" * 40).encode())
+             for i in range(300)]
+    import random
+    rnd = random.Random(7)
+    shuffled = cells[:]
+    rnd.shuffle(shuffled)
+    write_hfile(p, shuffled, {b"schema": b"{}", b"x": b"y"},
+                block_size=4096)
+    tr = read_trailer(p)
+    assert tr["major"] == 3 and tr["entry_count"] == 300
+    assert tr["first_data_block_offset"] == 0
+    assert 0 < tr["load_on_open_data_offset"] < tr["file_info_offset"]
+    info, got = read_hfile(p)
+    assert info == {b"schema": b"{}", b"x": b"y"}
+    assert got == sorted(cells)
+    # multiple data blocks actually exist (the walk crosses headers)
+    assert tr["last_data_block_offset"] > 0
+
+
+def test_hudi_metadata_hfile_base(spark, tmp_path):
+    """r12 (VERDICT r11 task 4): an HFile-compacted metadata table —
+    the shape every REAL metadata table takes after inline compaction
+    — decodes through the listing path (fallback untaken), its
+    real-shaped HoodieMetadataPayload cells fold by MAP MERGE, and
+    later deltacommit logs layer on top of the HFile base."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (
+        compact_hudi_metadata_fixture, hudi_metadata_files,
+        live_hudi_slices, read_hudi, write_hudi_delta_fixture,
+        write_hudi_fixture, write_hudi_metadata_fixture)
+    t = str(tmp_path / "hmh")
+    df = spark.range(12).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 3).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    write_hudi_fixture(spark, df, t, partition_field="g")
+    write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("k") % 4 == 0)
+        .withColumn("v", SF.lit(-1).cast("bigint")),
+        partition_field="g")
+    write_hudi_metadata_fixture(spark, t)
+    before = hudi_metadata_files(t)
+    compact_hudi_metadata_fixture(t)
+    mroot = str(tmp_path / "hmh" / ".hoodie" / "metadata")
+    (fid, s), = live_hudi_slices(mroot, use_metadata=False).items()
+    assert s["base"].endswith(".hfile") and not s["logs"]
+    # the listing path DECODES the HFile (no fallback: a raise inside
+    # hudi_metadata_files would propagate here, there is no catch)
+    assert hudi_metadata_files(t) == before
+
+    def norm(slices):
+        return {f: (x["base"], x["part"], tuple(x["logs"]))
+                for f, x in slices.items()}
+
+    assert norm(live_hudi_slices(t)) == norm(
+        live_hudi_slices(t, use_metadata=False))
+    # a later deltacommit syncs a LOG on top of the HFile base and
+    # the fold layers it over the HFile cells
+    write_hudi_delta_fixture(spark, t, deletes={"2": ["2"]},
+                             partition_field="g")
+    (_f2, s2), = live_hudi_slices(mroot, use_metadata=False).items()
+    assert s2["base"].endswith(".hfile") and len(s2["logs"]) == 1
+    assert norm(live_hudi_slices(t)) == norm(
+        live_hudi_slices(t, use_metadata=False))
+    rows = {r["k"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert rows == {k: (-1 if k % 4 == 0 else k * 10)
+                    for k in range(12) if k != 2}
+
+
+def test_hudi_metadata_map_merge_and_fail_closed(spark, tmp_path):
+    """ADVICE r11 (medium): real HoodieMetadataPayload records fold as
+    a MAP MERGE (isDeleted removes one file, a later record's map adds
+    to — not replaces — the listing), and an UNKNOWN record shape
+    fails closed: hudi_metadata_files raises instead of silently
+    dropping a partition, and live_hudi_slices falls back to the
+    replay."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.avro import write_datum
+    from padawan_spark.functions.hudi import (
+        _METADATA_RECORD_SCHEMA, _next_instant, hudi_metadata_files,
+        live_hudi_slices, write_hudi_delta_fixture, write_hudi_fixture,
+        write_hudi_metadata_fixture)
+    from padawan_spark.functions.hudilog import encode_avro_data_block
+    import json as _json
+    import os as _os
+    t = str(tmp_path / "hmm")
+    df = spark.range(6).select(
+        SF.col("id").alias("k"), SF.lit(0).cast("bigint").alias("g"),
+        (SF.col("id") * 10).alias("v"))
+    write_hudi_fixture(spark, df, t, partition_field="g")
+    write_hudi_metadata_fixture(spark, t)
+    base_listing = hudi_metadata_files(t)
+    (files0,) = base_listing.values()
+    mroot = _os.path.join(t, ".hoodie", "metadata")
+    (fid, s), = live_hudi_slices(mroot, use_metadata=False).items()
+
+    def commit_payload(recs):
+        inst = _next_instant(mroot)
+        blk = encode_avro_data_block(inst, _METADATA_RECORD_SCHEMA,
+                                     recs)
+        with open(s["logs"][0], "ab") as fh:
+            fh.write(blk)
+        with open(_os.path.join(mroot, ".hoodie",
+                                f"{inst}.deltacommit"), "w") as fh:
+            _json.dump({"partitionToWriteStats": {s["part"]: [
+                {"fileId": fid,
+                 "path": _os.path.relpath(s["logs"][0], mroot)}]}},
+                fh)
+
+    # map-merge: add one file, remove one — composes with the base
+    commit_payload([{"key": "0", "type": 2, "filesystemMetadata": {
+        "extra.parquet": {"size": 1, "isDeleted": False},
+        files0[0]: {"size": 0, "isDeleted": True}}}])
+    merged = hudi_metadata_files(t)
+    assert "extra.parquet" in merged["0"]
+    assert files0[0] not in merged["0"]
+    assert set(files0[1:]) <= set(merged["0"])
+    # unknown record shape: fail closed, replay fallback still serves
+    import pytest as _pytest
+    commit_payload([{"key": "0", "type": 9,
+                     "filesystemMetadata": None}])
+    # a type-9 record with a null map still classifies (merge of {});
+    # a record MISSING both shapes must raise — craft one with a
+    # different writer schema
+    bad_schema = {"type": "record", "name": "X", "fields": [
+        {"name": "who", "type": "string"}]}
+    inst = _next_instant(mroot)
+    from padawan_spark.functions.hudilog import encode_avro_data_block \
+        as _enc
+    with open(s["logs"][0], "ab") as fh:
+        fh.write(_enc(inst, bad_schema, [{"who": "?"}]))
+    with open(_os.path.join(mroot, ".hoodie",
+                            f"{inst}.deltacommit"), "w") as fh:
+        _json.dump({"partitionToWriteStats": {s["part"]: [
+            {"fileId": fid,
+             "path": _os.path.relpath(s["logs"][0], mroot)}]}}, fh)
+    with _pytest.raises(NotImplementedError, match="record shape"):
+        hudi_metadata_files(t)
+    assert norm_eq(live_hudi_slices(t),
+                   live_hudi_slices(t, use_metadata=False))
+
+
+def norm_eq(a, b):
+    def norm(slices):
+        return {f: (x["base"], x["part"], tuple(x["logs"]))
+                for f, x in slices.items()}
+    return norm(a) == norm(b)
+
+
+def test_hudi_log_schema_mismatch_raises(spark, tmp_path):
+    """ADVICE r11: a log-only table whose data blocks carry DIFFERENT
+    writer schemas (a later deltacommit added a column) raises instead
+    of silently reading with the first block's narrower schema."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+    from padawan_spark.functions.hudi import (_next_instant,
+                                              hudi_table_schema,
+                                              live_hudi_slices,
+                                              write_hudi_delta_fixture)
+    from padawan_spark.functions.hudilog import encode_avro_data_block
+    t = str(tmp_path / "hls")
+    df = spark.range(4).select(SF.col("id").alias("k"),
+                               (SF.col("id") * 10).alias("v"))
+    write_hudi_delta_fixture(spark, t, upserts=df)   # log-only boot
+    assert hudi_table_schema(t) == [("k", "bigint"), ("v", "bigint")]
+    # append a block with one MORE field under a new deltacommit
+    (fid, s), = live_hudi_slices(t).items()
+    wider = {"type": "record", "name": "rec", "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "k", "type": ["null", "long"]},
+        {"name": "v", "type": ["null", "long"]},
+        {"name": "w", "type": ["null", "long"]}]}
+    inst = _next_instant(t)
+    with open(s["logs"][0], "ab") as fh:
+        fh.write(encode_avro_data_block(
+            inst, wider, [{"_hoodie_record_key": "9", "k": 9,
+                           "v": 90, "w": 1}]))
+    with open(_os.path.join(t, ".hoodie",
+                            f"{inst}.deltacommit"), "w") as fh:
+        _json.dump({"partitionToWriteStats": {"": [
+            {"fileId": fid,
+             "path": _os.path.relpath(s["logs"][0], t)}]}}, fh)
+    with _pytest.raises(NotImplementedError,
+                        match="more than one writer schema"):
+        hudi_table_schema(t)
+
+
 def test_hudi_incremental_stream_over_log_only_table(spark, tmp_path):
     """r11: the incremental stream source works on a table with ZERO
     base files — its schema() recovers from the log's embedded Avro
