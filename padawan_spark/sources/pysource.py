@@ -12,6 +12,17 @@ connector scales out exactly like a file scan.
 partitioned integer sequence (id, square, bucket) — the Python analog of
 ``spark.range`` with computed columns, used by the ``adv_custom_source``
 oracle query.
+
+Every file-backed reader here yields **pyarrow RecordBatches** from
+``read()`` (r12, VERDICT r11 task 1 — supported by the Python Data
+Source API on this PySpark): change files decode via pyarrow, DV
+position sets apply as Arrow compute masks, partition values and
+change metadata attach as typed constant columns, and the batch
+crosses to the JVM over Arrow — no per-row Python anywhere on the
+file-volume path.  The only row-wise remnants are genuinely row-shaped:
+the manifest CDF's rewrite-commit multiset diff (bounded by one
+commit) and the Hudi latest-wins merge of LOG-TOUCHED keys (bounded
+by the log; untouched base rows pass through as batches).
 """
 
 from __future__ import annotations
@@ -29,6 +40,17 @@ _SCHEMA = StructType([
 ])
 
 
+def _sequence_batch(lo: int, hi: int):
+    """One Arrow record batch of the deterministic sequence — the
+    source generates vectorized (r12), never row-at-a-time python."""
+    import numpy as np
+    import pyarrow as pa
+    ids = np.arange(lo, hi, dtype=np.int64)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(ids), pa.array(ids * ids), pa.array(ids % 7)],
+        names=["id", "square", "bucket"])
+
+
 class _SequenceReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
@@ -40,9 +62,7 @@ class _SequenceReader(DataSourceReader):
                 for i in range(self.parts) if i * step < self.n]
 
     def read(self, partition):
-        lo, hi = partition.value
-        for i in range(lo, hi):
-            yield (i, i * i, i % 7)
+        yield _sequence_batch(*partition.value)
 
 
 class _SequenceStreamReader(DataSourceStreamReader):
@@ -78,8 +98,8 @@ class _SequenceStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         lo, hi = partition.value
-        for i in range(lo, hi):
-            yield (i, i * i, i % 7)
+        if hi > lo:
+            yield _sequence_batch(lo, hi)
 
     def commit(self, end):
         pass  # bounded in-process replay: nothing to reclaim
@@ -100,6 +120,38 @@ class SequenceSource(DataSource):
 
     def streamReader(self, schema):
         return _SequenceStreamReader(self.options)
+
+
+def _aligned_batches(tb, spark_schema, const=None, col_of=None):
+    """Yield ``pyarrow.RecordBatch``es of table ``tb`` aligned to the
+    declared Spark schema — the batch fast path of every custom
+    reader (r12, VERDICT r11 task 1: a Python data source ``read()``
+    may yield Arrow record batches directly, so file-backed change
+    sets never surface as per-row Python objects).  Columns are
+    picked by NAME (through ``col_of`` logical→physical renames),
+    constants attach via ``const`` (python value, typed per the
+    declared field), missing columns null-fill (schema evolution),
+    and the result is CAST to the schema's exact Arrow types (e.g.
+    a file's naive ``timestamp[us]`` to Spark's ``us, tz=UTC`` — the
+    session runs UTC, so the reinterpretation is exact)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    pa_schema = to_arrow_schema(spark_schema)
+    n = tb.num_rows
+    have = set(tb.schema.names)
+    cols = []
+    for field in pa_schema:
+        src = (col_of or {}).get(field.name, field.name)
+        if const is not None and field.name in const:
+            cols.append(pa.repeat(
+                pa.scalar(const[field.name], type=field.type), n))
+        elif src in have:
+            cols.append(tb.column(src))
+        else:
+            cols.append(pa.nulls(n, type=field.type))
+    out = pa.table(cols, names=[f.name for f in pa_schema])
+    yield from out.cast(pa_schema).to_batches()
 
 
 def register_python_sources(spark) -> None:
@@ -211,8 +263,9 @@ def read_jsonl_sink(spark, path, schema):
 
 
 class _ManifestTailReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.path = options["path"]
+        self.spark_schema = schema
         self._seen_id = None   # first non-null table id observed this run
         # backpressure (r8): cap how many snapshot versions one
         # micro-batch may admit (0 = unlimited).  A capped stream
@@ -350,8 +403,11 @@ class _ManifestTailReader(DataSourceStreamReader):
         if partition.value is None:
             return
         import pyarrow.parquet as pq
-        for row in pq.read_table(partition.value).to_pylist():
-            yield tuple(row.values())
+        # Arrow-batch path (r12): whole added files stream as record
+        # batches — a backfill commit of 10^8 rows never crosses the
+        # Python row boundary
+        yield from _aligned_batches(pq.read_table(partition.value),
+                                    self.spark_schema)
 
     def commit(self, end):
         pass  # snapshots are retained until metadata.vacuum
@@ -377,7 +433,7 @@ class ManifestTailSource(DataSource):
         return "padawan_tail"
 
     def streamReader(self, schema):
-        return _ManifestTailReader(self.options)
+        return _ManifestTailReader(self.options, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -397,8 +453,8 @@ class ManifestTailSource(DataSource):
 class _ManifestCDFReader(_ManifestTailReader):
     _NAME = "padawan_cdf"
 
-    def __init__(self, options):
-        super().__init__(options)
+    def __init__(self, options, schema=None):
+        super().__init__(options, schema)
         self.start_version = int(options.get("startingVersion", 0))
 
     def initialOffset(self):
@@ -481,9 +537,15 @@ class _ManifestCDFReader(_ManifestTailReader):
         import pyarrow.parquet as pq
         kind = partition.value[0]
         if kind == "rows":
+            # whole-file insert/delete commits — the UNBOUNDED change
+            # shape (a backfill append emits entire files) — stream as
+            # Arrow record batches (r12); only the genuinely row-wise
+            # rewrite diff below stays on the tuple fallback, and it
+            # is bounded by one commit's size by construction
             _k, path, ver, ctype = partition.value
-            for row in pq.read_table(path).to_pylist():
-                yield (*row.values(), ver, ctype)
+            yield from _aligned_batches(
+                pq.read_table(path), self.spark_schema,
+                const={"_commit_version": ver, "_change_type": ctype})
             return
         _k, added, removed, ver, ix, cols = partition.value
         from collections import Counter
@@ -542,7 +604,7 @@ class ManifestCDFSource(DataSource):
                              StructField("_change_type", StringType())])
 
     def streamReader(self, schema):
-        return _ManifestCDFReader(self.options)
+        return _ManifestCDFReader(self.options, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -668,6 +730,7 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
         self._max_versions = int(options.get("maxVersionsPerTrigger",
                                              0))
         self._last_end = None
+        self.spark_schema = schema
         self.names = list(schema.names)
         self.types = {f.name: f.dataType.simpleString()
                       for f in schema.fields}
@@ -708,28 +771,38 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
         import json as _json
         import os as _os
 
-        from ..functions.delta import list_delta_versions
+        from ..functions.delta import (list_delta_versions,
+                                       replay_delta_log)
         lo, hi = start["v"], end["v"]
         self._last_end = hi
         if hi <= lo:
             return [InputPartition(None)]
         versions = list_delta_versions(self.path)
         have = set(versions)
-        gap = [v for v in range(hi + 1) if v not in have]
+        gap = [v for v in range(lo + 1, hi + 1) if v not in have]
         if gap:
-            # ADVICE r9: the derived feed rebuilds file state from
-            # version 0 — retention-cleaned commits would yield a
-            # silently-partial feed
+            # the commits INSIDE the span need their own JSON — a
+            # checkpoint compacts state and cannot reconstruct a
+            # commit's row-level diff
             raise NotImplementedError(
-                f"padawan_delta_cdf needs the contiguous JSON "
-                f"commit history [0..{hi}]; missing {gap[:10]} "
-                "(log retention cleaned them)")
-        parts = []
-        # rel -> (partitionValues, deletionVector descriptor | None)
+                f"padawan_delta_cdf: commits {gap[:10]} in the "
+                f"stream span ({lo}, {hi}] have no JSON log entry "
+                "(log retention cleaned them) — their change feed "
+                "is unrecoverable")
+        # rel -> (partitionValues, deletionVector descriptor | None),
+        # entering the span: initialized from the NEWEST CHECKPOINT
+        # <= lo and only the JSON after it (r12, VERDICT r11 task 2)
+        # — a log-retention-cleaned table streams as long as a
+        # checkpoint covers the cleaned prefix, and stream-start
+        # planning costs O(commits since checkpoint), not O(all
+        # commits since version 0)
         live: dict[str, tuple] = {}
-        for v in versions:
-            if v > hi:
-                break
+        if lo >= 0:
+            _sj, _pc, files, _m = replay_delta_log(self.path,
+                                                   version=lo)
+            live = {rel: (pv, dv) for rel, pv, dv in files}
+        parts = []
+        for v in sorted(v for v in have if lo < v <= hi):
             fp = _os.path.join(self.path, "_delta_log",
                                f"{v:020d}.json")
             cdc, adds_all, removes_all = [], [], []
@@ -784,8 +857,6 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                     # fresh file pre-carrying a DV: its dead positions
                     # were never visible, skip them in the insert
                     events.append(("insert", p, pv, None, new_dv))
-            if v <= lo:
-                continue
             if cdc:
                 # spec rule: a commit with cdc actions describes its
                 # changes ONLY through them
@@ -809,28 +880,40 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
         kind, full, v, pv_items, inc_json, exc_json = partition.value
         import os as _os
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
         pv = dict(pv_items)
-        # DV position filters decode IN THIS TASK (never the driver):
-        # include = emit only these physical row positions (the
-        # newly-dead rows of an in-place DV rewrite); exclude = skip
-        # these (already-dead rows of a tombstoned/pre-DV'd file).
-        inc = exc = None
+        tb = pq.read_table(full)
+        # DV position filters decode IN THIS TASK (never the driver)
+        # and apply as ARROW MASKS over the physical row positions
+        # (r12): include = emit only these positions (the newly-dead
+        # rows of an in-place DV rewrite); exclude = skip these
+        # (already-dead rows of a tombstoned/pre-DV'd file).  No
+        # per-row python set probe anywhere.
         if inc_json or exc_json:
             import json as _json2
 
+            import numpy as _np
+            import pyarrow.compute as _pc
+
             from ..functions.deltadv import read_dv_positions
             root = _os.path.abspath(self.path)
+            inc = exc = None
             if inc_json:
                 inc = set(read_dv_positions(
                     root, _json2.loads(inc_json)))
             if exc_json:
                 exc = set(read_dv_positions(
                     root, _json2.loads(exc_json)))
+            pos = pa.array(_np.arange(tb.num_rows, dtype=_np.int64))
             if inc is not None:
                 inc -= (exc or set())
-                if not inc:
-                    return
+                keep = _pc.is_in(pos, value_set=pa.array(
+                    sorted(inc), type=pa.int64()))
+            else:
+                keep = _pc.invert(_pc.is_in(pos, value_set=pa.array(
+                    sorted(exc), type=pa.int64())))
+            tb = tb.filter(keep)
 
         def conv(c, raw):
             if raw is None:
@@ -844,7 +927,6 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                 return raw in (True, "true", "True")
             return raw
 
-        tb = pq.read_table(full)
         col_of = {c: self.phys.get(c, c) for c in self.names}
         if self.mapping == "id":
             # id mode: the FILE's column names are matched by footer
@@ -853,25 +935,20 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                 fid = (fld.metadata or {}).get(b"PARQUET:field_id")
                 if fid is not None and int(fid) in self.fid_of:
                     col_of[self.fid_of[int(fid)]] = fld.name
-        for pos, r in enumerate(tb.to_pylist()):
-            if inc is not None and pos not in inc:
+        const = {"_commit_version": v}
+        if kind != "cdc":
+            # cdc files carry their own _change_type column; derived
+            # events stamp the whole file's rows with one kind
+            const["_change_type"] = kind
+        for c in self.names:
+            if c in ("_change_type", "_commit_version"):
                 continue
-            if exc is not None and pos in exc:
-                continue
-            change = (r.get("_change_type") if kind == "cdc"
-                      else kind)
-            out = []
-            for c in self.names:
-                pc = col_of[c]
-                if c == "_change_type":
-                    out.append(change)
-                elif c == "_commit_version":
-                    out.append(v)
-                elif self.phys.get(c, c) in pv:
-                    out.append(conv(c, pv[self.phys.get(c, c)]))
-                else:
-                    out.append(r.get(pc))
-            yield tuple(out)
+            p_key = self.phys.get(c, c)
+            if p_key in pv:
+                # partition values attach as typed constants
+                const[c] = conv(c, pv[p_key])
+        yield from _aligned_batches(tb, self.spark_schema,
+                                    const=const, col_of=col_of)
 
     def commit(self, end):
         pass
@@ -883,7 +960,13 @@ class DeltaCDFSource(DataSource):
     ``_change_type`` + ``_commit_version``.  Column-mapped tables
     stream under their LOGICAL names (r10): ``name`` mode resolves
     through the schema's physicalName metadata, ``id`` mode by each
-    file's parquet footer field ids inside the read task."""
+    file's parquet footer field ids inside the read task.  Live-file
+    state entering a span initializes from the newest CHECKPOINT
+    ``<= start`` (r12): a log-retention-cleaned table streams as long
+    as a checkpoint covers the cleaned prefix, and stream-start
+    planning is O(commits since checkpoint); only the commits INSIDE
+    the span need their own JSON (a checkpoint cannot reconstruct a
+    commit's row-level diff)."""
 
     @classmethod
     def name(cls):
@@ -923,6 +1006,7 @@ class _HudiIncrementalStreamReader(DataSourceStreamReader):
         self._max_instants = int(options.get("maxInstantsPerTrigger",
                                              0))
         self._last_end = None
+        self.spark_schema = schema
         self.names = list(schema.names)
         self.types = {f.name: f.dataType.simpleString()
                       for f in schema.fields}
@@ -961,22 +1045,19 @@ class _HudiIncrementalStreamReader(DataSourceStreamReader):
             return
         base, logs, lo, hi, committed = partition.value
         committed = set(committed)
+        import datetime as _dt
+
+        import pyarrow as pa
+
         from ..functions.hudilog import (BLOCK_AVRO_DATA,
                                          BLOCK_DELETE,
                                          H_INSTANT_TIME,
                                          decode_avro_data_block,
                                          decode_delete_block,
                                          decode_log_blocks)
-        import datetime as _dt
-
-        # per-slice latest-wins state: key -> (ordkey, deleted, row)
+        # 1. decode the LOGS first — bounded by the log, small by MOR
+        #    design: per-key latest-wins among log events alone
         state: dict[str, tuple] = {}
-        if base is not None:
-            import pyarrow.parquet as pq
-            for r in pq.read_table(base).to_pylist():
-                k = r["_hoodie_record_key"]
-                ord_k = (r["_hoodie_commit_time"], -1, -1)
-                state[k] = (ord_k, False, r)
         for lidx, logf in enumerate(logs):
             with open(logf, "rb") as fh:
                 blocks = decode_log_blocks(fh.read())
@@ -998,28 +1079,79 @@ class _HudiIncrementalStreamReader(DataSourceStreamReader):
                 else:
                     raise NotImplementedError(
                         f"hudi log block type {blk['type']}")
+        # 2. the base file splits on the touched-key set with ARROW
+        #    compute (r12, VERDICT r11 task 1): rows no log touches
+        #    either pass through as record batches (when their own
+        #    commit time is in the window) or drop WITHOUT ever
+        #    materializing as python objects; ONLY rows whose key the
+        #    log touched cross into the row-wise merge — per-task
+        #    python work is O(log), not O(base)
+        if base is not None:
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as pq
+            tb = pq.read_table(base)
+            instc = tb.column("_hoodie_commit_time")
+            in_win = _pc.and_(
+                _pc.greater(instc, pa.scalar(lo)),
+                _pc.less_equal(instc, pa.scalar(hi)))
+            if state:
+                touched = _pc.is_in(
+                    tb.column("_hoodie_record_key"),
+                    value_set=pa.array(sorted(state),
+                                       type=pa.string()))
+                pass_tb = tb.filter(_pc.and_(in_win,
+                                             _pc.invert(touched)))
+                for r in tb.filter(touched).to_pylist():
+                    k = r["_hoodie_record_key"]
+                    ord_k = (r["_hoodie_commit_time"], -1, -1)
+                    # <= keeps the last duplicate-key base row, the
+                    # same row the old seed-then-override loop kept;
+                    # a log event at the same instant still wins
+                    # (its lidx >= 0 orders above the base's -1)
+                    if state[k][0] <= ord_k:
+                        state[k] = (ord_k, False, r)
+            else:
+                pass_tb = tb.filter(in_win)
+            yield from _aligned_batches(
+                pass_tb, self.spark_schema,
+                col_of={"_commit_instant": "_hoodie_commit_time"})
 
         def conv(c, v):
-            # log payloads ride Avro logical types: micros / days
-            if v is None or not isinstance(v, int):
-                return v
             t = self.types.get(c)
             if t == "timestamp":
-                return (_dt.datetime(1970, 1, 1)
-                        + _dt.timedelta(microseconds=v))
-            if t == "date":
+                if isinstance(v, int):
+                    # log payloads ride Avro logical types: micros
+                    return (_dt.datetime(1970, 1, 1)
+                            + _dt.timedelta(microseconds=v))
+                if isinstance(v, _dt.datetime) and v.tzinfo:
+                    # parquet base values come back tz-aware; the
+                    # batch build below takes naive-UTC
+                    return v.astimezone(
+                        _dt.timezone.utc).replace(tzinfo=None)
+                return v
+            if t == "date" and isinstance(v, int):
                 return (_dt.date(1970, 1, 1)
                         + _dt.timedelta(days=v))
             return v
 
+        # 3. merged rows (log-touched keys only) emit as ONE record
+        #    batch typed by the declared schema
+        out_rows = []
         for k in sorted(state):
             ord_k, deleted, row = state[k]
             inst = ord_k[0]
             if deleted or not (lo < inst <= hi):
                 continue
-            yield tuple(inst if c == "_commit_instant"
-                        else conv(c, row.get(c))
-                        for c in self.names)
+            out_rows.append(tuple(
+                inst if c == "_commit_instant" else conv(c, row.get(c))
+                for c in self.names))
+        if out_rows:
+            from pyspark.sql.pandas.types import to_arrow_schema
+            pa_schema = to_arrow_schema(self.spark_schema)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([r[i] for r in out_rows], type=f.type)
+                 for i, f in enumerate(pa_schema)],
+                schema=pa_schema)
 
     def commit(self, end):
         pass
@@ -1063,6 +1195,7 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         self._max_snaps = int(options.get("maxSnapshotsPerTrigger",
                                           0))
         self._last_end = None
+        self.spark_schema = schema
         self.names = list(schema.names)
 
     def _snapshot_ids(self):
@@ -1141,9 +1274,7 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                 f"({sorted(gone)[:3]}...) — only append snapshots "
                 "stream incrementally, per the spec")
         added = sorted(p for p in new_files if p not in old_paths)
-        # ADVICE r10: the task reads with pyarrow.parquet and matches
-        # columns BY CURRENT NAME — mirror the batch reader's honest
-        # gates instead of emitting NULLs for a renamed column or
+        # ADVICE r10: mirror the batch reader's honest gate instead of
         # crashing opaquely on a non-parquet file
         added_set = set(added)
         bad_fmt = sorted(f for p, _pv, _s, f, _sp in hi_files
@@ -1157,13 +1288,14 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         # resolved under each file's OWN spec
         with open(_latest_metadata(self.path)) as fh:
             meta = _json.load(fh)
-        fld_ids, n_schemas = _schema_inventory(self.path)
-        if n_schemas > 1:
-            raise NotImplementedError(
-                "padawan_iceberg_appends: the table carries "
-                f"{n_schemas} schemas — by-name column matching in "
-                "the stream task would silently null a renamed "
-                "column; evolved tables need the batch read_iceberg")
+        fld_ids, _n_schemas = _schema_inventory(self.path)
+        # r12 (VERDICT r11 task 5): the field-id map rides each
+        # partition so the read TASK resolves columns by the file's
+        # parquet footer PARQUET:field_id — a schema-evolved table
+        # (renamed columns, multiple schema versions) streams
+        # correctly; the multi-schema gate is gone
+        fid_items = tuple(sorted(
+            (fid, name) for name, fid in fld_ids.items()))
         name_of = {v: k for k, v in fld_ids.items()}
         ident_by_spec = {
             s: {fname: src for t, _p, src, fname
@@ -1171,21 +1303,32 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
             for s, sp in _raw_specs(meta).items()}
         return ([InputPartition(
             (p, new_files[p][0],
-             tuple(ident_by_spec.get(new_files[p][1], {}).items())))
+             tuple(ident_by_spec.get(new_files[p][1], {}).items()),
+             fid_items))
             for p in added]
             or [InputPartition(None)])
 
     def read(self, partition):
         if partition.value is None:
             return
-        p, pv_items, ident_items = partition.value
+        p, pv_items, ident_items, fid_items = partition.value
         import pyarrow.parquet as pq
+        tb = pq.read_table(p)
         pv = dict(pv_items)
         src_of = dict(ident_items)       # partition field -> column
-        attach = {src_of[f]: v for f, v in pv.items() if f in src_of}
-        for r in pq.read_table(p).to_pylist():
-            yield tuple(attach.get(c, r.get(c))
-                        for c in self.names)
+        const = {src_of[f]: v for f, v in pv.items() if f in src_of}
+        # columns match by FIELD ID from the file's own footer (r12):
+        # a file written before a rename carries the old physical
+        # name but the same id, so the current logical name resolves
+        # to it here instead of silently nulling
+        name_of_fid = dict(fid_items)    # field id -> current name
+        col_of = {}
+        for fld in tb.schema:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None and int(fid) in name_of_fid:
+                col_of[name_of_fid[int(fid)]] = fld.name
+        yield from _aligned_batches(tb, self.spark_schema,
+                                    const=const, col_of=col_of)
 
     def commit(self, end):
         pass

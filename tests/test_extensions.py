@@ -920,7 +920,9 @@ def test_delta_cdf_retention_cleaned_log_raises(spark, tmp_path):
         SF.col("id").alias("k")), t, mode="append")
     with pytest.raises(NotImplementedError, match="contiguous"):
         read_delta_changes(spark, t)
-    # the stream source hits the same guard at partition planning
+    # the stream source guards the SPAN: commits inside it whose JSON
+    # was cleaned are unrecoverable (a checkpoint compacts state and
+    # cannot reconstruct a commit's row diff)
     from padawan_spark.sources import register_python_sources
     register_python_sources(spark)
     src = (spark.readStream.format("padawan_delta_cdf")
@@ -929,10 +931,77 @@ def test_delta_cdf_retention_cleaned_log_raises(spark, tmp_path):
     q = (src.writeStream.format("memory")
          .queryName("gap_" + _uuid.uuid4().hex[:8]).start())
     try:
-        with pytest.raises(Exception, match="contiguous"):
+        with pytest.raises(Exception, match="no JSON log entry"):
             q.processAllAvailable()
     finally:
         q.stop()
+    # but a stream STARTING past the cleaned prefix initializes its
+    # file state from the checkpoint and streams fine (r12, VERDICT
+    # r11 task 2) — see test_delta_cdf_stream_from_checkpoint for the
+    # full value check
+    src2 = (spark.readStream.format("padawan_delta_cdf")
+            .option("path", t).option("startingVersion", "2").load())
+    name2 = "gapok_" + _uuid.uuid4().hex[:8]
+    q2 = (src2.writeStream.format("memory").queryName(name2).start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {(r["k"], r["_change_type"], r["_commit_version"])
+           for r in spark.sql(f"SELECT * FROM {name2}").collect()}
+    assert got == {(20, "insert", 2), (21, "insert", 2)}
+
+
+def test_delta_cdf_stream_from_checkpoint(spark, tmp_path):
+    """r12 (VERDICT r11 task 2): the CDF stream initializes its live-
+    file state from the newest checkpoint <= its start version — a
+    log-retention-cleaned table streams, and a REMOVE of a file whose
+    add-action JSON was cleaned still recovers that file's partition
+    values from the checkpoint state."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (
+        remove_delta_files_fixture, write_delta_checkpoint_fixture,
+        write_delta_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "ckstream")
+    df = spark.range(8).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",))  # v0
+    write_delta_fixture(spark, spark.range(10, 12).select(
+        SF.col("id").alias("k"), SF.lit(0).alias("g")), t,
+        mode="append")                                      # v1
+    # checkpoint at v1, JSON 0..1 deleted (real 30-day retention)
+    cv = write_delta_checkpoint_fixture(t, clean_before=True)
+    assert cv == 1
+    write_delta_fixture(spark, spark.range(20, 22).select(
+        SF.col("id").alias("k"), SF.lit(1).alias("g")), t,
+        mode="append")                                      # v2
+    # v3 removes a file whose ADD lives only in the checkpoint — the
+    # delete rows must still carry g (its partition value)
+    removed_v = remove_delta_files_fixture(
+        t, lambda rel: rel.startswith("g=0"))
+    name = "ck_" + _uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("padawan_delta_cdf")
+           .option("path", t).option("startingVersion", "2").load())
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    ins = {(r["k"], r["g"]) for r in rows
+           if r["_change_type"] == "insert"}
+    dels = {(r["k"], r["g"]) for r in rows
+            if r["_change_type"] == "delete"
+            and r["_commit_version"] == removed_v}
+    assert ins == {(20, 1), (21, 1)}
+    # every even k 0..7 plus the appended 10,11 lived in g=0 files
+    assert dels == {(k, 0) for k in (0, 2, 4, 6, 10, 11)}
+    # partition values are NON-NULL on the checkpoint-recovered side
+    assert all(g is not None for _k, g in dels)
 
 
 def test_delta_cdf_dv_commits_emit_position_exact_changes(spark,
@@ -1783,8 +1852,11 @@ def test_iceberg_appends_stream_random_snapshot_ids(spark, tmp_path):
     with pytest.raises(Exception, match="non-parquet"):
         drain({"path": t2})
 
-    # evolved schema gates honestly (by-name matching would null a
-    # renamed column)
+    # evolved schema STREAMS (r12, VERDICT r11 task 5): the read task
+    # resolves each file's columns by parquet footer FIELD ID, so a
+    # file written before the rename (physical column "v") streams
+    # under the current logical name "value" with its values intact —
+    # the r10 multi-schema gate is gone
     t3 = str(tmp_path / "ievo")
     write_iceberg_fixture(spark, spark.range(3).select(
         SF.col("id").alias("k"), (SF.col("id") * 2).alias("v")), t3)
@@ -1792,8 +1864,18 @@ def test_iceberg_appends_stream_random_snapshot_ids(spark, tmp_path):
     write_iceberg_fixture(spark, spark.range(9, 11).select(
         SF.col("id").alias("k"),
         (SF.col("id") * 3).alias("value")), t3)
-    with pytest.raises(Exception, match="schemas"):
-        drain({"path": t3})
+    name3 = "ir_" + _uuid.uuid4().hex[:8]
+    src3 = (spark.readStream.format("padawan_iceberg_appends")
+            .option("path", t3).load())
+    q3 = src3.writeStream.format("memory").queryName(name3).start()
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    got3 = {(r["k"], r["value"])
+            for r in spark.table(name3).collect()}
+    assert got3 == ({(i, i * 2) for i in range(3)}
+                    | {(i, i * 3) for i in (9, 10)})
 
 
 def test_incremental_stream_sources_restart_exactly_once(spark,
