@@ -788,10 +788,14 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
     newly-dead positions (new DV minus old DV), decoded in
     distributed tasks and applied via ``_metadata.row_index``
     semi/anti joins; a tombstoned DV'd file emits deletes only for
-    its still-live rows.  The derived read rebuilds file state by
-    replaying the JSON commits from version 0 — if log retention
-    cleaned any commit at or below ``ending_version`` it raises
-    rather than return a silently-partial feed (ADVICE r9)."""
+    its still-live rows.  File state entering the range initializes
+    from the newest CHECKPOINT below ``starting_version`` when one
+    exists (r12, same contract as the stream source): a
+    log-retention-cleaned table reads as long as the checkpoint
+    covers the cleaned prefix.  Commits INSIDE the range still need
+    their own JSON — a checkpoint compacts state and has no
+    per-commit changes — and a cleaned in-range commit raises rather
+    than return a silently-partial feed (ADVICE r9)."""
     from pyspark.sql import functions as F
     versions = list_delta_versions(path)
     if not versions:
@@ -799,11 +803,12 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
     if ending_version is None:
         ending_version = versions[-1]
     have = set(versions)
-    gap = [v for v in range(ending_version + 1) if v not in have]
+    gap = [v for v in range(starting_version, ending_version + 1)
+           if v not in have]
     if gap:
         raise NotImplementedError(
             f"delta CDF needs the contiguous JSON commit history "
-            f"[0..{ending_version}] to rebuild file state; missing "
+            f"[{starting_version}..{ending_version}]; missing "
             f"{gap[:10]} (log retention cleaned them; a checkpoint "
             "cannot substitute — it has no per-commit changes)")
     schema_json, part_cols, _files, mapping = replay_delta_log(
@@ -858,14 +863,20 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
         return df
 
     live: dict[str, tuple] = {}   # rel -> (partitionValues, dv desc)
+    if 0 < starting_version <= ending_version:
+        # state entering the range from the checkpoint-aware replay —
+        # O(commits since checkpoint), works on cleaned logs (r12).
+        # (an empty range needs no state: zero events below)
+        _sj2, _pc2, files0, _m2 = replay_delta_log(
+            path, version=starting_version - 1)
+        live = {rel: (pv, dv) for rel, pv, dv in files0}
     # (version, kind, rel, pvals, include_dv, exclude_dv) — the DV
     # descriptors carry position filters: include = emit only these
     # physical row positions (newly-dead rows of an in-place DV
     # rewrite), exclude = skip these (already-dead rows)
     events: list[tuple] = []
-    for v in versions:
-        if v > ending_version:
-            break
+    for v in sorted(v for v in have
+                    if starting_version <= v <= ending_version):
         fp = os.path.join(path, "_delta_log", f"{v:020d}.json")
         cdc, adds_all, removes_all = [], [], []
         with open(fp) as fh:
@@ -915,8 +926,6 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
             live[p] = (pv, new_dv)
             if ad.get("dataChange"):
                 derived.append(("insert", p, pv, None, new_dv))
-        if v < starting_version:
-            continue
         if cdc:
             # spec rule: a commit with cdc actions describes its
             # changes ONLY through them

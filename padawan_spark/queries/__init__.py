@@ -40,26 +40,29 @@ for _m in _SUITES:
 # All queries stay registered; this is a stable re-ordering, not a filter.
 # ---------------------------------------------------------------------------
 
-# code that changed THIS round (r11) — keep driver-visible even though
-# already green: scale_bucketed_join_read + scale_bucketed_join (the
-# r10 red row: orphan-warehouse-location bootstrap fix),
-# src_delta_cdf_read + streaming_delta_cdf (deletion-vector commits
-# now emit position-exact delete rows in batch and stream),
-# src_hudi_mor_read + src_hudi_incremental (per-file-slice merge:
-# untouched groups join-free, window keyed by (group, key)),
-# src_hudi_log_only_table (NEW — schema recovered from log Avro),
-# src_hudi_metadata_listing (NEW — .hoodie/metadata FILES-partition
-# planning), src_iceberg_orc_data (ORC position deletes via Arrow
-# stripe scan + iceberg.id evolution), streaming_iceberg_appends
-# (commit-order offsets, honest format/evolution gates),
-# src_delta_read + src_iceberg_read (fail-closed attach maps).
-_SENTINELS = ["scale_bucketed_join_read", "scale_bucketed_join",
-              "src_delta_cdf_read", "streaming_delta_cdf",
-              "src_hudi_mor_read", "src_hudi_incremental",
-              "src_hudi_log_only_table", "src_hudi_metadata_listing",
-              "src_iceberg_orc_data", "src_iceberg_avro_data",
-              "streaming_iceberg_appends",
-              "src_delta_read", "src_iceberg_read"]
+# code that changed THIS round (r12) — keep driver-visible even though
+# already green: src_hudi_metadata_hfile (NEW — HFile-compacted
+# metadata table, real-payload map-merge fold) +
+# src_hudi_metadata_listing (fail-closed record classify) +
+# src_hudi_log_only_table (all-blocks schema scan) + src_hudi_mor_read
+# (broadcast-regime divisor); streaming_delta_cdf (Arrow record-batch
+# reads, DV sets as Arrow masks, checkpoint-initialized stream state);
+# streaming_hudi_incremental (Arrow touched-key split: untouched base
+# rows pass through as batches); streaming_iceberg_appends (per-file
+# field-id column resolution — evolved tables stream);
+# streaming_manifest_tail + streaming_cdf_tail + streaming_mv_refresh
+# (whole-file commits batch through _aligned_batches);
+# streaming_custom_source + adv_custom_source (pyseq emits numpy-built
+# record batches); src_iceberg_orc_data (stripe walk extracted to
+# orc_stripe_position_frames, now hypothesis-tested).
+_SENTINELS = ["src_hudi_metadata_hfile", "src_hudi_metadata_listing",
+              "src_hudi_log_only_table", "src_hudi_mor_read",
+              "streaming_delta_cdf", "src_delta_cdf_read",
+              "streaming_hudi_incremental",
+              "streaming_iceberg_appends", "streaming_manifest_tail",
+              "streaming_cdf_tail", "streaming_mv_refresh",
+              "streaming_custom_source", "adv_custom_source",
+              "src_iceberg_orc_data"]
 
 _WINDOW = 50
 

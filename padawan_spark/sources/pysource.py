@@ -1274,16 +1274,19 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                 f"({sorted(gone)[:3]}...) — only append snapshots "
                 "stream incrementally, per the spec")
         added = sorted(p for p in new_files if p not in old_paths)
-        # ADVICE r10: mirror the batch reader's honest gate instead of
-        # crashing opaquely on a non-parquet file
+        # r12: every spec data format streams — parquet and ORC read
+        # as Arrow tables in the task, Avro through the in-repo
+        # decoder (row path: that decoder is row-wise by nature);
+        # unknown formats still gate loudly
+        fmt_of = {p: f for p, _pv, _s, f, _sp in hi_files}
         added_set = set(added)
-        bad_fmt = sorted(f for p, _pv, _s, f, _sp in hi_files
-                         if p in added_set and f != "PARQUET")
+        bad_fmt = sorted(f for p, f in fmt_of.items()
+                         if p in added_set
+                         and f not in ("PARQUET", "ORC", "AVRO"))
         if bad_fmt:
             raise NotImplementedError(
-                "padawan_iceberg_appends: non-parquet data files "
-                f"({bad_fmt[:3]}) in the stream span — the stream "
-                "task reads with pyarrow.parquet only")
+                "padawan_iceberg_appends: unsupported data file "
+                f"format(s) {bad_fmt[:3]} in the stream span")
         # identity partition values re-attach per file in the task,
         # resolved under each file's OWN spec
         with open(_latest_metadata(self.path)) as fh:
@@ -1302,7 +1305,7 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                 in _parse_part_spec(sp, name_of) if t == "identity"}
             for s, sp in _raw_specs(meta).items()}
         return ([InputPartition(
-            (p, new_files[p][0],
+            (p, fmt_of[p], new_files[p][0],
              tuple(ident_by_spec.get(new_files[p][1], {}).items()),
              fid_items))
             for p in added]
@@ -1311,20 +1314,49 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition.value is None:
             return
-        p, pv_items, ident_items, fid_items = partition.value
-        import pyarrow.parquet as pq
-        tb = pq.read_table(p)
+        p, fmt, pv_items, ident_items, fid_items = partition.value
         pv = dict(pv_items)
         src_of = dict(ident_items)       # partition field -> column
         const = {src_of[f]: v for f, v in pv.items() if f in src_of}
+        name_of_fid = dict(fid_items)    # field id -> current name
+        if fmt == "AVRO":
+            # the in-repo Avro decoder is row-wise by nature; field
+            # ids ride the embedded writer schema's `field-id` attrs
+            from ..functions.avro import (decode_avro_py,
+                                          read_avro_header_file)
+            schema, _c, _s, _pos = read_avro_header_file(p)
+            with open(p, "rb") as fh:
+                fields, rows = decode_avro_py(fh.read())
+            fnames = [n for n, _t, _nl in fields]
+            src_idx = {}
+            for f, n in zip(schema["fields"], fnames):
+                fid = f.get("field-id")
+                logical = (name_of_fid.get(int(fid))
+                           if fid is not None else None) or n
+                src_idx[logical] = fnames.index(n)
+            for r in rows:
+                yield tuple(
+                    const[c] if c in const
+                    else (r[src_idx[c]] if c in src_idx else None)
+                    for c in self.names)
+            return
         # columns match by FIELD ID from the file's own footer (r12):
         # a file written before a rename carries the old physical
         # name but the same id, so the current logical name resolves
-        # to it here instead of silently nulling
-        name_of_fid = dict(fid_items)    # field id -> current name
+        # to it here instead of silently nulling.  Parquet stamps
+        # PARQUET:field_id; ORC stamps the spec's iceberg.id type
+        # attribute — pyarrow surfaces both as field metadata.
+        if fmt == "ORC":
+            import pyarrow.orc as po
+            tb = po.ORCFile(p).read()
+            id_key = b"iceberg.id"
+        else:
+            import pyarrow.parquet as pq
+            tb = pq.read_table(p)
+            id_key = b"PARQUET:field_id"
         col_of = {}
         for fld in tb.schema:
-            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            fid = (fld.metadata or {}).get(id_key)
             if fid is not None and int(fid) in name_of_fid:
                 col_of[name_of_fid[int(fid)]] = fld.name
         yield from _aligned_batches(tb, self.spark_schema,

@@ -68,6 +68,90 @@ def make_sfbig(spark, src: str = SF01, out: str = BIG) -> None:
          .parquet(os.path.join(out, f"{t}.parquet")))
 
 
+# ---- interop reads (r12, VERDICT r11 task 6): one scaled fixture per
+# lakehouse format, built ONCE per scale under /tmp (~1/5 of orders,
+# ~1% churn), so the sf0.1-vs-sf1 ratio of the Hudi MOR merge, the
+# Delta deletion-vector read, and the Iceberg v2 position-delete read
+# gets the same round-over-round tracking as the headline queries.
+# Only the READ is timed; fixture builds are one-time driver work. ----
+
+INTEROP = ("interop_hudi_mor_read", "interop_delta_dv_read",
+           "interop_iceberg_v2del_read")
+
+
+def _build_interop(spark, sf_dir: str, root: str) -> None:
+    from pyspark.sql import functions as F
+
+    from padawan_spark.functions.delta import (add_dv_fixture,
+                                               write_delta_fixture)
+    from padawan_spark.functions.hudi import (write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    from padawan_spark.functions.iceberg import write_iceberg_fixture
+    orders = (spark.read.parquet(os.path.join(sf_dir,
+                                              "orders.parquet"))
+              .where(F.col("o_orderkey") % 5 == 0)
+              .select(F.col("o_orderkey").cast("bigint").alias("k"),
+                      F.col("o_custkey").cast("bigint").alias("c"),
+                      F.col("o_totalprice").cast("double").alias("p"))
+              .orderBy("k"))
+    n = orders.count()
+    # hudi MOR: base commit + a ~1%-of-keys delta upsert + deletes
+    h = os.path.join(root, "hudi")
+    write_hudi_fixture(spark, orders, h)
+    write_hudi_delta_fixture(
+        spark, h,
+        upserts=orders.where(F.col("k") % 97 == 0)
+        .withColumn("p", F.lit(-1.0)),
+        deletes=[str(r["k"]) for r in
+                 orders.where(F.col("k") % 131 == 0)
+                 .select("k").collect()])
+    # delta with a deletion vector over ~1% of positions
+    d = os.path.join(root, "delta")
+    write_delta_fixture(spark, orders, d, order_by=("k",))
+    rel = next(f for f in sorted(os.listdir(d))
+               if f.endswith(".parquet"))
+    add_dv_fixture(d, {rel: list(range(0, n, 97))})
+    # iceberg v2 position deletes over ~1% of positions
+    i = os.path.join(root, "iceberg")
+    write_iceberg_fixture(spark, orders, i, order_by=("k",))
+    write_iceberg_fixture(
+        spark, None, i,
+        delete_positions={"data/snap1-0.parquet":
+                          list(range(0, n, 97))})
+    with open(os.path.join(root, "_done"), "w") as fh:
+        fh.write("ok")
+
+
+def interop_queries(spark, sf_dir: str) -> dict:
+    """``{name: zero-arg timed callable}`` for this scale's interop
+    reads — the fixture build happens once, outside timing."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from padawan_spark.functions.delta import read_delta
+    from padawan_spark.functions.hudi import read_hudi
+    from padawan_spark.functions.iceberg import read_iceberg
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/padawan_interop_{tag}"
+    if not os.path.exists(os.path.join(root, "_done")):
+        os.makedirs(root, exist_ok=True)
+        _build_interop(spark, sf_dir, root)
+
+    def agg(df):
+        return df.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("p").alias("s")).collect()
+
+    return {
+        "interop_hudi_mor_read": lambda: agg(
+            read_hudi(spark, os.path.join(root, "hudi"))),
+        "interop_delta_dv_read": lambda: agg(
+            read_delta(spark, os.path.join(root, "delta"))),
+        "interop_iceberg_v2del_read": lambda: agg(
+            read_iceberg(spark, os.path.join(root, "iceberg"))),
+    }
+
+
 def main() -> None:
     from padawan_spark import get_spark
     from padawan_spark.queries import QUERIES
@@ -118,6 +202,28 @@ def main() -> None:
         t_big = timed(name, BIG)
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
         rows[name] = {"sf0.1_s": t_small, "sf1_s": t_big, "ratio": ratio}
+
+    # interop reads (r12): min-of-2 warm passes per scale, fixtures
+    # pre-built outside timing (plus one untimed warm call each)
+    iq_small = interop_queries(spark, SF01)
+    iq_big = interop_queries(spark, BIG)
+
+    def timed_call(fn) -> float:
+        fn()                                  # warm (plan, codegen)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+
+    for name in INTEROP:
+        t_small = timed_call(iq_small[name])
+        t_big = timed_call(iq_big[name])
+        ratio = round(t_big / t_small, 2) if t_small > 0 else None
+        rows[name] = {"sf0.1_s": t_small, "sf1_s": t_big,
+                      "ratio": ratio}
 
     flagged = [n for n, r in rows.items()
                if r["ratio"] is not None and r["ratio"] > FLAG_RATIO]

@@ -952,6 +952,36 @@ def test_delta_cdf_retention_cleaned_log_raises(spark, tmp_path):
     assert got == {(20, "insert", 2), (21, "insert", 2)}
 
 
+def test_delta_cdf_batch_from_checkpoint(spark, tmp_path):
+    """r12: read_delta_changes with ``starting_version`` past a
+    retention-cleaned prefix initializes file state from the
+    checkpoint (same contract as the stream source) — removes of
+    checkpoint-only adds still carry their partition values."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (
+        read_delta_changes, remove_delta_files_fixture,
+        write_delta_checkpoint_fixture, write_delta_fixture)
+    t = str(tmp_path / "ckbatch")
+    df = spark.range(8).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",))   # v0
+    cv = write_delta_checkpoint_fixture(t, clean_before=True)
+    assert cv == 0
+    write_delta_fixture(spark, spark.range(20, 22).select(
+        SF.col("id").alias("k"), SF.lit(1).alias("g")), t,
+        mode="append")                                       # v1
+    removed_v = remove_delta_files_fixture(
+        t, lambda rel: rel.startswith("g=0"))                # v2
+    rows = read_delta_changes(spark, t, starting_version=1).collect()
+    ins = {(r["k"], r["g"]) for r in rows
+           if r["_change_type"] == "insert"}
+    dels = {(r["k"], r["g"]) for r in rows
+            if r["_change_type"] == "delete"
+            and r["_commit_version"] == removed_v}
+    assert ins == {(20, 1), (21, 1)}
+    assert dels == {(k, 0) for k in (0, 2, 4, 6)}
+
+
 def test_delta_cdf_stream_from_checkpoint(spark, tmp_path):
     """r12 (VERDICT r11 task 2): the CDF stream initializes its live-
     file state from the newest checkpoint <= its start version — a
@@ -1843,14 +1873,22 @@ def test_iceberg_appends_stream_random_snapshot_ids(spark, tmp_path):
     with pytest.raises(Exception, match="not in the table"):
         drain({"path": t, "startingSnapshotId": "12345"})
 
-    # non-parquet data files in the span gate honestly
+    # ORC data files STREAM (r12): the task reads them as Arrow
+    # tables via pyarrow.orc — the r10 parquet-only gate is gone
     t2 = str(tmp_path / "iorc")
     write_iceberg_fixture(spark, spark.range(3).select(
         SF.col("id").alias("k")), t2)
     write_iceberg_fixture(spark, spark.range(5, 7).select(
         SF.col("id").alias("k")), t2, file_format="orc")
-    with pytest.raises(Exception, match="non-parquet"):
-        drain({"path": t2})
+    assert drain({"path": t2}) == {0, 1, 2, 5, 6}
+    # AVRO data files stream too (row path through the in-repo
+    # decoder — it is row-wise by nature)
+    t4 = str(tmp_path / "iavro")
+    write_iceberg_fixture(spark, spark.range(2).select(
+        SF.col("id").alias("k")), t4, file_format="avro")
+    write_iceberg_fixture(spark, spark.range(7, 9).select(
+        SF.col("id").alias("k")), t4)
+    assert drain({"path": t4}) == {0, 1, 7, 8}
 
     # evolved schema STREAMS (r12, VERDICT r11 task 5): the read task
     # resolves each file's columns by parquet footer FIELD ID, so a
