@@ -275,15 +275,20 @@ def _checksums(block: bytes, bytes_per: int) -> bytes:
     return bytes(out)
 
 
-def _build_block(magic: bytes, data: bytes, prev_off: int) -> bytes:
-    """One uncompressed, CRC32-checksummed v3 block."""
+def _build_block(magic: bytes, data: bytes, prev_off: int,
+                 gz: bool = False) -> bytes:
+    """One CRC32-checksummed v3 block, optionally GZ-compressed."""
+    raw_len = len(data)
+    if gz:
+        co = zlib.compressobj(wbits=16 + zlib.MAX_WBITS)
+        data = co.compress(data) + co.flush()
     bytes_per = 16384
     n_chunks = (_HEADER_SIZE + len(data) + bytes_per - 1) // bytes_per
     cks_len = 4 * n_chunks
     hdr = magic + struct.pack(
         ">iiqbii",
         len(data) + cks_len,            # onDiskSizeWithoutHeader
-        len(data),                      # uncompressedSizeWithoutHeader
+        raw_len,                        # uncompressedSizeWithoutHeader
         prev_off,                       # prevBlockOffset
         1,                              # checksumType = CRC32
         bytes_per,
@@ -303,11 +308,18 @@ def _encode_cell(row: bytes, value: bytes) -> bytes:
 
 def write_hfile(path: str, cells: list[tuple[bytes, bytes]],
                 file_info: dict[bytes, bytes],
-                block_size: int = 65536) -> None:
+                block_size: int = 65536,
+                compression: str = "none") -> None:
     """Write a v3 HFile of ``cells`` (sorted by key here; unsigned
     byte order — python ``bytes`` comparison matches HBase's row
     comparator for the row-only keys Hudi uses).  No MVCC, no tags,
-    NONE compression, single-level index."""
+    single-level index; ``compression="gz"`` GZ-compresses every
+    block (the non-NONE codec real clusters most commonly keep for
+    HFiles), exercising the reader's decompression path."""
+    if compression not in ("none", "gz"):
+        raise NotImplementedError(
+            f"hfile writer compression {compression!r}")
+    gz = compression == "gz"
     cells = sorted(cells)
     out = bytearray()
     data_blocks: list[tuple[int, int, bytes]] = []  # off, size, 1st key
@@ -320,7 +332,8 @@ def write_hfile(path: str, cells: list[tuple[bytes, bytes]],
         if not cur:
             return
         off = len(out)
-        blk = _build_block(DATA_MAGIC, bytes(cur), prev_data_off)
+        blk = _build_block(DATA_MAGIC, bytes(cur), prev_data_off,
+                           gz=gz)
         out.extend(blk)
         data_blocks.append((off, len(blk), first_key))
         prev_data_off = off
@@ -344,15 +357,17 @@ def write_hfile(path: str, cells: list[tuple[bytes, bytes]],
         # Hadoop vint: values 0..127 are one raw byte — identical to
         # a protobuf varint for the short keys written here
         idx += _varint(len(key)) + key
-    out.extend(_build_block(ROOT_INDEX_MAGIC, bytes(idx), -1))
+    out.extend(_build_block(ROOT_INDEX_MAGIC, bytes(idx), -1,
+                            gz=gz))
     # empty meta index root
-    out.extend(_build_block(ROOT_INDEX_MAGIC, b"", -1))
+    out.extend(_build_block(ROOT_INDEX_MAGIC, b"", -1, gz=gz))
     file_info_offset = len(out)
     pairs = b"".join(
         _pb_field(1, _pb_field(1, k) + _pb_field(2, v))
         for k, v in sorted(file_info.items()))
     out.extend(_build_block(FILE_INFO_MAGIC,
-                            PB_MAGIC + _pb_delimited(pairs), -1))
+                            PB_MAGIC + _pb_delimited(pairs), -1,
+                            gz=gz))
     trailer_pb = (
         _pb_field(1, file_info_offset)
         + _pb_field(2, load_on_open)
@@ -365,7 +380,7 @@ def write_hfile(path: str, cells: list[tuple[bytes, bytes]],
         + _pb_field(9, data_blocks[0][0] if data_blocks else 0)
         + _pb_field(10, data_blocks[-1][0] if data_blocks else 0)
         + _pb_field(11, "org.apache.hadoop.hbase.CellComparatorImpl")
-        + _pb_field(12, _COMP_NONE))
+        + _pb_field(12, _COMP_GZ if gz else _COMP_NONE))
     body = TRAILER_MAGIC + _pb_delimited(trailer_pb)
     pad = _trailer_size(3) - len(body) - 4
     out.extend(body + b"\x00" * pad + struct.pack(">I", 3))

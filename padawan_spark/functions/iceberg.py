@@ -1261,6 +1261,16 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
     with open(os.path.join(path, mlist_rel), "wb") as fh:
         fh.write(encode_avro_datums(_MLIST_SCHEMA, mlist_rows))
+    # the snapshot's real operation (what SparkMicroBatchStream's
+    # skip-delete/skip-overwrite options key on): pure file
+    # retirement / delete files only -> "delete"; adds + retirements
+    # in one snapshot -> "overwrite"; otherwise "append"
+    any_delete = (delete_partition is not None
+                  or delete_positions is not None
+                  or delete_equality is not None)
+    operation = ("append" if df is not None and not any_delete
+                 else "delete" if df is None
+                 else "overwrite")
     meta["snapshots"].append({"snapshot-id": snap_id,
                               "sequence-number": snap_id,
                               # deterministic, strictly increasing —
@@ -1271,7 +1281,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                               # time travel resolves through it
                               "schema-id": sid,
                               "manifest-list": mlist_rel,
-                              "summary": {"operation": "append"}})
+                              "summary": {"operation": operation}})
     meta["current-snapshot-id"] = snap_id
     version += 1
     with open(os.path.join(mdir, f"v{version}.metadata.json"),

@@ -627,6 +627,7 @@ class _AvroReader(DataSourceReader):
         # many tasks instead of one
         self.split_bytes = int(options.get("split_bytes",
                                            32 * 1024 * 1024))
+        self.spark_schema = schema
         self.names = list(schema.names) if schema is not None else None
         # Catalyst binds output columns positionally to the declared
         # schema (taken from the FIRST file) — remember its field order
@@ -657,19 +658,38 @@ class _AvroReader(DataSourceReader):
         else:
             fields, rows = decode_avro_py_range(path, start, end)
         file_names = [n for n, _t, _nl in fields]
-        if self.names is None or file_names == self.names:
-            yield from rows
+        order = None
+        if self.names is not None and file_names != self.names:
+            missing = [n for n in self.names if n not in file_names]
+            extra = [n for n in file_names if n not in self.names]
+            if missing or extra:
+                raise ValueError(
+                    f"padawan_avro: {path} writer schema fields "
+                    f"{file_names} do not match the directory schema "
+                    f"{self.names} (missing={missing}, extra={extra})")
+            order = [file_names.index(n) for n in self.names]
+        if self.spark_schema is None:
+            for row in rows:
+                yield (tuple(row[i] for i in order) if order
+                       else row)
             return
-        missing = [n for n in self.names if n not in file_names]
-        extra = [n for n in file_names if n not in self.names]
-        if missing or extra:
-            raise ValueError(
-                f"padawan_avro: {path} writer schema fields "
-                f"{file_names} do not match the directory schema "
-                f"{self.names} (missing={missing}, extra={extra})")
-        order = [file_names.index(n) for n in self.names]
-        for row in rows:
-            yield tuple(row[i] for i in order)
+        # Arrow-batch emission (r12): the decoded primitive columns
+        # build typed arrays directly, so the per-value Spark tuple
+        # converters never run — the python Avro decode is the only
+        # row-wise work left, and it is the format's nature
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        pa_schema = to_arrow_schema(self.spark_schema)
+        chunk_rows = 65536
+        for i in range(0, len(rows), chunk_rows):
+            chunk = rows[i:i + chunk_rows]
+            if order:
+                chunk = [tuple(r[j] for j in order) for r in chunk]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([r[ci] for r in chunk], type=f.type)
+                 for ci, f in enumerate(pa_schema)],
+                schema=pa_schema)
 
 
 def _avro_files(options) -> list:
@@ -1194,6 +1214,12 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                                               0))
         self._max_snaps = int(options.get("maxSnapshotsPerTrigger",
                                           0))
+        # Iceberg's streaming-skip-* options: opt-in to silently
+        # skipping delete / overwrite snapshots instead of raising
+        self._skip_deletes = str(options.get(
+            "skipDeleteSnapshots", "false")).lower() == "true"
+        self._skip_overwrites = str(options.get(
+            "skipOverwriteSnapshots", "false")).lower() == "true"
         self._last_end = None
         self.spark_schema = schema
         self.names = list(schema.names)
@@ -1257,40 +1283,67 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         if hi_i <= lo_i:
             return [InputPartition(None)]
         snaps = self._snapshot_ids()
-        lo = snaps[lo_i - 1] if lo_i > 0 else 0
-        hi = snaps[hi_i - 1]
-        hi_files = live_data_files(self.path, hi)[2]
-        new_files = {p: (tuple(sorted(pv.items())), sp)
-                     for p, pv, _s, _f, sp in hi_files}
-        old_paths = set()
-        if lo:
-            old_paths = {p for p, _pv, _s, _f, _sp in
-                         live_data_files(self.path, lo)[2]}
-        gone = old_paths - set(new_files)
-        if gone:
-            raise NotImplementedError(
-                "padawan_iceberg_appends: snapshots in "
-                f"({lo}, {hi}] removed or replaced files "
-                f"({sorted(gone)[:3]}...) — only append snapshots "
-                "stream incrementally, per the spec")
-        added = sorted(p for p in new_files if p not in old_paths)
+        # walk the span SNAPSHOT BY SNAPSHOT (r12): each snapshot's
+        # added files are its live set minus its parent's, with
+        # partition values/specs taken from that snapshot's own view
+        # (the way the spec's incremental scan attributes files).
+        # Non-append snapshots raise per the spec — unless the
+        # caller opted into Iceberg's streaming skip options
+        # (streaming-skip-delete-snapshots /
+        # streaming-skip-overwrite-snapshots): those snapshots then
+        # contribute NOTHING and the walk continues past them.
+        with open(_latest_metadata(self.path)) as fh:
+            meta = _json.load(fh)
+        op_of = {s["snapshot-id"]:
+                 (s.get("summary") or {}).get("operation", "append")
+                 for s in meta.get("snapshots", [])}
+        prev_set: set = set()
+        if lo_i > 0:
+            prev_set = {p for p, _pv, _s, _f, _sp in
+                        live_data_files(self.path,
+                                        snaps[lo_i - 1])[2]}
+        added_files: list[tuple] = []   # (path, pv_items, fmt, spec)
+        for sid_ in snaps[lo_i:hi_i]:
+            cur = live_data_files(self.path, sid_)[2]
+            cur_map = {p: (tuple(sorted(pv.items())), f, sp)
+                       for p, pv, _s, f, sp in cur}
+            op = op_of.get(sid_, "append")
+            if op != "append":
+                skip = ((op == "delete" and self._skip_deletes)
+                        or (op == "overwrite"
+                            and self._skip_overwrites))
+                if not skip:
+                    raise NotImplementedError(
+                        f"padawan_iceberg_appends: snapshot {sid_} "
+                        f"is a {op!r} snapshot — only append "
+                        "snapshots stream incrementally, per the "
+                        "spec; set skipDeleteSnapshots / "
+                        "skipOverwriteSnapshots to skip them "
+                        "(Iceberg's streaming-skip-* options)")
+                prev_set = set(cur_map)
+                continue                 # skipped: contributes nothing
+            gone = prev_set - set(cur_map)
+            if gone:
+                raise NotImplementedError(
+                    f"padawan_iceberg_appends: append snapshot "
+                    f"{sid_} removed files ({sorted(gone)[:3]}...) — "
+                    "malformed snapshot summary")
+            for p in sorted(p for p in cur_map if p not in prev_set):
+                pv_items, f, sp = cur_map[p]
+                added_files.append((p, pv_items, f, sp))
+            prev_set = set(cur_map)
         # r12: every spec data format streams — parquet and ORC read
         # as Arrow tables in the task, Avro through the in-repo
         # decoder (row path: that decoder is row-wise by nature);
         # unknown formats still gate loudly
-        fmt_of = {p: f for p, _pv, _s, f, _sp in hi_files}
-        added_set = set(added)
-        bad_fmt = sorted(f for p, f in fmt_of.items()
-                         if p in added_set
-                         and f not in ("PARQUET", "ORC", "AVRO"))
+        bad_fmt = sorted({f for _p, _pv, f, _sp in added_files
+                          if f not in ("PARQUET", "ORC", "AVRO")})
         if bad_fmt:
             raise NotImplementedError(
                 "padawan_iceberg_appends: unsupported data file "
                 f"format(s) {bad_fmt[:3]} in the stream span")
         # identity partition values re-attach per file in the task,
         # resolved under each file's OWN spec
-        with open(_latest_metadata(self.path)) as fh:
-            meta = _json.load(fh)
         fld_ids, _n_schemas = _schema_inventory(self.path)
         # r12 (VERDICT r11 task 5): the field-id map rides each
         # partition so the read TASK resolves columns by the file's
@@ -1305,10 +1358,10 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                 in _parse_part_spec(sp, name_of) if t == "identity"}
             for s, sp in _raw_specs(meta).items()}
         return ([InputPartition(
-            (p, fmt_of[p], new_files[p][0],
-             tuple(ident_by_spec.get(new_files[p][1], {}).items()),
+            (p, f, pv_items,
+             tuple(ident_by_spec.get(sp, {}).items()),
              fid_items))
-            for p in added]
+            for p, pv_items, f, sp in added_files]
             or [InputPartition(None)])
 
     def read(self, partition):
@@ -1370,7 +1423,14 @@ class IcebergAppendsSource(DataSource):
     """``spark.readStream.format("padawan_iceberg_appends")`` —
     stream an Iceberg table's incremental append scan: per
     micro-batch, the rows of exactly the data files added by the new
-    snapshots.  Non-append snapshots in a span raise, per the spec."""
+    snapshots, walked snapshot-by-snapshot with each file's partition
+    values/spec taken from its own snapshot's view.  Parquet and ORC
+    files read as Arrow record batches in the task (columns resolved
+    by field id — schema-evolved tables stream); Avro files decode
+    through the in-repo reader.  Non-append snapshots raise per the
+    spec unless ``skipDeleteSnapshots`` / ``skipOverwriteSnapshots``
+    opt into Iceberg's streaming-skip-* behavior (those snapshots
+    then contribute nothing and the walk continues)."""
 
     @classmethod
     def name(cls):

@@ -1804,6 +1804,24 @@ def test_iceberg_appends_stream_source(spark, tmp_path):
             q2.processAllAvailable()
     finally:
         q2.stop()
+    # r12: Iceberg's streaming-skip-delete-snapshots option — the
+    # delete snapshot contributes nothing, the walk continues, and an
+    # append AFTER it still streams
+    write_iceberg_fixture(spark, spark.range(200, 202).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("g",))
+    name3 = "iapp_" + _uuid.uuid4().hex[:8]
+    src3 = (spark.readStream.format("padawan_iceberg_appends")
+            .option("path", t).option("startingSnapshotId", s1)
+            .option("skipDeleteSnapshots", "true").load())
+    q3 = src3.writeStream.format("memory").queryName(name3).start()
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    rows3 = {(r["k"], r["g"]) for r in spark.table(name3).collect()}
+    assert rows3 == ({(k, k % 2) for k in range(100, 104)}
+                     | {(k, k % 2) for k in range(200, 202)})
 
 
 def test_iceberg_appends_stream_random_snapshot_ids(spark, tmp_path):
@@ -2305,6 +2323,17 @@ def test_hfile_codec_roundtrip(tmp_path):
     assert got == sorted(cells)
     # multiple data blocks actually exist (the walk crosses headers)
     assert tr["last_data_block_offset"] > 0
+    # GZ block compression round-trips through the reader's
+    # decompression path (codec ordinal 1 in the trailer)
+    pg = str(tmp_path / "t_gz.hfile")
+    write_hfile(pg, shuffled, {b"schema": b"{}"}, block_size=4096,
+                compression="gz")
+    trg = read_trailer(pg)
+    assert trg["compression_codec"] == 1
+    infog, gotg = read_hfile(pg)
+    assert gotg == sorted(cells)
+    import os as _os
+    assert _os.path.getsize(pg) < _os.path.getsize(p) / 2
 
 
 def test_hudi_metadata_hfile_base(spark, tmp_path):
