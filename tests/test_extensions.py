@@ -2298,6 +2298,44 @@ def test_hudi_metadata_table_listing(spark, tmp_path):
     ).count() == 12
 
 
+def test_aligned_batches_helper():
+    """r12: the shared Arrow alignment helper behind every custom
+    reader — column pick by name through logical→physical renames,
+    typed constant attach, null-fill for missing columns (schema
+    evolution), and exact-type cast to the declared Spark schema."""
+    import datetime as dt
+
+    import pyarrow as pa
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    from padawan_spark.sources.pysource import _aligned_batches
+    tb = pa.table({
+        "phys_k": pa.array([1, 2, 3], type=pa.int32()),   # narrower
+        "ts": pa.array([dt.datetime(2024, 1, 1, 12)] * 3,
+                       type=pa.timestamp("us")),           # naive
+        "junk": pa.array(["x", "y", "z"])})
+    schema = StructType([
+        StructField("k", LongType()),          # via col_of + upcast
+        StructField("ts", TimestampType()),    # naive -> UTC
+        StructField("gone", StringType()),     # null-fill
+        StructField("tag", StringType()),      # constant
+        StructField("ver", LongType())])       # constant
+    batches = list(_aligned_batches(
+        tb, schema, const={"tag": "ins", "ver": 7},
+        col_of={"k": "phys_k"}))
+    out = pa.Table.from_batches(batches)
+    assert out.schema.names == ["k", "ts", "gone", "tag", "ver"]
+    assert out.column("k").to_pylist() == [1, 2, 3]
+    assert str(out.schema.field("k").type) == "int64"
+    assert str(out.schema.field("ts").type) == "timestamp[us, tz=UTC]"
+    assert out.column("gone").to_pylist() == [None] * 3
+    assert out.column("tag").to_pylist() == ["ins"] * 3
+    assert out.column("ver").to_pylist() == [7, 7, 7]
+    # empty input yields no batches (reader contract: just return)
+    assert list(_aligned_batches(tb.slice(0, 0), schema)) == []
+
+
 def test_hfile_codec_roundtrip(tmp_path):
     """r12 (VERDICT r11 task 4): the dependency-free HFile v3 codec —
     multi-block write, trailer/file-info/data walk read — round-trips

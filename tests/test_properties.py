@@ -1622,3 +1622,33 @@ def test_orc_stripe_positions_match_row_number_oracle(tmp_path, n_rows,
     survivors = out[~out["__pos"].isin(list(dels))]
     assert list(survivors["k"]) == [i for i in range(n_rows)
                                     if i not in dels]
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_hadoop_vlong_decode_property(v):
+    """r12: the HFile cell walk's Hadoop-vlong decoder (MVCC sequence
+    ids) — property-checked against an independent encoder written
+    from the public WritableUtils.writeVLong spec."""
+    import struct
+
+    from padawan_spark.functions.hfile import _read_hadoop_vlong
+
+    def encode(i: int) -> bytes:          # WritableUtils.writeVLong
+        if -112 <= i <= 127:
+            return struct.pack(">b", i)
+        ln = -112
+        if i < 0:
+            i = ~i
+            ln = -120
+        tmp, size = i, 0
+        while tmp:
+            tmp >>= 8
+            size += 1
+        return (struct.pack(">b", ln - size)
+                + i.to_bytes(size, "big"))
+
+    buf = b"\x00" + encode(v) + b"\xff"   # embedded mid-buffer
+    got, pos = _read_hadoop_vlong(buf, 1)
+    assert got == v
+    assert pos == 1 + len(encode(v))
