@@ -55,14 +55,17 @@ for _m in _SUITES:
 # streaming_custom_source + adv_custom_source (pyseq emits numpy-built
 # record batches); src_iceberg_orc_data (stripe walk extracted to
 # orc_stripe_position_frames, now hypothesis-tested).
-_SENTINELS = ["src_hudi_metadata_hfile", "src_hudi_metadata_listing",
+_SENTINELS = ["src_hudi_metadata_hfile", "src_delta_cdf_checkpoint",
+              "streaming_iceberg_skip_deletes",
+              "src_hudi_metadata_listing",
               "src_hudi_log_only_table", "src_hudi_mor_read",
               "streaming_delta_cdf", "src_delta_cdf_read",
               "streaming_hudi_incremental",
               "streaming_iceberg_appends", "streaming_manifest_tail",
               "streaming_cdf_tail", "streaming_mv_refresh",
               "streaming_custom_source", "adv_custom_source",
-              "src_iceberg_orc_data"]
+              "src_iceberg_orc_data", "src_avro_roundtrip",
+              "src_iceberg_avro_data"]
 
 _WINDOW = 50
 

@@ -926,6 +926,60 @@ def src_delta_id_mapping(spark, sf_dir):
         .cast("bigint").alias("r2_sum"))
 
 
+@query("src_delta_cdf_checkpoint", oracle="""
+SELECT 'insert' AS change, COUNT(*) AS n,
+       CAST(SUM(n_nationkey + 100) AS BIGINT) AS key_sum
+FROM nation
+UNION ALL
+-- the partition drop removes BOTH g=0 files: the checkpoint-covered
+-- v0 rows (k) and the v1-appended rows (k + 100)
+SELECT 'delete', 2 * COUNT(*),
+       CAST(SUM(n_nationkey) + SUM(n_nationkey + 100) AS BIGINT)
+FROM nation WHERE n_regionkey = 0
+""")
+def src_delta_cdf_checkpoint(spark, sf_dir):
+    """Delta CDF over a RETENTION-CLEANED log (r12, VERDICT r11
+    task 2): the fixture commits a create, checkpoints AND DELETES
+    the covered JSON (the shape every real table has after 30-day
+    log retention), then appends and drops a partition.  Reading
+    changes from the first post-checkpoint version initializes file
+    state from the checkpoint — the delete rows of the cleaned-add
+    files still carry their partition values — where the r11 reader
+    hard-gated.  The oracle restates the post-checkpoint changes.
+    Scale shape: stream-start/read planning is O(commits since
+    checkpoint), not O(all commits since version 0); change files
+    scan distributed as before."""
+    import os
+    import tempfile
+
+    from ..functions.delta import (read_delta_changes,
+                                   remove_delta_files_fixture,
+                                   write_delta_checkpoint_fixture,
+                                   write_delta_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_cdfck_"),
+                     "tbl")
+    write_delta_fixture(spark, n, t, partition_by=("g",))     # v0
+    write_delta_checkpoint_fixture(t, clean_before=True)      # 0 gone
+    write_delta_fixture(
+        spark, n.select((F.col("k") + 100).alias("k"),
+                        F.col("g")), t, mode="append")        # v1
+    remove_delta_files_fixture(
+        t, lambda rel: rel.startswith("g=0/"))                # v2
+    ch = read_delta_changes(spark, t, starting_version=1)
+    return (ch.where(F.col("_change_type") == "insert")
+            .agg(F.lit("insert").alias("change"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum("k").cast("bigint").alias("key_sum"))
+            .unionByName(
+                ch.where(F.col("_change_type") == "delete")
+                .agg(F.lit("delete").alias("change"),
+                     F.count(F.lit(1)).alias("n"),
+                     F.sum("k").cast("bigint").alias("key_sum"))))
+
+
 @query("src_delta_cdf_read", oracle="""
 SELECT 'insert' AS change, 0 AS commit_v, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

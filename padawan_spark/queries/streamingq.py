@@ -405,6 +405,61 @@ def streaming_iceberg_appends(spark, sf_dir):
                  F.sum("k").cast("bigint").alias("key_sum")))
 
 
+@query("streaming_iceberg_skip_deletes", oracle="""
+SELECT 2 * COUNT(*) AS n,
+       CAST(SUM(n_nationkey + 300) + SUM(n_nationkey + 600)
+            AS BIGINT) AS key_sum
+FROM nation
+""")
+def streaming_iceberg_skip_deletes(spark, sf_dir):
+    """Iceberg's streaming-skip-delete-snapshots option (r12): a
+    DELETE snapshot (partition drop) sits between two appends in the
+    stream span — with ``skipDeleteSnapshots`` the stream walks the
+    span snapshot by snapshot, the delete contributes nothing, and
+    BOTH appends' rows arrive (the spec's skip semantics; without the
+    option the span raises).  The oracle restates the two appended
+    row sets.  Scale shape: per-snapshot planning stays O(metadata)
+    — one live-files walk per span snapshot, bounded by
+    maxSnapshotsPerTrigger."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions.iceberg import write_iceberg_fixture
+    from ..sources import register_python_sources
+    from .registry import load as _load
+    register_python_sources(spark)
+    n = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_iskip_"),
+                     "tbl")
+    s1 = write_iceberg_fixture(spark, n, t, partition_by=("g",))
+    write_iceberg_fixture(spark, n.select(
+        (F.col("k") + 300).alias("k"), F.col("g")), t,
+        partition_by=("g",))
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_partition={"g": 0})   # op: delete
+    write_iceberg_fixture(spark, n.select(
+        (F.col("k") + 600).alias("k"), F.col("g")), t,
+        partition_by=("g",))
+    src = (spark.readStream.format("padawan_iceberg_appends")
+           .option("path", t).option("startingSnapshotId", s1)
+           .option("skipDeleteSnapshots", "true").load())
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (src.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"))
+
+
 @query("streaming_cdf_tail", oracle="""
 SELECT 'delete' AS change_type, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
