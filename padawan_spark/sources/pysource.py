@@ -539,39 +539,62 @@ class _ManifestCDFReader(_ManifestTailReader):
         if kind == "rows":
             # whole-file insert/delete commits — the UNBOUNDED change
             # shape (a backfill append emits entire files) — stream as
-            # Arrow record batches (r12); only the genuinely row-wise
-            # rewrite diff below stays on the tuple fallback, and it
-            # is bounded by one commit's size by construction
+            # Arrow record batches (r12)
             _k, path, ver, ctype = partition.value
             yield from _aligned_batches(
                 pq.read_table(path), self.spark_schema,
                 const={"_commit_version": ver, "_change_type": ctype})
             return
         _k, added, removed, ver, ix, cols = partition.value
-        from collections import Counter
+        import pyarrow as pa
+        import pyarrow.compute as _pc
 
-        def rows_of(paths):
-            out = []
-            for p in paths:
-                for row in pq.read_table(p).to_pylist():
-                    out.append(tuple(row[c] for c in cols))
-            return out
+        from pyspark.sql.pandas.types import to_arrow_schema
+        pa_schema = to_arrow_schema(self.spark_schema)
+        # physical types may vary per file (a writer's int32 vs
+        # int64): cast everything to the DECLARED schema first so the
+        # hash aggregation groups value-identical rows together
+        data_schema = pa.schema([pa_schema.field(c) for c in cols])
 
-        after = Counter(rows_of(added))
-        before = Counter(rows_of(removed))
-        # verbatim copy-on-write survivors cancel (multiset difference)
-        inserts = list((after - before).elements())
-        deletes = list((before - after).elements())
-        ixpos = [cols.index(c) for c in ix]
-        ikeys = {tuple(r[i] for i in ixpos) for r in inserts}
-        dkeys = {tuple(r[i] for i in ixpos) for r in deletes}
+        def _signed(paths, sign):
+            tb = pa.concat_tables(
+                [pq.read_table(p).select(cols).cast(data_schema)
+                 for p in paths])
+            return tb.append_column(
+                "__sign", pa.array([sign] * tb.num_rows,
+                                   type=pa.int64()))
+
+        # vectorized MULTISET DIFFERENCE (r12): one Arrow hash
+        # aggregation over added(+1) ∪ removed(−1); verbatim
+        # copy-on-write survivors land on net == 0 and vanish INSIDE
+        # Arrow — python touches only the rows that actually changed,
+        # with |net| as the multiplicity
+        both = pa.concat_tables([_signed(added, 1),
+                                 _signed(removed, -1)],
+                                promote_options="default")
+        net = (both.group_by(cols)
+               .aggregate([("__sign", "sum")]))
+        net = net.filter(_pc.not_equal(net.column("__sign_sum"), 0))
+        rows = net.to_pylist()
+        ikeys = {tuple(r[c] for c in ix) for r in rows
+                 if r["__sign_sum"] > 0}
+        dkeys = {tuple(r[c] for c in ix) for r in rows
+                 if r["__sign_sum"] < 0}
+        # index keys on BOTH sides classify as an update pair
         upd = (ikeys & dkeys) if ix else set()
-        for r in inserts:
-            hit = ix and tuple(r[i] for i in ixpos) in upd
-            yield (*r, ver, "update_postimage" if hit else "insert")
-        for r in deletes:
-            hit = ix and tuple(r[i] for i in ixpos) in upd
-            yield (*r, ver, "update_preimage" if hit else "delete")
+        out_rows = []
+        for r in rows:
+            n_ = r["__sign_sum"]
+            hit = ix and tuple(r[c] for c in ix) in upd
+            ct = (("update_postimage" if hit else "insert") if n_ > 0
+                  else ("update_preimage" if hit else "delete"))
+            row = tuple(r[c] for c in cols) + (ver, ct)
+            out_rows.extend([row] * abs(n_))
+        if out_rows:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([r[i] for r in out_rows], type=f.type)
+                 for i, f in enumerate(pa_schema)],
+                schema=pa_schema)
 
 
 class ManifestCDFSource(DataSource):
