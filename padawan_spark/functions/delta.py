@@ -752,9 +752,14 @@ def write_delta_checkpoint_fixture(path: str,
 
 def remove_delta_files_fixture(path: str, match) -> int:
     """Fixture commit that REMOVEs every live file whose relative path
-    satisfies ``match`` (a predicate on the path string)."""
+    satisfies ``match`` (a predicate on the path string).  Like the
+    writer fixture, the next version continues after a
+    retention-cleaned log's checkpoint (r12: a clean may leave ZERO
+    JSON commits behind)."""
     versions = list_delta_versions(path)
-    v = versions[-1] + 1
+    classic, v2s = _list_checkpoints(path)
+    cv = max(set(classic) | set(v2s), default=-1)
+    v = max(versions[-1] if versions else -1, cv) + 1
     _sch, _pc, files, _mm = replay_delta_log(path)
     removed = [rel for rel, _pv, _dv in files if match(rel)]
     log = os.path.join(path, "_delta_log")
