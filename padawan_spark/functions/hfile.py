@@ -129,6 +129,10 @@ def read_trailer(path: str) -> dict:
     with open(path, "rb") as fh:
         fh.seek(max(0, size - 4096))
         tail = fh.read()
+    return _parse_trailer(tail, size, path)
+
+
+def _parse_trailer(tail: bytes, size: int, label: str) -> dict:
     (word,) = struct.unpack(">I", tail[-4:])
     major, minor = word & 0x00FFFFFF, word >> 24
     if major not in (2, 3):
@@ -136,11 +140,11 @@ def read_trailer(path: str) -> dict:
     tsz = _trailer_size(major)
     if len(tail) < tsz:
         raise NotImplementedError(
-            f"{path}: file shorter than its {tsz}-byte trailer")
+            f"{label}: file shorter than its {tsz}-byte trailer")
     tr = tail[-tsz:]
     if tr[:8] != TRAILER_MAGIC:
         raise NotImplementedError(
-            f"{path}: bad trailer magic {tr[:8]!r}")
+            f"{label}: bad trailer magic {tr[:8]!r}")
     ln, pos = _read_varint(tr, 8)
     fields = dict(_pb_fields(tr[pos:pos + ln]))
     return {
@@ -234,14 +238,24 @@ def read_hfile(path: str) -> tuple[dict[bytes, bytes],
     """Full scan: ``(file_info, [(row_key, value)] in file order)``.
     Planning-path use only — the whole file is read into memory (a
     metadata FILES partition is KBs per thousand partitions)."""
-    trailer = read_trailer(path)
     with open(path, "rb") as fh:
         buf = fh.read()
+    return read_hfile_bytes(buf, label=path)
+
+
+def read_hfile_bytes(buf: bytes, label: str = "<bytes>"
+                     ) -> tuple[dict[bytes, bytes],
+                                list[tuple[bytes, bytes]]]:
+    """:func:`read_hfile` over an in-memory HFile — the shape a Hudi
+    HFILE log data block carries (a complete HFile as the block
+    content)."""
+    trailer = _parse_trailer(buf[-4096:] if len(buf) > 4096 else buf,
+                             len(buf), label)
     magic, payload, _n = _read_block(buf, trailer["file_info_offset"],
                                      trailer)
     if magic != FILE_INFO_MAGIC:
         raise NotImplementedError(
-            f"{path}: expected FILEINF2 at file_info_offset, "
+            f"{label}: expected FILEINF2 at file_info_offset, "
             f"found {magic!r}")
     info = _parse_file_info(payload)
     # KEY_VALUE_VERSION == 1 ("with memstore ts") marks cells that
@@ -259,7 +273,7 @@ def read_hfile(path: str) -> tuple[dict[bytes, bytes],
             cells += _decode_cells(payload, with_mvcc, with_tags)
         elif magic == ENCODED_DATA_MAGIC:
             raise NotImplementedError(
-                f"{path}: encoded (prefix/diff) data blocks")
+                f"{label}: encoded (prefix/diff) data blocks")
         # leaf-index / bloom blocks interleave with data: skip
     return info, cells
 
@@ -316,6 +330,21 @@ def write_hfile(path: str, cells: list[tuple[bytes, bytes]],
     single-level index; ``compression="gz"`` GZ-compresses every
     block (the non-NONE codec real clusters most commonly keep for
     HFiles), exercising the reader's decompression path."""
+    if compression not in ("none", "gz"):
+        raise NotImplementedError(
+            f"hfile writer compression {compression!r}")
+    with open(path, "wb") as fh:
+        fh.write(build_hfile_bytes(cells, file_info,
+                                   block_size=block_size,
+                                   compression=compression))
+
+
+def build_hfile_bytes(cells: list[tuple[bytes, bytes]],
+                      file_info: dict[bytes, bytes],
+                      block_size: int = 65536,
+                      compression: str = "none") -> bytes:
+    """:func:`write_hfile` to bytes — also the payload of a Hudi
+    HFILE log data block."""
     if compression not in ("none", "gz"):
         raise NotImplementedError(
             f"hfile writer compression {compression!r}")
@@ -384,5 +413,4 @@ def write_hfile(path: str, cells: list[tuple[bytes, bytes]],
     body = TRAILER_MAGIC + _pb_delimited(trailer_pb)
     pad = _trailer_size(3) - len(body) - 4
     out.extend(body + b"\x00" * pad + struct.pack(">I", 3))
-    with open(path, "wb") as fh:
-        fh.write(bytes(out))
+    return bytes(out)

@@ -96,8 +96,8 @@ def hudi_metadata_files(path: str):
     mroot = os.path.join(path, ".hoodie", "metadata")
     if not os.path.isdir(os.path.join(mroot, ".hoodie")):
         return None
-    from .hudilog import (BLOCK_AVRO_DATA, BLOCK_DELETE,
-                          H_INSTANT_TIME, decode_avro_data_block,
+    from .hudilog import (BLOCK_DELETE, DATA_BLOCK_TYPES,
+                          H_INSTANT_TIME, decode_data_block,
                           decode_delete_block, decode_log_blocks)
     inner = live_hudi_slices(mroot, use_metadata=False)
     committed = set(list_hudi_commits(mroot))
@@ -160,8 +160,10 @@ def hudi_metadata_files(path: str):
                 if inst not in committed:
                     continue
                 ordk = (inst, lidx, seq)
-                if blk["type"] == BLOCK_AVRO_DATA:
-                    for r in decode_avro_data_block(blk):
+                if blk["type"] in DATA_BLOCK_TYPES:
+                    # real metadata tables write HFILE log blocks by
+                    # default — all data-block kinds decode here (r12)
+                    for r in decode_data_block(blk):
                         key, kind, payload = _classify(r)
                         recs.setdefault(key, []).append(
                             (ordk, kind, payload))
@@ -479,8 +481,8 @@ def read_hudi(spark, path: str, as_of: str | None = None,
                + ", ".join(f"{c} {dtypes[c]}" for c in data_cols))
 
     def _decode(batches):
-        from .hudilog import (BLOCK_AVRO_DATA, BLOCK_DELETE,
-                              H_INSTANT_TIME, decode_avro_data_block,
+        from .hudilog import (BLOCK_DELETE, DATA_BLOCK_TYPES,
+                              H_INSTANT_TIME, decode_data_block,
                               decode_delete_block, decode_log_blocks)
         cols = (["_hoodie_record_key", "__gid", "__instant", "__lidx",
                  "__seq", "__del"] + data_cols)
@@ -494,8 +496,10 @@ def read_hudi(spark, path: str, as_of: str | None = None,
                     inst = blk["header"].get(H_INSTANT_TIME)
                     if inst not in committed:
                         continue            # failed / future write
-                    if blk["type"] == BLOCK_AVRO_DATA:
-                        for r in decode_avro_data_block(blk):
+                    if blk["type"] in DATA_BLOCK_TYPES:
+                        # avro / hfile / parquet blocks all decode to
+                        # the same record dicts (r12)
+                        for r in decode_data_block(blk):
                             rows.append(
                                 [r["_hoodie_record_key"], gid, inst,
                                  int(lidx), seq, False]
@@ -658,8 +662,11 @@ def write_hudi_metadata_fixture(spark, path: str) -> str | None:
             for part, fs in sorted(listing.items())]
     df = spark.createDataFrame(
         rows, "key string, filenames array<string>, p string")
+    # real Hudi writes its metadata table's log blocks as HFILE data
+    # blocks — the fixture matches that shape by default (r12)
     return write_hudi_delta_fixture(spark, mroot, upserts=df,
-                                    partition_field="p")
+                                    partition_field="p",
+                                    block_format="hfile")
 
 
 _METADATA_RECORD_SCHEMA = {
@@ -991,7 +998,8 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                              instant: str | None = None,
                              commit: bool = True,
                              rollback_target: str | None = None,
-                             split_logs: int = 1) -> str:
+                             split_logs: int = 1,
+                             block_format: str = "avro") -> str:
     """FIXTURE delta commit for a MOR table: appends typed log blocks
     to each touched file group's ``.log`` file and writes the
     ``<instant>.deltacommit`` timeline entry.  ``upserts`` is a
@@ -1007,9 +1015,17 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
     the deltacommit's write stats) — the shape a real writer
     produces when it rolls a log at size, and the case where
     latest-wins needs the log-file index in its ordering key.
+    ``block_format`` picks the data-block kind real writers choose
+    between — ``"avro"`` (default), ``"hfile"`` (what metadata tables
+    write), or ``"parquet"`` (hoodie.logfile.data.block.format).
     Returns the instant."""
     from .hudilog import (encode_avro_data_block, encode_delete_block,
+                          encode_hfile_data_block,
+                          encode_parquet_data_block,
                           encode_rollback_block)
+    if block_format not in ("avro", "hfile", "parquet"):
+        raise NotImplementedError(
+            f"hudi fixture log block format {block_format!r}")
     hdir = os.path.join(path, ".hoodie")
     os.makedirs(hdir, exist_ok=True)
     instant = instant or _next_instant(path)
@@ -1087,9 +1103,40 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                 if not batch:
                     continue
                 full = _log_path(fid, s, roll=i)
+                if block_format == "hfile":
+                    blk = encode_hfile_data_block(instant, schema,
+                                                  batch)
+                elif block_format == "parquet":
+                    # real parquet blocks carry REAL temporal types
+                    # (the reader normalizes them back to the Avro
+                    # conventions at decode) — rebuild them from the
+                    # avroized ints
+                    import pyarrow as pa
+                    names = (["_hoodie_record_key"]
+                             + list(upserts.columns))
+                    dt_map = dict(upserts.dtypes)
+                    arrays = {}
+                    for c in names:
+                        vals = [r.get(c) for r in batch]
+                        t = dt_map.get(c)
+                        if t == "timestamp":
+                            arrays[c] = pa.array(
+                                vals, type=pa.int64()).cast(
+                                pa.timestamp("us", "UTC"))
+                        elif t == "date":
+                            arrays[c] = pa.array(
+                                vals, type=pa.int32()).cast(
+                                pa.date32())
+                        else:
+                            arrays[c] = pa.array(vals)
+                    tb = pa.table(arrays)
+                    blk = encode_parquet_data_block(
+                        instant, tb, avro_schema=schema)
+                else:
+                    blk = encode_avro_data_block(instant, schema,
+                                                 batch)
                 with open(full, "ab") as fh:
-                    fh.write(encode_avro_data_block(instant, schema,
-                                                    batch))
+                    fh.write(blk)
                 _note(part, fid, full)
     if deletes:
         dmap = (deletes if isinstance(deletes, dict)
@@ -1169,27 +1216,58 @@ def hudi_log_table_schema(log_paths) -> list[tuple[str, str]]:
     Driver work is O(block headers), not O(rows) — datums are never
     decoded."""
     from .avro import _norm_type
-    from .hudilog import BLOCK_AVRO_DATA, H_SCHEMA, decode_log_blocks
+    from .hudilog import (BLOCK_PARQUET_DATA, DATA_BLOCK_TYPES,
+                          H_SCHEMA, decode_log_blocks)
     out = None
     names: list | None = None
     first_at = None
+
+    def _fields_of(blk):
+        """[(name, ddl)] of one data block — from the SCHEMA header's
+        Avro writer schema when present (avro/hfile blocks, and
+        parquet blocks real Hudi stamps), else from the parquet
+        block's own footer."""
+        sj = blk["header"].get(H_SCHEMA)
+        if sj is not None:
+            schema = json.loads(sj)
+            return [(f["name"],
+                     _avro_field_ddl(_norm_type(f["type"])[0]))
+                    for f in schema["fields"]
+                    if f["name"] not in _META_COLS]
+        if blk["type"] == BLOCK_PARQUET_DATA:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            sch = pq.read_schema(pa.BufferReader(blk["content"]))
+            out2 = []
+            for f in sch:
+                if f.name in _META_COLS:
+                    continue
+                t = str(f.type)
+                if t.startswith("timestamp"):
+                    ddl = "timestamp"
+                elif t == "date32[day]":
+                    ddl = "date"
+                elif t in _PA_TO_DDL:
+                    ddl = _PA_TO_DDL[t]
+                else:
+                    raise NotImplementedError(
+                        f"hudi parquet log block column type {t!r}")
+                out2.append((f.name, ddl))
+            return out2
+        raise NotImplementedError(
+            "hudi data block carries no SCHEMA header")
+
     for p in log_paths:
         with open(p, "rb") as fh:
             blocks = decode_log_blocks(fh.read())
         for blk in blocks:
-            if blk["type"] != BLOCK_AVRO_DATA:
+            if blk["type"] not in DATA_BLOCK_TYPES:
                 continue
-            schema = json.loads(blk["header"][H_SCHEMA])
-            blk_names = [f["name"] for f in schema["fields"]
-                         if f["name"] not in _META_COLS]
+            flds = _fields_of(blk)
+            blk_names = [n for n, _t in flds]
             if names is None:
                 names, first_at = blk_names, p
-                out = []
-                for f in schema["fields"]:
-                    if f["name"] in _META_COLS:
-                        continue
-                    base_t, _nl = _norm_type(f["type"])
-                    out.append((f["name"], _avro_field_ddl(base_t)))
+                out = flds
             elif blk_names != names:
                 raise NotImplementedError(
                     f"hudi log-only table carries more than one "

@@ -43,6 +43,15 @@ FMT_VERSION = 1
 BLOCK_COMMAND = 0
 BLOCK_DELETE = 1
 BLOCK_AVRO_DATA = 3
+# real HoodieLogBlockType ordinals continue: 2=CORRUPT (never written
+# deliberately), 4=HFILE_DATA, 5=PARQUET_DATA — the formats real Hudi
+# writes for metadata tables (HFile, the default) and for
+# hoodie.logfile.data.block.format=parquet tables (r12)
+BLOCK_HFILE_DATA = 4
+BLOCK_PARQUET_DATA = 5
+
+DATA_BLOCK_TYPES = (BLOCK_AVRO_DATA, BLOCK_HFILE_DATA,
+                    BLOCK_PARQUET_DATA)
 
 H_INSTANT_TIME = 1
 H_TARGET_INSTANT_TIME = 2
@@ -164,6 +173,97 @@ def decode_avro_data_block(block: dict) -> list[dict]:
         rows.append(datum)
         pos += ln
     return rows
+
+
+def decode_data_block(block: dict) -> list[dict]:
+    """Decode ANY data block kind to record dicts — Avro (3) and
+    HFile (4) datums through the in-repo Avro reader with the SCHEMA
+    header's writer schema, Parquet (5) through pyarrow with temporal
+    columns normalized to the Avro logical-type conventions (micros /
+    epoch-days ints), so every consumer merges uniformly regardless
+    of which block format the writer chose (r12)."""
+    t = block["type"]
+    if t == BLOCK_AVRO_DATA:
+        return decode_avro_data_block(block)
+    if t == BLOCK_HFILE_DATA:
+        return decode_hfile_data_block(block)
+    if t == BLOCK_PARQUET_DATA:
+        return decode_parquet_data_block(block)
+    raise NotImplementedError(f"hudi log data block type {t}")
+
+
+def encode_hfile_data_block(instant: str, avro_schema: dict,
+                            rows: list[dict],
+                            key_field: str = "_hoodie_record_key"
+                            ) -> bytes:
+    """HFILE data block: content is a COMPLETE HFile whose cell keys
+    are the record keys and whose values are binary Avro datums of
+    the SCHEMA header's writer schema — the block format real Hudi
+    writes for its metadata table."""
+    from .avro import write_datum
+    from .hfile import build_hfile_bytes
+    cells = []
+    for r in rows:
+        buf = bytearray()
+        write_datum(buf, r, avro_schema)
+        cells.append((str(r[key_field]).encode("utf-8"), bytes(buf)))
+    content = build_hfile_bytes(
+        cells, {b"schema": json.dumps(avro_schema).encode("utf-8")})
+    return encode_log_block(
+        BLOCK_HFILE_DATA,
+        {H_INSTANT_TIME: instant,
+         H_SCHEMA: json.dumps(avro_schema)},
+        content)
+
+
+def decode_hfile_data_block(block: dict) -> list[dict]:
+    from .avro import read_datum
+    from .hfile import read_hfile_bytes
+    schema = json.loads(block["header"][H_SCHEMA])
+    _info, cells = read_hfile_bytes(block["content"],
+                                    label="<hfile log block>")
+    out = []
+    for _k, v in cells:
+        datum, _end = read_datum(v, 0, schema)
+        out.append(datum)
+    return out
+
+
+def encode_parquet_data_block(instant: str, table,
+                              avro_schema: dict | None = None
+                              ) -> bytes:
+    """PARQUET data block: content is a complete parquet file of
+    ``table`` (a ``pyarrow.Table`` including ``_hoodie_record_key``).
+    The SCHEMA header carries the Avro writer schema when given, like
+    real Hudi stamps on every data block."""
+    import io
+
+    import pyarrow.parquet as pq
+    sink = io.BytesIO()
+    pq.write_table(table, sink)
+    header = {H_INSTANT_TIME: instant}
+    if avro_schema is not None:
+        header[H_SCHEMA] = json.dumps(avro_schema)
+    return encode_log_block(BLOCK_PARQUET_DATA, header,
+                            sink.getvalue())
+
+
+def decode_parquet_data_block(block: dict) -> list[dict]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tb = pq.read_table(pa.BufferReader(block["content"]))
+    for i, f in enumerate(tb.schema):
+        # normalize temporals to the Avro logical-type conventions
+        # every other data-block kind uses (micros / epoch-day ints)
+        if pa.types.is_timestamp(f.type):
+            tb = tb.set_column(
+                i, f.name,
+                tb.column(i).cast(pa.timestamp("us", f.type.tz))
+                .cast(pa.int64()))
+        elif pa.types.is_date32(f.type):
+            tb = tb.set_column(i, f.name,
+                               tb.column(i).cast(pa.int32()))
+    return tb.to_pylist()
 
 
 def encode_delete_block(instant: str, keys: list[str]) -> bytes:

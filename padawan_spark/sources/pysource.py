@@ -1092,10 +1092,10 @@ class _HudiIncrementalStreamReader(DataSourceStreamReader):
 
         import pyarrow as pa
 
-        from ..functions.hudilog import (BLOCK_AVRO_DATA,
-                                         BLOCK_DELETE,
+        from ..functions.hudilog import (BLOCK_DELETE,
+                                         DATA_BLOCK_TYPES,
                                          H_INSTANT_TIME,
-                                         decode_avro_data_block,
+                                         decode_data_block,
                                          decode_delete_block,
                                          decode_log_blocks)
         # 1. decode the LOGS first — bounded by the log, small by MOR
@@ -1108,8 +1108,8 @@ class _HudiIncrementalStreamReader(DataSourceStreamReader):
                 inst = blk["header"].get(H_INSTANT_TIME)
                 if inst not in committed:
                     continue             # failed / future write
-                if blk["type"] == BLOCK_AVRO_DATA:
-                    for r in decode_avro_data_block(blk):
+                if blk["type"] in DATA_BLOCK_TYPES:
+                    for r in decode_data_block(blk):
                         k = r["_hoodie_record_key"]
                         ord_k = (inst, lidx, seq)
                         if k not in state or state[k][0] < ord_k:

@@ -2504,6 +2504,61 @@ def norm_eq(a, b):
     return norm(a) == norm(b)
 
 
+def test_hudi_hfile_and_parquet_log_blocks(spark, tmp_path):
+    """r12: HFILE (4) and PARQUET (5) log data blocks — the formats
+    real Hudi writes for metadata tables and for
+    hoodie.logfile.data.block.format=parquet tables — merge
+    IDENTICALLY to Avro blocks in the snapshot read, the incremental
+    query, and the incremental stream, including temporal payloads
+    (parquet blocks normalize to the Avro micros/epoch-day
+    conventions at decode)."""
+    import datetime as dt
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              read_hudi_incremental,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    base_day = dt.date(2024, 3, 1)
+    for fmt in ("hfile", "parquet"):
+        t = str(tmp_path / f"hblk_{fmt}")
+        df = spark.range(10).select(
+            SF.col("id").alias("k"), (SF.col("id") * 10).alias("v"),
+            (SF.lit(base_day) + SF.col("id").cast("int")).alias("d"),
+            SF.to_timestamp(SF.lit("2024-03-01 12:00:00")).alias("ts"))
+        write_hudi_fixture(spark, df, t)
+        i1 = write_hudi_delta_fixture(
+            spark, t,
+            upserts=df.where(SF.col("k") % 3 == 0)
+            .withColumn("v", SF.lit(-5).cast("bigint")),
+            deletes=["7"], block_format=fmt)
+        rows = {r["k"]: (r["v"], r["d"]) for r in
+                read_hudi(spark, t).collect()}
+        assert rows == {k: (-5 if k % 3 == 0 else k * 10,
+                            base_day + dt.timedelta(days=k))
+                        for k in range(10) if k != 7}, fmt
+        inc = {r["k"]: r["v"] for r in read_hudi_incremental(
+            spark, t, begin="0").collect() if r is not None}
+        assert all(inc[k] == -5 for k in (0, 3, 6, 9)), fmt
+        # the incremental STREAM decodes the same blocks in-task
+        name = f"hblk_{fmt}_" + _uuid.uuid4().hex[:8]
+        src = (spark.readStream
+               .format("padawan_hudi_incremental")
+               .option("path", t).option("startingInstant", "0")
+               .load())
+        q = src.writeStream.format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {(r["k"], r["v"]) for r in spark.table(name).collect()
+               if r["_commit_instant"] == i1}
+        assert got == {(k, -5) for k in (0, 3, 6, 9)}, fmt
+
+
 def test_hudi_log_schema_mismatch_raises(spark, tmp_path):
     """ADVICE r11: a log-only table whose data blocks carry DIFFERENT
     writer schemas (a later deltacommit added a column) raises instead
