@@ -25,8 +25,8 @@ by physical layout, and each group scans with its own physical DDL —
 so files whose physical names differ (e.g. written by different
 engines) still read correctly.  V2 checkpoints (r9): the UUID-named
 top-level checkpoint plus ``_sidecars/`` parquet files replay
-driver-side like classic ones.  JSON-format v2 checkpoints raise an
-honest ``NotImplementedError``.
+driver-side like classic ones — in BOTH spec-legal top-file formats,
+parquet and JSON lines (r12).
 """
 
 from __future__ import annotations
@@ -53,9 +53,10 @@ def _list_checkpoints(path: str):
     """Checkpoint inventory: ``(classic, v2)`` — classic maps version
     -> parquet part files (single-file ``<v>.checkpoint.parquet`` and
     multi-part ``<v>.checkpoint.<i>.<n>.parquet``); v2 maps version
-    -> the UUID-named top-level file (``<v>.checkpoint.<uuid>.
-    parquet``) whose ``sidecar`` actions point into
-    ``_delta_log/_sidecars/``.  JSON-format v2 checkpoints raise."""
+    -> the UUID-named top-level file, PARQUET or JSON format (both
+    spec-legal for v2: ``<v>.checkpoint.<uuid>.parquet`` /
+    ``.json``), whose ``sidecar`` actions point into
+    ``_delta_log/_sidecars/`` (sidecars are always parquet, r12)."""
     d = os.path.join(path, "_delta_log")
     classic: dict[int, list[str]] = {}
     v2: dict[int, str] = {}
@@ -70,14 +71,11 @@ def _list_checkpoints(path: str):
             classic.setdefault(int(m.group(1)), []).append(
                 os.path.join(d, f))
             continue
-        m = re.match(r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]+\.parquet$",
-                     f)
+        m = re.match(
+            r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]+\.(parquet|json)$",
+            f)
         if m:
             v2[int(m.group(1))] = os.path.join(d, f)
-            continue
-        if re.match(r"^\d{20}\.checkpoint\..*\.json$", f):
-            raise NotImplementedError(
-                f"delta v2 JSON checkpoint {f!r} unsupported")
     return classic, v2
 
 
@@ -156,12 +154,14 @@ def _replay_checkpoint(state: _Replay, part_files: list[str]) -> None:
 
 def _replay_v2_checkpoint(state: _Replay, table: str,
                           top_file: str) -> None:
-    """Fold a V2 checkpoint (r9): the UUID-named top-level parquet
-    holds protocol/metaData (+ possibly inlined file actions) and
+    """Fold a V2 checkpoint (r9): the UUID-named top-level file holds
+    protocol/metaData (+ possibly inlined file actions) and
     ``sidecar`` actions pointing at parquet files under
     ``_delta_log/_sidecars/`` that carry the add/remove set — the
     layout modern writers emit with the ``v2Checkpoint`` feature.
-    Driver-side pyarrow, O(actions)."""
+    The top file comes in BOTH spec formats (r12): parquet
+    (action-typed columns) or JSON (one action object per line);
+    sidecars are always parquet.  Driver-side, O(actions)."""
     import pyarrow.parquet as pq
 
     def _maps(obj):
@@ -171,8 +171,16 @@ def _replay_v2_checkpoint(state: _Replay, table: str,
             return {k: _maps(v) for k, v in obj.items()}
         return obj
 
+    if top_file.endswith(".json"):
+        top_rows = []
+        with open(top_file) as fh:
+            for line in fh:
+                if line.strip():
+                    top_rows.append(json.loads(line))
+    else:
+        top_rows = pq.read_table(top_file).to_pylist()
     sidecars: list[str] = []
-    for row in pq.read_table(top_file).to_pylist():
+    for row in top_rows:
         if row.get("sidecar"):
             sidecars.append(row["sidecar"]["path"])
             continue
@@ -628,7 +636,8 @@ def add_dv_fixture(path: str, dv_by_rel: dict[str, list[int]],
 def write_delta_checkpoint_fixture(path: str,
                                    clean_before: bool = False,
                                    v2: bool = False,
-                                   n_sidecars: int = 2) -> int:
+                                   n_sidecars: int = 2,
+                                   json_format: bool = False) -> int:
     """FIXTURE: write a parquet checkpoint of the current replayed
     state at the latest version (the layout ``_last_checkpoint``
     points at), optionally deleting the JSON commits it covers — the
@@ -637,7 +646,8 @@ def write_delta_checkpoint_fixture(path: str,
     instead: a UUID-named top-level file holding protocol/metaData/
     checkpointMetadata plus ``sidecar`` pointers, with the add
     actions split across ``n_sidecars`` parquet files under
-    ``_delta_log/_sidecars/``."""
+    ``_delta_log/_sidecars/``; ``json_format=True`` writes the v2
+    top file as JSON lines, the spec's other legal format (r12)."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -732,12 +742,24 @@ def write_delta_checkpoint_fixture(path: str,
                                  "path": sname,
                                  "sizeInBytes": os.path.getsize(sfull),
                                  "modificationTime": 0}})
-        top_name = (f"{v:020d}.checkpoint."
-                    f"{_uuid.uuid5(_uuid.NAMESPACE_URL, 'top').hex}"
-                    ".parquet")
-        pq.write_table(pa.Table.from_pylist(top_rows,
-                                            schema=top_extra),
-                       os.path.join(log, top_name))
+        if json_format:
+            # the spec's OTHER v2 top-file format: one action object
+            # per line (sidecars stay parquet)
+            top_name = (f"{v:020d}.checkpoint."
+                        f"{_uuid.uuid5(_uuid.NAMESPACE_URL, 'top').hex}"
+                        ".json")
+            with open(os.path.join(log, top_name), "w") as fh:
+                for r in top_rows:
+                    fh.write(json.dumps(
+                        {k: val for k, val in r.items()
+                         if val is not None}) + "\n")
+        else:
+            top_name = (f"{v:020d}.checkpoint."
+                        f"{_uuid.uuid5(_uuid.NAMESPACE_URL, 'top').hex}"
+                        ".parquet")
+            pq.write_table(pa.Table.from_pylist(top_rows,
+                                                schema=top_extra),
+                           os.path.join(log, top_name))
     else:
         pq.write_table(pa.Table.from_pylist(rows, schema=schema),
                        os.path.join(log, f"{v:020d}.checkpoint.parquet"))

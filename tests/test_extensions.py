@@ -749,6 +749,48 @@ def test_delta_v2_checkpoint_sidecars(spark, tmp_path):
     assert read_delta(spark, t, version=v).count() == expect
 
 
+def test_delta_v2_json_checkpoint(spark, tmp_path):
+    """r12: the v2 checkpoint's OTHER spec-legal top-file format —
+    JSON lines (sidecars stay parquet) — replays like the parquet
+    one, survives retention cleaning, and serves as the CDF stream's
+    state-init checkpoint."""
+    import os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (
+        read_delta, read_delta_changes, remove_delta_files_fixture,
+        write_delta_checkpoint_fixture, write_delta_fixture)
+    t = str(tmp_path / "ckv2j")
+    df = spark.range(20).select(SF.col("id").alias("k"),
+                                (SF.col("id") % 2).alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",))
+    write_delta_fixture(
+        spark, spark.range(20, 26).select(
+            SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("g",), mode="append")
+    expect = read_delta(spark, t).count()
+    v = write_delta_checkpoint_fixture(t, clean_before=True, v2=True,
+                                       n_sidecars=2,
+                                       json_format=True)
+    log = os.path.join(t, "_delta_log")
+    assert any(f.endswith(".json") and ".checkpoint." in f
+               for f in os.listdir(log))
+    assert not any(f.endswith(".json") and "." not in f[:-5]
+                   and not f.startswith("_")
+                   for f in os.listdir(log) if ".checkpoint." not in f)
+    assert read_delta(spark, t).count() == expect
+    # the cleaned log reads CHANGES past the checkpoint through the
+    # JSON-format state init too
+    removed_v = remove_delta_files_fixture(
+        t, lambda rel: rel.startswith("g=0/"))
+    rows = read_delta_changes(spark, t,
+                              starting_version=v + 1).collect()
+    dels = {(r["k"], r["g"]) for r in rows
+            if r["_change_type"] == "delete"
+            and r["_commit_version"] == removed_v}
+    assert dels == {(k, 0) for k in range(0, 26, 2)}
+
+
 def test_delta_column_mapping_name_mode_reads(spark, tmp_path):
     """r9: 'name'-mode column mapping reads for real — physical
     col-<uuid> parquet columns alias back to logical names, physically
