@@ -55,7 +55,8 @@ for _m in _SUITES:
 # streaming_custom_source + adv_custom_source (pyseq emits numpy-built
 # record batches); src_iceberg_orc_data (stripe walk extracted to
 # orc_stripe_position_frames, now hypothesis-tested).
-_SENTINELS = ["src_hudi_metadata_hfile", "src_delta_cdf_checkpoint",
+_SENTINELS = ["src_hudi_log_block_formats",
+              "src_hudi_metadata_hfile", "src_delta_cdf_checkpoint",
               "streaming_iceberg_skip_deletes",
               "src_hudi_metadata_listing",
               "src_hudi_log_only_table", "src_hudi_mor_read",

@@ -1875,6 +1875,50 @@ def src_hudi_metadata_hfile(spark, sf_dir):
         F.sum("v").cast("bigint").alias("val_sum"))
 
 
+@query("src_hudi_log_block_formats", oracle="""
+SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       -- the %5 upsert commits LAST: overlap keys (%20) end at -2
+       CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN -2
+                     WHEN n_nationkey % 4 = 0 THEN -1
+                     ELSE n_nationkey * 10 END) AS BIGINT) AS val_sum
+FROM nation WHERE n_nationkey <> 9
+""")
+def src_hudi_log_block_formats(spark, sf_dir):
+    """Hudi HFILE + PARQUET log data blocks in ONE merge (r12):
+    real writers choose among three data-block kinds —
+    Avro (the default), HFile (what the metadata table writes), and
+    Parquet (``hoodie.logfile.data.block.format``) — and a reader
+    must merge them interchangeably.  The fixture commits a base,
+    then one deltacommit with HFILE blocks (upsert ``k%4==0``), one
+    with PARQUET blocks (upsert ``k%5==0``, which also OVERRIDES the
+    k=0/k=20-style overlap at a later instant), and a delete of key
+    9; latest-wins must resolve across all three block kinds in the
+    same file slice.  Scale shape: identical to the Avro merge — the
+    block kind only changes the in-task decode."""
+    import os
+    import tempfile
+
+    from ..functions.hudi import read_hudi, write_hudi_delta_fixture, \
+        write_hudi_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        (F.col("n_nationkey") * 10).cast("bigint").alias("v"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_hblk_"), "tbl")
+    write_hudi_fixture(spark, n, t)
+    write_hudi_delta_fixture(
+        spark, t, upserts=n.where(F.col("k") % 4 == 0)
+        .withColumn("v", F.lit(-1).cast("bigint")),
+        block_format="hfile")
+    write_hudi_delta_fixture(
+        spark, t, upserts=n.where(F.col("k") % 5 == 0)
+        .withColumn("v", F.lit(-2).cast("bigint")),
+        deletes=["9"], block_format="parquet")
+    return read_hudi(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.sum("v").cast("bigint").alias("val_sum"))
+
+
 @query("src_hudi_log_only_table", oracle="""
 SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
        CAST(SUM(CASE WHEN n_nationkey % 5 = 0

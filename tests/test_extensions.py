@@ -1864,6 +1864,39 @@ def test_iceberg_appends_stream_source(spark, tmp_path):
     rows3 = {(r["k"], r["g"]) for r in spark.table(name3).collect()}
     assert rows3 == ({(k, k % 2) for k in range(100, 104)}
                      | {(k, k % 2) for k in range(200, 202)})
+    # an OVERWRITE snapshot (adds + retirements in one commit) needs
+    # its own opt-in; skipDeleteSnapshots alone still raises, and
+    # with skipOverwriteSnapshots it contributes nothing
+    write_iceberg_fixture(spark, spark.range(300, 302).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("g",), delete_partition={"g": 1})
+    write_iceberg_fixture(spark, spark.range(400, 402).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("g",))
+    name4 = "iapp_" + _uuid.uuid4().hex[:8]
+    src4 = (spark.readStream.format("padawan_iceberg_appends")
+            .option("path", t).option("startingSnapshotId", s1)
+            .option("skipDeleteSnapshots", "true").load())
+    q4 = src4.writeStream.format("memory").queryName(name4).start()
+    try:
+        with pytest.raises(Exception, match="overwrite"):
+            q4.processAllAvailable()
+    finally:
+        q4.stop()
+    name5 = "iapp_" + _uuid.uuid4().hex[:8]
+    src5 = (spark.readStream.format("padawan_iceberg_appends")
+            .option("path", t).option("startingSnapshotId", s1)
+            .option("skipDeleteSnapshots", "true")
+            .option("skipOverwriteSnapshots", "true").load())
+    q5 = src5.writeStream.format("memory").queryName(name5).start()
+    try:
+        q5.processAllAvailable()
+    finally:
+        q5.stop()
+    rows5 = {(r["k"], r["g"]) for r in spark.table(name5).collect()}
+    assert rows5 == ({(k, k % 2) for k in range(100, 104)}
+                     | {(k, k % 2) for k in range(200, 202)}
+                     | {(k, k % 2) for k in range(400, 402)})
 
 
 def test_iceberg_appends_stream_random_snapshot_ids(spark, tmp_path):
