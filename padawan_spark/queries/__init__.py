@@ -41,20 +41,28 @@ for _m in _SUITES:
 # ---------------------------------------------------------------------------
 
 # code that changed THIS round (r12) — keep driver-visible even though
-# already green: src_hudi_metadata_hfile (NEW — HFile-compacted
-# metadata table, real-payload map-merge fold) +
-# src_hudi_metadata_listing (fail-closed record classify) +
-# src_hudi_log_only_table (all-blocks schema scan) + src_hudi_mor_read
-# (broadcast-regime divisor); streaming_delta_cdf (Arrow record-batch
-# reads, DV sets as Arrow masks, checkpoint-initialized stream state);
-# streaming_hudi_incremental (Arrow touched-key split: untouched base
-# rows pass through as batches); streaming_iceberg_appends (per-file
-# field-id column resolution — evolved tables stream);
+# already green: src_hudi_log_block_formats (NEW — HFILE/PARQUET log
+# data blocks merge with Avro ones) + src_hudi_metadata_hfile (NEW —
+# HFile-compacted metadata table, real-payload map-merge fold) +
+# src_delta_cdf_checkpoint (NEW — CDF over a retention-cleaned log,
+# checkpoint-initialized state, batch AND stream) +
+# streaming_iceberg_skip_deletes (NEW — streaming-skip-* options,
+# snapshot-by-snapshot span walk); src_hudi_metadata_listing
+# (fail-closed record classify) + src_hudi_log_only_table (all-blocks
+# schema scan incl. parquet footers) + src_hudi_mor_read
+# (broadcast-regime divisor); streaming_delta_cdf + src_delta_cdf_read
+# (Arrow record-batch reads, DV sets as Arrow masks, v2 JSON
+# checkpoints); streaming_hudi_incremental (Arrow touched-key split:
+# untouched base rows pass through as batches);
+# streaming_iceberg_appends (per-file field-id column resolution —
+# evolved tables stream; ORC/Avro data files stream);
 # streaming_manifest_tail + streaming_cdf_tail + streaming_mv_refresh
-# (whole-file commits batch through _aligned_batches);
-# streaming_custom_source + adv_custom_source (pyseq emits numpy-built
+# (whole-file commits batch through _aligned_batches; the rewrite
+# diff is an Arrow hash aggregation); streaming_custom_source +
+# adv_custom_source (pyseq emits numpy-built record batches);
+# src_avro_roundtrip + src_iceberg_avro_data (Avro source emits
 # record batches); src_iceberg_orc_data (stripe walk extracted to
-# orc_stripe_position_frames, now hypothesis-tested).
+# orc_stripe_position_frames, hypothesis-tested).
 _SENTINELS = ["src_hudi_log_block_formats",
               "src_hudi_metadata_hfile", "src_delta_cdf_checkpoint",
               "streaming_iceberg_skip_deletes",
