@@ -314,14 +314,26 @@ def _parse_part_spec(spec_json: dict, by_id: dict) -> list[tuple]:
 
 
 def _resolve_snapshot(path: str, snapshot_id: int | None = None,
-                      as_of_ms: int | None = None):
+                      as_of_ms: int | None = None,
+                      ref: str | None = None):
     """Load the latest table metadata and resolve one snapshot —
-    by id, by ``as_of_ms`` timestamp time travel (latest snapshot
-    committed at or before the instant, per the spec's
-    timestamp-ms), or the current one.  Returns ``(meta, snap)``."""
+    by id, by ``ref`` (a named BRANCH or TAG from the metadata's
+    ``refs`` map, r12 — the spec's ``VERSION AS OF 'name'`` surface),
+    by ``as_of_ms`` timestamp time travel (latest snapshot committed
+    at or before the instant, per the spec's timestamp-ms), or the
+    current one.  Returns ``(meta, snap)``."""
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
     snaps = meta.get("snapshots", [])
+    if ref is not None:
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError(
+                "iceberg ref is exclusive with snapshot_id/as_of_ms")
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"no ref {ref!r} at {path}; have {sorted(refs)}")
+        snapshot_id = refs[ref]["snapshot-id"]
     if snapshot_id is None and as_of_ms is not None:
         past = [s for s in snaps
                 if s.get("timestamp-ms", 0) <= as_of_ms]
@@ -462,7 +474,8 @@ def _schema_inventory(path: str, schema_id: int | None = None):
 
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                  filters: dict | None = None,
-                 as_of_ms: int | None = None):
+                 as_of_ms: int | None = None,
+                 ref: str | None = None):
     """Scan an Iceberg table at a snapshot (default: current).
     Identity partition values are re-attached per data file, grouped
     so each distinct (partition tuple, sequence number) is one parquet
@@ -485,9 +498,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     correctly and columns added later come back null from pre-add
     files; files are grouped by physical layout and each group scans
     with its own DDL.  Unevolved tables skip the footer taps
-    entirely."""
+    entirely.  ``ref`` time-travels to a named branch/tag from the
+    metadata's ``refs`` map (r12)."""
     from pyspark.sql import functions as F
-    _meta, snap = _resolve_snapshot(path, snapshot_id, as_of_ms)
+    _meta, snap = _resolve_snapshot(path, snapshot_id, as_of_ms,
+                                    ref=ref)
     fields, part_specs, files, delete_files = live_data_files(
         path, snap["snapshot-id"])
     types = dict(fields)
@@ -1290,6 +1305,41 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return snap_id
+
+
+def tag_iceberg_snapshot_fixture(path: str, name: str,
+                                 snapshot_id: int | None = None,
+                                 ref_type: str = "tag") -> int:
+    """FIXTURE: add a named ref (``tag`` or ``branch``) to the
+    table's ``refs`` map pointing at ``snapshot_id`` (default: the
+    current snapshot) — the layout ``ALTER TABLE ... CREATE TAG``
+    writes.  A ``main`` branch ref mirroring the current snapshot is
+    maintained alongside, like real writers keep.  Returns the
+    snapshot id the ref points at."""
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    have = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if snapshot_id not in have:
+        raise ValueError(
+            f"no snapshot {snapshot_id} at {path}; have {sorted(have)}")
+    refs = meta.setdefault("refs", {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    # real writers keep main tracking the current snapshot
+    refs["main"] = {"snapshot-id": meta["current-snapshot-id"],
+                    "type": "branch"}
+    mdir = os.path.join(path, "metadata")
+    version = max(int(re.match(r"^v(\d+)\.metadata\.json$", f)
+                      .group(1))
+                  for f in os.listdir(mdir)
+                  if re.match(r"^v(\d+)\.metadata\.json$", f)) + 1
+    with open(os.path.join(mdir, f"v{version}.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
 
 
 def evolve_iceberg_spec_fixture(path: str, partition_by=()) -> int:

@@ -1337,6 +1337,49 @@ def src_iceberg_v2_deletes(spark, sf_dir):
         F.countDistinct("g").alias("n_groups"))
 
 
+@query("src_iceberg_ref_read", oracle="""
+SELECT 'tag' AS scope, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+UNION ALL
+SELECT 'main', 2 * COUNT(*), CAST(SUM(2 * n_nationkey + 500)
+                                  AS BIGINT)
+FROM nation
+""")
+def src_iceberg_ref_read(spark, sf_dir):
+    """Iceberg BRANCH/TAG refs (r12): the metadata ``refs`` map names
+    snapshots (``ALTER TABLE ... CREATE TAG``), and readers
+    time-travel by name — the spec's ``VERSION AS OF 'ref'``.  The
+    fixture tags the first snapshot as ``v1``, appends a second
+    snapshot, and reads BOTH the tag (first snapshot's rows only) and
+    the maintained ``main`` branch (current rows).  Scale shape: ref
+    resolution is one metadata-map lookup; the scan is the same
+    snapshot read."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import (read_iceberg,
+                                     tag_iceberg_snapshot_fixture,
+                                     write_iceberg_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_iref_"), "tbl")
+    s1 = write_iceberg_fixture(spark, n, t)
+    tag_iceberg_snapshot_fixture(t, "v1", snapshot_id=s1)
+    write_iceberg_fixture(spark, n.select(
+        (F.col("k") + 500).alias("k")), t)
+    tag_iceberg_snapshot_fixture(t, "head", ref_type="branch")
+    tagged = read_iceberg(spark, t, ref="v1").agg(
+        F.lit("tag").alias("scope"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"))
+    main = read_iceberg(spark, t, ref="main").agg(
+        F.lit("main").alias("scope"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"))
+    return tagged.unionByName(main)
+
+
 @query("src_iceberg_eq_deletes", oracle="""
 SELECT 2 AS snapshot, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

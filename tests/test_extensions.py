@@ -1802,6 +1802,34 @@ def test_delta_dv_decode_runs_on_executors(spark, tmp_path):
     assert len(ks) == 26 and {1, 3, 5, 7}.isdisjoint(ks)
 
 
+def test_iceberg_ref_time_travel(spark, tmp_path):
+    """r12: branch/tag refs — read_iceberg(ref=...) resolves the
+    metadata refs map (tag pins a snapshot, main tracks current),
+    unknown refs raise with the available names, and ref is
+    exclusive with snapshot_id/as_of_ms."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        read_iceberg, tag_iceberg_snapshot_fixture,
+        write_iceberg_fixture)
+    t = str(tmp_path / "iref")
+    s1 = write_iceberg_fixture(spark, spark.range(5).select(
+        SF.col("id").alias("k")), t)
+    tag_iceberg_snapshot_fixture(t, "v1", snapshot_id=s1)
+    write_iceberg_fixture(spark, spark.range(10, 13).select(
+        SF.col("id").alias("k")), t)
+    tag_iceberg_snapshot_fixture(t, "rel", ref_type="branch")
+    assert {r["k"] for r in
+            read_iceberg(spark, t, ref="v1").collect()} == set(range(5))
+    assert {r["k"] for r in
+            read_iceberg(spark, t, ref="main").collect()} == (
+        set(range(5)) | {10, 11, 12})
+    with pytest.raises(ValueError, match="no ref 'nope'"):
+        read_iceberg(spark, t, ref="nope")
+    with pytest.raises(ValueError, match="exclusive"):
+        read_iceberg(spark, t, ref="v1", snapshot_id=s1)
+
+
 def test_iceberg_appends_stream_source(spark, tmp_path):
     """r10: the padawan_iceberg_appends stream — snapshot-id offsets,
     one InputPartition per ADDED file, identity partition values
