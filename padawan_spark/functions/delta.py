@@ -49,6 +49,42 @@ def list_delta_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def resolve_delta_version_at(path: str, ts_ms: int) -> int:
+    """Timestamp time travel (r12): the LATEST commit at or before
+    ``ts_ms``, resolved the way delta readers do — from each
+    commit's ``inCommitTimestamp`` (commitInfo action) when the
+    table records one, else the commit JSON file's modification
+    time.  Raises when every commit is later than ``ts_ms``.
+    Commits cleaned by retention (checkpoint-only prefix) have no
+    timestamp left to compare, matching real behavior: time travel
+    reaches only the retained history."""
+    d = os.path.join(path, "_delta_log")
+    best = None
+    for v in list_delta_versions(path):
+        fp = os.path.join(d, f"{v:020d}.json")
+        commit_ts = None
+        with open(fp) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("commitInfo"):
+                    ict = a["commitInfo"].get("inCommitTimestamp",
+                                              a["commitInfo"]
+                                              .get("timestamp"))
+                    if ict is not None:
+                        commit_ts = int(ict)
+                    break
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(fp) * 1000)
+        if commit_ts <= ts_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no delta commit at or before {ts_ms} at {path}")
+    return best
+
+
 def _list_checkpoints(path: str):
     """Checkpoint inventory: ``(classic, v2)`` — classic maps version
     -> parquet part files (single-file ``<v>.checkpoint.parquet`` and
@@ -260,7 +296,8 @@ def _delta_type_ddl(t) -> str:
 
 
 def read_delta(spark, path: str, version: int | None = None,
-               filters: dict | None = None):
+               filters: dict | None = None,
+               as_of_ms: int | None = None):
     """Scan a Delta table at ``version`` (default latest): log replay
     driver-side, then ONE parquet scan per distinct physical layout
     (one per schema epoch — NOT per partition tuple), with
@@ -281,8 +318,15 @@ def read_delta(spark, path: str, version: int | None = None,
     point lookup on a partitioned key plans O(files-in-partition),
     not O(table) — then re-apply as row predicates (free exactness;
     non-partition columns in ``filters`` simply skip pruning and
-    filter rows).  Returns a DataFrame."""
+    filter rows).  ``as_of_ms`` (r12) time-travels by TIMESTAMP the
+    way delta readers do — inCommitTimestamp when recorded, commit
+    file mtime otherwise.  Returns a DataFrame."""
     from pyspark.sql import functions as F
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError(
+                "delta as_of_ms is exclusive with version")
+        version = resolve_delta_version_at(path, as_of_ms)
     schema_json, part_cols, files, mapping = replay_delta_log(
         path, version)
     if schema_json is None:

@@ -63,7 +63,7 @@ for _m in _SUITES:
 # src_avro_roundtrip + src_iceberg_avro_data (Avro source emits
 # record batches); src_iceberg_orc_data (stripe walk extracted to
 # orc_stripe_position_frames, hypothesis-tested).
-_SENTINELS = ["src_iceberg_ref_read", "src_hudi_log_block_formats",
+_SENTINELS = ["src_delta_time_travel", "src_iceberg_ref_read", "src_hudi_log_block_formats",
               "src_hudi_metadata_hfile", "src_delta_cdf_checkpoint",
               "streaming_iceberg_skip_deletes",
               "src_hudi_metadata_listing",

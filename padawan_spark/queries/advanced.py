@@ -926,6 +926,48 @@ def src_delta_id_mapping(spark, sf_dir):
         .cast("bigint").alias("r2_sum"))
 
 
+@query("src_delta_time_travel", oracle="""
+SELECT 'then' AS scope, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+UNION ALL
+SELECT 'now', 2 * COUNT(*),
+       CAST(SUM(2 * n_nationkey + 700) AS BIGINT)
+FROM nation
+""")
+def src_delta_time_travel(spark, sf_dir):
+    """Delta TIMESTAMP time travel (r12): ``as_of_ms`` resolves the
+    latest commit at or before the instant the way delta readers do
+    — ``inCommitTimestamp`` when a commitInfo records one, else the
+    commit JSON's modification time.  The fixture pins both commits'
+    mtimes, reads the table between them (first snapshot only) and
+    after (both).  Scale shape: resolution walks O(commits) commit
+    HEADS on the driver (first commitInfo line or one stat call),
+    never data."""
+    import os
+    import tempfile
+
+    from ..functions.delta import read_delta, write_delta_fixture
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_dtt_"), "tbl")
+    write_delta_fixture(spark, n, t)
+    write_delta_fixture(spark, n.select(
+        (F.col("k") + 700).alias("k")), t, mode="append")
+    log = os.path.join(t, "_delta_log")
+    os.utime(os.path.join(log, f"{0:020d}.json"), (1000, 1000))
+    os.utime(os.path.join(log, f"{1:020d}.json"), (2000, 2000))
+    then = read_delta(spark, t, as_of_ms=1500_000).agg(
+        F.lit("then").alias("scope"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"))
+    now = read_delta(spark, t, as_of_ms=2500_000).agg(
+        F.lit("now").alias("scope"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"))
+    return then.unionByName(now)
+
+
 @query("src_delta_cdf_checkpoint", oracle="""
 SELECT 'insert' AS change, COUNT(*) AS n,
        CAST(SUM(n_nationkey + 100) AS BIGINT) AS key_sum

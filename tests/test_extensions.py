@@ -749,6 +749,44 @@ def test_delta_v2_checkpoint_sidecars(spark, tmp_path):
     assert read_delta(spark, t, version=v).count() == expect
 
 
+def test_delta_timestamp_time_travel(spark, tmp_path):
+    """r12: as_of_ms time travel — the latest commit at or before the
+    instant, from inCommitTimestamp when a commitInfo records one,
+    else the commit file's mtime (how real delta readers resolve);
+    earlier-than-history raises, and as_of_ms is exclusive with
+    version."""
+    import json as _json
+    import os
+
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.delta import (read_delta,
+                                               write_delta_fixture)
+    t = str(tmp_path / "dtt")
+    write_delta_fixture(spark, spark.range(5).select(
+        SF.col("id").alias("k")), t)                       # v0
+    write_delta_fixture(spark, spark.range(10, 13).select(
+        SF.col("id").alias("k")), t, mode="append")        # v1
+    log = os.path.join(t, "_delta_log")
+    os.utime(os.path.join(log, f"{0:020d}.json"), (1000, 1000))
+    os.utime(os.path.join(log, f"{1:020d}.json"), (2000, 2000))
+    assert read_delta(spark, t, as_of_ms=1500_000).count() == 5
+    assert read_delta(spark, t, as_of_ms=2000_000).count() == 8
+    with pytest.raises(ValueError, match="no delta commit"):
+        read_delta(spark, t, as_of_ms=999_000)
+    with pytest.raises(ValueError, match="exclusive"):
+        read_delta(spark, t, version=0, as_of_ms=1500_000)
+    # inCommitTimestamp WINS over the file mtime when recorded
+    with open(os.path.join(log, f"{1:020d}.json")) as fh:
+        body = fh.read()
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps(
+            {"commitInfo": {"inCommitTimestamp": 1_200_000}}) + "\n"
+            + body)
+    os.utime(os.path.join(log, f"{1:020d}.json"), (2000, 2000))
+    assert read_delta(spark, t, as_of_ms=1300_000).count() == 8
+
+
 def test_delta_v2_json_checkpoint(spark, tmp_path):
     """r12: the v2 checkpoint's OTHER spec-legal top-file format —
     JSON lines (sidecars stay parquet) — replays like the parquet
