@@ -1235,6 +1235,11 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.start_snapshot = int(options.get("startingSnapshotId",
                                               0))
+        self.start_ref = options.get("startingRef")
+        if self.start_ref and self.start_snapshot:
+            raise ValueError(
+                "padawan_iceberg_appends: startingRef is exclusive "
+                "with startingSnapshotId")
         self._max_snaps = int(options.get("maxSnapshotsPerTrigger",
                                           0))
         # Iceberg's streaming-skip-* options: opt-in to silently
@@ -1267,15 +1272,30 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
     # when a span's endpoints are needed.
 
     def _initial_index(self):
-        if not self.start_snapshot:
+        start = self.start_snapshot
+        if self.start_ref:
+            # r12: start AT a named tag/branch — the ref resolves
+            # once, to the snapshot it points at when the stream
+            # starts (consumption begins AFTER that snapshot)
+            import json as _json
+
+            from ..functions.iceberg import _latest_metadata
+            with open(_latest_metadata(self.path)) as fh:
+                refs = _json.load(fh).get("refs") or {}
+            if self.start_ref not in refs:
+                raise ValueError(
+                    f"padawan_iceberg_appends: startingRef "
+                    f"{self.start_ref!r} not in the table's refs; "
+                    f"have {sorted(refs)}")
+            start = refs[self.start_ref]["snapshot-id"]
+        if not start:
             return 0
         snaps = self._snapshot_ids()
-        if self.start_snapshot not in snaps:
+        if start not in snaps:
             raise ValueError(
-                f"padawan_iceberg_appends: startingSnapshotId "
-                f"{self.start_snapshot} not in the table's "
-                "snapshot log")
-        return snaps.index(self.start_snapshot) + 1
+                f"padawan_iceberg_appends: starting snapshot "
+                f"{start} not in the table's snapshot log")
+        return snaps.index(start) + 1
 
     def initialOffset(self):
         idx = self._initial_index()

@@ -1866,6 +1866,22 @@ def test_iceberg_ref_time_travel(spark, tmp_path):
         read_iceberg(spark, t, ref="nope")
     with pytest.raises(ValueError, match="exclusive"):
         read_iceberg(spark, t, ref="v1", snapshot_id=s1)
+    # the appends STREAM starts at a named ref too (r12): consumption
+    # begins after the tagged snapshot
+    import uuid as _uuid
+
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    name = "iref_" + _uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("padawan_iceberg_appends")
+           .option("path", t).option("startingRef", "v1").load())
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r["k"] for r in spark.table(name).collect()} == {10, 11,
+                                                             12}
 
 
 def test_iceberg_appends_stream_source(spark, tmp_path):
