@@ -57,9 +57,17 @@ def resolve_delta_version_at(path: str, ts_ms: int) -> int:
     time.  Raises when every commit is later than ``ts_ms``.
     Commits cleaned by retention (checkpoint-only prefix) have no
     timestamp left to compare, matching real behavior: time travel
-    reaches only the retained history."""
+    reaches only the retained history.
+
+    Timestamps are made MONOTONIC the way Delta readers do (r13,
+    ADVICE): each commit's effective timestamp is
+    ``max(previous + 1ms, recorded)`` — so clock-skewed file mtimes
+    (v1 older than v0) can never resolve an earlier version than a
+    later one, which would otherwise time-travel to a state the
+    table never passed through."""
     d = os.path.join(path, "_delta_log")
     best = None
+    prev_ts = None
     for v in list_delta_versions(path):
         fp = os.path.join(d, f"{v:020d}.json")
         commit_ts = None
@@ -77,6 +85,9 @@ def resolve_delta_version_at(path: str, ts_ms: int) -> int:
                     break
         if commit_ts is None:
             commit_ts = int(os.path.getmtime(fp) * 1000)
+        if prev_ts is not None:
+            commit_ts = max(prev_ts + 1, commit_ts)
+        prev_ts = commit_ts
         if commit_ts <= ts_ms and (best is None or v > best):
             best = v
     if best is None:

@@ -210,7 +210,10 @@ def _decode_cells(data: bytes, with_mvcc: bool,
         value = data[pos:pos + vlen]
         pos += vlen
         if with_tags:
-            (tlen,) = struct.unpack_from(">h", data, pos)
+            # HBase serializes the tags length UNSIGNED (r13,
+            # ADVICE): '>h' would turn >=32KiB of tags into a
+            # negative length and silently corrupt the block walk
+            (tlen,) = struct.unpack_from(">H", data, pos)
             pos += 2 + tlen
         if with_mvcc:
             _seq, pos = _read_hadoop_vlong(data, pos)

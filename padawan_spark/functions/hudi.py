@@ -1264,16 +1264,19 @@ def hudi_log_table_schema(log_paths) -> list[tuple[str, str]]:
             if blk["type"] not in DATA_BLOCK_TYPES:
                 continue
             flds = _fields_of(blk)
-            blk_names = [n for n, _t in flds]
             if names is None:
-                names, first_at = blk_names, p
+                names, first_at = flds, p
                 out = flds
-            elif blk_names != names:
+            elif flds != names:
+                # full (name, type) comparison (r13, ADVICE): two
+                # blocks with identical names but evolved TYPES
+                # (int -> bigint) must gate too, or the first
+                # block's narrower DDL would misread wider values
                 raise NotImplementedError(
                     f"hudi log-only table carries more than one "
                     f"writer schema: {first_at} has fields {names}, "
-                    f"{p} has {blk_names} — schema-evolved log-only "
-                    "tables are unsupported")
+                    f"{p} has {flds} (names or types differ) — "
+                    "schema-evolved log-only tables are unsupported")
     if out is not None:
         return out
     raise NotImplementedError(

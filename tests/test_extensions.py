@@ -2531,6 +2531,26 @@ def test_hfile_codec_roundtrip(tmp_path):
     assert _os.path.getsize(pg) < _os.path.getsize(p) / 2
 
 
+def test_hfile_unsigned_tags_length():
+    """ADVICE r12: per-cell tags length is UNSIGNED in HBase's
+    serialization — a cell with >=32 KiB of tags must not flip
+    negative ('>h') and corrupt the rest of the block walk."""
+    import struct as _struct
+
+    from padawan_spark.functions.hfile import _decode_cells
+
+    def cell(row: bytes, val: bytes, tags: bytes) -> bytes:
+        key = _struct.pack(">h", len(row)) + row
+        return (_struct.pack(">ii", len(key), len(val)) + key + val
+                + _struct.pack(">H", len(tags)) + tags)
+
+    big = b"t" * 40_000                       # > 32767: sign bit set
+    data = (cell(b"r1", b"v1", big)
+            + cell(b"r2", b"v2", b""))
+    got = _decode_cells(data, with_mvcc=False, with_tags=True)
+    assert got == [(b"r1", b"v1"), (b"r2", b"v2")]
+
+
 def test_hudi_metadata_hfile_base(spark, tmp_path):
     """r12 (VERDICT r11 task 4): an HFile-compacted metadata table —
     the shape every REAL metadata table takes after inline compaction
@@ -2755,6 +2775,72 @@ def test_hudi_log_schema_mismatch_raises(spark, tmp_path):
     with _pytest.raises(NotImplementedError,
                         match="more than one writer schema"):
         hudi_table_schema(t)
+
+
+def test_hudi_log_schema_type_evolution_raises(spark, tmp_path):
+    """ADVICE r12: same field NAMES but an evolved TYPE (int ->
+    long) across two data blocks must gate too — a names-only
+    comparison would keep the first block's narrower DDL and misread
+    the later block's wider values."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+    from padawan_spark.functions.hudi import (_next_instant,
+                                              hudi_table_schema,
+                                              live_hudi_slices,
+                                              write_hudi_delta_fixture)
+    from padawan_spark.functions.hudilog import encode_avro_data_block
+    t = str(tmp_path / "hlt")
+    df = spark.range(4).select(SF.col("id").alias("k"),
+                               (SF.col("id") * 10).alias("v"))
+    write_hudi_delta_fixture(spark, t, upserts=df)   # log-only boot
+    (fid, s), = live_hudi_slices(t).items()
+    narrowed = {"type": "record", "name": "rec", "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "k", "type": ["null", "long"]},
+        {"name": "v", "type": ["null", "int"]}]}   # v: long -> int
+    inst = _next_instant(t)
+    with open(s["logs"][0], "ab") as fh:
+        fh.write(encode_avro_data_block(
+            inst, narrowed, [{"_hoodie_record_key": "9", "k": 9,
+                              "v": 90}]))
+    with open(_os.path.join(t, ".hoodie",
+                            f"{inst}.deltacommit"), "w") as fh:
+        _json.dump({"partitionToWriteStats": {"": [
+            {"fileId": fid,
+             "path": _os.path.relpath(s["logs"][0], t)}]}}, fh)
+    with _pytest.raises(NotImplementedError,
+                        match="more than one writer schema"):
+        hudi_table_schema(t)
+
+
+def test_delta_time_travel_monotonic_timestamps(spark, tmp_path):
+    """ADVICE r12: commit timestamps are adjusted monotonic
+    (max(prev + 1ms, recorded)) before comparing to as_of_ms, so a
+    clock-skewed LATER commit with an EARLIER mtime never resolves
+    ahead of its predecessor."""
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+    from padawan_spark.functions.delta import (read_delta,
+                                               write_delta_fixture)
+    t = str(tmp_path / "dmt")
+    write_delta_fixture(spark, spark.range(5).select(
+        SF.col("id").alias("k")), t)                       # v0
+    write_delta_fixture(spark, spark.range(10, 13).select(
+        SF.col("id").alias("k")), t, mode="append")        # v1
+    log = _os.path.join(t, "_delta_log")
+    # skew: v1's mtime PRECEDES v0's
+    _os.utime(_os.path.join(log, f"{0:020d}.json"), (2000, 2000))
+    _os.utime(_os.path.join(log, f"{1:020d}.json"), (1000, 1000))
+    # v1's effective ts becomes 2_000_001, not 1_000_000
+    with _pytest.raises(ValueError, match="no delta commit"):
+        read_delta(spark, t, as_of_ms=1_500_000)
+    assert read_delta(spark, t, as_of_ms=2_000_000).count() == 5
+    assert read_delta(spark, t, as_of_ms=2_000_001).count() == 8
 
 
 def test_hudi_incremental_stream_over_log_only_table(spark, tmp_path):
