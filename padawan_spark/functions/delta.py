@@ -299,11 +299,38 @@ def replay_delta_log(path: str, version: int | None = None):
 
 
 def _delta_type_ddl(t) -> str:
-    """Delta schemaString type -> Spark DDL type (flat types plus
-    decimal; nested types raise)."""
-    if isinstance(t, str):
-        return t
-    raise NotImplementedError(f"nested delta type {t!r}")
+    """Delta schemaString type -> Spark DDL type.  Delta's
+    schemaString IS Spark's schema JSON, so struct/array/map recurse
+    directly (r13, VERDICT task 1); flat types (incl. decimal) pass
+    through."""
+    from .nested import spark_json_type_ddl
+    return spark_json_type_ddl(t)
+
+
+def _phys_ddl(pt) -> str:
+    """DDL of a PHYSICAL type tree (struct fields carry physical
+    names; fields marked absent — ``{"name": None}``, a file that
+    predates an ADD COLUMNS into a struct — are SKIPPED so the scan
+    schema matches the file, and the logical remap re-inserts them
+    as typed NULLs)."""
+    if isinstance(pt, str):
+        return pt
+    k = pt.get("type")
+    if k == "struct":
+        present = [f for f in pt["fields"] if f.get("name") is not None]
+        if not present:
+            raise NotImplementedError(
+                "delta nested struct with no resolvable fields in a "
+                "data file — cannot build a scan schema")
+        return "struct<" + ", ".join(
+            f"`{f['name']}`: {_phys_ddl(f['type'])}"
+            for f in present) + ">"
+    if k == "array":
+        return f"array<{_phys_ddl(pt['elementType'])}>"
+    if k == "map":
+        return (f"map<{_phys_ddl(pt['keyType'])}, "
+                f"{_phys_ddl(pt['valueType'])}>")
+    raise NotImplementedError(f"unsupported delta type {pt!r}")
 
 
 def read_delta(spark, path: str, version: int | None = None,
@@ -366,9 +393,18 @@ def read_delta(spark, path: str, version: int | None = None,
                      for c in part_cols]
     data_fields = [f for f in sch["fields"]
                    if f["name"] not in logical_parts]
-    ddl = ", ".join(
-        f"`{phys[f['name']]}` {_delta_type_ddl(f['type'])}"
-        for f in data_fields)
+
+    def _ptype(f):
+        # physical TYPE of a column (r13): in a mapped table, struct
+        # fields inside nested columns are renamed to their
+        # physicalName at EVERY level; unmapped tables read logical
+        from .nested import delta_physical_type
+        if mapping in ("name", "id") and not isinstance(f["type"],
+                                                        str):
+            return delta_physical_type(f["type"])
+        return f["type"]
+
+    ptypes = {f["name"]: _ptype(f) for f in sch["fields"]}
     part_types = {f["name"]: _delta_type_ddl(f["type"])
                   for f in sch["fields"] if f["name"] in logical_parts}
     if filters:
@@ -402,27 +438,39 @@ def read_delta(spark, path: str, version: int | None = None,
 
     files_abs = [(os.path.abspath(os.path.join(path, rel)), pvals, dv)
                  for rel, pvals, dv in files]
-    layouts: dict[str, dict[str, str]] = {}
+    layouts: dict[str, tuple] = {}
     if mapping == "id":
         # 'id' mode matches by PARQUET FIELD IDS in each file's
         # footer, not by name — files from different writers (e.g. an
         # Iceberg conversion) may use different physical names for
         # the same logical column; the ids are the stable key.  ONE
         # distributed footer job resolves every file's layout (r10 —
-        # never a driver-side open per data file).
-        from .layouts import parquet_field_layouts
-        raw = parquet_field_layouts(
+        # never a driver-side open per data file); the footer TREES
+        # carry nested ids too (r13), so renamed struct fields INSIDE
+        # a column resolve per file as well.
+        from .nested import match_tree_delta, parquet_field_trees
+        raw = parquet_field_trees(
             spark, [p for p, _pv, _dv in files_abs])
-        for p, flds in raw.items():
-            m = {fid_of[fid]: nm for fid, nm in flds
-                 if fid is not None and fid in fid_of}
+        for p, trees in raw.items():
+            by_fid = {t0[0]: t0 for t0 in trees if t0[0] is not None}
+            m = {}
+            for f in data_fields:
+                fid = int((f.get("metadata") or {})
+                          ["delta.columnMapping.id"])
+                node = by_fid.get(fid)
+                if node is None:
+                    continue
+                pt = (match_tree_delta(f["type"], node)
+                      if not isinstance(f["type"], str)
+                      else f["type"])
+                m[f["name"]] = (node[1], json.dumps(pt))
             missing = [f["name"] for f in data_fields
                        if f["name"] not in m]
             if missing:
                 raise NotImplementedError(
                     f"delta id-mapped file {p} lacks parquet field "
                     f"ids for {missing}")
-            layouts[p] = m
+            layouts[p] = tuple(sorted(m.items()))
     # ONE parquet scan per distinct PHYSICAL LAYOUT (a handful at
     # most — one per schema epoch), never per partition tuple: at 10k
     # partitions a per-tuple union is a 10k-arm plan (r9 verdict #5).
@@ -430,8 +478,7 @@ def read_delta(spark, path: str, version: int | None = None,
     # file→partition-values table joined on _metadata.file_path.
     groups: dict[tuple, list[str]] = {}
     for p, _pvals, _dv in files_abs:
-        lay = (tuple(sorted(layouts[p].items()))
-               if mapping == "id" else ())
+        lay = layouts[p] if mapping == "id" else ()
         groups.setdefault(lay, []).append(p)
     dv_files = [(p, json.dumps(dv)) for p, _pv, dv in files_abs if dv]
     has_dv = bool(dv_files)
@@ -441,19 +488,32 @@ def read_delta(spark, path: str, version: int | None = None,
         return F.regexp_replace(col, "^file:/+", "/")
 
     need_fp = has_dv or bool(logical_parts)
+    from .nested import remap_expr, remap_needed
     parts = []
     for lay, paths in sorted(groups.items()):
-        lmap = (dict(lay) if mapping == "id"
-                else {f["name"]: phys[f["name"]]
-                      for f in data_fields})
-        ddl_g = (", ".join(
-            f"`{lmap[f['name']]}` {_delta_type_ddl(f['type'])}"
-            for f in data_fields) if mapping == "id" else ddl)
+        if mapping == "id":
+            lmap = {n: (pn, json.loads(ptj))
+                    for n, (pn, ptj) in dict(lay).items()}
+        else:
+            lmap = {f["name"]: (phys[f["name"]], ptypes[f["name"]])
+                    for f in data_fields}
+        ddl_g = ", ".join(
+            f"`{lmap[f['name']][0]}` {_phys_ddl(lmap[f['name']][1])}"
+            for f in data_fields)
         df = spark.read.schema(ddl_g).parquet(*paths)
-        # alias physical data columns back to their logical names
+        # alias physical data columns back to their logical names;
+        # nested columns additionally REBUILD their inner structure
+        # logically (r13) — JVM-side struct/transform expressions,
+        # identity when nothing inside was renamed
         for f in data_fields:
-            if lmap[f["name"]] != f["name"]:
-                df = df.withColumnRenamed(lmap[f["name"]], f["name"])
+            pn, pt = lmap[f["name"]]
+            if pn != f["name"]:
+                df = df.withColumnRenamed(pn, f["name"])
+            if remap_needed(pt, f["type"]):
+                df = df.withColumn(
+                    f["name"],
+                    remap_expr(F.col(f"`{f['name']}`"), pt,
+                               f["type"]))
         if need_fp:
             df = df.withColumn(
                 "__fp", _norm(F.col("_metadata.file_path")))
@@ -558,16 +618,66 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
     phys = {c: (f"col-{uuid.uuid5(uuid.NAMESPACE_URL, c).hex[:12]}"
                 if cm_mode else c) for c in df.columns}
     fids = {c: i + 1 for i, c in enumerate(df.columns)}
+    # nested columns (r13): the schemaString needs the JSON type tree
+    # (Delta's schemaString is Spark's schema JSON); flat columns keep
+    # the DDL string form for continuity
+    json_types = {f["name"]: f["type"]
+                  for f in df.schema.jsonValue()["fields"]}
+    ddl_types = dict(df.dtypes)
+
+    def _cm_nested(t, counter):
+        # inject per-field id + physicalName metadata into NESTED
+        # struct fields — the protocol maps every struct field at
+        # every depth; list elements / map entries are not renamable
+        if isinstance(t, str):
+            return t
+        if t["type"] == "struct":
+            out2 = []
+            for f in t["fields"]:
+                fid = next(counter)
+                out2.append({
+                    "name": f["name"],
+                    "type": _cm_nested(f["type"], counter),
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": fid,
+                        "delta.columnMapping.physicalName":
+                            f"col-{uuid.uuid5(uuid.NAMESPACE_URL, str(fid)).hex[:12]}"}})
+            return {"type": "struct", "fields": out2}
+        if t["type"] == "array":
+            return {"type": "array",
+                    "elementType": _cm_nested(t["elementType"],
+                                              counter),
+                    "containsNull": t.get("containsNull", True)}
+        if t["type"] == "map":
+            return {"type": "map",
+                    "keyType": _cm_nested(t["keyType"], counter),
+                    "valueType": _cm_nested(t["valueType"], counter),
+                    "valueContainsNull": t.get("valueContainsNull",
+                                               True)}
+        raise NotImplementedError(f"delta fixture type {t!r}")
+
+    def _sch_type(c, counter):
+        if isinstance(json_types[c], str):
+            return ddl_types[c]
+        return (_cm_nested(json_types[c], counter) if cm_mode
+                else json_types[c])
+
     actions = []
+    schema_fields = None
     if v == 0:
-        schema = {"type": "struct", "fields": [
-            {"name": c, "type": dict(df.dtypes)[c], "nullable": True,
+        import itertools as _it
+        counter = _it.count(len(df.columns) + 1)
+        schema_fields = [
+            {"name": c, "type": _sch_type(c, counter), "nullable": True,
              "metadata": ({"delta.columnMapping.id": fids[c],
                            "delta.columnMapping.physicalName": phys[c]}
                           if cm_mode else {})}
-            for c in df.columns]}
+            for c in df.columns]
+        schema = {"type": "struct", "fields": schema_fields}
+        max_id = next(counter) - 1 if cm_mode else len(df.columns)
         conf = ({"delta.columnMapping.mode": cm_mode,
-                 "delta.columnMapping.maxColumnId": str(len(df.columns))}
+                 "delta.columnMapping.maxColumnId": str(max_id)}
                 if cm_mode else {})
         actions.append({"protocol": {
             "minReaderVersion": 2 if cm_mode else 1,
@@ -582,9 +692,10 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
         # appending: honor the table's existing mapping so physical
         # column names stay consistent across commits
         sch_json, _pc, _files, mm = replay_delta_log(path)
+        schema_fields = json.loads(sch_json)["fields"]
         if mm in ("name", "id"):
             cm_mode = mm
-            flds = json.loads(sch_json)["fields"]
+            flds = schema_fields
             phys = {f["name"]: f["metadata"]
                     ["delta.columnMapping.physicalName"]
                     for f in flds}
@@ -598,6 +709,33 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
             part_cols = [inv.get(c, c) for c in _pc]
             data_cols = [c for c in df.columns
                          if c not in part_cols]
+    fld_of = {f["name"]: f for f in schema_fields}
+    has_nested = any(not isinstance(fld_of[c]["type"], str)
+                     for c in data_cols)
+    written_ids: dict[tuple, int] = {}
+    if cm_mode == "id" and has_nested:
+        # parquet field ids keyed by the WRITTEN (physical) path —
+        # nested struct fields carry their schema-assigned ids so an
+        # id-matching reader resolves renames at every depth (r13)
+        def _collect_ids(t, prefix):
+            if isinstance(t, str):
+                return
+            if t["type"] == "struct":
+                for f in t["fields"]:
+                    pn = f["metadata"][
+                        "delta.columnMapping.physicalName"]
+                    written_ids[prefix + (pn,)] = int(
+                        f["metadata"]["delta.columnMapping.id"])
+                    _collect_ids(f["type"], prefix + (pn,))
+            elif t["type"] == "array":
+                _collect_ids(t["elementType"], prefix + ("element",))
+            elif t["type"] == "map":
+                _collect_ids(t["keyType"], prefix + ("key",))
+                _collect_ids(t["valueType"], prefix + ("value",))
+        for c in data_cols:
+            top = f"{phys[c]}_v{v}"
+            written_ids[(top,)] = fids[c]
+            _collect_ids(fld_of[c]["type"], (top,))
     if part_cols:
         keys = [tuple(r) for r in
                 df.select(*part_cols).distinct().collect()]
@@ -616,9 +754,41 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
             # deterministic physical row order — deletion-vector
             # fixtures address rows BY POSITION, so the writer must pin it
             sub = sub.orderBy(*order_by)
-        pdf = sub.select(*data_cols).toPandas()
         import pyarrow as pa
         import pyarrow.parquet as pq
+        if has_nested:
+            # nested columns (r13): Arrow path — pandas cannot carry
+            # structs faithfully; logical -> physical renames happen
+            # as JVM expressions before collection, and id mode
+            # stamps nested parquet field ids from the schema
+            from pyspark.sql import functions as SF
+
+            from .nested import (delta_physical_type, remap_expr,
+                                 remap_needed, stamp_arrow_field_ids)
+            sel_cols = []
+            for c in data_cols:
+                t = fld_of[c]["type"]
+                top = (f"{phys[c]}_v{v}" if cm_mode == "id"
+                       else phys[c])
+                col = SF.col(f"`{c}`")
+                if cm_mode and not isinstance(t, str):
+                    pt = delta_physical_type(t)
+                    if remap_needed(t, pt):
+                        col = remap_expr(col, t, pt)
+                sel_cols.append(col.alias(top))
+            tb = sub.select(*sel_cols).toArrow()
+            if cm_mode == "id":
+                tb = stamp_arrow_field_ids(
+                    tb, lambda pth: written_ids.get(pth))
+            pq.write_table(tb, full)
+            actions.append({"add": {
+                "path": rel, "partitionValues": {
+                    phys[c]: (None if v_ is None else str(v_))
+                    for c, v_ in zip(part_cols, key)},
+                "size": os.path.getsize(full),
+                "modificationTime": 0, "dataChange": True}})
+            continue
+        pdf = sub.select(*data_cols).toPandas()
         if cm_mode == "id":
             # id mode: physical names vary per commit (so only field
             # ids can match them), field ids ride the parquet footer
@@ -926,15 +1096,29 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
                            if pn == c), c) for c in part_cols]
     types = {f["name"]: _delta_type_ddl(f["type"])
              for f in sch["fields"]}
+    fld_json = {f["name"]: f for f in sch["fields"]}
+    from .nested import delta_physical_type, remap_expr, remap_needed
+    ptypes = {f["name"]: (delta_physical_type(f["type"])
+                          if mapping in ("name", "id")
+                          and not isinstance(f["type"], str)
+                          else f["type"])
+              for f in sch["fields"]}
     data_fields = [f["name"] for f in sch["fields"]
                    if f["name"] not in logical_parts]
-    ddl = ", ".join(f"`{phys[n]}` {types[n]}" for n in data_fields)
+    ddl = ", ".join(f"`{phys[n]}` {_phys_ddl(ptypes[n])}"
+                    for n in data_fields)
     cdc_ddl = ddl + ", _change_type string"
 
     def _logical(df):
         for n in data_fields:
             if phys[n] != n:
                 df = df.withColumnRenamed(phys[n], n)
+            if remap_needed(ptypes[n], fld_json[n]["type"]):
+                # nested columns in a mapped table rebuild their
+                # inner structure logically (r13)
+                df = df.withColumn(
+                    n, remap_expr(F.col(f"`{n}`"), ptypes[n],
+                                  fld_json[n]["type"]))
         return df
 
     def _with_parts(df, pvals):
@@ -1018,16 +1202,28 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
             events += [(v, kind, rel, pv, inc, exc)
                        for kind, rel, pv, inc, exc in derived]
     # id mode: each change file's physical layout resolves by parquet
-    # field id — ONE distributed footer job over every file in range
-    lmaps: dict[str, dict[str, str]] = {}
+    # field id — ONE distributed footer job over every file in range;
+    # footer TREES carry nested ids too (r13)
+    lmaps: dict[str, dict[str, tuple]] = {}
     if mapping == "id" and events:
-        from .layouts import parquet_field_layouts
-        raw = parquet_field_layouts(
+        from .nested import match_tree_delta, parquet_field_trees
+        raw = parquet_field_trees(
             spark, [os.path.abspath(os.path.join(path, rel))
                     for _v, _k, rel, _pv, _i, _e in events])
-        for p, flds in raw.items():
-            m = {fid_of[fid]: nm for fid, nm in flds
-                 if fid is not None and fid in fid_of}
+        for p, trees in raw.items():
+            by_fid = {t0[0]: t0 for t0 in trees if t0[0] is not None}
+            m = {}
+            for n in data_fields:
+                f = fld_json[n]
+                fid = int((f.get("metadata") or {})
+                          ["delta.columnMapping.id"])
+                node = by_fid.get(fid)
+                if node is None:
+                    continue
+                pt = (match_tree_delta(f["type"], node)
+                      if not isinstance(f["type"], str)
+                      else f["type"])
+                m[n] = (node[1], pt)
             missing = [n for n in data_fields if n not in m]
             if missing:
                 raise NotImplementedError(
@@ -1077,14 +1273,19 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
         full = os.path.join(path, rel)
         if mapping == "id":
             lm = lmaps[os.path.abspath(full)]
-            ddl_f = ", ".join(f"`{lm[n]}` {types[n]}"
+            ddl_f = ", ".join(f"`{lm[n][0]}` {_phys_ddl(lm[n][1])}"
                               for n in data_fields)
             df = spark.read.schema(
                 ddl_f + (", _change_type string"
                          if kind == "cdc" else "")).parquet(full)
             for n in data_fields:
-                if lm[n] != n:
-                    df = df.withColumnRenamed(lm[n], n)
+                pn, pt = lm[n]
+                if pn != n:
+                    df = df.withColumnRenamed(pn, n)
+                if remap_needed(pt, fld_json[n]["type"]):
+                    df = df.withColumn(
+                        n, remap_expr(F.col(f"`{n}`"), pt,
+                                      fld_json[n]["type"]))
         else:
             df = _logical(spark.read.schema(
                 cdc_ddl if kind == "cdc" else ddl).parquet(full))

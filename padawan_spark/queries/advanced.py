@@ -926,6 +926,69 @@ def src_delta_id_mapping(spark, sf_dir):
         .cast("bigint").alias("r2_sum"))
 
 
+@query("src_delta_nested_read", oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN o_custkey END) AS BIGINT) AS open_cust_sum,
+       CAST(SUM(o_custkey % 5) AS BIGINT) AS sp_sum,
+       CAST(SUM(o_orderkey % 7 + o_orderkey % 11) AS BIGINT)
+         AS arr_sum,
+       CAST(SUM(o_custkey) AS BIGINT) AS map_sum,
+       COUNT(DISTINCT o_orderkey % 3) AS n_groups
+FROM orders WHERE o_orderkey % 10 = 0
+""")
+def src_delta_nested_read(spark, sf_dir):
+    """Delta NESTED columns through column mapping (r13, VERDICT
+    task 1): a partitioned ``name``-mode mapped table whose columns
+    are a two-level struct, an array of structs and a map with
+    struct values.  The fixture writer renames every struct field to
+    its ``physicalName`` at EVERY depth before writing (JVM
+    expressions, Arrow collection — pandas never sees a struct); the
+    reader builds the physical scan DDL recursively, then rebuilds
+    the logical shape with ``F.struct``/``transform``/
+    ``transform_values`` — whole-stage-codegen expressions, no
+    Python in the row path.  The oracle restates every nested
+    accessor's aggregate from the flat source columns, so a mis-
+    mapped inner field (reading nulls) breaks a sum.  Scale shape:
+    identical to the flat reader — one scan per schema epoch, remap
+    is per-row expression work."""
+    import os
+    import tempfile
+
+    from ..functions.delta import read_delta, write_delta_fixture
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_custkey").cast("bigint").alias("cust"),
+            F.struct((F.col("o_custkey") % 5).cast("bigint")
+                     .alias("sp")).alias("inner")).alias("st"),
+        F.array(
+            F.struct((F.col("o_orderkey") % 7).cast("bigint")
+                     .alias("m")),
+            F.struct((F.col("o_orderkey") % 11).cast("bigint")
+                     .alias("m"))).alias("ar"),
+        F.create_map(
+            F.lit("c"),
+            F.struct(F.col("o_custkey").cast("bigint")
+                     .alias("q"))).alias("mp"),
+        (F.col("o_orderkey") % 3).cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_dnest_"), "tbl")
+    write_delta_fixture(spark, o, t, partition_by=("g",),
+                        column_mapping="name")
+    out = read_delta(spark, t)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("st.status") == "O", F.col("st.cust")))
+        .cast("bigint").alias("open_cust_sum"),
+        F.sum(F.col("st.inner.sp")).cast("bigint").alias("sp_sum"),
+        F.sum(F.col("ar")[0]["m"] + F.col("ar")[1]["m"])
+        .cast("bigint").alias("arr_sum"),
+        F.sum(F.col("mp")["c"]["q"]).cast("bigint").alias("map_sum"),
+        F.countDistinct("g").alias("n_groups"))
+
+
 @query("src_delta_time_travel", oracle="""
 SELECT 'then' AS scope, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
