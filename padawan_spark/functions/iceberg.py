@@ -135,15 +135,72 @@ _ICE_TO_SPARK = {"long": "bigint", "int": "int", "string": "string",
                  "binary": "binary", "timestamp": "timestamp"}
 
 
+def _ice_leaf_ddl(t: str) -> str:
+    if t in _ICE_TO_SPARK:
+        return _ICE_TO_SPARK[t]
+    m = re.match(r"^decimal\((\d+),\s*(\d+)\)$", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    raise NotImplementedError(f"iceberg type {t!r}")
+
+
 def _ice_type_ddl(t) -> str:
+    """Iceberg schema-JSON type -> Spark DDL; struct/list/map recurse
+    (r13, VERDICT task 1)."""
+    from .nested import ice_json_type_ddl
+    return ice_json_type_ddl(t, _ice_leaf_ddl)
+
+
+def _ice_phys_ddl(pt) -> str:
+    """DDL of a PHYSICAL Iceberg type tree (struct fields carry the
+    data file's own names from the footer match; fields marked absent
+    — ``{"name": None}``, the file predates the nested column — are
+    skipped so the scan schema matches the file)."""
+    if isinstance(pt, str):
+        return _ice_leaf_ddl(pt)
+    k = pt.get("type")
+    if k == "struct":
+        present = [f for f in pt["fields"]
+                   if f.get("name") is not None]
+        if not present:
+            raise NotImplementedError(
+                "iceberg nested struct with no resolvable fields in "
+                "a data file — cannot build a scan schema")
+        return "struct<" + ", ".join(
+            f"`{f['name']}`: {_ice_phys_ddl(f['type'])}"
+            for f in present) + ">"
+    if k == "list":
+        return f"array<{_ice_phys_ddl(pt['element'])}>"
+    if k == "map":
+        return (f"map<{_ice_phys_ddl(pt['key'])}, "
+                f"{_ice_phys_ddl(pt['value'])}>")
+    raise NotImplementedError(f"unsupported iceberg type {pt!r}")
+
+
+def _ice_to_spark_json(t):
+    """Iceberg schema-JSON type -> Spark schema-JSON type (the shape
+    :func:`.nested.remap_expr` walks); leaf types become DDL strings,
+    absent-field markers pass through."""
     if isinstance(t, str):
-        if t in _ICE_TO_SPARK:
-            return _ICE_TO_SPARK[t]
-        m = re.match(r"^decimal\((\d+),\s*(\d+)\)$", t)
-        if m:
-            return f"decimal({m.group(1)},{m.group(2)})"
-        raise NotImplementedError(f"iceberg type {t!r}")
-    raise NotImplementedError(f"nested iceberg type {t!r}")
+        return _ice_leaf_ddl(t)
+    k = t.get("type")
+    if k == "struct":
+        out = []
+        for f in t["fields"]:
+            if f.get("name") is None:
+                out.append({"name": None})
+            else:
+                out.append({"name": f["name"],
+                            "type": _ice_to_spark_json(f["type"])})
+        return {"type": "struct", "fields": out}
+    if k == "list":
+        return {"type": "array",
+                "elementType": _ice_to_spark_json(t["element"])}
+    if k == "map":
+        return {"type": "map",
+                "keyType": _ice_to_spark_json(t["key"]),
+                "valueType": _ice_to_spark_json(t["value"])}
+    raise NotImplementedError(f"unsupported iceberg type {t!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +529,75 @@ def _schema_inventory(path: str, schema_id: int | None = None):
     return {f["name"]: f["id"] for f in schema["fields"]}, n
 
 
+def _schema_fields_json(path: str, schema_id: int | None = None):
+    """Raw schema-JSON fields (``{name: field}`` with ids at every
+    nesting level) — what the nested footer-tree match needs (r13)."""
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    if "schemas" in meta:
+        sid = (schema_id if schema_id is not None
+               else meta.get("current-schema-id", 0))
+        schema = next(s for s in meta["schemas"]
+                      if s.get("schema-id", 0) == sid)
+    else:
+        schema = meta["schema"]
+    return {f["name"]: f for f in schema["fields"]}
+
+
+def added_data_files(path: str, snapshot_id: int):
+    """Data files ADDED by exactly ``snapshot_id`` — the unit of the
+    incremental append scan (r13, ADVICE r12): decode ONLY the
+    manifests the snapshot itself added (manifest-list rows whose
+    ``added_snapshot_id`` matches; rows carried forward from earlier
+    snapshots are skipped without opening them), then keep entries
+    with status=1 ADDED stamped with the snapshot's own id.  Planning
+    cost is O(manifests added by the snapshot), NOT O(live set) — so
+    a stream draining a long backlog plans in O(added files) total
+    instead of O(backlog_snapshots x manifests).
+
+    Returns ``(files, removed)`` with ``files`` as ``[(abs_path,
+    partition_dict, fmt, spec_id)]`` and ``removed`` True when the
+    snapshot's own manifests also DELETED files (an "append" snapshot
+    doing that is malformed — callers gate loudly)."""
+    from .avro import decode_avro_datums
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s["snapshot-id"] == snapshot_id), None)
+    if snap is None:
+        raise ValueError(
+            f"no snapshot {snapshot_id} at {path}")
+    with open(_resolve(snap["manifest-list"], path), "rb") as fh:
+        _s, manifests = decode_avro_datums(fh.read())
+    default_spec_id = meta.get("default-spec-id", 0)
+    files, removed = [], False
+    for m in manifests:
+        asid = m.get("added_snapshot_id")
+        if asid is not None and asid != snapshot_id:
+            continue                    # carried forward: never opened
+        if (m.get("content", 0) or 0) != 0:
+            continue                    # delete manifest: no data adds
+        mspec = m.get("partition_spec_id")
+        if mspec is None:
+            mspec = default_spec_id
+        with open(_resolve(m["manifest_path"], path), "rb") as fh:
+            _s2, entries = decode_avro_datums(fh.read())
+        for e in entries:
+            if e.get("snapshot_id") != snapshot_id:
+                continue                # EXISTING rows folded forward
+            if e.get("status") == 2:
+                removed = True
+                continue
+            if e.get("status") != 1:
+                continue
+            df_ = e["data_file"]
+            files.append((_resolve(df_["file_path"], path),
+                          dict(df_.get("partition") or {}),
+                          (df_.get("file_format") or "PARQUET")
+                          .upper(), mspec))
+    return sorted(files), removed
+
+
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                  filters: dict | None = None,
                  as_of_ms: int | None = None,
@@ -546,8 +672,41 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     orc_paths = [p for p, _pv, _s, fmt, _sp in files if fmt == "ORC"]
     avro_paths = [p for p, _pv, _s, fmt, _sp in files
                   if fmt == "AVRO"]
+    raw_fields = _schema_fields_json(path, snap.get("schema-id"))
+    nested_cols = {n for n, f in raw_fields.items()
+                   if not isinstance(f["type"], str)}
+    nested_mode = evolved and bool(nested_cols & set(field_names))
     layouts: dict[str, tuple] = {}
-    if evolved and (pq_paths or orc_paths or avro_paths):
+    if nested_mode and (orc_paths or avro_paths):
+        raise NotImplementedError(
+            "iceberg schema evolution over NESTED columns is "
+            "supported for parquet data files only (ORC/Avro footer "
+            "trees not implemented)")
+    if nested_mode and pq_paths:
+        # evolved table WITH nested columns (r13): the footer TREES
+        # carry nested field ids, so renamed struct fields inside a
+        # column resolve per file too — still ONE distributed footer
+        # job, never a driver-side open per data file
+        from .nested import match_tree_ice, parquet_field_trees
+        traw = parquet_field_trees(spark, pq_paths)
+        for p, trees in traw.items():
+            byfid = {t0[0]: t0 for t0 in trees if t0[0] is not None}
+            byname = {t0[1]: t0 for t0 in trees}
+            m = {}
+            for n2 in field_names:
+                fid = fld_ids.get(n2)
+                node = byfid.get(fid) if fid is not None else None
+                if node is None:
+                    node = byname.get(n2)
+                if node is None:
+                    continue          # column postdates this file
+                if n2 in nested_cols:
+                    pt = match_tree_ice(raw_fields[n2]["type"], node)
+                    m[n2] = (node[1], json.dumps(pt))
+                else:
+                    m[n2] = (node[1], "")
+            layouts[p] = tuple(sorted(m.items()))
+    elif evolved and (pq_paths or orc_paths or avro_paths):
         # evolved table: logical name -> each file's physical column,
         # matched by footer field id (name fallback for id-less
         # legacy files); absent = column added after this file.  ONE
@@ -726,7 +885,15 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                                        F.lit(None).cast(types[c]))
             parts.append(df)
             continue
-        if evolved:
+        if nested_mode:
+            lmap = {n: (pn, json.loads(ptj) if ptj else None)
+                    for n, (pn, ptj) in dict(pkey).items()}
+            ddl_g = ", ".join(
+                f"`{lmap[n][0]}` "
+                + (_ice_phys_ddl(lmap[n][1]) if lmap[n][1]
+                   else types[n])
+                for n in dn if n in lmap)
+        elif evolved:
             lmap = dict(pkey)
             ddl_g = ", ".join(f"`{lmap[n]}` {types[n]}"
                               for n in dn if n in lmap)
@@ -771,7 +938,23 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         df = (spark.read.schema(ddl_g).orc(list(paths))
               if fmt == "ORC"
               else spark.read.schema(ddl_g).parquet(*paths))
-        if evolved:
+        if nested_mode:
+            from .nested import remap_expr, remap_needed
+            for n in dn:
+                if n not in lmap:        # column postdates this file
+                    df = df.withColumn(n,
+                                       F.lit(None).cast(types[n]))
+                    continue
+                pn, pt = lmap[n]
+                if pn != n:
+                    df = df.withColumnRenamed(pn, n)
+                if pt is not None:
+                    src = _ice_to_spark_json(pt)
+                    dst = _ice_to_spark_json(raw_fields[n]["type"])
+                    if remap_needed(src, dst):
+                        df = df.withColumn(
+                            n, remap_expr(F.col(f"`{n}`"), src, dst))
+        elif evolved:
             for n in dn:
                 if n in lmap and lmap[n] != n:
                     df = df.withColumnRenamed(lmap[n], n)
@@ -890,6 +1073,81 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
 _SPARK_TO_ICE = {"bigint": "long", "int": "int", "string": "string",
                  "double": "double", "float": "float",
                  "boolean": "boolean", "binary": "binary"}
+
+# Spark schema-JSON leaf names -> Iceberg primitive names
+_SPARK_JSON_TO_ICE = {"long": "long", "integer": "int",
+                      "short": "int", "byte": "int",
+                      "string": "string", "double": "double",
+                      "float": "float", "boolean": "boolean",
+                      "binary": "binary", "date": "date",
+                      "timestamp": "timestamp"}
+
+
+def _spark_json_to_ice(t, counter):
+    """Spark schema-JSON type -> Iceberg schema JSON with fresh field
+    ids assigned at every nesting level (struct field ids,
+    ``element-id``, ``key-id``/``value-id``) — the spec's
+    requirement; the fixture writer stamps the same ids into the
+    parquet footers (r13)."""
+    if isinstance(t, str):
+        if t in _SPARK_JSON_TO_ICE:
+            return _SPARK_JSON_TO_ICE[t]
+        raise NotImplementedError(f"iceberg fixture leaf type {t!r}")
+    k = t["type"]
+    if k == "struct":
+        out = []
+        for f in t["fields"]:
+            fid = next(counter)
+            out.append({"id": fid, "name": f["name"],
+                        "required": False,
+                        "type": _spark_json_to_ice(f["type"],
+                                                   counter)})
+        return {"type": "struct", "fields": out}
+    if k == "array":
+        eid = next(counter)
+        return {"type": "list", "element-id": eid,
+                "element": _spark_json_to_ice(t["elementType"],
+                                              counter),
+                "element-required": False}
+    if k == "map":
+        kid = next(counter)
+        key = _spark_json_to_ice(t["keyType"], counter)
+        vid = next(counter)
+        return {"type": "map", "key-id": kid, "key": key,
+                "value-id": vid,
+                "value": _spark_json_to_ice(t["valueType"], counter),
+                "value-required": False}
+    raise NotImplementedError(f"iceberg fixture type {t!r}")
+
+
+def _ice_id_paths(fields_json, prefix=()):
+    """``{written_path_tuple: field_id}`` over an Iceberg schema —
+    the key shape :func:`.nested.stamp_arrow_field_ids` consumes
+    (list elements appear as ``'element'``, map keys/values as
+    ``'key'``/``'value'``)."""
+    out = {}
+
+    def _descend(t, pre):
+        if isinstance(t, str):
+            return
+        k = t["type"]
+        if k == "struct":
+            for f in t["fields"]:
+                out[pre + (f["name"],)] = f["id"]
+                _descend(f["type"], pre + (f["name"],))
+        elif k == "list":
+            out[pre + ("element",)] = t["element-id"]
+            _descend(t["element"], pre + ("element",))
+        elif k == "map":
+            out[pre + ("key",)] = t["key-id"]
+            _descend(t["key"], pre + ("key",))
+            out[pre + ("value",)] = t["value-id"]
+            _descend(t["value"], pre + ("value",))
+
+    for f in fields_json:
+        out[(f["name"],)] = f["id"]
+        _descend(f["type"], (f["name"],))
+    return out
 
 
 def _avro_part_type(spark_type: str) -> str:
@@ -1023,15 +1281,28 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
         meta, version = None, 0
     if meta is None:
         types = dict(df.dtypes)
+        jtypes = {f["name"]: f["type"]
+                  for f in df.schema.jsonValue()["fields"]}
+        import itertools as _it
+        _ctr = _it.count(len(df.columns) + 1)
+
+        def _ice_of(c):
+            # nested columns (r13): full Iceberg JSON with fresh
+            # field ids at every level; flat columns keep the
+            # primitive-name table
+            if isinstance(jtypes[c], str):
+                return _SPARK_TO_ICE.get(types[c], types[c])
+            return _spark_json_to_ice(jtypes[c], _ctr)
+
         schema_fields = [
             {"id": i + 1, "name": c, "required": False,
-             "type": _SPARK_TO_ICE.get(types[c], types[c])}
+             "type": _ice_of(c)}
             for i, c in enumerate(df.columns)]
         name_to_id = {f["name"]: f["id"] for f in schema_fields}
         meta = {
             "format-version": 2, "table-uuid": "0" * 32,
             "location": path, "last-sequence-number": 0,
-            "last-updated-ms": 0, "last-column-id": len(schema_fields),
+            "last-updated-ms": 0, "last-column-id": next(_ctr) - 1,
             "current-schema-id": 0,
             "schemas": [{"type": "struct", "schema-id": 0,
                          "fields": schema_fields}],
@@ -1095,6 +1366,15 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                             "file_size_in_bytes":
                                 os.path.getsize(p),
                             "equality_ids": None}})
+    fld_json = {f["name"]: f["type"] for f in schema["fields"]}
+    has_nested = (df is not None
+                  and any(not isinstance(fld_json.get(c, ""), str)
+                          for c in df.columns))
+    if has_nested and (non_identity
+                       or file_format.lower() != "parquet"):
+        raise NotImplementedError(
+            "iceberg fixture: nested columns are supported for "
+            "identity-partitioned PARQUET data files only")
     if df is not None and non_identity:
         # transform layout: evaluate the spec transforms per row on
         # the driver (the fixture writer is a test double), one data
@@ -1144,6 +1424,36 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             ext = file_format.lower()
             rel = f"data/snap{snap_id}-{ki}.{ext}"
             full = os.path.join(path, rel)
+            if has_nested:
+                # nested columns (r13): Arrow path — pandas cannot
+                # carry structs faithfully; nested field ids stamp
+                # from the schema's own id assignment so id-matching
+                # readers resolve renames at every depth
+                from .nested import stamp_arrow_field_ids
+                tb = sub.select(*data_cols).toArrow()
+                for i2, f2 in enumerate(tb.schema):
+                    if pa.types.is_timestamp(f2.type):
+                        tb = tb.set_column(
+                            i2, f2.name,
+                            tb.column(i2).cast(pa.timestamp(
+                                "us", f2.type.tz or "UTC")))
+                idp = _ice_id_paths([f for f in schema["fields"]
+                                     if f["name"] in data_cols])
+                tb = stamp_arrow_field_ids(tb,
+                                           lambda pth: idp.get(pth))
+                pq.write_table(tb, full)
+                entries.append({"status": 1, "snapshot_id": snap_id,
+                                "sequence_number": None,
+                                "data_file": {
+                                    "content": 0, "file_path": rel,
+                                    "file_format": "PARQUET",
+                                    "partition": dict(zip(part_fields,
+                                                          key)),
+                                    "record_count": tb.num_rows,
+                                    "file_size_in_bytes":
+                                        os.path.getsize(full),
+                                    "equality_ids": None}})
+                continue
             pdf = sub.select(*data_cols).toPandas()
             if ext == "avro":
                 from .avro import encode_avro_py
@@ -1286,7 +1596,11 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     operation = ("append" if df is not None and not any_delete
                  else "delete" if df is None
                  else "overwrite")
+    _parent = (append_to_snapshot if append_to_snapshot is not None
+               else meta.get("current-snapshot-id"))
     meta["snapshots"].append({"snapshot-id": snap_id,
+                              **({"parent-snapshot-id": _parent}
+                                 if _parent is not None else {}),
                               "sequence-number": snap_id,
                               # deterministic, strictly increasing —
                               # what as_of_ms time travel needs
@@ -1420,9 +1734,30 @@ def evolve_iceberg_schema_fixture(path: str, renames=None,
     new = copy.deepcopy(cur)
     new["schema-id"] = max(s.get("schema-id", 0)
                            for s in meta["schemas"]) + 1
-    for f in new["fields"]:
-        if renames and f["name"] in renames:
-            f["name"] = renames[f["name"]]
+
+    # renames accept dotted paths into nested structs (r13):
+    # {"st.a": "alpha"} renames field a INSIDE struct column st
+    # (list elements as "element", map values as "value"); keys are
+    # the OLD paths at every level
+    def _apply(fields, prefix):
+        for f in fields:
+            old = f["name"]
+            full = prefix + old
+            if renames and full in renames:
+                f["name"] = renames[full]
+            _desc(f["type"], full + ".")
+
+    def _desc(t, pre):
+        if not isinstance(t, dict):
+            return
+        if t["type"] == "struct":
+            _apply(t["fields"], pre)
+        elif t["type"] == "list":
+            _desc(t["element"], pre + "element.")
+        elif t["type"] == "map":
+            _desc(t["value"], pre + "value.")
+
+    _apply(new["fields"], "")
     last = meta.get("last-column-id",
                     max(f["id"] for f in new["fields"]))
     for nm, t in add_columns:

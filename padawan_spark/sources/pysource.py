@@ -1240,6 +1240,14 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "padawan_iceberg_appends: startingRef is exclusive "
                 "with startingSnapshotId")
+        # r13 (VERDICT r12 task 5): FOLLOW a branch across
+        # retargets — latestOffset tracks the named branch's HEAD
+        # instead of the snapshot-log tail, so fast-forwards stream
+        # their new snapshots; a retarget that rewrites history (the
+        # previous head is no longer an ancestor of the new one)
+        # gates loudly instead of silently re-reading or skipping
+        self.follow_ref = options.get("followRef")
+        self._follow_head = None         # last head streamed up to
         self._max_snaps = int(options.get("maxSnapshotsPerTrigger",
                                           0))
         # Iceberg's streaming-skip-* options: opt-in to silently
@@ -1302,8 +1310,56 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         self._last_end = max(self._last_end or 0, idx)
         return {"i": idx}
 
+    def _branch_head_index(self, snaps):
+        """Resolve the followed branch's head to a snapshot-log
+        index bound, enforcing ancestry continuity: once the stream
+        has consumed up to head H, a later head must have H in its
+        parent-snapshot-id chain — a retarget onto rewritten history
+        raises instead of re-reading or skipping silently."""
+        import json as _json
+
+        from ..functions.iceberg import _latest_metadata
+        with open(_latest_metadata(self.path)) as fh:
+            meta = _json.load(fh)
+        refs = meta.get("refs") or {}
+        if self.follow_ref not in refs:
+            raise ValueError(
+                f"padawan_iceberg_appends: followRef "
+                f"{self.follow_ref!r} not in the table's refs; "
+                f"have {sorted(refs)}")
+        head = refs[self.follow_ref]["snapshot-id"]
+        if head not in snaps:
+            raise ValueError(
+                f"padawan_iceberg_appends: followRef head {head} "
+                "not in the table's snapshot log")
+        if self._follow_head is not None \
+                and self._follow_head != head:
+            parent_of = {s["snapshot-id"]: s.get("parent-snapshot-id")
+                         for s in meta.get("snapshots", [])}
+            anc, seen = head, set()
+            while anc is not None and anc not in seen:
+                if anc == self._follow_head:
+                    break
+                seen.add(anc)
+                anc = parent_of.get(anc)
+            else:
+                anc = None
+            if anc != self._follow_head:
+                raise NotImplementedError(
+                    f"padawan_iceberg_appends: branch "
+                    f"{self.follow_ref!r} was retargeted to "
+                    f"{head}, whose ancestry does not contain the "
+                    f"previously-streamed head {self._follow_head} "
+                    "— history was rewritten; restart the stream "
+                    "from an explicit snapshot instead")
+        self._follow_head = head
+        return snaps.index(head) + 1
+
     def latestOffset(self):
-        n = len(self._snapshot_ids())
+        snaps = self._snapshot_ids()
+        n = len(snaps)
+        if self.follow_ref:
+            n = min(n, self._branch_head_index(snaps))
         # Spark may poll latestOffset BEFORE initialOffset — falling
         # back to 0 here would throttle the first batch into a span
         # that re-reads pre-start snapshots
@@ -1319,37 +1375,31 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         from ..functions.iceberg import (_latest_metadata,
                                          _parse_part_spec,
                                          _raw_specs,
-                                         _schema_inventory,
-                                         live_data_files)
+                                         _schema_inventory)
         lo_i, hi_i = start["i"], end["i"]
         self._last_end = max(self._last_end or 0, hi_i, lo_i)
         if hi_i <= lo_i:
             return [InputPartition(None)]
         snaps = self._snapshot_ids()
-        # walk the span SNAPSHOT BY SNAPSHOT (r12): each snapshot's
-        # added files are its live set minus its parent's, with
-        # partition values/specs taken from that snapshot's own view
-        # (the way the spec's incremental scan attributes files).
-        # Non-append snapshots raise per the spec — unless the
-        # caller opted into Iceberg's streaming skip options
-        # (streaming-skip-delete-snapshots /
+        # walk the span SNAPSHOT BY SNAPSHOT: each snapshot's added
+        # files come from ONLY the manifests that snapshot itself
+        # added (functions.iceberg.added_data_files — r13, ADVICE
+        # r12: the previous live-set diff decoded the FULL manifest
+        # list once per snapshot, making first-trigger planning
+        # O(backlog_snapshots x manifests); this is O(added files)
+        # over the whole span).  Non-append snapshots raise per the
+        # spec — unless the caller opted into Iceberg's streaming
+        # skip options (streaming-skip-delete-snapshots /
         # streaming-skip-overwrite-snapshots): those snapshots then
         # contribute NOTHING and the walk continues past them.
+        from ..functions.iceberg import added_data_files
         with open(_latest_metadata(self.path)) as fh:
             meta = _json.load(fh)
         op_of = {s["snapshot-id"]:
                  (s.get("summary") or {}).get("operation", "append")
                  for s in meta.get("snapshots", [])}
-        prev_set: set = set()
-        if lo_i > 0:
-            prev_set = {p for p, _pv, _s, _f, _sp in
-                        live_data_files(self.path,
-                                        snaps[lo_i - 1])[2]}
         added_files: list[tuple] = []   # (path, pv_items, fmt, spec)
         for sid_ in snaps[lo_i:hi_i]:
-            cur = live_data_files(self.path, sid_)[2]
-            cur_map = {p: (tuple(sorted(pv.items())), f, sp)
-                       for p, pv, _s, f, sp in cur}
             op = op_of.get(sid_, "append")
             if op != "append":
                 skip = ((op == "delete" and self._skip_deletes)
@@ -1363,18 +1413,16 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                         "spec; set skipDeleteSnapshots / "
                         "skipOverwriteSnapshots to skip them "
                         "(Iceberg's streaming-skip-* options)")
-                prev_set = set(cur_map)
                 continue                 # skipped: contributes nothing
-            gone = prev_set - set(cur_map)
-            if gone:
+            new_files, removed = added_data_files(self.path, sid_)
+            if removed:
                 raise NotImplementedError(
                     f"padawan_iceberg_appends: append snapshot "
-                    f"{sid_} removed files ({sorted(gone)[:3]}...) — "
-                    "malformed snapshot summary")
-            for p in sorted(p for p in cur_map if p not in prev_set):
-                pv_items, f, sp = cur_map[p]
-                added_files.append((p, pv_items, f, sp))
-            prev_set = set(cur_map)
+                    f"{sid_} also removed files — malformed "
+                    "snapshot summary")
+            for p, pv, f, sp in new_files:
+                added_files.append((p, tuple(sorted(pv.items())),
+                                    f, sp))
         # r12: every spec data format streams — parquet and ORC read
         # as Arrow tables in the task, Avro through the in-repo
         # decoder (row path: that decoder is row-wise by nature);
