@@ -684,7 +684,9 @@ _METADATA_RECORD_SCHEMA = {
     ]}
 
 
-def compact_hudi_metadata_fixture(path: str) -> str:
+def compact_hudi_metadata_fixture(path: str,
+                                  compression: str = "none",
+                                  encoding: str = "none") -> str:
     """FIXTURE: compact the ``.hoodie/metadata`` FILES partition into
     an HFILE base file — the shape every real metadata table takes
     after its first inline compaction (HFile is Hudi's metadata base
@@ -694,7 +696,10 @@ def compact_hudi_metadata_fixture(path: str) -> str:
     map-merge decode, with the record Avro schema in the HFile
     file-info under ``schema`` exactly where ``HoodieHFileWriter``
     puts it.  The compaction registers as a ``commit`` on the inner
-    timeline, superseding the group's logs.  Returns the instant."""
+    timeline, superseding the group's logs.  ``compression`` /
+    ``encoding`` pass through to the HFile writer (r13:
+    ``"snappy"`` and ``"fast_diff"`` exercise the codec paths an
+    HBase-tuned deployment enables).  Returns the instant."""
     from .avro import write_datum
     from .hfile import write_hfile
     mroot = os.path.join(path, ".hoodie", "metadata")
@@ -731,7 +736,8 @@ def compact_hudi_metadata_fixture(path: str) -> str:
     os.makedirs(os.path.dirname(full), exist_ok=True)
     write_hfile(full, cells,
                 {b"schema": json.dumps(
-                    _METADATA_RECORD_SCHEMA).encode("utf-8")})
+                    _METADATA_RECORD_SCHEMA).encode("utf-8")},
+                compression=compression, encoding=encoding)
     with open(os.path.join(mroot, ".hoodie",
                            f"{instant}.commit"), "w") as fh:
         json.dump({"partitionToWriteStats": {part: [{

@@ -2085,7 +2085,11 @@ def src_hudi_metadata_hfile(spark, sf_dir):
         .withColumn("v", F.lit(-1).cast("bigint")),
         partition_field="g")
     write_hudi_metadata_fixture(spark, t)
-    compact_hudi_metadata_fixture(t)
+    # r13: FAST_DIFF-encoded + Snappy-compressed blocks — the
+    # DATA_BLOCK_ENCODING/codec HBase-tuned deployments enable; the
+    # listing must decode them (no timeline-replay fallback taken)
+    compact_hudi_metadata_fixture(t, compression="snappy",
+                                  encoding="fast_diff")
     dels: dict[str, list[str]] = {}
     for r in n.where(F.col("k") == 9).collect():
         dels.setdefault(str(r["g"]), []).append(str(r["k"]))

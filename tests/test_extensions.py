@@ -2629,6 +2629,99 @@ def test_hfile_codec_roundtrip(tmp_path):
     assert _os.path.getsize(pg) < _os.path.getsize(p) / 2
 
 
+def test_hfile_fast_diff_and_snappy(tmp_path):
+    """r13 (VERDICT r12 task 3): FAST_DIFF-encoded data blocks decode
+    (flags, compressed-int lengths, family elision, timestamp-prefix
+    sharing, same-value reuse) and SNAPPY block compression reads
+    through the dependency-free raw-Snappy decoder under Hadoop's
+    block framing — every (codec, encoding) combination round-trips
+    the same cells."""
+    from padawan_spark.functions.hfile import (build_hfile_bytes,
+                                               read_hfile,
+                                               read_hfile_bytes,
+                                               read_trailer,
+                                               write_hfile)
+    cells = [(f"p{i % 5:02d}/f-{i:04d}".encode(),
+              (f"v{i}" * (i % 4 + 1)).encode()) for i in range(400)]
+    cells += [(b"zzz" + bytes([i]), b"same-value") for i in range(20)]
+    for comp in ("none", "gz", "snappy"):
+        for enc in ("none", "fast_diff"):
+            buf = build_hfile_bytes(cells, {b"schema": b"{}"},
+                                    block_size=2048,
+                                    compression=comp, encoding=enc)
+            info, got = read_hfile_bytes(buf)
+            assert got == sorted(cells), (comp, enc)
+            if enc == "fast_diff":
+                assert info[b"DATA_BLOCK_ENCODING"] == b"FAST_DIFF"
+    p = str(tmp_path / "fd.hfile")
+    write_hfile(p, cells, {b"schema": b"{}"}, block_size=2048,
+                compression="snappy", encoding="fast_diff")
+    tr = read_trailer(p)
+    assert tr["compression_codec"] == 3          # SNAPPY ordinal
+    _info, got = read_hfile(p)
+    assert got == sorted(cells)
+
+
+def test_hfile_fast_diff_roundtrip_property():
+    """Property: random cell populations (varying row lengths, equal
+    and unequal values, shared prefixes) round-trip through the
+    FastDiff encoder/decoder byte-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from padawan_spark.functions.hfile import (build_hfile_bytes,
+                                               read_hfile_bytes)
+
+    rows = st.binary(min_size=1, max_size=24)
+    vals = st.binary(min_size=0, max_size=40)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.dictionaries(rows, vals, min_size=1, max_size=60))
+    def check(d):
+        cells = sorted(d.items())
+        buf = build_hfile_bytes(cells, {b"s": b"1"}, block_size=512,
+                                encoding="fast_diff")
+        _i, got = read_hfile_bytes(buf)
+        assert got == cells
+
+    check()
+
+
+def test_hudi_metadata_hfile_fast_diff_listing(spark, tmp_path):
+    """r13: a metadata table compacted with FAST_DIFF + Snappy (the
+    HBase-tuned deployment shape) still serves the LISTING directly —
+    hudi_metadata_files decodes the encoded base, no timeline-replay
+    fallback."""
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (
+        compact_hudi_metadata_fixture, hudi_metadata_files,
+        write_hudi_delta_fixture, write_hudi_fixture,
+        write_hudi_metadata_fixture)
+    t = str(tmp_path / "hmfd")
+    df = spark.range(8).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 2).alias("g"),
+                               (SF.col("id") * 10).alias("v"))
+    write_hudi_fixture(spark, df, t, partition_field="g")
+    write_hudi_delta_fixture(
+        spark, t, upserts=df.where(SF.col("k") % 3 == 0)
+        .withColumn("v", SF.lit(-1)), partition_field="g")
+    write_hudi_metadata_fixture(spark, t)
+    compact_hudi_metadata_fixture(t, compression="snappy",
+                                  encoding="fast_diff")
+    listing = hudi_metadata_files(t)
+    assert listing is not None
+    # the listing must agree with the filesystem per partition
+    for part, names in listing.items():
+        d = _os.path.join(t, part) if part else t
+        real = {f for f in _os.listdir(d)
+                if f.endswith((".parquet", ".log"))
+                or ".log." in f}
+        assert set(names) <= real, (part, names, real)
+        assert names, part
+
+
 def test_hfile_unsigned_tags_length():
     """ADVICE r12: per-cell tags length is UNSIGNED in HBase's
     serialization — a cell with >=32 KiB of tags must not flip
