@@ -110,6 +110,147 @@ def _python_probe() -> float:
     return round(best, 4)
 
 
+_CHILD_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from padawan_spark import get_spark
+from padawan_spark.queries import QUERIES
+spark = get_spark(app_name="padawan-bench-prev", extra_conf={
+    "spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+names = json.loads(sys.argv[1])
+sf_dir = sys.argv[2]
+for n in names:                       # same warm protocol as the parent
+    fn = QUERIES.get(n)
+    if fn is not None:
+        try:
+            fn(spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
+print("READY", flush=True)
+for line in sys.stdin:
+    name = line.strip()
+    if not name or name == "EXIT":
+        break
+    fn = QUERIES.get(name)
+    if fn is None:
+        print(json.dumps({"name": name, "sec": None}), flush=True)
+        continue
+    t0 = time.perf_counter()
+    try:
+        fn(spark, sf_dir).collect()
+        sec = round(time.perf_counter() - t0, 3)
+    except Exception:
+        sec = None
+    print(json.dumps({"name": name, "sec": sec}), flush=True)
+"""
+
+
+class _PrevTree:
+    """The PREVIOUS ROUND's tree in a git worktree, driven over a pipe
+    so its passes INTERLEAVE with this tree's in one measurement
+    window (r13, VERDICT r12 task 4: the scalar CPU probe twice
+    produced a calibrated swing opposite to same-window ground truth
+    — the interleaved A/B is the authoritative round-over-round
+    comparison, so it now lives in the bench record itself)."""
+
+    def __init__(self, headline, sf_dir):
+        import re
+        import subprocess
+        import tempfile
+        self.proc = None
+        self.round = None
+        self.wt = None
+        self._here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            log = subprocess.run(
+                ["git", "log", "--format=%H %s"], capture_output=True,
+                text=True, cwd=self._here, timeout=60).stdout
+            best = None
+            for line in log.splitlines():
+                h, _, msg = line.partition(" ")
+                m = re.match(r"^round (\d+):", msg)
+                if m and (best is None or int(m.group(1)) > best[0]):
+                    best = (int(m.group(1)), h)
+            if best is None:
+                return
+            self.round, commit = best
+            self.wt = tempfile.mkdtemp(prefix="padawan_prev_tree_")
+            os.rmdir(self.wt)
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", self.wt,
+                 commit], cwd=self._here, check=True,
+                capture_output=True, timeout=120)
+            env = dict(os.environ)
+            env.pop("PYSPARK_GATEWAY_PORT", None)
+            env.pop("PYSPARK_GATEWAY_SECRET", None)
+            self.proc = subprocess.Popen(
+                [sys.executable, "-c", _CHILD_RUNNER,
+                 json.dumps(headline), sf_dir],
+                cwd=self.wt, env=env, text=True,
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL)
+            import threading
+            ready = []
+
+            def _wait_ready():
+                for line in self.proc.stdout:
+                    if line.strip() == "READY":
+                        ready.append(True)
+                        return
+
+            th = threading.Thread(target=_wait_ready, daemon=True)
+            th.start()
+            th.join(timeout=600)
+            if not ready:
+                self.close()
+        except Exception:
+            self.close()
+
+    def time_one(self, name: str) -> float | None:
+        if self.proc is None:
+            return None
+        try:
+            import threading
+            self.proc.stdin.write(name + "\n")
+            self.proc.stdin.flush()
+            out = []
+
+            def _read():
+                out.append(self.proc.stdout.readline())
+
+            th = threading.Thread(target=_read, daemon=True)
+            th.start()
+            th.join(timeout=600)
+            if not out or not out[0]:
+                self.close()
+                return None
+            rec = json.loads(out[0])
+            return rec.get("sec")
+        except Exception:
+            self.close()
+            return None
+
+    def close(self):
+        import subprocess
+        if self.proc is not None:
+            try:
+                self.proc.stdin.write("EXIT\n")
+                self.proc.stdin.flush()
+            except Exception:
+                pass
+            try:
+                self.proc.terminate()
+            except Exception:
+                pass
+            self.proc = None
+        if self.wt is not None:
+            subprocess.run(["git", "worktree", "remove", "--force",
+                            self.wt], cwd=self._here,
+                           capture_output=True, timeout=60)
+            self.wt = None
+
+
 def _latest_prev_bench() -> tuple[int | None, dict]:
     """Newest BENCH_r{N}.json in the repo root WITH a usable parse, for
     per-query deltas (a round whose capture was truncated records
@@ -162,8 +303,18 @@ def main() -> None:
     # min-of-3 per query: this box shows 2-3x run-to-run variance from
     # neighbor load (r7's raw total moved +9.5% on entirely untouched
     # code), and the min of three same-process warm passes reports the
-    # engine's cost rather than the machine's worst moment
+    # engine's cost rather than the machine's worst moment.
+    # r13 (VERDICT r12 task 4): the PREVIOUS ROUND's tree runs the
+    # same queries INTERLEAVED in this window (head pass, prev pass,
+    # head pass, ...) through a worktree subprocess — the
+    # authoritative round-over-round comparison, recorded on stdout
+    # as ab_prev_tree.  SPARK_GRAFT_AB=0 skips it for quick local
+    # iteration.
+    ab_on = os.environ.get("SPARK_GRAFT_AB", "1") != "0"
+    prev_tree = _PrevTree(HEADLINE, SF_DIR) if ab_on else None
+    prev_tree_round = prev_tree.round if prev_tree else None
     timings: dict[str, float] = {}
+    timings_prev: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
@@ -172,13 +323,22 @@ def main() -> None:
         # the post-write fast path, not the investment) — single-pass it
         passes = 1 if name == "scale_bucketed_join" else 3
         best = None
+        pbest = None
         for _ in range(passes):
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
             el = round(time.perf_counter() - t0, 3)
             best = el if best is None else min(best, el)
             _ = len(rows)
+            if prev_tree is not None:
+                ps = prev_tree.time_one(name)
+                if ps is not None:
+                    pbest = ps if pbest is None else min(pbest, ps)
         timings[name] = best
+        if pbest is not None:
+            timings_prev[name] = pbest
+    if prev_tree is not None:
+        prev_tree.close()
 
     cal["spark_after"] = _spark_probe(spark)
     cal["python_after"] = _python_probe()
@@ -271,6 +431,16 @@ def main() -> None:
             for n, t in timings.items()}
             if cal["spark_probe_best"] else {}),
     }
+    if timings_prev:
+        # the SAME-WINDOW interleaved A/B vs the previous round's tree
+        # (min per query over the interleaved passes) — compare
+        # queries to ab_prev_tree.queries; this is ground truth for
+        # round-over-round adjudication, ahead of value_calibrated
+        out["ab_prev_tree"] = {
+            "round": prev_tree_round,
+            "value": round(sum(timings_prev.values()), 3),
+            "queries": timings_prev,
+        }
 
     # Everything beyond the headline metric goes to STDERR, one fact per
     # compact JSON line.  The driver's capture is a bounded TAIL — it

@@ -751,9 +751,9 @@ def adv_constraint_audit(spark, sf_dir):
 @query("src_avro_roundtrip", oracle="""
 SELECT COUNT(*) AS n,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-       COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_null_status,
+       COUNT(*) FILTER (WHERE o_orderkey % 7 = 0 AND o_orderkey < 150000) AS n_null_status,
        ROUND(CAST(SUM(CAST(o_totalprice AS DOUBLE)) AS DOUBLE), 2) AS price_sum
-FROM orders WHERE o_orderkey % 10 = 0
+FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey < 150000
 """)
 def src_avro_roundtrip(spark, sf_dir):
     """Avro Object Container source (r8): Spark ships Avro only as an
@@ -775,7 +775,8 @@ def src_avro_roundtrip(spark, sf_dir):
     from ..sources import register_python_sources
     register_python_sources(spark)
     rows = (load(spark, sf_dir, "orders")
-            .where(F.col("o_orderkey") % 10 == 0)
+            .where((F.col("o_orderkey") % 10 == 0)
+           & (F.col("o_orderkey") < 150000))
             .select("o_orderkey", "o_orderstatus",
                     F.col("o_totalprice").cast("double"))
             .collect())
@@ -935,7 +936,7 @@ SELECT COUNT(*) AS n,
          AS arr_sum,
        CAST(SUM(o_custkey) AS BIGINT) AS map_sum,
        COUNT(DISTINCT o_orderkey % 3) AS n_groups
-FROM orders WHERE o_orderkey % 10 = 0
+FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey < 150000
 """)
 def src_delta_nested_read(spark, sf_dir):
     """Delta NESTED columns through column mapping (r13, VERDICT
@@ -957,7 +958,8 @@ def src_delta_nested_read(spark, sf_dir):
 
     from ..functions.delta import read_delta, write_delta_fixture
     o = load(spark, sf_dir, "orders").where(
-        F.col("o_orderkey") % 10 == 0).select(
+        (F.col("o_orderkey") % 10 == 0)
+        & (F.col("o_orderkey") < 150000)).select(
         F.col("o_orderkey").cast("bigint").alias("k"),
         F.struct(
             F.col("o_orderstatus").alias("status"),
@@ -1278,7 +1280,7 @@ SELECT COUNT(*) AS n,
        ROUND(CAST(SUM(CAST(o_totalprice AS DOUBLE)) AS DOUBLE), 2)
          AS price_sum
 FROM orders
-WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 <> 0
+WHERE o_orderkey % 10 = 0 AND o_orderkey < 150000 AND o_orderkey % 3 <> 0
 """)
 def src_delta_dv_read(spark, sf_dir):
     """Delta Lake DELETION VECTORS + parquet CHECKPOINT replay (r9) —
@@ -1304,7 +1306,8 @@ def src_delta_dv_read(spark, sf_dir):
                                    write_delta_checkpoint_fixture,
                                    write_delta_fixture)
     src = (load(spark, sf_dir, "orders")
-           .where(F.col("o_orderkey") % 10 == 0)
+           .where((F.col("o_orderkey") % 10 == 0)
+           & (F.col("o_orderkey") < 150000))
            .select(F.col("o_orderkey").cast("bigint").alias("k"),
                    (F.col("o_orderkey") % 4).cast("bigint").alias("g"),
                    F.col("o_totalprice").cast("double").alias("price")))
@@ -1393,7 +1396,7 @@ SELECT COUNT(*) AS n,
        CAST(SUM(o_orderkey % 7 + o_orderkey % 11) AS BIGINT)
          AS arr_sum,
        CAST(SUM(o_custkey) AS BIGINT) AS map_sum
-FROM orders WHERE o_orderkey % 10 = 1
+FROM orders WHERE o_orderkey % 10 = 1 AND o_orderkey < 150000
 """)
 def src_iceberg_nested_read(spark, sf_dir):
     """Iceberg NESTED columns through SCHEMA EVOLUTION (r13, VERDICT
@@ -1439,13 +1442,15 @@ def src_iceberg_nested_read(spark, sf_dir):
         F.col("o_orderkey") % 10 == 1)
     t = os.path.join(tempfile.mkdtemp(prefix="padawan_inest_"), "tbl")
     write_iceberg_fixture(
-        spark, nested(o.where(F.col("o_orderkey") % 20 == 1),
+        spark, nested(o.where((F.col("o_orderkey") % 20 == 1)
+           & (F.col("o_orderkey") < 150000)),
                       "cust", "sp", "m0"), t)
     evolve_iceberg_schema_fixture(
         t, renames={"st.cust": "buyer", "st.inner.sp": "depth",
                     "ar.element.m0": "m"})
     write_iceberg_fixture(
-        spark, nested(o.where(F.col("o_orderkey") % 20 == 11),
+        spark, nested(o.where((F.col("o_orderkey") % 20 == 11)
+           & (F.col("o_orderkey") < 150000)),
                       "buyer", "depth", "m"), t)
     out = read_iceberg(spark, t)
     return out.agg(
@@ -1464,7 +1469,7 @@ SELECT COUNT(*) AS n,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
        COUNT(DISTINCT o_orderkey % 4) AS n_groups
 FROM orders
-WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 <> 0
+WHERE o_orderkey % 10 = 0 AND o_orderkey < 150000 AND o_orderkey % 3 <> 0
 """)
 def src_iceberg_v2_deletes(spark, sf_dir):
     """Iceberg format-v2 POSITION DELETES (r9) — the most-hit real
@@ -1486,7 +1491,8 @@ def src_iceberg_v2_deletes(spark, sf_dir):
 
     from ..functions.iceberg import read_iceberg, write_iceberg_fixture
     src = (load(spark, sf_dir, "orders")
-           .where(F.col("o_orderkey") % 10 == 0)
+           .where((F.col("o_orderkey") % 10 == 0)
+           & (F.col("o_orderkey") < 150000))
            .select(F.col("o_orderkey").cast("bigint").alias("k"),
                    (F.col("o_orderkey") % 4).cast("bigint").alias("g")))
     t = os.path.join(tempfile.mkdtemp(prefix="padawan_icev2_"), "tbl")
@@ -1617,7 +1623,7 @@ def src_iceberg_eq_deletes(spark, sf_dir):
 
 
 @query("src_iceberg_transforms", oracle="""
-WITH s AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0)
+WITH s AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey < 150000)
 SELECT 'full' AS scope, COUNT(*) AS n,
        CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
 FROM s
@@ -1651,7 +1657,8 @@ def src_iceberg_transforms(spark, sf_dir):
                                      read_iceberg,
                                      write_iceberg_fixture)
     src = (load(spark, sf_dir, "orders")
-           .where(F.col("o_orderkey") % 5 == 0)
+           .where((F.col("o_orderkey") % 5 == 0)
+           & (F.col("o_orderkey") < 150000))
            .select(F.col("o_orderkey").cast("bigint").alias("k"),
                    F.col("o_custkey").cast("bigint").alias("cust"),
                    F.col("o_orderdate").alias("ts")))

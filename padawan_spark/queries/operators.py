@@ -929,10 +929,10 @@ def op_footer_stats(spark, sf_dir):
 SELECT COUNT(*) AS n_window,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
        CAST((SELECT COUNT(*) FROM orders
-             WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0)
+             WHERE o_orderkey % 7 = 0 AND o_orderkey < 150000 AND o_orderkey % 3 <> 0)
             AS BIGINT) AS n_total
 FROM orders
-WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+WHERE o_orderkey % 7 = 0 AND o_orderkey < 150000 AND o_orderkey % 3 <> 0
   AND o_orderkey BETWEEN 700 AND 7000
 """)
 def op_import_iceberg(spark, sf_dir):
@@ -952,7 +952,8 @@ def op_import_iceberg(spark, sf_dir):
 
     from ..functions.iceberg import read_iceberg, write_iceberg_fixture
     src = (load(spark, sf_dir, "orders")
-           .where(F.col("o_orderkey") % 7 == 0)
+           .where((F.col("o_orderkey") % 7 == 0)
+           & (F.col("o_orderkey") < 150000))
            .select(F.col("o_orderkey").cast("bigint").alias("k"),
                    (F.col("o_orderkey") % 4).cast("bigint").alias("g")))
     base = tempfile.mkdtemp(prefix="padawan_impice_")
