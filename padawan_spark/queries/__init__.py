@@ -40,41 +40,40 @@ for _m in _SUITES:
 # All queries stay registered; this is a stable re-ordering, not a filter.
 # ---------------------------------------------------------------------------
 
-# code that changed THIS round (r12) — keep driver-visible even though
-# already green: src_hudi_log_block_formats (NEW — HFILE/PARQUET log
-# data blocks merge with Avro ones) + src_hudi_metadata_hfile (NEW —
-# HFile-compacted metadata table, real-payload map-merge fold) +
-# src_delta_cdf_checkpoint (NEW — CDF over a retention-cleaned log,
-# checkpoint-initialized state, batch AND stream) +
-# streaming_iceberg_skip_deletes (NEW — streaming-skip-* options,
-# snapshot-by-snapshot span walk); src_hudi_metadata_listing
-# (fail-closed record classify) + src_hudi_log_only_table (all-blocks
-# schema scan incl. parquet footers) + src_hudi_mor_read
-# (broadcast-regime divisor); streaming_delta_cdf + src_delta_cdf_read
-# (Arrow record-batch reads, DV sets as Arrow masks, v2 JSON
-# checkpoints); streaming_hudi_incremental (Arrow touched-key split:
-# untouched base rows pass through as batches);
-# streaming_iceberg_appends (per-file field-id column resolution —
-# evolved tables stream; ORC/Avro data files stream);
-# streaming_manifest_tail + streaming_cdf_tail + streaming_mv_refresh
-# (whole-file commits batch through _aligned_batches; the rewrite
-# diff is an Arrow hash aggregation); streaming_custom_source +
-# adv_custom_source (pyseq emits numpy-built record batches);
-# src_avro_roundtrip + src_iceberg_avro_data (Avro source emits
-# record batches); src_iceberg_orc_data (stripe walk extracted to
-# orc_stripe_position_frames, hypothesis-tested).
-_SENTINELS = ["src_delta_time_travel", "src_iceberg_ref_read", "src_hudi_log_block_formats",
-              "src_hudi_metadata_hfile", "src_delta_cdf_checkpoint",
+# code that changed THIS round (r13) — keep driver-visible even though
+# already green: src_delta_nested_read + src_iceberg_nested_read (NEW
+# — struct/array/map columns through column mapping / schema
+# evolution, functions/nested.py remap + footer trees);
+# src_delta_read + src_delta_id_mapping + src_delta_dv_read (reader
+# rebuilt around physical-type trees; id mode resolves through
+# parquet_field_trees; dv_read also key-capped);
+# src_delta_cdf_read + streaming_delta_cdf + src_delta_cdf_checkpoint
+# (CDF physical-DDL + nested remap path);
+# src_delta_time_travel (monotonic commit-timestamp adjustment);
+# src_iceberg_read + src_iceberg_schema_evolution (evolved-table
+# layout resolution branches on nested_mode);
+# src_iceberg_transforms + src_iceberg_v2_deletes + src_avro_roundtrip
+# + op_import_iceberg (fixture-synthesis key caps — oracle AND query
+# predicates changed);
+# streaming_iceberg_appends + streaming_iceberg_skip_deletes +
+# src_iceberg_ref_read (incremental added_data_files planning,
+# followRef branch tracking, parent-snapshot-id in fixtures);
+# src_hudi_metadata_hfile (FAST_DIFF + Snappy HFile base) +
+# src_hudi_log_block_formats (HFile codec shared with log blocks) +
+# src_hudi_log_only_table ((name, type) schema gate).
+_SENTINELS = ["src_delta_nested_read", "src_iceberg_nested_read",
+              "src_delta_read", "src_delta_id_mapping",
+              "src_delta_dv_read", "src_delta_cdf_read",
+              "streaming_delta_cdf", "src_delta_cdf_checkpoint",
+              "src_delta_time_travel", "src_iceberg_read",
+              "src_iceberg_schema_evolution",
+              "src_iceberg_transforms", "src_iceberg_v2_deletes",
+              "src_avro_roundtrip", "op_import_iceberg",
+              "streaming_iceberg_appends",
               "streaming_iceberg_skip_deletes",
-              "src_hudi_metadata_listing",
-              "src_hudi_log_only_table", "src_hudi_mor_read",
-              "streaming_delta_cdf", "src_delta_cdf_read",
-              "streaming_hudi_incremental",
-              "streaming_iceberg_appends", "streaming_manifest_tail",
-              "streaming_cdf_tail", "streaming_mv_refresh",
-              "streaming_custom_source", "adv_custom_source",
-              "src_iceberg_orc_data", "src_avro_roundtrip",
-              "src_iceberg_avro_data"]
+              "src_iceberg_ref_read", "src_hudi_metadata_hfile",
+              "src_hudi_log_block_formats",
+              "src_hudi_log_only_table"]
 
 _WINDOW = 50
 

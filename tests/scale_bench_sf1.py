@@ -78,6 +78,14 @@ def make_sfbig(spark, src: str = SF01, out: str = BIG) -> None:
 INTEROP = ("interop_hudi_mor_read", "interop_delta_dv_read",
            "interop_iceberg_v2del_read")
 
+# r13 (VERDICT r12 task 7): one STREAMING drain per format over the
+# same scaled fixtures — the r12 Arrow-batch read() refactor gets
+# round-over-round tracking at 10x data.  Each timed pass starts a
+# fresh query (fresh offsets), drains everything, stops.
+STREAM_INTEROP = ("interop_delta_cdf_stream",
+                  "interop_hudi_incr_stream",
+                  "interop_iceberg_appends_stream")
+
 
 def _build_interop(spark, sf_dir: str, root: str) -> None:
     from pyspark.sql import functions as F
@@ -142,6 +150,23 @@ def interop_queries(spark, sf_dir: str) -> dict:
         return df.agg(F.count(F.lit(1)).alias("n"),
                       F.sum("p").alias("s")).collect()
 
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    import uuid as _uuid
+
+    def drain(fmt: str, path: str, **opts):
+        name = "sfb_" + _uuid.uuid4().hex[:10]
+        src = spark.readStream.format(fmt).option("path", path)
+        for k, v in opts.items():
+            src = src.option(k, v)
+        q = (src.load().writeStream.format("memory")
+             .queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).count()
+
     return {
         "interop_hudi_mor_read": lambda: agg(
             read_hudi(spark, os.path.join(root, "hudi"))),
@@ -149,6 +174,16 @@ def interop_queries(spark, sf_dir: str) -> dict:
             read_delta(spark, os.path.join(root, "delta"))),
         "interop_iceberg_v2del_read": lambda: agg(
             read_iceberg(spark, os.path.join(root, "iceberg"))),
+        # streaming drains (r13): full-history drain per trigger run —
+        # CDF replays create + DV-delete commits, Hudi walks both
+        # instants' slices, Iceberg appends skip the delete snapshot
+        "interop_delta_cdf_stream": lambda: drain(
+            "padawan_delta_cdf", os.path.join(root, "delta")),
+        "interop_hudi_incr_stream": lambda: drain(
+            "padawan_hudi_incremental", os.path.join(root, "hudi")),
+        "interop_iceberg_appends_stream": lambda: drain(
+            "padawan_iceberg_appends", os.path.join(root, "iceberg"),
+            skipDeleteSnapshots="true"),
     }
 
 
@@ -218,7 +253,7 @@ def main() -> None:
             best = el if best is None else min(best, el)
         return round(best, 3)
 
-    for name in INTEROP:
+    for name in INTEROP + STREAM_INTEROP:
         t_small = timed_call(iq_small[name])
         t_big = timed_call(iq_big[name])
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
