@@ -324,6 +324,62 @@ def match_tree_ice(t, node, name_key="name"):
 
 
 # ---------------------------------------------------------------------------
+# arrow-side logical rename (streaming readers)
+# ---------------------------------------------------------------------------
+
+def _arrow_logical_type(at, t_json):
+    import pyarrow as pa
+    if isinstance(t_json, str) or t_json is None:
+        return at
+    k = t_json.get("type")
+    if k == "struct" and pa.types.is_struct(at):
+        fj = t_json["fields"]
+        if at.num_fields != len(fj):
+            raise NotImplementedError(
+                f"nested struct field count mismatch: file has "
+                f"{at.num_fields} fields, schema {len(fj)} — "
+                "streaming over nested schema evolution is "
+                "unsupported")
+        return pa.struct([
+            pa.field(f["name"],
+                     _arrow_logical_type(at.field(i).type,
+                                         f["type"]),
+                     at.field(i).nullable)
+            for i, f in enumerate(fj)])
+    if k == "array" and (pa.types.is_list(at)
+                         or pa.types.is_large_list(at)):
+        vf = at.value_field
+        inner = pa.field(vf.name,
+                         _arrow_logical_type(vf.type,
+                                             t_json["elementType"]),
+                         vf.nullable)
+        return (pa.list_(inner) if pa.types.is_list(at)
+                else pa.large_list(inner))
+    if k == "map" and pa.types.is_map(at):
+        kf, vf = at.key_field, at.item_field
+        return pa.map_(
+            pa.field(kf.name,
+                     _arrow_logical_type(kf.type, t_json["keyType"]),
+                     nullable=False),
+            pa.field(vf.name,
+                     _arrow_logical_type(vf.type,
+                                         t_json["valueType"]),
+                     vf.nullable))
+    return at
+
+
+def arrow_logical_view(arr, t_json):
+    """ZERO-COPY view of an arrow array with its nested struct fields
+    renamed to the LOGICAL names of the Spark/Delta schema-JSON type
+    ``t_json`` (positional match — a mapped writer emits the schema's
+    field order; a count mismatch gates loudly).  What the STREAMING
+    readers use to emit logical record batches from physically-named
+    parquet data without touching the buffers (r13)."""
+    target = _arrow_logical_type(arr.type, t_json)
+    return arr if target.equals(arr.type) else arr.view(target)
+
+
+# ---------------------------------------------------------------------------
 # arrow field-id stamping for the fixture writers (nested-aware)
 # ---------------------------------------------------------------------------
 

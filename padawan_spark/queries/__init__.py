@@ -62,6 +62,7 @@ for _m in _SUITES:
 # src_hudi_log_block_formats (HFile codec shared with log blocks) +
 # src_hudi_log_only_table ((name, type) schema gate).
 _SENTINELS = ["src_delta_nested_read", "src_iceberg_nested_read",
+              "streaming_iceberg_follow_branch",
               "src_delta_read", "src_delta_id_mapping",
               "src_delta_dv_read", "src_delta_cdf_read",
               "streaming_delta_cdf", "src_delta_cdf_checkpoint",

@@ -460,6 +460,71 @@ def streaming_iceberg_skip_deletes(spark, sf_dir):
         F.sum("k").cast("bigint").alias("key_sum"))
 
 
+@query("streaming_iceberg_follow_branch", oracle="""
+SELECT 'at_dev_s1' AS phase, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation WHERE n_nationkey % 2 = 1
+UNION ALL
+SELECT 'after_ff', 2 * COUNT(*),
+       CAST(SUM(n_nationkey) + SUM(n_nationkey + 500) AS BIGINT)
+FROM nation WHERE n_nationkey % 2 = 1
+""")
+def streaming_iceberg_follow_branch(spark, sf_dir):
+    """Iceberg appends stream FOLLOWING a branch (r13, VERDICT r12
+    task 5): ``followRef=dev`` bounds latestOffset at the branch
+    HEAD, not the snapshot-log tail — snapshot 2 exists but does not
+    stream while ``dev`` points at snapshot 1; retargeting ``dev``
+    forward (snapshot 2's parent chain contains snapshot 1) streams
+    exactly the new snapshot on the next trigger.  The oracle
+    restates both phases' row sets; a head-tracking bug either leaks
+    snapshot 2 early (phase-1 count too high) or misses it after the
+    fast-forward.  Scale shape: head resolution is one metadata read
+    per trigger; per-snapshot planning stays O(manifests the snapshot
+    added) via added_data_files."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions.iceberg import (tag_iceberg_snapshot_fixture,
+                                     write_iceberg_fixture)
+    from ..sources import register_python_sources
+    from .registry import load as _load
+    register_python_sources(spark)
+    n = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    odd = n.where(F.col("k") % 2 == 1)
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_ifb_"), "tbl")
+    s1 = write_iceberg_fixture(spark, odd, t, partition_by=("g",))
+    s2 = write_iceberg_fixture(spark, odd.select(
+        (F.col("k") + 500).alias("k"), F.col("g")), t,
+        partition_by=("g",))
+    tag_iceberg_snapshot_fixture(t, "dev", s1, ref_type="branch")
+    src = (spark.readStream.format("padawan_iceberg_appends")
+           .option("path", t).option("followRef", "dev").load())
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (src.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    phases = []
+    try:
+        q.processAllAvailable()
+        r = spark.table(name).agg(
+            F.count(F.lit(1)), F.sum("k")).collect()[0]
+        phases.append(("at_dev_s1", int(r[0]), int(r[1])))
+        tag_iceberg_snapshot_fixture(t, "dev", s2,
+                                     ref_type="branch")
+        q.processAllAvailable()
+        r = spark.table(name).agg(
+            F.count(F.lit(1)), F.sum("k")).collect()[0]
+        phases.append(("after_ff", int(r[0]), int(r[1])))
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        phases, "phase string, n bigint, key_sum bigint")
+
+
 @query("streaming_cdf_tail", oracle="""
 SELECT 'delete' AS change_type, COUNT(*) AS n,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum

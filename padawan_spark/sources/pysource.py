@@ -787,6 +787,7 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
         self.mapping = mapping
         self.phys = {}
         self.fid_of = {}
+        self.nested_json = {}
         if mapping in ("name", "id"):
             for f in _json.loads(schema_json)["fields"]:
                 md = f.get("metadata") or {}
@@ -796,6 +797,11 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                 fid = md.get("delta.columnMapping.id")
                 if fid is not None:
                     self.fid_of[int(fid)] = f["name"]
+                if not isinstance(f["type"], str):
+                    # nested column in a MAPPED table (r13): the read
+                    # task renames inner struct fields back to their
+                    # logical names via a zero-copy arrow view
+                    self.nested_json[f["name"]] = f["type"]
 
     def initialOffset(self):
         self._last_end = self.start_version - 1
@@ -978,6 +984,19 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
                 fid = (fld.metadata or {}).get(b"PARQUET:field_id")
                 if fid is not None and int(fid) in self.fid_of:
                     col_of[self.fid_of[int(fid)]] = fld.name
+        if self.nested_json:
+            # mapped NESTED columns: inner struct fields carry
+            # physical names in the file — view them back to the
+            # logical names (zero-copy, r13)
+            from ..functions.nested import arrow_logical_view
+            for c, tj in self.nested_json.items():
+                fc = col_of.get(c, c)
+                idx = tb.schema.get_field_index(fc)
+                if idx >= 0:
+                    tb = tb.set_column(
+                        idx, fc,
+                        arrow_logical_view(
+                            tb.column(idx).combine_chunks(), tj))
         const = {"_commit_version": v}
         if kind != "cdc":
             # cdc files carry their own _change_type column; derived

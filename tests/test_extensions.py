@@ -3235,6 +3235,41 @@ def test_iceberg_nested_gates(spark, tmp_path):
         read_iceberg(spark, t).collect()
 
 
+def test_delta_cdf_stream_nested_all_mapping_modes(spark, tmp_path):
+    """r13: the CDF STREAM over nested columns — unmapped tables pass
+    arrow batches through; name/id-mapped tables rename inner struct
+    fields back to logical names via a zero-copy arrow view in the
+    read task (struct-in-struct, struct-in-array, struct-valued
+    map)."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import write_delta_fixture
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    for cm in (False, "name", "id"):
+        df = _nested_df(spark).drop("g")
+        t = str(tmp_path / f"cn_{cm}")
+        write_delta_fixture(spark, df, t, column_mapping=cm)
+        name = "cn_" + _uuid.uuid4().hex[:8]
+        src = (spark.readStream.format("padawan_delta_cdf")
+               .option("path", t).load())
+        q = (src.writeStream.format("memory").queryName(name)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = sorted(spark.table(name).collect(),
+                      key=lambda r: r["k"])
+        assert len(rows) == 6, cm
+        r3 = rows[3]
+        assert r3["st"]["inner"]["deep"] == 103, (cm, r3)
+        assert [e["p"] for e in r3["ar"]] == [9, 12], (cm, r3)
+        assert r3["mp"]["x"]["q"] == 15, (cm, r3)
+        assert all(r["_change_type"] == "insert" for r in rows)
+
+
 def test_delta_time_travel_monotonic_timestamps(spark, tmp_path):
     """ADVICE r12: commit timestamps are adjusted monotonic
     (max(prev + 1ms, recorded)) before comparing to as_of_ms, so a
