@@ -368,6 +368,68 @@ def _arrow_logical_type(at, t_json):
     return at
 
 
+def _arrow_ice_type(at, t_json, id_key):
+    import pyarrow as pa
+    if isinstance(t_json, str) or t_json is None:
+        return at
+    k = t_json.get("type")
+    if k == "struct" and pa.types.is_struct(at):
+        fj = t_json["fields"]
+        if at.num_fields != len(fj):
+            raise NotImplementedError(
+                f"nested struct field count mismatch: file has "
+                f"{at.num_fields} fields, schema {len(fj)} — "
+                "streaming over nested schema evolution that ADDS "
+                "fields is unsupported (read the table through the "
+                "batch reader)")
+        kids = []
+        for i, f in enumerate(fj):
+            af = at.field(i)
+            fid = (af.metadata or {}).get(id_key)
+            if (fid is not None and f.get("id") is not None
+                    and int(fid) != f["id"]):
+                raise NotImplementedError(
+                    f"nested field id mismatch at position {i}: "
+                    f"file has id {int(fid)}, schema expects "
+                    f"{f['id']} — reordered nested fields cannot "
+                    "stream (read through the batch reader)")
+            kids.append(pa.field(
+                f["name"], _arrow_ice_type(af.type, f["type"],
+                                           id_key), af.nullable))
+        return pa.struct(kids)
+    if k == "list" and (pa.types.is_list(at)
+                        or pa.types.is_large_list(at)):
+        vf = at.value_field
+        inner = pa.field(vf.name,
+                         _arrow_ice_type(vf.type, t_json["element"],
+                                         id_key), vf.nullable)
+        return (pa.list_(inner) if pa.types.is_list(at)
+                else pa.large_list(inner))
+    if k == "map" and pa.types.is_map(at):
+        kf, vf = at.key_field, at.item_field
+        return pa.map_(
+            pa.field(kf.name, _arrow_ice_type(kf.type, t_json["key"],
+                                              id_key),
+                     nullable=False),
+            pa.field(vf.name, _arrow_ice_type(vf.type,
+                                              t_json["value"],
+                                              id_key), vf.nullable))
+    return at
+
+
+def arrow_ice_logical_view(arr, ice_type_json,
+                           id_key=b"PARQUET:field_id"):
+    """Iceberg twin of :func:`arrow_logical_view`: zero-copy view
+    renaming nested struct fields to the SNAPSHOT SCHEMA's names —
+    positional walk VERIFIED against the file's nested field-id
+    metadata (a renamed field keeps its position and its id; a
+    reorder or an added inner field gates loudly).  What the appends
+    STREAM uses so schema-evolved nested columns stream under their
+    current names (r13)."""
+    target = _arrow_ice_type(arr.type, ice_type_json, id_key)
+    return arr if target.equals(arr.type) else arr.view(target)
+
+
 def arrow_logical_view(arr, t_json):
     """ZERO-COPY view of an arrow array with its nested struct fields
     renamed to the LOGICAL names of the Spark/Delta schema-JSON type

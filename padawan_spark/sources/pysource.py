@@ -1454,7 +1454,15 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                 f"format(s) {bad_fmt[:3]} in the stream span")
         # identity partition values re-attach per file in the task,
         # resolved under each file's OWN spec
+        from ..functions.iceberg import _schema_fields_json
         fld_ids, _n_schemas = _schema_inventory(self.path)
+        # nested columns (r13): the task views their inner struct
+        # fields to the schema's CURRENT names, verified against the
+        # file's nested field ids
+        nested_items = tuple(sorted(
+            (nm, _json.dumps(f["type"]))
+            for nm, f in _schema_fields_json(self.path).items()
+            if not isinstance(f["type"], str)))
         # r12 (VERDICT r11 task 5): the field-id map rides each
         # partition so the read TASK resolves columns by the file's
         # parquet footer PARQUET:field_id — a schema-evolved table
@@ -1470,14 +1478,15 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         return ([InputPartition(
             (p, f, pv_items,
              tuple(ident_by_spec.get(sp, {}).items()),
-             fid_items))
+             fid_items, nested_items))
             for p, pv_items, f, sp in added_files]
             or [InputPartition(None)])
 
     def read(self, partition):
         if partition.value is None:
             return
-        p, fmt, pv_items, ident_items, fid_items = partition.value
+        (p, fmt, pv_items, ident_items, fid_items,
+         nested_items) = partition.value
         pv = dict(pv_items)
         src_of = dict(ident_items)       # partition field -> column
         const = {src_of[f]: v for f, v in pv.items() if f in src_of}
@@ -1522,6 +1531,23 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
             fid = (fld.metadata or {}).get(id_key)
             if fid is not None and int(fid) in name_of_fid:
                 col_of[name_of_fid[int(fid)]] = fld.name
+        if nested_items:
+            # nested columns (r13): view inner struct fields to the
+            # schema's current names (zero-copy; verified against
+            # the file's nested field ids — a rename streams, a
+            # reorder/add gates)
+            import json as _json3
+
+            from ..functions.nested import arrow_ice_logical_view
+            for nm, tj in nested_items:
+                fc = col_of.get(nm, nm)
+                idx = tb.schema.get_field_index(fc)
+                if idx >= 0:
+                    tb = tb.set_column(
+                        idx, fc,
+                        arrow_ice_logical_view(
+                            tb.column(idx).combine_chunks(),
+                            _json3.loads(tj), id_key=id_key))
         yield from _aligned_batches(tb, self.spark_schema,
                                     const=const, col_of=col_of)
 

@@ -2664,8 +2664,8 @@ def test_hfile_fast_diff_and_snappy(tmp_path):
 
 def test_hfile_fast_diff_roundtrip_property():
     """Property: random cell populations (varying row lengths, equal
-    and unequal values, shared prefixes) round-trip through the
-    FastDiff encoder/decoder byte-exactly."""
+    and unequal values, shared prefixes) round-trip through ALL THREE
+    delta encoders/decoders (PREFIX, DIFF, FAST_DIFF) byte-exactly."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -2676,11 +2676,12 @@ def test_hfile_fast_diff_roundtrip_property():
     vals = st.binary(min_size=0, max_size=40)
 
     @settings(max_examples=40, deadline=None)
-    @given(st.dictionaries(rows, vals, min_size=1, max_size=60))
-    def check(d):
+    @given(st.dictionaries(rows, vals, min_size=1, max_size=60),
+           st.sampled_from(["prefix", "diff", "fast_diff"]))
+    def check(d, enc):
         cells = sorted(d.items())
         buf = build_hfile_bytes(cells, {b"s": b"1"}, block_size=512,
-                                encoding="fast_diff")
+                                encoding=enc)
         _i, got = read_hfile_bytes(buf)
         assert got == cells
 
@@ -3195,6 +3196,51 @@ def test_iceberg_nested_schema_evolution_by_field_id(spark,
     assert rows[4]["st"]["alpha"] == 20
     assert rows[4]["st"]["inner"]["depth"] == 110
     assert rows[4]["ar"][0]["pp"] == 30
+
+
+def test_iceberg_appends_stream_nested_evolved(spark, tmp_path):
+    """r13: the appends STREAM over nested columns, across an
+    inner-field rename — the read task views each nested column's
+    inner struct fields to the schema's current names (zero-copy,
+    verified against the file's nested field ids), so pre-rename
+    files stream under the post-rename names."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+
+    def mk(rng, a, deep):
+        return rng.select(
+            SF.col("id").alias("k"),
+            SF.struct((SF.col("id") * 2).alias(a),
+                      SF.struct((SF.col("id") + 100).alias(deep))
+                      .alias("inner")).alias("st"),
+            SF.array(SF.struct((SF.col("id") * 3).alias("p")))
+            .alias("ar"))
+
+    t = str(tmp_path / "isne")
+    write_iceberg_fixture(spark, mk(spark.range(3), "a", "deep"), t)
+    evolve_iceberg_schema_fixture(
+        t, renames={"st.a": "alpha", "st.inner.deep": "depth"})
+    write_iceberg_fixture(
+        spark, mk(spark.range(10, 12), "alpha", "depth"), t)
+    name = "isne_" + _uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("padawan_iceberg_appends")
+           .option("path", t).load())
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(spark.table(name).collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [0, 1, 2, 10, 11]
+    assert rows[2]["st"]["alpha"] == 4
+    assert rows[2]["st"]["inner"]["depth"] == 102
+    assert rows[3]["st"]["alpha"] == 20
+    assert rows[2]["ar"][0]["p"] == 6
 
 
 def test_iceberg_nested_gates(spark, tmp_path):
