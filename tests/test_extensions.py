@@ -3059,6 +3059,13 @@ def test_delta_nested_all_mapping_modes(spark, tmp_path):
     write_delta_fixture(spark, df2, t2, column_mapping="name")
     got = {r["k"]: r["st"] for r in read_delta(spark, t2).collect()}
     assert got[2] is None and got[1]["a"] == 5
+    # a CHECKPOINT over a nested mapped table replays (schemaString
+    # round-trips the nested JSON) even after retention cleaning
+    from padawan_spark.functions.delta import \
+        write_delta_checkpoint_fixture
+    write_delta_checkpoint_fixture(t2, clean_before=True)
+    got = {r["k"]: r["st"] for r in read_delta(spark, t2).collect()}
+    assert got[2] is None and got[1]["a"] == 5
 
 
 def test_delta_nested_id_mode_resolves_inner_by_field_id(spark,
