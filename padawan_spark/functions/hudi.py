@@ -1029,6 +1029,15 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                           encode_hfile_data_block,
                           encode_parquet_data_block,
                           encode_rollback_block)
+    # "hfile" optionally extends to "hfile/<compression>/<encoding>"
+    # (r13) — e.g. "hfile/snappy/fast_diff", the HBase-tuned shape
+    hfile_opts = ("none", "none")
+    if block_format.startswith("hfile"):
+        bits = block_format.split("/")
+        block_format = "hfile"
+        if len(bits) > 1:
+            hfile_opts = (bits[1], bits[2] if len(bits) > 2
+                          else "none")
     if block_format not in ("avro", "hfile", "parquet"):
         raise NotImplementedError(
             f"hudi fixture log block format {block_format!r}")
@@ -1110,8 +1119,10 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                     continue
                 full = _log_path(fid, s, roll=i)
                 if block_format == "hfile":
-                    blk = encode_hfile_data_block(instant, schema,
-                                                  batch)
+                    blk = encode_hfile_data_block(
+                        instant, schema, batch,
+                        compression=hfile_opts[0],
+                        encoding=hfile_opts[1])
                 elif block_format == "parquet":
                     # real parquet blocks carry REAL temporal types
                     # (the reader normalizes them back to the Avro

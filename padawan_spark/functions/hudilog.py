@@ -194,12 +194,15 @@ def decode_data_block(block: dict) -> list[dict]:
 
 def encode_hfile_data_block(instant: str, avro_schema: dict,
                             rows: list[dict],
-                            key_field: str = "_hoodie_record_key"
-                            ) -> bytes:
+                            key_field: str = "_hoodie_record_key",
+                            compression: str = "none",
+                            encoding: str = "none") -> bytes:
     """HFILE data block: content is a COMPLETE HFile whose cell keys
     are the record keys and whose values are binary Avro datums of
     the SCHEMA header's writer schema — the block format real Hudi
-    writes for its metadata table."""
+    writes for its metadata table.  ``compression``/``encoding``
+    pass through to the HFile writer (r13: GZ/Snappy blocks,
+    PREFIX/DIFF/FAST_DIFF cell encodings)."""
     from .avro import write_datum
     from .hfile import build_hfile_bytes
     cells = []
@@ -208,7 +211,8 @@ def encode_hfile_data_block(instant: str, avro_schema: dict,
         write_datum(buf, r, avro_schema)
         cells.append((str(r[key_field]).encode("utf-8"), bytes(buf)))
     content = build_hfile_bytes(
-        cells, {b"schema": json.dumps(avro_schema).encode("utf-8")})
+        cells, {b"schema": json.dumps(avro_schema).encode("utf-8")},
+        compression=compression, encoding=encoding)
     return encode_log_block(
         BLOCK_HFILE_DATA,
         {H_INSTANT_TIME: instant,

@@ -2892,8 +2892,10 @@ def test_hudi_hfile_and_parquet_log_blocks(spark, tmp_path):
     from padawan_spark.sources import register_python_sources
     register_python_sources(spark)
     base_day = dt.date(2024, 3, 1)
-    for fmt in ("hfile", "parquet"):
-        t = str(tmp_path / f"hblk_{fmt}")
+    # the hfile leg runs SNAPPY + FAST_DIFF (r13) so the encoded
+    # codec paths are exercised through the merge and the stream too
+    for fmt in ("hfile/snappy/fast_diff", "parquet"):
+        t = str(tmp_path / f"hblk_{fmt.split('/')[0]}")
         df = spark.range(10).select(
             SF.col("id").alias("k"), (SF.col("id") * 10).alias("v"),
             (SF.lit(base_day) + SF.col("id").cast("int")).alias("d"),
@@ -2913,7 +2915,8 @@ def test_hudi_hfile_and_parquet_log_blocks(spark, tmp_path):
             spark, t, begin="0").collect() if r is not None}
         assert all(inc[k] == -5 for k in (0, 3, 6, 9)), fmt
         # the incremental STREAM decodes the same blocks in-task
-        name = f"hblk_{fmt}_" + _uuid.uuid4().hex[:8]
+        name = (f"hblk_{fmt.split(chr(47))[0]}_"
+                + _uuid.uuid4().hex[:8])
         src = (spark.readStream
                .format("padawan_hudi_incremental")
                .option("path", t).option("startingInstant", "0")
