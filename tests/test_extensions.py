@@ -3253,6 +3253,61 @@ def test_iceberg_appends_stream_nested_evolved(spark, tmp_path):
     assert rows[2]["ar"][0]["p"] == 6
 
 
+def test_iceberg_nested_added_inner_field_null_fills(spark,
+                                                     tmp_path):
+    """r13: schema evolution that ADDS a field INSIDE a struct — old
+    parquet files lack the inner field entirely; the footer-tree
+    match marks it absent, the per-file scan DDL skips it, and the
+    logical rebuild re-inserts it as a typed NULL; post-add files
+    carry real values."""
+    import json as _json
+    import os as _os
+    import re as _re
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (_latest_metadata,
+                                                 read_iceberg,
+                                                 write_iceberg_fixture)
+    t = str(tmp_path / "iadd")
+    write_iceberg_fixture(spark, spark.range(3).select(
+        SF.col("id").alias("k"),
+        SF.struct((SF.col("id") * 2).alias("a")).alias("st")), t)
+    # hand-evolve: schema v1 adds st.extra (fresh field id)
+    import copy
+    with open(_latest_metadata(t)) as fh:
+        meta = _json.load(fh)
+    cur = next(s for s in meta["schemas"]
+               if s.get("schema-id", 0)
+               == meta.get("current-schema-id", 0))
+    new = copy.deepcopy(cur)
+    new["schema-id"] = cur.get("schema-id", 0) + 1
+    st = next(f for f in new["fields"] if f["name"] == "st")
+    last = meta.get("last-column-id", 10) + 1
+    st["type"]["fields"].append(
+        {"id": last, "name": "extra", "required": False,
+         "type": "long"})
+    meta["last-column-id"] = last
+    meta["schemas"].append(new)
+    meta["current-schema-id"] = new["schema-id"]
+    mdir = _os.path.join(t, "metadata")
+    v = max(int(_re.match(r"^v(\d+)\.metadata\.json$", f).group(1))
+            for f in _os.listdir(mdir)
+            if _re.match(r"^v(\d+)\.metadata\.json$", f)) + 1
+    with open(_os.path.join(mdir, f"v{v}.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(_os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    # post-add snapshot carries the inner field for real
+    write_iceberg_fixture(spark, spark.range(10, 12).select(
+        SF.col("id").alias("k"),
+        SF.struct((SF.col("id") * 2).alias("a"),
+                  (SF.col("id") + 7).alias("extra")).alias("st")), t)
+    rows = {r["k"]: r["st"] for r in read_iceberg(spark, t).collect()}
+    assert sorted(rows) == [0, 1, 2, 10, 11]
+    assert rows[2]["a"] == 4 and rows[2]["extra"] is None
+    assert rows[10]["a"] == 20 and rows[10]["extra"] == 17
+
+
 def test_iceberg_nested_gates(spark, tmp_path):
     """r13: the honest gates — evolved nested tables with ORC/Avro
     data files, nested fixture columns under transform partitioning
