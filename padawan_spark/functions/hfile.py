@@ -35,14 +35,14 @@ surface):
 The reader walks ``[first_data_block_offset,
 load_on_open_data_offset)`` sequentially — no index decode needed for
 a full scan — skipping non-DATA blocks, and reads the file-info block
-straight from the trailer's ``file_info_offset``.  NONE, GZ and
-SNAPPY block compression are handled (Snappy through a dependency-
-free raw-Snappy decoder under Hadoop's BlockCompressorStream
+straight from the trailer's ``file_info_offset``.  NONE, GZ, SNAPPY
+and LZ4 block compression are handled (Snappy and LZ4 through
+dependency-free raw decoders under Hadoop's BlockCompressorStream
 framing), and ``ENCODED_DATA`` blocks decode for the THREE delta
 encodings real deployments use — ``PREFIX``, ``DIFF`` and
 ``FAST_DIFF`` (r13, VERDICT r12 task 3 — the DATA_BLOCK_ENCODING
 HBase-tuned Hudi metadata tables actually enable); other codecs and
-encodings (LZO/LZ4/ZSTD, PREFIX_TREE/ROW_INDEX_V1) raise
+encodings (LZO/ZSTD, PREFIX_TREE/ROW_INDEX_V1) raise
 ``NotImplementedError`` so callers fall back honestly.  Checksums
 are written (CRC32) but not verified on read — this reader targets
 planning-path listings, not storage scrubbing.
@@ -62,6 +62,7 @@ PB_MAGIC = b"PBUF"
 
 # HBase Compression.Algorithm ordinals
 _COMP_LZO, _COMP_GZ, _COMP_NONE, _COMP_SNAPPY = 0, 1, 2, 3
+_COMP_LZ4 = 4
 
 # HBase DataBlockEncoding ids (the 2-byte header of every
 # ENCODED_DATA block's payload)
@@ -148,12 +149,77 @@ def _snappy_compress_literal(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _hadoop_snappy_decompress(data: bytes, uncompressed_len: int
-                              ) -> bytes:
-    """Hadoop ``BlockCompressorStream`` framing around raw Snappy —
-    what HBase writes for SNAPPY blocks: repeated [4-byte BE original
-    chunk length, then one or more (4-byte BE compressed length +
-    raw snappy) segments]."""
+def _lz4_block_decompress(data: bytes, expected_len: int) -> bytes:
+    """RAW LZ4 block (the public format: token-led sequences of
+    literals + overlapping back-references; the last sequence is
+    literals-only)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        token = data[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        out += data[pos:pos + lit]
+        pos += lit
+        if pos >= n:
+            break                        # last sequence: no match
+        off = int.from_bytes(data[pos:pos + 2], "little")
+        pos += 2
+        if off == 0 or off > len(out):
+            raise ValueError("lz4 match offset out of range")
+        ml = token & 0xF
+        if ml == 15:
+            while True:
+                b = data[pos]
+                pos += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        start = len(out) - off
+        for i in range(ml):              # overlap-safe
+            out.append(out[start + i])
+    if len(out) > expected_len:
+        # expected_len is an UPPER bound: a middle segment of a
+        # multi-segment Hadoop chunk decompresses to the codec's
+        # buffer size, not the remainder
+        raise ValueError(
+            f"lz4 block produced {len(out)} > {expected_len} bytes")
+    return bytes(out)
+
+
+def _lz4_block_compress_literal(data: bytes) -> bytes:
+    """Spec-valid LZ4 block: ONE literals-only sequence (legal as the
+    last sequence of a block) — dependency-free fixture output."""
+    out = bytearray()
+    lit = len(data)
+    if lit < 15:
+        out.append(lit << 4)
+    else:
+        out.append(15 << 4)
+        rest = lit - 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+    out += data
+    return bytes(out)
+
+
+def _hadoop_block_codec_decompress(data: bytes, uncompressed_len: int,
+                                   one) -> bytes:
+    """Hadoop ``BlockCompressorStream`` framing shared by the Snappy
+    and LZ4 codecs: repeated [4-byte BE original chunk length, then
+    one or more (4-byte BE compressed length + raw codec block)
+    segments]; ``one(raw, orig_len)`` decompresses a single segment."""
     out = bytearray()
     pos = 0
     while pos < len(data) and len(out) < uncompressed_len:
@@ -163,15 +229,33 @@ def _hadoop_snappy_decompress(data: bytes, uncompressed_len: int
         while got < orig:
             (clen,) = struct.unpack_from(">i", data, pos)
             pos += 4
-            chunk = _snappy_decompress(data[pos:pos + clen])
+            chunk = one(data[pos:pos + clen], orig - got)
             pos += clen
             out += chunk
             got += len(chunk)
     return bytes(out)
 
 
+def _hadoop_snappy_decompress(data: bytes, uncompressed_len: int
+                              ) -> bytes:
+    return _hadoop_block_codec_decompress(
+        data, uncompressed_len, lambda raw, _n: _snappy_decompress(raw))
+
+
+def _hadoop_lz4_decompress(data: bytes, uncompressed_len: int
+                           ) -> bytes:
+    return _hadoop_block_codec_decompress(
+        data, uncompressed_len, _lz4_block_decompress)
+
+
 def _hadoop_snappy_compress(data: bytes) -> bytes:
     raw = _snappy_compress_literal(data)
+    return (struct.pack(">i", len(data)) + struct.pack(">i", len(raw))
+            + raw)
+
+
+def _hadoop_lz4_compress(data: bytes) -> bytes:
+    raw = _lz4_block_compress_literal(data)
     return (struct.pack(">i", len(data)) + struct.pack(">i", len(raw))
             + raw)
 
@@ -296,6 +380,8 @@ def _read_block(buf: bytes, off: int, trailer: dict):
                                uncomp_wo_hdr)
     elif codec == _COMP_SNAPPY:
         data = _hadoop_snappy_decompress(data, uncomp_wo_hdr)
+    elif codec == _COMP_LZ4:
+        data = _hadoop_lz4_decompress(data, uncomp_wo_hdr)
     elif codec != _COMP_NONE:
         raise NotImplementedError(
             f"hfile compression codec ordinal {codec}")
@@ -734,6 +820,8 @@ def _build_block(magic: bytes, data: bytes, prev_off: int,
         data = co.compress(data) + co.flush()
     elif codec == "snappy":
         data = _hadoop_snappy_compress(data)
+    elif codec == "lz4":
+        data = _hadoop_lz4_compress(data)
     bytes_per = 16384
     n_chunks = (_HEADER_SIZE + len(data) + bytes_per - 1) // bytes_per
     cks_len = 4 * n_chunks
@@ -785,7 +873,7 @@ def build_hfile_bytes(cells: list[tuple[bytes, bytes]],
                       encoding: str = "none") -> bytes:
     """:func:`write_hfile` to bytes — also the payload of a Hudi
     HFILE log data block."""
-    if compression not in ("none", "gz", "snappy"):
+    if compression not in ("none", "gz", "snappy", "lz4"):
         raise NotImplementedError(
             f"hfile writer compression {compression!r}")
     encoders = {"fast_diff": (_ENC_FAST_DIFF, _encode_fast_diff,
@@ -869,6 +957,7 @@ def build_hfile_bytes(cells: list[tuple[bytes, bytes]],
         + _pb_field(10, data_blocks[-1][0] if data_blocks else 0)
         + _pb_field(11, "org.apache.hadoop.hbase.CellComparatorImpl")
         + _pb_field(12, {"gz": _COMP_GZ, "snappy": _COMP_SNAPPY,
+                           "lz4": _COMP_LZ4,
                            "none": _COMP_NONE}[compression]))
     body = TRAILER_MAGIC + _pb_delimited(trailer_pb)
     pad = _trailer_size(3) - len(body) - 4

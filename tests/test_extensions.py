@@ -2644,7 +2644,7 @@ def test_hfile_fast_diff_and_snappy(tmp_path):
     cells = [(f"p{i % 5:02d}/f-{i:04d}".encode(),
               (f"v{i}" * (i % 4 + 1)).encode()) for i in range(400)]
     cells += [(b"zzz" + bytes([i]), b"same-value") for i in range(20)]
-    for comp in ("none", "gz", "snappy"):
+    for comp in ("none", "gz", "snappy", "lz4"):
         for enc in ("none", "fast_diff"):
             buf = build_hfile_bytes(cells, {b"schema": b"{}"},
                                     block_size=2048,
