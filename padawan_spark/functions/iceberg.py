@@ -1197,7 +1197,8 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                           delete_partition=None,
                           delete_positions=None,
                           delete_equality=None,
-                          order_by=(), file_format="parquet") -> int:
+                          order_by=(), file_format="parquet",
+                          fast_append: bool = False) -> int:
     """Create or extend a spec-layout Iceberg table.  Each call makes
     ONE new snapshot: the base file set is the previous snapshot's
     (empty on create), minus files whose partition dict matches
@@ -1333,7 +1334,23 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                 if append_to_snapshot is not None
                 else meta["current-snapshot-id"])
         _f, _p, prev_files, prev_deletes = live_data_files(path, base)
-        if any(f[4] != default_spec_id for f in prev_files):
+        if (fast_append and df is not None
+                and delete_partition is None
+                and delete_positions is None
+                and delete_equality is None):
+            # FAST APPEND (r13) — the real-writer commit shape: the
+            # new manifest holds ONLY this snapshot's adds and the
+            # base snapshot's manifest-list rows carry VERBATIM (so
+            # an incremental reader skips them without opening);
+            # deletes still use the folding path
+            from .avro import decode_avro_datums as _dec
+            base_snap = next(s for s in meta["snapshots"]
+                             if s["snapshot-id"] == base)
+            with open(_resolve(base_snap["manifest-list"],
+                               path), "rb") as fh:
+                _s0, carried_mlist_rows = _dec(fh.read())
+            prev_files, prev_deletes = [], []
+        elif any(f[4] != default_spec_id for f in prev_files):
             # spec evolution: older-spec entries cannot fold into the
             # new manifest (different partition Avro schema) — carry
             # the base snapshot's manifest-list rows VERBATIM, the

@@ -2030,6 +2030,65 @@ def test_iceberg_appends_stream_follows_branch(spark, tmp_path):
         q.stop()
 
 
+def test_iceberg_fast_append_layout(spark, tmp_path):
+    """r13: fast_append fixtures write the REAL-writer commit shape —
+    the new manifest holds only the snapshot's adds, previous
+    manifest-list rows carry verbatim — and everything still reads:
+    batch (incl. a fold-style delete ON TOP of carried manifests),
+    per-snapshot added_data_files, and the appends stream."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.avro import decode_avro_datums
+    from padawan_spark.functions.iceberg import (_latest_metadata,
+                                                 _resolve,
+                                                 added_data_files,
+                                                 read_iceberg,
+                                                 write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "ifa")
+    s = []
+    for i in range(3):
+        s.append(write_iceberg_fixture(
+            spark, spark.range(i * 10, i * 10 + 4).select(
+                SF.col("id").alias("k"),
+                (SF.col("id") % 2).alias("g")), t,
+            partition_by=("g",), fast_append=True))
+    # the third snapshot's manifest list carries three manifests,
+    # two of them added by EARLIER snapshots
+    import json as _json
+    import os as _os
+    with open(_latest_metadata(t)) as fh:
+        meta = _json.load(fh)
+    snap3 = next(x for x in meta["snapshots"]
+                 if x["snapshot-id"] == s[2])
+    with open(_resolve(snap3["manifest-list"], t), "rb") as fh:
+        _s0, rows = decode_avro_datums(fh.read())
+    assert len(rows) == 3
+    assert sorted(r["added_snapshot_id"] for r in rows) == s
+    assert read_iceberg(spark, t).count() == 12
+    for i, sid in enumerate(s):
+        files, rm = added_data_files(t, sid)
+        assert not rm and len(files) == 2, (i, files)   # g=0, g=1
+    # stream drains all three snapshots
+    name = "ifa_" + _uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("padawan_iceberg_appends")
+           .option("path", t).load())
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"] for r in spark.table(name).collect()}
+    assert got == ({0, 1, 2, 3} | {10, 11, 12, 13} | {20, 21, 22, 23})
+    # a DELETE commit on top of carried manifests folds correctly
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_partition={"g": 1})
+    left = {r["k"] for r in read_iceberg(spark, t).collect()}
+    assert left == {k for k in got if k % 2 == 0}
+
+
 def test_iceberg_added_data_files_planning_unit(spark, tmp_path):
     """ADVICE r12: per-snapshot stream planning decodes ONLY the
     manifests the snapshot itself added — added_data_files returns
