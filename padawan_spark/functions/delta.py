@@ -1330,8 +1330,6 @@ def update_delta_cdc_fixture(spark, path: str, part_col: str,
     the committed version."""
     import uuid
 
-    import pandas as pd
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
@@ -1354,18 +1352,15 @@ def update_delta_cdc_fixture(spark, path: str, part_col: str,
         new = old.withColumn(
             set_col, F.col(set_col) + F.lit(add_amount))
         new_rel = f"part-{v:05d}-{uuid.uuid4().hex}.parquet"
-        pdf_new = new.toPandas()
-        pq.write_table(pa.Table.from_pandas(pdf_new,
-                                            preserve_index=False),
-                       os.path.join(path, new_rel))
-        pdf_old = old.toPandas()
-        pdf_old["_change_type"] = "update_preimage"
-        pdf_post = pdf_new.copy()
-        pdf_post["_change_type"] = "update_postimage"
+        # Arrow path (r13): nested columns survive the rewrite —
+        # pandas cannot carry structs faithfully
+        pq.write_table(new.toArrow(), os.path.join(path, new_rel))
+        cdc_df = (old.withColumn("_change_type",
+                                 F.lit("update_preimage"))
+                  .unionByName(new.withColumn(
+                      "_change_type", F.lit("update_postimage"))))
         cdc_rel = f"_change_data/cdc-{v:05d}-{uuid.uuid4().hex}.parquet"
-        pq.write_table(pa.Table.from_pandas(
-            pd.concat([pdf_old, pdf_post], ignore_index=True),
-            preserve_index=False), os.path.join(path, cdc_rel))
+        pq.write_table(cdc_df.toArrow(), os.path.join(path, cdc_rel))
         actions.append({"remove": {"path": rel, "deletionTimestamp": 0,
                                    "dataChange": True,
                                    "partitionValues": pvals}})

@@ -132,7 +132,12 @@ def _resolve(path: str, table: str) -> str:
 _ICE_TO_SPARK = {"long": "bigint", "int": "int", "string": "string",
                  "double": "double", "float": "float",
                  "boolean": "boolean", "date": "date",
-                 "binary": "binary", "timestamp": "timestamp"}
+                 "binary": "binary", "timestamp": "timestamp",
+                 # spec: timestamptz is UTC-adjusted — Spark's
+                 # TIMESTAMP (sessions here run UTC); plain iceberg
+                 # "timestamp" is kept on TIMESTAMP too for fixture
+                 # continuity (both decode identically in UTC)
+                 "timestamptz": "timestamp"}
 
 
 def _ice_leaf_ddl(t: str) -> str:

@@ -3201,6 +3201,22 @@ def test_delta_nested_dv_and_cdf(spark, tmp_path):
     assert ins == [0, 2, 4]
     assert [r["k"] for r in dels] == [0]
     assert dels[0]["st"]["a"] == 0 and dels[0]["mp"]["x"]["q"] == 0
+    # an explicit-cdc UPDATE commit over a NESTED table (r13: the
+    # fixture rewrites files through Arrow, and the CDF reader emits
+    # the nested pre/postimage rows)
+    from padawan_spark.functions.delta import update_delta_cdc_fixture
+    t3 = str(tmp_path / "ncdc")
+    df3 = _nested_df(spark)
+    write_delta_fixture(spark, df3, t3, partition_by=("g",))
+    v3 = update_delta_cdc_fixture(spark, t3, "g", 0, "k", 100)
+    ch = read_delta_changes(spark, t3, starting_version=v3).collect()
+    pre = {r["k"]: r for r in ch
+           if r["_change_type"] == "update_preimage"}
+    post = {r["k"]: r for r in ch
+            if r["_change_type"] == "update_postimage"}
+    assert sorted(pre) == [0, 2, 4] and sorted(post) == [100, 102, 104]
+    assert post[102]["st"]["inner"]["deep"] == 102
+    assert post[102]["ar"][0]["p"] == 6
 
 
 def test_iceberg_nested_roundtrip_and_deletes(spark, tmp_path):
