@@ -146,6 +146,8 @@ def _ice_leaf_ddl(t: str) -> str:
     m = re.match(r"^decimal\((\d+),\s*(\d+)\)$", t)
     if m:
         return f"decimal({m.group(1)},{m.group(2)})"
+    if re.match(r"^fixed\[\d+\]$", t):
+        return "binary"     # FIXED_LEN_BYTE_ARRAY scans as binary
     raise NotImplementedError(f"iceberg type {t!r}")
 
 
@@ -682,18 +684,24 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                    if not isinstance(f["type"], str)}
     nested_mode = evolved and bool(nested_cols & set(field_names))
     layouts: dict[str, tuple] = {}
-    if nested_mode and (orc_paths or avro_paths):
+    if nested_mode and avro_paths:
         raise NotImplementedError(
             "iceberg schema evolution over NESTED columns is "
-            "supported for parquet data files only (ORC/Avro footer "
-            "trees not implemented)")
-    if nested_mode and pq_paths:
+            "supported for parquet and ORC data files only (Avro "
+            "nested field-id resolution not implemented)")
+    if nested_mode and (pq_paths or orc_paths):
         # evolved table WITH nested columns (r13): the footer TREES
-        # carry nested field ids, so renamed struct fields inside a
-        # column resolve per file too — still ONE distributed footer
-        # job, never a driver-side open per data file
-        from .nested import match_tree_ice, parquet_field_trees
-        traw = parquet_field_trees(spark, pq_paths)
+        # carry nested field ids (parquet PARQUET:field_id / ORC
+        # iceberg.id), so renamed struct fields inside a column
+        # resolve per file too — still ONE distributed footer job
+        # per format, never a driver-side open per data file
+        from .nested import (match_tree_ice, orc_field_trees,
+                             parquet_field_trees)
+        traw = {}
+        if pq_paths:
+            traw.update(parquet_field_trees(spark, pq_paths))
+        if orc_paths:
+            traw.update(orc_field_trees(spark, orc_paths))
         for p, trees in traw.items():
             byfid = {t0[0]: t0 for t0 in trees if t0[0] is not None}
             byname = {t0[1]: t0 for t0 in trees}
@@ -775,6 +783,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             .distinct().collect()}
         targeted_orc = {p for p in orc_paths if p in targeted}
         targeted_avro = {p for p in avro_paths if p in targeted}
+        if nested_mode and targeted_orc:
+            raise NotImplementedError(
+                "iceberg POSITION DELETES targeting ORC files of an "
+                "evolved NESTED table are unsupported (the stripe "
+                "position scan does not resolve nested renames)")
     groups: dict[tuple, list[str]] = {}
     for p, pvals, seq, fmt, sid in files:
         if fmt == "AVRO":
@@ -1393,10 +1406,11 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                   and any(not isinstance(fld_json.get(c, ""), str)
                           for c in df.columns))
     if has_nested and (non_identity
-                       or file_format.lower() != "parquet"):
+                       or file_format.lower()
+                       not in ("parquet", "orc")):
         raise NotImplementedError(
             "iceberg fixture: nested columns are supported for "
-            "identity-partitioned PARQUET data files only")
+            "identity-partitioned PARQUET or ORC data files only")
     if df is not None and non_identity:
         # transform layout: evaluate the spec transforms per row on
         # the driver (the fixture writer is a test double), one data
@@ -1450,7 +1464,8 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                 # nested columns (r13): Arrow path — pandas cannot
                 # carry structs faithfully; nested field ids stamp
                 # from the schema's own id assignment so id-matching
-                # readers resolve renames at every depth
+                # readers resolve renames at every depth (parquet
+                # PARQUET:field_id / ORC iceberg.id)
                 from .nested import stamp_arrow_field_ids
                 tb = sub.select(*data_cols).toArrow()
                 for i2, f2 in enumerate(tb.schema):
@@ -1461,14 +1476,22 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                                 "us", f2.type.tz or "UTC")))
                 idp = _ice_id_paths([f for f in schema["fields"]
                                      if f["name"] in data_cols])
-                tb = stamp_arrow_field_ids(tb,
-                                           lambda pth: idp.get(pth))
-                pq.write_table(tb, full)
+                if ext == "orc":
+                    from pyarrow import orc as pa_orc
+                    tb = stamp_arrow_field_ids(
+                        tb, lambda pth: idp.get(pth),
+                        id_key=b"iceberg.id")
+                    pa_orc.write_table(tb, full)
+                else:
+                    tb = stamp_arrow_field_ids(
+                        tb, lambda pth: idp.get(pth))
+                    pq.write_table(tb, full)
                 entries.append({"status": 1, "snapshot_id": snap_id,
                                 "sequence_number": None,
                                 "data_file": {
                                     "content": 0, "file_path": rel,
-                                    "file_format": "PARQUET",
+                                    "file_format":
+                                        file_format.upper(),
                                     "partition": dict(zip(part_fields,
                                                           key)),
                                     "record_count": tb.num_rows,

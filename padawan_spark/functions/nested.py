@@ -199,28 +199,25 @@ def remap_expr(col, src_t, dst_t):
 # nested footer trees (distributed, one job over the file list)
 # ---------------------------------------------------------------------------
 
-def _arrow_tree(field):
+def _arrow_tree(field, id_key=b"PARQUET:field_id"):
     """arrow field -> ``[fid, name, children]`` (JSON-serializable)."""
     import pyarrow as pa
     md = field.metadata or {}
-    fid = md.get(b"PARQUET:field_id")
+    fid = md.get(id_key)
     t = field.type
     kids = []
     if pa.types.is_struct(t):
-        kids = [_arrow_tree(t.field(i)) for i in range(t.num_fields)]
+        kids = [_arrow_tree(t.field(i), id_key)
+                for i in range(t.num_fields)]
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
-        kids = [_arrow_tree(t.value_field)]
+        kids = [_arrow_tree(t.value_field, id_key)]
     elif pa.types.is_map(t):
-        kids = [_arrow_tree(t.key_field), _arrow_tree(t.item_field)]
+        kids = [_arrow_tree(t.key_field, id_key),
+                _arrow_tree(t.item_field, id_key)]
     return [int(fid) if fid is not None else None, field.name, kids]
 
 
-def parquet_field_trees(spark, paths) -> dict:
-    """Nested sibling of :func:`.layouts.parquet_field_layouts`: ONE
-    distributed footer job -> ``{path: [tree, ...]}`` where each tree
-    is ``[field_id | None, name, children]`` — struct children are
-    the subfields, a list's child is its element, a map's children
-    are ``[key, value]``."""
+def _field_trees(spark, paths, fmt: str) -> dict:
     paths = sorted(set(paths))
     if not paths:
         return {}
@@ -229,11 +226,18 @@ def parquet_field_trees(spark, paths) -> dict:
         import json as _json
 
         import pandas as pd
-        import pyarrow.parquet as pq
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                trees = [_arrow_tree(f) for f in pq.read_schema(p)]
+                if fmt == "orc":
+                    import pyarrow.orc as po
+                    flds = list(po.ORCFile(p).schema)
+                    key = b"iceberg.id"
+                else:
+                    import pyarrow.parquet as pq
+                    flds = list(pq.read_schema(p))
+                    key = b"PARQUET:field_id"
+                trees = [_arrow_tree(f, key) for f in flds]
                 rows.append((p, _json.dumps(trees)))
             yield pd.DataFrame(rows, columns=["path", "layout"])
 
@@ -243,6 +247,22 @@ def parquet_field_trees(spark, paths) -> dict:
            .repartition(n, "path")
            .mapInPandas(_tap, "path string, layout string"))
     return {r["path"]: json.loads(r["layout"]) for r in fdf.collect()}
+
+
+def parquet_field_trees(spark, paths) -> dict:
+    """Nested sibling of :func:`.layouts.parquet_field_layouts`: ONE
+    distributed footer job -> ``{path: [tree, ...]}`` where each tree
+    is ``[field_id | None, name, children]`` — struct children are
+    the subfields, a list's child is its element, a map's children
+    are ``[key, value]``."""
+    return _field_trees(spark, paths, "parquet")
+
+
+def orc_field_trees(spark, paths) -> dict:
+    """ORC twin of :func:`parquet_field_trees` (r13): field ids from
+    the ``iceberg.id`` type attributes the spec's ORC appendix
+    mandates, nested levels included."""
+    return _field_trees(spark, paths, "orc")
 
 
 def match_tree_delta(t, node):
@@ -445,12 +465,13 @@ def arrow_logical_view(arr, t_json):
 # arrow field-id stamping for the fixture writers (nested-aware)
 # ---------------------------------------------------------------------------
 
-def stamp_arrow_field_ids(table, id_of):
-    """Cast ``table`` so every field at every depth carries a
-    ``PARQUET:field_id`` from ``id_of(path_tuple) -> int | None``
+def stamp_arrow_field_ids(table, id_of, id_key=b"PARQUET:field_id"):
+    """Cast ``table`` so every field at every depth carries a field
+    id under ``id_key`` from ``id_of(path_tuple) -> int | None``
     (``path_tuple`` is the dotted logical path; list elements appear
     as ``'element'``, map keys/values as ``'key'``/``'value'``).
-    ``None`` leaves a field unstamped."""
+    ``None`` leaves a field unstamped.  ``id_key=b"iceberg.id"`` is
+    the ORC form (the spec's ORC appendix)."""
     import pyarrow as pa
 
     def _stamp(field, path):
@@ -466,7 +487,7 @@ def stamp_arrow_field_ids(table, id_of):
         fid = id_of(path)
         md = dict(field.metadata or {})
         if fid is not None:
-            md[b"PARQUET:field_id"] = str(fid).encode()
+            md[id_key] = str(fid).encode()
         return pa.field(field.name, t, field.nullable, md or None)
 
     sch = pa.schema([_stamp(f, (f.name,)) for f in table.schema])

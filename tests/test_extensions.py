@@ -3383,10 +3383,13 @@ def test_iceberg_nested_added_inner_field_null_fills(spark,
     assert rows[10]["a"] == 20 and rows[10]["extra"] == 17
 
 
-def test_iceberg_nested_gates(spark, tmp_path):
-    """r13: the honest gates — evolved nested tables with ORC/Avro
-    data files, nested fixture columns under transform partitioning
-    or non-parquet formats — raise loudly instead of misreading."""
+def test_iceberg_nested_gates_and_orc(spark, tmp_path):
+    """r13: the honest gates — evolved nested tables with AVRO data
+    files, nested fixture columns under transform partitioning or
+    Avro format — raise loudly; ORC nested tables READ (nested
+    ``iceberg.id`` attributes round-trip through pyarrow's ORC
+    writer), including mixed parquet+ORC under an evolved nested
+    schema."""
     import pyspark.sql.functions as SF
     import pytest as _pytest
     from padawan_spark.functions.iceberg import (
@@ -3394,19 +3397,18 @@ def test_iceberg_nested_gates(spark, tmp_path):
         write_iceberg_fixture)
     df = _nested_df(spark).drop("g")
     with _pytest.raises(NotImplementedError,
-                        match="identity-partitioned PARQUET"):
+                        match="PARQUET or ORC"):
         write_iceberg_fixture(spark, df, str(tmp_path / "x1"),
-                              file_format="orc")
+                              file_format="avro")
     with _pytest.raises(NotImplementedError,
-                        match="identity-partitioned PARQUET"):
+                        match="PARQUET or ORC"):
         write_iceberg_fixture(spark, df, str(tmp_path / "x2"),
                               partition_by=("bucket(4, k)",))
-    # evolved + ORC data + nested columns -> loud gate on read: the
-    # old ORC file carries forward into a snapshot whose schema has
-    # a nested column, and ORC footer TREES are not implemented
+    # evolved + AVRO data + nested columns -> loud gate on read: the
+    # old Avro file carries into a snapshot whose schema is nested
     t = str(tmp_path / "x3")
     flat = spark.range(3).select(SF.col("id").alias("k"))
-    write_iceberg_fixture(spark, flat, t, file_format="orc")
+    write_iceberg_fixture(spark, flat, t, file_format="avro")
     evolve_iceberg_schema_fixture(
         t, add_columns=[("st", {
             "type": "struct", "fields": [
@@ -3417,8 +3419,25 @@ def test_iceberg_nested_gates(spark, tmp_path):
             SF.col("id").alias("k"),
             SF.struct((SF.col("id") * 2).alias("a")).alias("st")), t)
     with _pytest.raises(NotImplementedError,
-                        match="parquet data files only"):
+                        match="Avro nested"):
         read_iceberg(spark, t).collect()
+    # MIXED parquet + ORC under an evolved NESTED schema reads: both
+    # formats' footer trees resolve the renamed inner fields
+    t2 = str(tmp_path / "x4")
+
+    def mk(rng, a):
+        return rng.select(
+            SF.col("id").alias("k"),
+            SF.struct((SF.col("id") * 2).alias(a)).alias("st"))
+
+    write_iceberg_fixture(spark, mk(spark.range(3), "a"), t2,
+                          file_format="orc")
+    evolve_iceberg_schema_fixture(t2, renames={"st.a": "alpha"})
+    write_iceberg_fixture(spark, mk(spark.range(10, 12), "alpha"),
+                          t2, file_format="parquet")
+    rows = {r["k"]: r["st"]["alpha"]
+            for r in read_iceberg(spark, t2).collect()}
+    assert rows == {0: 0, 1: 2, 2: 4, 10: 20, 11: 22}
 
 
 def test_delta_cdf_stream_nested_all_mapping_modes(spark, tmp_path):
