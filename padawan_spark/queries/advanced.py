@@ -2141,7 +2141,7 @@ def src_hudi_log_block_formats(spark, sf_dir):
     write_hudi_delta_fixture(
         spark, t, upserts=n.where(F.col("k") % 4 == 0)
         .withColumn("v", F.lit(-1).cast("bigint")),
-        block_format="hfile")
+        block_format="hfile/lz4/diff")   # r13: encoded + compressed
     write_hudi_delta_fixture(
         spark, t, upserts=n.where(F.col("k") % 5 == 0)
         .withColumn("v", F.lit(-2).cast("bigint")),

@@ -382,12 +382,16 @@ def streaming_iceberg_appends(spark, sf_dir):
     t = os.path.join(tempfile.mkdtemp(prefix="padawan_siapp_"),
                      "tbl")
     s1 = write_iceberg_fixture(spark, n, t, partition_by=("g",))
+    # r13: FAST-APPEND commits (the real-writer shape — the new
+    # manifest holds only the new adds, prior manifests carry
+    # verbatim) so the driver check covers the carried-manifest
+    # incremental planner
     write_iceberg_fixture(spark, n.select(
         (F.col("k") + 300).alias("k"), F.col("g")), t,
-        partition_by=("g",))
+        partition_by=("g",), fast_append=True)
     write_iceberg_fixture(spark, n.select(
         (F.col("k") + 600).alias("k"), F.col("g")), t,
-        partition_by=("g",))
+        partition_by=("g",), fast_append=True)
     src = (spark.readStream.format("padawan_iceberg_appends")
            .option("path", t).option("startingSnapshotId", s1)
            .option("maxSnapshotsPerTrigger", 1).load())
