@@ -302,7 +302,11 @@ def _decode_blocks(b: bytes, pos: int, end: int, specs, codec,
                     if idx == null_idx:   # the declared null branch
                         row.append(None)
                         continue
-                v, bp = _read_value(block, bp, typ)
+                # complex types (record/array/map — r13, nested
+                # columns) route through the generic datum decoder
+                v, bp = (_read_value(block, bp, typ)
+                         if isinstance(typ, str)
+                         else read_datum(block, bp, typ))
                 row.append(v)
             rows.append(tuple(row))
     return rows
@@ -425,7 +429,10 @@ def encode_avro_py(fields, rows, codec: str = "null",
                         body += _zigzag_encode(0)
                         continue
                     body += _zigzag_encode(1)
-                _write_value(body, v, typ)
+                if isinstance(typ, str):
+                    _write_value(body, v, typ)
+                else:
+                    write_datum(body, v, typ)   # nested (r13)
         payload = (zlib.compress(bytes(body))[2:-4] if codec == "deflate"
                    else bytes(body))
         out += _zigzag_encode(len(chunk))
@@ -439,6 +446,37 @@ AVRO_TO_SPARK = {"boolean": "boolean", "int": "int", "long": "bigint",
                  "string": "string", "bytes": "binary"}
 
 
+def avro_type_ddl(t) -> str:
+    """Avro type -> Spark DDL, recursive (r13: record/array/map —
+    nested Avro columns read natively); [null, T] unions unwrap;
+    ``fixed`` scans as binary; logical-type annotations gate."""
+    t, _nl = _norm_type(t)
+    if isinstance(t, str):
+        if t in AVRO_TO_SPARK:
+            return AVRO_TO_SPARK[t]
+        raise NotImplementedError(f"avro type {t!r}")
+    if isinstance(t, dict):
+        if "logicalType" in t:
+            raise NotImplementedError(
+                f"avro logicalType {t['logicalType']!r} in the "
+                "generic source (decode it via the Hudi log path)")
+        kind = t.get("type")
+        if kind == "record":
+            return "struct<" + ", ".join(
+                f"`{f['name']}`: {avro_type_ddl(f['type'])}"
+                for f in t["fields"]) + ">"
+        if kind == "array":
+            return f"array<{avro_type_ddl(t['items'])}>"
+        if kind == "map":
+            return f"map<string, {avro_type_ddl(t['values'])}>"
+        if kind == "fixed":
+            return "binary"
+        if isinstance(kind, str) and kind in AVRO_TO_SPARK:
+            return AVRO_TO_SPARK[kind]
+    raise NotImplementedError(f"avro type {t!r}")
+
+
 def avro_spark_schema(fields) -> str:
     """DDL schema string for a field-spec list."""
-    return ", ".join(f"{n} {AVRO_TO_SPARK[t]}" for n, t, _nl in fields)
+    return ", ".join(f"`{n}` {avro_type_ddl(t)}"
+                     for n, t, _nl in fields)
