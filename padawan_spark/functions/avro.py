@@ -139,8 +139,10 @@ def write_datum(out: bytearray, v, typ) -> None:
             return
         if kind == "map":
             if v:
+                # dicts AND list-of-pairs (arrow's to_pylist form)
+                items = v.items() if isinstance(v, dict) else v
                 out += _zigzag_encode(len(v))
-                for k, val in v.items():
+                for k, val in items:
                     _write_value(out, k, "string")
                     write_datum(out, val, typ["values"])
             out += _zigzag_encode(0)

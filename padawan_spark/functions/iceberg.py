@@ -1138,6 +1138,38 @@ def _spark_json_to_ice(t, counter):
     raise NotImplementedError(f"iceberg fixture type {t!r}")
 
 
+def _ice_to_avro(t, name_hint: str):
+    """Iceberg schema-JSON type -> Avro schema (fixture writer,
+    r13): struct -> record with nullable fields, list -> array,
+    map -> map (string keys, per Avro)."""
+    _i2a = {"long": "long", "int": "int", "string": "string",
+            "double": "double", "float": "float",
+            "boolean": "boolean"}
+    if isinstance(t, str):
+        if t in _i2a:
+            return _i2a[t]
+        raise NotImplementedError(f"avro fixture leaf type {t!r}")
+    k = t["type"]
+    if k == "struct":
+        return {"type": "record", "name": name_hint, "fields": [
+            {"name": f["name"],
+             "type": ["null",
+                      _ice_to_avro(f["type"],
+                                   f"{name_hint}_{f['name']}")]}
+            for f in t["fields"]]}
+    if k == "list":
+        return {"type": "array",
+                "items": _ice_to_avro(t["element"],
+                                      name_hint + "_e")}
+    if k == "map":
+        if t["key"] != "string":
+            raise NotImplementedError(
+                "avro maps require string keys")
+        return {"type": "map",
+                "values": _ice_to_avro(t["value"], name_hint + "_v")}
+    raise NotImplementedError(f"avro fixture type {t!r}")
+
+
 def _ice_id_paths(fields_json, prefix=()):
     """``{written_path_tuple: field_id}`` over an Iceberg schema —
     the key shape :func:`.nested.stamp_arrow_field_ids` consumes
@@ -1405,12 +1437,11 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     has_nested = (df is not None
                   and any(not isinstance(fld_json.get(c, ""), str)
                           for c in df.columns))
-    if has_nested and (non_identity
-                       or file_format.lower()
-                       not in ("parquet", "orc")):
+    if has_nested and non_identity:
         raise NotImplementedError(
             "iceberg fixture: nested columns are supported for "
-            "identity-partitioned PARQUET or ORC data files only")
+            "identity-partitioned layouts only (PARQUET, ORC or "
+            "AVRO data files)")
     if df is not None and non_identity:
         # transform layout: evaluate the spec transforms per row on
         # the driver (the fixture writer is a test double), one data
@@ -1460,7 +1491,7 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             ext = file_format.lower()
             rel = f"data/snap{snap_id}-{ki}.{ext}"
             full = os.path.join(path, rel)
-            if has_nested:
+            if has_nested and ext != "avro":
                 # nested columns (r13): Arrow path — pandas cannot
                 # carry structs faithfully; nested field ids stamp
                 # from the schema's own id assignment so id-matching
@@ -1499,23 +1530,42 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                                         os.path.getsize(full),
                                     "equality_ids": None}})
                 continue
-            pdf = sub.select(*data_cols).toPandas()
+            pdf = (None if has_nested
+                   else sub.select(*data_cols).toPandas())
             if ext == "avro":
                 from .avro import encode_avro_py
                 a_map = {"bigint": "long", "int": "int",
                          "double": "double", "float": "float",
                          "string": "string", "boolean": "boolean"}
-                bad = [c for c in data_cols if types[c] not in a_map]
-                if bad:
-                    raise NotImplementedError(
-                        f"avro fixture over columns {bad}")
-                aspec = [(c, a_map[types[c]], True)
-                         for c in data_cols]
-                rows_py = [tuple(None if v_ != v_ else
-                                 (v_.item() if hasattr(v_, "item")
-                                  else v_)
-                                 for v_ in row)
-                           for row in pdf.itertuples(index=False)]
+                jt = {f["name"]: f["type"]
+                      for f in schema["fields"]}
+
+                def _avro_of(c):
+                    # nested columns (r13): iceberg JSON -> avro
+                    # schema; flat columns keep the primitive table
+                    if isinstance(jt[c], str):
+                        if types[c] not in a_map:
+                            raise NotImplementedError(
+                                f"avro fixture over column {c} of "
+                                f"type {types[c]!r}")
+                        return a_map[types[c]]
+                    return _ice_to_avro(jt[c], f"t_{c}")
+
+                aspec = [(c, _avro_of(c), True) for c in data_cols]
+                if any(not isinstance(jt[c], str)
+                       for c in data_cols):
+                    # nested rows via Arrow (pandas mangles structs)
+                    recs = (sub.select(*data_cols).toArrow()
+                            .to_pylist())
+                    rows_py = [tuple(r[c] for c in data_cols)
+                               for r in recs]
+                else:
+                    rows_py = [tuple(None if v_ != v_ else
+                                     (v_.item()
+                                      if hasattr(v_, "item")
+                                      else v_)
+                                     for v_ in row)
+                               for row in pdf.itertuples(index=False)]
                 with open(full, "wb") as fh:
                     # field-id attributes: the Iceberg Avro writers'
                     # column-resolution key (r11)
@@ -1543,7 +1593,9 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                                 "file_format": file_format.upper(),
                                 "partition": dict(zip(part_fields,
                                                       key)),
-                                "record_count": pdf.shape[0],
+                                "record_count":
+                                    (pdf.shape[0] if pdf is not None
+                                     else len(rows_py)),
                                 "file_size_in_bytes":
                                     os.path.getsize(full),
                                 "equality_ids": None}})

@@ -3262,6 +3262,35 @@ def test_avro_source_nested_columns(spark, tmp_path):
     assert out[3]["mp"]["m"] == 15
 
 
+def test_iceberg_avro_nested_data_files(spark, tmp_path):
+    """r13: NESTED columns in AVRO data files — the fixture converts
+    the Iceberg schema to an Avro record schema (nullable nested
+    fields, arrays, string-keyed maps) and the read path decodes
+    through the nested-aware padawan_avro source."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (read_iceberg,
+                                                 write_iceberg_fixture)
+    df = spark.range(5).select(
+        SF.col("id").alias("k"),
+        SF.struct((SF.col("id") * 2).alias("a"),
+                  SF.struct((SF.col("id") + 100).alias("deep"))
+                  .alias("inner")).alias("st"),
+        SF.array(SF.struct((SF.col("id") * 3).alias("p")))
+        .alias("ar"),
+        SF.create_map(SF.lit("x"), SF.col("id") * 5).alias("mp"),
+        (SF.col("id") % 2).alias("g"))
+    t = str(tmp_path / "iavn")
+    write_iceberg_fixture(spark, df, t, partition_by=("g",),
+                          file_format="avro")
+    rows = sorted(read_iceberg(spark, t).collect(),
+                  key=lambda r: r["k"])
+    assert len(rows) == 5
+    r3 = rows[3]
+    assert r3["st"]["a"] == 6
+    assert r3["st"]["inner"]["deep"] == 103
+    assert r3["ar"][0]["p"] == 9 and r3["mp"]["x"] == 15
+
+
 def test_iceberg_nested_roundtrip_and_deletes(spark, tmp_path):
     """r13 (VERDICT task 1): struct/array/map columns round trip
     through the Iceberg fixture writer and reader (nested parquet
@@ -3427,12 +3456,12 @@ def test_iceberg_nested_added_inner_field_null_fills(spark,
 
 
 def test_iceberg_nested_gates_and_orc(spark, tmp_path):
-    """r13: the honest gates — evolved nested tables with AVRO data
-    files, nested fixture columns under transform partitioning or
-    Avro format — raise loudly; ORC nested tables READ (nested
+    """r13: the honest gates — SCHEMA-EVOLVED nested tables with
+    AVRO data files, and nested fixture columns under transform
+    partitioning — raise loudly; ORC nested tables READ (nested
     ``iceberg.id`` attributes round-trip through pyarrow's ORC
     writer), including mixed parquet+ORC under an evolved nested
-    schema."""
+    schema; unevolved nested AVRO reads (separate test)."""
     import pyspark.sql.functions as SF
     import pytest as _pytest
     from padawan_spark.functions.iceberg import (
@@ -3440,11 +3469,7 @@ def test_iceberg_nested_gates_and_orc(spark, tmp_path):
         write_iceberg_fixture)
     df = _nested_df(spark).drop("g")
     with _pytest.raises(NotImplementedError,
-                        match="PARQUET or ORC"):
-        write_iceberg_fixture(spark, df, str(tmp_path / "x1"),
-                              file_format="avro")
-    with _pytest.raises(NotImplementedError,
-                        match="PARQUET or ORC"):
+                        match="identity-partitioned layouts"):
         write_iceberg_fixture(spark, df, str(tmp_path / "x2"),
                               partition_by=("bucket(4, k)",))
     # evolved + AVRO data + nested columns -> loud gate on read: the
