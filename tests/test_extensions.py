@@ -3130,6 +3130,73 @@ def test_delta_nested_all_mapping_modes(spark, tmp_path):
     assert got[2] is None and got[1]["a"] == 5
 
 
+def test_delta_nested_random_shapes_roundtrip(spark, tmp_path):
+    """r13: randomized nested-schema shapes (structs nested in
+    arrays/maps/structs to depth 3, deterministic seeds) round-trip
+    through the fixture writer and reader in name AND id mapping
+    modes — shape edge cases the hand-built fixtures don't cover."""
+    import random as _random
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (read_delta,
+                                               write_delta_fixture)
+
+    def rand_type(rnd, depth):
+        kinds = ["long", "string"]
+        if depth > 0:
+            kinds += ["struct", "array", "map"]
+        k = rnd.choice(kinds)
+        if k == "struct":
+            n = rnd.randint(1, 3)
+            return {"struct": [(f"f{i}", rand_type(rnd, depth - 1))
+                               for i in range(n)]}
+        if k == "array":
+            return {"array": rand_type(rnd, depth - 1)}
+        if k == "map":
+            return {"map": rand_type(rnd, depth - 1)}
+        return k
+
+    def expr(t, base):
+        if t == "long":
+            return base
+        if t == "string":
+            return SF.concat(SF.lit("s"), base.cast("string"))
+        if "struct" in t:
+            return SF.struct(*[expr(ft, base + i).alias(fn)
+                               for i, (fn, ft)
+                               in enumerate(t["struct"])])
+        if "array" in t:
+            return SF.array(expr(t["array"], base),
+                            expr(t["array"], base + 1))
+        return SF.create_map(SF.lit("k"), expr(t["map"], base))
+
+    def canon(v):
+        # Row/dict/list-normalize for comparison
+        if hasattr(v, "asDict"):
+            return {k2: canon(x) for k2, x in v.asDict().items()}
+        if isinstance(v, dict):
+            return {k2: canon(x) for k2, x in v.items()}
+        if isinstance(v, list):
+            return [canon(x) for x in v]
+        return v
+
+    for seed in (1, 7, 23):
+        rnd = _random.Random(seed)
+        types = [rand_type(rnd, 3) for _ in range(3)]
+        df = spark.range(4).select(
+            SF.col("id").alias("k"),
+            *[expr(t, SF.col("id") * (i + 2)).alias(f"c{i}")
+              for i, t in enumerate(types)])
+        want = {r["k"]: canon(r.asDict())
+                for r in df.collect()}
+        for cm in ("name", "id"):
+            t = str(tmp_path / f"rr_{seed}_{cm}")
+            write_delta_fixture(spark, df, t, column_mapping=cm)
+            got = {r["k"]: canon(r.asDict())
+                   for r in read_delta(spark, t).collect()}
+            assert got == want, (seed, cm)
+
+
 def test_delta_nested_id_mode_resolves_inner_by_field_id(spark,
                                                          tmp_path):
     """r13: id-mode matching goes THROUGH nesting — a data file whose
