@@ -455,9 +455,16 @@ def read_delta(spark, path: str, version: int | None = None,
             by_fid = {t0[0]: t0 for t0 in trees if t0[0] is not None}
             m = {}
             for f in data_fields:
-                fid = int((f.get("metadata") or {})
-                          ["delta.columnMapping.id"])
-                node = by_fid.get(fid)
+                fid = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.id")
+                if fid is None:
+                    # the deliberate gate, not a bare KeyError
+                    # (ADVICE r13): an id-mapped table whose field
+                    # lacks the id metadata is malformed
+                    raise NotImplementedError(
+                        f"id-mapped table field {f['name']!r} lacks "
+                        "delta.columnMapping.id metadata")
+                node = by_fid.get(int(fid))
                 if node is None:
                     continue
                 pt = (match_tree_delta(f["type"], node)
@@ -1215,9 +1222,15 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
             m = {}
             for n in data_fields:
                 f = fld_json[n]
-                fid = int((f.get("metadata") or {})
-                          ["delta.columnMapping.id"])
-                node = by_fid.get(fid)
+                fid = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.id")
+                if fid is None:
+                    # the deliberate gate, not a bare KeyError
+                    # (ADVICE r13)
+                    raise NotImplementedError(
+                        f"id-mapped table field {n!r} lacks "
+                        "delta.columnMapping.id metadata")
+                node = by_fid.get(int(fid))
                 if node is None:
                     continue
                 pt = (match_tree_delta(f["type"], node)

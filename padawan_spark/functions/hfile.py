@@ -229,7 +229,19 @@ def _hadoop_block_codec_decompress(data: bytes, uncompressed_len: int,
         while got < orig:
             (clen,) = struct.unpack_from(">i", data, pos)
             pos += 4
+            if clen <= 0:
+                raise ValueError(
+                    f"hadoop block codec: non-positive segment "
+                    f"length {clen} at offset {pos - 4}")
             chunk = one(data[pos:pos + clen], orig - got)
+            if not chunk:
+                # a truncated/empty segment would leave `got`
+                # unchanged and loop forever on untrusted input
+                # (ADVICE r13) — fail loudly instead
+                raise ValueError(
+                    "hadoop block codec: segment at offset "
+                    f"{pos} decompressed to zero bytes "
+                    f"({got}/{orig} recovered)")
             pos += clen
             out += chunk
             got += len(chunk)
@@ -546,10 +558,22 @@ def _encode_fast_diff(cells_kv: list[tuple[bytes, bytes]]) -> bytes:
             row_with_size = row_len + 2
             if common < prev_row_len + 2:
                 # send the rest of the row-length short + row, elide
-                # the family, send the qualifier
+                # the family, send the qualifier.  Eliding copies the
+                # PREVIOUS cell's family at decode, so it is only
+                # byte-correct when the current cell's family section
+                # matches — two families in one block would round-trip
+                # to a silently wrong key (ADVICE r13): gate loudly.
                 body += key[common:row_with_size]
                 fam_len = key[row_with_size]
                 q_start = row_with_size + 1 + fam_len
+                prev_rws = prev_row_len + 2
+                if (key[row_with_size:q_start]
+                        != prev_key[prev_rws:prev_rws + 1
+                                    + prev_fam_len]):
+                    raise NotImplementedError(
+                        "FAST_DIFF encoder: adjacent cells with "
+                        "different column families are unsupported "
+                        "(family elision would corrupt the key)")
                 body += key[q_start:key_len - 9]
             else:
                 body += key[common:key_len - 9]

@@ -590,7 +590,15 @@ def added_data_files(path: str, snapshot_id: int):
         with open(_resolve(m["manifest_path"], path), "rb") as fh:
             _s2, entries = decode_avro_datums(fh.read())
         for e in entries:
-            if e.get("snapshot_id") != snapshot_id:
+            # spec: an entry's snapshot_id is INHERITED from the
+            # manifest-list row's added_snapshot_id when null — real
+            # writers emit null (the manifest is written before the
+            # commit id is final), so skipping null entries would
+            # silently plan ZERO files for real tables (ADVICE r13)
+            eid = e.get("snapshot_id")
+            if eid is None:
+                eid = asid if asid is not None else snapshot_id
+            if eid != snapshot_id:
                 continue                # EXISTING rows folded forward
             if e.get("status") == 2:
                 removed = True

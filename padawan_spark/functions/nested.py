@@ -299,10 +299,37 @@ def match_tree_delta(t, node):
                 "elementType": match_tree_delta(t["elementType"],
                                                 elem)}
     if k == "map":
+        # a struct inside a MAP KEY can't resolve in id mode: the
+        # file stores PHYSICAL inner names and keys are not
+        # remappable in place, so passing the logical keyType
+        # through would build scan DDL with logical inner names and
+        # read silent NULLs — gate loudly, mirroring
+        # :func:`remap_needed`'s name-mode gate (ADVICE r13)
+        if _contains_struct(t["keyType"]):
+            raise NotImplementedError(
+                "column-mapped struct inside a MAP KEY is "
+                "unsupported (keys are not remappable in place)")
         val = kids[1] if len(kids) > 1 else None
         return {"type": "map", "keyType": t["keyType"],
                 "valueType": match_tree_delta(t["valueType"], val)}
     raise NotImplementedError(f"unsupported delta type {t!r}")
+
+
+def _contains_struct(t) -> bool:
+    """True when the schema-JSON type ``t`` carries a struct at any
+    depth (the shapes whose field names differ between the logical
+    and physical schemas under column mapping)."""
+    if isinstance(t, str):
+        return False
+    k = t.get("type")
+    if k == "struct":
+        return True
+    if k == "array":
+        return _contains_struct(t["elementType"])
+    if k == "map":
+        return (_contains_struct(t["keyType"])
+                or _contains_struct(t["valueType"]))
+    return False
 
 
 def match_tree_ice(t, node, name_key="name"):

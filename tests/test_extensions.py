@@ -3979,3 +3979,150 @@ def test_hudi_replacecommit_clustering(spark, tmp_path):
           for r in read_hudi(spark, t, as_of=d1).collect()}
     assert gd[0] == 77 and len(gd) == 10
     assert read_hudi(spark, t, as_of=r1).count() == 10
+
+
+def test_iceberg_added_entries_inherit_null_snapshot_id(spark,
+                                                        tmp_path):
+    """ADVICE r13: a manifest entry's ``snapshot_id`` is INHERITED
+    from the manifest-list row's ``added_snapshot_id`` when null —
+    real writers emit null because the manifest is serialized before
+    the commit id is final.  Planning must treat a null-id entry in
+    a manifest the snapshot added as the snapshot's own, for both
+    ADDED (status=1) and DELETED (status=2) entries."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.avro import (decode_avro_datums,
+                                              encode_avro_datums)
+    from padawan_spark.functions.iceberg import (_latest_metadata,
+                                                 _resolve,
+                                                 added_data_files,
+                                                 write_iceberg_fixture)
+    import json as _json
+    import uuid as _uuid
+    t = str(tmp_path / "inh")
+    write_iceberg_fixture(spark, spark.range(4).select(
+        SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")), t,
+        partition_by=("g",))
+    s2 = write_iceberg_fixture(spark, spark.range(10, 12).select(
+        SF.col("id").alias("k"), SF.lit(0).alias("g")), t,
+        partition_by=("g",), fast_append=True)
+    before, rm0 = added_data_files(t, s2)
+    assert before and not rm0
+    # null out EVERY entry snapshot_id in the manifests snapshot 2
+    # added — the wire shape a real writer produces
+    with open(_latest_metadata(t)) as fh:
+        meta = _json.load(fh)
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == s2)
+    with open(_resolve(snap["manifest-list"], t), "rb") as fh:
+        msch, mrows = decode_avro_datums(fh.read())
+    patched = 0
+    for m in mrows:
+        if m.get("added_snapshot_id") != s2:
+            continue
+        mp = _resolve(m["manifest_path"], t)
+        with open(mp, "rb") as fh:
+            esch, entries = decode_avro_datums(fh.read())
+        for e in entries:
+            e["snapshot_id"] = None
+            patched += 1
+        with open(mp, "wb") as fh:
+            fh.write(encode_avro_datums(esch, entries))
+    assert patched > 0
+    after, rm1 = added_data_files(t, s2)
+    assert after == before and not rm1
+    # the appends stream plans through the same path — it must still
+    # drain the null-id snapshot's rows
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    name = "inh_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_appends")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"] for r in spark.table(name).collect()}
+    assert got == {0, 1, 2, 3, 10, 11}
+
+
+def test_hfile_fast_diff_multi_family_gates():
+    """ADVICE r13: FAST_DIFF family elision copies the PREVIOUS
+    cell's family at decode — encoding adjacent cells with DIFFERENT
+    families must raise instead of round-tripping a silently wrong
+    key; equal non-empty families still round-trip byte-exactly."""
+    import struct
+
+    import pytest
+    from padawan_spark.functions.hfile import (_decode_fast_diff,
+                                               _encode_fast_diff)
+
+    def mk_key(row: bytes, fam: bytes, qual: bytes) -> bytes:
+        return (struct.pack(">h", len(row)) + row
+                + bytes([len(fam)]) + fam + qual
+                + struct.pack(">qb", 0x7FFFFFFFFFFFFFFF, 4))
+
+    # same family: fine (elision is byte-correct)
+    cells = [(mk_key(b"aaa", b"fam", b"q1"), b"v1"),
+             (mk_key(b"aab", b"fam", b"q2"), b"v2")]
+    enc = _encode_fast_diff(cells)
+    got = _decode_fast_diff(enc, False)     # returns (row, value)
+    assert got == [(b"aaa", b"v1"), (b"aab", b"v2")]
+    # different family on the second cell: the shared prefix ends
+    # inside the row, so the encoder would elide the family — gate
+    bad = [(mk_key(b"aaa", b"f1", b"q1"), b"v1"),
+           (mk_key(b"aab", b"f2", b"q2"), b"v2")]
+    with pytest.raises(NotImplementedError, match="famil"):
+        _encode_fast_diff(bad)
+
+
+def test_hadoop_block_codec_zero_progress_raises():
+    """ADVICE r13: a malformed Hadoop-framed segment that
+    decompresses to zero bytes (or declares a non-positive length)
+    must raise instead of looping forever on untrusted input."""
+    import struct
+
+    import pytest
+    from padawan_spark.functions.hfile import (
+        _hadoop_snappy_compress, _hadoop_snappy_decompress)
+    # sanity: well-formed frames still round-trip
+    data = b"hello hadoop framing" * 3
+    assert _hadoop_snappy_decompress(
+        _hadoop_snappy_compress(data), len(data)) == data
+    # snappy block b"\x00" = varint uncompressed-length 0 -> b""
+    empty_seg = struct.pack(">i", 10) + struct.pack(">i", 1) + b"\x00"
+    with pytest.raises(ValueError, match="zero bytes"):
+        _hadoop_snappy_decompress(empty_seg, 10)
+    neg_len = struct.pack(">i", 10) + struct.pack(">i", -4) + b"xxxx"
+    with pytest.raises(ValueError, match="non-positive"):
+        _hadoop_snappy_decompress(neg_len, 10)
+
+
+def test_nested_map_key_struct_gates_in_id_mode():
+    """ADVICE r13: ``match_tree_delta`` must gate a column-mapped
+    struct inside a MAP KEY loudly (mirroring ``remap_needed``'s
+    name-mode gate) instead of passing the logical keyType through
+    and reading silent NULLs."""
+    import pytest
+    from padawan_spark.functions.nested import match_tree_delta
+    key_struct = {"type": "struct", "fields": [
+        {"name": "a", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 7,
+                      "delta.columnMapping.physicalName": "c7"}}]}
+    t = {"type": "map", "keyType": key_struct, "valueType": "long",
+         "valueContainsNull": True}
+    node = [1, "m", [[None, "key", [[7, "c7", []]]],
+                     [None, "value", []]]]
+    with pytest.raises(NotImplementedError, match="MAP KEY"):
+        match_tree_delta(t, node)
+    # a struct nested DEEPER in the key (array<struct>) gates too
+    t2 = {"type": "map",
+          "keyType": {"type": "array", "elementType": key_struct,
+                      "containsNull": True},
+          "valueType": "long", "valueContainsNull": True}
+    with pytest.raises(NotImplementedError, match="MAP KEY"):
+        match_tree_delta(t2, node)
+    # plain scalar keys pass through untouched
+    t3 = {"type": "map", "keyType": "string", "valueType": "long",
+          "valueContainsNull": True}
+    out = match_tree_delta(t3, node)
+    assert out["keyType"] == "string"
