@@ -333,26 +333,221 @@ def live_hudi_files(path: str, as_of: str | None = None):
 _LOG_SAFE = ("bigint", "int", "smallint", "tinyint", "double",
              "float", "string", "boolean", "timestamp", "date")
 
-# nested payloads (r10): arrays and flat structs of non-temporal
-# primitives ride the generic Avro datum codec; temporal values
-# inside nested types would need per-element logical-type conversion
-# and stay gated
-_LOG_SAFE_NESTED = tuple(t for t in _LOG_SAFE
-                         if t not in ("timestamp", "date"))
+
+def _split_top(s: str) -> list[str]:
+    """Split a DDL type-list string on commas at bracket depth 0."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur or out:
+        out.append("".join(cur))
+    return out
+
+
+def _parse_ddl_type(t: str):
+    """Spark DDL simple-string type -> tree: ``("prim", name)`` |
+    ``("array", elem)`` | ``("map", key, value)`` | ``("struct",
+    [(field_name, tree), ...])`` — the shape every nested log-payload
+    helper below walks (r14)."""
+    t = t.strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return ("array", _parse_ddl_type(t[6:-1]))
+    if t.startswith("map<") and t.endswith(">"):
+        parts = _split_top(t[4:-1])
+        if len(parts) != 2:
+            raise ValueError(f"malformed map type {t!r}")
+        return ("map", _parse_ddl_type(parts[0]),
+                _parse_ddl_type(parts[1]))
+    if t.startswith("struct<") and t.endswith(">"):
+        fields = []
+        for part in _split_top(t[7:-1]):
+            name, sep, ft = part.partition(":")
+            if not sep:
+                raise ValueError(f"malformed struct field {part!r}")
+            fields.append((name.strip(), _parse_ddl_type(ft)))
+        return ("struct", fields)
+    return ("prim", t)
+
+
+def _avroize_value(v):
+    """Python value -> Avro-datum shape, recursively: temporal
+    leaves become their logical-type ints (micros / epoch days),
+    Rows become dicts (r14)."""
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        return ((v - _dt.datetime(1970, 1, 1))
+                // _dt.timedelta(microseconds=1))
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, dict):
+        return {k: _avroize_value(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        try:
+            from pyspark.sql import Row as _Row
+            if isinstance(v, _Row):
+                return {k: _avroize_value(x)
+                        for k, x in v.asDict().items()}
+        except ImportError:
+            pass
+        return [_avroize_value(x) for x in v]
+    return v
+
+
+def _tree_has_map(tree) -> bool:
+    k = tree[0]
+    if k == "map":
+        return True
+    if k == "array":
+        return _tree_has_map(tree[1])
+    if k == "struct":
+        return any(_tree_has_map(ft) for _n, ft in tree[1])
+    return False
+
+
+def _tree_has_temporal(tree) -> bool:
+    k = tree[0]
+    if k == "prim":
+        return tree[1] in ("timestamp", "date")
+    if k == "array":
+        return _tree_has_temporal(tree[1])
+    if k == "map":
+        return (_tree_has_temporal(tree[1])
+                or _tree_has_temporal(tree[2]))
+    if k == "struct":
+        return any(_tree_has_temporal(ft) for _n, ft in tree[1])
+    return False
+
+
+def _pa_log_type(tree, physical: bool):
+    """pyarrow type of a DDL tree; ``physical=True`` keeps temporal
+    leaves as their Avro logical-type ints (int64 micros / int32
+    epoch days) — the shape avroized fixture records carry, cast to
+    the logical type when a parquet data block writes REAL temporal
+    values (r14)."""
+    import pyarrow as pa
+    k = tree[0]
+    if k == "prim":
+        t = tree[1]
+        if t == "timestamp":
+            return pa.int64() if physical else pa.timestamp("us",
+                                                            "UTC")
+        if t == "date":
+            return pa.int32() if physical else pa.date32()
+        prims = {"bigint": pa.int64(), "int": pa.int32(),
+                 "smallint": pa.int16(), "tinyint": pa.int8(),
+                 "double": pa.float64(), "float": pa.float32(),
+                 "string": pa.string(), "boolean": pa.bool_()}
+        if t not in prims:
+            raise NotImplementedError(
+                f"unsupported log payload leaf type {t!r}")
+        return prims[t]
+    if k == "array":
+        return pa.list_(_pa_log_type(tree[1], physical))
+    if k == "map":
+        return pa.map_(_pa_log_type(tree[1], physical),
+                       _pa_log_type(tree[2], physical))
+    if k == "struct":
+        return pa.struct([(n, _pa_log_type(ft, physical))
+                          for n, ft in tree[1]])
+    raise NotImplementedError(f"unsupported log payload tree {tree!r}")
 
 
 def _log_safe_type(t: str) -> bool:
-    if t in _LOG_SAFE:
-        return True
-    m = re.match(r"^array<(\w+)>$", t)
-    if m:
-        return m.group(1) in _LOG_SAFE_NESTED
-    m = re.match(r"^struct<(.+)>$", t)
-    if m and "<" not in m.group(1):
-        return all(
-            ":" in f and f.split(":")[1] in _LOG_SAFE_NESTED
-            for f in m.group(1).split(","))
-    return False
+    """True when the payload type rides the log codecs: any nesting
+    of array/struct/map over the safe primitives — temporal leaves
+    INSIDE nested types included (r14, VERDICT r13 task 1: they
+    convert per element through :func:`_temporal_reviver`).  Avro
+    maps key by string, so only string map keys qualify."""
+    def ok(tree) -> bool:
+        k = tree[0]
+        if k == "prim":
+            return tree[1] in _LOG_SAFE
+        if k == "array":
+            return ok(tree[1])
+        if k == "map":
+            return tree[1] == ("prim", "string") and ok(tree[2])
+        if k == "struct":
+            return all(ok(ft) for _n, ft in tree[1])
+        return False
+    try:
+        return ok(_parse_ddl_type(t))
+    except ValueError:
+        return False
+
+
+def _temporal_reviver(t: str):
+    """None when the DDL type carries no temporal leaf; otherwise a
+    callable converting ONE decoded log value into python
+    datetime/date objects, recursively through arrays/structs/maps.
+    Tolerant by design: Avro/HFile datums carry logical-type ints
+    (micros / epoch days) while parquet data blocks may surface
+    already-typed (possibly tz-aware) values — both normalize to the
+    naive-UTC shapes the Arrow batch build takes (r14)."""
+    import datetime as _dt
+
+    def build(tree):
+        k = tree[0]
+        if k == "prim":
+            if tree[1] == "timestamp":
+                def f(v):
+                    if v is None:
+                        return None
+                    if isinstance(v, _dt.datetime):
+                        if v.tzinfo is not None:
+                            return v.astimezone(
+                                _dt.timezone.utc).replace(tzinfo=None)
+                        return v
+                    return (_dt.datetime(1970, 1, 1)
+                            + _dt.timedelta(microseconds=v))
+                return f
+            if tree[1] == "date":
+                def f(v):
+                    if v is None:
+                        return None
+                    if isinstance(v, _dt.datetime):
+                        return v.date()
+                    if isinstance(v, _dt.date):
+                        return v
+                    return (_dt.date(1970, 1, 1)
+                            + _dt.timedelta(days=v))
+                return f
+            return None
+        if k == "array":
+            f = build(tree[1])
+            if f is None:
+                return None
+            return (lambda v: None if v is None
+                    else [f(x) for x in v])
+        if k == "map":
+            f = build(tree[2])
+            if f is None:
+                return None
+            # avro datums decode maps to dicts; arrow's to_pylist
+            # surfaces them as list-of-pairs — take both
+            return (lambda v: None if v is None
+                    else {mk: f(mv) for mk, mv in
+                          (v.items() if isinstance(v, dict) else v)})
+        if k == "struct":
+            fs = {n: build(ft) for n, ft in tree[1]}
+            if not any(fs.values()):
+                return None
+
+            def g(v):
+                if v is None:
+                    return None
+                return {n: (fn(v.get(n)) if fn else v.get(n))
+                        for n, fn in fs.items()}
+            return g
+        return None
+    return build(_parse_ddl_type(t))
 
 
 def read_hudi(spark, path: str, as_of: str | None = None,
@@ -469,9 +664,14 @@ def read_hudi(spark, path: str, as_of: str | None = None,
         raise NotImplementedError(
             f"hudi MOR merge over unsupported payload columns {bad}")
     # temporal log payloads ride Avro logical types (micros / days
-    # from epoch) and convert back on the pandas side of the decode
+    # from epoch) and convert back on the pandas side of the decode;
+    # temporal leaves INSIDE nested types convert per element through
+    # a reviver built once from the column's DDL (r14)
     ts_cols = [c for c in data_cols if dtypes[c] == "timestamp"]
     date_cols = [c for c in data_cols if dtypes[c] == "date"]
+    nested_revive = {c: r for c in data_cols if "<" in dtypes[c]
+                     and (r := _temporal_reviver(dtypes[c]))
+                     is not None}
     committed = set(list_hudi_commits(path))
     if as_of is not None:
         committed = {ts for ts in committed if ts <= as_of}
@@ -518,6 +718,8 @@ def read_hudi(spark, path: str, as_of: str | None = None,
             for c in date_cols:
                 pdf_out[c] = pd.to_datetime(
                     pdf_out[c], unit="D").dt.date
+            for c, rv in nested_revive.items():
+                pdf_out[c] = pdf_out[c].map(rv, na_action="ignore")
             yield pdf_out
 
     # one task per log file, floored at the cluster's parallelism —
@@ -905,6 +1107,20 @@ def write_hudi_fixture(spark, df, path: str,
             return v
 
         data = {c: [_pyize(r[c]) for r in prows] for c in df.columns}
+        # nested columns carrying maps or temporal leaves build with
+        # EXPLICIT arrow types (r14): pandas inference turns a python
+        # dict into a STRUCT and guesses temporal units; other nested
+        # shapes keep the inference path (e.g. decimal leaves)
+        explicit: dict[str, tuple] = {}
+        for c, t in df.dtypes:
+            if "<" not in t:
+                continue
+            try:
+                tree = _parse_ddl_type(t)
+            except ValueError:
+                continue
+            if _tree_has_map(tree) or _tree_has_temporal(tree):
+                explicit[c] = tree
         meta = {
             "_hoodie_commit_time": [instant] * len(prows),
             "_hoodie_commit_seqno": [f"{instant}_{i}"
@@ -913,8 +1129,17 @@ def write_hudi_fixture(spark, df, path: str,
             "_hoodie_partition_path": [part] * len(prows),
             "_hoodie_file_name": [fname] * len(prows),
         }
-        pdf = pd.DataFrame({**meta, **data})
+        pdf = pd.DataFrame({**meta,
+                            **{c: v for c, v in data.items()
+                               if c not in explicit}})
         tb = pa.Table.from_pandas(pdf, preserve_index=False)
+        order = list(meta) + list(df.columns)
+        for c, tree in explicit.items():     # ascending column order
+            vals = [_avroize_value(x) for x in data[c]]
+            arr = (pa.array(vals, type=_pa_log_type(tree, True))
+                   .cast(_pa_log_type(tree, False)))
+            tb = tb.add_column(order.index(c), pa.field(c, arr.type),
+                               arr)
         for ci, fld in enumerate(tb.schema):
             # micros + UTC: nano timestamps read back as long under
             # the session's nanosAsLong conf, naive ones as NTZ
@@ -975,27 +1200,43 @@ _SPARK_TO_AVRO = {"bigint": "long", "int": "int", "double": "double",
 
 
 def _avro_payload_type(col: str, t: str):
-    """Spark DDL type -> Avro schema for a log payload column;
-    arrays and flat structs of non-temporal primitives supported."""
-    if t in _SPARK_TO_AVRO:
-        return _SPARK_TO_AVRO[t]
-    m = re.match(r"^array<(\w+)>$", t)
-    if m and m.group(1) in _LOG_SAFE_NESTED:
-        return {"type": "array",
-                "items": ["null", _SPARK_TO_AVRO[m.group(1)]]}
-    m = re.match(r"^struct<(.+)>$", t)
-    if m and "<" not in m.group(1) and all(
-            ":" in f and f.split(":")[1] in _LOG_SAFE_NESTED
-            for f in m.group(1).split(",")):
-        flds = []
-        for f in m.group(1).split(","):
-            fn, ft = f.split(":")
-            flds.append({"name": fn,
-                         "type": ["null", _SPARK_TO_AVRO[ft]]})
-        return {"type": "record", "name": f"p_{col}",
-                "fields": flds}
-    raise NotImplementedError(
-        f"hudi log fixture over payload type {t!r}")
+    """Spark DDL type -> Avro schema for a log payload column: any
+    nesting of array/struct/map over the safe primitives, temporal
+    leaves annotated with their logical types at EVERY depth (r14) —
+    the wire shape a real Hudi writer's Avro converter produces.
+    Record names are deterministic per (column, walk order) so two
+    writes of the same shape compare equal under the log schema
+    gate."""
+    ctr = [0]
+
+    def conv(tree):
+        k = tree[0]
+        if k == "prim":
+            if tree[1] not in _SPARK_TO_AVRO:
+                raise NotImplementedError(
+                    f"hudi log fixture over payload type {t!r}")
+            return _SPARK_TO_AVRO[tree[1]]
+        if k == "array":
+            return {"type": "array", "items": ["null", conv(tree[1])]}
+        if k == "map":
+            if tree[1] != ("prim", "string"):
+                raise NotImplementedError(
+                    f"hudi log fixture over payload type {t!r} "
+                    "(avro maps key by string)")
+            return {"type": "map", "values": ["null", conv(tree[2])]}
+        if k == "struct":
+            ctr[0] += 1
+            name = f"p_{col}" if ctr[0] == 1 else f"p_{col}_{ctr[0]}"
+            return {"type": "record", "name": name,
+                    "fields": [{"name": n, "type": ["null", conv(ft)]}
+                               for n, ft in tree[1]]}
+        raise NotImplementedError(
+            f"hudi log fixture over payload type {t!r}")
+    try:
+        return conv(_parse_ddl_type(t))
+    except ValueError:
+        raise NotImplementedError(
+            f"hudi log fixture over payload type {t!r}")
 
 
 def write_hudi_delta_fixture(spark, path: str, upserts=None,
@@ -1084,15 +1325,19 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
         from pyspark.sql import Row as _Row
 
         def _avroize(v):
+            # recursive (r14): temporal leaves INSIDE rows/lists/maps
+            # convert to their logical-type ints at every depth
             if isinstance(v, _dt.datetime):
                 return (v - _dt.datetime(1970, 1, 1)) \
                     // _dt.timedelta(microseconds=1)
             if isinstance(v, _dt.date):
                 return (v - _dt.date(1970, 1, 1)).days
             if isinstance(v, _Row):
-                return v.asDict()
+                return {k: _avroize(x) for k, x in v.asDict().items()}
+            if isinstance(v, dict):
+                return {k: _avroize(x) for k, x in v.items()}
             if isinstance(v, list):
-                return list(v)
+                return [_avroize(x) for x in v]
             return v
         grouped: dict[str, list[dict]] = {}
         for r in upserts.collect():
@@ -1136,14 +1381,16 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                     for c in names:
                         vals = [r.get(c) for r in batch]
                         t = dt_map.get(c)
-                        if t == "timestamp":
+                        tree = _parse_ddl_type(t) if t else None
+                        if tree is not None \
+                                and _tree_has_temporal(tree):
+                            # temporal leaves at ANY depth: build
+                            # the avroized-int shape, cast to the
+                            # real temporal tree (r14)
                             arrays[c] = pa.array(
-                                vals, type=pa.int64()).cast(
-                                pa.timestamp("us", "UTC"))
-                        elif t == "date":
-                            arrays[c] = pa.array(
-                                vals, type=pa.int32()).cast(
-                                pa.date32())
+                                vals,
+                                type=_pa_log_type(tree, True)).cast(
+                                _pa_log_type(tree, False))
                         else:
                             arrays[c] = pa.array(vals)
                     tb = pa.table(arrays)
@@ -1210,6 +1457,9 @@ def _avro_field_ddl(t) -> str:
         if k == "array":
             it, _nl = _norm_type(t["items"])
             return f"array<{_avro_field_ddl(it)}>"
+        if k == "map":
+            vt, _nl = _norm_type(t["values"])
+            return f"map<string,{_avro_field_ddl(vt)}>"
         if k == "record":
             inner = ",".join(
                 f"{f['name']}:{_avro_field_ddl(_norm_type(f['type'])[0])}"
@@ -1255,22 +1505,8 @@ def hudi_log_table_schema(log_paths) -> list[tuple[str, str]]:
             import pyarrow as pa
             import pyarrow.parquet as pq
             sch = pq.read_schema(pa.BufferReader(blk["content"]))
-            out2 = []
-            for f in sch:
-                if f.name in _META_COLS:
-                    continue
-                t = str(f.type)
-                if t.startswith("timestamp"):
-                    ddl = "timestamp"
-                elif t == "date32[day]":
-                    ddl = "date"
-                elif t in _PA_TO_DDL:
-                    ddl = _PA_TO_DDL[t]
-                else:
-                    raise NotImplementedError(
-                        f"hudi parquet log block column type {t!r}")
-                out2.append((f.name, ddl))
-            return out2
+            return [(f.name, _pa_type_ddl(f.type)) for f in sch
+                    if f.name not in _META_COLS]
         raise NotImplementedError(
             "hudi data block carries no SCHEMA header")
 
@@ -1315,19 +1551,28 @@ def hudi_table_schema(path: str):
     if base is None:
         return hudi_log_table_schema(
             sorted(p for s in slices.values() for p in s["logs"]))
-    out = []
-    for f in pq.read_schema(base):
-        if f.name in _META_COLS:
-            continue
-        t = str(f.type)
-        if t.startswith("timestamp"):
-            ddl = "timestamp"
-        elif t == "date32[day]":
-            ddl = "date"
-        elif t in _PA_TO_DDL:
-            ddl = _PA_TO_DDL[t]
-        else:
-            raise NotImplementedError(
-                f"hudi incremental stream over column type {t!r}")
-        out.append((f.name, ddl))
-    return out
+    return [(f.name, _pa_type_ddl(f.type))
+            for f in pq.read_schema(base) if f.name not in _META_COLS]
+
+
+def _pa_type_ddl(t) -> str:
+    """pyarrow type -> Spark DDL, recursively through
+    lists/structs/maps (r14); unknown leaves gate loudly."""
+    import pyarrow as pa
+    s = str(t)
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "date32[day]":
+        return "date"
+    if s in _PA_TO_DDL:
+        return _PA_TO_DDL[s]
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_pa_type_ddl(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_pa_type_ddl(f.type)}"
+                         for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return (f"map<{_pa_type_ddl(t.key_type)},"
+                f"{_pa_type_ddl(t.item_type)}>")
+    raise NotImplementedError(f"hudi parquet column type {s!r}")

@@ -256,17 +256,46 @@ def decode_parquet_data_block(block: dict) -> list[dict]:
     import pyarrow as pa
     import pyarrow.parquet as pq
     tb = pq.read_table(pa.BufferReader(block["content"]))
+
+    def _has_temporal(t) -> bool:
+        if pa.types.is_timestamp(t) or pa.types.is_date32(t):
+            return True
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return _has_temporal(t.value_type)
+        if pa.types.is_struct(t):
+            return any(_has_temporal(f.type) for f in t)
+        if pa.types.is_map(t):
+            return (_has_temporal(t.key_type)
+                    or _has_temporal(t.item_type))
+        return False
+
+    def _norm(t, to_int: bool):
+        """Same tree with timestamps at micros (then int64) and
+        date32 at int32 — two cast passes so a ns-unit source lands
+        on MICROS before the int reinterpretation."""
+        if pa.types.is_timestamp(t):
+            return pa.int64() if to_int else pa.timestamp("us", t.tz)
+        if pa.types.is_date32(t):
+            return pa.int32() if to_int else t
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return pa.list_(_norm(t.value_type, to_int))
+        if pa.types.is_struct(t):
+            return pa.struct([pa.field(f.name, _norm(f.type, to_int))
+                              for f in t])
+        if pa.types.is_map(t):
+            return pa.map_(_norm(t.key_type, to_int),
+                           _norm(t.item_type, to_int))
+        return t
+
     for i, f in enumerate(tb.schema):
-        # normalize temporals to the Avro logical-type conventions
-        # every other data-block kind uses (micros / epoch-day ints)
-        if pa.types.is_timestamp(f.type):
+        # normalize temporals (at ANY depth, r14) to the Avro
+        # logical-type conventions every other data-block kind uses
+        # (micros / epoch-day ints)
+        if _has_temporal(f.type):
             tb = tb.set_column(
                 i, f.name,
-                tb.column(i).cast(pa.timestamp("us", f.type.tz))
-                .cast(pa.int64()))
-        elif pa.types.is_date32(f.type):
-            tb = tb.set_column(i, f.name,
-                               tb.column(i).cast(pa.int32()))
+                tb.column(i).cast(_norm(f.type, False))
+                .cast(_norm(f.type, True)))
     return tb.to_pylist()
 
 

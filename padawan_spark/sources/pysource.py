@@ -1107,8 +1107,6 @@ class _HudiIncrementalStreamReader(DataSourceStreamReader):
             return
         base, logs, lo, hi, committed = partition.value
         committed = set(committed)
-        import datetime as _dt
-
         import pyarrow as pa
 
         from ..functions.hudilog import (BLOCK_DELETE,
@@ -1178,23 +1176,17 @@ class _HudiIncrementalStreamReader(DataSourceStreamReader):
                 pass_tb, self.spark_schema,
                 col_of={"_commit_instant": "_hoodie_commit_time"})
 
+        # temporal conversion shared with the batch MOR decode (r14):
+        # log payloads ride Avro logical types (micros / epoch-day
+        # ints), parquet base values come back tz-aware — the reviver
+        # normalizes both to naive-UTC, through nested types too
+        from ..functions.hudi import _temporal_reviver
+        revivers = {c: r for c, t in self.types.items()
+                    if (r := _temporal_reviver(t)) is not None}
+
         def conv(c, v):
-            t = self.types.get(c)
-            if t == "timestamp":
-                if isinstance(v, int):
-                    # log payloads ride Avro logical types: micros
-                    return (_dt.datetime(1970, 1, 1)
-                            + _dt.timedelta(microseconds=v))
-                if isinstance(v, _dt.datetime) and v.tzinfo:
-                    # parquet base values come back tz-aware; the
-                    # batch build below takes naive-UTC
-                    return v.astimezone(
-                        _dt.timezone.utc).replace(tzinfo=None)
-                return v
-            if t == "date" and isinstance(v, int):
-                return (_dt.date(1970, 1, 1)
-                        + _dt.timedelta(days=v))
-            return v
+            r = revivers.get(c)
+            return r(v) if r is not None else v
 
         # 3. merged rows (log-touched keys only) emit as ONE record
         #    batch typed by the declared schema

@@ -3840,10 +3840,12 @@ def test_hudi_mor_keep_meta_carries_all_meta_columns(spark,
 
 
 def test_hudi_mor_nested_payload_columns(spark, tmp_path):
-    """r10 (missing #3): MOR log payloads may carry arrays and flat
-    structs of non-temporal primitives — they ride the generic Avro
-    datum codec through the distributed decode and merge like any
-    scalar; temporal values INSIDE nested types still gate."""
+    """r10 (missing #3): MOR log payloads may carry arrays and
+    structs — they ride the generic Avro datum codec through the
+    distributed decode and merge like any scalar.  r14 (VERDICT r13
+    task 1): temporal values INSIDE nested types convert per element
+    instead of gating — see test_hudi_mor_nested_temporal_payloads;
+    a truly unsupported leaf (decimal) still gates loudly."""
     import pyspark.sql.functions as SF
     import pytest
     from padawan_spark.functions.hudi import (read_hudi,
@@ -3867,10 +3869,10 @@ def test_hudi_mor_nested_payload_columns(spark, tmp_path):
     assert rows[2]["s"]["a"] == 77 and rows[2]["s"]["b"] == "upd"
     assert list(rows[1]["vs"]) == [1, 2]
     assert rows[3]["s"]["b"] == "n3"
-    # temporal inside nested types still gates
+    # a genuinely unsupported leaf type (decimal) still gates loudly
     df2 = spark.range(2).select(
         SF.col("id").alias("k"),
-        SF.array(SF.current_timestamp()).alias("ts_arr"))
+        SF.array(SF.col("id").cast("decimal(10,2)")).alias("dec_arr"))
     t2 = str(tmp_path / "mornest2")
     write_hudi_fixture(spark, df2, t2)
     with pytest.raises(NotImplementedError, match="payload"):
@@ -4126,3 +4128,79 @@ def test_nested_map_key_struct_gates_in_id_mode():
           "valueContainsNull": True}
     out = match_tree_delta(t3, node)
     assert out["keyType"] == "string"
+
+
+def test_hudi_mor_nested_temporal_payloads(spark, tmp_path):
+    """r14 (VERDICT r13 task 1): timestamp/date leaves INSIDE nested
+    log-payload types (array<struct<..>>, map values, deep structs)
+    convert per element through every block format — Hudi no longer
+    refuses a nested shape Delta and Iceberg accept.  Verified over
+    avro, hfile, and parquet data blocks: the three decode to the
+    same merged values."""
+    import datetime as dt
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+
+    ts0 = dt.datetime(2023, 5, 17, 12, 30, 45, 123456)
+    ts1 = dt.datetime(2024, 1, 2, 3, 4, 5)
+    d0, d1 = dt.date(2023, 5, 17), dt.date(2024, 1, 2)
+    ddl = ("k long, arr array<struct<ts:timestamp,d:date,n:bigint>>, "
+           "m map<string,timestamp>")
+    base = spark.createDataFrame(
+        [(i, [(ts0, d0, i)], {"a": ts0}) for i in range(4)], ddl)
+    for fmt in ("avro", "hfile", "parquet"):
+        t = str(tmp_path / f"mortemp_{fmt}")
+        write_hudi_fixture(spark, base, t)
+        ups = spark.createDataFrame(
+            [(2, [(ts1, d1, 99), (None, None, 5)], {"b": ts1}),
+             (3, None, None)], ddl)
+        write_hudi_delta_fixture(spark, t, upserts=ups,
+                                 deletes=["1"], block_format=fmt)
+        rows = {r["k"]: r for r in read_hudi(spark, t).collect()}
+        assert set(rows) == {0, 2, 3}, fmt
+        got = rows[2]["arr"]
+        assert got[0]["ts"] == ts1 and got[0]["d"] == d1 \
+            and got[0]["n"] == 99, fmt
+        assert got[1]["ts"] is None and got[1]["n"] == 5, fmt
+        assert rows[2]["m"]["b"] == ts1, fmt
+        assert rows[3]["arr"] is None and rows[3]["m"] is None, fmt
+        # untouched rows pass through the zero-shuffle branch intact
+        assert rows[0]["arr"][0]["ts"] == ts0 \
+            and rows[0]["arr"][0]["d"] == d0, fmt
+        assert rows[0]["m"]["a"] == ts0, fmt
+
+
+def test_hudi_incremental_stream_nested_temporal(spark, tmp_path):
+    """r14: the incremental STREAM revives temporal leaves inside
+    nested payload types too — log events and base pass-through rows
+    both surface naive-UTC datetimes at every depth."""
+    import datetime as dt
+    import uuid as _uuid
+
+    from padawan_spark.functions.hudi import (write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    ts0 = dt.datetime(2023, 5, 17, 12, 30, 45, 123456)
+    ts1 = dt.datetime(2024, 1, 2, 3, 4, 5)
+    ddl = "k long, arr array<struct<ts:timestamp,n:bigint>>"
+    t = str(tmp_path / "morstream")
+    write_hudi_fixture(spark, spark.createDataFrame(
+        [(i, [(ts0, i)]) for i in range(3)], ddl), t)
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame(
+            [(1, [(ts1, 77)])], ddl))
+    name = "mst_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_hudi_incremental")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"]: r for r in spark.table(name).collect()}
+    assert got[1]["arr"][0]["ts"] == ts1 and got[1]["arr"][0]["n"] == 77
+    assert got[0]["arr"][0]["ts"] == ts0
