@@ -251,6 +251,29 @@ class _PrevTree:
             self.wt = None
 
 
+def _time_drain(cwd: str) -> float | None:
+    """One full drain of the 2M-row CDF backfill stream
+    (tests/scale_smoke_batch.py) in a subprocess rooted at ``cwd`` —
+    so the HEAD tree and the previous round's worktree can be timed
+    INTERLEAVED in the same window (r14, VERDICT r13 task 3: the r13
+    drain level was adjudicated by argument; now it's in the A/B
+    record)."""
+    import subprocess
+    script = os.path.join(cwd, "tests", "scale_smoke_batch.py")
+    if not os.path.exists(script):
+        return None
+    try:
+        r = subprocess.run([sys.executable, script], cwd=cwd,
+                           capture_output=True, text=True,
+                           timeout=600)
+        rec = json.loads(r.stdout.strip().splitlines()[-1])
+        if not rec.get("sum_ok"):
+            return None
+        return rec.get("drain_sec")
+    except Exception:
+        return None
+
+
 def _latest_prev_bench() -> tuple[int | None, dict]:
     """Newest BENCH_r{N}.json in the repo root WITH a usable parse, for
     per-query deltas (a round whose capture was truncated records
@@ -337,6 +360,23 @@ def main() -> None:
         timings[name] = best
         if pbest is not None:
             timings_prev[name] = pbest
+    # 2M-row stream-drain A/B (r14): HEAD and prev-tree drains
+    # interleave in this same window, min of 2 each — each drain is a
+    # fresh subprocess (its own SparkSession), so neither tree's JVM
+    # warmth leaks into the other
+    drain_head = drain_prev = None
+    if ab_on:
+        here = os.path.dirname(os.path.abspath(__file__))
+        for _ in range(2):
+            h = _time_drain(here)
+            if h is not None:
+                drain_head = h if drain_head is None \
+                    else min(drain_head, h)
+            if prev_tree is not None and prev_tree.wt:
+                p = _time_drain(prev_tree.wt)
+                if p is not None:
+                    drain_prev = p if drain_prev is None \
+                        else min(drain_prev, p)
     if prev_tree is not None:
         prev_tree.close()
 
@@ -416,31 +456,35 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        # machine-speed reference for cross-round comparison: seconds of
-        # a FROZEN probe workload in this same process.  A +29% total on
-        # untouched code with a +29% probe is contention, not regression.
-        "calibration": cal,
-        "value_calibrated": (round(total / cal["spark_probe_best"], 3)
-                             if cal["spark_probe_best"] else None),
-        # r11: per-query calibrated timings ON STDOUT — the stderr
-        # supplement carrying these was tail-truncated in the r10 record,
-        # and the judge's noise-vs-real adjudication needs them lossless.
-        # Units: multiples of the frozen spark probe (machine-speed-free).
-        "queries_calibrated": ({
-            n: round(t / cal["spark_probe_best"], 2)
-            for n, t in timings.items()}
-            if cal["spark_probe_best"] else {}),
     }
-    if timings_prev:
-        # the SAME-WINDOW interleaved A/B vs the previous round's tree
-        # (min per query over the interleaved passes) — compare
-        # queries to ab_prev_tree.queries; this is ground truth for
-        # round-over-round adjudication, ahead of value_calibrated
-        out["ab_prev_tree"] = {
-            "round": prev_tree_round,
-            "value": round(sum(timings_prev.values()), 3),
-            "queries": timings_prev,
-        }
+    # the SAME-WINDOW interleaved A/B vs the previous round's tree
+    # (min per query over the interleaved passes) — THE authoritative
+    # round-over-round comparison, recorded AHEAD of the calibrated
+    # scalars (r14, VERDICT r13 task 7: value_calibrated produced a
+    # misleading swing three rounds running; it stays below for
+    # continuity only).  drain_2m_cdf is the 2M-row stream drain,
+    # min-of-2 per tree, interleaved in the same window (task 3).
+    if timings_prev or drain_head is not None:
+        ab: dict = {"round": prev_tree_round}
+        if timings_prev:
+            ab["value"] = round(sum(timings_prev.values()), 3)
+            ab["queries"] = timings_prev
+        if drain_head is not None:
+            ab["drain_2m_cdf"] = {"head_sec": drain_head,
+                                  "prev_sec": drain_prev}
+        out["ab_prev_tree"] = ab
+    # machine-speed reference: seconds of a FROZEN probe workload in
+    # this same process — SECONDARY to ab_prev_tree (the probe cannot
+    # see IO contention); kept for cross-round continuity.  Per-query
+    # calibrated timings stay on stdout so the record is lossless.
+    out["calibration"] = cal
+    out["value_calibrated"] = (
+        round(total / cal["spark_probe_best"], 3)
+        if cal["spark_probe_best"] else None)
+    out["queries_calibrated"] = ({
+        n: round(t / cal["spark_probe_best"], 2)
+        for n, t in timings.items()}
+        if cal["spark_probe_best"] else {})
 
     # Everything beyond the headline metric goes to STDERR, one fact per
     # compact JSON line.  The driver's capture is a bounded TAIL — it

@@ -208,7 +208,7 @@ def main() -> None:
         except Exception:
             pass
 
-    def timed(name: str, sf_dir: str) -> float:
+    def timed(name: str, sf_dir: str) -> tuple[float, int]:
         fn = QUERIES[name]
         # memoized one-time writes: the bucketed-join WRITE is the
         # measured investment (single pass); the _read steady-state
@@ -222,21 +222,29 @@ def main() -> None:
         passes = 1 if name == "scale_bucketed_join" else \
             (3 if name in ITERATIVE else 2)
         best = None
+        n_out = 0
         for _ in range(passes):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            n_out = len(fn(spark, sf_dir).collect())
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
-        return round(best, 3)
+        return round(best, 3), n_out
 
     rows = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t_small = timed(name, SF01)
-        t_big = timed(name, BIG)
+        t_small, n_small = timed(name, SF01)
+        t_big, n_big = timed(name, BIG)
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
-        rows[name] = {"sf0.1_s": t_small, "sf1_s": t_big, "ratio": ratio}
+        # rows-out at both scales (r14, VERDICT r13 task 4): a
+        # super-linear wall-clock ratio whose OUTPUT grew the same
+        # way is output-driven by the record, not by argument
+        rows[name] = {"sf0.1_s": t_small, "sf1_s": t_big,
+                      "ratio": ratio,
+                      "rows_sf0.1": n_small, "rows_sf1": n_big,
+                      "rows_ratio": (round(n_big / n_small, 2)
+                                     if n_small else None)}
 
     # interop reads (r12): min-of-2 warm passes per scale, fixtures
     # pre-built outside timing (plus one untimed warm call each)
@@ -272,12 +280,16 @@ def main() -> None:
         "queries": rows,
     }
     # markdown table for SCALE_SMOKE.md on stderr, JSON line on stdout
-    print("| query | sf0.1 | sf1 (10x) | ratio |", file=sys.stderr)
-    print("|---|---|---|---|", file=sys.stderr)
+    print("| query | sf0.1 | sf1 (10x) | ratio | rows out 0.1→1 |",
+          file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
     for n, r in rows.items():
         mark = " ⚠" if n in flagged else ""
+        ro = (f"{r['rows_sf0.1']}→{r['rows_sf1']} "
+              f"({r['rows_ratio']}×)"
+              if r.get("rows_sf1") is not None else "—")
         print(f"| {n} | {r['sf0.1_s']} s | {r['sf1_s']} s "
-              f"| {r['ratio']}×{mark} |", file=sys.stderr)
+              f"| {r['ratio']}×{mark} | {ro} |", file=sys.stderr)
     print(json.dumps(out))
 
 

