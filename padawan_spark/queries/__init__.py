@@ -40,41 +40,34 @@ for _m in _SUITES:
 # All queries stay registered; this is a stable re-ordering, not a filter.
 # ---------------------------------------------------------------------------
 
-# code that changed THIS round (r13) — keep driver-visible even though
-# already green: src_delta_nested_read + src_iceberg_nested_read (NEW
-# — struct/array/map columns through column mapping / schema
-# evolution, functions/nested.py remap + footer trees);
-# src_delta_read + src_delta_id_mapping + src_delta_dv_read (reader
-# rebuilt around physical-type trees; id mode resolves through
-# parquet_field_trees; dv_read also key-capped);
-# src_delta_cdf_read + streaming_delta_cdf + src_delta_cdf_checkpoint
-# (CDF physical-DDL + nested remap path);
-# src_delta_time_travel (monotonic commit-timestamp adjustment);
-# src_iceberg_read + src_iceberg_schema_evolution (evolved-table
-# layout resolution branches on nested_mode);
-# src_iceberg_transforms + src_iceberg_v2_deletes + src_avro_roundtrip
-# + op_import_iceberg (fixture-synthesis key caps — oracle AND query
-# predicates changed);
+# code that changed THIS round (r14) — keep driver-visible even
+# though already green:
+# src_hudi_nested_temporal (NEW — temporal leaves inside nested log
+# payloads: recursive DDL parser, per-element reviver, explicit-typed
+# nested base writes) and the hudi paths it rebuilt:
+# src_hudi_mor_read + src_hudi_log_only_table (+ map-capable schema
+# recovery) + src_hudi_log_block_formats (parquet-block nested
+# normalization) + src_hudi_metadata_hfile (FAST_DIFF family gate +
+# hadoop-codec progress guard) + streaming_hudi_incremental (stream
+# conv rebuilt on the shared reviver);
+# src_delta_type_widening (NEW — typeWidening reader feature) and
+# src_delta_read + src_delta_id_mapping + src_delta_cdf_read (id-mode
+# missing-id gate, feature set);
 # streaming_iceberg_appends + streaming_iceberg_skip_deletes +
-# src_iceberg_ref_read (incremental added_data_files planning,
-# followRef branch tracking, parent-snapshot-id in fixtures);
-# src_hudi_metadata_hfile (FAST_DIFF + Snappy HFile base) +
-# src_hudi_log_block_formats (HFile codec shared with log blocks) +
-# src_hudi_log_only_table ((name, type) schema gate).
-_SENTINELS = ["src_delta_nested_read", "src_iceberg_nested_read",
-              "streaming_iceberg_follow_branch",
+# streaming_iceberg_follow_branch (entry snapshot-id INHERITANCE in
+# added_data_files — ADVICE r13 high);
+# src_delta_nested_read + src_iceberg_nested_read (map-key struct
+# gate in match_tree_delta).
+_SENTINELS = ["src_hudi_nested_temporal", "src_delta_type_widening",
+              "src_hudi_mor_read", "src_hudi_log_only_table",
+              "src_hudi_log_block_formats", "src_hudi_metadata_hfile",
+              "streaming_hudi_incremental",
               "src_delta_read", "src_delta_id_mapping",
-              "src_delta_dv_read", "src_delta_cdf_read",
-              "streaming_delta_cdf", "src_delta_cdf_checkpoint",
-              "src_delta_time_travel", "src_iceberg_read",
-              "src_iceberg_schema_evolution",
-              "src_iceberg_transforms", "src_iceberg_v2_deletes",
-              "src_avro_roundtrip", "op_import_iceberg",
+              "src_delta_cdf_read",
               "streaming_iceberg_appends",
               "streaming_iceberg_skip_deletes",
-              "src_iceberg_ref_read", "src_hudi_metadata_hfile",
-              "src_hudi_log_block_formats",
-              "src_hudi_log_only_table"]
+              "streaming_iceberg_follow_branch",
+              "src_delta_nested_read", "src_iceberg_nested_read"]
 
 _WINDOW = 50
 
