@@ -364,10 +364,45 @@ def match_tree_ice(t, node, name_key="name"):
         return {"type": "list",
                 "element": match_tree_ice(t["element"], elem)}
     if k == "map":
+        # the Iceberg twin of the delta MAP-KEY gate (r14): a struct
+        # field RENAMED (or absent) inside a map key cannot resolve —
+        # the scan DDL would carry logical inner names against the
+        # file's physical ones and read silent NULLs, and keys are
+        # not remappable in place.  Unevolved key structs (file names
+        # match the logical names) pass through untouched.
+        if kids:
+            mk = match_tree_ice(t["key"], kids[0])
+            if _ice_names_differ(mk, t["key"]):
+                raise NotImplementedError(
+                    "iceberg struct inside a MAP KEY was renamed or "
+                    "evolved in this data file — keys are not "
+                    "remappable in place")
         val = kids[1] if len(kids) > 1 else None
         return {"type": "map", "key": t["key"],
                 "value": match_tree_ice(t["value"], val)}
     raise NotImplementedError(f"unsupported iceberg type {t!r}")
+
+
+def _ice_names_differ(pt, lt) -> bool:
+    """True when the per-file physical tree ``pt`` carries any struct
+    field name differing from (or absent against) the logical tree
+    ``lt`` — the shapes that would need a remap."""
+    if isinstance(lt, str) or isinstance(pt, str):
+        return False
+    lk = lt.get("type")
+    if lk == "struct":
+        pf, lf = pt["fields"], lt["fields"]
+        if len(pf) != len(lf):
+            return True
+        return any(p.get("name") != f["name"]
+                   or _ice_names_differ(p.get("type"), f["type"])
+                   for p, f in zip(pf, lf))
+    if lk == "list":
+        return _ice_names_differ(pt["element"], lt["element"])
+    if lk == "map":
+        return (_ice_names_differ(pt["key"], lt["key"])
+                or _ice_names_differ(pt["value"], lt["value"]))
+    return False
 
 
 # ---------------------------------------------------------------------------

@@ -4348,3 +4348,66 @@ def test_iceberg_follow_branch_force_push_gates(spark, tmp_path):
             and "restart the stream" in msg
     finally:
         q.stop()
+
+
+def test_nested_ice_map_key_rename_gates():
+    """r14: the Iceberg twin of the delta MAP-KEY gate — a struct
+    field renamed inside a map key in a data file's footer raises
+    instead of reading silent NULLs; an UNEVOLVED struct key (file
+    names match) passes through."""
+    import pytest
+    from padawan_spark.functions.nested import match_tree_ice
+    key_t = {"type": "struct", "fields": [
+        {"id": 7, "name": "a", "type": "int", "required": False}]}
+    t = {"type": "map", "key": key_t, "value": "long",
+         "key-id": 1, "value-id": 2}
+    same = [1, "m", [[None, "key", [[7, "a", []]]],
+                     [None, "value", []]]]
+    out = match_tree_ice(t, same)
+    assert out["key"] == key_t
+    renamed = [1, "m", [[None, "key", [[7, "a_old", []]]],
+                        [None, "value", []]]]
+    with pytest.raises(NotImplementedError, match="MAP KEY"):
+        match_tree_ice(t, renamed)
+    # a key field ABSENT from the file gates too (no in-place fill)
+    absent = [1, "m", [[None, "key", [[9, "zz", []]]],
+                       [None, "value", []]]]
+    with pytest.raises(NotImplementedError, match="MAP KEY"):
+        match_tree_ice(t, absent)
+
+
+def test_delta_type_widening_cdf_and_stream(spark, tmp_path):
+    """r14: CDF over a widened table — change files written BEFORE
+    the widening commit carry the narrower physical type and promote
+    under the end-version schema, in the batch change feed and the
+    streaming source alike."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (read_delta_changes,
+                                               widen_delta_fixture,
+                                               write_delta_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "twcdf")
+    write_delta_fixture(spark, spark.range(3).select(
+        SF.col("id").cast("int").alias("a")), t)
+    widen_delta_fixture(t, {"a": "long"})
+    big = 1 << 36
+    write_delta_fixture(
+        spark, spark.createDataFrame([(big,)], "a long"),
+        t, mode="append")
+    ch = read_delta_changes(spark, t, starting_version=0)
+    assert dict(ch.dtypes)["a"] == "bigint"
+    vals = sorted(r["a"] for r in ch.collect())
+    assert vals == [0, 1, 2, big]
+    name = "twc_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_delta_cdf")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["a"] for r in spark.table(name).collect())
+    assert got == [0, 1, 2, big]
