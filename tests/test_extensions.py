@@ -4411,3 +4411,32 @@ def test_delta_type_widening_cdf_and_stream(spark, tmp_path):
         q.stop()
     got = sorted(r["a"] for r in spark.table(name).collect())
     assert got == [0, 1, 2, big]
+
+
+def test_hudi_log_only_nested_temporal_schema_recovery(spark,
+                                                       tmp_path):
+    """r14: a LOG-ONLY table (no base parquet anywhere) whose payload
+    carries temporal leaves inside nested types — the schema recovers
+    from the log's embedded Avro writer schema (logical-type
+    annotations at depth), and the merge revives the values."""
+    import datetime as dt
+
+    from padawan_spark.functions.hudi import (hudi_table_schema,
+                                              read_hudi,
+                                              write_hudi_delta_fixture)
+    ts0 = dt.datetime(2023, 5, 17, 12, 30, 45, 123456)
+    ts1 = dt.datetime(2024, 1, 2, 3, 4, 5)
+    ddl = "k long, arr array<struct<ts:timestamp,n:bigint>>"
+    t = str(tmp_path / "lont")
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame(
+            [(i, [(ts0, i)]) for i in range(3)], ddl))  # bootstrap
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame(
+            [(1, [(ts1, 77)])], ddl), deletes=["2"])
+    assert dict(hudi_table_schema(t)) == {
+        "k": "bigint", "arr": "array<struct<ts:timestamp,n:bigint>>"}
+    rows = {r["k"]: r for r in read_hudi(spark, t).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1]["arr"][0]["ts"] == ts1
+    assert rows[0]["arr"][0]["ts"] == ts0 and rows[0]["arr"][0]["n"] == 0
