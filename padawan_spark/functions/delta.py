@@ -167,10 +167,17 @@ class _Replay:
             # int->double, date->timestamp_ntz, decimal widening)
             # natively — and fails CLOSED on a non-widenable
             # physical/logical mismatch, naming the column
+            # variantType (r14): Spark 4 reads parquet VARIANT
+            # natively, so a `variant` leaf in the schemaString scans
+            # straight through the declared-schema path (id-mode
+            # column mapping gates separately — pyarrow cannot open
+            # footers carrying the VARIANT logical type, so the
+            # field-id tap would fail in-task; the gate is loud)
             unsupported = feats - {"deletionVectors", "v2Checkpoint",
                                     "columnMapping",
                                     "timestampNtz", "typeWidening",
-                                    "typeWidening-preview"}
+                                    "typeWidening-preview",
+                                    "variantType"}
             if p.get("minReaderVersion", 1) > 2 and unsupported:
                 raise NotImplementedError(
                     f"delta readerFeatures {sorted(unsupported)} "
@@ -315,6 +322,22 @@ def _delta_type_ddl(t) -> str:
     return spark_json_type_ddl(t)
 
 
+def _contains_variant(t) -> bool:
+    """True when the schemaString type carries a VARIANT leaf at any
+    depth — the one leaf pyarrow's footer reader cannot open (r14)."""
+    if isinstance(t, str):
+        return t == "variant"
+    k = t.get("type")
+    if k == "struct":
+        return any(_contains_variant(f["type"]) for f in t["fields"])
+    if k == "array":
+        return _contains_variant(t["elementType"])
+    if k == "map":
+        return (_contains_variant(t["keyType"])
+                or _contains_variant(t["valueType"]))
+    return False
+
+
 def _phys_ddl(pt) -> str:
     """DDL of a PHYSICAL type tree (struct fields carry physical
     names; fields marked absent — ``{"name": None}``, a file that
@@ -457,6 +480,12 @@ def read_delta(spark, path: str, version: int | None = None,
         # carry nested ids too (r13), so renamed struct fields INSIDE
         # a column resolve per file as well.
         from .nested import match_tree_delta, parquet_field_trees
+        if any(_contains_variant(f["type"]) for f in data_fields):
+            raise NotImplementedError(
+                "id-mapped delta table with VARIANT columns: pyarrow "
+                "cannot read footers carrying the VARIANT logical "
+                "type, so per-file field-id resolution is "
+                "unavailable here")
         raw = parquet_field_trees(
             spark, [p for p, _pv, _dv in files_abs])
         for p, trees in raw.items():
@@ -694,9 +723,19 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
         conf = ({"delta.columnMapping.mode": cm_mode,
                  "delta.columnMapping.maxColumnId": str(max_id)}
                 if cm_mode else {})
-        actions.append({"protocol": {
-            "minReaderVersion": 2 if cm_mode else 1,
-            "minWriterVersion": 5 if cm_mode else 2}})
+        if any("variant" in ddl_types[c] for c in df.columns):
+            # a real Delta 4 writer publishes variant tables at
+            # table-features protocol with variantType listed (r14)
+            rf = (["variantType", "columnMapping"] if cm_mode
+                  else ["variantType"])
+            actions.append({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(rf),
+                "writerFeatures": sorted(rf)}})
+        else:
+            actions.append({"protocol": {
+                "minReaderVersion": 2 if cm_mode else 1,
+                "minWriterVersion": 5 if cm_mode else 2}})
         actions.append({"metaData": {
             "id": uuid.uuid4().hex, "format": {"provider": "parquet",
                                                "options": {}},
@@ -771,6 +810,38 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
             sub = sub.orderBy(*order_by)
         import pyarrow as pa
         import pyarrow.parquet as pq
+        if any("variant" in dict(df.dtypes)[c] for c in data_cols):
+            # VARIANT columns (r14): neither pandas nor this
+            # container's pyarrow can carry variant values, so the
+            # data file writes through Spark's OWN parquet writer —
+            # the same binary layout a real Delta 4 writer emits —
+            # and moves into place.  id-mode needs parquet field ids
+            # stamped, which that writer doesn't do: gate.
+            if cm_mode == "id":
+                raise NotImplementedError(
+                    "delta fixture: VARIANT with id-mode column "
+                    "mapping is unsupported (no field-id stamping "
+                    "through the JVM writer)")
+            import glob as _glob
+            import shutil as _shutil
+
+            from pyspark.sql import functions as SF
+            sel = [SF.col(f"`{c}`").alias(phys[c])
+                   for c in data_cols]
+            tmpd = full + ".jvm"
+            sub.select(*sel).coalesce(1).write.mode(
+                "overwrite").parquet(tmpd)
+            srcf = _glob.glob(os.path.join(tmpd,
+                                           "part-*.parquet"))[0]
+            _shutil.move(srcf, full)
+            _shutil.rmtree(tmpd, ignore_errors=True)
+            actions.append({"add": {
+                "path": rel, "partitionValues": {
+                    phys[c]: (None if v_ is None else str(v_))
+                    for c, v_ in zip(part_cols, key)},
+                "size": os.path.getsize(full),
+                "modificationTime": 0, "dataChange": True}})
+            continue
         if has_nested:
             # nested columns (r13): Arrow path — pandas cannot carry
             # structs faithfully; logical -> physical renames happen
@@ -1296,6 +1367,13 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
     lmaps: dict[str, dict[str, tuple]] = {}
     if mapping == "id" and events:
         from .nested import match_tree_delta, parquet_field_trees
+        if any(_contains_variant(fld_json[n]["type"])
+               for n in data_fields):
+            raise NotImplementedError(
+                "id-mapped delta CDF with VARIANT columns: pyarrow "
+                "cannot read footers carrying the VARIANT logical "
+                "type, so per-file field-id resolution is "
+                "unavailable here")
         raw = parquet_field_trees(
             spark, [os.path.abspath(os.path.join(path, rel))
                     for _v, _k, rel, _pv, _i, _e in events])

@@ -2327,3 +2327,46 @@ def src_delta_type_widening(spark, sf_dir):
         F.sum("a").cast("bigint").alias("a_sum"),
         F.sum(F.col("s")["x"]).cast("bigint").alias("x_sum"),
         F.count(F.when(F.col("a") >= big, 1)).alias("n_wide"))
+
+
+@query("src_delta_variant_read", oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS k_sum,
+       MAX(n_name) AS name_max,
+       CAST(COUNT(CASE WHEN n_regionkey = 2 THEN 1 END) AS BIGINT)
+           AS r2_cnt
+FROM nation
+""")
+def src_delta_variant_read(spark, sf_dir):
+    """Delta ``variantType`` reader feature (r14): semi-structured
+    VARIANT columns — what Delta 4 writers publish for JSON-shaped
+    data — read through Spark's native parquet VARIANT support: the
+    schemaString's ``variant`` leaf scans straight through the
+    declared-schema path and ``variant_get`` extraction runs
+    JVM-side (no JSON re-parse per row; the parse happened once at
+    write).  The fixture builds the table from nation rows encoded
+    as JSON objects, reads it back, and extracts typed paths; the
+    oracle recomputes from the source columns.  Scale shape:
+    identical to a plain delta scan — variant is a binary column
+    pair under the hood, and extraction is whole-stage-codegen."""
+    import os
+    import tempfile
+
+    from ..functions.delta import read_delta, write_delta_fixture
+    n = load(spark, sf_dir, "nation")
+    df = n.selectExpr(
+        "cast(n_nationkey as bigint) as k",
+        "parse_json(concat('{\"k\":', n_nationkey, "
+        "',\"r\":', n_regionkey, "
+        "',\"name\":\"', n_name, '\"}')) as v")
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_dvr_"), "tbl")
+    write_delta_fixture(spark, df, t)
+    return read_delta(spark, t).selectExpr(
+        "variant_get(v, '$.k', 'long') as vk",
+        "variant_get(v, '$.r', 'long') as vr",
+        "variant_get(v, '$.name', 'string') as vn").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vk").cast("bigint").alias("k_sum"),
+        F.max("vn").alias("name_max"),
+        F.count(F.when(F.col("vr") == 2, 1)).cast("bigint")
+        .alias("r2_cnt"))

@@ -4440,3 +4440,60 @@ def test_hudi_log_only_nested_temporal_schema_recovery(spark,
     assert set(rows) == {0, 1}
     assert rows[1]["arr"][0]["ts"] == ts1
     assert rows[0]["arr"][0]["ts"] == ts0 and rows[0]["arr"][0]["n"] == 0
+
+
+def test_delta_variant_reads_and_gates(spark, tmp_path):
+    """r14: variantType tables read through the native parquet
+    VARIANT path — plain, name-mapped, appended, and through the
+    CDF; id-mode column mapping gates loudly (this container's
+    pyarrow cannot open VARIANT footers for the field-id tap)."""
+    import json
+    import os
+
+    import pytest
+    from padawan_spark.functions.delta import (read_delta,
+                                               read_delta_changes,
+                                               write_delta_fixture)
+    t = str(tmp_path / "dv")
+    df = spark.sql(
+        "select id as k, parse_json(concat('{\"a\":', id, '}')) as v "
+        "from range(4)")
+    write_delta_fixture(spark, df, t)
+    # protocol published with the feature listed
+    log0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(line) for line in open(log0)]
+    proto = next(a for a in acts if "protocol" in a)["protocol"]
+    assert "variantType" in proto["readerFeatures"]
+    write_delta_fixture(spark, df.withColumn("k", df.k + 10), t,
+                        mode="append")
+    out = read_delta(spark, t)
+    assert dict(out.dtypes)["v"] == "variant"
+    got = sorted(r["a"] for r in out.selectExpr(
+        "variant_get(v, '$.a', 'long') as a").collect())
+    assert got == sorted([0, 1, 2, 3] * 2)
+    # CDF carries the variant column too
+    ch = read_delta_changes(spark, t, starting_version=1)
+    assert ch.count() == 4
+    # id-mode + variant gates loudly at read (hand-built log: the
+    # fixture itself refuses to write that combination)
+    t2 = str(tmp_path / "dvid")
+    write_delta_fixture(spark, df, t2)
+    log2 = os.path.join(t2, "_delta_log", f"{0:020d}.json")
+    acts2 = [json.loads(line) for line in open(log2)]
+    for a in acts2:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            for i, f in enumerate(sch["fields"]):
+                f["metadata"] = {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": f["name"]}
+            a["metaData"]["schemaString"] = json.dumps(sch)
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "id"}
+    with open(log2, "w") as fh:
+        for a in acts2:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="VARIANT"):
+        read_delta(spark, t2)
+    with pytest.raises(NotImplementedError, match="VARIANT"):
+        read_delta_changes(spark, t2, starting_version=0).collect()
