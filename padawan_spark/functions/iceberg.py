@@ -692,24 +692,23 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                    if not isinstance(f["type"], str)}
     nested_mode = evolved and bool(nested_cols & set(field_names))
     layouts: dict[str, tuple] = {}
-    if nested_mode and avro_paths:
-        raise NotImplementedError(
-            "iceberg schema evolution over NESTED columns is "
-            "supported for parquet and ORC data files only (Avro "
-            "nested field-id resolution not implemented)")
-    if nested_mode and (pq_paths or orc_paths):
+    if nested_mode and (pq_paths or orc_paths or avro_paths):
         # evolved table WITH nested columns (r13): the footer TREES
         # carry nested field ids (parquet PARQUET:field_id / ORC
-        # iceberg.id), so renamed struct fields inside a column
-        # resolve per file too — still ONE distributed footer job
-        # per format, never a driver-side open per data file
-        from .nested import (match_tree_ice, orc_field_trees,
-                             parquet_field_trees)
+        # iceberg.id; r14: Avro data files too, via the writer
+        # schema's field-id/element-id/key-id/value-id attributes),
+        # so renamed struct fields inside a column resolve per file
+        # — still ONE distributed footer/header job per format,
+        # never a driver-side open per data file
+        from .nested import (avro_field_trees, match_tree_ice,
+                             orc_field_trees, parquet_field_trees)
         traw = {}
         if pq_paths:
             traw.update(parquet_field_trees(spark, pq_paths))
         if orc_paths:
             traw.update(orc_field_trees(spark, orc_paths))
+        if avro_paths:
+            traw.update(avro_field_trees(spark, avro_paths))
         for p, trees in traw.items():
             byfid = {t0[0]: t0 for t0 in trees if t0[0] is not None}
             byname = {t0[1]: t0 for t0 in trees}
@@ -791,6 +790,12 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             .distinct().collect()}
         targeted_orc = {p for p in orc_paths if p in targeted}
         targeted_avro = {p for p in avro_paths if p in targeted}
+        if nested_mode and targeted_avro:
+            raise NotImplementedError(
+                "iceberg POSITION DELETES targeting AVRO files of "
+                "an evolved NESTED table are unsupported (the "
+                "python position scan does not resolve nested "
+                "renames)")
         if nested_mode and targeted_orc:
             raise NotImplementedError(
                 "iceberg POSITION DELETES targeting ORC files of an "
@@ -875,12 +880,39 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                 # and cast/alias to the table's declared columns
                 from ..sources import register_python_sources
                 register_python_sources(spark)
+                nl = None
+                if nested_mode:
+                    # evolved NESTED avro (r14): the layout entries
+                    # are (physical name, physical type tree json) —
+                    # renamed inner fields rebuild logically via the
+                    # same JVM remap the parquet/ORC paths use
+                    from .nested import remap_expr, remap_needed
+                    nl = {n: (pn, json.loads(ptj) if ptj else None)
+                          for n, (pn, ptj) in lmap.items()}
                 df = None
                 for p in paths:
                     src = (spark.read.format("padawan_avro")
                            .option("path", p).load())
                     cols = []
                     for n in dn:
+                        if nl is not None:
+                            ent = nl.get(n)
+                            if ent is None or ent[0] not in \
+                                    src.columns:
+                                cols.append(F.lit(None)
+                                            .cast(types[n]).alias(n))
+                                continue
+                            pn, pt = ent
+                            col = F.col(f"`{pn}`")
+                            if pt is not None:
+                                src_j = _ice_to_spark_json(pt)
+                                dst_j = _ice_to_spark_json(
+                                    raw_fields[n]["type"])
+                                if remap_needed(src_j, dst_j):
+                                    col = remap_expr(col, src_j,
+                                                     dst_j)
+                            cols.append(col.cast(types[n]).alias(n))
+                            continue
                         pn = _phys_of(n)
                         cols.append(
                             (F.col(pn) if pn is not None
@@ -1158,15 +1190,21 @@ def _ice_to_avro(t, name_hint: str):
             return _i2a[t]
         raise NotImplementedError(f"avro fixture leaf type {t!r}")
     k = t["type"]
+    # nested id attributes (r14): real Iceberg Avro writers stamp
+    # field-id / element-id / key-id / value-id at every depth — the
+    # resolution key an evolved reader matches renamed inner fields by
     if k == "struct":
         return {"type": "record", "name": name_hint, "fields": [
             {"name": f["name"],
+             **({"field-id": f["id"]} if "id" in f else {}),
              "type": ["null",
                       _ice_to_avro(f["type"],
                                    f"{name_hint}_{f['name']}")]}
             for f in t["fields"]]}
     if k == "list":
         return {"type": "array",
+                **({"element-id": t["element-id"]}
+                   if "element-id" in t else {}),
                 "items": _ice_to_avro(t["element"],
                                       name_hint + "_e")}
     if k == "map":
@@ -1174,6 +1212,9 @@ def _ice_to_avro(t, name_hint: str):
             raise NotImplementedError(
                 "avro maps require string keys")
         return {"type": "map",
+                **({"key-id": t["key-id"]} if "key-id" in t else {}),
+                **({"value-id": t["value-id"]}
+                   if "value-id" in t else {}),
                 "values": _ice_to_avro(t["value"], name_hint + "_v")}
     raise NotImplementedError(f"avro fixture type {t!r}")
 

@@ -265,6 +265,68 @@ def orc_field_trees(spark, paths) -> dict:
     return _field_trees(spark, paths, "orc")
 
 
+def _avro_schema_tree(field: dict):
+    """Avro record field -> ``[fid, name, children]`` from the
+    writer schema's Iceberg id attributes (``field-id`` on record
+    fields, ``element-id`` on arrays, ``key-id``/``value-id`` on
+    maps) — the Avro twin of :func:`_arrow_tree` (r14)."""
+    from .avro import _norm_type
+    t, _null = _norm_type(field["type"])
+    return [field.get("field-id"), field["name"],
+            _avro_type_kids(t)]
+
+
+def _avro_type_kids(t):
+    from .avro import _norm_type
+    if not isinstance(t, dict):
+        return []
+    k = t.get("type")
+    if k == "record":
+        return [_avro_schema_tree(f) for f in t["fields"]]
+    if k == "array":
+        it, _n = _norm_type(t["items"])
+        return [[t.get("element-id"), "element",
+                 _avro_type_kids(it)]]
+    if k == "map":
+        vt, _n = _norm_type(t["values"])
+        return [[t.get("key-id"), "key", []],
+                [t.get("value-id"), "value", _avro_type_kids(vt)]]
+    return []
+
+
+def avro_field_trees(spark, paths) -> dict:
+    """Avro sibling of :func:`parquet_field_trees` (r14): ONE
+    distributed HEADER job -> ``{path: [tree, ...]}`` from each
+    file's embedded writer schema — a header parse per file, never a
+    row decode; the trees resolve renamed nested fields of evolved
+    Iceberg tables whose data files are Avro."""
+    paths = sorted(set(paths))
+    if not paths:
+        return {}
+
+    def _tap(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from .avro import read_avro_header_file
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                schema, _c, _s, _pos = read_avro_header_file(p)
+                trees = [_avro_schema_tree(f)
+                         for f in schema["fields"]]
+                rows.append((p, _json.dumps(trees)))
+            yield pd.DataFrame(rows, columns=["path", "layout"])
+
+    n = min(len(paths),
+            max(32, spark.sparkContext.defaultParallelism))
+    fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
+           .repartition(n, "path")
+           .mapInPandas(_tap, "path string, layout string"))
+    return {r["path"]: json.loads(r["layout"]) for r in fdf.collect()}
+
+
 def match_tree_delta(t, node):
     """Physical type of ONE FILE for a Delta id-mapped nested column:
     walk the logical schema-JSON type ``t`` against the file's footer

@@ -2370,3 +2370,58 @@ def src_delta_variant_read(spark, sf_dir):
         F.max("vn").alias("name_max"),
         F.count(F.when(F.col("vr") == 2, 1)).cast("bigint")
         .alias("r2_cnt"))
+
+
+@query("src_iceberg_avro_nested_evolution", oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(n_nationkey * 2) AS BIGINT) AS alpha_sum,
+       CAST(SUM(n_nationkey + 5) AS BIGINT) AS arr_alpha_sum,
+       MAX(n_name) AS b_max
+FROM nation
+""")
+def src_iceberg_avro_nested_evolution(spark, sf_dir):
+    """Iceberg NESTED columns over AVRO data files through SCHEMA
+    EVOLUTION (r14) — the last format x evolution combination: the
+    fixture writes nation rows as Avro data files with a struct and
+    an array-of-struct column, renames the inner fields
+    (``st.a -> alpha``, ``ar.element.a -> alpha``), then appends
+    more Avro files under the new names; the reader resolves each
+    file's inner fields by the WRITER SCHEMA's field-id/element-id
+    attributes (one distributed header job —
+    ``functions/nested.py:avro_field_trees``) and rebuilds the
+    logical shape with the same JVM remap the parquet/ORC paths use.
+    Scale shape: planning is O(files) header parses; the remap is
+    whole-stage-codegen expression work, no Python in the row
+    path beyond the Avro block decode itself."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import (evolve_iceberg_schema_fixture,
+                                     read_iceberg,
+                                     write_iceberg_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_name").alias("nm"))
+
+    def mk(df, a):
+        return df.select(
+            "k",
+            F.struct((F.col("k") * 2).alias(a),
+                     F.col("nm").alias("b")).alias("st"),
+            F.array(F.struct((F.col("k") + 5).alias(a)))
+            .alias("ar"))
+
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_ian_"), "tbl")
+    write_iceberg_fixture(spark, mk(n.where(F.col("k") < 12), "a"),
+                          t, file_format="avro")
+    evolve_iceberg_schema_fixture(
+        t, renames={"st.a": "alpha", "ar.element.a": "alpha"})
+    write_iceberg_fixture(spark,
+                          mk(n.where(F.col("k") >= 12), "alpha"),
+                          t, file_format="avro")
+    return read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("st")["alpha"]).cast("bigint").alias("alpha_sum"),
+        F.sum(F.col("ar")[0]["alpha"]).cast("bigint")
+        .alias("arr_alpha_sum"),
+        F.max(F.col("st")["b"]).alias("b_max"))

@@ -3523,12 +3523,13 @@ def test_iceberg_nested_added_inner_field_null_fills(spark,
 
 
 def test_iceberg_nested_gates_and_orc(spark, tmp_path):
-    """r13: the honest gates — SCHEMA-EVOLVED nested tables with
-    AVRO data files, and nested fixture columns under transform
-    partitioning — raise loudly; ORC nested tables READ (nested
-    ``iceberg.id`` attributes round-trip through pyarrow's ORC
-    writer), including mixed parquet+ORC under an evolved nested
-    schema; unevolved nested AVRO reads (separate test)."""
+    """r13: nested fixture columns under transform partitioning
+    raise loudly; ORC nested tables READ (nested ``iceberg.id``
+    attributes round-trip through pyarrow's ORC writer), including
+    mixed parquet+ORC under an evolved nested schema.  r14: the
+    SCHEMA-EVOLVED nested table with AVRO data files — formerly the
+    one gated format — now reads too: a pre-evolution flat Avro
+    file null-fills the added struct column."""
     import pyspark.sql.functions as SF
     import pytest as _pytest
     from padawan_spark.functions.iceberg import (
@@ -3539,8 +3540,9 @@ def test_iceberg_nested_gates_and_orc(spark, tmp_path):
                         match="identity-partitioned layouts"):
         write_iceberg_fixture(spark, df, str(tmp_path / "x2"),
                               partition_by=("bucket(4, k)",))
-    # evolved + AVRO data + nested columns -> loud gate on read: the
-    # old Avro file carries into a snapshot whose schema is nested
+    # evolved + AVRO data + nested columns (r14): the old flat Avro
+    # file carries into a snapshot whose schema is nested — its rows
+    # surface the added struct as NULL, the new parquet rows carry it
     t = str(tmp_path / "x3")
     flat = spark.range(3).select(SF.col("id").alias("k"))
     write_iceberg_fixture(spark, flat, t, file_format="avro")
@@ -3553,9 +3555,9 @@ def test_iceberg_nested_gates_and_orc(spark, tmp_path):
         spark, spark.range(3, 5).select(
             SF.col("id").alias("k"),
             SF.struct((SF.col("id") * 2).alias("a")).alias("st")), t)
-    with _pytest.raises(NotImplementedError,
-                        match="Avro nested"):
-        read_iceberg(spark, t).collect()
+    got = {r["k"]: r["st"] for r in read_iceberg(spark, t).collect()}
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert got[3]["a"] == 6 and got[4]["a"] == 8
     # MIXED parquet + ORC under an evolved NESTED schema reads: both
     # formats' footer trees resolve the renamed inner fields
     t2 = str(tmp_path / "x4")
@@ -4497,3 +4499,46 @@ def test_delta_variant_reads_and_gates(spark, tmp_path):
         read_delta(spark, t2)
     with pytest.raises(NotImplementedError, match="VARIANT"):
         read_delta_changes(spark, t2, starting_version=0).collect()
+
+
+def test_iceberg_avro_nested_schema_evolution(spark, tmp_path):
+    """r14: schema-EVOLVED nested columns over AVRO data files — the
+    last format x evolution hole: renamed struct fields INSIDE a
+    column resolve per file by the writer schema's
+    field-id/element-id attributes (one distributed header job), and
+    mixed avro+parquet tables read under one evolved schema."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        write_iceberg_fixture)
+
+    def mk(rng, a):
+        return rng.select(
+            SF.col("id").alias("k"),
+            SF.struct((SF.col("id") * 2).alias(a),
+                      SF.concat(SF.lit("n"), SF.col("id"))
+                      .alias("b")).alias("st"),
+            SF.array(SF.struct((SF.col("id") + 5).alias(a)))
+            .alias("ar"))
+
+    t = str(tmp_path / "ane")
+    write_iceberg_fixture(spark, mk(spark.range(3), "a"), t,
+                          file_format="avro")
+    evolve_iceberg_schema_fixture(t, renames={"st.a": "alpha",
+                                              "ar.element.a":
+                                              "alpha"})
+    write_iceberg_fixture(spark, mk(spark.range(10, 12), "alpha"),
+                          t, file_format="avro")
+    out = read_iceberg(spark, t)
+    rows = {r["k"]: r for r in out.collect()}
+    assert {k: r["st"]["alpha"] for k, r in rows.items()} == {
+        0: 0, 1: 2, 2: 4, 10: 20, 11: 22}
+    assert rows[0]["ar"][0]["alpha"] == 5
+    assert rows[11]["ar"][0]["alpha"] == 16
+    assert rows[2]["st"]["b"] == "n2"
+    # mixed avro + parquet under the same evolved nested schema
+    write_iceberg_fixture(spark, mk(spark.range(20, 21), "alpha"),
+                          t, file_format="parquet")
+    rows2 = {r["k"]: r["st"]["alpha"]
+             for r in read_iceberg(spark, t).collect()}
+    assert rows2 == {0: 0, 1: 2, 2: 4, 10: 20, 11: 22, 20: 40}
