@@ -4542,3 +4542,79 @@ def test_iceberg_avro_nested_schema_evolution(spark, tmp_path):
     rows2 = {r["k"]: r["st"]["alpha"]
              for r in read_iceberg(spark, t).collect()}
     assert rows2 == {0: 0, 1: 2, 2: 4, 10: 20, 11: 22, 20: 40}
+
+
+def test_hudi_temporal_reviver_roundtrip_property():
+    """Property (r14): for RANDOM nested DDL shapes (arrays, structs,
+    string-keyed maps over bigint/string/timestamp/date leaves) and
+    random values, the writer-side avroizer and the reader-side
+    temporal reviver are inverse — datetimes/dates survive any
+    nesting exactly, None at every level stays None."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from padawan_spark.functions.hudi import (_avroize_value,
+                                              _log_safe_type,
+                                              _temporal_reviver)
+
+    prims = st.sampled_from(["bigint", "string", "timestamp", "date"])
+
+    def compose(inner):
+        return st.one_of(
+            inner.map(lambda t: f"array<{t}>"),
+            inner.map(lambda t: f"map<string,{t}>"),
+            st.lists(inner, min_size=1, max_size=3).map(
+                lambda ts: "struct<" + ",".join(
+                    f"f{i}:{t}" for i, t in enumerate(ts)) + ">"))
+
+    types = st.recursive(prims, compose, max_leaves=6)
+
+    def value_for(t, draw):
+        if t == "bigint":
+            return draw(st.one_of(st.none(), st.integers(-2**40,
+                                                         2**40)))
+        if t == "string":
+            return draw(st.one_of(st.none(), st.text(max_size=6)))
+        if t == "timestamp":
+            return draw(st.one_of(st.none(), st.datetimes(
+                min_value=dt.datetime(1960, 1, 1),
+                max_value=dt.datetime(2100, 1, 1))))
+        if t == "date":
+            return draw(st.one_of(st.none(), st.dates(
+                min_value=dt.date(1960, 1, 1),
+                max_value=dt.date(2100, 1, 1))))
+        from padawan_spark.functions.hudi import _parse_ddl_type
+        tree = _parse_ddl_type(t)
+        return tree_value(tree, draw)
+
+    def tree_value(tree, draw):
+        k = tree[0]
+        if k == "prim":
+            return value_for(tree[1], draw)
+        if k == "array":
+            return [tree_value(tree[1], draw)
+                    for _ in range(draw(st.integers(0, 3)))]
+        if k == "map":
+            return {draw(st.text(max_size=4)): tree_value(tree[2],
+                                                          draw)
+                    for _ in range(draw(st.integers(0, 2)))}
+        if k == "struct":
+            return {n: tree_value(ft, draw) for n, ft in tree[1]}
+        raise AssertionError(tree)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def check(data):
+        from padawan_spark.functions.hudi import _parse_ddl_type
+        t = data.draw(types)
+        assert _log_safe_type(t)
+        tree = _parse_ddl_type(t)
+        v = tree_value(tree, data.draw)
+        av = _avroize_value(v)
+        rv = _temporal_reviver(t)
+        got = rv(av) if rv is not None else av
+        assert got == v, (t, v, av, got)
+
+    check()
