@@ -412,6 +412,64 @@ def _tree_has_map(tree) -> bool:
     return False
 
 
+_DEC_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
+
+
+def _payload_avroizer(t: str):
+    """None when the DDL type carries no decimal leaf; otherwise an
+    encoder converting ONE python value into Avro-datum shape —
+    Decimal leaves quantize to the DECLARED scale and encode as
+    unscaled big-endian two's-complement bytes (the Avro logical
+    decimal wire form); temporal leaves and Rows ride the generic
+    :func:`_avroize_value` conversions (r14)."""
+    import decimal as _decimal
+    try:
+        tree = _parse_ddl_type(t)
+    except ValueError:
+        return None
+    if not _tree_has_decimal(tree):
+        return None
+
+    def build(tr):
+        k = tr[0]
+        if k == "prim":
+            m = _DEC_RE.match(tr[1])
+            if m:
+                scale = int(m.group(2))
+                q = _decimal.Decimal(1).scaleb(-scale)
+
+                def f(v):
+                    if v is None:
+                        return None
+                    u = int(_decimal.Decimal(v).quantize(q)
+                            .scaleb(scale))
+                    n = max(1, (u.bit_length() + 8) // 8)
+                    return u.to_bytes(n, "big", signed=True)
+                return f
+            return _avroize_value
+        if k == "array":
+            f = build(tr[1])
+            return (lambda v: None if v is None
+                    else [f(x) for x in v])
+        if k == "map":
+            f = build(tr[2])
+            return (lambda v: None if v is None
+                    else {mk: f(mv) for mk, mv in
+                          (v.items() if isinstance(v, dict)
+                           else v)})
+        if k == "struct":
+            fs = {n: build(ft) for n, ft in tr[1]}
+
+            def g(v):
+                if v is None:
+                    return None
+                d = v.asDict() if hasattr(v, "asDict") else v
+                return {n: fn(d.get(n)) for n, fn in fs.items()}
+            return g
+        raise NotImplementedError(f"payload tree {tr!r}")
+    return build(tree)
+
+
 def _tree_has_temporal(tree) -> bool:
     k = tree[0]
     if k == "prim":
@@ -426,21 +484,37 @@ def _tree_has_temporal(tree) -> bool:
     return False
 
 
-def _pa_log_type(tree, physical: bool):
-    """pyarrow type of a DDL tree; ``physical=True`` keeps temporal
-    leaves as their Avro logical-type ints (int64 micros / int32
-    epoch days) — the shape avroized fixture records carry, cast to
-    the logical type when a parquet data block writes REAL temporal
-    values (r14)."""
+def _tree_has_decimal(tree) -> bool:
+    k = tree[0]
+    if k == "prim":
+        return bool(_DEC_RE.match(tree[1]))
+    if k == "array":
+        return _tree_has_decimal(tree[1])
+    if k == "map":
+        return (_tree_has_decimal(tree[1])
+                or _tree_has_decimal(tree[2]))
+    if k == "struct":
+        return any(_tree_has_decimal(ft) for _n, ft in tree[1])
+    return False
+
+
+def _pa_payload_type(tree):
+    """pyarrow type of a DDL tree, LOGICAL leaves (us/UTC
+    timestamps, date32, decimal128) — the explicit-arrow build of
+    nested/decimal payload values (r14).  ``pa.array`` treats naive
+    datetimes as UTC wall time, matching the Avro logical-type
+    epoch convention the log codecs use on the wire."""
     import pyarrow as pa
     k = tree[0]
     if k == "prim":
         t = tree[1]
         if t == "timestamp":
-            return pa.int64() if physical else pa.timestamp("us",
-                                                            "UTC")
+            return pa.timestamp("us", "UTC")
         if t == "date":
-            return pa.int32() if physical else pa.date32()
+            return pa.date32()
+        m = _DEC_RE.match(t)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
         prims = {"bigint": pa.int64(), "int": pa.int32(),
                  "smallint": pa.int16(), "tinyint": pa.int8(),
                  "double": pa.float64(), "float": pa.float32(),
@@ -450,12 +524,12 @@ def _pa_log_type(tree, physical: bool):
                 f"unsupported log payload leaf type {t!r}")
         return prims[t]
     if k == "array":
-        return pa.list_(_pa_log_type(tree[1], physical))
+        return pa.list_(_pa_payload_type(tree[1]))
     if k == "map":
-        return pa.map_(_pa_log_type(tree[1], physical),
-                       _pa_log_type(tree[2], physical))
+        return pa.map_(_pa_payload_type(tree[1]),
+                       _pa_payload_type(tree[2]))
     if k == "struct":
-        return pa.struct([(n, _pa_log_type(ft, physical))
+        return pa.struct([(n, _pa_payload_type(ft))
                           for n, ft in tree[1]])
     raise NotImplementedError(f"unsupported log payload tree {tree!r}")
 
@@ -469,7 +543,8 @@ def _log_safe_type(t: str) -> bool:
     def ok(tree) -> bool:
         k = tree[0]
         if k == "prim":
-            return tree[1] in _LOG_SAFE
+            return (tree[1] in _LOG_SAFE
+                    or bool(_DEC_RE.match(tree[1])))
         if k == "array":
             return ok(tree[1])
         if k == "map":
@@ -518,6 +593,24 @@ def _temporal_reviver(t: str):
                         return v
                     return (_dt.date(1970, 1, 1)
                             + _dt.timedelta(days=v))
+                return f
+            m = _DEC_RE.match(tree[1])
+            if m:
+                # Avro logical decimal: unscaled big-endian
+                # two's-complement bytes at the DECLARED scale
+                # (r14); parquet data blocks surface real Decimals
+                # — pass through
+                import decimal as _decimal
+                scale = int(m.group(2))
+
+                def f(v):
+                    if v is None or isinstance(v, _decimal.Decimal):
+                        return v
+                    if isinstance(v, (bytes, bytearray)):
+                        u = int.from_bytes(bytes(v), "big",
+                                           signed=True)
+                        return _decimal.Decimal(u).scaleb(-scale)
+                    return v
                 return f
             return None
         if k == "array":
@@ -669,7 +762,8 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     # a reviver built once from the column's DDL (r14)
     ts_cols = [c for c in data_cols if dtypes[c] == "timestamp"]
     date_cols = [c for c in data_cols if dtypes[c] == "date"]
-    nested_revive = {c: r for c in data_cols if "<" in dtypes[c]
+    nested_revive = {c: r for c in data_cols
+                     if dtypes[c] not in ("timestamp", "date")
                      and (r := _temporal_reviver(dtypes[c]))
                      is not None}
     committed = set(list_hudi_commits(path))
@@ -1113,14 +1207,17 @@ def write_hudi_fixture(spark, df, path: str,
         # shapes keep the inference path (e.g. decimal leaves)
         explicit: dict[str, tuple] = {}
         for c, t in df.dtypes:
-            if "<" not in t:
-                continue
             try:
                 tree = _parse_ddl_type(t)
             except ValueError:
                 continue
-            if _tree_has_map(tree) or _tree_has_temporal(tree):
-                explicit[c] = tree
+            # maps and temporal leaves mis-infer through pandas;
+            # decimals (flat included, r14) infer with VALUE-derived
+            # precision/scale instead of the declared type
+            if _tree_has_map(tree) or _tree_has_temporal(tree) \
+                    or _tree_has_decimal(tree):
+                if "<" in t or _tree_has_decimal(tree):
+                    explicit[c] = tree
         meta = {
             "_hoodie_commit_time": [instant] * len(prows),
             "_hoodie_commit_seqno": [f"{instant}_{i}"
@@ -1135,9 +1232,10 @@ def write_hudi_fixture(spark, df, path: str,
         tb = pa.Table.from_pandas(pdf, preserve_index=False)
         order = list(meta) + list(df.columns)
         for c, tree in explicit.items():     # ascending column order
-            vals = [_avroize_value(x) for x in data[c]]
-            arr = (pa.array(vals, type=_pa_log_type(tree, True))
-                   .cast(_pa_log_type(tree, False)))
+            # direct logical build (r14): collected python values
+            # (naive datetimes = UTC wall, dates, Decimals, dicts)
+            # carry straight into the declared arrow type
+            arr = pa.array(data[c], type=_pa_payload_type(tree))
             tb = tb.add_column(order.index(c), pa.field(c, arr.type),
                                arr)
         for ci, fld in enumerate(tb.schema):
@@ -1212,6 +1310,11 @@ def _avro_payload_type(col: str, t: str):
     def conv(tree):
         k = tree[0]
         if k == "prim":
+            m = _DEC_RE.match(tree[1])
+            if m:
+                return {"type": "bytes", "logicalType": "decimal",
+                        "precision": int(m.group(1)),
+                        "scale": int(m.group(2))}
             if tree[1] not in _SPARK_TO_AVRO:
                 raise NotImplementedError(
                     f"hudi log fixture over payload type {t!r}")
@@ -1339,12 +1442,15 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
             if isinstance(v, list):
                 return [_avroize(x) for x in v]
             return v
+        encs = {c: _payload_avroizer(t) for c, t in upserts.dtypes}
         grouped: dict[str, list[dict]] = {}
         for r in upserts.collect():
             part = (str(r[partition_field]) if partition_field
                     else "")
             rec = {"_hoodie_record_key": str(r[0]),
-                   **{c: _avroize(r[c]) for c in upserts.columns}}
+                   **{c: (encs[c](r[c]) if encs[c] is not None
+                          else _avroize(r[c]))
+                      for c in upserts.columns}}
             grouped.setdefault(part, []).append(rec)
         for part, recs in sorted(grouped.items()):
             if part not in by_part:
@@ -1382,15 +1488,21 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
                         vals = [r.get(c) for r in batch]
                         t = dt_map.get(c)
                         tree = _parse_ddl_type(t) if t else None
-                        if tree is not None \
-                                and _tree_has_temporal(tree):
-                            # temporal leaves at ANY depth: build
-                            # the avroized-int shape, cast to the
-                            # real temporal tree (r14)
+                        if tree is not None and (
+                                _tree_has_temporal(tree)
+                                or _tree_has_map(tree)
+                                or _tree_has_decimal(tree)):
+                            # real parquet blocks carry REAL
+                            # temporal/decimal values: revive the
+                            # avroized datums back to logical
+                            # python objects and build with the
+                            # declared arrow type (r14 — pa.array
+                            # takes naive datetimes as UTC)
+                            rv = _temporal_reviver(t)
+                            lv = ([rv(x) for x in vals] if rv
+                                  else vals)
                             arrays[c] = pa.array(
-                                vals,
-                                type=_pa_log_type(tree, True)).cast(
-                                _pa_log_type(tree, False))
+                                lv, type=_pa_payload_type(tree))
                         else:
                             arrays[c] = pa.array(vals)
                     tb = pa.table(arrays)
@@ -1453,6 +1565,8 @@ def _avro_field_ddl(t) -> str:
             return "timestamp"
         if lt == "date":
             return "date"
+        if lt == "decimal":
+            return f"decimal({t['precision']},{t['scale']})"
         k = t.get("type")
         if k == "array":
             it, _nl = _norm_type(t["items"])
@@ -1566,6 +1680,8 @@ def _pa_type_ddl(t) -> str:
         return "date"
     if s in _PA_TO_DDL:
         return _PA_TO_DDL[s]
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"array<{_pa_type_ddl(t.value_type)}>"
     if pa.types.is_struct(t):

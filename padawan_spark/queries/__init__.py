@@ -61,6 +61,7 @@ for _m in _SUITES:
 _SENTINELS = ["src_hudi_nested_temporal", "src_delta_type_widening",
               "src_delta_variant_read",
               "src_iceberg_avro_nested_evolution",
+              "src_hudi_decimal_payloads",
               "src_hudi_mor_read", "src_hudi_log_only_table",
               "src_hudi_log_block_formats", "src_hudi_metadata_hfile",
               "streaming_hudi_incremental",

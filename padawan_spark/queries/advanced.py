@@ -2425,3 +2425,64 @@ def src_iceberg_avro_nested_evolution(spark, sf_dir):
         F.sum(F.col("ar")[0]["alpha"]).cast("bigint")
         .alias("arr_alpha_sum"),
         F.max(F.col("st")["b"]).alias("b_max"))
+
+
+@query("src_hudi_decimal_payloads", oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN n_nationkey % 6 = 0
+                THEN CAST('99.50' AS DECIMAL(10,2))
+                ELSE CAST(n_nationkey AS DECIMAL(10,2))
+                     + CAST('0.25' AS DECIMAL(10,2)) END)
+            AS DECIMAL(20,2)) AS price_sum,
+       CAST(SUM(CASE WHEN n_nationkey % 6 = 0
+                THEN CAST('7.5' AS DECIMAL(14,4))
+                ELSE CAST(n_nationkey AS DECIMAL(14,4))
+                     + CAST('0.0001' AS DECIMAL(14,4)) END)
+            AS DECIMAL(24,4)) AS amt_sum
+FROM nation WHERE n_nationkey <> 3
+""")
+def src_hudi_decimal_payloads(spark, sf_dir):
+    """Hudi MOR with DECIMAL log payloads (r14) — flat and inside
+    ``array<struct<...>>`` alike: values ride the Avro logical
+    decimal wire form (unscaled big-endian two's-complement bytes at
+    the column's DECLARED scale) through the log blocks and revive
+    to exact Decimals in the merge; the base files carry real
+    parquet decimals at the declared precision/scale.  A deltacommit
+    upserts every ``k % 6 == 0`` row's prices and deletes key 3.
+    Scale shape: identical to the MOR merge — the decimal codec is
+    O(log rows), base rows never leave the parquet scan."""
+    import os
+    import tempfile
+
+    from ..functions.hudi import (read_hudi, write_hudi_delta_fixture,
+                                  write_hudi_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    base = n.select(
+        "k", "g",
+        (F.col("k").cast("decimal(10,2)")
+         + F.lit("0.25").cast("decimal(10,2)")).cast("decimal(10,2)")
+        .alias("price"),
+        F.array(F.struct(
+            (F.col("k").cast("decimal(12,4)")
+             + F.lit("0.0001").cast("decimal(12,4)"))
+            .cast("decimal(12,4)").alias("amt"))).alias("nest"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_hdp_"), "tbl")
+    write_hudi_fixture(spark, base, t, partition_field="g")
+    ups = base.where(F.col("k") % 6 == 0).select(
+        "k", "g",
+        F.lit("99.50").cast("decimal(10,2)").alias("price"),
+        F.array(F.struct(
+            F.lit("7.5").cast("decimal(12,4)").alias("amt")))
+        .alias("nest"))
+    dels: dict[str, list[str]] = {}
+    for r in n.where(F.col("k") == 3).collect():
+        dels.setdefault(str(r["g"]), []).append(str(r["k"]))
+    write_hudi_delta_fixture(spark, t, upserts=ups, deletes=dels,
+                             partition_field="g")
+    return read_hudi(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("decimal(20,2)").alias("price_sum"),
+        F.sum(F.col("nest")[0]["amt"]).cast("decimal(24,4)")
+        .alias("amt_sum"))

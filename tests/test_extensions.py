@@ -3871,10 +3871,11 @@ def test_hudi_mor_nested_payload_columns(spark, tmp_path):
     assert rows[2]["s"]["a"] == 77 and rows[2]["s"]["b"] == "upd"
     assert list(rows[1]["vs"]) == [1, 2]
     assert rows[3]["s"]["b"] == "n3"
-    # a genuinely unsupported leaf type (decimal) still gates loudly
+    # a genuinely unsupported leaf type (binary) still gates loudly
     df2 = spark.range(2).select(
         SF.col("id").alias("k"),
-        SF.array(SF.col("id").cast("decimal(10,2)")).alias("dec_arr"))
+        SF.array(SF.col("id").cast("string").cast("binary"))
+        .alias("bin_arr"))
     t2 = str(tmp_path / "mornest2")
     write_hudi_fixture(spark, df2, t2)
     with pytest.raises(NotImplementedError, match="payload"):
@@ -4618,3 +4619,63 @@ def test_hudi_temporal_reviver_roundtrip_property():
         assert got == v, (t, v, av, got)
 
     check()
+
+
+def test_hudi_mor_decimal_payloads(spark, tmp_path):
+    """r14: DECIMAL log payloads — flat and inside nested types —
+    merge through every block format at the DECLARED precision/scale
+    (Avro logical decimal: unscaled big-endian bytes), and the
+    incremental stream revives them; the base fixture writes flat
+    decimals with the declared type instead of pandas' value-derived
+    inference."""
+    import datetime as dt
+    import uuid as _uuid
+    from decimal import Decimal
+
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    ts0 = dt.datetime(2023, 1, 2, 3, 4, 5)
+    ddl = ("k long, price decimal(10,2), "
+           "nest array<struct<amt:decimal(12,4),ts:timestamp>>")
+    base = spark.createDataFrame(
+        [(i, Decimal(f"{i}.25"), [(Decimal(f"{i}.0001"), ts0)])
+         for i in range(4)], ddl)
+    for fmt in ("avro", "hfile", "parquet"):
+        t = str(tmp_path / f"hdec_{fmt}")
+        write_hudi_fixture(spark, base, t)
+        assert dict(read_hudi(spark, t).dtypes)["price"] \
+            == "decimal(10,2)"
+        ups = spark.createDataFrame(
+            [(2, Decimal("99.50"), [(Decimal("7.5000"), ts0)])], ddl)
+        write_hudi_delta_fixture(spark, t, upserts=ups,
+                                 deletes=["1"], block_format=fmt)
+        rows = {r["k"]: r for r in read_hudi(spark, t).collect()}
+        assert set(rows) == {0, 2, 3}, fmt
+        assert rows[2]["price"] == Decimal("99.50"), fmt
+        assert rows[2]["nest"][0]["amt"] == Decimal("7.5000"), fmt
+        assert rows[0]["price"] == Decimal("0.25"), fmt
+        assert rows[0]["nest"][0]["amt"] == Decimal("0.0001"), fmt
+    # incremental stream over the avro-format table
+    name = "hdec_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_hudi_incremental")
+         .option("path", str(tmp_path / "hdec_avro")).load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"]: r for r in spark.table(name).collect()}
+    assert got[2]["price"] == Decimal("99.50")
+    assert got[0]["nest"][0]["amt"] == Decimal("0.0001")
+    # log-only table: schema (incl. decimal) recovers from the
+    # writer schema's logical-type annotations
+    t2 = str(tmp_path / "hdec_lo")
+    write_hudi_delta_fixture(spark, t2, upserts=base)
+    assert dict(read_hudi(spark, t2).dtypes)["price"] \
+        == "decimal(10,2)"
+    assert {r["k"]: r["price"]
+            for r in read_hudi(spark, t2).collect()}[3] \
+        == Decimal("3.25")
