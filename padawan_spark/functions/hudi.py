@@ -331,7 +331,8 @@ def live_hudi_files(path: str, as_of: str | None = None):
 
 
 _LOG_SAFE = ("bigint", "int", "smallint", "tinyint", "double",
-             "float", "string", "boolean", "timestamp", "date")
+             "float", "string", "boolean", "timestamp", "date",
+             "binary")
 
 
 def _split_top(s: str) -> list[str]:
@@ -518,7 +519,8 @@ def _pa_payload_type(tree):
         prims = {"bigint": pa.int64(), "int": pa.int32(),
                  "smallint": pa.int16(), "tinyint": pa.int8(),
                  "double": pa.float64(), "float": pa.float32(),
-                 "string": pa.string(), "boolean": pa.bool_()}
+                 "string": pa.string(), "boolean": pa.bool_(),
+                 "binary": pa.binary()}
         if t not in prims:
             raise NotImplementedError(
                 f"unsupported log payload leaf type {t!r}")
@@ -1294,7 +1296,8 @@ _SPARK_TO_AVRO = {"bigint": "long", "int": "int", "double": "double",
                   # round-trip (r11)
                   "timestamp": {"type": "long",
                                 "logicalType": "timestamp-micros"},
-                  "date": {"type": "int", "logicalType": "date"}}
+                  "date": {"type": "int", "logicalType": "date"},
+                  "binary": "bytes"}
 
 
 def _avro_payload_type(col: str, t: str):
@@ -1546,12 +1549,14 @@ def write_hudi_delta_fixture(spark, path: str, upserts=None,
 
 _PA_TO_DDL = {"int64": "bigint", "int32": "int", "double": "double",
               "float": "float", "string": "string", "large_string":
-              "string", "bool": "boolean"}
+              "string", "bool": "boolean", "binary": "binary",
+              "large_binary": "binary"}
 
 
 _AVRO_PRIM_TO_DDL = {"long": "bigint", "int": "int",
                      "double": "double", "float": "float",
-                     "string": "string", "boolean": "boolean"}
+                     "string": "string", "boolean": "boolean",
+                     "bytes": "binary"}
 
 
 def _avro_field_ddl(t) -> str:

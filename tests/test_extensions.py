@@ -3871,11 +3871,12 @@ def test_hudi_mor_nested_payload_columns(spark, tmp_path):
     assert rows[2]["s"]["a"] == 77 and rows[2]["s"]["b"] == "upd"
     assert list(rows[1]["vs"]) == [1, 2]
     assert rows[3]["s"]["b"] == "n3"
-    # a genuinely unsupported leaf type (binary) still gates loudly
+    # a genuinely unsupported shape (non-string map key: Avro maps
+    # key by string) still gates loudly
     df2 = spark.range(2).select(
         SF.col("id").alias("k"),
-        SF.array(SF.col("id").cast("string").cast("binary"))
-        .alias("bin_arr"))
+        SF.create_map(SF.col("id"),
+                      SF.col("id").cast("string")).alias("im"))
     t2 = str(tmp_path / "mornest2")
     write_hudi_fixture(spark, df2, t2)
     with pytest.raises(NotImplementedError, match="payload"):
@@ -4679,3 +4680,32 @@ def test_hudi_mor_decimal_payloads(spark, tmp_path):
     assert {r["k"]: r["price"]
             for r in read_hudi(spark, t2).collect()}[3] \
         == Decimal("3.25")
+
+
+def test_hudi_mor_binary_payloads(spark, tmp_path):
+    """r14: BINARY log payloads — flat and inside nested types — ride
+    Avro ``bytes`` through every block format; log-only tables
+    recover ``binary`` DDL from the writer schema."""
+    from padawan_spark.functions.hudi import (read_hudi,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    ddl = ("k long, payload binary, "
+           "nest array<struct<blob:binary,n:bigint>>")
+    base = spark.createDataFrame(
+        [(i, bytes([i, i + 1]), [(bytes([i * 2]), i)])
+         for i in range(4)], ddl)
+    for fmt in ("avro", "hfile", "parquet"):
+        t = str(tmp_path / f"hbin_{fmt}")
+        write_hudi_fixture(spark, base, t)
+        ups = spark.createDataFrame(
+            [(2, b"\xff\x00upd", [(b"zz", 9)])], ddl)
+        write_hudi_delta_fixture(spark, t, upserts=ups,
+                                 deletes=["1"], block_format=fmt)
+        rows = {r["k"]: r for r in read_hudi(spark, t).collect()}
+        assert set(rows) == {0, 2, 3}, fmt
+        assert bytes(rows[2]["payload"]) == b"\xff\x00upd", fmt
+        assert bytes(rows[2]["nest"][0]["blob"]) == b"zz", fmt
+        assert bytes(rows[0]["payload"]) == bytes([0, 1]), fmt
+    t2 = str(tmp_path / "hbin_lo")
+    write_hudi_delta_fixture(spark, t2, upserts=base)
+    assert dict(read_hudi(spark, t2).dtypes)["payload"] == "binary"
