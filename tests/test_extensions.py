@@ -4501,6 +4501,18 @@ def test_delta_variant_reads_and_gates(spark, tmp_path):
         read_delta(spark, t2)
     with pytest.raises(NotImplementedError, match="VARIANT"):
         read_delta_changes(spark, t2, starting_version=0).collect()
+    # variant NESTED inside a struct reads too (the schemaString
+    # leaf passes through at any depth)
+    t3 = str(tmp_path / "dvnest")
+    dfn = spark.sql(
+        "select id as k, struct(parse_json(concat('{\"a\":', id, "
+        "'}')) as v, id * 2 as w) as s from range(3)")
+    write_delta_fixture(spark, dfn, t3)
+    got3 = sorted(
+        (r["a"], r["w"]) for r in read_delta(spark, t3).selectExpr(
+            "variant_get(s.v, '$.a', 'long') as a",
+            "s.w as w").collect())
+    assert got3 == [(0, 0), (1, 2), (2, 4)]
 
 
 def test_iceberg_avro_nested_schema_evolution(spark, tmp_path):
