@@ -4560,9 +4560,9 @@ def test_iceberg_avro_nested_schema_evolution(spark, tmp_path):
 
 def test_hudi_temporal_reviver_roundtrip_property():
     """Property (r14): for RANDOM nested DDL shapes (arrays, structs,
-    string-keyed maps over bigint/string/timestamp/date leaves) and
-    random values, the writer-side avroizer and the reader-side
-    temporal reviver are inverse — datetimes/dates survive any
+    string-keyed maps over bigint/string/timestamp/date/decimal
+    leaves) and random values, the writer-side avroizer and the
+    reader-side reviver are inverse — datetimes/dates survive any
     nesting exactly, None at every level stays None."""
     import datetime as dt
 
@@ -4571,9 +4571,11 @@ def test_hudi_temporal_reviver_roundtrip_property():
 
     from padawan_spark.functions.hudi import (_avroize_value,
                                               _log_safe_type,
+                                              _payload_avroizer,
                                               _temporal_reviver)
 
-    prims = st.sampled_from(["bigint", "string", "timestamp", "date"])
+    prims = st.sampled_from(["bigint", "string", "timestamp", "date",
+                             "decimal(12,3)"])
 
     def compose(inner):
         return st.one_of(
@@ -4599,6 +4601,11 @@ def test_hudi_temporal_reviver_roundtrip_property():
             return draw(st.one_of(st.none(), st.dates(
                 min_value=dt.date(1960, 1, 1),
                 max_value=dt.date(2100, 1, 1))))
+        if t == "decimal(12,3)":
+            from decimal import Decimal
+            return draw(st.one_of(st.none(), st.integers(
+                -10**9, 10**9).map(
+                lambda u: Decimal(u).scaleb(-3))))
         from padawan_spark.functions.hudi import _parse_ddl_type
         tree = _parse_ddl_type(t)
         return tree_value(tree, draw)
@@ -4626,7 +4633,8 @@ def test_hudi_temporal_reviver_roundtrip_property():
         assert _log_safe_type(t)
         tree = _parse_ddl_type(t)
         v = tree_value(tree, data.draw)
-        av = _avroize_value(v)
+        enc = _payload_avroizer(t)
+        av = enc(v) if enc is not None else _avroize_value(v)
         rv = _temporal_reviver(t)
         got = rv(av) if rv is not None else av
         assert got == v, (t, v, av, got)
