@@ -184,6 +184,48 @@ def _ice_phys_ddl(pt) -> str:
     raise NotImplementedError(f"unsupported iceberg type {pt!r}")
 
 
+def _ice_value_renamer(pt, lt):
+    """Python-VALUE converter renaming one file's physical inner
+    names (``pt``, from :func:`.nested.match_tree_ice`) to the
+    logical ones (``lt``) — the AVRO position-delete scan applies it
+    per decoded row (r14).  None when no rename/absence exists at
+    any depth; an absent inner field surfaces as None."""
+    if pt is None or isinstance(lt, str) or isinstance(pt, str):
+        return None
+    k = lt.get("type")
+    if k == "struct":
+        fs, needed = [], False
+        for pf, lf in zip(pt["fields"], lt["fields"]):
+            sub = _ice_value_renamer(pf.get("type"), lf["type"])
+            pn = pf.get("name")
+            if pn != lf["name"] or sub is not None or pn is None:
+                needed = True
+            fs.append((pn, lf["name"], sub))
+        if not needed:
+            return None
+
+        def f(v):
+            if v is None:
+                return None
+            return {ln: (None if pn is None else
+                         (sub(v.get(pn)) if sub else v.get(pn)))
+                    for pn, ln, sub in fs}
+        return f
+    if k == "list":
+        sub = _ice_value_renamer(pt.get("element"), lt["element"])
+        if sub is None:
+            return None
+        return lambda v: None if v is None else [sub(x) for x in v]
+    if k == "map":
+        sub = _ice_value_renamer(pt.get("value"), lt["value"])
+        if sub is None:
+            return None
+        return (lambda v: None if v is None
+                else {mk: sub(mv) for mk, mv in
+                      (v.items() if isinstance(v, dict) else v)})
+    return None
+
+
 def _ice_to_spark_json(t):
     """Iceberg schema-JSON type -> Spark schema-JSON type (the shape
     :func:`.nested.remap_expr` walks); leaf types become DDL strings,
@@ -790,12 +832,6 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             .distinct().collect()}
         targeted_orc = {p for p in orc_paths if p in targeted}
         targeted_avro = {p for p in avro_paths if p in targeted}
-        if nested_mode and targeted_avro:
-            raise NotImplementedError(
-                "iceberg POSITION DELETES targeting AVRO files of "
-                "an evolved NESTED table are unsupported (the "
-                "python position scan does not resolve nested "
-                "renames)")
         if nested_mode and targeted_orc:
             raise NotImplementedError(
                 "iceberg POSITION DELETES targeting ORC files of an "
@@ -838,7 +874,28 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                 # positions by construction; one task per file
                 out_ddl = (", ".join(f"`{n}` {types[n]}" for n in dn)
                            + ", __fp string, __pos bigint")
-                pmapping = {n: _phys_of(n) for n in dn}
+                if nested_mode:
+                    # evolved NESTED avro under position deletes
+                    # (r14): per-file inner renames apply as a
+                    # python value walk, bounded by the TARGETED
+                    # files' rows (position deletes keep that set
+                    # small by design)
+                    pmapping = {}
+                    for n in dn:
+                        ent = lmap.get(n)
+                        if ent is None:
+                            pmapping[n] = None
+                        else:
+                            pn, ptj = ent
+                            rn = (_ice_value_renamer(
+                                json.loads(ptj),
+                                raw_fields[n]["type"])
+                                if ptj else None)
+                            pmapping[n] = (pn, rn)
+                else:
+                    pmapping = {n: ((_phys_of(n), None)
+                                    if _phys_of(n) is not None
+                                    else None) for n in dn}
 
                 def _avro_pos_scan(batches, _pm=pmapping,
                                    _dn=tuple(dn)):
@@ -854,13 +911,17 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                                    in enumerate(flds2)}
                             data = {}
                             for n2 in _dn:
-                                pn = _pm.get(n2)
-                                i = (idx.get(pn) if pn is not None
-                                     else None)
-                                data[n2] = (
-                                    [r[i] for r in rows2]
-                                    if i is not None
-                                    else [None] * len(rows2))
+                                ent = _pm.get(n2)
+                                i = (idx.get(ent[0])
+                                     if ent is not None else None)
+                                if i is None:
+                                    data[n2] = [None] * len(rows2)
+                                elif ent[1] is None:
+                                    data[n2] = [r[i] for r in rows2]
+                                else:
+                                    rn = ent[1]
+                                    data[n2] = [rn(r[i])
+                                                for r in rows2]
                             outp = pd.DataFrame(data)
                             outp["__fp"] = p2
                             outp["__pos"] = range(len(rows2))

@@ -4729,3 +4729,37 @@ def test_hudi_mor_binary_payloads(spark, tmp_path):
     t2 = str(tmp_path / "hbin_lo")
     write_hudi_delta_fixture(spark, t2, upserts=base)
     assert dict(read_hudi(spark, t2).dtypes)["payload"] == "binary"
+
+
+def test_iceberg_avro_nested_evolution_position_deletes(spark,
+                                                        tmp_path):
+    """r14: POSITION DELETES targeting an AVRO data file of a
+    nested-EVOLVED table — the python position scan renames inner
+    fields per file (value walk over only the targeted file's rows)
+    so positions stay exact and logical names come back right."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        write_iceberg_fixture)
+
+    def mk(rng, a):
+        return rng.select(
+            SF.col("id").alias("k"),
+            SF.struct((SF.col("id") * 2).alias(a),
+                      SF.concat(SF.lit("n"), SF.col("id"))
+                      .alias("b")).alias("st"))
+
+    t = str(tmp_path / "anp")
+    write_iceberg_fixture(spark, mk(spark.range(6), "a"), t,
+                          file_format="avro", order_by=("k",))
+    evolve_iceberg_schema_fixture(t, renames={"st.a": "alpha"})
+    write_iceberg_fixture(spark, mk(spark.range(10, 12), "alpha"),
+                          t, file_format="avro", order_by=("k",))
+    # delete positions 1 and 4 of the FIRST (old-names) avro file
+    write_iceberg_fixture(
+        spark, None, t,
+        delete_positions={"data/snap1-0.avro": [1, 4]})
+    rows = {r["k"]: r for r in read_iceberg(spark, t).collect()}
+    assert set(rows) == {0, 2, 3, 5, 10, 11}
+    assert rows[2]["st"]["alpha"] == 4 and rows[2]["st"]["b"] == "n2"
+    assert rows[10]["st"]["alpha"] == 20
