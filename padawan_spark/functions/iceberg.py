@@ -71,7 +71,7 @@ import re
 
 
 def orc_stripe_position_frames(path: str, pmapping: dict,
-                               dn: tuple):
+                               dn: tuple, renamers: dict | None = None):
     """One pandas frame per ORC STRIPE of ``path``: logical columns
     ``dn`` (resolved through ``pmapping`` logical→physical; unmapped
     or absent columns null-fill), plus ``__fp`` (the path) and
@@ -91,9 +91,17 @@ def orc_stripe_position_frames(path: str, pmapping: dict,
         data = {}
         for n2 in dn:
             pn = pmapping.get(n2)
-            data[n2] = (pdo[pn] if pn is not None
-                        and pn in pdo.columns
-                        else [None] * len(pdo))
+            if pn is not None and pn in pdo.columns:
+                col = pdo[pn]
+                rn = (renamers or {}).get(n2)
+                if rn is not None:
+                    # nested-evolved file (r14): rename inner
+                    # fields per this file's physical tree — a
+                    # value walk over just the targeted file's rows
+                    col = col.map(rn, na_action="ignore")
+                data[n2] = col
+            else:
+                data[n2] = [None] * len(pdo)
         outp = pd.DataFrame(data)
         outp["__fp"] = path
         outp["__pos"] = range(off, off + len(pdo))
@@ -832,11 +840,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             .distinct().collect()}
         targeted_orc = {p for p in orc_paths if p in targeted}
         targeted_avro = {p for p in avro_paths if p in targeted}
-        if nested_mode and targeted_orc:
-            raise NotImplementedError(
-                "iceberg POSITION DELETES targeting ORC files of an "
-                "evolved NESTED table are unsupported (the stripe "
-                "position scan does not resolve nested renames)")
+
     groups: dict[tuple, list[str]] = {}
     for p, pvals, seq, fmt, sid in files:
         if fmt == "AVRO":
@@ -1025,16 +1029,36 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             # stripe offset — memory bounds at one stripe per batch,
             # physical columns resolved by field id via the same
             # layout map, logical names emitted directly
-            pmapping = {n: (lmap.get(n) if evolved else n)
-                        for n in dn}
+            renamers: dict = {}
+            if nested_mode:
+                # evolved NESTED table (r14): layout entries are
+                # (physical name, physical type tree) — inner
+                # renames apply as a value walk in the stripe scan
+                pmapping = {}
+                for n in dn:
+                    ent = lmap.get(n)
+                    if ent is None:
+                        pmapping[n] = None
+                        continue
+                    pn, pt = ent
+                    pmapping[n] = pn
+                    if pt is not None:
+                        rn = _ice_value_renamer(
+                            pt, raw_fields[n]["type"])
+                        if rn is not None:
+                            renamers[n] = rn
+            else:
+                pmapping = {n: (lmap.get(n) if evolved else n)
+                            for n in dn}
             out_ddl = (", ".join(f"`{n}` {types[n]}" for n in dn)
                        + ", __fp string, __pos bigint")
 
-            def _orc_pos_scan(batches, _pm=pmapping, _dn=tuple(dn)):
+            def _orc_pos_scan(batches, _pm=pmapping, _dn=tuple(dn),
+                              _rn=renamers):
                 for pdf in batches:
                     for p2 in pdf["path"]:
                         yield from orc_stripe_position_frames(
-                            p2, _pm, _dn)
+                            p2, _pm, _dn, renamers=_rn)
 
             n_scan = min(len(paths),
                          max(32,

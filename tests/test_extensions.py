@@ -4763,3 +4763,37 @@ def test_iceberg_avro_nested_evolution_position_deletes(spark,
     assert set(rows) == {0, 2, 3, 5, 10, 11}
     assert rows[2]["st"]["alpha"] == 4 and rows[2]["st"]["b"] == "n2"
     assert rows[10]["st"]["alpha"] == 20
+
+
+def test_iceberg_orc_nested_evolution_position_deletes(spark,
+                                                       tmp_path):
+    """r14: POSITION DELETES targeting an ORC data file of a
+    nested-EVOLVED table — the stripe position scan renames inner
+    fields per file (positions stay exact via the running stripe
+    offset); the former last gate of the position-delete x
+    nested-evolution matrix."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        write_iceberg_fixture)
+
+    def mk(rng, a):
+        return rng.select(
+            SF.col("id").alias("k"),
+            SF.struct((SF.col("id") * 2).alias(a),
+                      SF.concat(SF.lit("n"), SF.col("id"))
+                      .alias("b")).alias("st"))
+
+    t = str(tmp_path / "onp")
+    write_iceberg_fixture(spark, mk(spark.range(6), "a"), t,
+                          file_format="orc", order_by=("k",))
+    evolve_iceberg_schema_fixture(t, renames={"st.a": "alpha"})
+    write_iceberg_fixture(spark, mk(spark.range(10, 12), "alpha"),
+                          t, file_format="orc", order_by=("k",))
+    write_iceberg_fixture(
+        spark, None, t,
+        delete_positions={"data/snap1-0.orc": [1, 4]})
+    rows = {r["k"]: r for r in read_iceberg(spark, t).collect()}
+    assert set(rows) == {0, 2, 3, 5, 10, 11}
+    assert rows[2]["st"]["alpha"] == 4 and rows[2]["st"]["b"] == "n2"
+    assert rows[10]["st"]["alpha"] == 20
