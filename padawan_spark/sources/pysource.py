@@ -1493,15 +1493,39 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                 fields, rows = decode_avro_py(fh.read())
             fnames = [n for n, _t, _nl in fields]
             src_idx = {}
+            node_of = {}
             for f, n in zip(schema["fields"], fnames):
                 fid = f.get("field-id")
                 logical = (name_of_fid.get(int(fid))
                            if fid is not None else None) or n
                 src_idx[logical] = fnames.index(n)
+                node_of[logical] = f
+            conv = {}
+            if nested_items:
+                # nested-EVOLVED avro (r14): renamed INNER fields
+                # resolve per the writer schema's nested id
+                # attributes — without this a pre-rename file's
+                # renamed leaves would stream as silent NULLs
+                import json as _json4
+
+                from ..functions.iceberg import _ice_value_renamer
+                from ..functions.nested import (_avro_schema_tree,
+                                                match_tree_ice)
+                for nm, tj in nested_items:
+                    f = node_of.get(nm)
+                    if f is None:
+                        continue
+                    lt = _json4.loads(tj)
+                    pt = match_tree_ice(lt, _avro_schema_tree(f))
+                    rn = _ice_value_renamer(pt, lt)
+                    if rn is not None:
+                        conv[nm] = rn
             for r in rows:
                 yield tuple(
                     const[c] if c in const
-                    else (r[src_idx[c]] if c in src_idx else None)
+                    else ((conv[c](r[src_idx[c]]) if c in conv
+                           else r[src_idx[c]])
+                          if c in src_idx else None)
                     for c in self.names)
             return
         # columns match by FIELD ID from the file's own footer (r12):

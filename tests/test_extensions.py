@@ -4797,3 +4797,44 @@ def test_iceberg_orc_nested_evolution_position_deletes(spark,
     assert set(rows) == {0, 2, 3, 5, 10, 11}
     assert rows[2]["st"]["alpha"] == 4 and rows[2]["st"]["b"] == "n2"
     assert rows[10]["st"]["alpha"] == 20
+
+
+def test_iceberg_appends_stream_nested_evolved_avro(spark, tmp_path):
+    """r14 (found by probe, the silent-NULL class): the appends
+    STREAM over a nested-EVOLVED table with AVRO data files must
+    resolve renamed INNER fields per file via the writer schema's
+    nested id attributes — a pre-rename file's leaves streamed as
+    NULLs before this round."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+
+    def mk(rng, a):
+        return rng.select(
+            SF.col("id").alias("k"),
+            SF.struct((SF.col("id") * 2).alias(a),
+                      SF.concat(SF.lit("n"), SF.col("id"))
+                      .alias("b")).alias("st"))
+
+    t = str(tmp_path / "ians")
+    write_iceberg_fixture(spark, mk(spark.range(3), "a"), t,
+                          file_format="avro")
+    evolve_iceberg_schema_fixture(t, renames={"st.a": "alpha"})
+    write_iceberg_fixture(spark, mk(spark.range(10, 12), "alpha"),
+                          t, file_format="avro")
+    name = "ians_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_appends")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"]: (r["st"]["alpha"], r["st"]["b"])
+           for r in spark.table(name).collect()}
+    assert got == {0: (0, "n0"), 1: (2, "n1"), 2: (4, "n2"),
+                   10: (20, "n10"), 11: (22, "n11")}
