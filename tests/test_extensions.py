@@ -4299,6 +4299,22 @@ def test_delta_type_widening_name_mapped_and_illegal(spark, tmp_path):
         t, mode="append")
     got = sorted(r["a"] for r in read_delta(spark, t).collect())
     assert got == [0, 1, 2, big]
+    # widening composes with DELETION VECTORS: positions address the
+    # narrow file, values come back widened minus the dead rows
+    import os as _os
+
+    from padawan_spark.functions.delta import add_dv_fixture
+    t15 = str(tmp_path / "twdv")
+    write_delta_fixture(spark, spark.range(6).select(
+        SF.col("id").cast("int").alias("a")), t15, order_by=("a",))
+    widen_delta_fixture(t15, {"a": "long"})
+    write_delta_fixture(
+        spark, spark.createDataFrame([(big,)], "a long"), t15,
+        mode="append")
+    rel = next(f for f in sorted(_os.listdir(t15))
+               if f.endswith(".parquet"))
+    add_dv_fixture(t15, {rel: [1, 3]})
+    assert sorted(r["a"] for r in read_delta(spark, t15).collect())         == [0, 2, 4, 5, big]
     # an ILLEGAL "widening" (int -> string) fails closed at scan
     t2 = str(tmp_path / "twbad")
     write_delta_fixture(spark, df0, t2)
