@@ -469,7 +469,8 @@ def _resolve_snapshot(path: str, snapshot_id: int | None = None,
 
 
 def live_data_files(path: str, snapshot_id: int | None = None,
-                    as_of_ms: int | None = None):
+                    as_of_ms: int | None = None,
+                    use_current_schema: bool = False):
     """Resolve the live data files of a snapshot.  Returns
     ``(schema_fields, part_specs, files, delete_files)`` with
     ``files`` as ``[(abs_path, partition_dict, sequence_number,
@@ -488,8 +489,14 @@ def live_data_files(path: str, snapshot_id: int | None = None,
     # falling back to the current schema for snapshots that predate
     # the field.
     if "schemas" in meta:
-        sid = snap.get("schema-id",
-                       meta.get("current-schema-id", 0))
+        # current reads use the TABLE's current schema (r14) — a
+        # metadata-only rename surfaces immediately, as in real
+        # engines; explicit time travel keeps the snapshot's own
+        # schema-id (the deliberate r9 choice: a pre-evolution
+        # snapshot reads back with its own column names)
+        sid = (meta.get("current-schema-id", 0) if use_current_schema
+               else snap.get("schema-id",
+                             meta.get("current-schema-id", 0)))
         schema = next(s for s in meta["schemas"]
                       if s.get("schema-id", 0) == sid)
     else:
@@ -694,14 +701,18 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     from pyspark.sql import functions as F
     _meta, snap = _resolve_snapshot(path, snapshot_id, as_of_ms,
                                     ref=ref)
+    current = (snapshot_id is None and as_of_ms is None
+               and ref is None)
     fields, part_specs, files, delete_files = live_data_files(
-        path, snap["snapshot-id"])
+        path, snap["snapshot-id"], use_current_schema=current)
     types = dict(fields)
-    # resolve field ids against the SNAPSHOT's schema (time travel
-    # keeps the snapshot's own column names; values are matched by
-    # field id either way)
-    fld_ids, n_schemas = _schema_inventory(path,
-                                           snap.get("schema-id"))
+    # field ids resolve against the CURRENT schema for current reads
+    # (r14 — a metadata-only rename surfaces immediately) and the
+    # SNAPSHOT's schema under explicit time travel (the r9 choice:
+    # a pre-evolution snapshot reads back with its own column
+    # names); values match by field id either way
+    fld_ids, n_schemas = _schema_inventory(
+        path, None if current else snap.get("schema-id"))
     evolved = n_schemas > 1
     # spec evolution (r10): every spec the table ever carried, parsed
     # — each file prunes and re-attaches under ITS OWN spec
@@ -737,7 +748,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     orc_paths = [p for p, _pv, _s, fmt, _sp in files if fmt == "ORC"]
     avro_paths = [p for p, _pv, _s, fmt, _sp in files
                   if fmt == "AVRO"]
-    raw_fields = _schema_fields_json(path, snap.get("schema-id"))
+    raw_fields = _schema_fields_json(
+        path, None if current else snap.get("schema-id"))
     nested_cols = {n for n, f in raw_fields.items()
                    if not isinstance(f["type"], str)}
     nested_mode = evolved and bool(nested_cols & set(field_names))
@@ -1186,12 +1198,31 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     by_eq: dict[tuple, list[tuple[str, int]]] = {}
     for p, s, e in eq_files:
         by_eq.setdefault(e, []).append((p, s))
+    eq_layouts: dict = {}
+    if by_eq and evolved:
+        # evolved table (r14): a delete file written BEFORE a rename
+        # carries the OLD physical column name — resolve per file by
+        # parquet FIELD ID (one distributed footer job over the
+        # delete files; reading by the current name would null-fill
+        # and silently SKIP the delete), name fallback for id-less
+        # legacy files
+        from .layouts import parquet_field_layouts
+        eq_layouts = parquet_field_layouts(
+            spark, [p for p, _s, _e in eq_files])
     for eq_names, pfs in sorted(by_eq.items()):
-        eq_ddl = ", ".join(f"{n} {types[n]}" for n in eq_names)
         dels = None
         for p, s in pfs:
-            one = (spark.read.schema(eq_ddl).parquet(p)
-                   .withColumn("__dseq", F.lit(s).cast("bigint")))
+            lay = {fid: nm for fid, nm in eq_layouts.get(p, ())
+                   if fid is not None}
+            pn_of = {n: lay.get(fld_ids.get(n), n)
+                     for n in eq_names}
+            eq_ddl = ", ".join(f"`{pn_of[n]}` {types[n]}"
+                               for n in eq_names)
+            one = spark.read.schema(eq_ddl).parquet(p)
+            for n in eq_names:
+                if pn_of[n] != n:
+                    one = one.withColumnRenamed(pn_of[n], n)
+            one = one.withColumn("__dseq", F.lit(s).cast("bigint"))
             dels = one if dels is None else dels.unionByName(one)
         d = dels.alias("d")
         cond = F.col("t.__seq") < F.col("d.__dseq")
@@ -1773,9 +1804,16 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
         eq_cols, eq_rows = delete_equality
         erel = f"data/eq-del-snap{snap_id}.parquet"
         efull = os.path.join(path, erel)
-        pq.write_table(pa.table(
-            {c: [r[i] for r in eq_rows]
-             for i, c in enumerate(eq_cols)}), efull)
+        tb_eq = pa.table({c: [r[i] for r in eq_rows]
+                          for i, c in enumerate(eq_cols)})
+        # field ids ride the delete file's footer (r14) — what lets
+        # a reader resolve the columns after a rename, exactly as
+        # real Iceberg writers stamp them
+        tb_eq = tb_eq.cast(pa.schema(
+            [tb_eq.schema.field(i).with_metadata(
+                {b"PARQUET:field_id": str(name_to_id[c]).encode()})
+             for i, c in enumerate(eq_cols)]))
+        pq.write_table(tb_eq, efull)
         del_entries.append({"status": 1, "snapshot_id": snap_id,
                             "sequence_number": None,
                             "data_file": {

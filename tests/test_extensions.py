@@ -4854,3 +4854,32 @@ def test_iceberg_appends_stream_nested_evolved_avro(spark, tmp_path):
            for r in spark.table(name).collect()}
     assert got == {0: (0, "n0"), 1: (2, "n1"), 2: (4, "n2"),
                    10: (20, "n10"), 11: (22, "n11")}
+
+
+def test_iceberg_rename_without_commit_and_eq_delete_field_ids(
+        spark, tmp_path):
+    """r14 (probe-found divergence, closed): a metadata-only RENAME
+    with no subsequent snapshot surfaces immediately on a CURRENT
+    read (current-schema-id), while explicit time travel keeps the
+    snapshot's own names; an EQUALITY DELETE written before the
+    rename still applies — its file's columns resolve by parquet
+    FIELD ID, not by the (renamed) schema name."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        write_iceberg_fixture)
+    t = str(tmp_path / "rnc")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 3).alias("g"))
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    write_iceberg_fixture(spark, None, t,
+                          delete_equality=(["k"], [(1,), (4,)]))
+    evolve_iceberg_schema_fixture(t, renames={"k": "key"})
+    out = read_iceberg(spark, t)
+    assert "key" in out.columns and "k" not in out.columns
+    assert sorted(r["key"] for r in out.collect()) == [0, 2, 3, 5]
+    # explicit time travel: the snapshot's own (old) names, and the
+    # pre-delete state at s1
+    old = read_iceberg(spark, t, snapshot_id=s1)
+    assert "k" in old.columns and "key" not in old.columns
+    assert sorted(r["k"] for r in old.collect()) == [0, 1, 2, 3, 4, 5]
