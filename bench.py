@@ -251,6 +251,17 @@ class _PrevTree:
             self.wt = None
 
 
+def _drain_error(cwd: str, reason: str) -> None:
+    """ADVICE r14: a broken drain must be distinguishable from an
+    absent script — record the failure reason as a supplement line
+    instead of silently dropping the drain_2m_cdf comparison."""
+    print(json.dumps({"metric": "bench_supplement",
+                      "drain_error": {"cwd": cwd,
+                                      "reason": reason[:400]}},
+                     separators=(",", ":")), file=sys.stderr,
+          flush=True)
+
+
 def _time_drain(cwd: str) -> float | None:
     """One full drain of the 2M-row CDF backfill stream
     (tests/scale_smoke_batch.py) in a subprocess rooted at ``cwd`` —
@@ -268,9 +279,11 @@ def _time_drain(cwd: str) -> float | None:
                            timeout=600)
         rec = json.loads(r.stdout.strip().splitlines()[-1])
         if not rec.get("sum_ok"):
+            _drain_error(cwd, f"sum_ok false: {rec}")
             return None
         return rec.get("drain_sec")
-    except Exception:
+    except Exception as e:
+        _drain_error(cwd, repr(e))
         return None
 
 
@@ -343,11 +356,18 @@ def main() -> None:
         if fn is None:
             continue
         # the bucketed-join WRITE is memoized (a repeat call would time
-        # the post-write fast path, not the investment) — single-pass it
+        # the post-write fast path, not the investment) — single-pass it.
+        # Sub-second queries extend to min-of-5 (r15, VERDICT r14 task
+        # 6: four untouched sub-second queries spiked >8% at min-of-3
+        # and needed a focused re-run to adjudicate — the extra two
+        # interleaved passes are cheaper than that tax every round).
         passes = 1 if name == "scale_bucketed_join" else 3
         best = None
         pbest = None
-        for _ in range(passes):
+        done = 0
+        while done < passes or (name != "scale_bucketed_join"
+                                and done < 5
+                                and best is not None and best < 1.0):
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
             el = round(time.perf_counter() - t0, 3)
@@ -357,6 +377,7 @@ def main() -> None:
                 ps = prev_tree.time_one(name)
                 if ps is not None:
                     pbest = ps if pbest is None else min(pbest, ps)
+            done += 1
         timings[name] = best
         if pbest is not None:
             timings_prev[name] = pbest

@@ -723,9 +723,13 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
         conf = ({"delta.columnMapping.mode": cm_mode,
                  "delta.columnMapping.maxColumnId": str(max_id)}
                 if cm_mode else {})
-        if any("variant" in ddl_types[c] for c in df.columns):
+        if any(_contains_variant(json_types[c]) for c in df.columns):
             # a real Delta 4 writer publishes variant tables at
-            # table-features protocol with variantType listed (r14)
+            # table-features protocol with variantType listed (r14);
+            # detection walks the schema-JSON type tree (ADVICE r14:
+            # a DDL substring match would also fire on a struct FIELD
+            # NAME containing "variant" and flip a plain table onto
+            # the JVM-writer path)
             rf = (["variantType", "columnMapping"] if cm_mode
                   else ["variantType"])
             actions.append({"protocol": {
@@ -810,7 +814,7 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
             sub = sub.orderBy(*order_by)
         import pyarrow as pa
         import pyarrow.parquet as pq
-        if any("variant" in dict(df.dtypes)[c] for c in data_cols):
+        if any(_contains_variant(json_types[c]) for c in data_cols):
             # VARIANT columns (r14): neither pandas nor this
             # container's pyarrow can carry variant values, so the
             # data file writes through Spark's OWN parquet writer —

@@ -442,8 +442,25 @@ def _payload_avroizer(t: str):
                 def f(v):
                     if v is None:
                         return None
-                    u = int(_decimal.Decimal(v).quantize(q)
-                            .scaleb(scale))
+                    # ADVICE r14: quantize must be VALUE-PRESERVING —
+                    # ROUND_HALF_EVEN on an out-of-scale upsert value
+                    # would round-trip it silently ALTERED; precision
+                    # overflow raises InvalidOperation uncaught.  Gate
+                    # both loudly instead of degrading the data.
+                    dv = _decimal.Decimal(v)
+                    try:
+                        dq = dv.quantize(q)
+                    except _decimal.InvalidOperation:
+                        raise ValueError(
+                            f"hudi decimal payload value {v!r} does "
+                            f"not fit {tr[1]} (precision overflow)")
+                    if dq != dv:
+                        raise ValueError(
+                            f"hudi decimal payload value {v!r} "
+                            f"carries more fractional digits than "
+                            f"the declared scale of {tr[1]} — "
+                            f"refusing to round it silently")
+                    u = int(dq.scaleb(scale))
                     n = max(1, (u.bit_length() + 8) // 8)
                     return u.to_bytes(n, "big", signed=True)
                 return f
@@ -622,13 +639,20 @@ def _temporal_reviver(t: str):
             return (lambda v: None if v is None
                     else [f(x) for x in v])
         if k == "map":
+            # keys convert too (ADVICE r14): parquet data blocks may
+            # carry map<date,...> / map<timestamp,...> whose keys
+            # surface as epoch ints from to_pylist — Avro-wire maps
+            # are string-keyed and never hit the key converter
+            kf = build(tree[1])
             f = build(tree[2])
-            if f is None:
+            if f is None and kf is None:
                 return None
+            kf = kf or (lambda x: x)
+            f = f or (lambda x: x)
             # avro datums decode maps to dicts; arrow's to_pylist
             # surfaces them as list-of-pairs — take both
             return (lambda v: None if v is None
-                    else {mk: f(mv) for mk, mv in
+                    else {kf(mk): f(mv) for mk, mv in
                           (v.items() if isinstance(v, dict) else v)})
         if k == "struct":
             fs = {n: build(ft) for n, ft in tree[1]}

@@ -1212,10 +1212,28 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     for eq_names, pfs in sorted(by_eq.items()):
         dels = None
         for p, s in pfs:
-            lay = {fid: nm for fid, nm in eq_layouts.get(p, ())
+            lay_pairs = eq_layouts.get(p, ())
+            lay = {fid: nm for fid, nm in lay_pairs
                    if fid is not None}
-            pn_of = {n: lay.get(fld_ids.get(n), n)
-                     for n in eq_names}
+            file_names = {nm for _fid, nm in lay_pairs}
+            pn_of = {}
+            for n in eq_names:
+                pn = lay.get(fld_ids.get(n))
+                if pn is None:
+                    # id-less legacy delete file on an EVOLVED table
+                    # (ADVICE r14): the by-name fallback must verify
+                    # the name actually exists in the file — reading
+                    # a renamed column by its NEW name would
+                    # null-fill and silently SKIP the delete
+                    if evolved and lay_pairs and n not in file_names:
+                        raise NotImplementedError(
+                            f"iceberg equality-delete file {p!r} "
+                            f"carries no footer field ids and no "
+                            f"column named {n!r} — cannot resolve "
+                            f"the delete column on an evolved table "
+                            f"(have {sorted(file_names)})")
+                    pn = n
+                pn_of[n] = pn
             eq_ddl = ", ".join(f"`{pn_of[n]}` {types[n]}"
                                for n in eq_names)
             one = spark.read.schema(eq_ddl).parquet(p)

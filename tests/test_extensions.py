@@ -4883,3 +4883,105 @@ def test_iceberg_rename_without_commit_and_eq_delete_field_ids(
     old = read_iceberg(spark, t, snapshot_id=s1)
     assert "k" in old.columns and "key" not in old.columns
     assert sorted(r["k"] for r in old.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# r15 ADVICE pins
+# ---------------------------------------------------------------------------
+
+
+def test_delta_variant_detection_not_substring(spark, tmp_path):
+    """ADVICE r15: a struct FIELD NAME containing 'variant' (e.g.
+    struct<variant_id:bigint>) must NOT flip the fixture onto the
+    JVM-variant-writer path — detection walks the schema-JSON type
+    tree, so the table publishes a plain protocol and name-mode
+    nested renames still apply on read."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (read_delta,
+                                               write_delta_fixture)
+    t = str(tmp_path / "dvar")
+    df = spark.range(5).select(
+        SF.col("id").alias("k"),
+        SF.struct(SF.col("id").alias("variant_id"),
+                  (SF.col("id") * 3).alias("v")).alias("st"))
+    write_delta_fixture(spark, df, t, column_mapping="name")
+    with open(_os.path.join(t, "_delta_log",
+                            "00000000000000000000.json")) as fh:
+        actions = [_json.loads(line) for line in fh if line.strip()]
+    prot = next(a["protocol"] for a in actions if "protocol" in a)
+    assert "readerFeatures" not in prot, \
+        "plain table must not publish variantType features"
+    out = read_delta(spark, t)
+    got = {r["k"]: (r["st"]["variant_id"], r["st"]["v"])
+           for r in out.collect()}
+    assert got == {i: (i, 3 * i) for i in range(5)}
+
+
+def test_hudi_decimal_payload_gates_on_scale_loss():
+    """ADVICE r15: an upsert value carrying more fractional digits
+    than the declared scale must gate loudly instead of silently
+    ROUND_HALF_EVEN-rounding on the wire; precision overflow raises
+    a clear error rather than an uncaught InvalidOperation."""
+    import decimal
+
+    import pytest
+    from padawan_spark.functions.hudi import _payload_avroizer
+    f = _payload_avroizer("decimal(10,2)")
+    # in-scale values round-trip to unscaled big-endian bytes
+    assert int.from_bytes(f(decimal.Decimal("1.23")), "big",
+                          signed=True) == 123
+    assert f(None) is None
+    with pytest.raises(ValueError, match="fractional digits"):
+        f(decimal.Decimal("1.234"))
+    with pytest.raises(ValueError):
+        f(decimal.Decimal("1E+60"))
+
+
+def test_temporal_reviver_converts_map_keys():
+    """ADVICE r15: map<date,...> / map<timestamp,...> keys recovered
+    from parquet log blocks convert alongside values — raw epoch ints
+    must not leak through as keys."""
+    import datetime as dt
+
+    from padawan_spark.functions.hudi import _temporal_reviver
+    r = _temporal_reviver("map<date,bigint>")
+    assert r is not None
+    assert r([(0, 7), (19723, 8)]) == {dt.date(1970, 1, 1): 7,
+                                       dt.date(2024, 1, 1): 8}
+    r2 = _temporal_reviver("map<string,timestamp>")
+    assert r2({"a": 86_400_000_000}) == {
+        "a": dt.datetime(1970, 1, 2)}
+
+
+def test_iceberg_eq_delete_idless_fallback_gates(spark, tmp_path):
+    """ADVICE r15: on an EVOLVED table, an equality-delete file with
+    NO footer field ids whose column name no longer matches the
+    current schema gates loudly — the silent by-name fallback would
+    null-fill and skip the delete."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        write_iceberg_fixture)
+    t = str(tmp_path / "eqid")
+    df = spark.range(6).select(SF.col("id").alias("k"))
+    write_iceberg_fixture(spark, df, t, order_by=("k",))
+    write_iceberg_fixture(spark, None, t,
+                          delete_equality=(["k"], [(1,), (4,)]))
+    # strip the field ids from the delete file (a legacy writer's
+    # shape), keeping the OLD column name
+    import glob as _glob
+    import os as _os
+    eqf = _glob.glob(_os.path.join(t, "data", "eq-del-*.parquet"))[0]
+    tb = pq.read_table(eqf)
+    tb = tb.cast(pa.schema([pa.field("k", tb.schema.field(0).type)]))
+    pq.write_table(tb, eqf)
+    evolve_iceberg_schema_fixture(t, renames={"k": "key"})
+    with pytest.raises(NotImplementedError,
+                       match="no footer field ids"):
+        read_iceberg(spark, t).collect()
