@@ -156,7 +156,102 @@ def _ice_leaf_ddl(t: str) -> str:
         return f"decimal({m.group(1)},{m.group(2)})"
     if re.match(r"^fixed\[\d+\]$", t):
         return "binary"     # FIXED_LEN_BYTE_ARRAY scans as binary
+    if (t in ("timestamp_ns", "timestamptz_ns", "variant", "unknown")
+            or t.startswith("geometry") or t.startswith("geography")):
+        raise NotImplementedError(
+            f"iceberg v3 type {t!r} is not implemented "
+            f"(v3 reads here support initial-default column defaults "
+            f"and puffin deletion vectors only)")
     raise NotImplementedError(f"iceberg type {t!r}")
+
+
+# v3 read support is PARTIAL by design: the essentials real tables hit
+# first (column defaults, deletion vectors) are implemented; the rest
+# of the v3 feature set gates loudly wherever it would otherwise be
+# silently misread (VERDICT r14 tasks 1/8).
+_V3_NOT_IMPLEMENTED = (
+    "row lineage (_row_id / _last_updated_sequence_number metadata "
+    "columns)",
+    "variant / geometry / geography / unknown column types",
+    "timestamp_ns / timestamptz_ns column types",
+    "multi-argument partition transforms",
+)
+
+
+def _check_format_version(meta: dict, path: str) -> int:
+    """Loud format-version gate (VERDICT r14 task 1): v1/v2 read in
+    full; v3 reads support ``initial-default`` column defaults and
+    puffin deletion vectors (the rest of the v3 surface gates at its
+    point of use); anything newer refuses up front."""
+    fv = int(meta.get("format-version", 1))
+    if fv > 3:
+        raise NotImplementedError(
+            f"iceberg format-version {fv} at {path!r} is unsupported "
+            f"(v1/v2 fully; v3 partially — not implemented: "
+            + "; ".join(_V3_NOT_IMPLEMENTED) + ")")
+    return fv
+
+
+def _read_puffin_dv(puffin_path: str, offset: int,
+                    size: int) -> list[int]:
+    """One v3 deletion-vector blob out of a puffin file -> sorted
+    deleted row positions.  The manifest entry's ``content_offset`` /
+    ``content_size_in_bytes`` address the blob directly (the spec
+    mirrors them from the puffin footer precisely so readers can skip
+    the footer walk).  Blob layout per the spec's deletion-vector-v1:
+    4-byte big-endian length of (magic + vector), the 4 magic bytes
+    ``D1 D3 39 64`` (the same little-endian ``1681511377`` Delta DVs
+    lead with), the 64-bit roaring bitmap in portable form (decoded by
+    the shared :func:`.deltadv.bitmap_array_decode`), and a 4-byte
+    big-endian CRC-32 of magic + vector."""
+    import struct
+    import zlib
+
+    from .deltadv import DV_MAGIC, bitmap_array_decode
+    with open(puffin_path, "rb") as fh:
+        if fh.read(4) != b"PFA1":
+            raise NotImplementedError(
+                f"{puffin_path!r} is not a puffin file "
+                f"(bad magic) — cannot read the deletion vector")
+        fh.seek(offset)
+        blob = fh.read(size)
+    ln = struct.unpack_from(">i", blob, 0)[0]
+    magic = struct.unpack_from("<I", blob, 4)[0]
+    if magic != DV_MAGIC:
+        raise NotImplementedError(
+            f"puffin blob at {puffin_path!r}:{offset} has magic "
+            f"{magic} (want {DV_MAGIC}) — not a deletion-vector-v1 "
+            f"blob")
+    vec = blob[8:4 + ln]
+    crc = struct.unpack_from(">I", blob, 4 + ln)[0]
+    if zlib.crc32(blob[4:4 + ln]) & 0xFFFFFFFF != crc:
+        raise ValueError(
+            f"puffin DV checksum mismatch at {puffin_path!r}:{offset}")
+    return bitmap_array_decode(vec)
+
+
+def _ice_default_py(jv, ddl: str, name: str):
+    """JSON single-value serialization (the spec's form for
+    ``initial-default``) -> python literal for Spark's ``F.lit``.
+    Unsupported default types gate loudly — a silently-NULLed default
+    is exactly the wrong-data class v3 defaults exist to prevent."""
+    import datetime as _dt
+    import decimal as _decimal
+    if ddl == "date":
+        return _dt.date.fromisoformat(jv)
+    if ddl.startswith("timestamp"):
+        v = _dt.datetime.fromisoformat(jv)
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+    if ddl.startswith("decimal"):
+        return _decimal.Decimal(jv)
+    if ddl in ("int", "bigint", "float", "double", "boolean",
+               "string"):
+        return jv
+    raise NotImplementedError(
+        f"iceberg v3 initial-default on column {name!r} of type "
+        f"{ddl!r} is not implemented")
 
 
 def _ice_type_ddl(t) -> str:
@@ -438,6 +533,7 @@ def _resolve_snapshot(path: str, snapshot_id: int | None = None,
     current one.  Returns ``(meta, snap)``."""
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
+    _check_format_version(meta, path)
     snaps = meta.get("snapshots", [])
     if ref is not None:
         if snapshot_id is not None or as_of_ms is not None:
@@ -537,9 +633,6 @@ def live_data_files(path: str, snapshot_id: int | None = None,
                 continue
             df_ = e["data_file"]
             fmt = (df_.get("file_format") or "PARQUET").upper()
-            if fmt not in ("PARQUET", "AVRO", "ORC"):
-                raise NotImplementedError(
-                    f"iceberg data file format {fmt!r}")
             # v2 sequence-number inheritance: a null entry seq means
             # "the sequence number of the commit that added this
             # manifest" — taken from the manifest-list row
@@ -562,10 +655,32 @@ def live_data_files(path: str, snapshot_id: int | None = None,
                 if fcontent != 1:
                     raise NotImplementedError(
                         f"iceberg delete-file content {fcontent}")
+                ref = df_.get("referenced_data_file")
+                if ref is not None or fmt == "PUFFIN":
+                    # v3 DELETION VECTOR (r15): the entry addresses
+                    # one blob inside a puffin file and names the
+                    # single data file it applies to — internal
+                    # content code 3 distinguishes it from parquet
+                    # position-delete files downstream
+                    off = df_.get("content_offset")
+                    sz = df_.get("content_size_in_bytes")
+                    if ref is None or off is None or sz is None:
+                        raise NotImplementedError(
+                            "iceberg v3 deletion-vector entry "
+                            "missing referenced_data_file / "
+                            "content_offset / content_size_in_bytes")
+                    delete_files.append(
+                        (_resolve(df_["file_path"], path), 3,
+                         int(seq),
+                         (_resolve(ref, path), int(off), int(sz))))
+                    continue
                 delete_files.append(
                     (_resolve(df_["file_path"], path), 1,
                      int(seq), None))
                 continue
+            if fmt not in ("PARQUET", "AVRO", "ORC"):
+                raise NotImplementedError(
+                    f"iceberg data file format {fmt!r}")
             part = df_.get("partition") or {}
             files.append((_resolve(df_["file_path"], path),
                           dict(part), int(seq), fmt, mspec))
@@ -626,6 +741,7 @@ def added_data_files(path: str, snapshot_id: int):
     from .avro import decode_avro_datums
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
+    _check_format_version(meta, path)
     snap = next((s for s in meta.get("snapshots", [])
                  if s["snapshot-id"] == snapshot_id), None)
     if snap is None:
@@ -743,6 +859,19 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
 
     pos_files = [p for p, c, _s, _e in delete_files if c == 1]
     eq_files = [(p, s, e) for p, c, s, e in delete_files if c == 2]
+    # v3 deletion vectors (r15): (puffin_path, seq, (referenced data
+    # file, blob offset, blob size)).  The spec allows at most ONE
+    # live DV per data file — two entries referencing the same file
+    # would double-apply an unknown union, so gate loudly.
+    dv_files = [(p, s, e) for p, c, s, e in delete_files if c == 3]
+    if dv_files:
+        refs_seen: set = set()
+        for _p, _s, (ref, _o, _z) in dv_files:
+            if ref in refs_seen:
+                raise NotImplementedError(
+                    f"iceberg v3 table carries more than one live "
+                    f"deletion vector for data file {ref!r}")
+            refs_seen.add(ref)
     pq_paths = [p for p, _pv, _s, fmt, _sp in files
                 if fmt == "PARQUET"]
     orc_paths = [p for p, _pv, _s, fmt, _sp in files if fmt == "ORC"]
@@ -750,6 +879,21 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                   if fmt == "AVRO"]
     raw_fields = _schema_fields_json(
         path, None if current else snap.get("schema-id"))
+    # v3 initial-defaults (r15): a column added with a default reads
+    # the DEFAULT (not null) from every file that predates it; the
+    # default value rides the schema field's JSON.  Built eagerly so
+    # an unsupported default type gates loudly up front.
+    defaults = {n: F.lit(_ice_default_py(f["initial-default"],
+                                         types[n], n)).cast(types[n])
+                for n, f in raw_fields.items()
+                if f.get("initial-default") is not None
+                and n in types}
+
+    def _absent_lit(n):
+        # the column value for a data file written BEFORE the column
+        # existed: its initial-default when declared, else null
+        return defaults.get(n, F.lit(None).cast(types[n]))
+
     nested_cols = {n for n, f in raw_fields.items()
                    if not isinstance(f["type"], str)}
     nested_mode = evolved and bool(nested_cols & set(field_names))
@@ -852,6 +996,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             .distinct().collect()}
         targeted_orc = {p for p in orc_paths if p in targeted}
         targeted_avro = {p for p in avro_paths if p in targeted}
+    if dv_files and (orc_paths or avro_paths):
+        # DV-targeted files are known from the MANIFEST (no job)
+        dv_refs = {ref for _p, _s, (ref, _o, _z) in dv_files}
+        targeted_orc |= {p for p in orc_paths if p in dv_refs}
+        targeted_avro |= {p for p in avro_paths if p in dv_refs}
+    # any position-addressed delete (v2 parquet files or v3 DVs)
+    # requires the (__fp, __pos) tagging on every scanned row
+    pos_del = bool(pos_files) or bool(dv_files)
 
     groups: dict[tuple, list[str]] = {}
     for p, pvals, seq, fmt, sid in files:
@@ -868,7 +1020,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                    None)
         groups.setdefault(key, []).append(p)
 
-    need_fp = bool(pos_files) or bool(eq_files) or bool(attach_cols)
+    need_fp = pos_del or bool(eq_files) or bool(attach_cols)
     parts = []
     for (fmt, sid, pkey, seq), paths in sorted(
             groups.items(), key=lambda kv: str(kv[0])):
@@ -950,6 +1102,12 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                     [(p2,) for p2 in paths], "path string")
                     .repartition(n_scan, "path")
                     .mapInPandas(_avro_pos_scan, out_ddl))
+                for n in dn:
+                    # v3 initial-defaults: the whole group shares one
+                    # layout, so an absent column is absent for every
+                    # row the scan emitted
+                    if pmapping.get(n) is None and n in defaults:
+                        df = df.withColumn(n, _absent_lit(n))
             else:
                 # dependency-free Avro source: schema from each
                 # file's embedded writer schema, block-split read
@@ -976,8 +1134,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                             ent = nl.get(n)
                             if ent is None or ent[0] not in \
                                     src.columns:
-                                cols.append(F.lit(None)
-                                            .cast(types[n]).alias(n))
+                                cols.append(_absent_lit(n).alias(n))
                                 continue
                             pn, pt = ent
                             col = F.col(f"`{pn}`")
@@ -992,9 +1149,10 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                             continue
                         pn = _phys_of(n)
                         cols.append(
-                            (F.col(pn) if pn is not None
+                            (F.col(pn).cast(types[n])
+                             if pn is not None
                              and pn in src.columns else
-                             F.lit(None)).cast(types[n]).alias(n))
+                             _absent_lit(n)).alias(n))
                     one = src.select(*cols)
                     df = one if df is None else df.unionByName(one)
                 if need_fp:
@@ -1003,7 +1161,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                     # survive the coalesce
                     df = df.withColumn("__fp",
                                        F.lit(None).cast("string"))
-                if pos_files:
+                if pos_del:
                     # untargeted by any position delete: a null __pos
                     # can never match the anti-join
                     df = df.withColumn("__pos",
@@ -1079,6 +1237,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                                         "path string")
                   .repartition(n_scan, "path")
                   .mapInPandas(_orc_pos_scan, out_ddl))
+            for n in dn:
+                # v3 initial-defaults: one layout per group — an
+                # absent column is absent for the whole scan
+                if pmapping.get(n) is None and n in defaults:
+                    df = df.withColumn(n, _absent_lit(n))
             if eq_files:
                 df = df.withColumn("__seq",
                                    F.lit(None).cast("bigint"))
@@ -1097,8 +1260,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             from .nested import remap_expr, remap_needed
             for n in dn:
                 if n not in lmap:        # column postdates this file
-                    df = df.withColumn(n,
-                                       F.lit(None).cast(types[n]))
+                    df = df.withColumn(n, _absent_lit(n))
                     continue
                 pn, pt = lmap[n]
                 if pn != n:
@@ -1114,12 +1276,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                 if n in lmap and lmap[n] != n:
                     df = df.withColumnRenamed(lmap[n], n)
                 elif n not in lmap:      # column postdates this file
-                    df = df.withColumn(n,
-                                       F.lit(None).cast(types[n]))
+                    df = df.withColumn(n, _absent_lit(n))
         if need_fp:
             df = df.withColumn("__fp",
                                _norm(F.col("_metadata.file_path")))
-        if pos_files:
+        if pos_del:
             # ORC here means UNTARGETED by any position delete (the
             # targeted files took the ORC@pos branch): a null __pos
             # can never match the anti-join, so the rows all survive
@@ -1186,11 +1347,45 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                               _checked(F.col(f"{c}__m")
                                        .cast(types[c]))))
         out = out.drop("__mseq", *[f"{c}__m" for c in attach_cols])
-    if pos_files:
-        dels = (spark.read.schema("file_path string, pos bigint")
-                .parquet(*pos_files)
-                .select(_norm(F.col("file_path")).alias("__fp"),
-                        F.col("pos").alias("__pos")))
+    if pos_del:
+        dels = None
+        if pos_files:
+            dels = (spark.read
+                    .schema("file_path string, pos bigint")
+                    .parquet(*pos_files)
+                    .select(_norm(F.col("file_path")).alias("__fp"),
+                            F.col("pos").alias("__pos")))
+        if dv_files:
+            # v3 deletion vectors expand to (file, position) rows on
+            # the EXECUTORS — one task per DV blob, O(deleted rows)
+            # output, the driver never holds a bitmap — and ride the
+            # same anti-join as v2 position-delete files.  (A valid
+            # v3 table's DV supersedes any older position deletes for
+            # its file, so applying both is exact.)
+            dv_rows = [(p, ref, int(off), int(sz))
+                       for p, _s, (ref, off, sz) in dv_files]
+
+            def _dv_expand(batches):
+                import pandas as pd
+                for pdf in batches:
+                    for p2, ref2, off2, sz2 in zip(
+                            pdf["path"], pdf["ref"], pdf["off"],
+                            pdf["sz"]):
+                        pos2 = _read_puffin_dv(p2, int(off2),
+                                               int(sz2))
+                        yield pd.DataFrame(
+                            {"__fp": [ref2] * len(pos2),
+                             "__pos": pos2})
+
+            n_dv = min(len(dv_rows),
+                       max(32,
+                           spark.sparkContext.defaultParallelism))
+            dvdels = (spark.createDataFrame(
+                dv_rows,
+                "path string, ref string, off bigint, sz bigint")
+                .repartition(n_dv, "path", "off")
+                .mapInPandas(_dv_expand, "__fp string, __pos bigint"))
+            dels = dvdels if dels is None else dels.unionByName(dvdels)
         out = out.join(dels, on=["__fp", "__pos"], how="left_anti")
     # equality deletes: one anti-join per distinct equality-column
     # set; inside a set, delete files union with their sequence
@@ -1406,6 +1601,10 @@ def _manifest_schema(part_items, types=None):
         {"name": "file_size_in_bytes", "type": "long"},
         {"name": "equality_ids",
          "type": ["null", {"type": "array", "items": "int"}]},
+        # v3 deletion-vector fields (r15): null for every other entry
+        {"name": "referenced_data_file", "type": ["null", "string"]},
+        {"name": "content_offset", "type": ["null", "long"]},
+        {"name": "content_size_in_bytes", "type": ["null", "long"]},
     ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
@@ -1425,11 +1624,55 @@ _MLIST_SCHEMA = {"type": "record", "name": "manifest_file", "fields": [
 ]}
 
 
+def write_puffin_dv_fixture(path: str, dvs: dict,
+                            snapshot_id: int) -> dict:
+    """FIXTURE: one spec-layout puffin file holding a
+    ``deletion-vector-v1`` blob per entry of ``dvs``
+    (``{table-relative data path: [deleted positions]}``) — header
+    magic ``PFA1``, blobs, then the JSON footer (Magic, payload,
+    4-byte LE payload size, 4 flag bytes, Magic) real writers emit,
+    with ``referenced-data-file``/``cardinality`` blob properties.
+    Returns ``{rel_data_path: (rel_puffin_path, blob_offset,
+    blob_length, cardinality)}`` for the manifest entries."""
+    import struct
+    import zlib
+
+    from .deltadv import DV_MAGIC, bitmap_array_encode
+    rel_puffin = f"data/dv-snap{snapshot_id}.puffin"
+    full = os.path.join(path, rel_puffin)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    buf = bytearray(b"PFA1")
+    blobs_meta, out = [], {}
+    for rel in sorted(dvs):
+        vec = bitmap_array_encode(sorted(int(p) for p in dvs[rel]))
+        data = struct.pack("<I", DV_MAGIC) + vec
+        blob = (struct.pack(">i", len(data)) + data
+                + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+        off = len(buf)
+        buf += blob
+        blobs_meta.append({
+            "type": "deletion-vector-v1", "fields": [],
+            "snapshot-id": snapshot_id,
+            "sequence-number": snapshot_id,
+            "offset": off, "length": len(blob),
+            "properties": {"referenced-data-file": rel,
+                           "cardinality": str(len(dvs[rel]))}})
+        out[rel] = (rel_puffin, off, len(blob), len(dvs[rel]))
+    payload = json.dumps({"blobs": blobs_meta,
+                          "properties": {}}).encode()
+    buf += (b"PFA1" + payload + struct.pack("<i", len(payload))
+            + b"\x00\x00\x00\x00" + b"PFA1")
+    with open(full, "wb") as fh:
+        fh.write(bytes(buf))
+    return out
+
+
 def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                           append_to_snapshot: int | None = None,
                           delete_partition=None,
                           delete_positions=None,
                           delete_equality=None,
+                          delete_vectors=None,
                           order_by=(), file_format="parquet",
                           fast_append: bool = False) -> int:
     """Create or extend a spec-layout Iceberg table.  Each call makes
@@ -1570,7 +1813,8 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
         if (fast_append and df is not None
                 and delete_partition is None
                 and delete_positions is None
-                and delete_equality is None):
+                and delete_equality is None
+                and delete_vectors is None):
             # FAST APPEND (r13) — the real-writer commit shape: the
             # new manifest holds ONLY this snapshot's adds and the
             # base snapshot's manifest-list rows carry VERBATIM (so
@@ -1786,7 +2030,38 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     # delete_positions parquet (columns file_path/pos per the v2
     # spec) + any new delete_equality parquet (content=2)
     del_entries = []
+    if delete_vectors is not None \
+            and meta.get("format-version", 1) != 3:
+        raise ValueError(
+            "iceberg fixture: deletion vectors require "
+            "format-version 3 (call "
+            "set_iceberg_format_version_fixture first)")
     for p, dcontent, dseq, deq in prev_deletes:
+        if dcontent == 3:
+            # carried-forward v3 DV — unless this snapshot writes a
+            # REPLACEMENT DV for the same data file (the spec allows
+            # at most one live DV per file; the new one must fold in
+            # the old positions, which the caller's positions do)
+            ref_abs, coff, csz = deq
+            ref_rel = os.path.relpath(ref_abs, path)
+            if delete_vectors and ref_rel in delete_vectors:
+                continue
+            del_entries.append({"status": 0, "snapshot_id": snap_id,
+                                "sequence_number": dseq,
+                                "data_file": {
+                                    "content": 1,
+                                    "file_path":
+                                        os.path.relpath(p, path),
+                                    "file_format": "PUFFIN",
+                                    "partition": {},
+                                    "record_count": 0,
+                                    "file_size_in_bytes":
+                                        os.path.getsize(p),
+                                    "equality_ids": None,
+                                    "referenced_data_file": ref_rel,
+                                    "content_offset": coff,
+                                    "content_size_in_bytes": csz}})
+            continue
         del_entries.append({"status": 0, "snapshot_id": snap_id,
                             "sequence_number": dseq,
                             "data_file": {
@@ -1843,6 +2118,35 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                                     os.path.getsize(efull),
                                 "equality_ids":
                                     [name_to_id[c] for c in eq_cols]}})
+    if delete_vectors:
+        # v3 deletion vectors: one puffin file per snapshot, one
+        # blob per targeted data file, manifest entries carrying the
+        # blob's exact offset/length + referenced_data_file
+        dv_info = write_puffin_dv_fixture(path, delete_vectors,
+                                          snap_id)
+        for rel in sorted(dv_info):
+            rel_puffin, off, ln, card = dv_info[rel]
+            del_entries.append({"status": 1, "snapshot_id": snap_id,
+                                "sequence_number": None,
+                                "data_file": {
+                                    "content": 1,
+                                    "file_path": rel_puffin,
+                                    "file_format": "PUFFIN",
+                                    "partition": {},
+                                    "record_count": card,
+                                    "file_size_in_bytes":
+                                        os.path.getsize(os.path.join(
+                                            path, rel_puffin)),
+                                    "equality_ids": None,
+                                    "referenced_data_file": rel,
+                                    "content_offset": off,
+                                    "content_size_in_bytes": ln}})
+    # the manifest schema carries the v3 DV fields for every entry —
+    # null-fill the ones other writers above did not set
+    for e in entries + del_entries:
+        e["data_file"].setdefault("referenced_data_file", None)
+        e["data_file"].setdefault("content_offset", None)
+        e["data_file"].setdefault("content_size_in_bytes", None)
     part_items = [(fname,
                    "int" if t in ("bucket", "year", "month",
                                   "day", "hour") else types[src])
@@ -1879,7 +2183,8 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     # in one snapshot -> "overwrite"; otherwise "append"
     any_delete = (delete_partition is not None
                   or delete_positions is not None
-                  or delete_equality is not None)
+                  or delete_equality is not None
+                  or delete_vectors is not None)
     operation = ("append" if df is not None and not any_delete
                  else "delete" if df is None
                  else "overwrite")
@@ -1998,6 +2303,27 @@ def evolve_iceberg_spec_fixture(path: str, partition_by=()) -> int:
     return new_id
 
 
+def set_iceberg_format_version_fixture(path: str,
+                                       version: int = 3) -> int:
+    """FIXTURE: stamp the table's ``format-version`` (the shape an
+    ``ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3')``
+    upgrade commit writes) — metadata-only, existing snapshots and
+    manifests are untouched, exactly like a real upgrade.  Returns
+    the new metadata version number."""
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    meta["format-version"] = int(version)
+    mdir = os.path.join(path, "metadata")
+    v = max(int(re.match(r"^v(\d+)\.metadata\.json$", f).group(1))
+            for f in os.listdir(mdir)
+            if re.match(r"^v(\d+)\.metadata\.json$", f)) + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    return v
+
+
 def evolve_iceberg_schema_fixture(path: str, renames=None,
                                   add_columns=()) -> int:
     """FIXTURE schema evolution: append a NEW schema to the metadata
@@ -2005,8 +2331,11 @@ def evolve_iceberg_schema_fixture(path: str, renames=None,
     renamed columns KEEP their field ids, added columns take fresh
     ids past ``last-column-id``, and ``current-schema-id`` advances.
     Existing data files are untouched (their footers still carry the
-    old physical names + the stable field ids).  Returns the new
-    schema id."""
+    old physical names + the stable field ids).  ``add_columns``
+    entries are ``(name, type)`` or ``(name, type, initial_default)``
+    — the 3-form stamps the v3 ``initial-default`` (and matching
+    ``write-default``) the spec's JSON single-value serialization
+    carries (r15).  Returns the new schema id."""
     import copy
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
@@ -2047,10 +2376,17 @@ def evolve_iceberg_schema_fixture(path: str, renames=None,
     _apply(new["fields"], "")
     last = meta.get("last-column-id",
                     max(f["id"] for f in new["fields"]))
-    for nm, t in add_columns:
+    for entry in add_columns:
+        nm, t = entry[0], entry[1]
         last += 1
-        new["fields"].append({"id": last, "name": nm,
-                              "required": False, "type": t})
+        fld = {"id": last, "name": nm, "required": False, "type": t}
+        if len(entry) > 2:
+            # v3 column defaults (r15): the value every PRE-EXISTING
+            # file reads for this column (and, as write-default, what
+            # writers omit-fill) — JSON single-value serialization
+            fld["initial-default"] = entry[2]
+            fld["write-default"] = entry[2]
+        new["fields"].append(fld)
     meta["last-column-id"] = last
     meta["schemas"].append(new)
     meta["current-schema-id"] = new["schema-id"]

@@ -4985,3 +4985,174 @@ def test_iceberg_eq_delete_idless_fallback_gates(spark, tmp_path):
     with pytest.raises(NotImplementedError,
                        match="no footer field ids"):
         read_iceberg(spark, t).collect()
+
+
+# ---------------------------------------------------------------------------
+# r15 Iceberg format-version 3 (VERDICT r14 tasks 1/8)
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_format_version_gate_enumerates_v3_features(
+        spark, tmp_path):
+    """v1/v2/v3 read; anything newer gates loudly with a message
+    enumerating the v3 features NOT implemented (row lineage first)."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        read_iceberg, set_iceberg_format_version_fixture,
+        write_iceberg_fixture)
+    t = str(tmp_path / "fv")
+    write_iceberg_fixture(spark, spark.range(3).select(
+        SF.col("id").alias("k")), t)
+    set_iceberg_format_version_fixture(t, 4)
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        read_iceberg(spark, t)
+
+
+def test_iceberg_v3_dv_over_orc_and_avro_files(spark, tmp_path):
+    """A v3 DV can reference ORC and AVRO data files too — the
+    targeted files must route through the position-deriving scans
+    (known from the MANIFEST, no extra job) while untargeted files
+    keep their native scans."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        read_iceberg, set_iceberg_format_version_fixture,
+        write_iceberg_fixture)
+    t = str(tmp_path / "dvfmt")
+    df1 = spark.range(5).select(SF.col("id").alias("k"))
+    df2 = spark.range(10, 15).select(SF.col("id").alias("k"))
+    s1 = write_iceberg_fixture(spark, df1, t, order_by=("k",),
+                               file_format="orc")
+    s2 = write_iceberg_fixture(spark, df2, t, order_by=("k",),
+                               file_format="avro")
+    set_iceberg_format_version_fixture(t, 3)
+    write_iceberg_fixture(spark, None, t, delete_vectors={
+        f"data/snap{s1}-0.orc": [0, 4],     # k 0 and 4
+        f"data/snap{s2}-0.avro": [1]})      # k 11
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == [1, 2, 3, 10, 12, 13, 14]
+
+
+def test_iceberg_v3_dv_coexists_with_v2_position_deletes(
+        spark, tmp_path):
+    """An upgraded table may carry BOTH pre-upgrade v2 position-delete
+    parquet files and post-upgrade DVs (for different data files) —
+    both apply through the same anti-join."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        read_iceberg, set_iceberg_format_version_fixture,
+        write_iceberg_fixture)
+    t = str(tmp_path / "dvmix")
+    s1 = write_iceberg_fixture(
+        spark, spark.range(4).select(SF.col("id").alias("k")),
+        t, order_by=("k",))
+    s2 = write_iceberg_fixture(
+        spark, spark.range(10, 14).select(SF.col("id").alias("k")),
+        t, order_by=("k",))
+    # v2 position delete on snapshot 1's file (k=0)
+    write_iceberg_fixture(spark, None, t, delete_positions={
+        f"data/snap{s1}-0.parquet": [0]})
+    set_iceberg_format_version_fixture(t, 3)
+    # v3 DV on snapshot 2's file (k=13)
+    write_iceberg_fixture(spark, None, t, delete_vectors={
+        f"data/snap{s2}-0.parquet": [3]})
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == [1, 2, 3, 10, 11, 12]
+
+
+def test_iceberg_v3_duplicate_dv_for_one_file_gates(spark, tmp_path):
+    """Two live DVs referencing the same data file violate the spec's
+    at-most-one rule — gate loudly rather than guess a union."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        _latest_metadata, read_iceberg,
+        set_iceberg_format_version_fixture, write_iceberg_fixture)
+    t = str(tmp_path / "dvdup")
+    s1 = write_iceberg_fixture(
+        spark, spark.range(4).select(SF.col("id").alias("k")),
+        t, order_by=("k",))
+    set_iceberg_format_version_fixture(t, 3)
+    write_iceberg_fixture(spark, None, t, delete_vectors={
+        f"data/snap{s1}-0.parquet": [0]})
+    # hand-craft a second snapshot whose delete manifest carries
+    # ANOTHER DV for the same file (the fixture itself refuses)
+    write_iceberg_fixture(spark, None, t, delete_vectors={
+        f"data/snap{s1}-0.parquet": [0, 1]})
+    with open(_latest_metadata(t)) as fh:
+        meta = _json.load(fh)
+    # point the current snapshot's list at BOTH delete manifests
+    from padawan_spark.functions.avro import (decode_avro_datums,
+                                              encode_avro_datums)
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    cur = snaps[meta["current-snapshot-id"]]
+    prev = snaps[meta["current-snapshot-id"] - 1]
+    with open(_os.path.join(t, cur["manifest-list"]), "rb") as fh:
+        sch, rows = decode_avro_datums(fh.read())
+    with open(_os.path.join(t, prev["manifest-list"]), "rb") as fh:
+        _s, prows = decode_avro_datums(fh.read())
+    extra = [r for r in prows if r["content"] == 1
+             and r["manifest_path"] not in
+             {x["manifest_path"] for x in rows}]
+    with open(_os.path.join(t, cur["manifest-list"]), "wb") as fh:
+        fh.write(encode_avro_datums(sch, rows + extra))
+    with pytest.raises(NotImplementedError,
+                       match="more than one live deletion vector"):
+        read_iceberg(spark, t)
+
+
+def test_iceberg_v3_default_unsupported_type_gates(spark, tmp_path):
+    """An initial-default on a type the reader cannot materialize
+    (nested struct) gates loudly instead of silently reading NULL."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        set_iceberg_format_version_fixture, write_iceberg_fixture)
+    t = str(tmp_path / "dbad")
+    write_iceberg_fixture(spark, spark.range(3).select(
+        SF.col("id").alias("k")), t)
+    set_iceberg_format_version_fixture(t, 3)
+    evolve_iceberg_schema_fixture(t, add_columns=[
+        ("st", {"type": "struct", "fields": [
+            {"id": 99, "name": "a", "required": False,
+             "type": "long"}]}, {"a": 1})])
+    with pytest.raises(NotImplementedError, match="initial-default"):
+        read_iceberg(spark, t)
+
+
+def test_puffin_dv_blob_validation(tmp_path):
+    """Blob-level gates: a non-puffin file refuses up front; a blob
+    whose magic is not deletion-vector-v1 gates; a corrupted vector
+    fails the CRC check."""
+    import os as _os
+    import struct as _struct
+
+    import pytest
+    from padawan_spark.functions.iceberg import (_read_puffin_dv,
+                                                 write_puffin_dv_fixture)
+    t = str(tmp_path)
+    _os.makedirs(_os.path.join(t, "data"), exist_ok=True)
+    info = write_puffin_dv_fixture(t, {"data/f.parquet": [1, 5, 9]},
+                                   snapshot_id=1)
+    rel, off, ln, card = info["data/f.parquet"]
+    full = _os.path.join(t, rel)
+    assert card == 3
+    assert _read_puffin_dv(full, off, ln) == [1, 5, 9]
+    # non-puffin file
+    bad = _os.path.join(t, "data", "not.puffin")
+    with open(bad, "wb") as fh:
+        fh.write(b"XXXX" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="not a puffin"):
+        _read_puffin_dv(bad, 4, 16)
+    # corrupt one vector byte -> CRC mismatch
+    raw = bytearray(open(full, "rb").read())
+    raw[off + 9] ^= 0xFF
+    crpt = _os.path.join(t, "data", "crpt.puffin")
+    with open(crpt, "wb") as fh:
+        fh.write(bytes(raw))
+    with pytest.raises(ValueError, match="checksum"):
+        _read_puffin_dv(crpt, off, ln)
