@@ -9,14 +9,48 @@ million-sequential-opens anti-pattern (r9 verdict item #4) — this
 module runs ONE Spark job over the file list (same shape as
 ``padawan_spark.dataset.scan_parquet_footers``): each task taps only
 footer bytes via pyarrow and serializes the whole layout to ONE row
-per file, so the driver collects O(files) small rows — the metadata
+per file.  Identical layouts then GROUP ON THE EXECUTORS before the
+collect (r15, VERDICT r14 task 2), so the driver holds each distinct
+layout once — O(distinct layouts) layout payload plus the path list
 it needs anyway to group files by physical layout before planning
-the scans.
+the scans (most files of a 10⁶-file table share one layout; the old
+per-file copy was a multi-GB driver dict).
 """
 
 from __future__ import annotations
 
 import json
+import logging
+
+_LOG = logging.getLogger("padawan_spark.layouts")
+
+
+def collect_layouts(fdf, xform=None) -> dict:
+    """Collect a ``(path string, layout string)`` tap result with the
+    driver's layout footprint bounded at O(DISTINCT layouts) (VERDICT
+    r14 task 2): identical layout JSONs group on the EXECUTORS, each
+    distinct string crosses to the driver ONCE, and every path of a
+    group shares the SAME decoded object — at 10⁶-file table sizes
+    the per-file copy was a multi-GB driver dict; most files share
+    one layout.  ``xform`` post-processes each DISTINCT decoded
+    layout once.  The distinct-layout count is logged (INFO) so
+    scan-arm growth stays visible."""
+    from pyspark.sql import functions as F
+    rows = (fdf.groupBy("layout")
+            .agg(F.collect_list("path").alias("paths"))
+            .collect())
+    out: dict = {}
+    n_files = 0
+    for r in rows:
+        lay = json.loads(r["layout"])
+        if xform is not None:
+            lay = xform(lay)
+        n_files += len(r["paths"])
+        for p in r["paths"]:
+            out[p] = lay
+    _LOG.info("layout tap: %d files, %d distinct layouts",
+              n_files, len(rows))
+    return out
 
 
 def parquet_field_layouts(spark, paths) -> dict:
@@ -51,9 +85,8 @@ def parquet_field_layouts(spark, paths) -> dict:
     fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
            .repartition(n, "path")
            .mapInPandas(_tap, "path string, layout string"))
-    return {r["path"]: [(fid, nm) for fid, nm in
-                        json.loads(r["layout"])]
-            for r in fdf.collect()}
+    return collect_layouts(
+        fdf, xform=lambda lay: [(fid, nm) for fid, nm in lay])
 
 
 def avro_field_layouts(spark, paths) -> dict:
@@ -86,9 +119,8 @@ def avro_field_layouts(spark, paths) -> dict:
     fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
            .repartition(n, "path")
            .mapInPandas(_tap, "path string, layout string"))
-    return {r["path"]: [(fid, nm) for fid, nm in
-                        json.loads(r["layout"])]
-            for r in fdf.collect()}
+    return collect_layouts(
+        fdf, xform=lambda lay: [(fid, nm) for fid, nm in lay])
 
 
 def orc_field_layouts(spark, paths) -> dict:
@@ -123,6 +155,5 @@ def orc_field_layouts(spark, paths) -> dict:
     fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
            .repartition(n, "path")
            .mapInPandas(_tap, "path string, layout string"))
-    return {r["path"]: [(fid, nm) for fid, nm in
-                        json.loads(r["layout"])]
-            for r in fdf.collect()}
+    return collect_layouts(
+        fdf, xform=lambda lay: [(fid, nm) for fid, nm in lay])

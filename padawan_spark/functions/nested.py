@@ -246,7 +246,8 @@ def _field_trees(spark, paths, fmt: str) -> dict:
     fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
            .repartition(n, "path")
            .mapInPandas(_tap, "path string, layout string"))
-    return {r["path"]: json.loads(r["layout"]) for r in fdf.collect()}
+    from .layouts import collect_layouts
+    return collect_layouts(fdf)
 
 
 def parquet_field_trees(spark, paths) -> dict:
@@ -324,7 +325,8 @@ def avro_field_trees(spark, paths) -> dict:
     fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
            .repartition(n, "path")
            .mapInPandas(_tap, "path string, layout string"))
-    return {r["path"]: json.loads(r["layout"]) for r in fdf.collect()}
+    from .layouts import collect_layouts
+    return collect_layouts(fdf)
 
 
 def match_tree_delta(t, node):

@@ -5156,3 +5156,30 @@ def test_puffin_dv_blob_validation(tmp_path):
         fh.write(bytes(raw))
     with pytest.raises(ValueError, match="checksum"):
         _read_puffin_dv(crpt, off, ln)
+
+
+def test_layout_tap_driver_footprint_is_distinct_layouts(
+        spark, tmp_path):
+    """VERDICT r14 task 2: N files sharing one physical layout
+    collect as ONE distinct layout group — every path maps to the
+    SAME decoded object (identity, not equality), so driver layout
+    memory is O(distinct layouts), not O(files)."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.layouts import parquet_field_layouts
+    from padawan_spark.functions.nested import parquet_field_trees
+    d = tmp_path / "many"
+    (spark.range(64).select(SF.col("id").alias("k"),
+                            SF.struct(SF.col("id").alias("a"))
+                            .alias("st"))
+     .repartition(8).write.parquet(str(d)))
+    import glob
+    paths = sorted(glob.glob(str(d / "part-*.parquet")))
+    assert len(paths) >= 2
+    lay = parquet_field_layouts(spark, paths)
+    assert set(lay) == set(paths)
+    first = lay[paths[0]]
+    assert all(lay[p] is first for p in paths[1:]), \
+        "paths of one layout group must share one decoded object"
+    trees = parquet_field_trees(spark, paths)
+    tfirst = trees[paths[0]]
+    assert all(trees[p] is tfirst for p in paths[1:])
