@@ -169,10 +169,11 @@ class _Replay:
             # physical/logical mismatch, naming the column
             # variantType (r14): Spark 4 reads parquet VARIANT
             # natively, so a `variant` leaf in the schemaString scans
-            # straight through the declared-schema path (id-mode
-            # column mapping gates separately — pyarrow cannot open
-            # footers carrying the VARIANT logical type, so the
-            # field-id tap would fail in-task; the gate is loud)
+            # straight through the declared-schema path; id-mode
+            # column mapping over VARIANT resolves through the
+            # in-repo thrift footer walk (r15 — pyarrow refuses the
+            # VARIANT logical type, functions/parquetfooter.py
+            # recovers the field-id tree)
             unsupported = feats - {"deletionVectors", "v2Checkpoint",
                                     "columnMapping",
                                     "timestampNtz", "typeWidening",
@@ -479,13 +480,11 @@ def read_delta(spark, path: str, version: int | None = None,
         # never a driver-side open per data file); the footer TREES
         # carry nested ids too (r13), so renamed struct fields INSIDE
         # a column resolve per file as well.
+        # VARIANT columns no longer gate here (r15, VERDICT r14 task
+        # 4): the footer tap falls back to the in-repo thrift walk
+        # (functions/parquetfooter.py) when pyarrow refuses the
+        # VARIANT logical type
         from .nested import match_tree_delta, parquet_field_trees
-        if any(_contains_variant(f["type"]) for f in data_fields):
-            raise NotImplementedError(
-                "id-mapped delta table with VARIANT columns: pyarrow "
-                "cannot read footers carrying the VARIANT logical "
-                "type, so per-file field-id resolution is "
-                "unavailable here")
         raw = parquet_field_trees(
             spark, [p for p, _pv, _dv in files_abs])
         for p, trees in raw.items():
@@ -819,19 +818,31 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
             # container's pyarrow can carry variant values, so the
             # data file writes through Spark's OWN parquet writer —
             # the same binary layout a real Delta 4 writer emits —
-            # and moves into place.  id-mode needs parquet field ids
-            # stamped, which that writer doesn't do: gate.
-            if cm_mode == "id":
-                raise NotImplementedError(
-                    "delta fixture: VARIANT with id-mode column "
-                    "mapping is unsupported (no field-id stamping "
-                    "through the JVM writer)")
+            # and moves into place.
             import glob as _glob
             import shutil as _shutil
 
             from pyspark.sql import functions as SF
-            sel = [SF.col(f"`{c}`").alias(phys[c])
-                   for c in data_cols]
+            if cm_mode == "id":
+                # id-mode (r15, VERDICT r14 task 4): the JVM writer
+                # stamps parquet field ids from `parquet.field.id`
+                # field metadata — commit-varying physical names
+                # with stable ids, the same layout the pyarrow id
+                # path writes.  Nested non-variant columns would
+                # need INNER ids the alias metadata cannot carry.
+                if has_nested:
+                    raise NotImplementedError(
+                        "delta fixture: VARIANT with id-mode column "
+                        "mapping over NESTED columns is unsupported "
+                        "(no inner-field id stamping through the "
+                        "JVM writer)")
+                sel = [SF.col(f"`{c}`").alias(
+                    f"{phys[c]}_v{v}",
+                    metadata={"parquet.field.id": fids[c]})
+                    for c in data_cols]
+            else:
+                sel = [SF.col(f"`{c}`").alias(phys[c])
+                       for c in data_cols]
             tmpd = full + ".jvm"
             sub.select(*sel).coalesce(1).write.mode(
                 "overwrite").parquet(tmpd)
@@ -1370,14 +1381,9 @@ def read_delta_changes(spark, path: str, starting_version: int = 0,
     # footer TREES carry nested ids too (r13)
     lmaps: dict[str, dict[str, tuple]] = {}
     if mapping == "id" and events:
+        # VARIANT columns resolve through the thrift footer-walk
+        # fallback (r15) — no gate needed
         from .nested import match_tree_delta, parquet_field_trees
-        if any(_contains_variant(fld_json[n]["type"])
-               for n in data_fields):
-            raise NotImplementedError(
-                "id-mapped delta CDF with VARIANT columns: pyarrow "
-                "cannot read footers carrying the VARIANT logical "
-                "type, so per-file field-id resolution is "
-                "unavailable here")
         raw = parquet_field_trees(
             spark, [os.path.abspath(os.path.join(path, rel))
                     for _v, _k, rel, _pv, _i, _e in events])

@@ -71,12 +71,19 @@ def parquet_field_layouts(spark, paths) -> dict:
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                pairs = []
-                for fld in pq.read_schema(p):
-                    md = fld.metadata or {}
-                    fid = md.get(b"PARQUET:field_id")
-                    pairs.append((int(fid) if fid is not None
-                                  else None, fld.name))
+                try:
+                    pairs = []
+                    for fld in pq.read_schema(p):
+                        md = fld.metadata or {}
+                        fid = md.get(b"PARQUET:field_id")
+                        pairs.append((int(fid) if fid is not None
+                                      else None, fld.name))
+                except Exception:
+                    # pyarrow refuses footers carrying unknown
+                    # logical types (VARIANT) — fall back to the
+                    # in-repo thrift footer walk (r15)
+                    from .parquetfooter import footer_field_layout
+                    pairs = footer_field_layout(p)
                 rows.append((p, _json.dumps(pairs)))
             yield pd.DataFrame(rows, columns=["path", "layout"])
 

@@ -233,11 +233,19 @@ def _field_trees(spark, paths, fmt: str) -> dict:
                     import pyarrow.orc as po
                     flds = list(po.ORCFile(p).schema)
                     key = b"iceberg.id"
+                    trees = [_arrow_tree(f, key) for f in flds]
                 else:
                     import pyarrow.parquet as pq
-                    flds = list(pq.read_schema(p))
-                    key = b"PARQUET:field_id"
-                trees = [_arrow_tree(f, key) for f in flds]
+                    try:
+                        flds = list(pq.read_schema(p))
+                        trees = [_arrow_tree(f) for f in flds]
+                    except Exception:
+                        # footer carries a logical type pyarrow does
+                        # not know (VARIANT) — the in-repo thrift
+                        # footer walk recovers the id tree (r15,
+                        # VERDICT r14 task 4)
+                        from .parquetfooter import footer_field_trees
+                        trees = footer_field_trees(p)
                 rows.append((p, _json.dumps(trees)))
             yield pd.DataFrame(rows, columns=["path", "layout"])
 

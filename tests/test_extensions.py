@@ -4465,8 +4465,8 @@ def test_hudi_log_only_nested_temporal_schema_recovery(spark,
 def test_delta_variant_reads_and_gates(spark, tmp_path):
     """r14: variantType tables read through the native parquet
     VARIANT path — plain, name-mapped, appended, and through the
-    CDF; id-mode column mapping gates loudly (this container's
-    pyarrow cannot open VARIANT footers for the field-id tap)."""
+    CDF.  r15: id-mode resolves via the thrift footer walk, so only
+    genuinely id-LESS files gate (with the missing-id message)."""
     import json
     import os
 
@@ -4513,9 +4513,14 @@ def test_delta_variant_reads_and_gates(spark, tmp_path):
     with open(log2, "w") as fh:
         for a in acts2:
             fh.write(json.dumps(a) + "\n")
-    with pytest.raises(NotImplementedError, match="VARIANT"):
+    # r15: id-mode x VARIANT no longer gates wholesale (the thrift
+    # footer walk resolves ids) — but THESE files were written with
+    # no field ids at all, so the missing-id gate still fires loudly
+    with pytest.raises(NotImplementedError,
+                       match="lacks parquet field ids"):
         read_delta(spark, t2)
-    with pytest.raises(NotImplementedError, match="VARIANT"):
+    with pytest.raises(NotImplementedError,
+                       match="lacks parquet field ids"):
         read_delta_changes(spark, t2, starting_version=0).collect()
     # variant NESTED inside a struct reads too (the schemaString
     # leaf passes through at any depth)
@@ -5183,3 +5188,74 @@ def test_layout_tap_driver_footprint_is_distinct_layouts(
     trees = parquet_field_trees(spark, paths)
     tfirst = trees[paths[0]]
     assert all(trees[p] is tfirst for p in paths[1:])
+
+
+# ---------------------------------------------------------------------------
+# r15 parquet-footer thrift walk + Delta id-mode x VARIANT
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_footer_thrift_walk_matches_arrow(spark, tmp_path):
+    """The dependency-free thrift footer walk recovers the SAME
+    field-id trees as the pyarrow tap on a nested id-stamped file
+    (struct, 3-level list, map)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from padawan_spark.functions.nested import _arrow_tree
+    from padawan_spark.functions.parquetfooter import (
+        footer_field_layout, footer_field_trees)
+    p = str(tmp_path / "t.parquet")
+    sch = pa.schema([
+        pa.field("k", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("st", pa.struct([
+            pa.field("a", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"3"})]),
+            metadata={b"PARQUET:field_id": b"2"}),
+        pa.field("ar", pa.list_(pa.field("element", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"5"})),
+                 metadata={b"PARQUET:field_id": b"4"}),
+        pa.field("mp", pa.map_(pa.string(), pa.int64()),
+                 metadata={b"PARQUET:field_id": b"6"})])
+    pq.write_table(pa.table(
+        {"k": [1], "st": [{"a": 2}], "ar": [[3]],
+         "mp": [[("q", 4)]]}, schema=sch), p)
+    assert footer_field_trees(p) == [_arrow_tree(f)
+                                     for f in pq.read_schema(p)]
+    assert footer_field_layout(p) == [(1, "k"), (2, "st"),
+                                      (4, "ar"), (6, "mp")]
+
+
+def test_delta_variant_id_mapping_reads(spark, tmp_path):
+    """Delta id-mode x VARIANT (r15): pyarrow refuses the footers,
+    the thrift walk resolves the commit-varying physical names by
+    field id, and variant_get reads the values."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (read_delta,
+                                               write_delta_fixture)
+    t = str(tmp_path / "idv")
+    df = spark.range(4).selectExpr(
+        "id as k", "parse_json(concat('{\"a\":', id * 3, '}')) as v")
+    write_delta_fixture(spark, df, t, column_mapping="id")
+    df2 = spark.range(10, 12).selectExpr(
+        "id as k", "parse_json(concat('{\"a\":', id * 3, '}')) as v")
+    write_delta_fixture(spark, df2, t, mode="append",
+                        column_mapping="id")
+    out = read_delta(spark, t).selectExpr(
+        "k", "variant_get(v, '$.a', 'long') as a")
+    got = {r["k"]: r["a"] for r in out.collect()}
+    assert got == {i: 3 * i for i in (0, 1, 2, 3, 10, 11)}
+
+
+def test_delta_variant_idmap_nested_still_gates(spark, tmp_path):
+    """id-mode VARIANT alongside a NESTED column still gates loudly
+    (no inner-field id stamping through the JVM writer)."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.delta import write_delta_fixture
+    t = str(tmp_path / "idvn")
+    df = spark.range(3).selectExpr(
+        "id as k", "parse_json('{\"a\":1}') as v",
+        "named_struct('x', id) as st")
+    with pytest.raises(NotImplementedError, match="NESTED"):
+        write_delta_fixture(spark, df, t, column_mapping="id")
