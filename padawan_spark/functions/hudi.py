@@ -781,7 +781,12 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     bad = [c for c in data_cols if not _log_safe_type(dtypes[c])]
     if bad:
         raise NotImplementedError(
-            f"hudi MOR merge over unsupported payload columns {bad}")
+            "hudi MOR merge over unsupported payload columns "
+            + ", ".join(f"{c} ({dtypes[c]})" for c in bad)
+            + " — log blocks carry Avro datums, which (per the Avro "
+            "spec) cannot represent non-string map keys or "
+            "non-primitive leaves outside the safe set (final "
+            "scoping decision, COVERAGE.md r15)")
     # temporal log payloads ride Avro logical types (micros / days
     # from epoch) and convert back on the pandas side of the decode;
     # temporal leaves INSIDE nested types convert per element through

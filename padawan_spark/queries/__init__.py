@@ -40,37 +40,32 @@ for _m in _SUITES:
 # All queries stay registered; this is a stable re-ordering, not a filter.
 # ---------------------------------------------------------------------------
 
-# code that changed THIS round (r14) — keep driver-visible even
-# though already green:
-# src_hudi_nested_temporal (NEW — temporal leaves inside nested log
-# payloads: recursive DDL parser, per-element reviver, explicit-typed
-# nested base writes) and the hudi paths it rebuilt:
-# src_hudi_mor_read + src_hudi_log_only_table (+ map-capable schema
-# recovery) + src_hudi_log_block_formats (parquet-block nested
-# normalization) + src_hudi_metadata_hfile (FAST_DIFF family gate +
-# hadoop-codec progress guard) + streaming_hudi_incremental (stream
-# conv rebuilt on the shared reviver);
-# src_delta_type_widening (NEW — typeWidening reader feature) and
-# src_delta_read + src_delta_id_mapping + src_delta_cdf_read (id-mode
-# missing-id gate, feature set);
-# streaming_iceberg_appends + streaming_iceberg_skip_deletes +
-# streaming_iceberg_follow_branch (entry snapshot-id INHERITANCE in
-# added_data_files — ADVICE r13 high);
-# src_delta_nested_read + src_iceberg_nested_read (map-key struct
-# gate in match_tree_delta).
-_SENTINELS = ["src_hudi_nested_temporal", "src_delta_type_widening",
-              "src_delta_variant_read",
+# code that changed THIS round (r15) — keep driver-visible even
+# though already green.  Deliberately SMALL (VERDICT r14 task 7): the
+# stalest registry rows are the r7-era §2-core cohort (~37 rows), and
+# a 13-sentinel head leaves exactly the window slack to drain it.
+# src_iceberg_v3_defaults + src_iceberg_v3_dv (NEW — format-version 3
+# initial-defaults and puffin deletion vectors) and the iceberg read
+# paths the v3 work rebuilt: src_iceberg_v2_deletes (delete-entry
+# restructure + id-less eq-delete gate), src_iceberg_nested_read +
+# src_iceberg_avro_nested_evolution (absent-column default fills,
+# executor-grouped layout collect);
+# src_delta_variant_idmap (NEW — id-mode x VARIANT via the thrift
+# footer walk) and src_delta_variant_read (type-tree variant
+# detection) + src_delta_id_mapping + src_delta_cdf_read (gate
+# removal onto the fallback tap);
+# src_hudi_decimal_payloads (value-preserving quantize gate) +
+# src_hudi_nested_temporal + src_hudi_mor_read (map-key reviver,
+# gate message) + streaming_hudi_incremental (stream reviver path).
+_SENTINELS = ["src_iceberg_v3_defaults", "src_iceberg_v3_dv",
+              "src_delta_variant_idmap",
+              "src_iceberg_v2_deletes", "src_iceberg_nested_read",
               "src_iceberg_avro_nested_evolution",
-              "src_hudi_decimal_payloads",
-              "src_hudi_mor_read", "src_hudi_log_only_table",
-              "src_hudi_log_block_formats", "src_hudi_metadata_hfile",
-              "streaming_hudi_incremental",
-              "src_delta_read", "src_delta_id_mapping",
+              "src_delta_variant_read", "src_delta_id_mapping",
               "src_delta_cdf_read",
-              "streaming_iceberg_appends",
-              "streaming_iceberg_skip_deletes",
-              "streaming_iceberg_follow_branch",
-              "src_delta_nested_read", "src_iceberg_nested_read"]
+              "src_hudi_decimal_payloads",
+              "src_hudi_nested_temporal", "src_hudi_mor_read",
+              "streaming_hudi_incremental"]
 
 _WINDOW = 50
 
