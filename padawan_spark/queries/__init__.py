@@ -55,8 +55,10 @@ for _m in _SUITES:
 # detection) + src_delta_id_mapping + src_delta_cdf_read (gate
 # removal onto the fallback tap);
 # src_hudi_decimal_payloads (value-preserving quantize gate) +
-# src_hudi_nested_temporal + src_hudi_mor_read (map-key reviver,
-# gate message) + streaming_hudi_incremental (stream reviver path).
+# src_hudi_nested_temporal (map-key reviver, gate message) +
+# streaming_hudi_incremental (stream reviver path);
+# streaming_iceberg_appends (v3 defaults now flow through the
+# stream's partition tuple — pysource.py changed).
 _SENTINELS = ["src_iceberg_v3_defaults", "src_iceberg_v3_dv",
               "src_delta_variant_idmap",
               "src_iceberg_v2_deletes", "src_iceberg_nested_read",
@@ -64,8 +66,9 @@ _SENTINELS = ["src_iceberg_v3_defaults", "src_iceberg_v3_dv",
               "src_delta_variant_read", "src_delta_id_mapping",
               "src_delta_cdf_read",
               "src_hudi_decimal_payloads",
-              "src_hudi_nested_temporal", "src_hudi_mor_read",
-              "streaming_hudi_incremental"]
+              "src_hudi_nested_temporal",
+              "streaming_hudi_incremental",
+              "streaming_iceberg_appends"]
 
 _WINDOW = 50
 

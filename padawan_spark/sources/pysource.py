@@ -1462,6 +1462,17 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         # correctly; the multi-schema gate is gone
         fid_items = tuple(sorted(
             (fid, name) for name, fid in fld_ids.items()))
+        # v3 initial-defaults (r15): a defaulted column added AFTER a
+        # file's snapshot must stream as the DEFAULT, not null — the
+        # same silent-NULL class the r14 probe caught in this stream
+        # for renamed nested leaves.  Values resolve once at plan
+        # time (an unsupported default type gates loudly here).
+        from ..functions.iceberg import _ice_default_py, _ice_type_ddl
+        dflt_items = tuple(sorted(
+            (nm, _ice_default_py(f["initial-default"],
+                                 _ice_type_ddl(f["type"]), nm))
+            for nm, f in _schema_fields_json(self.path).items()
+            if f.get("initial-default") is not None))
         name_of = {v: k for k, v in fld_ids.items()}
         ident_by_spec = {
             s: {fname: src for t, _p, src, fname
@@ -1470,7 +1481,7 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         return ([InputPartition(
             (p, f, pv_items,
              tuple(ident_by_spec.get(sp, {}).items()),
-             fid_items, nested_items))
+             fid_items, nested_items, dflt_items))
             for p, pv_items, f, sp in added_files]
             or [InputPartition(None)])
 
@@ -1478,7 +1489,8 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         if partition.value is None:
             return
         (p, fmt, pv_items, ident_items, fid_items,
-         nested_items) = partition.value
+         nested_items, dflt_items) = partition.value
+        dflt = dict(dflt_items)
         pv = dict(pv_items)
         src_of = dict(ident_items)       # partition field -> column
         const = {src_of[f]: v for f, v in pv.items() if f in src_of}
@@ -1525,7 +1537,7 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                     const[c] if c in const
                     else ((conv[c](r[src_idx[c]]) if c in conv
                            else r[src_idx[c]])
-                          if c in src_idx else None)
+                          if c in src_idx else dflt.get(c))
                     for c in self.names)
             return
         # columns match by FIELD ID from the file's own footer (r12):
@@ -1564,6 +1576,13 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                         arrow_ice_logical_view(
                             tb.column(idx).combine_chunks(),
                             _json3.loads(tj), id_key=id_key))
+        if dflt:
+            # defaulted columns ABSENT from this file attach as typed
+            # constants; present columns keep their stored values
+            have = set(tb.schema.names)
+            for c, v in dflt.items():
+                if c not in const and col_of.get(c, c) not in have:
+                    const[c] = v
         yield from _aligned_batches(tb, self.spark_schema,
                                     const=const, col_of=col_of)
 

@@ -5259,3 +5259,42 @@ def test_delta_variant_idmap_nested_still_gates(spark, tmp_path):
         "named_struct('x', id) as st")
     with pytest.raises(NotImplementedError, match="NESTED"):
         write_delta_fixture(spark, df, t, column_mapping="id")
+
+
+def test_iceberg_v3_defaults_stream(spark, tmp_path):
+    """r15: the appends STREAM honors v3 initial-defaults too — a
+    defaulted column added after a file's snapshot streams as the
+    DEFAULT for that file's rows, not null (the r14 probe bug's
+    lesson: fix batch AND stream together), across parquet and AVRO
+    data files."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture,
+        set_iceberg_format_version_fixture, write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "sv3")
+    write_iceberg_fixture(spark, spark.range(2).select(
+        SF.col("id").alias("k")), t)
+    write_iceberg_fixture(spark, spark.range(5, 7).select(
+        SF.col("id").alias("k")), t, file_format="avro")
+    set_iceberg_format_version_fixture(t, 3)
+    evolve_iceberg_schema_fixture(t, add_columns=[
+        ("bonus", "long", 7), ("tag", "string", "x")])
+    write_iceberg_fixture(spark, spark.range(10, 12).select(
+        SF.col("id").alias("k"), (SF.col("id") * 2).alias("bonus"),
+        SF.lit("y").alias("tag")), t)
+    name = "sv3_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_appends")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"]: (r["bonus"], r["tag"])
+           for r in spark.table(name).collect()}
+    assert got == {0: (7, "x"), 1: (7, "x"), 5: (7, "x"),
+                   6: (7, "x"), 10: (20, "y"), 11: (22, "y")}
