@@ -166,12 +166,13 @@ def _ice_leaf_ddl(t: str) -> str:
 
 
 # v3 read support is PARTIAL by design: the essentials real tables hit
-# first (column defaults, deletion vectors) are implemented; the rest
-# of the v3 feature set gates loudly wherever it would otherwise be
-# silently misread (VERDICT r14 tasks 1/8).
+# first (column defaults, deletion vectors, row lineage over parquet)
+# are implemented; the rest of the v3 feature set gates loudly
+# wherever it would otherwise be silently misread (VERDICT r14 tasks
+# 1/8).
 _V3_NOT_IMPLEMENTED = (
-    "row lineage (_row_id / _last_updated_sequence_number metadata "
-    "columns)",
+    "row lineage (_row_id / _last_updated_sequence_number) over "
+    "ORC/AVRO data files (parquet is implemented)",
     "variant / geometry / geography / unknown column types",
     "timestamp_ns / timestamptz_ns column types",
     "multi-argument partition transforms",
@@ -566,7 +567,8 @@ def _resolve_snapshot(path: str, snapshot_id: int | None = None,
 
 def live_data_files(path: str, snapshot_id: int | None = None,
                     as_of_ms: int | None = None,
-                    use_current_schema: bool = False):
+                    use_current_schema: bool = False,
+                    row_lineage: bool = False):
     """Resolve the live data files of a snapshot.  Returns
     ``(schema_fields, part_specs, files, delete_files)`` with
     ``files`` as ``[(abs_path, partition_dict, sequence_number,
@@ -575,7 +577,13 @@ def live_data_files(path: str, snapshot_id: int | None = None,
     partition_field_name)]`` in spec order, and ``delete_files`` as
     ``[(abs_path, content, sequence_number,
     equality_col_names_or_None)]`` for the snapshot's POSITION
-    (content=1) and EQUALITY (content=2) delete parquet files."""
+    (content=1) and EQUALITY (content=2) delete parquet files.
+    ``row_lineage=True`` (v3, r15) appends each file's FIRST ROW ID
+    as a sixth tuple element — explicit from the entry when stamped,
+    else inherited per the spec: the manifest-list row's
+    ``first_row_id`` plus the record counts of preceding null-id
+    entries in that manifest; ``None`` when unresolvable (pre-lineage
+    manifests)."""
     from .avro import decode_avro_datums
     meta, snap = _resolve_snapshot(path, snapshot_id, as_of_ms)
     # schema: v2 keeps a list + current-schema-id; v1 a single
@@ -628,6 +636,8 @@ def live_data_files(path: str, snapshot_id: int | None = None,
         mpath = _resolve(m["manifest_path"], path)
         with open(mpath, "rb") as fh:
             _s2, entries = decode_avro_datums(fh.read())
+        m_frid = m.get("first_row_id")
+        frid_run = 0                 # record_count of prior null-id entries
         for e in entries:
             if e.get("status") == 2:                 # DELETED
                 continue
@@ -682,8 +692,15 @@ def live_data_files(path: str, snapshot_id: int | None = None,
                 raise NotImplementedError(
                     f"iceberg data file format {fmt!r}")
             part = df_.get("partition") or {}
-            files.append((_resolve(df_["file_path"], path),
-                          dict(part), int(seq), fmt, mspec))
+            tup = (_resolve(df_["file_path"], path),
+                   dict(part), int(seq), fmt, mspec)
+            if row_lineage:
+                frid = df_.get("first_row_id")
+                if frid is None and m_frid is not None:
+                    frid = m_frid + frid_run
+                    frid_run += int(df_.get("record_count") or 0)
+                tup = tup + (frid,)
+            files.append(tup)
     return (fields, part_specs,
             sorted(files, key=lambda f: (f[0], f[2])),
             sorted(delete_files))
@@ -789,7 +806,8 @@ def added_data_files(path: str, snapshot_id: int):
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                  filters: dict | None = None,
                  as_of_ms: int | None = None,
-                 ref: str | None = None):
+                 ref: str | None = None,
+                 row_lineage: bool = False):
     """Scan an Iceberg table at a snapshot (default: current).
     Identity partition values are re-attached per data file, grouped
     so each distinct (partition tuple, sequence number) is one parquet
@@ -813,14 +831,36 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     files; files are grouped by physical layout and each group scans
     with its own DDL.  Unevolved tables skip the footer taps
     entirely.  ``ref`` time-travels to a named branch/tag from the
-    metadata's ``refs`` map (r12)."""
+    metadata's ``refs`` map (r12).  ``row_lineage=True`` (v3, r15)
+    appends the spec's ``_row_id`` and
+    ``_last_updated_sequence_number`` metadata columns — each file's
+    inherited FIRST ROW ID plus the row's physical position, and the
+    file's data sequence number; parquet tables only (positions ride
+    ``_metadata.row_index``), files without assigned ids (pre-upgrade
+    manifests) gate loudly."""
     from pyspark.sql import functions as F
     _meta, snap = _resolve_snapshot(path, snapshot_id, as_of_ms,
                                     ref=ref)
     current = (snapshot_id is None and as_of_ms is None
                and ref is None)
     fields, part_specs, files, delete_files = live_data_files(
-        path, snap["snapshot-id"], use_current_schema=current)
+        path, snap["snapshot-id"], use_current_schema=current,
+        row_lineage=row_lineage)
+    frid_of: dict[str, int] = {}
+    if row_lineage:
+        bad_fmt = sorted({f[3] for f in files if f[3] != "PARQUET"})
+        if bad_fmt:
+            raise NotImplementedError(
+                f"iceberg row lineage over {bad_fmt} data files is "
+                "not implemented (parquet only)")
+        no_id = [f[0] for f in files if f[5] is None]
+        if no_id:
+            raise NotImplementedError(
+                "iceberg row lineage: no first_row_id assigned for "
+                f"{len(no_id)} data file(s) (e.g. {no_id[0]!r}) — "
+                "pre-upgrade manifests carry no row-id assignment")
+        frid_of = {f[0]: int(f[5]) for f in files}
+        files = [f[:5] for f in files]
     types = dict(fields)
     # field ids resolve against the CURRENT schema for current reads
     # (r14 — a metadata-only rename surfaces immediately) and the
@@ -841,6 +881,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     files = prune_partition_files(files, part_specs, types, filters,
                                   specs_by_id=specs_by_id)
     ddl_all = ", ".join(f"{n} {t}" for n, t in fields)
+    if row_lineage:
+        ddl_all += (", _row_id bigint, "
+                    "_last_updated_sequence_number bigint")
     if not files:
         return spark.createDataFrame([], ddl_all)
     field_names = [n for n, _t in fields]
@@ -1002,8 +1045,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         targeted_orc |= {p for p in orc_paths if p in dv_refs}
         targeted_avro |= {p for p in avro_paths if p in dv_refs}
     # any position-addressed delete (v2 parquet files or v3 DVs)
-    # requires the (__fp, __pos) tagging on every scanned row
-    pos_del = bool(pos_files) or bool(dv_files)
+    # requires the (__fp, __pos) tagging on every scanned row; row
+    # lineage needs the position too (_row_id = first_row_id + pos)
+    pos_del = bool(pos_files) or bool(dv_files) or row_lineage
 
     groups: dict[tuple, list[str]] = {}
     for p, pvals, seq, fmt, sid in files:
@@ -1306,19 +1350,21 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     mappable = [(p, pvals, seq, sid)
                 for p, pvals, seq, fmt, sid in files
                 if fmt in ("PARQUET", "ORC") or p in targeted_avro]
-    if (attach_cols or eq_files) and mappable:
+    if (attach_cols or eq_files or row_lineage) and mappable:
         # the broadcast attach table: one row per parquet/ORC file,
-        # identity values resolved under EACH FILE's own spec
+        # identity values resolved under EACH FILE's own spec (plus
+        # the file's first_row_id under v3 row lineage)
         pmap_rows = [
-            (p, int(seq),
+            (p, int(seq), frid_of.get(p),
              *[pvals.get(ident_of.get(sid, {}).get(c))
                if c in ident_of.get(sid, {}) else None
                for c in attach_cols])
             for p, pvals, seq, sid in mappable]
-        pmap_ddl = ("__fp string, __mseq bigint, " + ", ".join(
-            f"`{c}__m` string" for c in attach_cols)).rstrip(", ")
+        pmap_ddl = ("__fp string, __mseq bigint, __frid bigint, "
+                    + ", ".join(f"`{c}__m` string"
+                                for c in attach_cols)).rstrip(", ")
         pmap = F.broadcast(spark.createDataFrame(
-            [tuple(str(v) if i >= 2 and v is not None else v
+            [tuple(str(v) if i >= 3 and v is not None else v
                    for i, v in enumerate(r)) for r in pmap_rows],
             pmap_ddl))
         out = out.join(pmap, on="__fp", how="left")
@@ -1341,13 +1387,25 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             out = out.withColumn(
                 "__seq", F.coalesce(F.col("__seq"),
                                     _checked(F.col("__mseq"))))
+        if row_lineage:
+            # spec: _row_id = the file's (inherited) first_row_id +
+            # the row's physical position; _last_updated_sequence_
+            # number = the file's data sequence number when the row
+            # carries none (our files never store per-row values)
+            out = out.withColumn(
+                "_row_id",
+                _checked(F.col("__frid")) + F.col("__pos"))
+            out = out.withColumn(
+                "_last_updated_sequence_number",
+                _checked(F.col("__mseq")))
         for c in attach_cols:
             out = out.withColumn(
                 c, F.coalesce(F.col(c),
                               _checked(F.col(f"{c}__m")
                                        .cast(types[c]))))
-        out = out.drop("__mseq", *[f"{c}__m" for c in attach_cols])
-    if pos_del:
+        out = out.drop("__mseq", "__frid",
+                       *[f"{c}__m" for c in attach_cols])
+    if pos_files or dv_files:
         dels = None
         if pos_files:
             dels = (spark.read
@@ -1442,7 +1500,10 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         for n in eq_names:
             cond = cond & F.col(f"t.{n}").eqNullSafe(F.col(f"d.{n}"))
         out = out.alias("t").join(d, on=cond, how="left_anti")
-    out = out.select(*[n for n, _t in fields])
+    out = out.select(*([n for n, _t in fields]
+                       + (["_row_id",
+                           "_last_updated_sequence_number"]
+                          if row_lineage else [])))
     # re-apply the equality filters on rows: transform pruning is
     # file-granular (a bucket holds many keys), the predicate pushes
     # into the surviving files' parquet scans
@@ -1605,6 +1666,9 @@ def _manifest_schema(part_items, types=None):
         {"name": "referenced_data_file", "type": ["null", "string"]},
         {"name": "content_offset", "type": ["null", "long"]},
         {"name": "content_size_in_bytes", "type": ["null", "long"]},
+        # v3 row lineage (r15): explicit on carried EXISTING entries,
+        # null (inherited from the manifest-list row) on fresh adds
+        {"name": "first_row_id", "type": ["null", "long"]},
     ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
@@ -1621,6 +1685,9 @@ _MLIST_SCHEMA = {"type": "record", "name": "manifest_file", "fields": [
     {"name": "content", "type": "int"},
     {"name": "sequence_number", "type": ["null", "long"]},
     {"name": "added_snapshot_id", "type": ["null", "long"]},
+    # v3 row lineage (r15): starting row id for the manifest's
+    # null-id data files; null on delete manifests
+    {"name": "first_row_id", "type": ["null", "long"]},
 ]}
 
 
@@ -1803,13 +1870,19 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
              for f in schema["fields"]}
     name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
     default_spec_id = meta.get("default-spec-id", 0)
+    # v3 row lineage (r15): live once the table is v3 and the
+    # upgrade seeded next-row-id — new snapshots assign first-row-id,
+    # manifests inherit, carried entries keep their explicit ids
+    lineage = (meta.get("format-version") == 3
+               and "next-row-id" in meta)
     prev_files, prev_deletes = [], []
     carried_mlist_rows: list[dict] = []
     if meta["snapshots"]:
         base = (append_to_snapshot
                 if append_to_snapshot is not None
                 else meta["current-snapshot-id"])
-        _f, _p, prev_files, prev_deletes = live_data_files(path, base)
+        _f, _p, prev_files, prev_deletes = live_data_files(
+            path, base, row_lineage=lineage)
         if (fast_append and df is not None
                 and delete_partition is None
                 and delete_positions is None
@@ -1845,21 +1918,40 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             prev_files, prev_deletes = [], []
     snap_id = len(meta["snapshots"]) + 1
     entries = []
-    for p, pvals, pseq, pfmt, _pspec in prev_files:
+    for f in prev_files:
+        p, pvals, pseq, pfmt = f[0], f[1], f[2], f[3]
         rel = os.path.relpath(p, path)
         status = 2 if (delete_partition is not None
                        and all(pvals.get(k) == v
                                for k, v in delete_partition.items())) \
             else 0
+        rcount = 0
+        frid = f[5] if lineage else None
+        if lineage:
+            # carried EXISTING entries keep their EXPLICIT row-id
+            # assignment; a carried file that predates the v3
+            # upgrade (no assignment anywhere) gets one NOW from
+            # next-row-id — the lazy upgrade assignment real writers
+            # perform when rewriting a manifest.  record_count must
+            # be REAL under lineage (null-id inheritance accumulates
+            # it); fixture-only driver work, parquet data files only.
+            rcount = (pq.read_metadata(p).num_rows
+                      if pfmt == "PARQUET" else 0)
+            if frid is None and pfmt == "PARQUET":
+                frid = meta["next-row-id"]
+                meta["next-row-id"] = frid + rcount
         entries.append({"status": status, "snapshot_id": snap_id,
                         "sequence_number": pseq,
                         "data_file": {
                             "content": 0, "file_path": rel,
                             "file_format": pfmt,
-                            "partition": pvals, "record_count": 0,
+                            "partition": pvals,
+                            "record_count": rcount,
                             "file_size_in_bytes":
                                 os.path.getsize(p),
-                            "equality_ids": None}})
+                            "equality_ids": None,
+                            **({"first_row_id": frid} if lineage
+                               else {})}})
     fld_json = {f["name"]: f["type"] for f in schema["fields"]}
     has_nested = (df is not None
                   and any(not isinstance(fld_json.get(c, ""), str)
@@ -2141,12 +2233,15 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                                     "referenced_data_file": rel,
                                     "content_offset": off,
                                     "content_size_in_bytes": ln}})
-    # the manifest schema carries the v3 DV fields for every entry —
-    # null-fill the ones other writers above did not set
+    # the manifest schema carries the v3 DV + lineage fields for
+    # every entry — null-fill the ones other writers above did not
+    # set (a null first_row_id on an ADDED entry means INHERIT from
+    # the manifest-list row, the shape real writers emit)
     for e in entries + del_entries:
         e["data_file"].setdefault("referenced_data_file", None)
         e["data_file"].setdefault("content_offset", None)
         e["data_file"].setdefault("content_size_in_bytes", None)
+        e["data_file"].setdefault("first_row_id", None)
     part_items = [(fname,
                    "int" if t in ("bucket", "year", "month",
                                   "day", "hour") else types[src])
@@ -2155,12 +2250,20 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     mrel = f"metadata/manifest-{snap_id}.avro"
     with open(os.path.join(path, mrel), "wb") as fh:
         fh.write(encode_avro_datums(msch, entries, codec="deflate"))
+    # v3 lineage: the new data manifest's null-id entries inherit
+    # starting at the table's next-row-id; fresh adds consume ids
+    snap_first_row_id = meta.get("next-row-id") if lineage else None
+    added_rows = sum(int(e["data_file"].get("record_count") or 0)
+                     for e in entries
+                     if e["status"] == 1
+                     and e["data_file"].get("first_row_id") is None)
     mlist_rows = list(carried_mlist_rows) + [{
         "manifest_path": mrel,
         "manifest_length": os.path.getsize(os.path.join(path, mrel)),
         "partition_spec_id": default_spec_id, "content": 0,
         "sequence_number": snap_id,
-        "added_snapshot_id": snap_id}]
+        "added_snapshot_id": snap_id,
+        "first_row_id": snap_first_row_id}]
     if del_entries:
         dmsch = _manifest_schema([], types)
         dmrel = f"metadata/delete-manifest-{snap_id}.avro"
@@ -2173,7 +2276,14 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                 os.path.join(path, dmrel)),
             "partition_spec_id": default_spec_id, "content": 1,
             "sequence_number": snap_id,
-            "added_snapshot_id": snap_id})
+            "added_snapshot_id": snap_id,
+            "first_row_id": None})
+    for r in mlist_rows:
+        # carried rows decoded from pre-lineage manifests lack the
+        # field — null means "no ids assigned here", readers gate
+        r.setdefault("first_row_id", None)
+    if lineage:
+        meta["next-row-id"] = snap_first_row_id + added_rows
     mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
     with open(os.path.join(path, mlist_rel), "wb") as fh:
         fh.write(encode_avro_datums(_MLIST_SCHEMA, mlist_rows))
@@ -2193,6 +2303,8 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     meta["snapshots"].append({"snapshot-id": snap_id,
                               **({"parent-snapshot-id": _parent}
                                  if _parent is not None else {}),
+                              **({"first-row-id": snap_first_row_id}
+                                 if lineage else {}),
                               "sequence-number": snap_id,
                               # deterministic, strictly increasing —
                               # what as_of_ms time travel needs
@@ -2308,11 +2420,17 @@ def set_iceberg_format_version_fixture(path: str,
     """FIXTURE: stamp the table's ``format-version`` (the shape an
     ``ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3')``
     upgrade commit writes) — metadata-only, existing snapshots and
-    manifests are untouched, exactly like a real upgrade.  Returns
-    the new metadata version number."""
+    manifests are untouched, exactly like a real upgrade.  An upgrade
+    to 3 seeds ``next-row-id`` (row lineage is mandatory in v3);
+    pre-upgrade manifests carry no ``first_row_id``, so lineage reads
+    over their files gate — the honest state of a just-upgraded
+    table before a rewrite assigns ids.  Returns the new metadata
+    version number."""
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
     meta["format-version"] = int(version)
+    if int(version) >= 3 and "next-row-id" not in meta:
+        meta["next-row-id"] = 0
     mdir = os.path.join(path, "metadata")
     v = max(int(re.match(r"^v(\d+)\.metadata\.json$", f).group(1))
             for f in os.listdir(mdir)

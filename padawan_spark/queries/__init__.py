@@ -60,8 +60,9 @@ for _m in _SUITES:
 # streaming_iceberg_appends (v3 defaults now flow through the
 # stream's partition tuple — pysource.py changed).
 _SENTINELS = ["src_iceberg_v3_defaults", "src_iceberg_v3_dv",
+              "src_iceberg_v3_row_lineage",
               "src_delta_variant_idmap",
-              "src_iceberg_v2_deletes", "src_iceberg_nested_read",
+              "src_iceberg_v2_deletes",
               "src_iceberg_avro_nested_evolution",
               "src_delta_variant_read", "src_delta_id_mapping",
               "src_delta_cdf_read",

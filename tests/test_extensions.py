@@ -5298,3 +5298,54 @@ def test_iceberg_v3_defaults_stream(spark, tmp_path):
            for r in spark.table(name).collect()}
     assert got == {0: (7, "x"), 1: (7, "x"), 5: (7, "x"),
                    6: (7, "x"), 10: (20, "y"), 11: (22, "y")}
+
+
+def test_iceberg_v3_row_lineage(spark, tmp_path):
+    """r15: _row_id / _last_updated_sequence_number — inheritance for
+    fresh adds, lazy assignment for pre-upgrade files at fold time,
+    stability across DV deletes and time travel, and the loud gates
+    (pre-upgrade manifests with no assignment; non-parquet files)."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        read_iceberg, set_iceberg_format_version_fixture,
+        write_iceberg_fixture)
+    df = spark.range(5).select(SF.col("id").alias("k"))
+    # pre-upgrade files with NO later fold gate loudly
+    t1 = str(tmp_path / "gate")
+    write_iceberg_fixture(spark, df, t1, order_by=("k",))
+    set_iceberg_format_version_fixture(t1, 3)
+    with pytest.raises(NotImplementedError, match="first_row_id"):
+        read_iceberg(spark, t1, row_lineage=True)
+    # mid-table upgrade: fold assigns ids to the pre-upgrade file,
+    # fresh adds inherit past them; DVs keep survivor ids stable
+    t = str(tmp_path / "rl")
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    set_iceberg_format_version_fixture(t, 3)
+    s2 = write_iceberg_fixture(
+        spark, spark.range(10, 13).select(SF.col("id").alias("k")),
+        t, order_by=("k",))
+    s3 = write_iceberg_fixture(spark, None, t, delete_vectors={
+        f"data/snap{s1}-0.parquet": [1, 3]})
+    got = {(r["k"], r["_row_id"], r["_last_updated_sequence_number"])
+           for r in read_iceberg(spark, t, row_lineage=True)
+           .collect()}
+    assert got == {(0, 0, 1), (2, 2, 1), (4, 4, 1),
+                   (10, 5, 2), (11, 6, 2), (12, 7, 2)}
+    # time travel pre-DV: same ids, deleted rows present
+    old = {(r["k"], r["_row_id"])
+           for r in read_iceberg(spark, t, snapshot_id=s2,
+                                 row_lineage=True).collect()}
+    assert old == {(0, 0), (1, 1), (2, 2), (3, 3), (4, 4),
+                   (10, 5), (11, 6), (12, 7)}
+    assert s3 > s2
+    # non-parquet data files gate
+    t2 = str(tmp_path / "orc")
+    write_iceberg_fixture(spark, df, t2, order_by=("k",),
+                          file_format="orc")
+    set_iceberg_format_version_fixture(t2, 3)
+    write_iceberg_fixture(
+        spark, spark.range(7, 9).select(SF.col("id").alias("k")),
+        t2, order_by=("k",), file_format="orc")
+    with pytest.raises(NotImplementedError, match="ORC"):
+        read_iceberg(spark, t2, row_lineage=True)
