@@ -2515,3 +2515,120 @@ def evolve_iceberg_schema_fixture(path: str, renames=None,
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version + 1))
     return new["schema-id"]
+
+
+def iceberg_metadata_table(spark, path: str, kind: str,
+                           snapshot_id: int | None = None):
+    """The spec's METADATA TABLES as DataFrames — the inspection
+    surface real engines expose as ``SELECT * FROM tbl.snapshots``
+    (r15).  Driver work is the same manifest walk planning already
+    does (O(manifest entries)); the result materializes via
+    ``createDataFrame`` — ``files`` is O(live files), the same class
+    as the planner's own file list.
+
+    Kinds: ``snapshots`` (committed_at_ms, snapshot_id, parent_id,
+    operation, manifest_list), ``history`` (made_current_at_ms,
+    snapshot_id, parent_id, is_current_ancestor — ancestors of the
+    CURRENT snapshot), ``refs`` (name, type, snapshot_id),
+    ``manifests`` (path, length, partition_spec_id, content,
+    added_snapshot_id — the resolved snapshot's manifest list),
+    ``files`` (content, file_path, file_format, spec_id,
+    record_count, file_size_in_bytes, sequence_number, partition as
+    map<string,string> — live data files of the resolved snapshot),
+    ``partitions`` (partition map, spec_id, file_count,
+    record_count — aggregated from ``files``)."""
+    from pyspark.sql import functions as F
+
+    from .avro import decode_avro_datums
+    meta, snap = _resolve_snapshot(path, snapshot_id)
+    if kind == "snapshots":
+        rows = [(int(s.get("timestamp-ms", 0)), int(s["snapshot-id"]),
+                 (int(s["parent-snapshot-id"])
+                  if s.get("parent-snapshot-id") is not None else None),
+                 (s.get("summary") or {}).get("operation"),
+                 s.get("manifest-list"))
+                for s in meta.get("snapshots", [])]
+        return spark.createDataFrame(
+            rows, "committed_at_ms bigint, snapshot_id bigint, "
+                  "parent_id bigint, operation string, "
+                  "manifest_list string")
+    if kind == "history":
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        ancestors = set()
+        cur = meta.get("current-snapshot-id")
+        while cur is not None and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        rows = [(int(s.get("timestamp-ms", 0)), int(s["snapshot-id"]),
+                 (int(s["parent-snapshot-id"])
+                  if s.get("parent-snapshot-id") is not None else None),
+                 s["snapshot-id"] in ancestors)
+                for s in meta.get("snapshots", [])]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms bigint, snapshot_id bigint, "
+                  "parent_id bigint, is_current_ancestor boolean")
+    if kind == "refs":
+        rows = [(n, r.get("type"), int(r["snapshot-id"]))
+                for n, r in sorted((meta.get("refs") or {}).items())]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id bigint")
+    if kind == "manifests":
+        with open(_resolve(snap["manifest-list"], path), "rb") as fh:
+            _s, manifests = decode_avro_datums(fh.read())
+        rows = [(m["manifest_path"], int(m.get("manifest_length", 0)),
+                 int(m.get("partition_spec_id", 0)),
+                 int(m.get("content", 0) or 0),
+                 (int(m["added_snapshot_id"])
+                  if m.get("added_snapshot_id") is not None else None))
+                for m in manifests]
+        return spark.createDataFrame(
+            rows, "path string, length bigint, partition_spec_id int, "
+                  "content int, added_snapshot_id bigint")
+    if kind in ("files", "partitions"):
+        with open(_resolve(snap["manifest-list"], path), "rb") as fh:
+            _s, manifests = decode_avro_datums(fh.read())
+        rows = []
+        default_spec_id = meta.get("default-spec-id", 0)
+        for m in manifests:
+            if (m.get("content", 0) or 0) != 0:
+                continue                      # data manifests only
+            mspec = m.get("partition_spec_id")
+            if mspec is None:
+                mspec = default_spec_id
+            with open(_resolve(m["manifest_path"], path), "rb") as fh:
+                _s2, entries = decode_avro_datums(fh.read())
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                df_ = e["data_file"]
+                if (df_.get("content", 0) or 0) != 0:
+                    continue
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = m.get("sequence_number") or 0
+                part = {k: (None if v is None else str(v))
+                        for k, v in (df_.get("partition")
+                                     or {}).items()}
+                rows.append((
+                    int(df_.get("content", 0) or 0),
+                    df_["file_path"],
+                    (df_.get("file_format") or "PARQUET").upper(),
+                    int(mspec),
+                    int(df_.get("record_count") or 0),
+                    int(df_.get("file_size_in_bytes") or 0),
+                    int(seq), part))
+        out = spark.createDataFrame(
+            rows, "content int, file_path string, file_format string, "
+                  "spec_id int, record_count bigint, "
+                  "file_size_in_bytes bigint, sequence_number bigint, "
+                  "partition map<string,string>")
+        if kind == "files":
+            return out
+        return (out.groupBy("partition", "spec_id")
+                .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("file_count"),
+                     F.sum("record_count").cast("bigint")
+                     .alias("record_count")))
+    raise NotImplementedError(
+        f"iceberg metadata table {kind!r} (have: snapshots, history, "
+        "refs, manifests, files, partitions)")

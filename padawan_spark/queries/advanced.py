@@ -2709,3 +2709,71 @@ def src_iceberg_v3_row_lineage(spark, sf_dir):
         F.sum(F.col("k")
               * F.col("_last_updated_sequence_number"))
         .cast("bigint").alias("kseq_sum"))
+
+
+@query("src_iceberg_metadata_tables", oracle="""
+WITH a AS (SELECT n_regionkey AS g, COUNT(*) AS c FROM nation
+           WHERE n_nationkey < 15 GROUP BY 1),
+     b AS (SELECT n_regionkey AS g, COUNT(*) AS c FROM nation
+           WHERE n_nationkey >= 15 GROUP BY 1)
+SELECT 2 AS n_snapshots, 2 AS n_ancestors, 2 AS n_refs,
+       CAST((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+         AS BIGINT) AS n_files,
+       (SELECT COUNT(*) FROM nation) AS records_total,
+       (SELECT COUNT(*) FROM (SELECT g FROM a UNION SELECT g FROM b))
+         AS n_partitions,
+       CAST((SELECT MAX(s) FROM (SELECT g, SUM(c) AS s FROM
+          (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY g))
+         AS BIGINT) AS max_part_records
+""")
+def src_iceberg_metadata_tables(spark, sf_dir):
+    """Iceberg METADATA TABLES (r15): the ``SELECT * FROM
+    tbl.snapshots|history|refs|manifests|files|partitions`` inspection
+    surface, materialized from the same manifest walk planning does.
+    A two-snapshot partitioned table (the second a FAST APPEND, so
+    manifest-list rows carry forward verbatim and record counts stay
+    the writer's) plus a tag; the query cross-checks every table
+    against aggregates the oracle restates from the source rows —
+    snapshot/ancestor/ref counts, live file count, record totals and
+    the per-partition maximum.  Scale shape: driver O(manifest
+    entries) — identical to planning — with ``files`` materialized
+    distributed."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import (iceberg_metadata_table,
+                                     tag_iceberg_snapshot_fixture,
+                                     write_iceberg_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_imt_"), "tbl")
+    write_iceberg_fixture(spark, n.where(F.col("k") < 15), t,
+                          partition_by=("g",))
+    write_iceberg_fixture(spark, n.where(F.col("k") >= 15), t,
+                          partition_by=("g",), fast_append=True)
+    tag_iceberg_snapshot_fixture(t, "audit")
+
+    def one(kind, agg):
+        return iceberg_metadata_table(spark, t, kind).agg(agg)
+
+    snaps = one("snapshots",
+                F.count(F.lit(1)).cast("bigint").alias("n_snapshots"))
+    hist = (iceberg_metadata_table(spark, t, "history")
+            .where(F.col("is_current_ancestor"))
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_ancestors")))
+    refs = one("refs",
+               F.count(F.lit(1)).cast("bigint").alias("n_refs"))
+    files = iceberg_metadata_table(spark, t, "files").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("record_count").cast("bigint").alias("records_total"))
+    parts = iceberg_metadata_table(spark, t, "partitions").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.max("record_count").cast("bigint")
+        .alias("max_part_records"))
+    return (snaps.crossJoin(hist).crossJoin(refs).crossJoin(files)
+            .crossJoin(parts)
+            .select("n_snapshots", "n_ancestors", "n_refs",
+                    "n_files", "records_total", "n_partitions",
+                    "max_part_records"))

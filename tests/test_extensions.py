@@ -5349,3 +5349,81 @@ def test_iceberg_v3_row_lineage(spark, tmp_path):
         t2, order_by=("k",), file_format="orc")
     with pytest.raises(NotImplementedError, match="ORC"):
         read_iceberg(spark, t2, row_lineage=True)
+
+
+def test_iceberg_v3_compositions(spark, tmp_path):
+    """r15 composition probe: RENAME x initial-default x deletion
+    vector x row lineage on one v3 table — renamed column resolves by
+    field id, pre-add files read the default, DV'd rows vanish with
+    survivor ids stable, and partition filters still prune."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg,
+        set_iceberg_format_version_fixture, write_iceberg_fixture)
+    t = str(tmp_path / "comp")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 2).alias("g"))
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    set_iceberg_format_version_fixture(t, 3)
+    evolve_iceberg_schema_fixture(t, renames={"k": "key"},
+                                  add_columns=[("bonus", "long", 7)])
+    write_iceberg_fixture(spark, spark.range(10, 13).select(
+        SF.col("id").alias("key"), (SF.col("id") % 2).alias("g"),
+        (SF.col("id") * 2).alias("bonus")), t, order_by=("key",))
+    write_iceberg_fixture(spark, None, t, delete_vectors={
+        f"data/snap{s1}-0.parquet": [0, 5]})    # keys 0 and 5
+    out = read_iceberg(spark, t, row_lineage=True)
+    got = sorted((r["key"], r["bonus"], r["_row_id"])
+                 for r in out.collect())
+    assert got == [(1, 7, 1), (2, 7, 2), (3, 7, 3), (4, 7, 4),
+                   (10, 20, 6), (11, 22, 7), (12, 24, 8)]
+    # row filter over the composed read: g=1 survivors are 1, 3, 11
+    assert read_iceberg(spark, t, filters={"g": 1}).count() == 3
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    """r15: the metadata inspection tables — snapshots/history/refs/
+    manifests/files/partitions shapes, time-travel resolution, and
+    the loud unknown-kind gate."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        iceberg_metadata_table, tag_iceberg_snapshot_fixture,
+        write_iceberg_fixture)
+    t = str(tmp_path / "meta")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 2).alias("g"))
+    s1 = write_iceberg_fixture(spark, df, t, partition_by=("g",))
+    s2 = write_iceberg_fixture(
+        spark, spark.range(10, 12).select(
+            SF.col("id").alias("k"), SF.lit(0).alias("g")),
+        t, partition_by=("g",), fast_append=True)
+    tag_iceberg_snapshot_fixture(t, "v1", snapshot_id=s1)
+    snaps = {r["snapshot_id"]: r["operation"]
+             for r in iceberg_metadata_table(
+                 spark, t, "snapshots").collect()}
+    assert snaps == {s1: "append", s2: "append"}
+    hist = {r["snapshot_id"]: r["is_current_ancestor"]
+            for r in iceberg_metadata_table(
+                spark, t, "history").collect()}
+    assert hist == {s1: True, s2: True}
+    refs = {r["name"]: r["snapshot_id"] for r in
+            iceberg_metadata_table(spark, t, "refs").collect()}
+    assert refs == {"v1": s1, "main": s2}
+    mans = iceberg_metadata_table(spark, t, "manifests").collect()
+    assert {m["added_snapshot_id"] for m in mans} == {s1, s2}
+    # files at CURRENT: 2 partitions from s1 + 1 file from s2
+    files = iceberg_metadata_table(spark, t, "files").collect()
+    assert len(files) == 3
+    assert sum(f["record_count"] for f in files) == 8
+    # time travel: only s1's files
+    f1 = iceberg_metadata_table(spark, t, "files",
+                                snapshot_id=s1).collect()
+    assert len(f1) == 2 and sum(f["record_count"] for f in f1) == 6
+    parts = {tuple(sorted(r["partition"].items())):
+             (r["file_count"], r["record_count"])
+             for r in iceberg_metadata_table(
+                 spark, t, "partitions").collect()}
+    assert parts == {(("g", "0"),): (2, 5), (("g", "1"),): (1, 3)}
+    with pytest.raises(NotImplementedError, match="entries"):
+        iceberg_metadata_table(spark, t, "entries")
