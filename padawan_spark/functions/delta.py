@@ -1560,3 +1560,50 @@ def update_delta_cdc_fixture(spark, path: str, part_col: str,
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     return v
+
+
+def delta_history(spark, path: str):
+    """DESCRIBE HISTORY for a Delta table (r15): one row per RETAINED
+    commit — version, effective timestamp (the same monotonic
+    ``inCommitTimestamp``/file-mtime rule timestamp time travel
+    resolves by, so history and travel can never disagree), the
+    ``commitInfo`` operation when the writer recorded one (this
+    repo's fixtures, like some minimal writers, omit it — null), and
+    add/remove/cdc action counts.  Driver work is O(log lines), the
+    same walk replay does; commits cleaned by retention are absent,
+    matching real behavior."""
+    d = os.path.join(path, "_delta_log")
+    rows = []
+    prev_ts = None
+    for v in list_delta_versions(path):
+        fp = os.path.join(d, f"{v:020d}.json")
+        op = None
+        commit_ts = None
+        n_add = n_remove = n_cdc = 0
+        with open(fp) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("commitInfo"):
+                    ci = a["commitInfo"]
+                    op = ci.get("operation")
+                    ict = ci.get("inCommitTimestamp",
+                                 ci.get("timestamp"))
+                    if ict is not None:
+                        commit_ts = int(ict)
+                elif a.get("add"):
+                    n_add += 1
+                elif a.get("remove"):
+                    n_remove += 1
+                elif a.get("cdc"):
+                    n_cdc += 1
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(fp) * 1000)
+        if prev_ts is not None:
+            commit_ts = max(prev_ts + 1, commit_ts)
+        prev_ts = commit_ts
+        rows.append((v, commit_ts, op, n_add, n_remove, n_cdc))
+    return spark.createDataFrame(
+        rows, "version bigint, timestamp_ms bigint, operation string, "
+              "n_add bigint, n_remove bigint, n_cdc bigint")

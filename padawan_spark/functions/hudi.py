@@ -1726,3 +1726,16 @@ def _pa_type_ddl(t) -> str:
         return (f"map<{_pa_type_ddl(t.key_type)},"
                 f"{_pa_type_ddl(t.item_type)}>")
     raise NotImplementedError(f"hudi parquet column type {s!r}")
+
+
+def hudi_timeline_table(spark, path: str):
+    """The Hudi TIMELINE as a DataFrame (r15) — one row per COMPLETED
+    instant (the ``show_commits``/timeline inspection surface):
+    instant id, action kind (``commit`` / ``deltacommit`` /
+    ``replacecommit``), and its ordinal position.  Driver work is one
+    ``.hoodie`` directory listing — O(instants), the same walk every
+    read already performs."""
+    rows = [(ts, kind, i)
+            for i, (ts, kind) in enumerate(_timeline(path))]
+    return spark.createDataFrame(
+        rows, "instant string, action string, seq int")

@@ -2777,3 +2777,94 @@ def src_iceberg_metadata_tables(spark, sf_dir):
             .select("n_snapshots", "n_ancestors", "n_refs",
                     "n_files", "records_total", "n_partitions",
                     "max_part_records"))
+
+
+@query("src_delta_history", oracle="""
+WITH r0 AS (SELECT COUNT(DISTINCT n_regionkey) AS f FROM nation
+            WHERE n_nationkey < 15),
+     r1 AS (SELECT COUNT(DISTINCT n_regionkey) AS f FROM nation
+            WHERE n_nationkey >= 15)
+SELECT CAST(3 AS BIGINT) AS n_commits,
+       CAST((SELECT f FROM r0) + (SELECT f FROM r1) AS BIGINT)
+         AS adds_total,
+       CAST((SELECT f FROM r0) AS BIGINT) AS v0_adds,
+       CAST(1 AS BIGINT) AS removes_total,
+       CAST(2 AS BIGINT) AS last_version
+""")
+def src_delta_history(spark, sf_dir):
+    """Delta DESCRIBE HISTORY (r15): per-commit version, monotonic
+    effective timestamp, operation, and action counts from the same
+    O(log-lines) walk replay does.  Three commits — partitioned
+    create, append, and a remove of one partition's file — restated
+    by the oracle from the source rows (one file per distinct region
+    per write, one remove by construction).  Timestamps are asserted
+    monotonic in pytest (wall-clock, not oracle-stable)."""
+    import os
+    import tempfile
+
+    from ..functions.delta import (delta_history, replay_delta_log,
+                                   remove_delta_files_fixture,
+                                   write_delta_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_dh_"), "tbl")
+    write_delta_fixture(spark, n.where(F.col("k") < 15), t,
+                        partition_by=("g",))
+    write_delta_fixture(spark, n.where(F.col("k") >= 15), t,
+                        mode="append", partition_by=("g",))
+    first = sorted(r[0] for r in replay_delta_log(t)[2])[0]
+    remove_delta_files_fixture(t, lambda rel: rel == first)
+    h = delta_history(spark, t)
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_commits"),
+        F.sum("n_add").cast("bigint").alias("adds_total"),
+        F.sum(F.when(F.col("version") == 0, F.col("n_add")))
+        .cast("bigint").alias("v0_adds"),
+        F.sum("n_remove").cast("bigint").alias("removes_total"),
+        F.max("version").cast("bigint").alias("last_version"))
+
+
+@query("src_hudi_timeline", oracle="""
+SELECT CAST(1 AS BIGINT) AS n_commit,
+       CAST(2 AS BIGINT) AS n_deltacommit,
+       CAST(3 AS BIGINT) AS n_instants,
+       CAST(COUNT(*) AS BIGINT) AS rows_now
+FROM nation WHERE n_nationkey <> 3
+""")
+def src_hudi_timeline(spark, sf_dir):
+    """Hudi TIMELINE inspection (r15): the completed-instant listing
+    as a DataFrame — action-kind counts restated by construction
+    (one CoW commit, two deltacommits), cross-checked against the
+    table's CURRENT row count so the timeline provably matches the
+    data it produced."""
+    import os
+    import tempfile
+
+    from ..functions.hudi import (hudi_timeline_table, read_hudi,
+                                  write_hudi_delta_fixture,
+                                  write_hudi_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_ht_"), "tbl")
+    write_hudi_fixture(spark, n, t, partition_field="g")
+    ups = n.where(F.col("k") % 7 == 0).select(
+        "k", "g")
+    write_hudi_delta_fixture(spark, t, upserts=ups,
+                             partition_field="g")
+    dels: dict[str, list[str]] = {}
+    for r in n.where(F.col("k") == 3).collect():
+        dels.setdefault(str(r["g"]), []).append(str(r["k"]))
+    write_hudi_delta_fixture(spark, t, deletes=dels,
+                             partition_field="g")
+    tl = hudi_timeline_table(spark, t)
+    agg = tl.agg(
+        F.count(F.when(F.col("action") == "commit", 1))
+        .cast("bigint").alias("n_commit"),
+        F.count(F.when(F.col("action") == "deltacommit", 1))
+        .cast("bigint").alias("n_deltacommit"),
+        F.count(F.lit(1)).cast("bigint").alias("n_instants"))
+    cnt = read_hudi(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_now"))
+    return agg.crossJoin(cnt)

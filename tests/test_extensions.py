@@ -5427,3 +5427,49 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     assert parts == {(("g", "0"),): (2, 5), (("g", "1"),): (1, 3)}
     with pytest.raises(NotImplementedError, match="entries"):
         iceberg_metadata_table(spark, t, "entries")
+
+
+def test_delta_history_and_hudi_timeline(spark, tmp_path):
+    """r15: DESCRIBE HISTORY (delta) and the timeline table (hudi) —
+    monotonic effective timestamps, commitInfo operation surfaced
+    when recorded, action counts, instant ordering."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (delta_history,
+                                               write_delta_fixture)
+    from padawan_spark.functions.hudi import (hudi_timeline_table,
+                                              write_hudi_delta_fixture,
+                                              write_hudi_fixture)
+    t = str(tmp_path / "dh")
+    df = spark.range(4).select(SF.col("id").alias("k"))
+    write_delta_fixture(spark, df, t)
+    write_delta_fixture(spark, spark.range(10, 12).select(
+        SF.col("id").alias("k")), t, mode="append")
+    # stamp a commitInfo with inCommitTimestamp on v1 — history must
+    # surface the operation AND use the recorded timestamp
+    log1 = _os.path.join(t, "_delta_log", f"{1:020d}.json")
+    lines = open(log1).read()
+    with open(log1, "w") as fh:
+        fh.write(_json.dumps({"commitInfo": {
+            "operation": "WRITE",
+            "inCommitTimestamp": 4102444800000}}) + "\n" + lines)
+    h = {r["version"]: r for r in delta_history(spark, t).collect()}
+    assert set(h) == {0, 1}
+    assert h[0]["operation"] is None and h[0]["n_add"] == 1
+    assert h[1]["operation"] == "WRITE" and h[1]["n_add"] == 1
+    assert h[1]["timestamp_ms"] == 4102444800000
+    assert h[1]["timestamp_ms"] > h[0]["timestamp_ms"]
+
+    t2 = str(tmp_path / "ht")
+    df2 = spark.range(4).select(SF.col("id").alias("k"),
+                                SF.lit(0).alias("g"))
+    write_hudi_fixture(spark, df2, t2, partition_field="g")
+    write_hudi_delta_fixture(
+        spark, t2, upserts=spark.range(1).select(
+            SF.col("id").alias("k"), SF.lit(0).alias("g")),
+        partition_field="g")
+    tl = hudi_timeline_table(spark, t2).orderBy("seq").collect()
+    assert [r["action"] for r in tl] == ["commit", "deltacommit"]
+    assert tl[0]["instant"] < tl[1]["instant"]
