@@ -5473,3 +5473,48 @@ def test_delta_history_and_hudi_timeline(spark, tmp_path):
     tl = hudi_timeline_table(spark, t2).orderBy("seq").collect()
     assert [r["action"] for r in tl] == ["commit", "deltacommit"]
     assert tl[0]["instant"] < tl[1]["instant"]
+
+
+def test_iceberg_v3_dv_snapshot_stream_skip(spark, tmp_path):
+    """r15 probe pin: a v3 DV snapshot gates the appends stream
+    loudly (it is a delete snapshot), and skipDeleteSnapshots skips
+    it — appends-only replay, exactly the v2 behavior."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        set_iceberg_format_version_fixture, write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "sdv")
+    s1 = write_iceberg_fixture(
+        spark, spark.range(4).select(SF.col("id").alias("k")), t,
+        order_by=("k",))
+    set_iceberg_format_version_fixture(t, 3)
+    write_iceberg_fixture(spark, None, t, delete_vectors={
+        f"data/snap{s1}-0.parquet": [0]})
+    write_iceberg_fixture(
+        spark, spark.range(10, 12).select(SF.col("id").alias("k")),
+        t, order_by=("k",))
+    name = "sdv_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_appends")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+        raise AssertionError("delete snapshot must gate the stream")
+    except Exception as e:
+        assert "delete" in str(e)
+    finally:
+        q.stop()
+    name2 = "sdv2_" + _uuid.uuid4().hex[:8]
+    q2 = (spark.readStream.format("padawan_iceberg_appends")
+          .option("path", t).option("skipDeleteSnapshots", "true")
+          .load().writeStream.format("memory").queryName(name2)
+          .start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(r["k"] for r in spark.table(name2).collect()) \
+        == [0, 1, 2, 3, 10, 11]
