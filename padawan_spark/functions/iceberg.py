@@ -2632,3 +2632,200 @@ def iceberg_metadata_table(spark, path: str, kind: str,
     raise NotImplementedError(
         f"iceberg metadata table {kind!r} (have: snapshots, history, "
         "refs, manifests, files, partitions)")
+
+
+def read_iceberg_changes(spark, path: str,
+                         from_snapshot_id: int | None = None,
+                         to_snapshot_id: int | None = None):
+    """Iceberg CHANGELOG read (r15) — the row-level change feed real
+    engines expose as the ``changes`` / changelog table: for every
+    snapshot AFTER ``from_snapshot_id`` (exclusive; None = from table
+    start) up TO ``to_snapshot_id`` (inclusive; None = current), emit
+    the rows of files the snapshot ADDED as ``insert`` and the rows
+    of files it REMOVED as ``delete``, plus the rows newly dead under
+    v3 DELETION VECTORS it wrote (a replacement DV contributes only
+    its NEW positions — old minus new is spec-forbidden shrinkage).
+    Output columns: the table's columns plus ``_change_type``
+    (insert/delete), ``_change_ordinal`` (0-based position of the
+    snapshot in the requested span) and ``_commit_snapshot_id``.
+
+    Scope gates (loud): parquet data files only; schema-evolved
+    tables, position-delete FILES and equality deletes in the span
+    are not implemented for changelog reads.  Scale shape: each
+    snapshot contributes one scan over only its ADDED/REMOVED files
+    (O(changed files), never a table scan); DV deltas expand
+    executor-side and semi-join on ``(file, position)``."""
+    from pyspark.sql import functions as F
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    _check_format_version(meta, path)
+    snaps = meta.get("snapshots", [])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"no snapshot {to_snapshot_id} at {path}")
+    # the commit chain (to .. from], oldest first
+    chain = []
+    cur = to_snapshot_id
+    while cur is not None and cur != from_snapshot_id:
+        if cur not in by_id:
+            break
+        chain.append(by_id[cur])
+        cur = by_id[cur].get("parent-snapshot-id")
+    if from_snapshot_id is not None and cur != from_snapshot_id:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of "
+            f"{to_snapshot_id} at {path}")
+    chain.reverse()
+    if "schemas" in meta and len(meta["schemas"]) > 1:
+        raise NotImplementedError(
+            "iceberg changelog over a schema-evolved table is not "
+            "implemented")
+    fields, _ps, _f, _d = live_data_files(path, to_snapshot_id)
+    types = dict(fields)
+    ddl = ", ".join(f"{n} {t}" for n, t in fields)
+
+    def _snapshot_state(sid):
+        """{path: (pvals, spec)} data files + {ref: (puffin, off,
+        sz)} DVs of one snapshot (None -> empty)."""
+        if sid is None:
+            return {}, {}
+        fl, pc = {}, {}
+        _fs, _p2, files, dels = live_data_files(path, sid)
+        for p, pvals, _seq, fmt, sp in files:
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"iceberg changelog over {fmt} data files")
+            fl[p] = (pvals, sp)
+        for p, c, _s, e in dels:
+            if c == 3:
+                pc[e[0]] = (p, e[1], e[2])
+            else:
+                raise NotImplementedError(
+                    "iceberg changelog over position-delete files / "
+                    "equality deletes is not implemented (v3 "
+                    "deletion vectors are)")
+        return fl, pc
+
+    name_of_fid = {f["id"]: f["name"]
+                   for f in (meta["schemas"][0]["fields"]
+                             if "schemas" in meta
+                             else meta["schema"]["fields"])}
+    specs_by_id = {s: _parse_part_spec(sp, name_of_fid)
+                   for s, sp in _raw_specs(meta).items()}
+    ident_of = {s: {src: fname for t, _p, src, fname in sp
+                    if t == "identity"}
+                for s, sp in specs_by_id.items()}
+
+    def _scan(file_map, kind, ordinal, sid, pos_frame=None):
+        """One scan over ``file_map``'s files tagged with the change
+        metadata; ``pos_frame`` (fp,pos) semi-joins to just the newly
+        dead rows."""
+        paths = sorted(file_map)
+        df = spark.read.schema(ddl).parquet(*paths)
+        attach = sorted({src for p in paths
+                         for src in ident_of.get(file_map[p][1], {})}
+                        & set(types))
+        if attach or pos_frame is not None:
+            df = df.withColumn(
+                "__fp",
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^file:/+", "/"))
+        if pos_frame is not None:
+            df = df.withColumn("__pos",
+                               F.col("_metadata.row_index"))
+            df = df.join(pos_frame, on=["__fp", "__pos"],
+                         how="left_semi")
+        if attach:
+            rows = [(p, *[str(file_map[p][0].get(
+                        ident_of.get(file_map[p][1], {}).get(c)))
+                        if ident_of.get(file_map[p][1], {}).get(c)
+                        in file_map[p][0] else None
+                        for c in attach])
+                    for p in paths]
+            pm = F.broadcast(spark.createDataFrame(
+                rows, "__fp string, " + ", ".join(
+                    f"`{c}__m` string" for c in attach)))
+            df = df.join(pm, on="__fp", how="left")
+            for c in attach:
+                df = df.withColumn(
+                    c, F.coalesce(F.col(c),
+                                  F.col(f"{c}__m").cast(types[c])))
+            df = df.drop(*[f"{c}__m" for c in attach])
+        df = df.drop("__fp", "__pos")
+        return (df.select(*[n for n, _t in fields])
+                .withColumn("_change_type", F.lit(kind))
+                .withColumn("_change_ordinal",
+                            F.lit(ordinal).cast("int"))
+                .withColumn("_commit_snapshot_id",
+                            F.lit(int(sid)).cast("bigint")))
+
+    def _dv_frame(entries):
+        """[(puffin, off, sz, ref, old_puffin|None, old_off,
+        old_sz)] -> (fp, pos) frame of each DV's positions MINUS its
+        predecessor's — BOTH vectors decode in the task, the driver
+        never holds a bitmap."""
+        def _expand(batches):
+            import pandas as pd
+            for pdf in batches:
+                for (p2, off2, sz2, ref2, op2, ooff2, osz2) in zip(
+                        pdf["path"], pdf["off"], pdf["sz"],
+                        pdf["ref"], pdf["old_path"], pdf["old_off"],
+                        pdf["old_sz"]):
+                    pos2 = _read_puffin_dv(p2, int(off2), int(sz2))
+                    base = (set(_read_puffin_dv(op2, int(ooff2),
+                                                int(osz2)))
+                            if op2 is not None else set())
+                    new = [x for x in pos2 if x not in base]
+                    yield pd.DataFrame({"__fp": [ref2] * len(new),
+                                        "__pos": new})
+        n = min(len(entries),
+                max(32, spark.sparkContext.defaultParallelism))
+        return (spark.createDataFrame(
+            entries, "path string, off bigint, sz bigint, "
+                     "ref string, old_path string, old_off bigint, "
+                     "old_sz bigint")
+            .repartition(n, "path", "off")
+            .mapInPandas(_expand, "__fp string, __pos bigint"))
+
+    parts = []
+    prev_sid = chain[0].get("parent-snapshot-id") if chain else None
+    prev_files, prev_dvs = _snapshot_state(prev_sid)
+    for ordinal, s in enumerate(chain):
+        sid = s["snapshot-id"]
+        cur_files, cur_dvs = _snapshot_state(sid)
+        added = {p: v for p, v in cur_files.items()
+                 if p not in prev_files}
+        removed = {p: v for p, v in prev_files.items()
+                   if p not in cur_files}
+        if added:
+            parts.append(_scan(added, "insert", ordinal, sid))
+        if removed:
+            parts.append(_scan(removed, "delete", ordinal, sid))
+        # DV deltas on RETAINED files: new or replaced vectors
+        dv_entries = []
+        for ref, (pp, off, sz) in cur_dvs.items():
+            if ref not in cur_files:
+                continue                  # its file left with removes
+            old = prev_dvs.get(ref)
+            if old == (pp, off, sz):
+                continue                  # unchanged, carried forward
+            dv_entries.append((pp, int(off), int(sz), ref,
+                               old[0] if old else None,
+                               int(old[1]) if old else 0,
+                               int(old[2]) if old else 0))
+        if dv_entries:
+            dead = _dv_frame(dv_entries)
+            targets = {e[3]: cur_files[e[3]] for e in dv_entries}
+            parts.append(_scan(targets, "delete", ordinal, sid,
+                               pos_frame=dead))
+        prev_files, prev_dvs = cur_files, cur_dvs
+    if not parts:
+        return spark.createDataFrame(
+            [], ddl + ", _change_type string, _change_ordinal int, "
+                      "_commit_snapshot_id bigint")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2868,3 +2868,65 @@ def src_hudi_timeline(spark, sf_dir):
     cnt = read_hudi(spark, t).agg(
         F.count(F.lit(1)).cast("bigint").alias("rows_now"))
     return agg.crossJoin(cnt)
+
+
+@query("src_iceberg_changelog", oracle="""
+WITH src AS (SELECT o_orderkey AS k, o_orderkey % 2 AS g
+             FROM orders WHERE o_orderkey < 1000),
+evens AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn
+          FROM src WHERE g = 0),
+odds AS (SELECT k FROM src WHERE g = 1)
+SELECT CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS n_inserts,
+       CAST((SELECT SUM(k) FROM src) AS BIGINT) AS insert_k_sum,
+       CAST((SELECT COUNT(*) FROM odds) + 2 AS BIGINT) AS n_deletes,
+       CAST((SELECT SUM(k) FROM odds)
+            + (SELECT SUM(k) FROM evens WHERE rn <= 2) AS BIGINT)
+         AS delete_k_sum,
+       CAST(4 AS BIGINT) AS n_ordinals
+""")
+def src_iceberg_changelog(spark, sf_dir):
+    """Iceberg CHANGELOG read (r15): the row-level change feed —
+    completing the lakehouse CDF triad alongside Delta CDF and Hudi
+    incremental.  Four snapshots: two partitioned appends, a
+    partition delete (file removes), and — after a v3 upgrade — a
+    deletion-vector snapshot; the changelog emits added files' rows
+    as inserts, removed files' rows as deletes, and the DV's NEW
+    positions as deletes, each tagged with its snapshot and span
+    ordinal.  The oracle restates every aggregate from the source
+    rows (ROW_NUMBER picks the DV'd positions).  Scale shape: each
+    snapshot scans only its CHANGED files — O(changed files), never
+    a table scan; DV deltas (new minus predecessor) expand
+    executor-side."""
+    import os
+    import tempfile
+
+    from ..functions.iceberg import (
+        read_iceberg_changes, set_iceberg_format_version_fixture,
+        write_iceberg_fixture)
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        (F.col("o_orderkey") % 2).cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_icl_"), "tbl")
+    s1 = write_iceberg_fixture(spark, o.where(F.col("g") == 0), t,
+                               partition_by=("g",), order_by=("k",))
+    write_iceberg_fixture(spark, o.where(F.col("g") == 1), t,
+                          partition_by=("g",), order_by=("k",))
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_partition={"g": 1})
+    set_iceberg_format_version_fixture(t, 3)
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_vectors={
+                              f"data/snap{s1}-0.parquet": [0, 1]})
+    ch = read_iceberg_changes(spark, t)
+    return ch.agg(
+        F.count(F.when(F.col("_change_type") == "insert", 1))
+        .cast("bigint").alias("n_inserts"),
+        F.sum(F.when(F.col("_change_type") == "insert", F.col("k")))
+        .cast("bigint").alias("insert_k_sum"),
+        F.count(F.when(F.col("_change_type") == "delete", 1))
+        .cast("bigint").alias("n_deletes"),
+        F.sum(F.when(F.col("_change_type") == "delete", F.col("k")))
+        .cast("bigint").alias("delete_k_sum"),
+        F.countDistinct("_change_ordinal").cast("bigint")
+        .alias("n_ordinals"))

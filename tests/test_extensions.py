@@ -5518,3 +5518,64 @@ def test_iceberg_v3_dv_snapshot_stream_skip(spark, tmp_path):
         q2.stop()
     assert sorted(r["k"] for r in spark.table(name2).collect()) \
         == [0, 1, 2, 3, 10, 11]
+
+
+def test_iceberg_changelog(spark, tmp_path):
+    """r15: changelog reads — inserts from added files, deletes from
+    removed files, DV deltas (replacement contributes only NEW
+    positions), narrowed spans, non-ancestor gate, and the loud
+    scope gates (schema evolution, position-delete files)."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg_changes,
+        set_iceberg_format_version_fixture, write_iceberg_fixture)
+    t = str(tmp_path / "cl")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 2).alias("g"))
+    s1 = write_iceberg_fixture(spark, df, t, partition_by=("g",),
+                               order_by=("k",))
+    s2 = write_iceberg_fixture(
+        spark, spark.range(10, 13).select(
+            SF.col("id").alias("k"), (SF.col("id") % 2).alias("g")),
+        t, partition_by=("g",), order_by=("k",))
+    s3 = write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                               delete_partition={"g": 1})
+    set_iceberg_format_version_fixture(t, 3)
+    s4 = write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                               delete_vectors={
+                                   f"data/snap{s1}-0.parquet": [0]})
+    s5 = write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                               delete_vectors={
+                                   f"data/snap{s1}-0.parquet":
+                                       [0, 2]})
+    rows = sorted((r["_change_ordinal"], r["_change_type"], r["k"],
+                   r["g"], r["_commit_snapshot_id"])
+                  for r in read_iceberg_changes(spark, t).collect())
+    exp = ([(0, "insert", k, k % 2, s1) for k in range(6)]
+           + [(1, "insert", k, k % 2, s2) for k in (10, 11, 12)]
+           + [(2, "delete", k, 1, s3) for k in (1, 3, 5, 11)]
+           + [(3, "delete", 0, 0, s4), (4, "delete", 4, 0, s5)])
+    assert rows == sorted(exp)
+    # narrowed span: (s2, s4]
+    rows2 = sorted((r["_change_ordinal"], r["_change_type"], r["k"])
+                   for r in read_iceberg_changes(
+                       spark, t, from_snapshot_id=s2,
+                       to_snapshot_id=s4).collect())
+    assert rows2 == sorted([(0, "delete", 1), (0, "delete", 3),
+                            (0, "delete", 5), (0, "delete", 11),
+                            (1, "delete", 0)])
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_iceberg_changes(spark, t, from_snapshot_id=999)
+    # schema evolution gates loudly
+    evolve_iceberg_schema_fixture(t, renames={"k": "key"})
+    with pytest.raises(NotImplementedError, match="schema-evolved"):
+        read_iceberg_changes(spark, t)
+    # position-delete FILES gate loudly
+    t2 = str(tmp_path / "clpos")
+    p1 = write_iceberg_fixture(spark, df, t2, order_by=("k",))
+    write_iceberg_fixture(spark, None, t2, delete_positions={
+        f"data/snap{p1}-0.parquet": [0]})
+    with pytest.raises(NotImplementedError,
+                       match="position-delete files"):
+        read_iceberg_changes(spark, t2)
