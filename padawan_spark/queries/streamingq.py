@@ -736,3 +736,68 @@ def streaming_rate_limited_tail(spark, sf_dir):
           sum(b[0] for b in batches), sum(b[1] for b in batches))],
         "n_batches bigint, max_batch_rows bigint, total_rows bigint, "
         "key_sum bigint")
+
+
+@query("streaming_iceberg_changes", oracle="""
+WITH src AS (SELECT o_orderkey AS k, o_orderkey % 2 AS g
+             FROM orders WHERE o_orderkey < 1000),
+evens AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn
+          FROM src WHERE g = 0),
+odds AS (SELECT k FROM src WHERE g = 1)
+SELECT 'insert' AS change, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum FROM src
+UNION ALL
+SELECT 'delete', CAST((SELECT COUNT(*) FROM odds) + 2 AS BIGINT),
+       CAST((SELECT SUM(k) FROM odds)
+            + (SELECT SUM(k) FROM evens WHERE rn <= 2) AS BIGINT)
+""")
+def streaming_iceberg_changes(spark, sf_dir):
+    """Iceberg CHANGELOG as a STREAM (r15,
+    ``padawan_iceberg_changes``): the streaming twin of
+    ``read_iceberg_changes`` — per micro-batch, the new snapshots'
+    row-level changes (added files' rows as inserts, removed files'
+    rows as deletes, v3 deletion-vector deltas as deletes), tagged
+    ``_change_type``/``_commit_snapshot_id``.  Same four-snapshot
+    fixture as the batch sentinel; the drain's per-change-type
+    aggregates must equal the batch oracle.  Scale shape: one
+    InputPartition per CHANGED file per snapshot — O(changed files),
+    DV predecessor vectors decode in the task."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions.iceberg import (
+        set_iceberg_format_version_fixture, write_iceberg_fixture)
+    from ..sources import register_python_sources
+    from .registry import load
+    register_python_sources(spark)
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        (F.col("o_orderkey") % 2).cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_scl_"), "tbl")
+    s1 = write_iceberg_fixture(spark, o.where(F.col("g") == 0), t,
+                               partition_by=("g",), order_by=("k",))
+    write_iceberg_fixture(spark, o.where(F.col("g") == 1), t,
+                          partition_by=("g",), order_by=("k",))
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_partition={"g": 1})
+    set_iceberg_format_version_fixture(t, 3)
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_vectors={
+                              f"data/snap{s1}-0.parquet": [0, 1]})
+    name = "scl_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_changes")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .groupBy(F.col("_change_type").alias("change"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("k").cast("bigint").alias("k_sum")))

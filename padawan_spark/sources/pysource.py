@@ -164,6 +164,7 @@ def register_python_sources(spark) -> None:
     spark.dataSource.register(DeltaCDFSource)
     spark.dataSource.register(HudiIncrementalSource)
     spark.dataSource.register(IcebergAppendsSource)
+    spark.dataSource.register(IcebergChangesSource)
 
 
 # ---------------------------------------------------------------------------
@@ -1614,3 +1615,178 @@ class IcebergAppendsSource(DataSource):
 
     def streamReader(self, schema):
         return _IcebergAppendsStreamReader(self.options, schema)
+
+
+# Iceberg CHANGELOG stream (r15): the streaming twin of
+# functions.iceberg.read_iceberg_changes — per micro-batch, the
+# row-level insert/delete changes of the new snapshots (added files'
+# rows, removed files' rows, v3 deletion-vector deltas), tagged
+# _change_type + _commit_snapshot_id.  Offsets are positions in the
+# commit-ordered snapshot list (random snapshot ids can't reorder);
+# each snapshot diffs against its OWN parent, so the emitted change
+# set is chain-exact.  One InputPartition per changed file / DV —
+# task-parallel; DV predecessor vectors decode in the task.
+class _IcebergChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.start_snapshot = int(options.get("startingSnapshotId",
+                                              0))
+        self._max_snaps = int(options.get("maxSnapshotsPerTrigger",
+                                          0))
+        self._last_end = None
+        self.spark_schema = schema
+        self.names = list(schema.names)
+
+    def _snapshot_ids(self):
+        import json as _json
+
+        from ..functions.iceberg import _latest_metadata
+        with open(_latest_metadata(self.path)) as fh:
+            meta = _json.load(fh)
+        return [s["snapshot-id"]
+                for s in sorted(meta.get("snapshots", []),
+                                key=lambda s: (
+                                    s.get("sequence-number", 0),
+                                    s["snapshot-id"]))]
+
+    def _initial_index(self):
+        if not self.start_snapshot:
+            return 0
+        snaps = self._snapshot_ids()
+        if self.start_snapshot not in snaps:
+            raise ValueError(
+                f"padawan_iceberg_changes: starting snapshot "
+                f"{self.start_snapshot} not in the snapshot log")
+        return snaps.index(self.start_snapshot) + 1
+
+    def initialOffset(self):
+        idx = self._initial_index()
+        self._last_end = max(self._last_end or 0, idx)
+        return {"i": idx}
+
+    def latestOffset(self):
+        n = len(self._snapshot_ids())
+        last = (self._last_end if self._last_end is not None
+                else self._initial_index())
+        if self._max_snaps:
+            n = min(n, last + self._max_snaps)
+        return {"i": max(n, last)}
+
+    def partitions(self, start, end):
+        import json as _json
+
+        from ..functions.iceberg import (_latest_metadata,
+                                         live_data_files)
+        lo_i, hi_i = start["i"], end["i"]
+        self._last_end = max(self._last_end or 0, hi_i, lo_i)
+        if hi_i <= lo_i:
+            return [InputPartition(None)]
+        with open(_latest_metadata(self.path)) as fh:
+            meta = _json.load(fh)
+        if "schemas" in meta and len(meta["schemas"]) > 1:
+            raise NotImplementedError(
+                "padawan_iceberg_changes over a schema-evolved "
+                "table is not implemented")
+
+        def _state(sid):
+            if sid is None:
+                return {}, {}
+            fl, dv = {}, {}
+            _f, _p, files, dels = live_data_files(self.path, sid)
+            for p, pvals, _s, fmt, _sp in files:
+                if fmt != "PARQUET":
+                    raise NotImplementedError(
+                        f"padawan_iceberg_changes over {fmt} "
+                        "data files")
+                fl[p] = tuple(sorted(pvals.items()))
+            for p, c, _s, e in dels:
+                if c == 3:
+                    dv[e[0]] = (p, int(e[1]), int(e[2]))
+                else:
+                    raise NotImplementedError(
+                        "padawan_iceberg_changes over "
+                        "position-delete files / equality deletes "
+                        "is not implemented (v3 deletion vectors "
+                        "are)")
+            return fl, dv
+
+        parent_of = {s["snapshot-id"]: s.get("parent-snapshot-id")
+                     for s in meta.get("snapshots", [])}
+        parts = []
+        snaps = self._snapshot_ids()
+        for sid in snaps[lo_i:hi_i]:
+            cur_files, cur_dvs = _state(sid)
+            prev_files, prev_dvs = _state(parent_of.get(sid))
+            for p, pv in sorted(cur_files.items()):
+                if p not in prev_files:
+                    parts.append(InputPartition(
+                        ("file", sid, "insert", p, pv)))
+            for p, pv in sorted(prev_files.items()):
+                if p not in cur_files:
+                    parts.append(InputPartition(
+                        ("file", sid, "delete", p, pv)))
+            for ref, new in sorted(cur_dvs.items()):
+                if ref not in cur_files:
+                    continue
+                old = prev_dvs.get(ref)
+                if old == new:
+                    continue
+                parts.append(InputPartition(
+                    ("dv", sid, "delete", ref,
+                     cur_files[ref], new, old)))
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+
+        from ..functions.iceberg import _read_puffin_dv
+        kind = partition.value[0]
+        if kind == "file":
+            _k, sid, ctype, p, pv = partition.value
+            tb = pq.read_table(p)
+        else:
+            (_k, sid, ctype, p, pv, new, old) = partition.value
+            tb = pq.read_table(p)
+            pos = _read_puffin_dv(*new)
+            if old is not None:
+                base = set(_read_puffin_dv(*old))
+                pos = [x for x in pos if x not in base]
+            tb = tb.take(sorted(pos))
+        const = dict(pv)
+        const["_change_type"] = ctype
+        const["_commit_snapshot_id"] = int(sid)
+        yield from _aligned_batches(tb, self.spark_schema,
+                                    const=const)
+
+    def commit(self, end):
+        pass
+
+
+class IcebergChangesSource(DataSource):
+    """``spark.readStream.format("padawan_iceberg_changes")`` — the
+    Iceberg CHANGELOG as a stream: per micro-batch, the row-level
+    insert/delete changes of the new snapshots (added files' rows,
+    removed files' rows, v3 deletion-vector deltas — a replacement
+    vector contributes only its NEW positions), each row tagged
+    ``_change_type`` / ``_commit_snapshot_id``.  Options:
+    ``startingSnapshotId`` (consume AFTER it),
+    ``maxSnapshotsPerTrigger``.  Parquet data files only;
+    schema-evolved tables and v2 position-delete/equality-delete
+    files gate loudly, mirroring the batch
+    ``read_iceberg_changes``."""
+
+    @classmethod
+    def name(cls):
+        return "padawan_iceberg_changes"
+
+    def schema(self):
+        from ..functions.iceberg import live_data_files
+        fields, _sp, _f, _d = live_data_files(self.options["path"])
+        return (", ".join(f"{n} {t}" for n, t in fields)
+                + ", _change_type string, "
+                  "_commit_snapshot_id bigint")
+
+    def streamReader(self, schema):
+        return _IcebergChangesStreamReader(self.options, schema)

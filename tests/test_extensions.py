@@ -5579,3 +5579,40 @@ def test_iceberg_changelog(spark, tmp_path):
     with pytest.raises(NotImplementedError,
                        match="position-delete files"):
         read_iceberg_changes(spark, t2)
+
+
+def test_iceberg_changes_stream(spark, tmp_path):
+    """r15: the changelog STREAM — drains historical snapshots, picks
+    up live appends, DV deltas emit only new positions, and
+    startingSnapshotId consumes strictly after it."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        set_iceberg_format_version_fixture, write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "cls")
+    df = spark.range(4).select(SF.col("id").alias("k"))
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    set_iceberg_format_version_fixture(t, 3)
+    s2 = write_iceberg_fixture(spark, None, t, delete_vectors={
+        f"data/snap{s1}-0.parquet": [1]})
+    name = "cls_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_changes")
+         .option("path", t).option("startingSnapshotId", str(s1))
+         .load().writeStream.format("memory").queryName(name)
+         .start())
+    try:
+        q.processAllAvailable()
+        s3 = write_iceberg_fixture(
+            spark, spark.range(10, 12).select(SF.col("id")
+                                              .alias("k")),
+            t, order_by=("k",))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted((r["_commit_snapshot_id"], r["_change_type"],
+                   r["k"]) for r in spark.table(name).collect())
+    assert rows == sorted([(s2, "delete", 1), (s3, "insert", 10),
+                           (s3, "insert", 11)])
