@@ -1607,3 +1607,48 @@ def delta_history(spark, path: str):
     return spark.createDataFrame(
         rows, "version bigint, timestamp_ms bigint, operation string, "
               "n_add bigint, n_remove bigint, n_cdc bigint")
+
+
+def delta_detail(spark, path: str):
+    """DESCRIBE DETAIL for a Delta table (r15): a one-row DataFrame
+    with the table-level facts real engines report — format, live
+    file count and total size, LOGICAL partition columns (mapped
+    back through column mapping), column-mapping mode, protocol
+    versions and reader features, and the retained commit count.
+    Driver work is the same log replay reads already perform."""
+    sch_json, part_cols, files, mapping = replay_delta_log(path)
+    phys_to_logical = {}
+    if sch_json is not None:
+        for f in json.loads(sch_json)["fields"]:
+            pn = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName")
+            if pn is not None:
+                phys_to_logical[pn] = f["name"]
+    logical_parts = [phys_to_logical.get(c, c) for c in part_cols]
+    size = 0
+    for rel, _pv, _dv in files:
+        fp = os.path.join(path, rel)
+        if os.path.exists(fp):
+            size += os.path.getsize(fp)
+    min_r, min_w, feats = 1, 1, []
+    d = os.path.join(path, "_delta_log")
+    versions = list_delta_versions(path)
+    for v in versions:
+        with open(os.path.join(d, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("protocol"):
+                    p = a["protocol"]
+                    min_r = p.get("minReaderVersion", min_r)
+                    min_w = p.get("minWriterVersion", min_w)
+                    feats = sorted(p.get("readerFeatures") or [])
+    row = ("parquet", len(files), size, logical_parts,
+           mapping, min_r, min_w, feats, len(versions))
+    return spark.createDataFrame(
+        [row], "format string, num_files bigint, "
+               "size_in_bytes bigint, partition_columns "
+               "array<string>, column_mapping_mode string, "
+               "min_reader_version int, min_writer_version int, "
+               "reader_features array<string>, num_commits bigint")

@@ -2930,3 +2930,41 @@ def src_iceberg_changelog(spark, sf_dir):
         .cast("bigint").alias("delete_k_sum"),
         F.countDistinct("_change_ordinal").cast("bigint")
         .alias("n_ordinals"))
+
+
+@query("src_delta_detail", oracle="""
+SELECT 'parquet' AS format,
+       CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS num_files,
+       CAST(1 AS BIGINT) AS n_part_cols,
+       'name' AS column_mapping_mode,
+       CAST(1 AS BIGINT) AS num_commits,
+       CAST(COUNT(*) AS BIGINT) AS rows_now
+FROM nation
+""")
+def src_delta_detail(spark, sf_dir):
+    """Delta DESCRIBE DETAIL (r15): table-level facts — live file
+    count (one per distinct partition value by construction),
+    LOGICAL partition columns under name-mode column mapping, the
+    mapping mode, and commit count — cross-checked against the
+    table's current row count."""
+    import os
+    import tempfile
+
+    from ..functions.delta import (delta_detail, read_delta,
+                                   write_delta_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_dd_"), "tbl")
+    write_delta_fixture(spark, n, t, partition_by=("g",),
+                        column_mapping="name")
+    det = delta_detail(spark, t).select(
+        "format",
+        F.col("num_files"),
+        F.size("partition_columns").cast("bigint")
+        .alias("n_part_cols"),
+        "column_mapping_mode",
+        F.col("num_commits"))
+    cnt = read_delta(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_now"))
+    return det.crossJoin(cnt)

@@ -5616,3 +5616,26 @@ def test_iceberg_changes_stream(spark, tmp_path):
                    r["k"]) for r in spark.table(name).collect())
     assert rows == sorted([(s2, "delete", 1), (s3, "insert", 10),
                            (s3, "insert", 11)])
+
+
+def test_delta_detail(spark, tmp_path):
+    """r15: DESCRIBE DETAIL — live file count/size, LOGICAL partition
+    columns under name mapping, protocol facts, commit count."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (delta_detail,
+                                               write_delta_fixture)
+    t = str(tmp_path / "dd")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 2).alias("g"))
+    write_delta_fixture(spark, df, t, partition_by=("g",),
+                        column_mapping="name")
+    write_delta_fixture(spark, spark.range(10, 12).select(
+        SF.col("id").alias("k"), SF.lit(0).alias("g")), t,
+        mode="append")
+    r = delta_detail(spark, t).collect()[0]
+    assert r["format"] == "parquet"
+    assert r["num_files"] == 3 and r["size_in_bytes"] > 0
+    assert r["partition_columns"] == ["g"]          # LOGICAL name
+    assert r["column_mapping_mode"] == "name"
+    assert r["min_reader_version"] == 2
+    assert r["num_commits"] == 2
