@@ -59,10 +59,15 @@ for _m in _SUITES:
 # streaming_hudi_incremental (stream reviver path);
 # streaming_iceberg_appends (v3 defaults now flow through the
 # stream's partition tuple — pysource.py changed).
-_SENTINELS = ["src_iceberg_v3_defaults", "src_iceberg_v3_dv",
-              "src_iceberg_v3_row_lineage",
-              "src_delta_variant_idmap",
-              "src_iceberg_v2_deletes",
+# The ten NEW r15 queries (src_iceberg_v3_defaults, src_iceberg_v3_dv,
+# src_iceberg_v3_row_lineage, src_delta_variant_idmap,
+# src_iceberg_metadata_tables, src_iceberg_changelog,
+# streaming_iceberg_changes, src_delta_history, src_hudi_timeline,
+# src_delta_detail) are NEVER-CHECKED and enter the window as round-0
+# staleness automatically — listing them here would only displace
+# stale-cohort rows.  Sentinels list only PREVIOUSLY-checked queries
+# whose code changed this round.
+_SENTINELS = ["src_iceberg_v2_deletes",
               "src_iceberg_avro_nested_evolution",
               "src_delta_variant_read", "src_delta_id_mapping",
               "src_delta_cdf_read",
