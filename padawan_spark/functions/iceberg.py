@@ -2634,6 +2634,129 @@ def iceberg_metadata_table(spark, path: str, kind: str,
         "refs, manifests, files, partitions)")
 
 
+
+def _snapshot_changes(path, meta, by_id, sid, parent_sid):
+    """One snapshot's own change set, status-based: walk ONLY the
+    manifests the snapshot itself added (same O(changed-entries)
+    planning shape as the appends stream, never a live-set
+    decode) — ``added``/``removed`` as ``{path: (pvals, spec)}``
+    from status-1/status-2 data-file entries, plus its NEW v3
+    deletion vectors; the predecessor-DV map comes from the
+    PARENT snapshot's delete manifests only (a handful)."""
+    from .avro import decode_avro_datums
+    snap2 = by_id[sid]
+    with open(_resolve(snap2["manifest-list"], path),
+              "rb") as fh:
+        _s0, manifests = decode_avro_datums(fh.read())
+    default_spec_id = meta.get("default-spec-id", 0)
+    added, removed, new_dvs = {}, {}, {}
+    for m in manifests:
+        asid = m.get("added_snapshot_id")
+        if asid is not None and asid != sid:
+            continue                  # carried forward: skip
+        mspec = m.get("partition_spec_id")
+        if mspec is None:
+            mspec = default_spec_id
+        with open(_resolve(m["manifest_path"], path),
+                  "rb") as fh:
+            _s1, entries = decode_avro_datums(fh.read())
+        for e in entries:
+            df_ = e["data_file"]
+            fcontent = df_.get("content", 0) or 0
+            fmt = (df_.get("file_format") or "PARQUET").upper()
+            if (m.get("content", 0) or 0) == 1 or fcontent:
+                if fcontent == 2 or (
+                        fcontent == 1
+                        and df_.get("referenced_data_file")
+                        is None and fmt != "PUFFIN"):
+                    raise NotImplementedError(
+                        "iceberg changelog over position-delete "
+                        "files / equality deletes is not "
+                        "implemented (v3 deletion vectors are)")
+                if e.get("status") != 1:
+                    continue          # carried DV rides forward
+                ref = _resolve(df_["referenced_data_file"],
+                               path)
+                new_dvs[ref] = (
+                    _resolve(df_["file_path"], path),
+                    int(df_.get("content_offset")),
+                    int(df_.get("content_size_in_bytes")))
+                continue
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"iceberg changelog over {fmt} data files")
+            tgt = (added if e.get("status") == 1
+                   else removed if e.get("status") == 2
+                   else None)
+            if tgt is not None:
+                tgt[_resolve(df_["file_path"], path)] = (
+                    dict(df_.get("partition") or {}), mspec)
+    # predecessor DVs: the parent's delete manifests only
+    prev_dvs = {}
+    if parent_sid is not None and new_dvs:
+        psnap = by_id.get(parent_sid)
+        if psnap is not None:
+            with open(_resolve(psnap["manifest-list"], path),
+                      "rb") as fh:
+                _s2, pmans = decode_avro_datums(fh.read())
+            for m in pmans:
+                if (m.get("content", 0) or 0) != 1:
+                    continue
+                with open(_resolve(m["manifest_path"], path),
+                          "rb") as fh:
+                    _s3, entries = decode_avro_datums(fh.read())
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    df_ = e["data_file"]
+                    ref = df_.get("referenced_data_file")
+                    if ref is not None:
+                        prev_dvs[_resolve(ref, path)] = (
+                            _resolve(df_["file_path"], path),
+                            int(df_.get("content_offset")),
+                            int(df_.get("content_size_in_bytes")))
+    return added, removed, new_dvs, prev_dvs
+
+
+def _lookup_partitions(path, meta, by_id, sid, need):
+    """(pvals, spec) of the RETAINED files a DV targets: decode
+    the snapshot's data manifests with EARLY EXIT once every
+    needed path resolved — worst case the live set, typically one
+    manifest."""
+    from .avro import decode_avro_datums
+    snap2 = by_id[sid]
+    with open(_resolve(snap2["manifest-list"], path),
+              "rb") as fh:
+        _s0, manifests = decode_avro_datums(fh.read())
+    default_spec_id = meta.get("default-spec-id", 0)
+    out, todo = {}, set(need)
+    for m in manifests:
+        if not todo:
+            break
+        if (m.get("content", 0) or 0) != 0:
+            continue
+        mspec = m.get("partition_spec_id")
+        if mspec is None:
+            mspec = default_spec_id
+        with open(_resolve(m["manifest_path"], path),
+                  "rb") as fh:
+            _s1, entries = decode_avro_datums(fh.read())
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            df_ = e["data_file"]
+            p = _resolve(df_["file_path"], path)
+            if p in todo:
+                out[p] = (dict(df_.get("partition") or {}),
+                          mspec)
+                todo.discard(p)
+    if todo:
+        raise ValueError(
+            f"iceberg changelog: deletion vector references "
+            f"data file(s) not live in snapshot {sid}: "
+            f"{sorted(todo)[:3]}")
+    return out
+
 def read_iceberg_changes(spark, path: str,
                          from_snapshot_id: int | None = None,
                          to_snapshot_id: int | None = None):
@@ -2686,27 +2809,6 @@ def read_iceberg_changes(spark, path: str,
     types = dict(fields)
     ddl = ", ".join(f"{n} {t}" for n, t in fields)
 
-    def _snapshot_state(sid):
-        """{path: (pvals, spec)} data files + {ref: (puffin, off,
-        sz)} DVs of one snapshot (None -> empty)."""
-        if sid is None:
-            return {}, {}
-        fl, pc = {}, {}
-        _fs, _p2, files, dels = live_data_files(path, sid)
-        for p, pvals, _seq, fmt, sp in files:
-            if fmt != "PARQUET":
-                raise NotImplementedError(
-                    f"iceberg changelog over {fmt} data files")
-            fl[p] = (pvals, sp)
-        for p, c, _s, e in dels:
-            if c == 3:
-                pc[e[0]] = (p, e[1], e[2])
-            else:
-                raise NotImplementedError(
-                    "iceberg changelog over position-delete files / "
-                    "equality deletes is not implemented (v3 "
-                    "deletion vectors are)")
-        return fl, pc
 
     name_of_fid = {f["id"]: f["name"]
                    for f in (meta["schemas"][0]["fields"]
@@ -2789,25 +2891,27 @@ def read_iceberg_changes(spark, path: str,
             .repartition(n, "path", "off")
             .mapInPandas(_expand, "__fp string, __pos bigint"))
 
+
     parts = []
-    prev_sid = chain[0].get("parent-snapshot-id") if chain else None
-    prev_files, prev_dvs = _snapshot_state(prev_sid)
     for ordinal, s in enumerate(chain):
         sid = s["snapshot-id"]
-        cur_files, cur_dvs = _snapshot_state(sid)
-        added = {p: v for p, v in cur_files.items()
-                 if p not in prev_files}
-        removed = {p: v for p, v in prev_files.items()
-                   if p not in cur_files}
+        added, removed, new_dvs, prev_dvs = _snapshot_changes(
+            path, meta, by_id, sid, s.get("parent-snapshot-id"))
         if added:
             parts.append(_scan(added, "insert", ordinal, sid))
         if removed:
             parts.append(_scan(removed, "delete", ordinal, sid))
         # DV deltas on RETAINED files: new or replaced vectors
         dv_entries = []
-        for ref, (pp, off, sz) in cur_dvs.items():
-            if ref not in cur_files:
-                continue                  # its file left with removes
+        for ref, (pp, off, sz) in sorted(new_dvs.items()):
+            if ref in removed or ref in added:
+                # its file left with the removes, or the DV rode the
+                # same snapshot as its file's add (MOR-upsert shape:
+                # the insert scan emits ALL rows, the DV rows pair
+                # with same-ordinal deletes — consumers fold by
+                # ordinal)
+                if ref in removed:
+                    continue
             old = prev_dvs.get(ref)
             if old == (pp, off, sz):
                 continue                  # unchanged, carried forward
@@ -2817,10 +2921,12 @@ def read_iceberg_changes(spark, path: str,
                                int(old[2]) if old else 0))
         if dv_entries:
             dead = _dv_frame(dv_entries)
-            targets = {e[3]: cur_files[e[3]] for e in dv_entries}
+            need = {e[3] for e in dv_entries}
+            targets = {r: added[r] for r in need if r in added}
+            targets.update(_lookup_partitions(
+                path, meta, by_id, sid, need - set(targets)))
             parts.append(_scan(targets, "delete", ordinal, sid,
                                pos_frame=dead))
-        prev_files, prev_dvs = cur_files, cur_dvs
     if not parts:
         return spark.createDataFrame(
             [], ddl + ", _change_type string, _change_ordinal int, "

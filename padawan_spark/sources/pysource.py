@@ -1676,7 +1676,8 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
         import json as _json
 
         from ..functions.iceberg import (_latest_metadata,
-                                         live_data_files)
+                                         _lookup_partitions,
+                                         _snapshot_changes)
         lo_i, hi_i = start["i"], end["i"]
         self._last_end = max(self._last_end or 0, hi_i, lo_i)
         if hi_i <= lo_i:
@@ -1687,53 +1688,45 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
             raise NotImplementedError(
                 "padawan_iceberg_changes over a schema-evolved "
                 "table is not implemented")
-
-        def _state(sid):
-            if sid is None:
-                return {}, {}
-            fl, dv = {}, {}
-            _f, _p, files, dels = live_data_files(self.path, sid)
-            for p, pvals, _s, fmt, _sp in files:
-                if fmt != "PARQUET":
-                    raise NotImplementedError(
-                        f"padawan_iceberg_changes over {fmt} "
-                        "data files")
-                fl[p] = tuple(sorted(pvals.items()))
-            for p, c, _s, e in dels:
-                if c == 3:
-                    dv[e[0]] = (p, int(e[1]), int(e[2]))
-                else:
-                    raise NotImplementedError(
-                        "padawan_iceberg_changes over "
-                        "position-delete files / equality deletes "
-                        "is not implemented (v3 deletion vectors "
-                        "are)")
-            return fl, dv
-
-        parent_of = {s["snapshot-id"]: s.get("parent-snapshot-id")
-                     for s in meta.get("snapshots", [])}
+        by_id = {s["snapshot-id"]: s
+                 for s in meta.get("snapshots", [])}
         parts = []
         snaps = self._snapshot_ids()
+        # status-based per-snapshot planning (shared with the batch
+        # changelog): only the manifests each snapshot itself added
+        # decode — O(changed entries), never a live-set walk
         for sid in snaps[lo_i:hi_i]:
-            cur_files, cur_dvs = _state(sid)
-            prev_files, prev_dvs = _state(parent_of.get(sid))
-            for p, pv in sorted(cur_files.items()):
-                if p not in prev_files:
-                    parts.append(InputPartition(
-                        ("file", sid, "insert", p, pv)))
-            for p, pv in sorted(prev_files.items()):
-                if p not in cur_files:
-                    parts.append(InputPartition(
-                        ("file", sid, "delete", p, pv)))
-            for ref, new in sorted(cur_dvs.items()):
-                if ref not in cur_files:
+            added, removed, new_dvs, prev_dvs = _snapshot_changes(
+                self.path, meta, by_id, sid,
+                by_id[sid].get("parent-snapshot-id"))
+            for p, (pvals, _sp) in sorted(added.items()):
+                parts.append(InputPartition(
+                    ("file", sid, "insert", p,
+                     tuple(sorted(pvals.items())))))
+            for p, (pvals, _sp) in sorted(removed.items()):
+                parts.append(InputPartition(
+                    ("file", sid, "delete", p,
+                     tuple(sorted(pvals.items())))))
+            dv_items = []
+            for ref, new in sorted(new_dvs.items()):
+                if ref in removed:
                     continue
                 old = prev_dvs.get(ref)
                 if old == new:
                     continue
-                parts.append(InputPartition(
-                    ("dv", sid, "delete", ref,
-                     cur_files[ref], new, old)))
+                dv_items.append((ref, new, old))
+            if dv_items:
+                need = {ref for ref, _n, _o in dv_items}
+                pv_of = {r: added[r][0] for r in need if r in added}
+                for r, (pvals, _sp) in _lookup_partitions(
+                        self.path, meta, by_id, sid,
+                        need - set(pv_of)).items():
+                    pv_of[r] = pvals
+                for ref, new, old in dv_items:
+                    parts.append(InputPartition(
+                        ("dv", sid, "delete", ref,
+                         tuple(sorted(pv_of[ref].items())),
+                         new, old)))
         return parts or [InputPartition(None)]
 
     def read(self, partition):
