@@ -128,6 +128,23 @@ for n in names:                       # same warm protocol as the parent
         except Exception:
             pass
 print("READY", flush=True)
+def _reset_bucketed():
+    # fresh bucketed WRITE every timed pass (r16, VERDICT r15 task
+    # 3): the write is memoized, so a repeat call would time the
+    # post-write fast path — min-of-N only means something if every
+    # pass pays the same investment
+    try:
+        import re as _re
+        from padawan_spark.queries import scale as _sc
+        _sc._BUCKETED_DONE.pop(sf_dir, None)
+        suf = _re.sub("[^0-9A-Za-z_]+", "_",
+                      sf_dir.rstrip("/").rsplit("/", 1)[-1])
+        for t in ("b_lineitem_" + suf, "b_orders_" + suf):
+            spark.sql("DROP TABLE IF EXISTS " + t)
+    except Exception:
+        pass
+
+
 for line in sys.stdin:
     name = line.strip()
     if not name or name == "EXIT":
@@ -136,6 +153,8 @@ for line in sys.stdin:
     if fn is None:
         print(json.dumps({"name": name, "sec": None}), flush=True)
         continue
+    if name == "scale_bucketed_join":
+        _reset_bucketed()
     t0 = time.perf_counter()
     try:
         fn(spark, sf_dir).collect()
@@ -251,6 +270,24 @@ class _PrevTree:
             self.wt = None
 
 
+def _reset_bucketed_head(spark, sf_dir: str) -> None:
+    """Drop the memoized bucketed tables so the next
+    ``scale_bucketed_join`` pass pays the full write (r16, VERDICT
+    r15 task 3 — min-of-N is meaningless when pass 2 times the
+    memoized fast path).  The child runner mirrors this for the
+    prev tree, keeping the A/B symmetric."""
+    import re
+    try:
+        from padawan_spark.queries import scale as _sc
+        _sc._BUCKETED_DONE.pop(sf_dir, None)
+        suf = re.sub(r"[^0-9A-Za-z_]+", "_",
+                     sf_dir.rstrip("/").rsplit("/", 1)[-1])
+        for t in (f"b_lineitem_{suf}", f"b_orders_{suf}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    except Exception:
+        pass
+
+
 def _drain_error(cwd: str, reason: str) -> None:
     """ADVICE r14: a broken drain must be distinguishable from an
     absent script — record the failure reason as a supplement line
@@ -355,19 +392,23 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # the bucketed-join WRITE is memoized (a repeat call would time
-        # the post-write fast path, not the investment) — single-pass it.
         # Sub-second queries extend to min-of-5 (r15, VERDICT r14 task
         # 6: four untouched sub-second queries spiked >8% at min-of-3
         # and needed a focused re-run to adjudicate — the extra two
         # interleaved passes are cheaper than that tax every round).
-        passes = 1 if name == "scale_bucketed_join" else 3
+        # scale_bucketed_join gets min-of-3 too now (r16, VERDICT r15
+        # task 3: its single-pass timing produced the only same-window
+        # "regression"): the memoized bucketed WRITE is reset before
+        # every pass — in BOTH trees, the child runner does the same —
+        # so each pass pays the full write+join investment.
+        passes = 3
         best = None
         pbest = None
         done = 0
-        while done < passes or (name != "scale_bucketed_join"
-                                and done < 5
+        while done < passes or (done < 5
                                 and best is not None and best < 1.0):
+            if name == "scale_bucketed_join":
+                _reset_bucketed_head(spark, SF_DIR)
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
             el = round(time.perf_counter() - t0, 3)
@@ -382,13 +423,17 @@ def main() -> None:
         if pbest is not None:
             timings_prev[name] = pbest
     # 2M-row stream-drain A/B (r14): HEAD and prev-tree drains
-    # interleave in this same window, min of 2 each — each drain is a
-    # fresh subprocess (its own SparkSession), so neither tree's JVM
-    # warmth leaks into the other
+    # interleave in this same window, min of THREE each (r16, VERDICT
+    # r15 tasks 2/5: a single-pass drain on a 2-3x-variance box
+    # produced +16% shipped vs -2% dev-window, and nothing could
+    # adjudicate it) — each drain is a fresh subprocess (its own
+    # SparkSession), so neither tree's JVM warmth leaks into the
+    # other
     drain_head = drain_prev = None
+    drain_passes = 3
     if ab_on:
         here = os.path.dirname(os.path.abspath(__file__))
-        for _ in range(2):
+        for _ in range(drain_passes):
             h = _time_drain(here)
             if h is not None:
                 drain_head = h if drain_head is None \
@@ -492,7 +537,8 @@ def main() -> None:
             ab["queries"] = timings_prev
         if drain_head is not None:
             ab["drain_2m_cdf"] = {"head_sec": drain_head,
-                                  "prev_sec": drain_prev}
+                                  "prev_sec": drain_prev,
+                                  "passes": drain_passes}
         out["ab_prev_tree"] = ab
     # machine-speed reference: seconds of a FROZEN probe workload in
     # this same process — SECONDARY to ab_prev_tree (the probe cannot

@@ -803,6 +803,48 @@ def added_data_files(path: str, snapshot_id: int):
     return sorted(files), removed
 
 
+def _eq_delete_union(spark, pfs, eq_names, eq_layouts, fld_ids,
+                     types, evolved):
+    """Union the EQUALITY-delete parquet files ``pfs`` (``[(abs_path,
+    seq)]``, all sharing the column set ``eq_names``) into one frame
+    of the equality columns plus ``__dseq``.  On an evolved table
+    each file's columns resolve by parquet FIELD ID from
+    ``eq_layouts`` (a delete file written before a rename carries the
+    OLD physical name; reading by the current name would null-fill
+    and silently SKIP the delete — r14); the by-name fallback for
+    id-less legacy files verifies the name exists in the file or
+    gates loudly (ADVICE r14)."""
+    from pyspark.sql import functions as F
+    dels = None
+    for p, s in pfs:
+        lay_pairs = eq_layouts.get(p, ())
+        lay = {fid: nm for fid, nm in lay_pairs
+               if fid is not None}
+        file_names = {nm for _fid, nm in lay_pairs}
+        pn_of = {}
+        for n in eq_names:
+            pn = lay.get(fld_ids.get(n))
+            if pn is None:
+                if evolved and lay_pairs and n not in file_names:
+                    raise NotImplementedError(
+                        f"iceberg equality-delete file {p!r} "
+                        f"carries no footer field ids and no "
+                        f"column named {n!r} — cannot resolve "
+                        f"the delete column on an evolved table "
+                        f"(have {sorted(file_names)})")
+                pn = n
+            pn_of[n] = pn
+        eq_ddl = ", ".join(f"`{pn_of[n]}` {types[n]}"
+                           for n in eq_names)
+        one = spark.read.schema(eq_ddl).parquet(p)
+        for n in eq_names:
+            if pn_of[n] != n:
+                one = one.withColumnRenamed(pn_of[n], n)
+        one = one.withColumn("__dseq", F.lit(s).cast("bigint"))
+        dels = one if dels is None else dels.unionByName(one)
+    return dels
+
+
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                  filters: dict | None = None,
                  as_of_ms: int | None = None,
@@ -1463,38 +1505,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         eq_layouts = parquet_field_layouts(
             spark, [p for p, _s, _e in eq_files])
     for eq_names, pfs in sorted(by_eq.items()):
-        dels = None
-        for p, s in pfs:
-            lay_pairs = eq_layouts.get(p, ())
-            lay = {fid: nm for fid, nm in lay_pairs
-                   if fid is not None}
-            file_names = {nm for _fid, nm in lay_pairs}
-            pn_of = {}
-            for n in eq_names:
-                pn = lay.get(fld_ids.get(n))
-                if pn is None:
-                    # id-less legacy delete file on an EVOLVED table
-                    # (ADVICE r14): the by-name fallback must verify
-                    # the name actually exists in the file — reading
-                    # a renamed column by its NEW name would
-                    # null-fill and silently SKIP the delete
-                    if evolved and lay_pairs and n not in file_names:
-                        raise NotImplementedError(
-                            f"iceberg equality-delete file {p!r} "
-                            f"carries no footer field ids and no "
-                            f"column named {n!r} — cannot resolve "
-                            f"the delete column on an evolved table "
-                            f"(have {sorted(file_names)})")
-                    pn = n
-                pn_of[n] = pn
-            eq_ddl = ", ".join(f"`{pn_of[n]}` {types[n]}"
-                               for n in eq_names)
-            one = spark.read.schema(eq_ddl).parquet(p)
-            for n in eq_names:
-                if pn_of[n] != n:
-                    one = one.withColumnRenamed(pn_of[n], n)
-            one = one.withColumn("__dseq", F.lit(s).cast("bigint"))
-            dels = one if dels is None else dels.unionByName(one)
+        dels = _eq_delete_union(spark, pfs, eq_names, eq_layouts,
+                                fld_ids, types, evolved)
         d = dels.alias("d")
         cond = F.col("t.__seq") < F.col("d.__dseq")
         for n in eq_names:
@@ -1741,7 +1753,8 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                           delete_equality=None,
                           delete_vectors=None,
                           order_by=(), file_format="parquet",
-                          fast_append: bool = False) -> int:
+                          fast_append: bool = False,
+                          operation: str | None = None) -> int:
     """Create or extend a spec-layout Iceberg table.  Each call makes
     ONE new snapshot: the base file set is the previous snapshot's
     (empty on create), minus files whose partition dict matches
@@ -1766,7 +1779,10 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
     ``"bucket(4, k)"``, ``"truncate(3, name)"``, ``"year(ts)"`` /
     ``"month(ts)"`` / ``"day(ts)"`` / ``"hour(ts)"`` — evaluated with
     the spec transform functions; one data file per distinct
-    transformed tuple.  Returns the new snapshot id."""
+    transformed tuple.  ``operation`` overrides the snapshot
+    summary's operation (e.g. ``"replace"`` to shape a compaction
+    commit for changelog-skip tests).  Returns the new snapshot
+    id."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -2295,9 +2311,10 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
                   or delete_positions is not None
                   or delete_equality is not None
                   or delete_vectors is not None)
-    operation = ("append" if df is not None and not any_delete
-                 else "delete" if df is None
-                 else "overwrite")
+    if operation is None:
+        operation = ("append" if df is not None and not any_delete
+                     else "delete" if df is None
+                     else "overwrite")
     _parent = (append_to_snapshot if append_to_snapshot is not None
                else meta.get("current-snapshot-id"))
     meta["snapshots"].append({"snapshot-id": snap_id,
@@ -2635,21 +2652,79 @@ def iceberg_metadata_table(spark, path: str, kind: str,
 
 
 
-def _snapshot_changes(path, meta, by_id, sid, parent_sid):
+def _delete_artifacts(path, meta, by_id, sid, name_of_fid):
+    """ALL live delete artifacts of snapshot ``sid`` — its delete
+    manifests only (a handful): ``(pos_files, eq_files, dvs)`` with
+    ``pos_files`` as ``[abs_path]``, ``eq_files`` as ``[(abs_path,
+    seq, eq_col_names)]`` and ``dvs`` as ``{referenced_abs: (puffin,
+    off, sz)}``.  The predecessor side of the changelog's
+    new-minus-old computations."""
+    from .avro import decode_avro_datums
+    pos_files, eq_files, dvs = [], [], {}
+    snap2 = by_id.get(sid)
+    if snap2 is None:
+        return pos_files, eq_files, dvs
+    with open(_resolve(snap2["manifest-list"], path), "rb") as fh:
+        _s2, pmans = decode_avro_datums(fh.read())
+    for m in pmans:
+        if (m.get("content", 0) or 0) != 1:
+            continue
+        with open(_resolve(m["manifest_path"], path), "rb") as fh:
+            _s3, entries = decode_avro_datums(fh.read())
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            df_ = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number") or 0
+            fcontent = df_.get("content", 0) or 0
+            ref = df_.get("referenced_data_file")
+            if fcontent == 2:
+                eq_ids = df_.get("equality_ids") or []
+                eq_files.append((_resolve(df_["file_path"], path),
+                                 int(seq),
+                                 tuple(name_of_fid[i]
+                                       for i in eq_ids)))
+            elif ref is not None:
+                dvs[_resolve(ref, path)] = (
+                    _resolve(df_["file_path"], path),
+                    int(df_.get("content_offset")),
+                    int(df_.get("content_size_in_bytes")))
+            else:
+                pos_files.append(_resolve(df_["file_path"], path))
+    return pos_files, eq_files, dvs
+
+
+def _snapshot_changes(path, meta, by_id, sid, parent_sid,
+                      name_of_fid=None):
     """One snapshot's own change set, status-based: walk ONLY the
     manifests the snapshot itself added (same O(changed-entries)
     planning shape as the appends stream, never a live-set
-    decode) — ``added``/``removed`` as ``{path: (pvals, spec)}``
-    from status-1/status-2 data-file entries, plus its NEW v3
-    deletion vectors; the predecessor-DV map comes from the
-    PARENT snapshot's delete manifests only (a handful)."""
+    decode) — ``added``/``removed`` as ``{path: (pvals, spec,
+    seq)}`` from status-1/status-2 data-file entries, plus its NEW
+    delete artifacts: v3 deletion vectors (``new_dvs``), v2
+    position-delete parquet files (``new_pos``) and v2 equality
+    deletes (``new_eq`` as ``[(abs, seq, eq_col_names)]``, r16).
+    The predecessor artifacts (``prev_pos``/``prev_eq``/
+    ``prev_dvs``) come from the PARENT snapshot's delete manifests
+    only (a handful) — what the newly-dead-row computations diff
+    against."""
     from .avro import decode_avro_datums
+    if name_of_fid is None:
+        # field id -> CURRENT name, for equality-delete resolution
+        sch = (next(s for s in meta["schemas"]
+                    if s.get("schema-id", 0)
+                    == meta.get("current-schema-id", 0))
+               if "schemas" in meta else meta["schema"])
+        name_of_fid = {f["id"]: f["name"] for f in sch["fields"]}
     snap2 = by_id[sid]
     with open(_resolve(snap2["manifest-list"], path),
               "rb") as fh:
         _s0, manifests = decode_avro_datums(fh.read())
     default_spec_id = meta.get("default-spec-id", 0)
     added, removed, new_dvs = {}, {}, {}
+    new_pos, new_eq = [], []
     for m in manifests:
         asid = m.get("added_snapshot_id")
         if asid is not None and asid != sid:
@@ -2664,23 +2739,44 @@ def _snapshot_changes(path, meta, by_id, sid, parent_sid):
             df_ = e["data_file"]
             fcontent = df_.get("content", 0) or 0
             fmt = (df_.get("file_format") or "PARQUET").upper()
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number") or 0
             if (m.get("content", 0) or 0) == 1 or fcontent:
-                if fcontent == 2 or (
-                        fcontent == 1
-                        and df_.get("referenced_data_file")
-                        is None and fmt != "PUFFIN"):
-                    raise NotImplementedError(
-                        "iceberg changelog over position-delete "
-                        "files / equality deletes is not "
-                        "implemented (v3 deletion vectors are)")
                 if e.get("status") != 1:
-                    continue          # carried DV rides forward
-                ref = _resolve(df_["referenced_data_file"],
-                               path)
-                new_dvs[ref] = (
+                    continue      # carried delete rides forward
+                if fcontent == 2:
+                    eq_ids = df_.get("equality_ids") or []
+                    eq_names = tuple((name_of_fid or {}).get(i)
+                                     for i in eq_ids)
+                    if not eq_names or None in eq_names:
+                        raise NotImplementedError(
+                            "iceberg changelog: equality-delete "
+                            "file with missing/unresolvable "
+                            f"equality_ids {eq_ids!r}")
+                    new_eq.append(
+                        (_resolve(df_["file_path"], path),
+                         int(seq), eq_names))
+                    continue
+                ref = df_.get("referenced_data_file")
+                if ref is None and fmt != "PUFFIN":
+                    # v2 position-delete parquet FILE (r16)
+                    new_pos.append(
+                        _resolve(df_["file_path"], path))
+                    continue
+                # v3 deletion vector — a malformed PUFFIN entry
+                # (null referenced_data_file/offset/size) gates
+                # loudly instead of crashing downstream (ADVICE r15)
+                off = df_.get("content_offset")
+                sz = df_.get("content_size_in_bytes")
+                if ref is None or off is None or sz is None:
+                    raise NotImplementedError(
+                        "iceberg changelog: deletion-vector entry "
+                        "missing referenced_data_file / "
+                        "content_offset / content_size_in_bytes")
+                new_dvs[_resolve(ref, path)] = (
                     _resolve(df_["file_path"], path),
-                    int(df_.get("content_offset")),
-                    int(df_.get("content_size_in_bytes")))
+                    int(off), int(sz))
                 continue
             if fmt != "PARQUET":
                 raise NotImplementedError(
@@ -2690,37 +2786,23 @@ def _snapshot_changes(path, meta, by_id, sid, parent_sid):
                    else None)
             if tgt is not None:
                 tgt[_resolve(df_["file_path"], path)] = (
-                    dict(df_.get("partition") or {}), mspec)
-    # predecessor DVs: the parent's delete manifests only
-    prev_dvs = {}
-    if parent_sid is not None and new_dvs:
-        psnap = by_id.get(parent_sid)
-        if psnap is not None:
-            with open(_resolve(psnap["manifest-list"], path),
-                      "rb") as fh:
-                _s2, pmans = decode_avro_datums(fh.read())
-            for m in pmans:
-                if (m.get("content", 0) or 0) != 1:
-                    continue
-                with open(_resolve(m["manifest_path"], path),
-                          "rb") as fh:
-                    _s3, entries = decode_avro_datums(fh.read())
-                for e in entries:
-                    if e.get("status") == 2:
-                        continue
-                    df_ = e["data_file"]
-                    ref = df_.get("referenced_data_file")
-                    if ref is not None:
-                        prev_dvs[_resolve(ref, path)] = (
-                            _resolve(df_["file_path"], path),
-                            int(df_.get("content_offset")),
-                            int(df_.get("content_size_in_bytes")))
-    return added, removed, new_dvs, prev_dvs
+                    dict(df_.get("partition") or {}), mspec,
+                    int(seq))
+    # predecessor artifacts: the parent's delete manifests only —
+    # needed whenever this snapshot deletes rows OR removes files
+    # (a removed file's already-dead rows must not re-emit)
+    prev_pos, prev_eq, prev_dvs = [], [], {}
+    if parent_sid is not None and (new_dvs or new_pos or new_eq
+                                   or removed):
+        prev_pos, prev_eq, prev_dvs = _delete_artifacts(
+            path, meta, by_id, parent_sid, name_of_fid or {})
+    return (added, removed, new_dvs, prev_dvs,
+            new_pos, new_eq, prev_pos, prev_eq)
 
 
 def _lookup_partitions(path, meta, by_id, sid, need):
-    """(pvals, spec) of the RETAINED files a DV targets: decode
-    the snapshot's data manifests with EARLY EXIT once every
+    """(pvals, spec, seq) of the RETAINED files a delete targets:
+    decode the snapshot's data manifests with EARLY EXIT once every
     needed path resolved — worst case the live set, typically one
     manifest."""
     from .avro import decode_avro_datums
@@ -2747,43 +2829,105 @@ def _lookup_partitions(path, meta, by_id, sid, need):
             df_ = e["data_file"]
             p = _resolve(df_["file_path"], path)
             if p in todo:
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = m.get("sequence_number") or 0
                 out[p] = (dict(df_.get("partition") or {}),
-                          mspec)
+                          mspec, int(seq))
                 todo.discard(p)
     if todo:
         raise ValueError(
-            f"iceberg changelog: deletion vector references "
+            f"iceberg changelog: delete artifact references "
             f"data file(s) not live in snapshot {sid}: "
             f"{sorted(todo)[:3]}")
+    return out
+
+
+def _live_files_of(path, meta, by_id, sid):
+    """EVERY live data file of snapshot ``sid`` as ``{abs:
+    (pvals, spec, seq)}`` — the equality-delete side of the
+    changelog needs the parent's full live set with sequence
+    numbers below the delete's (an equality delete's honest scope
+    is the whole table); planning is O(live manifest entries), the
+    same class as ``live_data_files``."""
+    from .avro import decode_avro_datums
+    snap2 = by_id[sid]
+    with open(_resolve(snap2["manifest-list"], path),
+              "rb") as fh:
+        _s0, manifests = decode_avro_datums(fh.read())
+    default_spec_id = meta.get("default-spec-id", 0)
+    out = {}
+    for m in manifests:
+        if (m.get("content", 0) or 0) != 0:
+            continue
+        mspec = m.get("partition_spec_id")
+        if mspec is None:
+            mspec = default_spec_id
+        with open(_resolve(m["manifest_path"], path),
+                  "rb") as fh:
+            _s1, entries = decode_avro_datums(fh.read())
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            df_ = e["data_file"]
+            if (df_.get("content", 0) or 0) != 0:
+                continue
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number") or 0
+            out[_resolve(df_["file_path"], path)] = (
+                dict(df_.get("partition") or {}), mspec, int(seq))
     return out
 
 def read_iceberg_changes(spark, path: str,
                          from_snapshot_id: int | None = None,
                          to_snapshot_id: int | None = None):
-    """Iceberg CHANGELOG read (r15) — the row-level change feed real
-    engines expose as the ``changes`` / changelog table: for every
-    snapshot AFTER ``from_snapshot_id`` (exclusive; None = from table
-    start) up TO ``to_snapshot_id`` (inclusive; None = current), emit
-    the rows of files the snapshot ADDED as ``insert`` and the rows
-    of files it REMOVED as ``delete``, plus the rows newly dead under
-    v3 DELETION VECTORS it wrote (a replacement DV contributes only
-    its NEW positions — old minus new is spec-forbidden shrinkage).
-    Output columns: the table's columns plus ``_change_type``
+    """Iceberg CHANGELOG read (r15, v2 deletes + flat schema
+    evolution r16) — the row-level change feed real engines expose as
+    the ``changes`` / changelog table: for every snapshot AFTER
+    ``from_snapshot_id`` (exclusive; None = from table start) up TO
+    ``to_snapshot_id`` (inclusive; None = current), emit the rows of
+    files the snapshot ADDED as ``insert`` and the rows it deleted as
+    ``delete``: whole files it REMOVED (minus rows that were already
+    dead at the parent — a dropped file's previously-deleted rows
+    must not re-emit), rows newly dead under v3 DELETION VECTORS it
+    wrote (a replacement DV contributes only its NEW positions), rows
+    newly dead under v2 POSITION-DELETE files it added, and rows
+    newly dead under v2 EQUALITY deletes it added (scoped to data
+    files with sequence number STRICTLY below the delete's, matched
+    null-safely, minus the parent's already-dead rows) — the
+    merge-on-read shapes real v2 tables deliver row-level deletes as
+    (VERDICT r15 task 1).  Snapshots whose summary operation is
+    ``replace`` (compactions: file rewrites with no logical change)
+    emit nothing, as in Iceberg's own changelog scan.  Output
+    columns: the table's columns plus ``_change_type``
     (insert/delete), ``_change_ordinal`` (0-based position of the
     snapshot in the requested span) and ``_commit_snapshot_id``.
 
-    Scope gates (loud): parquet data files only; schema-evolved
-    tables, position-delete FILES and equality deletes in the span
-    are not implemented for changelog reads.  Scale shape: each
-    snapshot contributes one scan over only its ADDED/REMOVED files
-    (O(changed files), never a table scan); DV deltas expand
-    executor-side and semi-join on ``(file, position)``."""
+    Schema evolution (r16): flat renamed/added columns resolve
+    per-file by parquet footer FIELD ID (one distributed footer job
+    per scan — the same layout tap batch reads use), with v3
+    ``initial-default`` values for files predating an added column;
+    evolved tables with NESTED columns still gate loudly.
+
+    Scope gates (loud): parquet data files only.  Scale shape: each
+    snapshot's insert/remove side scans only its ADDED/REMOVED files
+    (O(changed files)); position-delete targets resolve through one
+    small distinct-paths job + an early-exit manifest lookup; an
+    EQUALITY delete's affected set is the parent's live files below
+    its sequence number — the honest cost of an equality delete (it
+    can target the whole table); all delete sets stay distributed as
+    ``(file, position)`` key frames (semi/anti joins, AQE broadcasts
+    small sides), the driver never holds positions or bitmaps."""
     from pyspark.sql import functions as F
+
+    from .layouts import parquet_field_layouts
     with open(_latest_metadata(path)) as fh:
         meta = json.load(fh)
     _check_format_version(meta, path)
     snaps = meta.get("snapshots", [])
     by_id = {s["snapshot-id"]: s for s in snaps}
+    current = to_snapshot_id is None
     if to_snapshot_id is None:
         to_snapshot_id = meta.get("current-snapshot-id")
     if to_snapshot_id not in by_id:
@@ -2801,67 +2945,236 @@ def read_iceberg_changes(spark, path: str,
             f"snapshot {from_snapshot_id} is not an ancestor of "
             f"{to_snapshot_id} at {path}")
     chain.reverse()
-    if "schemas" in meta and len(meta["schemas"]) > 1:
+    fields, _ps, _files, _d = live_data_files(
+        path, to_snapshot_id, use_current_schema=current)
+    bad_fmt = sorted({f[3] for f in _files if f[3] != "PARQUET"})
+    if bad_fmt:
         raise NotImplementedError(
-            "iceberg changelog over a schema-evolved table is not "
-            "implemented")
-    fields, _ps, _f, _d = live_data_files(path, to_snapshot_id)
+            f"iceberg changelog over {bad_fmt} data files")
     types = dict(fields)
+    field_names = [n for n, _t in fields]
     ddl = ", ".join(f"{n} {t}" for n, t in fields)
-
-
-    name_of_fid = {f["id"]: f["name"]
-                   for f in (meta["schemas"][0]["fields"]
-                             if "schemas" in meta
-                             else meta["schema"]["fields"])}
+    sch_id = (None if current
+              else by_id[to_snapshot_id].get("schema-id"))
+    fld_ids, n_schemas = _schema_inventory(path, sch_id)
+    evolved = n_schemas > 1
+    raw_fields = _schema_fields_json(path, sch_id)
+    nested_cols = {n for n, f in raw_fields.items()
+                   if not isinstance(f["type"], str)}
+    if evolved and (nested_cols & set(field_names)):
+        raise NotImplementedError(
+            "iceberg changelog over a schema-evolved table with "
+            "NESTED columns is not implemented (flat schema "
+            "evolution is, r16)")
+    # v3 initial-defaults: a column added with a default reads the
+    # DEFAULT (not null) from files predating it (r15)
+    defaults = {n: F.lit(_ice_default_py(f["initial-default"],
+                                         types[n], n)).cast(types[n])
+                for n, f in raw_fields.items()
+                if f.get("initial-default") is not None
+                and n in types}
+    name_of_fid = {v: k for k, v in fld_ids.items()}
     specs_by_id = {s: _parse_part_spec(sp, name_of_fid)
                    for s, sp in _raw_specs(meta).items()}
     ident_of = {s: {src: fname for t, _p, src, fname in sp
                     if t == "identity"}
                 for s, sp in specs_by_id.items()}
 
-    def _scan(file_map, kind, ordinal, sid, pos_frame=None):
-        """One scan over ``file_map``'s files tagged with the change
-        metadata; ``pos_frame`` (fp,pos) semi-joins to just the newly
-        dead rows."""
+    def _norm(col):
+        # delete files record paths as the writer did (URI/relative)
+        # — normalize to plain absolute, Spark-side
+        c = F.regexp_replace(col, "^file:/+", "/")
+        return F.when(c.startswith("/"), c).otherwise(
+            F.concat(F.lit(os.path.abspath(path) + "/"), c))
+
+    def _rows(file_map, with_keys):
+        """One logical scan over ``file_map`` (``{abs: (pvals, spec,
+        seq)}``): the table's columns, resolved per-file by footer
+        field id when the schema evolved (grouped so each distinct
+        layout is ONE parquet scan), identity partition values and
+        the file's sequence number re-attached from a broadcast
+        file map; ``with_keys`` keeps ``__fp``/``__pos``/``__seq``
+        for the caller's row diffs."""
         paths = sorted(file_map)
-        df = spark.read.schema(ddl).parquet(*paths)
         attach = sorted({src for p in paths
                          for src in ident_of.get(file_map[p][1], {})}
                         & set(types))
-        if attach or pos_frame is not None:
-            df = df.withColumn(
-                "__fp",
-                F.regexp_replace(F.col("_metadata.file_path"),
-                                 "^file:/+", "/"))
-        if pos_frame is not None:
-            df = df.withColumn("__pos",
-                               F.col("_metadata.row_index"))
-            df = df.join(pos_frame, on=["__fp", "__pos"],
-                         how="left_semi")
-        if attach:
-            rows = [(p, *[str(file_map[p][0].get(
-                        ident_of.get(file_map[p][1], {}).get(c)))
-                        if ident_of.get(file_map[p][1], {}).get(c)
-                        in file_map[p][0] else None
-                        for c in attach])
-                    for p in paths]
-            pm = F.broadcast(spark.createDataFrame(
-                rows, "__fp string, " + ", ".join(
-                    f"`{c}__m` string" for c in attach)))
-            df = df.join(pm, on="__fp", how="left")
-            for c in attach:
+        lay_of: dict = {}
+        if evolved:
+            for p, flds in parquet_field_layouts(
+                    spark, paths).items():
+                byfid = {fid: nm for fid, nm in flds
+                         if fid is not None}
+                names = {nm for _f, nm in flds}
+                m = {}
+                for n2 in field_names:
+                    fid = fld_ids.get(n2)
+                    if fid is not None and fid in byfid:
+                        m[n2] = byfid[fid]
+                    elif n2 in names:
+                        m[n2] = n2
+                lay_of[p] = tuple(sorted(m.items()))
+        groups: dict = {}
+        for p in paths:
+            groups.setdefault(lay_of.get(p, ()), []).append(p)
+        need_fp = with_keys or bool(attach)
+        parts2 = []
+        for lay, ps in sorted(groups.items()):
+            if evolved:
+                lmap = dict(lay)
+                ddl_g = ", ".join(f"`{lmap[n]}` {types[n]}"
+                                  for n in field_names if n in lmap)
+            else:
+                lmap = None
+                ddl_g = ddl
+            df = spark.read.schema(ddl_g).parquet(*ps)
+            if evolved:
+                for n in field_names:
+                    if n in lmap and lmap[n] != n:
+                        df = df.withColumnRenamed(lmap[n], n)
+                    elif n not in lmap:  # column postdates the file
+                        df = df.withColumn(
+                            n, defaults.get(
+                                n, F.lit(None).cast(types[n])))
+            if need_fp:
                 df = df.withColumn(
+                    "__fp", _norm(F.col("_metadata.file_path")))
+            if with_keys:
+                df = df.withColumn("__pos",
+                                   F.col("_metadata.row_index"))
+            parts2.append(df.select(
+                *(field_names
+                  + (["__fp"] if need_fp else [])
+                  + (["__pos"] if with_keys else []))))
+        out2 = parts2[0]
+        for q in parts2[1:]:
+            out2 = out2.unionByName(q)
+        if attach or with_keys:
+            pm_rows = []
+            for p in paths:
+                pvals, sp, seq = file_map[p]
+                fname_of = ident_of.get(sp, {})
+                vals = []
+                for c in attach:
+                    fname = fname_of.get(c)
+                    v = (pvals.get(fname)
+                         if fname is not None and fname in pvals
+                         else None)
+                    vals.append(None if v is None else str(v))
+                pm_rows.append((p, int(seq), *vals))
+            pm_ddl = ", ".join(
+                ["__fp string", "__mseq bigint"]
+                + [f"`{c}__m` string" for c in attach])
+            pm = F.broadcast(spark.createDataFrame(pm_rows, pm_ddl))
+            out2 = out2.join(pm, on="__fp", how="left")
+            # fail CLOSED on a path-normalization miss (every row
+            # here is parquet with a non-null __fp)
+            miss = F.col("__mseq").isNull()
+
+            def _checked(val):
+                return F.when(miss, F.raise_error(F.lit(
+                    "iceberg changelog attach map missed a scanned "
+                    "file path — refusing to degrade to NULL "
+                    "partition values / unscoped equality deletes"
+                ))).otherwise(val)
+
+            for c in attach:
+                out2 = out2.withColumn(
                     c, F.coalesce(F.col(c),
-                                  F.col(f"{c}__m").cast(types[c])))
-            df = df.drop(*[f"{c}__m" for c in attach])
-        df = df.drop("__fp", "__pos")
-        return (df.select(*[n for n, _t in fields])
+                                  _checked(F.col(f"{c}__m")
+                                           .cast(types[c]))))
+            if with_keys:
+                out2 = out2.withColumn("__seq",
+                                       _checked(F.col("__mseq")))
+            out2 = out2.drop("__mseq",
+                             *[f"{c}__m" for c in attach])
+        return out2
+
+    def _finish(df, kind, ordinal, sid):
+        return (df.select(*field_names)
                 .withColumn("_change_type", F.lit(kind))
                 .withColumn("_change_ordinal",
                             F.lit(ordinal).cast("int"))
                 .withColumn("_commit_snapshot_id",
                             F.lit(int(sid)).cast("bigint")))
+
+    def _pos_keys(pos_paths):
+        """(fp,pos) keys of v2 position-delete parquet files — a
+        distributed scan, normalized Spark-side."""
+        return (spark.read.schema("file_path string, pos bigint")
+                .parquet(*sorted(pos_paths))
+                .select(_norm(F.col("file_path")).alias("__fp"),
+                        F.col("pos").alias("__pos")))
+
+    def _dv_keys(dv_map):
+        """Full (fp,pos) expansion of ``{ref: (puffin, off, sz)}`` —
+        blobs decode on the EXECUTORS, the driver never holds a
+        bitmap."""
+        rows3 = [(pp, int(off), int(sz), ref)
+                 for ref, (pp, off, sz) in sorted(dv_map.items())]
+
+        def _expand(batches):
+            import pandas as pd
+            for pdf in batches:
+                for p2, off2, sz2, ref2 in zip(
+                        pdf["path"], pdf["off"], pdf["sz"],
+                        pdf["ref"]):
+                    pos2 = _read_puffin_dv(p2, int(off2), int(sz2))
+                    yield pd.DataFrame({"__fp": [ref2] * len(pos2),
+                                        "__pos": pos2})
+
+        n3 = min(len(rows3),
+                 max(32, spark.sparkContext.defaultParallelism))
+        return (spark.createDataFrame(
+            rows3, "path string, off bigint, sz bigint, ref string")
+            .repartition(n3, "path", "off")
+            .mapInPandas(_expand, "__fp string, __pos bigint"))
+
+    def _eq_key_frames(rows_frame, eq_items):
+        """(fp,pos) keys of ``rows_frame`` rows matched by the
+        equality-delete files ``[(abs, seq, names)]`` — null-safe
+        equality, strict ``file seq < delete seq`` scope, resolved
+        by field id on evolved tables."""
+        by_eq: dict = {}
+        for p, s2, e in eq_items:
+            by_eq.setdefault(tuple(e), []).append((p, s2))
+        eq_layouts: dict = {}
+        if evolved:
+            eq_layouts = parquet_field_layouts(
+                spark, [p for p, _s, _e in eq_items])
+        frames = []
+        for eq_names, pfs in sorted(by_eq.items()):
+            dels = _eq_delete_union(spark, pfs, eq_names,
+                                    eq_layouts, fld_ids, types,
+                                    evolved)
+            t = rows_frame.alias("t")
+            d = dels.alias("d")
+            cond = F.col("t.__seq") < F.col("d.__dseq")
+            for n in eq_names:
+                cond = cond & F.col(f"t.`{n}`").eqNullSafe(
+                    F.col(f"d.`{n}`"))
+            frames.append(t.join(d, on=cond, how="left_semi")
+                          .select("__fp", "__pos"))
+        return frames
+
+    def _dead_keys(rows_frame, pos_paths, dv_map, eq_items):
+        """Distinct (fp,pos) keys dead under the given delete
+        artifacts (None when there are none).  Superset keys
+        (targets outside ``rows_frame``'s files) are harmless —
+        they match nothing."""
+        frames = []
+        if pos_paths:
+            frames.append(_pos_keys(pos_paths))
+        if dv_map:
+            frames.append(_dv_keys(dv_map))
+        if eq_items:
+            frames.extend(_eq_key_frames(rows_frame, eq_items))
+        if not frames:
+            return None
+        out3 = frames[0]
+        for f3 in frames[1:]:
+            out3 = out3.unionByName(f3)
+        return out3.distinct()
 
     def _dv_frame(entries):
         """[(puffin, off, sz, ref, old_puffin|None, old_off,
@@ -2891,16 +3204,82 @@ def read_iceberg_changes(spark, path: str,
             .repartition(n, "path", "off")
             .mapInPandas(_expand, "__fp string, __pos bigint"))
 
-
     parts = []
     for ordinal, s in enumerate(chain):
         sid = s["snapshot-id"]
-        added, removed, new_dvs, prev_dvs = _snapshot_changes(
-            path, meta, by_id, sid, s.get("parent-snapshot-id"))
+        if (s.get("summary") or {}).get("operation") == "replace":
+            # compaction: rewrites files, no logical row change —
+            # Iceberg's own changelog scan skips these too
+            continue
+        (added, removed, new_dvs, prev_dvs,
+         new_pos, new_eq, prev_pos, prev_eq) = _snapshot_changes(
+            path, meta, by_id, sid, s.get("parent-snapshot-id"),
+            name_of_fid=name_of_fid)
+        prev_any = bool(prev_pos or prev_eq or prev_dvs)
         if added:
-            parts.append(_scan(added, "insert", ordinal, sid))
+            parts.append(_finish(_rows(added, False), "insert",
+                                 ordinal, sid))
         if removed:
-            parts.append(_scan(removed, "delete", ordinal, sid))
+            if prev_any:
+                # a removed file's rows already dead at the parent
+                # (its position/equality deletes, its DV) were
+                # deleted in EARLIER snapshots — emitting them again
+                # would double-count the delete
+                rr = _rows(removed, True)
+                dead_prev = _dead_keys(
+                    rr, prev_pos,
+                    {r: v for r, v in prev_dvs.items()
+                     if r in removed}, prev_eq)
+                if dead_prev is not None:
+                    rr = rr.join(dead_prev, on=["__fp", "__pos"],
+                                 how="left_anti")
+                parts.append(_finish(rr, "delete", ordinal, sid))
+            else:
+                parts.append(_finish(_rows(removed, False),
+                                     "delete", ordinal, sid))
+        # v2 delete files NEW in this snapshot (r16): rows newly
+        # dead = rows matched by the new deletes, minus rows already
+        # dead at the parent.  Deletes whose target file left with
+        # the removes contribute nothing (those rows just emitted as
+        # whole-file deletes); deletes targeting files ADDED in this
+        # same snapshot emit same-ordinal delete rows (MOR-upsert
+        # shape — consumers fold by ordinal, as with DVs).
+        if new_pos or new_eq:
+            affected: dict = {}
+            if new_pos:
+                refs = {r["__fp"] for r in
+                        _pos_keys(new_pos).select("__fp")
+                        .distinct().collect()}
+                refs -= set(removed)
+                take = {r: added[r] for r in refs if r in added}
+                missing = refs - set(take)
+                if missing:
+                    take.update(_lookup_partitions(
+                        path, meta, by_id, sid, missing))
+                affected.update(take)
+            if new_eq:
+                max_dseq = max(s2 for _p, s2, _e in new_eq)
+                psid = s.get("parent-snapshot-id")
+                if psid is not None and psid in by_id:
+                    for p2, v in _live_files_of(
+                            path, meta, by_id, psid).items():
+                        if v[2] < max_dseq and p2 not in removed:
+                            affected.setdefault(p2, v)
+            if affected:
+                ra = _rows(affected, True)
+                newdead = _dead_keys(ra, new_pos, {}, new_eq)
+                emit = ra.join(newdead, on=["__fp", "__pos"],
+                               how="left_semi")
+                if prev_any:
+                    dead_prev = _dead_keys(
+                        ra, prev_pos,
+                        {r: v for r, v in prev_dvs.items()
+                         if r in affected}, prev_eq)
+                    if dead_prev is not None:
+                        emit = emit.join(dead_prev,
+                                         on=["__fp", "__pos"],
+                                         how="left_anti")
+                parts.append(_finish(emit, "delete", ordinal, sid))
         # DV deltas on RETAINED files: new or replaced vectors
         dv_entries = []
         for ref, (pp, off, sz) in sorted(new_dvs.items()):
@@ -2925,8 +3304,11 @@ def read_iceberg_changes(spark, path: str,
             targets = {r: added[r] for r in need if r in added}
             targets.update(_lookup_partitions(
                 path, meta, by_id, sid, need - set(targets)))
-            parts.append(_scan(targets, "delete", ordinal, sid,
-                               pos_frame=dead))
+            rt = _rows(targets, True)
+            parts.append(_finish(
+                rt.join(dead, on=["__fp", "__pos"],
+                        how="left_semi"),
+                "delete", ordinal, sid))
     if not parts:
         return spark.createDataFrame(
             [], ddl + ", _change_type string, _change_ordinal int, "

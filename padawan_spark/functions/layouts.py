@@ -67,6 +67,7 @@ def parquet_field_layouts(spark, paths) -> dict:
         import json as _json
 
         import pandas as pd
+        import pyarrow as pa
         import pyarrow.parquet as pq
         for pdf in batches:
             rows = []
@@ -78,12 +79,22 @@ def parquet_field_layouts(spark, paths) -> dict:
                         fid = md.get(b"PARQUET:field_id")
                         pairs.append((int(fid) if fid is not None
                                       else None, fld.name))
-                except Exception:
+                except (pa.lib.ArrowNotImplementedError,
+                        pa.lib.ArrowInvalid, OSError) as exc:
                     # pyarrow refuses footers carrying unknown
-                    # logical types (VARIANT) — fall back to the
-                    # in-repo thrift footer walk (r15)
+                    # logical types (VARIANT, surfaced as
+                    # ArrowIOError/OSError) — fall back to the
+                    # in-repo thrift footer walk (r15).  Narrowed
+                    # error classes (ADVICE r15): an unrelated
+                    # failure (e.g. TypeError) surfaces as ITS OWN
+                    # exception, and a truncated/unreadable file
+                    # fails the walk too, which re-raises WITH the
+                    # original pyarrow error chained.
                     from .parquetfooter import footer_field_layout
-                    pairs = footer_field_layout(p)
+                    try:
+                        pairs = footer_field_layout(p)
+                    except Exception as exc2:
+                        raise exc2 from exc
                 rows.append((p, _json.dumps(pairs)))
             yield pd.DataFrame(rows, columns=["path", "layout"])
 

@@ -235,17 +235,23 @@ def _field_trees(spark, paths, fmt: str) -> dict:
                     key = b"iceberg.id"
                     trees = [_arrow_tree(f, key) for f in flds]
                 else:
+                    import pyarrow as pa
                     import pyarrow.parquet as pq
                     try:
                         flds = list(pq.read_schema(p))
                         trees = [_arrow_tree(f) for f in flds]
-                    except Exception:
+                    except (pa.lib.ArrowNotImplementedError,
+                            pa.lib.ArrowInvalid, OSError) as exc:
                         # footer carries a logical type pyarrow does
                         # not know (VARIANT) — the in-repo thrift
                         # footer walk recovers the id tree (r15,
-                        # VERDICT r14 task 4)
+                        # VERDICT r14 task 4).  Narrowed error
+                        # classes + chained re-raise: ADVICE r15.
                         from .parquetfooter import footer_field_trees
-                        trees = footer_field_trees(p)
+                        try:
+                            trees = footer_field_trees(p)
+                        except Exception as exc2:
+                            raise exc2 from exc
                 rows.append((p, _json.dumps(trees)))
             yield pd.DataFrame(rows, columns=["path", "layout"])
 

@@ -217,9 +217,20 @@ def footer_field_trees(path: str) -> list:
         conv, kids = n["converted"], n["kids"]
         if conv == _CONV_LIST and kids:
             rep = kids[0]
-            # modern 3-level list: repeated group wrapping the
-            # element; legacy 2-level: repeated element directly
-            elem = rep["kids"][0] if rep["kids"] else rep
+            # parquet-format LogicalTypes.md backward-compat rules
+            # (ADVICE r15 — "any repeated group with kids" wrongly
+            # classified a legacy 2-level list of structs as a
+            # 3-level wrapper): the REPEATED NODE ITSELF is the
+            # element when it is not a group, has multiple fields,
+            # or has one field but is named `array` / `<list>_tuple`;
+            # only the remaining shape (single-field repeated group,
+            # the modern `list` wrapper) collapses to its child
+            if (len(rep["kids"]) == 1
+                    and rep["name"] != "array"
+                    and rep["name"] != n["name"] + "_tuple"):
+                elem = rep["kids"][0]        # modern 3-level wrapper
+            else:
+                elem = rep                   # legacy 2-level element
             return [n["field_id"], n["name"], [norm(elem)]]
         if conv in (_CONV_MAP, _CONV_MAP_KEY_VALUE) and kids:
             kv = kids[0]

@@ -2968,3 +2968,69 @@ def src_delta_detail(spark, sf_dir):
     cnt = read_delta(spark, t).agg(
         F.count(F.lit(1)).cast("bigint").alias("rows_now"))
     return det.crossJoin(cnt)
+
+
+@query("src_iceberg_changelog_deletes", oracle="""
+WITH src AS (SELECT o_orderkey AS k FROM orders
+             WHERE o_orderkey < 400),
+r AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) - 1 AS rn FROM src),
+b AS (
+  SELECT 0 AS ordinal, 'insert' AS ctype, COUNT(*) AS n_rows,
+         SUM(k) AS k_sum FROM r
+  UNION ALL
+  SELECT 1, 'delete', COUNT(*), SUM(k) FROM r
+   WHERE rn BETWEEN 0 AND 9
+  UNION ALL
+  SELECT 2, 'delete', COUNT(*), SUM(k) FROM r
+   WHERE rn BETWEEN 10 AND 14
+  UNION ALL
+  SELECT 3, 'delete', COUNT(*), SUM(k) FROM r
+   WHERE rn = (SELECT MAX(rn) FROM r)
+  UNION ALL
+  SELECT 4, 'delete', COUNT(*), SUM(k) FROM r
+   WHERE rn BETWEEN 15 AND (SELECT MAX(rn) - 1 FROM r)
+)
+SELECT CAST(ordinal AS INT) AS ordinal, ctype,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(k_sum AS BIGINT) AS k_sum
+FROM b
+""")
+def src_iceberg_changelog_deletes(spark, sf_dir):
+    """Iceberg CHANGELOG over v2 DELETE FILES (r16, VERDICT r15 task
+    1): the merge-on-read shapes a production v2 table delivers
+    row-level deletes as.  Five snapshots over one sorted data file:
+    (1) insert; (2) a position-delete file for rows 0-9; (3) an
+    OVERLAPPING position-delete file for rows 5-14 — newly dead must
+    be only 10-14; (4) an equality delete on the min and max keys —
+    the min is already position-dead, so only the max row is newly
+    dead (null-safe match, strict ``file seq < delete seq`` scope);
+    (5) a whole-file remove — only the still-live remainder emits.
+    Grouped per (ordinal, change type), the oracle restates each
+    snapshot's exact newly-dead set from ROW_NUMBER ranks.  Scale
+    shape: delete sets stay distributed as (file, position) key
+    frames — pos files scan as parquet, equality matches ride a
+    column-pruned semi-join, already-dead rows subtract by anti-join;
+    the driver never holds positions."""
+    from ..functions.iceberg import (read_iceberg_changes,
+                                     write_iceberg_fixture)
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 400).select(
+        F.col("o_orderkey").cast("bigint").alias("k"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_icd_"), "tbl")
+    s1 = write_iceberg_fixture(spark, o, t, order_by=("k",))
+    fp = f"data/snap{s1}-0.parquet"
+    write_iceberg_fixture(spark, None, t,
+                          delete_positions={fp: list(range(10))})
+    write_iceberg_fixture(spark, None, t,
+                          delete_positions={fp: list(range(5, 15))})
+    kmin, kmax = o.agg(F.min("k"), F.max("k")).first()
+    write_iceberg_fixture(spark, None, t,
+                          delete_equality=(("k",),
+                                           [(int(kmin),),
+                                            (int(kmax),)]))
+    write_iceberg_fixture(spark, None, t, delete_partition={})
+    ch = read_iceberg_changes(spark, t)
+    return (ch.groupBy(F.col("_change_ordinal").alias("ordinal"),
+                       F.col("_change_type").alias("ctype"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("k").cast("bigint").alias("k_sum")))

@@ -801,3 +801,87 @@ def streaming_iceberg_changes(spark, sf_dir):
             .groupBy(F.col("_change_type").alias("change"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.sum("k").cast("bigint").alias("k_sum")))
+
+
+@query("streaming_iceberg_changes_deletes", oracle="""
+WITH src AS (SELECT o_orderkey AS k FROM orders
+             WHERE o_orderkey < 400),
+r AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) - 1 AS rn FROM src),
+b AS (
+  SELECT 0 AS ordinal, 'insert' AS ctype, COUNT(*) AS n_rows,
+         SUM(k) AS k_sum FROM r
+  UNION ALL
+  SELECT 1, 'delete', COUNT(*), SUM(k) FROM r
+   WHERE rn BETWEEN 0 AND 9
+  UNION ALL
+  SELECT 2, 'delete', COUNT(*), SUM(k) FROM r
+   WHERE rn BETWEEN 10 AND 14
+  UNION ALL
+  SELECT 3, 'delete', COUNT(*), SUM(k) FROM r
+   WHERE rn = (SELECT MAX(rn) FROM r)
+  UNION ALL
+  SELECT 4, 'delete', COUNT(*), SUM(k) FROM r
+   WHERE rn BETWEEN 15 AND (SELECT MAX(rn) - 1 FROM r)
+)
+SELECT CAST(ordinal AS INT) AS ordinal, ctype,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(k_sum AS BIGINT) AS k_sum
+FROM b
+""")
+def streaming_iceberg_changes_deletes(spark, sf_dir):
+    """The changelog STREAM over v2 DELETE FILES (r16): the
+    streaming twin of ``src_iceberg_changelog_deletes`` — the same
+    five merge-on-read snapshots (insert, position deletes,
+    overlapping position deletes, equality delete hitting an
+    already-dead row, whole-file remove) drained through
+    ``padawan_iceberg_changes``; snapshot order is recovered as a
+    dense rank over ``_commit_snapshot_id`` so the SAME per-ordinal
+    oracle pins each snapshot's exact newly-dead set.  Scale shape:
+    one InputPartition per changed/affected file per snapshot;
+    position/equality artifacts resolve IN THE TASK against that
+    file only."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.iceberg import write_iceberg_fixture
+    from ..sources import register_python_sources
+    from .registry import load
+    register_python_sources(spark)
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 400).select(
+        F.col("o_orderkey").cast("bigint").alias("k"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_sicd_"),
+                     "tbl")
+    s1 = write_iceberg_fixture(spark, o, t, order_by=("k",))
+    fp = f"data/snap{s1}-0.parquet"
+    write_iceberg_fixture(spark, None, t,
+                          delete_positions={fp: list(range(10))})
+    write_iceberg_fixture(spark, None, t,
+                          delete_positions={fp: list(range(5, 15))})
+    kmin, kmax = o.agg(F.min("k"), F.max("k")).first()
+    write_iceberg_fixture(spark, None, t,
+                          delete_equality=(("k",),
+                                           [(int(kmin),),
+                                            (int(kmax),)]))
+    write_iceberg_fixture(spark, None, t, delete_partition={})
+    name = "sicd_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_changes")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    w = Window.orderBy("_commit_snapshot_id")
+    return (spark.table(name)
+            .withColumn("ordinal",
+                        (F.dense_rank().over(w) - 1).cast("int"))
+            .groupBy("ordinal",
+                     F.col("_change_type").alias("ctype"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("k").cast("bigint").alias("k_sum")))

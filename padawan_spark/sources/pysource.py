@@ -1676,7 +1676,11 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
         import json as _json
 
         from ..functions.iceberg import (_latest_metadata,
+                                         _live_files_of,
                                          _lookup_partitions,
+                                         _parse_part_spec,
+                                         _raw_specs,
+                                         _schema_inventory,
                                          _snapshot_changes)
         lo_i, hi_i = start["i"], end["i"]
         self._last_end = max(self._last_end or 0, hi_i, lo_i)
@@ -1690,23 +1694,96 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
                 "table is not implemented")
         by_id = {s["snapshot-id"]: s
                  for s in meta.get("snapshots", [])}
+        # identity partition values attach by SOURCE COLUMN, resolved
+        # under each file's own spec (ADVICE r15: an identity field
+        # whose NAME differs from its source column must still fill
+        # that column — keying the const by field name silently
+        # null-fills it; the batch changelog and the appends stream
+        # both resolve field name -> source column the same way)
+        fld_ids, _ns = _schema_inventory(self.path)
+        name_of = {v: k for k, v in fld_ids.items()}
+        ident_by_spec = {
+            s: {fname: src for t, _p, src, fname
+                in _parse_part_spec(sp, name_of) if t == "identity"}
+            for s, sp in _raw_specs(meta).items()}
+
+        def _iid(sp):
+            return tuple(sorted(ident_by_spec.get(sp, {}).items()))
+
         parts = []
         snaps = self._snapshot_ids()
         # status-based per-snapshot planning (shared with the batch
         # changelog): only the manifests each snapshot itself added
-        # decode — O(changed entries), never a live-set walk
+        # decode — O(changed entries), never a live-set walk.  v2
+        # delete files (r16): position-delete targets resolve by a
+        # column-pruned driver read of the NEW delete files'
+        # ``file_path`` column (planning metadata, O(delete file));
+        # an equality delete's affected set is the parent's live
+        # files below its sequence number — its honest scope.
         for sid in snaps[lo_i:hi_i]:
-            added, removed, new_dvs, prev_dvs = _snapshot_changes(
+            if ((by_id[sid].get("summary") or {})
+                    .get("operation") == "replace"):
+                continue    # compaction: no logical row change
+            (added, removed, new_dvs, prev_dvs,
+             new_pos, new_eq, prev_pos, prev_eq) = _snapshot_changes(
                 self.path, meta, by_id, sid,
                 by_id[sid].get("parent-snapshot-id"))
-            for p, (pvals, _sp) in sorted(added.items()):
+            prev_any = bool(prev_pos or prev_eq or prev_dvs)
+
+            def _prev_bundle(p):
+                # the parent's delete artifacts that can apply to
+                # data file p — what "already dead" diffs against
+                if not prev_any:
+                    return None
+                return (tuple(prev_pos), tuple(prev_eq),
+                        prev_dvs.get(p))
+
+            for p, (pvals, sp, seq) in sorted(added.items()):
                 parts.append(InputPartition(
                     ("file", sid, "insert", p,
-                     tuple(sorted(pvals.items())))))
-            for p, (pvals, _sp) in sorted(removed.items()):
+                     tuple(sorted(pvals.items())), _iid(sp),
+                     int(seq), None)))
+            for p, (pvals, sp, seq) in sorted(removed.items()):
                 parts.append(InputPartition(
                     ("file", sid, "delete", p,
-                     tuple(sorted(pvals.items())))))
+                     tuple(sorted(pvals.items())), _iid(sp),
+                     int(seq), _prev_bundle(p))))
+            if new_pos or new_eq:
+                affected = {}
+                if new_pos:
+                    import pyarrow.parquet as _pq
+                    refs = set()
+                    for dp in new_pos:
+                        col = _pq.read_table(
+                            dp, columns=["file_path"]
+                        ).column("file_path").to_pylist()
+                        refs.update(self._norm_path(v)
+                                    for v in col)
+                    refs -= set(removed)
+                    take = {r: added[r] for r in refs
+                            if r in added}
+                    missing = refs - set(take)
+                    if missing:
+                        take.update(_lookup_partitions(
+                            self.path, meta, by_id, sid, missing))
+                    affected.update(take)
+                if new_eq:
+                    max_dseq = max(s2 for _p, s2, _e in new_eq)
+                    psid = by_id[sid].get("parent-snapshot-id")
+                    if psid is not None and psid in by_id:
+                        for p2, v in _live_files_of(
+                                self.path, meta, by_id,
+                                psid).items():
+                            if v[2] < max_dseq \
+                                    and p2 not in removed:
+                                affected.setdefault(p2, v)
+                new_bundle = (tuple(new_pos), tuple(new_eq), None)
+                for p, (pvals, sp, seq) in sorted(
+                        affected.items()):
+                    parts.append(InputPartition(
+                        ("v2del", sid, "delete", p,
+                         tuple(sorted(pvals.items())), _iid(sp),
+                         int(seq), _prev_bundle(p), new_bundle)))
             dv_items = []
             for ref, new in sorted(new_dvs.items()):
                 if ref in removed:
@@ -1717,17 +1794,63 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
                 dv_items.append((ref, new, old))
             if dv_items:
                 need = {ref for ref, _n, _o in dv_items}
-                pv_of = {r: added[r][0] for r in need if r in added}
-                for r, (pvals, _sp) in _lookup_partitions(
-                        self.path, meta, by_id, sid,
-                        need - set(pv_of)).items():
-                    pv_of[r] = pvals
+                pv_of = {r: added[r] for r in need if r in added}
+                pv_of.update(_lookup_partitions(
+                    self.path, meta, by_id, sid,
+                    need - set(pv_of)))
                 for ref, new, old in dv_items:
+                    pvals, sp, _sq = pv_of[ref]
                     parts.append(InputPartition(
                         ("dv", sid, "delete", ref,
-                         tuple(sorted(pv_of[ref].items())),
+                         tuple(sorted(pvals.items())), _iid(sp),
                          new, old)))
         return parts or [InputPartition(None)]
+
+    def _norm_path(self, v):
+        """A delete file's recorded file_path (URI / table-relative)
+        -> plain absolute path."""
+        import os as _os
+        if v.startswith("file:"):
+            v = "/" + v[5:].lstrip("/")
+        if not v.startswith("/"):
+            v = _os.path.join(_os.path.abspath(self.path), v)
+        return v
+
+    def _dead_positions(self, p, seq, bundle):
+        """Row positions of data file ``p`` (sequence ``seq``) dead
+        under ``(pos_paths, eq_items, dv_entry)`` — computed IN THE
+        TASK from the delete artifacts themselves: position files
+        filter to this file's path, equality files match null-safely
+        under the strict ``seq < dseq`` scope, a DV decodes its
+        bitmap."""
+        import pyarrow.parquet as pq
+
+        from ..functions.iceberg import _read_puffin_dv
+        pos_paths, eq_items, dv = bundle
+        dead = set()
+        for dp in pos_paths:
+            t2 = pq.read_table(dp, columns=["file_path", "pos"])
+            for fp, pos in zip(t2.column("file_path").to_pylist(),
+                               t2.column("pos").to_pylist()):
+                if self._norm_path(fp) == p:
+                    dead.add(int(pos))
+        if eq_items:
+            tb = None
+            for ep, dseq, enames in eq_items:
+                if not (seq < dseq):
+                    continue
+                t2 = pq.read_table(ep, columns=list(enames))
+                vals = set(zip(*[t2.column(c).to_pylist()
+                                 for c in enames]))
+                if tb is None:
+                    tb = pq.read_table(p)
+                cols = [tb.column(c).to_pylist() for c in enames]
+                for i, tup in enumerate(zip(*cols)):
+                    if tup in vals:
+                        dead.add(i)
+        if dv is not None:
+            dead.update(_read_puffin_dv(*dv))
+        return dead
 
     def read(self, partition):
         if partition.value is None:
@@ -1737,17 +1860,41 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
         from ..functions.iceberg import _read_puffin_dv
         kind = partition.value[0]
         if kind == "file":
-            _k, sid, ctype, p, pv = partition.value
+            (_k, sid, ctype, p, pv, iid, seq,
+             prev_bundle) = partition.value
             tb = pq.read_table(p)
+            if ctype == "delete" and prev_bundle is not None:
+                # rows already dead at the parent were deleted in
+                # EARLIER snapshots — a removed file emits only its
+                # live rows
+                dead_prev = self._dead_positions(p, seq,
+                                                 prev_bundle)
+                if dead_prev:
+                    tb = tb.take(sorted(
+                        set(range(tb.num_rows)) - dead_prev))
+        elif kind == "v2del":
+            (_k, sid, ctype, p, pv, iid, seq, prev_bundle,
+             new_bundle) = partition.value
+            dead_new = self._dead_positions(p, seq, new_bundle)
+            if prev_bundle is not None:
+                dead_new -= self._dead_positions(p, seq,
+                                                 prev_bundle)
+            tb = pq.read_table(p).take(sorted(dead_new))
         else:
-            (_k, sid, ctype, p, pv, new, old) = partition.value
+            (_k, sid, ctype, p, pv, iid, new, old) = partition.value
             tb = pq.read_table(p)
             pos = _read_puffin_dv(*new)
             if old is not None:
                 base = set(_read_puffin_dv(*old))
                 pos = [x for x in pos if x not in base]
             tb = tb.take(sorted(pos))
-        const = dict(pv)
+        # partition FIELD name -> SOURCE column (ADVICE r15): the
+        # manifest's partition tuple keys by field name; the row's
+        # column is the spec's source — identical for the common
+        # same-named identity field, different after a field rename
+        src_of = dict(iid)
+        const = {src_of[f]: v for f, v in dict(pv).items()
+                 if f in src_of}
         const["_change_type"] = ctype
         const["_commit_snapshot_id"] = int(sid)
         yield from _aligned_batches(tb, self.spark_schema,
@@ -1761,14 +1908,17 @@ class IcebergChangesSource(DataSource):
     """``spark.readStream.format("padawan_iceberg_changes")`` — the
     Iceberg CHANGELOG as a stream: per micro-batch, the row-level
     insert/delete changes of the new snapshots (added files' rows,
-    removed files' rows, v3 deletion-vector deltas — a replacement
-    vector contributes only its NEW positions), each row tagged
-    ``_change_type`` / ``_commit_snapshot_id``.  Options:
+    removed files' rows minus their already-dead rows, v3
+    deletion-vector deltas — a replacement vector contributes only
+    its NEW positions — and rows newly dead under v2
+    position-delete / equality-delete files the snapshot added,
+    r16), each row tagged ``_change_type`` /
+    ``_commit_snapshot_id``.  Snapshots whose operation is
+    ``replace`` (compactions) emit nothing.  Options:
     ``startingSnapshotId`` (consume AFTER it),
     ``maxSnapshotsPerTrigger``.  Parquet data files only;
-    schema-evolved tables and v2 position-delete/equality-delete
-    files gate loudly, mirroring the batch
-    ``read_iceberg_changes``."""
+    schema-evolved tables gate loudly (the batch
+    ``read_iceberg_changes`` reads flat evolution; use it there)."""
 
     @classmethod
     def name(cls):

@@ -5567,18 +5567,27 @@ def test_iceberg_changelog(spark, tmp_path):
                             (1, "delete", 0)])
     with pytest.raises(ValueError, match="not an ancestor"):
         read_iceberg_changes(spark, t, from_snapshot_id=999)
-    # schema evolution gates loudly
+    # flat schema evolution READS (r16): after a rename the whole
+    # span re-emits under the CURRENT name, old files resolved by
+    # parquet footer field id
     evolve_iceberg_schema_fixture(t, renames={"k": "key"})
-    with pytest.raises(NotImplementedError, match="schema-evolved"):
-        read_iceberg_changes(spark, t)
-    # position-delete FILES gate loudly
+    rows3 = sorted((r["_change_ordinal"], r["_change_type"],
+                    r["key"], r["g"])
+                   for r in read_iceberg_changes(spark, t)
+                   .collect())
+    assert rows3 == sorted((o, c, k, g)
+                           for o, c, k, g, _s in exp)
+    # v2 position-delete FILES read as delete rows (r16)
     t2 = str(tmp_path / "clpos")
     p1 = write_iceberg_fixture(spark, df, t2, order_by=("k",))
     write_iceberg_fixture(spark, None, t2, delete_positions={
         f"data/snap{p1}-0.parquet": [0]})
-    with pytest.raises(NotImplementedError,
-                       match="position-delete files"):
-        read_iceberg_changes(spark, t2)
+    rows4 = sorted((r["_change_ordinal"], r["_change_type"],
+                    r["k"])
+                   for r in read_iceberg_changes(spark, t2)
+                   .collect())
+    assert rows4 == sorted([(0, "insert", k) for k in range(6)]
+                           + [(1, "delete", 0)])
 
 
 def test_iceberg_changes_stream(spark, tmp_path):
@@ -5616,6 +5625,124 @@ def test_iceberg_changes_stream(spark, tmp_path):
                    r["k"]) for r in spark.table(name).collect())
     assert rows == sorted([(s2, "delete", 1), (s3, "insert", 10),
                            (s3, "insert", 11)])
+
+
+def _v2_deletes_changelog_table(spark, tmp_path, name):
+    """Shared fixture: the v2 merge-on-read shapes a production
+    table delivers — position-delete files (with carried-forward
+    overlap), an equality delete that targets an already-dead row,
+    and a whole-file remove after deletes.  Returns (path, sids,
+    expected (ordinal, type, k) rows)."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import write_iceberg_fixture
+    t = str(tmp_path / name)
+    df = spark.range(6).select(SF.col("id").alias("k"))
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    fp = f"data/snap{s1}-0.parquet"
+    # s2: MOR DELETE — position-delete file for rows 1 and 3
+    s2 = write_iceberg_fixture(spark, None, t,
+                               delete_positions={fp: [1, 3]})
+    # s3: another MOR DELETE whose file overlaps the first (3 is
+    # already dead) — newly dead must be ONLY position 4
+    s3 = write_iceberg_fixture(spark, None, t,
+                               delete_positions={fp: [3, 4]})
+    # s4: equality delete on k ∈ {0, 3} — 3 is already dead via
+    # positions, so only k=0 is newly dead
+    s4 = write_iceberg_fixture(spark, None, t,
+                               delete_equality=(("k",),
+                                                [(0,), (3,)]))
+    # s5: drop the file — only its still-live rows (2, 5) emit
+    s5 = write_iceberg_fixture(spark, None, t,
+                               delete_partition={})
+    exp = ([(s1, "insert", k) for k in range(6)]
+           + [(s2, "delete", 1), (s2, "delete", 3)]
+           + [(s3, "delete", 4)]
+           + [(s4, "delete", 0)]
+           + [(s5, "delete", 2), (s5, "delete", 5)])
+    return t, (s1, s2, s3, s4, s5), exp
+
+
+def test_iceberg_changelog_v2_deletes(spark, tmp_path):
+    """r16 (VERDICT r15 task 1): the changelog over v2
+    position-delete FILES and EQUALITY deletes — newly-dead rows
+    only (new minus already-dead), removed files minus their dead
+    rows, and the net live-set invariant."""
+    from padawan_spark.functions.iceberg import (read_iceberg,
+                                                 read_iceberg_changes)
+    t, sids, exp = _v2_deletes_changelog_table(spark, tmp_path,
+                                               "clv2")
+    rows = sorted((r["_commit_snapshot_id"], r["_change_type"],
+                   r["k"])
+                  for r in read_iceberg_changes(spark, t).collect())
+    assert rows == sorted(exp)
+    # folding the changelog reproduces the live set (empty here)
+    assert read_iceberg(spark, t).count() == 0
+    # narrowed span (s2, s4]: the pos-overlap and eq snapshots only
+    rows2 = sorted((r["_change_ordinal"], r["_change_type"],
+                    r["k"])
+                   for r in read_iceberg_changes(
+                       spark, t, from_snapshot_id=sids[1],
+                       to_snapshot_id=sids[3]).collect())
+    assert rows2 == sorted([(0, "delete", 4), (1, "delete", 0)])
+
+
+def test_iceberg_changelog_upsert_and_replace(spark, tmp_path):
+    """r16: MOR-UPSERT shape (same-snapshot insert + equality
+    delete of the OLD row, strict seq scoping keeps the new row) and
+    compaction (operation=replace) snapshots emitting nothing."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        read_iceberg_changes, write_iceberg_fixture)
+    t = str(tmp_path / "clups")
+    df = spark.range(3).select(SF.col("id").alias("k"),
+                               (SF.col("id") * 10).alias("v"))
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    # upsert k=1 -> v=99: new data file + eq delete k=1 in ONE
+    # snapshot; the delete scopes to files with seq < s2, so the
+    # new row survives and the OLD k=1 row emits as a delete
+    up = spark.createDataFrame([(1, 99)], "k bigint, v bigint")
+    s2 = write_iceberg_fixture(spark, up, t, order_by=("k",),
+                               delete_equality=(("k",), [(1,)]))
+    # compaction: rewrite (remove + re-add) with operation=replace
+    # — the changelog must emit NOTHING for it
+    live = spark.createDataFrame([(0, 0), (1, 99), (2, 20)],
+                                 "k bigint, v bigint")
+    s3 = write_iceberg_fixture(spark, live, t, order_by=("k",),
+                               delete_partition={},
+                               operation="replace")
+    rows = sorted((r["_commit_snapshot_id"], r["_change_type"],
+                   r["k"], r["v"])
+                  for r in read_iceberg_changes(spark, t).collect())
+    assert rows == sorted([(s1, "insert", 0, 0),
+                           (s1, "insert", 1, 10),
+                           (s1, "insert", 2, 20),
+                           (s2, "insert", 1, 99),
+                           (s2, "delete", 1, 10)])
+    assert s3 not in {r[0] for r in rows}
+
+
+def test_iceberg_changes_stream_v2_deletes(spark, tmp_path):
+    """r16: the streaming twin emits the SAME v2-delete change rows
+    as the batch changelog — position files, equality deletes,
+    removed-minus-dead."""
+    import uuid as _uuid
+
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t, _sids, exp = _v2_deletes_changelog_table(spark, tmp_path,
+                                                "clsv2")
+    name = "clsv2_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_changes")
+         .option("path", t)
+         .load().writeStream.format("memory").queryName(name)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted((r["_commit_snapshot_id"], r["_change_type"],
+                   r["k"]) for r in spark.table(name).collect())
+    assert rows == sorted(exp)
 
 
 def test_delta_detail(spark, tmp_path):
