@@ -145,7 +145,15 @@ _ICE_TO_SPARK = {"long": "bigint", "int": "int", "string": "string",
                  # TIMESTAMP (sessions here run UTC); plain iceberg
                  # "timestamp" is kept on TIMESTAMP too for fixture
                  # continuity (both decode identically in UTC)
-                 "timestamptz": "timestamp"}
+                 "timestamptz": "timestamp",
+                 # v3 variant (r16, VERDICT r15 task 4): Spark 4
+                 # reads the parquet VARIANT logical type natively —
+                 # a declared `variant` column scans straight
+                 # through, extraction is `variant_get` codegen; the
+                 # layout taps already fall back to the in-repo
+                 # thrift footer walk when pyarrow refuses VARIANT
+                 # footers (r15)
+                 "variant": "variant"}
 
 
 def _ice_leaf_ddl(t: str) -> str:
@@ -156,12 +164,13 @@ def _ice_leaf_ddl(t: str) -> str:
         return f"decimal({m.group(1)},{m.group(2)})"
     if re.match(r"^fixed\[\d+\]$", t):
         return "binary"     # FIXED_LEN_BYTE_ARRAY scans as binary
-    if (t in ("timestamp_ns", "timestamptz_ns", "variant", "unknown")
+    if (t in ("timestamp_ns", "timestamptz_ns", "unknown")
             or t.startswith("geometry") or t.startswith("geography")):
         raise NotImplementedError(
             f"iceberg v3 type {t!r} is not implemented "
-            f"(v3 reads here support initial-default column defaults "
-            f"and puffin deletion vectors only)")
+            f"(v3 reads here support initial-default column "
+            f"defaults, puffin deletion vectors, row lineage and "
+            f"variant)")
     raise NotImplementedError(f"iceberg type {t!r}")
 
 
@@ -171,9 +180,7 @@ def _ice_leaf_ddl(t: str) -> str:
 # wherever it would otherwise be silently misread (VERDICT r14 tasks
 # 1/8).
 _V3_NOT_IMPLEMENTED = (
-    "row lineage (_row_id / _last_updated_sequence_number) over "
-    "ORC/AVRO data files (parquet is implemented)",
-    "variant / geometry / geography / unknown column types",
+    "geometry / geography / unknown column types",
     "timestamp_ns / timestamptz_ns column types",
     "multi-argument partition transforms",
 )
@@ -877,9 +884,12 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     appends the spec's ``_row_id`` and
     ``_last_updated_sequence_number`` metadata columns — each file's
     inherited FIRST ROW ID plus the row's physical position, and the
-    file's data sequence number; parquet tables only (positions ride
-    ``_metadata.row_index``), files without assigned ids (pre-upgrade
-    manifests) gate loudly."""
+    file's data sequence number.  Parquet positions ride
+    ``_metadata.row_index``; ORC and AVRO files (r16, VERDICT r15
+    task 5) route through the same position-deriving scans the
+    position-delete paths use (Arrow stripe offsets / the python
+    block decoder's file order).  Files without assigned ids
+    (pre-upgrade manifests) gate loudly."""
     from pyspark.sql import functions as F
     _meta, snap = _resolve_snapshot(path, snapshot_id, as_of_ms,
                                     ref=ref)
@@ -890,11 +900,6 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         row_lineage=row_lineage)
     frid_of: dict[str, int] = {}
     if row_lineage:
-        bad_fmt = sorted({f[3] for f in files if f[3] != "PARQUET"})
-        if bad_fmt:
-            raise NotImplementedError(
-                f"iceberg row lineage over {bad_fmt} data files is "
-                "not implemented (parquet only)")
         no_id = [f[0] for f in files if f[5] is None]
         if no_id:
             raise NotImplementedError(
@@ -1086,6 +1091,15 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         dv_refs = {ref for _p, _s, (ref, _o, _z) in dv_files}
         targeted_orc |= {p for p in orc_paths if p in dv_refs}
         targeted_avro |= {p for p in avro_paths if p in dv_refs}
+    if row_lineage:
+        # v3 row lineage over ORC/AVRO (r16, VERDICT r15 task 5):
+        # _row_id needs each row's exact physical position, which
+        # only the position-deriving scans produce for these formats
+        # (Arrow stripe offsets for ORC, the python block decoder's
+        # file order for AVRO) — route EVERY ORC/AVRO file through
+        # them; parquet rides _metadata.row_index as before
+        targeted_orc = set(orc_paths)
+        targeted_avro = set(avro_paths)
     # any position-addressed delete (v2 parquet files or v3 DVs)
     # requires the (__fp, __pos) tagging on every scanned row; row
     # lineage needs the position too (_row_id = first_row_id + pos)
@@ -1951,9 +1965,22 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             # perform when rewriting a manifest.  record_count must
             # be REAL under lineage (null-id inheritance accumulates
             # it); fixture-only driver work, parquet data files only.
-            rcount = (pq.read_metadata(p).num_rows
-                      if pfmt == "PARQUET" else 0)
-            if frid is None and pfmt == "PARQUET":
+            if pfmt == "PARQUET":
+                try:
+                    rcount = pq.read_metadata(p).num_rows
+                except OSError:
+                    # VARIANT footer — pyarrow refuses; thrift walk
+                    from .parquetfooter import footer_num_rows
+                    rcount = footer_num_rows(p)
+            elif pfmt == "ORC":
+                import pyarrow.orc as _po
+                rcount = _po.ORCFile(p).nrows
+            else:                                    # AVRO (r16)
+                from .avro import decode_avro_py
+                with open(p, "rb") as fh:
+                    _flds, _rows = decode_avro_py(fh.read())
+                rcount = len(_rows)
+            if frid is None:
                 frid = meta["next-row-id"]
                 meta["next-row-id"] = frid + rcount
         entries.append({"status": status, "snapshot_id": snap_id,
@@ -1977,6 +2004,14 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             "iceberg fixture: nested columns are supported for "
             "identity-partitioned layouts only (PARQUET, ORC or "
             "AVRO data files)")
+    variant_cols = ({c for c, t2 in df.dtypes if t2 == "variant"}
+                    if df is not None else set())
+    if variant_cols and (non_identity or has_nested
+                         or file_format.lower() != "parquet"):
+        raise NotImplementedError(
+            "iceberg fixture: VARIANT columns are supported for "
+            "identity-partitioned PARQUET layouts without other "
+            "nested columns (no transform/ORC/Avro variant writes)")
     if df is not None and non_identity:
         # transform layout: evaluate the spec transforms per row on
         # the driver (the fixture writer is a test double), one data
@@ -2026,6 +2061,45 @@ def write_iceberg_fixture(spark, df, path: str, partition_by=(),
             ext = file_format.lower()
             rel = f"data/snap{snap_id}-{ki}.{ext}"
             full = os.path.join(path, rel)
+            if variant_cols & set(data_cols):
+                # v3 VARIANT data files (r16): neither pandas nor
+                # this container's pyarrow can carry variant values,
+                # so the file writes through Spark's OWN parquet
+                # writer — the same binary layout a real Iceberg v3
+                # writer emits — with PARQUET:field_id stamped from
+                # `parquet.field.id` alias metadata, then moves into
+                # place (the Delta variant fixture's shape).
+                import glob as _glob
+                import shutil as _shutil
+
+                from pyspark.sql import functions as SF
+                sel = [SF.col(f"`{c}`").alias(
+                    c, metadata={"parquet.field.id":
+                                 name_to_id[c]})
+                    for c in data_cols]
+                tmpd = full + ".jvm"
+                (sub.select(*sel).coalesce(1).write
+                 .mode("overwrite").parquet(tmpd))
+                srcf = _glob.glob(os.path.join(
+                    tmpd, "part-*.parquet"))[0]
+                _shutil.move(srcf, full)
+                _shutil.rmtree(tmpd, ignore_errors=True)
+                # pyarrow refuses VARIANT footers — the in-repo
+                # thrift walk reads FileMetaData.num_rows directly
+                from .parquetfooter import footer_num_rows
+                entries.append({"status": 1, "snapshot_id": snap_id,
+                                "sequence_number": None,
+                                "data_file": {
+                                    "content": 0, "file_path": rel,
+                                    "file_format": "PARQUET",
+                                    "partition": dict(zip(
+                                        part_fields, key)),
+                                    "record_count":
+                                        footer_num_rows(full),
+                                    "file_size_in_bytes":
+                                        os.path.getsize(full),
+                                    "equality_ids": None}})
+                continue
             if has_nested and ext != "avro":
                 # nested columns (r13): Arrow path — pandas cannot
                 # carry structs faithfully; nested field ids stamp

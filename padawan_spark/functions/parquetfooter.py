@@ -152,9 +152,9 @@ def _read_schema_element(b: bytes, pos: int) -> tuple[dict, int]:
             pos = _skip(b, pos, t, in_field=True)
 
 
-def footer_schema_elements(path: str) -> list[dict]:
-    """The footer's flat ``SchemaElement`` list (DFS order, root
-    first) straight from the trailing thrift bytes."""
+def _footer_bytes(path: str) -> bytes:
+    """The trailing ``FileMetaData`` thrift bytes (``len + PAR1``
+    framing)."""
     import os
     import struct
     with open(path, "rb") as fh:
@@ -166,7 +166,36 @@ def footer_schema_elements(path: str) -> list[dict]:
             raise ValueError(f"{path!r}: not a parquet file")
         flen = struct.unpack("<I", tail[:4])[0]
         fh.seek(size - 8 - flen)
-        b = fh.read(flen)
+        return fh.read(flen)
+
+
+def footer_num_rows(path: str) -> int:
+    """``FileMetaData.num_rows`` (field 3, i64) straight from the
+    thrift bytes — the row count for footers pyarrow refuses to open
+    (VARIANT logical type, r16)."""
+    b = _footer_bytes(path)
+    pos, fid = 0, 0
+    while True:
+        h = b[pos]
+        pos += 1
+        if h == 0:
+            break
+        t = h & 0x0F
+        delta = h >> 4
+        if delta == 0:
+            fid, pos = _zigzag(b, pos)
+        else:
+            fid += delta
+        if fid == 3 and t == _CT_I64:
+            return _zigzag(b, pos)[0]
+        pos = _skip(b, pos, t, in_field=True)
+    raise ValueError(f"{path!r}: footer carries no num_rows")
+
+
+def footer_schema_elements(path: str) -> list[dict]:
+    """The footer's flat ``SchemaElement`` list (DFS order, root
+    first) straight from the trailing thrift bytes."""
+    b = _footer_bytes(path)
     elems: list[dict] = []
     pos, fid = 0, 0
     while True:

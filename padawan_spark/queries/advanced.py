@@ -3034,3 +3034,105 @@ def src_iceberg_changelog_deletes(spark, sf_dir):
                        F.col("_change_type").alias("ctype"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                  F.sum("k").cast("bigint").alias("k_sum")))
+
+
+@query("src_iceberg_v3_variant", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS k_sum,
+       MAX(n_name) AS name_max,
+       CAST(COUNT(CASE WHEN n_regionkey = 2 THEN 1 END) AS BIGINT)
+           AS r2_cnt
+FROM nation WHERE n_nationkey <> 0
+""")
+def src_iceberg_v3_variant(spark, sf_dir):
+    """Iceberg v3 ``variant`` columns (r16, VERDICT r15 task 4):
+    semi-structured VARIANT — what Spark 4 / Iceberg 1.8 writers emit
+    for JSON-shaped data — read through Spark's native parquet
+    VARIANT support: the schema's ``variant`` leaf scans straight
+    through the declared-schema path and ``variant_get`` extraction
+    runs JVM-side.  The fixture writes nation rows as variant JSON
+    through Spark's own parquet writer (field ids stamped), upgrades
+    to format-version 3, then applies a v2 position delete to the
+    first physical row — proving variant files ride the
+    ``(file, position)`` anti-join unchanged.  Footers pyarrow
+    refuses (VARIANT logical type) resolve through the in-repo
+    thrift walk (`functions/parquetfooter.py`), including
+    ``FileMetaData.num_rows``.  Scale shape: identical to a plain
+    iceberg scan — variant is a binary column pair under the hood,
+    extraction is whole-stage codegen, no Python in the row path."""
+    from ..functions.iceberg import (
+        read_iceberg, set_iceberg_format_version_fixture,
+        write_iceberg_fixture)
+    n = load(spark, sf_dir, "nation")
+    df = n.selectExpr(
+        "cast(n_nationkey as bigint) as k",
+        "parse_json(concat('{\"k\":', n_nationkey, "
+        "',\"r\":', n_regionkey, "
+        "',\"name\":\"', n_name, '\"}')) as v")
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_ivar_"),
+                     "tbl")
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    set_iceberg_format_version_fixture(t, 3)
+    write_iceberg_fixture(spark, None, t, delete_positions={
+        f"data/snap{s1}-0.parquet": [0]})
+    return read_iceberg(spark, t).selectExpr(
+        "variant_get(v, '$.k', 'long') as vk",
+        "variant_get(v, '$.r', 'long') as vr",
+        "variant_get(v, '$.name', 'string') as vn").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vk").cast("bigint").alias("k_sum"),
+        F.max("vn").alias("name_max"),
+        F.count(F.when(F.col("vr") == 2, 1)).cast("bigint")
+        .alias("r2_cnt"))
+
+
+@query("src_iceberg_lineage_mixed", oracle="""
+WITH r AS (SELECT n_nationkey AS k,
+                  ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1
+                      AS rid
+           FROM nation)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(rid) AS BIGINT) AS rid_sum,
+       CAST(SUM(rid * k) AS BIGINT) AS rk_sum,
+       CAST(SUM(CASE WHEN k < 10 THEN 1 WHEN k < 17 THEN 2
+                     ELSE 3 END) AS BIGINT) AS seq_sum
+FROM r
+""")
+def src_iceberg_lineage_mixed(spark, sf_dir):
+    """Iceberg v3 ROW LINEAGE over a MIXED parquet+AVRO+ORC table
+    (r16, VERDICT r15 task 5): three snapshots write nation rows
+    into one data file per format (parquet pre-upgrade, Avro and ORC
+    after the v3 upgrade); the fold lazily assigns the pre-upgrade
+    file's ids, fresh files inherit past them, so ``_row_id`` equals
+    the global 0-based rank of ``k`` and
+    ``_last_updated_sequence_number`` is each file's data sequence
+    number.  Parquet positions ride ``_metadata.row_index``; ORC
+    derives them from running Arrow stripe offsets; Avro from the
+    block decoder's file order.  The oracle restates the ids from
+    ROW_NUMBER ranks.  Scale shape: lineage is codegen arithmetic
+    over the broadcast per-file attach map — zero extra jobs on the
+    parquet path; ORC/Avro pay their position-deriving scans, the
+    same ones position deletes already use."""
+    from ..functions.iceberg import (
+        read_iceberg, set_iceberg_format_version_fixture,
+        write_iceberg_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_lin_"), "tbl")
+    write_iceberg_fixture(spark, n.where(F.col("k") < 10), t,
+                          order_by=("k",))
+    set_iceberg_format_version_fixture(t, 3)
+    write_iceberg_fixture(spark,
+                          n.where((F.col("k") >= 10)
+                                  & (F.col("k") < 17)),
+                          t, order_by=("k",), file_format="avro")
+    write_iceberg_fixture(spark, n.where(F.col("k") >= 17), t,
+                          order_by=("k",), file_format="orc")
+    out = read_iceberg(spark, t, row_lineage=True)
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_row_id").cast("bigint").alias("rid_sum"),
+        F.sum(F.col("_row_id") * F.col("k")).cast("bigint")
+        .alias("rk_sum"),
+        F.sum("_last_updated_sequence_number").cast("bigint")
+        .alias("seq_sum"))
