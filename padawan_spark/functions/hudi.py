@@ -129,6 +129,11 @@ def hudi_metadata_files(path: str):
             "HoodieMetadataPayload")
 
     for fid, s in sorted(inner.items()):
+        if s["part"] not in ("files", ""):
+            # other metadata partitions (column_stats, r16) carry
+            # different record shapes and fold through their own
+            # readers — only the FILES partition is a listing
+            continue
         if s["base"] is not None:
             # compaction leaves an HFile base: its cells are already
             # key-sorted and pre-merged up to the base instant, so
@@ -672,7 +677,7 @@ def _temporal_reviver(t: str):
 def read_hudi(spark, path: str, as_of: str | None = None,
               keep_meta: bool = False, _provenance: bool = False,
               _slices=None, log_key_limit: int = 4_000_000,
-              partitions=None):
+              partitions=None, filters=None):
     """Scan a Hudi table at a commit instant (default: latest).
     CoW (or fully compacted MOR): one parquet scan over the live
     base files.  MOR with live logs: base scan + distributed log
@@ -702,6 +707,15 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     prune the read to those partitions' file slices (Hudi's
     partition pruning: driver metadata work, O(partition) scan).
 
+    ``filters`` (r16, VERDICT r15 task 7): ``{column: value}``
+    equality predicates — file slices prune against the metadata
+    table's COLUMN_STATS index before any job runs (data skipping:
+    a slice whose base-file [min, max] bounds exclude the value is
+    never scanned; slices with live logs stay, a log could add
+    matching rows), then re-apply as row predicates for exactness —
+    the same two-phase shape as ``read_iceberg``'s transform
+    pruning.
+
     ``_slices`` (internal): restrict the read to a pre-pruned
     file-slice dict (:func:`read_hudi_incremental`)."""
     import pandas as pd
@@ -714,6 +728,16 @@ def read_hudi(spark, path: str, as_of: str | None = None,
         want = {str(p) for p in partitions}
         slices = {fid: s for fid, s in slices.items()
                   if s["part"] in want}
+    if filters:
+        slices = prune_hudi_slices_colstats(path, slices, filters)
+
+    def _fin(df):
+        # stats pruning is file-granular — the predicates re-apply
+        # on rows and PUSH into the surviving files' parquet scans
+        for c2, v2 in (filters or {}).items():
+            if c2 in df.columns:
+                df = df.where(F.col(c2) == F.lit(v2))
+        return df
     if not slices:
         if had_slices:
             # ADVICE r10: pruning every slice away is a valid query —
@@ -768,14 +792,14 @@ def read_hudi(spark, path: str, as_of: str | None = None,
         # (base_df above was only the single-file schema probe)
         full_df = spark.read.parquet(*bases)
         if _provenance:
-            return full_df.withColumn(
+            return _fin(full_df.withColumn(
                 "__instant", F.col("_hoodie_commit_time")).drop(
                 *[c for c in full_df.columns
-                  if c in _META_COLS and c != "_hoodie_record_key"])
+                  if c in _META_COLS and c != "_hoodie_record_key"]))
         if not keep_meta:
             full_df = full_df.drop(*[c for c in full_df.columns
                                      if c in _META_COLS])
-        return full_df
+        return _fin(full_df)
     data_cols = [c for c in base_df.columns if c not in _META_COLS]
     dtypes = dict(base_df.dtypes)
     bad = [c for c in data_cols if not _log_safe_type(dtypes[c])]
@@ -959,11 +983,11 @@ def read_hudi(spark, path: str, as_of: str | None = None,
     merged = (resolved if merged is None
               else merged.unionByName(resolved))
     if _provenance:
-        return merged.drop(*extra_meta)
+        return _fin(merged.drop(*extra_meta))
     merged = merged.drop("__instant")
     if not keep_meta:
         merged = merged.drop("_hoodie_record_key")
-    return merged
+    return _fin(merged)
 
 
 def write_hudi_metadata_fixture(spark, path: str) -> str | None:
@@ -1033,7 +1057,9 @@ def compact_hudi_metadata_fixture(path: str,
     listing = hudi_metadata_files(path)
     if listing is None:
         raise FileNotFoundError(f"{path}: no metadata table")
-    inner = live_hudi_slices(mroot, use_metadata=False)
+    inner = {fid: s for fid, s in
+             live_hudi_slices(mroot, use_metadata=False).items()
+             if s["part"] in ("files", "")}
     if len(inner) != 1:
         raise NotImplementedError(
             f"{mroot}: expected exactly one FILES file group, "
@@ -1180,6 +1206,242 @@ def read_hudi_incremental(spark, path: str, begin: str,
     out = (df.where((F.col("__instant") > F.lit(begin))
                     & (F.col("__instant") <= F.lit(end)))
            .drop("__instant", "_hoodie_record_key"))
+    return out
+
+
+def hudi_column_stats(path: str):
+    """Driver-side read of the ``.hoodie/metadata`` table's
+    COLUMN_STATS partition (r16, VERDICT r15 task 7): Hudi's
+    data-skipping index — per (data file, column) min/max and value/
+    null counts, the analog of Iceberg's manifest-level column
+    bounds.  Returns ``{(partition, file_name, column): {"min", "max",
+    "value_count", "null_count"}}``, or ``None`` when the metadata
+    table (or its column_stats partition) does not exist.  Records
+    fold latest-wins per key in (instant, log index, block seq)
+    order, ``isDeleted`` tombstones a file's stats.  Any record
+    shape this decoder does not understand raises
+    NotImplementedError (fail closed — the PRUNER then skips
+    pruning, never guesses; correctness never depends on stats)."""
+    mroot = os.path.join(path, ".hoodie", "metadata")
+    if not os.path.isdir(os.path.join(mroot, ".hoodie")):
+        return None
+    from .hudilog import (BLOCK_DELETE, DATA_BLOCK_TYPES,
+                          H_INSTANT_TIME, decode_data_block,
+                          decode_delete_block, decode_log_blocks)
+    inner = {fid: s for fid, s in
+             live_hudi_slices(mroot, use_metadata=False).items()
+             if s["part"] == "column_stats"}
+    if not inner:
+        return None
+    committed = set(list_hudi_commits(mroot))
+    _FIELDS = {"fileName", "columnName", "vtype", "minValue",
+               "maxValue", "valueCount", "nullCount", "isDeleted",
+               "filePart"}
+
+    def _classify(r: dict):
+        if not _FIELDS <= set(r):
+            raise NotImplementedError(
+                "hudi column_stats record shape "
+                f"{sorted(r)} is not the fixture stats payload "
+                "(real HoodieMetadataColumnStats wrapper unions "
+                "are not implemented)")
+        key = r.get("_hoodie_record_key") or r.get("key")
+        if key is None:
+            raise NotImplementedError(
+                "hudi column_stats record carries no key")
+        return key, dict(r)
+
+    recs: dict[str, list] = {}
+    for fid, s in sorted(inner.items()):
+        if s["base"] is not None:
+            from .avro import read_datum
+            from .hfile import read_hfile
+            info, cells = read_hfile(s["base"])
+            if b"schema" not in info:
+                raise NotImplementedError(
+                    f"{s['base']}: HFile carries no 'schema' "
+                    "file-info entry")
+            schema = json.loads(info[b"schema"].decode("utf-8"))
+            for seq, (k, v) in enumerate(cells):
+                r, _end = read_datum(v, 0, schema)
+                key, payload = _classify(r)
+                recs.setdefault(key, []).append(
+                    (("", -1, seq), payload))
+        for lidx, p in enumerate(s["logs"]):
+            with open(p, "rb") as fh:
+                blocks = decode_log_blocks(fh.read())
+            for seq, blk in enumerate(blocks):
+                inst = blk["header"].get(H_INSTANT_TIME)
+                if inst not in committed:
+                    continue
+                ordk = (inst, lidx, seq)
+                if blk["type"] in DATA_BLOCK_TYPES:
+                    for r in decode_data_block(blk):
+                        key, payload = _classify(r)
+                        recs.setdefault(key, []).append(
+                            (ordk, payload))
+                elif blk["type"] == BLOCK_DELETE:
+                    for k in decode_delete_block(blk):
+                        recs.setdefault(k, []).append((ordk, None))
+                else:
+                    raise NotImplementedError(
+                        f"hudi column_stats log block {blk['type']}")
+
+    def _parse(vtype, s2):
+        if s2 is None or vtype == "null":
+            return None
+        if vtype == "long":
+            return int(s2)
+        if vtype == "double":
+            return float(s2)
+        if vtype == "string":
+            return s2
+        raise NotImplementedError(
+            f"hudi column_stats value type {vtype!r}")
+
+    out: dict = {}
+    for key, events in recs.items():
+        latest = None
+        for _ordk, payload in sorted(events, key=lambda e: e[0]):
+            latest = payload
+        if latest is None or latest["isDeleted"]:
+            continue
+        out[(latest["filePart"], latest["fileName"],
+             latest["columnName"])] = {
+            "min": _parse(latest["vtype"], latest["minValue"]),
+            "max": _parse(latest["vtype"], latest["maxValue"]),
+            "value_count": int(latest["valueCount"]),
+            "null_count": int(latest["nullCount"])}
+    return out
+
+
+def write_hudi_colstats_fixture(spark, path: str, columns) -> str:
+    """FIXTURE: publish the metadata table's COLUMN_STATS partition
+    for ``columns`` — per live BASE file, min/max and value/null
+    counts folded from the parquet FOOTER's row-group statistics
+    (exactly the numbers real Hudi's column-stats index persists;
+    O(footer) per file, no data read), written as a deltacommit of
+    stats records into the inner MOR table's ``column_stats``
+    partition (HFILE data blocks, the metadata table's block kind).
+    Columns whose footer stats are absent or non-primitive are
+    skipped — the pruner treats a missing record as unprunable.
+    Bootstraps the FILES partition first when the metadata table
+    does not exist yet (a col_stats-only metadata table would break
+    the listing path).  Returns the inner commit instant."""
+    import pyarrow.parquet as pq
+    mroot = os.path.join(path, ".hoodie", "metadata")
+    if not os.path.isdir(os.path.join(mroot, ".hoodie")):
+        write_hudi_metadata_fixture(spark, path)
+    rows = []
+    slices = live_hudi_slices(path, use_metadata=False)
+    for fid, s in sorted(slices.items()):
+        if s["base"] is None:
+            continue            # log-only groups carry no base stats
+        fname = os.path.basename(s["base"])
+        md = pq.ParquetFile(s["base"]).metadata
+        for col in columns:
+            mn = mx = None
+            vtype = None
+            nulls = 0
+            ok = True
+            seen = False
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    if c.path_in_schema != col:
+                        continue
+                    seen = True
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo = lo.decode("utf-8")
+                            hi = hi.decode("utf-8")
+                        except UnicodeDecodeError:
+                            ok = False
+                            break
+                    t = ("long" if isinstance(lo, int)
+                         else "double" if isinstance(lo, float)
+                         else "string" if isinstance(lo, str)
+                         else None)
+                    if t is None or (vtype is not None
+                                     and vtype != t):
+                        ok = False
+                        break
+                    vtype = t
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+                    nulls += int(st.null_count or 0)
+                if not ok:
+                    break
+            if not (ok and seen and vtype is not None):
+                continue
+            rows.append((f"{col}@@{s['part']}/{fname}", fname, col,
+                         vtype, str(mn), str(mx),
+                         int(md.num_rows), nulls, False,
+                         s["part"], "column_stats"))
+    df = spark.createDataFrame(
+        rows, "key string, fileName string, columnName string, "
+              "vtype string, minValue string, maxValue string, "
+              "valueCount bigint, nullCount bigint, "
+              "isDeleted boolean, filePart string, p string")
+    return write_hudi_delta_fixture(spark, mroot, upserts=df,
+                                    partition_field="p",
+                                    block_format="hfile")
+
+
+def prune_hudi_slices_colstats(path: str, slices: dict,
+                               filters: dict) -> dict:
+    """Data skipping via the metadata table's column_stats index
+    (r16): drop file slices whose base-file [min, max] bounds prove
+    no row can match the equality ``filters`` — the Hudi analog of
+    the Iceberg manifest-level pruning.  CONSERVATIVE by
+    construction: a slice survives unless it has NO live log files
+    (a log could add matching rows the base stats cannot see), its
+    base has a decodable stats record for the filter column, and the
+    value falls outside the bounds (or the column is all-null).
+    Stats are advisory — an unreadable column_stats partition means
+    no pruning, never a failed read."""
+    try:
+        stats = hudi_column_stats(path)
+    except (NotImplementedError, KeyError, ValueError):
+        return slices
+    if not stats:
+        return slices
+    out = {}
+    for fid, s in slices.items():
+        if s["logs"] or s["base"] is None:
+            out[fid] = s
+            continue
+        fname = os.path.basename(s["base"])
+        drop = False
+        for c, v in (filters or {}).items():
+            st = stats.get((s["part"], fname, c))
+            if st is None:
+                continue
+            if v is None:
+                # equality-to-NULL never matches any row; keep the
+                # slice (the row predicate decides) — pruning only
+                # on definite emptiness would need IS NULL semantics
+                continue
+            mn, mx = st["min"], st["max"]
+            if mn is None or mx is None:
+                if st["value_count"] == st["null_count"]:
+                    drop = True          # all-null column
+                    break
+                continue
+            try:
+                if v < mn or v > mx:
+                    drop = True
+                    break
+            except TypeError:
+                continue                 # incomparable: no pruning
+        if not drop:
+            out[fid] = s
     return out
 
 

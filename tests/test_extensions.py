@@ -5834,3 +5834,49 @@ def test_iceberg_v3_variant(spark, tmp_path):
         write_iceberg_fixture(
             spark, df, str(tmp_path / "ivar_tr"),
             partition_by=("bucket(2, k)",))
+
+
+def test_hudi_colstats_pruning(spark, tmp_path):
+    """r16 (VERDICT r15 task 7): the metadata table's column_stats
+    index — footer-derived min/max records, file-slice data
+    skipping with a plan-level fewer-files assertion, log-bearing
+    slices exempt from pruning, and exact row predicates on top."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (
+        hudi_column_stats, read_hudi, write_hudi_colstats_fixture,
+        write_hudi_delta_fixture, write_hudi_fixture)
+    t = str(tmp_path / "cs")
+    df = spark.range(100).select(
+        SF.col("id").alias("k"),
+        SF.floor(SF.col("id") / 25).cast("string").alias("g"),
+        (SF.col("id") * 2).alias("v"))
+    write_hudi_fixture(spark, df.orderBy("k"), t,
+                       partition_field="g")
+    write_hudi_colstats_fixture(spark, t, ["k", "v"])
+    stats = hudi_column_stats(t)
+    assert len(stats) == 8              # 4 files x 2 columns
+    ks = [s for (_p, _f, c), s in stats.items() if c == "k"]
+    assert sorted((s["min"], s["max"]) for s in ks) == [
+        (0, 24), (25, 49), (50, 74), (75, 99)]
+    # un-pruned read scans all four base files
+    assert len(read_hudi(spark, t).inputFiles()) == 4
+    # selective predicate scans ONE file group (the plan assertion)
+    out = read_hudi(spark, t, filters={"k": 5})
+    assert len(out.inputFiles()) == 1
+    assert [tuple(r) for r in out.collect()] == [(5, "0", 10)]
+    # a slice with live logs never prunes: the upserted row (whose
+    # key lies outside every base file's bounds) still comes back
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame(
+            [(200, "0", 400)], "k bigint, g string, v bigint"),
+        partition_field="g")
+    got = [tuple(r) for r in read_hudi(
+        spark, t, filters={"k": 200}).collect()]
+    assert got == [(200, "0", 400)]
+    # no stats published -> no pruning, same answers
+    t2 = str(tmp_path / "nocs")
+    write_hudi_fixture(spark, df.orderBy("k"), t2,
+                       partition_field="g")
+    out2 = read_hudi(spark, t2, filters={"k": 5})
+    assert len(out2.inputFiles()) == 4
+    assert [tuple(r) for r in out2.collect()] == [(5, "0", 10)]
