@@ -134,8 +134,10 @@ class _Replay:
         self.schema_json = None
         self.part_cols: list[str] = []
         self.mapping_mode = "none"
-        # rel_path -> (partitionValues dict, deletionVector dict | None)
-        self.live: dict[str, tuple[dict, dict | None]] = {}
+        self.config: dict = {}
+        # rel_path -> (partitionValues dict, deletionVector dict |
+        # None, baseRowId | None, defaultRowCommitVersion | None)
+        self.live: dict[str, tuple] = {}
 
     def apply(self, action: dict) -> None:
         if action.get("metaData"):
@@ -145,7 +147,8 @@ class _Replay:
             fmt = (md.get("format") or {}).get("provider", "parquet")
             if fmt != "parquet":
                 raise NotImplementedError(f"delta format provider {fmt!r}")
-            mapping = (md.get("configuration") or {}).get(
+            self.config = md.get("configuration") or {}
+            mapping = self.config.get(
                 "delta.columnMapping.mode", "none") or "none"
             if mapping not in ("none", "name", "id"):
                 raise NotImplementedError(
@@ -154,7 +157,9 @@ class _Replay:
         elif action.get("add"):
             a = action["add"]
             self.live[a["path"]] = (a.get("partitionValues") or {},
-                                    a.get("deletionVector"))
+                                    a.get("deletionVector"),
+                                    a.get("baseRowId"),
+                                    a.get("defaultRowCommitVersion"))
         elif action.get("remove"):
             self.live.pop(action["remove"]["path"], None)
         elif action.get("protocol"):
@@ -258,12 +263,18 @@ def _replay_v2_checkpoint(state: _Replay, table: str,
                          if k in ("add", "remove") and v is not None})
 
 
-def replay_delta_log(path: str, version: int | None = None):
+def replay_delta_log(path: str, version: int | None = None,
+                     with_row_ids: bool = False):
     """Replay the log up to ``version`` (default: latest).  Returns
     ``(schema_json, partition_columns, files, column_mapping_mode)``
     where ``files`` is a list of ``(relative_path,
     partition_values_dict, deletion_vector_descriptor_or_None)`` and
     ``column_mapping_mode`` is ``"none"``, ``"name"`` or ``"id"``.
+    ``with_row_ids=True`` (row tracking, r16) instead returns
+    ``(schema_json, partition_columns, files5, mapping, config)``
+    with 5-tuple files carrying each add action's ``baseRowId`` and
+    ``defaultRowCommitVersion`` and the metaData ``configuration``
+    dict (the materialized-column names live there).
 
     Replay starts from the newest checkpoint (classic parquet or v2
     UUID-named + sidecars) at or below ``version`` when one exists
@@ -309,8 +320,15 @@ def replay_delta_log(path: str, version: int | None = None):
                 line = line.strip()
                 if line:
                     state.apply(json.loads(line))
+    if with_row_ids:
+        return (state.schema_json, state.part_cols,
+                [(rel, pv, dv, b, d)
+                 for rel, (pv, dv, b, d)
+                 in sorted(state.live.items())],
+                state.mapping_mode, state.config)
     return (state.schema_json, state.part_cols,
-            [(rel, pv, dv) for rel, (pv, dv) in sorted(state.live.items())],
+            [(rel, pv, dv)
+             for rel, (pv, dv, _b, _d) in sorted(state.live.items())],
             state.mapping_mode)
 
 
@@ -367,7 +385,8 @@ def _phys_ddl(pt) -> str:
 
 def read_delta(spark, path: str, version: int | None = None,
                filters: dict | None = None,
-               as_of_ms: int | None = None):
+               as_of_ms: int | None = None,
+               row_tracking: bool = False):
     """Scan a Delta table at ``version`` (default latest): log replay
     driver-side, then ONE parquet scan per distinct physical layout
     (one per schema epoch — NOT per partition tuple), with
@@ -390,15 +409,45 @@ def read_delta(spark, path: str, version: int | None = None,
     non-partition columns in ``filters`` simply skip pruning and
     filter rows).  ``as_of_ms`` (r12) time-travels by TIMESTAMP the
     way delta readers do — inCommitTimestamp when recorded, commit
-    file mtime otherwise.  Returns a DataFrame."""
+    file mtime otherwise.
+
+    ``row_tracking=True`` (r16 — the Delta analog of Iceberg row
+    lineage) appends the spec's ``_row_id`` and
+    ``_row_commit_version`` columns: each is the MATERIALIZED hidden
+    column when the file carries one (rewritten files preserve
+    original ids there), else the add action's ``baseRowId`` plus
+    the row's physical position / ``defaultRowCommitVersion`` —
+    codegen arithmetic over the same broadcast file map the
+    partition attach uses, zero extra jobs.  Tables whose live files
+    carry no row-id assignment gate loudly.  Returns a DataFrame."""
     from pyspark.sql import functions as F
     if as_of_ms is not None:
         if version is not None:
             raise ValueError(
                 "delta as_of_ms is exclusive with version")
         version = resolve_delta_version_at(path, as_of_ms)
-    schema_json, part_cols, files, mapping = replay_delta_log(
-        path, version)
+    rowids: dict = {}
+    mat_rid = mat_rcv = None
+    if row_tracking:
+        (schema_json, part_cols, files5, mapping,
+         dconf) = replay_delta_log(path, version, with_row_ids=True)
+        rowids = {rel: (b, d) for rel, _pv, _dv, b, d in files5}
+        files = [(rel, pv, dv) for rel, pv, dv, _b, _d in files5]
+        bad = sorted(r for r, (b, d) in rowids.items()
+                     if b is None or d is None)
+        if bad:
+            raise NotImplementedError(
+                f"delta row tracking: {len(bad)} live file(s) carry "
+                f"no baseRowId/defaultRowCommitVersion (e.g. "
+                f"{bad[0]!r}) — the table was not written with "
+                "rowTracking enabled")
+        mat_rid = dconf.get(
+            "delta.rowTracking.materializedRowIdColumnName")
+        mat_rcv = dconf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName")
+    else:
+        schema_json, part_cols, files, mapping = replay_delta_log(
+            path, version)
     if schema_json is None:
         raise NotImplementedError(f"{path}: no metaData action in log")
     sch = json.loads(schema_json)
@@ -470,6 +519,9 @@ def read_delta(spark, path: str, version: int | None = None,
 
     files_abs = [(os.path.abspath(os.path.join(path, rel)), pvals, dv)
                  for rel, pvals, dv in files]
+    rowids_abs = ({os.path.abspath(os.path.join(path, rel)):
+                   rowids[rel] for rel, _pv, _dv in files}
+                  if row_tracking else {})
     layouts: dict[str, tuple] = {}
     if mapping == "id":
         # 'id' mode matches by PARQUET FIELD IDS in each file's
@@ -530,7 +582,7 @@ def read_delta(spark, path: str, version: int | None = None,
     def _norm(col):
         return F.regexp_replace(col, "^file:/+", "/")
 
-    need_fp = has_dv or bool(logical_parts)
+    need_fp = has_dv or bool(logical_parts) or row_tracking
     from .nested import remap_expr, remap_needed
     parts = []
     for lay, paths in sorted(groups.items()):
@@ -543,6 +595,13 @@ def read_delta(spark, path: str, version: int | None = None,
         ddl_g = ", ".join(
             f"`{lmap[f['name']][0]}` {_phys_ddl(lmap[f['name']][1])}"
             for f in data_fields)
+        if row_tracking:
+            # the MATERIALIZED hidden columns exist only in
+            # rewritten files — the explicit schema null-fills them
+            # everywhere else, exactly what the coalesce needs
+            for mc in (mat_rid, mat_rcv):
+                if mc:
+                    ddl_g += f", `{mc}` bigint"
         df = spark.read.schema(ddl_g).parquet(*paths)
         # alias physical data columns back to their logical names;
         # nested columns additionally REBUILD their inner structure
@@ -560,7 +619,7 @@ def read_delta(spark, path: str, version: int | None = None,
         if need_fp:
             df = df.withColumn(
                 "__fp", _norm(F.col("_metadata.file_path")))
-        if has_dv:
+        if has_dv or row_tracking:
             df = df.withColumn("__pos", F.col("_metadata.row_index"))
         parts.append(df)
     out = parts[0]
@@ -586,6 +645,33 @@ def read_delta(spark, path: str, version: int | None = None,
                     "partition values")))
                 .otherwise(F.col(c).cast(part_types[c])))
         out = out.drop("__pm")
+    if row_tracking:
+        # the spec's row ids: materialized column when present (a
+        # rewritten file preserves ORIGINAL ids there), else
+        # baseRowId + physical position — fail CLOSED on an attach
+        # miss, same stance as the partition map
+        rmap = F.broadcast(spark.createDataFrame(
+            [(p, int(b), int(d))
+             for p, (b, d) in sorted(rowids_abs.items())],
+            "__fp string, __brid bigint, __drcv bigint"))
+        out = out.join(rmap, on="__fp", how="left")
+        miss = F.col("__brid").isNull()
+
+        def _ck(val):
+            return F.when(miss, F.raise_error(F.lit(
+                "delta row-id attach map missed a scanned file "
+                "path — refusing to emit wrong row ids"))
+            ).otherwise(val)
+
+        rid = F.col("__brid") + F.col("__pos")
+        if mat_rid:
+            rid = F.coalesce(F.col(f"`{mat_rid}`"), rid)
+        rcv = F.col("__drcv")
+        if mat_rcv:
+            rcv = F.coalesce(F.col(f"`{mat_rcv}`"), rcv)
+        out = (out.withColumn("_row_id", _ck(rid))
+               .withColumn("_row_commit_version", _ck(rcv))
+               .drop("__brid", "__drcv"))
     if has_dv:
         # DV positions decode in a DISTRIBUTED task per (file,
         # descriptor) — one row per deleted position, built on the
@@ -614,7 +700,9 @@ def read_delta(spark, path: str, version: int | None = None,
                 .repartition(n, "path")
                 .mapInPandas(_dv_decode, "__fp string, __pos bigint"))
         out = out.join(dels, on=["__fp", "__pos"], how="left_anti")
-    out = out.select(*out_cols)
+    out = out.select(*(out_cols
+                       + (["_row_id", "_row_commit_version"]
+                          if row_tracking else [])))
     # re-apply filters on rows: exactness for non-partition columns
     # (which skipped pruning), free for partition columns
     for c, v in (filters or {}).items():
@@ -624,7 +712,8 @@ def read_delta(spark, path: str, version: int | None = None,
 
 def write_delta_fixture(spark, df, path: str, partition_by=(),
                         mode: str = "create", order_by=(),
-                        column_mapping: bool = False) -> int:
+                        column_mapping: bool = False,
+                        row_tracking: bool = False) -> int:
     """FIXTURE writer emitting the public Delta log layout (metaData +
     add actions; ``mode="append"`` adds a commit, ``mode="delete"``
     removes files matching a predicate via
@@ -722,6 +811,16 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
         conf = ({"delta.columnMapping.mode": cm_mode,
                  "delta.columnMapping.maxColumnId": str(max_id)}
                 if cm_mode else {})
+        if row_tracking:
+            # row tracking (r16): enabled + the MATERIALIZED hidden
+            # column names, the shape a real Delta writer records
+            conf = {**conf, "delta.rowTracking.enabled": "true",
+                    "delta.rowTracking."
+                    "materializedRowIdColumnName":
+                        "_fixture_row_id",
+                    "delta.rowTracking."
+                    "materializedRowCommitVersionColumnName":
+                        "_fixture_row_cv"}
         if any(_contains_variant(json_types[c]) for c in df.columns):
             # a real Delta 4 writer publishes variant tables at
             # table-features protocol with variantType listed (r14);
@@ -749,6 +848,9 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
         # appending: honor the table's existing mapping so physical
         # column names stay consistent across commits
         sch_json, _pc, _files, mm = replay_delta_log(path)
+        _cfg = replay_delta_log(path, with_row_ids=True)[4]
+        if _cfg.get("delta.rowTracking.enabled") == "true":
+            row_tracking = True      # row ids continue automatically
         schema_fields = json.loads(sch_json)["fields"]
         if mm in ("name", "id"):
             cm_mode = mm
@@ -910,7 +1012,128 @@ def write_delta_fixture(spark, df, path: str, partition_by=(),
                 for c, v_ in zip(part_cols, key)},
             "size": os.path.getsize(full),
             "modificationTime": 0, "dataChange": True}})
+    if row_tracking:
+        # assign baseRowId/defaultRowCommitVersion to this commit's
+        # adds from the table's row-id high watermark, upgrade the
+        # protocol to writer features, and advance the watermark in
+        # a delta.rowTracking domainMetadata action — the action
+        # shapes a real rowTracking writer emits
+        import pyarrow.parquet as _pq
+        for a in actions:
+            pr = a.get("protocol")
+            if pr:
+                pr["minWriterVersion"] = 7
+                pr["writerFeatures"] = sorted(
+                    set(pr.get("writerFeatures") or [])
+                    | {"rowTracking", "domainMetadata"})
+        hw = _row_id_high_watermark(path)
+        for a in actions:
+            ad = a.get("add")
+            if not ad:
+                continue
+            full_p = os.path.join(path, ad["path"])
+            try:
+                n_rows = _pq.read_metadata(full_p).num_rows
+            except OSError:
+                from .parquetfooter import footer_num_rows
+                n_rows = footer_num_rows(full_p)
+            ad["baseRowId"] = hw + 1
+            ad["defaultRowCommitVersion"] = v
+            hw += n_rows
+        actions.append({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": hw}),
+            "removed": False}})
     with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return v
+
+
+def _row_id_high_watermark(path: str) -> int:
+    """Latest ``delta.rowTracking`` domainMetadata high watermark in
+    the JSON log (fixture-side planning; -1 when none yet)."""
+    hw = -1
+    try:
+        versions = list_delta_versions(path)
+    except FileNotFoundError:
+        return hw
+    for vv in versions:
+        fp = os.path.join(path, "_delta_log", f"{vv:020d}.json")
+        with open(fp) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                dm = json.loads(line).get("domainMetadata")
+                if dm and dm.get("domain") == "delta.rowTracking" \
+                        and not dm.get("removed"):
+                    hw = json.loads(dm["configuration"])[
+                        "rowIdHighWaterMark"]
+    return hw
+
+
+def materialize_delta_rowids_fixture(path: str) -> int:
+    """FIXTURE: rewrite every live data file ADDING the materialized
+    row-id / row-commit-version hidden columns (values = the rows'
+    CURRENT ids), committed as remove+add with FRESH baseRowIds past
+    the watermark — the layout an UPDATE/OPTIMIZE leaves behind,
+    where a reader must PREFER the materialized columns or row ids
+    silently change across the rewrite.  Files carrying deletion
+    vectors gate (a real rewrite would drop their dead rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    (_sj, _pc, files5, _mm,
+     conf) = replay_delta_log(path, with_row_ids=True)
+    mat_rid = conf.get(
+        "delta.rowTracking.materializedRowIdColumnName")
+    mat_rcv = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName")
+    if not (mat_rid and mat_rcv):
+        raise NotImplementedError(
+            f"{path}: no materialized row-tracking column names in "
+            "table configuration")
+    versions = list_delta_versions(path)
+    v = versions[-1] + 1
+    hw = _row_id_high_watermark(path)
+    actions = []
+    for rel, pv, dv, brid, drcv in files5:
+        if dv:
+            raise NotImplementedError(
+                "materialize fixture over a DV-carrying file")
+        if brid is None or drcv is None:
+            raise NotImplementedError(
+                f"{rel}: no row-id assignment to materialize")
+        full = os.path.join(path, rel)
+        tb = pq.read_table(full)
+        n = tb.num_rows
+        tb = tb.append_column(
+            mat_rid, pa.array(np.arange(brid, brid + n),
+                              type=pa.int64()))
+        tb = tb.append_column(
+            mat_rcv, pa.array(np.full(n, int(drcv)),
+                              type=pa.int64()))
+        import uuid as _uuid
+        new_rel = (os.path.dirname(rel) + "/" if os.path.dirname(rel)
+                   else "") + f"part-{v:05d}-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(tb, os.path.join(path, new_rel))
+        actions.append({"remove": {"path": rel,
+                                   "deletionTimestamp": 0,
+                                   "dataChange": False}})
+        actions.append({"add": {
+            "path": new_rel, "partitionValues": pv,
+            "size": os.path.getsize(os.path.join(path, new_rel)),
+            "modificationTime": 0, "dataChange": False,
+            "baseRowId": hw + 1, "defaultRowCommitVersion": v}})
+        hw += n
+    actions.append({"domainMetadata": {
+        "domain": "delta.rowTracking",
+        "configuration": json.dumps({"rowIdHighWaterMark": hw}),
+        "removed": False}})
+    with open(os.path.join(path, "_delta_log",
+                           f"{v:020d}.json"), "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     return v
@@ -928,8 +1151,9 @@ def add_dv_fixture(path: str, dv_by_rel: dict[str, list[int]],
     from .deltadv import inline_dv_fixture, write_dv_file_fixture
     versions = list_delta_versions(path)
     v = versions[-1] + 1
-    _sch, _pc, files, _mm = replay_delta_log(path)
-    by_rel = {rel: (pv, dv) for rel, pv, dv in files}
+    _sch, _pc, files5, _mm, _cfg = replay_delta_log(
+        path, with_row_ids=True)
+    by_rel = {rel: (pv, dv, b, d) for rel, pv, dv, b, d in files5}
     missing = sorted(set(dv_by_rel) - set(by_rel))
     if missing:
         raise ValueError(f"no live files {missing} at {path}")
@@ -944,14 +1168,19 @@ def add_dv_fixture(path: str, dv_by_rel: dict[str, list[int]],
         "readerFeatures": ["deletionVectors"],
         "writerFeatures": ["deletionVectors"]}}]
     for rel, desc in zip(rels, descs):
-        pv, _old_dv = by_rel[rel]
+        pv, _old_dv, brid, drcv = by_rel[rel]
         actions.append({"remove": {"path": rel, "deletionTimestamp": 0,
                                    "dataChange": True}})
+        # the DV re-add recommits the SAME file: its row-id
+        # assignment carries verbatim (r16 — dropping it would break
+        # row-tracking reads after a DELETE)
         actions.append({"add": {"path": rel, "partitionValues": pv,
                                 "size": os.path.getsize(
                                     os.path.join(path, rel)),
                                 "modificationTime": 0, "dataChange": True,
-                                "deletionVector": desc}})
+                                "deletionVector": desc,
+                                "baseRowId": brid,
+                                "defaultRowCommitVersion": drcv}})
     log = os.path.join(path, "_delta_log")
     with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
         for a in actions:
@@ -1071,13 +1300,15 @@ def write_delta_checkpoint_fixture(path: str,
     rows.append({"metaData": None, "add": None, "remove": None,
                  "protocol": {"minReaderVersion": 1,
                               "minWriterVersion": 2}})
-    for rel, (pv, dv) in sorted(state.live.items()):
+    for rel, (pv, dv, brid, drcv) in sorted(state.live.items()):
         rows.append({"metaData": None, "remove": None, "protocol": None,
                      "add": {"path": rel, "partitionValues": pv,
                              "size": os.path.getsize(
                                  os.path.join(path, rel)),
                              "modificationTime": 0, "dataChange": False,
-                             "deletionVector": dv}})
+                             "deletionVector": dv,
+                             "baseRowId": brid,
+                             "defaultRowCommitVersion": drcv}})
     # explicit schema: real checkpoints type partitionValues /
     # configuration as map<string,string> (plain inference would make
     # empty structs, which parquet rejects) — this also exercises the
@@ -1101,7 +1332,9 @@ def write_delta_checkpoint_fixture(path: str,
                 ("storageType", pa.string()),
                 ("pathOrInlineDv", pa.string()),
                 ("offset", pa.int64()), ("sizeInBytes", pa.int64()),
-                ("cardinality", pa.int64())]))])),
+                ("cardinality", pa.int64())])),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64())])),
         ("remove", pa.struct([("path", pa.string()),
                               ("deletionTimestamp", pa.int64()),
                               ("dataChange", pa.bool_())])),

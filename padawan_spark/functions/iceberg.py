@@ -175,10 +175,10 @@ def _ice_leaf_ddl(t: str) -> str:
 
 
 # v3 read support is PARTIAL by design: the essentials real tables hit
-# first (column defaults, deletion vectors, row lineage over parquet)
-# are implemented; the rest of the v3 feature set gates loudly
-# wherever it would otherwise be silently misread (VERDICT r14 tasks
-# 1/8).
+# first (column defaults, deletion vectors, row lineage over
+# parquet/ORC/Avro, variant columns) are implemented; the remainder
+# gates loudly wherever it would otherwise be silently misread
+# (VERDICT r14 tasks 1/8; final scope recorded in COVERAGE.md r16).
 _V3_NOT_IMPLEMENTED = (
     "geometry / geography / unknown column types",
     "timestamp_ns / timestamptz_ns column types",
@@ -188,9 +188,11 @@ _V3_NOT_IMPLEMENTED = (
 
 def _check_format_version(meta: dict, path: str) -> int:
     """Loud format-version gate (VERDICT r14 task 1): v1/v2 read in
-    full; v3 reads support ``initial-default`` column defaults and
-    puffin deletion vectors (the rest of the v3 surface gates at its
-    point of use); anything newer refuses up front."""
+    full; v3 reads support ``initial-default`` column defaults,
+    puffin deletion vectors, row lineage (parquet/ORC/Avro) and
+    ``variant`` columns (the remainder gates at its point of use —
+    COVERAGE.md r16 records the final scope); anything newer refuses
+    up front."""
     fv = int(meta.get("format-version", 1))
     if fv > 3:
         raise NotImplementedError(

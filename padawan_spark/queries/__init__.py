@@ -40,41 +40,34 @@ for _m in _SUITES:
 # All queries stay registered; this is a stable re-ordering, not a filter.
 # ---------------------------------------------------------------------------
 
-# code that changed THIS round (r15) — keep driver-visible even
-# though already green.  Deliberately SMALL (VERDICT r14 task 7): the
-# stalest registry rows are the r7-era §2-core cohort (~37 rows), and
-# a 13-sentinel head leaves exactly the window slack to drain it.
-# src_iceberg_v3_defaults + src_iceberg_v3_dv (NEW — format-version 3
-# initial-defaults and puffin deletion vectors) and the iceberg read
-# paths the v3 work rebuilt: src_iceberg_v2_deletes (delete-entry
-# restructure + id-less eq-delete gate), src_iceberg_nested_read +
-# src_iceberg_avro_nested_evolution (absent-column default fills,
-# executor-grouped layout collect);
-# src_delta_variant_idmap (NEW — id-mode x VARIANT via the thrift
-# footer walk) and src_delta_variant_read (type-tree variant
-# detection) + src_delta_id_mapping + src_delta_cdf_read (gate
-# removal onto the fallback tap);
-# src_hudi_decimal_payloads (value-preserving quantize gate) +
-# src_hudi_nested_temporal (map-key reviver, gate message) +
-# streaming_hudi_incremental (stream reviver path);
-# streaming_iceberg_appends (v3 defaults now flow through the
-# stream's partition tuple — pysource.py changed).
-# The ten NEW r15 queries (src_iceberg_v3_defaults, src_iceberg_v3_dv,
-# src_iceberg_v3_row_lineage, src_delta_variant_idmap,
-# src_iceberg_metadata_tables, src_iceberg_changelog,
-# streaming_iceberg_changes, src_delta_history, src_hudi_timeline,
-# src_delta_detail) are NEVER-CHECKED and enter the window as round-0
-# staleness automatically — listing them here would only displace
-# stale-cohort rows.  Sentinels list only PREVIOUSLY-checked queries
+# code that changed THIS round (r16) — keep driver-visible even
+# though already green.  Deliberately SMALL (VERDICT r15 task 6: the
+# stale cohort is r7's 6 rows + r8's 40, and a 7-sentinel head plus
+# the 6 NEW r16 queries leaves 37 window slots to drain it — the 6 r7
+# rows and the oldest r8 rows re-check this round).
+# src_iceberg_changelog + streaming_iceberg_changes (the changelog
+# was rebuilt for v2 delete files / schema evolution / replace-skip;
+# the stream's partition-value attach now keys by identity SOURCE
+# column — ADVICE r15); src_iceberg_v2_deletes (the equality-delete
+# union factored out of read_iceberg into _eq_delete_union);
+# src_iceberg_v3_row_lineage (ORC/AVRO lineage routing touched the
+# shared targeted-scan plumbing); src_delta_variant_idmap (the
+# layouts/nested taps' narrowed fallback catch + the parquetfooter
+# LIST-collapse fix); src_hudi_mor_read (hudi metadata FILES fold now
+# scopes to its partition; read_hudi grew filters/col-stats pruning).
+# The five NEW r16 queries (src_iceberg_changelog_deletes,
+# streaming_iceberg_changes_deletes, src_iceberg_v3_variant,
+# src_iceberg_lineage_mixed, src_hudi_colstats_prune) are
+# NEVER-CHECKED and enter the window as round-0 staleness
+# automatically.  Sentinels list only PREVIOUSLY-checked queries
 # whose code changed this round.
-_SENTINELS = ["src_iceberg_v2_deletes",
-              "src_iceberg_avro_nested_evolution",
-              "src_delta_variant_read", "src_delta_id_mapping",
+_SENTINELS = ["src_iceberg_changelog",
+              "streaming_iceberg_changes",
+              "src_iceberg_v2_deletes",
+              "src_iceberg_v3_row_lineage",
+              "src_delta_variant_idmap",
               "src_delta_cdf_read",
-              "src_hudi_decimal_payloads",
-              "src_hudi_nested_temporal",
-              "streaming_hudi_incremental",
-              "streaming_iceberg_appends"]
+              "src_hudi_mor_read"]
 
 _WINDOW = 50
 

@@ -3179,3 +3179,48 @@ def src_hudi_colstats_prune(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("o_orderkey").cast("bigint").alias("k_sum"),
         F.max("o_orderpriority").alias("prio_max"))
+
+
+@query("src_delta_row_tracking", oracle="""
+WITH r AS (SELECT n_nationkey AS k,
+                  ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1
+                      AS rid
+           FROM nation)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(rid) AS BIGINT) AS rid_sum,
+       CAST(SUM(rid * k) AS BIGINT) AS rk_sum,
+       CAST(SUM(CASE WHEN k < 10 THEN 0 ELSE 1 END) AS BIGINT)
+           AS cv_sum
+FROM r
+""")
+def src_delta_row_tracking(spark, sf_dir):
+    """Delta ROW TRACKING (r16) — the Delta analog of Iceberg v3 row
+    lineage: ``read_delta(row_tracking=True)`` appends ``_row_id``
+    (the add action's ``baseRowId`` + the row's physical position,
+    or the MATERIALIZED hidden column a rewrite leaves behind) and
+    ``_row_commit_version``.  Two commits write nation keys <10 and
+    >=10 (so ids equal the global rank and commit versions split),
+    then a materialize-rewrite commits every file with fresh
+    baseRowIds and the ORIGINAL ids in the materialized columns —
+    the aggregates are computed AFTER the rewrite, so they pin id
+    stability (a reader preferring baseRowId over the materialized
+    column would shift every id).  Scale shape: ids are codegen
+    arithmetic over the same broadcast file map the partition attach
+    uses — zero extra jobs, zero Python in the row path."""
+    from ..functions.delta import (materialize_delta_rowids_fixture,
+                                   read_delta, write_delta_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_drt_"), "tbl")
+    write_delta_fixture(spark, n.where(F.col("k") < 10), t,
+                        order_by=("k",), row_tracking=True)
+    write_delta_fixture(spark, n.where(F.col("k") >= 10), t,
+                        mode="append", order_by=("k",))
+    materialize_delta_rowids_fixture(t)
+    out = read_delta(spark, t, row_tracking=True)
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_row_id").cast("bigint").alias("rid_sum"),
+        F.sum(F.col("_row_id") * F.col("k")).cast("bigint")
+        .alias("rk_sum"),
+        F.sum("_row_commit_version").cast("bigint").alias("cv_sum"))

@@ -1688,10 +1688,21 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
             return [InputPartition(None)]
         with open(_latest_metadata(self.path)) as fh:
             meta = _json.load(fh)
+        from ..functions.iceberg import (_ice_default_py,
+                                         _ice_type_ddl,
+                                         _schema_fields_json)
         if "schemas" in meta and len(meta["schemas"]) > 1:
-            raise NotImplementedError(
-                "padawan_iceberg_changes over a schema-evolved "
-                "table is not implemented")
+            # flat evolution streams (r16): columns resolve by the
+            # file's footer field ids in the task, as the appends
+            # stream does; NESTED evolution still gates loudly
+            nested = {nm for nm, f
+                      in _schema_fields_json(self.path).items()
+                      if not isinstance(f["type"], str)}
+            if nested & set(self.names):
+                raise NotImplementedError(
+                    "padawan_iceberg_changes over a schema-evolved "
+                    "table with NESTED columns is not implemented "
+                    "(flat evolution streams, r16)")
         by_id = {s["snapshot-id"]: s
                  for s in meta.get("snapshots", [])}
         # identity partition values attach by SOURCE COLUMN, resolved
@@ -1706,6 +1717,20 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
             s: {fname: src for t, _p, src, fname
                 in _parse_part_spec(sp, name_of) if t == "identity"}
             for s, sp in _raw_specs(meta).items()}
+        # field-id map + v3 initial-defaults ride every partition so
+        # the task resolves a renamed column to its old physical name
+        # and fills columns absent from pre-add files (r16 — the
+        # appends stream's shape; threaded through the partition
+        # tuple because read() runs on a worker-side copy of this
+        # reader, not the driver instance)
+        fid_items = tuple(sorted(
+            (fid, nm) for nm, fid in fld_ids.items()))
+        dflt_items = tuple(sorted(
+            (nm, _ice_default_py(f["initial-default"],
+                                 _ice_type_ddl(f["type"]), nm))
+            for nm, f in _schema_fields_json(self.path).items()
+            if f.get("initial-default") is not None))
+        resolve = (fid_items, dflt_items)
 
         def _iid(sp):
             return tuple(sorted(ident_by_spec.get(sp, {}).items()))
@@ -1742,12 +1767,12 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
                 parts.append(InputPartition(
                     ("file", sid, "insert", p,
                      tuple(sorted(pvals.items())), _iid(sp),
-                     int(seq), None)))
+                     int(seq), None, resolve)))
             for p, (pvals, sp, seq) in sorted(removed.items()):
                 parts.append(InputPartition(
                     ("file", sid, "delete", p,
                      tuple(sorted(pvals.items())), _iid(sp),
-                     int(seq), _prev_bundle(p))))
+                     int(seq), _prev_bundle(p), resolve)))
             if new_pos or new_eq:
                 affected = {}
                 if new_pos:
@@ -1783,7 +1808,8 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
                     parts.append(InputPartition(
                         ("v2del", sid, "delete", p,
                          tuple(sorted(pvals.items())), _iid(sp),
-                         int(seq), _prev_bundle(p), new_bundle)))
+                         int(seq), _prev_bundle(p), new_bundle,
+                         resolve)))
             dv_items = []
             for ref, new in sorted(new_dvs.items()):
                 if ref in removed:
@@ -1803,7 +1829,7 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
                     parts.append(InputPartition(
                         ("dv", sid, "delete", ref,
                          tuple(sorted(pvals.items())), _iid(sp),
-                         new, old)))
+                         new, old, resolve)))
         return parts or [InputPartition(None)]
 
     def _norm_path(self, v):
@@ -1816,16 +1842,37 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
             v = _os.path.join(_os.path.abspath(self.path), v)
         return v
 
-    def _dead_positions(self, p, seq, bundle):
+    def _dead_positions(self, p, seq, bundle, fid_items=()):
         """Row positions of data file ``p`` (sequence ``seq``) dead
         under ``(pos_paths, eq_items, dv_entry)`` — computed IN THE
         TASK from the delete artifacts themselves: position files
         filter to this file's path, equality files match null-safely
         under the strict ``seq < dseq`` scope, a DV decodes its
-        bitmap."""
+        bitmap.  Equality columns resolve by footer FIELD ID on
+        evolved tables (r16 — a delete file or data file written
+        before a rename carries the old physical name; reading by
+        the current name would null-fill and silently skip the
+        delete) and gate loudly when unresolvable."""
         import pyarrow.parquet as pq
 
         from ..functions.iceberg import _read_puffin_dv
+        fid_of = {nm: fid for fid, nm in fid_items}
+
+        def _col(t2, name, src):
+            fid = fid_of.get(name)
+            if fid is not None:
+                for fld in t2.schema:
+                    m = (fld.metadata or {}).get(
+                        b"PARQUET:field_id")
+                    if m is not None and int(m) == fid:
+                        return t2.column(fld.name).to_pylist()
+            if name in t2.schema.names:
+                return t2.column(name).to_pylist()
+            raise NotImplementedError(
+                f"padawan_iceberg_changes: cannot resolve "
+                f"equality-delete column {name!r} in {src!r} "
+                "(no matching footer field id and no such name)")
+
         pos_paths, eq_items, dv = bundle
         dead = set()
         for dp in pos_paths:
@@ -1839,12 +1886,12 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
             for ep, dseq, enames in eq_items:
                 if not (seq < dseq):
                     continue
-                t2 = pq.read_table(ep, columns=list(enames))
-                vals = set(zip(*[t2.column(c).to_pylist()
+                t2 = pq.read_table(ep)
+                vals = set(zip(*[_col(t2, c, ep)
                                  for c in enames]))
                 if tb is None:
                     tb = pq.read_table(p)
-                cols = [tb.column(c).to_pylist() for c in enames]
+                cols = [_col(tb, c, p) for c in enames]
                 for i, tup in enumerate(zip(*cols)):
                     if tup in vals:
                         dead.add(i)
@@ -1861,33 +1908,48 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
         kind = partition.value[0]
         if kind == "file":
             (_k, sid, ctype, p, pv, iid, seq,
-             prev_bundle) = partition.value
+             prev_bundle, resolve) = partition.value
             tb = pq.read_table(p)
             if ctype == "delete" and prev_bundle is not None:
                 # rows already dead at the parent were deleted in
                 # EARLIER snapshots — a removed file emits only its
                 # live rows
                 dead_prev = self._dead_positions(p, seq,
-                                                 prev_bundle)
+                                                 prev_bundle,
+                                                 resolve[0])
                 if dead_prev:
                     tb = tb.take(sorted(
                         set(range(tb.num_rows)) - dead_prev))
         elif kind == "v2del":
             (_k, sid, ctype, p, pv, iid, seq, prev_bundle,
-             new_bundle) = partition.value
-            dead_new = self._dead_positions(p, seq, new_bundle)
+             new_bundle, resolve) = partition.value
+            dead_new = self._dead_positions(p, seq, new_bundle,
+                                            resolve[0])
             if prev_bundle is not None:
                 dead_new -= self._dead_positions(p, seq,
-                                                 prev_bundle)
+                                                 prev_bundle,
+                                                 resolve[0])
             tb = pq.read_table(p).take(sorted(dead_new))
         else:
-            (_k, sid, ctype, p, pv, iid, new, old) = partition.value
+            (_k, sid, ctype, p, pv, iid, new, old,
+             resolve) = partition.value
             tb = pq.read_table(p)
             pos = _read_puffin_dv(*new)
             if old is not None:
                 base = set(_read_puffin_dv(*old))
                 pos = [x for x in pos if x not in base]
             tb = tb.take(sorted(pos))
+        # flat schema evolution (r16): the file's footer field ids
+        # resolve renamed columns to their old physical names, and
+        # defaulted columns absent from pre-add files attach as
+        # typed constants — the appends stream's shape
+        fid_items, dflt_items = resolve
+        name_of_fid = dict(fid_items)
+        col_of = {}
+        for fld in tb.schema:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None and int(fid) in name_of_fid:
+                col_of[name_of_fid[int(fid)]] = fld.name
         # partition FIELD name -> SOURCE column (ADVICE r15): the
         # manifest's partition tuple keys by field name; the row's
         # column is the spec's source — identical for the common
@@ -1895,10 +1957,15 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
         src_of = dict(iid)
         const = {src_of[f]: v for f, v in dict(pv).items()
                  if f in src_of}
+        if dflt_items:
+            have = set(tb.schema.names)
+            for c, v in dflt_items:
+                if c not in const and col_of.get(c, c) not in have:
+                    const[c] = v
         const["_change_type"] = ctype
         const["_commit_snapshot_id"] = int(sid)
         yield from _aligned_batches(tb, self.spark_schema,
-                                    const=const)
+                                    const=const, col_of=col_of)
 
     def commit(self, end):
         pass
@@ -1916,9 +1983,10 @@ class IcebergChangesSource(DataSource):
     ``_commit_snapshot_id``.  Snapshots whose operation is
     ``replace`` (compactions) emit nothing.  Options:
     ``startingSnapshotId`` (consume AFTER it),
-    ``maxSnapshotsPerTrigger``.  Parquet data files only;
-    schema-evolved tables gate loudly (the batch
-    ``read_iceberg_changes`` reads flat evolution; use it there)."""
+    ``maxSnapshotsPerTrigger``.  Parquet data files only; FLAT
+    schema evolution streams (columns resolve by the file's footer
+    field ids in the task, r16); nested-evolved tables gate
+    loudly."""
 
     @classmethod
     def name(cls):

@@ -5880,3 +5880,104 @@ def test_hudi_colstats_pruning(spark, tmp_path):
     out2 = read_hudi(spark, t2, filters={"k": 5})
     assert len(out2.inputFiles()) == 4
     assert [tuple(r) for r in out2.collect()] == [(5, "0", 10)]
+
+
+def test_iceberg_changes_stream_evolved(spark, tmp_path):
+    """r16: the changelog STREAM over a FLAT-evolved table — rename
+    + added-with-default column + v2 position/equality deletes; the
+    stream's rows must equal the batch changelog's (columns resolve
+    by footer field id in the task, defaults fill pre-add files)."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg_changes,
+        write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "evcls")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") * 2).alias("v"))
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    write_iceberg_fixture(spark, None, t, delete_positions={
+        f"data/snap{s1}-0.parquet": [1]})
+    evolve_iceberg_schema_fixture(t, renames={"k": "key"},
+                                  add_columns=[("bonus", "long", 9)])
+    write_iceberg_fixture(
+        spark, spark.range(10, 12).select(
+            SF.col("id").alias("key"), (SF.col("id") * 2).alias("v"),
+            SF.lit(1).alias("bonus")), t, order_by=("key",))
+    write_iceberg_fixture(spark, None, t,
+                          delete_equality=(("key",), [(3,), (10,)]))
+    batch = sorted((r["_change_type"], r["key"], r["bonus"])
+                   for r in read_iceberg_changes(spark, t)
+                   .collect())
+    name = "evcls_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_changes")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = sorted((r["_change_type"], r["key"], r["bonus"])
+                    for r in spark.table(name).collect())
+    assert stream == batch
+    assert ("delete", 3, 9) in stream        # eq hit via OLD name
+    assert ("delete", 10, 1) in stream       # eq scoped to seq < d
+    assert ("insert", 11, 1) in stream
+
+
+def test_delta_row_tracking(spark, tmp_path):
+    """r16: Delta row tracking — baseRowId+position fresh ids,
+    materialized-column preference (ids stable across a rewrite),
+    DV survivors keep their ids, append auto-continues the
+    watermark, and untracked tables gate loudly."""
+    import pyspark.sql.functions as SF
+    import pytest
+    from padawan_spark.functions.delta import (
+        add_dv_fixture, materialize_delta_rowids_fixture,
+        read_delta, write_delta_fixture)
+    t = str(tmp_path / "rt")
+    df = spark.range(5).select(SF.col("id").alias("k"),
+                               (SF.col("id") * 2).alias("v"))
+    write_delta_fixture(spark, df.orderBy("k"), t, order_by=("k",),
+                        row_tracking=True)
+    write_delta_fixture(
+        spark, spark.range(10, 13).select(
+            SF.col("id").alias("k"),
+            (SF.col("id") * 2).alias("v")).orderBy("k"),
+        t, mode="append", order_by=("k",))
+    exp = [(0, 0, 0), (1, 1, 0), (2, 2, 0), (3, 3, 0), (4, 4, 0),
+           (10, 5, 1), (11, 6, 1), (12, 7, 1)]
+    got = sorted((r["k"], r["_row_id"], r["_row_commit_version"])
+                 for r in read_delta(spark, t, row_tracking=True)
+                 .collect())
+    assert got == exp
+    # rewrite with materialized columns: ids STABLE, fresh baseRowId
+    # ignored in favor of the materialized values
+    materialize_delta_rowids_fixture(t)
+    got2 = sorted((r["k"], r["_row_id"], r["_row_commit_version"])
+                  for r in read_delta(spark, t, row_tracking=True)
+                  .collect())
+    assert got2 == exp
+    # DV delete: survivors keep their ids
+    rels = sorted(r for r in __import__("os").listdir(t)
+                  if r.endswith(".parquet"))
+    import os as _os
+    import pyarrow.parquet as _pq
+    from padawan_spark.functions.delta import replay_delta_log
+    _sj, _pc, files, _mm = replay_delta_log(t)
+    live = sorted(rel for rel, _pv, _dv in files)
+    add_dv_fixture(t, {live[0]: [1]})
+    got3 = sorted((r["k"], r["_row_id"])
+                  for r in read_delta(spark, t, row_tracking=True)
+                  .collect())
+    # exactly one row dropped; every SURVIVOR keeps its original id
+    assert len(got3) == 7
+    assert set(got3) < {(k, i) for k, i, _v in exp}
+    # untracked table gates loudly
+    t2 = str(tmp_path / "plain")
+    write_delta_fixture(spark, df, t2)
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        read_delta(spark, t2, row_tracking=True)
