@@ -2980,11 +2980,13 @@ def read_iceberg_changes(spark, path: str,
     (insert/delete), ``_change_ordinal`` (0-based position of the
     snapshot in the requested span) and ``_commit_snapshot_id``.
 
-    Schema evolution (r16): flat renamed/added columns resolve
-    per-file by parquet footer FIELD ID (one distributed footer job
-    per scan — the same layout tap batch reads use), with v3
+    Schema evolution (r16): renamed/added columns resolve per-file
+    by parquet footer FIELD ID (one distributed footer job per scan
+    — the same layout tap batch reads use), with v3
     ``initial-default`` values for files predating an added column;
-    evolved tables with NESTED columns still gate loudly.
+    NESTED columns resolve through the footer field-id TREES with
+    the same JVM remap batch reads use, so renamed struct fields
+    inside a column re-emit under their current names too.
 
     Scope gates (loud): parquet data files only.  Scale shape: each
     snapshot's insert/remove side scans only its ADDED/REMOVED files
@@ -3037,11 +3039,7 @@ def read_iceberg_changes(spark, path: str,
     raw_fields = _schema_fields_json(path, sch_id)
     nested_cols = {n for n, f in raw_fields.items()
                    if not isinstance(f["type"], str)}
-    if evolved and (nested_cols & set(field_names)):
-        raise NotImplementedError(
-            "iceberg changelog over a schema-evolved table with "
-            "NESTED columns is not implemented (flat schema "
-            "evolution is, r16)")
+    nested_mode = evolved and bool(nested_cols & set(field_names))
     # v3 initial-defaults: a column added with a default reads the
     # DEFAULT (not null) from files predating it (r15)
     defaults = {n: F.lit(_ice_default_py(f["initial-default"],
@@ -3076,7 +3074,34 @@ def read_iceberg_changes(spark, path: str,
                          for src in ident_of.get(file_map[p][1], {})}
                         & set(types))
         lay_of: dict = {}
-        if evolved:
+        if nested_mode:
+            # evolved table WITH nested columns (r16): footer TREES
+            # carry nested field ids, so renamed struct fields
+            # inside a column resolve per file — the same one-job
+            # tap + JVM remap batch reads use
+            from .nested import match_tree_ice, parquet_field_trees
+            for p, trees in parquet_field_trees(
+                    spark, paths).items():
+                byfid = {t0[0]: t0 for t0 in trees
+                         if t0[0] is not None}
+                byname = {t0[1]: t0 for t0 in trees}
+                m = {}
+                for n2 in field_names:
+                    fid = fld_ids.get(n2)
+                    node = (byfid.get(fid) if fid is not None
+                            else None)
+                    if node is None:
+                        node = byname.get(n2)
+                    if node is None:
+                        continue      # column postdates this file
+                    if n2 in nested_cols:
+                        pt = match_tree_ice(
+                            raw_fields[n2]["type"], node)
+                        m[n2] = (node[1], json.dumps(pt))
+                    else:
+                        m[n2] = (node[1], "")
+                lay_of[p] = tuple(sorted(m.items()))
+        elif evolved:
             for p, flds in parquet_field_layouts(
                     spark, paths).items():
                 byfid = {fid: nm for fid, nm in flds
@@ -3096,7 +3121,15 @@ def read_iceberg_changes(spark, path: str,
         need_fp = with_keys or bool(attach)
         parts2 = []
         for lay, ps in sorted(groups.items()):
-            if evolved:
+            if nested_mode:
+                lmap = {n: (pn, json.loads(ptj) if ptj else None)
+                        for n, (pn, ptj) in dict(lay).items()}
+                ddl_g = ", ".join(
+                    f"`{lmap[n][0]}` "
+                    + (_ice_phys_ddl(lmap[n][1]) if lmap[n][1]
+                       else types[n])
+                    for n in field_names if n in lmap)
+            elif evolved:
                 lmap = dict(lay)
                 ddl_g = ", ".join(f"`{lmap[n]}` {types[n]}"
                                   for n in field_names if n in lmap)
@@ -3104,7 +3137,26 @@ def read_iceberg_changes(spark, path: str,
                 lmap = None
                 ddl_g = ddl
             df = spark.read.schema(ddl_g).parquet(*ps)
-            if evolved:
+            if nested_mode:
+                from .nested import remap_expr, remap_needed
+                for n in field_names:
+                    if n not in lmap:    # column postdates the file
+                        df = df.withColumn(
+                            n, defaults.get(
+                                n, F.lit(None).cast(types[n])))
+                        continue
+                    pn, pt2 = lmap[n]
+                    if pn != n:
+                        df = df.withColumnRenamed(pn, n)
+                    if pt2 is not None:
+                        src = _ice_to_spark_json(pt2)
+                        dst = _ice_to_spark_json(
+                            raw_fields[n]["type"])
+                        if remap_needed(src, dst):
+                            df = df.withColumn(
+                                n, remap_expr(F.col(f"`{n}`"),
+                                              src, dst))
+            elif evolved:
                 for n in field_names:
                     if n in lmap and lmap[n] != n:
                         df = df.withColumnRenamed(lmap[n], n)
@@ -3393,3 +3445,109 @@ def read_iceberg_changes(spark, path: str,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def iceberg_changelog_view(spark, path: str,
+                           identifier_columns=None,
+                           net_changes: bool = False,
+                           from_snapshot_id: int | None = None,
+                           to_snapshot_id: int | None = None):
+    """The PROCESSED changelog view real engines build over the raw
+    feed (Iceberg's ``create_changelog_view`` procedure, r16), on
+    top of :func:`read_iceberg_changes`:
+
+    - **carry-over removal** (always): a row emitted as both
+      ``delete`` and ``insert`` with identical values in the SAME
+      snapshot is a copy-on-write rewrite artifact, not a change —
+      the pairs cancel (multiplicity-aware: signed counts per value
+      tuple, surviving |net| rows re-emit).
+    - **update pairing** (``identifier_columns``): a surviving
+      delete and insert in the same snapshot sharing identifier
+      values become ``update_before`` / ``update_after``.
+      Ambiguous pairings (an identifier tuple appearing more than
+      once on either side of one snapshot) fail loudly at execution
+      — the procedure's identifier-uniqueness precondition, checked
+      instead of assumed.
+    - **net changes** (``net_changes=True``, exclusive with
+      update pairing per Iceberg's own rule): only each row's NET
+      effect across the whole span survives (insert-then-delete
+      vanishes), tagged with the LAST snapshot that touched it.
+
+    Scale shape: everything is groupBy/join work on the raw feed's
+    columns — signed-count aggregation instead of row-pair
+    windowing, identifier joins hash-partition by identifier, AQE
+    broadcasts small sides.  Tables whose columns cannot be grouped
+    (map-typed) are rejected by Spark's own analyzer."""
+    from pyspark.sql import functions as F
+    if net_changes and identifier_columns:
+        raise ValueError(
+            "net_changes cannot be combined with identifier_columns "
+            "(Iceberg create_changelog_view disallows computing "
+            "updates over net changes)")
+    raw = read_iceberg_changes(spark, path, from_snapshot_id,
+                               to_snapshot_id)
+    meta_cols = ["_change_type", "_change_ordinal",
+                 "_commit_snapshot_id"]
+    cols = [c for c in raw.columns if c not in meta_cols]
+    sgn = F.when(F.col("_change_type") == "insert",
+                 F.lit(1)).otherwise(F.lit(-1))
+    if net_changes:
+        g = (raw.groupBy(*cols)
+             .agg(F.sum(sgn).alias("__net"),
+                  F.max(F.struct("_change_ordinal",
+                                 "_commit_snapshot_id"))
+                  .alias("__last")))
+        out = (g.where(F.col("__net") != 0)
+               .withColumn("__n", F.explode(F.sequence(
+                   F.lit(1), F.abs(F.col("__net")))))
+               .withColumn("_change_type",
+                           F.when(F.col("__net") > 0,
+                                  F.lit("insert"))
+                           .otherwise(F.lit("delete")))
+               .withColumn("_change_ordinal",
+                           F.col("__last._change_ordinal"))
+               .withColumn("_commit_snapshot_id",
+                           F.col("__last._commit_snapshot_id")))
+        return out.select(*cols, *meta_cols)
+    # carry-over removal: signed counts per (values, snapshot)
+    g = (raw.groupBy(*cols, "_change_ordinal",
+                     "_commit_snapshot_id")
+         .agg(F.sum(sgn).alias("__net")))
+    base = (g.where(F.col("__net") != 0)
+            .withColumn("__n", F.explode(F.sequence(
+                F.lit(1), F.abs(F.col("__net")))))
+            .withColumn("_change_type",
+                        F.when(F.col("__net") > 0, F.lit("insert"))
+                        .otherwise(F.lit("delete")))
+            .drop("__net", "__n"))
+    if not identifier_columns:
+        return base.select(*cols, *meta_cols)
+    ident = list(identifier_columns)
+    missing = sorted(set(ident) - set(cols))
+    if missing:
+        raise ValueError(
+            f"identifier columns {missing} not in table columns")
+    key = ident + ["_change_ordinal"]
+    dels = base.where(F.col("_change_type") == "delete")
+    ins = base.where(F.col("_change_type") == "insert")
+    dk = dels.groupBy(*key).agg(F.count(F.lit(1)).alias("__dc"))
+    ik = ins.groupBy(*key).agg(F.count(F.lit(1)).alias("__ic"))
+    # the guard rides a FILTER (a raise_error in a dropped column
+    # would be pruned away unevaluated)
+    pk = (dk.join(ik, on=key, how="inner")
+          .where(F.when((F.col("__dc") > 1) | (F.col("__ic") > 1),
+                        F.raise_error(F.lit(
+                            "iceberg changelog view: identifier "
+                            "columns are not unique within a "
+                            "snapshot — update pairing would be "
+                            "ambiguous")))
+                 .otherwise(F.lit(True)))
+          .select(*key))
+    ub = (dels.join(pk, on=key, how="left_semi")
+          .withColumn("_change_type", F.lit("update_before")))
+    ua = (ins.join(pk, on=key, how="left_semi")
+          .withColumn("_change_type", F.lit("update_after")))
+    rest = (dels.join(pk, on=key, how="left_anti")
+            .unionByName(ins.join(pk, on=key, how="left_anti")))
+    return (rest.unionByName(ub).unionByName(ua)
+            .select(*cols, *meta_cols))

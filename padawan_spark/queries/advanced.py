@@ -3224,3 +3224,61 @@ def src_delta_row_tracking(spark, sf_dir):
         F.sum(F.col("_row_id") * F.col("k")).cast("bigint")
         .alias("rk_sum"),
         F.sum("_row_commit_version").cast("bigint").alias("cv_sum"))
+
+
+@query("src_iceberg_changelog_view", oracle="""
+WITH src AS (SELECT o_orderkey AS k, o_orderpriority AS p
+             FROM orders WHERE o_orderkey < 300),
+b AS (
+  SELECT 0 AS ordinal, 'insert' AS ctype, COUNT(*) AS n_rows,
+         SUM(k) AS k_sum FROM src
+  UNION ALL
+  SELECT 1, 'update_before', COUNT(*), SUM(k) FROM src WHERE k < 50
+  UNION ALL
+  SELECT 1, 'update_after', COUNT(*), SUM(k) FROM src WHERE k < 50
+  UNION ALL
+  SELECT 2, 'insert', 1, 9999
+)
+SELECT CAST(ordinal AS INT) AS ordinal, ctype,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(k_sum AS BIGINT) AS k_sum
+FROM b
+""")
+def src_iceberg_changelog_view(spark, sf_dir):
+    """The PROCESSED Iceberg changelog view (r16) — what Iceberg's
+    ``create_changelog_view`` procedure computes over the raw feed:
+    (1) an UPSERT snapshot's same-ordinal delete+insert pairs
+    sharing identifier values become ``update_before`` /
+    ``update_after``; (2) a REWRITE snapshot re-adding identical
+    rows (the copy-on-write carry-over artifact) cancels entirely —
+    only its one genuinely-new row survives as an insert.  Built on
+    ``read_iceberg_changes`` with signed-count aggregation per
+    (values, snapshot) plus identifier-keyed semi/anti joins; the
+    identifier-uniqueness precondition raises loudly instead of
+    pairing ambiguously.  Scale shape: groupBy/join work
+    hash-partitioned on the data columns — no windowing over the
+    full feed, AQE broadcasts the small pairing side."""
+    from ..functions.iceberg import (iceberg_changelog_view,
+                                     write_iceberg_fixture)
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 300).select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_orderpriority").alias("p"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_icv_"), "tbl")
+    write_iceberg_fixture(spark, o, t, order_by=("k",))
+    low = o.where(F.col("k") < 50)
+    upd = low.select("k", F.concat(F.lit("X"), F.col("k"))
+                     .alias("p"))
+    keys = [(int(r["k"]),) for r in low.select("k").collect()]
+    write_iceberg_fixture(spark, upd, t, order_by=("k",),
+                          delete_equality=(("k",), keys))
+    live = (o.where(F.col("k") >= 50).unionByName(upd)
+            .unionByName(spark.createDataFrame(
+                [(9999, "NEW")], "k bigint, p string")))
+    write_iceberg_fixture(spark, live, t, order_by=("k",),
+                          delete_partition={})
+    v = iceberg_changelog_view(spark, t, identifier_columns=["k"])
+    return (v.groupBy(F.col("_change_ordinal").alias("ordinal"),
+                      F.col("_change_type").alias("ctype"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("k").cast("bigint").alias("k_sum")))

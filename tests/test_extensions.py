@@ -5981,3 +5981,86 @@ def test_delta_row_tracking(spark, tmp_path):
     write_delta_fixture(spark, df, t2)
     with pytest.raises(NotImplementedError, match="rowTracking"):
         read_delta(spark, t2, row_tracking=True)
+
+
+def test_iceberg_changelog_nested_evolution(spark, tmp_path):
+    """r16: the changelog over a NESTED-evolved table — a renamed
+    inner struct field resolves per file through the footer field-id
+    trees, and v2 position deletes still emit exact rows."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg_changes,
+        write_iceberg_fixture)
+    t = str(tmp_path / "clnest")
+    df = spark.range(4).select(
+        SF.col("id").alias("k"),
+        SF.struct((SF.col("id") * 2).alias("a"),
+                  SF.concat(SF.lit("n"), SF.col("id")).alias("b"))
+        .alias("st"))
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    evolve_iceberg_schema_fixture(t, renames={"st.a": "alpha"})
+    df2 = spark.range(10, 12).select(
+        SF.col("id").alias("k"),
+        SF.struct((SF.col("id") * 2).alias("alpha"),
+                  SF.concat(SF.lit("n"), SF.col("id")).alias("b"))
+        .alias("st"))
+    write_iceberg_fixture(spark, df2, t, order_by=("k",))
+    write_iceberg_fixture(spark, None, t, delete_positions={
+        f"data/snap{s1}-0.parquet": [1]})
+    rows = sorted((r["_change_type"], r["k"], r["st"]["alpha"],
+                   r["st"]["b"])
+                  for r in read_iceberg_changes(spark, t).collect())
+    assert rows == sorted(
+        [("insert", k, k * 2, f"n{k}") for k in (0, 1, 2, 3, 10, 11)]
+        + [("delete", 1, 2, "n1")])
+
+
+def test_iceberg_changelog_view(spark, tmp_path):
+    """r16: the processed changelog view — update pairing via
+    identifier columns, carry-over cancellation on a rewrite
+    snapshot, net_changes, the exclusivity rule, and the ambiguous-
+    identifier loud gate."""
+    import pytest
+    from padawan_spark.functions.iceberg import (
+        iceberg_changelog_view, write_iceberg_fixture)
+    t = str(tmp_path / "clv")
+    df = spark.createDataFrame([(0, 0), (1, 10), (2, 20)],
+                               "k bigint, v bigint")
+    write_iceberg_fixture(spark, df, t, order_by=("k",))
+    up = spark.createDataFrame([(1, 99)], "k bigint, v bigint")
+    write_iceberg_fixture(spark, up, t, order_by=("k",),
+                          delete_equality=(("k",), [(1,)]))
+    live = spark.createDataFrame(
+        [(0, 0), (1, 99), (2, 20), (3, 30)], "k bigint, v bigint")
+    write_iceberg_fixture(spark, live, t, order_by=("k",),
+                          delete_partition={})
+    v = sorted((r["_change_ordinal"], r["_change_type"], r["k"],
+                r["v"])
+               for r in iceberg_changelog_view(
+                   spark, t, identifier_columns=["k"]).collect())
+    assert v == [(0, "insert", 0, 0), (0, "insert", 1, 10),
+                 (0, "insert", 2, 20),
+                 (1, "update_after", 1, 99),
+                 (1, "update_before", 1, 10),
+                 (2, "insert", 3, 30)]
+    n = sorted((r["_change_type"], r["k"], r["v"])
+               for r in iceberg_changelog_view(
+                   spark, t, net_changes=True).collect())
+    assert n == [("insert", 0, 0), ("insert", 1, 99),
+                 ("insert", 2, 20), ("insert", 3, 30)]
+    with pytest.raises(ValueError, match="net_changes"):
+        iceberg_changelog_view(spark, t, identifier_columns=["k"],
+                               net_changes=True)
+    # ambiguous identifier (two inserts with k=7 in one snapshot
+    # paired against one delete) fails loudly at execution
+    t2 = str(tmp_path / "clva")
+    write_iceberg_fixture(
+        spark, spark.createDataFrame([(7, 1)], "k bigint, v bigint"),
+        t2, order_by=("k",))
+    write_iceberg_fixture(
+        spark, spark.createDataFrame([(7, 2), (7, 3)],
+                                     "k bigint, v bigint"),
+        t2, order_by=("v",), delete_equality=(("v",), [(1,)]))
+    with pytest.raises(Exception, match="not unique"):
+        iceberg_changelog_view(spark, t2,
+                               identifier_columns=["k"]).collect()
