@@ -1394,6 +1394,177 @@ def write_hudi_colstats_fixture(spark, path: str, columns) -> str:
                                     block_format="hfile")
 
 
+def _record_key_fields(path: str):
+    """``hoodie.table.recordkey.fields`` from
+    ``.hoodie/hoodie.properties`` (None when absent) — what ties a
+    filter column to the record key the bloom index hashes."""
+    p = os.path.join(path, ".hoodie", "hoodie.properties")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith("hoodie.table.recordkey.fields="):
+                val = line.split("=", 1)[1]
+                return [f for f in val.split(",") if f] or None
+    return None
+
+
+def _bloom_indices(key: bytes, k: int, m: int):
+    from .iceberg import _murmur3_32
+    return [_murmur3_32(key, seed=i) % m for i in range(k)]
+
+
+def _bloom_bits(keys, m: int, k: int) -> bytes:
+    bits = bytearray((m + 7) // 8)
+    for key in keys:
+        for ix in _bloom_indices(key, k, m):
+            bits[ix >> 3] |= 1 << (ix & 7)
+    return bytes(bits)
+
+
+def _bloom_might_contain(bits: bytes, m: int, k: int,
+                         key: bytes) -> bool:
+    return all(bits[ix >> 3] & (1 << (ix & 7))
+               for ix in _bloom_indices(key, k, m))
+
+
+def hudi_bloom_filters(path: str):
+    """Driver-side read of the metadata table's BLOOM_FILTERS
+    partition (r16): per base file, a bloom filter over its
+    ``_hoodie_record_key`` values — Hudi's point-lookup index.
+    Returns ``{(partition, file_name): (m, k, bits)}`` or ``None``
+    when absent; latest record per key wins, ``isDeleted``
+    tombstones.  Unknown record shapes raise (fail closed — the
+    pruner then skips bloom pruning; correctness never depends on
+    it)."""
+    import base64
+    mroot = os.path.join(path, ".hoodie", "metadata")
+    if not os.path.isdir(os.path.join(mroot, ".hoodie")):
+        return None
+    from .hudilog import (BLOCK_DELETE, DATA_BLOCK_TYPES,
+                          H_INSTANT_TIME, decode_data_block,
+                          decode_delete_block, decode_log_blocks)
+    inner = {fid: s for fid, s in
+             live_hudi_slices(mroot, use_metadata=False).items()
+             if s["part"] == "bloom_filters"}
+    if not inner:
+        return None
+    committed = set(list_hudi_commits(mroot))
+    _FIELDS = {"fileName", "filePart", "m", "k", "bitsB64",
+               "isDeleted"}
+
+    def _classify(r: dict):
+        if not _FIELDS <= set(r):
+            raise NotImplementedError(
+                f"hudi bloom_filters record shape {sorted(r)} is "
+                "not the fixture bloom payload (real "
+                "HoodieMetadataBloomFilter Hadoop-Writable "
+                "serialization is not implemented)")
+        key = r.get("_hoodie_record_key") or r.get("key")
+        if key is None:
+            raise NotImplementedError(
+                "hudi bloom_filters record carries no key")
+        return key, dict(r)
+
+    recs: dict[str, list] = {}
+    for fid, s in sorted(inner.items()):
+        if s["base"] is not None:
+            from .avro import read_datum
+            from .hfile import read_hfile
+            info, cells = read_hfile(s["base"])
+            if b"schema" not in info:
+                raise NotImplementedError(
+                    f"{s['base']}: HFile carries no 'schema' "
+                    "file-info entry")
+            schema = json.loads(info[b"schema"].decode("utf-8"))
+            for seq, (kk, v) in enumerate(cells):
+                r, _end = read_datum(v, 0, schema)
+                key, payload = _classify(r)
+                recs.setdefault(key, []).append(
+                    (("", -1, seq), payload))
+        for lidx, p in enumerate(s["logs"]):
+            with open(p, "rb") as fh:
+                blocks = decode_log_blocks(fh.read())
+            for seq, blk in enumerate(blocks):
+                inst = blk["header"].get(H_INSTANT_TIME)
+                if inst not in committed:
+                    continue
+                ordk = (inst, lidx, seq)
+                if blk["type"] in DATA_BLOCK_TYPES:
+                    for r in decode_data_block(blk):
+                        key, payload = _classify(r)
+                        recs.setdefault(key, []).append(
+                            (ordk, payload))
+                elif blk["type"] == BLOCK_DELETE:
+                    for kk in decode_delete_block(blk):
+                        recs.setdefault(kk, []).append((ordk, None))
+                else:
+                    raise NotImplementedError(
+                        f"hudi bloom_filters log block {blk['type']}")
+    out: dict = {}
+    for key, events in recs.items():
+        latest = None
+        for _ordk, payload in sorted(events, key=lambda e: e[0]):
+            latest = payload
+        if latest is None or latest["isDeleted"]:
+            continue
+        out[(latest["filePart"], latest["fileName"])] = (
+            int(latest["m"]), int(latest["k"]),
+            base64.b64decode(latest["bitsB64"]))
+    return out
+
+
+def write_hudi_bloom_fixture(spark, path: str, key_field: str,
+                             k: int = 5) -> str:
+    """FIXTURE: publish the metadata table's BLOOM_FILTERS partition
+    — per live BASE file, a bloom filter over its
+    ``_hoodie_record_key`` column (one column-pruned pyarrow read
+    per file), sized at 8 bits/key — and record
+    ``hoodie.table.recordkey.fields=<key_field>`` in
+    ``hoodie.properties`` so the pruner can tie an equality filter
+    on that field to the record key.  Bootstraps the FILES partition
+    first when the metadata table does not exist.  Returns the inner
+    commit instant."""
+    import base64
+
+    import pyarrow.parquet as pq
+    mroot = os.path.join(path, ".hoodie", "metadata")
+    if not os.path.isdir(os.path.join(mroot, ".hoodie")):
+        write_hudi_metadata_fixture(spark, path)
+    props = os.path.join(path, ".hoodie", "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as fh:
+            fh.write("hoodie.table.recordkey.fields="
+                     f"{key_field}\n")
+    rows = []
+    for fid, s in sorted(live_hudi_slices(
+            path, use_metadata=False).items()):
+        if s["base"] is None:
+            continue
+        fname = os.path.basename(s["base"])
+        keys = [str(x).encode("utf-8") for x in
+                pq.read_table(s["base"],
+                              columns=["_hoodie_record_key"])
+                .column("_hoodie_record_key").to_pylist()]
+        # 16 bits/key at k=5 ≈ 0.1% false-positive rate — pruning
+        # quality; correctness never depends on it (a FP just scans
+        # one extra file and the row predicate drops everything)
+        m = max(64, 16 * len(keys))
+        bits = _bloom_bits(keys, m, k)
+        rows.append((f"bloom@@{s['part']}/{fname}", fname,
+                     s["part"], m, k,
+                     base64.b64encode(bits).decode("ascii"),
+                     False, "bloom_filters"))
+    df = spark.createDataFrame(
+        rows, "key string, fileName string, filePart string, "
+              "m bigint, k bigint, bitsB64 string, "
+              "isDeleted boolean, p string")
+    return write_hudi_delta_fixture(spark, mroot, upserts=df,
+                                    partition_field="p",
+                                    block_format="hfile")
+
+
 def prune_hudi_slices_colstats(path: str, slices: dict,
                                filters: dict) -> dict:
     """Data skipping via the metadata table's column_stats index
@@ -1405,13 +1576,28 @@ def prune_hudi_slices_colstats(path: str, slices: dict,
     base has a decodable stats record for the filter column, and the
     value falls outside the bounds (or the column is all-null).
     Stats are advisory — an unreadable column_stats partition means
-    no pruning, never a failed read."""
+    no pruning, never a failed read.
+
+    Bloom pruning (r16): when the metadata table also publishes the
+    BLOOM_FILTERS partition and ``hoodie.properties`` names a single
+    record-key field that appears in ``filters``, a slice whose
+    bloom DEFINITELY excludes the key's string form is dropped too —
+    Hudi's point-lookup index, effective when keys are not
+    range-clustered (where min/max bounds cannot discriminate)."""
     try:
         stats = hudi_column_stats(path)
     except (NotImplementedError, KeyError, ValueError):
+        stats = None
+    try:
+        blooms = hudi_bloom_filters(path)
+    except (NotImplementedError, KeyError, ValueError):
+        blooms = None
+    rkeys = _record_key_fields(path) if blooms else None
+    bloom_col = (rkeys[0] if rkeys and len(rkeys) == 1
+                 and rkeys[0] in (filters or {}) else None)
+    if not stats and not (blooms and bloom_col):
         return slices
-    if not stats:
-        return slices
+    stats = stats or {}
     out = {}
     for fid, s in slices.items():
         if s["logs"] or s["base"] is None:
@@ -1419,7 +1605,17 @@ def prune_hudi_slices_colstats(path: str, slices: dict,
             continue
         fname = os.path.basename(s["base"])
         drop = False
+        if blooms and bloom_col is not None:
+            v = filters[bloom_col]
+            ent = blooms.get((s["part"], fname))
+            if ent is not None and v is not None:
+                m, kk, bits = ent
+                if not _bloom_might_contain(
+                        bits, m, kk, str(v).encode("utf-8")):
+                    drop = True
         for c, v in (filters or {}).items():
+            if drop:
+                break
             st = stats.get((s["part"], fname, c))
             if st is None:
                 continue

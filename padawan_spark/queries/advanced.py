@@ -3282,3 +3282,44 @@ def src_iceberg_changelog_view(spark, sf_dir):
                       F.col("_change_type").alias("ctype"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                  F.sum("k").cast("bigint").alias("k_sum")))
+
+
+@query("src_hudi_bloom_prune", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS k_sum,
+       MAX(o_orderpriority) AS prio_max
+FROM orders WHERE o_orderkey = 151
+""")
+def src_hudi_bloom_prune(spark, sf_dir):
+    """Hudi BLOOM-FILTER data skipping (r16): the metadata table's
+    bloom_filters partition — per base file, a bloom over its
+    ``_hoodie_record_key`` values, tied to the filter column through
+    ``hoodie.table.recordkey.fields`` — prunes file slices on a
+    point lookup where column bounds CANNOT (the fixture partitions
+    orders by ``o_orderkey % 8``, so every file's [min,max] spans
+    nearly the whole key range).  The read asserts exactly one file
+    slice scans, then re-applies the predicate on rows.  Scale
+    shape: the bloom read is O(index records) driver planning; at
+    100 TB a record-key lookup scans the one file group whose bloom
+    admits the key — Hudi's bloom-index point-lookup path; slices
+    with live logs are conservatively never pruned."""
+    from ..functions.hudi import (read_hudi,
+                                  write_hudi_bloom_fixture,
+                                  write_hudi_fixture)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_orderpriority"),
+        (F.col("o_orderkey") % 8).cast("string").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_hbl_"), "tbl")
+    write_hudi_fixture(spark, o.orderBy("o_orderkey"), t,
+                       partition_field="g")
+    write_hudi_bloom_fixture(spark, t, "o_orderkey")
+    out = read_hudi(spark, t, filters={"o_orderkey": 151})
+    n_files = len(out.inputFiles())
+    if n_files != 1:
+        raise AssertionError(
+            f"bloom pruning expected 1 scanned file, got {n_files}")
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("k_sum"),
+        F.max("o_orderpriority").alias("prio_max"))

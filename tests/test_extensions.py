@@ -6064,3 +6064,38 @@ def test_iceberg_changelog_view(spark, tmp_path):
     with pytest.raises(Exception, match="not unique"):
         iceberg_changelog_view(spark, t2,
                                identifier_columns=["k"]).collect()
+
+
+def test_hudi_bloom_pruning(spark, tmp_path):
+    """r16: the metadata table's bloom_filters partition — record-key
+    point-lookup pruning where min/max bounds cannot discriminate
+    (scattered keys), definite-absence empty results, log-bearing
+    slices exempt, and no-properties/no-bloom tables unaffected."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.hudi import (
+        hudi_bloom_filters, read_hudi, write_hudi_bloom_fixture,
+        write_hudi_delta_fixture, write_hudi_fixture)
+    t = str(tmp_path / "bl")
+    # k % 4 partitioning scatters keys: every file's [min,max] spans
+    # nearly the whole range, so only the bloom can prune
+    df = spark.range(100).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") % 4).cast("string").alias("g"),
+        (SF.col("id") * 2).alias("v"))
+    write_hudi_fixture(spark, df.orderBy("k"), t,
+                       partition_field="g")
+    write_hudi_bloom_fixture(spark, t, "k")
+    assert len(hudi_bloom_filters(t)) == 4
+    out = read_hudi(spark, t, filters={"k": 5})
+    assert len(out.inputFiles()) == 1
+    assert [tuple(r) for r in out.collect()] == [(5, "1", 10)]
+    # a key in no file: every slice pruned, empty WITH schema
+    out2 = read_hudi(spark, t, filters={"k": 123456})
+    assert out2.count() == 0 and "v" in out2.columns
+    # a slice with live logs never prunes
+    write_hudi_delta_fixture(
+        spark, t, upserts=spark.createDataFrame(
+            [(500, "1", 0)], "k bigint, g string, v bigint"),
+        partition_field="g")
+    assert [tuple(r) for r in read_hudi(
+        spark, t, filters={"k": 500}).collect()] == [(500, "1", 0)]
