@@ -2629,7 +2629,10 @@ def iceberg_metadata_table(spark, path: str, kind: str,
     record_count, file_size_in_bytes, sequence_number, partition as
     map<string,string> — live data files of the resolved snapshot),
     ``partitions`` (partition map, spec_id, file_count,
-    record_count — aggregated from ``files``)."""
+    record_count — aggregated from ``files``), ``delete_files``
+    (r16: the snapshot's live position/equality delete files and v3
+    deletion vectors with their equality columns / blob
+    addresses)."""
     from pyspark.sql import functions as F
 
     from .avro import decode_avro_datums
@@ -2722,9 +2725,35 @@ def iceberg_metadata_table(spark, path: str, kind: str,
                      .alias("file_count"),
                      F.sum("record_count").cast("bigint")
                      .alias("record_count")))
+    if kind == "delete_files":
+        # the snapshot's live DELETE artifacts (r16): v2 position
+        # files (content 1), equality files (content 2, their
+        # equality column names), v3 deletion vectors (content 1,
+        # PUFFIN, referenced data file + blob offsets)
+        _f, _ps, _files, dels = live_data_files(
+            path, snap["snapshot-id"])
+        rows = []
+        for p, c, seq, extra in dels:
+            if c == 2:
+                rows.append((2, p, "PARQUET", int(seq),
+                             list(extra), None, None, None))
+            elif c == 3:
+                ref, off, sz = extra
+                rows.append((1, p, "PUFFIN", int(seq), None,
+                             ref, int(off), int(sz)))
+            else:
+                rows.append((1, p, "PARQUET", int(seq), None,
+                             None, None, None))
+        return spark.createDataFrame(
+            rows, "content int, file_path string, "
+                  "file_format string, sequence_number bigint, "
+                  "equality_columns array<string>, "
+                  "referenced_data_file string, "
+                  "content_offset bigint, "
+                  "content_size_in_bytes bigint")
     raise NotImplementedError(
         f"iceberg metadata table {kind!r} (have: snapshots, history, "
-        "refs, manifests, files, partitions)")
+        "refs, manifests, files, partitions, delete_files)")
 
 
 

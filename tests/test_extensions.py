@@ -6099,3 +6099,32 @@ def test_hudi_bloom_pruning(spark, tmp_path):
         partition_field="g")
     assert [tuple(r) for r in read_hudi(
         spark, t, filters={"k": 500}).collect()] == [(500, "1", 0)]
+
+
+def test_iceberg_delete_files_metadata_table(spark, tmp_path):
+    """r16: the delete_files inspection table — v2 position files,
+    equality files with their column names, and v3 deletion vectors
+    with blob addresses."""
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        iceberg_metadata_table, set_iceberg_format_version_fixture,
+        write_iceberg_fixture)
+    t = str(tmp_path / "delf")
+    df = spark.range(4).select(SF.col("id").alias("k"))
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    write_iceberg_fixture(spark, None, t, delete_positions={
+        f"data/snap{s1}-0.parquet": [0]})
+    write_iceberg_fixture(spark, None, t,
+                          delete_equality=(("k",), [(3,)]))
+    set_iceberg_format_version_fixture(t, 3)
+    write_iceberg_fixture(spark, None, t, delete_vectors={
+        f"data/snap{s1}-0.parquet": [1]})
+    rows = sorted(
+        (r["content"], r["file_format"], r["equality_columns"],
+         r["referenced_data_file"] is not None,
+         r["content_offset"] is not None)
+        for r in iceberg_metadata_table(
+            spark, t, "delete_files").collect())
+    assert rows == [(1, "PARQUET", None, False, False),
+                    (1, "PUFFIN", None, True, True),
+                    (2, "PARQUET", ["k"], False, False)]
