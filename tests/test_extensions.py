@@ -5000,7 +5000,9 @@ def test_iceberg_eq_delete_idless_fallback_gates(spark, tmp_path):
 def test_iceberg_format_version_gate_enumerates_v3_features(
         spark, tmp_path):
     """v1/v2/v3 read; anything newer gates loudly with a message
-    enumerating the v3 features NOT implemented (row lineage first)."""
+    enumerating the v3 features NOT implemented (r16: lineage and
+    variant moved to implemented; geometry/geography lead the
+    remainder)."""
     import pyspark.sql.functions as SF
     import pytest
     from padawan_spark.functions.iceberg import (
@@ -5010,7 +5012,7 @@ def test_iceberg_format_version_gate_enumerates_v3_features(
     write_iceberg_fixture(spark, spark.range(3).select(
         SF.col("id").alias("k")), t)
     set_iceberg_format_version_fixture(t, 4)
-    with pytest.raises(NotImplementedError, match="row lineage"):
+    with pytest.raises(NotImplementedError, match="geometry"):
         read_iceberg(spark, t)
 
 
