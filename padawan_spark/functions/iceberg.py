@@ -3580,3 +3580,128 @@ def iceberg_changelog_view(spark, path: str,
             .unionByName(ins.join(pk, on=key, how="left_anti")))
     return (rest.unionByName(ub).unionByName(ua)
             .select(*cols, *meta_cols))
+
+
+def _reachable_files(path: str, meta: dict, snapshot_ids,
+                     live_only: bool = False):
+    """Every file reachable from the given snapshots: manifest
+    lists, manifest files, data files and delete/puffin files —
+    absolute paths.  ``live_only=True`` counts only LIVE entries
+    (status != DELETED): what a reader can ever open from those
+    snapshots — the retained side of an expiry diff (a tombstoned
+    path in a kept manifest never scans, so the bytes are
+    reclaimable once no kept snapshot serves them live).  Driver
+    planning, O(total manifest entries) across the given snapshots
+    (manifests shared between snapshots decode once)."""
+    from .avro import decode_avro_datums
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    mlists, manifests, data = set(), set(), set()
+    seen_manifest = {}
+    for sid in snapshot_ids:
+        s = by_id.get(sid)
+        if s is None:
+            continue
+        ml = _resolve(s["manifest-list"], path)
+        mlists.add(ml)
+        with open(ml, "rb") as fh:
+            _s0, mans = decode_avro_datums(fh.read())
+        for m in mans:
+            mp = _resolve(m["manifest_path"], path)
+            manifests.add(mp)
+            if mp not in seen_manifest:
+                with open(mp, "rb") as fh:
+                    _s1, entries = decode_avro_datums(fh.read())
+                seen_manifest[mp] = (
+                    {_resolve(e["data_file"]["file_path"], path)
+                     for e in entries},
+                    {_resolve(e["data_file"]["file_path"], path)
+                     for e in entries if e.get("status") != 2})
+            data |= seen_manifest[mp][1 if live_only else 0]
+    return mlists, manifests, data
+
+
+def iceberg_orphan_files(spark, path: str):
+    """Table MAINTENANCE (r16): files under the table location that
+    NO snapshot references — what Iceberg's ``remove_orphan_files``
+    procedure deletes; aborted writes and crashed compactions leave
+    them behind and at 100 TB they silently double storage.
+    Returns a DataFrame ``(file_path, size_in_bytes)`` of orphans
+    (data/delete/manifest files only — metadata JSONs, version hint
+    and the metadata directory's bookkeeping are never listed as
+    orphans).  The reference set walks EVERY snapshot's manifests
+    (shared manifests decode once, O(total entries)); the listing
+    here is a driver walk (at object-store scale you would feed the
+    store's inventory listing into the same anti-join — the set
+    difference itself is a join, not driver state)."""
+    from pyspark.sql import functions as F
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    _check_format_version(meta, path)
+    sids = [s["snapshot-id"] for s in meta.get("snapshots", [])]
+    mlists, manifests, data = _reachable_files(path, meta, sids)
+    referenced = mlists | manifests | data
+    actual = []
+    mdir = os.path.join(os.path.abspath(path), "metadata")
+    for root, _dirs, files in os.walk(os.path.abspath(path)):
+        for f in files:
+            full = os.path.join(root, f)
+            if root == mdir and (f.endswith(".metadata.json")
+                                 or f == "version-hint.text"):
+                continue            # table bookkeeping, never orphan
+            actual.append((full, os.path.getsize(full)))
+    adf = spark.createDataFrame(
+        actual, "file_path string, size_in_bytes bigint")
+    ref = spark.createDataFrame(
+        [(p,) for p in sorted(referenced)], "file_path string")
+    return adf.join(F.broadcast(ref), on="file_path",
+                    how="left_anti")
+
+
+def iceberg_expire_snapshots_plan(spark, path: str,
+                                  keep_last: int = 1,
+                                  older_than_ms: int | None = None):
+    """Table MAINTENANCE (r16): the deletion plan Iceberg's
+    ``expire_snapshots`` computes — snapshots older than
+    ``older_than_ms`` (None = all but the keep set), always KEEPING
+    the ``keep_last`` newest plus every branch/tag-referenced
+    snapshot, and the files REACHABLE ONLY from the expired set
+    (reachability diff against the kept snapshots: a data file a
+    kept snapshot still references survives a shared-manifest
+    expiry).  Returns a DataFrame ``(kind, ref)`` with kinds
+    ``snapshot`` (the id), ``manifest_list``, ``manifest``,
+    ``data_file`` — a PLAN, nothing is deleted.  Planning is
+    O(total manifest entries) on the driver, the same class as the
+    scan planner's own walk."""
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    _check_format_version(meta, path)
+    snaps = sorted(meta.get("snapshots", []),
+                   key=lambda s: (s.get("timestamp-ms", 0),
+                                  s["snapshot-id"]))
+    keep = {s["snapshot-id"] for s in snaps[-max(1, keep_last):]}
+    for ref in (meta.get("refs") or {}).values():
+        if ref.get("snapshot-id") is not None:
+            keep.add(ref["snapshot-id"])
+    cur = meta.get("current-snapshot-id")
+    if cur is not None:
+        keep.add(cur)
+    expired = [s["snapshot-id"] for s in snaps
+               if s["snapshot-id"] not in keep
+               and (older_than_ms is None
+                    or s.get("timestamp-ms", 0) < older_than_ms)]
+    kept = [s["snapshot-id"] for s in snaps
+            if s["snapshot-id"] not in expired]
+    eml, eman, edata = _reachable_files(path, meta, expired)
+    # the kept side counts only LIVE entries: a file a kept
+    # snapshot carries purely as a DELETED tombstone never scans
+    # again once the expired snapshots (the only ones that served
+    # it live) are gone — its bytes are reclaimable, exactly what
+    # expire_snapshots exists to do
+    kml, kman, kdata = _reachable_files(path, meta, kept,
+                                        live_only=True)
+    rows = ([("snapshot", str(sid)) for sid in expired]
+            + [("manifest_list", p) for p in sorted(eml - kml)]
+            + [("manifest", p) for p in sorted(eman - kman)]
+            + [("data_file", p) for p in sorted(edata - kdata)])
+    return spark.createDataFrame(rows or [],
+                                 "kind string, ref string")

@@ -3323,3 +3323,59 @@ def src_hudi_bloom_prune(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("o_orderkey").cast("bigint").alias("k_sum"),
         F.max("o_orderpriority").alias("prio_max"))
+
+
+@query("src_iceberg_maintenance", oracle="""
+SELECT CAST(1 AS BIGINT) AS n_orphans,
+       CAST(10 AS BIGINT) AS orphan_bytes,
+       CAST(2 AS BIGINT) AS n_expired,
+       CAST(2 AS BIGINT) AS n_removable_data,
+       CAST(2 * COUNT(*) AS BIGINT) AS live_rows
+FROM nation WHERE n_nationkey % 2 = 0
+""")
+def src_iceberg_maintenance(spark, sf_dir):
+    """Iceberg table MAINTENANCE planning (r16): the two operations
+    a 100 TB estate runs daily — ``remove_orphan_files`` (a planted
+    abandoned write is found; table bookkeeping never reported) and
+    the ``expire_snapshots`` PLAN (keep_last retained; manifest
+    lists/manifests of expired snapshots and the data files only
+    they served LIVE are reclaimable — a file a kept snapshot
+    carries purely as a DELETED tombstone never scans again, so its
+    bytes count as removable; nothing is deleted, the table still
+    reads in full).  Three snapshots over nation (two partitioned
+    inserts, one partition delete) make exactly 2 expired
+    snapshots and 2 reclaimable g=1 data files; ``live_rows``
+    re-reads the UNTOUCHED table after planning.  Scale shape:
+    reachability is O(total manifest entries) driver planning with
+    shared manifests decoded once; the orphan diff is a broadcast
+    anti-join against the listing (at object-store scale, the
+    store's inventory feeds the same join)."""
+    from ..functions.iceberg import (iceberg_expire_snapshots_plan,
+                                     iceberg_orphan_files,
+                                     read_iceberg,
+                                     write_iceberg_fixture)
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        (F.col("n_nationkey") % 2).cast("bigint").alias("g"))
+    t = os.path.join(tempfile.mkdtemp(prefix="padawan_mnt_"), "tbl")
+    write_iceberg_fixture(spark, n, t, partition_by=("g",),
+                          order_by=("k",))
+    write_iceberg_fixture(spark, n.selectExpr("k+100 as k", "g"),
+                          t, partition_by=("g",), order_by=("k",))
+    write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                          delete_partition={"g": 1})
+    with open(os.path.join(t, "data", "orphan-x.parquet"),
+              "wb") as fh:
+        fh.write(b"x" * 10)
+    orph = iceberg_orphan_files(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orphans"),
+        F.sum("size_in_bytes").cast("bigint").alias("orphan_bytes"))
+    plan = iceberg_expire_snapshots_plan(spark, t, keep_last=1)
+    pcounts = plan.agg(
+        F.count(F.when(F.col("kind") == "snapshot", 1))
+        .cast("bigint").alias("n_expired"),
+        F.count(F.when(F.col("kind") == "data_file", 1))
+        .cast("bigint").alias("n_removable_data"))
+    live = read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("live_rows"))
+    return orph.crossJoin(pcounts).crossJoin(live)

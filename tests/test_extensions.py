@@ -6130,3 +6130,57 @@ def test_iceberg_delete_files_metadata_table(spark, tmp_path):
     assert rows == [(1, "PARQUET", None, False, False),
                     (1, "PUFFIN", None, True, True),
                     (2, "PARQUET", ["k"], False, False)]
+
+
+def test_iceberg_maintenance_surfaces(spark, tmp_path):
+    """r16: orphan-file detection (planted orphans found, table
+    bookkeeping never listed) and the expire-snapshots PLAN
+    (keep_last + ref-pinned snapshots kept; a file kept only as a
+    DELETED tombstone is reclaimable; nothing is actually
+    deleted)."""
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        iceberg_expire_snapshots_plan, iceberg_orphan_files,
+        read_iceberg, tag_iceberg_snapshot_fixture,
+        write_iceberg_fixture)
+    t = str(tmp_path / "maint")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 2).alias("g"))
+    s1 = write_iceberg_fixture(spark, df, t, partition_by=("g",),
+                               order_by=("k",))
+    s2 = write_iceberg_fixture(
+        spark, df.selectExpr("k+10 as k", "g"), t,
+        partition_by=("g",), order_by=("k",))
+    s3 = write_iceberg_fixture(spark, None, t, partition_by=("g",),
+                               delete_partition={"g": 1})
+    assert iceberg_orphan_files(spark, t).count() == 0
+    with open(_os.path.join(t, "data", "orphan-x.parquet"),
+              "wb") as fh:
+        fh.write(b"x" * 10)
+    orph = iceberg_orphan_files(spark, t).collect()
+    assert [(r["file_path"].rsplit("/", 1)[-1],
+             r["size_in_bytes"]) for r in orph] \
+        == [("orphan-x.parquet", 10)]
+    plan = {(r["kind"], r["ref"].rsplit("/", 1)[-1])
+            for r in iceberg_expire_snapshots_plan(
+                spark, t, keep_last=1).collect()}
+    kinds = sorted(k for k, _ in plan)
+    assert kinds == ["data_file", "data_file", "manifest",
+                     "manifest", "manifest_list", "manifest_list",
+                     "snapshot", "snapshot"]
+    # reclaimable data = the g=1 files only the expired snapshots
+    # served LIVE (kept s3 carries them as tombstones)
+    assert {r for k, r in plan if k == "data_file"} \
+        == {f"snap{s1}-1.parquet", f"snap{s2}-1.parquet"}
+    assert {r for k, r in plan if k == "snapshot"} \
+        == {str(s1), str(s2)}
+    # a tag PINS its snapshot out of expiry
+    tag_iceberg_snapshot_fixture(t, "keep_me", snapshot_id=s1)
+    plan2 = {r["ref"] for r in iceberg_expire_snapshots_plan(
+        spark, t, keep_last=1).collect()
+        if r["kind"] == "snapshot"}
+    assert plan2 == {str(s2)}
+    # the PLAN deletes nothing: the table still reads in full
+    assert read_iceberg(spark, t).count() == 6
