@@ -991,3 +991,75 @@ def text_bpe_apply(spark, sf_dir):
                  SF.sum("n_tok").cast("bigint").alias("n_tokens"),
                  SF.sum(SF.length("w")).cast("bigint")
                  .alias("n_chars")))
+
+
+@query("text_bigram_lm_score", oracle="""
+WITH toks AS (
+  SELECT doc_id, tok, ord FROM (
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')) AS tok,
+           GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS ord
+    FROM documents)
+  WHERE tok <> ''),
+bi AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+c1 AS (SELECT w1, COUNT(*) AS c FROM bi GROUP BY w1),
+c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+scored AS (
+  SELECT bi.doc_id,
+         AVG(LN((c2.c + 0.5) / (c1.c + 0.5 * v.v))) AS ll
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY bi.doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN ll < -4.5 THEN 1 END) AS BIGINT)
+           AS n_flagged,
+       CAST(MIN(CASE WHEN ll < -4.5 THEN doc_id END) AS BIGINT)
+           AS first_flagged
+FROM scored
+""")
+def text_bigram_lm_score(spark, sf_dir):
+    """Bigram language-model QUALITY scoring (r16) — the
+    perplexity-filter pass a training pipeline runs to drop
+    incoherent documents: an add-k-smoothed bigram LM is fit on the
+    corpus itself (``P(w2|w1) = (c(w1,w2)+0.5) / (c(w1)+0.5·V)``),
+    each document scores as its mean bigram log-probability, and
+    documents below the threshold are flagged (KenLM-style filtering
+    without the native dependency).  Output is integer-only (counts
+    + first flagged id) so float association order cannot drift the
+    hash.  Scale shape: token explode → two count aggregations
+    (bigram and unigram, hash-shuffled on the gram) → the scoring
+    JOINS the counts back onto the bigram stream and partial-aggs
+    per doc — no broadcast of the full model needed (the joins are
+    gram-keyed and AQE picks broadcast only if the vocabulary is
+    small), no Python in the row path."""
+    d = load(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.posexplode(F.split(F.col("text"), " "))
+                     .alias("ord", "tok"))
+            .where(F.col("tok") != ""))
+    bi = (toks.alias("a")
+          .join(toks.alias("b"),
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("b.ord") == F.col("a.ord") + 1))
+          .select(F.col("a.doc_id").alias("doc_id"),
+                  F.col("a.tok").alias("w1"),
+                  F.col("b.tok").alias("w2")))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = (bi.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("c2")))
+    v = toks.select("tok").distinct().count()
+    scored = (bi.join(c2, on=["w1", "w2"]).join(c1, on="w1")
+              .groupBy("doc_id")
+              .agg(F.avg(F.log((F.col("c2") + F.lit(0.5))
+                               / (F.col("c1")
+                                  + F.lit(0.5 * v))))
+                   .alias("ll")))
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("ll") < -4.5, 1)).cast("bigint")
+        .alias("n_flagged"),
+        F.min(F.when(F.col("ll") < -4.5, F.col("doc_id")))
+        .cast("bigint").alias("first_flagged"))
