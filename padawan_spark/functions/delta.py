@@ -1885,3 +1885,68 @@ def delta_detail(spark, path: str):
                "array<string>, column_mapping_mode string, "
                "min_reader_version int, min_writer_version int, "
                "reader_features array<string>, num_commits bigint")
+
+
+def delta_vacuum_plan(spark, path: str,
+                      retention_ms: int = 7 * 24 * 3600 * 1000,
+                      now_ms: int | None = None):
+    """Table MAINTENANCE (r16): the deletion plan ``VACUUM``
+    computes — data files under the table location that the CURRENT
+    version does not reference, split into ``tombstoned`` (a
+    ``remove`` action exists and its ``deletionTimestamp`` is older
+    than ``retention_ms`` — younger tombstones are RETAINED, they
+    protect readers time-traveling within the window) and
+    ``untracked`` (no log action at all: aborted writes).  Returns
+    a DataFrame ``(file_path, reason, size_in_bytes)``; nothing is
+    deleted.  ``now_ms`` pins the clock for deterministic tests.
+    The ``_delta_log`` directory and deletion-vector sidecars
+    referenced by live adds are never listed.  Planning is one log
+    replay (O(actions)) + a listing anti-join — at object-store
+    scale the store's inventory feeds the same join."""
+    from pyspark.sql import functions as F
+    _sj, _pc, files, _mm = replay_delta_log(path)
+    live = set()
+    table_abs = os.path.abspath(path)
+    for rel, _pv, dv in files:
+        live.add(os.path.abspath(os.path.join(path, rel)))
+        if dv and dv.get("storageType") == "u":
+            # the DV sidecar a live add references must survive
+            from .deltadv import dv_absolute_path
+            try:
+                live.add(dv_absolute_path(table_abs, dv))
+            except Exception:
+                pass
+    # tombstone ages from EVERY remove action in the JSON log
+    tomb: dict[str, int] = {}
+    for v in list_delta_versions(path):
+        fp = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        with open(fp) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rm = json.loads(line).get("remove")
+                if rm and rm.get("path"):
+                    tomb[os.path.abspath(os.path.join(
+                        path, rm["path"]))] = int(
+                        rm.get("deletionTimestamp") or 0)
+    if now_ms is None:
+        import time as _time
+        now_ms = int(_time.time() * 1000)
+    rows = []
+    for root, dirs, fnames in os.walk(table_abs):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for f in fnames:
+            full = os.path.join(root, f)
+            if full in live:
+                continue
+            if full in tomb:
+                if now_ms - tomb[full] >= retention_ms:
+                    rows.append((full, "tombstoned",
+                                 os.path.getsize(full)))
+            else:
+                rows.append((full, "untracked",
+                             os.path.getsize(full)))
+    return spark.createDataFrame(
+        rows or [], "file_path string, reason string, "
+                    "size_in_bytes bigint")

@@ -206,6 +206,17 @@ def dv_blob_decode(data: bytes) -> list[int]:
     return bitmap_array_decode(data[4:])
 
 
+def dv_absolute_path(table_path: str, descriptor: dict) -> str:
+    """The on-disk sidecar path a storageType ``u`` descriptor
+    addresses (z85 uid suffix + optional directory prefix)."""
+    enc = descriptor["pathOrInlineDv"]
+    prefix, uid20 = enc[:-20], enc[-20:]
+    uid = _uuid.UUID(bytes=z85_decode(uid20, out_len=16))
+    fname = f"deletion_vector_{uid}.bin"
+    return os.path.join(table_path, prefix, fname) if prefix \
+        else os.path.join(table_path, fname)
+
+
 def read_dv_positions(table_path: str, descriptor: dict) -> list[int]:
     """Deletion-vector descriptor (the add action's ``deletionVector``
     struct) -> sorted deleted row positions."""
@@ -215,12 +226,7 @@ def read_dv_positions(table_path: str, descriptor: dict) -> list[int]:
         data = z85_decode(descriptor["pathOrInlineDv"], out_len=size)
         return dv_blob_decode(data)
     if st == "u":
-        enc = descriptor["pathOrInlineDv"]
-        prefix, uid20 = enc[:-20], enc[-20:]
-        uid = _uuid.UUID(bytes=z85_decode(uid20, out_len=16))
-        fname = f"deletion_vector_{uid}.bin"
-        fpath = os.path.join(table_path, prefix, fname) if prefix \
-            else os.path.join(table_path, fname)
+        fpath = dv_absolute_path(table_path, descriptor)
     elif st == "p":
         fpath = descriptor["pathOrInlineDv"]
     else:

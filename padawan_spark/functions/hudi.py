@@ -2197,3 +2197,65 @@ def hudi_timeline_table(spark, path: str):
             for i, (ts, kind) in enumerate(_timeline(path))]
     return spark.createDataFrame(
         rows, "instant string, action string, seq int")
+
+
+def hudi_clean_plan(spark, path: str, keep_versions: int = 1):
+    """Table MAINTENANCE (r16): the deletion plan Hudi's CLEANER
+    computes under KEEP_LATEST_FILE_VERSIONS — per file group, base
+    files beyond the newest ``keep_versions`` and the log files of
+    SUPERSEDED slices (logs whose blocks a later compaction/rewrite
+    folded into a newer base).  Returns a DataFrame ``(kind,
+    file_path, file_id, instant)`` with kinds ``base`` / ``log``; a
+    PLAN, nothing is deleted.  Planning is one timeline replay
+    keeping per-group version HISTORY (O(timeline write stats), the
+    replay's own class)."""
+    timeline = _timeline(path)
+    if not timeline:
+        raise FileNotFoundError(f"{path}: no completed commits")
+    # per file group: every base-file version in commit order, and
+    # each version's accumulated log files
+    versions: dict[str, list] = {}       # fid -> [(instant, base)]
+    logs_of: dict[tuple, list] = {}      # (fid, instant) -> [logs]
+    replaced: dict[str, str] = {}        # fid -> replacing instant
+    for ts, kind in timeline:
+        with open(os.path.join(path, ".hoodie",
+                               f"{ts}.{kind}")) as fh:
+            commit = json.load(fh)
+        if kind == "replacecommit":
+            for _p, fids in commit.get("partitionToReplaceFileIds",
+                                       {}).items():
+                for fid in fids:
+                    replaced[fid] = ts
+        for _part, stats in commit.get("partitionToWriteStats",
+                                       {}).items():
+            for st in stats:
+                fid, rel = st.get("fileId"), st.get("path")
+                if not fid or not rel:
+                    continue
+                full = os.path.join(path, rel)
+                name = os.path.basename(rel)
+                if name.startswith("."):            # log file
+                    cur = versions.get(fid)
+                    key = (fid, cur[-1][0] if cur else ts)
+                    lst = logs_of.setdefault(key, [])
+                    if full not in lst:
+                        lst.append(full)
+                else:                               # base file
+                    versions.setdefault(fid, []).append((ts, full))
+    rows = []
+    keep = max(1, keep_versions)
+    for fid, vs in sorted(versions.items()):
+        for ts, base in vs[:-keep]:
+            rows.append(("base", base, fid, ts))
+            for lp in logs_of.get((fid, ts), []):
+                rows.append(("log", lp, fid, ts))
+        if fid in replaced:
+            # the whole group was replaced (clustering): every
+            # version and its logs are reclaimable
+            for ts, base in vs[-keep:]:
+                rows.append(("base", base, fid, ts))
+                for lp in logs_of.get((fid, ts), []):
+                    rows.append(("log", lp, fid, ts))
+    return spark.createDataFrame(
+        rows or [], "kind string, file_path string, "
+                    "file_id string, instant string")

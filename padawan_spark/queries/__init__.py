@@ -43,7 +43,7 @@ for _m in _SUITES:
 # code that changed THIS round (r16) — keep driver-visible even
 # though already green.  Deliberately SMALL (VERDICT r15 task 6: the
 # stale cohort is r7's 6 rows + r8's 40, and a 7-sentinel head plus
-# the 10 NEW r16 queries leaves 33 window slots to drain it — the 6 r7
+# the 11 NEW r16 queries leaves 32 window slots to drain it — the 6 r7
 # rows and the oldest r8 rows re-check this round).
 # src_iceberg_changelog + streaming_iceberg_changes (the changelog
 # was rebuilt for v2 delete files / schema evolution / replace-skip;
@@ -55,12 +55,12 @@ for _m in _SUITES:
 # layouts/nested taps' narrowed fallback catch + the parquetfooter
 # LIST-collapse fix); src_hudi_mor_read (hudi metadata FILES fold now
 # scopes to its partition; read_hudi grew filters/col-stats pruning).
-# The ten NEW r16 queries (src_iceberg_changelog_deletes,
+# The eleven NEW r16 queries (src_iceberg_changelog_deletes,
 # streaming_iceberg_changes_deletes, src_iceberg_v3_variant,
 # src_iceberg_lineage_mixed, src_hudi_colstats_prune,
 # src_hudi_bloom_prune, src_delta_row_tracking,
 # src_iceberg_changelog_view, src_iceberg_maintenance,
-# text_bigram_lm_score) are
+# text_bigram_lm_score, src_lakehouse_vacuum_plans) are
 # NEVER-CHECKED and enter the window as round-0 staleness
 # automatically.  Sentinels list only PREVIOUSLY-checked queries
 # whose code changed this round.

@@ -3379,3 +3379,66 @@ def src_iceberg_maintenance(spark, sf_dir):
     live = read_iceberg(spark, t).agg(
         F.count(F.lit(1)).cast("bigint").alias("live_rows"))
     return orph.crossJoin(pcounts).crossJoin(live)
+
+
+@query("src_lakehouse_vacuum_plans", oracle="""
+SELECT CAST(1 AS BIGINT) AS d_tombstoned,
+       CAST(1 AS BIGINT) AS d_untracked,
+       CAST(1 AS BIGINT) AS d_retained_young,
+       CAST(1 AS BIGINT) AS h_base,
+       CAST(1 AS BIGINT) AS h_log,
+       CAST(COUNT(*) AS BIGINT) AS h_live_rows
+FROM nation WHERE n_nationkey % 2 = 0
+""")
+def src_lakehouse_vacuum_plans(spark, sf_dir):
+    """Delta VACUUM + Hudi CLEANER planning (r16) — with the
+    Iceberg expire/orphan pair this completes the maintenance triad
+    a 100 TB estate runs daily.  Delta: one partition tombstoned
+    (age past retention) and one planted aborted write are planned;
+    re-planning with a huge retention window RETAINS the tombstone
+    (time-travel protection) leaving only the untracked file.
+    Hudi: after a log upsert and a same-fileId rewrite, the
+    superseded base version and its folded log are planned; the
+    live read is untouched (row count re-checked against the
+    oracle).  Scale shape: both are one log/timeline replay
+    (O(actions)) plus a listing anti-join — never a data scan."""
+    from ..functions import delta as D
+    from ..functions import hudi as H
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        (F.col("n_nationkey") % 2).cast("bigint").alias("g"))
+    td = os.path.join(tempfile.mkdtemp(prefix="padawan_vac_"),
+                      "tbl")
+    D.write_delta_fixture(spark, n, td, partition_by=("g",))
+    D.remove_delta_files_fixture(
+        td, lambda rel: rel.startswith("g=1"))
+    with open(os.path.join(td, "junk-aborted.parquet"),
+              "wb") as fh:
+        fh.write(b"j" * 7)
+    dplan = D.delta_vacuum_plan(spark, td).agg(
+        F.count(F.when(F.col("reason") == "tombstoned", 1))
+        .cast("bigint").alias("d_tombstoned"),
+        F.count(F.when(F.col("reason") == "untracked", 1))
+        .cast("bigint").alias("d_untracked"))
+    dyoung = D.delta_vacuum_plan(spark, td, retention_ms=10**18) \
+        .agg(F.count(F.lit(1)).cast("bigint")
+             .alias("d_retained_young"))
+    th = os.path.join(tempfile.mkdtemp(prefix="padawan_hcl_"),
+                      "tbl")
+    H.write_hudi_fixture(spark, n.where(F.col("g") == 0)
+                         .orderBy("k"), th)
+    fid = list(H.live_hudi_slices(th, use_metadata=False))[0]
+    H.write_hudi_delta_fixture(
+        spark, th, upserts=spark.createDataFrame(
+            [(0, 0)], "k bigint, g bigint"))
+    H.write_hudi_fixture(spark, n.where(F.col("g") == 0)
+                         .orderBy("k"), th, replace_file_ids=[fid])
+    hplan = H.hudi_clean_plan(spark, th).agg(
+        F.count(F.when(F.col("kind") == "base", 1))
+        .cast("bigint").alias("h_base"),
+        F.count(F.when(F.col("kind") == "log", 1))
+        .cast("bigint").alias("h_log"))
+    hlive = H.read_hudi(spark, th).agg(
+        F.count(F.lit(1)).cast("bigint").alias("h_live_rows"))
+    return (dplan.crossJoin(dyoung).crossJoin(hplan)
+            .crossJoin(hlive))

@@ -6184,3 +6184,49 @@ def test_iceberg_maintenance_surfaces(spark, tmp_path):
     assert plan2 == {str(s2)}
     # the PLAN deletes nothing: the table still reads in full
     assert read_iceberg(spark, t).count() == 6
+
+
+def test_lakehouse_vacuum_and_clean_plans(spark, tmp_path):
+    """r16: Delta VACUUM plan (tombstone age split, untracked files,
+    retention window protects young tombstones, live DV sidecars
+    survive) and the Hudi CLEANER plan (superseded base versions +
+    their folded logs; latest slice kept)."""
+    import os as _os
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions import delta as D
+    from padawan_spark.functions import hudi as H
+    t = str(tmp_path / "dvac")
+    df = spark.range(6).select(SF.col("id").alias("k"),
+                               (SF.col("id") % 2).alias("g"))
+    D.write_delta_fixture(spark, df, t, partition_by=("g",))
+    D.remove_delta_files_fixture(t, lambda rel: rel.startswith("g=1"))
+    with open(_os.path.join(t, "junk-aborted.parquet"), "wb") as fh:
+        fh.write(b"j" * 7)
+    plan = D.delta_vacuum_plan(spark, t)
+    got = sorted((r["reason"], r["size_in_bytes"] == 7)
+                 for r in plan.collect())
+    assert got == [("tombstoned", False), ("untracked", True)]
+    # a young tombstone is retained by the window
+    assert [r["reason"] for r in D.delta_vacuum_plan(
+        spark, t, retention_ms=10**18).collect()] == ["untracked"]
+    # a live add's DV sidecar is never planned
+    t2 = str(tmp_path / "dvac2")
+    D.write_delta_fixture(spark, df.orderBy("k"), t2,
+                          order_by=("k",))
+    _sj, _pc, files, _mm = D.replay_delta_log(t2)
+    D.add_dv_fixture(t2, {files[0][0]: [0]})
+    assert D.delta_vacuum_plan(spark, t2).count() == 0
+    # hudi cleaner
+    t3 = str(tmp_path / "hcl")
+    H.write_hudi_fixture(spark, df.where("g = 0").orderBy("k"), t3)
+    fid = list(H.live_hudi_slices(t3, use_metadata=False))[0]
+    H.write_hudi_delta_fixture(
+        spark, t3, upserts=spark.createDataFrame(
+            [(0, 0, 99)], "k bigint, g bigint, v bigint"))
+    H.write_hudi_fixture(spark, df.where("g = 0").orderBy("k"), t3,
+                         replace_file_ids=[fid])
+    rows = sorted((r["kind"], r["file_id"] == fid)
+                  for r in H.hudi_clean_plan(spark, t3).collect())
+    assert rows == [("base", True), ("log", True)]
+    assert H.read_hudi(spark, t3).count() == 3
