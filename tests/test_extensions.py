@@ -6230,3 +6230,117 @@ def test_lakehouse_vacuum_and_clean_plans(spark, tmp_path):
                   for r in H.hudi_clean_plan(spark, t3).collect())
     assert rows == [("base", True), ("log", True)]
     assert H.read_hudi(spark, t3).count() == 3
+
+
+def test_changelog_fold_probe(spark, tmp_path):
+    """r16 PROBE: over randomized operation sequences (appends,
+    position deletes, equality deletes, partition drops, upserts,
+    replace rewrites), folding the raw changelog feed — inserts
+    minus deletes as multisets — must reproduce EXACTLY the live
+    table at the end, and any narrowed span folded over the
+    span-start live set must reproduce the span-end live set.  This
+    is the invariant that catches double-emitted deletes
+    (already-dead rows re-emitted) and swallowed changes."""
+    import random
+    from collections import Counter
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        live_data_files, read_iceberg, read_iceberg_changes,
+        write_iceberg_fixture)
+
+    def live_rows(t, sid=None):
+        return Counter(
+            (r["k"], r["g"], r["v"])
+            for r in read_iceberg(spark, t, snapshot_id=sid)
+            .collect())
+
+    def fold(t, frm=None, to=None):
+        ins, dels = Counter(), Counter()
+        for r in read_iceberg_changes(
+                spark, t, from_snapshot_id=frm,
+                to_snapshot_id=to).collect():
+            tgt = ins if r["_change_type"] == "insert" else dels
+            tgt[(r["k"], r["g"], r["v"])] += 1
+        assert not (dels - ins), (
+            f"deletes not covered by inserts: {dels - ins}")
+        return ins - dels
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"probe{seed}")
+        nxt = [0]
+
+        def fresh(n, g=None):
+            rows = [(nxt[0] + i,
+                     rng.randint(0, 2) if g is None else g,
+                     rng.randint(0, 9)) for i in range(n)]
+            nxt[0] += n
+            return spark.createDataFrame(
+                rows, "k bigint, g bigint, v bigint")
+
+        sids = [write_iceberg_fixture(
+            spark, fresh(rng.randint(3, 8)), t,
+            partition_by=("g",), order_by=("k",))]
+        for _step in range(5):
+            op = rng.choice(["append", "posdel", "eqdel",
+                             "dropg", "upsert", "replace"])
+            if op == "append":
+                sids.append(write_iceberg_fixture(
+                    spark, fresh(rng.randint(1, 5)), t,
+                    partition_by=("g",), order_by=("k",)))
+            elif op == "posdel":
+                _f, _p, files, _d = live_data_files(t)
+                cands = [(f[0], f[2]) for f in files]
+                if not cands:
+                    continue
+                import os as _os
+                p, _seq = rng.choice(cands)
+                import pyarrow.parquet as _pq
+                nrows = _pq.read_metadata(p).num_rows
+                pos = sorted(rng.sample(
+                    range(nrows),
+                    rng.randint(1, min(3, nrows))))
+                sids.append(write_iceberg_fixture(
+                    spark, None, t, partition_by=("g",),
+                    delete_positions={
+                        _os.path.relpath(p, t): pos}))
+            elif op == "eqdel":
+                ks = [(rng.randint(0, max(1, nxt[0])),)
+                      for _ in range(rng.randint(1, 3))]
+                sids.append(write_iceberg_fixture(
+                    spark, None, t, partition_by=("g",),
+                    delete_equality=(("k",), ks)))
+            elif op == "dropg":
+                sids.append(write_iceberg_fixture(
+                    spark, None, t, partition_by=("g",),
+                    delete_partition={"g": rng.randint(0, 2)}))
+            elif op == "upsert":
+                gg = rng.randint(0, 2)
+                df_u = fresh(rng.randint(1, 2), g=gg)
+                kvals = [(int(r["k"]) - nxt[0] + rng.randint(
+                    0, max(1, nxt[0])),) for r in df_u.collect()]
+                sids.append(write_iceberg_fixture(
+                    spark, df_u, t, partition_by=("g",),
+                    order_by=("k",),
+                    delete_equality=(("k",), kvals)))
+            else:                         # replace: full rewrite
+                cur = read_iceberg(spark, t)
+                if cur.count() == 0:
+                    continue
+                sids.append(write_iceberg_fixture(
+                    spark, cur.select("k", "g", "v"), t,
+                    partition_by=("g",), order_by=("k",),
+                    delete_partition={},
+                    operation="replace"))
+        assert fold(t) == live_rows(t), f"seed {seed} full fold"
+        # narrowed span: live(mid) + changes(mid..end) == live(end)
+        mid = sids[len(sids) // 2]
+        ins, dels = Counter(), Counter()
+        for r in read_iceberg_changes(
+                spark, t, from_snapshot_id=mid).collect():
+            (ins if r["_change_type"] == "insert"
+             else dels)[(r["k"], r["g"], r["v"])] += 1
+        start = live_rows(t, sid=mid)
+        assert start + ins - dels == live_rows(t), \
+            f"seed {seed} span fold"
