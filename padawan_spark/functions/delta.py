@@ -1109,12 +1109,18 @@ def materialize_delta_rowids_fixture(path: str) -> int:
         full = os.path.join(path, rel)
         tb = pq.read_table(full)
         n = tb.num_rows
-        tb = tb.append_column(
-            mat_rid, pa.array(np.arange(brid, brid + n),
-                              type=pa.int64()))
-        tb = tb.append_column(
-            mat_rcv, pa.array(np.full(n, int(drcv)),
-                              type=pa.int64()))
+        # re-materializing an ALREADY-materialized file keeps its
+        # existing columns verbatim (they hold the rows' true ids —
+        # found by the r16 probe: a blind append duplicated the
+        # hidden column and broke every later read)
+        if mat_rid not in tb.schema.names:
+            tb = tb.append_column(
+                mat_rid, pa.array(np.arange(brid, brid + n),
+                                  type=pa.int64()))
+        if mat_rcv not in tb.schema.names:
+            tb = tb.append_column(
+                mat_rcv, pa.array(np.full(n, int(drcv)),
+                                  type=pa.int64()))
         import uuid as _uuid
         new_rel = (os.path.dirname(rel) + "/" if os.path.dirname(rel)
                    else "") + f"part-{v:05d}-{_uuid.uuid4().hex}.parquet"

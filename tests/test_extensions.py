@@ -6344,3 +6344,69 @@ def test_changelog_fold_probe(spark, tmp_path):
         start = live_rows(t, sid=mid)
         assert start + ins - dels == live_rows(t), \
             f"seed {seed} span fold"
+
+
+def test_delta_row_tracking_probe(spark, tmp_path):
+    """r16 PROBE: over random append / DV-delete / materialize
+    sequences, row-tracking invariants hold — ids are UNIQUE, every
+    surviving row keeps its id across every subsequent operation
+    (the silent-id-shift class), and id count equals row count."""
+    import random
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.delta import (
+        add_dv_fixture, materialize_delta_rowids_fixture,
+        read_delta, replay_delta_log, write_delta_fixture)
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        t = str(tmp_path / f"rtp{seed}")
+        nxt = [0]
+
+        def fresh(n):
+            rows = [(nxt[0] + i, rng.randint(0, 9))
+                    for i in range(n)]
+            nxt[0] += n
+            return spark.createDataFrame(rows,
+                                         "k bigint, v bigint")
+
+        write_delta_fixture(spark, fresh(rng.randint(2, 5)), t,
+                            order_by=("k",), row_tracking=True)
+        id_of = {}      # k -> _row_id, fixed at first sighting
+        for _step in range(4):
+            op = rng.choice(["append", "dv", "materialize"])
+            if op == "append":
+                write_delta_fixture(spark, fresh(rng.randint(1, 4)),
+                                    t, mode="append",
+                                    order_by=("k",))
+            elif op == "dv":
+                _sj, _pc, files, _mm = replay_delta_log(t)
+                cands = [rel for rel, _pv, dv in files if not dv]
+                if not cands:
+                    continue
+                rel = rng.choice(cands)
+                import pyarrow.parquet as _pq
+
+                import os as _os
+                nrows = _pq.read_metadata(
+                    _os.path.join(t, rel)).num_rows
+                add_dv_fixture(t, {rel: sorted(rng.sample(
+                    range(nrows),
+                    rng.randint(1, min(2, nrows))))})
+            else:
+                _sj, _pc, files, _mm = replay_delta_log(t)
+                if any(dv for _r, _p, dv in files):
+                    continue       # materialize gates on DV files
+                materialize_delta_rowids_fixture(t)
+            got = {r["k"]: r["_row_id"] for r in read_delta(
+                spark, t, row_tracking=True).collect()}
+            assert len(got) == read_delta(spark, t).count(), \
+                f"seed {seed}: id count != row count"
+            assert len(set(got.values())) == len(got), \
+                f"seed {seed}: duplicate row ids"
+            for k, rid in got.items():
+                if k in id_of:
+                    assert id_of[k] == rid, (
+                        f"seed {seed}: row {k} id shifted "
+                        f"{id_of[k]} -> {rid}")
+                else:
+                    id_of[k] = rid
