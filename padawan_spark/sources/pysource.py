@@ -1691,18 +1691,6 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
         from ..functions.iceberg import (_ice_default_py,
                                          _ice_type_ddl,
                                          _schema_fields_json)
-        if "schemas" in meta and len(meta["schemas"]) > 1:
-            # flat evolution streams (r16): columns resolve by the
-            # file's footer field ids in the task, as the appends
-            # stream does; NESTED evolution still gates loudly
-            nested = {nm for nm, f
-                      in _schema_fields_json(self.path).items()
-                      if not isinstance(f["type"], str)}
-            if nested & set(self.names):
-                raise NotImplementedError(
-                    "padawan_iceberg_changes over a schema-evolved "
-                    "table with NESTED columns is not implemented "
-                    "(flat evolution streams, r16)")
         by_id = {s["snapshot-id"]: s
                  for s in meta.get("snapshots", [])}
         # identity partition values attach by SOURCE COLUMN, resolved
@@ -1730,7 +1718,16 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
                                  _ice_type_ddl(f["type"]), nm))
             for nm, f in _schema_fields_json(self.path).items()
             if f.get("initial-default") is not None))
-        resolve = (fid_items, dflt_items)
+        # nested columns (r16): the task views inner struct fields
+        # to the schema's CURRENT names, verified against the file's
+        # nested field ids — the appends stream's shape; with this
+        # the changes stream reads EVERY schema-evolution class the
+        # batch changelog reads
+        nested_items = tuple(sorted(
+            (nm, _json.dumps(f["type"]))
+            for nm, f in _schema_fields_json(self.path).items()
+            if not isinstance(f["type"], str)))
+        resolve = (fid_items, dflt_items, nested_items)
 
         def _iid(sp):
             return tuple(sorted(ident_by_spec.get(sp, {}).items()))
@@ -1939,17 +1936,33 @@ class _IcebergChangesStreamReader(DataSourceStreamReader):
                 base = set(_read_puffin_dv(*old))
                 pos = [x for x in pos if x not in base]
             tb = tb.take(sorted(pos))
-        # flat schema evolution (r16): the file's footer field ids
-        # resolve renamed columns to their old physical names, and
+        # schema evolution (r16): the file's footer field ids
+        # resolve renamed columns to their old physical names,
         # defaulted columns absent from pre-add files attach as
-        # typed constants — the appends stream's shape
-        fid_items, dflt_items = resolve
+        # typed constants, and NESTED columns re-view their inner
+        # fields to the current names by nested field id — the
+        # appends stream's shape
+        fid_items, dflt_items, nested_items = resolve
         name_of_fid = dict(fid_items)
         col_of = {}
         for fld in tb.schema:
             fid = (fld.metadata or {}).get(b"PARQUET:field_id")
             if fid is not None and int(fid) in name_of_fid:
                 col_of[name_of_fid[int(fid)]] = fld.name
+        if nested_items:
+            import json as _json3
+
+            from ..functions.nested import arrow_ice_logical_view
+            for nm, tj in nested_items:
+                fc = col_of.get(nm, nm)
+                idx = tb.schema.get_field_index(fc)
+                if idx >= 0:
+                    tb = tb.set_column(
+                        idx, fc,
+                        arrow_ice_logical_view(
+                            tb.column(idx).combine_chunks(),
+                            _json3.loads(tj),
+                            id_key=b"PARQUET:field_id"))
         # partition FIELD name -> SOURCE column (ADVICE r15): the
         # manifest's partition tuple keys by field name; the row's
         # column is the spec's source — identical for the common
@@ -1983,10 +1996,12 @@ class IcebergChangesSource(DataSource):
     ``_commit_snapshot_id``.  Snapshots whose operation is
     ``replace`` (compactions) emit nothing.  Options:
     ``startingSnapshotId`` (consume AFTER it),
-    ``maxSnapshotsPerTrigger``.  Parquet data files only; FLAT
-    schema evolution streams (columns resolve by the file's footer
-    field ids in the task, r16); nested-evolved tables gate
-    loudly."""
+    ``maxSnapshotsPerTrigger``.  Parquet data files only; EVERY
+    schema-evolution class the batch changelog reads streams too
+    (r16): columns resolve by the file's footer field ids in the
+    task, initial-defaults fill pre-add files, and nested columns
+    re-view their inner fields to the current names by nested field
+    id."""
 
     @classmethod
     def name(cls):

@@ -6410,3 +6410,50 @@ def test_delta_row_tracking_probe(spark, tmp_path):
                         f"{id_of[k]} -> {rid}")
                 else:
                     id_of[k] = rid
+
+
+def test_iceberg_changes_stream_nested_evolved(spark, tmp_path):
+    """r16: the changes stream over a NESTED-evolved table equals
+    the batch changelog — renamed inner struct fields re-view to
+    current names by nested field id in the task."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as SF
+    from padawan_spark.functions.iceberg import (
+        evolve_iceberg_schema_fixture, read_iceberg_changes,
+        write_iceberg_fixture)
+    from padawan_spark.sources import register_python_sources
+    register_python_sources(spark)
+    t = str(tmp_path / "nevcls")
+    df = spark.range(4).select(
+        SF.col("id").alias("k"),
+        SF.struct((SF.col("id") * 2).alias("a"),
+                  SF.concat(SF.lit("n"), SF.col("id")).alias("b"))
+        .alias("st"))
+    s1 = write_iceberg_fixture(spark, df, t, order_by=("k",))
+    evolve_iceberg_schema_fixture(t, renames={"st.a": "alpha"})
+    write_iceberg_fixture(
+        spark, spark.range(10, 12).select(
+            SF.col("id").alias("k"),
+            SF.struct((SF.col("id") * 2).alias("alpha"),
+                      SF.concat(SF.lit("n"),
+                                SF.col("id")).alias("b"))
+            .alias("st")), t, order_by=("k",))
+    write_iceberg_fixture(spark, None, t, delete_positions={
+        f"data/snap{s1}-0.parquet": [1]})
+    batch = sorted((r["_change_type"], r["k"], r["st"]["alpha"],
+                    r["st"]["b"])
+                   for r in read_iceberg_changes(spark, t)
+                   .collect())
+    name = "nevcls_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("padawan_iceberg_changes")
+         .option("path", t).load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = sorted((r["_change_type"], r["k"], r["st"]["alpha"],
+                     r["st"]["b"])
+                    for r in spark.table(name).collect())
+    assert stream == batch and ("delete", 1, 2, "n1") in stream
