@@ -1941,7 +1941,12 @@ def delta_vacuum_plan(spark, path: str,
         now_ms = int(_time.time() * 1000)
     rows = []
     for root, dirs, fnames in os.walk(table_abs):
-        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        # _change_data holds CDF files referenced by cdc actions,
+        # not adds — conservatively never planned (real VACUUM ages
+        # them by commit timestamp; eager classification as
+        # "untracked" would delete a live change feed)
+        dirs[:] = [d for d in dirs
+                   if d not in ("_delta_log", "_change_data")]
         for f in fnames:
             full = os.path.join(root, f)
             if full in live:
