@@ -3148,6 +3148,16 @@ def read_iceberg_changes(spark, path: str,
         for p in paths:
             groups.setdefault(lay_of.get(p, ()), []).append(p)
         need_fp = with_keys or bool(attach)
+
+        def _absent(n):
+            # a column absent from the file: identity sources fill
+            # from the partition-metadata attach (a non-null default
+            # here would SHADOW the coalesce), others read their
+            # initial-default, else null
+            if n in attach:
+                return F.lit(None).cast(types[n])
+            return defaults.get(n, F.lit(None).cast(types[n]))
+
         parts2 = []
         for lay, ps in sorted(groups.items()):
             if nested_mode:
@@ -3170,9 +3180,7 @@ def read_iceberg_changes(spark, path: str,
                 from .nested import remap_expr, remap_needed
                 for n in field_names:
                     if n not in lmap:    # column postdates the file
-                        df = df.withColumn(
-                            n, defaults.get(
-                                n, F.lit(None).cast(types[n])))
+                        df = df.withColumn(n, _absent(n))
                         continue
                     pn, pt2 = lmap[n]
                     if pn != n:
@@ -3190,9 +3198,7 @@ def read_iceberg_changes(spark, path: str,
                     if n in lmap and lmap[n] != n:
                         df = df.withColumnRenamed(lmap[n], n)
                     elif n not in lmap:  # column postdates the file
-                        df = df.withColumn(
-                            n, defaults.get(
-                                n, F.lit(None).cast(types[n])))
+                        df = df.withColumn(n, _absent(n))
             if need_fp:
                 df = df.withColumn(
                     "__fp", _norm(F.col("_metadata.file_path")))
