@@ -665,7 +665,14 @@ def dedup_segments(spark, sf_dir):
     freq = (segs.groupBy("seg")
             .agg(F.countDistinct("doc_id").alias("df")))
     kept = segs.join(freq.where(F.col("df") < _SEG_DF).select("seg"), "seg")
-    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    # n_segments straight from the scan (r16, guide §2.3): the explode
+    # yields exactly ceil(n_tokens / W) rows per doc, so the per-doc
+    # total is a narrow projection — the old groupBy re-ran the whole
+    # tokenize+explode subtree and shuffled it back to one row per doc.
+    tot = (d.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+           .where(F.size("t") > 0)
+           .select("doc_id",
+                   F.ceil(F.size("t") / float(_SEG_W)).alias("n_segments")))
     agg = (kept.groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_kept"),
                 F.concat_ws(" ", F.transform(

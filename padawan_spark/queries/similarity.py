@@ -416,23 +416,28 @@ def sim_kmeans_train(spark, sf_dir):
         # centroid update: explode ONLY the assigned vectors (K*dims
         # result groups, partial aggregation absorbs the fan-out), then
         # re-pack per-cluster component means into broadcastable arrays
+        # n_members rides the SAME aggregation (r16): every assigned
+        # vector contributes exactly one posexploded row per dim, so the
+        # per-(j, dim) row count IS the cluster size — the old separate
+        # assign.groupBy(j) re-ran the whole final-round distance+argmin
+        # subtree (assign is not checkpointed) plus one more shuffle and
+        # a join; all three are gone, same integers.
         centcomp = (vec.join(assign, "vec_id")
                     .select("j", F.posexplode("x").alias("pos", "val"))
                     .withColumn("dim", F.col("pos") + 1)
                     .groupBy("j", "dim")
                     .agg((F.sum(F.col("val").cast(d9)).cast("double")
-                          / F.count(F.lit(1))).alias("cval"))
+                          / F.count(F.lit(1))).alias("cval"),
+                         F.count(F.lit(1)).alias("n_members"))
                     .localCheckpoint(eager=False))
         cent = (centcomp
                 .groupBy("j")
                 .agg(F.array_sort(F.collect_list(F.struct("dim", "cval")))
                      .alias("s"))
                 .select("j", F.transform("s", lambda t: t.cval).alias("c")))
-    sizes = assign.groupBy("j").agg(F.count(F.lit(1)).alias("n_members"))
     vec.unpersist()
-    return (centcomp.join(sizes, "j")
-            .select(F.col("j").alias("cluster"), "dim",
-                    F.round("cval", 9).alias("cval"), "n_members"))
+    return centcomp.select(F.col("j").alias("cluster"), "dim",
+                           F.round("cval", 9).alias("cval"), "n_members")
 
 
 # ---------------------------------------------------------------------------

@@ -241,7 +241,14 @@ def text_tfidf(spark, sf_dir):
     d = load(spark, sf_dir, "documents", wide=True)
     toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df DERIVED from tf (r16, guide §2.3/§2.4): tf already holds one row
+    # per distinct (doc, term), so COUNT(DISTINCT doc_id) per term over
+    # the raw tokens == COUNT(*) per term over tf — same integers, but
+    # the corpus is exploded/scanned ONCE and the df aggregation shuffles
+    # the (doc, term)-collapsed table instead of every raw token (plan:
+    # 3 documents scans -> 2, one explode instead of two, the distinct
+    # aggregation's double shuffle gone).
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (tf.join(F.broadcast(df), "term")
               .crossJoin(F.broadcast(n))
@@ -287,15 +294,25 @@ def _bm25_spark(spark, sf_dir):
     Spark twin of ``_BM25_DUCK_SCORES``."""
     d = load(spark, sf_dir, "documents", wide=True)
     toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
-    dl = (toks.groupBy("doc_id")
-          .agg(F.count(F.lit(1)).cast("double").alias("dl")))
+    # dl WITHOUT an explode (r16, guide §2.3): the per-doc token count is
+    # just size() of the token array — a narrow projection inside
+    # whole-stage codegen, zero shuffle (the old path exploded the whole
+    # corpus a second time and aggregated it back to the same number).
+    # size > 0 keeps the row set identical to the explode+groupBy (docs
+    # with no tokens never reached dl).  avg over integer-valued doubles
+    # is exact (< 2^53), so corpus stats are bit-identical.
+    dl = (d.select("doc_id",
+                   F.size(F.expr(_SPARK_TOKS)).cast("double").alias("dl"))
+          .where(F.col("dl") > 0))
     corpus = dl.agg(F.count(F.lit(1)).cast("double").alias("n"),
                     F.avg("dl").alias("avgdl"))
     qt = toks.where(F.col("term").isin(*_BM25_TERMS))
     tf = (qt.groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).cast("double").alias("tf")))
-    df = (qt.groupBy("term")
-          .agg(F.countDistinct("doc_id").cast("double").alias("df")))
+    # df DERIVED from tf (same integers: tf is one row per distinct
+    # (doc, term) pair) — no third pass over the tokens.
+    df = (tf.groupBy("term")
+          .agg(F.count(F.lit(1)).cast("double").alias("df")))
     k1, b = _BM25_K1, _BM25_B
     idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
