@@ -97,13 +97,20 @@ def _pagerank(edges, out_col: str):
     linearly with the iteration count (driver plan blowup at real round
     counts).  Lazy (eager=False): the plan is truncated immediately
     either way, but materialization folds into the next round's job
-    instead of paying a separate job dispatch per round."""
+    instead of paying a separate job dispatch per round.
+
+    Edges/verts are EAGER localCheckpoints (r16, guide §5): the old
+    .cache() + unpersist-before-return pair dropped the cached blocks at
+    plan-build time — the returned DataFrame's action then recomputed
+    the whole event-window edge subtree once per reference (three
+    contrib joins + the no-in-edge anti-join + r0 ≈ 5 full passes).
+    Checkpointing pins the materialized rows to this invocation's RDDs
+    (no CacheManager plan-key, so a fresh call never reuses a previous
+    run's data) and every downstream reference reads them."""
+    edges = edges.localCheckpoint(eager=True)
     verts = (edges.select(F.col("src").alias("v"))
-             .union(edges.select("dst")).distinct())
-    # cache: referenced every iteration; at scale this is the persisted
-    # rank table of a real pipeline
-    edges = edges.cache()
-    verts = verts.cache()
+             .union(edges.select("dst")).distinct()
+             .localCheckpoint(eager=True))
     n = float(verts.count())
     # vertices with no IN-edge receive s=0 every round, so their rank is
     # the constant (1-d)/n from round 1 on: materialize that slice ONCE
@@ -125,8 +132,6 @@ def _pagerank(edges, out_col: str):
             "v", (F.lit((1.0 - _D) / n)
                   + _D * F.col("s").cast("double")).alias("r"))
         r = active.unionByName(no_in).localCheckpoint(eager=False)
-    edges.unpersist()
-    verts.unpersist()
     return r.select(F.col("v").alias(out_col),
                     F.round("r", 12).alias("pagerank"))
 
@@ -354,7 +359,11 @@ def graph_bfs_distance(spark, sf_dir):
     iterative-loop policy).  The oracle's recursive CTE enumerates all
     bounded-hop walks and takes MIN(d), which equals BFS distance.
     Integer arithmetic only: engine-exact."""
-    edges = _user_edges_spark(spark, sf_dir).select("src", "dst").cache()
+    # eager localCheckpoint, not .cache(): the old cache was unpersisted
+    # at plan-build time (before the action), so every round's expansion
+    # re-ran the whole event-window edge subtree (r16, guide §5)
+    edges = (_user_edges_spark(spark, sf_dir).select("src", "dst")
+             .localCheckpoint(eager=True))
     seeds = (edges.where(F.col("src") % 97 == 0)
              .select(F.col("src").alias("v")).distinct())
     dist = seeds.select("v", F.lit(0).alias("d"))
@@ -370,7 +379,6 @@ def graph_bfs_distance(spark, sf_dir):
                .localCheckpoint(eager=False))
         dist = dist.unionByName(nxt)
         frontier = nxt.select("v")
-    edges.unpersist()
     return dist.select(F.col("v").cast("bigint").alias("user_id"),
                        F.col("d").cast("int").alias("dist"))
 
@@ -429,9 +437,12 @@ def graph_community_lpa(spark, sf_dir):
     policy).  Integer counting only: engine-exact."""
     from pyspark.sql.window import Window
     e = _user_edges_spark(spark, sf_dir).select("src", "dst")
+    # eager localCheckpoint, not .cache(): the old cache was unpersisted
+    # at plan-build time (before the action), so every round's histogram
+    # re-ran the whole edge-build subtree (r16, guide §5)
     ue = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
           .union(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-          .distinct().cache())
+          .distinct().localCheckpoint(eager=True))
     labels = ue.select(F.col("u").alias("vtx")).distinct() \
         .withColumn("lbl", F.col("vtx"))
     w = Window.partitionBy("vtx").orderBy(F.desc("cnt"), "lbl")
@@ -443,7 +454,6 @@ def graph_community_lpa(spark, sf_dir):
         labels = (hist.withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") == 1).select("vtx", "lbl")
                   .localCheckpoint(eager=False))
-    ue.unpersist()
     return labels.select(F.col("vtx").cast("bigint").alias("user_id"),
                          F.col("lbl").cast("bigint").alias("community"))
 
@@ -496,9 +506,12 @@ def graph_kcore(spark, sf_dir):
     no full-graph broadcast.  Integer arithmetic only: engine-exact."""
     e = (_user_edges_spark(spark, sf_dir).select("src", "dst")
          .where(F.col("src") != F.col("dst")).distinct())
+    # eager localCheckpoint, not .cache(): the old cache was unpersisted
+    # at plan-build time (before the action), so every peel round re-ran
+    # the whole edge-build subtree (r16, guide §5)
     ue = (e.unionByName(e.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
-          .distinct().cache())
+          .distinct().localCheckpoint(eager=True))
     alive = ue.select(F.col("src").alias("v")).distinct()
 
     def _deg_within(alive_df):
@@ -513,7 +526,6 @@ def graph_kcore(spark, sf_dir):
                  .select(F.col("src").alias("v"))
                  .localCheckpoint(eager=False))
     fin = _deg_within(alive)
-    ue.unpersist()
     return fin.select(F.col("src").cast("bigint").alias("user_id"),
                       F.col("c").cast("bigint").alias("core_degree"))
 

@@ -383,8 +383,15 @@ def sim_kmeans_train(spark, sf_dir):
     as graph_pagerank)."""
     from pyspark.sql.window import Window
     e = load(spark, sf_dir, "embeddings", wide=True)
-    vec = e.select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("x")).cache()
+    # eager localCheckpoint, not .cache() (r16, guide §5): the old
+    # .cache() + unpersist-before-return pair deregistered the cache at
+    # plan-build time, before the returned DataFrame ever ran — the
+    # action then re-scanned the parquet and re-cast per reference
+    # (2 per round + cent0 ≈ 5 passes).  The checkpoint pins the
+    # vector table to this invocation's RDDs exactly once.
+    vec = (e.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("x"))
+           .localCheckpoint(eager=True))
     d9 = _D9.lower()
     # centroids as a broadcast table of ARRAYS: distances are computed
     # per (vector, centroid) row via zip_with + an exact-decimal fold —
@@ -435,7 +442,6 @@ def sim_kmeans_train(spark, sf_dir):
                 .agg(F.array_sort(F.collect_list(F.struct("dim", "cval")))
                      .alias("s"))
                 .select("j", F.transform("s", lambda t: t.cval).alias("c")))
-    vec.unpersist()
     return centcomp.select(F.col("j").alias("cluster"), "dim",
                            F.round("cval", 9).alias("cval"), "n_members")
 
