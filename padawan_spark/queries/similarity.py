@@ -139,10 +139,14 @@ FROM dots GROUP BY label
 """)
 def sim_label_centroids(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings", wide=True)
-    comp = e.select(
+    # materialized once (r16, guide §5): comp feeds both the centroid
+    # aggregation and the member-to-centroid join — Catalyst does not
+    # dedupe the shared explode subtree, so it otherwise runs twice
+    comp = (e.select(
         "vec_id", "label",
         F.posexplode(F.col("embedding").cast("array<double>"))
         .alias("pos", "val")).withColumn("dim", F.col("pos") + 1).drop("pos")
+        .localCheckpoint(eager=True))
     d9 = "decimal(38,9)"
     cent = (comp.groupBy("label", "dim")
             .agg((F.sum(F.col("val").cast(d9)).cast("double")
@@ -381,7 +385,6 @@ def sim_kmeans_train(spark, sf_dir):
     centroid table still broadcast-sized (K x dims rows).  Lineage:
     centroids localCheckpoint per round (O(1) plan depth, same policy
     as graph_pagerank)."""
-    from pyspark.sql.window import Window
     e = load(spark, sf_dir, "embeddings", wide=True)
     # eager localCheckpoint, not .cache() (r16, guide §5): the old
     # .cache() + unpersist-before-return pair deregistered the cache at
@@ -417,9 +420,15 @@ def sim_kmeans_train(spark, sf_dir):
                                     F.lit(0).cast(dfold),
                                     lambda acc, v: (acc + v).cast(dfold))
                         .alias("dist")))
-        w = Window.partitionBy("vec_id").orderBy("dist", "j")
-        assign = (dist.withColumn("rn", F.row_number().over(w))
-                  .where(F.col("rn") == 1).select("vec_id", "j"))
+        # argmin as a hash aggregate, not a window (r16, guide §2.3):
+        # min(struct(dist, j)) picks exactly the row row_number-over-
+        # (dist asc, j asc) picked (j is unique per vec, struct compare
+        # is lexicographic), but partial aggregation collapses the K
+        # rows per vector map-side — no full sort of the K*N distance
+        # table and K-fold fewer shuffled rows.
+        assign = (dist.groupBy("vec_id")
+                  .agg(F.min(F.struct("dist", "j")).alias("m"))
+                  .select("vec_id", F.col("m.j").alias("j")))
         # centroid update: explode ONLY the assigned vectors (K*dims
         # result groups, partial aggregation absorbs the fan-out), then
         # re-pack per-cluster component means into broadcastable arrays
@@ -499,15 +508,18 @@ def sim_pq_encode(spark, sf_dir):
     argmin ties break on code id; centroid means are exact decimal
     sums over counts (the sim_ann_ivf policy).
     """
-    from pyspark.sql.window import Window
     d9 = "decimal(38,9)"
     e = load(spark, sf_dir, "embeddings", wide=True)
+    # materialized once (r16, guide §5): comp feeds both the codebook
+    # aggregation and the distance join — Catalyst does not dedupe the
+    # shared explode subtree, so it otherwise runs twice
     comp = (e.select("vec_id", "label",
                      F.posexplode(F.col("embedding").cast("array<double>"))
                      .alias("pos", "val"))
             .withColumn("dim", F.col("pos") + 1)
             .withColumn("sub", (F.col("pos") / _PQ_DSUB)
-                        .cast("int")).drop("pos"))
+                        .cast("int")).drop("pos")
+            .localCheckpoint(eager=True))
     codebook = (comp.groupBy(F.col("label").alias("code"), "sub", "dim")
                 .agg((F.sum(F.col("val").cast(d9)).cast("double")
                       / F.count(F.lit(1))).alias("cval")))
@@ -516,11 +528,15 @@ def sim_pq_encode(spark, sf_dir):
              .agg(F.sum(((F.col("val") - F.col("cval"))
                          * (F.col("val") - F.col("cval"))).cast(d9))
                   .alias("d2")))
-    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    return (dists.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+    # argmin per (vec, sub) as a hash aggregate, not a window (r16,
+    # guide §2.3): min(struct(d2, code)) selects exactly the
+    # row_number-over-(d2 asc, code asc) row (code unique per group),
+    # with map-side partial aggregation instead of a full sort of the
+    # N*M*K distance table.
+    return (dists.groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "code")).alias("m"))
             .select("vec_id", F.col("sub").alias("subspace"),
-                    F.col("code").cast("int").alias("code")))
+                    F.col("m.code").cast("int").alias("code")))
 
 
 @query("sim_pq_adc_topk", oracle=f"""
@@ -574,9 +590,12 @@ def sim_pq_adc_topk(spark, sf_dir):
              .agg(F.sum(((F.col("val") - F.col("cval"))
                          * (F.col("val") - F.col("cval"))).cast(d9))
                   .alias("d2")))
-    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    codes = (dists.withColumn("rn", F.row_number().over(w))
-             .where(F.col("rn") == 1).select("vec_id", "sub", "code"))
+    # argmin per (vec, sub) as a hash aggregate, not a window (r16,
+    # guide §2.3): same row as row_number-over-(d2 asc, code asc),
+    # map-side partial aggregation, no sort of the N*M*K table.
+    codes = (dists.groupBy("vec_id", "sub")
+             .agg(F.min(F.struct("d2", "code")).alias("m"))
+             .select("vec_id", "sub", F.col("m.code").alias("code")))
     lut = (comp.where(F.col("vec_id") < 5)
            .join(F.broadcast(codebook), ["sub", "dim"])
            .groupBy(F.col("vec_id").alias("query_id"), "sub", "code")
@@ -687,15 +706,22 @@ def sim_ann_ivfpq(spark, sf_dir):
     codebook = (comp.groupBy(F.col("label").alias("code"), "sub", "dim")
                 .agg((F.sum(F.col("val").cast(d9)).cast("double")
                       / F.count(F.lit(1))).alias("cval")))
+    # label RIDES the code aggregations (r16): it is functionally
+    # dependent on vec_id (one label per vector row), so adding it to
+    # the group keys changes no group — and the old
+    # codes.join(e.select(vec_id, label)) re-scan of the embeddings
+    # table disappears.
     dists = (comp.join(F.broadcast(codebook), ["sub", "dim"])
-             .groupBy("vec_id", "sub", "code")
+             .groupBy("vec_id", "label", "sub", "code")
              .agg(F.sum(((F.col("val") - F.col("cval"))
                          * (F.col("val") - F.col("cval"))).cast(d9))
                   .alias("d2")))
-    wc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    codes = (dists.withColumn("rn", F.row_number().over(wc))
-             .where(F.col("rn") == 1).select("vec_id", "sub", "code"))
-    lcodes = codes.join(e.select("vec_id", "label"), "vec_id")
+    # argmin per (vec, sub) as a hash aggregate, not a window (r16,
+    # guide §2.3): same row as row_number-over-(d2 asc, code asc),
+    # map-side partial aggregation, no sort of the N*M*K table.
+    lcodes = (dists.groupBy("vec_id", "label", "sub")
+              .agg(F.min(F.struct("d2", "code")).alias("m"))
+              .select("vec_id", "label", "sub", F.col("m.code").alias("code")))
     # per-query ADC lookup table
     lut = (qcomp
            .join(F.broadcast(codebook), ["sub", "dim"])
