@@ -460,15 +460,21 @@ def dedup_latest_version(spark, sf_dir):
     runs: among all versions of a (user, event_type) key, keep only the
     most recent row.  One window shuffle on the key, rank-1 filter; the
     (ts DESC, event_id DESC) tie-break makes the winner total and
-    engine-stable.  At scale this beats the groupBy-max + self-join
-    formulation (one shuffle instead of two) and AQE handles hot keys."""
-    from pyspark.sql.window import Window
+    engine-stable.  r16 (guide §2.3): the rank-1 window became
+    max(struct(ts, event_id, value)) — the same winner exactly
+    ((ts, event_id) is unique per key, so the payload field never
+    participates in a comparison), but partial aggregation collapses
+    each key's versions map-side, so the exchange moves one row per
+    (user, key-version cluster) instead of every version, and the
+    post-shuffle sort disappears.  Still one shuffle, AQE still handles
+    hot keys."""
     e = load(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id", "event_type")
-         .orderBy(F.desc("ts"), F.desc("event_id")))
-    return (e.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("user_id", "event_type", "event_id", "ts", "value"))
+    return (e.groupBy("user_id", "event_type")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .select("user_id", "event_type",
+                    F.col("m.event_id").alias("event_id"),
+                    F.col("m.ts").alias("ts"),
+                    F.col("m.value").alias("value")))
 
 
 # ---------------------------------------------------------------------------

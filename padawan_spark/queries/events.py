@@ -677,11 +677,16 @@ def ev_downsample_lttb(spark, sf_dir):
     offs = counts.select(
         "event_type", "day",
         F.coalesce(F.sum("c").over(wdays), F.lit(0)).alias("off"))
+    # materialized once (r16, guide §5): bk feeds both the bucket-stats
+    # aggregation and the area scoring join — Catalyst does not dedupe
+    # the shared subtree, so the scan + per-day rank + offset join
+    # otherwise runs twice
     bk = (ed.withColumn("rnd", F.row_number().over(wd) - 1)
           .join(offs, ["event_type", "day"])
           .withColumn("rn", F.col("off") + F.col("rnd"))
           .withColumn("bucket", F.floor(F.col("rn") / _LTTB_BUCKET))
-          .select("event_type", "bucket", "event_id", "ts", "value"))
+          .select("event_type", "bucket", "event_id", "ts", "value")
+          .localCheckpoint(eager=True))
     d6 = "decimal(38,6)"
     stats = (bk.groupBy("event_type", "bucket")
              .agg((F.sum(F.unix_micros("ts").cast(d6)).cast("double")
@@ -701,9 +706,17 @@ def ev_downsample_lttb(spark, sf_dir):
                   * (F.col("value").cast("double") - F.col("ay"))
                   - (F.col("ax") - F.unix_micros("ts").cast("double"))
                   * (F.col("cy") - F.col("ay")))))
-    wk = Window.partitionBy("event_type", "bucket").orderBy(
-        F.desc("area"), "ts", "event_id")
-    return (scored.withColumn("pick", F.row_number().over(wk))
-            .where(F.col("pick") == 1)
+    # argmax per bucket as a hash aggregate, not a window (r16, guide
+    # §2.3): min(struct(-area, ts, event_id)) picks exactly the
+    # row_number-over-(area desc, ts asc, event_id asc) row — area is
+    # abs() of finite-double arithmetic (never NaN, never -0.0), so
+    # ascending -area IS descending area, and event_id makes the key
+    # unique.  Partial aggregation collapses the ~bucket-size rows per
+    # key map-side instead of sorting the whole scored table after a
+    # full-width exchange.
+    return (scored.groupBy("event_type", "bucket")
+            .agg(F.min(F.struct((-F.col("area")).alias("na"),
+                                F.col("ts"), F.col("event_id"))).alias("m"))
             .select("event_type", F.col("bucket").cast("bigint").alias("bucket"),
-                    "event_id", "ts"))
+                    F.col("m.event_id").alias("event_id"),
+                    F.col("m.ts").alias("ts")))

@@ -435,7 +435,6 @@ def graph_community_lpa(spark, sf_dir):
     partitioned by vertex — two vertex-keyed shuffles, the GraphX LPA
     lowering.  Labels localCheckpoint per round (iterative-loop
     policy).  Integer counting only: engine-exact."""
-    from pyspark.sql.window import Window
     e = _user_edges_spark(spark, sf_dir).select("src", "dst")
     # eager localCheckpoint, not .cache(): the old cache was unpersisted
     # at plan-build time (before the action), so every round's histogram
@@ -445,14 +444,21 @@ def graph_community_lpa(spark, sf_dir):
           .distinct().localCheckpoint(eager=True))
     labels = ue.select(F.col("u").alias("vtx")).distinct() \
         .withColumn("lbl", F.col("vtx"))
-    w = Window.partitionBy("vtx").orderBy(F.desc("cnt"), "lbl")
+    # per-round argmax as a hash aggregate, not a window (r16, guide
+    # §2.3): min(struct(-cnt, lbl)) picks exactly the
+    # row_number-over-(cnt desc, lbl asc) row (lbl unique per vtx
+    # group, integer negation exact), with map-side partial
+    # aggregation instead of a second full exchange + sort of the
+    # histogram every round.
     for _ in range(_LPA_ROUNDS):
         hist = (ue.join(labels, ue.u == labels.vtx)
                 .groupBy(F.col("v").alias("vtx2"), "lbl")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .withColumnRenamed("vtx2", "vtx"))
-        labels = (hist.withColumn("rn", F.row_number().over(w))
-                  .where(F.col("rn") == 1).select("vtx", "lbl")
+        labels = (hist.groupBy("vtx")
+                  .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                      F.col("lbl"))).alias("m"))
+                  .select("vtx", F.col("m.lbl").alias("lbl"))
                   .localCheckpoint(eager=False))
     return labels.select(F.col("vtx").cast("bigint").alias("user_id"),
                          F.col("lbl").cast("bigint").alias("community"))
