@@ -240,14 +240,19 @@ def text_tfidf(spark, sf_dir):
     from pyspark.sql.window import Window
     d = load(spark, sf_dir, "documents", wide=True)
     toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf MATERIALIZED once (r16, guide §5): it feeds both the scored
+    # join and the df aggregation below — Catalyst does not dedupe the
+    # shared scan+explode+agg subtree, so without this the corpus is
+    # tokenized twice.  At 100 TB this is the persisted tf table of a
+    # real pipeline; eager localCheckpoint pins it per invocation.
+    tf = (toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
     # df DERIVED from tf (r16, guide §2.3/§2.4): tf already holds one row
     # per distinct (doc, term), so COUNT(DISTINCT doc_id) per term over
     # the raw tokens == COUNT(*) per term over tf — same integers, but
     # the corpus is exploded/scanned ONCE and the df aggregation shuffles
-    # the (doc, term)-collapsed table instead of every raw token (plan:
-    # 3 documents scans -> 2, one explode instead of two, the distinct
-    # aggregation's double shuffle gone).
+    # the (doc, term)-collapsed table instead of every raw token (the
+    # distinct aggregation's double shuffle is gone too).
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (tf.join(F.broadcast(df), "term")
