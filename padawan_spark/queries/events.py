@@ -433,7 +433,11 @@ def ev_journey_similarity(spark, sf_dir):
                      "ts", "event_id",
                      F.substring("event_type", 1, 1).alias("c")))),
                  lambda s: s["c"]), ""), 1, 20).alias("journey")))
-    jb = j.withColumn("blk", F.substring("journey", 1, 1))
+    # materialized once (r16, guide §5): the self-join references jb
+    # twice and Catalyst does not dedupe the shared subtree — without
+    # this the per-user ordered collect_list aggregation runs twice
+    jb = (j.withColumn("blk", F.substring("journey", 1, 1))
+          .localCheckpoint(eager=True))
     a, b = jb.alias("a"), jb.alias("b")
     dist = F.levenshtein(F.col("a.journey"), F.col("b.journey"))
     return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
@@ -545,14 +549,21 @@ def ev_rare_transitions(spark, sf_dir):
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # pairs MATERIALIZED once (r16, guide §5): it feeds both the Markov
+    # model aggregation and the final per-user scoring join — without
+    # this the user-partitioned lead window runs twice.  The out-weight
+    # normalization is a window sum over the types²-sized count table
+    # (guide §2.4: the old groupBy+join re-ran the count aggregation for
+    # its second reference); cnt / cast(sum double) division unchanged.
     pairs = (e.select("user_id", F.col("event_type").alias("src"),
                       F.lead("event_type").over(w).alias("dst"))
-             .where(F.col("dst").isNotNull()))
+             .where(F.col("dst").isNotNull())
+             .localCheckpoint(eager=True))
     counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
-    outw = counts.groupBy("src").agg(
-        F.sum("cnt").cast("double").alias("outw"))
-    p = (counts.join(outw, "src")
-         .select("src", "dst", (F.col("cnt") / F.col("outw")).alias("prob")))
+    wo = Window.partitionBy("src")
+    p = counts.select(
+        "src", "dst",
+        (F.col("cnt") / F.sum("cnt").over(wo).cast("double")).alias("prob"))
     rare = F.when(F.col("prob") < 0.18, 1).otherwise(0)
     return (pairs.join(F.broadcast(p), ["src", "dst"])
             .groupBy("user_id")
@@ -614,6 +625,36 @@ def ev_seasonal_baseline(spark, sf_dir):
 _LTTB_BUCKET = 16    # points per bucket (downsample ratio)
 
 
+def _lttb_buckets(spark, sf_dir):
+    """(event_type, bucket, event_id, ts, value) bucket table for LTTB.
+
+    TWO-LEVEL per-series rank (the user-edge-builder trick): a flat
+    partitionBy(event_type) window would sort each whole series on
+    ONE task (~5 series here, regardless of cluster size).  Days
+    partition the (ts, event_id) order, so global rank = rank within
+    (series, day) + the exclusive prefix count of earlier days — the
+    prefix table is types x days rows, windowed in negligible time,
+    and the heavy rank runs (series x day)-parallel.  (Exposed as a
+    helper so tests can pin this plan shape; the query materializes
+    it once via localCheckpoint.)"""
+    from pyspark.sql.window import Window
+    e = load(spark, sf_dir, "events")
+    ed = e.withColumn("day", F.date_trunc("DAY", "ts"))
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    counts = (ed.groupBy("event_type", "day")
+              .agg(F.count(F.lit(1)).alias("c")))
+    wdays = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.select(
+        "event_type", "day",
+        F.coalesce(F.sum("c").over(wdays), F.lit(0)).alias("off"))
+    return (ed.withColumn("rnd", F.row_number().over(wd) - 1)
+            .join(offs, ["event_type", "day"])
+            .withColumn("rn", F.col("off") + F.col("rnd"))
+            .withColumn("bucket", F.floor(F.col("rn") / _LTTB_BUCKET))
+            .select("event_type", "bucket", "event_id", "ts", "value"))
+
+
 @query("ev_downsample_lttb", oracle=f"""
 WITH pts AS (
   SELECT event_type, event_id, ts, value,
@@ -660,33 +701,11 @@ def ev_downsample_lttb(spark, sf_dir):
     through exact decimal; the area formula is identical per-row IEEE
     arithmetic in both engines; argmax ties break on (ts, event_id)."""
     from pyspark.sql.window import Window
-    e = load(spark, sf_dir, "events")
-    # TWO-LEVEL per-series rank (the user-edge-builder trick): a flat
-    # partitionBy(event_type) window would sort each whole series on
-    # ONE task (~5 series here, regardless of cluster size).  Days
-    # partition the (ts, event_id) order, so global rank = rank within
-    # (series, day) + the exclusive prefix count of earlier days — the
-    # prefix table is types x days rows, windowed in negligible time,
-    # and the heavy rank runs (series x day)-parallel.
-    ed = e.withColumn("day", F.date_trunc("DAY", "ts"))
-    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
-    counts = (ed.groupBy("event_type", "day")
-              .agg(F.count(F.lit(1)).alias("c")))
-    wdays = (Window.partitionBy("event_type").orderBy("day")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offs = counts.select(
-        "event_type", "day",
-        F.coalesce(F.sum("c").over(wdays), F.lit(0)).alias("off"))
     # materialized once (r16, guide §5): bk feeds both the bucket-stats
     # aggregation and the area scoring join — Catalyst does not dedupe
     # the shared subtree, so the scan + per-day rank + offset join
     # otherwise runs twice
-    bk = (ed.withColumn("rnd", F.row_number().over(wd) - 1)
-          .join(offs, ["event_type", "day"])
-          .withColumn("rn", F.col("off") + F.col("rnd"))
-          .withColumn("bucket", F.floor(F.col("rn") / _LTTB_BUCKET))
-          .select("event_type", "bucket", "event_id", "ts", "value")
-          .localCheckpoint(eager=True))
+    bk = _lttb_buckets(spark, sf_dir).localCheckpoint(eager=True)
     d6 = "decimal(38,6)"
     stats = (bk.groupBy("event_type", "bucket")
              .agg((F.sum(F.unix_micros("ts").cast(d6)).cast("double")

@@ -35,10 +35,13 @@ def _edges_spark(spark, sf_dir):
          .where(F.col("dst").isNotNull())
          .groupBy(F.col("event_type").alias("src"), "dst")
          .agg(F.count(F.lit(1)).alias("cnt")))
-    out = e.groupBy("src").agg(F.sum("cnt").alias("outw"))
-    return (e.join(out, "src")
-            .select("src", "dst",
-                    (F.col("cnt") / F.col("outw")).alias("weight")))
+    # out-weight normalization as a window sum over the aggregated edge
+    # table (r16, guide §2.4): the old groupBy+join re-ran the whole
+    # lead-window pair subtree for the second reference of e (Catalyst
+    # does not dedupe); same bigint/bigint -> double division.
+    wo = Window.partitionBy("src")
+    return e.select("src", "dst",
+                    (F.col("cnt") / F.sum("cnt").over(wo)).alias("weight"))
 
 
 _DUCK_EDGES = """
@@ -181,10 +184,13 @@ def _user_edges_spark(spark, sf_dir):
     e = (pairs.where(F.col("dst") != F.col("src"))
          .groupBy("src", "dst")
          .agg(F.count(F.lit(1)).alias("cnt")))
-    out = e.groupBy("src").agg(F.sum("cnt").alias("outw"))
-    return (e.join(out, "src")
-            .select("src", "dst",
-                    (F.col("cnt") / F.col("outw")).alias("weight")))
+    # out-weight normalization as a window sum over the aggregated edge
+    # table (r16, guide §2.4): the old groupBy+join re-ran the whole
+    # two-level pair-window subtree for the second reference of e
+    # (Catalyst does not dedupe); same bigint/bigint -> double division.
+    wo = Window.partitionBy("src")
+    return e.select("src", "dst",
+                    (F.col("cnt") / F.sum("cnt").over(wo)).alias("weight"))
 
 
 _DUCK_USER_EDGES = """

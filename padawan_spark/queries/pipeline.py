@@ -388,11 +388,19 @@ def pipe_importance_resampling(spark, sf_dir):
     d = load(spark, sf_dir, "documents", wide=True)
     tok = d.select("doc_id", "lang",
                    F.explode(F.expr(_SPARK_TOKS)).alias("w"))
-    corpus = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
-    target = (tok.where(F.col("lang") == "en")
-              .groupBy("w").agg(F.count(F.lit(1)).alias("tf")))
-    freq = (corpus.join(target, "w", "left")
-            .select("w", "cf", F.coalesce("tf", F.lit(0)).alias("tf")))
+    # BOTH unigram LMs from ONE aggregation (r16, guide §2.3/§2.4):
+    # the target count is a conditional count over the same exploded
+    # scan, so corpus-vs-target needs one explode + one shuffle, not
+    # two of each plus a vocabulary join (tf == the old left-join +
+    # coalesce(tf, 0): a vocab word with no en occurrences counts 0).
+    # freq is vocabulary-sized and feeds both the totals row and the
+    # ratio table — materialized once (Catalyst would re-run the whole
+    # aggregation per reference).
+    freq = (tok.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cf"),
+                 F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                 .cast("bigint").alias("tf"))
+            .localCheckpoint(eager=True))
     tot = freq.agg(F.sum("tf").alias("nt"), F.sum("cf").alias("nc"),
                    F.count(F.lit(1)).alias("v"))
     llr = (freq.crossJoin(F.broadcast(tot))

@@ -638,10 +638,14 @@ def text_bigram_logprob(spark, sf_dir):
     unic = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
     nuni = unic.agg(F.sum("cw").alias("total"),
                     F.count(F.lit(1)).alias("vocab"))
-    bi = t.select("doc_id", F.explode(F.expr(
+    # bi MATERIALIZED once (r16, guide §5): it feeds both the bigram
+    # count table and the scoring join — without this the
+    # sequence+transform bigram explode runs twice over the corpus
+    bi = (t.select("doc_id", F.explode(F.expr(
         "transform(sequence(1, size(toks) - 1),"
         " i -> concat(element_at(toks, i), ' ',"
         " element_at(toks, i + 1)))")).alias("bg"))
+        .localCheckpoint(eager=True))
     bic = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
     scored = (bi
@@ -701,11 +705,17 @@ def text_cooccurrence(spark, sf_dir):
     pair aggregation.  Counts are integers; lift is a single division
     rounded for the hash gate."""
     d = load(spark, sf_dir, "documents", wide=True)
+    # words MATERIALIZED once (r16, guide §5): it feeds both the top-K
+    # vocabulary aggregate and the pair join's base — without this the
+    # explode + distinct shuffle runs twice; vw (K-vocab-filtered,
+    # small) is pinned too so the self-join's two references don't run
+    # the broadcast join twice.
     words = (d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("word"))
-             .distinct())
+             .distinct().localCheckpoint(eager=True))
     vocab = (words.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
              .orderBy(F.desc("dfreq"), "word").limit(_COOC_VOCAB))
-    vw = words.join(F.broadcast(vocab.select("word")), "word")
+    vw = (words.join(F.broadcast(vocab.select("word")), "word")
+          .localCheckpoint(eager=True))
     a, b = vw.alias("a"), vw.alias("b")
     pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
                     & (F.col("a.word") < F.col("b.word")))
@@ -768,8 +778,13 @@ def text_char_entropy(spark, sf_dir):
     once (text_bigram_logprob policy); -0.0 canonicalized."""
     d = load(spark, sf_dir, "documents", wide=True)
     ch = d.select("doc_id", F.posexplode(F.split("text", "")).alias("i", "c"))
+    # cnt MATERIALIZED once (r16, guide §5): it feeds both the per-doc
+    # totals and the entropy fold — without this the (doc, char)
+    # explode + count aggregation runs twice.  cnt is docs x charset
+    # rows (bounded), cheap to pin.
     cnt = (ch.where(F.col("c") != "")
-           .groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k")))
+           .groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+           .localCheckpoint(eager=True))
     tot = cnt.groupBy("doc_id").agg(
         F.sum("k").cast("double").alias("L"),
         F.count(F.lit(1)).alias("n_distinct"))
