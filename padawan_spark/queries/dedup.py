@@ -178,15 +178,16 @@ JOIN cnt cb ON doc_b = cb.doc_id
 WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
-    # materialize the distinct-shingle table and the df-capped table
-    # ONCE (r16, guide §2.4/§5): Catalyst does not dedupe common
-    # subplans, so the un-materialized plan ran the tokenize → explode →
-    # distinct subtree 8 times (plan-audited: 8 Generate nodes, 23
-    # Exchanges).  At corpus scale this is the persisted shingle table
-    # of a real pipeline; eager localCheckpoint pins it per invocation
-    # with no cross-run reuse.
-    sh = (_shingles_spark(load(spark, sf_dir, "documents", wide=True))
-          .localCheckpoint(eager=True))
+    # materialize the df-capped table ONCE (r16, guide §2.4/§5):
+    # Catalyst does not dedupe common subplans, so the un-materialized
+    # plan ran the tokenize → explode → distinct subtree 8 times
+    # (plan-audited: 8 Generate nodes, 23 Exchanges).  sh itself is NOT
+    # checkpointed — its two references share the distinct Exchange,
+    # which AQE reuses at runtime (measured: same 14 task-sec either
+    # way, one serial materialization barrier less).  At corpus scale
+    # shc is the persisted shingle table of a real pipeline; eager
+    # localCheckpoint pins it per invocation with no cross-run reuse.
+    sh = _shingles_spark(load(spark, sf_dir, "documents", wide=True))
     rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= _DF_CAP).select("s"))
     shc = sh.join(rare, "s").localCheckpoint(eager=True)
@@ -238,10 +239,11 @@ def dedup_containment(spark, sf_dir):
     turns intersections into both directed containment ratios.  Exact
     integer counts, one double division per side.
     """
-    # same shingle/capped-table materialization as dedup_ngram_jaccard
-    # (r16): the subtree otherwise runs once per reference
-    sh = (_shingles_spark(load(spark, sf_dir, "documents", wide=True))
-          .localCheckpoint(eager=True))
+    # same capped-table materialization as dedup_ngram_jaccard (r16);
+    # sh itself is NOT checkpointed — its references share the distinct
+    # Exchange, which AQE reuses at runtime (measured: same task-sec,
+    # one serial barrier less)
+    sh = _shingles_spark(load(spark, sf_dir, "documents", wide=True))
     rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= _DF_CAP).select("s"))
     shc = sh.join(rare, "s").localCheckpoint(eager=True)
@@ -503,10 +505,10 @@ def dedup_contamination(spark, sf_dir):
     it's millions of shingles → a BROADCAST join against the corpus,
     so the check costs one corpus scan.  Threshold (≥10% overlap →
     contaminated) is integer arithmetic, engine-exact."""
-    # materialized once (r16): referenced by the benchmark set and twice
-    # by the corpus side (totals + overlap hits)
-    sh = (_shingles_spark(load(spark, sf_dir, "documents", wide=True))
-          .localCheckpoint(eager=True))
+    # sh is referenced by the benchmark set and twice by the corpus side
+    # (totals + overlap hits) but NOT checkpointed: all three references
+    # share the distinct Exchange, which AQE reuses at runtime (r16)
+    sh = _shingles_spark(load(spark, sf_dir, "documents", wide=True))
     bench = sh.where(F.col("doc_id") < 50).select("s").distinct()
     corpus = sh.where(F.col("doc_id") >= 50)
     tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -598,7 +600,10 @@ def dedup_minhash_estimate(spark, sf_dir):
     exact side is restricted to already-similar pairs so the join stays
     bounded; integer counting + one division per side — engine-exact."""
     mh = _minhash_spark(spark, sf_dir).cache()
-    # materialized once (r16): referenced by cnt and both self-join sides
+    # materialized once (r16): referenced by cnt and both self-join
+    # sides; measured 43.7 vs 94.0 task-sec with the checkpoint — here
+    # the join keys differ per reference, so AQE exchange reuse does
+    # NOT cover the recompute the way it does in dedup_ngram_jaccard
     sh = (_shingles_spark(load(spark, sf_dir, "documents", wide=True))
           .localCheckpoint(eager=True))
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -977,10 +982,10 @@ def dedup_funnel(spark, sf_dir):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    # same shingle/capped-table materialization as dedup_ngram_jaccard
-    # (r16): the canon-restricted subtree otherwise runs per reference
-    sh = (_shingles_spark(d).join(canon, "doc_id")
-          .localCheckpoint(eager=True))
+    # same capped-table materialization as dedup_ngram_jaccard (r16);
+    # the canon-restricted sh shares its Exchange across references
+    # (AQE runtime reuse), so only shc is checkpointed
+    sh = _shingles_spark(d).join(canon, "doc_id")
     rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= _DF_CAP).select("s"))
     shc = sh.join(rare, "s").localCheckpoint(eager=True)

@@ -549,16 +549,18 @@ def ev_rare_transitions(spark, sf_dir):
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # pairs MATERIALIZED once (r16, guide §5): it feeds both the Markov
-    # model aggregation and the final per-user scoring join — without
-    # this the user-partitioned lead window runs twice.  The out-weight
+    # pairs is referenced twice (Markov-model aggregation + scoring
+    # join) but NOT materialized: both references share an identical
+    # user_id Exchange, so the shuffle is computed once at runtime and
+    # only the cheap post-shuffle window re-runs — an eager checkpoint
+    # here writes an events-sized table to save less than it costs
+    # (measured r16: 1.4 vs 0.5 task-sec).  The out-weight
     # normalization is a window sum over the types²-sized count table
     # (guide §2.4: the old groupBy+join re-ran the count aggregation for
     # its second reference); cnt / cast(sum double) division unchanged.
     pairs = (e.select("user_id", F.col("event_type").alias("src"),
                       F.lead("event_type").over(w).alias("dst"))
-             .where(F.col("dst").isNotNull())
-             .localCheckpoint(eager=True))
+             .where(F.col("dst").isNotNull()))
     counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
     wo = Window.partitionBy("src")
     p = counts.select(
