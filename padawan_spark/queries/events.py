@@ -242,16 +242,20 @@ GROUP BY 1, 2
 """)
 def ev_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen week, counted
-    distinct per week offset. Two aggregations over events (cohort map,
-    distinct activity) then a join on user_id — each shuffle keyed on the
-    high-cardinality user, the 100 TB-safe shape; week offsets are exact
-    integers (UTC, no DST) so the output is hash-stable."""
+    distinct per week offset.  ONE aggregation over events (r16, guide
+    §2.3/§2.4): cohort = min(ts) week and the distinct active-week SET
+    ride the same user_id shuffle — the old two-pass form (cohort agg +
+    distinct activity + join on user_id) scanned events twice and
+    shuffled three times for the same rows (explode(collect_set(wk)) ==
+    the distinct (user, wk) pairs; the inner join was a no-op since
+    both sides came from the same table).  Per-user state is bounded by
+    calendar weeks; week offsets are exact integers (UTC, no DST) so
+    the output is hash-stable."""
     e = load(spark, sf_dir, "events")
-    first = (e.groupBy("user_id")
-             .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
-    activity = (e.select("user_id", F.date_trunc("week", "ts").alias("wk"))
-                .distinct())
-    j = activity.join(first, "user_id")
+    per_user = (e.groupBy("user_id")
+                .agg(F.date_trunc("week", F.min("ts")).alias("cohort"),
+                     F.collect_set(F.date_trunc("week", "ts")).alias("wks")))
+    j = per_user.select("user_id", "cohort", F.explode("wks").alias("wk"))
     offset = ((F.col("wk").cast("long") - F.col("cohort").cast("long"))
               / 604800).cast("int")
     return (j.groupBy("cohort", offset.alias("week_offset"))

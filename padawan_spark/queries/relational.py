@@ -329,9 +329,19 @@ def q15(spark, sf_dir):
     rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                      "total_revenue")))
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
-    return (rev.join(broadcast(mx), rev.total_revenue == mx.__mx)
-            .join(broadcast(s), rev.supplier_no == s.s_suppkey)
+    # global max as a window over the AGGREGATED rows (r16, guide §2.4,
+    # the ana_percent_of_total pattern): the old rev.agg(max) branch
+    # re-ran the whole quarter scan + suppkey aggregation a second time
+    # for its broadcast side — its exchange differs from the main
+    # reference's (the join null-filter is pushed into one subtree
+    # only), so AQE exchange reuse cannot dedupe it.  The window's
+    # single-partition exchange carries supplier-count rows, never
+    # lineitem.
+    from pyspark.sql.window import Window
+    return (rev.withColumn("__mx",
+                           F.max("total_revenue").over(Window.partitionBy()))
+            .where(F.col("total_revenue") == F.col("__mx"))
+            .join(broadcast(s), F.col("supplier_no") == s.s_suppkey)
             .select("s_suppkey", "s_name", "total_revenue"))
 
 
@@ -355,7 +365,15 @@ WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND pk = l_partkey
 def q17(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    part_avg = (l.groupBy(F.col("l_partkey").alias("pk"))
+    # per-part average restricted to Brand#1 partkeys via a broadcast
+    # SEMI-join before the aggregation (r16, guide §3.2): the final
+    # inner join with p drops every other partkey anyway, and the
+    # per-key average is unchanged by dropping other keys — so the
+    # aggregation shuffles (and the part_avg broadcast carries) ~1/25th
+    # of the partkeys instead of all of them.
+    part_avg = (l.join(broadcast(p.select("p_partkey")),
+                       l.l_partkey == F.col("p_partkey"), "left_semi")
+                .groupBy(F.col("l_partkey").alias("pk"))
                 .agg(davg(F.col("l_quantity"), "avg_qty")))
     from .registry import DEC
     return (
@@ -538,10 +556,20 @@ def q2(spark, sf_dir):
                         F.col("l_suppkey").alias("sk"))
               .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                    .alias("cost")))
-    m = supply.groupBy(F.col("pk").alias("mpk")).agg(F.min("cost").alias("mincost"))
-    return (supply.join(m, (supply.pk == m.mpk) & (supply.cost == m.mincost))
-            .join(broadcast(p), supply.pk == p.p_partkey)
-            .join(broadcast(s), supply.sk == s.s_suppkey)
+    # per-part min as a window over the AGGREGATED supply rows (r16,
+    # guide §2.4): the old supply.groupBy(pk).agg(min) + join-back
+    # re-ran the lineitem scan + (pk, sk) aggregation for the m branch
+    # (Catalyst does not dedupe the shared subtree).  The window's
+    # exchange is keyed on the high-cardinality pk over (pk, sk)-
+    # collapsed rows; the equality filter keeps exactly the rows the
+    # old inner join on (pk, cost = mincost) kept — ALL tied minima,
+    # null-cost groups excluded by both forms.
+    from pyspark.sql.window import Window
+    best = (supply.withColumn(
+                "mincost", F.min("cost").over(Window.partitionBy("pk")))
+            .where(F.col("cost") == F.col("mincost")))
+    return (best.join(broadcast(p), best.pk == p.p_partkey)
+            .join(broadcast(s), best.sk == s.s_suppkey)
             .join(broadcast(n), s.s_nationkey == n.n_nationkey)
             .select("s_acctbal", "s_name", "n_name", "p_partkey",
                     F.col("cost").alias("supply_cost"))
@@ -634,8 +662,16 @@ def q11(spark, sf_dir):
                   l.l_suppkey == F.col("s_suppkey"))
            .groupBy(F.col("l_partkey").alias("p_partkey"))
            .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("val")))
-    tot = vbp.agg((F.lit(0.001) * F.sum("val").cast("double")).alias("__thr"))
-    return (vbp.crossJoin(broadcast(tot))
+    # threshold as a window over the AGGREGATED per-part rows (r16,
+    # guide §2.4): the old vbp.agg(sum) branch re-ran the full
+    # lineitem⋈supplier⋈nation join + partkey aggregation for its
+    # broadcast side (Catalyst does not dedupe the shared subtree and
+    # the broadcast side is exempt from AQE exchange reuse).  Same
+    # arithmetic: 0.001 * (double)SUM(val) over all parts.
+    from pyspark.sql.window import Window
+    return (vbp.withColumn("__thr",
+                           F.lit(0.001) * F.sum("val")
+                           .over(Window.partitionBy()).cast("double"))
             .where(F.col("val").cast("double") > F.col("__thr"))
             .select("p_partkey", F.col("val").cast("double").alias("value")))
 
