@@ -702,26 +702,28 @@ def sim_ann_ivfpq(spark, sf_dir):
     wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "probe_label")
     probes = (qc.withColumn("prn", F.row_number().over(wp))
               .where(F.col("prn") <= 2).select("query_id", "probe_label"))
-    # PQ codebook + codes (sim_pq_encode plan) with the cell label kept
+    # PQ codebook + codes (sim_pq_encode plan)
     codebook = (comp.groupBy(F.col("label").alias("code"), "sub", "dim")
                 .agg((F.sum(F.col("val").cast(d9)).cast("double")
                       / F.count(F.lit(1))).alias("cval")))
-    # label RIDES the code aggregations (r16): it is functionally
-    # dependent on vec_id (one label per vector row), so adding it to
-    # the group keys changes no group — and the old
-    # codes.join(e.select(vec_id, label)) re-scan of the embeddings
-    # table disappears.
+    # the cell label is NOT threaded through the code aggregations: the
+    # dists groupBy runs over the N*dims*K join fan-out — the heaviest
+    # intermediate of the query — and adding a string to its group keys
+    # was measured ~10-15% more executor work (interleaved task-time
+    # A/B) than re-attaching the label afterwards from a 2-column
+    # pruned scan whose join touches only N*M code rows.
     dists = (comp.join(F.broadcast(codebook), ["sub", "dim"])
-             .groupBy("vec_id", "label", "sub", "code")
+             .groupBy("vec_id", "sub", "code")
              .agg(F.sum(((F.col("val") - F.col("cval"))
                          * (F.col("val") - F.col("cval"))).cast(d9))
                   .alias("d2")))
     # argmin per (vec, sub) as a hash aggregate, not a window (r16,
     # guide §2.3): same row as row_number-over-(d2 asc, code asc),
     # map-side partial aggregation, no sort of the N*M*K table.
-    lcodes = (dists.groupBy("vec_id", "label", "sub")
-              .agg(F.min(F.struct("d2", "code")).alias("m"))
-              .select("vec_id", "label", "sub", F.col("m.code").alias("code")))
+    codes = (dists.groupBy("vec_id", "sub")
+             .agg(F.min(F.struct("d2", "code")).alias("m"))
+             .select("vec_id", "sub", F.col("m.code").alias("code")))
+    lcodes = codes.join(e.select("vec_id", "label"), "vec_id")
     # per-query ADC lookup table
     lut = (qcomp
            .join(F.broadcast(codebook), ["sub", "dim"])
