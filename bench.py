@@ -3,8 +3,13 @@
 
 Output contract: stdout carries exactly ONE compact JSON line — the
 LAST line printed — {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}, kept deliberately short so tail
-captures never truncate it.  Supplementary telemetry (per-query deltas
+"queries": {name: sec}, "sf": ..., "cpus_requested": ...,
+"default_parallelism": ..., "master": ..., "ab_prev_tree": {...}},
+kept deliberately short so tail captures never truncate it (r17:
+calibration/value_calibrated/queries_calibrated moved to stderr
+supplements after the grown line truncated the r13-r15 captures; the
+cpus/master/parallelism fields prove local[$SPARK_GRAFT_CPUS] is
+honored — VERDICT r16 tasks 2-4).  Supplementary telemetry (per-query deltas
 vs the previous round, the layout-normalized pass, input row-group
 counts) goes to STDERR as SEPARATE compact JSON lines each tagged
 "bench_supplement" — one fact per line, with prev_delta emitted LAST,
@@ -356,7 +361,14 @@ def main() -> None:
     spark = get_spark(app_name="padawan-bench", extra_conf={
         # keep stdout clean for the single metric line: no progress bar
         # control characters, no stage spinners
-        "spark.ui.showConsoleProgress": "false"})
+        "spark.ui.showConsoleProgress": "false",
+        # benchmark-session GC cadence (r17, ADVICE r16): the library
+        # default is a conservative 5 min; the bench session keeps the
+        # r16-validated 1 min so 20+ queries of dead broadcast/RDD state
+        # never pile up inside one measurement window (session.py has
+        # the full story)
+        "spark.cleaner.periodicGC.interval":
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min")})
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM (classloading, codegen, AQE paths, parquet readers) with
@@ -452,6 +464,16 @@ def main() -> None:
     cal["python_probe_best"] = min(cal["python_before"],
                                    cal["python_after"])
 
+    # scaling-evidence contract (r17, VERDICT r16 task 3): the driver
+    # benches at two core counts and flagged `suspect_cpus_ignored`
+    # because every ratio was ≈1 — the env var IS honored
+    # (session.py builds local[$SPARK_GRAFT_CPUS]) but nothing in the
+    # record proved it.  Emit the requested count, the master actually
+    # built, and sc.defaultParallelism so the scaling block is
+    # mechanically interpretable.
+    sc = spark.sparkContext
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
@@ -522,6 +544,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "cpus_requested": int(cpus_env) if (cpus_env or "").isdigit()
+        else cpus_env,
+        "default_parallelism": sc.defaultParallelism,
+        "master": sc.master,
     }
     # the SAME-WINDOW interleaved A/B vs the previous round's tree
     # (min per query over the interleaved passes) — THE authoritative
@@ -542,13 +568,17 @@ def main() -> None:
         out["ab_prev_tree"] = ab
     # machine-speed reference: seconds of a FROZEN probe workload in
     # this same process — SECONDARY to ab_prev_tree (the probe cannot
-    # see IO contention); kept for cross-round continuity.  Per-query
-    # calibrated timings stay on stdout so the record is lossless.
-    out["calibration"] = cal
-    out["value_calibrated"] = (
-        round(total / cal["spark_probe_best"], 3)
-        if cal["spark_probe_best"] else None)
-    out["queries_calibrated"] = ({
+    # see IO contention); kept for cross-round continuity.  Moved OFF
+    # stdout in r17 (VERDICT r16 tasks 2/4): the stdout line grew past
+    # the "kept deliberately short" contract and the driver's bounded
+    # capture truncated the r13-r15 records, killing PERF's cross-round
+    # comparison for four rounds.  value_calibrated and the per-query
+    # calibrated timings now ride a stderr supplement line; stdout
+    # keeps only the contract fields + ab_prev_tree (the authoritative
+    # same-window A/B) + the cpus proof fields.
+    value_calibrated = (round(total / cal["spark_probe_best"], 3)
+                        if cal["spark_probe_best"] else None)
+    queries_calibrated = ({
         n: round(t / cal["spark_probe_best"], 2)
         for n, t in timings.items()}
         if cal["spark_probe_best"] else {})
@@ -605,22 +635,30 @@ def main() -> None:
     except Exception:
         pass
 
-    # per-query probe-normalized timings moved ONTO stdout in r11 (the
-    # r10 stderr record lost the front of this line to tail truncation);
-    # only the prose note stays here.
+    # calibration record (stderr since r17 — see the stdout-slimming
+    # note above; r11 had moved it ONTO stdout after a tail truncation,
+    # but the driver's capture bounds the WHOLE stream and the stdout
+    # line itself is what must stay short).  Emitted before prev_delta
+    # so truncation eats it first.
     if cal["spark_probe_best"]:
-        _emit({"calibration_note": CALIBRATION_NOTE})
+        _emit({"calibration": cal,
+               "value_calibrated": value_calibrated,
+               "queries_calibrated": queries_calibrated,
+               "calibration_note": CALIBRATION_NOTE})
 
     if prev_delta:
         sup = {"prev_round": prev_round, "prev_delta": prev_delta}
         # r10: carry the CALIBRATED round-over-round comparison in the
         # record itself — value_calibrated is machine-speed-free, so
-        # prev_calibrated_ratio > 1 is a real regression, not noise
+        # prev_calibrated_ratio > 1 is a real regression, not noise.
+        # r17: prev records keep it under "parsed" for r16 and earlier;
+        # from r17 on it lives in the stderr supplements, so this
+        # cross-file ratio naturally ends with the r16 baseline.
         pv = prev.get("value_calibrated")
-        if pv and out["value_calibrated"]:
+        if pv and value_calibrated:
             sup["prev_value_calibrated"] = pv
             sup["prev_calibrated_ratio"] = round(
-                out["value_calibrated"] / pv, 3)
+                value_calibrated / pv, 3)
         _emit(sup)
     print(json.dumps(out, separators=(",", ":")), flush=True)
 

@@ -56,12 +56,19 @@ _DEFAULT_CONF = {
     # driver heap held 4.1 GB of which 270 MB was live, and the next
     # allocation-heavy query ran 2-4x slower; a forced full GC restored
     # it).  The default 30 min interval is longer than many whole
-    # sessions; 1 min bounds stale state at ~2% pause overhead on this
-    # box.  Production clusters with big driver heaps (10 s full GCs)
-    # should raise it via the env var — the cleanup still reaches
-    # executors through RemoveBroadcast/RemoveRdd messages either way.
+    # sessions.  r17 (ADVICE r16): the LIBRARY default is 5 min — a
+    # forced full GC every minute is too aggressive for production
+    # drivers with big heaps (10 s pauses) — and the benchmark driver
+    # pins 1 min via extra_conf (bench.py), where the heap is 8 GB and
+    # the pause ~2%.  Override either with the env var.  Two failure
+    # modes to know: (a) this knob works by calling System.gc() on a
+    # timer, so a JVM running with -XX:+DisableExplicitGC silently
+    # defeats it — if dead-state pile-up symptoms reappear (late-session
+    # queries 2-4x slower with identical plans), check the JVM flags
+    # first; (b) cleanup still reaches executors through
+    # RemoveBroadcast/RemoveRdd messages either way.
     "spark.cleaner.periodicGC.interval":
-        os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
 }
 
 

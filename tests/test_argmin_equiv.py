@@ -4,6 +4,7 @@ dedup_latest_version, LTTB bucket argmax) must pick EXACTLY the row the
 rank-1 window picked, including under ties on the cost column.  This
 pins the equivalence on tie-heavy fixtures, both directions."""
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -15,6 +16,7 @@ def _rows():
     return [(k, c, i) for k in range(7) for i, c in enumerate(costs)]
 
 
+@pytest.mark.slow
 def test_struct_argmin_matches_window_asc(spark):
     df = spark.createDataFrame(_rows(), "k int, cost double, id int")
     w = Window.partitionBy("k").orderBy("cost", "id")

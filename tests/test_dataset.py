@@ -92,6 +92,7 @@ def test_reindex_prefix_fast_path(spark, sample_dir):
     assert r.reindex(("date", "hour", "t")) is r
 
 
+@pytest.mark.slow
 def test_slice_nulls_and_inclusivity(spark, sample_dir):
     r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
     # nulls sort first: slicing from (None,) includes everything
@@ -187,6 +188,7 @@ def test_collate_merges(spark, sample_dir):
         raw.collate(50)
 
 
+@pytest.mark.slow
 def test_map_preserves_contract(spark, sample_dir):
     r = scan_parquet(spark, sample_dir).reindex(("date", "hour", "t"))
     m = r.map(lambda pdf: pdf.assign(a=pdf.a * 2), preserves="all")
@@ -260,6 +262,7 @@ def test_manifest_table_roundtrip_and_distributed_prune(spark, tmp_path):
     assert files == ["part0000000001.parquet", "part0000000002.parquet"]
 
 
+@pytest.mark.slow
 def test_write_parquet_manifest_table_form(spark, tmp_path, sf_dir):
     """write_parquet(manifest_table=True) persists the table-form
     manifest alongside the JSON sidecar, and both agree exactly."""
@@ -372,6 +375,7 @@ def test_getitem_partition_id_mapping_with_empties(spark):
         assert ds[i].count() == ds.sizes[i]
 
 
+@pytest.mark.slow
 def test_collate_single_scan_plan(spark, tmp_path):
     """VERDICT r1 #5: collate's file-backed path must be ONE scan + one
     shuffle for any group count — not a per-group read-union."""
@@ -432,6 +436,7 @@ def test_map_called_once_per_partition(spark, sample_dir):
             spark.conf.set(key, before)
 
 
+@pytest.mark.slow
 def test_concat_file_backed_partition_access(spark, sample_dir):
     """ADVICE r2: a file-backed child forced onto the DataFrame-union
     path has no known slot→physical-partition mapping (file packing is
@@ -583,6 +588,7 @@ def test_progress_callback(spark, sample_dir, tmp_path):
         assert calls2[-1][0] == calls2[-1][1]
 
 
+@pytest.mark.slow
 def test_manifest_versioning_time_travel(spark, sf_dir, tmp_path):
     """Every write archives a manifest snapshot; append-only writes keep
     all files, so scan_parquet(version=k) re-materializes the dataset
@@ -621,6 +627,7 @@ def test_manifest_versioning_time_travel(spark, sf_dir, tmp_path):
     assert list_versions(p) == [1]
 
 
+@pytest.mark.slow
 def test_compact_then_vacuum_lifecycle(spark, sf_dir, tmp_path):
     """OPTIMIZE + VACUUM: compaction rewrites small files into merged
     ones and swaps the manifest; older pins keep reading their exact
@@ -727,6 +734,7 @@ def test_compact_and_vacuum_hold_the_commit_lock(spark, sf_dir, tmp_path):
     assert not os.path.exists(lock)
 
 
+@pytest.mark.slow
 def test_compact_refreshes_manifest_table(spark, sf_dir, tmp_path):
     """ADVICE r3: for datasets written with manifest_table=True the
     parquet manifest-table form must be refreshed by compaction —
@@ -826,6 +834,7 @@ def test_commit_lock_injection_two_writer_race(spark, sf_dir, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.slow
 def test_commit_lock_serializes_interleaved_maintenance(spark, tmp_path,
                                                         seed):
     """VERDICT r4 ask #8: N threads interleaving append / compact /
@@ -936,6 +945,7 @@ def test_commit_lock_serializes_interleaved_maintenance(spark, tmp_path,
     assert vs == list(range(vs[0], vs[0] + len(vs)))
 
 
+@pytest.mark.slow
 def test_manifest_tail_handles_vacuum_and_overwrite(spark, sf_dir, tmp_path):
     """ADVICE r3: the padawan_tail stream source must handle snapshot
     history that did not only grow — a vacuumed base snapshot or an
@@ -1065,6 +1075,7 @@ def test_map_reference_body_pandas_path(spark, sample_dir):
     assert ma.df.count() == sum(want_sizes)
 
 
+@pytest.mark.slow
 def test_write_parquet_empty_and_append_to_empty(spark, tmp_path):
     """Reference IO parity (/root/reference/tests/test_io.py:144-201):
     writing a dataset whose every partition is empty persists the
@@ -1092,6 +1103,7 @@ def test_write_parquet_empty_and_append_to_empty(spark, tmp_path):
     assert ap.lower_bounds[0] == (1,) and ap.upper_bounds[-1] == (5,)
 
 
+@pytest.mark.slow
 def test_scan_parquet_pruned_matches_driver_slice(spark, sf_dir, tmp_path):
     """SURVEY §7.4 trap 7 (engine path): scan_parquet_pruned prunes
     files with a DataFrame filter over the manifest TABLE and must
@@ -1195,6 +1207,7 @@ def test_delete_rows_surgical_rewrite(spark, sf_dir, tmp_path):
     os.unlink(lock)
 
 
+@pytest.mark.slow
 def test_merge_rows_upsert_semantics(spark, tmp_path):
     """merge_rows (copy-on-write MERGE): updates replace rows by index
     key, inserts land, untouched files stay byte-identical, the
@@ -1261,6 +1274,7 @@ def test_merge_rows_upsert_semantics(spark, tmp_path):
     assert list_versions(p)[-1] == v_now
 
 
+@pytest.mark.slow
 def test_read_changes_cdf(spark, tmp_path):
     """read_changes (row-level CDF): per-commit deltas between manifest
     pins — appends emit pure inserts with no anti-join input, deletes
@@ -1311,6 +1325,7 @@ def test_read_changes_cdf(spark, tmp_path):
         read_changes(spark, p, 3, 2)
 
 
+@pytest.mark.slow
 def test_merge_rows_rewrite_set_is_key_membership(spark, tmp_path):
     """VERDICT r6 task 5: a 2-key batch at opposite table ends must
     rewrite only the 2 files actually containing those keys — the
@@ -1393,6 +1408,7 @@ def test_read_changes_vacuumed_version_guard(spark, tmp_path):
     assert read_changes(spark, p, 2).count() == 1
 
 
+@pytest.mark.slow
 def test_read_changes_null_key_update_classification(spark, tmp_path):
     """r8 (ADVICE): a null-keyed row updated by a merge must classify as
     update_preimage/update_postimage — the CDF self-join and the merge
@@ -1421,6 +1437,7 @@ def test_read_changes_null_key_update_classification(spark, tmp_path):
     assert "insert" not in by_type and "delete" not in by_type
 
 
+@pytest.mark.slow
 def test_read_changes_verbatim_survivor_property(spark, tmp_path):
     """r8 (VERDICT task 4c): the EXCEPT ALL cancellation as a property —
     across randomized merge batches, a rewritten file's byte-identical
@@ -1458,6 +1475,7 @@ def test_read_changes_verbatim_survivor_property(spark, tmp_path):
     assert got == expected, "survivor rows leaked into the change feed"
 
 
+@pytest.mark.slow
 def test_streaming_mv_restart_exactly_once(spark, tmp_path):
     """r9 (VERDICT r8 task 8): kill the streaming-MV query and restart
     from its checkpoint — the CDF source's version offsets must make
@@ -1526,6 +1544,7 @@ def test_streaming_mv_restart_exactly_once(spark, tmp_path):
     assert again == want
 
 
+@pytest.mark.slow
 def test_read_changes_long_history_fold_and_plan_depth(spark, tmp_path):
     """r9 (VERDICT r8 task 7): a 20-commit mixed history (appends /
     deletes / merges) replays correctly through the every-8-commits
@@ -1608,6 +1627,7 @@ def test_read_changes_long_history_fold_and_plan_depth(spark, tmp_path):
     assert current == state
 
 
+@pytest.mark.slow
 def test_cdf_stream_source_startingversion_and_vacuum_guard(spark, tmp_path):
     """r8: the padawan_cdf stream source honors startingVersion (skips
     the initial-load inserts), classifies a merge's updates, and fails
@@ -1656,6 +1676,7 @@ def test_cdf_stream_source_startingversion_and_vacuum_guard(spark, tmp_path):
         run(0)
 
 
+@pytest.mark.slow
 def test_schema_evolution_lifecycle(spark, tmp_path):
     """r8: merge_schema appends ADD columns — pre-evolution files
     surface them as nulls, appends with MISSING columns backfill nulls,
@@ -1747,6 +1768,7 @@ def _iva_source(spark, tmp_path, rows):
     return src
 
 
+@pytest.mark.slow
 def test_refresh_aggregate_incremental_matches_full(spark, tmp_path):
     from padawan_spark.dataset import (Dataset, delete_rows, merge_rows,
                                        refresh_aggregate, scan_parquet)
@@ -1782,6 +1804,7 @@ def test_refresh_aggregate_incremental_matches_full(spark, tmp_path):
     assert m.list_versions(mv)[-1] == before
 
 
+@pytest.mark.slow
 def test_refresh_aggregate_zero_count_groups_retained(spark, tmp_path):
     from padawan_spark.dataset import delete_rows, refresh_aggregate
     rows = [(1, 7), (2, 7), (3, 8)]
@@ -1798,6 +1821,7 @@ def test_refresh_aggregate_zero_count_groups_retained(spark, tmp_path):
     assert live == {(8, 1, 3)}
 
 
+@pytest.mark.slow
 def test_refresh_aggregate_detects_divergence_and_recomputes(
         spark, tmp_path):
     import os
@@ -1832,6 +1856,7 @@ def test_refresh_aggregate_detects_divergence_and_recomputes(
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_bloom_index_no_false_negatives_and_prunes(spark, tmp_path):
     from padawan_spark.dataset import (Dataset, build_bloom_index,
                                        scan_parquet, scan_point_lookup)
@@ -1906,6 +1931,7 @@ def test_bloom_index_rejects_index_columns(spark, tmp_path):
         build_bloom_index(spark, t, "k")
 
 
+@pytest.mark.slow
 def test_tail_stream_max_versions_per_trigger(spark, tmp_path):
     """r8: maxVersionsPerTrigger bounds every batch after the first —
     a live 2-commit backlog drains as two batches, and without the

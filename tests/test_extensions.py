@@ -174,6 +174,7 @@ def test_streaming_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert total.select("event_id").distinct().count() == ev.count()
 
 
+@pytest.mark.slow
 def test_segment_dedup_reconstruction_invariants(spark, sf_dir):
     """Semantic invariants of dedup_segments beyond the SQL oracle:
     (a) a doc whose every segment survived reconstructs its exact
@@ -205,6 +206,7 @@ def test_segment_dedup_reconstruction_invariants(spark, sf_dir):
     joined.unpersist()
 
 
+@pytest.mark.slow
 def test_streaming_custom_source_restart_exactly_once(spark, tmp_path):
     """The custom Python streaming source must survive a checkpoint
     restart with no replay gap or overlap: the second run starts from
@@ -620,6 +622,7 @@ def test_wav_deep_sample_formats_roundtrip():
     assert s == [int(x * 32768) for x in f]
 
 
+@pytest.mark.slow
 def test_delta_log_reader_partitions_and_timetravel(spark, tmp_path):
     import pyspark.sql.functions as SF
     from padawan_spark.functions.delta import (list_delta_versions,
@@ -709,6 +712,7 @@ def test_delta_checkpoint_replay_and_retention_clean(spark, tmp_path):
         read_delta(spark, t2)
 
 
+@pytest.mark.slow
 def test_delta_v2_checkpoint_sidecars(spark, tmp_path):
     """r9: V2 checkpoints — UUID-named top-level file + sidecar
     parquet files under _delta_log/_sidecars/ — replay like classic
@@ -899,6 +903,7 @@ def test_delta_column_mapping_gate(spark, tmp_path):
         read_delta(spark, t)
 
 
+@pytest.mark.slow
 def test_delta_column_mapping_id_mode_reads(spark, tmp_path):
     """r9: 'id'-mode mapping matches parquet FOOTER FIELD IDS, not
     names — the fixture varies physical column names per commit (so
@@ -981,6 +986,7 @@ def test_delta_cdf_interop(spark, tmp_path):
     assert read_delta_changes(spark, t, starting_version=3).count() == 0
 
 
+@pytest.mark.slow
 def test_delta_cdf_retention_cleaned_log_raises(spark, tmp_path):
     """ADVICE r9: a checkpointed table whose early JSON commits were
     retention-cleaned cannot produce a derived change feed — the
@@ -1062,6 +1068,7 @@ def test_delta_cdf_batch_from_checkpoint(spark, tmp_path):
     assert dels == {(k, 0) for k in (0, 2, 4, 6)}
 
 
+@pytest.mark.slow
 def test_delta_cdf_stream_from_checkpoint(spark, tmp_path):
     """r12 (VERDICT r11 task 2): the CDF stream initializes its live-
     file state from the newest checkpoint <= its start version — a
@@ -1114,6 +1121,7 @@ def test_delta_cdf_stream_from_checkpoint(spark, tmp_path):
     assert all(g is not None for _k, g in dels)
 
 
+@pytest.mark.slow
 def test_delta_cdf_dv_commits_emit_position_exact_changes(spark,
                                                           tmp_path):
     """r11 (VERDICT r10 #3, supersedes the ADVICE-r9 gate): deletion-
@@ -1163,6 +1171,7 @@ def test_delta_cdf_dv_commits_emit_position_exact_changes(spark,
         (5, "delete", 2), (7, "delete", 2)}
 
 
+@pytest.mark.slow
 def test_delta_cdf_name_mapped_table_reads(spark, tmp_path):
     """r10 (missing #1): CDF over a name-mode column-mapped table —
     batch and stream — resolves physical parquet columns and
@@ -1232,6 +1241,7 @@ def test_delta_cdf_name_mapped_table_reads(spark, tmp_path):
     assert next(iter(batch))[1] == 0   # partition value attached
 
 
+@pytest.mark.slow
 def test_delta_cdf_id_mapped_table_reads(spark, tmp_path):
     """r10: CDF over an id-mode column-mapped table — each change
     file's physical layout (deliberately commit-varying in the
@@ -1349,6 +1359,7 @@ def test_avro_intra_file_block_splitting(spark, tmp_path):
         r[0] for r in rows)
 
 
+@pytest.mark.slow
 def test_iceberg_reader_snapshots_and_partition_reattach(spark, tmp_path):
     import pyspark.sql.functions as SF
     import pytest
@@ -1382,6 +1393,7 @@ def test_iceberg_reader_snapshots_and_partition_reattach(spark, tmp_path):
         read_iceberg(spark, t, snapshot_id=999)
 
 
+@pytest.mark.slow
 def test_iceberg_v2_position_deletes(spark, tmp_path):
     """r9: delete manifests (content=1) route to position-delete
     parquet files that anti-join rows away by (file, position); delete
@@ -1437,6 +1449,7 @@ def test_iceberg_v2_position_deletes(spark, tmp_path):
         read_iceberg(spark, t, snapshot_id=s2).count()
 
 
+@pytest.mark.slow
 def test_iceberg_v2_equality_deletes_sequence_scoping(spark, tmp_path):
     """r9: equality deletes (content=2) erase matching rows only from
     data files with STRICTLY smaller sequence numbers — rows
@@ -1525,6 +1538,7 @@ def test_iceberg_partition_transforms_prune_and_read(spark, tmp_path):
     assert read_iceberg(spark, t).count() == 200
 
 
+@pytest.mark.slow
 def test_iceberg_schema_evolution_field_id_resolution(spark, tmp_path):
     """r9: a table with >1 schema resolves columns by parquet footer
     FIELD ID (the spec rule) — renamed columns keep reading their old
@@ -1563,6 +1577,7 @@ def test_iceberg_schema_evolution_field_id_resolution(spark, tmp_path):
     assert read_iceberg(spark, t, snapshot_id=s2).count() == 16
 
 
+@pytest.mark.slow
 def test_iceberg_orc_data_files(spark, tmp_path):
     """r10 (+r11): ORC data files read through Spark's native ORC
     source, union with parquet snapshots, share the partition attach
@@ -1597,6 +1612,7 @@ def test_iceberg_orc_data_files(spark, tmp_path):
     assert read_iceberg(spark, t, filters={"g": 0}).count() == 5
 
 
+@pytest.mark.slow
 def test_iceberg_orc_schema_evolution(spark, tmp_path):
     """r11: schema evolution over ORC data files — columns resolve by
     the `iceberg.id` footer type attributes (the spec's ORC appendix)
@@ -1633,6 +1649,7 @@ def test_iceberg_orc_schema_evolution(spark, tmp_path):
     assert 1 not in rows2 and rows2[2] == 4 and len(rows2) == 10
 
 
+@pytest.mark.slow
 def test_iceberg_avro_position_deletes_and_evolution(spark, tmp_path):
     """r11 (closes missing #3 fully): position deletes over AVRO data
     files — the targeted file reads through the python block decoder
@@ -1753,6 +1770,7 @@ def test_iceberg_snapshot_schema_time_travel(spark, tmp_path):
     assert cur.count() == 11
 
 
+@pytest.mark.slow
 def test_iceberg_partition_spec_evolution_reads(spark, tmp_path):
     """r10 (verdict #6, upgraded from a gate to full support): files
     written under an OLDER partition spec read correctly after the
@@ -1840,6 +1858,7 @@ def test_delta_dv_decode_runs_on_executors(spark, tmp_path):
     assert len(ks) == 26 and {1, 3, 5, 7}.isdisjoint(ks)
 
 
+@pytest.mark.slow
 def test_iceberg_ref_time_travel(spark, tmp_path):
     """r12: branch/tag refs — read_iceberg(ref=...) resolves the
     metadata refs map (tag pins a snapshot, main tracks current),
@@ -1884,6 +1903,7 @@ def test_iceberg_ref_time_travel(spark, tmp_path):
                                                              12}
 
 
+@pytest.mark.slow
 def test_iceberg_appends_stream_source(spark, tmp_path):
     """r10: the padawan_iceberg_appends stream — snapshot-id offsets,
     one InputPartition per ADDED file, identity partition values
@@ -1981,6 +2001,7 @@ def test_iceberg_appends_stream_source(spark, tmp_path):
                      | {(k, k % 2) for k in range(400, 402)})
 
 
+@pytest.mark.slow
 def test_iceberg_appends_stream_follows_branch(spark, tmp_path):
     """r13 (VERDICT r12 task 5): followRef=<branch> — latestOffset
     tracks the BRANCH HEAD, not the snapshot-log tail: snapshots past
@@ -2030,6 +2051,7 @@ def test_iceberg_appends_stream_follows_branch(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_iceberg_fast_append_layout(spark, tmp_path):
     """r13: fast_append fixtures write the REAL-writer commit shape —
     the new manifest holds only the snapshot's adds, previous
@@ -2116,6 +2138,7 @@ def test_iceberg_added_data_files_planning_unit(spark, tmp_path):
     assert r3 and f3 == []
 
 
+@pytest.mark.slow
 def test_iceberg_appends_stream_random_snapshot_ids(spark, tmp_path):
     """ADVICE r10: real Iceberg snapshot ids are random longs — a
     newer snapshot with a SMALLER id than the last-consumed one must
@@ -2248,6 +2271,7 @@ def test_iceberg_appends_stream_random_snapshot_ids(spark, tmp_path):
                     | {(i, i * 3) for i in (9, 10)})
 
 
+@pytest.mark.slow
 def test_incremental_stream_sources_restart_exactly_once(spark,
                                                          tmp_path):
     """r10: kill the hudi-incremental and iceberg-appends streams and
@@ -2323,6 +2347,7 @@ def test_incremental_stream_sources_restart_exactly_once(spark,
     assert got2 == {200, 201, 202}, got2
 
 
+@pytest.mark.slow
 def test_delta_cdf_stream_restart_across_dv_commit(spark, tmp_path):
     """r11: kill the Delta CDF stream and restart from its checkpoint
     with a DELETION-VECTOR commit landed while it was down — the
@@ -2405,6 +2430,7 @@ def test_hudi_cow_reader_file_group_supersede(spark, tmp_path):
         read_hudi(spark, t, as_of="999")
 
 
+@pytest.mark.slow
 def test_hudi_mor_log_merge(spark, tmp_path):
     """r9: merge-on-read — delta commits append avro/delete log
     blocks; the snapshot read merges latest-wins per record key;
@@ -2502,6 +2528,7 @@ def test_hudi_log_only_file_groups(spark, tmp_path):
     assert 100 not in got2 and 101 in got2 and len(got2) == 13
 
 
+@pytest.mark.slow
 def test_hudi_log_only_only_table(spark, tmp_path):
     """r11 (VERDICT r10 #4): a table consisting ONLY of log-only file
     groups — a freshly-bootstrapped streaming-ingest table, first
@@ -2545,6 +2572,7 @@ def test_hudi_log_only_only_table(spark, tmp_path):
     assert e.columns == ["k", "g", "v", "ts", "d"]
 
 
+@pytest.mark.slow
 def test_hudi_metadata_table_listing(spark, tmp_path):
     """r11 (VERDICT r10 #7): the ``.hoodie/metadata`` table's FILES
     partition replaces the O(timeline) commit replay in the planning
@@ -2932,6 +2960,7 @@ def norm_eq(a, b):
     return norm(a) == norm(b)
 
 
+@pytest.mark.slow
 def test_hudi_hfile_and_parquet_log_blocks(spark, tmp_path):
     """r12: HFILE (4) and PARQUET (5) log data blocks — the formats
     real Hudi writes for metadata tables and for
@@ -3096,6 +3125,7 @@ def _check_nested(rows):
     assert r3["mp"]["x"]["q"] == 15
 
 
+@pytest.mark.slow
 def test_delta_nested_all_mapping_modes(spark, tmp_path):
     """r13 (VERDICT task 1): struct/array/map columns — incl. a
     struct-in-struct, struct-in-array and struct-valued map — round
@@ -3130,6 +3160,7 @@ def test_delta_nested_all_mapping_modes(spark, tmp_path):
     assert got[2] is None and got[1]["a"] == 5
 
 
+@pytest.mark.slow
 def test_delta_nested_random_shapes_roundtrip(spark, tmp_path):
     """r13: randomized nested-schema shapes (structs nested in
     arrays/maps/structs to depth 3, deterministic seeds) round-trip
@@ -3239,6 +3270,7 @@ def test_delta_nested_id_mode_resolves_inner_by_field_id(spark,
     assert got == [(0, 0), (1, 7), (2, 14), (3, 21)]
 
 
+@pytest.mark.slow
 def test_delta_nested_dv_and_cdf(spark, tmp_path):
     """r13: deletion vectors and the CDF reader over a NESTED
     name-mapped table — DV positions anti-join against the remapped
@@ -3286,6 +3318,7 @@ def test_delta_nested_dv_and_cdf(spark, tmp_path):
     assert post[102]["ar"][0]["p"] == 6
 
 
+@pytest.mark.slow
 def test_avro_source_nested_columns(spark, tmp_path):
     """r13: the padawan_avro source reads NESTED columns — record-in-
     record, array-of-record and map values route through the generic
@@ -3329,6 +3362,7 @@ def test_avro_source_nested_columns(spark, tmp_path):
     assert out[3]["mp"]["m"] == 15
 
 
+@pytest.mark.slow
 def test_iceberg_avro_nested_data_files(spark, tmp_path):
     """r13: NESTED columns in AVRO data files — the fixture converts
     the Iceberg schema to an Avro record schema (nullable nested
@@ -3358,6 +3392,7 @@ def test_iceberg_avro_nested_data_files(spark, tmp_path):
     assert r3["ar"][0]["p"] == 9 and r3["mp"]["x"] == 15
 
 
+@pytest.mark.slow
 def test_iceberg_nested_roundtrip_and_deletes(spark, tmp_path):
     """r13 (VERDICT task 1): struct/array/map columns round trip
     through the Iceberg fixture writer and reader (nested parquet
@@ -3382,6 +3417,7 @@ def test_iceberg_nested_roundtrip_and_deletes(spark, tmp_path):
     assert got == [1, 2, 3, 4, 5]
 
 
+@pytest.mark.slow
 def test_iceberg_nested_schema_evolution_by_field_id(spark,
                                                      tmp_path):
     """r13: inner struct fields renamed by schema evolution resolve
@@ -3422,6 +3458,7 @@ def test_iceberg_nested_schema_evolution_by_field_id(spark,
     assert rows[4]["ar"][0]["pp"] == 30
 
 
+@pytest.mark.slow
 def test_iceberg_appends_stream_nested_evolved(spark, tmp_path):
     """r13: the appends STREAM over nested columns, across an
     inner-field rename — the read task views each nested column's
@@ -3522,6 +3559,7 @@ def test_iceberg_nested_added_inner_field_null_fills(spark,
     assert rows[10]["a"] == 20 and rows[10]["extra"] == 17
 
 
+@pytest.mark.slow
 def test_iceberg_nested_gates_and_orc(spark, tmp_path):
     """r13: nested fixture columns under transform partitioning
     raise loudly; ORC nested tables READ (nested ``iceberg.id``
@@ -3577,6 +3615,7 @@ def test_iceberg_nested_gates_and_orc(spark, tmp_path):
     assert rows == {0: 0, 1: 2, 2: 4, 10: 20, 11: 22}
 
 
+@pytest.mark.slow
 def test_delta_cdf_stream_nested_all_mapping_modes(spark, tmp_path):
     """r13: the CDF STREAM over nested columns — unmapped tables pass
     arrow batches through; name/id-mapped tables rename inner struct
@@ -3639,6 +3678,7 @@ def test_delta_time_travel_monotonic_timestamps(spark, tmp_path):
     assert read_delta(spark, t, as_of_ms=2_000_001).count() == 8
 
 
+@pytest.mark.slow
 def test_hudi_incremental_stream_over_log_only_table(spark, tmp_path):
     """r11: the incremental stream source works on a table with ZERO
     base files — its schema() recovers from the log's embedded Avro
@@ -3669,6 +3709,7 @@ def test_hudi_incremental_stream_over_log_only_table(spark, tmp_path):
     assert rows == {(2, -2)}   # upsert emitted, delete suppressed
 
 
+@pytest.mark.slow
 def test_hudi_mor_temporal_payloads(spark, tmp_path):
     """r9: timestamp and date columns ride the log as Avro logical
     types (micros / days from epoch) and merge value-exactly; the
@@ -3701,6 +3742,7 @@ def test_hudi_mor_temporal_payloads(spark, tmp_path):
                       dt.date(2001, 6, 4))
 
 
+@pytest.mark.slow
 def test_hudi_incremental_query(spark, tmp_path):
     """r9: the incremental query returns the latest state of exactly
     the keys changed in the window — keys touched in both windows
@@ -3745,6 +3787,7 @@ def test_hudi_incremental_query(spark, tmp_path):
         read_hudi_incremental(spark, t, "12345")
 
 
+@pytest.mark.slow
 def test_hudi_incremental_prunes_untouched_file_groups(spark,
                                                        tmp_path):
     """r10 (verdict #2): the incremental read scans ONLY the file
@@ -3784,6 +3827,7 @@ def test_hudi_incremental_prunes_untouched_file_groups(spark,
     assert e.columns == ["k", "g", "v"] and e.count() == 0
 
 
+@pytest.mark.slow
 def test_hudi_mor_rolled_log_files_order_globally(spark, tmp_path):
     """ADVICE r9: when one instant's write rolls across .log.1 /
     .log.2 in a file group, same-instant blocks must order by the
@@ -3887,6 +3931,7 @@ def test_hudi_mor_nested_payload_columns(spark, tmp_path):
         read_hudi(spark, t2).collect()
 
 
+@pytest.mark.slow
 def test_hudi_incremental_stream_source(spark, tmp_path):
     """r10: the padawan_hudi_incremental stream source — one batch
     per instant under maxInstantsPerTrigger=1, per-slice latest-wins
@@ -3943,6 +3988,7 @@ def test_hudi_incremental_stream_source(spark, tmp_path):
     assert rows == w2 | w3, rows
 
 
+@pytest.mark.slow
 def test_hudi_replacecommit_clustering(spark, tmp_path):
     """r9: a replacecommit retires the listed file groups wholesale
     (logs included) in favor of its new base files; earlier instants
@@ -3987,6 +4033,7 @@ def test_hudi_replacecommit_clustering(spark, tmp_path):
     assert read_hudi(spark, t, as_of=r1).count() == 10
 
 
+@pytest.mark.slow
 def test_iceberg_added_entries_inherit_null_snapshot_id(spark,
                                                         tmp_path):
     """ADVICE r13: a manifest entry's ``snapshot_id`` is INHERITED
@@ -4134,6 +4181,7 @@ def test_nested_map_key_struct_gates_in_id_mode():
     assert out["keyType"] == "string"
 
 
+@pytest.mark.slow
 def test_hudi_mor_nested_temporal_payloads(spark, tmp_path):
     """r14 (VERDICT r13 task 1): timestamp/date leaves INSIDE nested
     log-payload types (array<struct<..>>, map values, deep structs)
@@ -4177,6 +4225,7 @@ def test_hudi_mor_nested_temporal_payloads(spark, tmp_path):
         assert rows[0]["m"]["a"] == ts0, fmt
 
 
+@pytest.mark.slow
 def test_hudi_incremental_stream_nested_temporal(spark, tmp_path):
     """r14: the incremental STREAM revives temporal leaves inside
     nested payload types too — log events and base pass-through rows
@@ -4324,6 +4373,7 @@ def test_delta_type_widening_name_mapped_and_illegal(spark, tmp_path):
         read_delta(spark, t2).collect()
 
 
+@pytest.mark.slow
 def test_iceberg_follow_branch_force_push_gates(spark, tmp_path):
     """r14 (VERDICT r13 task 5): a FORCE-PUSHED branch — retargeted
     onto a SIBLING fork whose ancestry does not contain the
@@ -4396,6 +4446,7 @@ def test_nested_ice_map_key_rename_gates():
         match_tree_ice(t, absent)
 
 
+@pytest.mark.slow
 def test_delta_type_widening_cdf_and_stream(spark, tmp_path):
     """r14: CDF over a widened table — change files written BEFORE
     the widening commit carry the narrower physical type and promote
@@ -4536,6 +4587,7 @@ def test_delta_variant_reads_and_gates(spark, tmp_path):
     assert got3 == [(0, 0), (1, 2), (2, 4)]
 
 
+@pytest.mark.slow
 def test_iceberg_avro_nested_schema_evolution(spark, tmp_path):
     """r14: schema-EVOLVED nested columns over AVRO data files — the
     last format x evolution hole: renamed struct fields INSIDE a
@@ -4663,6 +4715,7 @@ def test_hudi_temporal_reviver_roundtrip_property():
     check()
 
 
+@pytest.mark.slow
 def test_hudi_mor_decimal_payloads(spark, tmp_path):
     """r14: DECIMAL log payloads — flat and inside nested types —
     merge through every block format at the DECLARED precision/scale
@@ -4723,6 +4776,7 @@ def test_hudi_mor_decimal_payloads(spark, tmp_path):
         == Decimal("3.25")
 
 
+@pytest.mark.slow
 def test_hudi_mor_binary_payloads(spark, tmp_path):
     """r14: BINARY log payloads — flat and inside nested types — ride
     Avro ``bytes`` through every block format; log-only tables
@@ -4820,6 +4874,7 @@ def test_iceberg_orc_nested_evolution_position_deletes(spark,
     assert rows[10]["st"]["alpha"] == 20
 
 
+@pytest.mark.slow
 def test_iceberg_appends_stream_nested_evolved_avro(spark, tmp_path):
     """r14 (found by probe, the silent-NULL class): the appends
     STREAM over a nested-EVOLVED table with AVRO data files must
@@ -5263,6 +5318,7 @@ def test_delta_variant_idmap_nested_still_gates(spark, tmp_path):
         write_delta_fixture(spark, df, t, column_mapping="id")
 
 
+@pytest.mark.slow
 def test_iceberg_v3_defaults_stream(spark, tmp_path):
     """r15: the appends STREAM honors v3 initial-defaults too — a
     defaulted column added after a file's snapshot streams as the
@@ -5302,6 +5358,7 @@ def test_iceberg_v3_defaults_stream(spark, tmp_path):
                    6: (7, "x"), 10: (20, "y"), 11: (22, "y")}
 
 
+@pytest.mark.slow
 def test_iceberg_v3_row_lineage(spark, tmp_path):
     """r15: _row_id / _last_updated_sequence_number — inheritance for
     fresh adds, lazy assignment for pre-upgrade files at fold time,
@@ -5375,6 +5432,7 @@ def test_iceberg_v3_row_lineage(spark, tmp_path):
                     (30, 7, 3), (31, 8, 3), (32, 9, 3)}
 
 
+@pytest.mark.slow
 def test_iceberg_v3_compositions(spark, tmp_path):
     """r15 composition probe: RENAME x initial-default x deletion
     vector x row lineage on one v3 table — renamed column resolves by
@@ -5405,6 +5463,7 @@ def test_iceberg_v3_compositions(spark, tmp_path):
     assert read_iceberg(spark, t, filters={"g": 1}).count() == 3
 
 
+@pytest.mark.slow
 def test_iceberg_metadata_tables(spark, tmp_path):
     """r15: the metadata inspection tables — snapshots/history/refs/
     manifests/files/partitions shapes, time-travel resolution, and
@@ -5499,6 +5558,7 @@ def test_delta_history_and_hudi_timeline(spark, tmp_path):
     assert tl[0]["instant"] < tl[1]["instant"]
 
 
+@pytest.mark.slow
 def test_iceberg_v3_dv_snapshot_stream_skip(spark, tmp_path):
     """r15 probe pin: a v3 DV snapshot gates the appends stream
     loudly (it is a delete snapshot), and skipDeleteSnapshots skips
@@ -5544,6 +5604,7 @@ def test_iceberg_v3_dv_snapshot_stream_skip(spark, tmp_path):
         == [0, 1, 2, 3, 10, 11]
 
 
+@pytest.mark.slow
 def test_iceberg_changelog(spark, tmp_path):
     """r15: changelog reads — inserts from added files, deletes from
     removed files, DV deltas (replacement contributes only NEW
@@ -5614,6 +5675,7 @@ def test_iceberg_changelog(spark, tmp_path):
                            + [(1, "delete", 0)])
 
 
+@pytest.mark.slow
 def test_iceberg_changes_stream(spark, tmp_path):
     """r15: the changelog STREAM — drains historical snapshots, picks
     up live appends, DV deltas emit only new positions, and
@@ -5686,6 +5748,7 @@ def _v2_deletes_changelog_table(spark, tmp_path, name):
     return t, (s1, s2, s3, s4, s5), exp
 
 
+@pytest.mark.slow
 def test_iceberg_changelog_v2_deletes(spark, tmp_path):
     """r16 (VERDICT r15 task 1): the changelog over v2
     position-delete FILES and EQUALITY deletes — newly-dead rows
@@ -5710,6 +5773,7 @@ def test_iceberg_changelog_v2_deletes(spark, tmp_path):
     assert rows2 == sorted([(0, "delete", 4), (1, "delete", 0)])
 
 
+@pytest.mark.slow
 def test_iceberg_changelog_upsert_and_replace(spark, tmp_path):
     """r16: MOR-UPSERT shape (same-snapshot insert + equality
     delete of the OLD row, strict seq scoping keeps the new row) and
@@ -5745,6 +5809,7 @@ def test_iceberg_changelog_upsert_and_replace(spark, tmp_path):
     assert s3 not in {r[0] for r in rows}
 
 
+@pytest.mark.slow
 def test_iceberg_changes_stream_v2_deletes(spark, tmp_path):
     """r16: the streaming twin emits the SAME v2-delete change rows
     as the batch changelog — position files, equality deletes,
@@ -5792,6 +5857,7 @@ def test_delta_detail(spark, tmp_path):
     assert r["num_commits"] == 2
 
 
+@pytest.mark.slow
 def test_iceberg_v3_variant(spark, tmp_path):
     """r16 (VERDICT r15 task 4): Iceberg v3 `variant` columns —
     native parquet VARIANT scan, variant_get extraction, appends,
@@ -5838,6 +5904,7 @@ def test_iceberg_v3_variant(spark, tmp_path):
             partition_by=("bucket(2, k)",))
 
 
+@pytest.mark.slow
 def test_hudi_colstats_pruning(spark, tmp_path):
     """r16 (VERDICT r15 task 7): the metadata table's column_stats
     index — footer-derived min/max records, file-slice data
@@ -5884,6 +5951,7 @@ def test_hudi_colstats_pruning(spark, tmp_path):
     assert [tuple(r) for r in out2.collect()] == [(5, "0", 10)]
 
 
+@pytest.mark.slow
 def test_iceberg_changes_stream_evolved(spark, tmp_path):
     """r16: the changelog STREAM over a FLAT-evolved table — rename
     + added-with-default column + v2 position/equality deletes; the
@@ -5930,6 +5998,7 @@ def test_iceberg_changes_stream_evolved(spark, tmp_path):
     assert ("insert", 11, 1) in stream
 
 
+@pytest.mark.slow
 def test_delta_row_tracking(spark, tmp_path):
     """r16: Delta row tracking — baseRowId+position fresh ids,
     materialized-column preference (ids stable across a rewrite),
@@ -5985,6 +6054,7 @@ def test_delta_row_tracking(spark, tmp_path):
         read_delta(spark, t2, row_tracking=True)
 
 
+@pytest.mark.slow
 def test_iceberg_changelog_nested_evolution(spark, tmp_path):
     """r16: the changelog over a NESTED-evolved table — a renamed
     inner struct field resolves per file through the footer field-id
@@ -6017,6 +6087,7 @@ def test_iceberg_changelog_nested_evolution(spark, tmp_path):
         + [("delete", 1, 2, "n1")])
 
 
+@pytest.mark.slow
 def test_iceberg_changelog_view(spark, tmp_path):
     """r16: the processed changelog view — update pairing via
     identifier columns, carry-over cancellation on a rewrite
@@ -6068,6 +6139,7 @@ def test_iceberg_changelog_view(spark, tmp_path):
                                identifier_columns=["k"]).collect()
 
 
+@pytest.mark.slow
 def test_hudi_bloom_pruning(spark, tmp_path):
     """r16: the metadata table's bloom_filters partition — record-key
     point-lookup pruning where min/max bounds cannot discriminate
@@ -6132,6 +6204,7 @@ def test_iceberg_delete_files_metadata_table(spark, tmp_path):
                     (2, "PARQUET", ["k"], False, False)]
 
 
+@pytest.mark.slow
 def test_iceberg_maintenance_surfaces(spark, tmp_path):
     """r16: orphan-file detection (planted orphans found, table
     bookkeeping never listed) and the expire-snapshots PLAN
@@ -6186,6 +6259,7 @@ def test_iceberg_maintenance_surfaces(spark, tmp_path):
     assert read_iceberg(spark, t).count() == 6
 
 
+@pytest.mark.slow
 def test_lakehouse_vacuum_and_clean_plans(spark, tmp_path):
     """r16: Delta VACUUM plan (tombstone age split, untracked files,
     retention window protects young tombstones, live DV sidecars
@@ -6232,6 +6306,7 @@ def test_lakehouse_vacuum_and_clean_plans(spark, tmp_path):
     assert H.read_hudi(spark, t3).count() == 3
 
 
+@pytest.mark.slow
 def test_changelog_fold_probe(spark, tmp_path):
     """r16 PROBE: over randomized operation sequences (appends,
     position deletes, equality deletes, partition drops, upserts,
@@ -6346,6 +6421,7 @@ def test_changelog_fold_probe(spark, tmp_path):
             f"seed {seed} span fold"
 
 
+@pytest.mark.slow
 def test_delta_row_tracking_probe(spark, tmp_path):
     """r16 PROBE: over random append / DV-delete / materialize
     sequences, row-tracking invariants hold — ids are UNIQUE, every
@@ -6412,6 +6488,7 @@ def test_delta_row_tracking_probe(spark, tmp_path):
                     id_of[k] = rid
 
 
+@pytest.mark.slow
 def test_iceberg_changes_stream_nested_evolved(spark, tmp_path):
     """r16: the changes stream over a NESTED-evolved table equals
     the batch changelog — renamed inner struct fields re-view to

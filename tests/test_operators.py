@@ -24,6 +24,7 @@ def quotes_trades(spark):
     return quotes, trades
 
 
+@pytest.mark.slow
 def test_asof_backward(spark, quotes_trades):
     quotes, trades = quotes_trades
     got = {(r["sym"], r["t"]): r["px_r"]
@@ -33,6 +34,7 @@ def test_asof_backward(spark, quotes_trades):
                    ("B", 2): None, ("B", 10): 20.0, ("C", 4): None}
 
 
+@pytest.mark.slow
 def test_asof_forward_and_inner(spark, quotes_trades):
     quotes, trades = quotes_trades
     got = {(r["sym"], r["t"]): r["px_r"]
@@ -42,6 +44,7 @@ def test_asof_forward_and_inner(spark, quotes_trades):
                    ("B", 2): 20.0}
 
 
+@pytest.mark.slow
 def test_salted_join_matches_plain(spark, sf_dir):
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_quantity")
@@ -70,6 +73,7 @@ def test_q3_broadcasts_dims(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # top-k, not a global Sort
 
 
+@pytest.mark.slow
 def test_slice_prunes_files_and_pushes(spark, tmp_path, sf_dir):
     from padawan_spark import Dataset, scan_parquet
     src = Dataset(spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
@@ -81,6 +85,7 @@ def test_slice_prunes_files_and_pushes(spark, tmp_path, sf_dir):
     assert "PushedFilters: [" in _plan(s.df)
 
 
+@pytest.mark.slow
 def test_ensure_bucketed_survives_orphan_location(spark, sf_dir):
     # Simulate the per-query-subprocess harness: fresh metastore (table
     # absent from the catalog) + persistent warehouse dir holding a stale
@@ -104,6 +109,7 @@ def test_ensure_bucketed_survives_orphan_location(spark, sf_dir):
     assert spark.table(tl2).count() > 0
 
 
+@pytest.mark.slow
 def test_bucketed_join_no_exchange(spark, sf_dir):
     # run the query once to (re)create the bucketed tables, then force a
     # merge join (at test scale Catalyst would rightly broadcast instead)

@@ -35,6 +35,7 @@ def tuples_df(spark):
 
 @pytest.mark.parametrize("bound", [(1, "a"), (2, "b"), (None, "a"), (1, None),
                                    (1,), (None,), (2,)])
+@pytest.mark.slow
 def test_predicates_match_python(spark, tuples_df, bound):
     rows = {r["i"]: (r["x"], r["y"]) for r in tuples_df.collect()}
     for builder, check in [

@@ -302,6 +302,7 @@ def test_pagerank_users_round_shuffles_on_vertex_key(spark):
     assert "hashpartitioning(src" in low or "hashpartitioning(v" in low, a.plan
 
 
+@pytest.mark.slow
 def test_iterative_loops_truncate_lineage(spark):
     # lineage hygiene: every round localCheckpoints, so the RETURNED
     # plan is a scan of materialized partitions + final projection —
@@ -321,6 +322,7 @@ def test_cms_probe_broadcasts_counters(spark):
     assert not a.has_cartesian
 
 
+@pytest.mark.slow
 def test_no_cartesian_product_anywhere(spark):
     """Engine-wide guarantee: NO registered query's physical plan may
     contain a CartesianProduct — the one operator that cannot survive a
@@ -341,6 +343,7 @@ def test_no_cartesian_product_anywhere(spark):
     assert not bad, bad
 
 
+@pytest.mark.slow
 def test_no_unhashable_output_columns_anywhere(spark):
     """Engine-wide contract pin (the ana_array_funcs lesson): every
     registered query's OUTPUT schema must be scalar-typed — external
@@ -362,6 +365,7 @@ def test_no_unhashable_output_columns_anywhere(spark):
     assert not offenders, offenders
 
 
+@pytest.mark.slow
 def test_no_row_at_a_time_python_udf_anywhere(spark):
     """Engine-wide policy pin: Python in query plans must be
     Arrow-batched (ArrowEvalPython / MapInPandas /
@@ -384,6 +388,7 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
     assert not offenders, offenders
 
 
+@pytest.mark.slow
 def test_aqe_skew_join_split_fires(spark):
     """The 100 TB skew story made testable: a hot key whose shuffle
     partition dwarfs the median must be SPLIT by AQE's skew-join
@@ -642,6 +647,7 @@ def test_semantic_dedup_cell_cap_bounds_fanout(spark):
     assert cnt < n * (n - 1) // 2        # quadratic path impossible
 
 
+@pytest.mark.slow
 def test_dedup_clusters_one_job_per_round(spark, sf_dir, monkeypatch):
     """VERDICT r3 #3: the iterative CC loop folds convergence detection
     into each round's checkpoint job via an Observation — no separate
@@ -802,6 +808,7 @@ def test_build_head_rotates_least_recently_checked(tmp_path):
     assert len(fresh) >= _WINDOW - len(_SENTINELS) - 1
 
 
+@pytest.mark.slow
 def test_incremental_mv_fold_never_shuffles_the_mv(spark, tmp_path):
     """r8: fold_changes_into_aggregate must join the delta against the
     MV via broadcast (semi filter + broadcast outer join) — a
@@ -878,6 +885,7 @@ def test_hudi_mor_merge_plan_shape(spark, tmp_path):
     assert a.exchanges <= 1, a.plan
 
 
+@pytest.mark.slow
 def test_hudi_mor_per_slice_scan_restriction(spark, tmp_path):
     """r11 (VERDICT r10 #6): the merge is PER FILE SLICE — base files
     of groups with no logs union straight into the output with no
@@ -931,6 +939,7 @@ def test_hudi_mor_per_slice_scan_restriction(spark, tmp_path):
     assert rows2 == [(0, -1), (1, 700)], rows2
 
 
+@pytest.mark.slow
 def test_hudi_mor_duplicate_base_keys_pass_through_both_paths(
         spark, tmp_path):
     """Duplicate-key base rows (a bulk insert without dedup) pass
@@ -958,6 +967,7 @@ def test_hudi_mor_duplicate_base_keys_pass_through_both_paths(
             limit, rows)
 
 
+@pytest.mark.slow
 def test_hudi_mor_full_shuffle_fallback_still_correct(spark,
                                                       tmp_path):
     """The documented huge-log-backlog fallback (log_key_limit
@@ -1038,6 +1048,7 @@ def test_delta_scan_count_independent_of_partition_values(spark,
     assert got == {(k, k % 10) for k in range(120)}
 
 
+@pytest.mark.slow
 def test_delta_partition_filters_prune_file_list(spark, tmp_path):
     """r10: read_delta(filters=...) prunes the planned FILE LIST on
     the driver through the add actions' partitionValues — a point

@@ -47,6 +47,7 @@ def ds(spark):
 @settings(max_examples=25, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(lb=bound, ub=bound, inc=inclusive)
+@pytest.mark.slow
 def test_slice_matches_python_ground_truth(ds, lb, ub, inc):
     got = sorted(
         (tuple(r) for r in ds.slice(lb, ub, inclusive=inc).df.collect()),
@@ -103,6 +104,7 @@ def test_perfect_hash_labels_are_permutations():
 
 
 @pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.slow
 def test_time_travel_snapshot_property(spark, tmp_path, seed):
     """VERDICT r3 ask #7 — property test over random maintenance
     sequences: after any mix of overwrite/append/compact/vacuum,
@@ -185,6 +187,7 @@ def test_time_travel_snapshot_property(spark, tmp_path, seed):
             r["k"] for r in scan_parquet(spark, p).df.collect()) == current
 
 
+@pytest.mark.slow
 def test_pruned_scan_equivalence_random_slices(spark, tmp_path):
     """scan_parquet_pruned must equal scan+slice for ANY bounds: the
     conservative manifest-table prune composes with the exact slice
@@ -304,6 +307,7 @@ def test_png_depth_interlace_roundtrip_property(w, h, mode, depth,
     assert out == (px[0::2] if depth == 16 else px)
 
 
+@pytest.mark.slow
 def test_delete_rows_random_windows_property(spark, tmp_path):
     """delete_rows over RANDOM index windows on a date-indexed table
     (VERDICT r5 task 5): after every delete the table equals the eager
@@ -610,6 +614,7 @@ def test_jpeg_progressive_equals_baseline_property(w, h, mode, data):
     mode=st.sampled_from(["indep", "left", "right", "mid"]),
     data=st.data(),
 )
+@pytest.mark.slow
 def test_flac_roundtrip_property(n, ch, order, block, mode, data):
     """FLAC is lossless: random int16 streams — any length, mono or
     stereo under every decorrelation mode (independent, left/side,
@@ -1444,6 +1449,7 @@ def test_delta_dv_codec_roundtrip_property(positions):
 
 
 @pytest.mark.parametrize("seed", [11, 42])
+@pytest.mark.slow
 def test_delta_cdf_dv_diff_property(spark, tmp_path, seed):
     """r11: random deletion-vector GROWTH sequences — for EVERY
     version window, the derived change feed's delete rows are exactly
@@ -1496,6 +1502,7 @@ def test_delta_cdf_dv_diff_property(spark, tmp_path, seed):
 
 
 @pytest.mark.parametrize("seed", [3, 19])
+@pytest.mark.slow
 def test_hudi_metadata_listing_matches_replay_property(spark,
                                                        tmp_path, seed):
     """r11: over random maintenance sequences (CoW commits, delta

@@ -1,4 +1,5 @@
-"""Capture .explain('formatted') for named queries into plans/r16/<name>_<tag>.txt.
+"""Capture .explain('formatted') for named queries into
+plans/$PLAN_ROUND/<name>_<tag>.txt (PLAN_ROUND defaults to r17).
 
 Plan-only (no jobs besides what plan building needs): safe to run while
 other work occupies the box.  Usage: python tools/capture_plans.py <tag> [q ...]
@@ -18,6 +19,7 @@ from tools.profile_r16 import HEADLINE  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROUND = os.environ.get("PLAN_ROUND", "r17")
 
 
 def main() -> None:
@@ -26,7 +28,7 @@ def main() -> None:
     spark = get_spark(app_name=f"padawan-plans-{tag}", extra_conf={
         "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs(os.path.join(HERE, "plans", "r16"), exist_ok=True)
+    os.makedirs(os.path.join(HERE, "plans", ROUND), exist_ok=True)
     for name in names:
         fn = QUERIES.get(name)
         if fn is None:
@@ -36,7 +38,7 @@ def main() -> None:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        path = os.path.join(HERE, "plans", "r16", f"{name}_{tag}.txt")
+        path = os.path.join(HERE, "plans", ROUND, f"{name}_{tag}.txt")
         with open(path, "w") as fh:
             fh.write(buf.getvalue())
         print(f"WROTE {path}", file=sys.stderr)
