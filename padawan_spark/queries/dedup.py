@@ -53,7 +53,18 @@ def dedup_exact(spark, sf_dir):
 
 def _shingles_spark_raw(d: DataFrame) -> DataFrame:
     """Word 3-shingles per doc WITH duplicates (1-based element_at) —
-    no shuffle; feeds aggregations that are duplicate-insensitive."""
+    no shuffle; feeds aggregations that are duplicate-insensitive.
+
+    r17 measured-then-reverted (guide §1.2): a compiled
+    explode(sequence)+projection variant (no transform lambda — HOFs
+    are CodegenFallback, interpreted per element) was set-identical and
+    1.4x faster on an ISOLATED shingle+distinct microbench, but dead
+    even inside the full jaccard/minhash queries (5-pass alternating
+    same-session A/B: 1.91 vs 1.95 s and 0.64 vs 0.60 s) — the shingle
+    stage overlaps the join/aggregate work here.  It also copies the
+    full token array into every exploded row (Generate materializes
+    required child columns per output row), an O(tokens² ) cost per doc
+    at real document sizes, so the HOF form is kept."""
     return (d.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
             .select("doc_id", F.explode(F.expr(
                 "transform(sequence(1, size(t) - 2),"
@@ -188,6 +199,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # shc is the persisted shingle table of a real pipeline; eager
     # localCheckpoint pins it per invocation with no cross-run reuse.
     sh = _shingles_spark(load(spark, sf_dir, "documents", wide=True))
+    # r17 measured-then-reverted (VERDICT r16 task 9): a df >= 2 prune
+    # of the self-join sides (singleton shingles cannot form a pair;
+    # per-doc sizes still count them, so jaccard is unchanged) measured
+    # ~18% SLOWER here in a 3-variant same-session alternating A/B
+    # (1.92 -> 2.26 s min-of-5) and prunes nothing on this corpus —
+    # df histogram at sf0.1: 207 singletons of 27213 shingles (0.8‰),
+    # zero shingles over the cap, join rows 260388 -> 260181.  The
+    # synthetic corpus draws from a small vocabulary, so almost every
+    # shingle repeats; on a real web corpus (singletons dominate) the
+    # prune is the standard inverted-index move, but this bench cannot
+    # show it and the extra filter+project on both join sides costs
+    # real time.  AQE skew-split was also checked: no shingle key is
+    # near skewedPartitionThresholdInBytes at this SF.
     rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= _DF_CAP).select("s"))
     shc = sh.join(rare, "s").localCheckpoint(eager=True)
@@ -244,6 +268,9 @@ def dedup_containment(spark, sf_dir):
     # Exchange, which AQE reuses at runtime (measured: same task-sec,
     # one serial barrier less)
     sh = _shingles_spark(load(spark, sf_dir, "documents", wide=True))
+    # df >= 2 join-side prune measured-then-reverted like
+    # dedup_ngram_jaccard (r17): no-op on this small-vocabulary corpus,
+    # ~18% filter overhead.
     rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= _DF_CAP).select("s"))
     shc = sh.join(rare, "s").localCheckpoint(eager=True)

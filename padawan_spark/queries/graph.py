@@ -24,6 +24,16 @@ from .registry import load, query
 _D = 0.85     # damping
 _ITERS = 3    # fixed, unrolled in the oracle
 _DECG = "decimal(38,20)"
+# Iterative-loop lineage-truncation cadence (r17): checkpoint every
+# N rounds, not every round — plan depth stays O(N) at real round
+# counts (the GraphX/MLlib checkpointInterval practice) while runs
+# shorter than the interval execute as ONE adaptive DAG with no
+# per-round job/persist barrier.  Only valid for loops whose state is
+# SINGLE-referenced per round (pagerank's rank table); loops that
+# reference their state twice per round (BFS settled-set anti-join,
+# k-core's two alive-joins) keep per-round truncation — there the
+# checkpoint is also the subtree dedup (Catalyst does not dedupe).
+_CKPT_EVERY = 8
 
 
 def _edges_spark(spark, sf_dir):
@@ -96,24 +106,30 @@ def _pagerank(edges, out_col: str):
     same policy as the CC convergence counts — folding it into the rank
     expression as a literal removes an aggregate+broadcast job per
     round, the standard GraphX/GraphFrames `numVertices` shape).
-    localCheckpoint per round: the rank plan would otherwise grow
-    linearly with the iteration count (driver plan blowup at real round
-    counts).  Lazy (eager=False): the plan is truncated immediately
-    either way, but materialization folds into the next round's job
-    instead of paying a separate job dispatch per round.
+    Lineage truncation is INTERVAL-based (r17, VERDICT r16 task 6):
+    the rank table is single-referenced per round (one contrib join),
+    so within a checkpoint interval the rounds compose into ONE plan
+    that the final action executes as one adaptive DAG — no duplicated
+    subtrees (nothing references r twice) and no per-round
+    job/persist barrier.  r16 checkpointed EVERY round; stage
+    profiling showed pagerank_users at 20 serial jobs for 3.5
+    executor-task-seconds — pure dispatch overhead at this SF.  A
+    checkpoint still fires every _CKPT_EVERY rounds so the plan depth
+    stays bounded at real round counts (the GraphX/MLlib
+    checkpointInterval practice; plan depth is O(interval), not
+    O(total rounds)).
 
-    Edges/verts are EAGER localCheckpoints (r16, guide §5): the old
-    .cache() + unpersist-before-return pair dropped the cached blocks at
-    plan-build time — the returned DataFrame's action then recomputed
-    the whole event-window edge subtree once per reference (three
-    contrib joins + the no-in-edge anti-join + r0 ≈ 5 full passes).
+    Edges/verts are lazy localCheckpoints whose materialization the
+    verts.count() below triggers in one job (r16 made them eager after
+    finding the dead .cache()+unpersist pair; r17 makes them lazy —
+    same single materialization, two fewer result-stage jobs).
     Checkpointing pins the materialized rows to this invocation's RDDs
     (no CacheManager plan-key, so a fresh call never reuses a previous
     run's data) and every downstream reference reads them."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     verts = (edges.select(F.col("src").alias("v"))
              .union(edges.select("dst")).distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     n = float(verts.count())
     # vertices with no IN-edge receive s=0 every round, so their rank is
     # the constant (1-d)/n from round 1 on: materialize that slice ONCE
@@ -125,16 +141,32 @@ def _pagerank(edges, out_col: str):
              .select("v", F.lit((1.0 - _D) / n).alias("r"))
              .localCheckpoint(eager=False))
     r = verts.select("v", (F.lit(1.0) / F.lit(n)).alias("r"))
-    for _ in range(_ITERS):
-        contrib = (r.join(edges, r.v == edges.src)
-                   .select(F.col("dst").alias("v"),
-                           (F.col("r") * F.col("weight")).alias("c"))
-                   .groupBy("v")
-                   .agg(F.sum(F.col("c").cast(_DECG)).alias("s")))
+    for i in range(_ITERS):
+        if i == 0:
+            # round 1 needs no rank join (r17): r0 is the uniform
+            # constant 1/n for EVERY vertex, and every edge's src is in
+            # verts by construction, so r0 ⋈ edges keeps every edge row
+            # with r = 1/n — the same rows fall out of a direct edge
+            # aggregation with the identical per-row double product
+            # (1.0/n) * weight.  At real scale this deletes one full
+            # |E|⋈|V| shuffle join from every PageRank run.
+            contrib = (edges.select(
+                F.col("dst").alias("v"),
+                ((F.lit(1.0) / F.lit(n)) * F.col("weight")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum(F.col("c").cast(_DECG)).alias("s")))
+        else:
+            contrib = (r.join(edges, r.v == edges.src)
+                       .select(F.col("dst").alias("v"),
+                               (F.col("r") * F.col("weight")).alias("c"))
+                       .groupBy("v")
+                       .agg(F.sum(F.col("c").cast(_DECG)).alias("s")))
         active = contrib.select(
             "v", (F.lit((1.0 - _D) / n)
                   + _D * F.col("s").cast("double")).alias("r"))
-        r = active.unionByName(no_in).localCheckpoint(eager=False)
+        r = active.unionByName(no_in)
+        if (i + 1) % _CKPT_EVERY == 0 and i + 1 < _ITERS:
+            r = r.localCheckpoint(eager=False)
     return r.select(F.col("v").alias(out_col),
                     F.round("r", 12).alias("pagerank"))
 

@@ -411,6 +411,23 @@ def sim_kmeans_train(spark, sf_dir):
     # magnitudes.  Scale-9 element casts round identically to the
     # oracle's DECIMAL(38,9) casts, so dist values match bit-for-bit.
     dfold = "decimal(30,9)"
+    # r17 measured-then-reverted (guide §1.2): two attempts to replace
+    # this interpreted higher-order-function fold with compiled
+    # expression trees made it WORSE, not better —
+    # (a) an unrolled sequential (acc + sq).cast chain (128 nested
+    #     decimal nodes): same-window A/B 4.36 s vs 2.39 s (1.8x
+    #     REGRESSION — the generated method for one 64-deep decimal
+    #     expression is too large for the JIT, so it runs in the
+    #     bytecode interpreter, slower than Spark's expression
+    #     interpreter evaluating the lambda);
+    # (b) a balanced depth-6 add tree without intermediate casts:
+    #     pathological (>60 s per pass, killed).
+    # The HOF fold stays: its per-element interpretation is the cheap
+    # part; the exact-decimal arithmetic itself is the contract-bound
+    # cost (the oracle's SUM(CAST(...AS DECIMAL)) demands exact decimal
+    # sums, and algebraic refactorings like Σx²-2Σxc+Σc² change
+    # rounding near argmin ties).  tests/test_argmin_equiv.py keeps the
+    # unroll==fold equivalence pin as documentation of the attempt.
     sq_dec = lambda a, b: ((a - b) * (a - b)).cast(dfold)  # noqa: E731
     assign, centcomp = None, None
     for _ in range(_KM_ITERS):
@@ -582,9 +599,15 @@ def sim_pq_adc_topk(spark, sf_dir):
             .withColumn("dim", F.col("pos") + 1)
             .withColumn("sub", (F.col("pos") / _PQ_DSUB)
                         .cast("int")).drop("pos").cache())
+    # codebook materialized ONCE (r17, guide §2.4/§5): it feeds TWO
+    # broadcast builds (dists and lut) and broadcast sides are exempt
+    # from AQE exchange reuse, so the aggregation over the full
+    # component table otherwise runs twice.  Lazy checkpoint: the first
+    # broadcast build materializes the 5120 rows.
     codebook = (comp.groupBy(F.col("label").alias("code"), "sub", "dim")
                 .agg((F.sum(F.col("val").cast(d9)).cast("double")
-                      / F.count(F.lit(1))).alias("cval")))
+                      / F.count(F.lit(1))).alias("cval"))
+                .localCheckpoint(eager=False))
     dists = (comp.join(F.broadcast(codebook), ["sub", "dim"])
              .groupBy("vec_id", "sub", "code")
              .agg(F.sum(((F.col("val") - F.col("cval"))
@@ -686,11 +709,28 @@ def sim_ann_ivfpq(spark, sf_dir):
             .withColumn("dim", F.col("pos") + 1)
             .withColumn("sub", (F.col("pos") / _PQ_DSUB)
                         .cast("int")).drop("pos").cache())
-    # coarse quantizer: full-width centroids + query->top-2 cell routing
-    cent = (comp.groupBy(F.col("label").alias("probe_label"),
-                         F.col("dim").alias("cdim"))
-            .agg((F.sum(F.col("val").cast(d9)).cast("double")
-                  / F.count(F.lit(1))).alias("gcval")))
+    # PQ codebook, materialized ONCE (r17, guide §2.4/§5): it is
+    # referenced by THREE broadcast builds (the dists join, the lut
+    # join, and the coarse-centroid projection below) and broadcast
+    # sides are exempt from AQE runtime exchange reuse, so the
+    # un-materialized r16 plan ran the (label, sub, dim) aggregation
+    # over the full component table three times — stage profiling
+    # showed those duplicate partial-agg passes at ~22 of the query's
+    # 41 executor-task-seconds.  Lazy checkpoint: the first broadcast
+    # build triggers the single materialization (5120 rows).
+    codebook = (comp.groupBy(F.col("label").alias("code"), "sub", "dim")
+                .agg((F.sum(F.col("val").cast(d9)).cast("double")
+                      / F.count(F.lit(1))).alias("cval"))
+                .localCheckpoint(eager=False))
+    # coarse quantizer: the full-width centroid table IS the codebook
+    # re-keyed (r17): `sub` is a pure function of `dim` (sub =
+    # (dim-1)//8), so grouping by (label, sub, dim) == grouping by
+    # (label, dim) — same groups, same SUM(CAST(val AS DECIMAL(38,9)))
+    # / COUNT(*), bit-identical gcval.  The oracle computes the two
+    # CTEs independently with the identical expression.
+    cent = codebook.select(F.col("code").alias("probe_label"),
+                           F.col("dim").alias("cdim"),
+                           F.col("cval").alias("gcval"))
     qcomp = comp.where(F.col("vec_id") < 5)
     qc = (qcomp.join(F.broadcast(cent), qcomp.dim == cent.cdim)
           .groupBy(F.col("vec_id").alias("query_id"), "probe_label")
@@ -702,10 +742,6 @@ def sim_ann_ivfpq(spark, sf_dir):
     wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "probe_label")
     probes = (qc.withColumn("prn", F.row_number().over(wp))
               .where(F.col("prn") <= 2).select("query_id", "probe_label"))
-    # PQ codebook + codes (sim_pq_encode plan)
-    codebook = (comp.groupBy(F.col("label").alias("code"), "sub", "dim")
-                .agg((F.sum(F.col("val").cast(d9)).cast("double")
-                      / F.count(F.lit(1))).alias("cval")))
     # the cell label is NOT threaded through the code aggregations: the
     # dists groupBy runs over the N*dims*K join fan-out — the heaviest
     # intermediate of the query — and adding a string to its group keys

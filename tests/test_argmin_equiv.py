@@ -59,3 +59,37 @@ def test_struct_max_payload_matches_window(spark):
                        F.col("m.val").alias("val")))
     assert sorted(map(tuple, via_window.collect())) \
         == sorted(map(tuple, via_agg.collect()))
+
+
+def test_unrolled_decimal_sq_dist_matches_hof_fold(spark):
+    # r17 (guide §1.2): sim_kmeans_train's squared distance moved from
+    # aggregate(zip_with(...)) — higher-order functions are
+    # CodegenFallback, i.e. interpreted per element — to an unrolled
+    # compiled (acc + sq).cast chain.  Pin bit-identical equality of the
+    # two forms on random vectors, exact ties, zeros, negative values
+    # and denormal-ish magnitudes.
+    import random
+    rnd = random.Random(17)
+    rows = []
+    for i in range(40):
+        x = [rnd.uniform(-3, 3) for _ in range(64)]
+        if i % 5 == 0:
+            c = list(x)                      # exact tie: dist == 0
+        elif i % 5 == 1:
+            c = [0.0] * 64
+        else:
+            c = [rnd.uniform(-3, 3) for _ in range(64)]
+        rows.append((i, x, c))
+    df = spark.createDataFrame(
+        rows, "id int, x array<double>, c array<double>")
+    dfold = "decimal(30,9)"
+    sq = lambda a, b: ((a - b) * (a - b)).cast(dfold)  # noqa: E731
+    fold = F.aggregate(F.zip_with("x", "c", sq), F.lit(0).cast(dfold),
+                       lambda acc, v: (acc + v).cast(dfold))
+    acc = F.lit(0).cast(dfold)
+    for i in range(1, 65):
+        d = F.element_at("x", i) - F.element_at("c", i)
+        acc = (acc + (d * d).cast(dfold)).cast(dfold)
+    got = df.select("id", fold.alias("a"), acc.alias("b")).collect()
+    assert all(r.a == r.b for r in got), \
+        [(r.id, r.a, r.b) for r in got if r.a != r.b][:3]
